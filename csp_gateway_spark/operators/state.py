@@ -1,0 +1,96 @@
+"""Keyed last-value state — the reference's core query primitive.
+
+Reference: ``State[T]`` accumulates the last record per ``keyby`` group
+and serves it sorted by key ASC NULLS FIRST with optional filters
+(`server/gateway/csp/state.py:165-225` default impl, `:228-490` DuckDB
+impl: ``SELECT last(duck_id) ... GROUP BY keys ORDER BY keys``).
+
+Spark design (scale-first):
+- ``keyed_last`` uses ``groupBy(keys).agg(max_by(struct(*), order))``
+  rather than a window + row_number: max_by gets **map-side partial
+  aggregation** (each task reduces to one candidate row per key before
+  the shuffle), so shuffle volume is O(distinct keys), not O(rows).
+  At 100 TB with a bounded key space this is the difference between a
+  full-data shuffle and a metadata-sized one.
+- Ties are broken by an explicit deterministic tiebreak column list so
+  batch replay is reproducible (csp has no ties: one tick per cycle).
+- The streaming equivalent lives in streaming/state_stream.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def keyed_last(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str] = ("timestamp",),
+    sort_output: bool = True,
+) -> DataFrame:
+    """Last record per key group.
+
+    ``order_by``: columns defining recency (engine time first, then a
+    unique tiebreak like ``id`` / ``event_id`` for determinism).
+    Output ordered by keys ASC NULLS FIRST (reference `state.py:193`).
+    """
+    keys = list(keys)
+    order_cols = [c for c in order_by if c in df.columns]
+    payload = [c for c in df.columns if c not in keys]
+    agg = F.max_by(
+        F.struct(*[F.col(c) for c in payload]),
+        F.struct(*[F.col(c) for c in order_cols]),
+    ).alias("_last")
+    out = df.groupBy(*keys).agg(agg)
+    out = out.select(*keys, "_last.*")
+    if sort_output:
+        out = out.orderBy(*[F.asc_nulls_first(k) for k in keys])
+    return out
+
+
+def last_tick(df: DataFrame, order_by: Sequence[str] = ("timestamp",)) -> DataFrame:
+    """The single most recent record of a channel (`/last`,
+    `channels.py:747-787`).  Global max_by — one partial-agg pass, no
+    full sort."""
+    order_cols = [c for c in order_by if c in df.columns]
+    agg = F.max_by(
+        F.struct(*[F.col(c) for c in df.columns]),
+        F.struct(*[F.col(c) for c in order_cols]),
+    ).alias("_last")
+    return df.groupBy().agg(agg).select("_last.*")
+
+
+def upsert_table(
+    df: DataFrame,
+    index: Sequence[str],
+    order_by: Sequence[str] = ("timestamp",),
+    limit: Optional[int] = None,
+) -> DataFrame:
+    """Perspective table ``index``/``limit`` semantics
+    (`modules/web/perspective.py:468-475`):
+
+    - ``index``: upsert key, last write wins (≙ keyed_last on index);
+    - ``limit``: keep only the N most recent rows (ring buffer).
+    """
+    out = keyed_last(df, list(index), order_by=order_by, sort_output=False)
+    if limit is not None:
+        order_cols = [c for c in order_by if c in out.columns]
+        w = F.struct(*[F.col(c) for c in order_cols])
+        from pyspark.sql import Window
+
+        win = Window.orderBy(F.desc(w))
+        out = (
+            out.withColumn("_rank", F.row_number().over(win))
+            .filter(F.col("_rank") <= limit)
+            .drop("_rank")
+        )
+    return out
+
+
+def computed_index(df: DataFrame, fields: Sequence[str], out_col: str = "index") -> DataFrame:
+    """Multi-field index → ``"-".join(fields)`` computed key column
+    (`perspective.py:468-475`)."""
+    return df.withColumn(out_col, F.concat_ws("-", *[F.col(f).cast("string") for f in fields]))

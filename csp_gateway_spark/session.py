@@ -1,0 +1,82 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Scale notes (100 TB design point):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic broadcast conversion replace hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE
+  coalesces.  On a real cluster set it to ~2-3x total cores.
+- Arrow enabled for every pandas-UDF / toPandas boundary.
+- For streaming state at scale, switch the state store to RocksDB
+  (spark.sql.streaming.stateStore.providerClass) — configured here but
+  harmless in batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "csp-gateway-spark", cpus: str | None = None) -> SparkSession:
+    """Build (or fetch) the SparkSession with scale-appropriate defaults."""
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # --- optimizer / execution ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", cpus)
+        # --- Arrow / pandas UDF boundary ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- parquet scan behavior ---
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # events.ts is parquet TIMESTAMP(NANOS): read as int64 nanos (Spark
+        # has no ns timestamp type); compare with DuckDB epoch_ns(ts).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- streaming state at scale ---
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None):
+    """Load the driver's parquet tables and register them as temp views.
+
+    Returns ``dict[name, DataFrame]``.  Column pruning + predicate
+    pushdown reach the scan because these are plain parquet reads.
+    """
+    names = tables or (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
