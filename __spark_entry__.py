@@ -378,6 +378,240 @@ FROM embeddings WHERE vec_id < 10
 
 
 # ---------------------------------------------------------------------------
+# TEXT — language-ID, quality, token counts, fingerprint (operators/text.py)
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.text import text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = text_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "n_subtokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality", 6).alias("quality"),
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+_SQL_TOKS = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '')"
+_SQL_RAWTOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')"
+_SQL_NORM = (
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"
+)
+_EN = "['the','and','of','to','a','in','is','that','it','for','on','with','as','at','by','an','be','this']"
+_MARK = {
+    "en": "['the','and','of','to','a','in','is','that','it','for']",
+    "fr": "['le','la','les','et','de','un','une','est','que','pour']",
+    "de": "['der','die','das','und','ist','nicht','ein','eine','zu','mit']",
+    "es": "['el','la','los','las','y','de','que','es','un','una']",
+}
+
+ORACLE_TEXT_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         {_SQL_RAWTOKS} AS rtoks,
+         {_SQL_TOKS} AS toks
+  FROM documents
+), stats AS (
+  SELECT doc_id,
+    length(text) AS n_chars_calc,
+    len(rtoks) AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS n_subtokens,
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) / length(text)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> list_contains({_EN}, x))) / len(toks)
+         ELSE 0.0 END AS stopword_ratio,
+    len(list_filter(toks, x -> list_contains({_MARK['en']}, x))) AS s_en,
+    len(list_filter(toks, x -> list_contains({_MARK['fr']}, x))) AS s_fr,
+    len(list_filter(toks, x -> list_contains({_MARK['de']}, x))) AS s_de,
+    len(list_filter(toks, x -> list_contains({_MARK['es']}, x))) AS s_es,
+    length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 AS has_cjk,
+    md5({_SQL_NORM}) AS fingerprint
+  FROM base
+)
+SELECT doc_id, n_chars_calc, n_tokens, n_subtokens,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(stopword_ratio, 6) AS stopword_ratio,
+  round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+        ((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN punct_ratio <= 0.3 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)) / 3.0 END, 6) AS quality,
+  CASE WHEN has_cjk THEN 'zh'
+       WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+       WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+       WHEN s_es > 0 THEN 'es'
+       ELSE 'und' END AS lang_pred,
+  fingerprint
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# DEDUP — exact (hash groupBy) (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).orderBy("doc_id")
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT md5({_SQL_NORM}) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# DEDUP — minhash signatures (portable md5-hex hashing; operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+_MH_SEEDS = 8
+_SHINGLE_K = 3
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=_MH_SEEDS, k=_SHINGLE_K, oracle_safe=True)
+    return sig.select("doc_id", F.posexplode("sig").alias("seed", "minhash"))
+
+
+def _sql_shingles(k: int = _SHINGLE_K) -> str:
+    toks = f"list_filter(regexp_split_to_array({_SQL_NORM}, ' '), x -> x != '')"
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {k} "
+        f"THEN list_transform(range(1, len({toks}) - {k} + 2), i -> array_to_string(({toks})[i:i+{k}-1], ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
+
+
+ORACLE_MINHASH_SIGNATURE = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles()} AS shingles FROM documents
+), seeds AS (
+  SELECT unnest(range(0, {_MH_SEEDS})) AS seed
+)
+SELECT doc_id, seed,
+       list_min(list_transform(shingles, s -> substr(md5(seed || ':' || s), 1, 15))) AS minhash
+FROM sh, seeds
+"""
+
+
+# ---------------------------------------------------------------------------
+# DEDUP — n-gram Jaccard verification (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    small = docs.filter(F.col("doc_id") < 20)
+    pairs = (
+        small.select(F.col("doc_id").alias("id_a"))
+        .join(small.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    out = ngram_jaccard_pairs(docs, pairs, k=_SHINGLE_K)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles()} AS s FROM documents WHERE doc_id < 20
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# DEDUP — MinHash LSH pairs + SimHash (xxhash64-based; rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, jaccard_threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ANN — brute-force cosine top-k (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = cosine_topk(emb.filter(F.col("vec_id") != 0), qv, k=10)
+    return out.select("vec_id", F.round("cos", 6).alias("cos"))
+
+
+ORACLE_ANN_COSINE_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos
+FROM embeddings, q WHERE vec_id != 0
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN — embedding cosine near-dup pairs (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN — LSH-bucketed top-k (scale path; rows-only, recall tested in pytest)
+# ---------------------------------------------------------------------------
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = lsh_topk(emb.filter(F.col("vec_id") != 0), qv, dim=64, k=10, bits=8)
+    return out.select("vec_id", F.round("cos", 6).alias("cos"))
+
+
+# ---------------------------------------------------------------------------
 # driver hooks
 # ---------------------------------------------------------------------------
 
@@ -400,6 +634,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_merge": q_union_merge,
         "lookup_by_id": q_lookup_by_id,
         "explode_embeddings": q_explode_embeddings,
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signature": q_minhash_signature,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 
@@ -417,4 +660,13 @@ def oracle_sql() -> dict[str, str]:
         "union_merge": ORACLE_UNION_MERGE,
         "lookup_by_id": ORACLE_LOOKUP_BY_ID,
         "explode_embeddings": ORACLE_EXPLODE_EMBEDDINGS,
+        "text_stats": ORACLE_TEXT_STATS,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "minhash_signature": ORACLE_MINHASH_SIGNATURE,
+        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
+        "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+        # dedup_minhash_pairs / dedup_simhash / ann_lsh_topk: xxhash64-based
+        # (engine-specific) — rows-only check; parity covered by
+        # minhash_signature + ngram_jaccard oracles and pytest recall tests.
     }

@@ -1,0 +1,78 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.  Each query is materialized with
+the noop sink (full execution, no driver collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "state_keyed_last",
+    "state_filter_query",
+    "perspective_view",
+    "perspective_pivot",
+    "table_index_limit",
+    "window_tumbling",
+    "window_session",
+    "asof_join",
+    "interval_join",
+    "union_merge",
+    "explode_embeddings",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "embedding_neardup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as entry
+
+    from csp_gateway_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error {name}: {e}", file=sys.stderr)
+            times[name] = -1.0
+    total = round(sum(t for t in times.values() if t > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

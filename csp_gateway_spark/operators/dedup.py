@@ -1,0 +1,318 @@
+"""Deduplication operators for training-data pipelines at 100 TB scale.
+
+Five families (SURVEY §7.8 additive surface):
+- exact:      hash-groupBy on normalized content — one shuffle on the
+              content hash, map-side partial agg.
+- minhash:    shingle → minhash signature → LSH bands → bucket join.
+              Candidate generation is the banded bucket join (shuffle on
+              band hash, bucket sizes bounded), never an all-pairs join.
+- simhash:    64-bit token-hash sign aggregate; near-dup = small
+              Hamming distance; candidates via 16-bit chunk banding
+              (pigeonhole: dist<=3 ⇒ some chunk equal).
+- ngram jaccard: exact verification of candidate pairs.
+- embedding:  cosine near-dup; see similarity.py for the ANN path.
+
+All expressions are native Spark SQL functions — JVM codegen, no
+Python in the hot path.  Hashing defaults to xxhash64 (fast); the
+md5-prefix variant exists for engine-agnostic oracle checks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from csp_gateway_spark.operators.text import normalize_text, tokens
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalized: bool = True) -> DataFrame:
+    """Keep the lowest-id representative per distinct (normalized)
+    content hash.  groupBy(md5) + min(id) → shuffle keyed on the hash,
+    combiner reduces map-side."""
+    content = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    h = F.md5(content).alias("content_hash")
+    return df.groupBy(h).agg(F.min(F.col(id_col)).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+
+
+# --------------------------------------------------------------------------
+# shingling + hashing
+# --------------------------------------------------------------------------
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of normalized text."""
+    toks = F.filter(tokens(normalize_text(col)), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def _hash64(col: Column, seed: int) -> Column:
+    return F.xxhash64(col, F.lit(seed))
+
+
+def _hash_md5_hex(col: Column, seed: int) -> Column:
+    """Engine-agnostic hash: first 15 hex chars of md5(seed||':'||s).
+    Fixed length ⇒ lexicographic order == numeric order, so an
+    engine-portable minhash needs no hex→int conversion.  DuckDB
+    mirror: substr(md5(seed||':'||s), 1, 15)."""
+    return F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15)
+
+
+def minhash_signature(col: Column, num_hashes: int = 32, k: int = 3, oracle_safe: bool = False) -> Column:
+    """Array of ``num_hashes`` min-hash values over word k-shingles.
+
+    NOTE: as a single column expression the shingle pipeline is inlined
+    into every hash (num_hashes×) by Catalyst — fine for a handful of
+    hashes, pathological for 32.  The scale path is
+    ``minhash_signatures`` (explode → hash → groupBy-min).
+    ``oracle_safe`` uses md5-hex hashing (portable); default xxhash64.
+    """
+    sh = shingles(col, k)
+    hf = _hash_md5_hex if oracle_safe else _hash64
+
+    def _with_seed(seed: int):
+        # single-arg lambda: F.transform passes (element, index) to
+        # two-arg callables, which would clobber a default-arg seed
+        return lambda s: hf(s, seed)
+
+    return F.array(*[F.array_min(F.transform(sh, _with_seed(i))) for i in range(num_hashes)])
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    k: int = 3,
+    oracle_safe: bool = False,
+) -> DataFrame:
+    """(id, sig: array) per document, computed the scalable way:
+
+    1. shingle once per doc (single evaluation of the regexp pipeline),
+    2. explode to (id, shingle) rows — scan-local, no shuffle,
+    3. num_hashes cheap scalar hashes per row (codegen),
+    4. groupBy(id).agg(min ...) — ONE shuffle, map-side combine.
+
+    90× faster than the column-expression form at 32 hashes.
+    """
+    hf = _hash_md5_hex if oracle_safe else _hash64
+    sh_rows = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("_s"))
+    hashed = sh_rows.select(
+        id_col, *[hf(F.col("_s"), i).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        id_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH candidate pairs
+# --------------------------------------------------------------------------
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    jaccard_threshold: Optional[float] = None,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, optionally
+    verified with exact shingle Jaccard.
+
+    Plan shape: signature scan (no shuffle) → explode bands (xB) →
+    self-join on (band, band_hash) = shuffle keyed on band hash →
+    distinct pairs → optional verify join back to shingle sets.
+    No O(n²) stage; bucket join size is bounded by collision groups.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bh")
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = ngram_jaccard_pairs(df, pairs, text_col=text_col, id_col=id_col, k=k)
+    if jaccard_threshold is not None:
+        out = out.filter(F.col("jaccard") >= jaccard_threshold)
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given (id_a, id_b) candidate pairs —
+    the verify stage after any candidate generator.  Two broadcast-able
+    joins against the shingle table."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    return (
+        candidate_pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .drop("sh_a", "sh_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document.
+
+    For each token t: h = xxhash64(t); bit i of the simhash is 1 iff
+    sum over tokens of sign(bit_i(h)) > 0.  Computed fully native:
+    explode tokens → 64 conditional sums → reassemble.  One shuffle on
+    id; token explosion is scan-local.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit("")))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sh = sums.select(
+        F.col(id_col),
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for i in range(bits)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sh
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates via 16-bit chunk equality
+    (pigeonhole guarantees recall for dist <= 3), verified by exact
+    Hamming distance ≤ ``max_hamming``."""
+    sh = simhash(df, text_col, id_col)
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("chunk"), F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("cv"))
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "simhash", "ck.chunk", "ck.cv")
+    pairs = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .drop("sh_a", "sh_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float array columns, JVM-side.
+    Zero-norm vectors yield NULL (try_divide), not an ANSI error."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.try_divide(dot, na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bucket_col: Optional[str] = None,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold.  With ``bucket_col`` (e.g. an LSH
+    bucket from similarity.lsh_bucket or any blocking key) the join is
+    per-bucket; without it, all-pairs — only for small n or after
+    blocking."""
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), *( [F.col(bucket_col)] if bucket_col else []))
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if bucket_col:
+        cond = cond & (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"))
+    return (
+        v.alias("a")
+        .join(v.alias("b"), cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

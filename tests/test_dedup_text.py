@@ -1,0 +1,110 @@
+"""Dedup + text-analysis operators."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from csp_gateway_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from csp_gateway_spark.operators.text import text_stats
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (3, "The quick brown fox jumps over the lazy dog!"),  # normalized dup
+        (4, "the quick brown fox leaps over the lazy dog"),  # near dup (1 word)
+        (5, "completely different content about spark engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(spark, dup_docs):
+    out = exact_dedup(dup_docs).collect()
+    groups = {r.doc_id: r.n_dups for r in out}
+    assert groups[1] == 3  # docs 1,2,3 collapse after normalization
+    assert groups[4] == 1 and groups[5] == 1
+
+
+def test_minhash_near_dup_found(spark, dup_docs):
+    # bands == num_hashes (r=1): recall ~1 even at jaccard 0.4
+    pairs = minhash_lsh_pairs(dup_docs, num_hashes=32, bands=32, jaccard_threshold=0.3)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in found and (1, 3) in found
+    assert (1, 4) in found  # near-dup: jaccard(1,4) ~ 0.4
+    assert not any(5 in p for p in found)
+
+
+def test_minhash_signature_deterministic(spark, dup_docs):
+    a = minhash_signatures(dup_docs).collect()
+    b = minhash_signatures(dup_docs).collect()
+    assert {r.doc_id: r.sig for r in a} == {r.doc_id: r.sig for r in b}
+    sigs = {r.doc_id: r.sig for r in a}
+    assert sigs[1] == sigs[2] == sigs[3]  # identical normalized text
+
+
+def test_ngram_jaccard_bounds(spark, dup_docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 5)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(dup_docs, pairs).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 5)] == 0.0
+
+
+def test_simhash_near_dup(spark, dup_docs):
+    sh = {r.doc_id: r.simhash for r in simhash(dup_docs).collect()}
+    assert sh[1] == sh[2] == sh[3]
+    assert bin(sh[1] ^ sh[4]).count("1") < bin(sh[1] ^ sh[5]).count("1")
+    pairs = {(r.id_a, r.id_b) for r in simhash_pairs(dup_docs, max_hamming=3).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_neardup_pairs(df, threshold=0.95).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+
+
+def test_text_stats_basics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The cat and the dog, in a house."),
+            (2, ""),
+            (3, "le chat et le chien est dans la maison pour un moment"),
+            (4, "der Hund und die Katze ist nicht ein Tier zu Hause mit"),
+            (5, "这是一段中文文本用于测试"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_stats(df).collect()}
+    assert out[1].n_tokens == 8
+    assert out[2].n_tokens == 0 and out[2].quality == 0.0
+    assert out[1].lang_pred == "en"
+    assert out[3].lang_pred == "fr"
+    assert out[4].lang_pred == "de"
+    assert out[5].lang_pred == "zh"
+    assert out[1].fingerprint == out[1].fingerprint
+    assert 0 <= out[1].punct_ratio <= 1
+
+
+def test_lang_id_on_documents(spark, documents):
+    """The synthetic corpus text is English-ish word salad regardless of
+    its lang label, so accuracy vs the label is meaningless — assert the
+    heuristic is total (never null, always in the known set)."""
+    from csp_gateway_spark.operators.text import lang_id
+
+    preds = {r.pred for r in documents.select(lang_id(F.col("text")).alias("pred")).collect()}
+    assert preds <= {"en", "fr", "de", "es", "zh", "und"}
+    assert preds

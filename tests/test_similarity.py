@@ -1,0 +1,64 @@
+"""ANN / similarity search operators."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from csp_gateway_spark.operators.similarity import (
+    cosine_topk,
+    ivf_assign,
+    knn_join,
+    lsh_bucket,
+    lsh_topk,
+    sample_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def query_vec(embeddings):
+    return embeddings.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+
+
+def test_bruteforce_topk(embeddings, query_vec):
+    out = cosine_topk(embeddings, query_vec, k=5).collect()
+    assert out[0].vec_id == 0 and abs(out[0].cos - 1.0) < 1e-9
+    sims = [r.cos for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_pandas_udf_topk_matches_native(embeddings, query_vec):
+    native = [(r.vec_id, round(r.cos, 9)) for r in cosine_topk(embeddings, query_vec, k=5).collect()]
+    arrow = [(r.vec_id, round(r.cos, 9)) for r in cosine_topk(embeddings, query_vec, k=5, use_pandas=True).collect()]
+    assert native == arrow
+
+
+def test_lsh_recall(embeddings, query_vec):
+    """Multi-probe LSH top-k should overlap heavily with brute force."""
+    exact = {r.vec_id for r in cosine_topk(embeddings, query_vec, k=10).collect()}
+    approx = {r.vec_id for r in lsh_topk(embeddings, query_vec, dim=64, k=10, bits=4).collect()}
+    # near-random vectors are LSH's worst case; multi-probe at 4 bits
+    # scans ~5/16 of buckets — expect partial but nonzero recall
+    assert len(exact & approx) >= 2
+
+
+def test_lsh_bucket_range(embeddings):
+    out = lsh_bucket(embeddings, dim=64, bits=4)
+    rows = out.select("bucket").distinct().collect()
+    assert all(0 <= r.bucket < 16 for r in rows)
+
+
+def test_knn_join_blocked(embeddings):
+    small = embeddings.filter(F.col("vec_id") < 20)
+    out = knn_join(small, small, k=3)
+    counts = out.groupBy("qid").count().collect()
+    assert all(r["count"] == 3 for r in counts)
+    # rank-1 neighbor of each vector is itself
+    self_match = out.filter((F.col("rank") == 1)).collect()
+    assert all(r.qid == r.nid for r in self_match)
+
+
+def test_ivf(embeddings):
+    cents = sample_centroids(embeddings, 8)
+    assert cents.count() == 8
+    assigned = ivf_assign(embeddings.filter(F.col("vec_id") < 50), cents)
+    assert assigned.count() == 50
+    assert assigned.select("cell").distinct().count() > 1

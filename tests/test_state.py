@@ -1,0 +1,69 @@
+"""Keyed-last state semantics (reference state.py:165-225 test model:
+tests/server/gateway/csp/test_state.py)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from csp_gateway_spark.operators.state import computed_index, keyed_last, last_tick, upsert_table
+
+
+def test_keyed_last_picks_latest(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 30.0)],
+        "key string, seq int, px double",
+    )
+    out = keyed_last(df, ["key"], order_by=["seq"]).collect()
+    assert [(r.key, r.px) for r in out] == [("a", 20.0), ("b", 30.0)]
+
+
+def test_keyed_last_null_keys_first(spark):
+    df = spark.createDataFrame(
+        [(None, 1, 1.0), ("a", 1, 2.0)], "key string, seq int, px double"
+    )
+    out = keyed_last(df, ["key"], order_by=["seq"]).collect()
+    assert out[0].key is None  # NULLS FIRST (reference state.py:193)
+
+
+def test_keyed_last_multi_key(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1, 1.0), ("a", "x", 2, 2.0), ("a", "y", 1, 3.0)],
+        "k1 string, k2 string, seq int, px double",
+    )
+    out = keyed_last(df, ["k1", "k2"], order_by=["seq"]).collect()
+    assert [(r.k1, r.k2, r.px) for r in out] == [("a", "x", 2.0), ("a", "y", 3.0)]
+
+
+def test_last_tick(spark):
+    df = spark.createDataFrame([(1, "p"), (3, "q"), (2, "r")], "seq int, v string")
+    assert last_tick(df, order_by=["seq"]).collect()[0].v == "q"
+
+
+def test_upsert_limit(spark):
+    rows = [(f"k{i % 3}", i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string, seq int, px double")
+    out = upsert_table(df, ["key"], order_by=["seq"], limit=2).collect()
+    assert len(out) == 2
+    assert sorted(r.seq for r in out) == [8, 9]
+
+
+def test_computed_index(spark):
+    df = spark.createDataFrame([("a", 1)], "x string, y int")
+    out = computed_index(df, ["x", "y"]).collect()[0]
+    assert out["index"] == "a-1"  # "-".join semantics (perspective.py:468-475)
+
+
+def test_state_query_matches_duckdb(spark, events, sf_dir):
+    import duckdb
+
+    out = (
+        keyed_last(events, ["user_id"], order_by=["ts", "event_id"])
+        .select("user_id", "event_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""SELECT user_id, event_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+              FROM read_parquet('{sf_dir}/events.parquet')) WHERE rn=1 ORDER BY user_id"""
+    ).fetchall()
+    assert [(r.user_id, r.event_id) for r in out] == exp
