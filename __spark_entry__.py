@@ -583,10 +583,10 @@ ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id AS
 # ---------------------------------------------------------------------------
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from csp_gateway_spark.operators.dedup import embedding_neardup_pairs
+    from csp_gateway_spark.operators.dedup import embedding_neardup_blocked
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_neardup_pairs(emb, threshold=0.4)
+    out = embedding_neardup_blocked(emb, threshold=0.4)
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 

