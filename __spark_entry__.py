@@ -612,6 +612,203 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JOINS at scale — broadcast dim + agg (SURVEY §2.4 Spark-native surface)
+# ---------------------------------------------------------------------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.plans.scale import broadcast_dim
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast_dim(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+    return out
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+        .orderBy(F.desc("spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+    return out
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name ORDER BY spend DESC, c_custkey ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# P7 — channel processor (map + filter hook, kafka/utils.py:14-46)
+# ---------------------------------------------------------------------------
+
+def q_channel_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # process: scale value by 2; drop error ticks (None result ≙ filter)
+    out = (
+        ev.withColumn("value2", (F.col("value") * 2).cast("decimal(18,2)"))
+        .filter(F.col("event_type") != "error")
+        .select("event_id", "event_type", "value2")
+    )
+    return out
+
+
+ORACLE_CHANNEL_PROCESSOR = """
+SELECT event_id, event_type, CAST(value * 2 AS DECIMAL(18,2)) AS value2
+FROM events WHERE event_type != 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# A7 — tick counting (testing/harness.py:124-136)
+# ---------------------------------------------------------------------------
+
+def q_tick_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("ticks")).orderBy("event_type")
+
+
+ORACLE_TICK_COUNTS = """
+SELECT event_type, COUNT(*) AS ticks FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# W3 — start-time gating (channels.py:461-470)
+# ---------------------------------------------------------------------------
+
+_GATE_NS = 1705276800 * 1_000_000_000  # 2024-01-15T00:00:00Z
+
+
+def q_time_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") >= F.lit(_GATE_NS))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_TIME_GATE = f"""
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE epoch_ns(ts) >= {_GATE_NS} GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3 — per-identity lookup join on keyed state (auth_filter.py:161-219)
+# ---------------------------------------------------------------------------
+
+def q_identity_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.joins import lookup_join
+
+    ev = _t(spark, sf_dir, "events")
+    state = keyed_last(ev, ["user_id"], order_by=["ts", "event_id"])
+    return lookup_join(state, "user_id", 42).select("user_id", "event_id", "event_type")
+
+
+ORACLE_IDENTITY_LOOKUP = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND user_id = 42
+"""
+
+
+# ---------------------------------------------------------------------------
+# W — sliding window (windows.py::sliding)
+# ---------------------------------------------------------------------------
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.windows import sliding
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding(ev, "ts", 3600, 900).orderBy("bucket_start")
+
+
+ORACLE_WINDOW_SLIDING = """
+SELECT bs AS bucket_start, COUNT(*) AS n FROM (
+  SELECT unnest(range((epoch_ns(ts)//1000000000//900 - 3), (epoch_ns(ts)//1000000000//900) + 1)) * 900 AS bs,
+         epoch_ns(ts)//1000000000 AS tsec
+  FROM events
+) WHERE tsec >= bs AND tsec < bs + 3600
+GROUP BY bs ORDER BY bs
+"""
+
+
+# ---------------------------------------------------------------------------
+# P10 — struct flatten to dotted columns (psp.py:245-246)
+# ---------------------------------------------------------------------------
+
+def q_flatten_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.flatten import flatten_structs
+
+    ev = _t(spark, sf_dir, "events")
+    nested = ev.select("event_id", F.struct("user_id", "event_type").alias("meta"))
+    return flatten_structs(nested)
+
+
+ORACLE_FLATTEN_STRUCT = """
+SELECT event_id, user_id AS "meta.user_id", event_type AS "meta.event_type" FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# P8/S4/S5 — changelog write → replay round trip with rewrite
+# (json_converter.py:245-273, modules/io/json.py)
+# ---------------------------------------------------------------------------
+
+def q_replay_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from csp_gateway_spark.sources.replay import read_changelog, replay_channel, write_changelog
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="cl_")
+    write_changelog({"events": ev}, path, mode="overwrite")
+    back = replay_channel(read_changelog(spark, path), "events", ev.schema, flag_updates={"replayed": True})
+    return back.select(
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+        "replayed",
+    )
+
+
+ORACLE_REPLAY_REWRITE = """
+SELECT event_id, epoch_us(ts) AS ts_us, event_type,
+       CAST(value AS DECIMAL(18,2)) AS value, true AS replayed
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver hooks
 # ---------------------------------------------------------------------------
 
@@ -643,6 +840,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_customers": q_top_customers,
+        "channel_processor": q_channel_processor,
+        "tick_counts": q_tick_counts,
+        "time_gate": q_time_gate,
+        "identity_lookup": q_identity_lookup,
+        "window_sliding": q_window_sliding,
+        "flatten_struct": q_flatten_struct,
+        "replay_rewrite": q_replay_rewrite,
     }
 
 
@@ -666,6 +872,15 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
         "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+        "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+        "top_customers": ORACLE_TOP_CUSTOMERS,
+        "channel_processor": ORACLE_CHANNEL_PROCESSOR,
+        "tick_counts": ORACLE_TICK_COUNTS,
+        "time_gate": ORACLE_TIME_GATE,
+        "identity_lookup": ORACLE_IDENTITY_LOOKUP,
+        "window_sliding": ORACLE_WINDOW_SLIDING,
+        "flatten_struct": ORACLE_FLATTEN_STRUCT,
+        "replay_rewrite": ORACLE_REPLAY_REWRITE,
         # dedup_minhash_pairs / dedup_simhash / ann_lsh_topk: xxhash64-based
         # (engine-specific) — rows-only check; parity covered by
         # minhash_signature + ngram_jaccard oracles and pytest recall tests.
