@@ -33,6 +33,17 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "embedding_neardup",
+    "revenue_by_nation",
+    "top_customers",
+    "channel_processor",
+    "tick_counts",
+    "time_gate",
+    "identity_lookup",
+    "window_sliding",
+    "flatten_struct",
+    "replay_rewrite",
+    "minhash_signature",
+    "ngram_jaccard",
 ]
 
 
@@ -46,6 +57,13 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch every table + JIT one trivial job so the first timed
+    # query doesn't absorb scan-listing and codegen warmup
+    from csp_gateway_spark.session import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).count()
 
     qs = entry.queries()
     times: dict[str, float] = {}
