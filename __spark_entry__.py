@@ -809,6 +809,105 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# TEXT — cleaning pipeline (strip_html → remove_urls → mask_pii)
+# ---------------------------------------------------------------------------
+
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.text import clean_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(clean_text(F.col("text"))).alias("clean_md5"))
+
+
+ORACLE_TEXT_CLEAN = r"""
+WITH cleaned AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(text, '<[^>]+>', ' ', 'g'),
+            '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+          'https?://\S+|www\.\S+', ' ', 'g'),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\s+', ' ', 'g')) AS c
+  FROM documents
+)
+SELECT doc_id, md5(regexp_replace(c, '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g')) AS clean_md5 FROM cleaned
+"""
+
+
+# ---------------------------------------------------------------------------
+# CORPUS — vocabulary top-k (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.corpus import vocab_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_topk(docs, k=50)
+
+
+ORACLE_VOCAB_TOPK = f"""
+SELECT token, COUNT(*) AS n FROM (
+  SELECT unnest({_SQL_TOKS.replace("trim(lower(text))", "{norm}")}) AS token FROM documents
+) GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+""".replace("{norm}", _SQL_NORM)
+
+
+# ---------------------------------------------------------------------------
+# CORPUS — TF-IDF (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.corpus import tf_idf
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tf_idf(docs)
+    return out.filter(F.col("doc_id") < 20).select(
+        "doc_id", "token", "tf", "df", F.round("tfidf", 6).alias("tfidf")
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS.replace("trim(lower(text))", "{norm}")}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, tf.token, tf, df, round(tf * (ln((n_docs + 1.0) / (df + 1)) + 1.0), 6) AS tfidf
+FROM tf JOIN dfreq ON tf.token = dfreq.token, n
+WHERE doc_id < 20
+""".replace("{norm}", _SQL_NORM)
+
+
+# ---------------------------------------------------------------------------
+# CORPUS — duplicate clustering via connected components
+# ---------------------------------------------------------------------------
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.corpus import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    # deterministic chain edges: i — i+1 within each decade of doc ids
+    # (the synthetic corpus has no natural near-dups; this exercises the
+    # iterative min-label propagation against a closed-form oracle)
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 50)
+    pairs = ids.filter(F.col("doc_id") % 10 != 9).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return connected_components(pairs).orderBy("node")
+
+
+ORACLE_DEDUP_COMPONENTS = """
+SELECT doc_id AS node, (doc_id // 10) * 10 AS component
+FROM documents WHERE doc_id < 50 ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver hooks
 # ---------------------------------------------------------------------------
 
@@ -849,6 +948,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": q_window_sliding,
         "flatten_struct": q_flatten_struct,
         "replay_rewrite": q_replay_rewrite,
+        "text_clean": q_text_clean,
+        "vocab_topk": q_vocab_topk,
+        "tfidf": q_tfidf,
+        "dedup_components": q_dedup_components,
     }
 
 
@@ -881,6 +984,10 @@ def oracle_sql() -> dict[str, str]:
         "window_sliding": ORACLE_WINDOW_SLIDING,
         "flatten_struct": ORACLE_FLATTEN_STRUCT,
         "replay_rewrite": ORACLE_REPLAY_REWRITE,
+        "text_clean": ORACLE_TEXT_CLEAN,
+        "vocab_topk": ORACLE_VOCAB_TOPK,
+        "tfidf": ORACLE_TFIDF,
+        "dedup_components": ORACLE_DEDUP_COMPONENTS,
         # dedup_minhash_pairs / dedup_simhash / ann_lsh_topk: xxhash64-based
         # (engine-specific) — rows-only check; parity covered by
         # minhash_signature + ngram_jaccard oracles and pytest recall tests.

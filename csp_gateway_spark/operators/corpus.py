@@ -1,0 +1,133 @@
+"""Corpus-level operators: vocabulary, TF-IDF, duplicate clustering.
+
+Training-data pipeline additions (SURVEY §7.8 additive surface):
+- ``vocab_topk``: global token frequencies (vocabulary bootstrap) —
+  explode + two-level aggregation, fully map-side-combined.
+- ``tf_idf``: per-(doc, token) weights via one token aggregation and a
+  window over document frequency — two shuffles total.
+- ``connected_components``: dedup *clustering* — turns near-dup PAIRS
+  into groups via iterative min-label propagation (the large-star /
+  small-star trick simplified: undirected edges, propagate the min
+  component id until fixpoint).  Converges in O(log n) rounds on
+  real dup clusters (which are tiny and dense); each round is one
+  join + one aggregation, so 100 TB-scale graphs stay shuffle-bound,
+  never driver-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csp_gateway_spark.operators.text import normalize_text, tokens
+
+
+def token_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    return df.select(F.col(id_col), F.explode(toks).alias("token"))
+
+
+def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-k tokens by total count (ties broken alphabetically)."""
+    counts = token_rows(df, text_col, id_col).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+
+
+def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Smooth TF-IDF: tf = count in doc; idf = ln((N+1)/(df+1)) + 1.
+    One shuffle for (doc, token) counts, one for document frequency."""
+    n_docs = df.count()
+    tok = token_rows(df, text_col, id_col)
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    out = tf.join(dfreq, "token").withColumn(
+        "tfidf",
+        F.col("tf") * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0),
+    )
+    return out.select(id_col, "token", "tf", "df", "tfidf")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) from undirected edges; component = min node id
+    reachable.
+
+    Iterative min-label propagation with POINTER JUMPING: each round a
+    node takes the min over (its label, its neighbors' labels, its
+    label's label).  The extra label(label) hop halves path lengths, so
+    convergence is O(log diameter) rounds, not O(diameter).
+
+    Scale notes: lineage is truncated per round with ``localCheckpoint``
+    (an iterative self-join otherwise grows the logical plan
+    exponentially — analysis time, not execution, becomes the
+    bottleneck); on a real cluster swap for ``checkpoint()`` with a
+    durable checkpoint dir.  Convergence is detected with
+    ``sum(component)``, which strictly decreases until fixpoint —
+    one map-side aggregation per round, no extra join.  Each round is
+    two shuffle joins + one aggregation over the edge list, so 100 TB
+    graphs stay shuffle-bound, never driver-bound.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+            .withColumnRenamed("src", "node")
+        )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
+        )
+        # pointer jumping: component -> label(component)
+        jump = labels.select(
+            F.col("node").alias("component"), F.col("component").alias("jump_component")
+        )
+        labels = (
+            stepped.join(jump, "component", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("jump_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop all but the min-id member of every duplicate cluster — the
+    final stage of a near-dedup pipeline: pairs → components → keep
+    representative + untouched singletons."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -108,6 +108,32 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+def strip_html(col: Column) -> Column:
+    """Remove tags + unescape the common entities (C4-style cleanup)."""
+    c = F.regexp_replace(col, r"<[^>]+>", " ")
+    for ent, rep in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return c
+
+
+def remove_urls(col: Column, replacement: str = " ") -> Column:
+    return F.regexp_replace(col, r"https?://\S+|www\.\S+", replacement)
+
+
+def mask_pii(col: Column) -> Column:
+    """Mask emails and phone-number-ish digit runs (training-data
+    hygiene; deterministic placeholder tokens)."""
+    c = F.regexp_replace(col, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
+    c = F.regexp_replace(c, r"\+?\d[\d ()-]{7,}\d", "<PHONE>")
+    return c
+
+
+def clean_text(col: Column) -> Column:
+    """strip_html → remove_urls → mask_pii → collapse whitespace."""
+    c = mask_pii(remove_urls(strip_html(col)))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document stat sheet.  NULL text ≡ empty string."""
     c = F.coalesce(F.col(text_col), F.lit(""))

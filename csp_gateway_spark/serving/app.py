@@ -73,12 +73,49 @@ class ApiError(Exception):
         self.detail = detail
 
 
+class NextTickBroker:
+    """`/next` blocking-read semantics (reference `futures/adapter.py:
+    69-134` + filtered variant `auth_filter.py:355-441`): a request
+    parks until the channel's next tick arrives, then all waiters are
+    released with that tick; timeout → 408.  One Condition per channel;
+    ``publish`` is called by send() and by streaming foreachBatch."""
+
+    def __init__(self):
+        self._conditions: Dict[str, threading.Condition] = {}
+        self._ticks: Dict[str, tuple] = {}  # channel -> (serial, rows)
+        self._lock = threading.Lock()
+
+    def _cond(self, channel: str) -> threading.Condition:
+        with self._lock:
+            return self._conditions.setdefault(channel, threading.Condition())
+
+    def publish(self, channel: str, rows: List[Any]) -> None:
+        cond = self._cond(channel)
+        with cond:
+            serial, _ = self._ticks.get(channel, (0, None))
+            self._ticks[channel] = (serial + 1, rows)
+            cond.notify_all()
+
+    def wait_next(self, channel: str, timeout: Optional[float] = None) -> List[Any]:
+        cond = self._cond(channel)
+        with cond:
+            start_serial, _ = self._ticks.get(channel, (0, None))
+            ok = cond.wait_for(
+                lambda: self._ticks.get(channel, (0, None))[0] > start_serial,
+                timeout=timeout,
+            )
+            if not ok:
+                raise ApiError(408, f"no tick on {channel!r} within {timeout}s")
+            return self._ticks[channel][1]
+
+
 class GatewayApi:
     """Transport-agnostic handler core over a ChannelCatalog."""
 
     def __init__(self, catalog: ChannelCatalog, identity_filter: Optional[Dict[str, Any]] = None):
         self.catalog = catalog
         self.identity_filter = identity_filter or {}
+        self.broker = NextTickBroker()
 
     # --- helpers -----------------------------------------------------
     def _auth_rows(self, rows: List[Row]) -> List[dict]:
@@ -129,7 +166,15 @@ class GatewayApi:
             echoed = self.catalog.send(channel, rows)
         except Exception as e:  # noqa: BLE001
             raise ApiError(422, f"send failed: {e}") from e
-        return [_jsonable(r) for r in echoed.collect()]
+        out = [_jsonable(r) for r in echoed.collect()]
+        self.broker.publish(channel, out)
+        return out
+
+    def next(self, channel: str, timeout: Optional[float] = None) -> List[dict]:
+        """Block until the channel's next tick (W6 `/next` semantics)."""
+        self._channel_or_404(channel)
+        rows = self.broker.wait_next(channel, timeout=timeout)
+        return self._auth_rows(rows) if rows else []
 
     def heartbeat(self) -> dict:
         return {"status": "ok", "time": datetime.datetime.utcnow().isoformat()}
@@ -172,6 +217,10 @@ def build_fastapi_app(api: GatewayApi):
     @app.get("/api/v1/lookup/{channel}/{record_id}")
     def lookup(channel: str, record_id: str):
         return guard(api.lookup, channel, record_id)
+
+    @app.get("/api/v1/next/{channel}")
+    def next_tick(channel: str, timeout: float = 30.0):
+        return guard(api.next, channel, timeout)
 
     @app.post("/api/v1/send/{channel}")
     async def send(channel: str, request: Request):
@@ -234,6 +283,13 @@ class GatewayHttpServer:
                         return self._reply(200, outer.api.state(rest[1], q))
                     if method == "GET" and rest[0] == "lookup" and len(rest) == 3:
                         return self._reply(200, outer.api.lookup(rest[1], rest[2]))
+                    if method == "GET" and rest[0] == "next" and len(rest) == 2:
+                        t = qs.get("timeout", [None])[0]
+                        try:
+                            timeout = float(t) if t else 30.0
+                        except ValueError:
+                            raise ApiError(422, f"timeout must be a number, got {t!r}")
+                        return self._reply(200, outer.api.next(rest[1], timeout))
                     if method == "POST" and rest[0] == "send" and len(rest) == 2:
                         length = int(self.headers.get("Content-Length", 0))
                         try:
