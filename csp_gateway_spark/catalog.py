@@ -53,6 +53,7 @@ class ChannelCatalog:
         self._block_until: Dict[str, datetime.datetime] = {}
         self._finalized: Dict[str, DataFrame] = {}
         self._dynamic_keys: Dict[str, List[str]] = {}
+        self._mirrors: Dict[str, List[str]] = {}  # target -> source channels
 
     # --- declaration -------------------------------------------------
     def declare(self, name: str, schema: Optional[T.StructType] = None, required: bool = False) -> None:
@@ -81,9 +82,22 @@ class ChannelCatalog:
             df = df.filter(F.col(TIMESTAMP_FIELD) >= F.lit(self._block_until[name]))
         self._producers[name].append(df)
 
+    def mirror(self, src: str, dst: str) -> None:
+        """Live link: ``dst`` resolves to its own producers ∪ ``src``'s
+        current stream — later sends to ``src`` appear on ``dst``
+        (reference `modules/mirror.py:10-52`)."""
+        self.declare(dst, self._schemas.get(src))
+        self._mirrors.setdefault(dst, []).append(src)
+        if src in self._state_keys and dst not in self._state_keys:
+            self.declare_state(dst, list(self._state_keys[src]))
+
     def get_channel(self, name: str) -> DataFrame:
         """Resolved view of a channel: union of producers (or the
         finalized empty stream)."""
+        if name in self._mirrors:
+            streams = [self.get_channel(src) for src in self._mirrors[name]]
+            streams += [self._union(p)] if (p := self._producers.get(name)) else []
+            return self._union(streams)
         if name in self._finalized:
             return self._finalized[name]
         producers = self._producers.get(name, [])

@@ -87,3 +87,21 @@ class GatewayClient:
 
     def channels(self) -> List[str]:
         return self._get("/api/v1/channels")
+
+    def stream(self, channels: List[str], key: Optional[str] = None):
+        """Open `WS /api/v1/stream` subscribed to ``channels``; returns
+        the WebSocketClient — iterate ``.messages()`` for
+        ``{"channel": c, "data": row}`` ticks (reference
+        `client.py:subscribe` + `client/csp_stream.py:35-100`)."""
+        from csp_gateway_spark.serving.ws import WebSocketClient
+
+        ws = WebSocketClient(
+            self.base_url.replace("http://", "ws://") + "/api/v1/stream",
+            timeout=self.timeout,
+        )
+        for channel in channels:
+            msg = {"action": "subscribe", "channel": channel}
+            if key is not None:
+                msg["key"] = key
+            ws.send_json(msg)
+        return ws

@@ -110,12 +110,42 @@ class NextTickBroker:
 
 
 class GatewayApi:
-    """Transport-agnostic handler core over a ChannelCatalog."""
+    """Transport-agnostic handler core over a ChannelCatalog.
 
-    def __init__(self, catalog: ChannelCatalog, identity_filter: Optional[Dict[str, Any]] = None):
+    - ``identity_filter``: row-level auth (reference `auth_filter.py:533-571`).
+    - ``api_keys``: request auth — accept via `X-API-Key` header, `token`
+      query param, or cookie (reference `middleware/api_key.py:22`,
+      multi-key).  Empty list/None ⇒ auth disabled.
+    - ``readonly``: reject WS "send" actions (reference websocket
+      readonly mode, `websocket.py:250-344`).
+    """
+
+    def __init__(
+        self,
+        catalog: ChannelCatalog,
+        identity_filter: Optional[Dict[str, Any]] = None,
+        api_keys: Optional[List[str]] = None,
+        readonly: bool = False,
+        heartbeat_interval: float = 1.0,
+    ):
         self.catalog = catalog
         self.identity_filter = identity_filter or {}
+        self.api_keys = list(api_keys or [])
+        self.readonly = readonly
+        self.heartbeat_interval = heartbeat_interval
         self.broker = NextTickBroker()
+        from csp_gateway_spark.selection import SubscriptionManager
+
+        self.subs = SubscriptionManager()
+        self.fields: Dict[str, Any] = {}  # GET /field/<name> statics
+
+    def check_api_key(self, supplied: Optional[str]) -> None:
+        if self.api_keys and supplied not in self.api_keys:
+            raise ApiError(401, "invalid or missing API key")
+
+    def key_field(self, channel: str) -> Optional[str]:
+        keys = self.catalog._state_keys.get(channel)
+        return keys[0] if keys and len(keys) == 1 else None
 
     # --- helpers -----------------------------------------------------
     def _auth_rows(self, rows: List[Row]) -> List[dict]:
@@ -168,6 +198,7 @@ class GatewayApi:
             raise ApiError(422, f"send failed: {e}") from e
         out = [_jsonable(r) for r in echoed.collect()]
         self.broker.publish(channel, out)
+        self.subs.publish(channel, out, key_field=self.key_field(channel))
         return out
 
     def next(self, channel: str, timeout: Optional[float] = None) -> List[dict]:
@@ -188,6 +219,169 @@ class GatewayApi:
 
     def channels(self) -> List[str]:
         return sorted(self.catalog._producers.keys())
+
+    def field(self, name: str) -> Any:
+        """Static channel fields (reference `mount_fields.py:10-83`)."""
+        if name not in self.fields:
+            raise ApiError(404, f"unknown field {name!r}")
+        return _jsonable(self.fields[name])
+
+    def perspective_tables(self) -> Dict[str, Any]:
+        """Table discovery (reference `perspective.py:541-627`): one
+        entry per channel with its column:type map."""
+        out = {}
+        for name in self.channels():
+            try:
+                schema = self.catalog.get_channel(name).schema
+            except Exception:  # noqa: BLE001 — declared but unwired
+                continue
+            out[name] = {f.name: f.dataType.simpleString() for f in schema.fields}
+        return out
+
+    def perspective_meta(self) -> Dict[str, Any]:
+        """Index/limit metadata per table (reference `perspective.py:606-627`);
+        index = the state keyby columns (upsert key)."""
+        return {
+            name: {"index": list(self.catalog._state_keys.get(name, [])) or None}
+            for name in self.channels()
+        }
+
+    def openapi(self) -> Dict[str, Any]:
+        """Minimal OpenAPI document with the reference's `type_` extra
+        (fully-qualified type name per route → client `as_struct`,
+        reference `routes/shared.py:15-37`)."""
+        paths: Dict[str, Any] = {}
+        schemas: Dict[str, Any] = {}
+        for name in self.channels():
+            try:
+                schema = self.catalog.get_channel(name).schema
+            except Exception:  # noqa: BLE001
+                continue
+            schemas[name] = json.loads(schema.json())
+            for verb, route in (
+                ("get", f"/api/v1/last/{name}"),
+                ("get", f"/api/v1/state/{name}"),
+                ("get", f"/api/v1/next/{name}"),
+                ("post", f"/api/v1/send/{name}"),
+            ):
+                paths.setdefault(route, {})[verb] = {
+                    "responses": {"200": {"description": "rows"}},
+                    "type_": f"csp_gateway_spark.channels.{name}",
+                }
+        return {
+            "openapi": "3.1.0",
+            "info": {"title": "csp-gateway-spark", "version": "1.0"},
+            "paths": paths,
+            "components": {"schemas": schemas},
+        }
+
+    def shutdown(self) -> dict:
+        """POST /controls/shutdown (reference `controls.py(routes):27-110`)."""
+        server = getattr(self, "_http_server", None)
+        if server is not None:
+            threading.Thread(target=server.stop, daemon=True).start()
+        return {"status": "shutting down"}
+
+
+# ---------------------------------------------------------------------------
+# WebSocket session (shared protocol core; stdlib transport drives it)
+# ---------------------------------------------------------------------------
+
+class WsSession:
+    """One `/stream` connection (reference `modules/web/websocket.py:
+    250-344`): JSON actions subscribe/unsubscribe/send; one drainer
+    thread per subscription pushes `{"channel": c, "data": row}`
+    frames; `heartbeat` is a synthetic per-connection channel ticking
+    every ``api.heartbeat_interval`` (reference `websocket.py:161-181`);
+    readonly mode rejects sends."""
+
+    def __init__(self, api: GatewayApi, rfile, wfile):
+        from csp_gateway_spark.serving import ws as _ws
+
+        self.api = api
+        self.ws = _ws
+        self.rfile = rfile
+        self.wfile = wfile
+        self._write_lock = threading.Lock()
+        self._subs: Dict[tuple, Any] = {}  # (channel, key) -> Subscription
+        self._alive = True
+
+    def _send_json(self, obj: Any) -> None:
+        with self._write_lock:
+            self.ws.write_frame(self.wfile, json.dumps(obj).encode())
+
+    def _drain(self, channel: str, sub) -> None:
+        while self._alive:
+            row = sub.queue.get()
+            if row is None:  # poison pill from unsubscribe/close
+                return
+            try:
+                self._send_json({"channel": channel, "data": row})
+            except OSError:
+                return
+
+    def _heartbeat(self) -> None:
+        import time
+
+        while self._alive and ("heartbeat", "*") in self._subs:
+            self._send_json(
+                {"channel": "heartbeat", "data": {"time": datetime.datetime.utcnow().isoformat()}}
+            )
+            time.sleep(self.api.heartbeat_interval)
+
+    def _handle(self, msg: dict) -> None:
+        action = msg.get("action")
+        channel = msg.get("channel", "")
+        key = msg.get("key", "*")
+        if action == "subscribe":
+            if channel != "heartbeat" and channel not in self.api.channels():
+                self._send_json({"error": f"unknown channel {channel!r}"})
+                return
+            sub = self.api.subs.subscribe(channel, key=key)
+            self._subs[(channel, key)] = sub
+            if channel == "heartbeat":
+                threading.Thread(target=self._heartbeat, daemon=True).start()
+            else:
+                threading.Thread(target=self._drain, args=(channel, sub), daemon=True).start()
+        elif action == "unsubscribe":
+            sub = self._subs.pop((channel, key), None)
+            if sub is not None:
+                self.api.subs.unsubscribe(sub)
+                sub.queue.put(None)
+        elif action == "send":
+            if self.api.readonly:
+                self._send_json({"error": "gateway is readonly"})
+                return
+            try:
+                self.api.send(channel, msg.get("data"))
+            except ApiError as e:
+                self._send_json({"error": e.detail})
+        else:
+            self._send_json({"error": f"unknown action {action!r}"})
+
+    def run(self) -> None:
+        try:
+            while True:
+                opcode, payload = self.ws.read_frame(self.rfile)
+                if opcode == self.ws.OP_CLOSE:
+                    break
+                if opcode == self.ws.OP_PING:
+                    with self._write_lock:
+                        self.ws.write_frame(self.wfile, payload, self.ws.OP_PONG)
+                    continue
+                if opcode != self.ws.OP_TEXT:
+                    continue
+                try:
+                    self._handle(json.loads(payload))
+                except json.JSONDecodeError:
+                    self._send_json({"error": "malformed JSON message"})
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            self._alive = False
+            for sub in self._subs.values():
+                self.api.subs.unsubscribe(sub)
+                sub.queue.put(None)
 
 
 # ---------------------------------------------------------------------------
@@ -239,6 +433,22 @@ def build_fastapi_app(api: GatewayApi):
     def channels():
         return api.channels()
 
+    @app.get("/api/v1/field/{name}")
+    def field(name: str):
+        return guard(api.field, name)
+
+    @app.get("/api/v1/perspective/tables")
+    def perspective_tables():
+        return api.perspective_tables()
+
+    @app.get("/api/v1/perspective/meta")
+    def perspective_meta():
+        return api.perspective_meta()
+
+    @app.post("/api/v1/controls/shutdown")
+    def shutdown():
+        return api.shutdown()
+
     return app
 
 
@@ -266,6 +476,30 @@ class GatewayHttpServer:
                 self.end_headers()
                 self.wfile.write(data)
 
+            def _api_key(self, qs) -> Optional[str]:
+                supplied = self.headers.get("X-API-Key") or qs.get("token", [None])[0]
+                if not supplied:
+                    cookie = self.headers.get("Cookie", "")
+                    for part in cookie.split(";"):
+                        if part.strip().startswith("token="):
+                            supplied = part.strip()[len("token="):]
+                return supplied
+
+            def _maybe_websocket(self) -> bool:
+                if self.headers.get("Upgrade", "").lower() != "websocket":
+                    return False
+                from csp_gateway_spark.serving.ws import accept_key
+
+                self.send_response(101, "Switching Protocols")
+                self.send_header("Upgrade", "websocket")
+                self.send_header("Connection", "Upgrade")
+                self.send_header(
+                    "Sec-WebSocket-Accept", accept_key(self.headers["Sec-WebSocket-Key"])
+                )
+                self.end_headers()
+                WsSession(outer.api, self.rfile, self.wfile).run()
+                return True
+
             def _route(self, method: str):
                 from urllib.parse import parse_qs, urlparse
 
@@ -273,9 +507,17 @@ class GatewayHttpServer:
                 parts = [p for p in parsed.path.split("/") if p]
                 qs = parse_qs(parsed.query)
                 try:
+                    if parsed.path == "/openapi.json" and method == "GET":
+                        outer.api.check_api_key(self._api_key(qs))
+                        return self._reply(200, outer.api.openapi())
                     if parts[:2] != ["api", "v1"]:
                         raise ApiError(404, "not found")
                     rest = parts[2:]
+                    outer.api.check_api_key(self._api_key(qs))
+                    if method == "GET" and rest == ["stream"]:
+                        if self._maybe_websocket():
+                            return None
+                        return self._reply(200, outer.api.channels())
                     if method == "GET" and rest[0] == "last" and len(rest) == 2:
                         return self._reply(200, outer.api.last(rest[1]))
                     if method == "GET" and rest[0] == "state" and len(rest) == 2:
@@ -301,8 +543,16 @@ class GatewayHttpServer:
                         return self._reply(200, outer.api.heartbeat())
                     if method == "GET" and rest == ["controls", "stats"]:
                         return self._reply(200, outer.api.stats())
+                    if method == "POST" and rest == ["controls", "shutdown"]:
+                        return self._reply(200, outer.api.shutdown())
                     if method == "GET" and rest == ["channels"]:
                         return self._reply(200, outer.api.channels())
+                    if method == "GET" and rest[0] == "field" and len(rest) == 2:
+                        return self._reply(200, outer.api.field(rest[1]))
+                    if method == "GET" and rest == ["perspective", "tables"]:
+                        return self._reply(200, outer.api.perspective_tables())
+                    if method == "GET" and rest == ["perspective", "meta"]:
+                        return self._reply(200, outer.api.perspective_meta())
                     raise ApiError(404, "not found")
                 except ApiError as e:
                     return self._reply(e.status, {"detail": e.detail})
@@ -324,6 +574,7 @@ class GatewayHttpServer:
         return self._server.server_address[1]
 
     def start(self) -> "GatewayHttpServer":
+        self.api._http_server = self  # enables POST /controls/shutdown
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
         self._thread.start()
         return self

@@ -1,0 +1,166 @@
+"""WebSocket /stream protocol, API-key auth, discovery routes, mirror.
+
+Models: reference tests/modules/web/test_websocket.py (subscribe/send
+round-trips, readonly), middleware tests (api key), perspective route
+tests, modules/mirror.py semantics.
+"""
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import types as T
+
+from csp_gateway_spark.catalog import ChannelCatalog
+from csp_gateway_spark.client import GatewayClient
+from csp_gateway_spark.mirror import MirrorChannels
+from csp_gateway_spark.serving.app import GatewayApi, GatewayHttpServer
+from csp_gateway_spark.serving.ws import WebSocketClient
+
+QUOTE = T.StructType(
+    [T.StructField("sym", T.StringType()), T.StructField("px", T.DoubleType())]
+)
+
+
+@pytest.fixture(scope="module")
+def served(spark):
+    cat = ChannelCatalog(spark)
+    cat.declare("quotes", QUOTE)
+    cat.declare_state("quotes", "sym")
+    cat.send("quotes", [{"sym": "A", "px": 1.0}])
+    api = GatewayApi(cat, heartbeat_interval=0.1)
+    api.fields["venue"] = {"name": "SIM", "tz": "UTC"}
+    srv = GatewayHttpServer(api).start()
+    yield srv
+    srv.stop()
+
+
+def test_ws_subscribe_receives_rest_send(served):
+    ws = GatewayClient(f"http://127.0.0.1:{served.port}").stream(["quotes"])
+    time.sleep(0.2)  # let subscribe register before the tick
+    GatewayClient(f"http://127.0.0.1:{served.port}").send("quotes", {"sym": "W", "px": 7.0})
+    msg = ws.recv_json()
+    assert msg["channel"] == "quotes" and msg["data"]["sym"] == "W"
+    ws.close()
+
+
+def test_ws_send_action_ticks_subscribers_and_next(served):
+    api_url = f"http://127.0.0.1:{served.port}"
+    ws = GatewayClient(api_url).stream(["quotes"])
+    time.sleep(0.2)
+    got = {}
+    t = threading.Thread(
+        target=lambda: got.update(rows=GatewayClient(api_url).next("quotes", timeout=10))
+    )
+    t.start()
+    time.sleep(0.2)
+    ws.send_json({"action": "send", "channel": "quotes", "data": {"sym": "X", "px": 8.0}})
+    msg = ws.recv_json()  # own subscription echoes the tick
+    assert msg["data"]["sym"] == "X"
+    t.join(10)
+    assert got["rows"][0]["sym"] == "X"  # /next released by WS send
+    ws.close()
+
+
+def test_ws_key_filtered_subscription(served):
+    ws = WebSocketClient(f"ws://127.0.0.1:{served.port}/api/v1/stream")
+    ws.send_json({"action": "subscribe", "channel": "quotes", "key": "K1"})
+    time.sleep(0.2)
+    GatewayClient(f"http://127.0.0.1:{served.port}").send(
+        "quotes", [{"sym": "K0", "px": 1.0}, {"sym": "K1", "px": 2.0}]
+    )
+    msg = ws.recv_json()
+    assert msg["data"]["sym"] == "K1"  # K0 filtered out by key subscription
+    ws.close()
+
+
+def test_ws_heartbeat_and_unknown_channel(served):
+    ws = WebSocketClient(f"ws://127.0.0.1:{served.port}/api/v1/stream")
+    ws.send_json({"action": "subscribe", "channel": "nope"})
+    assert "unknown channel" in ws.recv_json()["error"]
+    ws.send_json({"action": "subscribe", "channel": "heartbeat"})
+    beat = ws.recv_json()
+    assert beat["channel"] == "heartbeat" and "time" in beat["data"]
+    ws.close()
+
+
+def test_ws_readonly_rejects_send(spark):
+    cat = ChannelCatalog(spark)
+    cat.declare("quotes", QUOTE)
+    cat.send("quotes", [{"sym": "A", "px": 1.0}])
+    srv = GatewayHttpServer(GatewayApi(cat, readonly=True)).start()
+    try:
+        ws = WebSocketClient(f"ws://127.0.0.1:{srv.port}/api/v1/stream")
+        ws.send_json({"action": "send", "channel": "quotes", "data": {"sym": "B", "px": 2.0}})
+        assert "readonly" in ws.recv_json()["error"]
+        ws.close()
+    finally:
+        srv.stop()
+
+
+def test_stream_get_lists_channels(served):
+    with urllib.request.urlopen(f"http://127.0.0.1:{served.port}/api/v1/stream") as r:
+        assert "quotes" in json.loads(r.read())
+
+
+def test_api_key_auth(spark):
+    cat = ChannelCatalog(spark)
+    cat.declare("quotes", QUOTE)
+    cat.send("quotes", [{"sym": "A", "px": 1.0}])
+    srv = GatewayHttpServer(GatewayApi(cat, api_keys=["s3cret"])).start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}/api/v1/channels"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(url)
+        assert ei.value.code == 401
+        # header, query param, and cookie all accepted
+        req = urllib.request.Request(url, headers={"X-API-Key": "s3cret"})
+        assert json.loads(urllib.request.urlopen(req).read()) == ["quotes"]
+        assert json.loads(urllib.request.urlopen(url + "?token=s3cret").read()) == ["quotes"]
+        req = urllib.request.Request(url, headers={"Cookie": "token=s3cret"})
+        assert json.loads(urllib.request.urlopen(req).read()) == ["quotes"]
+    finally:
+        srv.stop()
+
+
+def test_discovery_routes(served):
+    base = f"http://127.0.0.1:{served.port}"
+    tables = json.loads(urllib.request.urlopen(f"{base}/api/v1/perspective/tables").read())
+    assert tables["quotes"]["px"] == "double"
+    meta = json.loads(urllib.request.urlopen(f"{base}/api/v1/perspective/meta").read())
+    assert meta["quotes"]["index"] == ["sym"]
+    field = json.loads(urllib.request.urlopen(f"{base}/api/v1/field/venue").read())
+    assert field["name"] == "SIM"
+    spec = json.loads(urllib.request.urlopen(f"{base}/openapi.json").read())
+    assert spec["paths"]["/api/v1/state/quotes"]["get"]["type_"].endswith("quotes")
+    assert "quotes" in spec["components"]["schemas"]
+
+
+def test_shutdown_route(spark):
+    cat = ChannelCatalog(spark)
+    cat.declare("quotes", QUOTE)
+    cat.send("quotes", [{"sym": "A", "px": 1.0}])
+    srv = GatewayHttpServer(GatewayApi(cat)).start()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/api/v1/controls/shutdown", data=b"", method="POST"
+    )
+    assert json.loads(urllib.request.urlopen(req).read())["status"] == "shutting down"
+    time.sleep(0.5)
+    with pytest.raises((urllib.error.URLError, ConnectionError)):
+        urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/api/v1/channels", timeout=2)
+
+
+def test_mirror_live_link(spark):
+    cat = ChannelCatalog(spark)
+    cat.declare("src", QUOTE)
+    cat.declare_state("src", "sym")
+    cat.send("src", [{"sym": "A", "px": 1.0}])
+    MirrorChannels(mapping={"src": "dst"}).connect(cat)
+    assert {r["sym"] for r in cat.get_channel("dst").collect()} == {"A"}
+    cat.send("src", [{"sym": "B", "px": 2.0}])  # after the mirror was wired
+    assert {r["sym"] for r in cat.get_channel("dst").collect()} == {"A", "B"}
+    # state wiring copied: keyed-last works on the mirror target
+    assert [r["sym"] for r in cat.state("dst").collect()] == ["A", "B"]
