@@ -44,6 +44,10 @@ HEADLINE = [
     "replay_rewrite",
     "minhash_signature",
     "ngram_jaccard",
+    "text_clean",
+    "vocab_topk",
+    "tfidf",
+    "dedup_components",
 ]
 
 

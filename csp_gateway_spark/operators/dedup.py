@@ -170,6 +170,9 @@ def minhash_lsh_pairs(
     No O(n²) stage; bucket join size is bounded by collision groups.
     """
     rows = num_hashes // bands
+    # no manual materialization: both self-join sides share an identical
+    # shuffle, so Spark's ReusedExchange computes signatures once
+    # (verified: a localCheckpoint here was ~1.7× slower)
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
     banded = sig.select(
         id_col,
@@ -199,6 +202,11 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # The verify stage references the pairs THREE times (id set for the
+    # semi-join + both sides of the pair join); without a cut the whole
+    # signature+banding pipeline re-executes per reference.  Pairs are
+    # tiny (bounded by real near-dups), so materializing them is free.
+    pairs = pairs.localCheckpoint()
     out = ngram_jaccard_pairs(df, pairs, text_col=text_col, id_col=id_col, k=k)
     if jaccard_threshold is not None:
         out = out.filter(F.col("jaccard") >= jaccard_threshold)
@@ -388,7 +396,7 @@ def embedding_neardup_blocked(
     )
     packed = v.groupBy("_blk").agg(
         F.collect_list("_id").alias("ids"), F.collect_list("_v").alias("vecs")
-    )
+    ).localCheckpoint()  # B rows; cut so the block cross-join reads it once
     combos = (
         packed.alias("a")
         .join(packed.alias("b"), F.col("a._blk") <= F.col("b._blk"))
