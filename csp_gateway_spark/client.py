@@ -55,11 +55,17 @@ class GatewayClient:
             return get_spark().createDataFrame(rows) if rows else None
         return rows
 
-    # --- api ---------------------------------------------------------
-    def last(self, channel: str) -> Any:
-        return self._wrap(self._get(f"/api/v1/last/{channel}"))
+    @staticmethod
+    def _k(path: str, key: Optional[str]) -> str:
+        return f"{path}/{key}" if key is not None else path
 
-    def state(self, channel: str, query: Optional[Query] = None, **filter_kwargs) -> Any:
+    # --- api ---------------------------------------------------------
+    def last(self, channel: str, key: Optional[str] = None) -> Any:
+        return self._wrap(self._get(self._k(f"/api/v1/last/{channel}", key)))
+
+    def state(
+        self, channel: str, query: Optional[Query] = None, key: Optional[str] = None, **filter_kwargs
+    ) -> Any:
         params = None
         if query is None and filter_kwargs:
             query = Query(
@@ -67,17 +73,17 @@ class GatewayClient:
             )
         if query is not None:
             params = {"query": query.model_dump_json(exclude_none=True)}
-        return self._wrap(self._get(f"/api/v1/state/{channel}", params))
+        return self._wrap(self._get(self._k(f"/api/v1/state/{channel}", key), params))
 
-    def send(self, channel: str, payload: Any) -> Any:
-        return self._wrap(self._post(f"/api/v1/send/{channel}", payload))
+    def send(self, channel: str, payload: Any, key: Optional[str] = None) -> Any:
+        return self._wrap(self._post(self._k(f"/api/v1/send/{channel}", key), payload))
 
     def lookup(self, channel: str, record_id: str) -> Any:
         return self._wrap(self._get(f"/api/v1/lookup/{channel}/{record_id}"))
 
-    def next(self, channel: str, timeout: Optional[float] = None) -> Any:
+    def next(self, channel: str, timeout: Optional[float] = None, key: Optional[str] = None) -> Any:
         params = {"timeout": str(timeout)} if timeout is not None else None
-        return self._wrap(self._get(f"/api/v1/next/{channel}", params))
+        return self._wrap(self._get(self._k(f"/api/v1/next/{channel}", key), params))
 
     def heartbeat(self) -> dict:
         return self._get("/api/v1/controls/heartbeat")

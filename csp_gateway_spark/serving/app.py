@@ -105,7 +105,8 @@ class NextTickBroker:
                 timeout=timeout,
             )
             if not ok:
-                raise ApiError(408, f"no tick on {channel!r} within {timeout}s")
+                t = f"{timeout:.3f}".rstrip("0").rstrip(".") if timeout is not None else "?"
+                raise ApiError(408, f"no tick on {channel!r} within {t}s")
             return self._ticks[channel][1]
 
 
@@ -162,12 +163,25 @@ class GatewayApi:
         except Exception as e:  # noqa: BLE001
             raise ApiError(404, f"unknown channel {channel!r}: {e}") from e
 
-    # --- routes ------------------------------------------------------
-    def last(self, channel: str) -> List[dict]:
-        self._channel_or_404(channel)
-        return self._auth_rows(self.catalog.last(channel).collect())
+    def _key_filter(self, channel: str, key: Optional[str], rows: List[dict]) -> List[dict]:
+        """Dict-basket per-key view (reference `last.py:18-157`: route
+        suffix selects one basket key; 404 when the key has no rows)."""
+        if key is None:
+            return rows
+        field = self.key_field(channel)
+        if field is None:
+            raise ApiError(404, f"channel {channel!r} is not keyed")
+        matched = [r for r in rows if str(r.get(field)) == key]
+        if not matched:
+            raise ApiError(404, f"key {key!r} not found in {channel!r}")
+        return matched
 
-    def state(self, channel: str, query_json: Optional[str] = None) -> List[dict]:
+    # --- routes ------------------------------------------------------
+    def last(self, channel: str, key: Optional[str] = None) -> List[dict]:
+        self._channel_or_404(channel)
+        return self._key_filter(channel, key, self._auth_rows(self.catalog.last(channel).collect()))
+
+    def state(self, channel: str, query_json: Optional[str] = None, key: Optional[str] = None) -> List[dict]:
         self._channel_or_404(channel)
         try:
             query = parse_query(query_json)
@@ -177,7 +191,7 @@ class GatewayApi:
             rows = self.catalog.query(channel, query).collect()
         except KeyError as e:
             raise ApiError(404, str(e)) from e
-        return self._auth_rows(rows)
+        return self._key_filter(channel, key, self._auth_rows(rows))
 
     def lookup(self, channel: str, record_id: str) -> List[dict]:
         self._channel_or_404(channel)
@@ -186,8 +200,13 @@ class GatewayApi:
             raise ApiError(404, f"id {record_id!r} not found in {channel!r}")
         return rows
 
-    def send(self, channel: str, payload: Any) -> List[dict]:
+    def send(self, channel: str, payload: Any, key: Optional[str] = None) -> List[dict]:
         rows = payload if isinstance(payload, list) else [payload]
+        if key is not None:
+            field = self.key_field(channel)
+            if field is None:
+                raise ApiError(404, f"channel {channel!r} is not keyed")
+            rows = [{**row, field: key} for row in rows]
         for row in rows:
             for field, value in self.identity_filter.items():
                 if field in row and row[field] != value:
@@ -201,11 +220,27 @@ class GatewayApi:
         self.subs.publish(channel, out, key_field=self.key_field(channel))
         return out
 
-    def next(self, channel: str, timeout: Optional[float] = None) -> List[dict]:
-        """Block until the channel's next tick (W6 `/next` semantics)."""
+    def next(self, channel: str, timeout: Optional[float] = None, key: Optional[str] = None) -> List[dict]:
+        """Block until the channel's next tick (W6 `/next` semantics).
+        With ``key``: loop over ticks until one contains a matching
+        record or the deadline passes (reference `auth_filter.py:
+        355-441` filtered variant)."""
         self._channel_or_404(channel)
-        rows = self.broker.wait_next(channel, timeout=timeout)
-        return self._auth_rows(rows) if rows else []
+        if key is None:
+            rows = self.broker.wait_next(channel, timeout=timeout)
+            return self._auth_rows(rows) if rows else []
+        field = self.key_field(channel)
+        if field is None:
+            raise ApiError(404, f"channel {channel!r} is not keyed")
+        import time as _time
+
+        deadline = None if timeout is None else _time.monotonic() + timeout
+        while True:
+            remaining = None if deadline is None else max(0.0, deadline - _time.monotonic())
+            rows = self.broker.wait_next(channel, timeout=remaining)
+            matched = [r for r in self._auth_rows(rows) if str(r.get(field)) == key]
+            if matched:
+                return matched
 
     def heartbeat(self) -> dict:
         return {"status": "ok", "time": datetime.datetime.utcnow().isoformat()}
@@ -404,9 +439,26 @@ def build_fastapi_app(api: GatewayApi):
     def last(channel: str):
         return guard(api.last, channel)
 
+    @app.get("/api/v1/last/{channel}/{key}")
+    def last_key(channel: str, key: str):
+        return guard(api.last, channel, key)
+
     @app.get("/api/v1/state/{channel}")
     def state(channel: str, query: Optional[str] = None):
         return guard(api.state, channel, query)
+
+    @app.get("/api/v1/state/{channel}/{key}")
+    def state_key(channel: str, key: str, query: Optional[str] = None):
+        return guard(api.state, channel, query, key)
+
+    @app.get("/api/v1/next/{channel}/{key}")
+    def next_key(channel: str, key: str, timeout: float = 30.0):
+        return guard(api.next, channel, timeout, key)
+
+    @app.post("/api/v1/send/{channel}/{key}")
+    async def send_key(channel: str, key: str, request: Request):
+        payload = await request.json()
+        return guard(api.send, channel, payload, key)
 
     @app.get("/api/v1/lookup/{channel}/{record_id}")
     def lookup(channel: str, record_id: str):
@@ -518,27 +570,27 @@ class GatewayHttpServer:
                         if self._maybe_websocket():
                             return None
                         return self._reply(200, outer.api.channels())
-                    if method == "GET" and rest[0] == "last" and len(rest) == 2:
-                        return self._reply(200, outer.api.last(rest[1]))
-                    if method == "GET" and rest[0] == "state" and len(rest) == 2:
+                    if method == "GET" and rest[0] == "last" and len(rest) in (2, 3):
+                        return self._reply(200, outer.api.last(rest[1], *rest[2:]))
+                    if method == "GET" and rest[0] == "state" and len(rest) in (2, 3):
                         q = qs.get("query", [None])[0]
-                        return self._reply(200, outer.api.state(rest[1], q))
+                        return self._reply(200, outer.api.state(rest[1], q, *rest[2:]))
                     if method == "GET" and rest[0] == "lookup" and len(rest) == 3:
                         return self._reply(200, outer.api.lookup(rest[1], rest[2]))
-                    if method == "GET" and rest[0] == "next" and len(rest) == 2:
+                    if method == "GET" and rest[0] == "next" and len(rest) in (2, 3):
                         t = qs.get("timeout", [None])[0]
                         try:
                             timeout = float(t) if t else 30.0
                         except ValueError:
                             raise ApiError(422, f"timeout must be a number, got {t!r}")
-                        return self._reply(200, outer.api.next(rest[1], timeout))
-                    if method == "POST" and rest[0] == "send" and len(rest) == 2:
+                        return self._reply(200, outer.api.next(rest[1], timeout, *rest[2:]))
+                    if method == "POST" and rest[0] == "send" and len(rest) in (2, 3):
                         length = int(self.headers.get("Content-Length", 0))
                         try:
                             payload = json.loads(self.rfile.read(length) or b"null")
                         except json.JSONDecodeError as e:
                             raise ApiError(422, f"malformed JSON body: {e}") from e
-                        return self._reply(200, outer.api.send(rest[1], payload))
+                        return self._reply(200, outer.api.send(rest[1], payload, *rest[2:]))
                     if method == "GET" and rest == ["controls", "heartbeat"]:
                         return self._reply(200, outer.api.heartbeat())
                     if method == "GET" and rest == ["controls", "stats"]:
