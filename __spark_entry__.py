@@ -908,6 +908,128 @@ FROM documents WHERE doc_id < 50 ORDER BY node
 
 
 # ---------------------------------------------------------------------------
+# CORPUS — winnowing fingerprints (MOSS document fingerprinting)
+# ---------------------------------------------------------------------------
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.corpus import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return winnow_fingerprints(docs, k=4, window=4)
+
+
+ORACLE_DOC_FINGERPRINTS = f"""
+WITH tok AS (
+  SELECT doc_id, u.p AS p, u.t AS t FROM (
+    SELECT doc_id,
+      unnest(list_transform({{toks}}, (x, i) -> struct_pack(p := i, t := x))) AS u
+    FROM documents WHERE doc_id < 100
+  )
+), grams AS (
+  SELECT doc_id, p,
+    md5(concat_ws(' ', t, lead(t,1) OVER w, lead(t,2) OVER w, lead(t,3) OVER w)) AS h,
+    lead(t,3) OVER w AS ok
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+), sel AS (
+  SELECT doc_id,
+    min(h) OVER w2 AS fp, count(h) OVER w2 AS c
+  FROM grams WHERE ok IS NOT NULL
+  WINDOW w2 AS (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+)
+SELECT DISTINCT doc_id, fp FROM sel WHERE c = 4
+""".replace("{toks}", _SQL_TOKS.replace("trim(lower(text))", "{norm}")).replace("{norm}", _SQL_NORM)
+
+
+# ---------------------------------------------------------------------------
+# ANALYTICS — cube / grouping sets (free on Spark; coverage of the
+# aggregation surface the engine exposes beyond the reference, SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+ORACLE_SALES_CUBE = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANALYTICS — top-k per group (windowed rank; broadcast dim join)
+# ---------------------------------------------------------------------------
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from csp_gateway_spark.plans.scale import broadcast_dim
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = broadcast_dim(_t(spark, sf_dir, "nation"))
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    joined = (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_custkey", "revenue")
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_custkey", "revenue", "rk")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT n_name, c_custkey, revenue, rk FROM (
+  SELECT n_name, c_custkey, revenue,
+         row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey ASC) AS rk
+  FROM (
+    SELECT n_name, c_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, c_custkey
+  )
+) WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANALYTICS — exact distinct counts per group
+# ---------------------------------------------------------------------------
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_DISTINCT_COUNTS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver hooks
 # ---------------------------------------------------------------------------
 
@@ -952,6 +1074,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "tfidf": q_tfidf,
         "dedup_components": q_dedup_components,
+        "doc_fingerprints": q_doc_fingerprints,
+        "sales_cube": q_sales_cube,
+        "topk_per_group": q_topk_per_group,
+        "distinct_counts": q_distinct_counts,
     }
 
 
@@ -988,6 +1114,10 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": ORACLE_VOCAB_TOPK,
         "tfidf": ORACLE_TFIDF,
         "dedup_components": ORACLE_DEDUP_COMPONENTS,
+        "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
+        "sales_cube": ORACLE_SALES_CUBE,
+        "topk_per_group": ORACLE_TOPK_PER_GROUP,
+        "distinct_counts": ORACLE_DISTINCT_COUNTS,
         # dedup_minhash_pairs / dedup_simhash / ann_lsh_topk: xxhash64-based
         # (engine-specific) — rows-only check; parity covered by
         # minhash_signature + ngram_jaccard oracles and pytest recall tests.

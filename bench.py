@@ -48,6 +48,10 @@ HEADLINE = [
     "vocab_topk",
     "tfidf",
     "dedup_components",
+    "doc_fingerprints",
+    "sales_cube",
+    "topk_per_group",
+    "distinct_counts",
 ]
 
 

@@ -118,6 +118,55 @@ def connected_components(
     return labels
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm): hash every k-gram of tokens, slide a window of
+    ``window`` consecutive hashes, keep each window's minimum; the
+    distinct kept hashes are the document's fingerprints.  Guarantees
+    any shared run of ≥ (window + k - 1) tokens between two documents
+    shares at least one fingerprint.
+
+    All-native plan: posexplode tokens → lead() k-gram assembly → md5 →
+    windowed min — one shuffle on doc id, codegen throughout.  Hashes
+    are md5 strings (portable: DuckDB md5 produces identical values,
+    min = lexicographic in both engines).  Docs shorter than
+    k + window - 1 tokens yield no fingerprints.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    tok_rows = df.select(F.col(id_col), F.posexplode(toks).alias("_p", "_t"))
+    w = Window.partitionBy(id_col).orderBy("_p")
+    leads = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, k)]
+    grams = (
+        tok_rows.select(
+            F.col(id_col),
+            F.col("_p"),
+            F.md5(F.concat_ws(" ", *leads)).alias("_h"),
+            F.lead("_t", k - 1).over(w).alias("_ok"),
+        )
+        .filter(F.col("_ok").isNotNull())
+        .select(id_col, "_p", "_h")
+    )
+    w2 = Window.partitionBy(id_col).orderBy("_p").rowsBetween(0, window - 1)
+    return (
+        grams.select(
+            F.col(id_col),
+            F.min("_h").over(w2).alias("fp"),
+            F.count("_h").over(w2).alias("_c"),
+        )
+        .filter(F.col("_c") == window)
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
 def dedup_keep_representatives(
     df: DataFrame,
     pairs: DataFrame,

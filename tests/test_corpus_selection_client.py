@@ -67,6 +67,31 @@ def test_vocab_and_tfidf(spark):
     assert w[(1, "apple")] == (2, 2) and w[(2, "cherry")] == (1, 1)
 
 
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing guarantee: docs sharing a run of >= window + k - 1
+    tokens share at least one fingerprint; disjoint docs share none."""
+    from csp_gateway_spark.operators.corpus import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens >= 4+4-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} trailing bits"),
+            (2, f"other opening {shared} different ending"),
+            (3, "completely unrelated text with no overlap at all whatsoever here"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnow_fingerprints(docs, k=4, window=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc.get(3, set()))
+    # short doc -> no fingerprints
+    short = spark.createDataFrame([(9, "just five little words here")], ["doc_id", "text"])
+    assert winnow_fingerprints(short, k=4, window=4).count() == 0
+
+
 # --- selection ---------------------------------------------------------
 
 
