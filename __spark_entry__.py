@@ -1030,6 +1030,56 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# TEXT — quality rule filter (Gopher/C4-style curation)
+# ---------------------------------------------------------------------------
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.text import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_filter(docs).select("doc_id", "keep", "reason")
+
+
+ORACLE_QUALITY_FILTER = f"""
+WITH m AS (
+  SELECT doc_id,
+    len({_SQL_RAWTOKS}) AS n_tok,
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) / length(text)
+         ELSE 0.0 END AS pr,
+    CASE WHEN len({_SQL_TOKS}) > 0
+         THEN len(list_filter({_SQL_TOKS}, x -> list_contains({_EN}, x))) / len({_SQL_TOKS})
+         ELSE 0.0 END AS sr
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN n_tok < 10 THEN 'too_short'
+       WHEN n_tok > 100000 THEN 'too_long'
+       WHEN pr > 0.3 THEN 'too_much_punct'
+       WHEN sr < 0.01 THEN 'low_stopword'
+       ELSE NULL END AS reason,
+  (CASE WHEN n_tok < 10 THEN 'x' WHEN n_tok > 100000 THEN 'x'
+        WHEN pr > 0.3 THEN 'x' WHEN sr < 0.01 THEN 'x' END) IS NULL AS keep
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN — IVF top-k (offline cell assignment + nprobe pruned scan;
+# rows-only: centroid sampling is engine-seeded, recall pytest-checked)
+# ---------------------------------------------------------------------------
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.similarity import ivf_topk, sample_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    centroids = sample_centroids(emb, 16)
+    out = ivf_topk(emb.filter(F.col("vec_id") != 0), centroids, qv, k=10, nprobe=8)
+    return out.select("vec_id", F.round("cos", 6).alias("cos"))
+
+
+# ---------------------------------------------------------------------------
 # driver hooks
 # ---------------------------------------------------------------------------
 
@@ -1078,6 +1128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": q_sales_cube,
         "topk_per_group": q_topk_per_group,
         "distinct_counts": q_distinct_counts,
+        "quality_filter": q_quality_filter,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -1118,6 +1170,9 @@ def oracle_sql() -> dict[str, str]:
         "sales_cube": ORACLE_SALES_CUBE,
         "topk_per_group": ORACLE_TOPK_PER_GROUP,
         "distinct_counts": ORACLE_DISTINCT_COUNTS,
+        "quality_filter": ORACLE_QUALITY_FILTER,
+        # ann_ivf_topk: seeded-sample centroids are engine-specific —
+        # rows-only; recall vs exact top-k covered in pytest.
         # dedup_minhash_pairs / dedup_simhash / ann_lsh_topk: xxhash64-based
         # (engine-specific) — rows-only check; parity covered by
         # minhash_signature + ngram_jaccard oracles and pytest recall tests.

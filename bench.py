@@ -52,6 +52,8 @@ HEADLINE = [
     "sales_cube",
     "topk_per_group",
     "distinct_counts",
+    "quality_filter",
+    "ann_ivf_topk",
 ]
 
 

@@ -173,23 +173,66 @@ def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     cent_id: str = "cent_id",
     cent_vec: str = "centroid",
     out_col: str = "cell",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast join: the
-    centroid table is small by construction)."""
-    from pyspark.sql.window import Window
+    """Assign each vector to its nearest centroid.
 
+    Broadcast the centroid table (small by construction), score every
+    (vector, centroid) pair map-side, then ONE max_by aggregation keyed
+    on the vector id picks the best cell — a single shuffle on id, no
+    window sort over every column.  Ties break to the lowest cell id
+    (deterministic)."""
     joined = df.alias("v").join(F.broadcast(centroids.alias("c")))
     scored = joined.withColumn(
         "_sim", cosine(_as_double(F.col(f"v.{vec_col}")), _as_double(F.col(f"c.{cent_vec}")))
     )
-    w = Window.partitionBy(*[F.col(f"v.{c}") for c in df.columns]).orderBy(F.desc("_sim"))
+    best = F.max_by(
+        F.struct(
+            *[F.col(f"v.{c}").alias(c) for c in df.columns],
+            F.col(f"c.{cent_id}").alias(out_col),
+        ),
+        F.struct(F.col("_sim").alias("s"), (-F.col(f"c.{cent_id}")).alias("tb")),
+    )
+    return scored.groupBy(F.col(f"v.{id_col}")).agg(best.alias("_b")).select("_b.*")
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: DataFrame,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: rank cells by centroid↔query cosine, scan
+    only the best ``nprobe`` cells, brute-force cosine within them.
+
+    The scale path for ANN over 100 TB of embeddings: the expensive
+    assignment is done ONCE offline (``ivf_assign``, persisted +
+    partitioned by cell → partition pruning makes each probe read
+    nprobe/n_cells of the data); per-query work is a driver-side
+    centroid ranking (tiny) + a pruned scan."""
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    ranked = (
+        centroids.withColumn("_qs", cosine(_as_double(F.col("centroid")), F.lit(query_vec).cast("array<double>")))
+        .orderBy(F.desc("_qs"))
+        .limit(nprobe)
+        .select("cent_id")
+    )
+    probed = assigned.join(
+        F.broadcast(ranked), assigned["cell"] == ranked["cent_id"], "left_semi"
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(*[F.col(f"v.{c}") for c in df.columns], F.col(f"c.{cent_id}").alias(out_col))
+        probed.withColumn(
+            "cos", cosine(_as_double(F.col(vec_col)), F.lit(query_vec).cast("array<double>"))
+        )
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "cos")
     )
 
 

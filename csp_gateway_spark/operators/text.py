@@ -134,6 +134,31 @@ def clean_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100000,
+    max_punct: float = 0.3,
+    min_stopword: float = 0.01,
+) -> DataFrame:
+    """Gopher/C4-style rule filter for training-data curation: adds
+    ``keep`` (all rules pass) and ``reason`` (FIRST failing rule, in
+    fixed order: too_short → too_long → too_much_punct → low_stopword;
+    NULL when kept).  Pure column expressions — filters push into the
+    scan, no shuffle."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n_tok = token_count(c)
+    reason = (
+        F.when(n_tok < min_tokens, F.lit("too_short"))
+        .when(n_tok > max_tokens, F.lit("too_long"))
+        .when(punct_ratio(c) > max_punct, F.lit("too_much_punct"))
+        .when(stopword_ratio(c) < min_stopword, F.lit("low_stopword"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.withColumn("reason", reason).withColumn("keep", F.col("reason").isNull())
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document stat sheet.  NULL text ≡ empty string."""
     c = F.coalesce(F.col(text_col), F.lit(""))

@@ -50,8 +50,8 @@ class Mirror(GatewayModule):
     state_keyby: Optional[str] = None
 
     def connect(self, channels: ChannelCatalog) -> None:
-        df = channels.get_channel(self.source)
-        channels.declare(self.target)
-        channels.set_channel(self.target, df)
+        # live link (catalog.mirror): sends to source AFTER connect
+        # still propagate — matching the reference's streaming wiring
+        channels.mirror(self.source, self.target)
         if self.state_keyby:
             channels.declare_state(self.target, self.state_keyby)

@@ -62,3 +62,21 @@ def test_ivf(embeddings):
     assigned = ivf_assign(embeddings.filter(F.col("vec_id") < 50), cents)
     assert assigned.count() == 50
     assert assigned.select("cell").distinct().count() > 1
+    # assignment keeps every original column
+    assert set(assigned.columns) == set(embeddings.columns) | {"cell"}
+
+
+def test_ivf_topk_recall_and_full_probe_exactness(embeddings, query_vec):
+    from csp_gateway_spark.operators.similarity import ivf_topk
+
+    cents = sample_centroids(embeddings, 8)
+    exact = [(r.vec_id, round(r.cos, 9)) for r in cosine_topk(embeddings, query_vec, k=10).collect()]
+    # probing ALL cells must reproduce brute force exactly
+    full = [
+        (r.vec_id, round(r.cos, 9))
+        for r in ivf_topk(embeddings, cents, query_vec, k=10, nprobe=8).collect()
+    ]
+    assert full == exact
+    # nprobe=3 of 8 cells: partial but substantial recall
+    approx = {r.vec_id for r in ivf_topk(embeddings, cents, query_vec, k=10, nprobe=3).collect()}
+    assert len({v for v, _ in exact} & approx) >= 3
