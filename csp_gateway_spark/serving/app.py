@@ -157,11 +157,17 @@ class GatewayApi:
                 out.append(_jsonable(d))
         return out
 
-    def _channel_or_404(self, channel: str):
+    def _channel_or_404(self, channel: str) -> None:
+        """Declared channels are valid even before their first tick
+        (a /next waiter may park on a stream that hasn't produced yet)."""
+        if channel not in self.catalog._producers:
+            raise ApiError(404, f"unknown channel {channel!r}")
+
+    def _collect_or_404(self, channel: str, df_fn) -> List[Row]:
         try:
-            return self.catalog.get_channel(channel)
-        except Exception as e:  # noqa: BLE001
-            raise ApiError(404, f"unknown channel {channel!r}: {e}") from e
+            return df_fn().collect()
+        except Exception as e:  # noqa: BLE001 — unwired: no ticks yet
+            raise ApiError(404, f"no ticks yet on {channel!r}: {e}") from e
 
     def _key_filter(self, channel: str, key: Optional[str], rows: List[dict]) -> List[dict]:
         """Dict-basket per-key view (reference `last.py:18-157`: route
@@ -179,7 +185,8 @@ class GatewayApi:
     # --- routes ------------------------------------------------------
     def last(self, channel: str, key: Optional[str] = None) -> List[dict]:
         self._channel_or_404(channel)
-        return self._key_filter(channel, key, self._auth_rows(self.catalog.last(channel).collect()))
+        rows = self._collect_or_404(channel, lambda: self.catalog.last(channel))
+        return self._key_filter(channel, key, self._auth_rows(rows))
 
     def state(self, channel: str, query_json: Optional[str] = None, key: Optional[str] = None) -> List[dict]:
         self._channel_or_404(channel)
@@ -187,15 +194,12 @@ class GatewayApi:
             query = parse_query(query_json)
         except Exception as e:  # noqa: BLE001
             raise ApiError(422, f"bad query param: {e}") from e
-        try:
-            rows = self.catalog.query(channel, query).collect()
-        except KeyError as e:
-            raise ApiError(404, str(e)) from e
+        rows = self._collect_or_404(channel, lambda: self.catalog.query(channel, query))
         return self._key_filter(channel, key, self._auth_rows(rows))
 
     def lookup(self, channel: str, record_id: str) -> List[dict]:
         self._channel_or_404(channel)
-        rows = self._auth_rows(self.catalog.lookup(channel, record_id).collect())
+        rows = self._auth_rows(self._collect_or_404(channel, lambda: self.catalog.lookup(channel, record_id)))
         if not rows:
             raise ApiError(404, f"id {record_id!r} not found in {channel!r}")
         return rows
@@ -316,6 +320,41 @@ class GatewayApi:
         if server is not None:
             threading.Thread(target=server.stop, daemon=True).start()
         return {"status": "shutting down"}
+
+
+def stream_into_gateway(
+    api: GatewayApi,
+    channel: str,
+    stream,
+    trigger_seconds: float = 0.5,
+    checkpoint: Optional[str] = None,
+):
+    """Bridge a streaming DataFrame into the live serving loop
+    (reference §3.3: tick → `/last` → WS fan-out): every micro-batch's
+    rows become channel ticks — id/timestamp stamped by the catalog,
+    `/next` waiters released, WS subscribers fanned out — one
+    micro-batch ≙ one engine cycle.
+
+    Scale note: only the micro-batch's OWN rows are collected (the
+    serving edge is row-scale by definition — the same place the
+    reference crosses from csp into asyncio); the heavy aggregation
+    stays distributed (`streaming/state_stream.py`)."""
+
+    def on_batch(batch_df, batch_id: int) -> None:
+        # PERMISSIVE-mode sources emit all-null rows for corrupt
+        # records — drop them before they become ticks
+        rows = [r.asDict() for r in batch_df.na.drop("all").collect()]
+        if rows:
+            api.send(channel, rows)
+
+    writer = (
+        stream.writeStream.foreachBatch(on_batch)
+        .outputMode("append")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
 
 
 # ---------------------------------------------------------------------------
