@@ -236,6 +236,56 @@ def ivf_topk(
     )
 
 
+def persist_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Offline IVF index build: assign every vector to its cell and
+    write parquet PARTITIONED BY cell.  This is the 100 TB layout: a
+    probe reads nprobe/n_cells of the data via partition pruning — the
+    other cells are never opened (directory-level skip, not row
+    filtering)."""
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query the persisted IVF index: rank cells by centroid cosine
+    (tiny, driver-side), scan ONLY those partitions (pruned at the
+    file-listing level — check `.explain` PartitionFilters), brute
+    force within."""
+    cells = [
+        r["cent_id"]
+        for r in centroids.withColumn(
+            "_qs", cosine(_as_double(F.col("centroid")), F.lit(query_vec).cast("array<double>"))
+        )
+        .orderBy(F.desc("_qs"), F.asc("cent_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return (
+        idx.withColumn(
+            "cos", cosine(_as_double(F.col(vec_col)), F.lit(query_vec).cast("array<double>"))
+        )
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "cos")
+    )
+
+
 def sample_centroids(df: DataFrame, n: int, vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 42) -> DataFrame:
     """Deterministic centroid bootstrap: the n vectors with smallest
     xxhash64(id, seed) — a uniform seeded sample without RNG state."""
