@@ -1080,6 +1080,93 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANALYTICS — TPC-H classics (scan-heavy pushdown showcases; the
+# driver's tables are TPC-H-ish so Q1/Q6/Q4 port directly)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one scan, partial aggregation map-side, tiny
+    result — the canonical whole-stage-codegen pipeline."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(18,4)")
+            ).alias("sum_disc_price"),
+            F.avg(dec("l_quantity")).cast("decimal(18,6)").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS sum_disc_price,
+  CAST(AVG(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg — every predicate must reach the
+    parquet scan (PushedFilters), no shuffle until the final fold."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast("decimal(18,2)")).cast("decimal(18,4)")
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join, then count by priority."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45
+) GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver hooks
 # ---------------------------------------------------------------------------
 
@@ -1130,6 +1217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts": q_distinct_counts,
         "quality_filter": q_quality_filter,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "pricing_summary": q_pricing_summary,
+        "forecast_revenue": q_forecast_revenue,
+        "order_priority": q_order_priority,
     }
 
 
@@ -1171,6 +1261,9 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": ORACLE_TOPK_PER_GROUP,
         "distinct_counts": ORACLE_DISTINCT_COUNTS,
         "quality_filter": ORACLE_QUALITY_FILTER,
+        "pricing_summary": ORACLE_PRICING_SUMMARY,
+        "forecast_revenue": ORACLE_FORECAST_REVENUE,
+        "order_priority": ORACLE_ORDER_PRIORITY,
         # ann_ivf_topk: seeded-sample centroids are engine-specific —
         # rows-only; recall vs exact top-k covered in pytest.
         # dedup_minhash_pairs / dedup_simhash / ann_lsh_topk: xxhash64-based

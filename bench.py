@@ -54,6 +54,9 @@ HEADLINE = [
     "distinct_counts",
     "quality_filter",
     "ann_ivf_topk",
+    "pricing_summary",
+    "forecast_revenue",
+    "order_priority",
 ]
 
 
