@@ -258,6 +258,10 @@ class FeedbackChannel:
     def reader(self, streaming: bool = False) -> DataFrame:
         if streaming:
             return self.spark.readStream.schema(self.schema).parquet(self.path)
+        import os
+
+        if not os.path.isdir(self.path):  # nothing fed back yet
+            return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(self.path)
 
     def writer(self, batch_df: DataFrame) -> None:
