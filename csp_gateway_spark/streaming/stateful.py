@@ -47,6 +47,75 @@ def apply_stateful(
     )
 
 
+def running_counts(stream: DataFrame, key: str, out_schema: str = "key string, n bigint") -> DataFrame:
+    """Per-key running tick counter on `transformWithStateInPandas`
+    (Spark 4's stateful-processor API — the modern engine-managed-state
+    path for custom nodes; reference W10 `@csp.node` with `csp.state`).
+
+    State lives in the RocksDB state store (configured in session.py):
+    per-key ValueState survives micro-batches, scales with keys not
+    history, and checkpoints incrementally — the 100 TB-safe layout for
+    unbounded custom state.
+
+    NOTE: Spark's TWS Python runner requires the ``protobuf`` package
+    at query start; environments without it should use
+    ``apply_stateful`` (applyInPandasWithState), which has identical
+    semantics for this operator."""
+    try:  # TWS driver worker imports google.protobuf at query start
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package; "
+            "use apply_stateful (applyInPandasWithState) instead"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _Counter(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._n = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"key": [key[0]], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return stream.withColumnRenamed(key, "key").groupBy("key").transformWithStateInPandas(
+        statefulProcessor=_Counter(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def running_counts_gs(stream: DataFrame, key: str) -> DataFrame:
+    """Per-key running tick counter on ``applyInPandasWithState`` —
+    the GroupState variant of :func:`running_counts` with identical
+    semantics and no extra dependencies (the TWS runner needs
+    protobuf; this path uses the plain Arrow worker)."""
+    import pandas as pd
+
+    def fn(key_tuple, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"key": [key_tuple[0]], "n": [n]})
+
+    return apply_stateful(
+        stream.withColumnRenamed(key, "key"),
+        ["key"],
+        fn,
+        state_schema="n bigint",
+        output_schema="key string, n bigint",
+    )
+
+
 def ewma_batch(
     df: DataFrame,
     keys: Sequence[str],

@@ -1,0 +1,73 @@
+"""Streaming per-key custom state across micro-batches (W10): the
+GroupState counter accumulates over batches; the TWS variant is
+import-gated on protobuf (absent in this container)."""
+
+import json
+
+import pytest
+
+from csp_gateway_spark.streaming.stateful import running_counts, running_counts_gs
+
+
+def _drop(src, name, rows):
+    with open(src / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_group_state_counter_across_microbatches(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    stream = spark.readStream.schema("user string, v long").json(str(src))
+    q = (
+        running_counts_gs(stream, "user")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rc_gs")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        _drop(src, "b1.json", [{"user": "a", "v": 1}, {"user": "a", "v": 2}, {"user": "b", "v": 3}])
+        q.processAllAvailable()
+        assert {(r.key, r.n) for r in spark.table("rc_gs").collect()} == {("a", 2), ("b", 1)}
+        _drop(src, "b2.json", [{"user": "a", "v": 4}])
+        q.processAllAvailable()
+        # state persisted across micro-batches: a's count continues 2 -> 3
+        assert ("a", 3) in {(r.key, r.n) for r in spark.table("rc_gs").collect()}
+    finally:
+        q.stop()
+
+
+def test_tws_counter_or_documented_gate(spark, tmp_path):
+    """With protobuf installed the TWS path must work; without it the
+    operator raises the documented ImportError immediately (not a
+    mid-query executor crash)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    src = tmp_path / "in"
+    src.mkdir()
+    stream = spark.readStream.schema("user string, v long").json(str(src))
+    if not has_protobuf:
+        with pytest.raises(ImportError, match="protobuf"):
+            running_counts(stream, "user")
+        return
+    _drop(src, "b1.json", [{"user": "a", "v": 1}, {"user": "a", "v": 2}])
+    q = (
+        running_counts(stream, "user")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rc_tws")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert ("a", 2) in {(r.key, r.n) for r in spark.table("rc_tws").collect()}
+    finally:
+        q.stop()
