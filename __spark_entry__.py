@@ -1167,6 +1167,29 @@ FROM orders WHERE EXISTS (
 
 
 # ---------------------------------------------------------------------------
+# CORPUS — complete near-dedup pipeline (pairs → components → keep reps)
+# ---------------------------------------------------------------------------
+
+def q_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.corpus import dedup_keep_representatives
+
+    docs = _t(spark, sf_dir, "documents")
+    # deterministic chain pairs (as in dedup_components): every decade of
+    # doc ids < 50 is one duplicate cluster; survivors = decade heads +
+    # all untouched docs — a closed-form oracle for the REAL pipeline
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 50)
+    pairs = ids.filter(F.col("doc_id") % 10 != 9).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return dedup_keep_representatives(docs, pairs).select("doc_id").orderBy("doc_id")
+
+
+ORACLE_NEAR_DEDUP_PIPELINE = """
+SELECT doc_id FROM documents WHERE doc_id >= 50 OR doc_id % 10 = 0 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver hooks
 # ---------------------------------------------------------------------------
 
@@ -1220,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "forecast_revenue": q_forecast_revenue,
         "order_priority": q_order_priority,
+        "near_dedup_pipeline": q_near_dedup_pipeline,
     }
 
 
@@ -1262,6 +1286,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_counts": ORACLE_DISTINCT_COUNTS,
         "quality_filter": ORACLE_QUALITY_FILTER,
         "pricing_summary": ORACLE_PRICING_SUMMARY,
+        "near_dedup_pipeline": ORACLE_NEAR_DEDUP_PIPELINE,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         # ann_ivf_topk: seeded-sample centroids are engine-specific —

@@ -54,13 +54,26 @@ class ChannelCatalog:
         self._finalized: Dict[str, DataFrame] = {}
         self._dynamic_keys: Dict[str, List[str]] = {}
         self._mirrors: Dict[str, List[str]] = {}  # target -> source channels
+        self._validators: Dict[str, Callable] = {}
 
     # --- declaration -------------------------------------------------
-    def declare(self, name: str, schema: Optional[T.StructType] = None, required: bool = False) -> None:
+    def declare(
+        self,
+        name: str,
+        schema: Optional[T.StructType] = None,
+        required: bool = False,
+        validator=None,
+    ) -> None:
+        """``validator``: optional row-level hook (reference pydantic
+        validators, `base.py:97-114` / `omnibus.py:67-85`): called with
+        each sent row dict; raise ValueError to reject (REST: 422), or
+        return a (possibly modified) row."""
         self._schemas.setdefault(name, schema)
         self._producers.setdefault(name, [])
         if required:
             self._required.add(name)
+        if validator is not None:
+            self._validators[name] = validator
 
     def declare_state(self, name: str, keyby: Sequence[str] | str) -> None:
         """Register ``s_<name>`` keyed-last state for a channel
@@ -169,10 +182,13 @@ class ChannelCatalog:
         import datetime as _dt
 
         schema = schema or self._schemas.get(name)
+        validator = self._validators.get(name)
         stamped = []
         now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
         for row in rows:
             row = dict(row)
+            if validator is not None:
+                row = validator(row) or row  # ValueError propagates (REST: 422)
             row.setdefault("id", str(self._next_id()))
             row.setdefault("timestamp", now)
             stamped.append(row)

@@ -93,3 +93,29 @@ def test_key_view_dict_basket(spark):
     df = spark.createDataFrame([("A", 1.0), ("B", 2.0)], QUOTE)
     cat.set_channel("basket", df)
     assert cat.key_view("basket", "sym", "A").count() == 1
+
+
+def test_send_validator_rejects_and_normalizes(spark):
+    """U4 validators (reference omnibus x>=0 validator, base.py:97-114):
+    reject invalid rows (REST surfaces 422), normalize valid ones."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from csp_gateway_spark.catalog import ChannelCatalog
+
+    def validate(row):
+        if row.get("x", 0) < 0:
+            raise ValueError("x must be non-negative")
+        row["y"] = (row.get("y") or "").lower()
+        return row
+
+    cat = ChannelCatalog(spark)
+    cat.declare(
+        "ex",
+        T.StructType([T.StructField("x", T.LongType()), T.StructField("y", T.StringType())]),
+        validator=validate,
+    )
+    echoed = cat.send("ex", [{"x": 1, "y": "ABC"}])
+    assert echoed.collect()[0]["y"] == "abc"
+    with pytest.raises(ValueError, match="non-negative"):
+        cat.send("ex", [{"x": -1, "y": "bad"}])
