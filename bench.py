@@ -71,14 +71,26 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: touch every table + JIT one trivial job so the first timed
-    # query doesn't absorb scan-listing and codegen warmup
+    # warmup: touch every table, then one untimed pass over every
+    # headline query — each distinct query shape pays its own
+    # whole-stage-codegen/JIT compilation on first execution (measured
+    # ~2× on small queries), so the timed pass reports steady-state
+    # throughput, which is what repeated production queries see.
     from csp_gateway_spark.session import load_tables
 
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).count()
 
     qs = entry.queries()
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001 — the timed pass reports it
+            pass
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)

@@ -29,6 +29,12 @@ def get_spark(app_name: str = "csp-gateway-spark", cpus: str | None = None) -> S
         # --- optimizer / execution ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size post-shuffle partitions by the advisory byte target
+        # rather than max parallelism: tiny shuffles coalesce to 1-2
+        # tasks; at 100 TB the same target yields thousands of
+        # right-sized partitions.  (Measured neutral at sf0.1 — local
+        # latency there is codegen/JIT warm-up, not task count.)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", cpus)
