@@ -179,4 +179,6 @@ def dedup_keep_representatives(
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(losers, id_col, "left_anti")
+    # losers ≤ duplicate count ≪ corpus: broadcast the anti-join side so
+    # the corpus scan never shuffles
+    return df.join(F.broadcast(losers), id_col, "left_anti")
