@@ -1190,6 +1190,92 @@ SELECT doc_id FROM documents WHERE doc_id >= 50 OR doc_id % 10 = 0 ORDER BY doc_
 
 
 # ---------------------------------------------------------------------------
+# STATE — multi-column keyby (reference keyby tuples, `state.py:165-225`)
+# ---------------------------------------------------------------------------
+
+def q_state_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.state import keyed_last
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    out = keyed_last(ev, ["user_id", "event_type"], order_by=["ts", "event_id"])
+    return out.select(
+        "user_id", "event_type", "event_id", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+
+
+ORACLE_STATE_MULTIKEY = """
+SELECT user_id, event_type, event_id, CAST(value AS DECIMAL(18,2)) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id < 30
+) WHERE rn = 1
+ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# FUNCTIONS — JSON extraction from string props (F1/F2 scalar surface)
+# ---------------------------------------------------------------------------
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_id", k.alias("k"))
+        .filter(F.col("k") >= 95)
+        .orderBy("event_id")
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 95
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# FUNCTIONS — array/lambda surface over embedding vectors (F.aggregate /
+# transform / zip-free norms; DuckDB list_* equivalents)
+# ---------------------------------------------------------------------------
+
+def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    l2 = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max(v), 6).alias("vmax"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 6).alias("vsum"),
+        F.round(l2, 6).alias("l2"),
+    )
+
+
+ORACLE_ARRAY_STATS = """
+SELECT vec_id,
+  len(embedding) AS dim,
+  round(list_max(CAST(embedding AS DOUBLE[])), 6) AS vmax,
+  round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS vsum,
+  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2
+FROM embeddings WHERE vec_id < 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# SKETCHES — approximate distinct (HLL++; rows-only: sketch estimates
+# are engine-specific, tolerance vs exact counts tested in pytest)
+# ---------------------------------------------------------------------------
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver hooks
 # ---------------------------------------------------------------------------
 
@@ -1244,6 +1330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "order_priority": q_order_priority,
         "near_dedup_pipeline": q_near_dedup_pipeline,
+        "state_multikey": q_state_multikey,
+        "json_props": q_json_props,
+        "array_stats": q_array_stats,
+        "approx_distinct": q_approx_distinct,
     }
 
 
@@ -1287,6 +1377,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": ORACLE_QUALITY_FILTER,
         "pricing_summary": ORACLE_PRICING_SUMMARY,
         "near_dedup_pipeline": ORACLE_NEAR_DEDUP_PIPELINE,
+        "state_multikey": ORACLE_STATE_MULTIKEY,
+        "json_props": ORACLE_JSON_PROPS,
+        "array_stats": ORACLE_ARRAY_STATS,
+        # approx_distinct: HLL sketch values are engine-specific —
+        # rows-only; ±2% tolerance vs exact asserted in pytest.
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         # ann_ivf_topk: seeded-sample centroids are engine-specific —

@@ -57,6 +57,11 @@ HEADLINE = [
     "pricing_summary",
     "forecast_revenue",
     "order_priority",
+    "near_dedup_pipeline",
+    "state_multikey",
+    "json_props",
+    "array_stats",
+    "approx_distinct",
 ]
 
 

@@ -53,3 +53,20 @@ def test_unknown_attr_dropped(spark, df):
 def test_bad_op_rejected():
     with pytest.raises(Exception):
         Filter(attr="x", op="~", value=1)
+
+
+def test_approx_distinct_within_tolerance(spark, events):
+    """HLL++ estimate within the configured 2% rsd (3 sigma) of exact."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) <= max(3, 0.06 * r.exact), (r.event_type, r.approx, r.exact)
