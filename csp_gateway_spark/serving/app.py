@@ -385,10 +385,17 @@ class WsSession:
             self.ws.write_frame(self.wfile, json.dumps(obj).encode())
 
     def _drain(self, channel: str, sub) -> None:
+        ident = self.api.identity_filter
         while self._alive:
             row = sub.queue.get()
             if row is None:  # poison pill from unsubscribe/close
                 return
+            # row-level auth on the push path too (reference applies the
+            # identity filter to websocket frames, auth_filter.py:654+)
+            if ident and isinstance(row, dict) and not all(
+                row.get(k) == v for k, v in ident.items() if k in row
+            ):
+                continue
             try:
                 self._send_json({"channel": channel, "data": row})
             except OSError:

@@ -40,6 +40,30 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    stream: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    gap: str = "30 seconds",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming session windows (`session_window`): per-key activity
+    sessions close after ``gap`` of silence; the watermark finalizes
+    and evicts closed sessions (same state-bounding contract as
+    :func:`windowed_counts`)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            *keys,
+            "n",
+        )
+    )
+
+
 def clamp_late(df: DataFrame, ts_col: str, start_time) -> DataFrame:
     """The reference's Kafka alternative to dropping: clamp pre-start
     timestamps up to the engine start (`adjust_out_of_order_time`)."""

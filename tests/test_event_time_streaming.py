@@ -51,3 +51,34 @@ def test_watermark_finalizes_and_drops_late(spark, tmp_path):
         assert rows.get("2026-01-01 10:05:00") == 1
     finally:
         q.stop()
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """Sessions merge events within the gap and split across it;
+    watermark advance finalizes closed sessions."""
+    from csp_gateway_spark.streaming.event_time import session_counts
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    stream = spark.readStream.schema("ts timestamp, user string").json(str(src))
+    agg = session_counts(stream, "ts", ["user"], gap="30 seconds", watermark="10 seconds")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        _drop(src, "b1.json", [
+            {"ts": "2026-01-01T10:00:00", "user": "a"},
+            {"ts": "2026-01-01T10:00:20", "user": "a"},   # same session (20s gap)
+            {"ts": "2026-01-01T10:02:00", "user": "a"},   # new session (>30s)
+        ])
+        _drop(src, "b2.json", [{"ts": "2026-01-01T10:10:00", "user": "z"}])  # advance watermark
+        q.processAllAvailable()
+        rows = {(str(r.sess_start), r.user): r.n for r in spark.table("sess").collect()}
+        assert rows[("2026-01-01 10:00:00", "a")] == 2  # merged session
+        assert rows[("2026-01-01 10:02:00", "a")] == 1  # split session
+    finally:
+        q.stop()

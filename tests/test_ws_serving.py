@@ -164,3 +164,49 @@ def test_mirror_live_link(spark):
     assert {r["sym"] for r in cat.get_channel("dst").collect()} == {"A", "B"}
     # state wiring copied: keyed-last works on the mirror target
     assert [r["sym"] for r in cat.state("dst").collect()] == ["A", "B"]
+
+
+def test_two_ws_subscribers_both_receive(served):
+    cli = GatewayClient(f"http://127.0.0.1:{served.port}")
+    ws1, ws2 = cli.stream(["quotes"]), cli.stream(["quotes"])
+    time.sleep(0.2)
+    cli.send("quotes", {"sym": "DUAL", "px": 1.0})
+    assert ws1.recv_json()["data"]["sym"] == "DUAL"
+    assert ws2.recv_json()["data"]["sym"] == "DUAL"
+    ws1.close()
+    ws2.close()
+
+
+def test_ws_identity_filter_on_fanout(spark):
+    cat = ChannelCatalog(spark)
+    user_schema = T.StructType(
+        [T.StructField("sym", T.StringType()), T.StructField("user", T.StringType())]
+    )
+    cat.declare("prv", user_schema)
+    cat.declare_state("prv", "sym")
+    cat.send("prv", [{"sym": "A", "user": "u1"}])
+    srv = GatewayHttpServer(GatewayApi(cat, identity_filter={"user": "u1"})).start()
+    try:
+        ws = GatewayClient(f"http://127.0.0.1:{srv.port}").stream(["prv"])
+        time.sleep(0.2)
+        # other-user tick is filtered from the push; own-user tick arrives
+        import urllib.request as _u
+
+        def post(p):
+            req = _u.Request(
+                f"http://127.0.0.1:{srv.port}/api/v1/send/prv",
+                data=json.dumps(p).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            try:
+                _u.urlopen(req)
+            except Exception:
+                pass  # 403 for wrong identity — push-path test only
+
+        post({"sym": "B", "user": "u1"})
+        msg = ws.recv_json()
+        assert msg["data"]["user"] == "u1" and msg["data"]["sym"] == "B"
+        ws.close()
+    finally:
+        srv.stop()
