@@ -135,6 +135,11 @@ def minhash_signatures(
 
     90× faster than the column-expression form at 32 hashes.
     """
+    # NOTE: per-seed independent hashes are REQUIRED — Kirsch-
+    # Mitzenmacher double hashing (h1 + i*h2) was tried and reverted:
+    # min-over-shingles of correlated h_i collapses band diversity
+    # (every band collides), exploding candidates 4× slower AND
+    # breaking recall.  KM is safe for Bloom filters, not MinHash.
     hf = _hash_md5_hex if oracle_safe else _hash64
     sh_rows = shingle_rows(df, text_col, id_col, k)
     hashed = sh_rows.select(
