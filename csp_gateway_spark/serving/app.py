@@ -259,6 +259,15 @@ class GatewayApi:
     def channels(self) -> List[str]:
         return sorted(self.catalog._producers.keys())
 
+    def stream_channels(self) -> List[str]:
+        """`GET /stream` listing (reference `websocket.py:381-444`):
+        channel names plus per-key basket entries as ``channel/key``."""
+        out = []
+        for name in self.channels():
+            out.append(name)
+            out.extend(f"{name}/{k}" for k in self.catalog._dynamic_keys.get(name, []))
+        return out
+
     def field(self, name: str) -> Any:
         """Static channel fields (reference `mount_fields.py:10-83`)."""
         if name not in self.fields:
@@ -615,7 +624,7 @@ class GatewayHttpServer:
                     if method == "GET" and rest == ["stream"]:
                         if self._maybe_websocket():
                             return None
-                        return self._reply(200, outer.api.channels())
+                        return self._reply(200, outer.api.stream_channels())
                     if method == "GET" and rest[0] == "last" and len(rest) in (2, 3):
                         return self._reply(200, outer.api.last(rest[1], *rest[2:]))
                     if method == "GET" and rest[0] == "state" and len(rest) in (2, 3):

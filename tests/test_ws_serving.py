@@ -210,3 +210,17 @@ def test_ws_identity_filter_on_fanout(spark):
         ws.close()
     finally:
         srv.stop()
+
+
+def test_stream_lists_basket_keys(spark):
+    cat = ChannelCatalog(spark)
+    cat.declare("basket", QUOTE)
+    cat.add_dynamic_keys("basket", ["A", "B"])
+    cat.send("basket", [{"sym": "A", "px": 1.0}])
+    srv = GatewayHttpServer(GatewayApi(cat)).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/api/v1/stream") as r:
+            listing = json.loads(r.read())
+        assert listing == ["basket", "basket/A", "basket/B"]
+    finally:
+        srv.stop()
