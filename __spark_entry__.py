@@ -1276,6 +1276,176 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANALYTICS — join-heavy TPC-H shapes (operators/analytics.py; broadcast
+# dims + decimal aggregation, see module docstring there)
+# ---------------------------------------------------------------------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import shipping_priority
+
+    return shipping_priority(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate,
+  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import local_supplier_volume
+
+    return local_supplier_volume(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import volume_shipping
+
+    return volume_shipping(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+ORACLE_VOLUME_SHIPPING = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import returned_item_revenue
+
+    return returned_item_revenue(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+ORACLE_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import promo_revenue_effect
+
+    return promo_revenue_effect(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+ORACLE_PROMO_REVENUE = """
+WITH agg AS (
+  SELECT
+    SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+        ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_revenue,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+)
+SELECT promo_revenue, total_revenue,
+  CAST(promo_revenue AS DOUBLE) * 100.0 / CAST(total_revenue AS DOUBLE) AS promo_pct
+FROM agg
+"""
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import large_volume_orders
+
+    return large_volume_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+ORACLE_LARGE_VOLUME_ORDERS = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+  CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def q_brand_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import brand_discount_revenue
+
+    return brand_discount_revenue(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+ORACLE_BRAND_DISCOUNT_REVENUE = """
+SELECT
+  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue,
+  COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 5 AND 25)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 10 AND 40)
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver hooks
 # ---------------------------------------------------------------------------
 
@@ -1334,6 +1504,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "array_stats": q_array_stats,
         "approx_distinct": q_approx_distinct,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "volume_shipping": q_volume_shipping,
+        "returned_items": q_returned_items,
+        "promo_revenue": q_promo_revenue,
+        "large_volume_orders": q_large_volume_orders,
+        "brand_discount_revenue": q_brand_discount_revenue,
     }
 
 
@@ -1384,6 +1561,13 @@ def oracle_sql() -> dict[str, str]:
         # rows-only; ±2% tolerance vs exact asserted in pytest.
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
+        "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+        "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
+        "volume_shipping": ORACLE_VOLUME_SHIPPING,
+        "returned_items": ORACLE_RETURNED_ITEMS,
+        "promo_revenue": ORACLE_PROMO_REVENUE,
+        "large_volume_orders": ORACLE_LARGE_VOLUME_ORDERS,
+        "brand_discount_revenue": ORACLE_BRAND_DISCOUNT_REVENUE,
         # ann_ivf_topk: seeded-sample centroids are engine-specific —
         # rows-only; recall vs exact top-k covered in pytest.
         # dedup_minhash_pairs / dedup_simhash / ann_lsh_topk: xxhash64-based

@@ -62,6 +62,13 @@ HEADLINE = [
     "json_props",
     "array_stats",
     "approx_distinct",
+    "shipping_priority",
+    "local_supplier_volume",
+    "volume_shipping",
+    "returned_items",
+    "promo_revenue",
+    "large_volume_orders",
+    "brand_discount_revenue",
 ]
 
 
