@@ -1445,6 +1445,188 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import market_share
+
+    return market_share(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+ORACLE_MARKET_SHARE = """
+WITH vol AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS volume,
+    sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+)
+SELECT o_year,
+  SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END) AS nation_volume,
+  SUM(volume) AS total_volume,
+  CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM vol GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import product_type_profit
+
+    return product_type_profit(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+ORACLE_PRODUCT_TYPE_PROFIT = """
+SELECT n_name AS nation,
+  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+  SUM(CAST(
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+    - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))
+  AS DECIMAL(18,4))) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import customer_order_distribution
+
+    return customer_order_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+ORACLE_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders ON c.c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import top_supplier
+
+    return top_supplier(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"))
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import small_quantity_revenue
+
+    return small_quantity_revenue(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+ORACLE_SMALL_QUANTITY_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    JOIN part p2 ON l2.l_partkey = p2.p_partkey
+    WHERE l2.l_partkey = lineitem.l_partkey AND p2.p_brand = 'Brand#23'
+  )
+"""
+
+
+def q_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import sole_returned_supplier
+
+    return sole_returned_supplier(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "orders")
+    )
+
+
+ORACLE_SOLE_RETURNED_SUPPLIER = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, l_returnflag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+    COUNT(DISTINCT l_suppkey) AS n_supp,
+    COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret_supp,
+    MIN(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS ret_suppkey
+  FROM li GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON ret_suppkey = s_suppkey
+WHERE n_supp > 1 AND n_ret_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC LIMIT 100
+"""
+
+
+def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import global_sales_opportunity
+
+    return global_sales_opportunity(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+ORACLE_GLOBAL_SALES_OPPORTUNITY = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+  WHERE c_nationkey IN (1, 2, 3, 4, 5)
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+  SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+FROM cust
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM cust WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = cust.c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver hooks
 # ---------------------------------------------------------------------------
@@ -1511,6 +1693,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "large_volume_orders": q_large_volume_orders,
         "brand_discount_revenue": q_brand_discount_revenue,
+        "market_share": q_market_share,
+        "product_type_profit": q_product_type_profit,
+        "customer_distribution": q_customer_distribution,
+        "top_supplier": q_top_supplier,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "sole_returned_supplier": q_sole_returned_supplier,
+        "global_sales_opportunity": q_global_sales_opportunity,
     }
 
 
@@ -1568,6 +1757,13 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue": ORACLE_PROMO_REVENUE,
         "large_volume_orders": ORACLE_LARGE_VOLUME_ORDERS,
         "brand_discount_revenue": ORACLE_BRAND_DISCOUNT_REVENUE,
+        "market_share": ORACLE_MARKET_SHARE,
+        "product_type_profit": ORACLE_PRODUCT_TYPE_PROFIT,
+        "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,
+        "top_supplier": ORACLE_TOP_SUPPLIER,
+        "small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
+        "sole_returned_supplier": ORACLE_SOLE_RETURNED_SUPPLIER,
+        "global_sales_opportunity": ORACLE_GLOBAL_SALES_OPPORTUNITY,
         # ann_ivf_topk: seeded-sample centroids are engine-specific —
         # rows-only; recall vs exact top-k covered in pytest.
         # dedup_minhash_pairs / dedup_simhash / ann_lsh_topk: xxhash64-based

@@ -69,6 +69,13 @@ HEADLINE = [
     "promo_revenue",
     "large_volume_orders",
     "brand_discount_revenue",
+    "market_share",
+    "product_type_profit",
+    "customer_distribution",
+    "top_supplier",
+    "small_quantity_revenue",
+    "sole_returned_supplier",
+    "global_sales_opportunity",
 ]
 
 

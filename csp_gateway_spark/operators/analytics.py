@@ -41,6 +41,13 @@ __all__ = [
     "promo_revenue_effect",
     "large_volume_orders",
     "brand_discount_revenue",
+    "market_share",
+    "product_type_profit",
+    "customer_order_distribution",
+    "top_supplier",
+    "small_quantity_revenue",
+    "sole_returned_supplier",
+    "global_sales_opportunity",
 ]
 
 
@@ -276,4 +283,266 @@ def brand_discount_revenue(
         .join(broadcast_dim(parts), F.col("l_partkey") == F.col("p_partkey"))
         .filter(pred)
         .agg(F.sum(net_revenue()).alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def market_share(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_1",
+    region_name: str = "ASIA",
+    part_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 shape: the target nation's share of revenue for one
+    part type sold into one region, by order year. The conditional
+    numerator keeps this a single aggregation — no self-join. part and
+    the customer-side region restriction are broadcast; lineitem
+    shuffles once (⨝orders) plus the final year group-by."""
+    parts = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    region_cust = (
+        customer.join(
+            broadcast_dim(
+                nation.join(
+                    broadcast_dim(region.filter(F.col("r_name") == region_name)),
+                    nation.n_regionkey == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            customer.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp = supplier.join(
+        broadcast_dim(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                    F.col("n_name").alias("supp_nation"))),
+        supplier.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    vol = net_revenue()
+    return (
+        lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount")
+        .join(broadcast_dim(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast_dim(region_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast_dim(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == target_nation, vol)
+                   .otherwise(F.lit(0).cast("decimal(18,4)"))).alias("nation_volume"),
+            F.sum(vol).alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            (F.col("nation_volume").cast("double")
+             / F.col("total_volume").cast("double")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    name_fragment: str = "red",
+) -> DataFrame:
+    """TPC-H Q9 shape, adapted: profit by supplier nation and year for
+    parts whose name contains a fragment. The testdata has no partsupp
+    table, so unit cost is `p_retailprice` instead of `ps_supplycost`
+    (same plan shape: fact ⨝ broadcast part ⨝ orders for the date).
+    profit = net revenue − retailprice·quantity, all decimal-exact."""
+    parts = part.filter(F.col("p_name").contains(name_fragment)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = supplier.join(
+        broadcast_dim(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    profit = (
+        net_revenue()
+        - (dec("p_retailprice") * dec("l_quantity")).cast("decimal(18,4)")
+    ).cast("decimal(18,4)")
+    return (
+        lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                        "l_extendedprice", "l_discount")
+        .join(broadcast_dim(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast_dim(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    exclude_priority: str = "5-LOW",
+) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many orders
+    they placed, zero-order customers included — a left OUTER join
+    (the one join kind the rest of the surface doesn't exercise), then
+    two aggregations. Both group-bys hash-partition on keys that
+    shrink monotonically (custkey → count), so the second shuffle is
+    tiny at any scale."""
+    ords = orders.filter(F.col("o_orderpriority") != exclude_priority).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(ords, customer.c_custkey == ords.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue over a
+    quarter. The scalar-subquery max is a broadcast of a 1-row
+    aggregate back onto the (already small) per-supplier revenue —
+    the fact table is read once thanks to exchange reuse."""
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from)) & (F.col("l_shipdate") < F.lit(date_to))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(net_revenue()).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(broadcast_dim(max_rev),
+                     revenue.total_revenue == F.col("max_revenue"))
+        .join(broadcast_dim(supplier.select("s_suppkey", "s_name")),
+              revenue.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#23",
+    fraction: float = 0.2,
+) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below ``fraction`` of the part's average quantity) were not
+    taken. The correlated scalar subquery becomes a per-part average
+    computed on the brand-filtered slice and broadcast back — the big
+    lineitem scan happens once per side but only the brand's partkeys
+    survive the broadcast semi-join, so both scans prune."""
+    parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    brand_lines = lineitem.join(
+        broadcast_dim(parts), lineitem.l_partkey == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    avg_qty = (
+        brand_lines.groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * F.lit(fraction)).alias("qty_threshold"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    return (
+        brand_lines.join(broadcast_dim(avg_qty),
+                         F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            # exact decimal sum → double before the /7 division: decimal
+            # division rounding is engine-specific, IEEE division is not
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .alias("avg_yearly")
+        )
+    )
+
+
+def sole_returned_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    order_status: str = "F",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q21 shape, adapted: suppliers who were the *only* supplier
+    with returned lines on a multi-supplier order (testdata has no
+    commit/receipt dates, so "returned" replaces "late"). The classic
+    EXISTS / NOT EXISTS pair is expressed as per-order supplier counts
+    computed in one pass over lineitem — instead of two correlated
+    self-joins, a single groupBy(l_orderkey) feeding a semi-join — so
+    lineitem shuffles once on orderkey, then once more for the
+    supplier ranking."""
+    ords = orders.filter(F.col("o_orderstatus") == order_status).select("o_orderkey")
+    li = lineitem.join(ords, lineitem.l_orderkey == ords.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+        F.first(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey")), ignorenulls=True
+        ).alias("ret_suppkey"),
+    )
+    qualifying = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
+    ).select(F.col("ret_suppkey").alias("l_suppkey"))
+    return (
+        qualifying.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(broadcast_dim(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+    )
+
+
+def global_sales_opportunity(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation_keys: tuple = (1, 2, 3, 4, 5),
+    priority: str = "1-URGENT",
+) -> DataFrame:
+    """TPC-H Q22 shape: wealthy customers (balance above the positive
+    average in selected nations) with no order of the given priority —
+    by nation. (The classic "never ordered" predicate is empty on the
+    synthetic data, where every customer orders; restricting to one
+    priority keeps the NOT EXISTS non-trivial.) The scalar subquery is
+    a 1-row broadcast; the NOT EXISTS is a left ANTI join against the
+    filtered orders key projection (shuffled once on custkey; at scale
+    this is the one unavoidable exchange)."""
+    cust = customer.filter(F.col("c_nationkey").isin(list(nation_keys))).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(broadcast_dim(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders.filter(F.col("o_orderpriority") == priority).select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
     )

@@ -100,3 +100,77 @@ def test_returned_items_only_r_flag(tables):
     )
     assert len(df.collect()) <= 5
     assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_market_share_bounds_and_plan(tables):
+    df = A.market_share(
+        tables["customer"], tables["orders"], tables["lineitem"],
+        tables["supplier"], tables["part"], tables["nation"], tables["region"],
+    )
+    assert "SortMergeJoin" not in _plan(df)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.nation_volume <= r.total_volume
+
+
+def test_product_type_profit_matches_manual(tables):
+    df = A.product_type_profit(
+        tables["lineitem"], tables["orders"], tables["supplier"],
+        tables["part"], tables["nation"], name_fragment="red",
+    )
+    assert "SortMergeJoin" not in _plan(df)
+    rows = df.collect()
+    assert rows
+    # nations sorted ASC, years DESC within nation
+    keys = [(r.nation, -r.o_year) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_customer_distribution_counts_all_customers(tables):
+    rows = A.customer_order_distribution(tables["customer"], tables["orders"]).collect()
+    assert sum(r.custdist for r in rows) == tables["customer"].count()
+
+
+def test_top_supplier_is_argmax(tables):
+    rows = A.top_supplier(tables["lineitem"], tables["supplier"]).collect()
+    assert rows
+    # recompute the max independently
+    expected = (
+        tables["lineitem"]
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(A.net_revenue()).alias("rev"))
+        .agg(F.max("rev").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert all(r.total_revenue == expected for r in rows)
+
+
+def test_small_quantity_revenue_shrinks_with_fraction(tables):
+    lo = A.small_quantity_revenue(tables["lineitem"], tables["part"], fraction=0.1).collect()[0]
+    hi = A.small_quantity_revenue(tables["lineitem"], tables["part"], fraction=0.9).collect()[0]
+    assert (lo.avg_yearly or 0.0) <= (hi.avg_yearly or 0.0)
+
+
+def test_sole_returned_supplier_invariants(tables):
+    df = A.sole_returned_supplier(tables["lineitem"], tables["supplier"], tables["orders"])
+    rows = df.collect()
+    assert all(r.numwait >= 1 for r in rows)
+    waits = [r.numwait for r in rows]
+    assert waits == sorted(waits, reverse=True)
+
+
+def test_global_sales_opportunity_anti_join(tables):
+    df = A.global_sales_opportunity(tables["customer"], tables["orders"])
+    rows = df.collect()
+    # every reported nation key was requested
+    assert {r.c_nationkey for r in rows} <= {1, 2, 3, 4, 5}
+    # anti-join: loosening the priority filter to an impossible value
+    # returns every wealthy customer
+    all_rows = A.global_sales_opportunity(
+        tables["customer"], tables["orders"], priority="NO-SUCH-PRIORITY"
+    ).collect()
+    assert sum(r.numcust for r in all_rows) >= sum(r.numcust for r in rows)
