@@ -1627,6 +1627,46 @@ ORDER BY c_nationkey
 """
 
 
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media column plumbing (operators/multimodal.py):
+    text bytes stand in for image/audio payloads (the container ships
+    no codecs — decode itself is the stubbed mapInPandas stage, pytest-
+    covered); byte-length + sha256 metadata and the size-bucket rollup
+    are all JVM-native over the binary column."""
+    from csp_gateway_spark.operators.multimodal import with_content_meta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    meta = with_content_meta(docs, digest="sha256")
+    return (
+        # floor, not cast: DuckDB CAST(double AS INT) rounds half-to-even,
+        # Spark truncates — floor agrees everywhere
+        meta.groupBy(F.floor(F.col("n_bytes") / 256).cast("int").alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("sha256").alias("min_digest"),
+        )
+        .orderBy("size_bucket")
+    )
+
+
+ORACLE_MULTIMODAL_META = """
+WITH meta AS (
+  SELECT doc_id,
+    OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+    SHA256(text) AS sha256
+  FROM documents
+)
+SELECT CAST(FLOOR(n_bytes / 256.0) AS INTEGER) AS size_bucket,
+  COUNT(*) AS n_docs,
+  SUM(n_bytes) AS total_bytes,
+  MIN(sha256) AS min_digest
+FROM meta GROUP BY size_bucket ORDER BY size_bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver hooks
 # ---------------------------------------------------------------------------
@@ -1700,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "sole_returned_supplier": q_sole_returned_supplier,
         "global_sales_opportunity": q_global_sales_opportunity,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -1764,6 +1805,7 @@ def oracle_sql() -> dict[str, str]:
         "small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
         "sole_returned_supplier": ORACLE_SOLE_RETURNED_SUPPLIER,
         "global_sales_opportunity": ORACLE_GLOBAL_SALES_OPPORTUNITY,
+        "multimodal_meta": ORACLE_MULTIMODAL_META,
         # ann_ivf_topk: seeded-sample centroids are engine-specific —
         # rows-only; recall vs exact top-k covered in pytest.
         # dedup_minhash_pairs / dedup_simhash / ann_lsh_topk: xxhash64-based

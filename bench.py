@@ -76,6 +76,7 @@ HEADLINE = [
     "small_quantity_revenue",
     "sole_returned_supplier",
     "global_sales_opportunity",
+    "multimodal_meta",
 ]
 
 

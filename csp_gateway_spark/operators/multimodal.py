@@ -44,10 +44,19 @@ def media_schema(extra_fields: Optional[list] = None) -> T.StructType:
     return T.StructType(fields + (extra_fields or []))
 
 
-def with_content_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Cheap native metadata: byte length + sha1 — no Python."""
+def with_content_meta(
+    df: DataFrame, content_col: str = "content", digest: str = "sha1"
+) -> DataFrame:
+    """Cheap native metadata: byte length + content digest — no Python.
+
+    ``digest="sha256"`` is the engine-portable choice (DuckDB has no
+    sha1), used by the oracle-checked ``multimodal_meta`` query.
+    """
+    dig = (
+        F.sha2(F.col(content_col), 256) if digest == "sha256" else F.sha1(F.col(content_col))
+    )
     return df.withColumn("n_bytes", F.length(F.col(content_col))).withColumn(
-        "sha1", F.sha1(F.col(content_col))
+        digest, dig
     )
 
 
