@@ -82,3 +82,62 @@ def test_streaming_session_windows(spark, tmp_path):
         assert rows[("2026-01-01 10:02:00", "a")] == 1  # split session
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Purchase (left) attributes to views (right) of the same user
+    within [0, 10 min] AFTER the purchase-relative lower bound; a view
+    outside the interval never matches."""
+    from csp_gateway_spark.streaming.joins import interval_join_stream
+
+    lsrc, rsrc = tmp_path / "buy", tmp_path / "view"
+    lsrc.mkdir(); rsrc.mkdir()
+    buys = spark.readStream.schema("bts timestamp, user string, amt double").json(str(lsrc))
+    views = spark.readStream.schema("vts timestamp, user string, page string").json(str(rsrc))
+    # views in the 10 minutes BEFORE the purchase: lower=-10m, upper=0s
+    joined = interval_join_stream(
+        buys, views, key="user", left_ts="bts", right_ts="vts",
+        lower="-10 minutes", upper="0 seconds",
+    ).select("user", "bts", "vts", "page", "amt")
+    q = (
+        joined.writeStream.outputMode("append").format("memory")
+        .queryName("attrib").option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    try:
+        _drop(rsrc, "v1.json", [
+            {"vts": "2026-01-01T10:00:00", "user": "a", "page": "p1"},   # in window
+            {"vts": "2026-01-01T09:40:00", "user": "a", "page": "old"},  # too early
+            {"vts": "2026-01-01T10:01:00", "user": "b", "page": "p2"},   # other user
+        ])
+        _drop(lsrc, "b1.json", [{"bts": "2026-01-01T10:05:00", "user": "a", "amt": 9.5}])
+        q.processAllAvailable()
+        rows = spark.table("attrib").collect()
+        assert [(r.user, r.page) for r in rows] == [("a", "p1")]
+    finally:
+        q.stop()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate ids inside the watermark collapse to one row; a fresh
+    id passes through (replay at-least-once -> exactly-once)."""
+    from csp_gateway_spark.streaming.joins import dedup_stream
+
+    src = tmp_path / "dd"
+    src.mkdir()
+    stream = spark.readStream.schema("ts timestamp, id string, v long").json(str(src))
+    q = (
+        dedup_stream(stream, ["id"], "ts", watermark="1 minute")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("dd").option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    try:
+        _drop(src, "b1.json", [
+            {"ts": "2026-01-01T10:00:00", "id": "x", "v": 1},
+            {"ts": "2026-01-01T10:00:05", "id": "x", "v": 2},  # dup within watermark
+            {"ts": "2026-01-01T10:00:10", "id": "y", "v": 3},
+        ])
+        q.processAllAvailable()
+        got = sorted((r.id, r.v) for r in spark.table("dd").collect())
+        assert got == [("x", 1), ("y", 3)]
+    finally:
+        q.stop()
