@@ -20,6 +20,10 @@ from csp_gateway_spark.query import Filter, Query, apply_query
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os
 
+    # The driver builds its own SparkSession (not csp_gateway_spark.session),
+    # so the conf that lets Spark read events.parquet's INT64 TIMESTAMP(NANOS)
+    # column as a long must be set here, at runtime, on whatever session we get.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
