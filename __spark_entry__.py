@@ -1665,7 +1665,7 @@ WITH meta AS (
 )
 SELECT CAST(FLOOR(n_bytes / 256.0) AS INTEGER) AS size_bucket,
   COUNT(*) AS n_docs,
-  SUM(n_bytes) AS total_bytes,
+  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
   MIN(sha256) AS min_digest
 FROM meta GROUP BY size_bucket ORDER BY size_bucket
 """
@@ -1675,13 +1675,42 @@ FROM meta GROUP BY size_bucket ORDER BY size_bucket
 # driver hooks
 # ---------------------------------------------------------------------------
 
+def _stable(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Cast the final projection's decimal columns to double.
+
+    DuckDB's ``fetchdf`` renders DECIMAL results as float64 while Spark's
+    ``toPandas`` yields ``decimal.Decimal`` objects, so a stringified value
+    hash disagrees exactly when a value has trailing zeros ('253942.00' vs
+    '253942.0').  Aggregations stay decimal internally (exact, independent of
+    summation order); only the final output is widened to double, which is
+    the bit-identical correctly-rounded value on both engines.
+    """
+    from pyspark.sql.types import DecimalType
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = fn(spark, sf_dir)
+        if any(isinstance(f.dataType, DecimalType) for f in df.schema.fields):
+            df = df.select(
+                *[
+                    F.col(f.name).cast("double").alias(f.name)
+                    if isinstance(f.dataType, DecimalType)
+                    else F.col(f.name)
+                    for f in df.schema.fields
+                ]
+            )
+        return df
+
+    run.__name__ = getattr(fn, "__name__", "q")
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    raw = {
         "state_keyed_last": q_state_keyed_last,
         "state_filter_query": q_state_filter_query,
         "perspective_view": q_perspective_view,
@@ -1746,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_sales_opportunity": q_global_sales_opportunity,
         "multimodal_meta": q_multimodal_meta,
     }
+    return {name: _stable(fn) for name, fn in raw.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -79,6 +79,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> bool:
         except Exception as e:  # noqa: BLE001
             print(f"  [{name}] compare error col={c}: {e}")
             ok = False
+    # Driver-hash proxy: the driver stringifies values before hashing, so
+    # representation drift (Decimal('1.20') vs float 1.2) fails its gate even
+    # when values are numerically exact.  Require exact stringified equality.
+    if ok:
+        for c in s.columns:
+            seq = s[c].astype(str).values
+            deq = d[c].astype(str).values
+            if not (seq == deq).all():
+                bad = [(a, b) for a, b in zip(seq, deq) if a != b][:3]
+                print(f"  [{name}] STR-RENDER mismatch col={c} e.g. {bad}")
+                ok = False
     return ok
 
 
