@@ -542,16 +542,49 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 
 
 # ---------------------------------------------------------------------------
-# DEDUP — MinHash LSH pairs + SimHash (xxhash64-based; rows-only checks)
+# DEDUP — MinHash LSH pairs (portable banding — the oracle replicates the
+# candidate generation + verify exactly) + SimHash (xxhash64; rows-only)
 # ---------------------------------------------------------------------------
+
+_MH_PAIR_HASHES = 16
+_MH_PAIR_BANDS = 4
+_MH_PAIR_ROWS = _MH_PAIR_HASHES // _MH_PAIR_BANDS
+
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, jaccard_threshold=0.5).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    return minhash_lsh_pairs(
+        docs,
+        num_hashes=_MH_PAIR_HASHES,
+        bands=_MH_PAIR_BANDS,
+        jaccard_threshold=0.5,
+        oracle_safe=True,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+ORACLE_DEDUP_MINHASH_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles()} AS s FROM documents
+), sig AS (
+  SELECT doc_id, list_transform(range(0, {_MH_PAIR_HASHES}), seed ->
+    list_min(list_transform(s, sx -> substr(md5(seed || ':' || sx), 1, 15)))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, band,
+         array_to_string(sig[band*{_MH_PAIR_ROWS}+1 : band*{_MH_PAIR_ROWS}+{_MH_PAIR_ROWS}], '|') AS bh
+  FROM sig, (SELECT unnest(range(0, {_MH_PAIR_BANDS})) AS band) bs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT id_a, id_b,
+    len(list_intersect(sa.s, sb.s)) / len(list_distinct(list_concat(sa.s, sb.s))) AS j
+  FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.5
+"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,10 +620,22 @@ ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id AS
 # ---------------------------------------------------------------------------
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs verifier (blocked BLAS tiles).  The testdata
+    embeddings are near-uniform (qualifying pairs sit at cos 0.40-0.60,
+    far below any LSH-recallable regime), so the exact join IS the
+    correct algorithm for this threshold; the LSH-blocked scale path is
+    gated separately as ``embedding_neardup_lsh``.  Plan construction is
+    job-free (block count from Catalyst stats)."""
+    import os
+
+    import pyarrow.parquet as pq
+
     from csp_gateway_spark.operators.dedup import embedding_neardup_blocked
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_neardup_blocked(emb, threshold=0.4)
+    # exact row count from the parquet footer — metadata only, no job
+    n = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    out = embedding_neardup_blocked(emb, threshold=0.4, n_rows=n)
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
@@ -602,8 +647,49 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 """
 
 
+def _sql_lsh_bucket_expr(bits: int, dim: int = 64, seed: int = 7, vec: str = "e") -> str:
+    """DuckDB expression replicating ``similarity.lsh_bucket`` bit-exactly:
+    the hyperplanes are deterministic (seeded LCG), so they are inlined
+    as literals on both engines."""
+    from csp_gateway_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, seed)
+    terms = []
+    for i, p in enumerate(planes):
+        lits = ", ".join(repr(x) for x in p)
+        terms.append(f"(CASE WHEN list_dot_product({vec}, [{lits}]) >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_NEARDUP_LSH_BITS = 4
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: hyperplane-LSH blocking → per-bucket exact cosine.
+    At 100 TB the bucket join shuffles on the bucket id (2^bits groups,
+    hash-balanced); no all-pairs stage exists in the plan."""
+    from csp_gateway_spark.operators.dedup import embedding_neardup_pairs
+    from csp_gateway_spark.operators.similarity import lsh_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = lsh_bucket(emb, dim=64, bits=_NEARDUP_LSH_BITS, seed=7)
+    out = embedding_neardup_pairs(b, threshold=0.4, bucket_col="bucket")
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+ORACLE_EMBEDDING_NEARDUP_LSH = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (SELECT vec_id, e, {_sql_lsh_bucket_expr(_NEARDUP_LSH_BITS)} AS bucket FROM v)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       round(list_cosine_similarity(a.e, b2.e), 6) AS cos
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE list_cosine_similarity(a.e, b2.e) >= 0.4
+"""
+
+
 # ---------------------------------------------------------------------------
-# ANN — LSH-bucketed top-k (scale path; rows-only, recall tested in pytest)
+# ANN — LSH-bucketed top-k (scale path; oracle replicates the deterministic
+# hyperplane buckets and the hamming-1 multi-probe in SQL)
 # ---------------------------------------------------------------------------
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,6 +699,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     out = lsh_topk(emb.filter(F.col("vec_id") != 0), qv, dim=64, k=10, bits=8)
     return out.select("vec_id", F.round("cos", 6).alias("cos"))
+
+
+ORACLE_ANN_LSH_TOPK = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (SELECT vec_id, e, {_sql_lsh_bucket_expr(8)} AS bucket FROM v),
+q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(e, qe), 6) AS cos
+FROM b, q
+WHERE vec_id != 0 AND bit_count(xor(bucket, qb)) <= 1
+ORDER BY list_cosine_similarity(e, qe) DESC, vec_id ASC LIMIT 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1731,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
@@ -1798,6 +1896,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
         "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+        "embedding_neardup_lsh": ORACLE_EMBEDDING_NEARDUP_LSH,
+        "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+        "dedup_minhash_pairs": ORACLE_DEDUP_MINHASH_PAIRS,
         "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
         "top_customers": ORACLE_TOP_CUSTOMERS,
         "channel_processor": ORACLE_CHANNEL_PROCESSOR,
@@ -1842,7 +1943,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": ORACLE_MULTIMODAL_META,
         # ann_ivf_topk: seeded-sample centroids are engine-specific —
         # rows-only; recall vs exact top-k covered in pytest.
-        # dedup_minhash_pairs / dedup_simhash / ann_lsh_topk: xxhash64-based
-        # (engine-specific) — rows-only check; parity covered by
-        # minhash_signature + ngram_jaccard oracles and pytest recall tests.
+        # dedup_simhash: xxhash64-based (engine-specific) — rows-only;
+        # parity covered by minhash_signature + ngram_jaccard oracles and
+        # pytest recall tests.
     }

@@ -165,6 +165,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     jaccard_threshold: Optional[float] = None,
+    oracle_safe: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, optionally
     verified with exact shingle Jaccard.
@@ -173,21 +174,30 @@ def minhash_lsh_pairs(
     self-join on (band, band_hash) = shuffle keyed on band hash →
     distinct pairs → optional verify join back to shingle sets.
     No O(n²) stage; bucket join size is bounded by collision groups.
+
+    ``oracle_safe`` switches both the signature hash and the band key
+    to engine-portable forms (md5-hex minhashes, concat band key) so an
+    external engine can replicate the candidate set exactly; default is
+    xxhash64 (faster, engine-specific).
     """
     rows = num_hashes // bands
     # no manual materialization: both self-join sides share an identical
     # shuffle, so Spark's ReusedExchange computes signatures once
     # (verified: a localCheckpoint here was ~1.7× slower)
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, oracle_safe=oracle_safe)
+
+    def _band_key(b: int) -> Column:
+        sl = F.slice(F.col("sig"), b * rows + 1, rows)
+        # portable key: minhashes are fixed-width hex strings, so a
+        # delimited concat is collision-free and engine-reproducible
+        return F.concat_ws("|", sl) if oracle_safe else F.xxhash64(sl)
+
     banded = sig.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _band_key(b).alias("bh"))
                     for b in range(bands)
                 ]
             )
@@ -372,12 +382,33 @@ def embedding_neardup_pairs(
     )
 
 
+def _estimated_rows(df: DataFrame) -> Optional[int]:
+    """Metadata-only row estimate from Catalyst statistics — no job runs.
+
+    Uses the optimized plan's ``rowCount`` when CBO stats exist, else
+    ``sizeInBytes / schema.defaultSize()``.  For parquet sources
+    sizeInBytes is the file size while defaultSize undercounts variable
+    width columns, so the estimate errs toward MORE rows — which for
+    block sizing means smaller tiles (memory-safe), never larger ones.
+    """
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return max(1, int(str(rc.get())))
+        width = max(8, int(df._jdf.schema().defaultSize()))
+        return max(1, int(str(stats.sizeInBytes())) // width)
+    except Exception:  # noqa: BLE001 — py4j surface varies across versions
+        return None
+
+
 def embedding_neardup_blocked(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
     block_rows: int = 4096,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold via blocked matrix multiply.
 
@@ -389,10 +420,20 @@ def embedding_neardup_blocked(
     tiles, each tile a task — embarrassingly parallel, bounded memory
     (2 · block_rows · d · 8 bytes per task).  Blocks are hash-assigned
     so skew is impossible.
+
+    This is the exact VERIFIER: O(n²) flops is inherent to an exact
+    all-pairs similarity join, so at corpus scale run it only within
+    LSH buckets (``similarity.lsh_bucket`` + ``embedding_neardup_pairs``)
+    or on candidate subsets.  Block count comes from ``n_rows`` (pass it
+    when known) or a metadata-only Catalyst estimate — plan construction
+    runs no Spark job.
     """
     import pandas as pd  # noqa: F401 — needed on executors
 
-    n = df.count()
+    n = n_rows if n_rows is not None else (_estimated_rows(df) or 0)
+    if n <= 0:
+        # no statistics at all: size blocks off the scan's parallelism
+        n = block_rows * max(1, df.rdd.getNumPartitions())
     n_blocks = max(1, -(-n // block_rows))
     v = df.select(
         F.col(id_col).alias("_id"),
@@ -435,9 +476,20 @@ def embedding_neardup_blocked(
                 ia, ib = np.nonzero(sims >= thr)
                 if len(ia):
                     va, vb = ids_a[ia], ids_b[ib]
-                    keep = va < vb  # dedupe + drop self-pairs
-                    out_a.append(va[keep])
-                    out_b.append(vb[keep])
+                    if row["blk_a"] == row["blk_b"]:
+                        # diagonal tile: each {x,y} appears at (i,j) AND
+                        # (j,i) — keep one orientation, drop self-pairs
+                        keep = va < vb
+                        lo, hi = va[keep], vb[keep]
+                    else:
+                        # off-diagonal tile: ids are disjoint across
+                        # blocks and each pair appears once — keep all,
+                        # canonicalize orientation
+                        keep = np.ones(len(va), dtype=bool)
+                        lo = np.minimum(va, vb)
+                        hi = np.maximum(va, vb)
+                    out_a.append(lo)
+                    out_b.append(hi)
                     out_c.append(sims[ia, ib][keep])
             if out_a:
                 yield pd.DataFrame(
