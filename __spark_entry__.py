@@ -501,6 +501,21 @@ def _sql_shingles(k: int = _SHINGLE_K) -> str:
     )
 
 
+def _sql_affine_minhash(num_hashes: int, elem: str = "s", seed_ref: str = "seed") -> str:
+    """DuckDB expression replicating the portable affine minhash family
+    (one md5 per shingle, per-seed 2-universal rehash; see
+    dedup._affine_coeffs — coefficients inlined as literals)."""
+    from csp_gateway_spark.operators.dedup import _AFFINE_P, _affine_coeffs
+
+    coeffs = _affine_coeffs(num_hashes)
+    a_lits = ", ".join(str(a) for a, _ in coeffs)
+    c_lits = ", ".join(str(c) for _, c in coeffs)
+    base = f"('0x' || substr(md5({elem}), 1, 7))::BIGINT"
+    return (
+        f"(([{a_lits}])[{seed_ref}+1] * {base} + ([{c_lits}])[{seed_ref}+1]) % {_AFFINE_P}"
+    )
+
+
 ORACLE_MINHASH_SIGNATURE = f"""
 WITH sh AS (
   SELECT doc_id, {_sql_shingles()} AS shingles FROM documents
@@ -508,7 +523,7 @@ WITH sh AS (
   SELECT unnest(range(0, {_MH_SEEDS})) AS seed
 )
 SELECT doc_id, seed,
-       list_min(list_transform(shingles, s -> substr(md5(seed || ':' || s), 1, 15))) AS minhash
+       list_min(list_transform(shingles, s -> {_sql_affine_minhash(_MH_SEEDS)})) AS minhash
 FROM sh, seeds
 """
 
@@ -569,7 +584,7 @@ WITH sh AS (
   SELECT doc_id, {_sql_shingles()} AS s FROM documents
 ), sig AS (
   SELECT doc_id, list_transform(range(0, {_MH_PAIR_HASHES}), seed ->
-    list_min(list_transform(s, sx -> substr(md5(seed || ':' || sx), 1, 15)))) AS sig
+    list_min(list_transform(s, sx -> {_sql_affine_minhash(_MH_PAIR_HASHES, elem="sx")}))) AS sig
   FROM sh
 ), banded AS (
   SELECT doc_id, band,

@@ -98,6 +98,35 @@ def _hash_md5_hex(col: Column, seed: int) -> Column:
     return F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15)
 
 
+# Portable fast minhash family: ONE md5 per shingle (the expensive part),
+# then per-seed 2-universal affine rehash h_i = (a_i·x + c_i) mod 2³¹−1
+# over the 28-bit base x = int(md5[:7], 16).  This is the standard
+# datasketch-style permutation family — independent random multipliers,
+# NOT Kirsch-Mitzenmacher h1+i·h2 (which collapses band diversity for
+# min-over-set hashing; see the note in ``minhash_signatures``).
+# DuckDB mirror: (a_i * ('0x'||substr(md5(s),1,7))::BIGINT + c_i) % p.
+_AFFINE_P = (1 << 31) - 1
+
+
+def _affine_coeffs(num: int, seed: int = 11) -> list[tuple[int, int]]:
+    """Deterministic (a_i, c_i) pairs from a seeded LCG — reproducible on
+    any engine because they are inlined as literals."""
+    state = seed
+    out = []
+    for _ in range(num):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (state >> 33) % (_AFFINE_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        c = (state >> 33) % _AFFINE_P
+        out.append((a, c))
+    return out
+
+
+def _md5_base(col: Column) -> Column:
+    """28-bit integer base hash: int(md5(s)[:7], 16) — one md5 per value."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
 def minhash_signature(col: Column, num_hashes: int = 32, k: int = 3, oracle_safe: bool = False) -> Column:
     """Array of ``num_hashes`` min-hash values over word k-shingles.
 
@@ -140,11 +169,23 @@ def minhash_signatures(
     # min-over-shingles of correlated h_i collapses band diversity
     # (every band collides), exploding candidates 4× slower AND
     # breaking recall.  KM is safe for Bloom filters, not MinHash.
-    hf = _hash_md5_hex if oracle_safe else _hash64
+    # (Affine a_i·x + c_i with per-seed random multipliers does NOT
+    # have that failure: the argmin permutes with each multiplier.)
     sh_rows = shingle_rows(df, text_col, id_col, k)
-    hashed = sh_rows.select(
-        id_col, *[hf(F.col("_s"), i).alias(f"_h{i}") for i in range(num_hashes)]
-    )
+    if oracle_safe:
+        coeffs = _affine_coeffs(num_hashes)
+        based = sh_rows.select(id_col, _md5_base(F.col("_s")).alias("_x"))
+        hashed = based.select(
+            id_col,
+            *[
+                ((F.lit(a) * F.col("_x") + F.lit(c)) % F.lit(_AFFINE_P)).alias(f"_h{i}")
+                for i, (a, c) in enumerate(coeffs)
+            ],
+        )
+    else:
+        hashed = sh_rows.select(
+            id_col, *[_hash64(F.col("_s"), i).alias(f"_h{i}") for i in range(num_hashes)]
+        )
     agg = hashed.groupBy(id_col).agg(
         *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
     )
@@ -188,9 +229,11 @@ def minhash_lsh_pairs(
 
     def _band_key(b: int) -> Column:
         sl = F.slice(F.col("sig"), b * rows + 1, rows)
-        # portable key: minhashes are fixed-width hex strings, so a
-        # delimited concat is collision-free and engine-reproducible
-        return F.concat_ws("|", sl) if oracle_safe else F.xxhash64(sl)
+        if oracle_safe:
+            # portable key: delimited concat of the band's minhash values —
+            # collision-free and engine-reproducible (DuckDB array_to_string)
+            return F.concat_ws("|", F.transform(sl, lambda x: x.cast("string")))
+        return F.xxhash64(sl)
 
     banded = sig.select(
         id_col,
