@@ -1784,6 +1784,34 @@ FROM meta GROUP BY size_bucket ORDER BY size_bucket
 
 
 # ---------------------------------------------------------------------------
+# HYPERTABLE — multi-resolution rollup cascade (operators/rollup.py); the
+# 3600 s level is derived from the 60 s level, never from raw events, and
+# the oracle replicates that cascade
+# ---------------------------------------------------------------------------
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.rollup import hypertable_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    levels = hypertable_rollup(ev, widths_sec=(60, 3600))
+    return levels[3600].orderBy("bucket_start", "event_type")
+
+
+ORACLE_HYPERTABLE_ROLLUP = """
+WITH f AS (
+  SELECT (epoch_ns(ts) // 60000000000) * 60 AS bucket_start, event_type,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
+         MIN(value) AS min_value, MAX(value) AS max_value
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket_start - bucket_start % 3600 AS bucket_start, event_type,
+       CAST(SUM(n) AS BIGINT) AS n, SUM(sum_value) AS sum_value,
+       MIN(min_value) AS min_value, MAX(max_value) AS max_value
+FROM f GROUP BY 1, 2 ORDER BY bucket_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver hooks
 # ---------------------------------------------------------------------------
 
@@ -1887,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sole_returned_supplier": q_sole_returned_supplier,
         "global_sales_opportunity": q_global_sales_opportunity,
         "multimodal_meta": q_multimodal_meta,
+        "hypertable_rollup": q_hypertable_rollup,
     }
     return {name: _stable(fn) for name, fn in raw.items()}
 
@@ -1956,6 +1985,7 @@ def oracle_sql() -> dict[str, str]:
         "sole_returned_supplier": ORACLE_SOLE_RETURNED_SUPPLIER,
         "global_sales_opportunity": ORACLE_GLOBAL_SALES_OPPORTUNITY,
         "multimodal_meta": ORACLE_MULTIMODAL_META,
+        "hypertable_rollup": ORACLE_HYPERTABLE_ROLLUP,
         # ann_ivf_topk: seeded-sample centroids are engine-specific —
         # rows-only; recall vs exact top-k covered in pytest.
         # dedup_simhash: xxhash64-based (engine-specific) — rows-only;

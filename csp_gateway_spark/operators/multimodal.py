@@ -52,9 +52,12 @@ def with_content_meta(
     ``digest="sha256"`` is the engine-portable choice (DuckDB has no
     sha1), used by the oracle-checked ``multimodal_meta`` query.
     """
-    dig = (
-        F.sha2(F.col(content_col), 256) if digest == "sha256" else F.sha1(F.col(content_col))
-    )
+    if digest == "sha256":
+        dig = F.sha2(F.col(content_col), 256)
+    elif digest == "sha1":
+        dig = F.sha1(F.col(content_col))
+    else:
+        raise ValueError(f"unsupported digest {digest!r}: use 'sha256' or 'sha1'")
     return df.withColumn("n_bytes", F.length(F.col(content_col))).withColumn(
         digest, dig
     )

@@ -33,12 +33,19 @@ NS_PER_SEC = 1_000_000_000
 
 
 def bucket_start_sec(ts_ns: Column, width_sec: int) -> Column:
-    """Tumbling-bucket start (epoch seconds) from an epoch-nanos column
-    — pure integer arithmetic (`div`), codegen-friendly."""
+    """Tumbling-bucket start (epoch seconds) from an epoch-nanos column.
+
+    All-integer path: the mod-subtraction stays in longs, and the final
+    /1e9 runs in decimal(38,0) — the quotient is integral by
+    construction, so the narrowing cast is exact.  No double ever holds
+    an epoch-ns value (~1.7e18 > 2^53), which would corrupt bucket
+    edges for far-future/pre-1970 timestamps."""
     width_ns = width_sec * NS_PER_SEC
-    return (ts_ns.cast("long") - (ts_ns.cast("long") % F.lit(width_ns))) / F.lit(
-        NS_PER_SEC
-    )
+    t = ts_ns.cast("long")
+    # pmod, not %: Spark's % keeps the dividend's sign, which would
+    # truncate pre-1970 timestamps toward zero instead of flooring
+    m = t - F.pmod(t, F.lit(width_ns))
+    return (m.cast("decimal(38,0)") / F.lit(NS_PER_SEC)).cast("long")
 
 
 def _finest(
@@ -48,11 +55,14 @@ def _finest(
     keys: Sequence[str],
     width_sec: int,
 ) -> DataFrame:
-    b = bucket_start_sec(F.col(ts_ns_col), width_sec).cast("long").alias("bucket_start")
+    b = bucket_start_sec(F.col(ts_ns_col), width_sec).alias("bucket_start")
     v = F.col(value_col).cast("decimal(18,2)")
+    # sums keep their widened result type (decimal(28,2)): narrowing an
+    # aggregate below its natural precision silently NULLs on overflow
+    # at the 100 TB design point (non-ANSI default)
     return df.groupBy(b, *keys).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(v).cast("decimal(18,2)").alias("sum_value"),
+        F.sum(v).alias("sum_value"),
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
     )
@@ -62,13 +72,13 @@ def _coarsen(finer: DataFrame, keys: Sequence[str], width_sec: int) -> DataFrame
     """Re-aggregate a finer rollup level to ``width_sec`` buckets —
     mergeable aggregates only, reads the rollup, not raw data."""
     b = (
-        (F.col("bucket_start") - (F.col("bucket_start") % F.lit(width_sec)))
+        (F.col("bucket_start") - F.pmod(F.col("bucket_start"), F.lit(width_sec)))
         .cast("long")
         .alias("bucket_start")
     )
     return finer.groupBy(b, *keys).agg(
         F.sum("n").alias("n"),
-        F.sum("sum_value").cast("decimal(18,2)").alias("sum_value"),
+        F.sum("sum_value").alias("sum_value"),
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
     )
@@ -96,12 +106,6 @@ def hypertable_rollup(
         if b % a:
             raise ValueError(f"rollup widths must nest: {b} % {a} != 0")
     levels: dict[int, DataFrame] = {widths[0]: _finest(df, ts_ns_col, value_col, keys, widths[0])}
-    for w in widths[1:]:
-        levels[w] = _coarsen(levels[widths[0] if w == widths[1] else prev], keys, w)  # noqa: F821
-        prev = w
-    # (rebuild cleanly: the loop above needs the previous level, not a
-    # conditional — kept simple below)
-    levels = {widths[0]: _finest(df, ts_ns_col, value_col, keys, widths[0])}
     prev_df = levels[widths[0]]
     for w in widths[1:]:
         prev_df = _coarsen(prev_df, keys, w)
