@@ -128,6 +128,7 @@ class GatewayApi:
         api_keys: Optional[List[str]] = None,
         readonly: bool = False,
         heartbeat_interval: float = 1.0,
+        auth: Optional[Any] = None,
     ):
         self.catalog = catalog
         self.identity_filter = identity_filter or {}
@@ -139,10 +140,35 @@ class GatewayApi:
 
         self.subs = SubscriptionManager()
         self.fields: Dict[str, Any] = {}  # GET /field/<name> statics
+        # auth middleware (serving/auth.py): explicit instance wins; a bare
+        # api_keys list keeps working as an implicit ApiKeyAuth
+        if auth is None and self.api_keys:
+            from csp_gateway_spark.serving.auth import ApiKeyAuth
+
+            auth = ApiKeyAuth(self.api_keys)
+        self.auth = auth
 
     def check_api_key(self, supplied: Optional[str]) -> None:
         if self.api_keys and supplied not in self.api_keys:
             raise ApiError(401, "invalid or missing API key")
+
+    def check_request(
+        self,
+        headers: Optional[Dict[str, str]] = None,
+        cookies: Optional[Dict[str, str]] = None,
+        query_params: Optional[Dict[str, str]] = None,
+    ) -> Optional[Dict[str, Any]]:
+        """Resolve the request's identity through the configured auth
+        middleware; 401 when auth is on and no credential validates.
+        Returns the identity dict (None when auth is disabled)."""
+        if self.auth is None:
+            return None
+        identity = self.auth.identity_from_request(
+            headers=headers, cookies=cookies, query_params=query_params
+        )
+        if identity is None:
+            raise ApiError(401, "unauthorized")
+        return identity
 
     def key_field(self, channel: str) -> Optional[str]:
         keys = self.catalog._state_keys.get(channel)
@@ -575,11 +601,13 @@ class GatewayHttpServer:
             def log_message(self, *args):  # quiet
                 pass
 
-            def _reply(self, status: int, body: Any) -> None:
+            def _reply(self, status: int, body: Any, extra_headers: Optional[Dict[str, str]] = None) -> None:
                 data = json.dumps(body).encode()
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(data)))
+                for k, v in (extra_headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(data)
 
@@ -591,6 +619,67 @@ class GatewayHttpServer:
                         if part.strip().startswith("token="):
                             supplied = part.strip()[len("token="):]
                 return supplied
+
+            def _req_ctx(self, qs):
+                from csp_gateway_spark.serving.auth import _cookie_dict
+
+                headers = {k: v for k, v in self.headers.items()}
+                cookies = _cookie_dict(self.headers.get("Cookie", ""))
+                query = {k: v[0] for k, v in qs.items()}
+                return headers, cookies, query
+
+            def _check(self, qs):
+                headers, cookies, query = self._req_ctx(qs)
+                return outer.api.check_request(
+                    headers=headers, cookies=cookies, query_params=query
+                )
+
+            def _auth_route(self, method: str, rest, qs):
+                """Public auth endpoints (login/callback/logout) + userinfo.
+                Mirrors the reference's auth routers (simple.py /login,
+                oauth.py /login /callback /logout /userinfo)."""
+                from csp_gateway_spark.serving.auth import OAuth2Auth, SimpleAuth
+
+                auth = outer.api.auth
+                headers, cookies, query = self._req_ctx(qs)
+                if method == "POST" and rest == ["login"] and isinstance(auth, SimpleAuth):
+                    length = int(self.headers.get("Content-Length", 0))
+                    try:
+                        payload = json.loads(self.rfile.read(length) or b"{}")
+                    except json.JSONDecodeError as e:
+                        raise ApiError(422, f"malformed JSON body: {e}") from e
+                    sid = auth.login(payload.get("username", ""), payload.get("password", ""))
+                    if sid is None:
+                        raise ApiError(401, "unauthorized")
+                    return self._reply(
+                        200,
+                        {"status": "ok", "session": sid},
+                        {"Set-Cookie": f"{auth.cookie_name}={sid}; HttpOnly"},
+                    )
+                if method == "GET" and rest == ["login"] and isinstance(auth, OAuth2Auth):
+                    host = self.headers.get("Host", "localhost")
+                    redirect_uri = f"http://{host}/api/v1/auth/callback"
+                    return self._reply(200, {"redirect": auth.authorize_redirect(redirect_uri)})
+                if method == "GET" and rest == ["callback"] and isinstance(auth, OAuth2Auth):
+                    code = query.get("code")
+                    if query.get("error"):
+                        raise ApiError(400, query["error"])
+                    if not code:
+                        raise ApiError(400, "No authorization code provided")
+                    host = self.headers.get("Host", "localhost")
+                    sid = auth.handle_callback(code, f"http://{host}/api/v1/auth/callback")
+                    return self._reply(
+                        200,
+                        {"status": "ok", "session": sid},
+                        {"Set-Cookie": f"{auth.cookie_name}={sid}; HttpOnly"},
+                    )
+                if method == "GET" and rest == ["logout"] and auth is not None:
+                    auth.drop_session(cookies.get(auth.cookie_name))
+                    return self._reply(200, {"status": "ok"})
+                if method == "GET" and rest == ["userinfo"]:
+                    identity = self._check(qs)
+                    return self._reply(200, _jsonable(identity or {}))
+                raise ApiError(404, "not found")
 
             def _maybe_websocket(self) -> bool:
                 if self.headers.get("Upgrade", "").lower() != "websocket":
@@ -615,12 +704,14 @@ class GatewayHttpServer:
                 qs = parse_qs(parsed.query)
                 try:
                     if parsed.path == "/openapi.json" and method == "GET":
-                        outer.api.check_api_key(self._api_key(qs))
+                        self._check(qs)
                         return self._reply(200, outer.api.openapi())
                     if parts[:2] != ["api", "v1"]:
                         raise ApiError(404, "not found")
                     rest = parts[2:]
-                    outer.api.check_api_key(self._api_key(qs))
+                    if rest[:1] == ["auth"]:
+                        return self._auth_route(method, rest[1:], qs)
+                    self._check(qs)
                     if method == "GET" and rest == ["stream"]:
                         if self._maybe_websocket():
                             return None
