@@ -140,6 +140,8 @@ class GatewayApi:
 
         self.subs = SubscriptionManager()
         self.fields: Dict[str, Any] = {}  # GET /field/<name> statics
+        self.layouts: Dict[str, str] = {}  # perspective workspace layouts
+        self.default_layout: Optional[str] = None
         # auth middleware (serving/auth.py): explicit instance wins; a bare
         # api_keys list keeps working as an implicit ApiKeyAuth
         if auth is None and self.api_keys:
@@ -319,6 +321,46 @@ class GatewayApi:
             name: {"index": list(self.catalog._state_keys.get(name, [])) or None}
             for name in self.channels()
         }
+
+    # --- perspective layouts (reference perspective.py:578-592: saved
+    # workspace layouts served to every client; name -> layout JSON str) ---
+    def perspective_layouts(self) -> Dict[str, Any]:
+        return {"layouts": dict(self.layouts), "default_layout": self.default_layout}
+
+    def perspective_layout_save(self, name: str, layout: Any) -> Dict[str, Any]:
+        if not isinstance(layout, str):
+            layout = json.dumps(layout)
+        self.layouts[name] = layout
+        if self.default_layout is None:
+            self.default_layout = name
+        return {"status": "ok", "name": name}
+
+    def perspective_layout_delete(self, name: str) -> Dict[str, Any]:
+        if name not in self.layouts:
+            raise ApiError(404, f"unknown layout {name!r}")
+        del self.layouts[name]
+        if self.default_layout == name:
+            self.default_layout = next(iter(self.layouts), None)
+        return {"status": "ok", "name": name}
+
+    def perspective_arrow(self, channel: str, limit: Optional[int] = None) -> bytes:
+        """State snapshot as an Arrow IPC stream (reference wire format:
+        `perspective.py:71-100` builds pyarrow Tables and ships record
+        batches to the Perspective client).  Row-level auth applies the
+        same as the JSON routes."""
+        import io
+
+        import pyarrow as pa
+
+        self._channel_or_404(channel)
+        rows = self._auth_rows(self._collect_or_404(channel, lambda: self.catalog.query(channel, None)))
+        if limit is not None:
+            rows = rows[: int(limit)]
+        table = pa.Table.from_pylist(rows)
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, table.schema) as writer:
+            writer.write_table(table)
+        return sink.getvalue()
 
     def openapi(self) -> Dict[str, Any]:
         """Minimal OpenAPI document with the reference's `type_` extra
@@ -578,6 +620,27 @@ def build_fastapi_app(api: GatewayApi):
     def perspective_meta():
         return api.perspective_meta()
 
+    @app.get("/api/v1/perspective/layouts")
+    def perspective_layouts():
+        return api.perspective_layouts()
+
+    @app.post("/api/v1/perspective/layouts/{name}")
+    def perspective_layout_save(name: str, layout: Any):
+        return api.perspective_layout_save(name, layout)
+
+    @app.delete("/api/v1/perspective/layouts/{name}")
+    def perspective_layout_delete(name: str):
+        return guard(api.perspective_layout_delete, name)
+
+    @app.get("/api/v1/perspective/arrow/{name}")
+    def perspective_arrow(name: str, limit: Optional[int] = None):
+        from fastapi import Response
+
+        return Response(
+            content=guard(api.perspective_arrow, name, limit),
+            media_type="application/vnd.apache.arrow.stream",
+        )
+
     @app.post("/api/v1/controls/shutdown")
     def shutdown():
         return api.shutdown()
@@ -751,6 +814,26 @@ class GatewayHttpServer:
                         return self._reply(200, outer.api.perspective_tables())
                     if method == "GET" and rest == ["perspective", "meta"]:
                         return self._reply(200, outer.api.perspective_meta())
+                    if method == "GET" and rest == ["perspective", "layouts"]:
+                        return self._reply(200, outer.api.perspective_layouts())
+                    if method == "POST" and rest[:2] == ["perspective", "layouts"] and len(rest) == 3:
+                        length = int(self.headers.get("Content-Length", 0))
+                        try:
+                            payload = json.loads(self.rfile.read(length) or b"null")
+                        except json.JSONDecodeError as e:
+                            raise ApiError(422, f"malformed JSON body: {e}") from e
+                        return self._reply(200, outer.api.perspective_layout_save(rest[2], payload))
+                    if method == "DELETE" and rest[:2] == ["perspective", "layouts"] and len(rest) == 3:
+                        return self._reply(200, outer.api.perspective_layout_delete(rest[2]))
+                    if method == "GET" and rest[:2] == ["perspective", "arrow"] and len(rest) == 3:
+                        lim = qs.get("limit", [None])[0]
+                        data = outer.api.perspective_arrow(rest[2], int(lim) if lim else None)
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/vnd.apache.arrow.stream")
+                        self.send_header("Content-Length", str(len(data)))
+                        self.end_headers()
+                        self.wfile.write(data)
+                        return None
                     raise ApiError(404, "not found")
                 except ApiError as e:
                     return self._reply(e.status, {"detail": e.detail})
@@ -762,6 +845,9 @@ class GatewayHttpServer:
 
             def do_POST(self):
                 self._route("POST")
+
+            def do_DELETE(self):
+                self._route("DELETE")
 
         self.api = api
         self._server = ThreadingHTTPServer((host, port), Handler)

@@ -132,6 +132,42 @@ def test_discovery_routes(served):
     assert tables["quotes"]["px"] == "double"
     meta = json.loads(urllib.request.urlopen(f"{base}/api/v1/perspective/meta").read())
     assert meta["quotes"]["index"] == ["sym"]
+
+
+def test_perspective_layouts_crud(served):
+    base = f"http://127.0.0.1:{served.port}"
+    layout = {"sizes": [1], "detail": {"main": {"type": "tab-area"}}}
+    req = urllib.request.Request(
+        f"{base}/api/v1/perspective/layouts/main",
+        data=json.dumps(layout).encode(),
+        method="POST",
+    )
+    assert json.loads(urllib.request.urlopen(req).read())["status"] == "ok"
+    got = json.loads(urllib.request.urlopen(f"{base}/api/v1/perspective/layouts").read())
+    assert got["default_layout"] == "main"
+    assert json.loads(got["layouts"]["main"]) == layout
+    req = urllib.request.Request(f"{base}/api/v1/perspective/layouts/main", method="DELETE")
+    urllib.request.urlopen(req)
+    got = json.loads(urllib.request.urlopen(f"{base}/api/v1/perspective/layouts").read())
+    assert got["layouts"] == {} and got["default_layout"] is None
+    # deleting again -> 404
+    req = urllib.request.Request(f"{base}/api/v1/perspective/layouts/main", method="DELETE")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 404
+
+
+def test_perspective_arrow_stream(served):
+    import io
+
+    import pyarrow as pa
+
+    base = f"http://127.0.0.1:{served.port}"
+    resp = urllib.request.urlopen(f"{base}/api/v1/perspective/arrow/quotes")
+    assert resp.headers["Content-Type"] == "application/vnd.apache.arrow.stream"
+    table = pa.ipc.open_stream(io.BytesIO(resp.read())).read_all()
+    assert "sym" in table.column_names and "px" in table.column_names
+    assert table.num_rows >= 1
     field = json.loads(urllib.request.urlopen(f"{base}/api/v1/field/venue").read())
     assert field["name"] == "SIM"
     spec = json.loads(urllib.request.urlopen(f"{base}/openapi.json").read())
