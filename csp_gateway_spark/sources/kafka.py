@@ -113,6 +113,112 @@ def write_kafka(df: DataFrame, config: KafkaConfiguration, topic: str, key_col: 
     )
 
 
+# ---------------------------------------------------------------------------
+# Engine replay over Kafka (S6): wire codec + file-backed stub broker
+# ---------------------------------------------------------------------------
+
+def encode_engine_cycles(changelog: DataFrame, key: str) -> DataFrame:
+    """Changelog rows → `EncodedEngineCycle` wire messages
+    (reference `kafka.py:360-450`): ONE (key, value) message per engine
+    cycle, value = JSON ``{"encoding": <cycle ticks>, "csp_timestamp":
+    uint64-millis}`` — the same JSONTextMessageMapper/UINT64_MILLIS
+    shape the reference publishes.  All messages share the caller's
+    ``key`` so one replay stream stays totally ordered within its
+    topic-partition (the reference's ordering guarantee).
+
+    One shuffle (groupBy engine ts); encoding keeps (channel, payload)
+    pairs sorted for determinism.
+    """
+    enc = (
+        changelog.groupBy("csp_engine_timestamp")
+        .agg(
+            F.to_json(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("channel"), F.col("payload")))
+                )
+            ).alias("encoding")
+        )
+        .select(
+            F.lit(key).alias("key"),
+            F.to_json(
+                F.struct(
+                    F.col("encoding"),
+                    (F.unix_millis(F.col("csp_engine_timestamp"))).cast("long").alias("csp_timestamp"),
+                )
+            ).alias("value"),
+            F.col("csp_engine_timestamp").alias("_ts"),
+        )
+    )
+    return enc
+
+
+_CYCLE_SCHEMA = T.StructType(
+    [
+        T.StructField("encoding", T.StringType()),
+        T.StructField("csp_timestamp", T.LongType()),
+    ]
+)
+_TICKS_SCHEMA = T.ArrayType(
+    T.StructType(
+        [T.StructField("channel", T.StringType()), T.StructField("payload", T.StringType())]
+    )
+)
+
+
+def decode_engine_cycles(messages: DataFrame) -> DataFrame:
+    """Wire messages → changelog rows (csp_engine_timestamp, channel,
+    payload).  The engine timestamp comes from the MESSAGE
+    (`meta_field_map={"timestamp": "csp_timestamp"}` in the reference —
+    never the broker's receive time)."""
+    cyc = messages.select(F.from_json(F.col("value"), _CYCLE_SCHEMA).alias("c")).select("c.*")
+    return (
+        cyc.select(
+            F.timestamp_millis(F.col("csp_timestamp")).alias("csp_engine_timestamp"),
+            F.explode(F.from_json(F.col("encoding"), _TICKS_SCHEMA)).alias("t"),
+        )
+        .select("csp_engine_timestamp", "t.channel", "t.payload")
+    )
+
+
+class FileStubBroker:
+    """File-backed topic log standing in for a Kafka broker (no broker
+    in this sandbox): one parquet dir per topic holding
+    ``(partition, offset, key, value)``.  Contract bits it preserves:
+    same key → same partition; per-partition offsets are assigned in
+    publish order so a subscriber reading ``ORDER BY partition, offset``
+    sees exactly the published order per key — which is all Kafka
+    guarantees (`kafka.py:360-367`)."""
+
+    def __init__(self, root: str, num_partitions: int = 4):
+        self.root = root
+        self.num_partitions = num_partitions
+
+    def _topic_path(self, topic: str) -> str:
+        import os
+
+        return os.path.join(self.root, topic)
+
+    def publish(self, df: DataFrame, topic: str, order_col: str = "_ts") -> None:
+        """Append (key, value) messages; partition by key hash, offset
+        by publish order within the partition."""
+        from pyspark.sql.window import Window
+
+        part = F.pmod(F.crc32(F.col("key").cast("string")), F.lit(self.num_partitions)).cast("int")
+        w = Window.partitionBy(part).orderBy(F.col(order_col))
+        out = df.select(
+            part.alias("partition"),
+            F.row_number().over(w).cast("long").alias("offset"),
+            "key",
+            "value",
+        )
+        out.write.mode("append").parquet(self._topic_path(topic))
+
+    def subscribe(self, spark: SparkSession, topic: str) -> DataFrame:
+        """Messages in consumption order (partition, offset) — mirrors
+        read_kafka's output columns."""
+        return spark.read.parquet(self._topic_path(topic)).orderBy("partition", "offset")
+
+
 class KafkaChannelProcessor(BaseModel):
     """Per-tick map+filter hook around publish/subscribe
     (`modules/kafka/utils.py:14-46`): apply ``process``; None drops."""
