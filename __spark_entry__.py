@@ -1784,6 +1784,48 @@ FROM meta GROUP BY size_bucket ORDER BY size_bucket
 
 
 # ---------------------------------------------------------------------------
+# MULTIMODAL — real PNG header parse over binary content (multimodal.py
+# png_meta: JVM substring+conv, no codec).  Content is constructed
+# deterministically from documents on BOTH engines; the oracle knows the
+# ground-truth dimensions it encoded, so a hash match proves the Spark
+# parser reads the bytes correctly.
+# ---------------------------------------------------------------------------
+
+def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.multimodal import png_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.length("text") % 1024 + 1).cast("long")
+    h = (F.col("doc_id") % 512 + 1).cast("long")
+
+    def be4(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),  # signature + IHDR hdr
+        be4(w),
+        be4(h),
+        F.unhex(F.lit("0806000000")),  # bit depth 8, color type 6 (RGBA)
+    )
+    content = F.when(F.col("doc_id") % 7 == 0, F.encode(F.lit("not-an-image"), "UTF-8")).otherwise(png)
+    out = png_meta(docs.select("doc_id", content.alias("content")))
+    return out.select(
+        "doc_id", "is_png", "png_width", "png_height", "png_bit_depth", "png_color_type"
+    ).orderBy("doc_id")
+
+
+ORACLE_MULTIMODAL_IMAGE_META = """
+SELECT doc_id,
+  doc_id % 7 <> 0 AS is_png,
+  CASE WHEN doc_id % 7 <> 0 THEN length(text) % 1024 + 1 END AS png_width,
+  CASE WHEN doc_id % 7 <> 0 THEN doc_id % 512 + 1 END AS png_height,
+  CASE WHEN doc_id % 7 <> 0 THEN 8 END AS png_bit_depth,
+  CASE WHEN doc_id % 7 <> 0 THEN 6 END AS png_color_type
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # HYPERTABLE — multi-resolution rollup cascade (operators/rollup.py); the
 # 3600 s level is derived from the 60 s level, never from raw events, and
 # the oracle replicates that cascade
@@ -1915,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sole_returned_supplier": q_sole_returned_supplier,
         "global_sales_opportunity": q_global_sales_opportunity,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_image_meta": q_multimodal_image_meta,
         "hypertable_rollup": q_hypertable_rollup,
     }
     return {name: _stable(fn) for name, fn in raw.items()}
@@ -1985,6 +2028,7 @@ def oracle_sql() -> dict[str, str]:
         "sole_returned_supplier": ORACLE_SOLE_RETURNED_SUPPLIER,
         "global_sales_opportunity": ORACLE_GLOBAL_SALES_OPPORTUNITY,
         "multimodal_meta": ORACLE_MULTIMODAL_META,
+        "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE_META,
         "hypertable_rollup": ORACLE_HYPERTABLE_ROLLUP,
         # ann_ivf_topk: seeded-sample centroids are engine-specific —
         # rows-only; recall vs exact top-k covered in pytest.

@@ -1,0 +1,137 @@
+"""Real PNG/BMP decode (operators/multimodal.py — stdlib zlib + numpy,
+no codec dependency) and the JVM-expression PNG header parser."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from csp_gateway_spark.operators.multimodal import (
+    _decode_bmp_bytes,
+    _decode_png_bytes,
+    _nearest_resize,
+    decode_image,
+    png_meta,
+)
+
+
+# ---------------------------------------------------------------------------
+# minimal encoders (test-side only) — filter-0 PNG and 24-bit BMP writers
+# ---------------------------------------------------------------------------
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def make_png(px: np.ndarray, color_type: int = 2, filter_type: int = 0) -> bytes:
+    h, w = px.shape[:2]
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b""
+    prev = np.zeros(w * nch, dtype=np.uint8)
+    for y in range(h):
+        line = px[y].reshape(-1)[: w * nch].astype(np.uint8)
+        if filter_type == 0:
+            enc = line
+        elif filter_type == 2:  # Up
+            enc = (line.astype(int) - prev.astype(int)) % 256
+        else:
+            raise NotImplementedError
+        raw += bytes([filter_type]) + bytes(enc.astype(np.uint8))
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def make_bmp(px: np.ndarray) -> bytes:
+    h, w = px.shape[:2]
+    row_bytes = ((w * 3 + 3) // 4) * 4
+    body = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y][:, ::-1].tobytes()  # RGB → BGR
+        body += row + b"\x00" * (row_bytes - len(row))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+@pytest.fixture()
+def rgb():
+    rng = np.random.default_rng(42)
+    return rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+
+
+def test_png_roundtrip_exact(rgb):
+    assert np.array_equal(_decode_png_bytes(make_png(rgb)), rgb)
+
+
+def test_png_up_filter_roundtrip(rgb):
+    assert np.array_equal(_decode_png_bytes(make_png(rgb, filter_type=2)), rgb)
+
+
+def test_png_rgba_drops_alpha(rgb):
+    rgba = np.dstack([rgb, np.full(rgb.shape[:2], 128, dtype=np.uint8)])
+    assert np.array_equal(_decode_png_bytes(make_png(rgba, color_type=6)), rgb)
+
+
+def test_png_grayscale_replicates_channels(rgb):
+    gray = rgb[:, :, 0]
+    out = _decode_png_bytes(make_png(gray[..., None], color_type=0))
+    assert np.array_equal(out[:, :, 0], gray)
+    assert np.array_equal(out[:, :, 1], gray)
+
+
+def test_bmp_roundtrip_exact(rgb):
+    assert np.array_equal(_decode_bmp_bytes(make_bmp(rgb)), rgb)
+
+
+def test_nearest_resize_shape(rgb):
+    out = _nearest_resize(rgb, 3, 2)
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out[0, 0], rgb[0, 0])
+
+
+def test_decode_image_real_png_in_spark(spark, rgb):
+    data = [(1, bytes(make_png(rgb))), (2, bytes(make_bmp(rgb)))]
+    df = spark.createDataFrame(data, "media_id long, content binary")
+    out = {
+        r["media_id"]: r
+        for r in decode_image(df, out_width=7, out_height=5).collect()
+    }
+    # identity-size resize → exact pixels back, for both formats
+    assert out[1]["width"] == 7 and out[1]["height"] == 5
+    assert np.array_equal(
+        np.array(out[1]["pixels"], dtype=np.uint8).reshape(5, 7, 3), rgb
+    )
+    assert np.array_equal(
+        np.array(out[2]["pixels"], dtype=np.uint8).reshape(5, 7, 3), rgb
+    )
+
+
+def test_decode_image_unknown_format_raises_without_fake(spark):
+    df = spark.createDataFrame([(1, b"\xff\xd8\xff jpeg-ish")], "media_id long, content binary")
+    with pytest.raises(Exception, match="codec"):
+        decode_image(df).collect()
+    # fake=True falls back to the deterministic stand-in
+    rows = decode_image(df, out_width=4, out_height=4, fake=True).collect()
+    assert len(rows[0]["pixels"]) == 4 * 4 * 3
+
+
+def test_png_meta_jvm_expression_matches_decoder(spark, rgb):
+    data = [(1, bytes(make_png(rgb))), (2, b"BM not a png")]
+    df = spark.createDataFrame(data, "media_id long, content binary")
+    rows = {r["media_id"]: r for r in png_meta(df).collect()}
+    assert rows[1]["is_png"] and rows[1]["png_width"] == 7 and rows[1]["png_height"] == 5
+    assert rows[1]["png_bit_depth"] == 8 and rows[1]["png_color_type"] == 2
+    assert not rows[2]["is_png"] and rows[2]["png_width"] is None
