@@ -602,11 +602,35 @@ SELECT id_a, id_b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.5
 """
 
 
+_SIMHASH_BITS = 60  # portable md5-based hash is 60 bits wide
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import simhash
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash(docs).orderBy("doc_id")
+    return simhash(docs, bits=_SIMHASH_BITS, oracle_safe=True).orderBy("doc_id")
+
+
+def _sql_simhash_oracle(bits: int) -> str:
+    toks = f"list_filter(regexp_split_to_array({_SQL_NORM}, ' '), x -> x != '')"
+    bsum = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
+    )
+    recon = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t
+), b AS (
+  SELECT doc_id, {bsum} FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM b ORDER BY doc_id
+"""
+
+
+ORACLE_DEDUP_SIMHASH = _sql_simhash_oracle(_SIMHASH_BITS)
 
 
 # ---------------------------------------------------------------------------
@@ -1185,14 +1209,45 @@ FROM m
 # rows-only: centroid sampling is engine-seeded, recall pytest-checked)
 # ---------------------------------------------------------------------------
 
+_IVF_CELLS = 16
+_IVF_NPROBE = 8
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.similarity import ivf_topk, sample_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    centroids = sample_centroids(emb, 16)
-    out = ivf_topk(emb.filter(F.col("vec_id") != 0), centroids, qv, k=10, nprobe=8)
+    centroids = sample_centroids(emb, _IVF_CELLS, oracle_safe=True)
+    out = ivf_topk(emb.filter(F.col("vec_id") != 0), centroids, qv, k=10, nprobe=_IVF_NPROBE)
     return out.select("vec_id", F.round("cos", 6).alias("cos"))
+
+
+ORACLE_ANN_IVF_TOPK = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, e AS centroid FROM v
+  ORDER BY ('0x' || substr(md5(vec_id || ':42'), 1, 15))::BIGINT, vec_id LIMIT {_IVF_CELLS}
+),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+assigned AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT v.vec_id, v.e, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.e, c.centroid) DESC, c.cent_id ASC
+           ) AS rn
+    FROM v, cents c WHERE v.vec_id != 0
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT cent_id FROM cents, q
+  ORDER BY list_cosine_similarity(centroid, qe) DESC, cent_id ASC LIMIT {_IVF_NPROBE}
+)
+SELECT vec_id, round(list_cosine_similarity(e, qe), 6) AS cos
+FROM assigned, q WHERE cell IN (SELECT cent_id FROM ranked)
+ORDER BY list_cosine_similarity(e, qe) DESC, vec_id ASC LIMIT 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1986,6 +2041,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": ORACLE_EMBEDDING_NEARDUP_LSH,
         "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
         "dedup_minhash_pairs": ORACLE_DEDUP_MINHASH_PAIRS,
+        "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+        "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
         "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
         "top_customers": ORACLE_TOP_CUSTOMERS,
         "channel_processor": ORACLE_CHANNEL_PROCESSOR,
@@ -2030,9 +2087,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": ORACLE_MULTIMODAL_META,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE_META,
         "hypertable_rollup": ORACLE_HYPERTABLE_ROLLUP,
-        # ann_ivf_topk: seeded-sample centroids are engine-specific —
-        # rows-only; recall vs exact top-k covered in pytest.
-        # dedup_simhash: xxhash64-based (engine-specific) — rows-only;
-        # parity covered by minhash_signature + ngram_jaccard oracles and
-        # pytest recall tests.
+        # approx_distinct: HLL sketch values are engine-specific —
+        # rows-only; ±2% tolerance vs exact asserted in pytest.
     }

@@ -127,6 +127,12 @@ def _md5_base(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
+def _md5_base15(col: Column) -> Column:
+    """60-bit integer hash: int(md5(s)[:15], 16) — portable wide variant
+    (SimHash needs one bit per output position)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signature(col: Column, num_hashes: int = 32, k: int = 3, oracle_safe: bool = False) -> Column:
     """Array of ``num_hashes`` min-hash values over word k-shingles.
 
@@ -304,18 +310,30 @@ def ngram_jaccard_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document.
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    oracle_safe: bool = False,
+) -> DataFrame:
+    """SimHash per document (64-bit default).
 
-    For each token t: h = xxhash64(t); bit i of the simhash is 1 iff
+    For each token t: h = hash64(t); bit i of the simhash is 1 iff
     sum over tokens of sign(bit_i(h)) > 0.  Computed fully native:
-    explode tokens → 64 conditional sums → reassemble.  One shuffle on
-    id; token explosion is scan-local.
+    explode tokens → ``bits`` conditional sums → reassemble.  One
+    shuffle on id; token explosion is scan-local.
+
+    ``oracle_safe`` swaps xxhash64 for the engine-portable 60-bit
+    ``int(md5(tok)[:15], 16)`` (DuckDB:
+    ``('0x'||substr(md5(tok),1,15))::BIGINT``) — callers should then
+    use ``bits<=60``.
     """
+    h = _md5_base15(F.col("tok")) if oracle_safe else F.xxhash64("tok")
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit("")))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h)
     sums = toks.groupBy(id_col).agg(
         *[
             F.sum(

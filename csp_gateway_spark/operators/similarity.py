@@ -219,7 +219,7 @@ def ivf_topk(
     assigned = ivf_assign(df, centroids, vec_col, id_col)
     ranked = (
         centroids.withColumn("_qs", cosine(_as_double(F.col("centroid")), F.lit(query_vec).cast("array<double>")))
-        .orderBy(F.desc("_qs"))
+        .orderBy(F.desc("_qs"), F.asc("cent_id"))
         .limit(nprobe)
         .select("cent_id")
     )
@@ -286,12 +286,30 @@ def ivf_topk_from_index(
     )
 
 
-def sample_centroids(df: DataFrame, n: int, vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 42) -> DataFrame:
+def sample_centroids(
+    df: DataFrame,
+    n: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    oracle_safe: bool = False,
+) -> DataFrame:
     """Deterministic centroid bootstrap: the n vectors with smallest
-    xxhash64(id, seed) — a uniform seeded sample without RNG state."""
+    seeded hash of their id — a uniform sample without RNG state.
+    ``oracle_safe`` uses the md5-based hash any engine can replicate
+    (`('0x'||substr(md5(id||':'||seed),1,15))::BIGINT` in DuckDB);
+    default is xxhash64 (faster)."""
+    if oracle_safe:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    else:
+        h = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
     return (
         df.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .orderBy(h, F.asc(id_col))
         .limit(n)
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centroid"))
     )
