@@ -77,6 +77,9 @@ HEADLINE = [
     "sole_returned_supplier",
     "global_sales_opportunity",
     "multimodal_meta",
+    "embedding_neardup_lsh",
+    "multimodal_image_meta",
+    "hypertable_rollup",
 ]
 
 
