@@ -700,7 +700,7 @@ def _sql_lsh_bucket_expr(bits: int, dim: int = 64, seed: int = 7, vec: str = "e"
     return " + ".join(terms)
 
 
-_NEARDUP_LSH_BITS = 4
+_NEARDUP_LSH_BITS = 6
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

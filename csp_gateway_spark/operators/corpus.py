@@ -65,11 +65,13 @@ def connected_components(
     (an iterative self-join otherwise grows the logical plan
     exponentially — analysis time, not execution, becomes the
     bottleneck); on a real cluster swap for ``checkpoint()`` with a
-    durable checkpoint dir.  Convergence is detected with
-    ``sum(component)``, which strictly decreases until fixpoint —
-    one map-side aggregation per round, no extra join.  Each round is
-    two shuffle joins + one aggregation over the edge list, so 100 TB
-    graphs stay shuffle-bound, never driver-bound.
+    durable checkpoint dir.  Convergence rides along as a per-row
+    ``_changed`` flag computed inside the checkpoint job; the check is
+    then ``filter(_changed).limit(1)`` over checkpointed data — it
+    short-circuits on the first changed partition in non-final rounds
+    instead of re-aggregating every label.  Each round is two shuffle
+    joins over the edge list, so 100 TB graphs stay shuffle-bound,
+    never driver-bound.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.union(
@@ -81,7 +83,6 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -91,6 +92,7 @@ def connected_components(
         )
         stepped = labels.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("component").alias("_old"),
             F.least(
                 F.col("component"),
                 F.coalesce(F.col("nbr_component"), F.col("component")),
@@ -108,14 +110,19 @@ def connected_components(
                     F.col("component"),
                     F.coalesce(F.col("jump_component"), F.col("component")),
                 ).alias("component"),
+                (
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("jump_component"), F.col("component")),
+                    )
+                    != F.col("_old")
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if cur_sum == prev_sum:
+        if labels.filter(F.col("_changed")).limit(1).count() == 0:
             break
-        prev_sum = cur_sum
-    return labels
+    return labels.drop("_changed")
 
 
 def winnow_fingerprints(
