@@ -1839,6 +1839,105 @@ FROM meta GROUP BY size_bucket ORDER BY size_bucket
 
 
 # ---------------------------------------------------------------------------
+# CURATION — decontamination / deterministic stratified sampling /
+# cross-doc line dedup (operators/curation.py, SURVEY §7.8 additive)
+# ---------------------------------------------------------------------------
+
+_DECON_K = 5
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing any 5-token shingle with the held-out set
+    (doc_id % 20 == 0) get flagged.  Shingles hash to 60-bit longs
+    before the semi-join so the shuffle moves fixed-width keys."""
+    from csp_gateway_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    out = decontaminate(corpus, eval_set, k=_DECON_K)
+    return out.select("doc_id", "contaminated").orderBy("doc_id")
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(_DECON_K)} AS s FROM documents
+), ev AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0
+), corp AS (
+  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 != 0
+), cont AS (
+  SELECT DISTINCT doc_id FROM corp WHERE g IN (SELECT g FROM ev)
+)
+SELECT d.doc_id, (cont.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
+WHERE d.doc_id % 20 != 0 ORDER BY d.doc_id
+"""
+
+
+_SAMPLE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_SAMPLE_DEFAULT = 0.1
+_SAMPLE_SEED = 17
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, _SAMPLE_FRACTIONS, strata_col="source", seed=_SAMPLE_SEED,
+        default_fraction=_SAMPLE_DEFAULT,
+    )
+    return out.select("doc_id", "source", "lang").orderBy("doc_id")
+
+
+_SAMPLE_CASE = " ".join(
+    f"WHEN '{name}' THEN {frac}" for name, frac in sorted(_SAMPLE_FRACTIONS.items())
+)
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id || ':{_SAMPLE_SEED}'), 1, 15))::BIGINT
+      < CAST(FLOOR((CASE source {_SAMPLE_CASE} ELSE {_SAMPLE_DEFAULT} END) * {1 << 60}) AS BIGINT)
+ORDER BY doc_id
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup over synthesized multi-line docs (the
+    corpus text is single-line, so ' value ' is deterministically
+    rewritten to a newline on both engines first)."""
+    from csp_gateway_spark.operators.curation import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" value "), F.lit("\n")).alias("text")
+    )
+    out = dedup_lines(docs)
+    return out.select("doc_id", "text").orderBy("doc_id")
+
+
+ORACLE_LINE_DEDUP = """
+WITH d AS (
+  SELECT doc_id, string_split(replace(text, ' value ', chr(10)), chr(10)) AS lines
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(lines))) AS line_no,
+         trim(unnest(lines)) AS line
+  FROM d
+), nz AS (
+  SELECT doc_id, line_no, line FROM r WHERE line != ''
+), ranked AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM nz
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # MULTIMODAL — real PNG header parse over binary content (multimodal.py
 # png_meta: JVM substring+conv, no codec).  Content is constructed
 # deterministically from documents on BOTH engines; the oracle knows the
@@ -2014,6 +2113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_meta": q_multimodal_image_meta,
         "hypertable_rollup": q_hypertable_rollup,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "line_dedup": q_line_dedup,
     }
     return {name: _stable(fn) for name, fn in raw.items()}
 
@@ -2087,6 +2189,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": ORACLE_MULTIMODAL_META,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE_META,
         "hypertable_rollup": ORACLE_HYPERTABLE_ROLLUP,
+        "decontaminate": ORACLE_DECONTAMINATE,
+        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+        "line_dedup": ORACLE_LINE_DEDUP,
         # approx_distinct: HLL sketch values are engine-specific —
         # rows-only; ±2% tolerance vs exact asserted in pytest.
     }
