@@ -80,6 +80,9 @@ HEADLINE = [
     "embedding_neardup_lsh",
     "multimodal_image_meta",
     "hypertable_rollup",
+    "decontaminate",
+    "stratified_sample",
+    "line_dedup",
 ]
 
 

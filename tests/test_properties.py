@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis) for the pure-Python hot paths —
+codec round-trips and hash-family invariants.  The reference has no
+property tests (SURVEY §5); these cover the code the DuckDB oracle
+can't reach."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from csp_gateway_spark.operators.dedup import _AFFINE_P, _affine_coeffs
+from csp_gateway_spark.operators.multimodal import (
+    _decode_bmp_bytes,
+    _decode_png_bytes,
+    _nearest_resize,
+)
+from csp_gateway_spark.operators.similarity import _hyperplanes
+from tests.test_multimodal_decode import make_bmp, make_png
+
+
+@st.composite
+def images(draw, max_side=12):
+    h = draw(st.integers(1, max_side))
+    w = draw(st.integers(1, max_side))
+    data = draw(st.binary(min_size=h * w * 3, max_size=h * w * 3))
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+@given(images())
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_any_image(px):
+    assert np.array_equal(_decode_png_bytes(make_png(px)), px)
+
+
+@given(images(), st.sampled_from([0, 2]))
+@settings(max_examples=25, deadline=None)
+def test_png_roundtrip_any_filter(px, ftype):
+    assert np.array_equal(_decode_png_bytes(make_png(px, filter_type=ftype)), px)
+
+
+@given(images())
+@settings(max_examples=25, deadline=None)
+def test_bmp_roundtrip_any_image(px):
+    assert np.array_equal(_decode_bmp_bytes(make_bmp(px)), px)
+
+
+@given(images(), st.integers(1, 16), st.integers(1, 16))
+@settings(max_examples=25, deadline=None)
+def test_resize_samples_source_pixels(px, out_w, out_h):
+    out = _nearest_resize(px, out_w, out_h)
+    assert out.shape == (out_h, out_w, 3)
+    # every output pixel exists somewhere in the source
+    src = {tuple(p) for row in px for p in row}
+    assert all(tuple(p) in src for row in out for p in row)
+
+
+@given(st.integers(1, 64), st.integers(0, 2**31))
+@settings(max_examples=50, deadline=None)
+def test_affine_coeffs_in_field(num, seed):
+    coeffs = _affine_coeffs(num, seed)
+    assert len(coeffs) == num
+    for a, c in coeffs:
+        assert 1 <= a < _AFFINE_P  # multiplier never 0 (degenerate hash)
+        assert 0 <= c < _AFFINE_P
+    # deterministic per seed
+    assert coeffs == _affine_coeffs(num, seed)
+
+
+@given(st.integers(1, 16), st.integers(1, 64), st.integers(0, 2**31))
+@settings(max_examples=30, deadline=None)
+def test_hyperplanes_unit_norm_and_deterministic(bits, dim, seed):
+    planes = _hyperplanes(dim, bits, seed)
+    assert len(planes) == bits and all(len(p) == dim for p in planes)
+    for p in planes:
+        assert abs(sum(x * x for x in p) - 1.0) < 1e-9  # unit norm
+    assert planes == _hyperplanes(dim, bits, seed)
