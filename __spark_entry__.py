@@ -1839,6 +1839,36 @@ FROM meta GROUP BY size_bucket ORDER BY size_bucket
 
 
 # ---------------------------------------------------------------------------
+# SIMILARITY — int8 embedding quantization (similarity.py: the 100 TB
+# storage path, 4× smaller than float32; exploded to rows so the oracle
+# compares every quantized component)
+# ---------------------------------------------------------------------------
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id", "scale", F.posexplode("qvec").alias("idx", "q")
+    ).orderBy("vec_id", "idx")
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 50
+), s AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v
+)
+SELECT vec_id, scale,
+       unnest(generate_series(0, len(e) - 1)) AS idx,
+       unnest(list_transform(e, x ->
+         CAST(CASE WHEN scale = 0 THEN 0 ELSE FLOOR(x / scale + 0.5) END AS INTEGER))) AS q
+FROM s ORDER BY vec_id, idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # CURATION — decontamination / deterministic stratified sampling /
 # cross-doc line dedup (operators/curation.py, SURVEY §7.8 additive)
 # ---------------------------------------------------------------------------
@@ -2116,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "line_dedup": q_line_dedup,
+        "embedding_quantize": q_embedding_quantize,
     }
     return {name: _stable(fn) for name, fn in raw.items()}
 
@@ -2192,6 +2223,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": ORACLE_DECONTAMINATE,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "line_dedup": ORACLE_LINE_DEDUP,
+        "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         # approx_distinct: HLL sketch values are engine-specific —
         # rows-only; ±2% tolerance vs exact asserted in pytest.
     }

@@ -83,6 +83,7 @@ HEADLINE = [
     "decontaminate",
     "stratified_sample",
     "line_dedup",
+    "embedding_quantize",
 ]
 
 

@@ -80,3 +80,50 @@ def test_ivf_topk_recall_and_full_probe_exactness(embeddings, query_vec):
     # nprobe=3 of 8 cells: partial but substantial recall
     approx = {r.vec_id for r in ivf_topk(embeddings, cents, query_vec, k=10, nprobe=3).collect()}
     assert len({v for v, _ in exact} & approx) >= 3
+
+
+def test_quantize_dequantize_error_bound(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from csp_gateway_spark.operators.similarity import dequantize, quantize_embeddings
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(64).tolist()) for i in range(50)]
+    rows.append((99, [0.0] * 64))  # zero vector: scale 0, all-zero qvec
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize_embeddings(df)
+    back = q.select("vec_id", dequantize(F.col("qvec"), F.col("scale")).alias("d"))
+    joined = {r["vec_id"]: r for r in df.join(back, "vec_id").collect()}
+    for i, vec in rows:
+        d = np.asarray(joined[i]["d"])
+        v = np.asarray(vec)
+        if i == 99:
+            assert np.all(d == 0.0)
+            continue
+        # per-component error bounded by scale/2 (round-to-nearest)
+        scale = np.abs(v).max() / 127.0
+        assert np.abs(d - v).max() <= scale / 2 + 1e-12
+        # cosine preserved to ~1e-3 at 64 dims
+        cos = d @ v / (np.linalg.norm(d) * np.linalg.norm(v))
+        assert cos > 0.999
+
+
+def test_quantized_values_fit_int8(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from csp_gateway_spark.operators.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(4)
+    df = spark.createDataFrame(
+        [(i, rng.standard_normal(16).tolist()) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    mm = (
+        quantize_embeddings(df)
+        .select(F.explode("qvec").alias("q"))
+        .agg(F.min("q").alias("lo"), F.max("q").alias("hi"))
+        .collect()[0]
+    )
+    assert -127 <= mm["lo"] and mm["hi"] <= 127
