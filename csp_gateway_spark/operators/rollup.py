@@ -113,6 +113,47 @@ def hypertable_rollup(
     return levels
 
 
+def streaming_finest(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = ("event_type",),
+    width_sec: int = 60,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming form of the finest rollup level: tumbling event-time
+    window + watermark, append mode emits only FINALIZED buckets.  The
+    output schema matches ``_finest`` exactly, so ``_coarsen`` /
+    ``rollup_union`` re-aggregate it unchanged — this is the
+    continuous-aggregate ingestion path (stream keeps the finest level
+    fresh; coarser levels derive from it in batch)."""
+    v = F.col(value_col).cast("decimal(18,2)")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), f"{width_sec} seconds"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            F.col("window.start").cast("long").alias("bucket_start"),
+            *keys,
+            "n",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def coarsen_level(finer: DataFrame, keys: Sequence[str], width_sec: int) -> DataFrame:
+    """Public re-aggregation step (used to derive coarser levels from a
+    materialized finest level — batch or collected streaming output)."""
+    return _coarsen(finer, keys, width_sec)
+
+
 def rollup_union(levels: dict[int, DataFrame], keys: Sequence[str]) -> DataFrame:
     """All levels stacked with a ``res_sec`` discriminator — the shape
     a query router would hit (pick the coarsest level covering the

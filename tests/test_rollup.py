@@ -81,3 +81,80 @@ def test_rollup_union_stacks_levels(events):
     u = rollup_union(levels, keys=("event_type",))
     res = {r["res_sec"] for r in u.select("res_sec").distinct().collect()}
     assert res == {60, 3600}
+
+
+def test_streaming_finest_feeds_the_cascade(spark, tmp_path):
+    """The continuous-aggregate ingestion path: a streaming finest level
+    (append mode, watermark-finalized buckets) re-aggregates through
+    coarsen_level to exactly what the batch cascade computes."""
+    import json as _json
+
+    from csp_gateway_spark.operators.rollup import (
+        coarsen_level,
+        hypertable_rollup,
+        streaming_finest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"ts": "2026-01-01T10:00:05", "event_type": "a", "value": 1.0},
+        {"ts": "2026-01-01T10:00:30", "event_type": "a", "value": 2.5},
+        {"ts": "2026-01-01T10:01:02", "event_type": "b", "value": 8.0},
+        {"ts": "2026-01-01T10:59:59", "event_type": "a", "value": 4.0},
+    ]
+    with open(src / "b1.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").json(
+        str(src)
+    )
+    q = (
+        streaming_finest(stream, width_sec=60)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("finest60")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # sentinel far ahead advances the watermark -> finalize everything real
+        with open(src / "b2.json", "w") as fh:
+            fh.write(_json.dumps({"ts": "2026-01-01T13:00:00", "event_type": "x", "value": 0.0}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    finest = spark.table("finest60").filter(F.col("event_type") != "x")
+    via_stream = {
+        (r["bucket_start"], r["event_type"]): (r["n"], float(r["sum_value"]))
+        for r in coarsen_level(finest, ["event_type"], 3600).collect()
+    }
+
+    # batch cascade over the same data (ts as epoch nanos)
+    import datetime
+
+    NS = 1_000_000_000
+    batch = spark.createDataFrame(
+        [
+            (
+                int(
+                    datetime.datetime.fromisoformat(r["ts"])
+                    .replace(tzinfo=datetime.timezone.utc)
+                    .timestamp()
+                )
+                * NS,
+                r["event_type"],
+                r["value"],
+            )
+            for r in rows
+        ],
+        "ts long, event_type string, value double",
+    )
+    levels = hypertable_rollup(batch, widths_sec=(60, 3600))
+    via_batch = {
+        (r["bucket_start"], r["event_type"]): (r["n"], float(r["sum_value"]))
+        for r in levels[3600].collect()
+    }
+    assert via_stream == via_batch
