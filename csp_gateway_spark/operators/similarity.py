@@ -125,7 +125,11 @@ def lsh_bucket(
     seed: int = 7,
 ) -> DataFrame:
     """Sign-of-projection LSH bucket id (0..2^bits-1), computed natively
-    per row: ``bits`` dot products against literal hyperplanes."""
+    per row: ``bits`` dot products against literal hyperplanes.
+
+    Sizing at scale: downstream per-bucket joins cost ~n²/2^bits pairs,
+    so pick ``bits ≈ log2(n / target_bucket_rows)`` — growing the
+    corpus without growing ``bits`` re-introduces a quadratic term."""
     planes = _hyperplanes(dim, bits, seed)
     v = _as_double(F.col(vec_col))
     bucket = F.lit(0).cast("long")
