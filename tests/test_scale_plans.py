@@ -86,3 +86,35 @@ def test_salted_join_matches_plain(spark, sf_dir):
         .collect()[0][0]
     )
     assert spread > 1
+
+
+def test_curation_plans_have_no_cartesian_or_python(spark, sf_dir):
+    """Curation/quantization plans stay JVM-side with bounded shuffles:
+    no cartesian product, no row-Python, decontaminate's semi-join keyed
+    on the fixed-width shingle hash."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name, max_exchanges in [
+        ("decontaminate", 8),  # 2× shingle windows + semi-join + dedup + final sort
+        ("stratified_sample", 2),
+        ("line_dedup", 4),
+        ("embedding_quantize", 2),
+    ]:
+        plan = explain_str(qs[name](spark, sf_dir), mode="simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name  # no row-at-a-time Python
+        n_exchange = sum(
+            1 for line in plan.splitlines() if line.lstrip("+- :").startswith("Exchange")
+        )
+        assert n_exchange <= max_exchanges, (name, n_exchange)
+
+
+def test_stratified_sample_filter_reaches_scan(spark, sf_dir):
+    """The sampling predicate is a pure scan-side filter: one stage,
+    no aggregation, no join — the shape that scans 100 TB at line rate."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["stratified_sample"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Join" not in plan and "Aggregate" not in plan
