@@ -130,10 +130,12 @@ class GatewayClient:
         `client.py:subscribe` + `client/csp_stream.py:35-100`)."""
         from csp_gateway_spark.serving.ws import WebSocketClient
 
-        ws = WebSocketClient(
-            self.base_url.replace("http://", "ws://") + "/api/v1/stream",
-            timeout=self.timeout,
-        )
+        url = self.base_url.replace("http://", "ws://") + "/api/v1/stream"
+        # the stream route sits behind auth like every other route; the
+        # api key rides the handshake as the `token` query param
+        if self.headers.get("X-API-Key"):
+            url += "?" + urllib.parse.urlencode({"token": self.headers["X-API-Key"]})
+        ws = WebSocketClient(url, timeout=self.timeout)
         for channel in channels:
             msg = {"action": "subscribe", "channel": channel}
             if key is not None:
