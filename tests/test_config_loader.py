@@ -100,3 +100,11 @@ def test_missing_gateway_key_raises(cfg_file):
 def test_bad_target_raises():
     with pytest.raises(ValueError, match="dotted path"):
         instantiate({"_target_": "nodots"})
+
+
+def test_cli_once_smoke(cfg_file, spark):
+    """`python -m csp_gateway_spark --config ... --once` builds and
+    serves (the csp-gateway-start equivalent)."""
+    from csp_gateway_spark.__main__ import main
+
+    assert main(["--config", cfg_file, "--once", "-o", "modules.quotes.seed_rows=1"]) == 0
