@@ -322,6 +322,29 @@ class GatewayApi:
             for name in self.channels()
         }
 
+    def channels_graph(self) -> Dict[str, Any]:
+        """Channel wiring introspection (reference MountChannelsGraph,
+        `web/channels_graph.py:13-50`): {channel: {getters, setters}}
+        built from catalog metadata — producers, mirrors, keyed state,
+        dict baskets."""
+        cat = self.catalog
+        mirror_to: Dict[str, List[str]] = {}
+        for dst, srcs in cat._mirrors.items():
+            for src in srcs:
+                mirror_to.setdefault(src, []).append(dst)
+        out: Dict[str, Any] = {}
+        for name in self.channels():
+            setters = [f"producer[{i}]" for i in range(len(cat._producers.get(name, [])))]
+            setters += [f"mirror:{src}" for src in cat._mirrors.get(name, [])]
+            getters = []
+            if name in cat._state_keys:
+                getters.append(f"state(keyby={','.join(cat._state_keys[name])})")
+            getters += [f"mirror->{dst}" for dst in mirror_to.get(name, [])]
+            if cat._dynamic_keys.get(name):
+                getters.append(f"basket[{len(cat._dynamic_keys[name])}]")
+            out[name] = {"getters": getters, "setters": setters}
+        return out
+
     # --- perspective layouts (reference perspective.py:578-592: saved
     # workspace layouts served to every client; name -> layout JSON str) ---
     def perspective_layouts(self) -> Dict[str, Any]:
@@ -620,6 +643,10 @@ def build_fastapi_app(api: GatewayApi):
     def perspective_meta():
         return api.perspective_meta()
 
+    @app.get("/api/v1/channels_graph")
+    def channels_graph():
+        return api.channels_graph()
+
     @app.get("/api/v1/perspective/layouts")
     def perspective_layouts():
         return api.perspective_layouts()
@@ -814,6 +841,8 @@ class GatewayHttpServer:
                         return self._reply(200, outer.api.perspective_tables())
                     if method == "GET" and rest == ["perspective", "meta"]:
                         return self._reply(200, outer.api.perspective_meta())
+                    if method == "GET" and rest == ["channels_graph"]:
+                        return self._reply(200, outer.api.channels_graph())
                     if method == "GET" and rest == ["perspective", "layouts"]:
                         return self._reply(200, outer.api.perspective_layouts())
                     if method == "POST" and rest[:2] == ["perspective", "layouts"] and len(rest) == 3:

@@ -260,3 +260,12 @@ def test_stream_lists_basket_keys(spark):
         assert listing == ["basket", "basket/A", "basket/B"]
     finally:
         srv.stop()
+
+
+def test_channels_graph_route(served):
+    """Reference MountChannelsGraph shape: {channel: {getters, setters}}."""
+    base = f"http://127.0.0.1:{served.port}"
+    graph = json.loads(urllib.request.urlopen(f"{base}/api/v1/channels_graph").read())
+    assert "quotes" in graph
+    assert any(g.startswith("state(keyby=sym") for g in graph["quotes"]["getters"])
+    assert any(s.startswith("producer[") for s in graph["quotes"]["setters"])
