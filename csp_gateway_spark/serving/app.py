@@ -278,11 +278,35 @@ class GatewayApi:
         return {"status": "ok", "time": datetime.datetime.utcnow().isoformat()}
 
     def stats(self) -> dict:
+        """Engine + host stats (reference `controls/controls.py:40-90`:
+        hostname/user/pid/cpu/memory, psutil-gated with a stdlib
+        resource/os fallback)."""
+        import getpass
+        import os
+        import socket
+
         sc = self.catalog.spark.sparkContext
-        return {
+        out = {
             "channels": sorted(self.catalog._producers.keys()),
             "spark": {"appName": sc.appName, "parallelism": sc.defaultParallelism},
+            "hostname": socket.gethostname(),
+            "user": getpass.getuser(),
+            "pid": os.getpid(),
+            "now": datetime.datetime.now(datetime.timezone.utc).isoformat(),
         }
+        try:
+            import psutil  # type: ignore[import-not-found]
+
+            out["cpu"] = psutil.cpu_percent()
+            out["memory"] = psutil.virtual_memory().percent
+        except ImportError:
+            try:
+                import resource
+
+                out["maxrss_kb"] = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+            except Exception:  # noqa: BLE001 — stats stay best-effort
+                pass
+        return out
 
     def channels(self) -> List[str]:
         return sorted(self.catalog._producers.keys())
