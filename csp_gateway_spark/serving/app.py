@@ -142,6 +142,7 @@ class GatewayApi:
         self.fields: Dict[str, Any] = {}  # GET /field/<name> statics
         self.layouts: Dict[str, str] = {}  # perspective workspace layouts
         self.default_layout: Optional[str] = None
+        self.outputs_dir: Optional[str] = None  # /outputs file browser root
         # auth middleware (serving/auth.py): explicit instance wins; a bare
         # api_keys list keeps working as an implicit ApiKeyAuth
         if auth is None and self.api_keys:
@@ -345,6 +346,30 @@ class GatewayApi:
             name: {"index": list(self.catalog._state_keys.get(name, [])) or None}
             for name in self.channels()
         }
+
+    def outputs_entry(self, rel_path: str = "") -> tuple:
+        """Outputs-folder browser (reference MountOutputsFolder,
+        `web/outputs.py:21-80`): list directories as JSON, stream file
+        bytes; paths outside the configured root 404 (traversal guard).
+        Returns ("dir", listing) or ("file", bytes)."""
+        import os
+
+        if not self.outputs_dir:
+            raise ApiError(404, "no outputs dir configured")
+        root = os.path.abspath(self.outputs_dir)
+        target = os.path.abspath(os.path.join(root, rel_path)) if rel_path else root
+        if not (target == root or target.startswith(root + os.sep)) or not os.path.exists(target):
+            raise ApiError(404, f"not found: {rel_path!r}")
+        if os.path.isdir(target):
+            entries = sorted(os.listdir(target))
+            return "dir", {
+                "path": rel_path,
+                "entries": [
+                    {"name": e, "dir": os.path.isdir(os.path.join(target, e))} for e in entries
+                ],
+            }
+        with open(target, "rb") as fh:
+            return "file", fh.read()
 
     def channels_graph(self) -> Dict[str, Any]:
         """Channel wiring introspection (reference MountChannelsGraph,
@@ -867,6 +892,16 @@ class GatewayHttpServer:
                         return self._reply(200, outer.api.perspective_meta())
                     if method == "GET" and rest == ["channels_graph"]:
                         return self._reply(200, outer.api.channels_graph())
+                    if method == "GET" and rest[:1] == ["outputs"]:
+                        kind, payload = outer.api.outputs_entry("/".join(rest[1:]))
+                        if kind == "dir":
+                            return self._reply(200, payload)
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/octet-stream")
+                        self.send_header("Content-Length", str(len(payload)))
+                        self.end_headers()
+                        self.wfile.write(payload)
+                        return None
                     if method == "GET" and rest == ["perspective", "layouts"]:
                         return self._reply(200, outer.api.perspective_layouts())
                     if method == "POST" and rest[:2] == ["perspective", "layouts"] and len(rest) == 3:

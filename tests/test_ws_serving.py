@@ -269,3 +269,33 @@ def test_channels_graph_route(served):
     assert "quotes" in graph
     assert any(g.startswith("state(keyby=sym") for g in graph["quotes"]["getters"])
     assert any(s.startswith("producer[") for s in graph["quotes"]["setters"])
+
+
+def test_outputs_folder_browser(spark, tmp_path):
+    """Reference MountOutputsFolder: directory listing, file streaming,
+    and a path-traversal guard."""
+    cat = ChannelCatalog(spark)
+    cat.declare("quotes", QUOTE)
+    root = tmp_path / "outputs"
+    (root / "sub").mkdir(parents=True)
+    (root / "run.log").write_text("hello logs")
+    (root / "sub" / "cfg.yaml").write_text("a: 1")
+    api = GatewayApi(cat)
+    api.outputs_dir = str(root)
+    srv = GatewayHttpServer(api).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        listing = json.loads(urllib.request.urlopen(f"{base}/api/v1/outputs").read())
+        assert {e["name"]: e["dir"] for e in listing["entries"]} == {"run.log": False, "sub": True}
+        body = urllib.request.urlopen(f"{base}/api/v1/outputs/run.log").read()
+        assert body == b"hello logs"
+        nested = urllib.request.urlopen(f"{base}/api/v1/outputs/sub/cfg.yaml").read()
+        assert nested == b"a: 1"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/api/v1/outputs/../../etc/passwd")
+        assert ei.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/api/v1/outputs/%2e%2e/%2e%2e/etc/passwd")
+        assert ei.value.code == 404
+    finally:
+        srv.stop()
