@@ -696,6 +696,15 @@ def build_fastapi_app(api: GatewayApi):
     def channels_graph():
         return api.channels_graph()
 
+    @app.get("/api/v1/outputs/{full_path:path}")
+    def outputs(full_path: str = ""):
+        from fastapi import Response
+
+        kind, payload = guard(api.outputs_entry, full_path)
+        if kind == "dir":
+            return payload
+        return Response(content=payload, media_type="application/octet-stream")
+
     @app.get("/api/v1/perspective/layouts")
     def perspective_layouts():
         return api.perspective_layouts()
