@@ -66,6 +66,10 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None
     Returns ``dict[name, DataFrame]``.  Column pruning + predicate
     pushdown reach the scan because these are plain parquet reads.
     """
+    # the caller may hand us a session built elsewhere (the driver's
+    # harness does): events.parquet is TIMESTAMP(NANOS), so the conf
+    # must be on THIS session, not just get_spark()'s
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     names = tables or (
         "region",
         "nation",
