@@ -243,3 +243,18 @@ def test_api_key_middleware_object(catalog):
         assert _get(f"{base}/api/v1/channels", {"Cookie": "token=k1"}) == ["quotes"]
     finally:
         srv.stop()
+
+
+def test_oauth_discovery_unreachable_falls_back_to_convention():
+    def down(url, headers=None):
+        raise ConnectionError("idp down")
+
+    auth = OAuth2Auth(
+        issuer="https://idp.test", client_id="cid", http_get_json=down, http_post_form=down
+    )
+    # discovery unreachable -> convention endpoints (oauth.py fallbacks)
+    assert auth.get_token_url() == "https://idp.test/oauth/token"
+    assert auth.get_authorize_url() == "https://idp.test/authorize"
+    assert auth.get_userinfo_url() == "https://idp.test/userinfo"
+    # and a bearer check degrades to unauthorized, never crashes
+    assert auth.identity_from_request(headers={"Authorization": "Bearer x"}) is None

@@ -108,3 +108,8 @@ def test_cli_once_smoke(cfg_file, spark):
     from csp_gateway_spark.__main__ import main
 
     assert main(["--config", cfg_file, "--once", "-o", "modules.quotes.seed_rows=1"]) == 0
+
+
+def test_interpolation_inside_strings(tmp_path):
+    cfg = load_config({"host": "h1", "port": 9, "url": "http://${host}:${port}/x"})
+    assert cfg["url"] == "http://h1:9/x"
