@@ -25,6 +25,7 @@ HEADLINE = [
     "asof_join",
     "interval_join",
     "union_merge",
+    "lookup_by_id",
     "explode_embeddings",
     "text_stats",
     "dedup_exact",
