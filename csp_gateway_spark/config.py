@@ -61,30 +61,36 @@ def _parse_scalar(text: str) -> Any:
     return yaml.safe_load(text)
 
 
-def _resolve_interp(value: Any, root: Any) -> Any:
+def _resolve_interp(value: Any, root: Any, _seen: Optional[frozenset] = None) -> Any:
     if isinstance(value, str):
         whole = _INTERP.fullmatch(value.strip())
         if whole:
-            return _lookup(whole.group(1), root)
+            return _lookup(whole.group(1), root, _seen)
 
         def sub(m: re.Match) -> str:
-            return str(_lookup(m.group(1), root))
+            return str(_lookup(m.group(1), root, _seen))
 
         return _INTERP.sub(sub, value)
     if isinstance(value, dict):
-        return {k: _resolve_interp(v, root) for k, v in value.items()}
+        return {k: _resolve_interp(v, root, _seen) for k, v in value.items()}
     if isinstance(value, list):
-        return [_resolve_interp(v, root) for v in value]
+        return [_resolve_interp(v, root, _seen) for v in value]
     return value
 
 
-def _lookup(expr: str, root: Any) -> Any:
+def _lookup(expr: str, root: Any, _seen: Optional[frozenset] = None) -> Any:
     expr = expr.strip()
     for prefix in ("oc.env:", "env:"):
         if expr.startswith(prefix):
             name, _, default = expr[len(prefix):].partition(",")
             return os.environ.get(name.strip(), _parse_scalar(default.strip()) if default else None)
-    return _get_path(root, expr)
+    seen = _seen or frozenset()
+    if expr in seen:
+        raise ValueError(f"interpolation cycle through ${{{expr}}}")
+    # Chained interpolation (a: ${b}, b: ${env:X}) must resolve
+    # transitively, as hydra/OmegaConf does — a raw lookup would hand
+    # back the literal '${env:X}' string.
+    return _resolve_interp(_get_path(root, expr), root, seen | {expr})
 
 
 def instantiate(node: Any, root: Any = None) -> Any:

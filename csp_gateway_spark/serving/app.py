@@ -152,7 +152,11 @@ class GatewayApi:
         self.auth = auth
 
     def check_api_key(self, supplied: Optional[str]) -> None:
-        if self.api_keys and supplied not in self.api_keys:
+        import hmac
+
+        if self.api_keys and not (
+            supplied and any(hmac.compare_digest(supplied, k) for k in self.api_keys)
+        ):
             raise ApiError(401, "invalid or missing API key")
 
     def check_request(
@@ -356,8 +360,10 @@ class GatewayApi:
 
         if not self.outputs_dir:
             raise ApiError(404, "no outputs dir configured")
-        root = os.path.abspath(self.outputs_dir)
-        target = os.path.abspath(os.path.join(root, rel_path)) if rel_path else root
+        # realpath (not abspath): a symlink under the root pointing outside
+        # would pass an abspath prefix check but must not be served
+        root = os.path.realpath(self.outputs_dir)
+        target = os.path.realpath(os.path.join(root, rel_path)) if rel_path else root
         if not (target == root or target.startswith(root + os.sep)) or not os.path.exists(target):
             raise ApiError(404, f"not found: {rel_path!r}")
         if os.path.isdir(target):
@@ -469,6 +475,51 @@ class GatewayApi:
         if server is not None:
             threading.Thread(target=server.stop, daemon=True).start()
         return {"status": "shutting down"}
+
+    # --- auth routes (shared by both transports; reference simple.py
+    # /login, oauth.py /login /callback /logout /userinfo) --------------
+    def auth_login_simple(self, username: str, password: str) -> tuple:
+        """Form login → (body, Set-Cookie value); 404 when the configured
+        middleware is not SimpleAuth."""
+        from csp_gateway_spark.serving.auth import SimpleAuth
+
+        if not isinstance(self.auth, SimpleAuth):
+            raise ApiError(404, "not found")
+        sid = self.auth.login(username, password)
+        if sid is None:
+            raise ApiError(401, "unauthorized")
+        return (
+            {"status": "ok", "session": sid},
+            f"{self.auth.cookie_name}={sid}; HttpOnly; SameSite=Lax",
+        )
+
+    def auth_login_redirect(self, host: str) -> dict:
+        from csp_gateway_spark.serving.auth import OAuth2Auth
+
+        if not isinstance(self.auth, OAuth2Auth):
+            raise ApiError(404, "not found")
+        redirect_uri = f"http://{host}/api/v1/auth/callback"
+        return {"redirect": self.auth.authorize_redirect(redirect_uri)}
+
+    def auth_callback(self, code: Optional[str], error: Optional[str], host: str) -> tuple:
+        from csp_gateway_spark.serving.auth import OAuth2Auth
+
+        if not isinstance(self.auth, OAuth2Auth):
+            raise ApiError(404, "not found")
+        if error:
+            raise ApiError(400, error)
+        if not code:
+            raise ApiError(400, "No authorization code provided")
+        sid = self.auth.handle_callback(code, f"http://{host}/api/v1/auth/callback")
+        return (
+            {"status": "ok", "session": sid},
+            f"{self.auth.cookie_name}={sid}; HttpOnly; SameSite=Lax",
+        )
+
+    def auth_logout(self, cookies: Optional[Dict[str, str]]) -> dict:
+        if self.auth is not None:
+            self.auth.drop_session((cookies or {}).get(self.auth.cookie_name))
+        return {"status": "ok"}
 
 
 def stream_into_gateway(
@@ -618,118 +669,174 @@ class WsSession:
 # FastAPI transport (preferred when installed)
 # ---------------------------------------------------------------------------
 
+def fastapi_auth_dependency(api: GatewayApi):
+    """The per-request auth check every protected FastAPI route depends
+    on — the FastAPI analogue of the stdlib transport's ``_check``
+    (reference mounts auth dependencies on every route; without this a
+    fastapi deployment would silently skip configured auth).  Returns
+    an async callable suitable for ``Depends``; raises ApiError (mapped
+    to HTTP status by the app's exception handler) on missing/invalid
+    credentials.  Kept fastapi-import-free so it is unit-testable in
+    containers without fastapi."""
+
+    async def dep(request) -> Optional[Dict[str, Any]]:
+        return api.check_request(
+            headers=dict(request.headers),
+            cookies=dict(request.cookies),
+            query_params=dict(request.query_params),
+        )
+
+    return dep
+
+
 def build_fastapi_app(api: GatewayApi):
-    """Return a FastAPI app mounting the routes, or raise ImportError."""
-    from fastapi import FastAPI, HTTPException, Request
+    """Return a FastAPI app mounting the routes, or raise ImportError.
+
+    Every /api/v1 route carries the auth dependency (identity resolved
+    via ``api.check_request``); the /api/v1/auth login/callback/logout
+    routes are public, mirroring the stdlib transport."""
+    from fastapi import APIRouter, Depends, FastAPI, Request, Response
+    from fastapi.responses import JSONResponse
 
     app = FastAPI(title="csp-gateway-spark")
 
-    def guard(fn, *args, **kwargs):
-        try:
-            return fn(*args, **kwargs)
-        except ApiError as e:
-            raise HTTPException(status_code=e.status, detail=e.detail) from e
+    @app.exception_handler(ApiError)
+    async def api_error_handler(request, exc: ApiError):
+        return JSONResponse(status_code=exc.status, content={"detail": exc.detail})
 
-    @app.get("/api/v1/last/{channel}")
+    auth_dep = fastapi_auth_dependency(api)
+    protected = APIRouter(prefix="/api/v1", dependencies=[Depends(auth_dep)])
+    public = APIRouter(prefix="/api/v1")
+
+    # --- public auth endpoints (login/callback/logout) ---------------
+    @public.post("/auth/login")
+    async def auth_login(request: Request):
+        payload = await request.json()
+        body, cookie = api.auth_login_simple(
+            payload.get("username", ""), payload.get("password", "")
+        )
+        resp = JSONResponse(content=body)
+        resp.headers["Set-Cookie"] = cookie
+        return resp
+
+    @public.get("/auth/login")
+    def auth_login_redirect(request: Request):
+        return api.auth_login_redirect(request.headers.get("host", "localhost"))
+
+    @public.get("/auth/callback")
+    def auth_callback(request: Request, code: Optional[str] = None, error: Optional[str] = None):
+        body, cookie = api.auth_callback(code, error, request.headers.get("host", "localhost"))
+        resp = JSONResponse(content=body)
+        resp.headers["Set-Cookie"] = cookie
+        return resp
+
+    @public.get("/auth/logout")
+    def auth_logout(request: Request):
+        return api.auth_logout(dict(request.cookies))
+
+    @protected.get("/auth/userinfo")
+    def auth_userinfo(identity: Optional[Dict[str, Any]] = Depends(auth_dep)):
+        return _jsonable(identity or {})
+
+    # --- protected routes --------------------------------------------
+    @protected.get("/last/{channel}")
     def last(channel: str):
-        return guard(api.last, channel)
+        return api.last(channel)
 
-    @app.get("/api/v1/last/{channel}/{key}")
+    @protected.get("/last/{channel}/{key}")
     def last_key(channel: str, key: str):
-        return guard(api.last, channel, key)
+        return api.last(channel, key)
 
-    @app.get("/api/v1/state/{channel}")
+    @protected.get("/state/{channel}")
     def state(channel: str, query: Optional[str] = None):
-        return guard(api.state, channel, query)
+        return api.state(channel, query)
 
-    @app.get("/api/v1/state/{channel}/{key}")
+    @protected.get("/state/{channel}/{key}")
     def state_key(channel: str, key: str, query: Optional[str] = None):
-        return guard(api.state, channel, query, key)
+        return api.state(channel, query, key)
 
-    @app.get("/api/v1/next/{channel}/{key}")
+    @protected.get("/next/{channel}/{key}")
     def next_key(channel: str, key: str, timeout: float = 30.0):
-        return guard(api.next, channel, timeout, key)
+        return api.next(channel, timeout, key)
 
-    @app.post("/api/v1/send/{channel}/{key}")
+    @protected.post("/send/{channel}/{key}")
     async def send_key(channel: str, key: str, request: Request):
         payload = await request.json()
-        return guard(api.send, channel, payload, key)
+        return api.send(channel, payload, key)
 
-    @app.get("/api/v1/lookup/{channel}/{record_id}")
+    @protected.get("/lookup/{channel}/{record_id}")
     def lookup(channel: str, record_id: str):
-        return guard(api.lookup, channel, record_id)
+        return api.lookup(channel, record_id)
 
-    @app.get("/api/v1/next/{channel}")
+    @protected.get("/next/{channel}")
     def next_tick(channel: str, timeout: float = 30.0):
-        return guard(api.next, channel, timeout)
+        return api.next(channel, timeout)
 
-    @app.post("/api/v1/send/{channel}")
+    @protected.post("/send/{channel}")
     async def send(channel: str, request: Request):
         payload = await request.json()
-        return guard(api.send, channel, payload)
+        return api.send(channel, payload)
 
-    @app.get("/api/v1/controls/heartbeat")
+    @protected.get("/controls/heartbeat")
     def heartbeat():
         return api.heartbeat()
 
-    @app.get("/api/v1/controls/stats")
+    @protected.get("/controls/stats")
     def stats():
         return api.stats()
 
-    @app.get("/api/v1/channels")
+    @protected.get("/channels")
     def channels():
         return api.channels()
 
-    @app.get("/api/v1/field/{name}")
+    @protected.get("/field/{name}")
     def field(name: str):
-        return guard(api.field, name)
+        return api.field(name)
 
-    @app.get("/api/v1/perspective/tables")
+    @protected.get("/perspective/tables")
     def perspective_tables():
         return api.perspective_tables()
 
-    @app.get("/api/v1/perspective/meta")
+    @protected.get("/perspective/meta")
     def perspective_meta():
         return api.perspective_meta()
 
-    @app.get("/api/v1/channels_graph")
+    @protected.get("/channels_graph")
     def channels_graph():
         return api.channels_graph()
 
-    @app.get("/api/v1/outputs/{full_path:path}")
+    @protected.get("/outputs/{full_path:path}")
     def outputs(full_path: str = ""):
-        from fastapi import Response
-
-        kind, payload = guard(api.outputs_entry, full_path)
+        kind, payload = api.outputs_entry(full_path)
         if kind == "dir":
             return payload
         return Response(content=payload, media_type="application/octet-stream")
 
-    @app.get("/api/v1/perspective/layouts")
+    @protected.get("/perspective/layouts")
     def perspective_layouts():
         return api.perspective_layouts()
 
-    @app.post("/api/v1/perspective/layouts/{name}")
+    @protected.post("/perspective/layouts/{name}")
     def perspective_layout_save(name: str, layout: Any):
         return api.perspective_layout_save(name, layout)
 
-    @app.delete("/api/v1/perspective/layouts/{name}")
+    @protected.delete("/perspective/layouts/{name}")
     def perspective_layout_delete(name: str):
-        return guard(api.perspective_layout_delete, name)
+        return api.perspective_layout_delete(name)
 
-    @app.get("/api/v1/perspective/arrow/{name}")
+    @protected.get("/perspective/arrow/{name}")
     def perspective_arrow(name: str, limit: Optional[int] = None):
-        from fastapi import Response
-
         return Response(
-            content=guard(api.perspective_arrow, name, limit),
+            content=api.perspective_arrow(name, limit),
             media_type="application/vnd.apache.arrow.stream",
         )
 
-    @app.post("/api/v1/controls/shutdown")
+    @protected.post("/controls/shutdown")
     def shutdown():
         return api.shutdown()
 
+    app.include_router(public)
+    app.include_router(protected)
     return app
 
 
@@ -786,44 +893,27 @@ class GatewayHttpServer:
                 """Public auth endpoints (login/callback/logout) + userinfo.
                 Mirrors the reference's auth routers (simple.py /login,
                 oauth.py /login /callback /logout /userinfo)."""
-                from csp_gateway_spark.serving.auth import OAuth2Auth, SimpleAuth
-
-                auth = outer.api.auth
                 headers, cookies, query = self._req_ctx(qs)
-                if method == "POST" and rest == ["login"] and isinstance(auth, SimpleAuth):
+                host = self.headers.get("Host", "localhost")
+                if method == "POST" and rest == ["login"]:
                     length = int(self.headers.get("Content-Length", 0))
                     try:
                         payload = json.loads(self.rfile.read(length) or b"{}")
                     except json.JSONDecodeError as e:
                         raise ApiError(422, f"malformed JSON body: {e}") from e
-                    sid = auth.login(payload.get("username", ""), payload.get("password", ""))
-                    if sid is None:
-                        raise ApiError(401, "unauthorized")
-                    return self._reply(
-                        200,
-                        {"status": "ok", "session": sid},
-                        {"Set-Cookie": f"{auth.cookie_name}={sid}; HttpOnly"},
+                    body, cookie = outer.api.auth_login_simple(
+                        payload.get("username", ""), payload.get("password", "")
                     )
-                if method == "GET" and rest == ["login"] and isinstance(auth, OAuth2Auth):
-                    host = self.headers.get("Host", "localhost")
-                    redirect_uri = f"http://{host}/api/v1/auth/callback"
-                    return self._reply(200, {"redirect": auth.authorize_redirect(redirect_uri)})
-                if method == "GET" and rest == ["callback"] and isinstance(auth, OAuth2Auth):
-                    code = query.get("code")
-                    if query.get("error"):
-                        raise ApiError(400, query["error"])
-                    if not code:
-                        raise ApiError(400, "No authorization code provided")
-                    host = self.headers.get("Host", "localhost")
-                    sid = auth.handle_callback(code, f"http://{host}/api/v1/auth/callback")
-                    return self._reply(
-                        200,
-                        {"status": "ok", "session": sid},
-                        {"Set-Cookie": f"{auth.cookie_name}={sid}; HttpOnly"},
+                    return self._reply(200, body, {"Set-Cookie": cookie})
+                if method == "GET" and rest == ["login"]:
+                    return self._reply(200, outer.api.auth_login_redirect(host))
+                if method == "GET" and rest == ["callback"]:
+                    body, cookie = outer.api.auth_callback(
+                        query.get("code"), query.get("error"), host
                     )
-                if method == "GET" and rest == ["logout"] and auth is not None:
-                    auth.drop_session(cookies.get(auth.cookie_name))
-                    return self._reply(200, {"status": "ok"})
+                    return self._reply(200, body, {"Set-Cookie": cookie})
+                if method == "GET" and rest == ["logout"] and outer.api.auth is not None:
+                    return self._reply(200, outer.api.auth_logout(cookies))
                 if method == "GET" and rest == ["userinfo"]:
                     identity = self._check(qs)
                     return self._reply(200, _jsonable(identity or {}))

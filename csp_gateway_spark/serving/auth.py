@@ -106,12 +106,16 @@ class ApiKeyAuth(AuthMiddleware):
         self.cookie_name = cookie_name
 
     def identity_from_request(self, headers=None, cookies=None, query_params=None):
+        import hmac
+
         supplied = (
             _header(headers, "X-API-Key")
             or (query_params or {}).get("token")
             or (cookies or {}).get(self.cookie_name)
         )
-        if supplied and supplied in self.api_keys:
+        # constant-time compare against every configured key: API keys are
+        # long-lived secrets, so a plain `in` would leak prefixes via timing
+        if supplied and any(hmac.compare_digest(supplied, k) for k in self.api_keys):
             return {"user": "api-key", "key": supplied}
         return None
 

@@ -200,9 +200,15 @@ class FileStubBroker:
 
     def publish(self, df: DataFrame, topic: str, order_col: str = "_ts") -> None:
         """Append (key, value) messages; partition by key hash, offset
-        by publish order within the partition."""
+        by publish order within the partition.  Offsets continue past
+        the per-partition max already in the log, so a second publish
+        to the same topic appends (N+1..) instead of reusing 1..M and
+        breaking the subscribe-order contract."""
+        import os
+
         from pyspark.sql.window import Window
 
+        path = self._topic_path(topic)
         part = F.pmod(F.crc32(F.col("key").cast("string")), F.lit(self.num_partitions)).cast("int")
         w = Window.partitionBy(part).orderBy(F.col(order_col))
         out = df.select(
@@ -211,7 +217,18 @@ class FileStubBroker:
             "key",
             "value",
         )
-        out.write.mode("append").parquet(self._topic_path(topic))
+        if os.path.exists(path):
+            base = (
+                df.sparkSession.read.parquet(path)
+                .groupBy("partition")
+                .agg(F.max("offset").alias("_base"))
+            )
+            out = (
+                out.join(F.broadcast(base), "partition", "left")
+                .withColumn("offset", F.col("offset") + F.coalesce(F.col("_base"), F.lit(0)))
+                .select("partition", "offset", "key", "value")
+            )
+        out.write.mode("append").parquet(path)
 
     def subscribe(self, spark: SparkSession, topic: str) -> DataFrame:
         """Messages in consumption order (partition, offset) — mirrors

@@ -258,3 +258,77 @@ def test_oauth_discovery_unreachable_falls_back_to_convention():
     assert auth.get_userinfo_url() == "https://idp.test/userinfo"
     # and a bearer check degrades to unauthorized, never crashes
     assert auth.identity_from_request(headers={"Authorization": "Bearer x"}) is None
+
+
+# ---------------------------------------------------------------------------
+# FastAPI transport auth dependency (unit-level: fastapi not installed
+# in this container, so drive the dependency callable directly)
+# ---------------------------------------------------------------------------
+
+class _FakeRequest:
+    """Duck-typed fastapi.Request: the dependency only reads
+    .headers/.cookies/.query_params as mappings."""
+
+    def __init__(self, headers=None, cookies=None, query_params=None):
+        self.headers = headers or {}
+        self.cookies = cookies or {}
+        self.query_params = query_params or {}
+
+
+def _run(coro):
+    import asyncio
+
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+def test_fastapi_auth_dependency_rejects_without_credentials(catalog):
+    from csp_gateway_spark.serving.app import ApiError, fastapi_auth_dependency
+
+    api = GatewayApi(catalog, auth=ApiKeyAuth(["sekret"]))
+    dep = fastapi_auth_dependency(api)
+    with pytest.raises(ApiError) as ei:
+        _run(dep(_FakeRequest()))
+    assert ei.value.status == 401
+
+
+def test_fastapi_auth_dependency_accepts_each_credential_source(catalog):
+    from csp_gateway_spark.serving.app import fastapi_auth_dependency
+
+    api = GatewayApi(catalog, auth=ApiKeyAuth(["sekret"]))
+    dep = fastapi_auth_dependency(api)
+    for req in (
+        _FakeRequest(headers={"X-API-Key": "sekret"}),
+        _FakeRequest(query_params={"token": "sekret"}),
+        _FakeRequest(cookies={"token": "sekret"}),
+    ):
+        identity = _run(dep(req))
+        assert identity == {"user": "api-key", "key": "sekret"}
+
+
+def test_fastapi_auth_dependency_noop_when_auth_disabled(catalog):
+    from csp_gateway_spark.serving.app import fastapi_auth_dependency
+
+    api = GatewayApi(catalog)
+    assert _run(fastapi_auth_dependency(api)(_FakeRequest())) is None
+
+
+def test_shared_auth_route_helpers(catalog):
+    """The transport-shared auth-route methods (used by both stdlib and
+    FastAPI transports) return (body, Set-Cookie) pairs."""
+    from csp_gateway_spark.serving.app import ApiError
+
+    api = GatewayApi(catalog, auth=SimpleAuth(external_validator=_validator))
+    body, cookie = api.auth_login_simple("alice", "wonderland")
+    assert body["status"] == "ok"
+    assert cookie.startswith(f"session={body['session']}")
+    assert "SameSite=Lax" in cookie and "HttpOnly" in cookie
+    with pytest.raises(ApiError) as ei:
+        api.auth_login_simple("alice", "wrong")
+    assert ei.value.status == 401
+    # logout drops the session
+    api.auth_logout({"session": body["session"]})
+    assert api.auth.get_identity(body["session"]) is None
+    # oauth-only routes 404 on a SimpleAuth gateway
+    with pytest.raises(ApiError) as ei:
+        api.auth_login_redirect("h")
+    assert ei.value.status == 404

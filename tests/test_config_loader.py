@@ -113,3 +113,22 @@ def test_cli_once_smoke(cfg_file, spark):
 def test_interpolation_inside_strings(tmp_path):
     cfg = load_config({"host": "h1", "port": 9, "url": "http://${host}:${port}/x"})
     assert cfg["url"] == "http://h1:9/x"
+
+
+def test_chained_interpolation_resolves_transitively(monkeypatch):
+    """a: ${b}, b: ${env:VAR} must resolve to the env value, not the
+    literal '${env:VAR}' string (hydra/OmegaConf resolve transitively)."""
+    monkeypatch.setenv("CFG_CHAIN_VAR", "resolved-value")
+    cfg = load_config({"b": "${env:CFG_CHAIN_VAR}", "a": "${b}", "c": "${a}"})
+    assert cfg["a"] == "resolved-value"
+    assert cfg["c"] == "resolved-value"
+
+
+def test_chained_interpolation_through_nested_dict():
+    cfg = load_config({"base": {"host": "${top}"}, "top": "h9", "url": "${base.host}:1"})
+    assert cfg["url"] == "h9:1"
+
+
+def test_interpolation_cycle_raises():
+    with pytest.raises(ValueError, match="cycle"):
+        load_config({"a": "${b}", "b": "${a}"})

@@ -108,6 +108,27 @@ def test_same_key_lands_in_one_partition_in_order(spark, channels, tmp_path_fact
     assert ts == sorted(ts)
 
 
+def test_second_publish_continues_offsets(spark, channels, tmp_path_factory):
+    """Appending a second batch must offset past the existing
+    per-partition max — reusing 1..N would interleave batches in
+    subscribe's (partition, offset) order and break the per-key
+    ordering contract across publishes."""
+    root = str(tmp_path_factory.mktemp("stub-broker4"))
+    broker = FileStubBroker(root, num_partitions=4)
+    wire = encode_engine_cycles(encode_changelog(channels), key="replay-1")
+    broker.publish(wire, "t")
+    broker.publish(wire, "t")
+    log = broker.subscribe(spark, "t").collect()
+    offsets = sorted(r["offset"] for r in log)
+    # 3 cycles per publish, one partition (single key): 1..6, no repeats
+    assert offsets == list(range(1, 7))
+    # consumption order = publish order: first batch's timestamps, then
+    # the second batch's
+    ordered = sorted(log, key=lambda r: (r["partition"], r["offset"]))
+    ts = [__import__("json").loads(r["value"])["csp_timestamp"] for r in ordered]
+    assert ts == sorted(ts[:3]) + sorted(ts[3:])
+
+
 def test_engine_time_comes_from_message_not_broker(spark, channels, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("stub-broker3"))
     broker = FileStubBroker(root)

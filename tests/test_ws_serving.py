@@ -297,5 +297,11 @@ def test_outputs_folder_browser(spark, tmp_path):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(f"{base}/api/v1/outputs/%2e%2e/%2e%2e/etc/passwd")
         assert ei.value.code == 404
+        # a symlink inside the root pointing outside must not be served
+        # (realpath containment, not just abspath)
+        (root / "escape").symlink_to("/etc/passwd")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/api/v1/outputs/escape")
+        assert ei.value.code == 404
     finally:
         srv.stop()
