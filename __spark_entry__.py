@@ -21,10 +21,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os
 
     # The driver builds its own SparkSession (not csp_gateway_spark.session),
-    # so the conf that lets Spark read events.parquet's INT64 TIMESTAMP(NANOS)
-    # column as a long must be set here, at runtime, on whatever session we get.
+    # so the confs that pin the events.ts contract (epoch-ns long, UTC)
+    # must be set here, at runtime, on whatever session we get.  The
+    # testdata has shipped ts as both TIMESTAMP(NANOS) (long via this
+    # conf) and TIMESTAMP(MICROS) (converted by normalize_event_ts).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        from csp_gateway_spark.session import normalize_event_ts
+
+        df = normalize_event_ts(df)
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,30 @@ def get_spark(app_name: str = "csp-gateway-spark", cpus: str | None = None) -> S
     return builder.getOrCreate()
 
 
+def normalize_event_ts(df, col: str = "ts"):
+    """Pin the engine contract `events.ts == epoch-nanoseconds long`
+    regardless of how the parquet encodes it.
+
+    The driver's testdata has shipped both TIMESTAMP(NANOS) (read as
+    long via ``nanosAsLong``; already the contract form) and
+    TIMESTAMP(MICROS) (arrives as timestamp/timestamp_ntz; converted
+    here).  NTZ values are naive UTC — same convention DuckDB's
+    ``epoch_ns(ts)`` applies on the oracle side — so the session
+    timezone must be UTC when casting (get_spark and the entry-point
+    loader both pin it)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if col not in df.columns:
+        return df
+    dt = df.schema[col].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        df = df.withColumn(
+            col, (F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)).cast("long")
+        )
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None):
     """Load the driver's parquet tables and register them as temp views.
 
@@ -67,9 +91,11 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None
     pushdown reach the scan because these are plain parquet reads.
     """
     # the caller may hand us a session built elsewhere (the driver's
-    # harness does): events.parquet is TIMESTAMP(NANOS), so the conf
-    # must be on THIS session, not just get_spark()'s
+    # harness does): if events.parquet is TIMESTAMP(NANOS) the conf
+    # must be on THIS session, not just get_spark()'s; the timezone
+    # pin keeps the MICROS→nanos conversion UTC-stable
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     names = tables or (
         "region",
         "nation",
@@ -87,6 +113,8 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
+            if name == "events":
+                df = normalize_event_ts(df)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

@@ -17,7 +17,9 @@ def sf_dir():
 
 @pytest.fixture(scope="session")
 def events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    from csp_gateway_spark.session import normalize_event_ts
+
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 @pytest.fixture(scope="session")
