@@ -1442,16 +1442,29 @@ FROM embeddings WHERE vec_id < 200
 
 
 # ---------------------------------------------------------------------------
-# SKETCHES — approximate distinct (HLL++; rows-only: sketch estimates
-# are engine-specific, tolerance vs exact counts tested in pytest)
+# SKETCHES — approximate distinct.  The gate query uses the PORTABLE
+# HLL (operators/sketches.py): md5-derived registers + integer-exact
+# estimate arithmetic reproduce bit-identically in DuckDB, so this is
+# fully oracle-checked (the Spark-native HLL++ `approx_count_distinct`
+# stays available as the engine-specific fast path).
 # ---------------------------------------------------------------------------
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.sketches import hll_distinct
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        hll_distinct(ev, ["event_type"], "user_id")
+        .withColumnRenamed("approx_distinct", "approx_users")
+        .orderBy("event_type")
     )
+
+
+def _oracle_approx_distinct() -> str:
+    from csp_gateway_spark.operators.sketches import hll_distinct_oracle_sql
+
+    sql = hll_distinct_oracle_sql("events", "event_type", "user_id")
+    return sql.replace("AS approx_distinct", "AS approx_users")
 
 
 # ---------------------------------------------------------------------------
@@ -1778,6 +1791,137 @@ FROM per_order JOIN supplier ON ret_suppkey = s_suppkey
 WHERE n_supp > 1 AND n_ret_supp = 1
 GROUP BY s_name
 ORDER BY numwait DESC, s_name ASC LIMIT 100
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import min_cost_supplier
+
+    return min_cost_supplier(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH parts AS (
+  SELECT p_partkey, p_name FROM part WHERE p_size = 15 AND p_type = 'ECONOMY'
+), rs AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), offers AS (
+  SELECT p.p_partkey, p.p_name, r.s_suppkey, r.s_name, r.s_acctbal, r.n_name,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_cost
+  FROM lineitem l
+  JOIN parts p ON l.l_partkey = p.p_partkey
+  JOIN rs r ON l.l_suppkey = r.s_suppkey
+  GROUP BY ALL
+), best AS (
+  SELECT p_partkey, MIN(min_cost) AS best_cost FROM offers GROUP BY 1
+)
+SELECT o.s_acctbal, o.s_name, o.n_name, o.p_partkey, o.p_name,
+       CAST(o.min_cost AS DOUBLE) AS min_cost
+FROM offers o JOIN best b ON o.p_partkey = b.p_partkey AND o.min_cost = b.best_cost
+ORDER BY o.s_acctbal DESC, o.n_name ASC, o.s_name ASC, o.p_partkey ASC
+LIMIT 100
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import important_parts
+
+    return important_parts(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+ORACLE_IMPORTANT_PARTS = """
+WITH ns AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+), pp AS (
+  SELECT l_partkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS part_value
+  FROM lineitem JOIN ns ON l_suppkey = s_suppkey
+  GROUP BY 1
+)
+SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value FROM pp
+WHERE CAST(part_value AS DOUBLE) > (SELECT CAST(SUM(part_value) AS DOUBLE) * 0.001 FROM pp)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+def q_linestatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import linestatus_priority
+
+    return linestatus_priority(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"))
+
+
+ORACLE_LINESTATUS_PRIORITY = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import parts_supplier_counts
+
+    return parts_supplier_counts(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+ORACLE_PARTS_SUPPLIER_COUNTS = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#11' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+def q_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.analytics import promotion_candidates
+
+    return promotion_candidates(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"),
+    )
+
+
+ORACLE_PROMOTION_CANDIDATES = """
+WITH ps AS (
+  SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+  GROUP BY 1
+), thr AS (
+  SELECT CAST(SUM(qty) AS DOUBLE) / COUNT(*) * 0.5 AS threshold FROM ps
+), ns AS (
+  SELECT s_suppkey, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+)
+SELECT s_name, CAST(qty AS DOUBLE) AS qty
+FROM ps JOIN ns ON l_suppkey = s_suppkey, thr
+WHERE CAST(qty AS DOUBLE) > thr.threshold
+ORDER BY s_name
 """
 
 
@@ -2148,6 +2292,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "sole_returned_supplier": q_sole_returned_supplier,
         "global_sales_opportunity": q_global_sales_opportunity,
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_parts": q_important_parts,
+        "linestatus_priority": q_linestatus_priority,
+        "parts_supplier_counts": q_parts_supplier_counts,
+        "promotion_candidates": q_promotion_candidates,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_meta": q_multimodal_image_meta,
         "hypertable_rollup": q_hypertable_rollup,
@@ -2207,8 +2356,7 @@ def oracle_sql() -> dict[str, str]:
         "state_multikey": ORACLE_STATE_MULTIKEY,
         "json_props": ORACLE_JSON_PROPS,
         "array_stats": ORACLE_ARRAY_STATS,
-        # approx_distinct: HLL sketch values are engine-specific —
-        # rows-only; ±2% tolerance vs exact asserted in pytest.
+        "approx_distinct": _oracle_approx_distinct(),
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,
@@ -2225,6 +2373,11 @@ def oracle_sql() -> dict[str, str]:
         "small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
         "sole_returned_supplier": ORACLE_SOLE_RETURNED_SUPPLIER,
         "global_sales_opportunity": ORACLE_GLOBAL_SALES_OPPORTUNITY,
+        "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
+        "important_parts": ORACLE_IMPORTANT_PARTS,
+        "linestatus_priority": ORACLE_LINESTATUS_PRIORITY,
+        "parts_supplier_counts": ORACLE_PARTS_SUPPLIER_COUNTS,
+        "promotion_candidates": ORACLE_PROMOTION_CANDIDATES,
         "multimodal_meta": ORACLE_MULTIMODAL_META,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE_META,
         "hypertable_rollup": ORACLE_HYPERTABLE_ROLLUP,
@@ -2232,6 +2385,4 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "line_dedup": ORACLE_LINE_DEDUP,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
-        # approx_distinct: HLL sketch values are engine-specific —
-        # rows-only; ±2% tolerance vs exact asserted in pytest.
     }

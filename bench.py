@@ -77,6 +77,11 @@ HEADLINE = [
     "small_quantity_revenue",
     "sole_returned_supplier",
     "global_sales_opportunity",
+    "min_cost_supplier",
+    "important_parts",
+    "linestatus_priority",
+    "parts_supplier_counts",
+    "promotion_candidates",
     "multimodal_meta",
     "embedding_neardup_lsh",
     "multimodal_image_meta",

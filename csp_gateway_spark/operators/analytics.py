@@ -48,6 +48,11 @@ __all__ = [
     "small_quantity_revenue",
     "sole_returned_supplier",
     "global_sales_opportunity",
+    "min_cost_supplier",
+    "important_parts",
+    "linestatus_priority",
+    "parts_supplier_counts",
+    "promotion_candidates",
 ]
 
 
@@ -512,6 +517,195 @@ def sole_returned_supplier(
         .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(k)
+    )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    size: int = 15,
+    type_suffix: str = "ECONOMY",
+    region_name: str = "ASIA",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape, adapted: for each part of a given size/type, the
+    region's supplier offering the lowest observed price.  The testdata
+    has no partsupp table, so the part↔supplier relation (and the cost)
+    comes from lineitem history: cost = MIN(l_extendedprice) per
+    (part, supplier).  The correlated MIN subquery becomes a per-part
+    aggregate joined back — both sides of that join are already reduced
+    to the filtered part slice, so only the (partkey, suppkey) rollup
+    shuffles lineitem once."""
+    parts = part.filter(
+        (F.col("p_size") == size) & (F.col("p_type") == type_suffix)
+    ).select("p_partkey", "p_name")
+    region_supp = (
+        supplier.join(
+            broadcast_dim(
+                nation.join(
+                    broadcast_dim(region.filter(F.col("r_name") == region_name)),
+                    nation.n_regionkey == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast_dim(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast_dim(region_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(dec("l_extendedprice")).alias("min_cost"))
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("min_cost").alias("best_cost")
+    )
+    return (
+        offers.join(
+            broadcast_dim(best),
+            (F.col("p_partkey") == F.col("b_partkey")) & (F.col("min_cost") == F.col("best_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_cost")
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(k)
+    )
+
+
+def important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_1",
+    fraction: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11 shape, adapted: parts representing a significant share
+    of one nation's traded value (value = Σ extendedprice·quantity from
+    lineitem, standing in for partsupp supplycost·availqty).  The
+    HAVING threshold is a 1-row scalar aggregate broadcast back; the
+    per-part rollup shuffles the nation-filtered slice once."""
+    nat_supp = supplier.join(
+        broadcast_dim(nation.filter(F.col("n_name") == nation_name).select("n_nationkey")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    value = (dec("l_extendedprice") * dec("l_quantity")).cast("decimal(18,4)")
+    per_part = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(broadcast_dim(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("part_value"))
+    )
+    threshold = per_part.agg(
+        (F.sum("part_value").cast("double") * F.lit(fraction)).alias("threshold")
+    )
+    return (
+        per_part.join(broadcast_dim(threshold),
+                      per_part.part_value.cast("double") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+def linestatus_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    urgent: tuple = ("1-URGENT", "2-HIGH"),
+) -> DataFrame:
+    """TPC-H Q12 shape, adapted: order-priority mix per lineitem class
+    over a ship-date year (l_linestatus stands in for l_shipmode, which
+    the testdata lacks).  One fact shuffle (join on orderkey), then a
+    tiny group-by; the conditional counts are map-side partial."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from)) & (F.col("l_shipdate") < F.lit(date_to))
+    ).select("l_orderkey", "l_linestatus")
+    is_urgent = F.col("o_orderpriority").isin(list(urgent))
+    return (
+        li.join(orders.select("o_orderkey", "o_orderpriority"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def parts_supplier_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    exclude_brand: str = "Brand#11",
+    type_prefix: str = "PROMO",
+    sizes: tuple = (1, 5, 9, 13, 17, 21, 25, 29),
+) -> DataFrame:
+    """TPC-H Q16 shape, adapted: how many distinct suppliers serve each
+    (brand, type, size) combination, excluding one brand, one type
+    prefix, and negative-balance suppliers (standing in for the
+    complaint-comment exclusion).  The part↔supplier pairs come from
+    lineitem's distinct (partkey, suppkey) projection — reduced
+    map-side before the join, then one count-distinct shuffle."""
+    parts = part.filter(
+        (F.col("p_brand") != exclude_brand)
+        & ~F.col("p_type").startswith(type_prefix)
+        & F.col("p_size").isin(list(sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    good_supp = supplier.filter(F.col("s_acctbal") >= 0).select("s_suppkey")
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(broadcast_dim(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast_dim(good_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size"))
+    )
+
+
+def promotion_candidates(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_fragment: str = "red",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    nation_name: str = "NATION_1",
+    fraction: float = 0.5,
+) -> DataFrame:
+    """TPC-H Q20 shape, adapted: suppliers in one nation who moved more
+    than ``fraction`` of their average per-supplier volume of a part
+    family during a year (availqty having no table, the threshold is
+    relative to the mean shipped quantity).  Inner semi-structure:
+    part slice broadcast → per-supplier quantity rollup (one lineitem
+    shuffle) → scalar mean broadcast → supplier join."""
+    parts = part.filter(F.col("p_name").contains(name_fragment)).select("p_partkey")
+    nat_supp = supplier.join(
+        broadcast_dim(nation.filter(F.col("n_name") == nation_name).select("n_nationkey")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    per_supp = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from)) & (F.col("l_shipdate") < F.lit(date_to))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast_dim(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+    )
+    # exact decimal sum / count, divided in IEEE double: deterministic
+    # regardless of partitioning (a double AVG would sum in partition order)
+    mean_qty = per_supp.agg(
+        (F.sum("qty").cast("double") / F.count(F.lit(1)) * F.lit(fraction)).alias("threshold")
+    )
+    return (
+        per_supp.join(broadcast_dim(mean_qty), F.col("qty").cast("double") > F.col("threshold"))
+        .join(broadcast_dim(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "qty")
+        .orderBy(F.asc("s_name"))
     )
 
 

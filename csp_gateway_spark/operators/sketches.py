@@ -1,0 +1,161 @@
+"""Distinct-count sketches (HyperLogLog).
+
+Two implementations of approximate COUNT(DISTINCT):
+
+- ``approx_distinct_native`` — Spark's built-in HLL++
+  (``approx_count_distinct``).  Fastest path (JVM, mergeable partial
+  aggregation), but the estimate depends on Spark's internal hash and
+  sketch layout, so no external engine can reproduce it bit-for-bit.
+
+- ``hll_distinct`` — a portable HLL whose registers derive from
+  ``md5`` and integer arithmetic only, so ANY engine (DuckDB included)
+  computes the *identical* estimate.  This is the oracle-checkable
+  form: same hash → same registers → same deterministic estimate.
+
+Reference parity note: the reference has no sketches at all (SURVEY
+§2.3 — "no distinct-count sketches"); this is part of the additive
+§7.8 analytics surface, and the 100 TB justification is the usual one:
+a 512-register sketch replaces a count-distinct shuffle of raw values
+with a mergeable 4 KB state per group.
+
+Scale shape: two shuffles, both map-side combined — (group, bucket)
+max-rho (cardinality ≤ |groups|·m rows after combine), then a |groups|
+row final rollup.  No row-Python anywhere.
+
+Determinism note: every arithmetic step is exact-integer or a single
+correctly-rounded IEEE-754 op (division, multiply by a power of two),
+EXCEPT the small-range linear-counting branch which uses ``ln`` —
+libm implementations agree to well under the 0.5-ulp needed to move a
+rounded integer estimate, but it is the one documented wobble point.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["approx_distinct_native", "hll_distinct", "HLL_P", "hll_alpha_scale"]
+
+HLL_P = 9  # 2^9 = 512 registers, rsd ≈ 1.04/sqrt(512) ≈ 4.6%
+_HASH_BITS = 60  # md5 15-hex-digit prefix
+_M = 1 << HLL_P
+_W = _HASH_BITS - HLL_P  # 51 payload bits
+_RMAX = _W + 1  # rho when the payload is all zeros
+_LC_CUTOFF = 2.5 * _M
+
+
+def hll_alpha_scale(m: int = _M, scale_bits: int = _RMAX) -> float:
+    """``alpha_m * m^2 * 2^scale_bits`` as one double literal — the
+    only constant the estimate needs (bias factor from the HLL paper,
+    Flajolet et al. 2007, for m ≥ 128)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << scale_bits)
+
+
+def approx_distinct_native(
+    df: DataFrame, group_cols: Sequence[str], value_col: str, rsd: float = 0.02
+) -> DataFrame:
+    """Spark-native HLL++ (engine-specific estimates; JVM fast path)."""
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(value_col, rsd=rsd).alias("approx_distinct"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """Portable deterministic HLL estimate per group.
+
+    Register construction (identical in any SQL engine):
+      h      = int(md5(value)[:15 hex])            — 60-bit uniform hash
+      bucket = h mod 512
+      w      = h div 512                           — 51 payload bits
+      rho    = 52 - bit_length(w)   (w=0 → 52)     — leading-zeros + 1
+      r[b]   = max rho per bucket
+
+    Estimate: alpha·m²/Σ2^-r with linear counting below 2.5m.  The
+    Σ2^-r term is kept as an exact integer (Σ 2^(52-r), empty buckets
+    contributing 2^52), so the only floating-point steps are one
+    division and the final round.
+
+    Output: ``group_cols + (approx_distinct, n)``; ``n`` is the exact
+    row count (not distinct), carried for calibration.
+    """
+    gcols = list(group_cols)
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    hashed = df.select(*gcols, h.alias("_hll_h"))
+    # all-integer bucket/payload split: `div` stays in longs (h is up
+    # to 2^60, past double's 2^53 exact range, so no `/` anywhere)
+    w = F.expr(f"_hll_h div {_M}")
+    rho = F.when(w == F.lit(0), F.lit(_RMAX)).otherwise(
+        F.lit(_RMAX) - F.length(F.bin(w))
+    )
+    per_bucket = (
+        hashed.select(
+            *gcols,
+            F.pmod(F.col("_hll_h"), F.lit(_M)).alias("_hll_bucket"),
+            rho.alias("_hll_rho"),
+        )
+        .groupBy(*gcols, "_hll_bucket")
+        .agg(F.max("_hll_rho").alias("_r"), F.count(F.lit(1)).alias("_cnt"))
+    )
+    g = per_bucket.groupBy(*gcols).agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_RMAX} - _r)")).alias("_s_present"),
+        F.count(F.lit(1)).alias("_npresent"),
+        F.sum("_cnt").alias("n"),
+    )
+    s_total = (
+        F.col("_s_present")
+        + (F.lit(_M) - F.col("_npresent")) * F.lit(1 << _RMAX).cast("long")
+    ).cast("double")
+    v = (F.lit(_M) - F.col("_npresent")).cast("double")
+    e_raw = F.lit(hll_alpha_scale()) / s_total
+    estimate = F.when(
+        (v > 0) & (e_raw <= F.lit(_LC_CUTOFF)),
+        F.round(F.lit(float(_M)) * F.log(F.lit(float(_M)) / v)),
+    ).otherwise(F.round(e_raw))
+    return g.select(
+        *gcols, estimate.cast("long").alias("approx_distinct"), F.col("n")
+    )
+
+
+def hll_distinct_oracle_sql(
+    table: str, group_col: str, value_col: str
+) -> str:
+    """DuckDB SQL computing the bit-identical estimate (the oracle
+    counterpart of ``hll_distinct`` — same hash, same registers, same
+    arithmetic)."""
+    m, rmax, cutoff = _M, _RMAX, _LC_CUTOFF
+    c = repr(hll_alpha_scale())
+    return f"""
+WITH h AS (
+  SELECT {group_col},
+         ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM {table}
+), b AS (
+  SELECT {group_col}, hv % {m} AS bucket,
+         MAX(CASE WHEN hv // {m} = 0 THEN {rmax}
+                  ELSE {rmax} - length(bin(hv // {m})) END) AS r,
+         COUNT(*) AS cnt
+  FROM h GROUP BY 1, 2
+), g AS (
+  SELECT {group_col},
+         SUM(1::BIGINT << ({rmax} - r)) AS s_present,
+         COUNT(*) AS npresent,
+         SUM(cnt) AS n
+  FROM b GROUP BY 1
+)
+SELECT {group_col},
+  CAST(CASE WHEN ({m} - npresent) > 0
+         AND {c} / CAST(s_present + ({m} - npresent) * (1::BIGINT << {rmax}) AS DOUBLE) <= {cutoff}
+       THEN round({float(m)!r} * ln({float(m)!r} / CAST({m} - npresent AS DOUBLE)))
+       ELSE round({c} / CAST(s_present + ({m} - npresent) * (1::BIGINT << {rmax}) AS DOUBLE))
+       END AS BIGINT) AS approx_distinct,
+  CAST(n AS BIGINT) AS n
+FROM g ORDER BY {group_col}
+"""
