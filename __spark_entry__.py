@@ -2120,6 +2120,122 @@ FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# TRAINING-PIPELINE CURATION — deterministic split, sequence packing,
+# repetition quality (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+_SPLIT_SEED = 23
+_PACK_SEED = 29
+_PACK_SHARDS = 16
+_PACK_BUDGET = 2048
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.curation import train_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = train_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=_SPLIT_SEED)
+    return (
+        out.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+def _split_thresholds() -> tuple:
+    import math
+
+    # alphabetical split order (test, train, val): cumulative weights
+    t_test = math.floor(0.05 * float(1 << 60))
+    t_train = math.floor((0.05 + 0.9) * float(1 << 60))
+    return t_test, t_train
+
+
+ORACLE_TRAIN_SPLIT = f"""
+WITH s AS (
+  SELECT CASE
+    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_SPLIT_SEED}'), 1, 15))::BIGINT
+         < {_split_thresholds()[0]} THEN 'test'
+    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_SPLIT_SEED}'), 1, 15))::BIGINT
+         < {_split_thresholds()[1]} THEN 'train'
+    ELSE 'val' END AS split
+  FROM documents
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs FROM s GROUP BY split ORDER BY split
+"""
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.curation import pack_sequences, pack_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, budget_tokens=_PACK_BUDGET, shards=_PACK_SHARDS, seed=_PACK_SEED
+    )
+    return pack_stats(packed).orderBy("shard", "bin")
+
+
+ORACLE_SEQUENCE_PACK = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT)
+           AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_PACK_SEED}'), 1, 15))::BIGINT
+           % {_PACK_SHARDS} AS shard
+  FROM documents
+), s AS (
+  SELECT shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS strt
+  FROM t
+)
+SELECT shard, CAST(strt // {_PACK_BUDGET} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+FROM s GROUP BY 1, 2 ORDER BY shard, bin
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.curation import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" value "), F.lit("\n")).alias("text")
+    )
+    return repetition_stats(docs).orderBy("doc_id")
+
+
+ORACLE_REPETITION_STATS = r"""
+WITH d AS (
+  SELECT doc_id, replace(text, ' value ', chr(10)) AS text FROM documents
+), l AS (
+  SELECT doc_id, trim(x) AS line
+  FROM d, unnest(string_split(text, chr(10))) AS t(x)
+  WHERE trim(x) <> ''
+), lf AS (
+  SELECT doc_id,
+         1.0 - CAST(COUNT(DISTINCT line) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS dup_line_frac
+  FROM l GROUP BY 1
+), tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM d
+), g AS (
+  SELECT doc_id, toks[j] || ' ' || toks[j + 1] AS gram
+  FROM tk, unnest(range(1, len(toks))) AS r(j)
+), pg AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+), gf AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+  FROM pg GROUP BY 1
+)
+SELECT dd.doc_id, COALESCE(lf.dup_line_frac, 0.0) AS dup_line_frac,
+       COALESCE(gf.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM d dd LEFT JOIN lf ON dd.doc_id = lf.doc_id LEFT JOIN gf ON dd.doc_id = gf.doc_id
+ORDER BY dd.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # MULTIMODAL — real PNG header parse over binary content (multimodal.py
 # png_meta: JVM substring+conv, no codec).  Content is constructed
 # deterministically from documents on BOTH engines; the oracle knows the
@@ -2303,6 +2419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "line_dedup": q_line_dedup,
+        "train_split": q_train_split,
+        "sequence_pack": q_sequence_pack,
+        "repetition_stats": q_repetition_stats,
         "embedding_quantize": q_embedding_quantize,
     }
     return {name: _stable(fn) for name, fn in raw.items()}
@@ -2384,5 +2503,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": ORACLE_DECONTAMINATE,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "line_dedup": ORACLE_LINE_DEDUP,
+        "train_split": ORACLE_TRAIN_SPLIT,
+        "sequence_pack": ORACLE_SEQUENCE_PACK,
+        "repetition_stats": ORACLE_REPETITION_STATS,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     }

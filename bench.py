@@ -89,6 +89,9 @@ HEADLINE = [
     "decontaminate",
     "stratified_sample",
     "line_dedup",
+    "train_split",
+    "sequence_pack",
+    "repetition_stats",
     "embedding_quantize",
 ]
 

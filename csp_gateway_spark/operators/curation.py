@@ -1,5 +1,6 @@
 """Corpus curation operators: decontamination, deterministic sampling,
-cross-document line dedup.
+cross-document line dedup, train/val/test splitting, sequence packing,
+repetition-based quality stats.
 
 Training-data pipeline additions (SURVEY §7.8 additive surface, same
 family as operators/dedup.py):
@@ -23,6 +24,24 @@ family as operators/dedup.py):
   its first occurrence — (min doc_id, min line_idx) wins — and
   documents are reassembled in original line order.  Two shuffles
   (line groupBy + doc reassembly), both map-side combined.
+
+- ``train_split``: deterministic hash assignment of every row into
+  named splits (train/val/test) by cumulative weight over the 60-bit
+  hash space.  No RNG, no shuffle, stable under retries and across
+  engines — a document keeps its split forever, which is what keeps
+  eval sets uncontaminated as the corpus grows.
+
+- ``pack_sequences``: assign documents to fixed token-budget bins
+  (training-sequence packing).  Docs shard by id hash; within a shard
+  a running token total (window cumsum ordered by id) floors into a
+  bin index.  One window sort per shard — shards bound the sort size,
+  so at 100 TB this is thousands of independent partition sorts, never
+  a global order-by.
+
+- ``repetition_stats``: Gopher-style intra-document repetition
+  signals — duplicate-line fraction and most-frequent-word-bigram
+  fraction — computed natively (explode + two map-side-combined
+  group-bys), feeding ``repetition_filter``.
 """
 
 from __future__ import annotations
@@ -142,3 +161,153 @@ def dedup_lines(
             ).alias(text_col)
         )
     )
+
+
+def train_split(
+    df: DataFrame,
+    weights: Optional[Dict[str, float]] = None,
+    id_col: str = "doc_id",
+    seed: int = 23,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic named-split assignment (train/val/test).
+
+    Buckets the seeded 60-bit id hash by cumulative weight: a row lands
+    in split s iff hash < floor(cum_weight(s) · 2^60) and no earlier
+    split claimed it.  Pure projection — no shuffle, no RNG state — and
+    the same id always lands in the same split, on any engine
+    (DuckDB mirror: the same CASE over ('0x'||substr(md5(...),1,15))).
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = sample_hash(F.col(id_col), seed)
+    names = sorted(weights)  # deterministic order: alphabetical
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        threshold = F.floor(F.lit(cum) * F.lit(HASH60_SPACE)).cast("long")
+        cond = h < threshold
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget_tokens: int = 2048,
+    shards: int = 64,
+    seed: int = 29,
+) -> DataFrame:
+    """Assign each document to a (shard, bin) training sequence slot.
+
+    tokens = whitespace token count; shard = id-hash mod ``shards``;
+    within a shard, documents are laid end-to-end in id order and a
+    document's bin is ``floor(start_offset / budget_tokens)`` — the
+    standard streaming-concat packing (a doc may straddle a boundary;
+    the trainer's loader splits it, as with GPT-style token streams).
+
+    Scale shape: one hash-partitioned window sort PER SHARD (never a
+    global sort).  Choose ``shards`` ≈ cluster cores × small k so each
+    sort fits in memory; the assignment is deterministic for any shard
+    count.  Output: (id, shard, n_tokens, bin).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    n_tokens = F.size(toks).cast("long")
+    sharded = df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.pmod(sample_hash(F.col(id_col), seed), F.lit(shards)).alias("shard"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy(id_col)
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_start")
+    return (
+        sharded.select(id_col, "shard", "n_tokens", start)
+        .withColumn("bin", F.floor(F.col("_start") / F.lit(budget_tokens)).cast("long"))
+        .drop("_start")
+    )
+
+
+def pack_stats(packed: DataFrame) -> DataFrame:
+    """Per-(shard, bin) packing summary: docs and total tokens — the
+    sanity view a pipeline monitors (bins should sit near the budget
+    except each shard's tail bin)."""
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``dup_line_frac``: 1 − distinct/total over non-blank trimmed
+      lines (0 when the doc has no lines);
+    - ``top_bigram_frac``: occurrences of the most frequent word
+      bigram / total bigrams (0 when fewer than 2 tokens).
+
+    Both native: line explode + per-doc count-distinct, bigram explode
+    + two group-bys (doc×gram, then doc), all map-side combined.
+    """
+    lines = line_rows(df, text_col, id_col)
+    line_frac = lines.groupBy(id_col).agg(
+        (
+            F.lit(1.0)
+            - F.countDistinct("line").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("dup_line_frac")
+    )
+    # materialize the token array once per row, THEN build bigrams with
+    # zip_with over two slices — referencing the raw split expression
+    # inside a transform lambda would re-evaluate the whole split per
+    # element (O(tokens²) work, measured 100× slower)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    tok_df = df.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
+    grams = F.zip_with(
+        F.slice(F.col("_toks"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("_toks"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    gram_rows = tok_df.select(F.col(id_col), F.explode(grams).alias("_g"))
+    per_gram = gram_rows.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    gram_frac = per_gram.groupBy(id_col).agg(
+        (F.max("_c").cast("double") / F.sum("_c").cast("double")).alias("top_bigram_frac")
+    )
+    base = df.select(id_col)
+    return (
+        base.join(line_frac, id_col, "left")
+        .join(gram_frac, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """Drop documents whose repetition signals exceed the (Gopher-rule
+    shaped) thresholds; the stats join is id-keyed, one shuffle."""
+    stats = repetition_stats(df, text_col, id_col)
+    keep = stats.filter(
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")

@@ -89,3 +89,82 @@ def test_dedup_lines_drops_fully_duplicated_doc(spark):
     )
     out = {r["doc_id"]: r["text"] for r in dedup_lines(docs).collect()}
     assert out == {1: "only line"}  # doc 2 reassembles to nothing -> dropped
+
+
+# ---------------------------------------------------------------------------
+# train_split / pack_sequences / repetition_stats
+# ---------------------------------------------------------------------------
+
+def test_train_split_deterministic_partition(spark):
+    from csp_gateway_spark.operators.curation import train_split
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1000)], "doc_id long, text string")
+    out = train_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    # every row assigned, proportions near the weights
+    assert sum(counts.values()) == 1000
+    assert set(counts) == {"train", "val", "test"}
+    assert 700 <= counts["train"] <= 900
+    # same id -> same split on a rerun (pure hash, no RNG)
+    again = {r["doc_id"]: r["split"] for r in train_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert again == first
+
+
+def test_train_split_weights_validate(spark):
+    from csp_gateway_spark.operators.curation import train_split
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="sum to 1"):
+        train_split(docs, {"a": 0.5, "b": 0.6})
+
+
+def test_pack_sequences_bins_respect_budget(spark):
+    from csp_gateway_spark.operators.curation import pack_sequences, pack_stats
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * 100)) for i in range(50)], "doc_id long, text string"
+    )
+    packed = pack_sequences(docs, budget_tokens=500, shards=4)
+    rows = packed.collect()
+    assert all(r["n_tokens"] == 100 for r in rows)
+    # start-offset binning: each bin's token total stays within
+    # budget + one max doc length
+    for r in pack_stats(packed).collect():
+        assert r["tokens"] <= 500 + 100
+    # deterministic: same assignment on recompute
+    a = sorted((r["doc_id"], r["shard"], r["bin"]) for r in rows)
+    b = sorted((r["doc_id"], r["shard"], r["bin"]) for r in pack_sequences(docs, budget_tokens=500, shards=4).collect())
+    assert a == b
+
+
+def test_repetition_stats_flags_repetitive_doc(spark):
+    from csp_gateway_spark.operators.curation import repetition_filter, repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),          # one bigram dominates
+            (2, "one two three four five six\nseven eight nine ten"),  # clean
+            (3, "dup line\ndup line\ndup line\nother"),     # duplicate lines
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert stats[1]["top_bigram_frac"] == 1.0
+    assert stats[2]["dup_line_frac"] == 0.0
+    # all-distinct bigrams: max/total = 1/(n-1), small but nonzero
+    assert stats[2]["top_bigram_frac"] == pytest.approx(1 / 9)
+    assert stats[3]["dup_line_frac"] == pytest.approx(0.5)
+    kept = {r["doc_id"] for r in repetition_filter(docs).select("doc_id").collect()}
+    assert kept == {2}
+
+
+def test_repetition_stats_empty_and_single_token(spark):
+    from csp_gateway_spark.operators.curation import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "solo")], "doc_id long, text string"
+    )
+    stats = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert stats[1]["dup_line_frac"] == 0.0 and stats[1]["top_bigram_frac"] == 0.0
+    assert stats[2]["top_bigram_frac"] == 0.0
