@@ -1258,6 +1258,72 @@ ORDER BY list_cosine_similarity(e, qe) DESC, vec_id ASC LIMIT 10
 """
 
 
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd k-means (2 rounds) with exact fixed-point means —
+    the oracle unrolls the same two rounds in SQL, so even this
+    iterative algorithm is hash-checked, not rows-only."""
+    from csp_gateway_spark.operators.similarity import kmeans_refine, sample_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = sample_centroids(emb, _KM_K, oracle_safe=True)
+    final = kmeans_refine(emb, init, iters=_KM_ITERS)
+    return (
+        final.select(
+            "cent_id", "n", F.posexplode("centroid").alias("pos", "val")
+        )
+        .select("cent_id", "pos", F.round("val", 6).alias("val"), "n")
+        .orderBy("cent_id", "pos")
+    )
+
+
+def _km_oracle() -> str:
+    """Two unrolled Lloyd rounds in DuckDB mirroring kmeans_refine:
+    same argmax tie-break (cosine DESC, cent_id ASC), same
+    floor(x·1e9) BIGINT sums, same double division."""
+    assign = """
+  SELECT vec_id, e, cell FROM (
+    SELECT v.vec_id, v.e, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.e, c.centroid) DESC, c.cent_id ASC
+           ) AS rn
+    FROM v, {C} c
+  ) WHERE rn = 1
+"""
+    mean = """
+  SELECT cell AS cent_id,
+         list(val ORDER BY pos) AS centroid,
+         any_value(n) AS n
+  FROM (
+    SELECT cell, j AS pos,
+           CAST(SUM(CAST(floor(e[j] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000000.0) AS val,
+           COUNT(*) AS n
+    FROM {A}, unnest(range(1, 65)) t(j)
+    GROUP BY cell, j
+  ) GROUP BY cell
+"""
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cent_id, e AS centroid FROM v
+  ORDER BY ('0x' || substr(md5(vec_id || ':42'), 1, 15))::BIGINT, vec_id LIMIT {_KM_K}
+),
+a1 AS ({assign.format(C="c0")}),
+c1 AS ({mean.format(A="a1")}),
+a2 AS ({assign.format(C="c1")}),
+c2 AS ({mean.format(A="a2")})
+SELECT cent_id, CAST(pos - 1 AS INT) AS pos, round(centroid[pos], 6) AS val,
+       CAST(n AS BIGINT) AS n
+FROM c2, unnest(range(1, 65)) t(pos)
+ORDER BY cent_id, pos
+"""
+
+
 # ---------------------------------------------------------------------------
 # ANALYTICS — TPC-H classics (scan-heavy pushdown showcases; the
 # driver's tables are TPC-H-ish so Q1/Q6/Q4 port directly)
@@ -2422,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "sequence_pack": q_sequence_pack,
         "repetition_stats": q_repetition_stats,
+        "kmeans_refine": q_kmeans_refine,
         "embedding_quantize": q_embedding_quantize,
     }
     return {name: _stable(fn) for name, fn in raw.items()}
@@ -2506,5 +2573,6 @@ def oracle_sql() -> dict[str, str]:
         "train_split": ORACLE_TRAIN_SPLIT,
         "sequence_pack": ORACLE_SEQUENCE_PACK,
         "repetition_stats": ORACLE_REPETITION_STATS,
+        "kmeans_refine": _km_oracle(),
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     }

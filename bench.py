@@ -92,6 +92,7 @@ HEADLINE = [
     "train_split",
     "sequence_pack",
     "repetition_stats",
+    "kmeans_refine",
     "embedding_quantize",
 ]
 

@@ -655,9 +655,13 @@ def parts_supplier_counts(
         & F.col("p_size").isin(list(sizes))
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     good_supp = supplier.filter(F.col("s_acctbal") >= 0).select("s_suppkey")
-    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    # broadcast-filter lineitem BEFORE any shuffle (a pre-distinct of the
+    # raw (partkey, suppkey) pairs would shuffle the whole fact table);
+    # countDistinct dedups suppliers per group with partial aggregation,
+    # so the one shuffle moves only the ~|parts-slice| survivors
     return (
-        pairs.join(broadcast_dim(parts), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(broadcast_dim(parts), F.col("l_partkey") == F.col("p_partkey"))
         .join(broadcast_dim(good_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))

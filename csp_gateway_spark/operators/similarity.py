@@ -353,3 +353,83 @@ def sample_centroids(
         .limit(n)
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centroid"))
     )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: Optional[int] = None,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Lloyd k-means refinement of an initial centroid table
+    (``sample_centroids`` bootstrap): assign → mean → repeat.
+
+    The per-cell mean uses EXACT fixed-point arithmetic —
+    ``SUM(floor(x·1e9))`` in longs, divided once in IEEE double — so
+    the result is independent of partitioning/summation order and
+    bit-reproducible on any engine (a double SUM would drift with the
+    shuffle).  Valid while ``n_members · 1e9·|x|  <  2^63`` (~9e8 rows
+    per cell at |x|≤10; shrink ``scale`` for more).
+
+    Iteration structure per round: one broadcast-assign (``ivf_assign``,
+    single shuffle on id) + one groupBy(cell) with ``dim`` integer sums
+    (map-side combined).  The k-row centroid table is collected to the
+    driver between rounds — k·dim scalars, the legitimate driver-side
+    footprint — which also cuts the lineage so the plan does not grow
+    with the iteration count.  Empty cells drop out (standard Lloyd).
+
+    Returns the final centroid table ``(cent_id, centroid, n)`` where
+    ``n`` is the final member count.
+    """
+    spark = df.sparkSession
+    if dim is None:
+        dim = len(centroids.select("centroid").first()[0])
+    fscale = float(scale)
+    out = None
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, vec_col, id_col)
+        # posexplode + one generic (cell, pos) aggregate: a 64-column
+        # sum list was 8 s/iteration of Janino codegen COMPILE time;
+        # this shape compiles once and combines map-side to k·dim rows
+        flat = assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "_v"))
+        sums = flat.groupBy("cell", "pos").agg(
+            F.sum(F.floor(F.col("_v").cast("double") * F.lit(fscale)).cast("long")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        # k·dim scalars to the driver: assemble next centroids in Python
+        # (identical arithmetic to the SQL mirror: s / (n·scale) in double)
+        by_cell: dict = {}
+        for r in sums.collect():
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["_s"], r["_n"])
+        data = []
+        for cell in sorted(by_cell):
+            d = by_cell[cell]
+            n = d[0][1]
+            vec = [d[p][0] / (float(n) * fscale) for p in range(dim)]
+            data.append((cell, vec, n))
+        out = spark.createDataFrame(
+            data, "cent_id bigint, centroid array<double>, n bigint"
+        )
+        centroids = out.select("cent_id", "centroid")
+    return out
+
+
+def kmeans_inertia(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> float:
+    """Mean cosine similarity of each vector to its assigned centroid —
+    the (maximization-form) objective, for convergence tests."""
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    joined = assigned.join(
+        F.broadcast(centroids), assigned["cell"] == centroids["cent_id"]
+    )
+    row = joined.agg(
+        F.avg(cosine(_as_double(F.col(vec_col)), _as_double(F.col("centroid"))))
+    ).collect()[0]
+    return float(row[0])

@@ -127,3 +127,36 @@ def test_quantized_values_fit_int8(spark):
         .collect()[0]
     )
     assert -127 <= mm["lo"] and mm["hi"] <= 127
+
+
+# ---------------------------------------------------------------------------
+# kmeans_refine
+# ---------------------------------------------------------------------------
+
+def test_kmeans_refine_improves_objective(spark, embeddings):
+    from csp_gateway_spark.operators.similarity import (
+        kmeans_inertia,
+        kmeans_refine,
+        sample_centroids,
+    )
+
+    init = sample_centroids(embeddings, 4, oracle_safe=True)
+    before = kmeans_inertia(embeddings, init)
+    refined = kmeans_refine(embeddings, init, iters=2)
+    after = kmeans_inertia(embeddings, refined.select("cent_id", "centroid"))
+    # Lloyd iterations cannot worsen the (mean-cosine) objective beyond
+    # noise from the fixed-point rounding
+    assert after >= before - 1e-6
+    # every vector accounted for across final clusters
+    assert refined.agg({"n": "sum"}).collect()[0][0] == embeddings.count()
+
+
+def test_kmeans_refine_deterministic(spark, embeddings):
+    from csp_gateway_spark.operators.similarity import kmeans_refine, sample_centroids
+
+    init = sample_centroids(embeddings, 4, oracle_safe=True)
+    a = kmeans_refine(embeddings, init, iters=1).collect()
+    b = kmeans_refine(embeddings.repartition(16), init, iters=1).collect()
+    ka = {r["cent_id"]: (r["n"], tuple(r["centroid"])) for r in a}
+    kb = {r["cent_id"]: (r["n"], tuple(r["centroid"])) for r in b}
+    assert ka == kb  # exact fixed-point means: partitioning-invariant
