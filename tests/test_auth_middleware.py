@@ -332,3 +332,60 @@ def test_shared_auth_route_helpers(catalog):
     with pytest.raises(ApiError) as ei:
         api.auth_login_redirect("h")
     assert ei.value.status == 404
+
+
+def test_every_protected_route_requires_auth(catalog):
+    """Regression net for the advisor's FastAPI-auth finding, applied to
+    the stdlib transport: with auth configured, EVERY /api/v1 route
+    (including the late-added outputs/layouts/arrow/channels_graph
+    routes) must 401 without credentials — new routes that forget the
+    check fail here."""
+    api = GatewayApi(catalog, auth=ApiKeyAuth(["k"]))
+    srv = GatewayHttpServer(api).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    routes = [
+        ("GET", "/api/v1/channels"),
+        ("GET", "/api/v1/last/quotes"),
+        ("GET", "/api/v1/state/quotes"),
+        ("GET", "/api/v1/lookup/quotes/1"),
+        ("GET", "/api/v1/controls/heartbeat"),
+        ("GET", "/api/v1/controls/stats"),
+        ("POST", "/api/v1/send/quotes"),
+        ("GET", "/api/v1/stream"),
+        ("GET", "/api/v1/field/x"),
+        ("GET", "/api/v1/perspective/tables"),
+        ("GET", "/api/v1/perspective/meta"),
+        ("GET", "/api/v1/perspective/layouts"),
+        ("POST", "/api/v1/perspective/layouts/l1"),
+        ("DELETE", "/api/v1/perspective/layouts/l1"),
+        ("GET", "/api/v1/perspective/arrow/quotes"),
+        ("GET", "/api/v1/channels_graph"),
+        ("GET", "/api/v1/outputs"),
+        ("GET", "/openapi.json"),
+        # must stay LAST: the authed replay actually shuts the server down
+        ("POST", "/api/v1/controls/shutdown"),
+    ]
+    try:
+        for method, path in routes:
+            req = urllib.request.Request(
+                f"{base}{path}", data=b"{}" if method == "POST" else None, method=method
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 401, (method, path, ei.value.code)
+            # and the same request WITH the key is not rejected as 401
+            req2 = urllib.request.Request(
+                f"{base}{path}",
+                data=b"{}" if method == "POST" else None,
+                method=method,
+                headers={"X-API-Key": "k"},
+            )
+            try:
+                urllib.request.urlopen(req2)
+            except urllib.error.HTTPError as e:
+                assert e.code != 401, (method, path)
+    finally:
+        try:
+            srv.stop()
+        except Exception:
+            pass
