@@ -36,7 +36,16 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["approx_distinct_native", "hll_distinct", "HLL_P", "hll_alpha_scale"]
+__all__ = [
+    "approx_distinct_native",
+    "hll_distinct",
+    "hll_registers",
+    "hll_finalize",
+    "hll_hash",
+    "hll_bucket_rho",
+    "HLL_P",
+    "hll_alpha_scale",
+]
 
 HLL_P = 9  # 2^9 = 512 registers, rsd ≈ 1.04/sqrt(512) ≈ 4.6%
 _HASH_BITS = 60  # md5 15-hex-digit prefix
@@ -85,26 +94,51 @@ def hll_distinct(
     row count (not distinct), carried for calibration.
     """
     gcols = list(group_cols)
-    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    hashed = df.select(*gcols, h.alias("_hll_h"))
-    # all-integer bucket/payload split: `div` stays in longs (h is up
-    # to 2^60, past double's 2^53 exact range, so no `/` anywhere)
+    return hll_finalize(hll_registers(df, gcols, value_col), gcols)
+
+
+def hll_hash(value_col: str):
+    """60-bit md5-prefix hash column for a value column."""
+    return F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def hll_bucket_rho() -> tuple:
+    """(bucket, rho) expressions over a materialized ``_hll_h`` column.
+    All-integer bucket/payload split: `div` stays in longs (h is up to
+    2^60, past double's 2^53 exact range, so no `/` anywhere)."""
     w = F.expr(f"_hll_h div {_M}")
     rho = F.when(w == F.lit(0), F.lit(_RMAX)).otherwise(
         F.lit(_RMAX) - F.length(F.bin(w))
     )
-    per_bucket = (
-        hashed.select(
-            *gcols,
-            F.pmod(F.col("_hll_h"), F.lit(_M)).alias("_hll_bucket"),
-            rho.alias("_hll_rho"),
-        )
+    return (
+        F.pmod(F.col("_hll_h"), F.lit(_M)).alias("_hll_bucket"),
+        rho.alias("_hll_rho"),
+    )
+
+
+def hll_registers(df: DataFrame, group_cols: Sequence[str], value_col: str) -> DataFrame:
+    """Register stage: ``group_cols + (_hll_bucket, _r, _cnt)`` — the
+    mergeable sketch state (max-rho per bucket merges as MAX, counts as
+    SUM).  This is the stage a STREAMING query keeps as its aggregation
+    state; ``hll_finalize`` turns any register snapshot into estimates.
+    """
+    gcols = list(group_cols)
+    hashed = df.select(*gcols, hll_hash(value_col).alias("_hll_h"))
+    bucket, rho = hll_bucket_rho()
+    return (
+        hashed.select(*gcols, bucket, rho)
         .groupBy(*gcols, "_hll_bucket")
         .agg(F.max("_hll_rho").alias("_r"), F.count(F.lit(1)).alias("_cnt"))
     )
-    g = per_bucket.groupBy(*gcols).agg(
+
+
+def hll_finalize(registers: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Registers → per-group estimate (the exact-integer HLL estimate
+    arithmetic; see ``hll_distinct``)."""
+    gcols = list(group_cols)
+    g = registers.groupBy(*gcols).agg(
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_RMAX} - _r)")).alias("_s_present"),
         F.count(F.lit(1)).alias("_npresent"),
         F.sum("_cnt").alias("n"),

@@ -100,3 +100,64 @@ def test_registers_match_duckdb_reference():
     h, bucket = got
     assert 0 <= h < (1 << 60)
     assert bucket == h % m
+
+
+# ---------------------------------------------------------------------------
+# streaming HLL: windowed registers finalized per batch
+# ---------------------------------------------------------------------------
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """Drive the windowed register aggregation through a real streaming
+    query; finalized estimates must equal the batch sketch computed
+    over the same (window, group) slices — register merging is exact."""
+    import json
+
+    from csp_gateway_spark.streaming.sketches import finalize_batch, hll_register_stream
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    out = []
+
+    def on_batch(batch_df, _bid):
+        out.extend(finalize_batch(batch_df, ["k"]).collect())
+
+    stream = spark.readStream.schema("ts timestamp, k string, v long").json(str(src))
+    regs = hll_register_stream(stream, ["k"], "v", window="1 minute", watermark="5 seconds")
+    q = (
+        regs.writeStream.outputMode("append")
+        .foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        rows = [
+            {"ts": f"2026-01-01T10:00:{s:02d}", "k": "a", "v": s % 7} for s in range(50)
+        ] + [
+            {"ts": f"2026-01-01T10:00:{s:02d}", "k": "b", "v": s} for s in range(50)
+        ]
+        with open(src / "b1.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        q.processAllAvailable()
+        # advance the watermark past 10:01 to finalize the window
+        with open(src / "b2.json", "w") as f:
+            f.write(json.dumps({"ts": "2026-01-01T10:05:00", "k": "a", "v": 1}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["k"]: (r["approx_distinct"], r["n"]) for r in out}
+    # batch reference over the same window slice
+    from csp_gateway_spark.operators.sketches import hll_distinct
+
+    batch = spark.createDataFrame(
+        [(r["k"], r["v"]) for r in rows], "k string, v long"
+    )
+    want = {
+        r["k"]: (r["approx_distinct"], r["n"])
+        for r in hll_distinct(batch, ["k"], "v").collect()
+    }
+    assert got == want
+    # sanity: the estimates are near the true distinct counts (7 and 50)
+    assert abs(got["a"][0] - 7) <= 2
+    assert abs(got["b"][0] - 50) <= 10
