@@ -1258,6 +1258,38 @@ ORDER BY list_cosine_similarity(e, qe) DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    # round(6): the sorted fold makes the SUM order-identical on both
+    # engines, but log2 itself may differ in the last ulp between libm
+    # implementations — rounding absorbs that
+    return char_entropy(docs).select(
+        "doc_id", F.round("char_entropy", 6).alias("char_entropy")
+    ).orderBy("doc_id")
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, x AS c
+  FROM documents, unnest(regexp_split_to_array(text, '')) AS t(x)
+  WHERE x <> ''
+), cnt AS (
+  SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2
+), pd AS (
+  SELECT doc_id, CAST(SUM(n) AS DOUBLE) AS tot,
+         list(CAST(n AS DOUBLE) ORDER BY c) AS cs
+  FROM cnt GROUP BY 1
+)
+SELECT d.doc_id,
+  round(COALESCE(log2(tot) - list_sum(list_transform(cs, x -> x * log2(x))) / tot, 0.0), 6)
+    AS char_entropy
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+ORDER BY d.doc_id
+"""
+
+
 _KM_K = 8
 _KM_ITERS = 2
 
@@ -2489,6 +2521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "repetition_stats": q_repetition_stats,
         "kmeans_refine": q_kmeans_refine,
+        "char_entropy": q_char_entropy,
         "embedding_quantize": q_embedding_quantize,
     }
     return {name: _stable(fn) for name, fn in raw.items()}
@@ -2574,5 +2607,6 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": ORACLE_SEQUENCE_PACK,
         "repetition_stats": ORACLE_REPETITION_STATS,
         "kmeans_refine": _km_oracle(),
+        "char_entropy": ORACLE_CHAR_ENTROPY,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     }

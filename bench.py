@@ -93,6 +93,7 @@ HEADLINE = [
     "sequence_pack",
     "repetition_stats",
     "kmeans_refine",
+    "char_entropy",
     "embedding_quantize",
 ]
 

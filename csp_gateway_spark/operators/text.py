@@ -173,3 +173,37 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Shannon entropy (bits/char) of each document's character
+    distribution — a cheap perplexity proxy for quality filters (low
+    entropy ⇒ repetitive/boilerplate, abnormally high ⇒ noise/binary).
+
+    H = log2(n) − (Σ c·log2 c)/n over per-character counts.  The sum
+    is evaluated as a SORTED sequential fold (array_sort + aggregate),
+    never a double SUM aggregate, so the float accumulation order — and
+    therefore the result — is independent of partitioning and
+    reproducible on any engine (DuckDB mirror: list ordered by char,
+    list_transform + list_sum).  Two shuffles, both map-side combined;
+    the fold runs over ≤ |alphabet| elements per doc.
+    """
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("_ch")
+    ).filter(F.col("_ch") != "")
+    counts = chars.groupBy(id_col, "_ch").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.array_sort(F.collect_list(F.struct(F.col("_ch"), F.col("_c")))).alias("_cs"),
+    )
+    s = F.aggregate(
+        F.col("_cs"),
+        F.lit(0.0),
+        lambda acc, x: acc + x["_c"].cast("double") * F.log2(x["_c"].cast("double")),
+    )
+    ent = F.log2(F.col("_n").cast("double")) - s / F.col("_n").cast("double")
+    return (
+        df.select(id_col)
+        .join(per_doc.select(id_col, ent.alias("_e")), id_col, "left")
+        .select(F.col(id_col), F.coalesce("_e", F.lit(0.0)).alias("char_entropy"))
+    )

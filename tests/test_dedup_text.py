@@ -108,3 +108,30 @@ def test_lang_id_on_documents(spark, documents):
     preds = {r.pred for r in documents.select(lang_id(F.col("text")).alias("pred")).collect()}
     assert preds <= {"en", "fr", "de", "es", "zh", "und"}
     assert preds
+
+
+def test_char_entropy_properties(spark):
+    from csp_gateway_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa"),          # single symbol -> 0 bits
+            (2, "abababab"),          # two equiprobable symbols -> 1 bit
+            (3, "abcdefgh"),          # 8 distinct -> 3 bits
+            (4, ""),                  # empty -> 0 by convention
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["char_entropy"] for r in char_entropy(docs).collect()}
+    assert got[1] == pytest.approx(0.0)
+    assert got[2] == pytest.approx(1.0)
+    assert got[3] == pytest.approx(3.0)
+    assert got[4] == 0.0
+
+
+def test_char_entropy_partitioning_invariant(spark, documents):
+    from csp_gateway_spark.operators.text import char_entropy
+
+    one = {r["doc_id"]: r["char_entropy"] for r in char_entropy(documents.coalesce(1)).collect()}
+    many = {r["doc_id"]: r["char_entropy"] for r in char_entropy(documents.repartition(16)).collect()}
+    assert one == many  # sorted fold: bit-identical regardless of partitioning
