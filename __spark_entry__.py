@@ -1258,6 +1258,40 @@ ORDER BY list_cosine_similarity(e, qe) DESC, vec_id ASC LIMIT 10
 """
 
 
+_VOCAB_SIZE = 200
+
+
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize→vocab→ids: the training-pipeline encode step.  Docs
+    whose normalized text has no tokens drop out (both engines)."""
+    from csp_gateway_spark.operators.corpus import build_vocab, encode_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, size=_VOCAB_SIZE)
+    return encode_documents(docs, vocab).orderBy("doc_id")
+
+
+ORACLE_VOCAB_ENCODE = f"""
+WITH tokrows AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(tk))) AS pos,
+         unnest(tk) AS token
+  FROM (SELECT doc_id, {_SQL_TOKS.replace("trim(lower(text))", "{norm}")} AS tk FROM documents)
+), vocab AS (
+  SELECT token,
+         row_number() OVER (ORDER BY COUNT(*) DESC, token ASC) AS token_id
+  FROM tokrows GROUP BY token
+  QUALIFY token_id < {_VOCAB_SIZE + 1}
+)
+SELECT doc_id,
+       list(CAST(COALESCE(v.token_id, 0) AS INT) ORDER BY pos) AS ids,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+FROM tokrows tr LEFT JOIN vocab v USING (token)
+GROUP BY doc_id ORDER BY doc_id
+""".replace("{norm}", _SQL_NORM)
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.text import char_entropy
 
@@ -2522,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "kmeans_refine": q_kmeans_refine,
         "char_entropy": q_char_entropy,
+        "vocab_encode": q_vocab_encode,
         "embedding_quantize": q_embedding_quantize,
     }
     return {name: _stable(fn) for name, fn in raw.items()}
@@ -2608,5 +2643,6 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": ORACLE_REPETITION_STATS,
         "kmeans_refine": _km_oracle(),
         "char_entropy": ORACLE_CHAR_ENTROPY,
+        "vocab_encode": ORACLE_VOCAB_ENCODE,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     }

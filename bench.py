@@ -94,6 +94,7 @@ HEADLINE = [
     "repetition_stats",
     "kmeans_refine",
     "char_entropy",
+    "vocab_encode",
     "embedding_quantize",
 ]
 

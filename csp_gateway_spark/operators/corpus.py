@@ -189,3 +189,66 @@ def dedup_keep_representatives(
     # losers ≤ duplicate count ≪ corpus: broadcast the anti-join side so
     # the corpus scan never shuffles
     return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def build_vocab(
+    df: DataFrame,
+    size: int = 1 << 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reserved: int = 1,
+) -> DataFrame:
+    """Token→id vocabulary: the ``size`` most frequent tokens get dense
+    ids starting at ``reserved`` (ids below that are reserved — 0 is
+    UNK by convention).  Rank order: count desc, token asc — fully
+    deterministic, so the same corpus always yields the same vocab.
+
+    Plan: token counts (one shuffle, map-side combined) → global
+    rank.  The global sort only moves |vocab| candidate rows (top-k
+    pre-limit could be added for vocabularies near the shuffle limit;
+    at the usual 32k–256k sizes this is a single-task sort)."""
+    counts = token_rows(df, text_col, id_col).groupBy("token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w) + F.lit(reserved - 1))
+        .filter(F.col("token_id") < size + reserved)
+        .select("token", "token_id", "n")
+    )
+
+
+def encode_documents(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Documents → token-id arrays (the tokenize step of a training
+    pipeline): tokens posexploded, mapped through the broadcast vocab
+    (OOV → ``unk_id``), reassembled in original order.
+
+    One shuffle (the per-doc reassembly); the vocab join is broadcast —
+    a 256k-row vocab is a few MB.  Output: (id, ids: array<int>,
+    n_tokens, n_unk)."""
+    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    pos_rows = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "token"))
+    mapped = pos_rows.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    mapped = mapped.select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("int").alias("tid"),
+    )
+    return (
+        mapped.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
+            ).alias("ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("tid") == unk_id, 1).otherwise(0)).alias("n_unk"),
+        )
+    )

@@ -168,3 +168,29 @@ def test_repetition_stats_empty_and_single_token(spark):
     stats = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
     assert stats[1]["dup_line_frac"] == 0.0 and stats[1]["top_bigram_frac"] == 0.0
     assert stats[2]["top_bigram_frac"] == 0.0
+
+
+def test_vocab_encode_roundtrip(spark):
+    from csp_gateway_spark.operators.corpus import build_vocab, encode_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "zyxxy unknownword the"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs, size=5)
+    v = {r["token"]: r["token_id"] for r in vocab.collect()}
+    # most frequent token gets the first non-reserved id
+    assert v["the"] == 1
+    assert 0 not in v.values()  # id 0 reserved for UNK
+    enc = {r["doc_id"]: r for r in encode_documents(docs, vocab).collect()}
+    # order preserved: doc 1 starts and re-uses 'the'
+    ids1 = enc[1]["ids"]
+    assert ids1[0] == v["the"] and ids1[4] == v["the"]
+    assert enc[1]["n_tokens"] == 6
+    # OOV maps to UNK id 0 and is counted
+    assert 0 in enc[3]["ids"]
+    assert enc[3]["n_unk"] >= 1
