@@ -42,6 +42,10 @@ family as operators/dedup.py):
   signals — duplicate-line fraction and most-frequent-word-bigram
   fraction — computed natively (explode + two map-side-combined
   group-bys), feeding ``repetition_filter``.
+
+- ``weighted_sample``: per-row weighted inclusion for source mixing
+  (weight as a data column instead of per-stratum config) — the same
+  deterministic hash-threshold family as ``stratified_sample``.
 """
 
 from __future__ import annotations
@@ -311,3 +315,30 @@ def repetition_filter(
         & (F.col("top_bigram_frac") <= max_top_bigram_frac)
     ).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    base_fraction: float = 1.0,
+    id_col: str = "doc_id",
+    seed: int = 31,
+    max_weight: float = 1.0,
+) -> DataFrame:
+    """Per-row weighted inclusion (source-mixing): keep each row iff
+    ``hash60(id:seed) < floor(base_fraction · weight · 2^60)``.
+
+    The standard way to hit target mixture ratios in a training corpus
+    (e.g. weight wiki 1.0, CommonCrawl 0.3) — a per-row generalization
+    of ``stratified_sample`` where the weight is data (a column joined
+    from a source-quality table) instead of config.  Deterministic and
+    resumable like the other hash samplers: no RNG, no shuffle, same
+    id → same decision on any engine.  ``base_fraction·weight`` must
+    stay ≤ 1 (``max_weight`` guards the product).
+    """
+    if not 0.0 <= base_fraction <= 1.0:
+        raise ValueError(f"base_fraction must be in [0, 1], got {base_fraction}")
+    h = sample_hash(F.col(id_col), seed)
+    w = F.least(F.col(weight_col).cast("double"), F.lit(float(max_weight)))
+    threshold = F.floor(F.lit(base_fraction) * w * F.lit(HASH60_SPACE)).cast("long")
+    return df.filter(h < threshold)

@@ -194,3 +194,26 @@ def test_vocab_encode_roundtrip(spark):
     # OOV maps to UNK id 0 and is counted
     assert 0 in enc[3]["ids"]
     assert enc[3]["n_unk"] >= 1
+
+
+def test_weighted_sample_mixing_ratios(spark):
+    from csp_gateway_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i % 2 == 0 else 0.25) for i in range(4000)],
+        "doc_id long, w double",
+    )
+    out = weighted_sample(df, "w")
+    kept = [r["doc_id"] for r in out.collect()]
+    full = sum(1 for i in kept if i % 2 == 0)
+    quarter = len(kept) - full
+    assert full == 2000             # weight 1.0 keeps everything
+    assert 380 <= quarter <= 620    # ~0.25 of 2000, hash-uniform
+    # deterministic on rerun
+    again = [r["doc_id"] for r in weighted_sample(df, "w").collect()]
+    assert sorted(kept) == sorted(again)
+    # base_fraction scales the product; invalid values rejected
+    half = weighted_sample(df, "w", base_fraction=0.5).count()
+    assert half < len(kept)
+    with pytest.raises(ValueError, match="base_fraction"):
+        weighted_sample(df, "w", base_fraction=1.5)
