@@ -2409,6 +2409,57 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JPEG marker-walk metadata (multimodal.py jpeg_meta): bytes
+    constructed deterministically from documents, the oracle knows the
+    encoded ground truth — a hash match proves the mapInPandas parser
+    reads the marker stream correctly (incl. corrupt-input NULLs)."""
+    from csp_gateway_spark.operators.multimodal import jpeg_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.length("text") % 2048 + 1).cast("long")
+    h = (F.col("doc_id") % 1024 + 1).cast("long")
+
+    def be2(c):
+        return F.unhex(F.lpad(F.hex(c), 4, "0"))
+
+    jpeg = F.concat(
+        F.unhex(F.lit("FFD8")),                # SOI
+        F.unhex(F.lit("FFC0")),                # SOF0 (baseline)
+        F.unhex(F.lit("0011")),                # segment length 17
+        F.unhex(F.lit("08")),                  # precision
+        be2(h),
+        be2(w),
+        F.unhex(F.lit("03")),                  # 3 components
+        F.unhex(F.lit("000000000000000000")),  # component specs (padding)
+        F.unhex(F.lit("FFD9")),                # EOI
+    )
+    content = F.when(
+        F.col("doc_id") % 7 == 0, F.encode(F.lit("not-a-jpeg"), "UTF-8")
+    ).otherwise(jpeg)
+    out = jpeg_meta(
+        docs.select(F.col("doc_id").alias("media_id"), content.alias("content")),
+        id_col="media_id",
+    )
+    # nullable BOOLEAN renders as None on Spark but NaN from DuckDB's
+    # fetchdf — carry the flag as a nullable INT instead
+    return (
+        out.withColumnRenamed("media_id", "doc_id")
+        .withColumn("progressive", F.col("progressive").cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MULTIMODAL_JPEG_META = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 7 <> 0 THEN length(text) % 2048 + 1 END AS INT) AS width,
+  CAST(CASE WHEN doc_id % 7 <> 0 THEN doc_id % 1024 + 1 END AS INT) AS height,
+  CAST(CASE WHEN doc_id % 7 <> 0 THEN 3 END AS INT) AS components,
+  CAST(CASE WHEN doc_id % 7 <> 0 THEN 0 END AS INT) AS progressive
+FROM documents ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # HYPERTABLE — multi-resolution rollup cascade (operators/rollup.py); the
 # 3600 s level is derived from the 60 s level, never from raw events, and
@@ -2547,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promotion_candidates": q_promotion_candidates,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
         "hypertable_rollup": q_hypertable_rollup,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
@@ -2671,6 +2723,7 @@ def oracle_sql() -> dict[str, str]:
         "promotion_candidates": ORACLE_PROMOTION_CANDIDATES,
         "multimodal_meta": ORACLE_MULTIMODAL_META,
         "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE_META,
+        "multimodal_jpeg_meta": ORACLE_MULTIMODAL_JPEG_META,
         "hypertable_rollup": ORACLE_HYPERTABLE_ROLLUP,
         "decontaminate": ORACLE_DECONTAMINATE,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,

@@ -85,6 +85,7 @@ HEADLINE = [
     "multimodal_meta",
     "embedding_neardup_lsh",
     "multimodal_image_meta",
+    "multimodal_jpeg_meta",
     "hypertable_rollup",
     "decontaminate",
     "stratified_sample",

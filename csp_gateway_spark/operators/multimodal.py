@@ -349,3 +349,133 @@ def decode_audio(
             yield pd.DataFrame({id_col: pdf[id_col], "sample_rate": sample_rate, "samples": sams})
 
     return df.select(id_col, content_col).mapInPandas(decode, schema=schema)
+
+
+def _jpeg_meta_bytes(data: bytes):
+    """JPEG marker walk → (width, height, components, progressive).
+    Pure byte parsing (no codec): scan marker segments to the first
+    SOF0–SOF15 frame header, which carries the dimensions.  Raises
+    ValueError on non-JPEG/truncated input."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-payload markers
+            i += 2
+            continue
+        if i + 4 > len(data):
+            break
+        seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+        # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC) hold the frame header
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > len(data):
+                break
+            height = int.from_bytes(data[i + 5 : i + 7], "big")
+            width = int.from_bytes(data[i + 7 : i + 9], "big")
+            components = data[i + 9] if i + 9 < len(data) else 0
+            return width, height, components, marker == 0xC2
+        i += 2 + seglen
+    raise ValueError("no SOF frame header found")
+
+
+def jpeg_meta(df: DataFrame, content_col: str = "content", id_col: str = "media_id") -> DataFrame:
+    """Real JPEG header metadata (width/height/components/progressive)
+    via an Arrow-batched mapInPandas marker walk — metadata extraction
+    needs no codec even though full pixel decode does (that part stays
+    stubbed).  Invalid/truncated bytes yield NULL dimensions rather
+    than failing the batch (100 TB corpora always carry corrupt files).
+    """
+    schema = f"{id_col} long, width int, height int, components int, progressive boolean"
+
+    def walk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"w": [], "h": [], "c": [], "p": []}
+            for content in pdf[content_col]:
+                try:
+                    w, h, c, prog = _jpeg_meta_bytes(bytes(content or b""))
+                    out["w"].append(w); out["h"].append(h)
+                    out["c"].append(c); out["p"].append(prog)
+                except ValueError:
+                    out["w"].append(None); out["h"].append(None)
+                    out["c"].append(None); out["p"].append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": pd.array(out["w"], dtype="Int32"),
+                    "height": pd.array(out["h"], dtype="Int32"),
+                    "components": pd.array(out["c"], dtype="Int32"),
+                    "progressive": pd.array(out["p"], dtype="boolean"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(walk, schema=schema)
+
+
+def _wav_meta_bytes(data: bytes):
+    """WAV/RIFF header → (sample_rate, channels, bits, n_samples).
+    Chunk walk to 'fmt ' and 'data'; no codec needed for PCM metadata."""
+    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i = 12
+    rate = channels = bits = None
+    data_len = None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        clen = int.from_bytes(data[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(data):
+            channels = int.from_bytes(data[i + 10 : i + 12], "little")
+            rate = int.from_bytes(data[i + 12 : i + 16], "little")
+            bits = int.from_bytes(data[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if rate is None:
+        raise ValueError("no fmt chunk")
+    n_samples = None
+    if data_len is not None and channels and bits:
+        n_samples = data_len // (channels * (bits // 8 or 1))
+    return rate, channels, bits, n_samples
+
+
+def wav_meta(df: DataFrame, content_col: str = "content", id_col: str = "media_id") -> DataFrame:
+    """Real WAV/RIFF audio metadata (sample rate, channels, bit depth,
+    sample count → duration) — chunk walk over bytes, Arrow-batched;
+    corrupt files yield NULLs.  PCM *sample* decode would also be
+    codec-free but is out of scope for the metadata path."""
+    schema = (
+        f"{id_col} long, sample_rate int, channels int, bits int, "
+        "n_samples long, duration_sec double"
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"r": [], "c": [], "b": [], "n": [], "d": []}
+            for content in pdf[content_col]:
+                try:
+                    r, c, b, n = _wav_meta_bytes(bytes(content or b""))
+                    d = (n / r) if (n is not None and r) else None
+                    rows["r"].append(r); rows["c"].append(c)
+                    rows["b"].append(b); rows["n"].append(n); rows["d"].append(d)
+                except ValueError:
+                    for k in rows:
+                        rows[k].append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": pd.array(rows["r"], dtype="Int32"),
+                    "channels": pd.array(rows["c"], dtype="Int32"),
+                    "bits": pd.array(rows["b"], dtype="Int32"),
+                    "n_samples": pd.array(rows["n"], dtype="Int64"),
+                    "duration_sec": pd.array(rows["d"], dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(walk, schema=schema)

@@ -135,3 +135,73 @@ def test_png_meta_jvm_expression_matches_decoder(spark, rgb):
     assert rows[1]["is_png"] and rows[1]["png_width"] == 7 and rows[1]["png_height"] == 5
     assert rows[1]["png_bit_depth"] == 8 and rows[1]["png_color_type"] == 2
     assert not rows[2]["is_png"] and rows[2]["png_width"] is None
+
+
+# ---------------------------------------------------------------------------
+# JPEG / WAV header metadata (real byte parsing, no codec)
+# ---------------------------------------------------------------------------
+
+def _tiny_jpeg(width, height, progressive=False):
+    """Minimal well-formed JPEG prefix: SOI + APP0 + SOF segment."""
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    sof = (
+        sof_marker
+        + (17).to_bytes(2, "big")
+        + bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([3])
+        + bytes(9)
+    )
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def _tiny_wav(rate=16000, channels=2, bits=16, n_samples=100):
+    data_len = n_samples * channels * (bits // 8)
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * bits // 8).to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data = b"data" + data_len.to_bytes(4, "little") + bytes(data_len)
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_jpeg_meta_parses_dimensions(spark):
+    from csp_gateway_spark.operators.multimodal import jpeg_meta
+
+    rows = [
+        (1, _tiny_jpeg(640, 480)),
+        (2, _tiny_jpeg(33, 17, progressive=True)),
+        (3, b"not a jpeg"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in jpeg_meta(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (640, 480)
+    assert got[1]["progressive"] is False and got[1]["components"] == 3
+    assert (got[2]["width"], got[2]["height"]) == (33, 17)
+    assert got[2]["progressive"] is True
+    assert got[3]["width"] is None  # corrupt input -> NULLs, no crash
+
+
+def test_wav_meta_parses_header(spark):
+    from csp_gateway_spark.operators.multimodal import wav_meta
+
+    rows = [
+        (1, _tiny_wav(rate=44100, channels=2, bits=16, n_samples=44100)),
+        (2, _tiny_wav(rate=8000, channels=1, bits=8, n_samples=4000)),
+        (3, b"RIFFgarbage"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in wav_meta(df).collect()}
+    assert got[1]["sample_rate"] == 44100 and got[1]["channels"] == 2
+    assert got[1]["n_samples"] == 44100
+    assert got[1]["duration_sec"] == 1.0
+    assert got[2]["duration_sec"] == 0.5
+    assert got[3]["sample_rate"] is None
