@@ -1292,6 +1292,42 @@ GROUP BY doc_id ORDER BY doc_id
 """.replace("{norm}", _SQL_NORM)
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.corpus import lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_score(docs).select(
+        "doc_id", F.round("avg_logp", 6).alias("avg_logp"), F.round("ppl", 6).alias("ppl")
+    ).orderBy("doc_id")
+
+
+ORACLE_LM_PERPLEXITY = f"""
+WITH tk AS (
+  SELECT doc_id, {_SQL_TOKS.replace("trim(lower(text))", "{norm}")} AS t FROM documents
+), big AS (
+  SELECT doc_id, j AS pos, t[j] AS w1, t[j + 1] AS w2
+  FROM tk, unnest(range(1, len(t))) r(j)
+), lmb AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2
+), lmu AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM lmb GROUP BY 1
+), v AS (
+  SELECT COUNT(DISTINCT w) AS vs FROM (SELECT unnest(t) AS w FROM tk)
+), scored AS (
+  SELECT b.doc_id, b.pos,
+         ln((CAST(c12 AS DOUBLE) + 0.5) / (CAST(c1 AS DOUBLE) + 0.5 * vs)) AS lp
+  FROM big b JOIN lmb USING (w1, w2) JOIN lmu USING (w1), v
+), pd AS (
+  SELECT doc_id, list(lp ORDER BY pos) AS lps FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+  round(list_sum(lps) / len(lps), 6) AS avg_logp,
+  round(exp(-(list_sum(lps) / len(lps))), 6) AS ppl
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+ORDER BY d.doc_id
+""".replace("{norm}", _SQL_NORM)
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.text import char_entropy
 
@@ -2609,6 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_refine": q_kmeans_refine,
         "char_entropy": q_char_entropy,
         "vocab_encode": q_vocab_encode,
+        "lm_perplexity": q_lm_perplexity,
         "embedding_quantize": q_embedding_quantize,
     }
     # Present one representative of EVERY operator family within the
@@ -2734,5 +2771,6 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_refine": _km_oracle(),
         "char_entropy": ORACLE_CHAR_ENTROPY,
         "vocab_encode": ORACLE_VOCAB_ENCODE,
+        "lm_perplexity": ORACLE_LM_PERPLEXITY,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     }

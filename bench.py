@@ -96,6 +96,7 @@ HEADLINE = [
     "kmeans_refine",
     "char_entropy",
     "vocab_encode",
+    "lm_perplexity",
     "embedding_quantize",
 ]
 

@@ -252,3 +252,79 @@ def encode_documents(
             F.sum(F.when(F.col("tid") == unk_id, 1).otherwise(0)).alias("n_unk"),
         )
     )
+
+
+def bigram_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, w1, w2) word-bigram rows in document order — built
+    from a materialized token array with zip_with (never element_at
+    inside a transform lambda, which re-evaluates the split per
+    element)."""
+    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    tok_df = df.select(F.col(id_col), toks.alias("_t"))
+    n = F.size(F.col("_t"))
+    grams = F.zip_with(
+        F.slice(F.col("_t"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("_t"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return tok_df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "_g")
+    ).select(id_col, "pos", "_g.w1", "_g.w2")
+
+
+def lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Bigram language-model quality score (CCNet-style perplexity
+    filtering): train add-k-smoothed bigram probabilities on the corpus
+    itself, score every document by its mean log-probability, report
+    ``avg_logp`` and ``ppl = exp(-avg_logp)`` (low ppl ⇒ typical text,
+    high ppl ⇒ noise/outlier).
+
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V), V = corpus vocabulary.
+
+    Determinism: each doc's log-prob SUM is a position-ordered fold
+    over a collected array — never a double SUM aggregate — so the
+    result is partitioning-invariant and engine-reproducible (same
+    pattern as ``char_entropy``).  Plan: one shuffle for bigram counts,
+    a derived prefix rollup, one join of doc bigrams against the LM
+    (shuffle on (w1,w2); at 100 TB the LM side is the reduced
+    aggregate, orders smaller than the corpus), one per-doc rollup.
+    Docs with <2 tokens get NULL scores.
+    """
+    big = bigram_rows(df, text_col, id_col)
+    lm_big = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    lm_uni = lm_big.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    vocab_size = (
+        token_rows(df, text_col, id_col).select("token").distinct().count()
+    )
+    logp = F.log(
+        (F.col("_c12").cast("double") + F.lit(float(k)))
+        / (F.col("_c1").cast("double") + F.lit(float(k) * vocab_size))
+    )
+    scored = (
+        big.join(lm_big, ["w1", "w2"])
+        .join(lm_uni, ["w1"])
+        .select(id_col, "pos", logp.alias("_lp"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "_lp"))).alias("_lps")
+    )
+    total = F.aggregate(
+        F.col("_lps"), F.lit(0.0), lambda acc, x: acc + x["_lp"]
+    )
+    avg = total / F.size(F.col("_lps"))
+    return (
+        df.select(id_col)
+        .join(
+            per_doc.select(F.col(id_col), avg.alias("avg_logp")), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col("avg_logp"),
+            F.exp(-F.col("avg_logp")).alias("ppl"),
+        )
+    )

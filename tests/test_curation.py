@@ -217,3 +217,33 @@ def test_weighted_sample_mixing_ratios(spark):
     assert half < len(kept)
     with pytest.raises(ValueError, match="base_fraction"):
         weighted_sample(df, "w", base_fraction=1.5)
+
+
+def test_lm_score_separates_typical_from_noise(spark):
+    from csp_gateway_spark.operators.corpus import lm_score
+
+    rows = [(i, "the cat sat on the mat and the dog sat on the rug") for i in range(8)]
+    rows.append((100, "zq xv qqj kpw zzt vxq jqk wpz"))  # token soup
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    typical = got[0]["ppl"]
+    noise = got[100]["ppl"]
+    # the repeated phrasing is far more probable under the corpus LM
+    assert typical < noise
+    # ppl = exp(-avg_logp) consistency
+    import math
+
+    assert got[0]["ppl"] == pytest.approx(math.exp(-got[0]["avg_logp"]))
+
+
+def test_lm_score_partitioning_invariant_and_null_for_tiny(spark):
+    from csp_gateway_spark.operators.corpus import lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, "solo"), (3, "x y x y x y")],
+        "doc_id long, text string",
+    )
+    one = {r["doc_id"]: r["avg_logp"] for r in lm_score(docs.coalesce(1)).collect()}
+    many = {r["doc_id"]: r["avg_logp"] for r in lm_score(docs.repartition(8)).collect()}
+    assert one == many  # sorted fold: order-invariant
+    assert one[2] is None  # <2 tokens: no bigrams -> NULL score
