@@ -44,6 +44,10 @@ def get_spark(app_name: str = "csp-gateway-spark", cpus: str | None = None) -> S
         # --- parquet scan behavior ---
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # 80+ distinct query shapes overflow the default 100-entry
+        # generated-class cache; eviction forces Janino recompiles (~10 s
+        # for the widest aggregates) at random on repeated runs
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # events.ts is parquet TIMESTAMP(NANOS): read as int64 nanos (Spark
         # has no ns timestamp type); compare with DuckDB epoch_ns(ts).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
