@@ -1263,12 +1263,24 @@ _VOCAB_SIZE = 200
 
 def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize→vocab→ids: the training-pipeline encode step.  Docs
-    whose normalized text has no tokens drop out (both engines)."""
+    whose normalized text has no tokens drop out (both engines).
+
+    Gate gotcha: the driver's canonicalizer cannot hash array cells, so
+    the ``ids`` array is flattened to a space-joined string here (the
+    operator itself still returns the typed array) — see the decimal
+    rule note in oracle_sql().  Arrays must be flattened in every gated
+    query."""
     from csp_gateway_spark.operators.corpus import build_vocab, encode_documents
 
     docs = _t(spark, sf_dir, "documents")
     vocab = build_vocab(docs, size=_VOCAB_SIZE)
-    return encode_documents(docs, vocab).orderBy("doc_id")
+    enc = encode_documents(docs, vocab)
+    return enc.select(
+        "doc_id",
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), " ").alias("ids_str"),
+        "n_tokens",
+        "n_unk",
+    ).orderBy("doc_id")
 
 
 ORACLE_VOCAB_ENCODE = f"""
@@ -1284,7 +1296,7 @@ WITH tokrows AS (
   QUALIFY token_id < {_VOCAB_SIZE + 1}
 )
 SELECT doc_id,
-       list(CAST(COALESCE(v.token_id, 0) AS INT) ORDER BY pos) AS ids,
+       string_agg(CAST(CAST(COALESCE(v.token_id, 0) AS INT) AS VARCHAR), ' ' ORDER BY pos) AS ids_str,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
 FROM tokrows tr LEFT JOIN vocab v USING (token)

@@ -78,15 +78,12 @@ def upsert_table(
     out = keyed_last(df, list(index), order_by=order_by, sort_output=False)
     if limit is not None:
         order_cols = [c for c in order_by if c in out.columns]
-        w = F.struct(*[F.col(c) for c in order_cols])
-        from pyspark.sql import Window
-
-        win = Window.orderBy(F.desc(w))
-        out = (
-            out.withColumn("_rank", F.row_number().over(win))
-            .filter(F.col("_rank") <= limit)
-            .drop("_rank")
-        )
+        # Ring-buffer semantics only need the global top-N by recency:
+        # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+        # partial top-k, then a k-row merge on the driver) — no
+        # single-task global sort, unlike a row_number window with no
+        # PARTITION BY, which funnels the whole table through one task.
+        out = out.orderBy(*[F.desc(c) for c in order_cols]).limit(limit)
     return out
 
 

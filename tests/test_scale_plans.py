@@ -118,3 +118,19 @@ def test_stratified_sample_filter_reaches_scan(spark, sf_dir):
     df = entry.queries()["stratified_sample"](spark, sf_dir)
     plan = explain_str(df)
     assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_upsert_limit_is_take_ordered(spark, sf_dir):
+    """The ring-buffer ``limit`` must compile to TakeOrderedAndProject
+    (per-partition partial top-k), never a row_number window with no
+    PARTITION BY — that shape funnels the entire upserted table
+    through a single task and dies at 100× scale."""
+    from csp_gateway_spark.operators.state import upsert_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = upsert_table(
+        orders, index=["o_custkey"], order_by=["o_orderdate", "o_orderkey"], limit=100
+    )
+    plan = explain_str(out, mode="simple")
+    assert "TakeOrdered" in plan, plan
+    assert "Window" not in plan, plan
