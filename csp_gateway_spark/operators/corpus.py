@@ -203,19 +203,22 @@ def build_vocab(
     UNK by convention).  Rank order: count desc, token asc — fully
     deterministic, so the same corpus always yields the same vocab.
 
-    Plan: token counts (one shuffle, map-side combined) → global
-    rank.  The global sort only moves |vocab| candidate rows (top-k
-    pre-limit could be added for vocabularies near the shuffle limit;
-    at the usual 32k–256k sizes this is a single-task sort)."""
+    Plan: token counts (one shuffle, map-side combined) → two-phase
+    top-k → dense rank.  The ``orderBy().limit(size)`` compiles to
+    TakeOrderedAndProject (per-partition partial top-k), so the
+    unpartitioned rank window that assigns dense ids only ever sees
+    ``size`` rows — bounded by the vocabulary, NOT by the corpus's
+    distinct-token count, which at 100 TB is orders of magnitude
+    larger and would otherwise funnel through one task."""
     counts = token_rows(df, text_col, id_col).groupBy("token").agg(
         F.count(F.lit(1)).alias("n")
     )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(size)
     from pyspark.sql.window import Window
 
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     return (
-        counts.withColumn("token_id", F.row_number().over(w) + F.lit(reserved - 1))
-        .filter(F.col("token_id") < size + reserved)
+        top.withColumn("token_id", F.row_number().over(w) + F.lit(reserved - 1))
         .select("token", "token_id", "n")
     )
 
@@ -298,16 +301,20 @@ def lm_score(
     big = bigram_rows(df, text_col, id_col)
     lm_big = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
     lm_uni = lm_big.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
-    vocab_size = (
-        token_rows(df, text_col, id_col).select("token").distinct().count()
+    # V as a 1-row aggregate cross-joined (broadcast) into the scoring
+    # plan — a driver-side .count() here would be a second ACTION with
+    # its own full tokenize+distinct pass over the corpus
+    vocab_df = token_rows(df, text_col, id_col).agg(
+        F.count_distinct("token").cast("double").alias("_V")
     )
     logp = F.log(
         (F.col("_c12").cast("double") + F.lit(float(k)))
-        / (F.col("_c1").cast("double") + F.lit(float(k) * vocab_size))
+        / (F.col("_c1").cast("double") + F.lit(float(k)) * F.col("_V"))
     )
     scored = (
         big.join(lm_big, ["w1", "w2"])
         .join(lm_uni, ["w1"])
+        .crossJoin(F.broadcast(vocab_df))
         .select(id_col, "pos", logp.alias("_lp"))
     )
     per_doc = scored.groupBy(id_col).agg(

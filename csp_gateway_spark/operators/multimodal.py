@@ -364,6 +364,11 @@ def _jpeg_meta_bytes(data: bytes):
             i += 1
             continue
         marker = data[i + 1]
+        if marker in (0xDA, 0xD9):
+            # SOS/EOI: entropy-coded data (or end of image) follows —
+            # stray 0xFF 0xCx pairs inside it would be misparsed as a
+            # frame header, so a JPEG without an earlier SOF has none
+            raise ValueError("no SOF frame header before scan data")
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-payload markers
             i += 2
             continue

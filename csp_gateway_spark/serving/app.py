@@ -154,8 +154,14 @@ class GatewayApi:
     def check_api_key(self, supplied: Optional[str]) -> None:
         import hmac
 
+        # compare UTF-8 bytes: compare_digest on str raises TypeError
+        # for non-ASCII input, turning a clean 401 into a 500
         if self.api_keys and not (
-            supplied and any(hmac.compare_digest(supplied, k) for k in self.api_keys)
+            supplied
+            and any(
+                hmac.compare_digest(supplied.encode("utf-8"), k.encode("utf-8"))
+                for k in self.api_keys
+            )
         ):
             raise ApiError(401, "invalid or missing API key")
 
@@ -183,12 +189,44 @@ class GatewayApi:
 
     # --- helpers -----------------------------------------------------
     def _auth_rows(self, rows: List[Row]) -> List[dict]:
+        """Identity filter over already-materialized rows — only for
+        broker-delivered tick payloads (/next, WS), which are in-memory
+        dicts bounded by one tick.  DataFrame-backed routes must use
+        ``_plan_filters`` instead so the predicate runs engine-side."""
         out = []
         for row in rows:
             d = row.asDict() if isinstance(row, Row) else dict(row)
             if all(d.get(k) == v for k, v in self.identity_filter.items() if k in d):
                 out.append(_jsonable(d))
         return out
+
+    def _plan_filters(self, channel: str, df, key: Optional[str] = None, limit: Optional[int] = None):
+        """Push per-request predicates INTO the DataFrame plan before
+        collect (reference `auth_filter.py:533-571` filters each
+        response's rows; SURVEY §2.2 P4 maps that to ``df.filter``):
+
+        - row-level identity filter (only on columns the channel has —
+          rows without the field pass, matching the dict-side rule);
+        - dict-basket key selection (reference `last.py:18-157`);
+        - optional ``limit`` so `/state` never materializes more rows
+          than the client asked for.
+
+        At 100× state size this is the difference between collecting
+        the full table to drop most of it in Python and a filtered
+        (often partition-pruned) scan returning only matching rows."""
+        from pyspark.sql import functions as F
+
+        for field, value in self.identity_filter.items():
+            if field in df.columns:
+                df = df.filter(F.col(field) == F.lit(value))
+        if key is not None:
+            field = self.key_field(channel)
+            if field is None:
+                raise ApiError(404, f"channel {channel!r} is not keyed")
+            df = df.filter(F.col(field).cast("string") == F.lit(key))
+        if limit is not None:
+            df = df.limit(limit)
+        return df
 
     def _channel_or_404(self, channel: str) -> None:
         """Declared channels are valid even before their first tick
@@ -199,43 +237,70 @@ class GatewayApi:
     def _collect_or_404(self, channel: str, df_fn) -> List[Row]:
         try:
             return df_fn().collect()
+        except ApiError:
+            raise
         except Exception as e:  # noqa: BLE001 — unwired: no ticks yet
             raise ApiError(404, f"no ticks yet on {channel!r}: {e}") from e
-
-    def _key_filter(self, channel: str, key: Optional[str], rows: List[dict]) -> List[dict]:
-        """Dict-basket per-key view (reference `last.py:18-157`: route
-        suffix selects one basket key; 404 when the key has no rows)."""
-        if key is None:
-            return rows
-        field = self.key_field(channel)
-        if field is None:
-            raise ApiError(404, f"channel {channel!r} is not keyed")
-        matched = [r for r in rows if str(r.get(field)) == key]
-        if not matched:
-            raise ApiError(404, f"key {key!r} not found in {channel!r}")
-        return matched
 
     # --- routes ------------------------------------------------------
     def last(self, channel: str, key: Optional[str] = None) -> List[dict]:
         self._channel_or_404(channel)
-        rows = self._collect_or_404(channel, lambda: self.catalog.last(channel))
-        return self._key_filter(channel, key, self._auth_rows(rows))
+        rows = self._collect_or_404(
+            channel, lambda: self._plan_filters(channel, self.catalog.last(channel), key=key)
+        )
+        if key is not None and not rows:
+            raise ApiError(404, f"key {key!r} not found in {channel!r}")
+        return [_jsonable(r) for r in rows]
 
-    def state(self, channel: str, query_json: Optional[str] = None, key: Optional[str] = None) -> List[dict]:
+    def state(
+        self,
+        channel: str,
+        query_json: Optional[str] = None,
+        key: Optional[str] = None,
+        limit: Optional[int] = None,
+    ) -> List[dict]:
         self._channel_or_404(channel)
         try:
             query = parse_query(query_json)
         except Exception as e:  # noqa: BLE001
             raise ApiError(422, f"bad query param: {e}") from e
-        rows = self._collect_or_404(channel, lambda: self.catalog.query(channel, query))
-        return self._key_filter(channel, key, self._auth_rows(rows))
+        if limit is not None and limit < 0:
+            raise ApiError(422, f"limit must be >= 0, got {limit}")
+        rows = self._collect_or_404(
+            channel,
+            lambda: self._plan_filters(channel, self.catalog.query(channel, query), key=key, limit=limit),
+        )
+        if key is not None and not rows:
+            raise ApiError(404, f"key {key!r} not found in {channel!r}")
+        return [_jsonable(r) for r in rows]
 
     def lookup(self, channel: str, record_id: str) -> List[dict]:
         self._channel_or_404(channel)
-        rows = self._auth_rows(self._collect_or_404(channel, lambda: self.catalog.lookup(channel, record_id)))
+        rows = self._collect_or_404(
+            channel, lambda: self._plan_filters(channel, self.catalog.lookup(channel, record_id))
+        )
         if not rows:
             raise ApiError(404, f"id {record_id!r} not found in {channel!r}")
-        return rows
+        return [_jsonable(r) for r in rows]
+
+    def lookup_id(self, record_id: str) -> List[dict]:
+        """`GET /lookup/id/<id>` — global id lookup across every
+        channel (reference `web/routes/lookup.py:70-85`:
+        ``global_lookup`` on an in-memory registry of every struct ever
+        created).  Spark design: no unbounded registry — ids are
+        globally unique (day-epoch counter, `structs.py`), so probe
+        each channel with the same pushed-down point predicate as
+        `/lookup/<ch>/<id>` and stop at the first hit.  Each probe is a
+        single-column-pruned point-filter scan; 404 when no channel
+        holds the id (reference 404 semantics)."""
+        for name in sorted(self.catalog._producers):
+            try:
+                rows = self._plan_filters(name, self.catalog.lookup(name, record_id)).collect()
+            except Exception:  # noqa: BLE001 — unbound/tickless channel
+                continue
+            if rows:
+                return [_jsonable(r) for r in rows]
+        raise ApiError(404, f"No record found with id: {record_id}")
 
     def send(self, channel: str, payload: Any, key: Optional[str] = None) -> List[dict]:
         rows = payload if isinstance(payload, list) else [payload]
@@ -431,10 +496,12 @@ class GatewayApi:
         import pyarrow as pa
 
         self._channel_or_404(channel)
-        rows = self._auth_rows(self._collect_or_404(channel, lambda: self.catalog.query(channel, None)))
-        if limit is not None:
-            rows = rows[: int(limit)]
-        table = pa.Table.from_pylist(rows)
+        lim = None if limit is None else int(limit)
+        rows = self._collect_or_404(
+            channel,
+            lambda: self._plan_filters(channel, self.catalog.query(channel, None), limit=lim),
+        )
+        table = pa.Table.from_pylist([_jsonable(r) for r in rows])
         sink = io.BytesIO()
         with pa.ipc.new_stream(sink, table.schema) as writer:
             writer.write_table(table)
@@ -490,7 +557,9 @@ class GatewayApi:
             raise ApiError(401, "unauthorized")
         return (
             {"status": "ok", "session": sid},
-            f"{self.auth.cookie_name}={sid}; HttpOnly; SameSite=Lax",
+            # Path=/ — RFC 6265 defaults the path to /api/v1/auth,
+            # which would hide the cookie from the protected /api/v1/*
+            f"{self.auth.cookie_name}={sid}; Path=/; HttpOnly; SameSite=Lax",
         )
 
     def auth_login_redirect(self, host: str) -> dict:
@@ -513,7 +582,9 @@ class GatewayApi:
         sid = self.auth.handle_callback(code, f"http://{host}/api/v1/auth/callback")
         return (
             {"status": "ok", "session": sid},
-            f"{self.auth.cookie_name}={sid}; HttpOnly; SameSite=Lax",
+            # Path=/ — RFC 6265 defaults the path to /api/v1/auth,
+            # which would hide the cookie from the protected /api/v1/*
+            f"{self.auth.cookie_name}={sid}; Path=/; HttpOnly; SameSite=Lax",
         )
 
     def auth_logout(self, cookies: Optional[Dict[str, str]]) -> dict:
@@ -748,12 +819,12 @@ def build_fastapi_app(api: GatewayApi):
         return api.last(channel, key)
 
     @protected.get("/state/{channel}")
-    def state(channel: str, query: Optional[str] = None):
-        return api.state(channel, query)
+    def state(channel: str, query: Optional[str] = None, limit: Optional[int] = None):
+        return api.state(channel, query, limit=limit)
 
     @protected.get("/state/{channel}/{key}")
-    def state_key(channel: str, key: str, query: Optional[str] = None):
-        return api.state(channel, query, key)
+    def state_key(channel: str, key: str, query: Optional[str] = None, limit: Optional[int] = None):
+        return api.state(channel, query, key, limit=limit)
 
     @protected.get("/next/{channel}/{key}")
     def next_key(channel: str, key: str, timeout: float = 30.0):
@@ -763,6 +834,10 @@ def build_fastapi_app(api: GatewayApi):
     async def send_key(channel: str, key: str, request: Request):
         payload = await request.json()
         return api.send(channel, payload, key)
+
+    @protected.get("/lookup/id/{record_id}")
+    def lookup_id(record_id: str):
+        return api.lookup_id(record_id)
 
     @protected.get("/lookup/{channel}/{record_id}")
     def lookup(channel: str, record_id: str):
@@ -958,7 +1033,14 @@ class GatewayHttpServer:
                         return self._reply(200, outer.api.last(rest[1], *rest[2:]))
                     if method == "GET" and rest[0] == "state" and len(rest) in (2, 3):
                         q = qs.get("query", [None])[0]
-                        return self._reply(200, outer.api.state(rest[1], q, *rest[2:]))
+                        lim_s = qs.get("limit", [None])[0]
+                        try:
+                            lim = int(lim_s) if lim_s is not None else None
+                        except ValueError:
+                            raise ApiError(422, f"limit must be an integer, got {lim_s!r}")
+                        return self._reply(200, outer.api.state(rest[1], q, *rest[2:], limit=lim))
+                    if method == "GET" and rest[:2] == ["lookup", "id"] and len(rest) == 3:
+                        return self._reply(200, outer.api.lookup_id(rest[2]))
                     if method == "GET" and rest[0] == "lookup" and len(rest) == 3:
                         return self._reply(200, outer.api.lookup(rest[1], rest[2]))
                     if method == "GET" and rest[0] == "next" and len(rest) in (2, 3):

@@ -115,7 +115,12 @@ class ApiKeyAuth(AuthMiddleware):
         )
         # constant-time compare against every configured key: API keys are
         # long-lived secrets, so a plain `in` would leak prefixes via timing
-        if supplied and any(hmac.compare_digest(supplied, k) for k in self.api_keys):
+        # bytes, not str: compare_digest(str, str) raises TypeError on
+        # non-ASCII attacker input → unhandled 500 instead of 401
+        if supplied and any(
+            hmac.compare_digest(supplied.encode("utf-8"), k.encode("utf-8"))
+            for k in self.api_keys
+        ):
             return {"user": "api-key", "key": supplied}
         return None
 

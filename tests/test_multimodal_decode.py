@@ -205,3 +205,18 @@ def test_wav_meta_parses_header(spark):
     assert got[1]["duration_sec"] == 1.0
     assert got[2]["duration_sec"] == 0.5
     assert got[3]["sample_rate"] is None
+
+
+def test_jpeg_meta_stops_at_scan_data(spark):
+    """A JPEG whose SOS precedes any SOF must yield NULL dimensions:
+    stray 0xFF 0xC0 byte pairs inside the entropy-coded scan are NOT
+    frame headers and the marker walk must not misparse them."""
+    from csp_gateway_spark.operators.multimodal import jpeg_meta
+
+    # SOI + minimal SOS, then entropy bytes containing a fake SOF0 pair
+    sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0, 0, 63, 0])
+    fake_sof_in_scan = b"\x12\xff\xc0\x00\x11\x08\x01\x00\x01\x00\x03" + bytes(9)
+    data = b"\xff\xd8" + sos + fake_sof_in_scan + b"\xff\xd9"
+    df = spark.createDataFrame([(1, data)], "media_id long, content binary")
+    row = jpeg_meta(df).collect()[0]
+    assert row["width"] is None and row["height"] is None

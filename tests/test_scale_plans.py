@@ -134,3 +134,34 @@ def test_upsert_limit_is_take_ordered(spark, sf_dir):
     plan = explain_str(out, mode="simple")
     assert "TakeOrdered" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_build_vocab_rank_window_is_bounded(spark, sf_dir):
+    """build_vocab's dense-id rank is an unpartitioned window — legal
+    only because a TakeOrderedAndProject (two-phase top-k) bounds its
+    input to |vocab| rows first.  Pin that shape: the plan must contain
+    TakeOrdered below the Window, never a full global Sort of all
+    distinct tokens."""
+    from csp_gateway_spark.operators.corpus import build_vocab
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(build_vocab(docs, size=100), mode="simple")
+    assert "TakeOrdered" in plan, plan
+
+
+def test_lm_score_single_action_no_extra_scan(spark, sf_dir):
+    """lm_score's vocabulary size must be part of the scoring plan (a
+    broadcast 1-row aggregate), not a separate driver .count() action
+    that re-scans and re-tokenizes the whole corpus."""
+    from csp_gateway_spark.operators.corpus import lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    # building the plan must trigger NO job (the old impl ran .count()
+    # eagerly inside lm_score)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    df = lm_score(docs)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before, "lm_score launched a job during plan build"
+    plan = explain_str(df, mode="simple")
+    assert "count(distinct token" in plan.lower() or "BroadcastNestedLoopJoin" in plan, plan

@@ -96,3 +96,45 @@ def test_identity_row_filter(spark):
         assert e.value.code == 403
     finally:
         srv.stop()
+
+
+def test_state_limit_param(server):
+    rows = _get(server.port, "/api/v1/state/quotes?limit=1")
+    assert len(rows) == 1
+    assert _get(server.port, "/api/v1/state/quotes?limit=0") == []
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server.port, "/api/v1/state/quotes?limit=notanint")
+    assert e.value.code == 422
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server.port, "/api/v1/state/quotes?limit=-1")
+    assert e.value.code == 422
+
+
+def test_global_lookup_by_id(server):
+    """`GET /lookup/id/<id>` — global id lookup across every channel
+    (reference `web/routes/lookup.py:70-85` global registry; here a
+    per-channel pushed-down point probe)."""
+    rows = _get(server.port, "/api/v1/state/quotes")
+    rid = rows[0]["id"]
+    found = _get(server.port, f"/api/v1/lookup/id/{rid}")
+    assert found[0]["id"] == rid and found[0]["sym"] == rows[0]["sym"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server.port, "/api/v1/lookup/id/999999999999")
+    assert e.value.code == 404
+
+
+def test_serving_filters_run_engine_side(spark):
+    """Identity/key/limit predicates must be in the DataFrame plan
+    (reference `auth_filter.py:533-571` ≙ df.filter, SURVEY §2.2 P4),
+    not applied in Python after collect."""
+    cat = ChannelCatalog(spark)
+    cat.declare("q3", QUOTE)
+    cat.declare_state("q3", "sym")
+    cat.send("q3", [{"sym": "A", "px": 1.0, "user": "u1"}, {"sym": "B", "px": 2.0, "user": "u2"}])
+    api = GatewayApi(cat, identity_filter={"user": "u1"})
+    df = api._plan_filters("q3", cat.query("q3"), key="A", limit=5)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "u1" in plan  # identity predicate engine-side
+    assert "GlobalLimit" in plan or "LocalLimit" in plan or "Limit" in plan
+    assert [r["sym"] for r in api.state("q3")] == ["A"]
+    assert api.state("q3", key="A")[0]["px"] == 1.0
