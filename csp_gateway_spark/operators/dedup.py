@@ -204,6 +204,19 @@ def minhash_signatures(
 # MinHash + LSH candidate pairs
 # --------------------------------------------------------------------------
 
+def band_key(sig: Column, band: int, rows: int, oracle_safe: bool = False) -> Column:
+    """Bucket key for one LSH band of a minhash signature — the single
+    source of truth shared by the batch pair join and the streaming
+    twin (streaming/dedup_stream.py), so their candidate sets agree by
+    construction."""
+    sl = F.slice(sig, band * rows + 1, rows)
+    if oracle_safe:
+        # portable key: delimited concat of the band's minhash values —
+        # collision-free and engine-reproducible (DuckDB array_to_string)
+        return F.concat_ws("|", F.transform(sl, lambda x: x.cast("string")))
+    return F.xxhash64(sl)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -233,20 +246,15 @@ def minhash_lsh_pairs(
     # (verified: a localCheckpoint here was ~1.7× slower)
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k, oracle_safe=oracle_safe)
 
-    def _band_key(b: int) -> Column:
-        sl = F.slice(F.col("sig"), b * rows + 1, rows)
-        if oracle_safe:
-            # portable key: delimited concat of the band's minhash values —
-            # collision-free and engine-reproducible (DuckDB array_to_string)
-            return F.concat_ws("|", F.transform(sl, lambda x: x.cast("string")))
-        return F.xxhash64(sl)
-
     banded = sig.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band"), _band_key(b).alias("bh"))
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_key(F.col("sig"), b, rows, oracle_safe).alias("bh"),
+                    )
                     for b in range(bands)
                 ]
             )

@@ -1,0 +1,134 @@
+"""Streaming near-duplicate detection — the streaming twin of the
+batch MinHash-LSH family (``operators/dedup.py``).
+
+The reference has no streaming dedup (SURVEY §2.3); this is the
+streaming face of the additive §7.8 dedup surface, completing the
+batch/streaming pairing that state, HLL sketches, and joins already
+have.
+
+Design (every stage chosen for bounded state):
+
+- **Signatures are stateless.**  Batch computes signatures with
+  explode→groupBy-min (one shuffle) because a corpus scan amortizes
+  it; a stream sees each document as ONE row, so the column-expression
+  signature (``minhash_signature``) computes the full minhash array
+  per row with zero shuffle and zero state.
+- **Banding is a stateless explode** using the SAME ``band_key``
+  expression as the batch join — candidate sets agree by construction.
+- **The band-bucket self-join is the one real stateful operator**: a
+  stream-stream inner join keyed on ``(band, bh)`` with a symmetric
+  event-time range bound.  State per side ∝ documents inside the
+  watermark horizon × bands — the time bound is what makes 100 TB/day
+  streams feasible; widen ``join_window`` and you pay linearly in
+  state store size (RocksDB-backed, see session.py).
+- **Pair emission is exactly-once** via
+  ``dropDuplicatesWithinWatermark`` on ``(id_a, id_b)``: a colliding
+  pair fires once per matching band (up to ``bands`` times); the
+  watermark-scoped drop keeps the first.
+
+Exact-Jaccard verification joins back to document text, which a pure
+stream no longer holds — run ``ngram_jaccard_pairs`` per sink batch
+(``foreachBatch``) against the document store, exactly like the HLL
+finalize stage (streaming/sketches.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csp_gateway_spark.operators.dedup import band_key, minhash_signature
+
+__all__ = ["banded_doc_stream", "lsh_pair_stream"]
+
+
+def banded_doc_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    watermark: str = "1 minute",
+    oracle_safe: bool = False,
+) -> DataFrame:
+    """Document stream → ``(id, ts, band, bh)`` band-bucket rows.
+
+    Stateless: per-row signature + band explode; the watermark is
+    attached here so every downstream stateful operator inherits it.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes=num_hashes, k=k, oracle_safe=oracle_safe)
+    with_sig = stream.withWatermark(ts_col, watermark).select(
+        F.col(id_col), F.col(ts_col), sig.alias("_sig")
+    )
+    return with_sig.select(
+        id_col,
+        ts_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_key(F.col("_sig"), b, rows, oracle_safe).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, ts_col, "bk.band", "bk.bh")
+
+
+def lsh_pair_stream(
+    left: DataFrame,
+    right: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    watermark: str = "1 minute",
+    join_window: str = "5 minutes",
+    oracle_safe: bool = False,
+) -> DataFrame:
+    """Online candidate near-dup pairs ``(id_a, id_b, ts_a)``.
+
+    ``right`` defaults to a self-join of ``left`` (near-dups within one
+    stream); pass a second readStream of the same source if the engine
+    version rejects the shared-source self-join.  ``id_a < id_b`` plus
+    the symmetric time bound covers both arrival orders, so each
+    unordered pair within ``join_window`` of each other is emitted
+    exactly once (the watermark-scoped drop collapses per-band
+    re-fires).
+    """
+    a = banded_doc_stream(
+        left, text_col, id_col, ts_col, num_hashes, bands, k, watermark, oracle_safe
+    ).alias("a")
+    b = banded_doc_stream(
+        right if right is not None else left,
+        text_col, id_col, ts_col, num_hashes, bands, k, watermark, oracle_safe,
+    ).alias("b")
+    iv = F.expr(f"INTERVAL {join_window}")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col(f"b.{ts_col}") >= F.col(f"a.{ts_col}") - iv)
+        & (F.col(f"b.{ts_col}") <= F.col(f"a.{ts_col}") + iv),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"a.{ts_col}").alias("ts_a"),
+    )
+    # one fire per colliding band → exactly one per pair.  ts_a alone
+    # carries watermark lineage into the drop (keeping both joined
+    # timestamps is rejected — "More than one event time columns", and
+    # re-declaring via withWatermark is "Redefining watermark"), so the
+    # drop's state eviction keys directly off the joined stream's
+    # delayed watermark.
+    return pairs.dropDuplicatesWithinWatermark(["id_a", "id_b"])
