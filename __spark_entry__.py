@@ -1258,6 +1258,55 @@ ORDER BY list_cosine_similarity(e, qe) DESC, vec_id ASC LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication
+# (similarity.py::semantic_dedup; Abbas et al. 2023, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_CELLS = 16
+_SEMDEDUP_THR = 0.4
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paraphrase-level dedup lexical MinHash misses: cluster
+    embeddings, drop same-cell vectors whose cosine to a lower-id
+    vector is >= threshold (greedy keep-lowest-id)."""
+    from csp_gateway_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb, n_clusters=_SEMDEDUP_CELLS, threshold=_SEMDEDUP_THR, oracle_safe=True
+    )
+    return out.select("vec_id", "cell", "label").orderBy("vec_id")
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, e AS centroid FROM v
+  ORDER BY ('0x' || substr(md5(vec_id || ':42'), 1, 15))::BIGINT, vec_id LIMIT {_SEMDEDUP_CELLS}
+),
+assigned AS (
+  SELECT vec_id, label, e, cell FROM (
+    SELECT v.vec_id, v.label, v.e, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.e, c.centroid) DESC, c.cent_id ASC
+           ) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {_SEMDEDUP_THR}
+)
+SELECT vec_id, cell, label FROM assigned
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY vec_id
+"""
+
+
 _VOCAB_SIZE = 200
 
 
@@ -2659,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_encode": q_vocab_encode,
         "lm_perplexity": q_lm_perplexity,
         "embedding_quantize": q_embedding_quantize,
+        "semantic_dedup": q_semantic_dedup,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -2783,6 +2833,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_refine": _km_oracle(),
         "char_entropy": ORACLE_CHAR_ENTROPY,
         "vocab_encode": ORACLE_VOCAB_ENCODE,
+        "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
         "lm_perplexity": ORACLE_LM_PERPLEXITY,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     }

@@ -98,6 +98,7 @@ HEADLINE = [
     "vocab_encode",
     "lm_perplexity",
     "embedding_quantize",
+    "semantic_dedup",
 ]
 
 

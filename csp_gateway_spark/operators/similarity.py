@@ -433,3 +433,54 @@ def kmeans_inertia(
         F.avg(cosine(_as_double(F.col(vec_col)), _as_double(F.col("centroid"))))
     ).collect()[0]
     return float(row[0])
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    oracle_safe: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents
+    whose EMBEDDINGS are near-identical to another document in the same
+    embedding cluster — catches paraphrase-level duplicates that
+    MinHash/SimHash (lexical) miss.
+
+    Plan: deterministic centroid bootstrap (``sample_centroids``) →
+    broadcast nearest-centroid assignment (``ivf_assign``, one shuffle
+    on id) → WITHIN-CELL pairwise cosine via a self-join keyed on the
+    cell id → greedy keep-lowest-id: ``x`` is dropped iff some
+    same-cell ``y`` with ``y.id < x.id`` has ``round(cos, 6) >=
+    threshold`` (rounding makes the comparison engine-portable at the
+    boundary).  Dropped ids are bounded by the duplicate count, so the
+    anti-join side broadcasts and the corpus scan never shuffles.
+
+    Scale: the pairwise stage is the SemDeDup cost model — O(Σ|cell|²)
+    with |cell| ≈ n/k, sharded by the cell-key shuffle; pick
+    ``n_clusters`` ∝ √n (paper uses 50k cells for LAION-440M).  A hot
+    cell is a skew key: raise n_clusters or salt with
+    ``plans.scale.salt_keys``.  No all-pairs stage exists in the plan.
+
+    Returns the surviving rows with their ``cell`` assignment.
+    """
+    cents = sample_centroids(df, n_clusters, vec_col, id_col, oracle_safe=oracle_safe)
+    assigned = ivf_assign(df, cents, vec_col, id_col)
+    a = assigned.select(
+        F.col("cell"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.round(cosine(_as_double(F.col("_va")), _as_double(F.col("_vb"))), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(F.broadcast(dropped), id_col, "left_anti")

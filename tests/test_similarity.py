@@ -160,3 +160,32 @@ def test_kmeans_refine_deterministic(spark, embeddings):
     ka = {r["cent_id"]: (r["n"], tuple(r["centroid"])) for r in a}
     kb = {r["cent_id"]: (r["n"], tuple(r["centroid"])) for r in b}
     assert ka == kb  # exact fixed-point means: partitioning-invariant
+
+
+def test_semantic_dedup_drops_near_identical(spark):
+    """Two near-identical embeddings in the same cell: the higher id is
+    dropped; orthogonal vectors all survive.  Plan has no cartesian
+    product — the pairwise stage is keyed on the cell id."""
+    from csp_gateway_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1 -> dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_clusters=2, threshold=0.95)
+    kept = sorted(r.vec_id for r in out.collect())
+    assert kept == [1, 3, 4]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_keeps_all_when_distinct(spark, embeddings):
+    from csp_gateway_spark.operators.similarity import semantic_dedup
+
+    n = embeddings.count()
+    out = semantic_dedup(embeddings, n_clusters=8, threshold=0.999)
+    assert out.count() == n  # nothing near-identical at this threshold
+    assert "cell" in out.columns
