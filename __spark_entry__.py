@@ -1307,6 +1307,48 @@ ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding pooling — chunk→document mean-pool
+# (similarity.py::pool_embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pool all embeddings per label group, exploded to scalar
+    (label, idx, v) rows.  Deterministic mode: the per-component mean
+    is an id-ordered fold, so the float result is partitioning-
+    invariant and engine-reproducible."""
+    from csp_gateway_spark.operators.similarity import pool_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pool_embeddings(emb, group_col="label", mode="mean", deterministic=True)
+    return (
+        out.select("label", "n_vectors", F.posexplode("pooled").alias("idx", "v"))
+        .select(
+            "label",
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            "idx",
+            F.round("v", 6).alias("v"),
+        )
+        .orderBy("label", "idx")
+    )
+
+
+ORACLE_EMBEDDING_POOL = """
+WITH r AS (
+  SELECT label, vec_id,
+         unnest(generate_series(0, len(e) - 1)) AS idx,
+         unnest(e) AS v
+  FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+), g AS (
+  SELECT label, idx, list(v ORDER BY vec_id) AS vs FROM r GROUP BY 1, 2
+)
+SELECT label, CAST(len(vs) AS BIGINT) AS n_vectors, idx,
+       round(list_sum(vs) / len(vs), 6) AS v
+FROM g ORDER BY label, idx
+"""
+
+
 _VOCAB_SIZE = 200
 
 
@@ -2709,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "embedding_quantize": q_embedding_quantize,
         "semantic_dedup": q_semantic_dedup,
+        "embedding_pool": q_embedding_pool,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -2834,6 +2877,7 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": ORACLE_CHAR_ENTROPY,
         "vocab_encode": ORACLE_VOCAB_ENCODE,
         "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+        "embedding_pool": ORACLE_EMBEDDING_POOL,
         "lm_perplexity": ORACLE_LM_PERPLEXITY,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     }

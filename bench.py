@@ -99,6 +99,7 @@ HEADLINE = [
     "lm_perplexity",
     "embedding_quantize",
     "semantic_dedup",
+    "embedding_pool",
 ]
 
 

@@ -484,3 +484,70 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(F.broadcast(dropped), id_col, "left_anti")
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "mean",
+    l2_normalize: bool = False,
+    deterministic: bool = False,
+) -> DataFrame:
+    """Pool many embeddings into one per group — the chunk→document
+    (or document→cluster-centroid) aggregation step of an embedding
+    pipeline.
+
+    Plan: posexplode to ``(group, idx, val)`` rows (scan-local, no
+    shuffle) → ONE groupBy(group, idx) aggregate (map-side combined;
+    shuffle volume is |groups|·dim rows regardless of corpus size) →
+    per-group reassembly sorted by idx.  Never collects vectors into a
+    driver loop and never relies on a fixed compile-time dimension.
+
+    ``mode``: ``mean`` or ``max``.  ``l2_normalize`` rescales the
+    pooled vector to unit norm (cosine-ready).  ``deterministic``
+    makes the float mean a position-ordered fold over an id-sorted
+    list (the char_entropy/lm_score pattern) — partitioning-invariant
+    and engine-reproducible, at the cost of materializing each
+    (group, idx) value list; use it when groups are chunk-sized, not
+    corpus-sized.  ``max`` is order-independent and always exact.
+    """
+    if mode not in ("mean", "max"):
+        raise ValueError(f"mode must be 'mean' or 'max', got {mode!r}")
+    rows = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.posexplode(_as_double(F.col(vec_col))).alias("_i", "_v"),
+    )
+    if deterministic and mode == "mean":
+        pooled = rows.groupBy(group_col, "_i").agg(
+            F.array_sort(F.collect_list(F.struct(id_col, "_v"))).alias("_vs")
+        )
+        total = F.aggregate("_vs", F.lit(0.0), lambda a, x: a + x["_v"])
+        pooled = pooled.select(
+            group_col,
+            "_i",
+            (total / F.size("_vs")).alias("_p"),
+            F.size("_vs").alias("_n"),
+        )
+    else:
+        agg = F.avg if mode == "mean" else F.max
+        pooled = rows.groupBy(group_col, "_i").agg(
+            agg("_v").alias("_p"), F.count(F.lit(1)).alias("_n")
+        )
+    out = pooled.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_p"))), lambda s: s["_p"]
+        ).alias("pooled"),
+        (F.max("_n")).alias("n_vectors"),
+    )
+    if l2_normalize:
+        norm = F.sqrt(F.aggregate("pooled", F.lit(0.0), lambda a, x: a + x * x))
+        out = out.withColumn(
+            "pooled",
+            F.when(norm > 0, F.transform("pooled", lambda x: x / norm)).otherwise(
+                F.col("pooled")
+            ),
+        )
+    return out

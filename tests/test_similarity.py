@@ -189,3 +189,25 @@ def test_semantic_dedup_keeps_all_when_distinct(spark, embeddings):
     out = semantic_dedup(embeddings, n_clusters=8, threshold=0.999)
     assert out.count() == n  # nothing near-identical at this threshold
     assert "cell" in out.columns
+
+
+def test_pool_embeddings_mean_and_max(spark):
+    from csp_gateway_spark.operators.similarity import pool_embeddings
+
+    rows = [
+        (1, 10, [1.0, 2.0]),
+        (1, 11, [3.0, 6.0]),
+        (2, 12, [5.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, vec_id long, embedding array<double>")
+    mean = {r.label: r for r in pool_embeddings(df, "label").collect()}
+    assert mean[1].pooled == [2.0, 4.0] and mean[1].n_vectors == 2
+    assert mean[2].pooled == [5.0, 0.0]
+    mx = {r.label: r.pooled for r in pool_embeddings(df, "label", mode="max").collect()}
+    assert mx[1] == [3.0, 6.0]
+    det = {r.label: r.pooled for r in pool_embeddings(df, "label", deterministic=True).collect()}
+    assert det[1] == [2.0, 4.0]
+    unit = pool_embeddings(df, "label", l2_normalize=True).collect()
+    import math
+    for r in unit:
+        assert math.isclose(sum(x * x for x in r.pooled), 1.0, rel_tol=1e-9)
