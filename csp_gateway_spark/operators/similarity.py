@@ -467,23 +467,65 @@ def semantic_dedup(
     """
     cents = sample_centroids(df, n_clusters, vec_col, id_col, oracle_safe=oracle_safe)
     assigned = ivf_assign(df, cents, vec_col, id_col)
-    a = assigned.select(
-        F.col("cell"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
-    )
-    b = assigned.select(
-        F.col("cell"), F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
-    )
     dropped = (
-        a.join(b, "cell")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .filter(
-            F.round(cosine(_as_double(F.col("_va")), _as_double(F.col("_vb"))), 6)
-            >= F.lit(threshold)
-        )
-        .select(F.col("_idb").alias(id_col))
+        semantic_dup_pairs(assigned, threshold, vec_col, id_col)
+        .select(F.col("id_b").alias(id_col))
         .distinct()
     )
     return assigned.join(F.broadcast(dropped), id_col, "left_anti")
+
+
+def semantic_dup_pairs(
+    assigned: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Same-cell near-identical pairs ``(cell, id_a, id_b, cos)`` with
+    ``id_a < id_b`` and ``round(cos, 6) >= threshold`` — the pairwise
+    core of ``semantic_dedup``, shared by the streaming twin
+    (streaming/dedup_stream.py::semantic_pair_stream) so both faces
+    agree by construction.  Input must already carry a ``cell``
+    column (``ivf_assign`` / ``nearest_cell_expr``)."""
+    a = assigned.select(
+        F.col("cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    cos = F.round(cosine(_as_double(F.col("_va")), _as_double(F.col("_vb"))), 6)
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("cell", "id_a", "id_b", "cos")
+    )
+
+
+def nearest_cell_expr(centroid_rows, vec_col: str = "embedding") -> Column:
+    """Per-ROW nearest-centroid cell id as a pure column expression —
+    the stateless (streaming-safe) face of ``ivf_assign``: the
+    collected centroid rows (k·dim scalars, bounded by construction)
+    are inlined as literals, and ``array_max`` over
+    ``struct(similarity, -cent_id, cent_id)`` picks the best cell with
+    the identical tie-break (highest cosine, then lowest cent_id).
+    Use for streams, where ivf_assign's groupBy/max_by would be a
+    stateful aggregation that blocks downstream stream-stream joins."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(
+                    _as_double(F.col(vec_col)),
+                    F.lit([float(x) for x in r["centroid"]]).cast("array<double>"),
+                ).alias("s"),
+                F.lit(-int(r["cent_id"])).alias("t"),
+                F.lit(int(r["cent_id"])).alias("cid"),
+            )
+            for r in centroid_rows
+        ]
+    )
+    return F.array_max(scored)["cid"]
 
 
 def pool_embeddings(

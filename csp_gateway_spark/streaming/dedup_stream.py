@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from csp_gateway_spark.operators.dedup import band_key, minhash_signature
 
-__all__ = ["banded_doc_stream", "lsh_pair_stream"]
+__all__ = ["banded_doc_stream", "lsh_pair_stream", "semantic_pair_stream"]
 
 
 def banded_doc_stream(
@@ -132,3 +132,61 @@ def lsh_pair_stream(
     # drop's state eviction keys directly off the joined stream's
     # delayed watermark.
     return pairs.dropDuplicatesWithinWatermark(["id_a", "id_b"])
+
+
+def semantic_pair_stream(
+    left: DataFrame,
+    centroid_rows,
+    right: Optional[DataFrame] = None,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ts_col: str = "ts",
+    watermark: str = "1 minute",
+    join_window: str = "5 minutes",
+) -> DataFrame:
+    """Online semantic (embedding-space) near-dup pairs — the streaming
+    twin of ``semantic_dedup``'s pairwise core (SemDeDup).
+
+    ``centroid_rows``: collected centroid rows (k·dim scalars, e.g.
+    ``sample_centroids(batch_df, k).collect()``) — centroids are
+    bootstrapped OFFLINE and inlined as literals, so per-row cell
+    assignment (``nearest_cell_expr``) is completely stateless; the
+    single stateful operator is the within-cell stream-stream
+    self-join.  Unlike the LSH twin, each document lives in exactly
+    ONE cell, so a pair can only match once and no dedup stage is
+    needed — the join IS the answer.
+
+    Emits ``(cell, id_a, id_b, cos, ts_a)`` with ``id_a < id_b`` and
+    ``round(cos, 6) >= threshold``, for pairs arriving within
+    ``join_window`` of each other.
+    """
+    from csp_gateway_spark.operators.dedup import cosine
+    from csp_gateway_spark.operators.similarity import nearest_cell_expr
+
+    def _assigned(stream: DataFrame) -> DataFrame:
+        return stream.withWatermark(ts_col, watermark).select(
+            F.col(id_col),
+            F.col(ts_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            nearest_cell_expr(centroid_rows, vec_col).alias("cell"),
+        )
+
+    a = _assigned(left).alias("a")
+    b = _assigned(right if right is not None else left).alias("b")
+    iv = F.expr(f"INTERVAL {join_window}")
+    cos = F.round(cosine(F.col("a._v"), F.col("b._v")), 6)
+    return a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col(f"b.{ts_col}") >= F.col(f"a.{ts_col}") - iv)
+        & (F.col(f"b.{ts_col}") <= F.col(f"a.{ts_col}") + iv)
+        & (cos >= F.lit(threshold)),
+    ).select(
+        F.col("a.cell").alias("cell"),
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cos.alias("cos"),
+        F.col(f"a.{ts_col}").alias("ts_a"),
+    )

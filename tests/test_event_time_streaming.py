@@ -182,3 +182,53 @@ def test_streaming_lsh_pairs_match_batch(spark, tmp_path):
         assert stream_pairs == batch_pairs
     finally:
         q.stop()
+
+
+def test_streaming_semantic_pairs_match_batch(spark, tmp_path):
+    """Streaming SemDeDup twin == batch pairwise core on a replayed
+    stream: same inlined centroids (nearest_cell_expr tie-break matches
+    ivf_assign), same rounded-cosine threshold."""
+    from csp_gateway_spark.operators.similarity import (
+        ivf_assign,
+        sample_centroids,
+        semantic_dup_pairs,
+    )
+    from csp_gateway_spark.streaming.dedup_stream import semantic_pair_stream
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.02, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.98, 0.0, 0.21]),    # near-dup of 3
+        (5, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    batch_df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = sample_centroids(batch_df, 2)
+    assigned = ivf_assign(batch_df, cents)
+    batch_pairs = {
+        (r.id_a, r.id_b, r.cos)
+        for r in semantic_dup_pairs(assigned, threshold=0.9).collect()
+    }
+    assert batch_pairs, "fixture must produce at least one semantic pair"
+
+    src = tmp_path / "sem"
+    src.mkdir()
+    _drop(src, "b1.json", [
+        {"ts": f"2026-01-01T10:00:{i:02d}", "vec_id": i, "embedding": v} for i, v in vecs
+    ])
+    stream = spark.readStream.schema(
+        "ts timestamp, vec_id long, embedding array<double>"
+    ).json(str(src))
+    out = semantic_pair_stream(stream, cents.collect(), threshold=0.9)
+    q = (
+        out.writeStream.outputMode("append").format("memory").queryName("sem_pairs")
+        .option("checkpointLocation", str(tmp_path / "ck_sem")).start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_pairs = {
+            (r.id_a, r.id_b, r.cos) for r in spark.table("sem_pairs").collect()
+        }
+        assert stream_pairs == batch_pairs
+    finally:
+        q.stop()
