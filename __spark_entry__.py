@@ -1308,6 +1308,40 @@ ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# Temperature source mixing — pretraining mixture smoothing
+# (curation.py::mix_fractions/temperature_mix)
+# ---------------------------------------------------------------------------
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature-smoothed language mixture over the skewed
+    ``lang`` column: tail languages keep ~everything, the head (en) is
+    down-sampled by the deterministic hash threshold.  Fractions are
+    rounded to 12 decimals on both engines so a last-ulp pow()
+    difference can never flip a keep decision."""
+    from csp_gateway_spark.operators.curation import mix_fractions, temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    fr = mix_fractions(docs, "lang", alpha=0.5).withColumn("frac", F.round("frac", 12))
+    out = temperature_mix(docs, "lang", id_col="doc_id", fractions=fr)
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+ORACLE_TEMPERATURE_MIX = """
+WITH c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+z AS (SELECT SUM(POWER(n, 0.5)) AS zz, SUM(n) AS nn FROM c),
+f AS (
+  SELECT lang, round(LEAST(1.0, POWER(n, 0.5) / zz * nn / n), 12) AS frac FROM c, z
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN f USING (lang)
+WHERE ('0x' || substr(md5(d.doc_id || ':23'), 1, 15))::BIGINT
+      < CAST(FLOOR(frac * 1152921504606846976) AS BIGINT)
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding pooling — chunk→document mean-pool
 # (similarity.py::pool_embeddings)
 # ---------------------------------------------------------------------------
@@ -2752,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "semantic_dedup": q_semantic_dedup,
         "embedding_pool": q_embedding_pool,
+        "temperature_mix": q_temperature_mix,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -2878,6 +2913,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_encode": ORACLE_VOCAB_ENCODE,
         "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
         "embedding_pool": ORACLE_EMBEDDING_POOL,
+        "temperature_mix": ORACLE_TEMPERATURE_MIX,
         "lm_perplexity": ORACLE_LM_PERPLEXITY,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     }

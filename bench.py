@@ -100,6 +100,7 @@ HEADLINE = [
     "embedding_quantize",
     "semantic_dedup",
     "embedding_pool",
+    "temperature_mix",
 ]
 
 

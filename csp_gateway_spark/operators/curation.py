@@ -342,3 +342,60 @@ def weighted_sample(
     w = F.least(F.col(weight_col).cast("double"), F.lit(float(max_weight)))
     threshold = F.floor(F.lit(base_fraction) * w * F.lit(HASH60_SPACE)).cast("long")
     return df.filter(h < threshold)
+
+
+def mix_fractions(
+    df: DataFrame,
+    source_col: str = "lang",
+    alpha: float = 0.5,
+    budget: Optional[int] = None,
+) -> DataFrame:
+    """Temperature-scaled per-source sampling fractions —
+    ``(source, n, frac)`` with ``frac = min(1, p_i·B/n_i)`` where
+    ``p_i ∝ n_i^alpha`` (multilingual-pretraining mixture smoothing:
+    alpha=1 keeps natural proportions, alpha→0 approaches uniform;
+    e.g. the α=0.3 exponent of the multilingual LM literature).
+    ``budget`` is the target total row count (default: corpus size —
+    pure redistribution toward the tail sources, head capped at 1).
+
+    One |sources|-row aggregate plus a 1-row total cross-joined — the
+    whole fraction table is metadata-sized and broadcast downstream.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n").cast("double"), F.lit(float(alpha)))).alias("_z"),
+        F.sum("n").alias("_N"),
+    )
+    b = F.lit(float(budget)) if budget is not None else F.col("_N").cast("double")
+    frac = F.least(
+        F.lit(1.0),
+        F.pow(F.col("n").cast("double"), F.lit(float(alpha))) / F.col("_z") * b / F.col("n"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(source_col, "n", frac.alias("frac"))
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "lang",
+    alpha: float = 0.5,
+    budget: Optional[int] = None,
+    id_col: str = "doc_id",
+    seed: int = 23,
+    fractions: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Sample the corpus to a temperature-smoothed source mixture:
+    join the (broadcast) ``mix_fractions`` table and keep each row iff
+    ``hash60(id:seed) < frac·2^60`` — the same deterministic
+    hash-threshold family as ``stratified_sample``/``weighted_sample``
+    (no RNG state, resumable, engine-portable).  Pass a precomputed
+    ``fractions`` frame to pin or round the fractions (the oracle
+    query rounds to 12 decimals so a last-ulp ``pow`` difference can
+    never flip a keep decision across engines)."""
+    fr = fractions if fractions is not None else mix_fractions(df, source_col, alpha, budget)
+    h = sample_hash(F.col(id_col), seed)
+    out = df.join(F.broadcast(fr.select(source_col, "frac")), source_col)
+    # integer threshold (floor→long) like weighted_sample: the compare
+    # never promotes the 60-bit hash to double, so there is no
+    # precision edge for an engine to disagree on
+    threshold = F.floor(F.col("frac") * F.lit(HASH60_SPACE)).cast("long")
+    return out.filter(h < threshold).drop("frac")

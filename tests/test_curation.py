@@ -247,3 +247,33 @@ def test_lm_score_partitioning_invariant_and_null_for_tiny(spark):
     many = {r["doc_id"]: r["avg_logp"] for r in lm_score(docs.repartition(8)).collect()}
     assert one == many  # sorted fold: order-invariant
     assert one[2] is None  # <2 tokens: no bigrams -> NULL score
+
+
+def test_temperature_mix_smooths_toward_tail(spark, sf_dir):
+    """α<1 mixing keeps a larger fraction of tail sources than of the
+    head; α=1 keeps natural proportions (frac≈budget/N for all)."""
+    from csp_gateway_spark.operators.curation import mix_fractions, temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fr = {r.lang: r.frac for r in mix_fractions(docs, "lang", alpha=0.5).collect()}
+    counts = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    head = max(counts, key=counts.get)
+    tail = min(counts, key=counts.get)
+    assert fr[tail] > fr[head]  # tail upweighted relative to head
+    assert fr[head] < 1.0 <= fr[tail] + 1e-12 or fr[tail] == 1.0
+
+    out = temperature_mix(docs, "lang", alpha=0.5)
+    kept = {r.lang: r.n for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    # realized rates follow the fractions (hash sampler is uniform-ish)
+    assert kept[head] < counts[head]
+    # deterministic: same seed -> identical result set
+    again = temperature_mix(docs, "lang", alpha=0.5)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())
+
+
+def test_temperature_mix_alpha_one_is_neutral(spark, sf_dir):
+    from csp_gateway_spark.operators.curation import mix_fractions
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fr = [r.frac for r in mix_fractions(docs, "lang", alpha=1.0).collect()]
+    assert all(abs(f - 1.0) < 1e-12 for f in fr)  # budget=N, natural mix
