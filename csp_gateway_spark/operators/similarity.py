@@ -463,10 +463,23 @@ def semantic_dedup(
     cell is a skew key: raise n_clusters or salt with
     ``plans.scale.salt_keys``.  No all-pairs stage exists in the plan.
 
+    Cell assignment: the plan references the assigned frame THREE
+    times (both pair-join sides + the anti-join base), so for small
+    ``n_clusters`` (≤256) the centroids are collected (k·dim scalars)
+    and inlined via ``nearest_cell_expr`` — assignment becomes a pure
+    per-row projection: no broadcast-nested-loop, no max_by shuffle,
+    and each reference re-derives it at scan speed.  For larger k use
+    ``ivf_assign`` and PERSIST the assigned table once
+    (``persist_ivf_index``-style) instead of recomputing it per
+    reference — at 100 TB the write pays for itself immediately.
+
     Returns the surviving rows with their ``cell`` assignment.
     """
     cents = sample_centroids(df, n_clusters, vec_col, id_col, oracle_safe=oracle_safe)
-    assigned = ivf_assign(df, cents, vec_col, id_col)
+    if n_clusters <= 256:
+        assigned = df.withColumn("cell", nearest_cell_expr(cents.collect(), vec_col))
+    else:
+        assigned = ivf_assign(df, cents, vec_col, id_col)
     dropped = (
         semantic_dup_pairs(assigned, threshold, vec_col, id_col)
         .select(F.col("id_b").alias(id_col))
