@@ -288,16 +288,33 @@ class GatewayApi:
         channel (reference `web/routes/lookup.py:70-85`:
         ``global_lookup`` on an in-memory registry of every struct ever
         created).  Spark design: no unbounded registry — ids are
-        globally unique (day-epoch counter, `structs.py`), so probe
-        each channel with the same pushed-down point predicate as
-        `/lookup/<ch>/<id>` and stop at the first hit.  Each probe is a
-        single-column-pruned point-filter scan; 404 when no channel
-        holds the id (reference 404 semantics)."""
+        globally unique (day-epoch counter, `structs.py`), so the
+        id-filtered probes of every channel — schemas unified as
+        ``(channel, to_json(struct(*)))`` — union into ONE job: a
+        single collect answers the route (and the 404 path) no matter
+        how many channels exist, each branch the same pushed-down
+        point predicate as `/lookup/<ch>/<id>`."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        probes = []
         for name in sorted(self.catalog._producers):
             try:
-                rows = self._plan_filters(name, self.catalog.lookup(name, record_id)).collect()
+                df = self._plan_filters(name, self.catalog.lookup(name, record_id))
             except Exception:  # noqa: BLE001 — unbound/tickless channel
                 continue
+            probes.append(
+                df.select(
+                    F.lit(name).alias("_channel"),
+                    F.to_json(F.struct(*df.columns)).alias("_record"),
+                )
+            )
+        if probes:
+            unioned = probes[0]
+            for p in probes[1:]:
+                unioned = unioned.unionByName(p)
+            rows = [_json.loads(r["_record"]) for r in unioned.collect()]
             if rows:
                 return [_jsonable(r) for r in rows]
         raise ApiError(404, f"No record found with id: {record_id}")
