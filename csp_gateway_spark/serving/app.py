@@ -283,6 +283,12 @@ class GatewayApi:
             raise ApiError(404, f"id {record_id!r} not found in {channel!r}")
         return [_jsonable(r) for r in rows]
 
+    def lookup_channels(self) -> List[str]:
+        """`GET /lookup` — the channels addressable under the lookup
+        route (reference `web/routes/lookup.py:57-69`
+        ``add_lookup_available_channels``)."""
+        return sorted(self.catalog._producers)
+
     def lookup_id(self, record_id: str) -> List[dict]:
         """`GET /lookup/id/<id>` — global id lookup across every
         channel (reference `web/routes/lookup.py:70-85`:
@@ -852,6 +858,10 @@ def build_fastapi_app(api: GatewayApi):
         payload = await request.json()
         return api.send(channel, payload, key)
 
+    @protected.get("/lookup")
+    def lookup_channels():
+        return api.lookup_channels()
+
     @protected.get("/lookup/id/{record_id}")
     def lookup_id(record_id: str):
         return api.lookup_id(record_id)
@@ -1056,6 +1066,8 @@ class GatewayHttpServer:
                         except ValueError:
                             raise ApiError(422, f"limit must be an integer, got {lim_s!r}")
                         return self._reply(200, outer.api.state(rest[1], q, *rest[2:], limit=lim))
+                    if method == "GET" and rest == ["lookup"]:
+                        return self._reply(200, outer.api.lookup_channels())
                     if method == "GET" and rest[:2] == ["lookup", "id"] and len(rest) == 3:
                         return self._reply(200, outer.api.lookup_id(rest[2]))
                     if method == "GET" and rest[0] == "lookup" and len(rest) == 3:

@@ -138,3 +138,10 @@ def test_serving_filters_run_engine_side(spark):
     assert "GlobalLimit" in plan or "LocalLimit" in plan or "Limit" in plan
     assert [r["sym"] for r in api.state("q3")] == ["A"]
     assert api.state("q3", key="A")[0]["px"] == 1.0
+
+
+def test_lookup_available_channels(server):
+    """GET /lookup lists addressable channels (reference
+    web/routes/lookup.py:57-69)."""
+    chans = _get(server.port, "/api/v1/lookup")
+    assert "quotes" in chans and chans == sorted(chans)
