@@ -1308,6 +1308,35 @@ ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# Feature hashing — model-free TF vectors (corpus.py::tf_hash_features)
+# ---------------------------------------------------------------------------
+
+_TFHASH_DIM = 64
+
+
+def q_tf_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick TF features: token → md5 bucket (engine-portable)
+    → one (doc, bucket) count.  Sparse (id, bucket, tf) rows."""
+    from csp_gateway_spark.operators.corpus import tf_hash_features
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tf_hash_features(docs, dim=_TFHASH_DIM)
+    return out.select("doc_id", "bucket", "tf").orderBy("doc_id", "bucket")
+
+
+ORACLE_TF_HASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS.replace("trim(lower(text))", "NORMTEXT")}) AS token
+  FROM documents
+)
+SELECT doc_id,
+       ('0x' || substr(md5(token), 1, 7))::BIGINT % {_TFHASH_DIM} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS tf
+FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket
+""".replace("NORMTEXT", _SQL_NORM)
+
+
+# ---------------------------------------------------------------------------
 # Temperature source mixing — pretraining mixture smoothing
 # (curation.py::mix_fractions/temperature_mix)
 # ---------------------------------------------------------------------------
@@ -2787,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "embedding_pool": q_embedding_pool,
         "temperature_mix": q_temperature_mix,
+        "tf_hash": q_tf_hash,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -2914,6 +2944,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
         "embedding_pool": ORACLE_EMBEDDING_POOL,
         "temperature_mix": ORACLE_TEMPERATURE_MIX,
+        "tf_hash": ORACLE_TF_HASH,
         "lm_perplexity": ORACLE_LM_PERPLEXITY,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     }

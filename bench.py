@@ -101,6 +101,7 @@ HEADLINE = [
     "semantic_dedup",
     "embedding_pool",
     "temperature_mix",
+    "tf_hash",
 ]
 
 

@@ -335,3 +335,40 @@ def lm_score(
             F.exp(-F.col("avg_logp")).alias("ppl"),
         )
     )
+
+
+def tf_hash_features(
+    df: DataFrame,
+    dim: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    l2_normalize: bool = False,
+) -> DataFrame:
+    """Hashing-trick term-frequency features: each token hashes to one
+    of ``dim`` buckets (md5-based — engine-portable) and the document
+    becomes the sparse rows ``(id, bucket, tf)`` — a model-free text
+    featurizer that feeds the cosine/ANN/k-means family when no
+    learned embeddings exist (Weinberger et al. 2009 feature hashing).
+
+    Plan: tokenize-explode (scan-local) → ONE groupBy(id, bucket)
+    count (map-side combined; shuffle rows ≤ n_docs·dim regardless of
+    token count).  Sparse output by design — densify with
+    ``pool_embeddings``-style reassembly only when a consumer needs
+    arrays.  ``l2_normalize`` rescales tf to unit norm per document
+    (cosine-ready without densifying).
+
+    DuckDB mirror of the bucket: ``('0x' || substr(md5(token), 1, 7))
+    ::BIGINT % dim``.
+    """
+    from csp_gateway_spark.operators.dedup import _md5_base
+
+    tok = token_rows(df, text_col, id_col)
+    bucket = (_md5_base(F.col("token")) % F.lit(dim)).alias("bucket")
+    tf = tok.groupBy(F.col(id_col), bucket).agg(F.count(F.lit(1)).alias("tf"))
+    if not l2_normalize:
+        return tf
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col)
+    norm = F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(w))
+    return tf.withColumn("tf_norm", F.col("tf") / norm)

@@ -277,3 +277,24 @@ def test_temperature_mix_alpha_one_is_neutral(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     fr = [r.frac for r in mix_fractions(docs, "lang", alpha=1.0).collect()]
     assert all(abs(f - 1.0) < 1e-12 for f in fr)  # budget=N, natural mix
+
+
+def test_tf_hash_features_deterministic_and_normalized(spark):
+    from csp_gateway_spark.operators.corpus import tf_hash_features
+
+    docs = spark.createDataFrame(
+        [(1, "the cat the cat dog"), (2, "")], "doc_id long, text string"
+    )
+    rows = tf_hash_features(docs, dim=16).collect()
+    got = {(r.doc_id, r.bucket): r.tf for r in rows}
+    assert sum(v for (d, _), v in got.items() if d == 1) == 5  # 5 tokens total
+    assert all(0 <= b < 16 for (_, b) in got)
+    assert not any(d == 2 for (d, _) in got)  # empty doc -> no rows
+    # same token always lands in the same bucket (the hashing trick)
+    again = {(r.doc_id, r.bucket): r.tf for r in tf_hash_features(docs, dim=16).collect()}
+    assert again == got
+    # l2 variant: per-doc norm of tf_norm is 1
+    import math
+    nrm = tf_hash_features(docs, dim=16, l2_normalize=True).collect()
+    s = sum(r.tf_norm ** 2 for r in nrm if r.doc_id == 1)
+    assert math.isclose(s, 1.0, rel_tol=1e-9)
