@@ -298,3 +298,35 @@ def test_tf_hash_features_deterministic_and_normalized(spark):
     nrm = tf_hash_features(docs, dim=16, l2_normalize=True).collect()
     s = sum(r.tf_norm ** 2 for r in nrm if r.doc_id == 1)
     assert math.isclose(s, 1.0, rel_tol=1e-9)
+
+
+def test_temperature_mix_is_streaming_safe(spark, tmp_path, sf_dir):
+    """temperature_mix is pure projection+filter (broadcast fractions,
+    deterministic hash threshold), so the SAME operator code runs
+    unchanged on a streaming DataFrame — batch/streaming results are
+    identical row sets."""
+    import json
+
+    from csp_gateway_spark.operators.curation import mix_fractions, temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    fr = mix_fractions(docs, "lang", alpha=0.5).withColumn("frac", F.round("frac", 12))
+    batch_ids = sorted(r.doc_id for r in temperature_mix(docs, "lang", fractions=fr).collect())
+
+    src = tmp_path / "mix"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for r in docs.collect():
+            f.write(json.dumps({"doc_id": r.doc_id, "lang": r.lang}) + "\n")
+    stream = spark.readStream.schema("doc_id long, lang string").json(str(src))
+    out = temperature_mix(stream, "lang", fractions=fr)
+    q = (
+        out.writeStream.outputMode("append").format("memory").queryName("mix_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_mix")).start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_ids = sorted(r.doc_id for r in spark.table("mix_stream").collect())
+        assert stream_ids == batch_ids
+    finally:
+        q.stop()

@@ -211,3 +211,30 @@ def test_pool_embeddings_mean_and_max(spark):
     import math
     for r in unit:
         assert math.isclose(sum(x * x for x in r.pooled), 1.0, rel_tol=1e-9)
+
+
+def test_tf_hash_feeds_cosine_search(spark):
+    """Integration: hashing-trick TF vectors densified via pooling-style
+    reassembly feed cosine_topk — near-identical documents rank first
+    without any learned embeddings."""
+    from csp_gateway_spark.operators.corpus import tf_hash_features
+
+    docs = [
+        (1, "spark catalyst optimizer pushes filters into parquet scans"),
+        (2, "spark catalyst optimizer pushes filters into parquet scan"),
+        (3, "ducks swim on the quiet pond at dawn"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    dim = 32
+    sparse = tf_hash_features(df, dim=dim, l2_normalize=True)
+    dense = (
+        sparse.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "tf_norm"))).alias("m"))
+        .select(
+            "doc_id",
+            F.array(*[F.coalesce(F.col("m").getItem(i), F.lit(0.0)) for i in range(dim)]).alias("embedding"),
+        )
+    )
+    qv = dense.filter(F.col("doc_id") == 1).collect()[0]["embedding"]
+    ranked = [r.vec_id for r in cosine_topk(dense.withColumnRenamed("doc_id", "vec_id"), qv, k=3).collect()]
+    assert ranked[0] == 1 and ranked[1] == 2  # self, then the near-dup
