@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from csp_gateway_spark.operators.dedup import band_key, minhash_signature
 
-__all__ = ["banded_doc_stream", "lsh_pair_stream", "semantic_pair_stream"]
+__all__ = ["banded_doc_stream", "exact_dedup_stream", "lsh_pair_stream", "semantic_pair_stream"]
 
 
 def banded_doc_stream(
@@ -190,3 +190,27 @@ def semantic_pair_stream(
         cos.alias("cos"),
         F.col(f"a.{ts_col}").alias("ts_a"),
     )
+
+
+def exact_dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "1 minute",
+    normalized: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup — first arrival per (normalized) content
+    hash survives; replays/duplicates inside the watermark horizon are
+    dropped (state evicts beyond it, so state size ∝ distinct hashes
+    per horizon, not stream length).  The batch face
+    (``operators/dedup.py::exact_dedup``) keeps the MIN id per hash;
+    the stream keeps the FIRST arrival — identical when arrival order
+    follows id order (true for replayed changelogs)."""
+    from csp_gateway_spark.operators.text import normalize_text
+
+    content = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    hashed = stream.withWatermark(ts_col, watermark).withColumn(
+        "content_hash", F.md5(content)
+    )
+    return hashed.dropDuplicatesWithinWatermark(["content_hash"])

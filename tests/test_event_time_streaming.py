@@ -232,3 +232,38 @@ def test_streaming_semantic_pairs_match_batch(spark, tmp_path):
         assert stream_pairs == batch_pairs
     finally:
         q.stop()
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """First-arrival exact dedup == batch min-id exact_dedup when
+    arrival order follows id order (replayed changelog property)."""
+    from csp_gateway_spark.operators.dedup import exact_dedup
+    from csp_gateway_spark.streaming.dedup_stream import exact_dedup_stream
+
+    docs = [
+        (1, "The QUICK brown fox!"),
+        (2, "the quick brown fox"),     # normalized dup of 1
+        (3, "a different document"),
+        (4, "A   different document"),  # normalized dup of 3
+        (5, "unique text"),
+    ]
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    batch_keep = sorted(r.doc_id for r in exact_dedup(batch_df).collect())
+
+    src = tmp_path / "xd"
+    src.mkdir()
+    stream = spark.readStream.schema("ts timestamp, doc_id long, text string").json(str(src))
+    q = (
+        exact_dedup_stream(stream)
+        .writeStream.outputMode("append").format("memory").queryName("xdedup")
+        .option("checkpointLocation", str(tmp_path / "ck_xd")).start()
+    )
+    try:
+        # feed in id order, one file per doc -> deterministic first-arrival
+        for i, (did, text) in enumerate(docs):
+            _drop(src, f"b{i}.json", [{"ts": f"2026-01-01T10:00:{i:02d}", "doc_id": did, "text": text}])
+            q.processAllAvailable()
+        stream_keep = sorted(r.doc_id for r in spark.table("xdedup").collect())
+        assert stream_keep == batch_keep == [1, 3, 5]
+    finally:
+        q.stop()

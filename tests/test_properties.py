@@ -73,3 +73,35 @@ def test_hyperplanes_unit_norm_and_deterministic(bits, dim, seed):
     for p in planes:
         assert abs(sum(x * x for x in p) - 1.0) < 1e-9  # unit norm
     assert planes == _hyperplanes(dim, bits, seed)
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_jpeg_marker_walk_total_on_any_bytes(tail):
+    """The marker walk terminates on arbitrary bytes with either a
+    ValueError or sane dimensions — never another exception, and never
+    dimensions parsed from entropy-coded data (SOS guard)."""
+    from csp_gateway_spark.operators.multimodal import _jpeg_meta_bytes
+
+    for data in (tail, b"\xff\xd8" + tail):
+        try:
+            w, h, comps, prog = _jpeg_meta_bytes(data)
+        except ValueError:
+            continue
+        assert 0 <= w <= 0xFFFF and 0 <= h <= 0xFFFF
+        assert 0 <= comps <= 255 and isinstance(prog, bool)
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_jpeg_sos_before_sof_always_rejects(tail):
+    """Anything after an SOS marker is entropy-coded data: a JPEG whose
+    scan starts before any SOF must raise, no matter what byte soup
+    (including fake 0xFF 0xCx pairs) follows."""
+    import pytest
+
+    from csp_gateway_spark.operators.multimodal import _jpeg_meta_bytes
+
+    data = b"\xff\xd8" + b"\xff\xda" + (8).to_bytes(2, "big") + bytes(6) + tail
+    with pytest.raises(ValueError):
+        _jpeg_meta_bytes(data)
