@@ -55,6 +55,35 @@ def write_changelog(channels: Dict[str, DataFrame], path: str, mode: str = "appe
     encode_changelog(channels).write.mode(mode).json(path)
 
 
+def write_cycle_snapshot(
+    channels: Dict[str, DataFrame], path: str, ts_col: str = "timestamp", mode: str = "append"
+) -> None:
+    """Per-CYCLE snapshot file: one JSON row per engine cycle carrying
+    every channel that ticked in it — the reference's exact changelog
+    granularity (`shared/json_converter.py:275-350`), for consumers
+    that need cycle simultaneity explicit rather than recovered by
+    timestamp grouping.  Reuses the Kafka wire codec
+    (`sources/kafka.py::encode_engine_cycles`), whose round-trip is
+    hash-checked, so file and Kafka replay share one cycle format."""
+    from csp_gateway_spark.sources.kafka import encode_engine_cycles
+
+    enc = encode_engine_cycles(encode_changelog(channels, ts_col), key="file")
+    enc.select("value").write.mode(mode).text(path)
+
+
+def read_cycle_snapshot(spark: SparkSession, path: str, start: Optional[str] = None) -> DataFrame:
+    """Per-cycle snapshot file → the standard changelog shape
+    ``(csp_engine_timestamp, channel, payload)`` — feed straight into
+    ``replay_channel``."""
+    from csp_gateway_spark.sources.kafka import decode_engine_cycles
+
+    msgs = spark.read.text(path).select(F.col("value"))
+    out = decode_engine_cycles(msgs)
+    if start is not None:
+        out = out.filter(F.col(ENGINE_TS) >= F.lit(start).cast("timestamp"))
+    return out
+
+
 def read_changelog(
     spark: SparkSession,
     path: str,

@@ -226,3 +226,42 @@ def test_multimodal_pipeline(spark):
 
     with pytest.raises(Exception):  # real decode is stubbed
         decode_image(df, fake=False).collect()
+
+
+def test_cycle_snapshot_round_trip_preserves_simultaneity(spark, tmp_path):
+    """Per-cycle snapshot file (reference json_converter granularity):
+    channels ticking in the SAME engine cycle share one snapshot row;
+    decode reproduces the per-(channel, tick) changelog exactly."""
+    import json
+
+    from csp_gateway_spark.sources.replay import (
+        read_cycle_snapshot,
+        replay_channel,
+        write_cycle_snapshot,
+    )
+
+    quotes = spark.createDataFrame(
+        [("A", 1.0, "2024-01-01T00:00:00"), ("B", 2.0, "2024-01-01T00:00:01")],
+        "sym string, px double, timestamp string",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    trades = spark.createDataFrame(
+        [("A", 5, "2024-01-01T00:00:00")],  # same cycle as quote A
+        "sym string, qty long, timestamp string",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+
+    path = str(tmp_path / "cycles")
+    write_cycle_snapshot({"quotes": quotes, "trades": trades}, path, mode="overwrite")
+
+    # one file row per CYCLE (2 distinct engine timestamps), and the
+    # 00:00:00 cycle carries both channels in a single row
+    raw = [json.loads(r.value) for r in spark.read.text(path).collect()]
+    assert len(raw) == 2
+    per_cycle = {r["csp_timestamp"]: json.loads(r["encoding"]) for r in raw}
+    chans_at_t0 = sorted(t["channel"] for t in per_cycle[min(per_cycle)])
+    assert chans_at_t0 == ["quotes", "trades"]
+
+    log = read_cycle_snapshot(spark, path)
+    q = replay_channel(log, "quotes", quotes.schema).orderBy("sym").collect()
+    t = replay_channel(log, "trades", trades.schema).collect()
+    assert [(r.sym, r.px) for r in q] == [("A", 1.0), ("B", 2.0)]
+    assert [(r.sym, r.qty) for r in t] == [("A", 5)]
