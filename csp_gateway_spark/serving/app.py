@@ -283,6 +283,35 @@ class GatewayApi:
             raise ApiError(404, f"id {record_id!r} not found in {channel!r}")
         return [_jsonable(r) for r in rows]
 
+    def index_html(self) -> str:
+        """`GET /` — a minimal dependency-free live view: channel list
+        + auto-refreshing state tables over the JSON routes.  NOT the
+        reference's Perspective pivot UI (SURVEY §7.4 descopes the
+        Perspective wire protocol; see README); it gives a browser a
+        usable face over the same data the Perspective routes expose."""
+        chans = json.dumps(sorted(self.catalog._producers))
+        return (
+            "<!doctype html><html><head><meta charset='utf-8'>"
+            "<title>csp-gateway-spark</title><style>"
+            "body{font-family:monospace;margin:2em}table{border-collapse:collapse;margin:1em 0}"
+            "td,th{border:1px solid #999;padding:2px 8px}h2{margin:1em 0 0}"
+            "</style></head><body><h1>csp-gateway-spark</h1>"
+            "<p>channels (state auto-refreshes every 2s; API under /api/v1, "
+            "<a href='/openapi.json'>openapi.json</a>)</p><div id='root'></div>"
+            "<script>const CH=" + chans + ";"
+            "async function tick(){const root=document.getElementById('root');"
+            "for(const ch of CH){let el=document.getElementById('ch-'+ch);"
+            "if(!el){el=document.createElement('div');el.id='ch-'+ch;root.appendChild(el);}"
+            "try{const r=await fetch('/api/v1/state/'+ch+'?limit=50');"
+            "if(!r.ok){el.innerHTML='<h2>'+ch+'</h2><p>'+r.status+'</p>';continue;}"
+            "const rows=await r.json();if(!rows.length){el.innerHTML='<h2>'+ch+'</h2><p>no ticks</p>';continue;}"
+            "const cols=Object.keys(rows[0]);let h='<h2>'+ch+'</h2><table><tr>';"
+            "for(const c of cols)h+='<th>'+c+'</th>';h+='</tr>';"
+            "for(const row of rows){h+='<tr>';for(const c of cols)h+='<td>'+String(row[c])+'</td>';h+='</tr>';}"
+            "el.innerHTML=h+'</table>';}catch(e){el.innerHTML='<h2>'+ch+'</h2><p>'+e+'</p>';}}}"
+            "tick();setInterval(tick,2000);</script></body></html>"
+        )
+
     def lookup_channels(self) -> List[str]:
         """`GET /lookup` — the channels addressable under the lookup
         route (reference `web/routes/lookup.py:57-69`
@@ -937,6 +966,12 @@ def build_fastapi_app(api: GatewayApi):
     def shutdown():
         return api.shutdown()
 
+    @app.get("/")
+    def index():
+        from fastapi.responses import HTMLResponse
+
+        return HTMLResponse(content=api.index_html())
+
     app.include_router(public)
     app.include_router(protected)
     return app
@@ -965,6 +1000,14 @@ class GatewayHttpServer:
                 self.send_header("Content-Length", str(len(data)))
                 for k, v in (extra_headers or {}).items():
                     self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _reply_html(self, html: str) -> None:
+                data = html.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
 
@@ -1043,6 +1086,8 @@ class GatewayHttpServer:
                 parts = [p for p in parsed.path.split("/") if p]
                 qs = parse_qs(parsed.query)
                 try:
+                    if parsed.path == "/" and method == "GET":
+                        return self._reply_html(outer.api.index_html())
                     if parsed.path == "/openapi.json" and method == "GET":
                         self._check(qs)
                         return self._reply(200, outer.api.openapi())

@@ -145,3 +145,13 @@ def test_lookup_available_channels(server):
     web/routes/lookup.py:57-69)."""
     chans = _get(server.port, "/api/v1/lookup")
     assert "quotes" in chans and chans == sorted(chans)
+
+
+def test_index_page_serves_live_view(server):
+    """GET / returns the dependency-free HTML live view listing the
+    channels (the data face of the descoped Perspective UI)."""
+    req = urllib.request.Request(f"http://127.0.0.1:{server.port}/")
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get("Content-Type", "").startswith("text/html")
+        body = r.read().decode()
+    assert "quotes" in body and "csp-gateway-spark" in body
