@@ -1308,6 +1308,46 @@ ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# Document chunking — overlapping token windows (corpus.py::chunk_documents)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csp_gateway_spark.operators.corpus import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP)
+    return out.select("doc_id", "chunk_id", "n_tokens", "chunk_text").orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = f"""
+WITH tk AS (
+  SELECT doc_id, {_SQL_TOKS.replace("trim(lower(text))", "NORMTEXT")} AS t FROM documents
+), nz AS (
+  SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0
+), pos_rows AS (
+  SELECT doc_id, unnest(generate_series(0, n - 1)) AS pos, unnest(t) AS token FROM nz
+), chunks AS (
+  SELECT doc_id, unnest(generate_series(0, CAST(FLOOR((n - 1) / {_CHUNK_TOKENS - _CHUNK_OVERLAP}) AS INT))) AS chunk_id
+  FROM nz
+)
+SELECT p.doc_id, c.chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       string_agg(p.token, ' ' ORDER BY p.pos) AS chunk_text
+FROM pos_rows p JOIN chunks c
+  ON p.doc_id = c.doc_id
+ AND p.pos >= c.chunk_id * {_CHUNK_TOKENS - _CHUNK_OVERLAP}
+ AND p.pos <  c.chunk_id * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + {_CHUNK_TOKENS}
+GROUP BY p.doc_id, c.chunk_id ORDER BY p.doc_id, c.chunk_id
+""".replace("NORMTEXT", _SQL_NORM)
+
+
+# ---------------------------------------------------------------------------
 # Feature hashing — model-free TF vectors (corpus.py::tf_hash_features)
 # ---------------------------------------------------------------------------
 
@@ -2817,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pool": q_embedding_pool,
         "temperature_mix": q_temperature_mix,
         "tf_hash": q_tf_hash,
+        "chunk_documents": q_chunk_documents,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -2945,6 +2986,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pool": ORACLE_EMBEDDING_POOL,
         "temperature_mix": ORACLE_TEMPERATURE_MIX,
         "tf_hash": ORACLE_TF_HASH,
+        "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "lm_perplexity": ORACLE_LM_PERPLEXITY,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     }

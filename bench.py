@@ -102,6 +102,7 @@ HEADLINE = [
     "embedding_pool",
     "temperature_mix",
     "tf_hash",
+    "chunk_documents",
 ]
 
 

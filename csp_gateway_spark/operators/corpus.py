@@ -372,3 +372,55 @@ def tf_hash_features(
     w = Window.partitionBy(id_col)
     norm = F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(w))
     return tf.withColumn("tf_norm", F.col("tf") / norm)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the chunking
+    step that precedes embedding in a retrieval/embedding pipeline.
+    Chunk ``k`` covers token positions ``[k·stride, k·stride +
+    chunk_tokens)`` with ``stride = chunk_tokens − overlap``; chunks
+    exist while ``k·stride < n_tokens``, so every token belongs to at
+    least one chunk and consecutive chunks share ``overlap`` tokens.
+
+    Plan: tokenize once per doc → explode (pos, token) rows + a
+    per-doc chunk-id table from the same scan → equi-join on the doc
+    id with the position range as a join filter (per-doc work ∝
+    n·chunks_per_doc, bounded by doc length — never cross-doc) → one
+    groupBy(doc, chunk) ordered reassembly.  Output:
+    ``(id, chunk_id, n_tokens, chunk_text)``.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    tok_df = df.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") > 0)
+    pos_rows = tok_df.select(F.col(id_col), F.posexplode("_t").alias("pos", "token"))
+    chunks = tok_df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.size("_t") - 1) / stride).cast("int"))
+        ).alias("chunk_id"),
+    )
+    joined = pos_rows.join(chunks, id_col).filter(
+        (F.col("pos") >= F.col("chunk_id") * stride)
+        & (F.col("pos") < F.col("chunk_id") * stride + chunk_tokens)
+    )
+    return (
+        joined.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

@@ -330,3 +330,28 @@ def test_temperature_mix_is_streaming_safe(spark, tmp_path, sf_dir):
         assert stream_ids == batch_ids
     finally:
         q.stop()
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from csp_gateway_spark.operators.corpus import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text), (2, "short doc"), (3, "")], "doc_id long, text string")
+    rows = {(r.doc_id, r.chunk_id): r for r in chunk_documents(docs, chunk_tokens=4, overlap=2).collect()}
+    # doc 1: stride 2, chunks while k*2 < 10 -> k=0..4
+    assert sorted(k for (d, k) in rows if d == 1) == [0, 1, 2, 3, 4]
+    assert rows[(1, 0)].chunk_text == "w0 w1 w2 w3"
+    assert rows[(1, 1)].chunk_text == "w2 w3 w4 w5"      # 2-token overlap
+    assert rows[(1, 4)].chunk_text == "w8 w9"            # tail chunk, partial
+    assert rows[(1, 4)].n_tokens == 2
+    # every token covered at least once
+    covered = set()
+    for (d, _), r in rows.items():
+        if d == 1:
+            covered.update(r.chunk_text.split())
+    assert covered == {f"w{i}" for i in range(10)}
+    # short doc -> one chunk; empty doc -> no chunks
+    assert rows[(2, 0)].chunk_text == "short doc"
+    assert not any(d == 3 for (d, _) in rows)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
