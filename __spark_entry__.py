@@ -1088,6 +1088,41 @@ SELECT DISTINCT doc_id, fp FROM sel WHERE c = 4
 """.replace("{toks}", _SQL_TOKS.replace("trim(lower(text))", "{norm}")).replace("{norm}", _SQL_NORM)
 
 
+def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS detection step: pairs sharing >=2 winnowing fingerprints —
+    the containment/plagiarism signal set-Jaccard underweights."""
+    from csp_gateway_spark.operators.dedup import fingerprint_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint_overlap_pairs(docs, min_shared=2).orderBy("id_a", "id_b")
+
+
+ORACLE_FINGERPRINT_PAIRS = f"""
+WITH tok AS (
+  SELECT doc_id, u.p AS p, u.t AS t FROM (
+    SELECT doc_id,
+      unnest(list_transform({{toks}}, (x, i) -> struct_pack(p := i, t := x))) AS u
+    FROM documents
+  )
+), grams AS (
+  SELECT doc_id, p,
+    md5(concat_ws(' ', t, lead(t,1) OVER w, lead(t,2) OVER w, lead(t,3) OVER w)) AS h,
+    lead(t,3) OVER w AS ok
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+), sel AS (
+  SELECT doc_id,
+    min(h) OVER w2 AS fp, count(h) OVER w2 AS c
+  FROM grams WHERE ok IS NOT NULL
+  WINDOW w2 AS (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM sel WHERE c = 4
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b
+""".replace("{toks}", _SQL_TOKS.replace("trim(lower(text))", "{norm}")).replace("{norm}", _SQL_NORM)
+
+
 # ---------------------------------------------------------------------------
 # ANALYTICS — cube / grouping sets (free on Spark; coverage of the
 # aggregation surface the engine exposes beyond the reference, SURVEY §2.3)
@@ -2858,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "tf_hash": q_tf_hash,
         "chunk_documents": q_chunk_documents,
+        "fingerprint_pairs": q_fingerprint_pairs,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -2987,6 +3023,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": ORACLE_TEMPERATURE_MIX,
         "tf_hash": ORACLE_TF_HASH,
         "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+        "fingerprint_pairs": ORACLE_FINGERPRINT_PAIRS,
         "lm_perplexity": ORACLE_LM_PERPLEXITY,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     }

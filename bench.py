@@ -103,6 +103,7 @@ HEADLINE = [
     "temperature_mix",
     "tf_hash",
     "chunk_documents",
+    "fingerprint_pairs",
 ]
 
 

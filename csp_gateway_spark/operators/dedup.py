@@ -572,3 +572,37 @@ def embedding_neardup_blocked(
                 yield pd.DataFrame({"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"), "cos": pd.Series([], dtype="float64")})
 
     return combos.mapInPandas(tile, schema="id_a long, id_b long, cos double")
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    k: int = 4,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate containment/plagiarism pairs via shared winnowing
+    fingerprints (the MOSS detection step over
+    ``corpus.winnow_fingerprints``): documents sharing ≥ ``min_shared``
+    fingerprints share long verbatim token runs — the overlap signal
+    set-Jaccard MinHash underweights when one document CONTAINS
+    another much larger one.
+
+    Plan shape mirrors the LSH pair join: fingerprint rows self-join
+    keyed on the fingerprint hash (bucket sizes bounded by real
+    repetition), one count aggregate per pair — no all-pairs stage.
+    Output: ``(id_a, id_b, shared)``.
+    """
+    from csp_gateway_spark.operators.corpus import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, k=k, window=window, text_col=text_col, id_col=id_col)
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

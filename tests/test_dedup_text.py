@@ -135,3 +135,29 @@ def test_char_entropy_partitioning_invariant(spark, documents):
     one = {r["doc_id"]: r["char_entropy"] for r in char_entropy(documents.coalesce(1)).collect()}
     many = {r["doc_id"]: r["char_entropy"] for r in char_entropy(documents.repartition(16)).collect()}
     assert one == many  # sorted fold: bit-identical regardless of partitioning
+
+
+def test_fingerprint_overlap_pairs_detects_containment(spark):
+    """A long verbatim run shared between a small doc and a much larger
+    one: Jaccard is tiny (size asymmetry) but winnowing guarantees a
+    shared fingerprint for any run >= window + k - 1 tokens."""
+    import pyspark.sql.functions as F
+
+    from csp_gateway_spark.operators.dedup import fingerprint_overlap_pairs, ngram_jaccard_pairs
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    filler = " ".join(f"tok{i}" for i in range(300))
+    docs = [
+        (1, run),                              # the contained doc
+        (2, filler + " " + run),               # contains the run verbatim
+        (3, "totally different content here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.shared for r in fingerprint_overlap_pairs(df, min_shared=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+    # same pair under set-Jaccard: far below any usual near-dup cut
+    jac = ngram_jaccard_pairs(
+        df, spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    ).collect()[0]
+    assert jac.jaccard < 0.1
