@@ -1877,6 +1877,37 @@ def _oracle_approx_distinct() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch (operators/sketches.py): md5-addressed counters, so
+# the DuckDB oracle computes bit-identical estimates — including the
+# deterministic overestimates where buckets collide.
+# ---------------------------------------------------------------------------
+
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the corpus token stream via a 4×1024
+    Count-Min sketch: the sketch state is KB-sized regardless of corpus
+    scale, and every estimate (collisions included) reproduces exactly
+    in the oracle because the hash family is portable md5."""
+    from csp_gateway_spark.operators.corpus import token_rows
+    from csp_gateway_spark.operators.sketches import cms_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    rows = token_rows(docs).select("token")
+    return cms_topk(rows, "token", k=25).select(
+        "token", F.col("cms_count").cast("long").alias("cms_count")
+    )
+
+
+def _oracle_cms_topk() -> str:
+    from csp_gateway_spark.operators.sketches import cms_oracle_sql
+
+    rows_cte = (
+        "SELECT unnest(tk) AS token FROM "
+        f"(SELECT {_SQL_TOKS.replace('trim(lower(text))', _SQL_NORM)} AS tk FROM documents)"
+    )
+    return cms_oracle_sql(rows_cte, "token", k=25)
+
+
+# ---------------------------------------------------------------------------
 # ANALYTICS — join-heavy TPC-H shapes (operators/analytics.py; broadcast
 # dims + decimal aggregation, see module docstring there)
 # ---------------------------------------------------------------------------
@@ -2894,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_hash": q_tf_hash,
         "chunk_documents": q_chunk_documents,
         "fingerprint_pairs": q_fingerprint_pairs,
+        "cms_topk": q_cms_topk,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -2984,6 +3016,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props": ORACLE_JSON_PROPS,
         "array_stats": ORACLE_ARRAY_STATS,
         "approx_distinct": _oracle_approx_distinct(),
+        "cms_topk": _oracle_cms_topk(),
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,

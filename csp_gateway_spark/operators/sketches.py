@@ -1,4 +1,4 @@
-"""Distinct-count sketches (HyperLogLog).
+"""Frequency and distinct-count sketches (HyperLogLog, Count-Min).
 
 Two implementations of approximate COUNT(DISTINCT):
 
@@ -45,6 +45,11 @@ __all__ = [
     "hll_bucket_rho",
     "HLL_P",
     "hll_alpha_scale",
+    "cms_cells",
+    "cms_estimate",
+    "cms_topk",
+    "CMS_DEPTH",
+    "CMS_WIDTH",
 ]
 
 HLL_P = 9  # 2^9 = 512 registers, rsd ≈ 1.04/sqrt(512) ≈ 4.6%
@@ -192,4 +197,143 @@ SELECT {group_col},
        END AS BIGINT) AS approx_distinct,
   CAST(n AS BIGINT) AS n
 FROM g ORDER BY {group_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — portable form
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # hash rows; err prob ~ e^-depth
+CMS_WIDTH = 1024  # counters per row; overestimate ~ 2n/width
+
+
+def _cms_col(value, row: int, width: int):
+    """Column index for one CMS hash row: 60-bit md5 of
+    ``value || ':cms' || row`` mod width.  Engine-portable (DuckDB:
+    ``('0x'||substr(md5(v||':cms'||r),1,15))::BIGINT % width``)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(value.cast("string"), F.lit(f":cms{row}"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_cells(
+    df: DataFrame, value_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Build the sketch: ``(_row, _col, cnt)`` cell counts.
+
+    The sketch state is ``depth × width`` counters regardless of input
+    size — at 100 TB the full-corpus token-frequency sketch is a few
+    KB.  Cells merge by SUM, so the same frame is the streaming
+    aggregation state and partial sketches from different shards
+    union+re-aggregate losslessly.
+
+    Plan: one projection exploding each input row into ``depth``
+    (row, col) pairs, then one map-side-combined groupBy — post-combine
+    traffic is bounded by depth·width per task, not by the data.
+    """
+    pairs = F.array(
+        *[
+            F.struct(F.lit(r).alias("_row"), _cms_col(F.col(value_col), r, width).alias("_col"))
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("_p"))
+        .select("_p._row", "_p._col")
+        .groupBy("_row", "_col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate counts for each row of ``queries``: the minimum
+    over hash rows of the addressed cell — never an underestimate,
+    overestimate bounded by collisions (~2·n/width w.p. 1-e^-depth).
+
+    The cell table (≤ depth·width rows) broadcasts; the probe is a
+    broadcast join + one groupBy(value) MIN — no shuffle of the sketch.
+    """
+    probes = queries.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("_row"),
+                        _cms_col(F.col(value_col), r, width).alias("_col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_p"),
+    ).select(value_col, "_p._row", "_p._col")
+    joined = probes.join(F.broadcast(cells), ["_row", "_col"], "left")
+    return (
+        joined.groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
+    )
+
+
+def cms_topk(
+    df: DataFrame,
+    value_col: str,
+    k: int = 25,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Heavy hitters by CMS estimate: sketch the corpus, probe every
+    distinct observed value, keep the top-k by (estimate desc, value
+    asc).  ``orderBy().limit()`` compiles to TakeOrderedAndProject —
+    per-partition partial top-k, no global sort.
+
+    At scale the candidate set is the pre-aggregated distinct values
+    (one map-side-combined shuffle); the sketch itself stays KB-sized.
+    """
+    cells = cms_cells(df, value_col, depth, width)
+    candidates = df.select(value_col).distinct()
+    est = cms_estimate(cells, candidates, value_col, depth, width)
+    return est.orderBy(F.desc("cms_count"), F.asc(value_col)).limit(k)
+
+
+def cms_oracle_sql(
+    rows_cte: str,
+    value_col: str,
+    k: int = 25,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB SQL computing the bit-identical ``cms_topk`` result over
+    a CTE body ``rows_cte`` that yields one row per occurrence with
+    column ``value_col``."""
+    return f"""
+WITH rows_in AS ({rows_cte}),
+cells AS (
+  SELECT r._r AS _row,
+         ('0x' || substr(md5(CAST({value_col} AS VARCHAR) || ':cms' || r._r), 1, 15))::BIGINT % {width} AS _col,
+         COUNT(*) AS cnt
+  FROM rows_in, (SELECT unnest(range({depth})) AS _r) r
+  GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT {value_col} FROM rows_in),
+probe AS (
+  SELECT c.{value_col}, r._r AS _row,
+         ('0x' || substr(md5(CAST(c.{value_col} AS VARCHAR) || ':cms' || r._r), 1, 15))::BIGINT % {width} AS _col
+  FROM cand c, (SELECT unnest(range({depth})) AS _r) r
+)
+SELECT p.{value_col},
+       CAST(MIN(COALESCE(cells.cnt, 0)) AS BIGINT) AS cms_count
+FROM probe p LEFT JOIN cells USING (_row, _col)
+GROUP BY 1
+ORDER BY cms_count DESC, {value_col} ASC
+LIMIT {k}
 """

@@ -161,3 +161,77 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
     # sanity: the estimates are near the true distinct counts (7 and 50)
     assert abs(got["a"][0] - 7) <= 2
     assert abs(got["b"][0] - 50) <= 10
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates(events):
+    """CMS point estimates are >= the exact count, always."""
+    from csp_gateway_spark.operators.sketches import cms_cells, cms_estimate
+
+    rows = events.select(F.col("user_id").cast("string").alias("v"))
+    cells = cms_cells(rows, "v")
+    est = {
+        r["v"]: r["cms_count"]
+        for r in cms_estimate(cells, rows.distinct(), "v").collect()
+    }
+    exact = {
+        r["v"]: r["n"]
+        for r in rows.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    n_total = sum(exact.values())
+    for v, e in exact.items():
+        assert est[v] >= e, (v, est[v], e)
+        # Markov bound envelope: overestimate ≤ 2n/width with prob
+        # 1-e^-4 per value; allow a generous 8n/width before failing.
+        assert est[v] - e <= max(8.0 * n_total / 1024, 4), (v, est[v], e)
+
+
+def test_cms_partitioning_invariant(events):
+    from csp_gateway_spark.operators.sketches import cms_topk
+
+    rows = events.select(F.col("event_type").alias("v"))
+    one = [tuple(r) for r in cms_topk(rows.coalesce(1), "v", k=5).collect()]
+    many = [tuple(r) for r in cms_topk(rows.repartition(16), "v", k=5).collect()]
+    assert one == many
+
+
+def test_cms_cells_merge_as_sum(events):
+    """Sharded sketches union+re-aggregate to the whole-corpus sketch —
+    the mergeability a streaming/multi-shard build relies on."""
+    from csp_gateway_spark.operators.sketches import cms_cells
+
+    rows = events.select(F.col("user_id").cast("string").alias("v"))
+    a, b = rows.randomSplit([0.5, 0.5], seed=7)
+    whole = {(r["_row"], r["_col"]): r["cnt"] for r in cms_cells(rows, "v").collect()}
+    merged = {
+        (r["_row"], r["_col"]): r["cnt"]
+        for r in cms_cells(a, "v")
+        .unionByName(cms_cells(b, "v"))
+        .groupBy("_row", "_col")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert whole == merged
+
+
+def test_cms_matches_duckdb_oracle(documents):
+    """Bit-identical estimates vs the DuckDB mirror on corpus tokens."""
+    import duckdb
+
+    from csp_gateway_spark.operators.corpus import token_rows
+    from csp_gateway_spark.operators.sketches import cms_oracle_sql, cms_topk
+
+    rows = token_rows(documents).select("token")
+    got = [(r["token"], r["cms_count"]) for r in cms_topk(rows, "token", k=10).collect()]
+    pdf = token_rows(documents).select("token").toPandas()
+    con = duckdb.connect()
+    con.register("tokrows", pdf)
+    want = con.execute(
+        cms_oracle_sql("SELECT token FROM tokrows", "token", k=10)
+    ).fetchall()
+    assert got == [(t, int(c)) for t, c in want]
