@@ -2497,6 +2497,55 @@ WHERE d.doc_id % 20 != 0 ORDER BY d.doc_id
 """
 
 
+_BLOOM_M = 1 << 16
+_BLOOM_KH = 4
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contamination semantics as ``decontaminate`` but through a
+    broadcast Bloom filter — the 100 TB path: the eval side collapses
+    to ≤ 2^16 set-bit rows instead of a shingle semi-join, at the cost
+    of deterministic (oracle-reproduced) false positives."""
+    from csp_gateway_spark.operators.curation import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    out = bloom_decontaminate(
+        corpus, eval_set, k=_DECON_K, m_bits=_BLOOM_M, k_hashes=_BLOOM_KH
+    )
+    return out.select("doc_id", "contaminated").orderBy("doc_id")
+
+
+ORACLE_BLOOM_DECONTAMINATE = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(_DECON_K)} AS s FROM documents
+), evh AS (
+  SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0)
+), bits AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(CAST(h AS VARCHAR) || ':bf' || r.i), 1, 15))::BIGINT % {_BLOOM_M} AS bit
+  FROM evh, (SELECT unnest(range({_BLOOM_KH})) AS i) r
+), corp AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 != 0)
+), probe AS (
+  SELECT doc_id, h,
+    ('0x' || substr(md5(CAST(h AS VARCHAR) || ':bf' || r.i), 1, 15))::BIGINT % {_BLOOM_M} AS bit
+  FROM corp, (SELECT unnest(range({_BLOOM_KH})) AS i) r
+), hits AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, h FROM probe JOIN bits USING (bit)
+    GROUP BY doc_id, h HAVING COUNT(*) = {_BLOOM_KH}
+  )
+)
+SELECT d.doc_id, (hits.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+WHERE d.doc_id % 20 != 0 ORDER BY d.doc_id
+"""
+
+
 _SAMPLE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 _SAMPLE_DEFAULT = 0.1
 _SAMPLE_SEED = 17
@@ -2926,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "fingerprint_pairs": q_fingerprint_pairs,
         "cms_topk": q_cms_topk,
+        "bloom_decontaminate": q_bloom_decontaminate,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -3017,6 +3067,7 @@ def oracle_sql() -> dict[str, str]:
         "array_stats": ORACLE_ARRAY_STATS,
         "approx_distinct": _oracle_approx_distinct(),
         "cms_topk": _oracle_cms_topk(),
+        "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,

@@ -399,3 +399,107 @@ def temperature_mix(
     # precision edge for an engine to disagree on
     threshold = F.floor(F.col("frac") * F.lit(HASH60_SPACE)).cast("long")
     return out.filter(h < threshold).drop("frac")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the broadcast-membership scale path
+# ---------------------------------------------------------------------------
+
+
+def _bloom_bit(h_col: Column, i: int, m_bits: int) -> Column:
+    """Bit position ``i`` for a 60-bit shingle hash: md5 of
+    ``<h60>:bf<i>`` mod m.  Engine-portable (DuckDB:
+    ``('0x'||substr(md5(CAST(h AS VARCHAR)||':bf<i>'),1,15))::BIGINT % m``)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(h_col.cast("string"), F.lit(f":bf{i}"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(m_bits))
+
+
+def bloom_bits(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """The Bloom filter of an eval set's shingles, as a DataFrame of
+    distinct set-bit positions (``bit``) — ≤ min(m, k·|shingles|) rows,
+    broadcastable at any corpus scale."""
+    sh = shingle_rows(df, text_col, id_col, k_shingle).select(
+        _md5_base15(F.col("_s")).alias("_h")
+    )
+    return (
+        sh.select(
+            F.explode(
+                F.array(*[_bloom_bit(F.col("_h"), i, m_bits) for i in range(k_hashes)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+    mode: str = "flag",
+) -> DataFrame:
+    """``decontaminate`` via a Bloom filter instead of a semi-join:
+    a corpus shingle "hits" iff all ``k_hashes`` of its bit positions
+    are set in the eval set's filter.
+
+    Why this exists next to the exact semi-join: at 100 TB the
+    semi-join shuffles every corpus shingle hash; here the filter is a
+    broadcast table of ≤ m set bits (m=2^16 → at most 64Ki rows ≈ KBs),
+    so the corpus-side plan is scan → projection → broadcast-hash-join
+    → one map-side-combined groupBy — no shuffle of corpus shingles
+    against the eval side, and the filter size is INDEPENDENT of the
+    eval-set size.  The price is deterministic false positives at rate
+    ≈ fill_ratio^k_hashes, acceptable for decontamination (flagging an
+    extra clean doc is safe; missing a contaminated one never happens —
+    Bloom filters have no false negatives).
+
+    Every hash is portable md5, so the flags — false positives
+    included — reproduce bit-identically in the DuckDB oracle.
+    """
+    if mode not in ("flag", "remove"):
+        raise ValueError("mode must be 'flag' or 'remove'")
+    bits = bloom_bits(eval_set, text_col, id_col, k, m_bits, k_hashes)
+    # distinct (doc, shingle-hash): a shingle repeated within one doc
+    # would otherwise double its probe rows and break the ==k test
+    c_sh = (
+        shingle_rows(corpus, text_col, id_col, k)
+        .select(F.col(id_col), _md5_base15(F.col("_s")).alias("_h"))
+        .distinct()
+    )
+    probes = c_sh.select(
+        id_col,
+        "_h",
+        F.explode(
+            F.array(*[_bloom_bit(F.col("_h"), i, m_bits) for i in range(k_hashes)])
+        ).alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy(id_col, "_h")
+        .agg(F.count(F.lit(1)).alias("_nbits"))
+        .filter(F.col("_nbits") == k_hashes)
+        .select(id_col)
+        .distinct()
+    )
+    flagged = corpus.join(
+        hits.withColumn("_contaminated", F.lit(True)), id_col, "left"
+    ).withColumn(
+        "contaminated", F.coalesce(F.col("_contaminated"), F.lit(False))
+    ).drop("_contaminated")
+    if mode == "remove":
+        return flagged.filter(~F.col("contaminated")).drop("contaminated")
+    return flagged

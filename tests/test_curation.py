@@ -355,3 +355,71 @@ def test_chunk_documents_overlap_and_coverage(spark):
     assert not any(d == 3 for (d, _) in rows)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Every doc the exact semi-join flags, the Bloom path flags too
+    (Bloom filters cannot produce false negatives)."""
+    from csp_gateway_spark.operators.curation import bloom_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    corp = docs.filter(F.col("doc_id") % 20 != 0)
+    exact = {
+        r["doc_id"]
+        for r in decontaminate(corp, ev, k=5).filter("contaminated").collect()
+    }
+    bloom = {
+        r["doc_id"]
+        for r in bloom_decontaminate(corp, ev, k=5).filter("contaminated").collect()
+    }
+    assert exact <= bloom
+    # False positives stay a small fraction of the corpus at 2^16 bits.
+    n = corp.count()
+    assert len(bloom - exact) <= max(0.05 * n, 5), (len(bloom - exact), n)
+
+
+def test_bloom_small_example_and_remove_mode(corpus, eval_set):
+    from csp_gateway_spark.operators.curation import bloom_decontaminate
+
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in bloom_decontaminate(corpus, eval_set, k=5).collect()
+    }
+    assert out[1] and out[3] and not out[2]
+    removed = bloom_decontaminate(corpus, eval_set, k=5, mode="remove")
+    assert 2 in {r["doc_id"] for r in removed.collect()}
+    with pytest.raises(ValueError, match="mode"):
+        bloom_decontaminate(corpus, eval_set, mode="bogus")
+
+
+def test_bloom_bits_bounded_and_broadcast(corpus, eval_set):
+    """The filter is ≤ min(m, k_hashes·shingles) rows and the corpus
+    probe joins it with a BroadcastHashJoin (no shuffle of the eval
+    side at scale)."""
+    from csp_gateway_spark.operators.curation import bloom_bits, bloom_decontaminate
+
+    bits = bloom_bits(eval_set, k_shingle=5, m_bits=1 << 10, k_hashes=3)
+    assert bits.count() <= 1 << 10
+    plan = bloom_decontaminate(
+        corpus, eval_set, k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_duplicate_shingle_doc(spark, eval_set):
+    """A doc repeating the contaminated shingle still flags exactly
+    once (the probe dedups (doc, shingle) pairs)."""
+    from csp_gateway_spark.operators.curation import bloom_decontaminate
+
+    rep = spark.createDataFrame(
+        [(7, "the quick brown fox jumps xx the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    out = bloom_decontaminate(rep, eval_set, k=5).collect()
+    assert len(out) == 1 and out[0]["contaminated"]
