@@ -1487,6 +1487,58 @@ FROM g ORDER BY label, idx
 """
 
 
+_PCA_SCALE = 1 << 20
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud (2 power-iteration
+    rounds).  Distributed stage = exact int64 moment sums (mapInPandas
+    numpy matmul, partitioning-invariant); the d-vector iteration runs
+    on the driver as ordered IEEE folds the oracle replays with
+    ``list_sum(list(... ORDER BY ...))``."""
+    from csp_gateway_spark.operators.similarity import embedding_pca
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_pca(emb, iters=2, scale=_PCA_SCALE)
+    return out.select(
+        "idx", F.round("component", 6).alias("component")
+    ).orderBy("idx")
+
+
+ORACLE_EMBEDDING_PCA = f"""
+WITH q AS (
+  SELECT vec_id,
+         unnest(generate_series(0, len(e) - 1)) AS i,
+         CAST(floor(unnest(e) * {_PCA_SCALE}) AS BIGINT) AS qv
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+), nn AS (SELECT COUNT(*) AS n FROM embeddings),
+s1 AS (SELECT i, SUM(qv) AS si FROM q GROUP BY i),
+s2 AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.qv * b.qv) AS sij
+  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2
+),
+cov AS (
+  SELECT s2.i, s2.j,
+         CAST(sij AS DOUBLE) - CAST(sa.si AS DOUBLE) * CAST(sb.si AS DOUBLE) / CAST(nn.n AS DOUBLE) AS c
+  FROM s2 JOIN s1 sa ON s2.i = sa.i JOIN s1 sb ON s2.j = sb.i, nn
+),
+dd AS (SELECT COUNT(*) AS d FROM s1),
+it1 AS (
+  SELECT i, list_sum(list(c * (1.0 / sqrt(CAST(dd.d AS DOUBLE))) ORDER BY j)) AS u
+  FROM cov, dd GROUP BY i
+),
+n1 AS (SELECT sqrt(list_sum(list(u * u ORDER BY i))) AS nrm FROM it1),
+v1 AS (SELECT i AS j, u / nrm AS v FROM it1, n1),
+it2 AS (
+  SELECT cov.i, list_sum(list(cov.c * v1.v ORDER BY cov.j)) AS u
+  FROM cov JOIN v1 USING (j) GROUP BY cov.i
+),
+n2 AS (SELECT sqrt(list_sum(list(u * u ORDER BY i))) AS nrm FROM it2)
+SELECT CAST(it2.i AS INT) AS idx, round(it2.u / n2.nrm, 6) AS component
+FROM it2, n2 ORDER BY idx
+"""
+
+
 _VOCAB_SIZE = 200
 
 
@@ -2976,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_pairs": q_fingerprint_pairs,
         "cms_topk": q_cms_topk,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "embedding_pca": q_embedding_pca,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -3068,6 +3121,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct": _oracle_approx_distinct(),
         "cms_topk": _oracle_cms_topk(),
         "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
+        "embedding_pca": ORACLE_EMBEDDING_PCA,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,

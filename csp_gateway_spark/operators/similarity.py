@@ -606,3 +606,139 @@ def pool_embeddings(
             ),
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# PCA (top principal component) via exact-moment power iteration
+# ---------------------------------------------------------------------------
+
+
+def pca_moment_sums(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: Optional[int] = None,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """EXACT fixed-point first/second moments of the embedding matrix:
+    rows ``(i, j, s)`` where ``(i, j≥0)`` carries ``Σ q_i·q_j``,
+    ``(i, -1)`` carries ``Σ q_i``, and ``(-1, -1)`` the row count,
+    with ``q = floor(x·scale)`` in int64.
+
+    Integer sums are partitioning-invariant, so the downstream
+    covariance (and the PCA built on it) is bit-reproducible on any
+    engine — a double SUM would drift with the shuffle.
+
+    Scale shape: one ``mapInPandas`` pass emitting ``d²+d+1`` partial
+    rows PER PARTITION (numpy int64 matmul — exact), then one
+    map-side-combined groupBy down to ``d²+d+1`` total rows.  The
+    corpus never shuffles; driver traffic is d² scalars.
+
+    Overflow bound: ``n·scale²·|x|² < 2^63`` — at |x|≤1 and
+    scale=2^20, fine to ~8e3 rows per... nope: 2^63/2^40 ≈ 8.4e6 rows;
+    shrink ``scale`` beyond that (the oracle mirrors whatever is
+    passed).
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    d = int(dim)
+    fscale = float(scale)
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        s2 = np.zeros((d, d), dtype=np.int64)
+        s1 = np.zeros(d, dtype=np.int64)
+        cnt = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            q = np.floor(mat * fscale).astype(np.int64)
+            s2 += q.T @ q
+            s1 += q.sum(axis=0)
+            cnt += len(q)
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([ii.ravel(), np.arange(d), [-1]]),
+                "j": np.concatenate([jj.ravel(), np.full(d, -1), [-1]]),
+                "s": np.concatenate([s2.ravel(), s1, [cnt]]),
+            }
+        )
+
+    flat = df.select(_as_double(F.col(vec_col)).alias("_v")).mapInPandas(
+        partials, "i int, j int, s long"
+    )
+    return flat.groupBy("i", "j").agg(F.sum("s").alias("s"))
+
+
+def embedding_pca(
+    df: DataFrame,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: Optional[int] = None,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Top principal component of the (centered) embedding cloud by
+    power iteration — the building block for embedding whitening,
+    quality-axis discovery, and debiasing passes over a corpus's
+    vector column.
+
+    Determinism contract (the whole point of the construction): the
+    distributed stage produces EXACT integers (``pca_moment_sums``);
+    covariance assembly and the power iteration run on the driver as
+    ORDERED left folds over ≤ d² scalars, each step one correctly-
+    rounded IEEE op — so any engine replaying the same folds (DuckDB:
+    ``list_sum(list(... ORDER BY ...))``) lands on the same doubles.
+    Start vector: uniform ``1/sqrt(d)``.
+
+    Returns ``(idx, component)`` — the unit eigenvector estimate after
+    ``iters`` rounds (sign follows the start vector's projection; no
+    sign normalization is applied).
+    """
+    import math
+
+    sums = pca_moment_sums(df, vec_col, id_col, dim, scale)
+    rows = sums.collect()
+    d = max(r["i"] for r in rows) + 1
+    n = None
+    s1 = [0] * d
+    s2 = [[0] * d for _ in range(d)]
+    for r in rows:
+        i, j, s = r["i"], r["j"], r["s"]
+        if i == -1:
+            n = s
+        elif j == -1:
+            s1[i] = s
+        else:
+            s2[i][j] = s
+    if not n:
+        raise ValueError("embedding_pca: empty input")
+    # covariance (unnormalized — eigenvectors are scale-invariant);
+    # expression order matters for the cross-engine mirror
+    cov = [
+        [float(s2[i][j]) - float(s1[i]) * float(s1[j]) / float(n) for j in range(d)]
+        for i in range(d)
+    ]
+    v = [1.0 / math.sqrt(float(d))] * d
+    for _ in range(iters):
+        u = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc += cov[i][j] * v[j]
+            u.append(acc)
+        acc = 0.0
+        for i in range(d):
+            acc += u[i] * u[i]
+        nrm = math.sqrt(acc)
+        if nrm == 0.0:
+            raise ValueError("embedding_pca: zero covariance (degenerate input)")
+        v = [x / nrm for x in u]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, v[i]) for i in range(d)], "idx int, component double"
+    )

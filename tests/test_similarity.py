@@ -238,3 +238,63 @@ def test_tf_hash_feeds_cosine_search(spark):
     qv = dense.filter(F.col("doc_id") == 1).collect()[0]["embedding"]
     ranked = [r.vec_id for r in cosine_topk(dense.withColumnRenamed("doc_id", "vec_id"), qv, k=3).collect()]
     assert ranked[0] == 1 and ranked[1] == 2  # self, then the near-dup
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca
+# ---------------------------------------------------------------------------
+
+
+def test_pca_rayleigh_near_top_eigenvalue(embeddings):
+    """Convergence check against numpy's exact spectrum: the Rayleigh
+    quotient of the returned direction approaches the top eigenvalue.
+    (The synthetic embeddings have a near-degenerate top cluster —
+    λ2/λ1 ≈ 0.99 — so asserting alignment with THE top eigenvector
+    would need thousands of rounds; the quotient is the honest
+    convergence measure.)"""
+    import numpy as np
+
+    from csp_gateway_spark.operators.similarity import embedding_pca
+
+    got = np.array(
+        [r["component"] for r in embedding_pca(embeddings, iters=30).orderBy("idx").collect()]
+    )
+    mat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in embeddings.collect()]
+    )
+    c = np.cov(mat, rowvar=False, bias=True)
+    w = np.linalg.eigvalsh(c)
+    rayleigh = float(got @ c @ got)
+    assert rayleigh >= 0.97 * float(w[-1]), (rayleigh, float(w[-1]))
+    assert abs(float(np.linalg.norm(got)) - 1.0) < 1e-9
+
+
+def test_pca_partitioning_invariant(embeddings):
+    """Bit-identical components from 1 and 16 partitions — the moment
+    sums are exact integers, the iteration a driver-side ordered fold."""
+    from csp_gateway_spark.operators.similarity import embedding_pca
+
+    one = [tuple(r) for r in embedding_pca(embeddings.coalesce(1), iters=3).orderBy("idx").collect()]
+    many = [tuple(r) for r in embedding_pca(embeddings.repartition(16), iters=3).orderBy("idx").collect()]
+    assert one == many
+
+
+def test_pca_moment_sums_exact(spark):
+    """Moment rows agree with a hand-computed tiny case."""
+    from csp_gateway_spark.operators.similarity import pca_moment_sums
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    rows = {(r["i"], r["j"]): r["s"] for r in pca_moment_sums(df, scale=1).collect()}
+    assert rows[(-1, -1)] == 2
+    assert rows[(0, -1)] == 4 and rows[(1, -1)] == 6
+    assert rows[(0, 0)] == 10 and rows[(0, 1)] == 14 and rows[(1, 1)] == 20
+
+
+def test_pca_empty_raises(spark):
+    from csp_gateway_spark.operators.similarity import embedding_pca
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception):
+        embedding_pca(df.filter("vec_id < 0"), dim=2)
