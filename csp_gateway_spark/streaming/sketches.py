@@ -80,3 +80,55 @@ def finalize_batch(registers: DataFrame, group_cols: Sequence[str]) -> DataFrame
     """Finalize a micro-batch of (finalized-window) registers into
     per-(window, group) estimates — call inside ``foreachBatch``."""
     return hll_finalize(registers, ["win_start", "win_end", *list(group_cols)])
+
+
+# ---------------------------------------------------------------------------
+# Streaming Count-Min (frequency sketch over event-time windows)
+# ---------------------------------------------------------------------------
+
+
+def cms_cell_stream(
+    stream: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "10 seconds",
+    depth: int = None,
+    width: int = None,
+) -> DataFrame:
+    """Windowed Count-Min cell aggregation — the streaming face of
+    ``operators.sketches.cms_cells`` (cells merge by SUM, so the
+    windowed groupBy IS the sketch merge).  State per window is
+    ≤ depth·width counter rows regardless of stream volume; append
+    mode emits each window's FINAL cells when its watermark passes.
+
+    Probe the emitted cells with ``operators.sketches.cms_estimate``
+    per batch (stateless) for windowed heavy-hitter feeds."""
+    from csp_gateway_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH, _cms_col
+
+    d = CMS_DEPTH if depth is None else depth
+    w = CMS_WIDTH if width is None else width
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("_row"),
+                _cms_col(F.col(value_col), r, w).alias("_col"),
+            )
+            for r in range(d)
+        ]
+    )
+    hashed = stream.withWatermark(ts_col, watermark).select(
+        F.window(F.col(ts_col), window).alias("_w"), F.explode(pairs).alias("_p")
+    )
+    cells = (
+        hashed.select("_w", "_p._row", "_p._col")
+        .groupBy("_w", "_row", "_col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return cells.select(
+        F.col("_w.start").alias("win_start"),
+        F.col("_w.end").alias("win_end"),
+        "_row",
+        "_col",
+        "cnt",
+    )

@@ -235,3 +235,49 @@ def test_cms_matches_duckdb_oracle(documents):
         cms_oracle_sql("SELECT token FROM tokrows", "token", k=10)
     ).fetchall()
     assert got == [(t, int(c)) for t, c in want]
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    """Windowed CMS cells through a real streaming query equal the
+    batch sketch over the same window slice — SUM-merge is exact."""
+    import json
+
+    from csp_gateway_spark.operators.sketches import cms_cells
+    from csp_gateway_spark.streaming.sketches import cms_cell_stream
+
+    src = tmp_path / "cms"
+    src.mkdir()
+    got = []
+
+    def on_batch(batch_df, _bid):
+        got.extend(batch_df.collect())
+
+    stream = spark.readStream.schema("ts timestamp, v string").json(str(src))
+    cells = cms_cell_stream(stream, "v", window="1 minute", watermark="5 seconds")
+    q = (
+        cells.writeStream.outputMode("append")
+        .foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .start()
+    )
+    try:
+        rows = [
+            {"ts": f"2026-01-01T10:00:{s:02d}", "v": f"u{s % 9}"} for s in range(50)
+        ]
+        with open(src / "b1.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        q.processAllAvailable()
+        with open(src / "b2.json", "w") as f:
+            f.write(json.dumps({"ts": "2026-01-01T10:05:00", "v": "late"}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    window_cells = {
+        (r["_row"], r["_col"]): r["cnt"]
+        for r in got
+        if r["win_start"].minute == 0
+    }
+    batch_df = spark.createDataFrame([(f"u{s % 9}",) for s in range(50)], "v string")
+    expect = {(r["_row"], r["_col"]): r["cnt"] for r in cms_cells(batch_df, "v").collect()}
+    assert window_cells == expect
