@@ -1487,6 +1487,30 @@ FROM g ORDER BY label, idx
 """
 
 
+_BPE_MERGES = 8
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merge rules learned over the corpus — the
+    tokenizer-training step, as a distributed iteration on the
+    distinct-word table (corpus scanned once).  Oracle: the same
+    rounds unrolled in SQL (argmax + greedy rewrite per round)."""
+    from csp_gateway_spark.operators.corpus import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=_BPE_MERGES).orderBy("merge_rank")
+
+
+def _oracle_bpe_train() -> str:
+    from csp_gateway_spark.operators.corpus import bpe_oracle_sql
+
+    token_cte = (
+        "SELECT unnest(tk) AS token FROM "
+        f"(SELECT {_SQL_TOKS.replace('trim(lower(text))', _SQL_NORM)} AS tk FROM documents)"
+    )
+    return bpe_oracle_sql(token_cte, n_merges=_BPE_MERGES)
+
+
 _PCA_SCALE = 1 << 20
 
 
@@ -3029,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": q_cms_topk,
         "bloom_decontaminate": q_bloom_decontaminate,
         "embedding_pca": q_embedding_pca,
+        "bpe_train": q_bpe_train,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -3122,6 +3147,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_topk": _oracle_cms_topk(),
         "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
         "embedding_pca": ORACLE_EMBEDDING_PCA,
+        "bpe_train": _oracle_bpe_train(),
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,

@@ -424,3 +424,194 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016) — distributed, deterministic
+# ---------------------------------------------------------------------------
+
+
+def _bpe_merge_expr(sym_col, a: str, b: str):
+    """Greedy left-to-right non-overlapping merge of adjacent pair
+    (a, b) inside one symbol array, as a native fold: append each
+    symbol unless the accumulator ends with ``a`` and the incoming
+    symbol is ``b`` — then replace the tail with the merged symbol.
+    Handles runs correctly (``x x x`` with pair (x,x) → ``xx x``)."""
+    merged = a + b
+    return F.aggregate(
+        sym_col,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _bpe_pairs(words: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word frequency (overlapping
+    positions all count, the standard BPE statistic)."""
+    prs = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i).alias("left"),
+                F.element_at(F.col("syms"), i + 1).alias("right"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<left:string,right:string>>)"))
+    return (
+        words.select(F.explode(prs).alias("_p"), "cnt")
+        .groupBy("_p.left", "_p.right")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules over the corpus —
+    the tokenizer-training step of an LLM data pipeline, run as a
+    distributed iteration.
+
+    State = the DISTINCT-WORD table (word → count, symbol array
+    initialized to characters), which is orders of magnitude smaller
+    than the corpus; the corpus is scanned exactly once.  Per round:
+    one map-side-combined pair-count shuffle over the word table, a
+    1-row TakeOrdered argmax (count desc, pair asc — deterministic
+    tie-break), and a native fold rewrite of the symbol arrays with
+    the winning pair inlined as literals; ``localCheckpoint`` cuts
+    the lineage each round so the plan stays O(1) across rounds.
+
+    Returns ``(merge_rank, left, right, n)`` — the ordered merge
+    table.  Fully integer/string arithmetic → bit-reproducible on any
+    engine; the DuckDB oracle unrolls the same rounds in SQL.
+    """
+    chars = F.expr(
+        f"transform(sequence(1, length(token)), i -> substring(token, i, 1))"
+    )
+    words = (
+        token_rows(df, text_col, id_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(chars.alias("syms"), "cnt")
+    ).localCheckpoint()
+    spark = df.sparkSession
+    merges = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            _bpe_pairs(words)
+            .orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["left"], best[0]["right"], best[0]["n"]
+        merges.append((rank, a, b, n))
+        words = words.select(
+            _bpe_merge_expr(F.col("syms"), a, b).alias("syms"), "cnt"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, n bigint"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply an ordered merge list to tokenize documents: characters →
+    fold each merge rule in rank order (one chained native projection,
+    no Python in the row path).  ``merges`` is [(left, right), ...].
+    Returns ``(id, pieces: array<string>, n_pieces)``."""
+    toks_arr = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    rows = df.select(F.col(id_col), F.posexplode(toks_arr).alias("pos", "token"))
+    sym = F.expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))")
+    col = sym
+    for a, b in merges:
+        col = _bpe_merge_expr(col, a, b)
+    pieces = rows.select(id_col, "pos", col.alias("pieces"))
+    # position-ordered reassembly (collect_list alone is partition-order
+    # dependent; the array_sort on (pos, pieces) structs pins it)
+    return pieces.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+                lambda s: s["pieces"],
+            )
+        ).alias("pieces"),
+        F.sum(F.size("pieces")).alias("n_pieces"),
+    )
+
+
+def bpe_oracle_sql(token_cte: str, n_merges: int = 8) -> str:
+    """DuckDB SQL replaying ``bpe_train`` exactly: ``n_merges`` rounds
+    unrolled as CTE chains — per round an adjacent-pair count, the
+    (count desc, pair asc) argmax, and the same greedy non-overlapping
+    rewrite (gaps-and-islands even-offset selection within runs of
+    consecutive matching positions ≙ the engine's left fold).
+    ``token_cte`` must yield one row per token occurrence, column
+    ``token``."""
+    parts = [
+        f"WITH tokrows AS MATERIALIZED ({token_cte}),",
+        "w0 AS MATERIALIZED (",
+        "  SELECT token AS wid,",
+        "         list_transform(generate_series(1, length(token)), i -> token[i:i]) AS syms,",
+        "         COUNT(*) AS cnt",
+        "  FROM tokrows GROUP BY token",
+        ")",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"w{r - 1}"
+        parts.append(f""",
+p{r} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i + 1] AS rr, SUM(cnt) AS n
+  FROM (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS i FROM {prev})
+  GROUP BY 1, 2
+),
+b{r} AS MATERIALIZED (SELECT l, rr, n FROM p{r} ORDER BY n DESC, l ASC, rr ASC LIMIT 1),
+e{r} AS MATERIALIZED (
+  SELECT wid, cnt,
+         unnest(generate_series(1, len(syms))) AS i,
+         unnest(syms) AS s
+  FROM {prev}
+),
+mt{r} AS MATERIALIZED (
+  SELECT e.wid, e.i
+  FROM e{r} e JOIN e{r} e2 ON e.wid = e2.wid AND e2.i = e.i + 1, b{r}
+  WHERE e.s = b{r}.l AND e2.s = b{r}.rr
+),
+k{r} AS MATERIALIZED (
+  SELECT wid, i FROM (
+    SELECT wid, i, i - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY i) AS grp
+    FROM mt{r}
+  ) QUALIFY (i - MIN(i) OVER (PARTITION BY wid, grp)) % 2 = 0
+),
+w{r} AS MATERIALIZED (
+  SELECT e.wid AS wid, e.cnt AS cnt,
+         list(CASE WHEN k.i IS NOT NULL THEN e.s || b.rr ELSE e.s END ORDER BY e.i) AS syms
+  FROM e{r} e
+  LEFT JOIN k{r} k ON k.wid = e.wid AND k.i = e.i
+  LEFT JOIN k{r} kp ON kp.wid = e.wid AND kp.i = e.i - 1
+  CROSS JOIN b{r} b
+  WHERE kp.i IS NULL
+  GROUP BY 1, 2
+)""")
+    selects = [
+        f'SELECT {r} AS merge_rank, l AS "left", rr AS "right", CAST(n AS BIGINT) AS n FROM b{r}'
+        for r in range(1, n_merges + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY merge_rank")
+    return "\n".join(parts)

@@ -423,3 +423,69 @@ def test_bloom_duplicate_shingle_doc(spark, eval_set):
     )
     out = bloom_decontaminate(rep, eval_set, k=5).collect()
     assert len(out) == 1 and out[0]["contaminated"]
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_textbook_merges(spark):
+    """The classic low/lower/lowest corpus learns l+o then lo+w first."""
+    from csp_gateway_spark.operators.corpus import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "newer newest new low")],
+        "doc_id long, text string",
+    )
+    got = [(r["left"], r["right"], r["n"]) for r in bpe_train(df, 4).orderBy("merge_rank").collect()]
+    assert got[0] == ("l", "o", 6)
+    assert got[1] == ("lo", "w", 6)
+    assert got[2] == ("e", "w", 3)
+    assert got[3] == ("n", "ew", 3)
+
+
+def test_bpe_greedy_run_semantics(spark):
+    """A run of the same symbol merges at even offsets only:
+    'xxxx' with pair (x,x) -> [xx, xx]; 'xxx' -> [xx, x]."""
+    from csp_gateway_spark.operators.corpus import bpe_encode
+
+    df = spark.createDataFrame([(1, "xxxx xxx")], "doc_id long, text string")
+    out = bpe_encode(df, [("x", "x")]).collect()[0]
+    assert out["pieces"] == ["xx", "xx", "xx", "x"]
+
+
+def test_bpe_encode_reconstructs_text(documents):
+    """Concatenated pieces reproduce each token stream, and more merges
+    never increase the piece count."""
+    from csp_gateway_spark.operators.corpus import bpe_encode, bpe_train
+    from csp_gateway_spark.operators.text import normalize_text, tokens
+
+    sample = documents.limit(50)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(sample, 6).orderBy("merge_rank").collect()
+    ]
+    enc = {r["doc_id"]: r for r in bpe_encode(sample, merges).collect()}
+    plain = {
+        r["doc_id"]: "".join(
+            t for t in r["tk"]
+        )
+        for r in sample.select(
+            "doc_id",
+            F.filter(tokens(normalize_text(F.col("text"))), lambda t: t != F.lit("")).alias("tk"),
+        ).collect()
+    }
+    enc0 = {r["doc_id"]: r["n_pieces"] for r in bpe_encode(sample, []).collect()}
+    for did, row in enc.items():
+        assert "".join(row["pieces"]) == plain[did]
+        assert row["n_pieces"] <= enc0[did]
+
+
+def test_bpe_partitioning_invariant(documents):
+    from csp_gateway_spark.operators.corpus import bpe_train
+
+    sample = documents.limit(40)
+    one = [tuple(r) for r in bpe_train(sample.coalesce(1), 5).orderBy("merge_rank").collect()]
+    many = [tuple(r) for r in bpe_train(sample.repartition(16), 5).orderBy("merge_rank").collect()]
+    assert one == many
