@@ -1487,6 +1487,50 @@ FROM g ORDER BY label, idx
 """
 
 
+_SPAN_K = 8
+
+
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022): merged token
+    spans covered by corpus-repeated 8-grams.  The scalable stand-in
+    for a suffix array: one hash-count shuffle + per-doc interval
+    merge."""
+    from csp_gateway_spark.operators.dedup import repeated_ngram_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_ngram_spans(docs, k=_SPAN_K).orderBy("doc_id", "span_start")
+
+
+ORACLE_SUBSTRING_SPANS = f"""
+WITH tk AS (
+  SELECT doc_id, {_SQL_TOKS.replace("trim(lower(text))", "{norm}")} AS toks FROM documents
+), g AS (
+  SELECT doc_id, i - 1 AS p,
+         ('0x' || substr(md5(array_to_string(toks[i:i + {_SPAN_K} - 1], ' ')), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {_SPAN_K} + 1)) AS i FROM tk)
+), rep AS (
+  SELECT h FROM (SELECT h, COUNT(*) AS n FROM g GROUP BY h) WHERE n >= 2
+), hits AS (
+  SELECT g.doc_id, g.p FROM g JOIN rep USING (h)
+), isl AS (
+  SELECT doc_id, p,
+    CASE WHEN p > COALESCE(MAX(p + {_SPAN_K}) OVER (
+           PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS newf
+  FROM hits
+), isl2 AS (
+  SELECT doc_id, p,
+         SUM(newf) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+)
+SELECT doc_id,
+       CAST(MIN(p) AS BIGINT) AS span_start,
+       CAST(MAX(p) + {_SPAN_K} AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start
+""".replace("{norm}", _SQL_NORM)
+
+
 _BPE_MERGES = 8
 
 
@@ -3054,6 +3098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "embedding_pca": q_embedding_pca,
         "bpe_train": q_bpe_train,
+        "substring_spans": q_substring_spans,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -3148,6 +3193,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
         "embedding_pca": ORACLE_EMBEDDING_PCA,
         "bpe_train": _oracle_bpe_train(),
+        "substring_spans": ORACLE_SUBSTRING_SPANS,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,

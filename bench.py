@@ -104,6 +104,11 @@ HEADLINE = [
     "tf_hash",
     "chunk_documents",
     "fingerprint_pairs",
+    "cms_topk",
+    "bloom_decontaminate",
+    "embedding_pca",
+    "bpe_train",
+    "substring_spans",
 ]
 
 

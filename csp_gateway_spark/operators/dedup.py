@@ -606,3 +606,133 @@ def fingerprint_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better") — repeated-span detection
+# ---------------------------------------------------------------------------
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token spans covered by k-grams that occur ≥ ``min_count`` times
+    across the whole corpus — the exact-substring dedup signal: any
+    substring of ≥ k tokens repeated anywhere (cross-doc or within-doc)
+    is covered by at least one repeated k-gram, so masking the returned
+    spans removes every repeat of length ≥ 2k-1 and truncates shorter
+    ones.
+
+    Plan: positioned k-gram hash rows (posexplode + lead window, one
+    narrow shuffle on doc id) → global hash-count (map-side combined) →
+    semi-join grams against repeated hashes (shuffle keyed on the
+    60-bit hash — fixed-width keys; a suffix array this is not, and
+    does not need to be: the hash-count shuffle IS the scalable
+    replacement) → per-doc interval merge of overlapping [pos, pos+k)
+    windows (gaps-and-islands, doc-partitioned window functions).
+
+    Span positions are TOKEN indexes (0-based, end exclusive) into the
+    normalized token stream.  Output: ``(id, span_start, span_end,
+    n_grams)`` sorted within doc.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    tok_rows = df.select(F.col(id_col), F.posexplode(toks).alias("_p", "_t"))
+    w = Window.partitionBy(id_col).orderBy("_p")
+    leads = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, k)]
+    grams = (
+        tok_rows.select(
+            F.col(id_col),
+            F.col("_p"),
+            _md5_base15(F.concat_ws(" ", *leads)).alias("_h"),
+            F.lead("_t", k - 1).over(w).alias("_ok"),
+        )
+        .filter(F.col("_ok").isNotNull())
+        .select(id_col, "_p", "_h")
+    )
+    repeated = (
+        grams.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_h")
+    )
+    hits = grams.join(repeated, "_h", "left_semi")
+    wp = Window.partitionBy(id_col).orderBy("_p")
+    prev_end = F.max(F.col("_p") + F.lit(k)).over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.select(
+        F.col(id_col),
+        "_p",
+        F.when(F.col("_p") > F.coalesce(prev_end, F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("_new"),
+    ).select(
+        id_col,
+        "_p",
+        F.sum("_new").over(wp.rowsBetween(Window.unboundedPreceding, 0)).alias("_island"),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("_p").alias("span_start"),
+            (F.max("_p") + F.lit(k)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_grams")
+    )
+
+
+def drop_repeated_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply ``repeated_ngram_spans`` as a transform: remove every
+    token inside a repeated span and reassemble the surviving tokens —
+    the "dedup by masking" form of exact substring dedup.  Returns
+    ``(id, text, n_dropped)`` with the cleaned (normalized) text.
+
+    The span table is joined back equi-keyed on the doc id (the range
+    condition is a residual filter, not a join explosion) and the
+    reassembly is one position-ordered aggregation."""
+    spans = repeated_ngram_spans(df, k, min_count, text_col, id_col)
+    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    tok_rows = df.select(F.col(id_col), F.posexplode(toks).alias("_p", "_t"))
+    joined = tok_rows.join(
+        spans.select(id_col, "span_start", "span_end"),
+        on=[
+            tok_rows[id_col] == spans[id_col],
+            F.col("_p") >= F.col("span_start"),
+            F.col("_p") < F.col("span_end"),
+        ],
+        how="left_anti",
+    )
+    kept = joined.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_t"))), lambda s: s["_t"]
+            ),
+        ).alias("text"),
+    )
+    totals = df.select(F.col(id_col), F.size(toks).alias("_n_toks"))
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            (
+                F.col("_n_toks")
+                - F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda t: t != F.lit("")))
+            ).cast("long").alias("n_dropped"),
+        )
+    )

@@ -161,3 +161,63 @@ def test_fingerprint_overlap_pairs_detects_containment(spark):
         df, spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     ).collect()[0]
     assert jac.jaccard < 0.1
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (repeated-span detection)
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_spans_cross_doc(spark):
+    """An 8-token substring shared by two docs is covered by a span in
+    BOTH docs; unique text yields no spans."""
+    from csp_gateway_spark.operators.dedup import repeated_ngram_spans
+
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} beta gamma"),
+            (2, f"delta epsilon {shared} zeta"),
+            (3, "totally unique words that repeat nowhere at all today"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in repeated_ngram_spans(df, k=8).collect()
+    }
+    assert spans[1] == (1, 9)
+    assert spans[2] == (2, 10)
+    assert 3 not in spans
+
+
+def test_repeated_spans_within_doc_and_merge(spark):
+    """Within-doc repetition counts; overlapping gram windows merge to
+    one island."""
+    from csp_gateway_spark.operators.dedup import repeated_ngram_spans
+
+    rep = "a b c d"
+    df = spark.createDataFrame(
+        [(1, f"{rep} x {rep} y")], "doc_id long, text string"
+    )
+    out = repeated_ngram_spans(df, k=4, min_count=2).collect()
+    spans = sorted((r["span_start"], r["span_end"]) for r in out)
+    assert spans == [(0, 4), (5, 9)]
+
+
+def test_drop_repeated_spans_masks_and_counts(spark):
+    from csp_gateway_spark.operators.dedup import drop_repeated_spans
+
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} omega"),
+            (2, f"{shared}"),
+            (3, "unique filler text with no repetition whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in drop_repeated_spans(df, k=8).collect()}
+    assert out[1]["text"] == "alpha omega" and out[1]["n_dropped"] == 8
+    assert out[2]["text"] == "" and out[2]["n_dropped"] == 8
+    assert out[3]["n_dropped"] == 0 and "unique" in out[3]["text"]
