@@ -1487,6 +1487,29 @@ FROM g ORDER BY label, idx
 """
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token-length p50/p90/p99 — the sequence-length
+    budget statistic; Spark `percentile` and DuckDB `quantile_cont`
+    share the (n-1)q interpolation convention so values hash-match."""
+    from csp_gateway_spark.operators.text import length_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_quantiles(docs).orderBy("source")
+
+
+ORACLE_LENGTH_QUANTILES = f"""
+WITH lens AS (
+  SELECT source, len({_SQL_TOKS.replace("trim(lower(text))", "{norm}")}) AS l FROM documents
+), g AS (
+  SELECT source, COUNT(*) AS n_docs, quantile_cont(l, [0.5, 0.9, 0.99]) AS q
+  FROM lens GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       round(q[1], 6) AS q50, round(q[2], 6) AS q90, round(q[3], 6) AS q99
+FROM g ORDER BY source
+""".replace("{norm}", _SQL_NORM)
+
+
 _SPAN_K = 8
 
 
@@ -3099,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "bpe_train": q_bpe_train,
         "substring_spans": q_substring_spans,
+        "length_quantiles": q_length_quantiles,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -3194,6 +3218,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pca": ORACLE_EMBEDDING_PCA,
         "bpe_train": _oracle_bpe_train(),
         "substring_spans": ORACLE_SUBSTRING_SPANS,
+        "length_quantiles": ORACLE_LENGTH_QUANTILES,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,

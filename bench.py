@@ -109,6 +109,7 @@ HEADLINE = [
     "embedding_pca",
     "bpe_train",
     "substring_spans",
+    "length_quantiles",
 ]
 
 

@@ -10,6 +10,8 @@ column-pruned.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -207,3 +209,36 @@ def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         .join(per_doc.select(id_col, ent.alias("_e")), id_col, "left")
         .select(F.col(id_col), F.coalesce("_e", F.lit(0.0)).alias("char_entropy"))
     )
+
+
+def length_quantiles(
+    df: DataFrame,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT token-length quantiles per group — the sequence-length
+    budget statistic a packing/truncation pipeline is tuned against
+    (p50/p90/p99 of document token counts by source).
+
+    Exactness is affordable at any corpus scale here: Spark's
+    ``percentile`` aggregates a value→count map per group, and the
+    domain is DISTINCT TOKEN COUNTS (≤ max document length — thousands
+    of entries), not documents; the map merges map-side.  Spark and
+    DuckDB (``quantile_cont``) share the (n-1)·q linear-interpolation
+    convention, so results hash-match exactly.
+
+    Output: ``group_col, n_docs, q<prob>...`` (q50, q90, q99 for
+    the defaults).
+    """
+    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    lens = df.select(F.col(group_col), F.size(toks).alias("_len"))
+    agg = lens.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile("_len", F.array(*[F.lit(float(p)) for p in probs])).alias("_q"),
+    )
+    cols = [F.col(group_col), F.col("n_docs")]
+    for i, p in enumerate(probs):
+        name = f"q{round(p * 100)}"
+        cols.append(F.round(F.element_at("_q", i + 1), 6).alias(name))
+    return agg.select(*cols)

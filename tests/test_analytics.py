@@ -174,3 +174,27 @@ def test_global_sales_opportunity_anti_join(tables):
         tables["customer"], tables["orders"], priority="NO-SUCH-PRIORITY"
     ).collect()
     assert sum(r.numcust for r in all_rows) >= sum(r.numcust for r in rows)
+
+
+def test_length_quantiles_match_numpy(documents):
+    """Exact per-source token-length quantiles vs numpy.percentile
+    (linear interpolation) — independent implementation."""
+    import numpy as np
+
+    from csp_gateway_spark.operators.text import length_quantiles, normalize_text, tokens
+
+    got = {r["source"]: r for r in length_quantiles(documents).collect()}
+    lens = documents.select(
+        "source",
+        F.size(F.filter(tokens(normalize_text(F.col("text"))), lambda t: t != F.lit(""))).alias("l"),
+    ).collect()
+    by_src = {}
+    for r in lens:
+        by_src.setdefault(r["source"], []).append(r["l"])
+    assert set(got) == set(by_src)
+    for src, vals in by_src.items():
+        row = got[src]
+        assert row["n_docs"] == len(vals)
+        for name, p in (("q50", 50), ("q90", 90), ("q99", 99)):
+            want = float(np.percentile(np.array(vals, dtype=float), p))
+            assert abs(row[name] - round(want, 6)) < 1e-6, (src, name, row[name], want)
