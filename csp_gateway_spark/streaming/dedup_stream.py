@@ -214,3 +214,62 @@ def exact_dedup_stream(
         "content_hash", F.md5(content)
     )
     return hashed.dropDuplicatesWithinWatermark(["content_hash"])
+
+
+def bloom_decontaminate_stream(
+    stream: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Streaming decontamination: flag documents on a live stream whose
+    shingles hit the (static) eval set's Bloom filter — the streaming
+    face of ``curation.bloom_decontaminate``.
+
+    Fully STATELESS: the eval filter is a static broadcast table of
+    set-bit positions; each micro-batch row explodes to its shingle
+    probes, joins the broadcast bits, and reduces back to one flag per
+    document — a stream-static broadcast join, no state store, no
+    watermark requirement.  This is the shape that holds at any stream
+    rate: per-row cost is k_hashes·shingles probes against an in-memory
+    KB-scale table.
+
+    Note the reduction (all k bits present per shingle, any shingle per
+    doc) runs WITHIN the row's own projection — shingle/bit arrays are
+    folded with higher-order functions instead of a groupBy, so the
+    plan stays shuffle-free end to end.
+    """
+    from csp_gateway_spark.operators.curation import bloom_bits
+    from csp_gateway_spark.operators.dedup import _md5_base15, shingles
+
+    bits = sorted(
+        r["bit"]
+        for r in bloom_bits(eval_set, text_col, id_col, k, m_bits, k_hashes).collect()
+    )
+    bits_arr = F.array(*[F.lit(int(b)) for b in bits])
+
+    def bit_of(h, i):
+        hh = F.conv(
+            F.substring(F.md5(F.concat(h.cast("string"), F.lit(f":bf{i}"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(hh, F.lit(m_bits))
+
+    from functools import reduce
+
+    sh = F.array_distinct(shingles(F.col(text_col), k))
+    sh_hits = F.filter(
+        F.transform(sh, lambda s: _md5_base15(s)),
+        # k_hashes is a Python constant: expand the conjunction at plan
+        # build time (a Column loop var here would stringify wrongly
+        # into the :bf<i> hash suffix)
+        lambda h: reduce(
+            lambda a, b: a & b,
+            [F.array_contains(bits_arr, bit_of(h, i)) for i in range(k_hashes)],
+        ),
+    )
+    return stream.withColumn("contaminated", F.size(sh_hits) > 0)

@@ -267,3 +267,50 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
         assert stream_keep == batch_keep == [1, 3, 5]
     finally:
         q.stop()
+
+
+def test_streaming_bloom_decontaminate_matches_batch(spark, tmp_path):
+    """Stateless stream-side Bloom probe flags exactly the docs the
+    batch operator flags on the same data (same filter, same hashes)."""
+    import json
+
+    from csp_gateway_spark.operators.curation import bloom_decontaminate
+    from csp_gateway_spark.streaming.dedup_stream import bloom_decontaminate_stream
+
+    eval_set = spark.createDataFrame(
+        [(100, "we test the quick brown fox jumps over everything tonight ok")],
+        "doc_id long, text string",
+    )
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "completely unrelated text about spark shuffles and joins"),
+        (3, "another copy the quick brown fox jumps over everything"),
+    ]
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        r["doc_id"]: r["contaminated"]
+        for r in bloom_decontaminate(batch_df, eval_set, k=5).collect()
+    }
+
+    src = tmp_path / "bloomstream"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for did, text in docs:
+            f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    flagged = bloom_decontaminate_stream(stream, eval_set, k=5)
+    q = (
+        flagged.writeStream.outputMode("append").format("memory")
+        .queryName("bloom_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_bloom"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in spark.sql("SELECT * FROM bloom_stream").collect()
+    }
+    assert got == want

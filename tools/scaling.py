@@ -43,6 +43,12 @@ HEAVY = [
     "lm_perplexity",
     "semantic_dedup",
     "table_index_limit",
+    "cms_topk",
+    "bloom_decontaminate",
+    "embedding_pca",
+    "bpe_train",
+    "substring_spans",
+    "length_quantiles",
 ]
 
 TABLES = [
