@@ -1510,6 +1510,97 @@ FROM g ORDER BY source
 """.replace("{norm}", _SQL_NORM)
 
 
+_DSIR_DIM = 1024
+_DSIR_TARGET_SRC = "src13"
+_DSIR_KEEP = 40
+
+# shared feature/weight CTE prefix: hashed unigram+bigram buckets for
+# corpus and target, add-0.5-smoothed distributions, bucket-ordered
+# log-ratio fold per doc (mirrors curation.py::dsir_weights exactly)
+_DSIR_SQL_PREFIX = f"""
+WITH tk AS (
+  SELECT doc_id, source, {{toks}} AS t FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(w), 1, 7))::BIGINT % {_DSIR_DIM} AS bucket
+  FROM (SELECT doc_id, source, unnest(t) AS w FROM tk)
+  UNION ALL
+  SELECT doc_id, source,
+         ('0x' || substr(md5(t[j] || ' ' || t[j + 1]), 1, 7))::BIGINT % {_DSIR_DIM} AS bucket
+  FROM tk, unnest(range(1, len(t))) r(j)
+), feats AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM grams GROUP BY 1, 2
+), raw AS (
+  SELECT bucket, SUM(n) AS rc FROM feats GROUP BY 1
+), tgt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tc
+  FROM grams WHERE source = '{_DSIR_TARGET_SRC}' GROUP BY 1
+), rt AS (SELECT CAST(SUM(rc) AS DOUBLE) AS bigr FROM raw),
+tt AS (SELECT CAST(SUM(tc) AS DOUBLE) AS bigt FROM tgt),
+lr AS (
+  SELECT raw.bucket,
+         ln((CAST(COALESCE(tc, 0) AS DOUBLE) + 0.5) / (bigt + {0.5 * _DSIR_DIM}))
+       - ln((CAST(rc AS DOUBLE) + 0.5) / (bigr + {0.5 * _DSIR_DIM})) AS lr
+  FROM raw LEFT JOIN tgt USING (bucket), rt, tt
+), sc AS (
+  SELECT doc_id, list_sum(list(n * lr ORDER BY bucket)) AS logw
+  FROM feats JOIN lr USING (bucket) GROUP BY 1
+)
+""".replace("{toks}", _SQL_TOKS.replace("trim(lower(text))", _SQL_NORM))
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (arXiv:2302.03169): hashed-n-gram
+    log-likelihood ratio of a target source vs the raw corpus.  The
+    per-doc sum is a bucket-ordered fold, so doubles are bit-identical
+    across engines before the display rounding."""
+    from csp_gateway_spark.operators.curation import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == _DSIR_TARGET_SRC)
+    out = dsir_weights(docs, target, dim=_DSIR_DIM)
+    return out.select("doc_id", F.round("logw", 6).alias("logw")).orderBy("doc_id")
+
+
+ORACLE_DSIR_WEIGHTS = (
+    _DSIR_SQL_PREFIX
+    + """
+SELECT d.doc_id, round(COALESCE(sc.logw, 0.0), 6) AS logw
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY d.doc_id
+"""
+)
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k importance resampling over the DSIR weights —
+    deterministic seeded-hash noise, TakeOrdered plan (no global
+    sort)."""
+    from csp_gateway_spark.operators.curation import dsir_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == _DSIR_TARGET_SRC)
+    out = dsir_sample(docs, target, n_keep=_DSIR_KEEP, dim=_DSIR_DIM, seed=17)
+    return out.select("doc_id", F.round("score", 6).alias("score")).orderBy("doc_id")
+
+
+ORACLE_DSIR_SAMPLE = (
+    _DSIR_SQL_PREFIX
+    + f"""
+, noisy AS (
+  SELECT d.doc_id,
+         COALESCE(sc.logw, 0.0)
+         + (-ln(-ln((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':17'), 1, 15))::BIGINT + 0.5)
+                    / 1152921504606846976.0))) AS score
+  FROM documents d LEFT JOIN sc USING (doc_id)
+)
+SELECT doc_id, round(score, 6) AS score FROM noisy
+ORDER BY score DESC, doc_id LIMIT {_DSIR_KEEP}
+"""
+)
+
+
 _SPAN_K = 8
 
 
@@ -3123,6 +3214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "substring_spans": q_substring_spans,
         "length_quantiles": q_length_quantiles,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -3219,6 +3312,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _oracle_bpe_train(),
         "substring_spans": ORACLE_SUBSTRING_SPANS,
         "length_quantiles": ORACLE_LENGTH_QUANTILES,
+        "dsir_weights": ORACLE_DSIR_WEIGHTS,
+        "dsir_sample": ORACLE_DSIR_SAMPLE,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,

@@ -503,3 +503,147 @@ def bloom_decontaminate(
     if mode == "remove":
         return flagged.filter(~F.col("contaminated")).drop("contaminated")
     return flagged
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, bucket, n): hashed unigram+bigram counts — the DSIR
+    feature representation (Xie et al. 2023, arXiv:2302.03169 §3.2).
+
+    Unigrams and bigrams share one md5-addressed bucket space of
+    ``dim`` cells, so the distribution tables downstream are bounded
+    by ``dim`` regardless of vocabulary size.  Plan: two scan-local
+    explodes unioned, then ONE map-side-combined groupBy — shuffle
+    rows ≤ n_docs · min(dim, doc_len).
+
+    DuckDB mirror of the bucket: ``('0x' || substr(md5(g), 1, 7))
+    ::BIGINT % dim`` with ``g`` the token or ``w1 || ' ' || w2``.
+    """
+    from csp_gateway_spark.operators.corpus import bigram_rows, token_rows
+    from csp_gateway_spark.operators.dedup import _md5_base
+
+    uni = token_rows(df, text_col, id_col).select(
+        F.col(id_col), (_md5_base(F.col("token")) % F.lit(dim)).alias("bucket")
+    )
+    big = bigram_rows(df, text_col, id_col).select(
+        F.col(id_col),
+        (_md5_base(F.concat_ws(" ", "w1", "w2")) % F.lit(dim)).alias("bucket"),
+    )
+    return (
+        uni.unionByName(big)
+        .groupBy(F.col(id_col), F.col("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    dim: int = 1024,
+    smoothing: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every corpus document by how
+    much its hashed-n-gram profile looks like ``target`` rather than
+    the raw corpus —
+
+        log w(d) = Σ_b n_db · (ln p̂_b − ln q̂_b)
+
+    with p̂ the add-``smoothing`` bucket distribution of the target
+    set and q̂ of the raw corpus.  High ``logw`` ⇒ target-like
+    (wiki/books-style), low ⇒ raw-web-like.
+
+    Plan shape at 100 TB: corpus features are ONE map-side-combined
+    shuffle; both distributions reduce to ≤ ``dim`` rows; the
+    log-ratio table broadcasts to a per-bucket join; the per-doc score
+    is one groupBy(id).  No driver actions, no global sorts.  The
+    target set (an eval/quality sample) is orders smaller than the
+    corpus and aggregates the same way.
+
+    Determinism: the per-doc Σ is a bucket-ordered fold over a
+    collected array (never a double SUM aggregate), so scores are
+    partitioning-invariant and engine-reproducible — DuckDB mirror
+    ``list_sum(list(n * lr ORDER BY bucket))``.  Docs with no
+    features score 0.
+    """
+    feats = hashed_ngram_counts(corpus, dim, text_col, id_col)
+    raw = feats.groupBy("bucket").agg(F.sum("n").alias("_rc"))
+    tgt = (
+        hashed_ngram_counts(target, dim, text_col, id_col)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("_tc"))
+    )
+    # totals as 1-row aggregates cross-joined into the ratio table —
+    # a driver-side .count() would be a second action per distribution
+    rtot = raw.agg(F.sum("_rc").cast("double").alias("_R"))
+    ttot = tgt.agg(F.sum("_tc").cast("double").alias("_T"))
+    s = float(smoothing)
+    dist = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .withColumn("_tc", F.coalesce(F.col("_tc"), F.lit(0)))
+    )
+    lr = dist.select(
+        "bucket",
+        (
+            F.log((F.col("_tc").cast("double") + F.lit(s)) / (F.col("_T") + F.lit(s * dim)))
+            - F.log((F.col("_rc").cast("double") + F.lit(s)) / (F.col("_R") + F.lit(s * dim)))
+        ).alias("_lr"),
+    )
+    scored = (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("bucket"), (F.col("n") * F.col("_lr")).alias("_v")))
+            ).alias("_vs")
+        )
+        .select(
+            F.col(id_col),
+            F.aggregate(F.col("_vs"), F.lit(0.0), lambda acc, x: acc + x["_v"]).alias("logw"),
+        )
+    )
+    return corpus.join(scored, id_col, "left").withColumn(
+        "logw", F.coalesce(F.col("logw"), F.lit(0.0))
+    )
+
+
+def dsir_sample(
+    corpus: DataFrame,
+    target: DataFrame,
+    n_keep: int,
+    dim: int = 1024,
+    smoothing: float = 0.5,
+    seed: int = 17,
+    gumbel: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select ``n_keep`` corpus documents by DSIR importance
+    resampling: top-k of ``logw + Gumbel noise`` (the Gumbel-top-k
+    trick samples WITHOUT replacement ∝ softmax(logw), which is
+    exactly the paper's resampling step).  The noise is seeded-hash
+    Gumbel — ``g = −ln(−ln((h+0.5)/2^60))`` — so the sample is
+    deterministic, resumable, and engine-reproducible; ``gumbel=False``
+    degrades to plain top-k by weight.
+
+    The top-k compiles to TakeOrdered (per-partition partial top-k +
+    driver merge of k rows) — never a global sort/window.
+    """
+    w = dsir_weights(corpus, target, dim, smoothing, text_col, id_col)
+    score = F.col("logw")
+    if gumbel:
+        u = (sample_hash(F.col(id_col), seed) + F.lit(0.5)) / F.lit(HASH60_SPACE)
+        score = score + (-F.log(-F.log(u)))
+    return (
+        w.withColumn("score", score)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(int(n_keep))
+    )

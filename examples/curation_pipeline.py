@@ -7,12 +7,14 @@ training-pipeline face of the engine.)
     raw documents
       → quality filter        (length / punctuation / stopword gates)
       → exact dedup           (normalized-hash groupBy)
+      → substring dedup       (repeated-k-gram span masking)
       → MinHash near-dedup    (LSH bands → verified pairs → components,
                                keep lowest-id representative)
-      → decontamination       (hashed-shingle semi-join vs eval set)
+      → decontamination       (Bloom-filter broadcast probe vs eval set)
       → temperature mixing    (n^alpha source smoothing)
       → train/val/test split  (hash-bucket projection)
       → sequence packing      (per-shard greedy token packing)
+      → BPE tokenizer train   (distributed merge rounds on the result)
 
 Every stage is deterministic (seeded hashes, no RNG state), so the
 whole pipeline is resumable and reproducible: re-running any suffix on
@@ -42,8 +44,13 @@ def run_pipeline(spark, sf_dir: str, verbose: bool = True):
         temperature_mix,
         train_split,
     )
-    from csp_gateway_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
-    from csp_gateway_spark.operators.text import quality_filter
+    from csp_gateway_spark.operators.curation import bloom_decontaminate
+    from csp_gateway_spark.operators.dedup import (
+        drop_repeated_spans,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from csp_gateway_spark.operators.text import length_quantiles, quality_filter
     from csp_gateway_spark.session import load_tables
 
     docs = load_tables(spark, sf_dir)["documents"]
@@ -58,20 +65,32 @@ def run_pipeline(spark, sf_dir: str, verbose: bool = True):
     exact = quality.join(F.broadcast(survivors), "doc_id", "left_semi")
     stages["exact_dedup"] = exact
 
+    # 2b. exact substring dedup: mask corpus-repeated 8-gram spans
+    #     (Lee et al. 2022) before the fuzzy pass — repeated boilerplate
+    #     would otherwise glue unrelated docs into one LSH component
+    masked = (
+        drop_repeated_spans(exact, k=8)
+        .withColumnRenamed("text", "masked_text")
+        .join(exact.drop("text"), "doc_id")
+        .withColumnRenamed("masked_text", "text")
+        .filter(F.length("text") > 0)
+    )
+    stages["substring_dedup"] = masked
+
     # 3. MinHash LSH near-dedup: verified pairs → dup components →
     #    drop everything that is not its component's representative
-    pairs = minhash_lsh_pairs(exact, jaccard_threshold=0.5).select("id_a", "id_b")
+    pairs = minhash_lsh_pairs(masked, jaccard_threshold=0.5).select("id_a", "id_b")
     comps = connected_components(pairs)
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    near = exact.join(F.broadcast(losers), "doc_id", "left_anti")
+    near = masked.join(F.broadcast(losers), "doc_id", "left_anti")
     stages["near_dedup"] = near
 
     # 4. decontaminate vs a held-out eval sample (here: a deterministic
     #    slice standing in for the real eval set)
     eval_set = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
-    clean = decontaminate(near, eval_set, mode="remove")
+    clean = bloom_decontaminate(near, eval_set, mode="remove")
     stages["decontaminated"] = clean
 
     # 5. temperature-smooth the language mixture (α=0.5)
@@ -87,6 +106,14 @@ def run_pipeline(spark, sf_dir: str, verbose: bool = True):
     train = split.filter(F.col("split") == "train")
     packed = pack_sequences(train, budget_tokens=512)
     stages["packed"] = packed
+
+    # 8. tokenizer bootstrap on the final corpus: length budget check +
+    #    the first BPE merge rules (both deterministic, both reusable
+    #    as-is on the full-scale run)
+    stages["length_budget"] = length_quantiles(train, group_col="lang")
+    from csp_gateway_spark.operators.corpus import bpe_train
+
+    stages["bpe_merges"] = bpe_train(train, n_merges=8)
 
     if verbose:
         for name, df in stages.items():

@@ -489,3 +489,72 @@ def test_bpe_partitioning_invariant(documents):
     one = [tuple(r) for r in bpe_train(sample.coalesce(1), 5).orderBy("merge_rank").collect()]
     many = [tuple(r) for r in bpe_train(sample.repartition(16), 5).orderBy("merge_rank").collect()]
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (curation.py::dsir_weights/dsir_sample)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dsir_corpus(spark):
+    target_like = [
+        (i, "alpha beta gamma delta epsilon zeta eta theta", "tgt")
+        for i in range(10)
+    ]
+    web_like = [
+        (100 + i, "click here buy now free offer subscribe today", "web")
+        for i in range(30)
+    ]
+    return spark.createDataFrame(
+        target_like + web_like, "doc_id long, text string, source string"
+    )
+
+
+def test_dsir_weights_separate_target_from_raw(dsir_corpus):
+    from csp_gateway_spark.operators.curation import dsir_weights
+
+    target = dsir_corpus.filter(F.col("source") == "tgt")
+    out = dsir_weights(dsir_corpus, target, dim=256)
+    rows = {r["doc_id"]: r["logw"] for r in out.collect()}
+    tgt_scores = [rows[i] for i in range(10)]
+    web_scores = [rows[100 + i] for i in range(30)]
+    # every target-like doc must outscore every web-like doc
+    assert min(tgt_scores) > max(web_scores)
+    # weights preserve every corpus row and are deterministic
+    assert len(rows) == 40
+    again = {r["doc_id"]: r["logw"] for r in dsir_weights(dsir_corpus, target, dim=256).collect()}
+    assert rows == again
+
+
+def test_dsir_weights_empty_doc_scores_zero(spark):
+    from csp_gateway_spark.operators.curation import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "real words here", "a"), (2, "", "a"), (3, "...", "a")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r["logw"] for r in dsir_weights(df, df.limit(1)).collect()}
+    assert out[2] == 0.0 and out[3] == 0.0
+
+
+def test_dsir_sample_prefers_target_like(dsir_corpus):
+    from csp_gateway_spark.operators.curation import dsir_sample
+
+    target = dsir_corpus.filter(F.col("source") == "tgt")
+    # without noise the top-10 must be exactly the target-like docs
+    kept = dsir_sample(dsir_corpus, target, n_keep=10, dim=256, gumbel=False)
+    assert sorted(r["doc_id"] for r in kept.collect()) == list(range(10))
+    # Gumbel resampling is deterministic for a fixed seed and keeps
+    # mostly target-like docs (weights dominate the noise here)
+    g1 = sorted(r["doc_id"] for r in dsir_sample(dsir_corpus, target, 10, dim=256, seed=7).collect())
+    g2 = sorted(r["doc_id"] for r in dsir_sample(dsir_corpus, target, 10, dim=256, seed=7).collect())
+    assert g1 == g2
+
+
+def test_dsir_sample_plan_is_take_ordered(dsir_corpus):
+    from csp_gateway_spark.operators.curation import dsir_sample
+
+    target = dsir_corpus.filter(F.col("source") == "tgt")
+    plan = dsir_sample(dsir_corpus, target, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
