@@ -1601,6 +1601,94 @@ ORDER BY score DESC, doc_id LIMIT {_DSIR_KEEP}
 )
 
 
+_PQ_M = 8
+_PQ_K = 16
+_PQ_DSUB = 8  # 64-dim embeddings / 8 subspaces
+
+# shared PQ CTE prefix: deterministic sampled codebook (codes dense in
+# hash order) + per-(vector, subspace) nearest-code assignment — mirrors
+# similarity.py::pq_train(iters=0)/pq_encode exactly
+_PQ_SQL_PREFIX = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cents AS (
+  SELECT e, row_number() OVER (
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':42'), 1, 15))::BIGINT, vec_id
+    ) - 1 AS code
+  FROM v QUALIFY code < {_PQ_K}
+), dists AS (
+  SELECT v.vec_id, sub.j, c.code,
+         list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+           i -> (v.e[sub.j * {_PQ_DSUB} + i] - c.e[sub.j * {_PQ_DSUB} + i])
+              * (v.e[sub.j * {_PQ_DSUB} + i] - c.e[sub.j * {_PQ_DSUB} + i]))) AS d
+  FROM v, range({_PQ_M}) sub(j), cents c
+), enc AS (
+  SELECT vec_id, j, code FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) = 1
+)
+"""
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): 64-dim float
+    vectors → 8 one-byte codes.  Codebook is the deterministic sampled
+    bootstrap; codes flatten to a string for the gate (array rule)."""
+    from csp_gateway_spark.operators.similarity import pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=0)
+    out = pq_encode(emb, cb)
+    return out.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda x: x.cast("string")), " ").alias("codes_str"),
+    ).orderBy("vec_id")
+
+
+ORACLE_PQ_CODES = (
+    _PQ_SQL_PREFIX
+    + """
+SELECT vec_id, string_agg(CAST(code AS VARCHAR), ' ' ORDER BY j) AS codes_str
+FROM enc GROUP BY vec_id ORDER BY vec_id
+"""
+)
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ top-10: per-row LUT projection over the
+    code table + TakeOrdered — the scan reads m bytes per vector
+    instead of dim·4, which is the whole point at 100 TB."""
+    from csp_gateway_spark.operators.similarity import pq_encode, pq_search, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cb = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=0)
+    codes = pq_encode(emb.filter(F.col("vec_id") != 0), cb)
+    out = pq_search(codes, cb, qv, topk=10)
+    return out.select("vec_id", F.round("adist", 6).alias("adist")).orderBy("vec_id")
+
+
+ORACLE_PQ_SEARCH = (
+    _PQ_SQL_PREFIX
+    + f"""
+, q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+lut AS (
+  SELECT sub.j, c.code,
+         list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+           i -> (q.qe[sub.j * {_PQ_DSUB} + i] - c.e[sub.j * {_PQ_DSUB} + i])
+              * (q.qe[sub.j * {_PQ_DSUB} + i] - c.e[sub.j * {_PQ_DSUB} + i]))) AS d
+  FROM range({_PQ_M}) sub(j), cents c, q
+), scores AS (
+  SELECT e.vec_id, list_sum(list(l.d ORDER BY e.j)) AS adist
+  FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.code
+  WHERE e.vec_id != 0
+  GROUP BY e.vec_id
+)
+SELECT vec_id, round(adist, 6) AS adist FROM scores
+ORDER BY adist, vec_id LIMIT 10
+"""
+)
+
+
 _SPAN_K = 8
 
 
@@ -3216,6 +3304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
+        "pq_codes": q_pq_codes,
+        "pq_search": q_pq_search,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -3314,6 +3404,8 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": ORACLE_LENGTH_QUANTILES,
         "dsir_weights": ORACLE_DSIR_WEIGHTS,
         "dsir_sample": ORACLE_DSIR_SAMPLE,
+        "pq_codes": ORACLE_PQ_CODES,
+        "pq_search": ORACLE_PQ_SEARCH,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,

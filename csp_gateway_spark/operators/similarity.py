@@ -742,3 +742,174 @@ def embedding_pca(
     return spark.createDataFrame(
         [(i, v[i]) for i in range(d)], "idx int, component double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the memory-bounded ANN path: 100 TB of
+# float vectors compress to n·m one-byte codes, and search touches
+# only the code table plus an m·k lookup table per query.
+# ---------------------------------------------------------------------------
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance as an array-ordered sequential fold —
+    partitioning-invariant and engine-reproducible (DuckDB mirror:
+    ``list_sum(list_transform(range(...), i -> (a[i]-b[i])^2))``)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _portable_hash60_py(value: str) -> int:
+    """Python twin of dedup._md5_base15 / curation.sample_hash —
+    int(md5(s)[:15], 16)."""
+    import hashlib
+
+    return int(hashlib.md5(value.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    scale: int = 10**9,
+) -> list:
+    """Train subspace codebooks: ``codebook[j][c]`` is the ``c``-th
+    centroid of subspace ``j`` (dim/m doubles each).
+
+    Initialization is the deterministic ``sample_centroids`` bootstrap
+    (k vectors with smallest seeded md5 hash, sliced into m
+    subvectors; codes numbered 0..k-1 in hash order, ties by id —
+    DuckDB mirror: ``row_number() OVER (ORDER BY hash60(id||':'||seed),
+    id) - 1``).  ``iters`` rounds of per-subspace Lloyd refinement
+    follow: ONE pass per round computes every (subspace, code)
+    assignment as a per-row projection (codebook inlined as literals —
+    no join), then one map-side-combined groupBy((j, code, pos)) of
+    EXACT fixed-point integer sums, k·dim scalars to the driver
+    (identical arithmetic to ``kmeans_refine``).  Codes that lose all
+    members keep their previous centroid so the code space stays
+    dense — a LUT must address all k codes.
+
+    The returned codebook is a bounded driver artifact (k·dim doubles
+    ≈ KBs) — the same legitimate footprint as kmeans centroids.
+    """
+    rows = sample_centroids(df, k, vec_col, id_col, seed, oracle_safe=True).collect()
+    ranked = sorted(
+        rows, key=lambda r: (_portable_hash60_py(f"{r['cent_id']}:{seed}"), r["cent_id"])
+    )
+    dim = len(ranked[0]["centroid"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    codebook = [
+        [[float(x) for x in r["centroid"][j * dsub : (j + 1) * dsub]] for r in ranked]
+        for j in range(m)
+    ]
+    fscale = float(scale)
+    for _ in range(iters):
+        enc = pq_encode(df, codebook, vec_col, id_col)
+        sub = F.slice(_as_double(F.col(vec_col)), F.col("j") * dsub + 1, dsub)
+        flat = (
+            df.join(enc, id_col)
+            .select(F.col(id_col), F.posexplode("codes").alias("j", "code"), F.col(vec_col))
+            .select("j", "code", F.posexplode(sub).alias("pos", "_v"))
+        )
+        sums = flat.groupBy("j", "code", "pos").agg(
+            F.sum(F.floor(F.col("_v") * F.lit(fscale)).cast("long")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        by_jc: dict = {}
+        for r in sums.collect():
+            by_jc.setdefault((r["j"], r["code"]), {})[r["pos"]] = (r["_s"], r["_n"])
+        for (j, c), d in by_jc.items():
+            n = d[0][1]
+            codebook[j][c] = [d[p][0] / (float(n) * fscale) for p in range(dsub)]
+    return codebook
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes): the PQ code array — per subspace, the index of the
+    nearest codebook centroid (squared L2; ties to the lowest code,
+    via struct-ordered ``array_min``).
+
+    Pure per-row projection: the codebook is inlined as literals, so
+    the plan is scan → project — no join, no shuffle, streaming-safe
+    (the stateless-assignment property ``nearest_cell_expr``
+    established).  At 100 TB this is the map stage that shrinks the
+    dataset ~dim·4/m bytes per vector."""
+    m = len(codebook)
+    k = len(codebook[0])
+    dsub = len(codebook[0][0])
+    vec = _as_double(F.col(vec_col))
+    codes = []
+    for j in range(m):
+        sub = F.slice(vec, j * dsub + 1, dsub)
+        scored = F.array(
+            *[
+                F.struct(
+                    _sq_dist(sub, F.lit(codebook[j][c]).cast("array<double>")).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(k)
+            ]
+        )
+        codes.append(F.array_min(scored)["c"])
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_search(
+    codes: DataFrame,
+    codebook: list,
+    query: Sequence[float],
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over a PQ code table: the query is
+    quantized against NOTHING — its exact subvectors are compared to
+    each codebook centroid once (an m·k lookup table computed
+    driver-side in IEEE doubles, ascending-index folds — the DuckDB
+    mirror reproduces it bit-identically), then every row's
+    approximate distance is ``Σ_j lut[j][code_j]``, a pure projection
+    over the code array.
+
+    Plan: scan codes → per-row LUT projection → TakeOrdered(topk).
+    No shuffle, no join, no vector data touched — this is why PQ is
+    the 100 TB search path: the scan reads m bytes per row instead of
+    dim·4."""
+    m = len(codebook)
+    k = len(codebook[0])
+    dsub = len(codebook[0][0])
+    q = [float(x) for x in query]
+    if len(q) != m * dsub:
+        raise ValueError(f"query dim {len(q)} != m·dsub {m * dsub}")
+    lut = []
+    for j in range(m):
+        row = []
+        for c in range(k):
+            acc = 0.0
+            for i in range(dsub):
+                dlt = q[j * dsub + i] - codebook[j][c][i]
+                acc += dlt * dlt
+            row.append(acc)
+        lut.append(row)
+    adist = None
+    for j in range(m):
+        term = F.element_at(F.lit(lut[j]).cast("array<double>"), F.col("codes")[j] + 1)
+        adist = term if adist is None else adist + term
+    return (
+        codes.select(F.col(id_col), adist.alias("adist"))
+        .orderBy(F.asc("adist"), F.asc(id_col))
+        .limit(int(topk))
+    )

@@ -298,3 +298,104 @@ def test_pca_empty_raises(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
     with pytest.raises(Exception):
         embedding_pca(df.filter("vec_id < 0"), dim=2)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (similarity.py::pq_train/pq_encode/pq_search)
+# ---------------------------------------------------------------------------
+
+
+def _pq_exact_l2_topk(embeddings, query_vec, topk, exclude_id=0):
+    from csp_gateway_spark.operators.similarity import _as_double, _sq_dist
+
+    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    return [
+        r["vec_id"]
+        for r in (
+            embeddings.filter(F.col("vec_id") != exclude_id)
+            .select("vec_id", _sq_dist(_as_double(F.col("embedding")), q).alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(topk)
+            .collect()
+        )
+    ]
+
+
+def test_pq_encode_shape_and_determinism(embeddings):
+    from csp_gateway_spark.operators.similarity import pq_encode, pq_train
+
+    cb = pq_train(embeddings, m=8, k=16, iters=0)
+    assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+    codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(embeddings, cb).collect()}
+    again = {r["vec_id"]: list(r["codes"]) for r in pq_encode(embeddings, cb).collect()}
+    assert codes == again
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in codes.values())
+
+
+def test_pq_train_refinement_reduces_quantization_error(embeddings):
+    from csp_gateway_spark.operators.similarity import (
+        _as_double,
+        _sq_dist,
+        pq_encode,
+        pq_train,
+    )
+
+    def qerr(cb):
+        m, dsub = len(cb), len(cb[0][0])
+        codes = pq_encode(embeddings, cb)
+        joined = embeddings.join(codes, "vec_id")
+        err = None
+        for j in range(m):
+            sub = F.slice(_as_double(F.col("embedding")), j * dsub + 1, dsub)
+            # reconstruct subspace j from its code and accumulate sq error
+            cent = F.element_at(
+                F.lit(cb[j]).cast("array<array<double>>"), F.col("codes")[j] + 1
+            )
+            e = _sq_dist(sub, cent)
+            err = e if err is None else err + e
+        return joined.select(F.avg(err).alias("e")).collect()[0]["e"]
+
+    e0 = qerr(pq_train(embeddings, m=8, k=16, iters=0))
+    e2 = qerr(pq_train(embeddings, m=8, k=16, iters=2))
+    assert e2 < e0  # Lloyd rounds strictly improve on this data
+
+
+def test_pq_train_partitioning_invariant(embeddings):
+    from csp_gateway_spark.operators.similarity import pq_train
+
+    one = pq_train(embeddings.coalesce(1), m=4, k=8, iters=1)
+    many = pq_train(embeddings.repartition(16), m=4, k=8, iters=1)
+    assert one == many  # exact fixed-point sums: bit-identical centroids
+
+
+def test_pq_search_recall_against_exact(embeddings, query_vec):
+    from csp_gateway_spark.operators.similarity import pq_encode, pq_search, pq_train
+
+    cb = pq_train(embeddings, m=8, k=16, iters=2)
+    codes = pq_encode(embeddings.filter(F.col("vec_id") != 0), cb)
+    got = [r["vec_id"] for r in pq_search(codes, cb, query_vec, topk=20).collect()]
+    exact = _pq_exact_l2_topk(embeddings, query_vec, 20)
+    # quantized recall@20 on near-uniform data: require meaningful overlap
+    assert len(set(got) & set(exact)) >= 4
+    assert len(got) == 20
+
+
+def test_pq_search_plan_shape(embeddings, query_vec):
+    from csp_gateway_spark.operators.similarity import pq_encode, pq_search, pq_train
+
+    cb = pq_train(embeddings, m=8, k=16, iters=0)
+    codes = pq_encode(embeddings, cb)
+    plan = pq_search(codes, cb, query_vec, topk=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    enc_plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in enc_plan  # encode is a pure projection
+
+
+def test_pq_rejects_bad_dims(embeddings, query_vec):
+    from csp_gateway_spark.operators.similarity import pq_search, pq_train
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(embeddings, m=7, k=4)
+    cb = pq_train(embeddings, m=8, k=4)
+    with pytest.raises(ValueError, match="query dim"):
+        pq_search(embeddings, cb, [1.0, 2.0], topk=3)
