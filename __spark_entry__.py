@@ -1601,6 +1601,27 @@ ORDER BY score DESC, doc_id LIMIT {_DSIR_KEEP}
 )
 
 
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch (HdrHistogram bucket math,
+    pure integer — engine-exact): per-source char-length p50/p90/p99
+    estimates within 2^-6 relative error.  The scalable twin of the
+    exact ``length_quantiles`` (which must shuffle raw values); this
+    one reduces to ≤4k cells per group then walks them."""
+    from csp_gateway_spark.operators.sketches import hdr_cells, hdr_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select("source", F.length("text").alias("v"))
+    cells = hdr_cells(vals, "v", ["source"])
+    out = hdr_quantiles(cells, (0.5, 0.9, 0.99), ["source"])
+    return out.select("source", "q", "est", "n").orderBy("source", "q")
+
+
+def _oracle_hdr_quantiles() -> str:
+    from csp_gateway_spark.operators.sketches import hdr_oracle_sql
+
+    return hdr_oracle_sql("SELECT source, length(text) AS v FROM documents")
+
+
 _PQ_M = 8
 _PQ_K = 16
 _PQ_DSUB = 8  # 64-dim embeddings / 8 subspaces
@@ -3306,6 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "pq_codes": q_pq_codes,
         "pq_search": q_pq_search,
+        "hdr_quantiles": q_hdr_quantiles,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -3406,6 +3428,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_sample": ORACLE_DSIR_SAMPLE,
         "pq_codes": ORACLE_PQ_CODES,
         "pq_search": ORACLE_PQ_SEARCH,
+        "hdr_quantiles": _oracle_hdr_quantiles(),
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,

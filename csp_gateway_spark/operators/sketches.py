@@ -337,3 +337,145 @@ GROUP BY 1
 ORDER BY cms_count DESC, {value_col} ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# HDR-style histogram quantile sketch — mergeable approximate
+# percentiles over non-negative integers (HdrHistogram design: Gil
+# Tene; same family as DDSketch, Masson et al. 2019, but with pure
+# integer bucket math so every engine reproduces it bit-for-bit).
+# ---------------------------------------------------------------------------
+
+HDR_P = 6  # sub-bucket precision bits → relative error ≤ 2^-6 ≈ 1.6 %
+
+
+def _hdr_parts(v, p: int):
+    """(bucket, lo, hi) for value column ``v`` (long, ≥ 0, < 2^52).
+
+    e = digits of bin(v) (= floor(log2 v)+1; bin(0)='0' → e=1 on both
+    engines), scale s = max(e-p, 0), sub = floor(v / 2^s).  The double
+    division is EXACT for v < 2^52 (binary scaling by a power of two),
+    so the sketch is deterministic and engine-portable with no md5 in
+    the hot path.  bucket = e·2^p + sub is unique and monotone in v.
+    """
+    e = F.length(F.bin(v))
+    s = F.greatest(e - F.lit(p), F.lit(0)).cast("double")
+    pw = F.pow(F.lit(2.0), s)
+    sub = F.floor(v.cast("double") / pw)
+    lo = (sub * pw).cast("long")
+    hi = (lo + pw.cast("long")) - F.lit(1)
+    bucket = (e.cast("long") * F.lit(1 << p) + sub.cast("long")).alias("bucket")
+    return bucket, lo.alias("lo"), hi.alias("hi")
+
+
+def hdr_cells(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    p: int = HDR_P,
+) -> DataFrame:
+    """(groups…, bucket, lo, hi, cnt): the sketch state — one
+    map-side-combined groupBy; ≤ (64−p)·2^p ≈ 4k cells per group
+    regardless of row count.  Cells merge by SUM(cnt) (``hdr_merge``),
+    which is what makes the sketch distributable and streamable.
+    Values clamp below at 0; exact for v < 2^52."""
+    gcols = [F.col(c) for c in group_cols]
+    v = F.greatest(F.col(value_col).cast("long"), F.lit(0))
+    bucket, lo, hi = _hdr_parts(v, p)
+    return (
+        df.select(*gcols, bucket, lo, hi)
+        .groupBy(*[c for c in group_cols], "bucket", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_merge(cells: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge sketch tables (e.g. per-shard or per-window cells) by
+    summing counts — the mergeability property under test."""
+    return cells.groupBy(*[c for c in group_cols], "bucket", "lo", "hi").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def hdr_quantiles(
+    cells: DataFrame,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Nearest-rank quantile estimates from a cell table: per group,
+    the INTEGER midpoint of the first bucket whose cumulative count
+    reaches ceil(q·n).  The cumulative window runs over the cell
+    table — bounded at ≤ 4k rows per group by construction, so the
+    per-group sort is never a data-scale sort.  All arithmetic is
+    integer except q·n (IEEE double, identical on any engine).
+    Returns (groups…, q, est, n)."""
+    from pyspark.sql.window import Window
+
+    gcols = list(group_cols)
+    spark = cells.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*gcols)
+    cum = cells.select(
+        *gcols,
+        "bucket",
+        # floor, not cast: double→long CASTS truncate on Spark but
+        # round on DuckDB — floor agrees everywhere (house rule)
+        F.floor((F.col("lo") + F.col("hi")) / F.lit(2)).cast("long").alias("_mid"),
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    hit = cum.crossJoin(F.broadcast(qdf)).filter(
+        F.col("_cum") >= F.ceil(F.col("q") * F.col("n").cast("double"))
+    )
+    return hit.groupBy(*gcols, "q").agg(
+        F.min_by("_mid", "bucket").alias("est"), F.first("n").alias("n")
+    )
+
+
+def hdr_oracle_sql(
+    source_cte: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    group_col: str = "source",
+    p: int = HDR_P,
+) -> str:
+    """DuckDB mirror of hdr_cells→hdr_quantiles over ``source_cte``
+    (must yield (group_col, v)).  q literals are CAST to DOUBLE —
+    DuckDB parses bare decimals as DECIMAL and ceil(0.99·n) would
+    round differently from the IEEE product Spark computes."""
+    qvals = ", ".join(f"(CAST({q} AS DOUBLE))" for q in qs)
+    return f"""
+WITH src AS ({source_cte}),
+parts AS (
+  SELECT {group_col}, length(bin(v)) AS e, CAST(v AS DOUBLE) AS vd FROM src
+), b AS (
+  SELECT {group_col},
+         power(2.0, greatest(e - {p}, 0)) AS pw,
+         e, floor(vd / power(2.0, greatest(e - {p}, 0))) AS sub
+  FROM parts
+), cells AS (
+  SELECT {group_col},
+         CAST(e AS BIGINT) * {1 << p} + CAST(sub AS BIGINT) AS bucket,
+         CAST(sub * pw AS BIGINT) AS lo,
+         CAST(sub * pw AS BIGINT) + CAST(pw AS BIGINT) - 1 AS hi,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM b GROUP BY 1, 2, 3, 4
+), cum AS (
+  SELECT {group_col}, bucket, CAST(floor((lo + hi) / 2) AS BIGINT) AS mid,
+         SUM(cnt) OVER (PARTITION BY {group_col} ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY {group_col}) AS n
+  FROM cells
+), qs(q) AS (VALUES {qvals}),
+hit AS (
+  SELECT {group_col}, q, bucket, mid, n FROM cum, qs
+  WHERE cum >= ceil(q * CAST(n AS DOUBLE))
+)
+SELECT {group_col}, q, CAST(min_by(mid, bucket) AS BIGINT) AS est,
+       CAST(first(n ORDER BY bucket) AS BIGINT) AS n
+FROM hit GROUP BY 1, 2
+"""

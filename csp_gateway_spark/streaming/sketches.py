@@ -132,3 +132,47 @@ def cms_cell_stream(
         "_col",
         "cnt",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HDR histogram (quantile sketch over event-time windows)
+# ---------------------------------------------------------------------------
+
+
+def hdr_cell_stream(
+    stream: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "10 seconds",
+    p: int = None,
+) -> DataFrame:
+    """Windowed HDR histogram cells — the streaming face of
+    ``operators.sketches.hdr_cells`` (cells merge by SUM, so the
+    windowed groupBy IS the sketch merge).  State per (window, group)
+    is ≤ (64−p)·2^p ≈ 4k cells regardless of stream volume; append
+    mode emits each window's FINAL cells when its watermark passes.
+    Feed the emitted cells to ``hdr_quantiles`` per batch (stateless)
+    for windowed latency/length percentile feeds."""
+    from csp_gateway_spark.operators.sketches import HDR_P, _hdr_parts
+
+    pp = HDR_P if p is None else p
+    gcols = list(group_cols)
+    v = F.greatest(F.col(value_col).cast("long"), F.lit(0))
+    bucket, lo, hi = _hdr_parts(v, pp)
+    windowed = stream.withWatermark(ts_col, watermark).select(
+        F.window(F.col(ts_col), window).alias("_w"), *gcols, bucket, lo, hi
+    )
+    cells = windowed.groupBy("_w", *gcols, "bucket", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return cells.select(
+        F.col("_w.start").alias("win_start"),
+        F.col("_w.end").alias("win_end"),
+        *gcols,
+        "bucket",
+        "lo",
+        "hi",
+        "cnt",
+    )

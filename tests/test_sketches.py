@@ -281,3 +281,95 @@ def test_streaming_cms_matches_batch(spark, tmp_path):
     batch_df = spark.createDataFrame([(f"u{s % 9}",) for s in range(50)], "v string")
     expect = {(r["_row"], r["_col"]): r["cnt"] for r in cms_cells(batch_df, "v").collect()}
     assert window_cells == expect
+
+
+# ---------------------------------------------------------------------------
+# HDR histogram quantile sketch (sketches.py::hdr_cells/hdr_quantiles)
+# ---------------------------------------------------------------------------
+
+
+def test_hdr_error_bound(spark):
+    """Every estimate is within 2^-p relative error of the exact
+    nearest-rank percentile (the sketch's accuracy contract)."""
+    import random
+
+    from csp_gateway_spark.operators.sketches import HDR_P, hdr_cells, hdr_quantiles
+
+    rnd = random.Random(7)
+    vals = [int(rnd.lognormvariate(5, 1.5)) + 1 for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = {r["q"]: r["est"] for r in hdr_quantiles(hdr_cells(df, "v"), (0.5, 0.9, 0.99)).collect()}
+    svals = sorted(vals)
+    import math
+
+    for q, est in out.items():
+        exact = svals[math.ceil(q * len(svals)) - 1]
+        assert abs(est - exact) <= exact * 2 ** (1 - HDR_P) + 1, (q, est, exact)
+
+
+def test_hdr_cells_bounded_and_mergeable(spark):
+    from csp_gateway_spark.operators.sketches import hdr_cells, hdr_merge
+
+    df = spark.createDataFrame([(i % 1000 + 1, "g") for i in range(20000)], "v long, g string")
+    cells = hdr_cells(df, "v", ["g"])
+    n_cells = cells.count()
+    assert n_cells <= (64 + 1) * 64  # bounded regardless of 20k rows
+    # sketch(A ∪ B) == merge(sketch(A), sketch(B)) — exactly
+    a = hdr_cells(df.filter(F.col("v") <= 500), "v", ["g"])
+    b = hdr_cells(df.filter(F.col("v") > 500), "v", ["g"])
+    merged = {
+        (r["bucket"]): r["cnt"] for r in hdr_merge(a.unionByName(b), ["g"]).collect()
+    }
+    whole = {(r["bucket"]): r["cnt"] for r in cells.collect()}
+    assert merged == whole
+
+
+def test_hdr_handles_zero_and_negative(spark):
+    from csp_gateway_spark.operators.sketches import hdr_cells, hdr_quantiles
+
+    df = spark.createDataFrame([(-5,), (0,), (0,), (1,)], "v long")
+    cells = hdr_cells(df, "v")
+    est = {r["q"]: r["est"] for r in hdr_quantiles(cells, (0.5,)).collect()}
+    assert est[0.5] == 0  # negatives clamp to 0; median of {0,0,0,1} is 0
+
+
+def test_streaming_hdr_matches_batch(spark, tmp_path):
+    """Windowed HDR cells through a real streaming query equal the
+    batch sketch over the same window slice."""
+    import json
+
+    from csp_gateway_spark.operators.sketches import hdr_cells
+    from csp_gateway_spark.streaming.sketches import hdr_cell_stream
+
+    src = tmp_path / "hdr"
+    src.mkdir()
+    got = []
+
+    def on_batch(batch_df, _bid):
+        got.extend(batch_df.collect())
+
+    stream = spark.readStream.schema("ts timestamp, v long").json(str(src))
+    cells = hdr_cell_stream(stream, "v", window="1 minute", watermark="5 seconds")
+    q = (
+        cells.writeStream.outputMode("append")
+        .foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hdr"))
+        .start()
+    )
+    try:
+        rows = [{"ts": f"2026-01-01T10:00:{s:02d}", "v": (s * 37) % 500} for s in range(50)]
+        with open(src / "b1.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        q.processAllAvailable()
+        with open(src / "b2.json", "w") as f:
+            f.write(json.dumps({"ts": "2026-01-01T10:05:00", "v": 1}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    window_cells = {
+        r["bucket"]: r["cnt"] for r in got if r["win_start"].minute == 0
+    }
+    batch_df = spark.createDataFrame([((s * 37) % 500,) for s in range(50)], "v long")
+    expect = {r["bucket"]: r["cnt"] for r in hdr_cells(batch_df, "v").collect()}
+    assert window_cells == expect
