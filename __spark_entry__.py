@@ -1601,6 +1601,92 @@ ORDER BY score DESC, doc_id LIMIT {_DSIR_KEEP}
 )
 
 
+_LRQ_DIM = 64
+_LRQ_ITERS = 2
+
+_LRQ_FEATURE_CTE = f"""
+SELECT doc_id, ('0x' || substr(md5(token), 1, 7))::BIGINT % {_LRQ_DIM} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS x
+FROM (SELECT doc_id, unnest({{toks}}) AS token FROM documents)
+GROUP BY 1, 2
+""".replace("{toks}", _SQL_TOKS.replace("trim(lower(text))", _SQL_NORM))
+
+_LRQ_LABEL_CTE = (
+    "SELECT doc_id, CASE WHEN source = 'src13' THEN 1 ELSE 0 END AS y FROM documents"
+)
+
+
+def _lrq_parts(spark: SparkSession, sf_dir: str):
+    from csp_gateway_spark.operators.corpus import tf_hash_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = tf_hash_features(docs, dim=_LRQ_DIM).withColumnRenamed("tf", "x")
+    labels = docs.select(
+        "doc_id", (F.col("source") == "src13").cast("int").alias("y")
+    )
+    return docs, feats, labels
+
+
+def q_lr_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression (fastText-style linear quality
+    filter): 2 full-batch gradient rounds on hashed-TF features, label
+    = "doc comes from the target source".  The oracle unrolls the same
+    rounds in SQL, so the trained WEIGHTS hash-match — an iterative
+    learned model checked by value, not rows-only."""
+    from csp_gateway_spark.operators.classifier import lr_train
+
+    _, feats, labels = _lrq_parts(spark, sf_dir)
+    w = lr_train(feats, labels, dim=_LRQ_DIM, iters=_LRQ_ITERS)
+    wdf = spark.createDataFrame(
+        [(b, w[b]) for b in range(len(w))], "bucket int, w double"
+    )
+    # + 0.0 folds any IEEE −0.0 to +0.0 (mirrors the oracle)
+    return wdf.select(
+        "bucket", (F.round("w", 6) + F.lit(0.0)).alias("w")
+    ).orderBy("bucket")
+
+
+def _oracle_lr_quality_weights() -> str:
+    from csp_gateway_spark.operators.classifier import lr_oracle_sql
+
+    return lr_oracle_sql(_LRQ_FEATURE_CTE, _LRQ_LABEL_CTE, _LRQ_DIM, iters=_LRQ_ITERS)
+
+
+def q_lr_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the trained linear model — the
+    filter stage a 100 TB curation run applies after training on a
+    small labeled sample."""
+    from csp_gateway_spark.operators.classifier import lr_score, lr_train
+
+    docs, feats, labels = _lrq_parts(spark, sf_dir)
+    w = lr_train(feats, labels, dim=_LRQ_DIM, iters=_LRQ_ITERS)
+    out = lr_score(feats, w, docs)
+    return out.select("doc_id", F.round("score", 6).alias("score")).orderBy("doc_id")
+
+
+def _oracle_lr_quality_scores() -> str:
+    from csp_gateway_spark.operators.classifier import lr_oracle_sql
+
+    base = lr_oracle_sql(_LRQ_FEATURE_CTE, _LRQ_LABEL_CTE, _LRQ_DIM, iters=_LRQ_ITERS)
+    # swap the final weight projection for a scoring stage over the
+    # same trained CTEs
+    head, _tail = base.rsplit("\nSELECT CAST(bucket AS INT)", 1)
+    n = _LRQ_ITERS
+    return (
+        head
+        + f"""
+, ms AS (
+  SELECT f.doc_id, list_sum(list(CAST(f.x AS DOUBLE) * w.w ORDER BY f.bucket)) AS m
+  FROM f JOIN w{n} w USING (bucket) GROUP BY f.doc_id
+)
+SELECT lab.doc_id,
+       round(1.0 / (1.0 + exp(-(COALESCE(ms.m, 0.0) + wb{n}.b))), 6) AS score
+FROM lab LEFT JOIN ms USING (doc_id), wb{n}
+ORDER BY lab.doc_id
+"""
+    )
+
+
 def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable histogram quantile sketch (HdrHistogram bucket math,
     pure integer — engine-exact): per-source char-length p50/p90/p99
@@ -3328,6 +3414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_search": q_pq_search,
         "hdr_quantiles": q_hdr_quantiles,
+        "lr_quality_weights": q_lr_quality_weights,
+        "lr_quality_scores": q_lr_quality_scores,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -3429,6 +3517,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": ORACLE_PQ_CODES,
         "pq_search": ORACLE_PQ_SEARCH,
         "hdr_quantiles": _oracle_hdr_quantiles(),
+        "lr_quality_weights": _oracle_lr_quality_weights(),
+        "lr_quality_scores": _oracle_lr_quality_scores(),
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,

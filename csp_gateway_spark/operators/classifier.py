@@ -1,0 +1,242 @@
+"""Learned quality classifier: distributed logistic regression over
+hashed TF features (the fastText-style linear filter used to score
+web documents against a high-quality reference corpus — the
+supervision pattern of GPT-3/CCNet-style quality filtering, publicly
+described in Brown et al. 2020 §A and Wenzek et al. 2020).
+
+Training-data-pipeline face (SURVEY §7.8 additive surface): label docs
+(e.g. "looks like the curated target source" = 1, "raw web" = 0),
+train a linear model on hashed term-frequency buckets, then score and
+threshold the full corpus.  A linear model over ``dim`` buckets is
+exactly what scales: the model is ``dim+1`` doubles (driver-side, like
+k-means centroids), every training round is ONE shuffle, and scoring
+is a broadcast join + per-doc fold.
+
+Determinism contract (the house pattern for iterative float algorithms
+— same as ``similarity.kmeans_refine``):
+
+- per-document margins are BUCKET-ORDERED folds over collected arrays
+  (never a double SUM aggregate) — partitioning-invariant;
+- gradient accumulation over documents uses EXACT fixed-point
+  arithmetic: ``SUM(floor(round(residual, 12) · x · 1e9))`` in longs —
+  the integer SUM is order-free, and the ``round(…, 12)`` absorbs the
+  last-ulp differences between libm ``exp`` implementations so every
+  engine floors the same value;
+- weight updates happen driver-side from ``dim+1`` collected longs
+  (the k·dim-scalars footprint), which also cuts lineage per round.
+
+The DuckDB oracle unrolls the same rounds in SQL and hash-matches the
+final weights — the iterative algorithm is value-checked, not
+rows-only.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 10**9
+
+
+def lr_train(
+    features: DataFrame,
+    labels: DataFrame,
+    dim: int,
+    iters: int = 2,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+) -> list:
+    """Full-batch logistic regression on sparse hashed-TF rows.
+
+    ``features``: (id, bucket, x) sparse rows (``corpus.
+    tf_hash_features`` output shape); ``labels``: (id, y) with y in
+    {0, 1}.  Returns ``[w_0 … w_{dim-1}, bias]`` after ``iters``
+    gradient steps from w=0 (so round 1 needs no margins: p=0.5).
+
+    Plan per round: broadcast the ``dim``-row weight table into the
+    feature join, ONE groupBy(id) margin fold, ONE map-side-combined
+    groupBy(bucket) integer gradient sum (plus a 1-row bias sum), and
+    a ``dim+1``-long collect.  No global sorts, no driver loops over
+    rows; cost per round ≈ 2 shuffles bounded by (docs·min(dim,len))
+    rows regardless of corpus size.
+    """
+    spark = features.sparkSession
+    n_row = labels.agg(F.count(F.lit(1)).alias("_n")).collect()
+    n = int(n_row[0]["_n"])
+    if n == 0:
+        raise ValueError("lr_train: empty label set")
+    w = [0.0] * dim
+    bias = 0.0
+    fscale = float(_SCALE)
+    for it in range(iters):
+        if it == 0 and bias == 0.0:
+            # w=0 ⇒ sigmoid(0)=0.5 exactly: skip the margin pass
+            resid = labels.select(
+                F.col(id_col), (F.lit(0.5) - F.col("y").cast("double")).alias("_r")
+            )
+        else:
+            wdf = spark.createDataFrame(
+                [(b, w[b]) for b in range(dim)], "bucket int, _w double"
+            )
+            folded = (
+                features.join(F.broadcast(wdf), "bucket")
+                .groupBy(id_col)
+                .agg(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("bucket"),
+                                (F.col("x").cast("double") * F.col("_w")).alias("_v"),
+                            )
+                        )
+                    ).alias("_vs")
+                )
+                .select(
+                    F.col(id_col),
+                    F.aggregate(
+                        F.col("_vs"), F.lit(0.0), lambda acc, s: acc + s["_v"]
+                    ).alias("_m"),
+                )
+            )
+            margin = F.coalesce(F.col("_m"), F.lit(0.0)) + F.lit(bias)
+            prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            resid = labels.join(folded, id_col, "left").select(
+                F.col(id_col),
+                # round(12): absorbs libm exp() last-ulp differences so
+                # the fixed-point floor below is engine-identical
+                F.round(prob - F.col("y").cast("double"), 12).alias("_r"),
+            )
+        gint = (
+            features.join(resid, id_col)
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    F.floor(F.col("_r") * F.col("x").cast("double") * F.lit(fscale)).cast(
+                        "long"
+                    )
+                ).alias("_g")
+            )
+            .collect()
+        )
+        bias_int = resid.agg(
+            F.sum(F.floor(F.col("_r") * F.lit(fscale)).cast("long")).alias("_g")
+        ).collect()[0]["_g"]
+        grads = {r["bucket"]: r["_g"] for r in gint}
+        for b in range(dim):
+            w[b] = w[b] - lr * (grads.get(b, 0) / (float(n) * fscale))
+        bias = bias - lr * (bias_int / (float(n) * fscale))
+    return w + [bias]
+
+
+def lr_score(
+    features: DataFrame,
+    weights: Sequence[float],
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, score): sigmoid(w·x + bias) for every doc in ``docs`` —
+    docs without features score sigmoid(bias).  Broadcast weight
+    join + bucket-ordered fold (engine-reproducible), one shuffle."""
+    spark = features.sparkSession
+    dim = len(weights) - 1
+    bias = float(weights[-1])
+    wdf = spark.createDataFrame(
+        [(b, float(weights[b])) for b in range(dim)], "bucket int, _w double"
+    )
+    folded = (
+        features.join(F.broadcast(wdf), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("bucket"),
+                        (F.col("x").cast("double") * F.col("_w")).alias("_v"),
+                    )
+                )
+            ).alias("_vs")
+        )
+        .select(
+            F.col(id_col),
+            F.aggregate(F.col("_vs"), F.lit(0.0), lambda acc, s: acc + s["_v"]).alias(
+                "_m"
+            ),
+        )
+    )
+    margin = F.coalesce(F.col("_m"), F.lit(0.0)) + F.lit(bias)
+    return docs.select(id_col).join(folded, id_col, "left").select(
+        F.col(id_col), (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("score")
+    )
+
+
+def lr_oracle_sql(
+    feature_cte: str,
+    label_cte: str,
+    dim: int,
+    iters: int = 2,
+    lr: float = 0.5,
+) -> str:
+    """DuckDB mirror: unrolls ``iters`` gradient rounds as chained
+    CTEs over ``feature_cte`` → (doc_id, bucket, x) and ``label_cte``
+    → (doc_id, y), returning the final (bucket, w) table with the bias
+    at bucket = dim.  Integer gradient SUMs are order-free; margins
+    use ``list_sum(list(… ORDER BY bucket))`` — identical arithmetic
+    to ``lr_train``."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    s = _SCALE
+    parts = [
+        f"WITH f AS ({feature_cte}), lab AS ({label_cte}),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab),",
+        # round 1 from w=0: residual is exactly 0.5 - y
+        "r1 AS (SELECT doc_id, 0.5 - CAST(y AS DOUBLE) AS r FROM lab),",
+        f"""g1 AS (
+  SELECT bucket, SUM(CAST(floor(r.r * CAST(x AS DOUBLE) * {s}.0) AS BIGINT)) AS g
+  FROM f JOIN r1 r USING (doc_id) GROUP BY bucket
+),""",
+        f"""b1 AS (SELECT SUM(CAST(floor(r * {s}.0) AS BIGINT)) AS g FROM r1),""",
+        # bucket spine: a bucket that never occurs in f must still carry
+        # weight 0 (the Spark model vector is dense over 0..dim-1)
+        f"""sp AS (SELECT CAST(x AS BIGINT) AS bucket FROM range({dim}) t(x)),""",
+        f"""w1 AS (
+  SELECT sp.bucket, -({lr}) * (CAST(COALESCE(g1.g, 0) AS DOUBLE) / (nn.n * {s}.0)) AS w
+  FROM sp LEFT JOIN g1 USING (bucket), nn
+),""",
+        f"""wb1 AS (SELECT -({lr}) * (CAST(b1.g AS DOUBLE) / (nn.n * {s}.0)) AS b FROM b1, nn)""",
+    ]
+    prev_w, prev_b = "w1", "wb1"
+    for it in range(2, iters + 1):
+        parts.append(
+            f""", m{it} AS (
+  SELECT f.doc_id, list_sum(list(CAST(f.x AS DOUBLE) * w.w ORDER BY f.bucket)) AS m
+  FROM f JOIN {prev_w} w USING (bucket) GROUP BY f.doc_id
+), r{it} AS (
+  SELECT lab.doc_id,
+         round(1.0 / (1.0 + exp(-(COALESCE(m{it}.m, 0.0) + {prev_b}.b)))
+               - CAST(lab.y AS DOUBLE), 12) AS r
+  FROM lab LEFT JOIN m{it} USING (doc_id), {prev_b}
+), g{it} AS (
+  SELECT bucket, SUM(CAST(floor(r.r * CAST(x AS DOUBLE) * {s}.0) AS BIGINT)) AS g
+  FROM f JOIN r{it} r USING (doc_id) GROUP BY bucket
+), b{it} AS (SELECT SUM(CAST(floor(r * {s}.0) AS BIGINT)) AS g FROM r{it}),
+w{it} AS (
+  SELECT w.bucket, w.w - ({lr}) * (CAST(COALESCE(g{it}.g, 0) AS DOUBLE) / (nn.n * {s}.0)) AS w
+  FROM {prev_w} w LEFT JOIN g{it} USING (bucket), nn
+), wb{it} AS (
+  SELECT {prev_b}.b - ({lr}) * (CAST(b{it}.g AS DOUBLE) / (nn.n * {s}.0)) AS b
+  FROM {prev_b}, b{it}, nn
+)"""
+        )
+        prev_w, prev_b = f"w{it}", f"wb{it}"
+    parts.append(
+        # + 0.0 folds IEEE −0.0 (from −lr · zero-gradient) to +0.0 so
+        # the render matches Spark's plain 0.0
+        f"""
+SELECT CAST(bucket AS INT) AS bucket, round(w, 6) + 0.0 AS w FROM {prev_w}
+UNION ALL
+SELECT {dim} AS bucket, round(b, 6) + 0.0 AS w FROM {prev_b}
+ORDER BY bucket"""
+    )
+    return "\n".join(parts)

@@ -1,0 +1,64 @@
+"""Learned quality classifier (operators/classifier.py): distributed
+logistic regression on hashed-TF features."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from csp_gateway_spark.operators.classifier import lr_score, lr_train
+
+
+@pytest.fixture(scope="module")
+def labeled_corpus(spark):
+    good = [
+        (i, "thorough reference article with careful structured prose", 1)
+        for i in range(20)
+    ]
+    bad = [
+        (100 + i, "click buy free offer now spam spam spam", 0) for i in range(20)
+    ]
+    return spark.createDataFrame(good + bad, "doc_id long, text string, y int")
+
+
+@pytest.fixture(scope="module")
+def feats(labeled_corpus):
+    from csp_gateway_spark.operators.corpus import tf_hash_features
+
+    return tf_hash_features(labeled_corpus, dim=64).withColumnRenamed("tf", "x")
+
+
+def test_lr_learns_separation(labeled_corpus, feats):
+    labels = labeled_corpus.select("doc_id", "y")
+    w = lr_train(feats, labels, dim=64, iters=5)
+    assert len(w) == 65  # dim weights + bias
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in lr_score(feats, w, labeled_corpus).collect()
+    }
+    good = [scores[i] for i in range(20)]
+    bad = [scores[100 + i] for i in range(20)]
+    assert min(good) > max(bad)  # perfectly separable vocabulary
+
+
+def test_lr_train_partitioning_invariant(labeled_corpus, feats):
+    labels = labeled_corpus.select("doc_id", "y")
+    one = lr_train(feats.coalesce(1), labels.coalesce(1), dim=64, iters=3)
+    many = lr_train(feats.repartition(16), labels.repartition(16), dim=64, iters=3)
+    assert one == many  # fixed-point gradients: bit-identical weights
+
+
+def test_lr_score_featureless_doc_gets_bias(spark, labeled_corpus, feats):
+    labels = labeled_corpus.select("doc_id", "y")
+    w = lr_train(feats, labels, dim=64, iters=2)
+    import math
+
+    extra = spark.createDataFrame([(999,)], "doc_id long")
+    docs = labeled_corpus.select("doc_id").unionByName(extra)
+    scores = {r["doc_id"]: r["score"] for r in lr_score(feats, w, docs).collect()}
+    expect = 1.0 / (1.0 + math.exp(-w[-1]))
+    assert scores[999] == pytest.approx(expect, abs=1e-12)
+
+
+def test_lr_empty_labels_raise(spark, feats):
+    empty = spark.createDataFrame([], "doc_id long, y int")
+    with pytest.raises(ValueError, match="empty"):
+        lr_train(feats, empty, dim=64)
