@@ -1601,6 +1601,146 @@ ORDER BY score DESC, doc_id LIMIT {_DSIR_KEEP}
 )
 
 
+_ZIPF_TOPK = 100
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-exponent fit of the corpus token distribution (OLS on
+    log-log rank/frequency over the top-100 head — TakeOrdered, no
+    global sort).  A corpus-health statistic: natural text ≈ 1."""
+    from csp_gateway_spark.operators.corpus import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    out = zipf_fit(docs, topk=_ZIPF_TOPK)
+    return out.select(
+        "n_fit",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("zipf_exponent", 6).alias("zipf_exponent"),
+    )
+
+
+ORACLE_ZIPF_FIT = f"""
+WITH tok AS (
+  SELECT unnest({_SQL_TOKS.replace("trim(lower(text))", "{norm}")}) AS token FROM documents
+), cnt AS (
+  SELECT token, COUNT(*) AS n FROM tok GROUP BY 1
+), head AS (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+  FROM cnt QUALIFY rank <= {_ZIPF_TOPK}
+), xy AS (
+  SELECT rank, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM head
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         list_sum(list(x ORDER BY rank)) AS sx,
+         list_sum(list(y ORDER BY rank)) AS sy,
+         list_sum(list(x * y ORDER BY rank)) AS sxy,
+         list_sum(list(x * x ORDER BY rank)) AS sxx
+  FROM xy
+)
+SELECT k AS n_fit,
+       round((CAST(k AS DOUBLE) * sxy - sx * sy) / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+       round((sy - ((CAST(k AS DOUBLE) * sxy - sx * sy) / (CAST(k AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(k AS DOUBLE), 6) AS intercept,
+       round(-((CAST(k AS DOUBLE) * sxy - sx * sy) / (CAST(k AS DOUBLE) * sxx - sx * sx)), 6) AS zipf_exponent
+FROM s
+""".replace("{norm}", _SQL_NORM)
+
+
+_SNP_K = 12
+_PR_DAMP = 0.85
+_PR_ITERS = 2
+
+
+def _snp_sql_prefix() -> str:
+    """Shared candidate-pair CTE: docs sharing ≥1 token 12-gram
+    (mirrors dedup.shared_ngram_pairs)."""
+    return f"""
+WITH shs AS (
+  SELECT doc_id, unnest({_sql_shingles(_SNP_K)}) AS s FROM documents
+), hh AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shs
+), cpairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id < b.doc_id
+)
+"""
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify over exact-blocking candidates: pairs
+    sharing a 12-gram, scored by JVM-side Levenshtein (O(len²) only on
+    candidates, never the corpus square)."""
+    from csp_gateway_spark.operators.dedup import edit_verify, shared_ngram_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = shared_ngram_pairs(docs, k=_SNP_K)
+    out = edit_verify(pairs, docs, threshold=1.0)
+    return out.select(
+        "id_a", "id_b", "dist", F.round("sim", 6).alias("sim")
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_EDIT_DISTANCE_PAIRS = (
+    _snp_sql_prefix()
+    + """
+SELECT p.id_a, p.id_b,
+       CAST(levenshtein(da.text, db.text) AS INT) AS dist,
+       round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                   / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE), 6) AS sim
+FROM cpairs p
+JOIN documents da ON p.id_a = da.doc_id
+JOIN documents db ON p.id_b = db.doc_id
+ORDER BY p.id_a, p.id_b
+"""
+)
+
+
+def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the shared-12-gram similarity graph
+    (2 unrolled rounds; src-ordered folds make ranks engine-exact) —
+    template-hub detection for the dedup family."""
+    from csp_gateway_spark.operators.corpus import pagerank
+    from csp_gateway_spark.operators.dedup import shared_ngram_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = shared_ngram_pairs(docs, k=_SNP_K)
+    out = pagerank(edges, iters=_PR_ITERS, damping=_PR_DAMP)
+    return out.select("node", F.round("pr", 6).alias("pr")).orderBy("node")
+
+
+def _oracle_pagerank_docs() -> str:
+    d = _PR_DAMP
+    tele = repr(1.0 - d)  # exact IEEE round-trip of Python's 1.0 - 0.85
+    body = f"""
+, e0 AS (
+  SELECT id_a AS src, id_b AS dst FROM cpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cpairs
+), dg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM e0),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+p0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)
+"""
+    for it in range(1, _PR_ITERS + 1):
+        prev = f"p{it - 1}"
+        body += f"""
+, c{it} AS (
+  SELECT e0.src, e0.dst, {prev}.pr / CAST(dg.deg AS DOUBLE) AS c
+  FROM e0 JOIN {prev} ON e0.src = {prev}.node JOIN dg ON e0.src = dg.src
+), s{it} AS (
+  SELECT dst AS node, list_sum(list(c ORDER BY src)) AS s FROM c{it} GROUP BY 1
+), p{it} AS (
+  SELECT nodes.node, {tele} / nn.n + {d} * COALESCE(s{it}.s, 0.0) AS pr
+  FROM nodes LEFT JOIN s{it} USING (node), nn
+)
+"""
+    return (
+        _snp_sql_prefix()
+        + body
+        + f"\nSELECT node, round(pr, 6) AS pr FROM p{_PR_ITERS} ORDER BY node\n"
+    )
+
+
 _LRQ_DIM = 64
 _LRQ_ITERS = 2
 
@@ -3416,6 +3556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_quantiles": q_hdr_quantiles,
         "lr_quality_weights": q_lr_quality_weights,
         "lr_quality_scores": q_lr_quality_scores,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "pagerank_docs": q_pagerank_docs,
+        "zipf_fit": q_zipf_fit,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -3519,6 +3662,9 @@ def oracle_sql() -> dict[str, str]:
         "hdr_quantiles": _oracle_hdr_quantiles(),
         "lr_quality_weights": _oracle_lr_quality_weights(),
         "lr_quality_scores": _oracle_lr_quality_scores(),
+        "edit_distance_pairs": ORACLE_EDIT_DISTANCE_PAIRS,
+        "pagerank_docs": _oracle_pagerank_docs(),
+        "zipf_fit": ORACLE_ZIPF_FIT,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,

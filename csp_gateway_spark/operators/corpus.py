@@ -615,3 +615,129 @@ w{r} AS MATERIALIZED (
     ]
     parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY merge_rank")
     return "\n".join(parts)
+
+
+def zipf_fit(
+    df: DataFrame,
+    topk: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS of
+    ln(freq) on ln(rank) over the ``topk`` most frequent tokens.
+    Returns one row ``(n_fit, slope, intercept, zipf_exponent)`` with
+    ``zipf_exponent = −slope`` (≈1 for natural language; a corpus that
+    drifts far from 1 signals boilerplate/spam/synthetic text — a
+    cheap corpus-health statistic).
+
+    Plan: ONE token-count shuffle → ``TakeOrdered(topk)`` (never a
+    global sort — the head is all a Zipf fit uses) → a row_number
+    window over the collected-size ``topk`` rows only → the four OLS
+    sums as RANK-ORDERED folds (partitioning-invariant,
+    engine-reproducible doubles; a plain SUM aggregate would drift
+    with the shuffle).
+    """
+    from pyspark.sql.window import Window
+
+    counts = token_rows(df, text_col, id_col).groupBy("token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    head = counts.orderBy(F.desc("n"), F.asc("token")).limit(int(topk))
+    # window over ≤ topk rows — bounded by construction
+    rank = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token")))
+    xy = head.select(
+        rank.alias("rank"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    ).select("rank", F.log(F.col("rank").cast("double")).alias("x"), "y")
+    folded = xy.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.array_sort(F.collect_list(F.struct("rank", "x", "y"))).alias("_v"),
+    )
+    fold = lambda expr: F.aggregate(F.col("_v"), F.lit(0.0), expr)  # noqa: E731
+    sums = folded.select(
+        "k",
+        fold(lambda acc, s: acc + s["x"]).alias("sx"),
+        fold(lambda acc, s: acc + s["y"]).alias("sy"),
+        fold(lambda acc, s: acc + s["x"] * s["y"]).alias("sxy"),
+        fold(lambda acc, s: acc + s["x"] * s["x"]).alias("sxx"),
+    )
+    kd = F.col("k").cast("double")
+    slope = (kd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        kd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("k").alias("n_fit"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / kd).alias("intercept"),
+        (-slope).alias("zipf_exponent"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    directed: bool = False,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PageRank over the node set appearing in ``edges`` — centrality
+    for similarity graphs (e.g. ``shared_ngram_pairs`` /
+    ``minhash_lsh_pairs`` output): high-rank docs are template hubs,
+    useful both for picking cluster representatives and for spotting
+    boilerplate.
+
+    Undirected edges are symmetrized, so every node has out-degree ≥ 1
+    (no dangling mass).  Per round: one join of ranks onto edges and
+    one groupBy(dst) — the per-node Σ is a SRC-ORDERED fold (never a
+    double SUM aggregate), so ranks are partitioning-invariant and
+    engine-reproducible; teleport ``(1−d)/n`` uses a 1-row broadcast
+    count (no driver action).  Lineage is cut every
+    ``checkpoint_every`` rounds (``localCheckpoint``, same as
+    ``connected_components``) so long runs stay plan-bounded.
+    Returns (node, pr).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    d = float(damping)
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("pr")
+    )
+    for it in range(iters):
+        contrib = (
+            e.join(pr, e["src"] == pr["node"])
+            .join(deg, "src")
+            .select("src", "dst", (F.col("pr") / F.col("_deg").cast("double")).alias("_c"))
+        )
+        summed = (
+            contrib.groupBy("dst")
+            .agg(F.array_sort(F.collect_list(F.struct("src", "_c"))).alias("_vs"))
+            .select(
+                F.col("dst").alias("node"),
+                F.aggregate(
+                    F.col("_vs"), F.lit(0.0), lambda acc, s: acc + s["_c"]
+                ).alias("_sum"),
+            )
+        )
+        pr = (
+            nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - F.lit(d)) / F.col("_n")
+                    + F.lit(d) * F.coalesce(F.col("_sum"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            pr = pr.localCheckpoint()
+    return pr

@@ -736,3 +736,65 @@ def drop_repeated_spans(
             ).cast("long").alias("n_dropped"),
         )
     )
+
+
+def shared_ngram_pairs(
+    df: DataFrame,
+    k: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) of documents sharing at least one
+    token k-gram — the cheapest exact blocking generator (tight k ⇒
+    few collisions).  Plan: per-doc DISTINCT shingle hashes (one
+    map-side-combined projection) self-joined ON the 60-bit hash —
+    shuffle keyed on the shingle hash, candidate cost ∝ collisions,
+    never O(n²).  Feed the pairs to a verifier (``edit_verify``,
+    ``ngram_jaccard_pairs``) or a graph step (``pagerank``,
+    ``connected_components``)."""
+    sh = (
+        shingle_rows(df, text_col, id_col, k)
+        .select(F.col(id_col), _md5_base15(F.col("_s")).alias("_h"))
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), "_h")
+    b = sh.select(F.col(id_col).alias("id_b"), "_h")
+    return (
+        a.join(b, "_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def edit_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance verification of candidate pairs: normalized
+    Levenshtein ``lev(a, b) / max(len(a), len(b))`` ≤ ``threshold``.
+    The O(len²) distance runs ONLY on candidate pairs (bounded by the
+    blocking stage, never the corpus square) and entirely JVM-side
+    (``F.levenshtein`` — no Python).  Integer distance + one double
+    division ⇒ engine-exact (DuckDB ``levenshtein`` is the same unit-
+    cost metric).  Returns (id_a, id_b, dist, sim) with
+    ``sim = 1 − normalized distance``."""
+    t = docs.select(F.col(id_col), F.col(text_col))
+    a = t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    b = t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    dist = F.levenshtein("_ta", "_tb")
+    denom = F.greatest(F.length("_ta"), F.length("_tb"))
+    norm = dist.cast("double") / denom.cast("double")
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            dist.alias("dist"),
+            (F.lit(1.0) - norm).alias("sim"),
+        )
+        .filter(F.lit(1.0) - F.col("sim") <= F.lit(float(threshold)))
+    )

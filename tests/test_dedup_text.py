@@ -221,3 +221,83 @@ def test_drop_repeated_spans_masks_and_counts(spark):
     assert out[1]["text"] == "alpha omega" and out[1]["n_dropped"] == 8
     assert out[2]["text"] == "" and out[2]["n_dropped"] == 8
     assert out[3]["n_dropped"] == 0 and "unique" in out[3]["text"]
+
+
+# ---------------------------------------------------------------------------
+# shared_ngram_pairs + edit_verify (dedup.py) / pagerank + zipf_fit (corpus.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def blocky_docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    rows = [
+        (1, base),
+        (2, base + " extra tail words here"),   # shares the full 12-gram with 1
+        (3, "totally different content with no overlap at all whatsoever now"),
+        (4, base.replace("alpha", "omega")),     # 12-gram broken at position 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shared_ngram_pairs_blocks_correctly(blocky_docs):
+    from csp_gateway_spark.operators.dedup import shared_ngram_pairs
+
+    pairs = {(r["id_a"], r["id_b"]) for r in shared_ngram_pairs(blocky_docs, k=12).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_edit_verify_distance_and_threshold(blocky_docs):
+    from csp_gateway_spark.operators.dedup import edit_verify, shared_ngram_pairs
+
+    pairs = shared_ngram_pairs(blocky_docs, k=12)
+    out = {(r["id_a"], r["id_b"]): (r["dist"], r["sim"]) for r in
+           edit_verify(pairs, blocky_docs, threshold=1.0).collect()}
+    d12, s12 = out[(1, 2)]
+    assert d12 == len(" extra tail words here")  # pure suffix insert
+    assert 0 < s12 < 1
+    # tight threshold drops the pair (23/83 ≈ 0.28 normalized distance)
+    tight = edit_verify(pairs, blocky_docs, threshold=0.1).collect()
+    assert all((r["id_a"], r["id_b"]) != (1, 2) for r in tight)
+
+
+def test_pagerank_star_graph(spark):
+    from csp_gateway_spark.operators.corpus import pagerank
+
+    # hub 0 connected to leaves 1..5
+    edges = spark.createDataFrame([(0, i) for i in range(1, 6)], "id_a long, id_b long")
+    pr = {r["node"]: r["pr"] for r in pagerank(edges, iters=10).collect()}
+    assert pr[0] > max(pr[i] for i in range(1, 6))  # hub dominates
+    assert abs(sum(pr.values()) - 1.0) < 1e-9  # probability mass conserved
+    leaves = [pr[i] for i in range(1, 6)]
+    assert max(leaves) - min(leaves) < 1e-15  # symmetry
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from csp_gateway_spark.operators.corpus import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 50) for i in range(200) if i != (i * 7 + 3) % 50],
+        "id_a long, id_b long",
+    )
+    one = {(r["node"], r["pr"]) for r in pagerank(edges.coalesce(1), iters=3).collect()}
+    many = {(r["node"], r["pr"]) for r in pagerank(edges.repartition(16), iters=3).collect()}
+    assert one == many  # ordered folds: bit-identical ranks
+
+
+def test_zipf_fit_recovers_exponent(spark):
+    from csp_gateway_spark.operators.corpus import zipf_fit
+
+    # synthetic corpus with freq(rank) ∝ rank^-1 over 200 token types
+    rows = []
+    did = 0
+    for rank in range(1, 201):
+        n = max(1, int(10000 / rank))
+        for rep in range(n):
+            rows.append((did, f"tok{rank:03d}"))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = zipf_fit(df, topk=100).collect()[0]
+    assert got["n_fit"] == 100
+    assert 0.9 < got["zipf_exponent"] < 1.1  # recovers the 1/rank law
