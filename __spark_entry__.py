@@ -1601,6 +1601,85 @@ ORDER BY score DESC, doc_id LIMIT {_DSIR_KEEP}
 )
 
 
+_EPOCHS = {"src13": 2.4, "src8": 0.5}
+
+
+def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch mixture materialization: src13 repeated ~2.4×,
+    src8 kept at ~0.5×, everything else 1× — deterministic hash
+    thresholds, pure projection plan (explode only)."""
+    from csp_gateway_spark.operators.curation import epoch_upsample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = epoch_upsample(docs, _EPOCHS, seed=23)
+    return out.select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+
+
+ORACLE_EPOCH_UPSAMPLE = """
+WITH base AS (
+  SELECT doc_id, source,
+         CASE WHEN source = 'src13' THEN CAST(2.4 AS DOUBLE)
+              WHEN source = 'src8'  THEN CAST(0.5 AS DOUBLE)
+              ELSE CAST(1.0 AS DOUBLE) END AS e,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':23'), 1, 15))::BIGINT AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         CAST(floor(e) AS BIGINT)
+         + CASE WHEN h < CAST(floor((e - floor(e)) * 1152921504606846976.0) AS BIGINT)
+                THEN 1 ELSE 0 END AS copies
+  FROM base
+)
+SELECT doc_id, source, CAST(rep AS BIGINT) AS epoch
+FROM c, unnest(generate_series(1, copies)) r(rep)
+WHERE copies > 0
+ORDER BY doc_id, epoch
+"""
+
+
+_PMI_MIN = 5
+_PMI_TOPK = 50
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PMI adjacent word pairs (collocations) — the phrases a
+    tokenizer should keep whole.  Two count shuffles + TakeOrdered."""
+    from csp_gateway_spark.operators.corpus import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pmi_collocations(docs, min_count=_PMI_MIN, topk=_PMI_TOPK)
+    return out.select(
+        "w1", "w2", "c12", F.round("pmi", 6).alias("pmi")
+    ).orderBy("w1", "w2")
+
+
+ORACLE_PMI_COLLOCATIONS = f"""
+WITH tk AS (
+  SELECT doc_id, {_SQL_TOKS.replace("trim(lower(text))", "{norm}")} AS t FROM documents
+), big AS (
+  SELECT t[j] AS w1, t[j + 1] AS w2
+  FROM tk, unnest(range(1, len(t))) r(j)
+), c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY 1, 2
+), c1 AS (
+  SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM big),
+scored AS (
+  SELECT c12.w1, c12.w2, c12.c12,
+         ln((nn.n * CAST(c12.c12 AS DOUBLE))
+            / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))) AS pmi
+  FROM c12
+  JOIN c1 a ON c12.w1 = a.token
+  JOIN c1 b ON c12.w2 = b.token, nn
+  WHERE c12.c12 >= {_PMI_MIN}
+)
+SELECT w1, w2, c12, round(pmi, 6) AS pmi FROM (
+  SELECT * FROM scored ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOPK}
+)
+""".replace("{norm}", _SQL_NORM)
+
+
 _ZIPF_TOPK = 100
 
 
@@ -3559,6 +3638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "pagerank_docs": q_pagerank_docs,
         "zipf_fit": q_zipf_fit,
+        "pmi_collocations": q_pmi_collocations,
+        "epoch_upsample": q_epoch_upsample,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -3665,6 +3746,8 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_pairs": ORACLE_EDIT_DISTANCE_PAIRS,
         "pagerank_docs": _oracle_pagerank_docs(),
         "zipf_fit": ORACLE_ZIPF_FIT,
+        "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
+        "epoch_upsample": ORACLE_EPOCH_UPSAMPLE,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,

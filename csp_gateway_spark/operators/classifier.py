@@ -240,3 +240,33 @@ SELECT {dim} AS bucket, round(b, 6) + 0.0 AS w FROM {prev_b}
 ORDER BY bucket"""
     )
     return "\n".join(parts)
+
+
+def lr_score_expr(weights: Sequence[float], text_col: str = "text") -> "F.Column":
+    """Per-ROW scoring column — the stateless (streaming-safe) face of
+    ``lr_score``: weights inline as a literal array and the margin is
+    a token-ordered fold ``bias + Σ_t w[bucket(t)]`` (equal in value
+    to Σ_b tf_b·w_b; summation order differs from ``lr_score``'s
+    bucket-ordered fold, so expect ≈1e-12 relative float skew between
+    the two faces — each face is individually deterministic).
+
+    No groupBy, no join, no state: usable directly in a Structured
+    Streaming projection as a live quality filter
+    (``stream.withColumn("q", lr_score_expr(w)).filter("q > 0.5")``).
+    """
+    from csp_gateway_spark.operators.dedup import _md5_base
+    from csp_gateway_spark.operators.text import normalize_text, tokens
+
+    dim = len(weights) - 1
+    bias = float(weights[-1])
+    warr = F.lit([float(w) for w in weights[:dim]]).cast("array<double>")
+    toks = F.filter(
+        tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit("")
+    )
+    contrib = F.transform(
+        toks, lambda t: F.element_at(warr, (_md5_base(t) % F.lit(dim)).cast("int") + F.lit(1))
+    )
+    margin = F.lit(bias) + F.aggregate(
+        contrib, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))

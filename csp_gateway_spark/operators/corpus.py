@@ -741,3 +741,49 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             pr = pr.localCheckpoint()
     return pr
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    topk: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    ``pmi(w1, w2) = ln(N·c12 / (c1·c2))`` over adjacent word pairs
+    with ``c12 ≥ min_count`` (the standard collocation statistic —
+    Church & Hanks 1990 — and a cheap tokenizer-vocabulary signal:
+    high-PMI pairs are the phrases a BPE/unigram tokenizer should not
+    split).
+
+    Plan: ONE bigram-count shuffle + ONE unigram-count shuffle (both
+    map-side combined), two broadcast-sized joins of the filtered
+    bigram head against the unigram table, TakeOrdered(topk).  N (the
+    bigram total) is a 1-row broadcast aggregate — no driver action.
+    The PMI expression is a single double product/quotient — exact on
+    any engine; ranking ties break on (w1, w2).
+    """
+    big = bigram_rows(df, text_col, id_col)
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # unigram counts from the SAME bigram stream (left position) plus
+    # each doc's final token: count token occurrences directly instead
+    c1 = token_rows(df, text_col, id_col).groupBy("token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ntot = big.agg(F.count(F.lit(1)).cast("double").alias("_N"))
+    head = c12.filter(F.col("c12") >= int(min_count))
+    joined = (
+        head.join(c1.select(F.col("token").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(c1.select(F.col("token").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(ntot))
+    )
+    pmi = F.log(
+        (F.col("_N") * F.col("c12").cast("double"))
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    )
+    return (
+        joined.select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(int(topk))
+    )

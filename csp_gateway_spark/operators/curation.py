@@ -647,3 +647,43 @@ def dsir_sample(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(int(n_keep))
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    epochs: Dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 23,
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Fractional-epoch upsampling: repeat every row of source ``s``
+    ``floor(epochs[s])`` times plus one more copy with probability
+    ``frac(epochs[s])`` — how a pretraining mixture realizes "2.4
+    epochs of books, 0.7 of web" as a materialized dataset (the
+    deterministic half of the mixture story; ``temperature_mix``
+    derives the target rates, this op applies them).
+
+    The fractional copy keeps a row iff its seeded 60-bit hash falls
+    under ``floor(frac·2^60)`` — deterministic, resumable, engine-
+    portable (the ``stratified_sample`` family).  Output adds an
+    ``epoch`` index (1..copies) so downstream shuffles can spread the
+    replicas.  Plan: broadcast rate lookup (a WHEN chain — no join) +
+    ``explode(sequence(...))`` — a pure scan-local projection, no
+    shuffle; output size is the only cost, exactly as at 100 TB.
+    """
+    for name, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epochs for {name!r} must be >= 0, got {e}")
+    e_col: Column = F.lit(float(default_epochs))
+    for name, e in sorted(epochs.items()):
+        e_col = F.when(F.col(source_col) == name, F.lit(float(e))).otherwise(e_col)
+    h = sample_hash(F.col(id_col), seed)
+    frac_thresh = F.floor((e_col - F.floor(e_col)) * F.lit(HASH60_SPACE)).cast("long")
+    copies = F.floor(e_col).cast("long") + F.when(h < frac_thresh, 1).otherwise(0)
+    return (
+        df.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .drop("_copies")
+    )

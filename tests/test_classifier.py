@@ -62,3 +62,56 @@ def test_lr_empty_labels_raise(spark, feats):
     empty = spark.createDataFrame([], "doc_id long, y int")
     with pytest.raises(ValueError, match="empty"):
         lr_train(feats, empty, dim=64)
+
+
+def test_lr_score_expr_matches_sparse_face(labeled_corpus, feats):
+    """The stateless expression face scores ≈ the sparse-join face
+    (same value, different float fold order)."""
+    from csp_gateway_spark.operators.classifier import lr_score_expr
+
+    labels = labeled_corpus.select("doc_id", "y")
+    w = lr_train(feats, labels, dim=64, iters=3)
+    dense = {
+        r["doc_id"]: r["s"]
+        for r in labeled_corpus.select(
+            "doc_id", lr_score_expr(w).alias("s")
+        ).collect()
+    }
+    sparse = {r["doc_id"]: r["score"] for r in lr_score(feats, w, labeled_corpus).collect()}
+    for k in sparse:
+        assert dense[k] == pytest.approx(sparse[k], rel=1e-9)
+
+
+def test_lr_score_expr_streaming_matches_batch(spark, tmp_path, labeled_corpus, feats):
+    """The scorer runs unchanged in a streaming projection and emits
+    the same scores the batch expression computes."""
+    import json
+
+    from csp_gateway_spark.operators.classifier import lr_score_expr
+
+    labels = labeled_corpus.select("doc_id", "y")
+    w = lr_train(feats, labels, dim=64, iters=2)
+    src = tmp_path / "lrstream"
+    src.mkdir()
+    texts = [(r["doc_id"], r["text"]) for r in labeled_corpus.collect()][:10]
+    with open(src / "b.json", "w") as f:
+        for did, txt in texts:
+            f.write(json.dumps({"doc_id": did, "text": txt}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    got = []
+    q = (
+        stream.select("doc_id", lr_score_expr(w).alias("s"))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_lr"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch = {
+        r["doc_id"]: r["s"]
+        for r in labeled_corpus.limit(10).select("doc_id", lr_score_expr(w).alias("s")).collect()
+    }
+    assert {r["doc_id"]: r["s"] for r in got} == batch  # bit-identical

@@ -558,3 +558,50 @@ def test_dsir_sample_plan_is_take_ordered(dsir_corpus):
     target = dsir_corpus.filter(F.col("source") == "tgt")
     plan = dsir_sample(dsir_corpus, target, 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_epoch_upsample_counts_and_determinism(spark):
+    from csp_gateway_spark.operators.curation import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(i, "books" if i < 1000 else "web") for i in range(3000)],
+        "doc_id long, source string",
+    )
+    out = epoch_upsample(df, {"books": 2.4, "web": 0.5}, seed=23)
+    rows = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in rows}
+    # books: 1000 docs × 2.4 epochs ≈ 2400; web: 2000 × 0.5 ≈ 1000
+    assert 2250 <= by_src["books"] <= 2550
+    assert 880 <= by_src["web"] <= 1120
+    again = epoch_upsample(df, {"books": 2.4, "web": 0.5}, seed=23)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # epoch indices are dense 1..copies per doc
+    per_doc = out.filter(F.col("doc_id") == 0).select("epoch").collect()
+    assert sorted(r["epoch"] for r in per_doc) == list(range(1, len(per_doc) + 1))
+
+
+def test_epoch_upsample_default_and_zero(spark):
+    from csp_gateway_spark.operators.curation import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "drop")], "doc_id long, source string"
+    )
+    out = epoch_upsample(df, {"drop": 0.0}, seed=5).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 2]  # default 1.0 keeps one copy; 0.0 drops
+    with pytest.raises(ValueError, match=">= 0"):
+        epoch_upsample(df, {"a": -1.0})
+
+
+def test_pmi_collocations_finds_fixed_phrase(spark):
+    from csp_gateway_spark.operators.corpus import pmi_collocations
+
+    # "kuala lumpur" always adjacent; filler bigrams are all unique so
+    # they fall under min_count and only the true collocation survives
+    rows = [
+        (i, f"flr{i} kuala lumpur flr{(i + 3) % 10} flr{(i + 7) % 10}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=5, topk=5).collect()
+    assert [(r["w1"], r["w2"]) for r in out] == [("kuala", "lumpur")]
