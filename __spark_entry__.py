@@ -1601,6 +1601,86 @@ ORDER BY score DESC, doc_id LIMIT {_DSIR_KEEP}
 )
 
 
+_IDX_HASHES = 16
+_IDX_BANDS = 8
+_IDX_ROWS = _IDX_HASHES // _IDX_BANDS
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: the 1-in-5 "new batch" probes the LSH
+    band index of the other 4/5 "existing corpus" — candidates found
+    without rescanning the corpus (the daily-ingest shape)."""
+    from csp_gateway_spark.operators.dedup import dedup_index, dedup_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = dedup_index(existing, _IDX_HASHES, _IDX_BANDS, oracle_safe=True)
+    out = dedup_probe(batch, idx, _IDX_HASHES, _IDX_BANDS, oracle_safe=True)
+    return out.orderBy("new_id", "matched_id")
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles()} AS s FROM documents
+), sig AS (
+  SELECT doc_id, list_transform(range(0, {_IDX_HASHES}), seed ->
+    list_min(list_transform(s, sx -> {_sql_affine_minhash(_IDX_HASHES, elem="sx")}))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, band,
+         array_to_string(sig[band*{_IDX_ROWS}+1 : band*{_IDX_ROWS}+{_IDX_ROWS}], '|') AS bh
+  FROM sig, (SELECT unnest(range(0, {_IDX_BANDS})) AS band) bs
+)
+SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS matched_id
+FROM banded n JOIN banded e ON n.band = e.band AND n.bh = e.bh
+WHERE n.doc_id % 5 = 0 AND e.doc_id % 5 != 0
+ORDER BY new_id, matched_id
+"""
+
+
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc contamination audit: shingle hit fraction + max
+    distinct-train-doc count.  Corpus reduces to a hash→count table
+    before the (small) eval side joins it."""
+    from csp_gateway_spark.operators.curation import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    out = contamination_report(corpus, eval_set, k=5)
+    return out.select(
+        "eval_id",
+        "n_shingles",
+        "n_hit",
+        F.round("hit_frac", 6).alias("hit_frac"),
+        "n_corpus_docs",
+    ).orderBy("eval_id")
+
+
+ORACLE_CONTAMINATION_REPORT = f"""
+WITH shc AS (
+  SELECT doc_id, unnest({_sql_shingles(5)}) AS s FROM documents WHERE doc_id % 97 != 0
+), ctab AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS ndocs FROM (
+    SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shc
+  ) GROUP BY h
+), she AS (
+  SELECT DISTINCT doc_id AS eval_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest({_sql_shingles(5)}) AS s FROM documents WHERE doc_id % 97 = 0)
+), j AS (
+  SELECT she.eval_id, ctab.ndocs FROM she LEFT JOIN ctab USING (h)
+)
+SELECT eval_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN ndocs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(CAST(SUM(CASE WHEN ndocs IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hit_frac,
+       CAST(MAX(COALESCE(ndocs, 0)) AS BIGINT) AS n_corpus_docs
+FROM j GROUP BY eval_id ORDER BY eval_id
+"""
+
+
 _EPOCHS = {"src13": 2.4, "src8": 0.5}
 
 
@@ -3640,6 +3720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "pmi_collocations": q_pmi_collocations,
         "epoch_upsample": q_epoch_upsample,
+        "contamination_report": q_contamination_report,
+        "dedup_incremental": q_dedup_incremental,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -3748,6 +3830,8 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": ORACLE_ZIPF_FIT,
         "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
         "epoch_upsample": ORACLE_EPOCH_UPSAMPLE,
+        "contamination_report": ORACLE_CONTAMINATION_REPORT,
+        "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,

@@ -687,3 +687,50 @@ def epoch_upsample(
         .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
         .drop("_copies")
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-EVAL-document contamination audit — the report a
+    decontamination run ships with: for every eval doc, how many of
+    its k-gram shingles appear anywhere in the training corpus, and
+    in how many distinct training documents.
+
+    Returns (eval_id, n_shingles, n_hit, hit_frac, n_corpus_docs):
+    ``hit_frac`` near 1 means the eval doc is effectively memorizable
+    from training data; ``n_corpus_docs`` distinguishes one leaked
+    copy from boilerplate shared by thousands.
+
+    Plan: corpus shingles reduce to a (hash → distinct-doc-count)
+    table FIRST (one map-side-combined groupBy — vocabulary-sized,
+    orders smaller than the corpus), then the small eval shingle set
+    joins against it on the 60-bit hash.  Cost is one corpus shingle
+    pass regardless of eval size; no O(corpus × eval) stage.
+    """
+    c_tab = (
+        shingle_rows(corpus, text_col, id_col, k)
+        .select(F.col(id_col), _md5_base15(F.col("_s")).alias("_h"))
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+    )
+    e_sh = (
+        shingle_rows(eval_set, text_col, id_col, k)
+        .select(F.col(id_col).alias("eval_id"), _md5_base15(F.col("_s")).alias("_h"))
+        .distinct()
+    )
+    joined = e_sh.join(c_tab, "_h", "left")
+    return joined.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("_ndocs").isNotNull(), 1).otherwise(0)).alias("n_hit"),
+        (
+            F.sum(F.when(F.col("_ndocs").isNotNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("hit_frac"),
+        F.max(F.coalesce(F.col("_ndocs"), F.lit(0))).alias("n_corpus_docs"),
+    )

@@ -798,3 +798,71 @@ def edit_verify(
         )
         .filter(F.lit(1.0) - F.col("sim") <= F.lit(float(threshold)))
     )
+
+
+def dedup_index(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oracle_safe: bool = False,
+) -> DataFrame:
+    """(id, band, bh): the LSH band-bucket index of a corpus — the
+    PERSISTENT half of incremental near-dedup.  Build it once over the
+    existing corpus, write it with ``persist_dedup_index``
+    (partitioned by band), and every new ingest batch probes it with
+    ``dedup_probe`` — no rescan of the old corpus, which is the only
+    workable shape when the corpus is 100 TB and the daily delta is
+    1 TB.  Same ``band_key`` as ``minhash_lsh_pairs``/streaming, so
+    all three faces agree on candidates by construction."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, oracle_safe=oracle_safe)
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_key(F.col("sig"), b, rows, oracle_safe).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bh")
+
+
+def persist_dedup_index(index: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write the band index partitioned by band: a probe that explodes
+    a batch into per-band keys joins band-partition-to-band-partition,
+    and single-band maintenance (rebuilds, compaction) prunes at the
+    file-listing level."""
+    index.write.mode(mode).partitionBy("band").parquet(path)
+
+
+def dedup_probe(
+    new_docs: DataFrame,
+    index: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oracle_safe: bool = False,
+) -> DataFrame:
+    """Probe a new batch against an existing corpus index: distinct
+    (new_id, matched_id) candidate pairs where any LSH band collides.
+    Cost ∝ batch size + collisions — the old corpus is touched only
+    through its (much smaller) band index.  Feed survivors to
+    ``ngram_jaccard_pairs``/``edit_verify`` for verification, or
+    left-anti the hit ids to admit only novel documents."""
+    probe = dedup_index(
+        new_docs, num_hashes, bands, k, text_col, id_col, oracle_safe
+    ).select(F.col(id_col).alias("new_id"), "band", "bh")
+    hits = probe.join(
+        index.select(F.col(id_col).alias("matched_id"), "band", "bh"), ["band", "bh"]
+    )
+    return hits.select("new_id", "matched_id").distinct()

@@ -605,3 +605,19 @@ def test_pmi_collocations_finds_fixed_phrase(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = pmi_collocations(df, min_count=5, topk=5).collect()
     assert [(r["w1"], r["w2"]) for r in out] == [("kuala", "lumpur")]
+
+
+def test_contamination_report_full_and_none(corpus, eval_set, spark):
+    from csp_gateway_spark.operators.curation import contamination_report
+
+    rep = {r["eval_id"]: r for r in contamination_report(corpus, eval_set, k=5).collect()}
+    # eval doc 100 shares "the quick brown fox jumps" with docs 1 and 3
+    assert rep[100]["n_hit"] >= 1
+    assert rep[100]["n_corpus_docs"] == 2  # hit shingle appears in 2 train docs
+    assert 0 < rep[100]["hit_frac"] <= 1
+    clean = spark.createDataFrame(
+        [(200, "entirely novel sentence with zero training overlap whatsoever")],
+        "doc_id long, text string",
+    )
+    rep2 = contamination_report(corpus, clean, k=5).collect()[0]
+    assert rep2["n_hit"] == 0 and rep2["hit_frac"] == 0.0 and rep2["n_corpus_docs"] == 0

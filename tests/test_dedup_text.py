@@ -301,3 +301,38 @@ def test_zipf_fit_recovers_exponent(spark):
     got = zipf_fit(df, topk=100).collect()[0]
     assert got["n_fit"] == 100
     assert 0.9 < got["zipf_exponent"] < 1.1  # recovers the 1/rank law
+
+
+def test_dedup_probe_finds_cross_batch_dup(spark, tmp_path):
+    from csp_gateway_spark.operators.dedup import (
+        dedup_index,
+        dedup_probe,
+        persist_dedup_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "unrelated existing content about shuffles and joins here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base + " ok"), (11, "fresh novel text with no duplicates at all anywhere")],
+        "doc_id long, text string",
+    )
+    idx = dedup_index(existing, num_hashes=16, bands=8)
+    hits = {(r["new_id"], r["matched_id"]) for r in dedup_probe(batch, idx, 16, 8).collect()}
+    assert (10, 1) in hits
+    assert all(n != 11 for n, _ in hits)  # novel doc matches nothing
+
+    # persisted index round-trips and the band partitioning is physical
+    path = str(tmp_path / "dedup_idx")
+    persist_dedup_index(idx, path)
+    back = spark.read.parquet(path)
+    hits2 = {
+        (r["new_id"], r["matched_id"])
+        for r in dedup_probe(batch, back.select("doc_id", "band", "bh"), 16, 8).collect()
+    }
+    assert hits2 == hits
+    import os
+
+    assert any(d.startswith("band=") for d in os.listdir(path))
