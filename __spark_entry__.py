@@ -1601,6 +1601,51 @@ ORDER BY score DESC, doc_id LIMIT {_DSIR_KEEP}
 )
 
 
+_CDC_W = 16
+_CDC_D = 64
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (LBFS-style): boundaries wherever the
+    trailing 16-char window hashes to 0 mod 64 — chunk hashes survive
+    insertions, enabling storage-level dedup.  Pure scan-local array
+    projection."""
+    from csp_gateway_spark.operators.dedup import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    out = cdc_chunks(docs, window=_CDC_W, divisor=_CDC_D)
+    return out.select("doc_id", "chunk_idx", "start", "length", "chash").orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+ORACLE_CDC_CHUNKS = f"""
+WITH c AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+), ends AS (
+  SELECT doc_id, text, n,
+    list_filter(
+      list_transform(range({_CDC_W}, greatest(n, {_CDC_W}) + 1),
+        i -> CASE WHEN i <= n AND ('0x' || substr(md5(substr(text, CAST(i AS INT) - {_CDC_W - 1}, {_CDC_W})), 1, 7))::BIGINT % {_CDC_D} = 0
+                  THEN i ELSE -1 END),
+      x -> x != -1) AS e
+  FROM c
+), cuts AS (
+  SELECT doc_id, text,
+         list_concat(list_concat([CAST(0 AS BIGINT)], e), [CAST(n AS BIGINT)]) AS cu
+  FROM ends
+), spans AS (
+  SELECT doc_id, text, CAST(j - 1 AS INT) AS chunk_idx,
+         CAST(cu[j] AS BIGINT) AS s, CAST(cu[j + 1] - cu[j] AS BIGINT) AS l
+  FROM cuts, unnest(range(1, len(cu))) r(j)
+  WHERE cu[j + 1] - cu[j] > 0
+)
+SELECT doc_id, chunk_idx, s AS start, l AS length,
+       md5(substr(text, CAST(s AS INT) + 1, CAST(l AS INT))) AS chash
+FROM spans ORDER BY doc_id, chunk_idx
+"""
+
+
 _IDX_HASHES = 16
 _IDX_BANDS = 8
 _IDX_ROWS = _IDX_HASHES // _IDX_BANDS
@@ -3722,6 +3767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_upsample": q_epoch_upsample,
         "contamination_report": q_contamination_report,
         "dedup_incremental": q_dedup_incremental,
+        "cdc_chunks": q_cdc_chunks,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -3832,6 +3878,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_upsample": ORACLE_EPOCH_UPSAMPLE,
         "contamination_report": ORACLE_CONTAMINATION_REPORT,
         "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
+        "cdc_chunks": ORACLE_CDC_CHUNKS,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,

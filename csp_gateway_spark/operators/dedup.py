@@ -866,3 +866,87 @@ def dedup_probe(
         index.select(F.col(id_col).alias("matched_id"), "band", "bh"), ["band", "bh"]
     )
     return hits.select("new_id", "matched_id").distinct()
+
+
+def cdc_chunks(
+    df: DataFrame,
+    window: int = 16,
+    divisor: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/rsync family —
+    Muthitacharoen et al. 2001): cut a document wherever the hash of
+    the trailing ``window`` chars ≡ 0 (mod ``divisor``), yielding
+    chunks of expected length ``divisor`` whose BOUNDARIES MOVE WITH
+    THE CONTENT — an insertion reshapes only the chunk it lands in,
+    so chunk-hash dedup keeps matching everything downstream (fixed
+    chunking would shift every subsequent boundary and match nothing).
+
+    This is the pure content-defined variant WITHOUT FastCDC's
+    min/max-size clamps — deliberately: the clamps make each boundary
+    depend on the previous one (sequential per doc), while the pure
+    predicate is per-position, so the whole computation is one
+    scan-local projection (array expressions, no shuffle until the
+    chunk-hash groupBy a consumer adds).  Expected chunk length is
+    still ``divisor``; pathological long chunks are possible and
+    harmless for dedup.
+
+    Returns (id, chunk_idx, start, length, chash) — ``chash`` is the
+    md5 hex of the chunk text; group by it for cross-corpus chunk
+    dedup (storage-level dedup, boilerplate extraction).  Engine-
+    portable: every hash is md5 (DuckDB mirror in the gate oracle).
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    # 1-based end positions whose trailing window hashes to 0 mod D
+    ends = F.filter(
+        F.transform(
+            F.sequence(F.lit(window), F.greatest(n, F.lit(window))),
+            lambda i: F.when(
+                (i <= n)
+                & (
+                    _md5_base(t.substr(i - F.lit(window - 1), F.lit(window)))
+                    % F.lit(divisor)
+                    == 0
+                ),
+                i,
+            ).otherwise(F.lit(-1)),
+        ),
+        lambda x: x != F.lit(-1),
+    )
+    cuts = F.concat(F.array(F.lit(0)), ends, F.array(n))
+    spans = F.filter(
+        F.zip_with(
+            F.slice(cuts, 1, F.size(cuts) - 1),
+            F.slice(cuts, 2, F.size(cuts) - 1),
+            lambda a, b: F.struct(a.alias("s"), (b - a).alias("l")),
+        ),
+        lambda sp: sp["l"] > 0,
+    )
+    return (
+        df.filter(n > 0)
+        .select(F.col(id_col), t.alias("_t"), F.posexplode(spans).alias("chunk_idx", "_sp"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("_sp.s").alias("start"),
+            F.col("_sp.l").alias("length"),
+            F.md5(F.col("_t").substr(F.col("_sp.s") + 1, F.col("_sp.l"))).alias("chash"),
+        )
+    )
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """One-row summary of chunk-level redundancy: total vs distinct
+    chunks/bytes — the dedup-ratio a CDC store would achieve.  Two
+    map-side-combined aggregates over the chunk table."""
+    per_hash = chunks.groupBy("chash").agg(
+        F.count(F.lit(1)).alias("_n"), F.first("length").alias("_l")
+    )
+    return per_hash.agg(
+        F.sum("_n").cast("long").alias("total_chunks"),
+        F.count(F.lit(1)).cast("long").alias("distinct_chunks"),
+        F.sum(F.col("_n") * F.col("_l")).cast("long").alias("total_bytes"),
+        F.sum("_l").cast("long").alias("distinct_bytes"),
+    )

@@ -336,3 +336,43 @@ def test_dedup_probe_finds_cross_batch_dup(spark, tmp_path):
     import os
 
     assert any(d.startswith("band=") for d in os.listdir(path))
+
+
+def test_cdc_chunks_survive_insertion(spark):
+    """The CDC property: prepending text changes only the first
+    chunk(s); later chunk hashes still match the original — fixed-size
+    chunking would lose every boundary."""
+    from csp_gateway_spark.operators.dedup import cdc_chunks
+
+    import random
+
+    rnd = random.Random(3)
+    body = "".join(rnd.choice("abcdefgh ") for _ in range(2000))
+    docs = spark.createDataFrame(
+        [(1, body), (2, "INSERTED-PREFIX-" + body)], "doc_id long, text string"
+    )
+    ch = cdc_chunks(docs).collect()
+    h1 = [r["chash"] for r in sorted((r for r in ch if r["doc_id"] == 1), key=lambda r: r["chunk_idx"])]
+    h2 = [r["chash"] for r in sorted((r for r in ch if r["doc_id"] == 2), key=lambda r: r["chunk_idx"])]
+    shared = set(h1) & set(h2)
+    # all but the first chunk of each doc should re-align
+    assert len(shared) >= len(h1) - 2
+    # chunks reconstruct the document exactly
+    total = sum(r["length"] for r in ch if r["doc_id"] == 1)
+    assert total == len(body)
+
+
+def test_cdc_dedup_stats(spark):
+    from csp_gateway_spark.operators.dedup import cdc_chunks, cdc_dedup_stats
+
+    import random
+
+    rnd = random.Random(9)
+    body = "".join(rnd.choice("abcdefgh ") for _ in range(1500))
+    docs = spark.createDataFrame(
+        [(1, body), (2, body)], "doc_id long, text string"  # exact duplicate
+    )
+    s = cdc_dedup_stats(cdc_chunks(docs)).collect()[0]
+    assert s["total_chunks"] == 2 * s["distinct_chunks"]
+    assert s["total_bytes"] == 2 * len(body)
+    assert s["distinct_bytes"] == len(body)
