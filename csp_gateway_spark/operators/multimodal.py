@@ -324,6 +324,34 @@ def sample_frames(
     return df.select(id_col, content_col).mapInPandas(sample, schema=schema)
 
 
+def _decode_wav_pcm(data: bytes):
+    """(rate, mono float32 samples in [-1, 1]) from RIFF/WAVE PCM
+    bytes — stdlib ``wave`` + numpy, no codec dependency (the audio
+    analogue of the stdlib PNG decoder).  Raises on non-PCM/compressed
+    WAV (wave module limitation)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype("float32") / 32768.0
+    elif width == 1:
+        arr = (np.frombuffer(frames, dtype="u1").astype("float32") - 128.0) / 128.0
+    elif width == 4:
+        arr = np.frombuffer(frames, dtype="<i4").astype("float32") / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if nch > 1:
+        arr = arr.reshape(-1, nch).mean(axis=1)
+    return rate, arr
+
+
 def decode_audio(
     df: DataFrame,
     content_col: str = "content",
@@ -331,24 +359,101 @@ def decode_audio(
     sample_rate: int = 16000,
     fake: bool = False,
 ) -> DataFrame:
-    """Audio bytes → mono PCM float array (stubbed like decode_image)."""
+    """Audio bytes → mono PCM float array + native sample rate.
+
+    RIFF/WAVE PCM decodes FOR REAL (stdlib ``wave`` + numpy — 8/16/32
+    bit, multi-channel averaged to mono, normalized to [-1, 1]); other
+    formats (mp3/ogg/flac) still need a codec absent from this
+    container and raise NotImplementedError unless ``fake=True``
+    supplies the deterministic stand-in."""
     schema = f"{id_col} long, sample_rate int, samples array<float>"
 
     def decode(batches):
         import numpy as np
         import pandas as pd
 
-        if not fake:
-            raise NotImplementedError("audio decode requires a codec (soundfile/ffmpeg), not present")
         for pdf in batches:
-            sams = []
-            for c in pdf[content_col]:
-                seed = int.from_bytes(hashlib.sha1(c or b"").digest()[:4], "big")
-                rng = np.random.default_rng(seed)
-                sams.append(rng.standard_normal(64).astype("float32").tolist())
-            yield pd.DataFrame({id_col: pdf[id_col], "sample_rate": sample_rate, "samples": sams})
+            ids, rates, sams = [], [], []
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(c or b"")
+                if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                    try:
+                        rate, arr = _decode_wav_pcm(data)
+                    except Exception:
+                        rate, arr = None, None
+                    ids.append(mid)
+                    rates.append(rate)
+                    sams.append(None if arr is None else arr.tolist())
+                elif fake:
+                    seed = int.from_bytes(hashlib.sha1(data).digest()[:4], "big")
+                    rng = np.random.default_rng(seed)
+                    ids.append(mid)
+                    rates.append(sample_rate)
+                    sams.append(rng.standard_normal(64).astype("float32").tolist())
+                else:
+                    raise NotImplementedError(
+                        "only RIFF/WAVE PCM decodes natively; compressed audio "
+                        "needs a codec (soundfile/ffmpeg), not present"
+                    )
+            yield pd.DataFrame({id_col: ids, "sample_rate": rates, "samples": sams})
 
     return df.select(id_col, content_col).mapInPandas(decode, schema=schema)
+
+
+def audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Per-file audio statistics from the REAL PCM decode: duration,
+    RMS energy, peak amplitude, zero-crossing rate — the quality/
+    silence gates an audio curation pipeline filters on.  One
+    Arrow-batched pass; undecodable rows yield NULLs."""
+    schema = (
+        f"{id_col} long, sample_rate int, n_samples long, duration_s double, "
+        "rms double, peak double, zcr double"
+    )
+
+    def feats(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("id", "rate", "n", "dur", "rms", "peak", "zcr")}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(c or b"")
+                rate = arr = None
+                if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                    try:
+                        rate, arr = _decode_wav_pcm(data)
+                    except Exception:
+                        pass
+                rows["id"].append(mid)
+                if arr is None or not len(arr):
+                    rows["rate"].append(rate)
+                    for k in ("n", "dur", "rms", "peak", "zcr"):
+                        rows[k].append(0 if k == "n" else None)
+                    continue
+                rows["rate"].append(rate)
+                rows["n"].append(len(arr))
+                rows["dur"].append(len(arr) / float(rate))
+                rows["rms"].append(float(np.sqrt(np.mean(arr.astype("float64") ** 2))))
+                rows["peak"].append(float(np.abs(arr).max()))
+                rows["zcr"].append(float(np.mean(np.signbit(arr[1:]) != np.signbit(arr[:-1]))))
+            yield pd.DataFrame(
+                {
+                    id_col: rows["id"],
+                    "sample_rate": pd.array(rows["rate"], dtype="Int32"),
+                    "n_samples": pd.array(rows["n"], dtype="Int64"),
+                    "duration_s": rows["dur"],
+                    "rms": rows["rms"],
+                    "peak": rows["peak"],
+                    "zcr": rows["zcr"],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(feats, schema=schema)
 
 
 def _jpeg_meta_bytes(data: bytes):
@@ -484,3 +589,104 @@ def wav_meta(df: DataFrame, content_col: str = "content", id_col: str = "media_i
             )
 
     return df.select(id_col, content_col).mapInPandas(walk, schema=schema)
+
+
+def image_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """64-bit perceptual difference hash (dHash) per image: decode →
+    grayscale → 9×8 nearest resize → one bit per horizontal gradient
+    sign.  Robust to re-encoding/resizing/brightness shifts, which is
+    what near-dup IMAGE dedup needs (an md5 of the bytes matches only
+    bit-identical files).  Arrow-batched mapInPandas over the same
+    stdlib PNG/BMP decoder as ``decode_image``; undecodable rows yield
+    NULL (or the deterministic fake with ``fake=True``).
+
+    Returns (id, dhash) — feed to ``dhash_pairs`` for the banded
+    near-dup join; the hash is 8 bytes/image, so a 100 TB image corpus
+    reduces to a GB-scale hash table before any pair work."""
+    schema = f"{id_col} long, dhash long"
+
+    def hashes(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        out_ids, out_h = [], []
+        for pdf in batches:
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    px = _decode_any(bytes(content), 9, 8, fake)
+                except (NotImplementedError, ValueError):
+                    out_ids.append(mid)
+                    out_h.append(None)
+                    continue
+                gray = px.astype("int64").sum(axis=2) // 3  # 8 rows × 9 cols
+                bits = (gray[:, :-1] > gray[:, 1:]).ravel()  # 64 gradient signs
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                # two's-complement into a signed 64-bit long
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                out_ids.append(mid)
+                out_h.append(h)
+            yield pd.DataFrame({id_col: out_ids, "dhash": pd.array(out_h, dtype="Int64")})
+            out_ids, out_h = [], []
+
+    return df.select(id_col, content_col).mapInPandas(hashes, schema=schema)
+
+
+def dhash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 10,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-dup image pairs from 64-bit dHashes: candidates via 16-bit
+    chunk equality (pigeonhole guarantees recall for distance ≤ 3 and
+    catches most pairs well beyond), verified with exact JVM-side
+    Hamming distance — the ``simhash_pairs`` plan shape applied to the
+    perceptual hash.  No O(n²) stage; the chunk join is keyed on the
+    16-bit value."""
+    h = hashes.filter(F.col(hash_col).isNotNull())
+    chunks = h.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col(hash_col), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, hash_col, "ck.chunk", "ck.cv")
+    pairs = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{hash_col}").alias("_ha"),
+            F.col(f"b.{hash_col}").alias("_hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .drop("_ha", "_hb")
+    )

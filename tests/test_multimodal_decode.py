@@ -220,3 +220,110 @@ def test_jpeg_meta_stops_at_scan_data(spark):
     df = spark.createDataFrame([(1, data)], "media_id long, content binary")
     row = jpeg_meta(df).collect()[0]
     assert row["width"] is None and row["height"] is None
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (multimodal.py::image_dhash/dhash_pairs)
+# ---------------------------------------------------------------------------
+
+
+def _gradient_image(w=64, h=48, noise=None, seed=0):
+    rng = np.random.RandomState(seed)
+    x = np.linspace(0, 255, w, dtype="float64")
+    px = np.tile(x, (h, 1))
+    if noise:
+        px = px + rng.uniform(-noise, noise, size=px.shape)
+    px = np.clip(px, 0, 255).astype("uint8")
+    return np.stack([px, px, px], axis=2)
+
+
+def test_dhash_robust_to_noise_and_resize(spark):
+    from csp_gateway_spark.operators.multimodal import dhash_pairs, image_dhash
+
+    imgs = [
+        (1, make_png(_gradient_image())),
+        (2, make_png(_gradient_image(noise=6, seed=1))),        # same scene, noisy
+        (3, make_png(_gradient_image(w=32, h=24))),             # same scene, smaller
+        (4, make_png(_gradient_image()[:, ::-1].copy())),       # mirrored: different
+    ]
+    df = spark.createDataFrame(imgs, "media_id long, content binary")
+    hashes = image_dhash(df)
+    hs = {r["media_id"]: r["dhash"] for r in hashes.collect()}
+    assert all(v is not None for v in hs.values())
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dhash_pairs(hashes, max_hamming=10).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs  # perceptual match survives noise+resize
+    assert (1, 4) not in pairs  # mirror flips every gradient bit
+    assert hs[1] == hs[3]  # pure resize of the same gradient: identical hash
+
+
+def test_dhash_undecodable_yields_null(spark):
+    from csp_gateway_spark.operators.multimodal import image_dhash
+
+    df = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff not actually decodable")], "media_id long, content binary"
+    )
+    out = image_dhash(df).collect()
+    assert out[0]["dhash"] is None
+
+
+def _pcm_wav(rate=8000, freq=440, n=4000, channels=1, amp=0.5):
+    """Real sine-wave PCM16 WAV bytes."""
+    t = np.arange(n) / rate
+    mono = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    if channels == 2:
+        frames = np.stack([mono, mono], axis=1).tobytes()
+    else:
+        frames = mono.tobytes()
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_decode_audio_real_pcm(spark):
+    from csp_gateway_spark.operators.multimodal import decode_audio
+
+    df = spark.createDataFrame(
+        [(1, _pcm_wav()), (2, _pcm_wav(channels=2))], "media_id long, content binary"
+    )
+    out = {r["media_id"]: r for r in decode_audio(df).collect()}
+    assert out[1]["sample_rate"] == 8000
+    assert len(out[1]["samples"]) == 4000
+    # stereo averaged to mono: identical channels -> same waveform
+    assert out[2]["samples"][:10] == pytest.approx(out[1]["samples"][:10], abs=1e-4)
+    assert max(out[1]["samples"]) == pytest.approx(0.5, abs=0.01)
+
+
+def test_audio_features_sine_statistics(spark):
+    from csp_gateway_spark.operators.multimodal import audio_features
+
+    df = spark.createDataFrame(
+        [(1, _pcm_wav(rate=8000, freq=440, n=8000, amp=0.5)), (2, b"not audio at all")],
+        "media_id long, content binary",
+    )
+    out = {r["media_id"]: r for r in audio_features(df).collect()}
+    a = out[1]
+    assert a["duration_s"] == pytest.approx(1.0)
+    # sine RMS = amp/sqrt(2); ZCR = 2*freq/rate
+    assert a["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=0.01)
+    assert a["zcr"] == pytest.approx(2 * 440 / 8000, rel=0.05)
+    assert out[2]["rms"] is None and out[2]["n_samples"] == 0
+
+
+def test_decode_audio_non_wav_raises_without_fake(spark):
+    from csp_gateway_spark.operators.multimodal import decode_audio
+
+    df = spark.createDataFrame([(1, b"ID3 mp3-ish")], "media_id long, content binary")
+    import py4j
+
+    with pytest.raises(Exception):
+        decode_audio(df).collect()
+    # fake path still deterministic
+    out = decode_audio(df, fake=True).collect()
+    assert len(out[0]["samples"]) == 64
