@@ -1601,6 +1601,38 @@ ORDER BY score DESC, doc_id LIMIT {_DSIR_KEEP}
 )
 
 
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake detection: per-doc count of UTF-8-as-Latin-1 artifact
+    sequences — all-native regexp, single scan."""
+    from csp_gateway_spark.operators.text import encoding_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    out = encoding_quality(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_mojibake").cast("long").alias("n_mojibake"),
+        F.round("mojibake_per_kchar", 6).alias("mojibake_per_kchar"),
+        "has_replacement",
+    ).orderBy("doc_id")
+
+
+def _oracle_encoding_quality() -> str:
+    from csp_gateway_spark.operators.text import _MOJIBAKE_RE
+
+    return f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '{_MOJIBAKE_RE}')) AS BIGINT) AS n_mojibake,
+       round(CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '{_MOJIBAKE_RE}')) AS DOUBLE)
+                       * 1000.0 / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS mojibake_per_kchar,
+       contains(text, '�') AS has_replacement
+FROM documents ORDER BY doc_id
+"""
+
+
 _CDC_W = 16
 _CDC_D = 64
 
@@ -3768,6 +3800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": q_contamination_report,
         "dedup_incremental": q_dedup_incremental,
         "cdc_chunks": q_cdc_chunks,
+        "encoding_quality": q_encoding_quality,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -3879,6 +3912,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_report": ORACLE_CONTAMINATION_REPORT,
         "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
         "cdc_chunks": ORACLE_CDC_CHUNKS,
+        "encoding_quality": _oracle_encoding_quality(),
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,

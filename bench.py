@@ -110,6 +110,22 @@ HEADLINE = [
     "bpe_train",
     "substring_spans",
     "length_quantiles",
+    "dsir_weights",
+    "dsir_sample",
+    "pq_codes",
+    "pq_search",
+    "hdr_quantiles",
+    "lr_quality_weights",
+    "lr_quality_scores",
+    "edit_distance_pairs",
+    "pagerank_docs",
+    "zipf_fit",
+    "pmi_collocations",
+    "epoch_upsample",
+    "contamination_report",
+    "dedup_incremental",
+    "cdc_chunks",
+    "encoding_quality",
 ]
 
 

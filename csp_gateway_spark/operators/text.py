@@ -242,3 +242,47 @@ def length_quantiles(
         name = f"q{round(p * 100)}"
         cols.append(F.round(F.element_at("_q", i + 1), 6).alias(name))
     return agg.select(*cols)
+
+
+# common UTF-8-decoded-as-Latin-1 artifact sequences (ftfy's core
+# signal): an '\u00c3'/'\u00c2'/'\u00e2'/'\u00f0' lead byte followed by a
+# Latin-1 continuation char, plus the replacement char U+FFFD
+_MOJIBAKE_RE = (
+    "(\u00c3[\u0080-\u00bf]|\u00c2[\u00a0-\u00bf]|"
+    "\u00e2[\u0080-\u00bf][\u0080-\u00bf]|"
+    "\u00f0[\u0080-\u00bf]|\ufffd)"
+)
+
+
+def encoding_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mojibake / broken-encoding score per document — the cheap
+    native-expression version of ftfy's detector: count UTF-8-decoded-
+    as-Latin-1 artifact sequences (\u00c3\u00a9 for \u00e9, \u00e2\u0080\u0099 for
+    a curly quote, U+FFFD, ...) and normalize per kilochar.
+    Web-scraped corpora carry double-encoded text that poisons
+    tokenizers; ``mojibake_per_kchar > 1`` is a standard curation
+    gate.
+
+    100 % JVM expressions (regexp_count) — single scan, no shuffle,
+    engine-portable (DuckDB ``len(regexp_extract_all(...))``).
+    Returns (id, n_chars, n_mojibake, mojibake_per_kchar,
+    has_replacement)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_moji = F.regexp_count(t, F.lit(_MOJIBAKE_RE))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_moji.alias("n_mojibake"),
+        F.when(
+            n_chars > 0,
+            n_moji.cast("double") * F.lit(1000.0) / n_chars.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mojibake_per_kchar"),
+        t.contains("\ufffd").alias("has_replacement"),
+    )

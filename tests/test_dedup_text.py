@@ -376,3 +376,24 @@ def test_cdc_dedup_stats(spark):
     assert s["total_chunks"] == 2 * s["distinct_chunks"]
     assert s["total_bytes"] == 2 * len(body)
     assert s["distinct_bytes"] == len(body)
+
+
+
+def test_encoding_quality_detects_mojibake(spark):
+    from csp_gateway_spark.operators.text import encoding_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "perfectly clean ascii text"),
+            (2, "caf\u00c3\u00a9 menu \u00e2\u0080\u009cquoted\u00e2\u0080\u009d"),  # mojibake cafe + curly quotes
+            (3, "lost byte here \ufffd and here \ufffd"),
+            (4, "r\u00e9sum\u00e9 with real accents"),  # legitimate unicode: clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in encoding_quality(docs).collect()}
+    assert out[1]["n_mojibake"] == 0 and not out[1]["has_replacement"]
+    assert out[2]["n_mojibake"] >= 3
+    assert out[2]["mojibake_per_kchar"] > 50
+    assert out[3]["has_replacement"] and out[3]["n_mojibake"] == 2
+    assert out[4]["n_mojibake"] == 0  # real accents are not artifacts
