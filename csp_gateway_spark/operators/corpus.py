@@ -703,7 +703,10 @@ def pagerank(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    e = e.distinct()
+    # the edge table is referenced 2 + 2·iters times (degrees, nodes,
+    # every round's contribution join); cut the upstream pipeline
+    # (e.g. an LSH/shingle candidate generator) out of each reference
+    e = e.distinct().localCheckpoint()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     nodes = e.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))

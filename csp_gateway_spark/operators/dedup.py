@@ -757,12 +757,27 @@ def shared_ngram_pairs(
         .select(F.col(id_col), _md5_base15(F.col("_s")).alias("_h"))
         .distinct()
     )
-    a = sh.select(F.col(id_col).alias("id_a"), "_h")
-    b = sh.select(F.col(id_col).alias("id_b"), "_h")
+    # bucket-group instead of self-join: one shuffle on the shingle
+    # hash, then in-bucket pair expansion over the (collision-bounded)
+    # id array — the self-join form cost two extra exchanges because
+    # AQE's broadcast conversion defeated exchange reuse
+    buckets = (
+        sh.groupBy("_h")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "_h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(combos).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
     )
 
