@@ -1601,6 +1601,72 @@ ORDER BY score DESC, doc_id LIMIT {_DSIR_KEEP}
 )
 
 
+_BLOCK_TERMS = ["slow", "spill"]
+
+
+def q_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist gate (LDNOOBW-style): whole-word screening against a
+    literal term array — one scan-local arrays_overlap predicate, no
+    join, no shuffle."""
+    from csp_gateway_spark.operators.curation import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    out = blocklist_filter(docs, _BLOCK_TERMS, mode="flag")
+    return out.select("doc_id", "blocked").orderBy("doc_id")
+
+
+ORACLE_BLOCKLIST_SCREEN = f"""
+SELECT doc_id,
+       len(list_intersect({_SQL_TOKS.replace("trim(lower(text))", "{norm}")},
+                          ['slow', 'spill'])) > 0 AS blocked
+FROM documents ORDER BY doc_id
+""".replace("{norm}", _SQL_NORM)
+
+
+_SHUF_SHARDS = 8
+
+
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training order: (shard, pos) addresses from the
+    seeded hash — per-shard window sorts only, never a global
+    order-by."""
+    from csp_gateway_spark.operators.curation import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    out = deterministic_shuffle(docs, n_shards=_SHUF_SHARDS, seed=31)
+    return out.select("doc_id", "shard", "pos").orderBy("doc_id")
+
+
+ORACLE_DETERMINISTIC_SHUFFLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':31'), 1, 15))::BIGINT AS hv
+  FROM documents
+)
+SELECT doc_id, CAST(hv % {_SHUF_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hv % {_SHUF_SHARDS} ORDER BY hv, doc_id) - 1 AS INT) AS pos
+FROM h ORDER BY doc_id
+"""
+
+
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization round-trip digest — Python unicodedata via
+    Arrow batches, hash-matched against DuckDB's nfc_normalize."""
+    from csp_gateway_spark.operators.text import unicode_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unicode_normalize(docs, form="NFC")
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("nfc_digest")
+    ).orderBy("doc_id")
+
+
+ORACLE_UNICODE_NFC = """
+SELECT doc_id, md5(nfc_normalize(text)) AS nfc_digest
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mojibake detection: per-doc count of UTF-8-as-Latin-1 artifact
     sequences — all-native regexp, single scan."""
@@ -3801,6 +3867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "cdc_chunks": q_cdc_chunks,
         "encoding_quality": q_encoding_quality,
+        "blocklist_screen": q_blocklist_screen,
+        "deterministic_shuffle": q_deterministic_shuffle,
+        "unicode_nfc": q_unicode_nfc,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -3913,6 +3982,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
         "cdc_chunks": ORACLE_CDC_CHUNKS,
         "encoding_quality": _oracle_encoding_quality(),
+        "blocklist_screen": ORACLE_BLOCKLIST_SCREEN,
+        "deterministic_shuffle": ORACLE_DETERMINISTIC_SHUFFLE,
+        "unicode_nfc": ORACLE_UNICODE_NFC,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,

@@ -734,3 +734,75 @@ def contamination_report(
         ).alias("hit_frac"),
         F.max(F.coalesce(F.col("_ndocs"), F.lit(0))).alias("n_corpus_docs"),
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: "list[str]",
+    text_col: str = "text",
+    mode: str = "flag",
+    whole_word: bool = True,
+) -> DataFrame:
+    """Blocklist screening (the LDNOOBW-style NSFW/spam gate): flag or
+    drop documents containing any listed term.  ``whole_word``
+    matches on token boundaries over the normalized text (so "class"
+    never trips an "ass" entry); otherwise plain substring.
+
+    Plan: the term set compiles into ONE literal array +
+    ``arrays_overlap`` (token mode) or one alternation regex
+    (substring mode) — a single scan-local predicate, no join, no
+    shuffle; at 100 TB the blocklist rides in the task binary exactly
+    like a broadcast, with zero exchange.  Terms are lowercased; the
+    match runs on the same normalization as the tokenizer.
+    """
+    if mode not in ("flag", "remove"):
+        raise ValueError("mode must be 'flag' or 'remove'")
+    if not terms:
+        raise ValueError("blocklist_filter: empty term list")
+    from csp_gateway_spark.operators.text import normalize_text, tokens
+
+    lowered = sorted({t.lower() for t in terms})
+    if whole_word:
+        toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+        hit = F.arrays_overlap(toks, F.lit(lowered).cast("array<string>"))
+    else:
+        import re as _re
+
+        pat = "|".join(_re.escape(t) for t in lowered)
+        hit = F.lower(F.col(text_col)).rlike(pat)
+    flagged = df.withColumn("blocked", F.coalesce(hit, F.lit(False)))
+    if mode == "remove":
+        return flagged.filter(~F.col("blocked")).drop("blocked")
+    return flagged
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    seed: int = 31,
+) -> DataFrame:
+    """Reproducible global training order: every row gets a (shard,
+    pos) address from its seeded 60-bit hash — the "shuffled" order a
+    training run reads, identical on every rerun/engine (data order
+    affects the model; an order you cannot reproduce is a result you
+    cannot reproduce).
+
+    shard = hash mod n_shards; pos = rank of hash within the shard.
+    The per-shard rank is a window sort, but each shard holds ~1/n of
+    the rows — at 100 TB pick n_shards so a shard fits an executor
+    (thousands of independent sorts, never a global order-by; same
+    sharding contract as ``pack_sequences``).  Readers stream shards
+    in index order for the full deterministic sequence.
+    """
+    from pyspark.sql.window import Window
+
+    h = sample_hash(F.col(id_col), seed)
+    out = df.withColumn("_h", h).withColumn(
+        "shard", (F.col("_h") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return (
+        out.withColumn("pos", F.row_number().over(w) - F.lit(1))
+        .drop("_h")
+    )

@@ -286,3 +286,45 @@ def encoding_quality(
         .alias("mojibake_per_kchar"),
         t.contains("\ufffd").alias("has_replacement"),
     )
+
+
+def unicode_normalize(
+    df: DataFrame,
+    form: str = "NFC",
+    text_col: str = "text",
+    out_col: str = None,
+) -> DataFrame:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) of a text column —
+    the canonicalization step a tokenizer pipeline runs FIRST, so that
+    'café' composed and decomposed tokenize identically and dedup
+    hashes agree across crawls.
+
+    Spark has no native normalizer, so this is an Arrow-batched
+    ``mapInPandas`` over stdlib ``unicodedata`` — the accepted slow
+    path, vectorized per batch, no shuffle, schema preserved.  NFC
+    output hash-matches DuckDB's ``nfc_normalize`` (the gate oracle);
+    NFKC/NFKD additionally fold compatibility forms (ligatures,
+    full-width chars) and are the usual pretraining choice.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    target = out_col or text_col
+    fields = [
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ]
+    if target not in df.columns:
+        fields.append(f"`{target}` string")
+    schema = ", ".join(fields)
+
+    def norm(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[target] = [
+                None if t is None else unicodedata.normalize(form, t)
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(norm, schema=schema)

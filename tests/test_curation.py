@@ -621,3 +621,64 @@ def test_contamination_report_full_and_none(corpus, eval_set, spark):
     )
     rep2 = contamination_report(corpus, clean, k=5).collect()[0]
     assert rep2["n_hit"] == 0 and rep2["hit_frac"] == 0.0 and rep2["n_corpus_docs"] == 0
+
+
+
+def test_blocklist_filter_whole_word_vs_substring(spark):
+    from csp_gateway_spark.operators.curation import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a perfectly classy sentence"),
+            (2, "contains the banned term here"),
+            (3, "BANNED in caps with punctuation!"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["blocked"] for r in blocklist_filter(docs, ["banned"]).collect()}
+    assert out == {1: False, 2: True, 3: True}  # case/punct insensitive
+    # whole-word: "class" does not trip a "lass" entry
+    ww = {r["doc_id"]: r["blocked"] for r in blocklist_filter(docs, ["lass"]).collect()}
+    assert ww[1] is False
+    sub = {r["doc_id"]: r["blocked"] for r in blocklist_filter(docs, ["lass"], whole_word=False).collect()}
+    assert sub[1] is True
+    removed = blocklist_filter(docs, ["banned"], mode="remove")
+    assert sorted(r["doc_id"] for r in removed.collect()) == [1]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="empty"):
+        blocklist_filter(docs, [])
+
+
+def test_deterministic_shuffle_addresses(spark):
+    from csp_gateway_spark.operators.curation import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = deterministic_shuffle(df, n_shards=8, seed=31)
+    rows = [(r["doc_id"], r["shard"], r["pos"]) for r in out.collect()]
+    again = [(r["doc_id"], r["shard"], r["pos"]) for r in deterministic_shuffle(df.repartition(16), n_shards=8, seed=31).collect()]
+    assert sorted(rows) == sorted(again)  # partitioning-invariant addresses
+    by_shard = {}
+    for _d, s, p in rows:
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))  # dense 0..n-1 per shard
+    assert len(by_shard) == 8
+    # a different seed produces a different order
+    other = [(r["doc_id"], r["shard"], r["pos"]) for r in deterministic_shuffle(df, n_shards=8, seed=99).collect()]
+    assert sorted(rows) != sorted(other)
+
+
+def test_unicode_normalize_composes(spark):
+    from csp_gateway_spark.operators.text import unicode_normalize
+
+    docs = spark.createDataFrame(
+        [(1, "cafe\u0301 and \ufb01ne"), (2, None)], "doc_id long, text string"
+    )
+    nfc = {r["doc_id"]: r["text"] for r in unicode_normalize(docs, "NFC").collect()}
+    assert nfc[1] == "caf\u00e9 and \ufb01ne"  # combining acute composed; ligature kept
+    assert nfc[2] is None
+    nfkc = {r["doc_id"]: r["text"] for r in unicode_normalize(docs, "NFKC").collect()}
+    assert nfkc[1] == "caf\u00e9 and fine"  # compatibility fold expands the ligature
+    import pytest as _pt
+    with _pt.raises(ValueError, match="form"):
+        unicode_normalize(docs, "NFX")
