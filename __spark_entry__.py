@@ -1601,6 +1601,108 @@ ORDER BY score DESC, doc_id LIMIT {_DSIR_KEEP}
 )
 
 
+_STD_SCALE = 1 << 20
+
+
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension whitening via exact fixed-point moments (2·dim
+    scalars to the driver, inlined back as literals) — the metric-prep
+    step before ANN/k-means.  Flattened to scalar rows for the gate."""
+    from csp_gateway_spark.operators.similarity import embedding_standardize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_standardize(emb, scale=_STD_SCALE)
+    return out.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "_v")
+    ).select("vec_id", "pos", F.round("_v", 6).alias("val")).orderBy("vec_id", "pos")
+
+
+ORACLE_EMBEDDING_STANDARDIZE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), q AS (
+  SELECT vec_id, j - 1 AS pos, e[j] AS x,
+         CAST(floor(e[j] * {float(_STD_SCALE)}) AS BIGINT) AS qq
+  FROM v, unnest(generate_series(1, len(e))) s(j)
+), mom AS (
+  SELECT pos, SUM(qq) AS s1, SUM(qq * qq) AS s2, COUNT(*) AS n FROM q GROUP BY 1
+), st AS (
+  SELECT pos,
+         CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * {float(_STD_SCALE)}) AS mu,
+         sqrt(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * {float(_STD_SCALE)} * {float(_STD_SCALE)})
+              - (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * {float(_STD_SCALE)}))
+                * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * {float(_STD_SCALE)}))
+              + 1e-09) AS sd
+  FROM mom
+)
+SELECT q.vec_id, CAST(q.pos AS INT) AS pos, round((q.x - st.mu) / st.sd, 6) AS val
+FROM q JOIN st USING (pos) ORDER BY vec_id, pos
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: most-similar vectors with a DIFFERENT
+    label than the query — label filter pushed to the scan +
+    TakeOrdered."""
+    from csp_gateway_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding", "label").collect()[0]
+    out = hard_negatives(emb, row["embedding"], row["label"], k=10)
+    return out.select("vec_id", F.round("cos", 6).alias("cos")).orderBy("vec_id")
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS ql FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos
+FROM embeddings, q WHERE label != ql
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id ASC LIMIT 10
+"""
+
+
+_COV_VOCAB = 200  # same size the vocab_encode gate trains
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer coverage report: per-source OOV rate against the
+    corpus-trained vocabulary — exact integer count ratios."""
+    from csp_gateway_spark.operators.corpus import build_vocab, vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, size=_COV_VOCAB)
+    out = vocab_coverage(docs, vocab)
+    return out.select(
+        "source",
+        "total_tokens",
+        "oov_tokens",
+        F.round("oov_rate", 6).alias("oov_rate"),
+    ).orderBy("source")
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH tokrows AS (
+  SELECT doc_id, unnest(tk) AS token
+  FROM (SELECT doc_id, {_SQL_TOKS.replace("trim(lower(text))", "{norm}")} AS tk FROM documents)
+), vocab AS (
+  SELECT token,
+         row_number() OVER (ORDER BY COUNT(*) DESC, token ASC) AS token_id
+  FROM tokrows GROUP BY token
+  QUALIFY token_id < {_COV_VOCAB + 1}
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+       round(CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM tokrows tr
+LEFT JOIN vocab v USING (token)
+JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+""".replace("{norm}", _SQL_NORM)
+
+
 _BLOCK_TERMS = ["slow", "spill"]
 
 
@@ -3870,6 +3972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_screen": q_blocklist_screen,
         "deterministic_shuffle": q_deterministic_shuffle,
         "unicode_nfc": q_unicode_nfc,
+        "embedding_standardize": q_embedding_standardize,
+        "hard_negatives": q_hard_negatives,
+        "vocab_coverage": q_vocab_coverage,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -3985,6 +4090,9 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_screen": ORACLE_BLOCKLIST_SCREEN,
         "deterministic_shuffle": ORACLE_DETERMINISTIC_SHUFFLE,
         "unicode_nfc": ORACLE_UNICODE_NFC,
+        "embedding_standardize": ORACLE_EMBEDDING_STANDARDIZE,
+        "hard_negatives": ORACLE_HARD_NEGATIVES,
+        "vocab_coverage": ORACLE_VOCAB_COVERAGE,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "order_priority": ORACLE_ORDER_PRIORITY,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,

@@ -126,6 +126,12 @@ HEADLINE = [
     "dedup_incremental",
     "cdc_chunks",
     "encoding_quality",
+    "blocklist_screen",
+    "deterministic_shuffle",
+    "unicode_nfc",
+    "embedding_standardize",
+    "hard_negatives",
+    "vocab_coverage",
 ]
 
 

@@ -790,3 +790,35 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(int(topk))
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group tokenizer coverage report: total tokens, OOV tokens,
+    and the OOV rate against a vocabulary table (``build_vocab``
+    output) — the go/no-go statistic for shipping a tokenizer (a
+    source with 10 % OOV will train badly).
+
+    The rate is SUM(unk)/SUM(tokens) over integer counts (exact,
+    order-free) — never an average of per-doc ratios, which would be
+    a float sum in shuffle order.  One broadcast vocab join + one
+    map-side-combined groupBy."""
+    tok = token_rows(df, text_col, id_col)
+    docs_src = df.select(F.col(id_col), F.col(group_col))
+    joined = (
+        tok.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+        .join(docs_src, id_col)
+    )
+    return joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0)).alias("oov_tokens"),
+        (
+            F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("oov_rate"),
+    )

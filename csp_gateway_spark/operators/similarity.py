@@ -927,3 +927,74 @@ def pq_search(
         .orderBy(F.asc("adist"), F.asc(id_col))
         .limit(int(topk))
     )
+
+
+def embedding_standardize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: Optional[int] = None,
+    scale: int = 1 << 20,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Per-dimension standardization (whitening-lite) of an embedding
+    column: ``x' = (x − μ_j)/σ_j`` — the preprocessing that makes
+    L2/cosine distances comparable across dimensions before
+    ANN/k-means (a dominant dimension otherwise swamps the metric).
+
+    Moments are EXACT fixed-point integer sums per dimension (the
+    ``pca_moment_sums`` contract: posexplode → ONE map-side-combined
+    groupBy(pos) of ``Σ floor(x·scale)`` and ``Σ floor(x·scale)²`` —
+    partitioning-invariant, engine-reproducible), collected as 2·dim
+    scalars and inlined as literals, so the standardization itself is
+    a pure scan-local projection.  μ = s1/(n·scale);
+    σ² = s2/(n·scale²) − μ²; σ = sqrt(σ² + eps).
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    d = int(dim)
+    fscale = float(scale)
+    flat = df.select(F.posexplode(_as_double(F.col(vec_col))).alias("pos", "_v"))
+    q = F.floor(F.col("_v") * F.lit(fscale)).cast("long")
+    mom = flat.groupBy("pos").agg(
+        F.sum(q).alias("_s1"),
+        F.sum(q * q).alias("_s2"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    rows = {r["pos"]: (r["_s1"], r["_s2"], r["_n"]) for r in mom.collect()}
+    if len(rows) != d:
+        raise ValueError(f"expected {d} dimensions, saw {len(rows)}")
+    means, sds = [], []
+    for j in range(d):
+        s1, s2, n = rows[j]
+        mean = s1 / (float(n) * fscale)
+        var = s2 / (float(n) * fscale * fscale) - mean * mean
+        means.append(mean)
+        sds.append(math.sqrt(var + eps))
+    m_arr = F.lit(means).cast("array<double>")
+    s_arr = F.lit(sds).cast("array<double>")
+    vec = _as_double(F.col(vec_col))
+    out = F.transform(
+        vec,
+        lambda x, i: (x - F.element_at(m_arr, i + F.lit(1)))
+        / F.element_at(s_arr, i + F.lit(1)),
+    )
+    return df.withColumn(vec_col, out)
+
+
+def hard_negatives(
+    df: DataFrame,
+    query_vec,
+    query_label,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for retrieval training: the k vectors MOST
+    similar to the query that carry a DIFFERENT label — the negatives
+    that actually teach a contrastive model (random negatives are too
+    easy).  Plan: one label filter pushed to the scan + the
+    ``cosine_topk`` TakeOrdered — no shuffle."""
+    pool = df.filter(F.col(label_col) != F.lit(query_label))
+    return cosine_topk(pool, query_vec, k=k, vec_col=vec_col, id_col=id_col)

@@ -682,3 +682,20 @@ def test_unicode_normalize_composes(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="form"):
         unicode_normalize(docs, "NFX")
+
+
+def test_vocab_coverage_oov_rates(spark):
+    from csp_gateway_spark.operators.corpus import build_vocab, vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta", "known"),
+            (2, "alpha qqq zzz www", "mixed"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    vocab = build_vocab(docs, size=2)  # alpha + beta make the cut
+    out = {r["source"]: r for r in vocab_coverage(docs, vocab).collect()}
+    assert out["known"]["oov_tokens"] == 0 and out["known"]["oov_rate"] == 0.0
+    assert out["mixed"]["oov_tokens"] == 3
+    assert out["mixed"]["oov_rate"] == 0.75

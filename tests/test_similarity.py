@@ -399,3 +399,42 @@ def test_pq_rejects_bad_dims(embeddings, query_vec):
     cb = pq_train(embeddings, m=8, k=4)
     with pytest.raises(ValueError, match="query dim"):
         pq_search(embeddings, cb, [1.0, 2.0], topk=3)
+
+
+def test_embedding_standardize_moments(spark):
+    from csp_gateway_spark.operators.similarity import embedding_standardize
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vecs = rng.uniform(-1, 1, size=(400, 8)) * np.array([10.0, 1, 1, 1, 1, 1, 1, 0.1])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_standardize(df)
+    mat = np.array([r["embedding"] for r in out.orderBy("vec_id").collect()])
+    # every dimension ~zero-mean, ~unit-variance after standardization
+    assert np.abs(mat.mean(axis=0)).max() < 0.01
+    assert np.abs(mat.std(axis=0) - 1.0).max() < 0.01
+    # partitioning invariance: exact fixed-point moments
+    again = np.array(
+        [r["embedding"] for r in embedding_standardize(df.repartition(16)).orderBy("vec_id").collect()]
+    )
+    assert (mat == again).all()
+
+
+def test_hard_negatives_excludes_query_label(embeddings, query_vec):
+    from csp_gateway_spark.operators.similarity import hard_negatives
+
+    qlabel = embeddings.filter(F.col("vec_id") == 0).collect()[0]["label"]
+    out = hard_negatives(embeddings, query_vec, qlabel, k=10)
+    rows = out.collect()
+    assert len(rows) == 10
+    got_labels = {
+        r["label"]
+        for r in embeddings.filter(
+            F.col("vec_id").isin([x["vec_id"] for x in rows])
+        ).collect()
+    }
+    assert qlabel not in got_labels
