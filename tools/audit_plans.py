@@ -48,6 +48,18 @@ INTENTIONAL_NESTED_LOOP = {
     # 1-row broadcast total (Σn^α, N) cross-joined into the
     # |sources|-row fraction table — metadata-sized
     "temperature_mix",
+    # 1-row broadcast distribution totals (R, T) cross-joined into the
+    # ≤dim-row log-ratio table (same class as temperature_mix)
+    "dsir_weights",
+    "dsir_sample",
+    # 3-row broadcast quantile-probability table crossed into the
+    # bounded (≤4k rows/group) cell walk
+    "hdr_quantiles",
+    # 1-row broadcast node count (teleport term) crossed into the rank
+    # table each round
+    "pagerank_docs",
+    # 1-row broadcast bigram total crossed into the filtered PMI head
+    "pmi_collocations",
 }
 
 
