@@ -3851,6 +3851,59 @@ def _stable(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSess
     return run
 
 
+# ---------------------------------------------------------------------------
+# RETRIEVAL — Okapi BM25 ranked keyword search (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "query", "window"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by Okapi BM25 for a fixed 3-term query.  Only
+    the query terms' postings are shuffled (token filter before the
+    (doc, term) aggregation); N/avgdl enter as a 1-row broadcast
+    aggregate; the top-k compiles to TakeOrderedAndProject.  Scores
+    fold in term order, so the doubles are partitioning-invariant."""
+    from csp_gateway_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_topk(docs, _BM25_TERMS, k=20)
+    return out.select(
+        "doc_id",
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+ORACLE_BM25_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS.replace("trim(lower(text))", "{norm}")}) AS token FROM documents
+), dl AS (
+  SELECT doc_id, len({_SQL_TOKS.replace("trim(lower(text))", "{norm}")}) AS dl FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+  WHERE token IN ('spark', 'query', 'window') GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), part AS (
+  SELECT tf.doc_id, tf.token,
+    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      * (CAST(tf AS DOUBLE) * 2.5
+         / (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), stats
+), folded AS (
+  SELECT doc_id,
+         CAST(len(list(s ORDER BY token)) AS BIGINT) AS n_terms,
+         list_sum(list(s ORDER BY token)) AS score_raw
+  FROM part GROUP BY 1
+)
+SELECT doc_id, n_terms, round(score_raw, 6) AS score
+FROM folded ORDER BY score_raw DESC, doc_id ASC LIMIT 20
+""".replace("{norm}", _SQL_NORM)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -3975,6 +4028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_standardize": q_embedding_standardize,
         "hard_negatives": q_hard_negatives,
         "vocab_coverage": q_vocab_coverage,
+        "bm25_topk": q_bm25_topk,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -4135,4 +4189,5 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_pairs": ORACLE_FINGERPRINT_PAIRS,
         "lm_perplexity": ORACLE_LM_PERPLEXITY,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+        "bm25_topk": ORACLE_BM25_TOPK,
     }

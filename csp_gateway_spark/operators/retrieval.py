@@ -1,0 +1,231 @@
+"""Full-text retrieval: Okapi BM25 scoring + a persisted inverted
+index for 100 TB-scale keyword search.
+
+Training-data pipelines use BM25 retrieval for (a) finding documents
+relevant to an eval prompt (targeted decontamination), (b) sourcing
+topic-focused pretraining subsets, and (c) hard-negative mining for
+retrieval models.  Reference analogue: the gateway's keyed state
+lookup + filter query surface (csp_gateway/server/web/routes,
+state filters) — here generalised to ranked text search.
+
+Scale design:
+- The corpus is only ever shuffled for the postings of the QUERY
+  terms: tokenisation is scan-local, and the token→term filter runs
+  before the (doc, term) aggregation, so shuffle volume is
+  proportional to matching postings, not corpus size.
+- ``N`` / ``avgdl`` enter the plan as a 1-row broadcast aggregate
+  (no driver-side ``.count()`` actions, single job).
+- ``persist_search_index`` writes postings parquet partitioned by a
+  deterministic token bucket; probes prune at file-listing level
+  (PartitionFilters), same layout trick as ``persist_ivf_index``
+  (operators/similarity.py).  A term's postings live entirely inside
+  its bucket, so document frequency is exact from the pruned read.
+- Top-k compiles to TakeOrderedAndProject (per-partition partial
+  top-k) — never a global sort.
+
+Determinism (oracle-reproducible): per-document scores are summed as
+a term-ordered fold over a collected array, never a double SUM
+aggregate — the same partitioning-invariance pattern as
+``corpus.lm_score`` / ``text.char_entropy``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csp_gateway_spark.operators.corpus import token_rows
+from csp_gateway_spark.operators.text import normalize_text, tokens
+
+__all__ = [
+    "doc_lengths",
+    "postings",
+    "bm25_scores",
+    "bm25_topk",
+    "persist_search_index",
+    "bm25_topk_from_index",
+]
+
+
+def doc_lengths(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, dl): token count per document — scan-local projection."""
+    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    return df.select(F.col(id_col), F.size(toks).alias("dl"))
+
+
+def postings(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(token, doc_id, tf) posting rows — ONE map-side-combined shuffle."""
+    return (
+        token_rows(df, text_col, id_col)
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _corpus_stats(lengths: DataFrame) -> DataFrame:
+    """1-row (n_docs, avgdl) aggregate for broadcast into the scoring
+    plan.  avgdl = exact integer token total / exact integer doc count,
+    one double division — bit-reproducible across engines."""
+    return lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+
+def _bm25_from_postings(
+    post: DataFrame,
+    lengths: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared scoring tail: filter postings to the query terms, exact
+    per-term df, per-(doc, term) BM25 partial, term-ordered fold."""
+    matched = post.filter(F.col("token").isin(list(terms)))
+    dfreq = matched.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        matched.join(F.broadcast(dfreq), "token")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    part = idf * (
+        tf
+        * F.lit(k1 + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    )
+    per_term = scored.select(F.col(id_col), F.col("token"), part.alias("_s"))
+    folded = per_term.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("token", "_s"))).alias("_parts")
+    )
+    score = F.aggregate(F.col("_parts"), F.lit(0.0), lambda acc, x: acc + x["_s"])
+    return folded.select(
+        F.col(id_col),
+        F.size("_parts").alias("n_terms"),
+        score.alias("score"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of every document matching ≥1 query term.
+
+    idf(t)       = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d, t)  = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    score(d)     = Σ_t score(d, t)   (term-ordered fold)
+
+    Output: (id_col, n_terms, score).  Only postings of the query
+    terms are shuffled; dl/avgdl/N come from scan-local projections
+    and a broadcast 1-row aggregate.
+    """
+    lengths = doc_lengths(df, text_col, id_col)
+    return _bm25_from_postings(
+        postings(df, text_col, id_col),
+        lengths,
+        _corpus_stats(lengths),
+        terms,
+        id_col,
+        k1,
+        b,
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k by (score desc, id asc) — compiles to
+    TakeOrderedAndProject, per-partition partial top-k."""
+    return (
+        bm25_scores(df, terms, text_col, id_col, k1, b)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def token_bucket(col, n_buckets: int = 64):
+    """Deterministic engine-portable token bucket: first 8 hex chars of
+    md5 → int → mod buckets (same construction as the LSH band keys)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n_buckets
+    ).alias("bucket")
+
+
+def persist_search_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Write a persistent inverted index:
+
+    - ``<path>/postings/`` — (token, doc_id, tf) parquet,
+      ``partitionBy(bucket)`` with a deterministic md5 token bucket:
+      a query touches only its terms' buckets (file-listing pruning),
+      and a term's df is exact from the pruned read.
+    - ``<path>/docs/``     — (doc_id, dl) document lengths.
+    - ``<path>/stats/``    — 1-row (n_docs, avgdl).
+
+    At 100 TB the postings write is one tokenize+aggregate pass;
+    probes afterwards never rescan the corpus (same pattern as
+    ``persist_ivf_index`` / ``persist_dedup_index``).
+    """
+    post = postings(df, text_col, id_col).withColumn(
+        "bucket", token_bucket(F.col("token"), n_buckets)
+    )
+    post.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
+    lengths = doc_lengths(df, text_col, id_col)
+    lengths.write.mode("overwrite").parquet(f"{path}/docs")
+    _corpus_stats(lengths).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_from_index(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.5,
+    b: float = 0.75,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Probe a persisted index without rescanning the corpus.  The
+    bucket predicate prunes partitions at file-listing time, so the
+    scan is proportional to the query terms' posting lists."""
+    # term buckets computed driver-side with the same md5 construction
+    # the writer used — no Spark job needed to plan the pruned read
+    import hashlib
+
+    term_buckets = sorted(
+        {int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % n_buckets for t in terms}
+    )
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(term_buckets))
+        .select("token", id_col, "tf")
+    )
+    lengths = spark.read.parquet(f"{path}/docs")
+    stats = spark.read.parquet(f"{path}/stats")
+    return (
+        _bm25_from_postings(post, lengths, stats, terms, id_col, k1, b)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
