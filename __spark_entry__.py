@@ -3904,6 +3904,98 @@ FROM folded ORDER BY score_raw DESC, doc_id ASC LIMIT 20
 """.replace("{norm}", _SQL_NORM)
 
 
+# ---------------------------------------------------------------------------
+# WEB — URL canonicalization + URL-keyed dedup (operators/web.py)
+# ---------------------------------------------------------------------------
+# The synthetic corpus has no URL column, so both engines derive the
+# same messy URL deterministically from (doc_id, source, lang); the
+# ORACLE then states the EXPECTED canonical form from first principles
+# (not by mirroring the regex pipeline) — a genuinely independent
+# check of the canonicalizer semantics.
+
+
+def _messy_url() -> "F.Column":
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTPS://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(d % 4 == 1, F.lit(".Sample.CO.UK")).otherwise(F.lit(".Example.COM")),
+        F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        (d % 50).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 5 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+_SQL_MESSY_URL = """
+  'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END || source
+  || CASE WHEN doc_id % 4 = 1 THEN '.Sample.CO.UK' ELSE '.Example.COM' END
+  || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
+  || '/Docs/' || lang || '/' || CAST(doc_id % 50 AS VARCHAR)
+  || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&b=2&a=1'
+          WHEN doc_id % 5 = 1 THEN '?a=1&b=2' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END
+"""
+
+_SQL_CANON_URL = """
+  'https://' || source
+  || CASE WHEN doc_id % 4 = 1 THEN '.sample.co.uk' ELSE '.example.com' END
+  || '/Docs/' || lang || '/' || CAST(doc_id % 50 AS VARCHAR)
+  || CASE WHEN doc_id % 5 IN (0, 1) THEN '?a=1&b=2' ELSE '' END
+"""
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize a messy URL per doc (mixed-case scheme/host, www,
+    default port, trailing slash, tracking params, fragment) and
+    extract host + registered domain — pure scan-local projection."""
+    from csp_gateway_spark.operators.web import canonical_url, registered_domain, url_host
+
+    docs = _t(spark, sf_dir, "documents")
+    u = _messy_url()
+    return docs.select(
+        "doc_id",
+        u.alias("url"),
+        canonical_url(u).alias("canon_url"),
+        url_host(u).alias("host"),
+        registered_domain(u).alias("domain"),
+    )
+
+
+ORACLE_URL_CANONICAL = f"""
+SELECT doc_id,
+  {_SQL_MESSY_URL} AS url,
+  {_SQL_CANON_URL} AS canon_url,
+  source || CASE WHEN doc_id % 4 = 1 THEN '.sample.co.uk' ELSE '.example.com' END AS host,
+  CASE WHEN doc_id % 4 = 1 THEN 'sample.co.uk' ELSE 'example.com' END AS domain
+FROM documents
+"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence-wins URL dedup: one map-side-combined
+    aggregation keyed on the canonical URL."""
+    from csp_gateway_spark.operators.web import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return url_dedup(docs.select("doc_id", _messy_url().alias("url")))
+
+
+ORACLE_URL_DEDUP = f"""
+WITH c AS (SELECT doc_id, {_SQL_CANON_URL} AS canon_url FROM documents)
+SELECT canon_url, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM c GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -4029,6 +4121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "vocab_coverage": q_vocab_coverage,
         "bm25_topk": q_bm25_topk,
+        "url_canonical": q_url_canonical,
+        "url_dedup": q_url_dedup,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -4190,4 +4284,6 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": ORACLE_LM_PERPLEXITY,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "bm25_topk": ORACLE_BM25_TOPK,
+        "url_canonical": ORACLE_URL_CANONICAL,
+        "url_dedup": ORACLE_URL_DEDUP,
     }

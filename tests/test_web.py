@@ -1,0 +1,85 @@
+"""URL canonicalization / dedup / domain-stats edge cases."""
+
+import pyspark.sql.functions as F
+
+from csp_gateway_spark.operators.web import (
+    canonical_url,
+    domain_stats,
+    registered_domain,
+    url_dedup,
+    url_host,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+    return [r.c for r in df.orderBy("doc_id").select(canonical_url(F.col("url")).alias("c")).collect()]
+
+
+def test_canonicalization_rules(spark):
+    got = _canon(
+        spark,
+        [
+            "HTTP://WWW.Example.COM:80/A/B/?utm_source=x&b=2&a=1#frag",
+            "https://example.com/A/B?a=1&b=2",
+            "https://example.com",
+            "http://example.com:8080/x/",  # non-default port kept
+            "https://example.com/CaseSensitive/Path",
+            "https://example.com/?fbclid=zzz&gclid=yyy&ref=tw",
+        ],
+    )
+    assert got[0] == "http://example.com/A/B?a=1&b=2"
+    assert got[1] == got[0].replace("http://", "https://")
+    assert got[2] == "https://example.com/"
+    assert got[3] == "http://example.com:8080/x"
+    assert got[4] == "https://example.com/CaseSensitive/Path"  # path case preserved
+    assert got[5] == "https://example.com/"
+
+
+def test_registered_domain_second_level(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "https://a.b.Sample.CO.UK/x"),
+            (1, "https://www.news.example.com/y"),
+            (2, "https://example.org/"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = df.orderBy("doc_id").select(
+        url_host(F.col("url")).alias("h"), registered_domain(F.col("url")).alias("d")
+    ).collect()
+    assert [(r.h, r.d) for r in rows] == [
+        ("a.b.sample.co.uk", "sample.co.uk"),
+        ("news.example.com", "example.com"),
+        ("example.org", "example.org"),
+    ]
+
+
+def test_url_dedup_first_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (5, "https://www.example.com/p?utm_source=a"),
+            (2, "HTTPS://EXAMPLE.COM/p/"),
+            (9, "https://example.com/p#x"),
+            (7, "https://example.com/other"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r.canon_url: (r.keep_id, r.n_dups) for r in url_dedup(df).collect()}
+    assert rows["https://example.com/p"] == (2, 3)
+    assert rows["https://example.com/other"] == (7, 1)
+
+
+def test_domain_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "https://a.example.com/1"),
+            (1, "https://b.example.com/1"),
+            (2, "https://b.example.com/1/"),  # same canon as row 1
+            (3, "https://x.sample.co.uk/z"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r.domain: (r.n_docs, r.n_urls) for r in domain_stats(df).collect()}
+    assert rows["example.com"] == (3, 2)
+    assert rows["sample.co.uk"] == (1, 1)
