@@ -3996,6 +3996,71 @@ FROM c GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# CORPUS — per-source distribution drift: KL(source ‖ corpus)
+# ---------------------------------------------------------------------------
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    corpus distribution over the corpus top-512 vocabulary + one OOV
+    bucket (state bounded at V+1 cells per group by design); add-0.5
+    smoothing; token-ordered fold for partitioning-invariant doubles."""
+    from csp_gateway_spark.operators.corpus import source_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    out = source_drift(docs, top_v=512)
+    return out.select(
+        "source",
+        "n_tokens",
+        F.round("oov_rate", 6).alias("oov_rate"),
+        F.round("kl", 6).alias("kl"),
+    )
+
+
+ORACLE_SOURCE_DRIFT = f"""
+WITH rws AS (
+  SELECT source, unnest({_SQL_TOKS.replace("trim(lower(text))", "{norm}")}) AS token FROM documents
+), cc AS (
+  SELECT token, COUNT(*) AS c_corp FROM rws GROUP BY 1
+), vocab AS (
+  SELECT token, c_corp FROM cc ORDER BY c_corp DESC, token ASC LIMIT 512
+), vstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(c_corp) AS BIGINT) AS vocab_corp FROM vocab
+), cstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_c FROM rws
+), st AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM rws GROUP BY 1
+), sv AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_s FROM rws
+  WHERE token IN (SELECT token FROM vocab) GROUP BY 1, 2
+), grid AS (
+  SELECT st.source, st.n_s, v.token, COALESCE(sv.c_s, 0) AS c_s, v.c_corp
+  FROM st CROSS JOIN vocab v
+  LEFT JOIN sv ON sv.source = st.source AND sv.token = v.token
+), psv AS (
+  SELECT source, n_s, CAST(SUM(c_s) AS BIGINT) AS vocab_s FROM grid GROUP BY 1, 2
+), cells AS (
+  SELECT source, n_s, token, c_s, c_corp FROM grid
+  UNION ALL
+  SELECT p.source, p.n_s, '~~oov~~', p.n_s - p.vocab_s, c.n_c - vs.vocab_corp
+  FROM psv p, cstats c, vstats vs
+), terms AS (
+  SELECT source, n_s, token,
+    ((CAST(c_s AS DOUBLE) + 0.5) / (CAST(n_s AS DOUBLE) + 0.5 * (v + 1)))
+      * ln(((CAST(c_s AS DOUBLE) + 0.5) / (CAST(n_s AS DOUBLE) + 0.5 * (v + 1)))
+           / ((CAST(c_corp AS DOUBLE) + 0.5) / (CAST(n_c AS DOUBLE) + 0.5 * (v + 1)))) AS t
+  FROM cells, cstats, vstats
+), folded AS (
+  SELECT source, n_s, list_sum(list(t ORDER BY token)) AS kl FROM terms GROUP BY 1, 2
+)
+SELECT f.source, f.n_s AS n_tokens,
+  round(CAST(p.n_s - p.vocab_s AS DOUBLE) / CAST(p.n_s AS DOUBLE), 6) AS oov_rate,
+  round(f.kl, 6) AS kl
+FROM folded f JOIN psv p USING (source, n_s)
+""".replace("{norm}", _SQL_NORM)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -4123,6 +4188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
+        "source_drift": q_source_drift,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -4286,4 +4352,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": ORACLE_BM25_TOPK,
         "url_canonical": ORACLE_URL_CANONICAL,
         "url_dedup": ORACLE_URL_DEDUP,
+        "source_drift": ORACLE_SOURCE_DRIFT,
     }

@@ -822,3 +822,93 @@ def vocab_coverage(
             / F.count(F.lit(1)).cast("double")
         ).alias("oov_rate"),
     )
+
+
+def source_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int = 512,
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-group distribution-drift report: KL(group ‖ corpus) over
+    unigram distributions — the monitoring statistic that catches a
+    source whose content shifted (new crawl snapshot, upstream format
+    change) before it contaminates a training mix.
+
+    The comparison vocabulary is the corpus-wide top-``top_v`` tokens
+    (two-phase top-k → TakeOrdered → broadcast); everything rarer
+    collapses into one OOV bucket, so the per-group state is bounded
+    at V+1 cells BY DESIGN regardless of corpus size.  Probabilities
+    are add-k smoothed over the V+1 cells:
+
+        p(t) = (c(t) + k) / (n + k·(V+1))
+        KL   = Σ_t p_g(t) · ln(p_g(t) / p_c(t))
+
+    Determinism: the KL sum folds in token order over a collected
+    array of ≤ V+1 structs per group (OOV bucket named ``~~oov~~``
+    sorts last) — partitioning-invariant doubles, same pattern as
+    ``lm_score``.  Shuffles: one token count, one (group, token)
+    count, one per-group rollup; vocab and the 1-row corpus stats are
+    broadcast.
+
+    Output: (group_col, n_tokens, oov_rate, kl).
+    """
+    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    rows = df.select(F.col(group_col), F.explode(toks).alias("token"))
+    corpus_counts = rows.groupBy("token").agg(F.count(F.lit(1)).alias("c_corp"))
+    vocab = corpus_counts.orderBy(F.desc("c_corp"), F.asc("token")).limit(top_v)
+    # 1-row corpus stats: total tokens, vocab size, vocab token total
+    vstats = vocab.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("c_corp").alias("vocab_corp")
+    )
+    cstats = rows.agg(F.count(F.lit(1)).alias("n_c")).crossJoin(F.broadcast(vstats))
+    src_tot = rows.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_s"))
+    src_vocab = (
+        rows.join(F.broadcast(vocab.select("token")), "token")
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+    )
+    # dense grid (every group × vocab token, zeros filled) + OOV bucket
+    grid = (
+        src_tot.crossJoin(F.broadcast(vocab))
+        .join(src_vocab, [group_col, "token"], "left")
+        .fillna(0, subset=["c_s"])
+    )
+    per_src_vocab = grid.groupBy(group_col, "n_s").agg(
+        F.sum("c_s").alias("vocab_s")
+    )
+    oov = per_src_vocab.select(
+        F.col(group_col),
+        F.col("n_s"),
+        F.lit("~~oov~~").alias("token"),
+        (F.col("n_s") - F.col("vocab_s")).alias("c_s"),
+    )
+    cells = grid.select(group_col, "n_s", "token", "c_s", "c_corp").unionByName(
+        oov.crossJoin(F.broadcast(cstats.select((F.col("n_c") - F.col("vocab_corp")).alias("c_corp"))))
+        .select(group_col, "n_s", "token", "c_s", "c_corp")
+    )
+    kl = cells.crossJoin(F.broadcast(cstats.select("n_c", "v")))
+    p_s = (F.col("c_s").cast("double") + F.lit(k)) / (
+        F.col("n_s").cast("double") + F.lit(k) * (F.col("v") + F.lit(1))
+    )
+    p_c = (F.col("c_corp").cast("double") + F.lit(k)) / (
+        F.col("n_c").cast("double") + F.lit(k) * (F.col("v") + F.lit(1))
+    )
+    term = p_s * F.log(p_s / p_c)
+    folded = (
+        kl.select(F.col(group_col), F.col("n_s"), F.col("token"), term.alias("_t"))
+        .groupBy(group_col, "n_s")
+        .agg(F.array_sort(F.collect_list(F.struct("token", "_t"))).alias("_terms"))
+    )
+    total = F.aggregate(F.col("_terms"), F.lit(0.0), lambda acc, x: acc + x["_t"])
+    out = folded.join(per_src_vocab, [group_col, "n_s"])
+    return out.select(
+        F.col(group_col),
+        F.col("n_s").alias("n_tokens"),
+        ((F.col("n_s") - F.col("vocab_s")).cast("double") / F.col("n_s").cast("double")).alias(
+            "oov_rate"
+        ),
+        total.alias("kl"),
+    )

@@ -83,3 +83,23 @@ def test_domain_stats(spark):
     rows = {r.domain: (r.n_docs, r.n_urls) for r in domain_stats(df).collect()}
     assert rows["example.com"] == (3, 2)
     assert rows["sample.co.uk"] == (1, 1)
+
+
+def test_source_drift_detects_skew(spark):
+    from csp_gateway_spark.operators.corpus import source_drift
+
+    base = "alpha beta gamma delta " * 10
+    rows = [(i, base, "same") for i in range(20)]
+    rows += [(100 + i, "zzz yyy xxx www " * 10, "skewed") for i in range(5)]
+    rows += [(200 + i, base, "same2") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in source_drift(df, top_v=8).collect()}
+    assert set(out) == {"same", "skewed", "same2"}
+    for r in out.values():
+        assert r.kl >= 0.0
+    # sources matching the corpus distribution sit near zero; the
+    # skewed source is far away
+    assert out["skewed"].kl > 10 * max(out["same"].kl, out["same2"].kl)
+    assert out["same"].n_tokens == 20 * 40
+    # top_v=8 covers the 8 distinct tokens -> no OOV anywhere
+    assert all(r.oov_rate == 0.0 for r in out.values())
