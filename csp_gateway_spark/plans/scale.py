@@ -87,3 +87,83 @@ def assert_pushdown(df: DataFrame, expect_filters: bool = True, expect_columns: 
             if extra:
                 raise AssertionError(f"scan reads unexpected columns {extra}:\n{plan}")
     return plan
+
+
+def with_zvalue(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 12,
+    out_col: str = "_zvalue",
+) -> DataFrame:
+    """Append a Z-order (Morton) curve value over 2+ NUMERIC columns:
+    each column is linearly scaled to a ``bits``-bit integer grid via
+    a broadcast 1-row min/max aggregate, then the bits are interleaved
+    (all-native shift/mask expressions — no UDF).
+
+    Sorting a write by ``_zvalue`` clusters rows so every parquet
+    file's min/max envelope is TIGHT on *all* the columns at once —
+    multi-dimensional data skipping (the Delta/Iceberg OPTIMIZE ZORDER
+    trick) for point/range predicates on any participating column,
+    where a single-column sort only helps its leading column.
+    ``bits * len(cols)`` must be ≤ 63.
+    """
+    if bits * len(cols) > 63:
+        raise ValueError("bits * len(cols) must fit in a long")
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_zmin_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_zmax_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    grid = (1 << bits) - 1
+    cells = []
+    for c in cols:
+        lo, hi = F.col(f"_zmin_{c}"), F.col(f"_zmax_{c}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        frac = (F.col(c).cast("double") - lo) / span
+        cells.append(
+            F.least(F.floor(frac * F.lit(float(grid + 1))).cast("long"), F.lit(grid))
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, cell in enumerate(cells):
+            z = z + F.shiftleft(
+                F.shiftright(cell, b).bitwiseAND(F.lit(1)), b * len(cells) + i
+            )
+    return out.withColumn(out_col, z).drop(
+        *[f"_zmin_{c}" for c in cols], *[f"_zmax_{c}" for c in cols]
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 12,
+    partitions: int = 8,
+) -> None:
+    """Write parquet clustered on the Z-curve: range-partition by
+    ``_zvalue`` (sampling-based boundaries — no full global sort) and
+    sort within partitions, so each output file covers one compact
+    curve segment.  Readers then skip files/row-groups whose min/max
+    envelope misses the predicate box on ANY indexed column."""
+    zdf = with_zvalue(df, cols, bits)
+    (
+        zdf.repartitionByRange(partitions, "_zvalue")
+        .sortWithinPartitions("_zvalue")
+        .drop("_zvalue")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_stats(spark, path: str, cols: Sequence[str]) -> DataFrame:
+    """Data-skipping audit: per-file min/max/count for the given
+    columns (the same envelope parquet footers expose to the scan
+    planner).  One scan + one aggregation keyed on the file name."""
+    df = spark.read.parquet(path).select(
+        F.input_file_name().alias("file"), *[F.col(c) for c in cols]
+    )
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy("file").agg(*aggs, F.count(F.lit(1)).alias("n_rows"))

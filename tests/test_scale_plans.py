@@ -165,3 +165,58 @@ def test_lm_score_single_action_no_extra_scan(spark, sf_dir):
     assert after == before, "lm_score launched a job during plan build"
     plan = explain_str(df, mode="simple")
     assert "count(distinct token" in plan.lower() or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_zorder_write_tightens_file_envelopes(spark, sf_dir, tmp_path_factory):
+    """Z-ordered layout must let a 2-D predicate box prune far more
+    files than the natural layout — measured on the same min/max
+    envelopes parquet exposes to the scan planner."""
+    from csp_gateway_spark.plans.scale import file_stats, zorder_write
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "value")
+    base = str(tmp_path_factory.mktemp("zorder"))
+    ev.repartition(8).write.mode("overwrite").parquet(f"{base}/plain")
+    zorder_write(ev, f"{base}/zorder", ["user_id", "value"], bits=10, partitions=8)
+
+    lo_u, hi_u = 10, 20
+    vals = ev.agg(F.expr("percentile(value, 0.4)"), F.expr("percentile(value, 0.6)")).first()
+    lo_v, hi_v = float(vals[0]), float(vals[1])
+
+    def overlapping(path):
+        st = file_stats(spark, path, ["user_id", "value"]).collect()
+        hit = [
+            r
+            for r in st
+            if r.min_user_id <= hi_u
+            and r.max_user_id >= lo_u
+            and r.min_value <= hi_v
+            and r.max_value >= lo_v
+        ]
+        return len(hit), len(st)
+
+    z_hit, z_total = overlapping(f"{base}/zorder")
+    p_hit, p_total = overlapping(f"{base}/plain")
+    # natural layout: every file spans the whole space -> no pruning
+    assert p_hit == p_total
+    # z-order: most files fall outside the predicate box
+    assert z_hit < z_total / 2, (z_hit, z_total)
+    # and the data is unchanged
+    assert (
+        spark.read.parquet(f"{base}/zorder").count()
+        == spark.read.parquet(f"{base}/plain").count()
+    )
+
+
+def test_zvalue_interleave_is_monotone_on_grid(spark):
+    """Adjacent grid cells differ in low-order z bits; the curve is a
+    bijection on the grid (no collisions across distinct cells)."""
+    from csp_gateway_spark.plans.scale import with_zvalue
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    out = with_zvalue(df, ["x", "y"], bits=4).collect()
+    zvals = {(r.x, r.y): r._zvalue for r in out}
+    assert len(set(zvals.values())) == 256
+    # corner cases: min maps to 0, max maps to full mask
+    assert zvals[(0, 0)] == 0
+    assert zvals[(15, 15)] == 255
