@@ -477,11 +477,14 @@ def semantic_dedup(
     """
     cents = sample_centroids(df, n_clusters, vec_col, id_col, oracle_safe=oracle_safe)
     if n_clusters <= 256:
-        assigned = df.withColumn("cell", nearest_cell_expr(cents.collect(), vec_col))
+        # Arrow batch path: numpy matmul assignment + per-cell gram
+        # matrix (semantics identical to the expression faces used by
+        # the streaming twin; see assign_cells_arrow docstring)
+        assigned = assign_cells_arrow(df, cents.collect(), vec_col, id_col)
     else:
         assigned = ivf_assign(df, cents, vec_col, id_col)
     dropped = (
-        semantic_dup_pairs(assigned, threshold, vec_col, id_col)
+        semantic_dup_pairs_arrow(assigned, threshold, vec_col, id_col)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
@@ -539,6 +542,106 @@ def nearest_cell_expr(centroid_rows, vec_col: str = "embedding") -> Column:
         ]
     )
     return F.array_max(scored)["cid"]
+
+
+def assign_cells_arrow(
+    df: DataFrame,
+    centroid_rows,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch fast path of ``nearest_cell_expr``: one Arrow-batched
+    ``mapInPandas`` pass scoring every row against all centroids with
+    a single numpy matmul — same argmax tie-break (highest cosine,
+    then lowest cent_id: centroid columns are pre-sorted by cent_id
+    and ``np.argmax`` keeps the first maximum).
+
+    Why it exists: inlining k·dim literals via ``nearest_cell_expr``
+    is the right shape for STREAMS (stateless expression), but its
+    Catalyst tree costs seconds of analysis/codegen per query — the
+    dominant cost at small scale and pure waste at large scale.  Here
+    the centroid matrix rides the Arrow closure instead.
+
+    Deviation: zero-norm vectors get similarity 0 (assigned, lowest
+    cent_id wins) rather than the expression face's NULL-cos
+    propagation — zero vectors are degenerate either way."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    rows = sorted(centroid_rows, key=lambda r: int(r["cent_id"]))
+    cents = np.array([[float(x) for x in r["centroid"]] for r in rows], dtype=np.float64)
+    cent_ids = np.array([int(r["cent_id"]) for r in rows], dtype=np.int64)
+    cnorm = np.linalg.norm(cents, axis=1)
+    cnorm[cnorm == 0.0] = 1.0
+    cn = cents / cnorm[:, None]
+    # fresh StructType — StructType.add would MUTATE the DataFrame's
+    # cached schema and desync it from the underlying plan
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField("cell", LongType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            xnorm = np.linalg.norm(x, axis=1)
+            xnorm[xnorm == 0.0] = 1.0
+            sims = (x / xnorm[:, None]) @ cn.T
+            pdf = pdf.copy()
+            pdf["cell"] = cent_ids[np.argmax(sims, axis=1)]
+            yield pdf
+
+    return df.mapInPandas(assign, schema=schema)
+
+
+def semantic_dup_pairs_arrow(
+    assigned: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch fast path of ``semantic_dup_pairs``: within-cell pairwise
+    cosine as ONE numpy gram matrix per cell (``applyInPandas`` keyed
+    on the cell — the shuffle is the same cell-key shuffle the
+    expression face pays, the O(|cell|²) arithmetic moves from
+    interpreted HOF lambdas to BLAS).  Emits (cell, id_a, id_b, cos)
+    with id_a < id_b and round(cos, 6) >= threshold, identical to the
+    expression face.  Memory per task is |cell|·dim + |cell|² doubles
+    — bounded by the n_clusters ∝ √n design point; for hot cells use
+    a larger k or the blocked tiler (``embedding_neardup_blocked``)."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def per_cell(key, pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"cell": [], "id_a": [], "id_b": [], "cos": []}).astype(
+                {"cell": "int64", "id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norm = np.linalg.norm(x, axis=1)
+        norm[norm == 0.0] = 1.0
+        sims = np.round((x / norm[:, None]) @ (x / norm[:, None]).T, 6)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = sims[ia, ib] >= thr
+        ia, ib = ia[keep], ib[keep]
+        return pd.DataFrame(
+            {
+                "cell": np.full(len(ia), key[0], dtype=np.int64),
+                "id_a": ids[ia],
+                "id_b": ids[ib],
+                "cos": sims[ia, ib][: len(ia)],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        per_cell, schema="cell long, id_a long, id_b long, cos double"
+    )
 
 
 def pool_embeddings(
