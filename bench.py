@@ -15,6 +15,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "bm25_topk",
+    "url_canonical",
+    "url_dedup",
+    "source_drift",
     "state_keyed_last",
     "state_filter_query",
     "perspective_view",

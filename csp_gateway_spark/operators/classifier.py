@@ -263,14 +263,12 @@ def lr_score_expr(weights: Sequence[float], text_col: str = "text") -> "F.Column
     (``stream.withColumn("q", lr_score_expr(w)).filter("q > 0.5")``).
     """
     from csp_gateway_spark.operators.dedup import _md5_base
-    from csp_gateway_spark.operators.text import normalize_text, tokens
+    from csp_gateway_spark.operators.text import norm_tokens, normalize_text, tokens
 
     dim = len(weights) - 1
     bias = float(weights[-1])
     warr = F.lit([float(w) for w in weights[:dim]]).cast("array<double>")
-    toks = F.filter(
-        tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit("")
-    )
+    toks = norm_tokens(F.col(text_col))
     contrib = F.transform(
         toks, lambda t: F.element_at(warr, (_md5_base(t) % F.lit(dim)).cast("int") + F.lit(1))
     )

@@ -19,11 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from csp_gateway_spark.operators.text import normalize_text, tokens
+from csp_gateway_spark.operators.text import norm_tokens, normalize_text, tokens
 
 
 def token_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    toks = norm_tokens(F.col(text_col))
     return df.select(F.col(id_col), F.explode(toks).alias("token"))
 
 
@@ -147,7 +147,7 @@ def winnow_fingerprints(
     """
     from pyspark.sql.window import Window
 
-    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    toks = norm_tokens(F.col(text_col))
     tok_rows = df.select(F.col(id_col), F.posexplode(toks).alias("_p", "_t"))
     w = Window.partitionBy(id_col).orderBy("_p")
     leads = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, k)]
@@ -237,7 +237,7 @@ def encode_documents(
     One shuffle (the per-doc reassembly); the vocab join is broadcast —
     a 256k-row vocab is a few MB.  Output: (id, ids: array<int>,
     n_tokens, n_unk)."""
-    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    toks = norm_tokens(F.col(text_col))
     pos_rows = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "token"))
     mapped = pos_rows.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
     mapped = mapped.select(
@@ -262,7 +262,7 @@ def bigram_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     from a materialized token array with zip_with (never element_at
     inside a transform lambda, which re-evaluates the split per
     element)."""
-    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    toks = norm_tokens(F.col(text_col))
     tok_df = df.select(F.col(id_col), toks.alias("_t"))
     n = F.size(F.col("_t"))
     grams = F.zip_with(
@@ -398,7 +398,7 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
     stride = chunk_tokens - overlap
-    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    toks = norm_tokens(F.col(text_col))
     tok_df = df.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") > 0)
     pos_rows = tok_df.select(F.col(id_col), F.posexplode("_t").alias("pos", "token"))
     chunks = tok_df.select(
@@ -536,7 +536,7 @@ def bpe_encode(
     fold each merge rule in rank order (one chained native projection,
     no Python in the row path).  ``merges`` is [(left, right), ...].
     Returns ``(id, pieces: array<string>, n_pieces)``."""
-    toks_arr = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    toks_arr = norm_tokens(F.col(text_col))
     rows = df.select(F.col(id_col), F.posexplode(toks_arr).alias("pos", "token"))
     sym = F.expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))")
     col = sym
@@ -855,7 +855,7 @@ def source_drift(
 
     Output: (group_col, n_tokens, oov_rate, kl).
     """
-    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    toks = norm_tokens(F.col(text_col))
     rows = df.select(F.col(group_col), F.explode(toks).alias("token"))
     corpus_counts = rows.groupBy("token").agg(F.count(F.lit(1)).alias("c_corp"))
     vocab = corpus_counts.orderBy(F.desc("c_corp"), F.asc("token")).limit(top_v)

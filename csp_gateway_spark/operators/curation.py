@@ -759,11 +759,11 @@ def blocklist_filter(
         raise ValueError("mode must be 'flag' or 'remove'")
     if not terms:
         raise ValueError("blocklist_filter: empty term list")
-    from csp_gateway_spark.operators.text import normalize_text, tokens
+    from csp_gateway_spark.operators.text import norm_tokens, normalize_text, tokens
 
     lowered = sorted({t.lower() for t in terms})
     if whole_word:
-        toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+        toks = norm_tokens(F.col(text_col))
         hit = F.arrays_overlap(toks, F.lit(lowered).cast("array<string>"))
     else:
         import re as _re

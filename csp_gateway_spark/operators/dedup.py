@@ -24,7 +24,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from csp_gateway_spark.operators.text import normalize_text, tokens
+from csp_gateway_spark.operators.text import norm_tokens, normalize_text, tokens
 
 
 # --------------------------------------------------------------------------
@@ -52,7 +52,7 @@ def shingles(col: Column, k: int = 3) -> Column:
     per-candidate verification, quadratic-ish for corpus-wide scans.
     Corpus-scale shingling uses ``shingle_rows`` (posexplode + window
     lead: incremental, no re-evaluation)."""
-    toks = F.filter(tokens(normalize_text(col)), lambda t: t != F.lit(""))
+    toks = norm_tokens(col)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
@@ -68,7 +68,7 @@ def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     harmless for MIN-based signatures."""
     from pyspark.sql.window import Window
 
-    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    toks = norm_tokens(F.col(text_col))
     tok_rows = df.select(F.col(id_col), F.size(toks).alias("_n"), F.posexplode(toks).alias("_p", "_t"))
     w = Window.partitionBy(id_col).orderBy("_p")
     leads = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, k)]
@@ -340,7 +340,7 @@ def simhash(
     h = _md5_base15(F.col("tok")) if oracle_safe else F.xxhash64("tok")
     toks = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit("")))).alias("tok"),
+        F.explode(F.array_distinct(norm_tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", h)
     sums = toks.groupBy(id_col).agg(
         *[
@@ -642,7 +642,7 @@ def repeated_ngram_spans(
     """
     from pyspark.sql.window import Window
 
-    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    toks = norm_tokens(F.col(text_col))
     tok_rows = df.select(F.col(id_col), F.posexplode(toks).alias("_p", "_t"))
     w = Window.partitionBy(id_col).orderBy("_p")
     leads = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, k)]
@@ -705,7 +705,7 @@ def drop_repeated_spans(
     condition is a residual filter, not a join explosion) and the
     reassembly is one position-ordered aggregation."""
     spans = repeated_ngram_spans(df, k, min_count, text_col, id_col)
-    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    toks = norm_tokens(F.col(text_col))
     tok_rows = df.select(F.col(id_col), F.posexplode(toks).alias("_p", "_t"))
     joined = tok_rows.join(
         spans.select(id_col, "span_start", "span_end"),

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from csp_gateway_spark.operators.corpus import token_rows
-from csp_gateway_spark.operators.text import normalize_text, tokens
+from csp_gateway_spark.operators.text import norm_tokens, normalize_text, tokens
 
 __all__ = [
     "doc_lengths",
@@ -49,7 +49,7 @@ __all__ = [
 
 def doc_lengths(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, dl): token count per document — scan-local projection."""
-    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != F.lit(""))
+    toks = norm_tokens(F.col(text_col))
     return df.select(F.col(id_col), F.size(toks).alias("dl"))
 
 

@@ -314,3 +314,63 @@ def test_streaming_bloom_decontaminate_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM bloom_stream").collect()
     }
     assert got == want
+
+
+def test_streaming_drift_matches_batch(spark, tmp_path):
+    """A replayed corpus window must produce the SAME KL / OOV-rate
+    the batch source_drift reports for each source (token-ordered fold
+    both sides; reference distribution built offline from the corpus)."""
+    import json
+
+    from csp_gateway_spark.operators.corpus import source_drift
+    from csp_gateway_spark.streaming.drift_stream import (
+        drift_reference,
+        drift_token_stream,
+        finalize_drift,
+    )
+
+    docs = [
+        (i, "alpha beta gamma delta epsilon " * 4, "a") for i in range(6)
+    ] + [
+        (10 + i, "zeta eta theta iota kappa rare" + str(i) + " ", "b") for i in range(6)
+    ]
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    cells, n_c = drift_reference(batch_df, top_v=8)
+    want = {
+        r["source"]: (r["n_tokens"], round(r["oov_rate"], 9), round(r["kl"], 9))
+        for r in source_drift(batch_df, top_v=8).collect()
+    }
+
+    src = tmp_path / "driftstream"
+    src.mkdir()
+    out = []
+
+    def on_batch(bdf, _bid):
+        out.extend(finalize_drift(bdf, cells, n_c).collect())
+
+    stream = spark.readStream.schema("ts timestamp, doc_id long, text string, source string").json(str(src))
+    vocab_tokens = [t for t, _ in cells[:-1]]
+    counts = drift_token_stream(stream, vocab_tokens, window="1 minute", watermark="5 seconds")
+    q = (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "drift_ckpt"))
+        .start()
+    )
+    try:
+        with open(src / "b1.json", "w") as f:
+            for i, (did, text, s) in enumerate(docs):
+                f.write(json.dumps({"ts": "2026-01-01T10:00:05", "doc_id": did, "text": text, "source": s}) + "\n")
+        q.processAllAvailable()
+        with open(src / "b2.json", "w") as f:
+            f.write(json.dumps({"ts": "2026-01-01T10:05:00", "doc_id": 99, "text": "x", "source": "a"}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["source"]: (r["n_tokens"], round(r["oov_rate"], 9), round(r["kl"], 9))
+        for r in out
+        if r["window_start"].minute == 0
+    }
+    assert got == want, (got, want)

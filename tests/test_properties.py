@@ -105,3 +105,31 @@ def test_jpeg_sos_before_sof_always_rejects(tail):
     data = b"\xff\xd8" + b"\xff\xda" + (8).to_bytes(2, "big") + bytes(6) + tail
     with pytest.raises(ValueError):
         _jpeg_meta_bytes(data)
+
+
+def test_norm_tokens_equals_composed_tokenization(spark):
+    """norm_tokens (single-regex fast path) must emit the IDENTICAL
+    token stream as filter(tokens(normalize_text(.)), != '') on
+    adversarial inputs — punctuation runs, unicode, empties, NULLs."""
+    import pyspark.sql.functions as F
+
+    from csp_gateway_spark.operators.text import norm_tokens, normalize_text, tokens
+
+    texts = [
+        "Hello, World!  foo--bar __x__ 42",
+        "",
+        None,
+        "   ",
+        "...!!!",
+        "a",
+        "CamelCase mixedUP 0x1f 1,000.50",
+        "tab\tsep\nnewline\r\nwin",
+        "émigré naïve 日本語 test",  # non-ascii folds to separators
+        "trailing space ",
+        " leading",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    composed = F.filter(tokens(normalize_text(F.col("t"))), lambda x: x != F.lit(""))
+    a = df.select("i", F.posexplode_outer(composed)).collect()
+    b = df.select("i", F.posexplode_outer(norm_tokens(F.col("t")))).collect()
+    assert a == b
