@@ -4061,6 +4061,112 @@ FROM folded f JOIN psv p USING (source, n_s)
 """.replace("{norm}", _SQL_NORM)
 
 
+# ---------------------------------------------------------------------------
+# TEXT — published rule-set quality filters: Gopher §A1.1 and C4 §2.2
+# ---------------------------------------------------------------------------
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher MassiveWeb per-doc quality rules (arXiv:2112.11446
+    §A1.1): word count / mean word length bounds, symbol ratio,
+    bullet- and ellipsis-line fractions, alpha-word fraction, stopword
+    presence, combined keep.  Pure scan-local projection."""
+    from csp_gateway_spark.operators.text import gopher_stats
+
+    return gopher_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLE_GOPHER_QUALITY = r"""
+WITH b AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents
+), w AS (
+  SELECT doc_id, t,
+    list_filter(regexp_split_to_array(trim(t), '\s+'), x -> x != '') AS words,
+    list_filter(string_split(t, chr(10)), l -> trim(l) != '') AS lines
+  FROM b
+), c AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS sum_len,
+    length(t) - length(replace(t, '#', '')) AS n_hash,
+    (length(t) - length(replace(t, '...', ''))) / 3
+      + (length(t) - length(replace(t, chr(8230), ''))) AS n_ell,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*' || chr(8226) || chr(8227) || ']'))) AS n_bullet,
+    len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|' || chr(8230) || ')$'))) AS n_ellline,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    CAST(list_contains(list_transform(words, x -> lower(x)), 'the') AS INT)
+      + CAST(list_contains(list_transform(words, x -> lower(x)), 'be') AS INT)
+      + CAST(list_contains(list_transform(words, x -> lower(x)), 'to') AS INT)
+      + CAST(list_contains(list_transform(words, x -> lower(x)), 'of') AS INT)
+      + CAST(list_contains(list_transform(words, x -> lower(x)), 'and') AS INT)
+      + CAST(list_contains(list_transform(words, x -> lower(x)), 'that') AS INT)
+      + CAST(list_contains(list_transform(words, x -> lower(x)), 'have') AS INT)
+      + CAST(list_contains(list_transform(words, x -> lower(x)), 'with') AS INT) AS stop_hits
+  FROM w
+), m AS (
+  SELECT doc_id, n_words, n_lines, stop_hits,
+    CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words ELSE 0.0 END AS mean_len,
+    CASE WHEN n_words > 0 THEN CAST(n_hash + n_ell AS DOUBLE) / n_words ELSE 0.0 END AS symbol_ratio,
+    CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines ELSE 0.0 END AS bullet_frac,
+    CASE WHEN n_lines > 0 THEN CAST(n_ellline AS DOUBLE) / n_lines ELSE 0.0 END AS ell_frac,
+    CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END AS alpha_frac
+  FROM c
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  round(mean_len, 6) AS mean_word_len,
+  round(symbol_ratio, 6) AS symbol_ratio,
+  round(bullet_frac, 6) AS bullet_line_frac,
+  round(ell_frac, 6) AS ellipsis_line_frac,
+  round(alpha_frac, 6) AS alpha_word_frac,
+  CAST(stop_hits AS BIGINT) AS stopword_hits,
+  CASE WHEN n_words >= 50 AND n_words <= 100000
+        AND mean_len >= 3.0 AND mean_len <= 10.0
+        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ell_frac <= 0.3
+        AND alpha_frac >= 0.8 AND stop_hits >= 2
+       THEN 1 ELSE 0 END AS gopher_keep
+FROM m ORDER BY doc_id
+"""
+
+
+def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning statistics (arXiv:1910.10683 §2.2): terminal-punct
+    line fraction, sentence count, lorem/brace/javascript boilerplate
+    flags, combined doc keep.  Pure scan-local projection."""
+    from csp_gateway_spark.operators.text import c4_stats
+
+    return c4_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLE_C4_QUALITY = r"""
+WITH b AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents
+), w AS (
+  SELECT doc_id, t,
+    list_filter(string_split(t, chr(10)), l -> trim(l) != '') AS lines
+  FROM b
+), c AS (
+  SELECT doc_id,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"' || chr(8221) || ']$'))) AS n_term,
+    length(regexp_replace(t, '[^.!?]', '', 'g')) AS n_sent,
+    CASE WHEN contains(lower(t), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem,
+    CASE WHEN contains(t, '{') THEN 1 ELSE 0 END AS has_brace,
+    len(list_filter(lines, l -> contains(lower(l), 'javascript'))) AS n_js
+  FROM w
+)
+SELECT doc_id,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  round(CASE WHEN n_lines > 0 THEN CAST(n_term AS DOUBLE) / n_lines ELSE 0.0 END, 6) AS terminal_line_frac,
+  CAST(n_sent AS BIGINT) AS n_sentences,
+  has_lorem, has_brace,
+  round(CASE WHEN n_lines > 0 THEN CAST(n_js AS DOUBLE) / n_lines ELSE 0.0 END, 6) AS js_line_frac,
+  CASE WHEN n_sent >= 3 AND has_lorem = 0 AND has_brace = 0 THEN 1 ELSE 0 END AS c4_keep
+FROM c ORDER BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -4189,6 +4295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
         "source_drift": q_source_drift,
+        "gopher_quality": q_gopher_quality,
+        "c4_quality": q_c4_quality,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -4353,4 +4461,6 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": ORACLE_URL_CANONICAL,
         "url_dedup": ORACLE_URL_DEDUP,
         "source_drift": ORACLE_SOURCE_DRIFT,
+        "gopher_quality": ORACLE_GOPHER_QUALITY,
+        "c4_quality": ORACLE_C4_QUALITY,
     }

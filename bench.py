@@ -16,6 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "bm25_topk",
+    "gopher_quality",
+    "c4_quality",
     "url_canonical",
     "url_dedup",
     "source_drift",

@@ -342,3 +342,130 @@ def unicode_normalize(
             yield pdf
 
     return df.mapInPandas(norm, schema=schema)
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document Gopher quality-rule statistics (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 MassiveWeb filters) and the combined keep
+    decision:
+
+    - 50 ≤ word count ≤ 100 000
+    - 3 ≤ mean word length ≤ 10
+    - symbol-to-word ratio ('#' chars + '...' / '…' runs) ≤ 0.1
+    - ≤ 90 % of lines start with a bullet
+    - ≤ 30 % of lines end with an ellipsis
+    - ≥ 80 % of words contain an alphabetic character
+    - ≥ 2 distinct Gopher stopwords present
+
+    Everything is a scan-local native-expression projection — no
+    shuffle, no UDF; string-count tricks (length deltas) for the
+    symbol counts keep it whole-stage-codegen.  The repetition rules
+    of the same appendix live in ``curation.repetition_stats``.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.trim(t), TOKEN_SPLIT), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = F.when(n_words > 0, sum_len.cast("double") / n_words).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ell = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / F.lit(3) + (F.length(t) - F.length(F.regexp_replace(t, "…", "")))
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ell).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != F.lit(""))
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•‣]"))).cast(
+            "double"
+        )
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ell_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$"))
+        ).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    lower_words = F.transform(words, lambda w: F.lower(w))
+    stop_hits = sum(
+        [F.array_contains(lower_words, s).cast("int") for s in GOPHER_STOPWORDS],
+        F.lit(0),
+    )
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ell_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ell_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        keep.cast("int").alias("gopher_keep"),
+    )
+
+
+def c4_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document C4 cleaning statistics (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2): terminal-punctuation line fraction,
+    sentence count, code/boilerplate flags, javascript-line fraction,
+    and the combined doc-level keep (≥3 sentences, no '{', no 'lorem
+    ipsum').  Line-level removals (non-terminal lines, javascript
+    lines) are reported as fractions so the caller can apply them with
+    one transform; the cross-document line dedup of the same paper is
+    ``curation.line_dedup``.  Scan-local native expressions only."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != F.lit(""))
+    n_lines = F.size(lines)
+    term_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(lines, lambda l: F.rtrim(l).rlike("[.!?\"”]$"))
+        ).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    low = F.lower(t)
+    n_sent = F.length(F.regexp_replace(t, "[^.!?]", ""))
+    has_lorem = low.contains("lorem ipsum").cast("int")
+    has_brace = t.contains("{").cast("int")
+    js_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(lines, lambda l: F.lower(l).contains("javascript"))
+        ).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    keep = (n_sent >= 3) & (has_lorem == 0) & (has_brace == 0)
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(term_frac, 6).alias("terminal_line_frac"),
+        n_sent.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        F.round(js_frac, 6).alias("js_line_frac"),
+        keep.cast("int").alias("c4_keep"),
+    )

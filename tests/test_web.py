@@ -103,3 +103,44 @@ def test_source_drift_detects_skew(spark):
     assert out["same"].n_tokens == 20 * 40
     # top_v=8 covers the 8 distinct tokens -> no OOV anywhere
     assert all(r.oov_rate == 0.0 for r in out.values())
+
+
+def test_gopher_rules_adversarial(spark):
+    from csp_gateway_spark.operators.text import gopher_stats
+
+    good = ("the quick brown fox and that dog have fun with everything " * 6).strip()
+    docs = [
+        (0, good),                                   # passes all rules
+        (1, "short doc"),                            # too few words
+        (2, "#" * 40 + " " + good),                  # symbol ratio blown
+        (3, "\n".join("- bullet line %d" % i for i in range(10))),  # all bullets
+        (4, ("zz " * 60).strip()),                   # no stopwords
+        (5, None),                                   # null text
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_stats(df).collect()}
+    assert out[0].gopher_keep == 1
+    assert out[1].gopher_keep == 0 and out[1].n_words == 2
+    assert out[2].gopher_keep == 0 and out[2].symbol_ratio > 0.1
+    assert out[3].gopher_keep == 0 and out[3].bullet_line_frac == 1.0
+    assert out[4].gopher_keep == 0 and out[4].stopword_hits == 0
+    assert out[5].gopher_keep == 0 and out[5].n_words == 0
+
+
+def test_c4_rules_adversarial(spark):
+    from csp_gateway_spark.operators.text import c4_stats
+
+    docs = [
+        (0, "First sentence. Second one! Third one? All terminal."),
+        (1, "function() { return 1; }"),             # brace -> drop
+        (2, "Lorem Ipsum dolor sit amet. Yes. Ok."), # lorem -> drop
+        (3, "Enable JavaScript to view\nA real line."),
+        (4, "no terminal punctuation at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_stats(df).collect()}
+    assert out[0].c4_keep == 1 and out[0].n_sentences == 4
+    assert out[1].c4_keep == 0 and out[1].has_brace == 1
+    assert out[2].c4_keep == 0 and out[2].has_lorem == 1
+    assert out[3].js_line_frac == 0.5
+    assert out[4].c4_keep == 0 and out[4].terminal_line_frac == 0.0
