@@ -31,6 +31,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # enumerates all pairs of a tiny sample, or whose scalar subquery is a
 # 1-row broadcast compared by inequality (Q22 avg-balance threshold)
 INTENTIONAL_NESTED_LOOP = {
+    # 1-row broadcast corpus stats (N, avgdl) crossed into the
+    # query-term posting scoring (metadata-sized build side)
+    "bm25_topk",
+    # 1-row corpus totals + the bounded top-V vocab grid: every
+    # cross side is <= top_v rows by construction
+    "source_drift",
     "embedding_neardup",
     "ngram_jaccard",
     "ann_ivf_topk",
