@@ -4167,6 +4167,83 @@ FROM c ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# CORPUS — trigram stupid-backoff LM quality score (train-on-reference)
+# ---------------------------------------------------------------------------
+
+_BACKOFF_TRAIN_SRC = "src0"
+
+
+def q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff LM (Brants et al. 2007 §4) trained on
+    one reference source, scoring the whole corpus — unseen trigrams
+    back off to bigram/unigram/OOV-floor with α=0.5 (binary-exact).
+    Per-doc sum is a position-ordered fold."""
+    from csp_gateway_spark.operators.corpus import lm_score_backoff
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") == _BACKOFF_TRAIN_SRC)
+    return (
+        lm_score_backoff(docs, train)
+        .select(
+            "doc_id",
+            F.round("avg_logs", 6).alias("avg_logs"),
+            F.round("ppl", 6).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LM_BACKOFF = f"""
+WITH tk AS (
+  SELECT doc_id, {_SQL_TOKS.replace("trim(lower(text))", "{norm}")} AS t FROM documents
+), ttk AS (
+  SELECT doc_id, {_SQL_TOKS.replace("trim(lower(text))", "{norm}")} AS t
+  FROM documents WHERE source = '{_BACKOFF_TRAIN_SRC}'
+), tri_tr AS (
+  SELECT t[j] AS w1, t[j + 1] AS w2, t[j + 2] AS w3
+  FROM ttk, unnest(range(1, len(t) - 1)) r(j)
+), c3 AS (
+  SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri_tr GROUP BY 1, 2, 3
+), big_tr AS (
+  SELECT t[j] AS w1, t[j + 1] AS w2
+  FROM ttk, unnest(range(1, len(t))) r(j)
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big_tr GROUP BY 1, 2
+), uni_tr AS (
+  SELECT unnest(t) AS w FROM ttk
+), c1 AS (
+  SELECT w, COUNT(*) AS c1 FROM uni_tr GROUP BY 1
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni_tr
+), tri AS (
+  SELECT doc_id, j AS pos, t[j] AS w1, t[j + 1] AS w2, t[j + 2] AS w3
+  FROM tk, unnest(range(1, len(t) - 1)) r(j)
+), scored AS (
+  SELECT tri.doc_id, tri.pos,
+    ln(CASE
+      WHEN c3.c123 IS NOT NULL THEN CAST(c3.c123 AS DOUBLE) / CAST(b12.c12 AS DOUBLE)
+      WHEN b23.c12 IS NOT NULL THEN 0.5 * (CAST(b23.c12 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+      WHEN u3.c1 IS NOT NULL THEN 0.5 * 0.5 * (CAST(u3.c1 AS DOUBLE) / n)
+      ELSE 0.5 * 0.5 * (0.5 / n)
+    END) AS ls
+  FROM tri
+  LEFT JOIN c3 ON tri.w1 = c3.w1 AND tri.w2 = c3.w2 AND tri.w3 = c3.w3
+  LEFT JOIN c2 b12 ON tri.w1 = b12.w1 AND tri.w2 = b12.w2
+  LEFT JOIN c2 b23 ON tri.w2 = b23.w1 AND tri.w3 = b23.w2
+  LEFT JOIN c1 u3 ON tri.w3 = u3.w
+  LEFT JOIN c1 u2 ON tri.w2 = u2.w, nn
+), pd AS (
+  SELECT doc_id, list(ls ORDER BY pos) AS lss FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+  round(list_sum(lss) / len(lss), 6) AS avg_logs,
+  round(exp(-(list_sum(lss) / len(lss))), 6) AS ppl
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+ORDER BY d.doc_id
+""".replace("{norm}", _SQL_NORM)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -4297,6 +4374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift": q_source_drift,
         "gopher_quality": q_gopher_quality,
         "c4_quality": q_c4_quality,
+        "lm_backoff": q_lm_backoff,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -4463,4 +4541,5 @@ def oracle_sql() -> dict[str, str]:
         "source_drift": ORACLE_SOURCE_DRIFT,
         "gopher_quality": ORACLE_GOPHER_QUALITY,
         "c4_quality": ORACLE_C4_QUALITY,
+        "lm_backoff": ORACLE_LM_BACKOFF,
     }

@@ -18,6 +18,7 @@ HEADLINE = [
     "bm25_topk",
     "gopher_quality",
     "c4_quality",
+    "lm_backoff",
     "url_canonical",
     "url_dedup",
     "source_drift",

@@ -912,3 +912,114 @@ def source_drift(
         ),
         total.alias("kl"),
     )
+
+
+def trigram_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, w1, w2, w3) word-trigram rows in document order —
+    same zip_with-over-slices construction as ``bigram_rows``."""
+    toks = norm_tokens(F.col(text_col))
+    tok_df = df.select(F.col(id_col), toks.alias("_t"))
+    n = F.size(F.col("_t"))
+    pairs = F.zip_with(
+        F.slice(F.col("_t"), 1, F.greatest(n - 2, F.lit(0))),
+        F.slice(F.col("_t"), 2, F.greatest(n - 2, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    grams = F.zip_with(
+        pairs,
+        F.slice(F.col("_t"), 3, F.greatest(n - 2, F.lit(0))),
+        lambda p, c: F.struct(p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")),
+    )
+    return tok_df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "_g")
+    ).select(id_col, "pos", "_g.w1", "_g.w2", "_g.w3")
+
+
+def lm_score_backoff(
+    df: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    floor_k: float = 0.5,
+) -> DataFrame:
+    """Trigram LM with STUPID BACKOFF (Brants et al. 2007, "Large
+    Language Models in Machine Translation" §4) trained on a REFERENCE
+    subset and scored over the corpus — the CCNet-style quality signal
+    with real backoff behavior (training on the corpus itself makes
+    every observed trigram count ≥ 1 and the backoff dead):
+
+        S(w3|w1 w2) = c(w1w2w3)/c(w1w2)          if trigram seen
+                    = α · c(w2w3)/c(w2)           elif bigram seen
+                    = α² · c(w3)/N                elif unigram seen
+                    = α² · k/N                    else  (OOV floor)
+
+    α defaults to 0.5 (binary-exact; the paper's 0.4 is an unrounded
+    double and would hash-differently across engines).  Per-doc score
+    is the position-ordered fold of ln S (partitioning-invariant, same
+    pattern as ``lm_score``); output (id, avg_logs, ppl) with NULLs
+    for docs shorter than 3 tokens.
+
+    Plan: three count aggregations over the TRAIN set (orders smaller
+    than the corpus), each reduced before broadcast-joining onto the
+    corpus trigram stream; one per-doc rollup.  No driver actions.
+    """
+    tri_train = trigram_rows(train, text_col, id_col)
+    c3g = tri_train.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("_c123"))
+    big_train = bigram_rows(train, text_col, id_col)
+    c2g = big_train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    uni_train = token_rows(train, text_col, id_col)
+    c1g = uni_train.groupBy("token").agg(F.count(F.lit(1)).alias("_c1"))
+    n1 = uni_train.agg(F.count(F.lit(1)).cast("double").alias("_N"))
+
+    tri = trigram_rows(df, text_col, id_col)
+    j = (
+        tri.join(c3g, ["w1", "w2", "w3"], "left")
+        .join(c2g, ["w1", "w2"], "left")
+        .join(
+            c2g.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("_c12").alias("_c23")
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(c1g.select(F.col("token").alias("w3"), "_c1"), ["w3"], "left")
+        .crossJoin(F.broadcast(n1))
+    )
+    a = float(alpha)
+    # c2 (the unigram count of w2) is needed for the bigram backoff
+    j = j.join(
+        c1g.select(F.col("token").alias("w2"), F.col("_c1").alias("_c1w2")),
+        ["w2"],
+        "left",
+    )
+    s = (
+        F.when(
+            F.col("_c123").isNotNull(),
+            F.col("_c123").cast("double") / F.col("_c12").cast("double"),
+        )
+        .when(
+            F.col("_c23").isNotNull(),
+            F.lit(a) * (F.col("_c23").cast("double") / F.col("_c1w2").cast("double")),
+        )
+        .when(
+            F.col("_c1").isNotNull(),
+            F.lit(a) * F.lit(a) * (F.col("_c1").cast("double") / F.col("_N")),
+        )
+        .otherwise(F.lit(a) * F.lit(a) * (F.lit(float(floor_k)) / F.col("_N")))
+    )
+    scored = j.select(F.col(id_col), F.col("pos"), F.log(s).alias("_ls"))
+    per_doc = scored.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "_ls"))).alias("_lss")
+    )
+    total = F.aggregate(F.col("_lss"), F.lit(0.0), lambda acc, x: acc + x["_ls"])
+    avg = total / F.size(F.col("_lss"))
+    return (
+        df.select(id_col)
+        .join(per_doc.select(F.col(id_col), avg.alias("avg_logs")), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("avg_logs"),
+            F.exp(-F.col("avg_logs")).alias("ppl"),
+        )
+    )

@@ -144,3 +144,34 @@ def test_c4_rules_adversarial(spark):
     assert out[2].c4_keep == 0 and out[2].has_lorem == 1
     assert out[3].js_line_frac == 0.5
     assert out[4].c4_keep == 0 and out[4].terminal_line_frac == 0.0
+
+
+def test_lm_backoff_levels(spark):
+    """Each backoff level must engage: exact trigram, bigram backoff,
+    unigram backoff, OOV floor — and ppl must rank train-like text
+    ahead of unseen text."""
+    import math
+
+    from csp_gateway_spark.operators.corpus import lm_score_backoff
+
+    train = spark.createDataFrame(
+        [(100, "a b c d"), (101, "a b c e")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [
+            (0, "a b c"),    # trigram seen: S = c(abc)/c(ab) = 1/2
+            (1, "d a b"),    # trigram unseen, bigram (a b) seen: 0.5*c(ab)/c(a)=0.5*2/2... third word is b: S(b|d a)-> bigram (a,b): 0.5 * c(ab)/c(a)
+            (2, "x y a"),    # only unigram a seen: 0.25*c(a)/N
+            (3, "x y z"),    # OOV floor: 0.25*0.5/N
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lm_score_backoff(score, train).collect()}
+    N = 8.0  # train tokens
+    # exact values per the formula:
+    assert abs(out[0].avg_logs - math.log(2 / 2)) < 1e-9        # c(abc)=2, c(ab)=2
+    assert abs(out[1].avg_logs - math.log(0.5 * 2 / 2)) < 1e-9  # c(ab)=2, c(a)=2
+    assert abs(out[2].avg_logs - math.log(0.25 * 2 / N)) < 1e-9 # c(a)=2
+    assert abs(out[3].avg_logs - math.log(0.25 * 0.5 / N)) < 1e-9
+    # ranking: seen text has lower perplexity than OOV text
+    assert out[0].ppl < out[2].ppl < out[3].ppl

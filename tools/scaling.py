@@ -49,6 +49,10 @@ HEAVY = [
     "bpe_train",
     "substring_spans",
     "length_quantiles",
+    "bm25_topk",
+    "source_drift",
+    "gopher_quality",
+    "url_dedup",
 ]
 
 TABLES = [
