@@ -256,6 +256,25 @@ def persist_ivf_index(
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
+def ivf_append(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental index maintenance: assign ONLY the new batch against
+    the frozen centroids and APPEND its files into the same
+    cell-partition layout — no rebuild, no read of the existing index.
+    At 100 TB this is the difference between an O(batch) nightly
+    ingest and an O(corpus) rewrite; probes see old + new rows through
+    the same partition pruning.  Re-train centroids (and rebuild) only
+    when drift degrades recall — ``source_drift`` over the assignment
+    distribution is the cheap trigger for that."""
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+
+
 def ivf_topk_from_index(
     spark,
     path: str,

@@ -220,3 +220,22 @@ def test_zvalue_interleave_is_monotone_on_grid(spark):
     # corner cases: min maps to 0, max maps to full mask
     assert zvals[(0, 0)] == 0
     assert zvals[(15, 15)] == 255
+
+
+def test_ivf_append_probe_sees_old_and_new(spark, embeddings, query_vec, tmp_path_factory):
+    """Appending a batch into the persisted IVF layout (no rebuild)
+    must yield identical probe results to an index built over the full
+    set in one shot."""
+    from csp_gateway_spark.operators.similarity import ivf_append
+
+    path_inc = str(tmp_path_factory.mktemp("ivf_inc") / "index")
+    path_full = str(tmp_path_factory.mktemp("ivf_full") / "index")
+    cents = sample_centroids(embeddings, 8)
+    old = embeddings.filter(F.col("vec_id") % 2 == 0)
+    new = embeddings.filter(F.col("vec_id") % 2 == 1)
+    persist_ivf_index(old, cents, path_inc)
+    ivf_append(new, cents, path_inc)
+    persist_ivf_index(embeddings, cents, path_full)
+    a = [(r.vec_id, round(r.cos, 9)) for r in ivf_topk_from_index(spark, path_inc, cents, query_vec, k=10, nprobe=3).collect()]
+    b = [(r.vec_id, round(r.cos, 9)) for r in ivf_topk_from_index(spark, path_full, cents, query_vec, k=10, nprobe=3).collect()]
+    assert a == b and len(a) == 10
