@@ -1614,7 +1614,7 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = embedding_standardize(emb, scale=_STD_SCALE)
     return out.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("pos", "_v")
-    ).select("vec_id", "pos", F.round("_v", 6).alias("val")).orderBy("vec_id", "pos")
+    ).select("vec_id", "pos", F.round("_v", 6).alias("val"))
 
 
 ORACLE_EMBEDDING_STANDARDIZE = f"""
@@ -1636,7 +1636,7 @@ WITH v AS (
   FROM mom
 )
 SELECT q.vec_id, CAST(q.pos AS INT) AS pos, round((q.x - st.mu) / st.sd, 6) AS val
-FROM q JOIN st USING (pos) ORDER BY vec_id, pos
+FROM q JOIN st USING (pos)
 """
 
 

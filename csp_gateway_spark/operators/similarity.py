@@ -1096,11 +1096,13 @@ def embedding_standardize(
     m_arr = F.lit(means).cast("array<double>")
     s_arr = F.lit(sds).cast("array<double>")
     vec = _as_double(F.col(vec_col))
-    out = F.transform(
-        vec,
-        lambda x, i: (x - F.element_at(m_arr, i + F.lit(1)))
-        / F.element_at(s_arr, i + F.lit(1)),
-    )
+    # zip_with pairs the row vector with the literal stat arrays
+    # elementwise — NEVER element_at(literal_array, i) inside a
+    # transform lambda, which rebuilds the 64-literal array per
+    # element (O(dim²) interpreted evaluation per row; measured ~10×
+    # on the sf0.1 gate)
+    centered = F.zip_with(vec, m_arr, lambda x, m: x - m)
+    out = F.zip_with(centered, s_arr, lambda y, s: y / s)
     return df.withColumn(vec_col, out)
 
 
