@@ -4244,6 +4244,127 @@ ORDER BY d.doc_id
 """.replace("{norm}", _SQL_NORM)
 
 
+# ---------------------------------------------------------------------------
+# CURATION — token-budget mixture planner (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+_BUDGET_WEIGHTS = {"src0": 3.0, "src1": 1.5, "src2": 1.0, "src3": 0.5}
+_BUDGET_TOKENS = 100000
+
+
+def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling plan for a fixed token budget and target
+    mixture weights: rate = (budget·w/Σw)/tokens, split into whole
+    epochs + fractional remainder — one map-side-combined aggregation
+    over the corpus, weights as a WHEN chain."""
+    from csp_gateway_spark.operators.curation import budget_mix_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    out = budget_mix_plan(docs, _BUDGET_WEIGHTS, _BUDGET_TOKENS)
+    return out.select(
+        "source",
+        "n_docs",
+        "tokens",
+        "weight",
+        F.round("target_tokens", 6).alias("target_tokens"),
+        F.round("rate", 6).alias("rate"),
+        "epochs",
+        F.round("frac", 6).alias("frac"),
+    ).orderBy("source")
+
+
+ORACLE_BUDGET_MIX = f"""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_SQL_TOKS.replace("trim(lower(text))", "{norm}")})) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+), ww AS (
+  SELECT source, n_docs, tokens,
+    CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.5
+                WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 0.5 ELSE 0.0 END AS weight
+  FROM per
+), rr AS (
+  SELECT source, n_docs, tokens, weight,
+    CAST({float(_BUDGET_TOKENS)} AS DOUBLE) * weight / 6.0 AS target_tokens,
+    CASE WHEN tokens > 0
+         THEN CAST({float(_BUDGET_TOKENS)} AS DOUBLE) * weight / 6.0 / CAST(tokens AS DOUBLE)
+         ELSE 0.0 END AS rate
+  FROM ww
+)
+SELECT source, n_docs, tokens, weight,
+  round(target_tokens, 6) AS target_tokens,
+  round(rate, 6) AS rate,
+  CAST(floor(rate) AS BIGINT) AS epochs,
+  round(rate - floor(rate), 6) AS frac
+FROM rr ORDER BY source
+""".replace("{norm}", _SQL_NORM)
+
+
+# ---------------------------------------------------------------------------
+# DEDUP — order-insensitive bag fingerprint + k-gram novelty profile
+# ---------------------------------------------------------------------------
+
+
+def q_bag_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-multiset (order-insensitive) dedup groups: catches
+    sentence-reordered copies exact hashing misses — one map-side
+    combined aggregation on the sorted-token md5."""
+    from csp_gateway_spark.operators.dedup import bag_dedup
+
+    return bag_dedup(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_BAG_DEDUP = f"""
+SELECT md5(array_to_string(list_sort({_SQL_TOKS.replace("trim(lower(text))", "{norm}")}), ' ')) AS bag_fp,
+       MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+""".replace("{norm}", _SQL_NORM)
+
+
+_NOVELTY_K = 8
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each doc's distinct 8-gram shingles occurring in no
+    other document — the scored complement of dedup (low novelty =
+    template/near-copy; also a memorization-risk signal)."""
+    from csp_gateway_spark.operators.dedup import ngram_novelty
+
+    out = ngram_novelty(_t(spark, sf_dir, "documents"), k=_NOVELTY_K)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "novel_grams",
+        F.round("novelty", 6).alias("novelty"),
+    ).orderBy("doc_id")
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH tk AS (
+  SELECT doc_id, {_SQL_TOKS.replace("trim(lower(text))", "{norm}")} AS t FROM documents
+), sh_long AS (
+  SELECT DISTINCT doc_id, array_to_string(t[j:j + {_NOVELTY_K - 1}], ' ') AS s
+  FROM tk, unnest(range(1, len(t) - {_NOVELTY_K - 2})) r(j) WHERE len(t) >= {_NOVELTY_K}
+), sh_short AS (
+  SELECT DISTINCT doc_id, array_to_string(t, ' ') AS s FROM tk WHERE len(t) < {_NOVELTY_K}
+), sh AS (
+  SELECT * FROM sh_long UNION ALL SELECT * FROM sh_short
+), dfq AS (
+  SELECT s, COUNT(*) AS dfc FROM sh GROUP BY 1
+), pd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams
+  FROM sh JOIN dfq USING (s) GROUP BY 1
+)
+SELECT d.doc_id,
+  COALESCE(pd.n_grams, 0) AS n_grams,
+  COALESCE(pd.novel_grams, 0) AS novel_grams,
+  round(CASE WHEN pd.n_grams > 0 THEN CAST(pd.novel_grams AS DOUBLE) / CAST(pd.n_grams AS DOUBLE)
+             ELSE 0.0 END, 6) AS novelty
+FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id
+""".replace("{norm}", _SQL_NORM)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -4375,6 +4496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "c4_quality": q_c4_quality,
         "lm_backoff": q_lm_backoff,
+        "budget_mix": q_budget_mix,
+        "bag_dedup": q_bag_dedup,
+        "ngram_novelty": q_ngram_novelty,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -4542,4 +4666,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": ORACLE_GOPHER_QUALITY,
         "c4_quality": ORACLE_C4_QUALITY,
         "lm_backoff": ORACLE_LM_BACKOFF,
+        "budget_mix": ORACLE_BUDGET_MIX,
+        "bag_dedup": ORACLE_BAG_DEDUP,
+        "ngram_novelty": ORACLE_NGRAM_NOVELTY,
     }

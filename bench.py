@@ -19,6 +19,9 @@ HEADLINE = [
     "gopher_quality",
     "c4_quality",
     "lm_backoff",
+    "budget_mix",
+    "bag_dedup",
+    "ngram_novelty",
     "url_canonical",
     "url_dedup",
     "source_drift",

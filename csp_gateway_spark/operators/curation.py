@@ -806,3 +806,96 @@ def deterministic_shuffle(
         out.withColumn("pos", F.row_number().over(w) - F.lit(1))
         .drop("_h")
     )
+
+
+def budget_mix_plan(
+    df: DataFrame,
+    weights: Dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture PLANNER: given target mixture ``weights``
+    (relative, any positive scale) and a total token ``budget``, emit
+    the per-source sampling plan —
+
+        target_s = budget · w_s / Σw
+        rate_s   = target_s / tokens_s     (may exceed 1 → epochs)
+
+    Output: (source, n_docs, tokens, weight, target_tokens, rate,
+    epochs, frac) where ``epochs = floor(rate)`` and ``frac`` is the
+    fractional-epoch remainder — exactly the inputs
+    ``epoch_upsample`` (rate > 1) / ``weighted_sample`` (rate ≤ 1)
+    apply.  This is the "2 T tokens total, 30 % code, 5 % books"
+    planning step of assembling a training mix.
+
+    Plan: ONE map-side-combined aggregation over the corpus (per-source
+    doc + token counts); weights enter as a WHEN chain (no join).
+    Sources absent from ``weights`` get weight 0 (rate 0 — dropped).
+    Determinism: rate = (budget·w_s/Σw)/tokens_s is one double
+    expression over exact integers and literal doubles — engine-exact.
+    """
+    from csp_gateway_spark.operators.text import norm_tokens
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    w_col: Column = F.lit(0.0)
+    for name, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0, got {w}")
+        w_col = F.when(F.col(source_col) == name, F.lit(float(w))).otherwise(w_col)
+    per_src = (
+        df.select(F.col(source_col), F.size(norm_tokens(F.col(text_col))).alias("_nt"))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_nt").alias("tokens"))
+        .withColumn("weight", w_col)
+    )
+    target = F.lit(float(budget_tokens)) * F.col("weight") / F.lit(total_w)
+    rate = F.when(
+        F.col("tokens") > 0, target / F.col("tokens").cast("double")
+    ).otherwise(F.lit(0.0))
+    out = per_src.select(
+        F.col(source_col),
+        "n_docs",
+        "tokens",
+        "weight",
+        target.alias("target_tokens"),
+        rate.alias("rate"),
+    )
+    return out.select(
+        "*",
+        F.floor(F.col("rate")).cast("long").alias("epochs"),
+        (F.col("rate") - F.floor(F.col("rate"))).alias("frac"),
+    )
+
+
+def apply_budget_mix(
+    df: DataFrame,
+    plan: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 23,
+) -> DataFrame:
+    """Materialize a ``budget_mix_plan``: per-source rate applied as
+    floor(rate) full epochs plus one seeded-hash fractional copy —
+    ``epoch_upsample`` semantics driven by a PLAN TABLE (broadcast
+    join) instead of a literal dict, so the planner output feeds the
+    executor without driver round-trips.  Deterministic and resumable;
+    output carries the ``epoch`` index."""
+    j = df.join(
+        F.broadcast(plan.select(source_col, "rate")), source_col, "inner"
+    )
+    h = sample_hash(F.col(id_col), seed)
+    frac_thresh = F.floor(
+        (F.col("rate") - F.floor(F.col("rate"))) * F.lit(HASH60_SPACE)
+    ).cast("long")
+    copies = F.floor(F.col("rate")).cast("long") + F.when(h < frac_thresh, 1).otherwise(0)
+    return (
+        j.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .drop("_copies", "rate")
+    )

@@ -973,3 +973,66 @@ def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
         F.sum(F.col("_n") * F.col("_l")).cast("long").alias("total_bytes"),
         F.sum("_l").cast("long").alias("distinct_bytes"),
     )
+
+
+def bag_fingerprint(col: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the SORTED
+    normalized token multiset.  Catches duplicates that reorder
+    sentences/paragraphs (listing pages, shuffled boilerplate), which
+    the exact hash misses and MinHash only catches probabilistically —
+    at zero candidate-generation cost.  Scan-local expression."""
+    return F.md5(F.concat_ws(" ", F.array_sort(norm_tokens(col))))
+
+
+def bag_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per token-multiset fingerprint: kept (minimum) id and
+    duplicate count — one map-side-combined aggregation, the
+    ``url_dedup``/``exact_dedup`` shape on the order-insensitive key."""
+    return (
+        df.select(F.col(id_col), bag_fingerprint(F.col(text_col)).alias("bag_fp"))
+        .groupBy("bag_fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty profile: the fraction of the doc's DISTINCT
+    k-gram shingles that occur in no other document — low novelty ⇒
+    boilerplate/template/near-copy, high ⇒ unique content.  The
+    complement of dedup: instead of dropping duplicates it SCORES how
+    duplicated each doc's content is (useful as a mixing weight and as
+    a memorization-risk signal).
+
+    Plan: distinct (doc, shingle) rows → ONE groupBy(shingle) document
+    frequency (map-side combined) → join back → per-doc ratio of exact
+    integer counts.  Cost ∝ corpus shingle count, same as the MinHash
+    signature pass.
+    """
+    sh = shingle_rows(df, text_col, id_col, k=k).dropDuplicates([id_col, "_s"])
+    dfreq = sh.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        sh.join(dfreq, "_s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("novel_grams"),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        F.coalesce(F.col("novel_grams"), F.lit(0)).alias("novel_grams"),
+        F.when(
+            F.col("n_grams").isNotNull() & (F.col("n_grams") > 0),
+            F.col("novel_grams").cast("double") / F.col("n_grams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("novelty"),
+    )

@@ -699,3 +699,37 @@ def test_vocab_coverage_oov_rates(spark):
     assert out["known"]["oov_tokens"] == 0 and out["known"]["oov_rate"] == 0.0
     assert out["mixed"]["oov_tokens"] == 3
     assert out["mixed"]["oov_rate"] == 0.75
+
+
+def test_budget_mix_plan_and_apply(spark):
+    """The plan hits the token budget in expectation and apply()
+    realizes it: sampled token mass per source tracks target within
+    hash-sampling noise; zero-weight sources drop entirely."""
+    import pyspark.sql.functions as F
+
+    from csp_gateway_spark.operators.curation import apply_budget_mix, budget_mix_plan
+
+    rows = []
+    for s, n in [("a", 200), ("b", 100), ("c", 50)]:
+        for i in range(n):
+            rows.append((len(rows), "tok " * 20, s))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # a: 200 docs x 20 tokens = 4000; b: 2000; c: 1000
+    plan = budget_mix_plan(df, {"a": 1.0, "b": 1.0}, budget_tokens=5000)
+    p = {r.source: r for r in plan.collect()}
+    assert p["a"].tokens == 4000 and p["b"].tokens == 2000
+    assert abs(p["a"].rate - 2500 / 4000) < 1e-12
+    assert abs(p["b"].rate - 2500 / 2000) < 1e-12   # > 1 -> 1 epoch + frac
+    assert p["b"].epochs == 1 and abs(p["b"].frac - 0.25) < 1e-12
+    assert p["c"].rate == 0.0
+
+    out = apply_budget_mix(df, plan)
+    got = {r["source"]: r["cnt"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert "c" not in got
+    # a: expect 200*0.625 = 125 docs +- sampling noise
+    assert 100 <= got["a"] <= 150
+    # b: every doc once + ~25% twice -> 100..150
+    assert 110 <= got["b"] <= 140
+    # determinism: re-apply gives the identical multiset
+    again = {r["source"]: r["cnt"] for r in apply_budget_mix(df, plan).groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert again == got

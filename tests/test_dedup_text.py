@@ -397,3 +397,40 @@ def test_encoding_quality_detects_mojibake(spark):
     assert out[2]["mojibake_per_kchar"] > 50
     assert out[3]["has_replacement"] and out[3]["n_mojibake"] == 2
     assert out[4]["n_mojibake"] == 0  # real accents are not artifacts
+
+
+def test_bag_dedup_catches_reordered_text(spark):
+    from csp_gateway_spark.operators.dedup import bag_dedup
+
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "delta gamma beta alpha"),    # same multiset, reordered
+        (3, "Alpha, beta; GAMMA delta!"), # same after normalization
+        (4, "alpha beta gamma"),          # different multiset
+        (5, "alpha alpha beta gamma delta"),  # different multiplicity
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    groups = {r.keep_id: r.n_dups for r in bag_dedup(df).collect()}
+    assert groups[1] == 3    # docs 1,2,3 collapse
+    assert groups[4] == 1 and groups[5] == 1
+
+
+def test_ngram_novelty_scores(spark):
+    from csp_gateway_spark.operators.dedup import ngram_novelty
+
+    unique = "u%d " * 10
+    shared = "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 "
+    docs = [
+        (1, (unique % tuple(range(0, 10))) + shared),   # half unique, half shared
+        (2, (unique % tuple(range(10, 20))) + shared),  # other half unique
+        (3, "tiny doc"),                                 # < k tokens: 1 whole-text shingle
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_novelty(df, k=8).collect()}
+    # doc 1: 13 distinct 8-grams; those fully inside the shared tail
+    # (positions 11..13 of 20 tokens) also appear in doc 2
+    assert out[1].n_grams == 13
+    assert 0.0 < out[1].novelty < 1.0
+    assert out[1].novelty == out[2].novelty
+    # the tiny doc's single whole-text shingle is unique
+    assert out[3].n_grams == 1 and out[3].novelty == 1.0
