@@ -273,3 +273,19 @@ def bloom_decontaminate_stream(
         ),
     )
     return stream.withColumn("contaminated", F.size(sh_hits) > 0)
+
+
+def keyed_dedup_stream(
+    stream: DataFrame,
+    key_expr,
+    ts_col: str = "ts",
+    watermark: str = "1 minute",
+    key_name: str = "dedup_key",
+) -> DataFrame:
+    """Streaming first-arrival dedup on ANY stateless key expression —
+    the generalization behind ``exact_dedup_stream``: pass
+    ``web.canonical_url(col)`` for URL-keyed dedup of a crawl stream,
+    or ``dedup.bag_fingerprint(col)`` for order-insensitive content
+    dedup.  State ∝ distinct keys inside the watermark horizon."""
+    keyed = stream.withWatermark(ts_col, watermark).withColumn(key_name, key_expr)
+    return keyed.dropDuplicatesWithinWatermark([key_name])

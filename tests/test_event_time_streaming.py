@@ -374,3 +374,57 @@ def test_streaming_drift_matches_batch(spark, tmp_path):
         if r["window_start"].minute == 0
     }
     assert got == want, (got, want)
+
+
+def test_streaming_url_and_bag_dedup_match_batch(spark, tmp_path):
+    """keyed_dedup_stream over canonical_url / bag_fingerprint keeps
+    exactly the batch dedup's keeper set on an id-ordered replay."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from csp_gateway_spark.operators.dedup import bag_dedup, bag_fingerprint
+    from csp_gateway_spark.operators.web import canonical_url, url_dedup
+    from csp_gateway_spark.streaming.dedup_stream import keyed_dedup_stream
+
+    rows = [
+        (1, "https://www.example.com/p?utm_source=a", "alpha beta gamma"),
+        (2, "HTTPS://EXAMPLE.COM/p/", "gamma beta alpha"),
+        (3, "https://example.com/q", "alpha beta gamma"),
+        (4, "https://example.com/p#x", "something else entirely"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    url_keep = {r.keep_id for r in url_dedup(batch).collect()}
+    bag_keep = {r.keep_id for r in bag_dedup(batch).collect()}
+    assert url_keep == {1, 3} and bag_keep == {1, 4}
+
+    for name, expr, want in (
+        ("url", canonical_url(F.col("url")), url_keep),
+        ("bag", bag_fingerprint(F.col("text")), bag_keep),
+    ):
+        src = tmp_path / f"kd_{name}"
+        src.mkdir()
+        out = []
+        stream = spark.readStream.schema(
+            "ts timestamp, doc_id long, url string, text string"
+        ).json(str(src))
+        q = (
+            keyed_dedup_stream(stream, expr)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _b, acc=out: acc.extend(bdf.collect()))
+            .option("checkpointLocation", str(tmp_path / f"kd_{name}_ck"))
+            .start()
+        )
+        try:
+            with open(src / "b1.json", "w") as f:
+                for i, (did, url, text) in enumerate(rows):
+                    f.write(
+                        json.dumps(
+                            {"ts": f"2026-01-01T10:00:{i:02d}", "doc_id": did, "url": url, "text": text}
+                        )
+                        + "\n"
+                    )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert {r["doc_id"] for r in out} == want, name
