@@ -4365,6 +4365,53 @@ FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id
 """.replace("{norm}", _SQL_NORM)
 
 
+# ---------------------------------------------------------------------------
+# CURATION — length-bucketed batch packing + padding-waste report
+# ---------------------------------------------------------------------------
+
+_PACK_BATCH = 16
+_PACK_SHARDS = 4
+
+
+def q_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length-bucketed batching (bit-trick buckets, no
+    float log2) with per-(bucket, shard) deterministic windows, then
+    the padding-waste report a serving team tunes batch sizes with."""
+    from csp_gateway_spark.operators.curation import pack_batches, padding_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = padding_stats(pack_batches(docs, batch_size=_PACK_BATCH, n_shards=_PACK_SHARDS))
+    return out.orderBy("bucket", "shard", "batch_id")
+
+
+ORACLE_PADDING_REPORT = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({_SQL_TOKS.replace("trim(lower(text))", "{norm}")}) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT % {_PACK_SHARDS} AS shard
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tokens, shard,
+         CASE WHEN n_tokens <= 1 THEN 1
+              ELSE CAST(1 << length(bin(n_tokens - 1)) AS BIGINT) END AS bucket
+  FROM base
+), rn AS (
+  SELECT doc_id, n_tokens, shard, bucket,
+         row_number() OVER (PARTITION BY bucket, shard ORDER BY n_tokens DESC, doc_id ASC) AS r
+  FROM b
+), batched AS (
+  SELECT bucket, shard, CAST(floor((r - 1) / {_PACK_BATCH}.0) AS BIGINT) AS batch_id, n_tokens
+  FROM rn
+)
+SELECT bucket, shard, batch_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  MAX(n_tokens) AS max_len,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS pad_waste
+FROM batched GROUP BY 1, 2, 3 ORDER BY bucket, shard, batch_id
+""".replace("{norm}", _SQL_NORM)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -4499,6 +4546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_mix": q_budget_mix,
         "bag_dedup": q_bag_dedup,
         "ngram_novelty": q_ngram_novelty,
+        "padding_report": q_padding_report,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -4669,4 +4717,5 @@ def oracle_sql() -> dict[str, str]:
         "budget_mix": ORACLE_BUDGET_MIX,
         "bag_dedup": ORACLE_BAG_DEDUP,
         "ngram_novelty": ORACLE_NGRAM_NOVELTY,
+        "padding_report": ORACLE_PADDING_REPORT,
     }

@@ -22,6 +22,7 @@ HEADLINE = [
     "budget_mix",
     "bag_dedup",
     "ngram_novelty",
+    "padding_report",
     "url_canonical",
     "url_dedup",
     "source_drift",

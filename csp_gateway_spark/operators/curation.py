@@ -899,3 +899,75 @@ def apply_budget_mix(
         .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
         .drop("_copies", "rate")
     )
+
+
+def pow2_bucket(length_col: Column) -> Column:
+    """Smallest power of two ≥ length, via integer bit tricks only
+    (``1 << bit_length(n-1)``) — float ``log2`` would disagree across
+    engines exactly at the power-of-two boundaries.  Built with the
+    SQL ``shiftleft`` (whose bit count may be a column; the Python
+    ``F.shiftleft`` wrapper only takes a literal int)."""
+    bits = F.length(F.bin(length_col - F.lit(1)))
+    return F.when(length_col <= 1, F.lit(1).cast("long")).otherwise(
+        F.call_function("shiftleft", F.lit(1), bits).cast("long")
+    )
+
+
+def pack_batches(
+    df: DataFrame,
+    batch_size: int = 32,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed inference/training batching: group documents
+    into power-of-two token-length buckets, then pack fixed-size
+    batches inside each (bucket, shard) — the standard trick that
+    minimizes padding waste, since a batch only pads up to ITS OWN
+    longest member rather than the corpus maximum.
+
+    Shards are deterministic md5 buckets of the id, so the packing
+    windows are per-(bucket, shard) — bounded partitions at any corpus
+    size (the ``sequence_pack`` scale pattern; a global window would
+    funnel everything through one task).  Batch assignment is fully
+    deterministic: within a shard, docs order by (token length desc,
+    id) and chunk into ``batch_size`` groups.
+
+    Output: one row per document with (bucket, shard, batch_id,
+    n_tokens) — feed to a writer partitioned by (bucket, shard) to
+    materialize batch files.
+    """
+    from pyspark.sql.window import Window
+
+    from csp_gateway_spark.operators.text import norm_tokens
+
+    n = F.size(norm_tokens(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        pow2_bucket(n).alias("bucket"),
+        (sample_hash(F.col(id_col), 7) % F.lit(int(n_shards))).alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.desc("n_tokens"), F.asc(id_col)
+    )
+    return base.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(int(batch_size))).cast(
+            "long"
+        ),
+    )
+
+
+def padding_stats(batches: DataFrame) -> DataFrame:
+    """Padding-efficiency report over ``pack_batches`` output: per
+    (bucket, shard, batch) the doc count, max length (what the batch
+    pads to), real token mass, and wasted pad tokens — the number a
+    serving team watches when choosing bucket widths and batch sizes.
+    One map-side-combined aggregation."""
+    return batches.groupBy("bucket", "shard", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")).alias("pad_waste"),
+    )

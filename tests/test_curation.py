@@ -733,3 +733,28 @@ def test_budget_mix_plan_and_apply(spark):
     # determinism: re-apply gives the identical multiset
     again = {r["source"]: r["cnt"] for r in apply_budget_mix(df, plan).groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert again == got
+
+
+def test_pack_batches_padding(spark):
+    import pyspark.sql.functions as F
+
+    from csp_gateway_spark.operators.curation import pack_batches, padding_stats
+
+    rows = [(i, "t " * (10 + (i % 3))) for i in range(40)]  # lens 10..12 -> bucket 16
+    rows += [(100 + i, "t " * 100) for i in range(5)]       # len 100 -> bucket 128
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_batches(df, batch_size=8, n_shards=2)
+    assert {r.bucket for r in out.collect()} == {16, 128}
+    # deterministic: same assignment on re-run
+    a = sorted((r.doc_id, r.bucket, r.shard, r.batch_id) for r in out.collect())
+    b = sorted((r.doc_id, r.bucket, r.shard, r.batch_id) for r in pack_batches(df, batch_size=8, n_shards=2).collect())
+    assert a == b
+    st = padding_stats(out)
+    # every batch's waste = n*max - sum and is non-negative, < n*max
+    for r in st.collect():
+        assert r.pad_waste == r.n_docs * r.max_len - r.sum_tokens >= 0
+    # length-sorted packing: waste inside a full batch is tiny relative
+    # to padding to the bucket edge
+    total_waste = st.agg(F.sum("pad_waste")).first()[0]
+    total_tokens = st.agg(F.sum("sum_tokens")).first()[0]
+    assert total_waste < 0.2 * total_tokens
