@@ -4412,6 +4412,62 @@ FROM batched GROUP BY 1, 2, 3 ORDER BY bucket, shard, batch_id
 """.replace("{norm}", _SQL_NORM)
 
 
+# ---------------------------------------------------------------------------
+# TEXT — per-source PII exposure report
+# ---------------------------------------------------------------------------
+# The synthetic corpus carries no PII, so both engines append the same
+# deterministic PII-bearing suffixes first — the report then has real
+# nonzero counts to hash-check.
+
+
+def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII class counts (emails / phone-like / IPv4 / card-like) per
+    source + docs-with-any — the pre-release compliance report and the
+    mask_pii regression gate."""
+    from csp_gateway_spark.operators.text import pii_report
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    spiked = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(d % 5 == 0, F.lit(" contact bob@example.com now")).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit(" call +1 (555) 123-4567")).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit(" from 192.168.10.1 addr")).otherwise(F.lit("")),
+            F.when(d % 13 == 0, F.lit(" pan 4111111111111111 ok")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_report(spiked).orderBy("source")
+
+
+ORACLE_PII_REPORT = r"""
+WITH spiked AS (
+  SELECT source,
+    text || CASE WHEN doc_id % 5 = 0 THEN ' contact bob@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' call +1 (555) 123-4567' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.10.1 addr' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' pan 4111111111111111 ok' ELSE '' END AS t
+  FROM documents
+), c AS (
+  SELECT source,
+    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+    len(regexp_extract_all(t, '\+?\d[\d ()-]{7,}\d')) AS p,
+    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS i,
+    len(regexp_extract_all(t, '\b\d{16}\b')) AS cc
+  FROM spiked
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(e) AS BIGINT) AS emails,
+  CAST(SUM(p) AS BIGINT) AS phones,
+  CAST(SUM(i) AS BIGINT) AS ipv4s,
+  CAST(SUM(cc) AS BIGINT) AS card_like,
+  CAST(SUM(CASE WHEN e + p + i + cc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+FROM c GROUP BY source ORDER BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -4547,6 +4603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bag_dedup": q_bag_dedup,
         "ngram_novelty": q_ngram_novelty,
         "padding_report": q_padding_report,
+        "pii_report": q_pii_report,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -4718,4 +4775,5 @@ def oracle_sql() -> dict[str, str]:
         "bag_dedup": ORACLE_BAG_DEDUP,
         "ngram_novelty": ORACLE_NGRAM_NOVELTY,
         "padding_report": ORACLE_PADDING_REPORT,
+        "pii_report": ORACLE_PII_REPORT,
     }

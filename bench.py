@@ -23,6 +23,7 @@ HEADLINE = [
     "bag_dedup",
     "ngram_novelty",
     "padding_report",
+    "pii_report",
     "url_canonical",
     "url_dedup",
     "source_drift",

@@ -469,3 +469,36 @@ def c4_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
         F.round(js_frac, 6).alias("js_line_frac"),
         keep.cast("int").alias("c4_keep"),
     )
+
+
+PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phones": r"\+?\d[\d ()-]{7,}\d",
+    "ipv4s": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "card_like": r"\b\d{16}\b",
+}
+
+
+def pii_report(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group PII exposure report: occurrence counts per PII class
+    (emails, phone-like digit runs, IPv4s, 16-digit card-like runs)
+    plus the count of documents containing ANY — the compliance
+    dashboard a curation run publishes before release, and the
+    regression gate for ``mask_pii``.  One scan, one map-side-combined
+    aggregation; counting is ``regexp_count`` (JVM, codegen)."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    base = df.select(F.col(group_col), *counts)
+    any_pii = sum(
+        [F.col(f"_{name}") for name in PII_PATTERNS], F.lit(0)
+    )
+    aggs = [F.sum(f"_{name}").alias(name) for name in PII_PATTERNS]
+    return base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *aggs,
+        F.sum(F.when(any_pii > 0, 1).otherwise(0)).alias("docs_with_pii"),
+    )

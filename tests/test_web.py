@@ -175,3 +175,25 @@ def test_lm_backoff_levels(spark):
     assert abs(out[3].avg_logs - math.log(0.25 * 0.5 / N)) < 1e-9
     # ranking: seen text has lower perplexity than OOV text
     assert out[0].ppl < out[2].ppl < out[3].ppl
+
+
+def test_pii_report_and_mask_roundtrip(spark):
+    """pii_report counts each class; after mask_pii the email/phone
+    classes drop to zero (the regression gate use-case)."""
+    from csp_gateway_spark.operators.text import mask_pii, pii_report
+
+    docs = [
+        (0, "mail me at a.b+c@test.org or x@y.io", "s"),
+        (1, "call +44 (0)20 7946 0958 today", "s"),
+        (2, "server at 10.0.0.1 and card 4111111111111111", "s"),
+        (3, "nothing sensitive here", "s"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    r = pii_report(df).collect()[0]
+    # the 16-digit card run also matches the phone digit-run pattern
+    # (classes overlap by design; each reports its own occurrences)
+    assert (r.emails, r.phones, r.ipv4s, r.card_like) == (2, 2, 1, 1)
+    assert r.docs_with_pii == 3
+    masked = df.select("doc_id", mask_pii(__import__("pyspark.sql.functions", fromlist=["col"]).col("text")).alias("text"), "source")
+    r2 = pii_report(masked).collect()[0]
+    assert r2.emails == 0 and r2.phones == 0
