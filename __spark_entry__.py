@@ -4468,6 +4468,38 @@ FROM c GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# ANALYTICS — ANALYZE-style table profile (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of lineitem — rows/nulls/exact distincts/min/max
+    per column in ONE aggregation pass + a stack() unpivot."""
+    from csp_gateway_spark.operators.analytics import profile_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_table(li, _PROFILE_COLS, exact=True).orderBy("col_name")
+
+
+ORACLE_PROFILE_TABLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(MIN({c}) AS VARCHAR) AS min_str,
+  CAST(MAX({c}) AS VARCHAR) AS max_str
+FROM lineitem"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -4604,6 +4636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "padding_report": q_padding_report,
         "pii_report": q_pii_report,
+        "profile_table": q_profile_table,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -4776,4 +4809,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": ORACLE_NGRAM_NOVELTY,
         "padding_report": ORACLE_PADDING_REPORT,
         "pii_report": ORACLE_PII_REPORT,
+        "profile_table": ORACLE_PROFILE_TABLE,
     }

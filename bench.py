@@ -24,6 +24,7 @@ HEADLINE = [
     "ngram_novelty",
     "padding_report",
     "pii_report",
+    "profile_table",
     "url_canonical",
     "url_dedup",
     "source_drift",

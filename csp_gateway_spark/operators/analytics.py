@@ -744,3 +744,45 @@ def global_sales_opportunity(
         )
         .orderBy("c_nationkey")
     )
+
+
+def profile_table(df, cols=None, exact: bool = True):
+    """ANALYZE-style column profile: one row per column with row
+    count, null count, distinct count, and min/max (rendered as
+    strings so every column type fits one report schema) — the data-
+    quality summary a pipeline publishes next to each table it writes
+    (pairs with ``sources/contract.py``: the contract says what a
+    table MUST look like, the profile says what it DOES look like).
+
+    ONE aggregation pass computes every column's stats (Spark expands
+    multi-distinct internally); ``exact=False`` swaps exact distincts
+    for HLL++ ``approx_count_distinct`` — the 100 TB default, where a
+    ±2 % distinct estimate is worth avoiding the expand.  The stack()
+    unpivot is driver-free."""
+    from pyspark.sql import functions as F
+
+    cols = list(cols or df.columns)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        nd = F.countDistinct(F.col(c)) if exact else F.approx_count_distinct(F.col(c))
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            nd.alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _min_{c}, _max_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "_n AS n_rows",
+        f"stack({len(cols)}, {parts}) AS (col_name, n_present, n_distinct, min_str, max_str)",
+    ).selectExpr(
+        "col_name",
+        "n_rows",
+        "CAST(n_rows - n_present AS BIGINT) AS n_nulls",
+        "CAST(n_distinct AS BIGINT) AS n_distinct",
+        "min_str",
+        "max_str",
+    )

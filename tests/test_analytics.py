@@ -198,3 +198,21 @@ def test_length_quantiles_match_numpy(documents):
         for name, p in (("q50", 50), ("q90", 90), ("q99", 99)):
             want = float(np.percentile(np.array(vals, dtype=float), p))
             assert abs(row[name] - round(want, 6)) < 1e-6, (src, name, row[name], want)
+
+
+def test_profile_table_nulls_and_types(spark):
+    from csp_gateway_spark.operators.analytics import profile_table
+
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, 5.0, "b"), (3, 7.5, None), (3, 7.5, "b")],
+        "k long, v double, s string",
+    )
+    out = {r.col_name: r for r in profile_table(df).collect()}
+    assert out["k"].n_rows == 4 and out["k"].n_nulls == 0 and out["k"].n_distinct == 3
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
+    assert out["v"].min_str == "5.0" and out["v"].max_str == "7.5"
+    assert out["s"].n_nulls == 1 and out["s"].min_str == "a"
+    # approx mode returns the same shape with estimates
+    approx = {r.col_name: r for r in profile_table(df, exact=False).collect()}
+    assert set(approx) == set(out)
+    assert approx["k"].n_distinct >= 2
