@@ -4500,6 +4500,66 @@ FROM lineitem"""
 ) + "\nORDER BY col_name"
 
 
+# ---------------------------------------------------------------------------
+# ANALYTICS — percentile winsorization (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip lineitem price/quantity to their [5%, 95%] exact
+    percentiles (one bounds aggregation broadcast back, scan-local
+    clip) and report per-returnflag min/max of the clipped values plus
+    how many rows each clip touched."""
+    from csp_gateway_spark.operators.analytics import winsorize
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    orig = li.select(
+        "l_returnflag",
+        F.col("price").alias("_op"),
+        F.col("qty").alias("_oq"),
+        "price",
+        "qty",
+    )
+    w = winsorize(orig, ["price", "qty"], lower=0.05, upper=0.95)
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("price"), 6).alias("min_price"),
+        F.round(F.max("price"), 6).alias("max_price"),
+        F.round(F.min("qty"), 6).alias("min_qty"),
+        F.round(F.max("qty"), 6).alias("max_qty"),
+        F.sum(F.when(F.col("price") != F.col("_op"), 1).otherwise(0)).alias("clipped_price"),
+        F.sum(F.when(F.col("qty") != F.col("_oq"), 1).otherwise(0)).alias("clipped_qty"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_WINSORIZE_PRICES = """
+WITH b AS (
+  SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo_p,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi_p,
+         quantile_cont(CAST(l_quantity AS DOUBLE), 0.05) AS lo_q,
+         quantile_cont(CAST(l_quantity AS DOUBLE), 0.95) AS hi_q
+  FROM lineitem
+), c AS (
+  SELECT l_returnflag,
+    CAST(l_extendedprice AS DOUBLE) AS op, CAST(l_quantity AS DOUBLE) AS oq,
+    least(greatest(CAST(l_extendedprice AS DOUBLE), lo_p), hi_p) AS p,
+    least(greatest(CAST(l_quantity AS DOUBLE), lo_q), hi_q) AS q
+  FROM lineitem, b
+)
+SELECT l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  round(MIN(p), 6) AS min_price, round(MAX(p), 6) AS max_price,
+  round(MIN(q), 6) AS min_qty, round(MAX(q), 6) AS max_qty,
+  CAST(SUM(CASE WHEN p != op THEN 1 ELSE 0 END) AS BIGINT) AS clipped_price,
+  CAST(SUM(CASE WHEN q != oq THEN 1 ELSE 0 END) AS BIGINT) AS clipped_qty
+FROM c GROUP BY 1 ORDER BY l_returnflag
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -4637,6 +4697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding_report": q_padding_report,
         "pii_report": q_pii_report,
         "profile_table": q_profile_table,
+        "winsorize_prices": q_winsorize_prices,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -4810,4 +4871,5 @@ def oracle_sql() -> dict[str, str]:
         "padding_report": ORACLE_PADDING_REPORT,
         "pii_report": ORACLE_PII_REPORT,
         "profile_table": ORACLE_PROFILE_TABLE,
+        "winsorize_prices": ORACLE_WINSORIZE_PRICES,
     }

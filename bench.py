@@ -25,6 +25,7 @@ HEADLINE = [
     "padding_report",
     "pii_report",
     "profile_table",
+    "winsorize_prices",
     "url_canonical",
     "url_dedup",
     "source_drift",

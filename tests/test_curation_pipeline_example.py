@@ -22,3 +22,25 @@ def test_pipeline_monotone_and_deterministic(spark, sf_dir):
     assert c["mixed"] > 0
     # deterministic: second run is identical (hash samplers, no RNG)
     assert _counts(spark, sf_dir) == c
+
+
+def test_web_curation_pipeline_runs_and_filters(spark):
+    import sys
+
+    sys.path.insert(0, "examples")
+    from examples.web_curation import run_pipeline
+
+    stages = run_pipeline(spark, "/root/testdata/sf0.001")
+    n0 = stages["crawl"].count()
+    n_url = stages["after_url"].count()
+    n_final = stages["after_novel"].count()
+    assert 0 < n_final <= n_url <= n0
+    # reports materialize
+    assert stages["pii"].count() > 0
+    assert stages["drift"].count() > 0
+    assert stages["plan"].count() > 0
+    # determinism: a re-run keeps the identical survivor set
+    again = run_pipeline(spark, "/root/testdata/sf0.001")
+    a = sorted(r.doc_id for r in stages["after_novel"].select("doc_id").collect())
+    b = sorted(r.doc_id for r in again["after_novel"].select("doc_id").collect())
+    assert a == b
