@@ -4369,8 +4369,8 @@ FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id
 # CURATION — length-bucketed batch packing + padding-waste report
 # ---------------------------------------------------------------------------
 
-_PACK_BATCH = 16
-_PACK_SHARDS = 4
+_BATCH_SIZE = 16
+_BATCH_SHARDS = 4
 
 
 def q_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4380,7 +4380,7 @@ def q_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.curation import pack_batches, padding_stats
 
     docs = _t(spark, sf_dir, "documents")
-    out = padding_stats(pack_batches(docs, batch_size=_PACK_BATCH, n_shards=_PACK_SHARDS))
+    out = padding_stats(pack_batches(docs, batch_size=_BATCH_SIZE, n_shards=_BATCH_SHARDS))
     return out.orderBy("bucket", "shard", "batch_id")
 
 
@@ -4388,7 +4388,7 @@ ORACLE_PADDING_REPORT = f"""
 WITH base AS (
   SELECT doc_id,
          len({_SQL_TOKS.replace("trim(lower(text))", "{norm}")}) AS n_tokens,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT % {_PACK_SHARDS} AS shard
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT % {_BATCH_SHARDS} AS shard
   FROM documents
 ), b AS (
   SELECT doc_id, n_tokens, shard,
@@ -4400,7 +4400,7 @@ WITH base AS (
          row_number() OVER (PARTITION BY bucket, shard ORDER BY n_tokens DESC, doc_id ASC) AS r
   FROM b
 ), batched AS (
-  SELECT bucket, shard, CAST(floor((r - 1) / {_PACK_BATCH}.0) AS BIGINT) AS batch_id, n_tokens
+  SELECT bucket, shard, CAST(floor((r - 1) / {_BATCH_SIZE}.0) AS BIGINT) AS batch_id, n_tokens
   FROM rn
 )
 SELECT bucket, shard, batch_id,
@@ -4560,6 +4560,338 @@ FROM c GROUP BY 1 ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# CURATION — deterministic per-group exemplar sample
+# ---------------------------------------------------------------------------
+
+
+def q_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three reproducible exemplar docs per source (smallest seeded
+    id-hash; group-partitioned window, never corpus-global)."""
+    from csp_gateway_spark.operators.curation import exemplars
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return exemplars(docs, n=3).select("source", "rank", "doc_id").orderBy(
+        "source", "rank"
+    )
+
+
+ORACLE_EXEMPLARS = """
+SELECT source, rank, doc_id FROM (
+  SELECT source, doc_id,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 15))::BIGINT ASC,
+               doc_id ASC
+    ) AS rank
+  FROM documents
+) WHERE rank <= 3 ORDER BY source, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANALYTICS — first-touch funnel (operators/analytics.py::funnel)
+# ---------------------------------------------------------------------------
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase conversion funnel over the event stream.
+    One groupBy(user) of conditional mins + a 1-row global aggregate —
+    two-stage plan, no joins/windows."""
+    from csp_gateway_spark.operators.analytics import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"]).orderBy("stage_idx")
+
+
+ORACLE_FUNNEL = """
+WITH f AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t0,
+    min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t1,
+    min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t2
+  FROM events GROUP BY 1
+), c AS (
+  SELECT
+    CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                   AND t2 IS NOT NULL AND t2 >= t1
+             THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM f
+)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'view' AS stage, n0 AS users,
+         CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS conv FROM c
+  UNION ALL
+  SELECT 2, 'click', n1, CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM c
+  UNION ALL
+  SELECT 3, 'purchase', n2, CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM c
+) ORDER BY stage_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANALYTICS — cohort retention triangle (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers by first-order month × months-later reorder — the
+    retention heatmap input.  Integer month arithmetic, engine-exact."""
+    from csp_gateway_spark.operators.analytics import retention_cohorts
+
+    orders = _t(spark, sf_dir, "orders")
+    out = retention_cohorts(orders)
+    return out.select(
+        F.date_format("cohort_month", "yyyy-MM").alias("cohort_month"),
+        "month_offset",
+        "customers",
+    ).orderBy("cohort_month", "month_offset")
+
+
+ORACLE_RETENTION = """
+WITH m AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS m FROM orders
+), c AS (
+  SELECT o_custkey, m, min(m) OVER (PARTITION BY o_custkey) AS cohort FROM m
+)
+SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+       CAST((year(m) - year(cohort)) * 12 + month(m) - month(cohort) AS INT)
+         AS month_offset,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS customers
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# WINDOWS — trailing-20 moving aggregates (operators/windows.py)
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-row sum/count/min/max of `value` per event_type,
+    ordered by (ts, event_id).  Decimal rolling sum — windowed double
+    summation trees differ across engines; decimal is exact."""
+    from csp_gateway_spark.operators.windows import rolling_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_stats(
+        ev, "value", keys=["event_type"], order_cols=["ts", "event_id"], n=20
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.col("roll_sum").cast("double").alias("roll_sum"),
+        "roll_n",
+        "roll_min",
+        "roll_max",
+    ).orderBy("event_type", "event_id")
+
+
+ORACLE_ROLLING_VALUE = """
+SELECT event_id, event_type,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+  CAST(COUNT(value) OVER w AS BIGINT) AS roll_n,
+  MIN(value) OVER w AS roll_min,
+  MAX(value) OVER w AS roll_max
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# WINDOWS — gap-fill resample with LOCF (operators/windows.py)
+# ---------------------------------------------------------------------------
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour grid per user from first to last event, last observed
+    value carried across empty buckets.  Grid generated distributed
+    (sequence+explode per key); carried values, engine-exact."""
+    from csp_gateway_spark.operators.windows import gap_fill_locf
+
+    ev = _t(spark, sf_dir, "events")
+    out = gap_fill_locf(ev, "ts", "value", keys=["user_id"], step_sec=21600)
+    return out.select(
+        "user_id", "bucket_start", "value", F.col("observed").cast("int").alias("observed")
+    ).orderBy("user_id", "bucket_start")
+
+
+ORACLE_GAP_FILL = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS tns, value FROM events
+), pb AS (
+  SELECT user_id, bucket_start, value AS v FROM (
+    SELECT user_id, (tns // 21600000000000) * 21600 AS bucket_start, value,
+           row_number() OVER (PARTITION BY user_id, tns // 21600000000000
+                              ORDER BY tns DESC, value DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+), b AS (
+  SELECT user_id, min(bucket_start) AS lo, max(bucket_start) AS hi
+  FROM pb GROUP BY 1
+), g AS (
+  SELECT user_id, unnest(generate_series(lo, hi, 21600)) AS bucket_start FROM b
+)
+SELECT g.user_id, g.bucket_start,
+  last_value(pb.v IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.bucket_start
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+  CAST(pb.v IS NOT NULL AS INT) AS observed
+FROM g LEFT JOIN pb ON g.user_id = pb.user_id AND g.bucket_start = pb.bucket_start
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# RETRIEVAL — hybrid search: BM25 ⊕ cosine via reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hybrid results: RRF of the BM25 top-50 (lexical) and
+    the embedding-cosine top-50 (semantic; doc_id ≡ vec_id in the
+    testdata).  Both candidate lists are TakeOrdered top-k; rank
+    windows run over the ≤50-row lists only; the fused join is
+    broadcast-sized regardless of corpus size."""
+    from csp_gateway_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from csp_gateway_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    lex = bm25_topk(docs, _BM25_TERMS, k=50).select("doc_id", "score")
+    sem = cosine_topk(emb.filter(F.col("vec_id") != 0), qv, k=50).select(
+        F.col("vec_id").alias("doc_id"), F.col("cos").alias("score")
+    )
+    out = rrf_fuse([lex, sem], id_col="doc_id", k=20)
+    return out.select(
+        "doc_id",
+        F.col("rank_0").alias("rank_bm25"),
+        F.col("rank_1").alias("rank_cos"),
+        F.round("rrf", 8).alias("rrf"),
+    )
+
+
+ORACLE_HYBRID_SEARCH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS.replace("trim(lower(text))", "{norm}")}) AS token FROM documents
+), dl AS (
+  SELECT doc_id, len({_SQL_TOKS.replace("trim(lower(text))", "{norm}")}) AS dl FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+  WHERE token IN ('spark', 'query', 'window') GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), part AS (
+  SELECT tf.doc_id, tf.token,
+    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      * (CAST(tf AS DOUBLE) * 2.5
+         / (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), stats
+), folded AS (
+  SELECT doc_id, list_sum(list(s ORDER BY token)) AS score_raw
+  FROM part GROUP BY 1
+), bmr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_raw DESC, doc_id ASC) AS r1
+  FROM folded QUALIFY r1 <= 50
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), cr AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC,
+                    vec_id ASC) AS r2
+  FROM embeddings, q WHERE vec_id != 0 QUALIFY r2 <= 50
+)
+SELECT doc_id,
+  CAST(r1 AS INT) AS rank_bm25,
+  CAST(r2 AS INT) AS rank_cos,
+  round(COALESCE(1.0 / (60.0 + CAST(r1 AS DOUBLE)), 0.0)
+        + COALESCE(1.0 / (60.0 + CAST(r2 AS DOUBLE)), 0.0), 8) AS rrf
+FROM bmr FULL OUTER JOIN cr USING (doc_id)
+ORDER BY (COALESCE(1.0 / (60.0 + CAST(r1 AS DOUBLE)), 0.0)
+          + COALESCE(1.0 / (60.0 + CAST(r2 AS DOUBLE)), 0.0)) DESC,
+         doc_id ASC
+LIMIT 20
+""".replace("{norm}", _SQL_NORM)
+
+
+# ---------------------------------------------------------------------------
+# ANALYTICS — market-basket co-purchase pairs (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-ordered part pairs with lift.  Pair blow-up bounded
+    by per-order line count; item popularity + order total enter as
+    broadcasts; top-k is TakeOrdered."""
+    from csp_gateway_spark.operators.analytics import market_basket
+
+    li = _t(spark, sf_dir, "lineitem")
+    return market_basket(li, k=20)
+
+
+ORACLE_MARKET_BASKET = """
+WITH ps AS (
+  SELECT DISTINCT l_orderkey AS ord, l_partkey AS item FROM lineitem
+), pc AS (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_pair
+  FROM ps a JOIN ps b ON a.ord = b.ord AND a.item < b.item GROUP BY 1, 2
+), ic AS (
+  SELECT item, count(*) AS n FROM ps GROUP BY 1
+), no AS (
+  SELECT count(DISTINCT ord) AS n_orders FROM ps
+)
+SELECT item_a, item_b, n_pair,
+  CAST(n_pair AS DOUBLE) * CAST(n_orders AS DOUBLE)
+    / (CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE)) AS lift
+FROM pc JOIN ic ia ON pc.item_a = ia.item JOIN ic ib ON pc.item_b = ib.item, no
+ORDER BY n_pair DESC, item_a ASC, item_b ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANALYTICS — MAD robust outlier report (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source median/MAD of doc length + count of |x−med|>3·MAD
+    outliers.  Exact percentiles on integers ⇒ binary-exact x.0/x.5
+    medians both engines."""
+    from csp_gateway_spark.operators.analytics import mad_outliers
+
+    docs = _t(spark, sf_dir, "documents")
+    return mad_outliers(docs, "n_chars", group_col="source").orderBy("source")
+
+
+ORACLE_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT source, median(n_chars) AS med FROM documents GROUP BY 1
+), j AS (
+  SELECT d.source, d.n_chars, m.med FROM documents d JOIN med m USING (source)
+), mad AS (
+  SELECT source, median(abs(CAST(n_chars AS DOUBLE) - med)) AS mad
+  FROM j GROUP BY 1
+), j2 AS (
+  SELECT j.source, j.n_chars, j.med, mad.mad FROM j JOIN mad USING (source)
+)
+SELECT source, min(med) AS med, min(mad) AS mad,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN abs(CAST(n_chars AS DOUBLE) - med) > 3.0 * mad
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM j2 GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -4698,6 +5030,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_report": q_pii_report,
         "profile_table": q_profile_table,
         "winsorize_prices": q_winsorize_prices,
+        "exemplars": q_exemplars,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "rolling_value": q_rolling_value,
+        "gap_fill": q_gap_fill,
+        "hybrid_search": q_hybrid_search,
+        "market_basket": q_market_basket,
+        "mad_outliers": q_mad_outliers,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -4872,4 +5212,12 @@ def oracle_sql() -> dict[str, str]:
         "pii_report": ORACLE_PII_REPORT,
         "profile_table": ORACLE_PROFILE_TABLE,
         "winsorize_prices": ORACLE_WINSORIZE_PRICES,
+        "exemplars": ORACLE_EXEMPLARS,
+        "funnel": ORACLE_FUNNEL,
+        "retention": ORACLE_RETENTION,
+        "rolling_value": ORACLE_ROLLING_VALUE,
+        "gap_fill": ORACLE_GAP_FILL,
+        "hybrid_search": ORACLE_HYBRID_SEARCH,
+        "market_basket": ORACLE_MARKET_BASKET,
+        "mad_outliers": ORACLE_MAD_OUTLIERS,
     }

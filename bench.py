@@ -26,6 +26,14 @@ HEADLINE = [
     "pii_report",
     "profile_table",
     "winsorize_prices",
+    "exemplars",
+    "funnel",
+    "retention",
+    "rolling_value",
+    "gap_fill",
+    "hybrid_search",
+    "market_basket",
+    "mad_outliers",
     "url_canonical",
     "url_dedup",
     "source_drift",

@@ -53,6 +53,10 @@ __all__ = [
     "linestatus_priority",
     "parts_supplier_counts",
     "promotion_candidates",
+    "funnel",
+    "retention_cohorts",
+    "market_basket",
+    "mad_outliers",
 ]
 
 
@@ -820,3 +824,192 @@ def winsorize(df, cols, lower: float = 0.01, upper: float = 0.99):
         )
         out = out.withColumn(c, clipped)
     return out.drop(*[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols])
+
+
+def funnel(
+    events: DataFrame,
+    stages,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """First-touch funnel: for each stage k, count users whose FIRST
+    occurrence of every stage 1..k happened in non-decreasing time
+    order (min-ts ordering — the open-funnel semantics analytics UIs
+    default to).  The gateway's event stream (`events` channel) is the
+    input; this is the conversion report every product dashboard runs.
+
+    ONE shuffle: a single groupBy(user) computes each stage's first
+    timestamp as a conditional min (map-side partial agg), the
+    per-stage reach flags are pure projection, and the final counts
+    are a 1-row global aggregate — no joins, no windows, so the plan
+    is a two-stage tree that survives any corpus size.  Output:
+    (stage_idx, stage, users, conv) where conv = users_k / users_1
+    computed as one double division (identical FP operands either
+    engine).
+    """
+    stages = list(stages)
+    ts = F.col(ts_col)
+    firsts = events.groupBy(user_col).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, ts)).alias(f"_t{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    reach = []
+    cond = F.col("_t0").isNotNull()
+    reach.append(cond)
+    for i in range(1, len(stages)):
+        cond = cond & F.col(f"_t{i}").isNotNull() & (
+            F.col(f"_t{i}") >= F.col(f"_t{i-1}")
+        )
+        reach.append(cond)
+    counts = firsts.agg(
+        *[F.sum(r.cast("long")).alias(f"_n{i}") for i, r in enumerate(reach)]
+    )
+    return counts.selectExpr(
+        f"stack({len(stages)}, "
+        + ", ".join(f"{i + 1}, '{s}', _n{i}" for i, s in enumerate(stages))
+        + ") AS (stage_idx, stage, users)",
+        "_n0 AS _first",
+    ).selectExpr(
+        "stage_idx",
+        "stage",
+        "CAST(users AS BIGINT) AS users",
+        "CAST(users AS DOUBLE) / CAST(_first AS DOUBLE) AS conv",
+    )
+
+
+def retention_cohorts(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+) -> DataFrame:
+    """Cohort retention triangle: customers grouped by first-order
+    month (the cohort), counted by how many months later they ordered
+    again — the classic retention heatmap input.
+
+    Two shuffles total, both on bounded keys: a window over
+    ``cust_col`` (same hash partitioning a groupBy-join would need,
+    minus the join) pins each row's cohort month, then one groupBy on
+    (cohort_month, month_offset) distinct-counts customers.  Month
+    arithmetic is integer (no FP), so results are engine-exact."""
+    from pyspark.sql import Window
+
+    month = F.date_trunc("month", F.col(date_col))
+    w = Window.partitionBy(cust_col)
+    rows = orders.withColumn("_m", month).withColumn(
+        "_cohort", F.min("_m").over(w)
+    )
+    offset = (
+        (F.year("_m") - F.year("_cohort")) * 12 + F.month("_m") - F.month("_cohort")
+    )
+    return (
+        rows.withColumn("month_offset", offset.cast("int"))
+        .groupBy(F.col("_cohort").alias("cohort_month"), "month_offset")
+        .agg(F.countDistinct(cust_col).alias("customers"))
+    )
+
+
+def market_basket(
+    lineitem: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    k: int = 20,
+    min_support: int = 1,
+) -> DataFrame:
+    """Frequent co-purchased item pairs with lift — market-basket
+    affinity over the order fact table.
+
+    The pair generator is a self-join keyed on ``order_col`` — the
+    blow-up is bounded by per-order line count (≤7 in TPC-H-shaped
+    data), NOT corpus size, so candidate cost is Σ|order|² over
+    orders, embarrassingly parallel after one hash shuffle.  Item
+    popularity enters as a broadcast (item dim ≪ fact table), the
+    order total as a 1-row broadcast aggregate, and the top-k
+    compiles to TakeOrderedAndProject.  Lift is a single FP
+    expression over exact integer counts, so it is engine-exact."""
+    pairs_src = lineitem.select(
+        F.col(order_col).alias("_ord"), F.col(item_col).alias("_item")
+    ).distinct()
+    a = pairs_src.alias("a")
+    b = pairs_src.alias("b")
+    pair_counts = (
+        a.join(b, on=[F.col("a._ord") == F.col("b._ord"), F.col("a._item") < F.col("b._item")])
+        .groupBy(
+            F.col("a._item").alias("item_a"), F.col("b._item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support)
+    )
+    item_counts = pairs_src.groupBy(F.col("_item")).agg(
+        F.count(F.lit(1)).alias("_n_item")
+    )
+    n_orders = pairs_src.select("_ord").distinct().agg(
+        F.count(F.lit(1)).alias("_n_orders")
+    )
+    out = (
+        pair_counts.join(
+            F.broadcast(item_counts.withColumnRenamed("_n_item", "_na")),
+            F.col("item_a") == F.col("_item"),
+        )
+        .drop("_item")
+        .join(
+            F.broadcast(item_counts.withColumnRenamed("_n_item", "_nb")),
+            F.col("item_b") == F.col("_item"),
+        )
+        .drop("_item")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            (
+                F.col("n_pair").cast("double")
+                * F.col("_n_orders").cast("double")
+                / (F.col("_na").cast("double") * F.col("_nb").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.desc("n_pair"), F.asc("item_a"), F.asc("item_b")
+    ).limit(k)
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    n_mads: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier report via Median Absolute Deviation:
+    med = median(x), mad = median(|x − med|), outlier ⇔
+    |x − med| > n_mads·mad.  The robust alternative to 3σ when the
+    column is heavy-tailed (doc lengths, prices) — one corrupt row
+    moves a mean, not a median.
+
+    Two grouped exact-percentile aggregations (each a single shuffle
+    on ``group_col``) with the tiny per-group median table broadcast
+    back between them — the fact table is scanned twice but never
+    joined shuffle-to-shuffle.  At 100 TB swap ``percentile`` for
+    ``approx_percentile`` (same plan, sketch state).  Integer inputs
+    make every median a binary-exact x.0/x.5 double, so the report is
+    engine-exact."""
+    x = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(F.broadcast(med), group_col)
+    dev = F.abs(x - F.col("med"))
+    mad = with_med.groupBy(group_col).agg(
+        F.expr(f"percentile(abs(CAST({value_col} AS DOUBLE) - med), 0.5)").alias("mad")
+    )
+    full = with_med.join(F.broadcast(mad), group_col)
+    return full.groupBy(group_col).agg(
+        F.min("med").alias("med"),
+        F.min("mad").alias("mad"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((dev > F.lit(float(n_mads)) * F.col("mad")).cast("long")).alias(
+            "n_outliers"
+        ),
+    )

@@ -971,3 +971,30 @@ def padding_stats(batches: DataFrame) -> DataFrame:
         F.sum("n_tokens").alias("sum_tokens"),
         (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")).alias("pad_waste"),
     )
+
+
+def exemplars(
+    df: DataFrame,
+    group_col: str = "source",
+    n: int = 3,
+    id_col: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Deterministic per-group exemplar sample: the ``n`` rows of each
+    group with the smallest seeded id-hash — "show me 3 docs from
+    every source", the inspection query every curation dashboard runs,
+    made reproducible (same seed ⇒ same exemplars forever, so review
+    threads can reference them).
+
+    Window is partitioned BY GROUP — each partition holds one group's
+    rows, so the sort is bounded by group size, never corpus-global;
+    for pathological single-group corpora fall back to
+    ``stratified_sample`` + limit.  Output adds ``rank`` (1..n)."""
+    from pyspark.sql.window import Window
+
+    h = sample_hash(F.col(id_col), seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )

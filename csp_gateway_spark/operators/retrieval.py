@@ -229,3 +229,48 @@ def bm25_topk_from_index(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    rankings,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N candidate lists — the standard
+    hybrid-search combiner (lexical BM25 ⊕ embedding cosine):
+    rrf(d) = Σ_i 1/(c + rank_i(d)), missing-from-list terms 0.
+
+    Each input MUST already be depth-limited (``bm25_topk`` /
+    ``cosine_topk`` — both TakeOrdered, per-partition partial top-k);
+    ranks are then assigned with a row_number window over the tiny
+    k-row candidate list — the ONLY window in the plan, bounded by
+    list depth, never corpus-global.  The outer join fans out over at
+    most Σ depths rows, so the whole fusion is broadcast-sized no
+    matter the corpus.  Ranks are exact ints and each 1/(c+r) folds
+    in fixed list order, so scores are engine-exact doubles.
+    """
+    from pyspark.sql import Window
+
+    fused = None
+    rank_cols = []
+    for i, r in enumerate(rankings):
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        ranked = r.select(
+            F.col(id_col),
+            F.row_number().over(w).alias(f"rank_{i}"),
+        )
+        rank_cols.append(f"rank_{i}")
+        fused = ranked if fused is None else fused.join(ranked, id_col, "full_outer")
+    score = None
+    for rc in rank_cols:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(rc).cast("double")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return (
+        fused.withColumn("rrf", score)
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )

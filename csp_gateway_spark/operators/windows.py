@@ -105,3 +105,109 @@ def sessionize(
         .agg(F.min(ts).alias("session_start"), *aggs)
         .drop("_session")
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    n: int = 20,
+) -> DataFrame:
+    """Trailing-N moving aggregates per key: rolling decimal sum,
+    count, min and max over the last ``n`` rows ordered by
+    ``order_cols`` — the moving-average / band primitive behind every
+    monitoring chart the gateway's UI draws from its tick stream.
+
+    One shuffle (hash by ``keys``), then a sorted rows-frame window —
+    bounded frame, so per-row state is O(n) and the task never
+    materializes the whole partition's history.  The rolling SUM is
+    computed on decimal(18,2): windowed summation trees (DuckDB uses
+    segment trees, Spark a running frame) add in different orders, so
+    a double sum would differ in ULPs across engines; decimal is
+    associative-exact.  ``order_cols`` must be a total order (add a
+    unique id as tiebreaker) or frame contents are nondeterministic.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(n - 1), 0)
+    )
+    v = F.col(value_col)
+    return df.select(
+        *keys,
+        *order_cols,
+        v.alias(value_col),
+        F.sum(v.cast("decimal(18,2)")).over(w).alias("roll_sum"),
+        F.count(v).over(w).alias("roll_n"),
+        F.min(v).over(w).alias("roll_min"),
+        F.max(v).over(w).alias("roll_max"),
+    )
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    ts_ns_col: str,
+    value_col: str,
+    keys: Sequence[str],
+    step_sec: int = 3600,
+) -> DataFrame:
+    """Regular-grid resample with last-observation-carried-forward:
+    per key, emit one row per ``step_sec`` bucket from the key's first
+    to last event, carrying the latest observed value across empty
+    buckets — how a tick stream becomes the evenly-spaced series that
+    joins, charts, and models expect.
+
+    Plan: (1) one groupBy(keys ⊕ bucket) reduces raw events to the
+    last value per occupied bucket (``max_by`` over (ts, tiebreak) —
+    map-side combinable); (2) per-key min/max bounds generate the
+    dense grid with ``sequence()`` + ``explode`` — grid size is
+    (span/step) rows per key, created distributed, never on the
+    driver; (3) a co-partitioned left join plus a ``last(ignorenulls)``
+    window fills the gaps.  Shuffles are all keyed on ``keys`` —
+    AQE coalesces the tiny grid side.  Values are carried, not
+    computed, so output is engine-exact."""
+    from pyspark.sql import Window
+
+    step_ns = step_sec * NS_PER_SEC
+    # integer `div`, never `/`: ns epochs exceed 2^53, so a double
+    # intermediate would round the numerator before dividing.
+    bucket = F.expr(f"({ts_ns_col} div {step_ns}L) * {step_sec}L")
+    ks = [F.col(k) for k in keys]
+
+    per_bucket = (
+        df.withColumn("_bucket", bucket.cast("long"))
+        .groupBy(*ks, F.col("_bucket"))
+        .agg(
+            F.expr(
+                f"max_by({value_col}, struct({ts_ns_col}, {value_col}))"
+            ).alias("_v")
+        )
+    )
+    bounds = per_bucket.groupBy(*ks).agg(
+        F.min("_bucket").alias("_lo"), F.max("_bucket").alias("_hi")
+    )
+    grid = bounds.select(
+        *ks,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(step_sec)))
+        ).alias("bucket_start"),
+    )
+    w = (
+        Window.partitionBy(*ks)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = grid.join(
+        per_bucket.withColumnRenamed("_bucket", "bucket_start"),
+        [*keys, "bucket_start"],
+        "left",
+    )
+    return joined.select(
+        *keys,
+        "bucket_start",
+        F.last("_v", ignorenulls=True).over(w).alias("value"),
+        F.col("_v").isNotNull().alias("observed"),
+    )

@@ -216,3 +216,89 @@ def test_profile_table_nulls_and_types(spark):
     approx = {r.col_name: r for r in profile_table(df, exact=False).collect()}
     assert set(approx) == set(out)
     assert approx["k"].n_distinct >= 2
+
+
+def test_funnel_first_touch_semantics(spark):
+    from csp_gateway_spark.operators.analytics import funnel
+
+    rows = [
+        # u1 completes view -> click -> buy in order
+        (1, "view", 10), (1, "click", 20), (1, "buy", 30),
+        # u2 clicked BEFORE first view: reaches stage 1 only
+        (2, "click", 5), (2, "view", 10), (2, "buy", 40),
+        # u3 views only
+        (3, "view", 7),
+        # u4 never views: not even stage 1 (first-touch funnel)
+        (4, "click", 3), (4, "buy", 9),
+        # u5 view then buy, no click: stages 1, not 2, not 3
+        (5, "view", 1), (5, "buy", 2),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    out = {r.stage: r for r in funnel(df, ["view", "click", "buy"]).collect()}
+    assert out["view"].users == 4          # u1 u2 u3 u5
+    assert out["click"].users == 1         # u1 only (u2's click precedes view)
+    assert out["buy"].users == 1           # u1
+    assert out["view"].conv == 1.0
+    assert abs(out["buy"].conv - 0.25) < 1e-12
+    assert [out[s].stage_idx for s in ("view", "click", "buy")] == [1, 2, 3]
+
+
+def test_retention_cohorts_counts(spark):
+    import datetime
+
+    from csp_gateway_spark.operators.analytics import retention_cohorts
+
+    d = datetime.datetime
+    rows = [
+        (1, d(2024, 1, 5)), (1, d(2024, 2, 20)), (1, d(2024, 2, 21)),
+        (2, d(2024, 1, 31)), (2, d(2024, 3, 1)),
+        (3, d(2024, 2, 10)),
+    ]
+    df = spark.createDataFrame(rows, "o_custkey long, o_orderdate timestamp")
+    out = {
+        (r.cohort_month.month, r.month_offset): r.customers
+        for r in retention_cohorts(df).collect()
+    }
+    # cohort Jan: both custs at offset 0; cust1 again at offset 1; cust2 at offset 2
+    assert out[(1, 0)] == 2
+    assert out[(1, 1)] == 1    # duplicate same-month orders count once
+    assert out[(1, 2)] == 1
+    assert out[(2, 0)] == 1    # cohort Feb: cust3
+    assert (2, 1) not in out
+
+
+def test_market_basket_counts_and_lift(spark):
+    from csp_gateway_spark.operators.analytics import market_basket
+
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 10), (3, 20),
+        (4, 30), (4, 30),  # duplicate line of same part: counted once
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {(r.item_a, r.item_b): r for r in market_basket(df, k=10).collect()}
+    assert out[(10, 20)].n_pair == 3
+    assert out[(10, 30)].n_pair == 1
+    # lift(10,20) = n_pair * n_orders / (n10 * n20) = 3*4/(3*3)
+    assert abs(out[(10, 20)].lift - (3 * 4) / (3 * 3)) < 1e-12
+    # top of list is the most frequent pair
+    top = market_basket(df, k=1).collect()[0]
+    assert (top.item_a, top.item_b) == (10, 20)
+
+
+def test_mad_outliers_robust_report(spark):
+    from csp_gateway_spark.operators.analytics import mad_outliers
+
+    # group a: symmetric around 10 with one wild point
+    vals_a = [8, 9, 10, 11, 12, 1000]
+    # group b: constant -> mad 0, any deviation is an outlier
+    vals_b = [5, 5, 5, 7]
+    rows = [("a", v) for v in vals_a] + [("b", v) for v in vals_b]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r.source: r for r in mad_outliers(df, "n_chars").collect()}
+    assert out["a"].med == 10.5           # interpolated median of 6 values
+    assert out["a"].n_rows == 6
+    assert out["a"].n_outliers == 1       # the 1000
+    assert out["b"].mad == 0.0
+    assert out["b"].n_outliers == 1       # the 7 (|7-5| > 3*0)

@@ -79,3 +79,24 @@ def test_index_probe_single_term_df_exact(spark, documents, tmp_path_factory):
     assert [(r.doc_id, round(r.score, 9)) for r in one] == [
         (r.doc_id, round(r.score, 9)) for r in mem
     ]
+
+
+def test_rrf_fuse_ranks_and_missing(spark):
+    from csp_gateway_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    sem = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8)], "doc_id long, score double"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([lex, sem], k=10, c=60).collect()}
+    # doc 2: rank 2 lexically, rank 1 semantically
+    assert out[2].rank_0 == 2 and out[2].rank_1 == 1
+    assert abs(out[2].rrf - (1 / 62 + 1 / 61)) < 1e-12
+    # doc 4 only in the semantic list
+    assert out[4].rank_0 is None
+    assert abs(out[4].rrf - 1 / 62) < 1e-12
+    # fused order: doc 2 first (two strong ranks)
+    ordered = rrf_fuse([lex, sem], k=10).collect()
+    assert ordered[0].doc_id == 2

@@ -70,3 +70,47 @@ def test_merge_allow_missing(spark):
     out = merge(a, b).collect()
     assert len(out) == 2
     assert {r.id for r in out} == {1, 2}
+
+
+def test_rolling_stats_frame(spark):
+    from csp_gateway_spark.operators.windows import rolling_stats
+
+    rows = [("a", i, float(i)) for i in range(1, 6)] + [("b", 1, 100.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, value double")
+    out = {
+        (r.k, r.ts): r
+        for r in rolling_stats(df, "value", ["k"], ["ts"], n=3).collect()
+    }
+    # trailing-3 frame: at ts=4 the frame is {2,3,4}
+    r = out[("a", 4)]
+    assert float(r.roll_sum) == 9.0 and r.roll_n == 3
+    assert r.roll_min == 2.0 and r.roll_max == 4.0
+    # ramp-up: first row's frame is itself
+    r1 = out[("a", 1)]
+    assert float(r1.roll_sum) == 1.0 and r1.roll_n == 1
+    # other key unaffected
+    assert float(out[("b", 1)].roll_sum) == 100.0
+
+
+def test_gap_fill_locf_grid_and_carry(spark):
+    from csp_gateway_spark.operators.windows import gap_fill_locf
+
+    ns = 1_000_000_000
+    rows = [
+        (1, 0 * ns, 1.0),
+        (1, 30 * ns, 2.0),       # same bucket (step=60): last wins
+        (1, 250 * ns, 9.0),      # bucket 240; buckets 60/120/180 are gaps
+        (2, 120 * ns, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    out = gap_fill_locf(df, "ts", "value", keys=["user_id"], step_sec=60)
+    got = {(r.user_id, r.bucket_start): r for r in out.collect()}
+    # user 1: dense grid 0..240
+    assert sorted(b for (u, b) in got if u == 1) == [0, 60, 120, 180, 240]
+    assert got[(1, 0)].value == 2.0 and got[(1, 0)].observed
+    for b in (60, 120, 180):                  # carried, marked unobserved
+        assert got[(1, b)].value == 2.0 and not got[(1, b)].observed
+    assert got[(1, 240)].value == 9.0 and got[(1, 240)].observed
+    # user 2: single-bucket grid
+    assert sorted(b for (u, b) in got if u == 2) == [120]
+    assert got[(2, 120)].value == 7.0
