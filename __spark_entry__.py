@@ -4892,6 +4892,196 @@ FROM j2 GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# STATE — SCD type-2 dimension history (operators/state.py::scd2)
+# ---------------------------------------------------------------------------
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each user's event_type: runs collapsed,
+    valid_from/valid_to interval per version, is_current flag.  The
+    event stream's ts is globally unique (sequential generator), so
+    run boundaries are deterministic."""
+    from csp_gateway_spark.operators.state import scd2
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    out = scd2(ev, keys=["user_id"], ts_col="ts", attr_cols=["event_type"])
+    return out.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    ).orderBy("user_id", "valid_from")
+
+
+ORACLE_SCD2 = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS t FROM events
+), c AS (
+  SELECT user_id, event_type, t,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY t) AS prev
+  FROM e
+), v AS (
+  SELECT user_id, event_type, t FROM c
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, t AS valid_from,
+       lead(t) OVER (PARTITION BY user_id ORDER BY t) AS valid_to,
+       CAST(lead(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL AS INT)
+         AS is_current
+FROM v ORDER BY user_id, valid_from
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANALYTICS — per-group equi-width histogram (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of `value` per event_type.  Grouped
+    min/max broadcast back onto the scan; bin index is one double
+    expression, identical either engine."""
+    from csp_gateway_spark.operators.analytics import equi_width_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    out = equi_width_histogram(ev, "value", "event_type", bins=20)
+    return out.select(
+        "event_type", "bin", F.round("bin_lo", 6).alias("bin_lo"), "n"
+    ).orderBy("event_type", "bin")
+
+
+ORACLE_VALUE_HISTOGRAM = """
+WITH rng AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY 1
+), binned AS (
+  SELECT e.event_type,
+         CASE WHEN hi = lo THEN 0
+              ELSE CAST(least(19, floor((value - lo) / ((hi - lo) / 20.0))) AS INT)
+         END AS bin
+  FROM events e JOIN rng USING (event_type)
+)
+SELECT b.event_type, b.bin,
+       round(lo + CAST(b.bin AS DOUBLE) * ((hi - lo) / 20.0), 6) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM binned b JOIN rng ON b.event_type = rng.event_type
+GROUP BY 1, 2, lo, hi ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANALYTICS — volume-weighted average price (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 parts by notional with exact-decimal VWAP.  One grouped
+    decimal aggregation + TakeOrdered."""
+    from csp_gateway_spark.operators.analytics import vwap
+
+    li = _t(spark, sf_dir, "lineitem")
+    return vwap(li, k=25)
+
+
+ORACLE_VWAP = """
+SELECT l_partkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS notional,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS vwap
+FROM lineitem GROUP BY 1
+ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))) DESC, l_partkey ASC
+LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANALYTICS — shuffle-key skew diagnostic (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest user_id keys + share + Herfindahl index of the
+    whole key distribution — the pre-shuffle skew check.  Decimal n²
+    moments (int64 would overflow at 100 TB key counts)."""
+    from csp_gateway_spark.operators.analytics import key_skew
+
+    ev = _t(spark, sf_dir, "events")
+    out = key_skew(ev, "user_id", topk=10)
+    return out.select(
+        "user_id",
+        "n",
+        F.round("share", 8).alias("share"),
+        "n_keys",
+        F.round("hhi", 8).alias("hhi"),
+    ).orderBy(F.desc("n"), F.asc("user_id"))
+
+
+ORACLE_KEY_SKEW = """
+WITH counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+), moments AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) AS DOUBLE)
+           AS ss,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM counts
+), top AS (
+  SELECT user_id, n FROM counts ORDER BY n DESC, user_id ASC LIMIT 10
+)
+SELECT user_id, n,
+  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 8) AS share,
+  n_keys,
+  round(ss / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 8) AS hhi
+FROM top, moments ORDER BY n DESC, user_id ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# CLASSIFIER — calibration reliability bins (operators/classifier.py)
+# ---------------------------------------------------------------------------
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the trained LR quality filter: fixed
+    tenth-wide score bins vs empirical positive rate.  Bins computed
+    on the round-6 scores (hash-proven identical cross-engine), so
+    bin edges cannot flake on ULPs."""
+    from csp_gateway_spark.operators.classifier import calibration_bins, lr_score, lr_train
+
+    docs, feats, labels = _lrq_parts(spark, sf_dir)
+    w = lr_train(feats, labels, dim=_LRQ_DIM, iters=_LRQ_ITERS)
+    scores = lr_score(feats, w, docs).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    # two gradient rounds leave raw probabilities tiny; scale by the
+    # max score (1-row broadcast, one division — engine-exact) so the
+    # reliability bins actually spread
+    mx = scores.agg(F.max("score").alias("_mx"))
+    scaled = scores.crossJoin(F.broadcast(mx)).select(
+        "doc_id", (F.col("score") / F.col("_mx")).alias("score")
+    )
+    return calibration_bins(scaled, labels).orderBy("bin")
+
+
+def _oracle_calibration() -> str:
+    scored = _oracle_lr_quality_scores().rstrip().rstrip(";")
+    return f"""
+WITH scored0 AS ({scored}),
+mx AS (SELECT max(score) AS m FROM scored0),
+scored AS (SELECT doc_id, score / m AS score FROM scored0, mx),
+lab AS ({_LRQ_LABEL_CTE})
+SELECT CAST(least(9, floor(score * 10.0)) AS INT) AS bin,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(y) AS BIGINT) AS n_pos,
+  CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+FROM scored JOIN lab USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -5038,6 +5228,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "market_basket": q_market_basket,
         "mad_outliers": q_mad_outliers,
+        "scd2": q_scd2,
+        "value_histogram": q_value_histogram,
+        "vwap": q_vwap,
+        "key_skew": q_key_skew,
+        "calibration": q_calibration,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -5220,4 +5415,9 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": ORACLE_HYBRID_SEARCH,
         "market_basket": ORACLE_MARKET_BASKET,
         "mad_outliers": ORACLE_MAD_OUTLIERS,
+        "scd2": ORACLE_SCD2,
+        "value_histogram": ORACLE_VALUE_HISTOGRAM,
+        "vwap": ORACLE_VWAP,
+        "key_skew": ORACLE_KEY_SKEW,
+        "calibration": _oracle_calibration(),
     }

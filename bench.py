@@ -34,6 +34,10 @@ HEADLINE = [
     "hybrid_search",
     "market_basket",
     "mad_outliers",
+    "scd2",
+    "value_histogram",
+    "vwap",
+    "key_skew",
     "url_canonical",
     "url_dedup",
     "source_drift",

@@ -276,3 +276,38 @@ def lr_score_expr(weights: Sequence[float], text_col: str = "text") -> "F.Column
         contrib, F.lit(0.0), lambda acc, x: acc + x
     )
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+
+
+def calibration_bins(
+    scores: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    label_col: str = "y",
+    bins: int = 10,
+) -> DataFrame:
+    """Calibration report for a probabilistic classifier: bucket
+    predicted scores into fixed-width bins over [0, 1] and compare the
+    bin's empirical positive rate to its score range — the reliability
+    diagram behind "is this quality filter's 0.9 actually a 90 %?".
+
+    Fixed bins (not ntile) on purpose: quantile binning needs a global
+    sort/rank; fixed-width binning is a scan-local projection that
+    scales to any corpus.  One co-partitioned join on ``id_col`` + one
+    small groupBy; positive rate is a single division of exact integer
+    counts, so the report is engine-exact."""
+    b = F.least(
+        F.lit(bins - 1), F.floor(F.col(score_col) * F.lit(float(bins)))
+    ).cast("int")
+    joined = scores.join(labels, id_col)
+    return (
+        joined.withColumn("bin", b)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+        )
+        .withColumn(
+            "pos_rate", F.col("n_pos").cast("double") / F.col("n").cast("double")
+        )
+    )

@@ -91,3 +91,44 @@ def computed_index(df: DataFrame, fields: Sequence[str], out_col: str = "index")
     """Multi-field index → ``"-".join(fields)`` computed key column
     (`perspective.py:468-475`)."""
     return df.withColumn(out_col, F.concat_ws("-", *[F.col(f).cast("string") for f in fields]))
+
+
+def scd2(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change stream:
+    per key, order ticks by ``ts_col``, collapse runs of identical
+    ``attr_cols`` into one version, and emit
+    (keys, attrs, valid_from, valid_to, is_current) — the warehouse
+    dimension-history table the gateway's changelog feeds.
+
+    One shuffle on ``keys``; the change-detect lag and the valid_to
+    lead use the SAME window spec, so Catalyst plans a single sort and
+    both passes share it.  Runs collapse BEFORE the lead, so valid_to
+    spans the whole run.  ``ts_col`` must be unique per key (tick
+    streams with an id tiebreaker: pass a composite via a computed
+    column) — otherwise run boundaries are nondeterministic.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    attrs = [F.col(a) for a in attr_cols]
+    changed = F.lit(False)
+    for a in attr_cols:
+        prev = F.lag(F.col(a)).over(w)
+        changed = changed | (~F.col(a).eqNullSafe(prev))
+    versions = df.withColumn("_chg", changed).filter(F.col("_chg"))
+    w2 = Window.partitionBy(*keys).orderBy(ts_col)
+    return (
+        versions.withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
+        .select(
+            *keys,
+            *attr_cols,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

@@ -302,3 +302,45 @@ def test_mad_outliers_robust_report(spark):
     assert out["a"].n_outliers == 1       # the 1000
     assert out["b"].mad == 0.0
     assert out["b"].n_outliers == 1       # the 7 (|7-5| > 3*0)
+
+
+def test_equi_width_histogram_bins(spark):
+    from csp_gateway_spark.operators.analytics import equi_width_histogram
+
+    rows = [("a", float(v)) for v in range(0, 101)] + [("b", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = {(r.g, r.bin): r for r in equi_width_histogram(df, "value", "g", bins=10).collect()}
+    # group a: 0..100 over 10 bins of width 10; v=100 clamps into bin 9
+    assert out[("a", 0)].n == 10          # 0..9
+    assert out[("a", 9)].n == 11          # 90..100
+    assert out[("a", 3)].bin_lo == 30.0
+    # constant group: everything in bin 0
+    assert out[("b", 0)].n == 2
+
+
+def test_vwap_exact(spark):
+    from csp_gateway_spark.operators.analytics import vwap
+
+    rows = [(1, 100.0, 4.0), (1, 50.0, 1.0), (2, 10.0, 2.0)]
+    df = spark.createDataFrame(
+        rows, "l_partkey long, l_extendedprice double, l_quantity double"
+    )
+    out = {r.l_partkey: r for r in vwap(df, k=10).collect()}
+    assert float(out[1].notional) == 150.0 and float(out[1].qty) == 5.0
+    assert out[1].vwap == 30.0
+    assert out[2].vwap == 5.0
+    # ordering: part 1 has the larger notional
+    assert vwap(df, k=1).collect()[0].l_partkey == 1
+
+
+def test_key_skew_hhi(spark):
+    from csp_gateway_spark.operators.analytics import key_skew
+
+    rows = [(1,)] * 8 + [(2,)] * 1 + [(3,)] * 1
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew(df, "k", topk=2).collect()
+    assert len(out) == 2 and out[0].k == 1 and out[0].n == 8
+    assert abs(out[0].share - 0.8) < 1e-12
+    # HHI = (64 + 1 + 1) / 100
+    assert abs(out[0].hhi - 0.66) < 1e-12
+    assert out[0].n_keys == 3

@@ -115,3 +115,20 @@ def test_lr_score_expr_streaming_matches_batch(spark, tmp_path, labeled_corpus, 
         for r in labeled_corpus.limit(10).select("doc_id", lr_score_expr(w).alias("s")).collect()
     }
     assert {r["doc_id"]: r["s"] for r in got} == batch  # bit-identical
+
+
+def test_calibration_bins_rates(spark):
+    from csp_gateway_spark.operators.classifier import calibration_bins
+
+    scores = spark.createDataFrame(
+        [(1, 0.05), (2, 0.07), (3, 0.95), (4, 0.99), (5, 1.0)],
+        "doc_id long, score double",
+    )
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1), (5, 0)], "doc_id long, y int"
+    )
+    out = {r.bin: r for r in calibration_bins(scores, labels).collect()}
+    assert out[0].n == 2 and out[0].n_pos == 0 and out[0].pos_rate == 0.0
+    # score 1.0 clamps into bin 9
+    assert out[9].n == 3 and out[9].n_pos == 2
+    assert abs(out[9].pos_rate - 2 / 3) < 1e-12

@@ -67,3 +67,22 @@ def test_state_query_matches_duckdb(spark, events, sf_dir):
               FROM read_parquet('{sf_dir}/events.parquet')) WHERE rn=1 ORDER BY user_id"""
     ).fetchall()
     assert [(r.user_id, r.event_id) for r in out] == exp
+
+
+def test_scd2_versions(spark):
+    from csp_gateway_spark.operators.state import scd2
+
+    rows = [
+        (1, "a", 10), (1, "a", 20), (1, "b", 30), (1, "b", 40), (1, "a", 50),
+        (2, "x", 5),
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, ts long")
+    out = scd2(df, keys=["k"], ts_col="ts", attr_cols=["attr"]).collect()
+    k1 = sorted([r for r in out if r.k == 1], key=lambda r: r.valid_from)
+    # runs collapse: a[10,30) b[30,50) a[50,∞)
+    assert [(r.attr, r.valid_from, r.valid_to) for r in k1] == [
+        ("a", 10, 30), ("b", 30, 50), ("a", 50, None)
+    ]
+    assert [r.is_current for r in k1] == [False, False, True]
+    (k2,) = [r for r in out if r.k == 2]
+    assert k2.attr == "x" and k2.is_current
