@@ -38,6 +38,9 @@ HEADLINE = [
     "value_histogram",
     "vwap",
     "key_skew",
+    "lang_confusion",
+    "ctfidf",
+    "triangle_count",
     "url_canonical",
     "url_dedup",
     "source_drift",

@@ -1023,3 +1023,91 @@ def lm_score_backoff(
             F.exp(-F.col("avg_logs")).alias("ppl"),
         )
     )
+
+
+def ctfidf_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    topk: int = 10,
+) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic c-TF-IDF shape): terms scored
+    per GROUP rather than per document — ctf·(ln((G+1)/(gdf+1))+1)
+    where ctf is the term's count inside the group and gdf the number
+    of groups containing it.  "What vocabulary distinguishes this
+    source/cluster" — the topic-labeling step after any clustering or
+    source split.
+
+    Same formula shape as ``tf_idf`` so the two rankings are
+    comparable.  Plan: one (group, token) count (map-side combined),
+    a token-keyed group-frequency aggregate joined back (token
+    dimension ≪ corpus — broadcast), the group total as a 1-row
+    broadcast, and a rank window PARTITIONED BY GROUP — bounded by
+    per-group vocabulary, never corpus-global.  Score is one double
+    expression over exact integer counts: engine-identical."""
+    from pyspark.sql.window import Window
+
+    from csp_gateway_spark.operators.text import norm_tokens
+
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(norm_tokens(F.col(text_col))).alias("token"),
+    )
+    ctf = tok.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("ctf"))
+    gdf = ctf.groupBy("token").agg(F.count(F.lit(1)).alias("gdf"))
+    n_groups = df.select(F.col(group_col)).distinct().agg(
+        F.count(F.lit(1)).alias("_g")
+    )
+    scored = (
+        ctf.join(F.broadcast(gdf), "token")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn(
+            "score",
+            F.col("ctf")
+            * (F.log((F.col("_g") + F.lit(1.0)) / (F.col("gdf") + F.lit(1))) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("grp").alias(group_col), "rank", "token", "ctf", "gdf", "score"
+        )
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    topk: int = 10,
+) -> DataFrame:
+    """Triangle census over an undirected edge list (``a < b``
+    canonical): per-node triangle participation (top-k) plus the
+    global triangle total — the clustering-coefficient numerator that
+    separates "hub of a template family" from "chain of pairwise
+    near-dups" in a dedup graph.
+
+    Classic ordered wedge-close: join edges (a,b)⋈(b,c) to wedges,
+    close against (a,c).  Ordering each triangle a<b<c counts it
+    exactly once with NO direction explosion; both joins key on a
+    single node column (AQE handles hub skew).  Candidate cost is
+    Σ deg²(v) over wedge midpoints — bounded by the edge generator's
+    blocking, never corpus²."""
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).distinct()
+    bc = e.select(F.col("a").alias("_b"), F.col("b").alias("c"))
+    wedges = e.join(bc, F.col("b") == F.col("_b")).select("a", "b", "c")
+    close = e.select(F.col("a").alias("_ca"), F.col("b").alias("_cc"))
+    tri = wedges.join(
+        close, (F.col("a") == F.col("_ca")) & (F.col("c") == F.col("_cc"))
+    ).select("a", "b", "c")
+    total = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    per_node = (
+        tri.selectExpr("explode(array(a, b, c)) AS node")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .orderBy(F.desc("n_tri"), F.asc("node"))
+        .limit(topk)
+    )
+    return per_node.crossJoin(F.broadcast(total))

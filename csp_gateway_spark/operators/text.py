@@ -502,3 +502,22 @@ def pii_report(
         *aggs,
         F.sum(F.when(any_pii > 0, 1).otherwise(0)).alias("docs_with_pii"),
     )
+
+
+def lang_confusion(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Confusion matrix of the heuristic language detector against the
+    corpus's labeled language — the accuracy report to run before
+    trusting ``lang_id`` as a curation filter.  Pure scan-local
+    projection + one small groupBy; engine-exact integer counts."""
+    return (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            lang_id(F.col(text_col)).alias("lang_pred"),
+        )
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

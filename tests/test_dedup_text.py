@@ -434,3 +434,20 @@ def test_ngram_novelty_scores(spark):
     assert out[1].novelty == out[2].novelty
     # the tiny doc's single whole-text shingle is unique
     assert out[3].n_grams == 1 and out[3].novelty == 1.0
+
+
+def test_lang_confusion_matrix(spark):
+    from csp_gateway_spark.operators.text import lang_confusion
+
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat and the dog is here"),
+            ("en", "zzz qqq xxx"),               # no markers -> und
+            ("fr", "le chat et la maison est"),
+        ],
+        "lang string, text string",
+    )
+    out = {(r.lang, r.lang_pred): r.n for r in lang_confusion(df).collect()}
+    assert out[("en", "en")] == 1
+    assert out[("en", "und")] == 1
+    assert out[("fr", "fr")] == 1

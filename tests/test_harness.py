@@ -39,3 +39,41 @@ def test_harness_assertion_failures_are_loud(spark):
         h.assert_ticked(cat, "c", count=5)
     with pytest.raises(AssertionError, match="expected 99"):
         h.assert_attr_equal(cat, "c", "x", 99)
+
+
+def test_ctfidf_distinguishing_terms(spark):
+    from csp_gateway_spark.operators.corpus import ctfidf_terms
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "apple apple apple shared"),
+            ("a", 2, "apple shared"),
+            ("b", 3, "banana banana shared"),
+            ("b", 4, "banana shared shared"),
+        ],
+        "source string, doc_id long, text string",
+    )
+    out = ctfidf_terms(df, topk=2).collect()
+    by_src = {}
+    for r in sorted(out, key=lambda r: (r.source, r.rank)):
+        by_src.setdefault(r.source, []).append(r.token)
+    # the group-exclusive term outranks the shared one
+    assert by_src["a"][0] == "apple"
+    assert by_src["b"][0] == "banana"
+    # gdf: 'shared' appears in both groups
+    shared = [r for r in out if r.token == "shared"]
+    assert all(r.gdf == 2 for r in shared)
+
+
+def test_triangle_count_census(spark):
+    from csp_gateway_spark.operators.corpus import triangle_count
+
+    # triangle 1-2-3 plus a pendant edge 3-4 and a second triangle 2-3-4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)], "id_a long, id_b long"
+    )
+    out = triangle_count(edges, topk=10).collect()
+    assert all(r.n_triangles == 2 for r in out)
+    per = {r.node: r.n_tri for r in out}
+    assert per[2] == 2 and per[3] == 2       # in both triangles
+    assert per[1] == 1 and per[4] == 1
