@@ -5201,6 +5201,205 @@ ORDER BY n_tri DESC, node ASC LIMIT 10
     )
 
 
+# ---------------------------------------------------------------------------
+# AUDIT — referential-integrity check (operators/analytics.py::fk_audit)
+# ---------------------------------------------------------------------------
+
+
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan counts for three FK relations in one report.  The TPC-H
+    relations audit clean; events.user_id→customer.c_custkey is a
+    deliberately broken relation (user 0 has no customer row)."""
+    from csp_gateway_spark.operators.analytics import fk_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+    audits = [
+        fk_audit(li, orders, "l_orderkey", "o_orderkey", "lineitem->orders"),
+        fk_audit(orders, customer, "o_custkey", "c_custkey", "orders->customer"),
+        fk_audit(ev, customer, "user_id", "c_custkey", "events->customer"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("relation")
+
+
+ORACLE_FK_AUDIT = """
+SELECT * FROM (
+  SELECT 'lineitem->orders' AS relation, CAST(count(*) AS BIGINT) AS n_child,
+    CAST(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+  FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS _pk FROM orders) p
+    ON c.l_orderkey = p._pk
+  UNION ALL
+  SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+    CAST(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS _pk FROM customer) p
+    ON c.o_custkey = p._pk
+  UNION ALL
+  SELECT 'events->customer', CAST(count(*) AS BIGINT),
+    CAST(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events c LEFT JOIN (SELECT DISTINCT c_custkey AS _pk FROM customer) p
+    ON c.user_id = p._pk
+) ORDER BY relation
+"""
+
+
+# ---------------------------------------------------------------------------
+# AUDIT — snapshot reconciliation (operators/analytics.py::table_diff)
+# ---------------------------------------------------------------------------
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff documents against a deterministically mutated snapshot
+    (drop every 7th key, bump n_chars on every 5th, add 3 new keys) —
+    added/removed/changed/unchanged counts from ONE full-outer join."""
+    from csp_gateway_spark.operators.analytics import table_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mutated = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    new_rows = docs.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.lit(1).cast("long").alias("n_chars")
+    )
+    b = mutated.unionAll(new_rows)
+    return table_diff(docs, b, "doc_id", ["n_chars"]).orderBy("change_type")
+
+
+ORACLE_TABLE_DIFF = """
+WITH a AS (
+  SELECT doc_id, n_chars FROM documents
+), b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 7 != 0
+  UNION ALL
+  SELECT doc_id + 100000, CAST(1 AS BIGINT) FROM documents WHERE doc_id < 3
+), j AS (
+  SELECT a.doc_id AS ka, b.doc_id AS kb, a.n_chars AS na, b.n_chars AS nb
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT CASE WHEN ka IS NULL THEN 'added'
+            WHEN kb IS NULL THEN 'removed'
+            WHEN na IS NOT DISTINCT FROM nb THEN 'unchanged'
+            ELSE 'changed' END AS change_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# WINDOWS — per-window heavy hitters (operators/windows.py)
+# ---------------------------------------------------------------------------
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by event count per day — rank window partitioned
+    by bucket, bounded by the bucket's distinct keys."""
+    from csp_gateway_spark.operators.windows import windowed_topk
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_topk(ev, "ts", "user_id", width_sec=86400, k=3)
+    return out.select("bucket_start", "user_id", "n", "rank").orderBy(
+        "bucket_start", "rank"
+    )
+
+
+ORACLE_WINDOW_TOPK = """
+WITH c AS (
+  SELECT (epoch_ns(ts) // 86400000000000) * 86400 AS bucket_start, user_id,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket_start, user_id, n, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY bucket_start ORDER BY n DESC, user_id ASC) AS INT) AS rank
+  FROM c
+) WHERE rank <= 3 ORDER BY bucket_start, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# WINDOWS — Markov transition matrix (operators/windows.py)
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(next event | current event) per user sequence — one key
+    shuffle for the lead window, state-space-sized totals broadcast."""
+    from csp_gateway_spark.operators.windows import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    out = event_transitions(
+        ev, key_col="user_id", type_col="event_type", order_cols=["ts", "event_id"]
+    )
+    return out.select("cur", "nxt", "n", F.round("p", 8).alias("p")).orderBy(
+        "cur", "nxt"
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS nxt
+  FROM events
+), p AS (
+  SELECT event_type AS cur, nxt, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT cur, CAST(SUM(n) AS BIGINT) AS tot FROM p GROUP BY 1
+)
+SELECT cur, nxt, n, round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 8) AS p
+FROM p JOIN t USING (cur) ORDER BY cur, nxt
+"""
+
+
+# ---------------------------------------------------------------------------
+# WINDOWS — inter-arrival cadence profile (operators/windows.py)
+# ---------------------------------------------------------------------------
+
+
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/p90/max gap between consecutive events per event_type —
+    the cadence profile that sizes watermarks and session gaps."""
+    from csp_gateway_spark.operators.windows import interarrival_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = interarrival_stats(ev, "event_type", "ts", "event_id")
+    # round-2, not round-6: the interpolated p90 sits on an exact
+    # multiple of 0.1 (integer gaps), but the two engines accumulate
+    # ~1e-3 of FP error computing frac*(hi-lo) on 1e9-scale ns values
+    return out.select(
+        "event_type",
+        "n_gaps",
+        F.round("p50_ns", 2).alias("p50_ns"),
+        F.round("p90_ns", 2).alias("p90_ns"),
+        "max_ns",
+    ).orderBy("event_type")
+
+
+ORACLE_INTERARRIVAL = """
+WITH g AS (
+  SELECT event_type,
+         epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+           PARTITION BY event_type ORDER BY epoch_ns(ts), event_id) AS gap
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       round(quantile_cont(gap, 0.5), 2) AS p50_ns,
+       round(quantile_cont(gap, 0.9), 2) AS p90_ns,
+       CAST(max(gap) AS BIGINT) AS max_ns
+FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -5355,6 +5554,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "ctfidf": q_ctfidf,
         "triangle_count": q_triangle_count,
+        "fk_audit": q_fk_audit,
+        "table_diff": q_table_diff,
+        "window_topk": q_window_topk,
+        "event_transitions": q_event_transitions,
+        "interarrival": q_interarrival,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -5545,4 +5749,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": ORACLE_LANG_CONFUSION,
         "ctfidf": ORACLE_CTFIDF,
         "triangle_count": _oracle_triangle_count(),
+        "fk_audit": ORACLE_FK_AUDIT,
+        "table_diff": ORACLE_TABLE_DIFF,
+        "window_topk": ORACLE_WINDOW_TOPK,
+        "event_transitions": ORACLE_EVENT_TRANSITIONS,
+        "interarrival": ORACLE_INTERARRIVAL,
     }

@@ -1150,3 +1150,70 @@ def key_skew(df: DataFrame, key_col: str, topk: int = 10) -> DataFrame:
             / (F.col("_total").cast("double") * F.col("_total").cast("double"))
         ).alias("hhi"),
     )
+
+
+def fk_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str,
+    relation: str = "child->parent",
+) -> DataFrame:
+    """Referential-integrity audit for one foreign-key relation:
+    child row count and orphan count (fk value absent from the parent
+    key set) — the nightly data-quality gate between pipeline stages.
+
+    One join: the DISTINCT parent keys (a key dim, broadcast when it
+    fits, else shuffle co-partitioned with the probe) left-joined
+    under the child, then a single aggregate.  No anti-join + second
+    count pass — both numbers come out of one scan."""
+    keys = parent.select(F.col(pk).alias("_pk")).distinct()
+    j = child.select(F.col(fk).alias("_fk")).join(
+        keys, F.col("_fk") == F.col("_pk"), "left"
+    )
+    return j.agg(
+        F.lit(relation).alias("relation"),
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(F.col("_pk").isNull().cast("long")).alias("n_orphans"),
+    ).select("relation", "n_child", "n_orphans")
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    compare_cols,
+) -> DataFrame:
+    """Snapshot reconciliation summary: counts of added / removed /
+    changed / unchanged keys between two versions of a table — the
+    check a pipeline runs after a backfill or migration before
+    swapping a table pointer.
+
+    ONE full-outer join on the key (co-partitioned shuffle both
+    sides) and one tiny groupBy; row classification is a scan-local
+    expression using null-safe equality, so nulls in compared columns
+    diff correctly."""
+    compare_cols = list(compare_cols)
+    left = a.select(
+        F.col(key).alias("_ka"),
+        *[F.col(c).alias(f"_a_{c}") for c in compare_cols],
+    )
+    right = b.select(
+        F.col(key).alias("_kb"),
+        *[F.col(c).alias(f"_b_{c}") for c in compare_cols],
+    )
+    j = left.join(right, F.col("_ka") == F.col("_kb"), "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+    change = (
+        F.when(F.col("_ka").isNull(), F.lit("added"))
+        .when(F.col("_kb").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -211,3 +211,100 @@ def gap_fill_locf(
         F.last("_v", ignorenulls=True).over(w).alias("value"),
         F.col("_v").isNotNull().alias("observed"),
     )
+
+
+def windowed_topk(
+    df: DataFrame,
+    ts_ns_col: str,
+    key_col: str,
+    width_sec: int = 86400,
+    k: int = 3,
+) -> DataFrame:
+    """Per-window heavy hitters: the top-``k`` keys by count inside
+    every tumbling ``width_sec`` bucket — "what dominated each hour",
+    the drill-down view behind the global `cms_topk` sketch.
+
+    One (bucket, key) count shuffle with map-side combine, then a
+    rank window PARTITIONED BY BUCKET — bounded by the bucket's
+    distinct keys, never corpus-global.  Integer bucket math (`div`,
+    not `/`: ns epochs exceed 2^53)."""
+    from pyspark.sql import Window
+
+    step_ns = width_sec * NS_PER_SEC
+    bucket = F.expr(f"({ts_ns_col} div {step_ns}L) * {width_sec}L")
+    counts = (
+        df.withColumn("bucket_start", bucket)
+        .groupBy("bucket_start", key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("bucket_start").orderBy(
+        F.desc("n"), F.asc(key_col)
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    order_cols,
+) -> DataFrame:
+    """First-order Markov transition matrix of a per-key event
+    sequence: counts and P(next | current) over consecutive event
+    pairs — the "what do users do after X" behavioral summary.
+
+    One shuffle on ``key_col`` for the lead window, one small
+    (cur, nxt) groupBy, and the per-``cur`` totals joined back as a
+    broadcast (state-space sized).  The probability is a single
+    division of exact integer counts.  ``order_cols`` must totally
+    order events within a key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    pairs = (
+        df.withColumn("_nxt", F.lead(F.col(type_col)).over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(F.col(type_col).alias("cur"), F.col("_nxt").alias("nxt"))
+    )
+    counts = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("cur").agg(F.sum("n").alias("_tot"))
+    return counts.join(F.broadcast(totals), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        (F.col("n").cast("double") / F.col("_tot").cast("double")).alias("p"),
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_ns_col: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Per-key inter-arrival-time distribution (median / p90 / max of
+    consecutive-event gaps, in ns) — the cadence profile that sizes
+    watermarks, session gaps and staleness alerts.
+
+    One shuffle on ``key_col`` for the lag window; gaps are exact
+    integer ns so the percentiles land on binary-exact x.0/x.5
+    doubles.  Exact ``percentile`` holds one key's gaps per task —
+    swap for ``approx_percentile`` at 100 TB key cardinalities."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_ns_col), F.col(order_tiebreak)
+    )
+    gaps = (
+        df.withColumn("_gap", F.col(ts_ns_col) - F.lag(F.col(ts_ns_col)).over(w))
+        .filter(F.col("_gap").isNotNull())
+    )
+    return gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("percentile(_gap, 0.5)").alias("p50_ns"),
+        F.expr("percentile(_gap, 0.9)").alias("p90_ns"),
+        F.max("_gap").alias("max_ns"),
+    )

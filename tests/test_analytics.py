@@ -344,3 +344,23 @@ def test_key_skew_hhi(spark):
     # HHI = (64 + 1 + 1) / 100
     assert abs(out[0].hhi - 0.66) < 1e-12
     assert out[0].n_keys == 3
+
+
+def test_fk_audit_orphans(spark):
+    from csp_gateway_spark.operators.analytics import fk_audit
+
+    child = spark.createDataFrame([(1,), (2,), (2,), (9,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    (r,) = fk_audit(child, parent, "fk", "pk", "c->p").collect()
+    assert r.relation == "c->p" and r.n_child == 4 and r.n_orphans == 1
+
+
+def test_table_diff_classification(spark):
+    from csp_gateway_spark.operators.analytics import table_diff
+
+    a = spark.createDataFrame([(1, 10), (2, 20), (3, None), (4, 40)], "k long, v int")
+    b = spark.createDataFrame([(1, 10), (2, 99), (3, None), (5, 50)], "k long, v int")
+    out = {r.change_type: r.n for r in table_diff(a, b, "k", ["v"]).collect()}
+    # k=1 unchanged, k=2 changed, k=3 unchanged (null==null via eqNullSafe),
+    # k=4 removed, k=5 added
+    assert out == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}

@@ -114,3 +114,45 @@ def test_gap_fill_locf_grid_and_carry(spark):
     # user 2: single-bucket grid
     assert sorted(b for (u, b) in got if u == 2) == [120]
     assert got[(2, 120)].value == 7.0
+
+
+def test_windowed_topk_per_bucket(spark):
+    from csp_gateway_spark.operators.windows import windowed_topk
+
+    ns = 1_000_000_000
+    rows = (
+        [(10 * ns, "a")] * 3 + [(11 * ns, "b")] * 2 + [(12 * ns, "c")]
+        + [(70 * ns, "c")] * 5 + [(71 * ns, "a")]
+    )
+    df = spark.createDataFrame(rows, "ts long, k string")
+    out = windowed_topk(df, "ts", "k", width_sec=60, k=2).collect()
+    got = {(r.bucket_start, r.rank): (r.k, r.n) for r in out}
+    assert got[(0, 1)] == ("a", 3) and got[(0, 2)] == ("b", 2)
+    assert got[(60, 1)] == ("c", 5) and got[(60, 2)] == ("a", 1)
+    assert len(out) == 4
+
+
+def test_event_transitions_probabilities(spark):
+    from csp_gateway_spark.operators.windows import event_transitions
+
+    rows = [
+        (1, "v", 1), (1, "c", 2), (1, "v", 3),
+        (2, "v", 1), (2, "c", 2),
+    ]
+    df = spark.createDataFrame(rows, "u long, t string, ts long")
+    out = {(r.cur, r.nxt): r for r in event_transitions(df, "u", "t", ["ts"]).collect()}
+    assert out[("v", "c")].n == 2
+    assert out[("c", "v")].n == 1
+    assert out[("v", "c")].p == 1.0    # both v-transitions go to c
+    assert out[("c", "v")].p == 1.0
+
+
+def test_interarrival_stats_gaps(spark):
+    from csp_gateway_spark.operators.windows import interarrival_stats
+
+    rows = [("a", 0, 1), ("a", 10, 2), ("a", 30, 3), ("a", 60, 4), ("b", 5, 5)]
+    df = spark.createDataFrame(rows, "k string, ts long, id long")
+    out = {r.k: r for r in interarrival_stats(df, "k", "ts", "id").collect()}
+    # gaps for a: 10, 20, 30
+    assert out["a"].n_gaps == 3 and out["a"].p50_ns == 20.0 and out["a"].max_ns == 30
+    assert "b" not in out          # single event -> no gaps
