@@ -5400,6 +5400,137 @@ FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# JOINS — as-of directions (operators/joins.py::asof_join)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase matched to the user's EARLIEST
+    view at-or-after it (union+window, one key shuffle)."""
+    from csp_gateway_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    out = asof_join(
+        purchases, views, on=["user_id"], left_time="ts", right_time="ts",
+        right_cols=["event_id"], direction="forward",
+    )
+    return out.select(
+        "user_id", "event_id", F.col("event_id_right").alias("view_event_id")
+    ).orderBy("event_id")
+
+
+ORACLE_ASOF_FORWARD = """
+SELECT p.user_id, p.event_id, v.event_id AS view_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts >= p.ts
+ORDER BY p.event_id
+"""
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (tie → backward, pandas semantics): both carries
+    from one key shuffle, mirrored window frames."""
+    from csp_gateway_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    out = asof_join(
+        purchases, views, on=["user_id"], left_time="ts", right_time="ts",
+        right_cols=["event_id"], direction="nearest",
+    )
+    return out.select(
+        "user_id", "event_id", F.col("event_id_right").alias("view_event_id")
+    ).orderBy("event_id")
+
+
+ORACLE_ASOF_NEAREST = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+v AS (SELECT * FROM events WHERE event_type = 'view'),
+b AS (
+  SELECT p.event_id, p.user_id, p.ts, v.event_id AS bid, v.ts AS bts
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+), f AS (
+  SELECT p.event_id, v.event_id AS fid, v.ts AS fts
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts
+)
+SELECT b.user_id, b.event_id,
+  CASE WHEN bid IS NULL THEN fid
+       WHEN fid IS NULL THEN bid
+       WHEN (epoch_ns(fts) - epoch_ns(b.ts)) < (epoch_ns(b.ts) - epoch_ns(bts))
+         THEN fid
+       ELSE bid END AS view_event_id
+FROM b JOIN f USING (event_id) ORDER BY b.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANALYTICS — month-over-month trend (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with MoM delta and percent change; the lag
+    window runs over post-aggregation month rows only."""
+    from csp_gateway_spark.operators.analytics import period_over_period
+
+    orders = _t(spark, sf_dir, "orders")
+    return period_over_period(orders).orderBy("month")
+
+
+ORACLE_REVENUE_MOM = """
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT month, revenue, lag(revenue) OVER (ORDER BY month) AS prev FROM m
+)
+SELECT month, revenue, prev,
+  revenue - prev AS delta,
+  round((revenue - prev) / prev, 8) AS pct
+FROM lagged ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANALYTICS — Pareto concentration report (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by part decile — the ntile sorts only the
+    collapsed key dimension."""
+    from csp_gateway_spark.operators.analytics import pareto
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pareto(li).orderBy("decile")
+
+
+ORACLE_PARETO_REVENUE = """
+WITH pk AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem GROUP BY 1
+), t AS (
+  SELECT l_partkey, rev,
+         ntile(10) OVER (ORDER BY rev DESC, l_partkey ASC) AS decile
+  FROM pk
+), d AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(SUM(rev) AS DOUBLE) AS revenue
+  FROM t GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(rev) AS DOUBLE) AS total FROM pk
+)
+SELECT decile, n_keys, revenue, round(revenue / total, 8) AS share
+FROM d, tot ORDER BY decile
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -5559,6 +5690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "event_transitions": q_event_transitions,
         "interarrival": q_interarrival,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
+        "revenue_mom": q_revenue_mom,
+        "pareto_revenue": q_pareto_revenue,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -5754,4 +5889,8 @@ def oracle_sql() -> dict[str, str]:
         "window_topk": ORACLE_WINDOW_TOPK,
         "event_transitions": ORACLE_EVENT_TRANSITIONS,
         "interarrival": ORACLE_INTERARRIVAL,
+        "asof_forward": ORACLE_ASOF_FORWARD,
+        "asof_nearest": ORACLE_ASOF_NEAREST,
+        "revenue_mom": ORACLE_REVENUE_MOM,
+        "pareto_revenue": ORACLE_PARETO_REVENUE,
     }

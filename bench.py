@@ -41,6 +41,15 @@ HEADLINE = [
     "lang_confusion",
     "ctfidf",
     "triangle_count",
+    "fk_audit",
+    "table_diff",
+    "window_topk",
+    "event_transitions",
+    "interarrival",
+    "asof_forward",
+    "asof_nearest",
+    "revenue_mom",
+    "pareto_revenue",
     "url_canonical",
     "url_dedup",
     "source_drift",

@@ -1217,3 +1217,72 @@ def table_diff(
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    date_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+) -> DataFrame:
+    """Month-over-month revenue report: monthly exact-decimal totals
+    with previous-month, absolute delta and percent change — the
+    trend table behind every KPI dashboard.
+
+    The heavy work is ONE grouped decimal aggregation; the lag window
+    then runs over the POST-AGGREGATION month rows (dozens, not the
+    fact table), so the unpartitioned window is bounded by the date
+    range, never data volume.  Deltas/ratios are single FP ops on
+    exact-decimal-valued doubles: engine-identical."""
+    from pyspark.sql import Window
+
+    monthly = (
+        df.groupBy(F.date_trunc("month", F.col(date_col)).alias("_m"))
+        .agg(F.sum(dec(value_col)).alias("_rd"))
+        .select(
+            F.date_format("_m", "yyyy-MM").alias("month"),
+            F.col("_rd").cast("double").alias("revenue"),
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev"),
+        (F.col("revenue") - prev).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev, 8).alias("pct"),
+    )
+
+
+def pareto(
+    df: DataFrame,
+    key_col: str = "l_partkey",
+    value_col: str = "l_extendedprice",
+    buckets: int = 10,
+) -> DataFrame:
+    """Concentration (Pareto) report: rank keys by their exact-decimal
+    value total, split into ``buckets`` equal-count tiers, and report
+    each tier's key count, value and share of total — "do 20 % of
+    parts carry 80 % of revenue".
+
+    The fact table collapses to one row per key first (one shuffle,
+    map-side combined); the ntile window then sorts the KEY DIMENSION
+    only — bounded by key cardinality, which is what a concentration
+    report is *about*, so the sort is inherent to the ask.  Share is
+    one double division of exact decimal sums."""
+    from pyspark.sql import Window
+
+    per_key = df.groupBy(key_col).agg(F.sum(dec(value_col)).alias("_rev"))
+    w = Window.orderBy(F.desc("_rev"), F.asc(key_col))
+    tiers = per_key.withColumn("decile", F.ntile(buckets).over(w))
+    d = tiers.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_rev").cast("double").alias("revenue"),
+    )
+    total = per_key.agg(F.sum("_rev").cast("double").alias("_total"))
+    return d.crossJoin(F.broadcast(total)).select(
+        "decile",
+        "n_keys",
+        "revenue",
+        F.round(F.col("revenue") / F.col("_total"), 8).alias("share"),
+    )

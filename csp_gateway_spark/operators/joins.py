@@ -44,15 +44,28 @@ def asof_join(
     right_cols: Optional[Sequence[str]] = None,
     tolerance: Optional[int] = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the latest right row with
-    ``right_time <= left_time`` per key.  Equal timestamps match
-    (inclusive), like DuckDB's ASOF JOIN.
+    """As-of join (pandas ``merge_asof`` directions):
 
-    ``tolerance``: optional max lookback in the time column's own units.
-    Result: all left rows + right payload columns (suffixed), null when
-    no match.
+    - ``backward`` (default): latest right row with
+      ``right_time <= left_time`` per key;
+    - ``forward``: earliest right row with ``right_time >= left_time``;
+    - ``nearest``: whichever of the two is closer in time (tie →
+      backward, pandas semantics).
+
+    Equal timestamps match (inclusive), like DuckDB's ASOF JOIN.
+    All directions keep the union+window formulation — ONE shuffle on
+    the key, both carries read the same partition sort (same window
+    ordering, mirrored frames).
+
+    ``tolerance``: optional max lookback/lookahead in the time
+    column's own units (applies per side for ``nearest``).
+    Result: all left rows + right payload columns (suffixed), null
+    when no match.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     on = list(on)
     right_cols = [c for c in (right_cols or right.columns) if c not in on and c != right_time]
 
@@ -76,19 +89,57 @@ def asof_join(
         F.struct(*[F.col(c) for c in right_cols + [right_time]]).alias("_r"),
     )
     unioned = l.unionByName(r)
-    w = (
-        Window.partitionBy(*[F.col(k) for k in on])
-        .orderBy(F.col("_t"), F.col("_side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    part = Window.partitionBy(*[F.col(k) for k in on])
+    # backward sorts rights before lefts at equal t (inclusive match
+    # under a trailing frame); forward mirrors with rights AFTER lefts
+    # so the leading frame is inclusive too.  A second direction costs
+    # one extra in-partition sort, never a shuffle.
+    w_back = part.orderBy(F.col("_t"), F.col("_side")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    carried = unioned.withColumn("_match", F.last(F.col("_r"), ignorenulls=True).over(w))
+    w_fwd = part.orderBy(F.col("_t"), F.col("_side").desc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    carried = unioned
+    if direction in ("backward", "nearest"):
+        carried = carried.withColumn(
+            "_mb", F.last(F.col("_r"), ignorenulls=True).over(w_back)
+        )
+    if direction in ("forward", "nearest"):
+        carried = carried.withColumn(
+            "_mf", F.first(F.col("_r"), ignorenulls=True).over(w_fwd)
+        )
     probe = carried.filter(F.col("_side") == 1)
     if tolerance is not None:
+        if direction in ("backward", "nearest"):
+            probe = probe.withColumn(
+                "_mb",
+                F.when(
+                    F.col("_t") - F.col(f"_mb.{right_time}") <= F.lit(tolerance),
+                    F.col("_mb"),
+                ),
+            )
+        if direction in ("forward", "nearest"):
+            probe = probe.withColumn(
+                "_mf",
+                F.when(
+                    F.col(f"_mf.{right_time}") - F.col("_t") <= F.lit(tolerance),
+                    F.col("_mf"),
+                ),
+            )
+    if direction == "backward":
+        probe = probe.withColumn("_match", F.col("_mb"))
+    elif direction == "forward":
+        probe = probe.withColumn("_match", F.col("_mf"))
+    else:
+        back_dist = F.col("_t") - F.col(f"_mb.{right_time}")
+        fwd_dist = F.col(f"_mf.{right_time}") - F.col("_t")
         probe = probe.withColumn(
             "_match",
-            F.when(
-                F.col("_t") - F.col(f"_match.{right_time}") <= F.lit(tolerance), F.col("_match")
-            ),
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            .when(fwd_dist < back_dist, F.col("_mf"))
+            .otherwise(F.col("_mb")),
         )
     out = probe.select(
         *on,

@@ -364,3 +364,31 @@ def test_table_diff_classification(spark):
     # k=1 unchanged, k=2 changed, k=3 unchanged (null==null via eqNullSafe),
     # k=4 removed, k=5 added
     assert out == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_period_over_period_mom(spark):
+    import datetime
+
+    from csp_gateway_spark.operators.analytics import period_over_period
+
+    d = datetime.datetime
+    rows = [
+        (d(2024, 1, 2), 100.0), (d(2024, 1, 20), 50.0),
+        (d(2024, 2, 3), 300.0),
+    ]
+    df = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    out = {r.month: r for r in period_over_period(df).collect()}
+    assert out["2024-01"].revenue == 150.0 and out["2024-01"].prev is None
+    assert out["2024-02"].prev == 150.0 and out["2024-02"].delta == 150.0
+    assert out["2024-02"].pct == 1.0
+
+
+def test_pareto_concentration(spark):
+    from csp_gateway_spark.operators.analytics import pareto
+
+    # 4 keys, values 40/30/20/10 -> 2 buckets: {40,30}=70%, {20,10}=30%
+    rows = [(1, 40.0), (2, 30.0), (3, 20.0), (4, 10.0)]
+    df = spark.createDataFrame(rows, "l_partkey long, l_extendedprice double")
+    out = {r.decile: r for r in pareto(df, buckets=2).collect()}
+    assert out[1].n_keys == 2 and out[1].revenue == 70.0 and out[1].share == 0.7
+    assert out[2].revenue == 30.0 and out[2].share == 0.3

@@ -156,3 +156,35 @@ def test_interarrival_stats_gaps(spark):
     # gaps for a: 10, 20, 30
     assert out["a"].n_gaps == 3 and out["a"].p50_ns == 20.0 and out["a"].max_ns == 30
     assert "b" not in out          # single event -> no gaps
+
+
+def test_asof_join_directions(spark):
+    from csp_gateway_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, 25, "L2"), (2, 5, "L3")], "k long, t long, lp string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "A"), (1, 20, "B"), (1, 30, "C"), (2, 50, "D")],
+        "k long, t long, v string",
+    )
+
+    def run(direction, **kw):
+        out = asof_join(
+            left, right, on=["k"], left_time="t", right_time="t",
+            right_cols=["v"], direction=direction, **kw,
+        )
+        return {(r.k, r.t): r.v for r in out.collect()}
+
+    assert run("backward") == {(1, 10): "A", (1, 25): "B", (2, 5): None}
+    # forward: equal timestamps match; (2,5) now reaches D
+    assert run("forward") == {(1, 10): "A", (1, 25): "C", (2, 5): "D"}
+    # nearest: (1,25) ties at distance 5 -> backward wins (pandas)
+    assert run("nearest") == {(1, 10): "A", (1, 25): "B", (2, 5): "D"}
+    # tolerance applies per direction
+    assert run("forward", tolerance=10) == {(1, 10): "A", (1, 25): "C", (2, 5): None}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, on=["k"], left_time="t", right_time="t",
+                  direction="sideways")
