@@ -5531,6 +5531,138 @@ FROM d, tot ORDER BY decile
 """
 
 
+# ---------------------------------------------------------------------------
+# AUDIT — Benford first-digit screen (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of o_totalprice vs the Benford
+    expectation — string-typed digit extraction, no float log in the
+    scan."""
+    from csp_gateway_spark.operators.analytics import benford_report
+
+    orders = _t(spark, sf_dir, "orders")
+    out = benford_report(orders, "o_totalprice")
+    return out.select(
+        "digit",
+        "n",
+        F.round("observed", 8).alias("observed"),
+        F.round("expected", 8).alias("expected"),
+    ).orderBy("digit")
+
+
+ORACLE_BENFORD = """
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+           AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total FROM c
+)
+SELECT digit, n,
+  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 8) AS observed,
+  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 8) AS expected
+FROM c, t ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# CEP — three-step pattern match (composition of interval joins)
+# ---------------------------------------------------------------------------
+
+
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style pattern: view →(≤1 d) click →(≤2 d)
+    purchase per user, counted per user — two chained interval joins,
+    each an equi-join on user plus a range filter (sort-merge + AQE;
+    no nested loop)."""
+    from csp_gateway_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), F.col("ts").alias("bts")
+    )
+    vc = interval_join(
+        views, clicks, on=["user_id"], left_time="vts", right_time="cts",
+        lower=1, upper=86400 * 1_000_000_000,
+    )
+    vcb = interval_join(
+        vc, purchases, on=["user_id"], left_time="cts", right_time="bts",
+        lower=1, upper=2 * 86400 * 1_000_000_000,
+    )
+    return (
+        vcb.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_CEP_PATTERN = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) AS t FROM events
+)
+SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM e v
+JOIN e c ON c.user_id = v.user_id AND c.event_type = 'click'
+        AND c.t >= v.t + 1 AND c.t <= v.t + 86400000000000
+JOIN e b ON b.user_id = c.user_id AND b.event_type = 'purchase'
+        AND b.t >= c.t + 1 AND b.t <= c.t + 172800000000000
+WHERE v.event_type = 'view'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANALYTICS — fulfillment latency percentiles
+# ---------------------------------------------------------------------------
+
+
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency (days) per order priority: median/p90/max.
+    Integer day diffs keep the interpolated percentiles at small
+    magnitudes where round-6 is safely engine-exact (cf.
+    length_quantiles)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "_days", F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(_days, 0.5)"), 6).alias("p50_days"),
+            F.round(F.expr("percentile(_days, 0.9)"), 6).alias("p90_days"),
+            F.max("_days").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_SHIP_LATENCY = """
+WITH j AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(days, 0.5), 6) AS p50_days,
+       round(quantile_cont(days, 0.9), 6) AS p90_days,
+       CAST(max(days) AS INT) AS max_days
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -5694,6 +5826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "revenue_mom": q_revenue_mom,
         "pareto_revenue": q_pareto_revenue,
+        "benford": q_benford,
+        "cep_pattern": q_cep_pattern,
+        "ship_latency": q_ship_latency,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -5893,4 +6028,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_nearest": ORACLE_ASOF_NEAREST,
         "revenue_mom": ORACLE_REVENUE_MOM,
         "pareto_revenue": ORACLE_PARETO_REVENUE,
+        "benford": ORACLE_BENFORD,
+        "cep_pattern": ORACLE_CEP_PATTERN,
+        "ship_latency": ORACLE_SHIP_LATENCY,
     }

@@ -50,6 +50,9 @@ HEADLINE = [
     "asof_nearest",
     "revenue_mom",
     "pareto_revenue",
+    "benford",
+    "cep_pattern",
+    "ship_latency",
     "url_canonical",
     "url_dedup",
     "source_drift",

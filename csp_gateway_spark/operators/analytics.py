@@ -1286,3 +1286,40 @@ def pareto(
         "revenue",
         F.round(F.col("revenue") / F.col("_total"), 8).alias("share"),
     )
+
+
+def benford_report(
+    df: DataFrame,
+    value_col: str,
+    expected_digits: int = 9,
+) -> DataFrame:
+    """Benford's-law first-digit audit: observed leading-digit share
+    of a positive numeric column vs the log10(1 + 1/d) expectation —
+    the classic fabricated-numbers screen for financial columns.
+
+    Digit extraction is string-typed integer truncation (no float
+    log10 in the hot path — exact for any magnitude); one tiny
+    groupBy + a 1-row broadcast total; observed share and expected
+    share are single FP expressions over exact integers."""
+    # floor() first: a bare double->bigint cast TRUNCATES in Spark but
+    # ROUNDS in DuckDB/ANSI, flipping 9999.9 between digit 9 and 1
+    digit = F.substring(
+        F.floor(F.col(value_col)).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(F.col(value_col) >= 1)
+        .withColumn("digit", digit)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("_total").cast("double")).alias(
+            "observed"
+        ),
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")).alias(
+            "expected"
+        ),
+    )

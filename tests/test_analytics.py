@@ -392,3 +392,17 @@ def test_pareto_concentration(spark):
     out = {r.decile: r for r in pareto(df, buckets=2).collect()}
     assert out[1].n_keys == 2 and out[1].revenue == 70.0 and out[1].share == 0.7
     assert out[2].revenue == 30.0 and out[2].share == 0.3
+
+
+def test_benford_report_digits(spark):
+    from csp_gateway_spark.operators.analytics import benford_report
+
+    import math
+
+    rows = [(1.5,), (19.0,), (100.0,), (950.0,), (9999.9,), (0.5,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r.digit: r for r in benford_report(df, "v").collect()}
+    # 0.5 filtered out; 9999.9 floors to digit 9 (never rounds to 10000)
+    assert out[1].n == 3 and out[9].n == 2
+    assert abs(out[1].observed - 0.6) < 1e-12
+    assert abs(out[1].expected - math.log10(2.0)) < 1e-12
