@@ -143,3 +143,54 @@ def ewma_batch(
             schema_parts.append(f"{field.name} {field.dataType.simpleString()}")
     schema = ", ".join(schema_parts + ["ewma double"])
     return df.groupBy(*keys).applyInPandas(compute, schema=schema)
+
+
+def transitions_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ord_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of ``operators/windows.py::event_transitions``:
+    emits one (cur, nxt) row per consecutive event pair per key, with
+    the LAST event type carried in GroupState so pairs bridge
+    micro-batch boundaries (the batch operator's lead() window has no
+    boundary to bridge).  Aggregating the emitted pairs downstream
+    reproduces the batch transition matrix exactly — parity pinned by
+    ``test_stateful_streaming.py``.
+
+    State is one string per key (bounded by key cardinality, not
+    history) — the 100 TB-safe layout.  Rows within a micro-batch are
+    ordered by ``ord_col``; cross-batch order relies on the source's
+    per-key arrival order (front with a watermark + event-time sort
+    upstream for out-of-order feeds)."""
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        rows = pd.concat(list(pdf_iter))
+        rows = rows.sort_values([ord_col], kind="mergesort")
+        seq = rows[type_col].tolist()
+        prev = state.get[0] if state.exists else None
+        cur_out, nxt_out = [], []
+        for t in seq:
+            if prev is not None:
+                cur_out.append(prev)
+                nxt_out.append(t)
+            prev = t
+        if prev is not None:
+            state.update((prev,))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(cur_out),
+                "cur": cur_out,
+                "nxt": nxt_out,
+            }
+        )
+
+    return apply_stateful(
+        stream,
+        [key_col],
+        fn,
+        state_schema="last string",
+        output_schema=f"{key_col} bigint, cur string, nxt string",
+    )

@@ -71,3 +71,60 @@ def test_tws_counter_or_documented_gate(spark, tmp_path):
         assert ("a", 2) in {(r.key, r.n) for r in spark.table("rc_tws").collect()}
     finally:
         q.stop()
+
+
+def test_transitions_stream_bridges_microbatches(spark, tmp_path):
+    """Pairs must span micro-batch boundaries via the carried state,
+    and the aggregated stream output must equal the batch operator."""
+    from csp_gateway_spark.streaming.stateful import transitions_stream
+
+    src = tmp_path / "tin"
+    src.mkdir()
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts long"
+    ).json(str(src))
+    q = (
+        transitions_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trans_s")
+        .option("checkpointLocation", str(tmp_path / "tck"))
+        .start()
+    )
+    b1 = [
+        {"user_id": 1, "event_type": "v", "ts": 1},
+        {"user_id": 1, "event_type": "c", "ts": 2},
+        {"user_id": 2, "event_type": "v", "ts": 1},
+    ]
+    b2 = [
+        {"user_id": 1, "event_type": "p", "ts": 3},
+        {"user_id": 2, "event_type": "c", "ts": 5},
+    ]
+    try:
+        _drop(src, "b1.json", b1)
+        q.processAllAvailable()
+        got1 = {(r.user_id, r.cur, r.nxt) for r in spark.table("trans_s").collect()}
+        assert got1 == {(1, "v", "c")}
+        _drop(src, "b2.json", b2)
+        q.processAllAvailable()
+        got = {(r.user_id, r.cur, r.nxt) for r in spark.table("trans_s").collect()}
+        # (1, c->p) and (2, v->c) bridge the batch boundary
+        assert got == {(1, "v", "c"), (1, "c", "p"), (2, "v", "c")}
+    finally:
+        q.stop()
+
+    # parity: aggregated pairs == batch event_transitions on all rows
+    from csp_gateway_spark.operators.windows import event_transitions
+
+    batch = spark.createDataFrame(
+        [(r["user_id"], r["event_type"], r["ts"]) for r in b1 + b2],
+        "user_id long, event_type string, ts long",
+    )
+    want = {
+        (r.cur, r.nxt): r.n
+        for r in event_transitions(batch, "user_id", "event_type", ["ts"]).collect()
+    }
+    got_counts = {}
+    for u, c, n in got:
+        got_counts[(c, n)] = got_counts.get((c, n), 0) + 1
+    assert got_counts == want
