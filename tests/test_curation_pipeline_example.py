@@ -44,3 +44,24 @@ def test_web_curation_pipeline_runs_and_filters(spark):
     a = sorted(r.doc_id for r in stages["after_novel"].select("doc_id").collect())
     b = sorted(r.doc_id for r in again["after_novel"].select("doc_id").collect())
     assert a == b
+
+
+def test_product_analytics_dashboard(spark, sf_dir):
+    """Every panel materializes with rows and a second run is
+    identical (determinism — no RNG, tie-broken windows)."""
+    from examples.product_analytics import run_dashboard
+
+    panels = run_dashboard(spark, sf_dir)
+    assert set(panels) >= {
+        "funnel", "transitions", "retention", "pareto", "vwap", "benford",
+    }
+    counts = {k: df.count() for k, df in panels.items()}
+    assert all(n > 0 for n in counts.values()), counts
+    # determinism spot-check on two order-sensitive panels
+    for name in ("basket", "daily_top_users"):
+        a = [tuple(r) for r in panels[name].collect()]
+        b = [tuple(r) for r in run_dashboard(spark, sf_dir)[name].collect()]
+        assert a == b
+    # the clean TPC-H relation audits zero orphans
+    (fk,) = panels["fk_audit"].collect()
+    assert fk.n_orphans == 0
