@@ -5663,6 +5663,119 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# ANALYTICS — engagement KPIs (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def q_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly customer churn over the order book: distinct
+    (month, customer) keys self-joined one month ahead; the last
+    month reports null (nothing to look ahead to)."""
+    from csp_gateway_spark.operators.analytics import churn
+
+    orders = _t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    out = churn(orders, "o_custkey", month)
+    return out.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "actives",
+        "retained",
+        F.round("churn_rate", 8).alias("churn_rate"),
+    ).orderBy("month")
+
+
+ORACLE_CHURN = """
+WITH a AS (
+  SELECT DISTINCT date_trunc('month', o_orderdate) AS month, o_custkey AS u
+  FROM orders
+), lastm AS (
+  SELECT max(month) AS lastm FROM a
+), j AS (
+  SELECT a.month, a.u, b.u AS u_next
+  FROM a LEFT JOIN a b
+    ON b.month = a.month + INTERVAL 1 MONTH AND b.u = a.u
+), pm AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS actives,
+         CAST(SUM(CASE WHEN u_next IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS retained
+  FROM j GROUP BY 1
+)
+SELECT strftime(month, '%Y-%m') AS month, actives,
+  CASE WHEN month < lastm THEN retained END AS retained,
+  CASE WHEN month < lastm
+       THEN round(1.0 - CAST(retained AS DOUBLE) / CAST(actives AS DOUBLE), 8)
+  END AS churn_rate
+FROM pm, lastm ORDER BY 1
+"""
+
+
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU per month on the order book (order-day actives over
+    active days / monthly actives)."""
+    from csp_gateway_spark.operators.analytics import stickiness
+
+    orders = _t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    day = F.to_date("o_orderdate")
+    out = stickiness(orders, "o_custkey", day, month)
+    return out.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "n_days",
+        "mau",
+        F.round("stickiness", 8).alias("stickiness"),
+    ).orderBy("month")
+
+
+ORACLE_STICKINESS = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('month', o_orderdate) AS month,
+         CAST(o_orderdate AS DATE) AS day, o_custkey AS u
+  FROM orders
+), daily AS (
+  SELECT month, day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1, 2
+), pm AS (
+  SELECT month, CAST(SUM(dau) AS BIGINT) AS dau_sum,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+), mu AS (
+  SELECT month, CAST(count(DISTINCT u) AS BIGINT) AS mau FROM du GROUP BY 1
+)
+SELECT strftime(pm.month, '%Y-%m') AS month, n_days, mau,
+  round(CAST(dau_sum AS DOUBLE) / (CAST(n_days AS DOUBLE) * CAST(mau AS DOUBLE)), 8)
+    AS stickiness
+FROM pm JOIN mu ON pm.month = mu.month ORDER BY 1
+"""
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day new vs returning users over the event stream (integer
+    day buckets, first-seen from one distinct+min aggregate)."""
+    from csp_gateway_spark.operators.analytics import new_vs_returning
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("(ts div 86400000000000L) * 86400L")
+    return new_vs_returning(ev, "user_id", day).orderBy("day")
+
+
+ORACLE_NEW_VS_RETURNING = """
+WITH du AS (
+  SELECT DISTINCT (epoch_ns(ts) // 86400000000000) * 86400 AS day,
+         user_id AS u
+  FROM events
+), firsts AS (
+  SELECT u, min(day) AS first_day FROM du GROUP BY 1
+)
+SELECT du.day, CAST(count(*) AS BIGINT) AS actives,
+  CAST(SUM(CASE WHEN du.day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+    AS new_users,
+  CAST(count(*) - SUM(CASE WHEN du.day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+    AS returning
+FROM du JOIN firsts ON du.u = firsts.u
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -5829,6 +5942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "cep_pattern": q_cep_pattern,
         "ship_latency": q_ship_latency,
+        "churn": q_churn,
+        "stickiness": q_stickiness,
+        "new_vs_returning": q_new_vs_returning,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -6031,4 +6147,7 @@ def oracle_sql() -> dict[str, str]:
         "benford": ORACLE_BENFORD,
         "cep_pattern": ORACLE_CEP_PATTERN,
         "ship_latency": ORACLE_SHIP_LATENCY,
+        "churn": ORACLE_CHURN,
+        "stickiness": ORACLE_STICKINESS,
+        "new_vs_returning": ORACLE_NEW_VS_RETURNING,
     }

@@ -53,6 +53,9 @@ HEADLINE = [
     "benford",
     "cep_pattern",
     "ship_latency",
+    "churn",
+    "stickiness",
+    "new_vs_returning",
     "url_canonical",
     "url_dedup",
     "source_drift",

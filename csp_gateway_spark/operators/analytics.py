@@ -60,6 +60,14 @@ __all__ = [
     "equi_width_histogram",
     "vwap",
     "key_skew",
+    "fk_audit",
+    "table_diff",
+    "period_over_period",
+    "pareto",
+    "benford_report",
+    "churn",
+    "stickiness",
+    "new_vs_returning",
 ]
 
 
@@ -1322,4 +1330,118 @@ def benford_report(
         F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")).alias(
             "expected"
         ),
+    )
+
+
+def churn(
+    df: DataFrame,
+    user_col: str,
+    month: Column,
+) -> DataFrame:
+    """Monthly churn: of the users active in month m, how many were
+    also active in m+1 (retained) and how many were not (churned) —
+    the complement of retention_cohorts' triangle, one KPI row per
+    month.
+
+    Events collapse to distinct (month, user) FIRST (map-side
+    combined), so the one-month-ahead self-join moves month-user keys,
+    never raw events; the join is co-partitioned on (month, user).
+    churn_rate is one division of exact integer counts.  The corpus's
+    last month reports null churn (no following month to look at).
+    ``month`` is a caller-supplied date expression (truncate however
+    the table stores time)."""
+    actives = df.select(
+        month.alias("month"), F.col(user_col).alias("_u")
+    ).distinct()
+    nxt = actives.select(
+        F.add_months(F.col("month"), -1).alias("_mn"),
+        F.col("_u").alias("_u_next"),
+    )
+    last_month = actives.agg(F.max("month").alias("_last"))
+    j = actives.join(
+        nxt,
+        (F.col("month") == F.col("_mn")) & (F.col("_u") == F.col("_u_next")),
+        "left",
+    ).select("month", "_u", "_u_next")
+    per_month = j.groupBy("month").agg(
+        F.count(F.lit(1)).alias("actives"),
+        F.sum(F.col("_u_next").isNotNull().cast("long")).alias("retained"),
+    )
+    return per_month.crossJoin(F.broadcast(last_month)).select(
+        "month",
+        "actives",
+        F.when(F.col("month") < F.col("_last"), F.col("retained")).alias("retained"),
+        F.when(
+            F.col("month") < F.col("_last"),
+            F.lit(1.0)
+            - F.col("retained").cast("double") / F.col("actives").cast("double"),
+        ).alias("churn_rate"),
+    )
+
+
+def stickiness(
+    df: DataFrame,
+    user_col: str,
+    day: Column,
+    month: Column,
+) -> DataFrame:
+    """DAU/MAU stickiness per month: average daily actives (over days
+    WITH activity — deterministic, no calendar-length dependence)
+    divided by monthly actives.  Two distinct-user aggregates off the
+    same scan; the ratio is one FP expression over exact integers.
+    ``day``/``month`` are caller-supplied bucket expressions."""
+    daily = (
+        df.select(month.alias("month"), day.alias("_day"), F.col(user_col).alias("_u"))
+        .distinct()
+        .groupBy("month", "_day")
+        .agg(F.count(F.lit(1)).alias("_dau"))
+    )
+    per_month_daily = daily.groupBy("month").agg(
+        F.sum("_dau").alias("_dau_sum"), F.count(F.lit(1)).alias("n_days")
+    )
+    mau = (
+        df.select(month.alias("month"), F.col(user_col).alias("_u"))
+        .distinct()
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("mau"))
+    )
+    return per_month_daily.join(mau, "month").select(
+        "month",
+        "n_days",
+        "mau",
+        (
+            F.col("_dau_sum").cast("double")
+            / (F.col("n_days").cast("double") * F.col("mau").cast("double"))
+        ).alias("stickiness"),
+    )
+
+
+def new_vs_returning(
+    df: DataFrame,
+    user_col: str,
+    day: Column,
+) -> DataFrame:
+    """Per-day new vs returning actives: a user is "new" on their
+    first-ever active day.  First-seen days come from one
+    distinct+min aggregate; the per-day split is a co-partitioned
+    join of day-user keys — raw events are scanned once each side,
+    never joined row-to-row.  ``day`` is a caller-supplied bucket
+    expression."""
+    du = df.select(day.alias("day"), F.col(user_col).alias("_u")).distinct()
+    firsts = du.groupBy("_u").agg(F.min("day").alias("_first"))
+    # co-partitioned on _u (both sides come off the same shuffle key);
+    # NOT broadcast — the first-seen table is user-dim sized
+    j = du.join(firsts, "_u")
+    return (
+        j.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("actives"),
+            F.sum((F.col("day") == F.col("_first")).cast("long")).alias("new_users"),
+        )
+        .select(
+            "day",
+            "actives",
+            "new_users",
+            (F.col("actives") - F.col("new_users")).alias("returning"),
+        )
     )

@@ -406,3 +406,30 @@ def test_benford_report_digits(spark):
     assert out[1].n == 3 and out[9].n == 2
     assert abs(out[1].observed - 0.6) < 1e-12
     assert abs(out[1].expected - math.log10(2.0)) < 1e-12
+
+
+def test_engagement_kpis(spark):
+    import datetime
+
+    from csp_gateway_spark.operators.analytics import churn, new_vs_returning, stickiness
+
+    d = datetime.datetime
+    rows = [
+        (1, d(2024, 1, 5)), (1, d(2024, 2, 5)),
+        (2, d(2024, 1, 6)),
+        (3, d(2024, 2, 7)), (3, d(2024, 3, 7)),
+    ]
+    df = spark.createDataFrame(rows, "u long, dt timestamp")
+    month = F.date_trunc("month", F.col("dt")).cast("date")
+
+    ch = {r.month.month: r for r in churn(df, "u", month).collect()}
+    assert ch[1].actives == 2 and ch[1].retained == 1 and ch[1].churn_rate == 0.5
+    assert ch[3].retained is None and ch[3].churn_rate is None  # last month
+
+    st = {r.month.month: r for r in stickiness(df, "u", F.to_date("dt"), month).collect()}
+    assert st[1].n_days == 2 and st[1].mau == 2 and st[1].stickiness == 0.5
+    assert st[3].stickiness == 1.0
+
+    nr = {r.day: r for r in new_vs_returning(df, "u", F.to_date("dt")).collect()}
+    feb5 = nr[datetime.date(2024, 2, 5)]
+    assert feb5.new_users == 0 and feb5.returning == 1
