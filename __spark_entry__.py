@@ -5776,6 +5776,83 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# OLAP — ROLLUP hierarchy totals (native rollup; complements sales_cube)
+# ---------------------------------------------------------------------------
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (returnflag → linestatus) with GROUPING() level flags —
+    the hierarchy-subtotals complement of the full cube in
+    `sales_cube`.  One shuffle; Spark expands grouping sets map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_SALES_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# SEQUENCE MINING — frequent event trigrams (windows.py lead×2)
+# ---------------------------------------------------------------------------
+
+
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 per-user event-type trigrams — the sequential-pattern
+    head behind `event_transitions`.  One key shuffle for the two
+    leads (same window sort), one count, TakeOrdered."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    grams = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return grams.orderBy(
+        F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3")
+    ).limit(20)
+
+
+ORACLE_EVENT_TRIGRAMS = """
+WITH s AS (
+  SELECT event_type AS e1,
+    lead(event_type, 1) OVER w AS e2,
+    lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+)
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC LIMIT 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -5945,6 +6022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "churn": q_churn,
         "stickiness": q_stickiness,
         "new_vs_returning": q_new_vs_returning,
+        "sales_rollup": q_sales_rollup,
+        "event_trigrams": q_event_trigrams,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -6150,4 +6229,6 @@ def oracle_sql() -> dict[str, str]:
         "churn": ORACLE_CHURN,
         "stickiness": ORACLE_STICKINESS,
         "new_vs_returning": ORACLE_NEW_VS_RETURNING,
+        "sales_rollup": ORACLE_SALES_ROLLUP,
+        "event_trigrams": ORACLE_EVENT_TRIGRAMS,
     }

@@ -56,6 +56,8 @@ HEADLINE = [
     "churn",
     "stickiness",
     "new_vs_returning",
+    "sales_rollup",
+    "event_trigrams",
     "url_canonical",
     "url_dedup",
     "source_drift",
