@@ -854,13 +854,19 @@ def winsorize(df, cols, lower: float = 0.01, upper: float = 0.99):
     from pyspark.sql import functions as F
 
     cols = list(cols)
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.expr(f"percentile({c}, {float(lower)})").alias(f"_lo_{c}"),
-            F.expr(f"percentile({c}, {float(upper)})").alias(f"_hi_{c}"),
-        ]
-    bounds = df.agg(*aggs)
+    # one percentile aggregate per column with BOTH probe points: each
+    # exact-percentile aggregate holds a full value->count map, so two
+    # separate aggs per column doubled the final reducer's state
+    aggs = [
+        F.expr(f"percentile({c}, array({float(lower)}, {float(upper)}))").alias(
+            f"_b_{c}"
+        )
+        for c in cols
+    ]
+    bounds = df.agg(*aggs).select(
+        *[F.col(f"_b_{c}")[0].alias(f"_lo_{c}") for c in cols],
+        *[F.col(f"_b_{c}")[1].alias(f"_hi_{c}") for c in cols],
+    )
     out = df.crossJoin(F.broadcast(bounds))
     for c in cols:
         clipped = F.least(
