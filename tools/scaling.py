@@ -53,6 +53,16 @@ HEAVY = [
     "source_drift",
     "gopher_quality",
     "url_dedup",
+    "market_basket",
+    "triangle_count",
+    "hybrid_search",
+    "gap_fill",
+    "rolling_value",
+    "scd2",
+    "retention",
+    "pareto_revenue",
+    "winsorize_prices",
+    "profile_table",
 ]
 
 TABLES = [
