@@ -5853,6 +5853,116 @@ ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# ANALYTICS — RFM grid, cohort LTV, duplicate-invoice screen
+# ---------------------------------------------------------------------------
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer RFM quartile grid with segment counts and average
+    spend — ntile windows over the collapsed customer dimension."""
+    from csp_gateway_spark.operators.analytics import rfm_segments
+
+    orders = _t(spark, sf_dir, "orders")
+    out = rfm_segments(orders)
+    return out.select(
+        "r_score", "f_score", "m_score", "n_customers",
+        F.round("avg_spend", 6).alias("avg_spend"),
+    ).orderBy("r_score", "f_score", "m_score")
+
+
+ORACLE_RFM_SEGMENTS = """
+WITH ref AS (
+  SELECT max(o_orderdate) AS refd FROM orders
+), pc AS (
+  SELECT o_custkey, max(o_orderdate) AS last_d,
+         CAST(count(*) AS BIGINT) AS freq,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY 1
+), sc AS (
+  SELECT o_custkey, freq, spend,
+         date_diff('day', last_d, refd) AS rec_days
+  FROM pc, ref
+), t AS (
+  SELECT o_custkey, spend,
+    CAST(ntile(4) OVER (ORDER BY rec_days DESC, o_custkey ASC) AS INT) AS r_score,
+    CAST(ntile(4) OVER (ORDER BY freq ASC, o_custkey ASC) AS INT) AS f_score,
+    CAST(ntile(4) OVER (ORDER BY spend ASC, o_custkey ASC) AS INT) AS m_score
+  FROM sc
+)
+SELECT r_score, f_score, m_score,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  round(CAST(SUM(spend) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_spend
+FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per cohort by month offset — the money view
+    of the retention triangle; cum window bounded by the date range."""
+    from csp_gateway_spark.operators.analytics import cohort_ltv
+
+    orders = _t(spark, sf_dir, "orders")
+    out = cohort_ltv(orders)
+    return out.select(
+        F.date_format("cohort_month", "yyyy-MM").alias("cohort_month"),
+        "month_offset",
+        "customers",
+        "revenue",
+        "cum_revenue",
+    ).orderBy("cohort_month", "month_offset")
+
+
+ORACLE_COHORT_LTV = """
+WITH m AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS m, o_totalprice
+  FROM orders
+), c AS (
+  SELECT o_custkey, m, o_totalprice,
+         min(m) OVER (PARTITION BY o_custkey) AS cohort
+  FROM m
+), per AS (
+  SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+    CAST((year(m) - year(cohort)) * 12 + month(m) - month(cohort) AS INT)
+      AS month_offset,
+    CAST(count(DISTINCT o_custkey) AS BIGINT) AS customers,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revd
+  FROM c GROUP BY 1, 2
+)
+SELECT cohort_month, month_offset, customers,
+  CAST(revd AS DOUBLE) AS revenue,
+  CAST(SUM(revd) OVER (PARTITION BY cohort_month ORDER BY month_offset
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS cum_revenue
+FROM per ORDER BY cohort_month, month_offset
+"""
+
+
+def q_dup_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-amount duplicate-order screen: same customer, amount in
+    the same $100 bucket, within 60 days.  Join keys on (customer,
+    bucket) — an equi-join, never a customer cross-product."""
+    from csp_gateway_spark.operators.analytics import dup_invoices
+
+    orders = _t(spark, sf_dir, "orders")
+    out = dup_invoices(orders, max_days=60, amount_bucket=100.0)
+    return out.orderBy("orderkey_a", "orderkey_b")
+
+
+ORACLE_DUP_INVOICES = """
+SELECT a.o_custkey, a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+  CAST(CAST(a.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount_a,
+  CAST(CAST(b.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount_b,
+  CAST(abs(date_diff('day', a.o_orderdate, b.o_orderdate)) AS INT) AS days_apart
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND floor(a.o_totalprice / 100.0) = floor(b.o_totalprice / 100.0)
+ AND a.o_orderkey < b.o_orderkey
+ AND abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 60
+ORDER BY orderkey_a, orderkey_b
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -6024,6 +6134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "new_vs_returning": q_new_vs_returning,
         "sales_rollup": q_sales_rollup,
         "event_trigrams": q_event_trigrams,
+        "rfm_segments": q_rfm_segments,
+        "cohort_ltv": q_cohort_ltv,
+        "dup_invoices": q_dup_invoices,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -6231,4 +6344,7 @@ def oracle_sql() -> dict[str, str]:
         "new_vs_returning": ORACLE_NEW_VS_RETURNING,
         "sales_rollup": ORACLE_SALES_ROLLUP,
         "event_trigrams": ORACLE_EVENT_TRIGRAMS,
+        "rfm_segments": ORACLE_RFM_SEGMENTS,
+        "cohort_ltv": ORACLE_COHORT_LTV,
+        "dup_invoices": ORACLE_DUP_INVOICES,
     }

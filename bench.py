@@ -58,6 +58,9 @@ HEADLINE = [
     "new_vs_returning",
     "sales_rollup",
     "event_trigrams",
+    "rfm_segments",
+    "cohort_ltv",
+    "dup_invoices",
     "url_canonical",
     "url_dedup",
     "source_drift",

@@ -68,6 +68,9 @@ __all__ = [
     "churn",
     "stickiness",
     "new_vs_returning",
+    "rfm_segments",
+    "cohort_ltv",
+    "dup_invoices",
 ]
 
 
@@ -1450,4 +1453,144 @@ def new_vs_returning(
             "new_users",
             (F.col("actives") - F.col("new_users")).alias("returning"),
         )
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    buckets: int = 4,
+) -> DataFrame:
+    """RFM segmentation: quartile scores for Recency (days since the
+    customer's last order, lower = better), Frequency (order count)
+    and Monetary (exact-decimal spend), reported as segment counts —
+    the classic customer-value grid.
+
+    The fact table collapses to one row per customer first; the three
+    ntile windows then sort the CUSTOMER DIMENSION only (same bounded
+    rationale as `pareto`).  Ties break on the customer key, so the
+    grid is deterministic.  Output: (r_score, f_score, m_score,
+    n_customers, avg_spend)."""
+    from pyspark.sql import Window
+
+    ref = orders.agg(F.max(F.col(date_col)).alias("_ref"))
+    per_cust = (
+        orders.groupBy(cust_col)
+        .agg(
+            F.max(F.col(date_col)).alias("_last"),
+            F.count(F.lit(1)).alias("_freq"),
+            F.sum(dec(amount_col)).alias("_spend"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .withColumn("_rec_days", F.datediff(F.col("_ref"), F.col("_last")))
+    )
+    # recency: FEWER days since last order = better = higher score
+    wr = Window.orderBy(F.desc("_rec_days"), F.asc(cust_col))
+    wf = Window.orderBy(F.asc("_freq"), F.asc(cust_col))
+    wm = Window.orderBy(F.asc("_spend"), F.asc(cust_col))
+    scored = (
+        per_cust.withColumn("r_score", F.ntile(buckets).over(wr))
+        .withColumn("f_score", F.ntile(buckets).over(wf))
+        .withColumn("m_score", F.ntile(buckets).over(wm))
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (
+            F.sum("_spend").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_spend"),
+    )
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Cohort lifetime-value curve: for each first-order-month cohort,
+    cumulative revenue per month offset — the money view of
+    `retention_cohorts`.
+
+    Cohort month pins through the same key window; revenue aggregates
+    in exact decimal per (cohort, offset); the cumulative sum runs in
+    a window PARTITIONED BY COHORT over month offsets — bounded by
+    the date range, never data volume."""
+    from pyspark.sql import Window
+
+    month = F.date_trunc("month", F.col(date_col))
+    w = Window.partitionBy(cust_col)
+    rows = orders.withColumn("_m", month).withColumn("_cohort", F.min("_m").over(w))
+    offset = (
+        (F.year("_m") - F.year("_cohort")) * 12 + F.month("_m") - F.month("_cohort")
+    )
+    per = (
+        rows.withColumn("month_offset", offset.cast("int"))
+        .groupBy(F.col("_cohort").alias("cohort_month"), "month_offset")
+        .agg(
+            F.sum(dec(amount_col)).alias("_rev"),
+            F.countDistinct(cust_col).alias("customers"),
+        )
+    )
+    wc = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per.select(
+        "cohort_month",
+        "month_offset",
+        "customers",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.sum("_rev").over(wc).cast("double").alias("cum_revenue"),
+    )
+
+
+def dup_invoices(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    max_days: int = 7,
+    amount_bucket: float | None = None,
+) -> DataFrame:
+    """Duplicate-invoice screen: pairs of DISTINCT orders from the
+    same customer for the same exact amount within ``max_days`` — the
+    double-billing / double-submission fraud check.
+
+    The self-join keys on (customer, exact-decimal amount) — a real
+    equi-join, so candidates are only same-amount collisions, never a
+    customer cross-product; the day-window and key-ordering predicates
+    filter inside the matched group.  Decimal equality avoids float
+    '==' on money; ``amount_bucket`` switches the join key to
+    floor(amount / bucket) for a near-amount screen (synthetic books
+    with continuous prices have no exact collisions)."""
+    amt_key = (
+        F.floor(F.col(amount_col) / F.lit(float(amount_bucket)))
+        if amount_bucket
+        else dec(amount_col)
+    )
+    base = orders.select(
+        F.col(cust_col).alias("_c"),
+        amt_key.alias("_amt"),
+        dec(amount_col).alias("_amt_exact"),
+        F.col(date_col).alias("_d"),
+        F.col("o_orderkey").alias("_k"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._c") == F.col("b._c"))
+        & (F.col("a._amt") == F.col("b._amt"))
+        & (F.col("a._k") < F.col("b._k"))
+        & (F.abs(F.datediff(F.col("b._d"), F.col("a._d"))) <= max_days),
+    )
+    return pairs.select(
+        F.col("a._c").alias(cust_col),
+        F.col("a._k").alias("orderkey_a"),
+        F.col("b._k").alias("orderkey_b"),
+        F.col("a._amt_exact").cast("double").alias("amount_a"),
+        F.col("b._amt_exact").cast("double").alias("amount_b"),
+        F.abs(F.datediff(F.col("b._d"), F.col("a._d"))).alias("days_apart"),
     )

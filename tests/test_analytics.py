@@ -433,3 +433,69 @@ def test_engagement_kpis(spark):
     nr = {r.day: r for r in new_vs_returning(df, "u", F.to_date("dt")).collect()}
     feb5 = nr[datetime.date(2024, 2, 5)]
     assert feb5.new_users == 0 and feb5.returning == 1
+
+
+def test_rfm_segments_grid(spark):
+    import datetime
+
+    from csp_gateway_spark.operators.analytics import rfm_segments
+
+    d = datetime.datetime
+    # 4 customers with clearly ordered R/F/M behavior
+    rows = []
+    for cust, (n, amt, last_day) in enumerate(
+        [(1, 10.0, 1), (2, 20.0, 5), (3, 30.0, 10), (4, 40.0, 20)], start=1
+    ):
+        for i in range(n):
+            rows.append((cust, d(2024, 1, last_day), amt))
+    df = spark.createDataFrame(rows, "o_custkey long, o_orderdate timestamp, o_totalprice double")
+    df = df.withColumn("o_orderkey", F.monotonically_increasing_id())
+    out = rfm_segments(df)
+    segs = {(r.r_score, r.f_score, r.m_score): r for r in out.collect()}
+    # customer 4: most recent, most frequent, biggest spend -> (4,4,4)
+    assert (4, 4, 4) in segs and segs[(4, 4, 4)].n_customers == 1
+    # customer 1: oldest, least frequent, smallest spend -> (1,1,1)
+    assert (1, 1, 1) in segs
+    assert sum(r.n_customers for r in segs.values()) == 4
+
+
+def test_cohort_ltv_cumulative(spark):
+    import datetime
+
+    from csp_gateway_spark.operators.analytics import cohort_ltv
+
+    d = datetime.datetime
+    rows = [
+        (1, d(2024, 1, 5), 100.0), (1, d(2024, 2, 5), 50.0),
+        (2, d(2024, 1, 9), 10.0),
+    ]
+    df = spark.createDataFrame(rows, "o_custkey long, o_orderdate timestamp, o_totalprice double")
+    out = {r.month_offset: r for r in cohort_ltv(df).collect()}
+    assert out[0].revenue == 110.0 and out[0].cum_revenue == 110.0
+    assert out[1].revenue == 50.0 and out[1].cum_revenue == 160.0
+    assert out[0].customers == 2 and out[1].customers == 1
+
+
+def test_dup_invoices_screen(spark):
+    import datetime
+
+    from csp_gateway_spark.operators.analytics import dup_invoices
+
+    d = datetime.datetime
+    rows = [
+        (1, 1, d(2024, 1, 1), 500.0),
+        (2, 1, d(2024, 1, 3), 500.0),   # dup: same cust+amount, 2 days
+        (3, 1, d(2024, 3, 1), 500.0),   # outside the window
+        (4, 2, d(2024, 1, 1), 500.0),   # different customer
+        (5, 1, d(2024, 1, 2), 123.0),   # different amount
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = dup_invoices(df, max_days=7).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert (r.orderkey_a, r.orderkey_b, r.days_apart) == (1, 2, 2)
+    # bucketed mode groups near amounts
+    out2 = dup_invoices(df, max_days=7, amount_bucket=1000.0).collect()
+    assert {(r.orderkey_a, r.orderkey_b) for r in out2} == {(1, 2), (1, 5), (2, 5)}
