@@ -5963,6 +5963,135 @@ ORDER BY orderkey_a, orderkey_b
 """
 
 
+# ---------------------------------------------------------------------------
+# STATE — incremental materialized-view maintenance (operators/state.py)
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge a pre-1998 monthly aggregate STATE with the 1998+ delta's
+    state and prove the merge equals the from-scratch aggregate (the
+    oracle computes it directly from raw orders).  Maintaining the
+    view costs O(|delta| + |state|), never a base rescan."""
+    from csp_gateway_spark.operators.state import agg_state, merge_agg_state
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+    )
+    base = agg_state(
+        orders.filter(F.col("o_orderdate") < "1998-01-01"), ["month"], "o_totalprice"
+    )
+    delta = agg_state(
+        orders.filter(F.col("o_orderdate") >= "1998-01-01"), ["month"], "o_totalprice"
+    )
+    merged = merge_agg_state(base, delta, ["month"])
+    return merged.select(
+        "month",
+        "n",
+        F.col("sum_v").cast("double").alias("sum_v"),
+        "min_v",
+        "max_v",
+    ).orderBy("month")
+
+
+ORACLE_INCREMENTAL_AGG = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+  min(o_totalprice) AS min_v,
+  max(o_totalprice) AS max_v
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# WINDOWS — funnel within sessions (operators/windows.py)
+# ---------------------------------------------------------------------------
+
+
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase evaluated per 30-minute session (µs time,
+    matching window_session's engine contract)."""
+    from csp_gateway_spark.operators.windows import session_funnel
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    return session_funnel(
+        ev, ["view", "click", "purchase"], "user_id", "event_type", "ts_us",
+        gap=1800 * 1_000_000,
+    ).orderBy("stage_idx")
+
+
+ORACLE_SESSION_FUNNEL = """
+WITH t AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+), marked AS (
+  SELECT user_id, event_type, tus,
+    CASE WHEN tus - lag(tus) OVER w > 1800000000 OR lag(tus) OVER w IS NULL
+         THEN 1 ELSE 0 END AS new_s
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+), sess AS (
+  SELECT user_id, event_type, tus,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM marked
+), firsts AS (
+  SELECT user_id, s,
+    min(CASE WHEN event_type = 'view' THEN tus END) AS t0,
+    min(CASE WHEN event_type = 'click' THEN tus END) AS t1,
+    min(CASE WHEN event_type = 'purchase' THEN tus END) AS t2
+  FROM sess GROUP BY 1, 2
+), c AS (
+  SELECT
+    CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                   AND t2 IS NOT NULL AND t2 >= t1
+             THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM firsts
+)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'view' AS stage, n0 AS sessions,
+         CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS conv FROM c
+  UNION ALL
+  SELECT 2, 'click', n1, CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM c
+  UNION ALL
+  SELECT 3, 'purchase', n2, CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM c
+) ORDER BY stage_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANALYTICS — equi-depth histogram (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def q_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-bucketed histogram of order totals — boundaries from ONE
+    percentile aggregate, bucket index via a scan-local array filter."""
+    from csp_gateway_spark.operators.analytics import equi_depth_histogram
+
+    orders = _t(spark, sf_dir, "orders")
+    out = equi_depth_histogram(orders, "o_totalprice", buckets=10)
+    return out.select(
+        "bucket", "n", F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi")
+    ).orderBy("bucket")
+
+
+def _oracle_depth_histogram() -> str:
+    probes = ", ".join(str(i / 10) for i in range(1, 10))
+    return f"""
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, [{probes}]) AS bounds FROM orders
+)
+SELECT CAST(len(list_filter(bounds, x -> x <= o_totalprice)) AS INT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  round(min(o_totalprice), 6) AS lo,
+  round(max(o_totalprice), 6) AS hi
+FROM orders, b GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -6137,6 +6266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "cohort_ltv": q_cohort_ltv,
         "dup_invoices": q_dup_invoices,
+        "incremental_agg": q_incremental_agg,
+        "session_funnel": q_session_funnel,
+        "depth_histogram": q_depth_histogram,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -6347,4 +6479,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": ORACLE_RFM_SEGMENTS,
         "cohort_ltv": ORACLE_COHORT_LTV,
         "dup_invoices": ORACLE_DUP_INVOICES,
+        "incremental_agg": ORACLE_INCREMENTAL_AGG,
+        "session_funnel": ORACLE_SESSION_FUNNEL,
+        "depth_histogram": _oracle_depth_histogram(),
     }

@@ -71,6 +71,7 @@ __all__ = [
     "rfm_segments",
     "cohort_ltv",
     "dup_invoices",
+    "equi_depth_histogram",
 ]
 
 
@@ -1594,3 +1595,42 @@ def dup_invoices(
         F.col("b._amt_exact").cast("double").alias("amount_b"),
         F.abs(F.datediff(F.col("b._d"), F.col("a._d"))).alias("days_apart"),
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram: bucket boundaries at
+    the exact i/b percentiles, rows counted per bucket — the
+    distribution view that stays informative on skewed columns where
+    equi-width bins collapse into one bar.
+
+    ONE percentile aggregate computes every boundary (single
+    value-map state, cf. `winsorize`), broadcast back as an array; a
+    row's bucket is the count of boundaries ≤ its value — a
+    scan-local higher-order filter, no join per boundary.  Boundary
+    doubles are engine-identical (same percentile formula), so bucket
+    edges cannot flake."""
+    probes = ", ".join(str(i / buckets) for i in range(1, buckets))
+    bounds = df.agg(
+        F.expr(f"percentile({value_col}, array({probes}))").alias("_bounds")
+    )
+    v = F.col(value_col).cast("double")
+    out = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"CAST(size(filter(_bounds, b -> b <= CAST({value_col} AS DOUBLE))) AS INT)"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(v).alias("lo"),
+            F.max(v).alias("hi"),
+        )
+    )
+    return out

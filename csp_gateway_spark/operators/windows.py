@@ -308,3 +308,83 @@ def interarrival_stats(
         F.expr("percentile(_gap, 0.9)").alias("p90_ns"),
         F.max("_gap").alias("max_ns"),
     )
+
+
+def sessionize_rows(
+    df: DataFrame,
+    ts_col: str,
+    gap: int,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Row-preserving sessionization: every input row plus its
+    ``session_start`` (the session's first event time) — the
+    gaps-and-islands prefix `sessionize` aggregates away, exposed for
+    operators that need within-session structure (session funnels,
+    dwell analysis).  One shuffle on keys; both windows share the
+    partition sort."""
+    from pyspark.sql import Window
+
+    ts = F.col(ts_col)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(ts)
+    new_session = (ts - F.lag(ts).over(w) > gap) | F.lag(ts).over(w).isNull()
+    wrun = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessioned = df.withColumn("_new", new_session.cast("int")).withColumn(
+        "_session", F.sum("_new").over(wrun)
+    )
+    ws = Window.partitionBy(*[F.col(k) for k in keys], F.col("_session"))
+    return sessioned.withColumn("session_start", F.min(ts).over(ws)).drop("_new")
+
+
+def session_funnel(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    gap: int,
+) -> DataFrame:
+    """Funnel evaluated WITHIN sessions (`funnel` evaluates lifetime
+    first-touch): a session reaches stage k when the first occurrence
+    of every stage 1..k inside that session is in non-decreasing time
+    order.  Output: (stage_idx, stage, sessions, conv).
+
+    Plan: row-preserving sessionization (one key shuffle), one
+    groupBy(user, session) of conditional mins, a 1-row global count
+    — same two-aggregate tree as `funnel` with the session key
+    inserted."""
+    stages = list(stages)
+    rows = sessionize_rows(df, ts_col, gap, [user_col])
+    ts = F.col(ts_col)
+    firsts = rows.groupBy(F.col(user_col), F.col("_session")).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, ts)).alias(f"_t{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    reach = []
+    cond = F.col("_t0").isNotNull()
+    reach.append(cond)
+    for i in range(1, len(stages)):
+        cond = cond & F.col(f"_t{i}").isNotNull() & (
+            F.col(f"_t{i}") >= F.col(f"_t{i-1}")
+        )
+        reach.append(cond)
+    counts = firsts.agg(
+        F.count(F.lit(1)).alias("_sessions"),
+        *[F.sum(r.cast("long")).alias(f"_n{i}") for i, r in enumerate(reach)],
+    )
+    return counts.selectExpr(
+        f"stack({len(stages)}, "
+        + ", ".join(f"{i + 1}, '{s}', _n{i}" for i, s in enumerate(stages))
+        + ") AS (stage_idx, stage, sessions)",
+        "_n0 AS _first",
+    ).selectExpr(
+        "stage_idx",
+        "stage",
+        "CAST(sessions AS BIGINT) AS sessions",
+        "CAST(sessions AS DOUBLE) / CAST(_first AS DOUBLE) AS conv",
+    )
