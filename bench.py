@@ -61,6 +61,9 @@ HEADLINE = [
     "rfm_segments",
     "cohort_ltv",
     "dup_invoices",
+    "incremental_agg",
+    "session_funnel",
+    "depth_histogram",
     "url_canonical",
     "url_dedup",
     "source_drift",

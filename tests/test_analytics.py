@@ -499,3 +499,14 @@ def test_dup_invoices_screen(spark):
     # bucketed mode groups near amounts
     out2 = dup_invoices(df, max_days=7, amount_bucket=1000.0).collect()
     assert {(r.orderkey_a, r.orderkey_b) for r in out2} == {(1, 2), (1, 5), (2, 5)}
+
+
+def test_equi_depth_histogram_buckets(spark):
+    from csp_gateway_spark.operators.analytics import equi_depth_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in range(1, 101)], "v double")
+    out = {r.bucket: r for r in equi_depth_histogram(df, "v", buckets=4).collect()}
+    # 100 uniform values in quartile buckets: ~25 rows each
+    assert sum(r.n for r in out.values()) == 100
+    assert all(20 <= r.n <= 30 for r in out.values())
+    assert out[0].lo == 1.0 and out[3].hi == 100.0

@@ -86,3 +86,19 @@ def test_scd2_versions(spark):
     assert [r.is_current for r in k1] == [False, False, True]
     (k2,) = [r for r in out if r.k == 2]
     assert k2.attr == "x" and k2.is_current
+
+
+def test_agg_state_merge_equals_full(spark):
+    from csp_gateway_spark.operators.state import agg_state, merge_agg_state
+
+    rows = [("a", 1.0), ("a", 2.0), ("b", 5.0), ("a", 3.0), ("b", 1.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    full = {r.k: r for r in agg_state(df, ["k"], "v").collect()}
+    base = agg_state(df.limit(2), ["k"], "v")
+    delta = agg_state(df.subtract(df.limit(2)), ["k"], "v")
+    merged = {r.k: r for r in merge_agg_state(base, delta, ["k"]).collect()}
+    for k in full:
+        assert merged[k].n == full[k].n
+        assert merged[k].sum_v == full[k].sum_v
+        assert merged[k].min_v == full[k].min_v
+        assert merged[k].max_v == full[k].max_v

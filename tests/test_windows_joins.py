@@ -188,3 +188,22 @@ def test_asof_join_directions(spark):
     with _pytest.raises(ValueError):
         asof_join(left, right, on=["k"], left_time="t", right_time="t",
                   direction="sideways")
+
+
+def test_session_funnel_vs_lifetime(spark):
+    from csp_gateway_spark.operators.windows import session_funnel
+
+    # one user: session 1 = view,click ; session 2 (after gap) = purchase.
+    # lifetime funnel would credit the purchase; the session funnel must not.
+    rows = [
+        (1, "view", 100), (1, "click", 200),
+        (1, "purchase", 100_000),
+        (2, "view", 50), (2, "click", 60), (2, "purchase", 70),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    out = {r.stage: r for r in session_funnel(
+        df, ["view", "click", "purchase"], "user_id", "event_type", "ts", gap=1000
+    ).collect()}
+    assert out["view"].sessions == 2          # u1-s1 and u2-s1
+    assert out["click"].sessions == 2
+    assert out["purchase"].sessions == 1      # only u2's session completes
