@@ -986,6 +986,11 @@ def market_basket(
     pairs_src = lineitem.select(
         F.col(order_col).alias("_ord"), F.col(item_col).alias("_item")
     ).distinct()
+    # materialize once: the distinct pair table feeds FOUR consumers
+    # (both self-join sides, item popularity, order total) and AQE's
+    # broadcast conversions defeat exchange reuse between them — same
+    # rationale as the LSH pair pipeline's checkpoint
+    pairs_src = pairs_src.localCheckpoint(eager=False)
     a = pairs_src.alias("a")
     b = pairs_src.alias("b")
     pair_counts = (
