@@ -656,6 +656,10 @@ def repeated_ngram_spans(
         .filter(F.col("_ok").isNotNull())
         .select(id_col, "_p", "_h")
     )
+    # the positioned-gram table feeds BOTH the global hash count and
+    # the semi-join probe; without a checkpoint the posexplode + lead
+    # window + per-position md5 runs twice
+    grams = grams.localCheckpoint(eager=False)
     repeated = (
         grams.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_n"))
