@@ -1020,6 +1020,9 @@ def ngram_novelty(
     signature pass.
     """
     sh = shingle_rows(df, text_col, id_col, k=k).dropDuplicates([id_col, "_s"])
+    # the distinct shingle table feeds the document-frequency count AND
+    # the join probe; checkpoint so the explode+distinct runs once
+    sh = sh.localCheckpoint(eager=False)
     dfreq = sh.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (
         sh.join(dfreq, "_s")
