@@ -1,0 +1,183 @@
+"""Versioned parquet tables: time-travel reads, small-file compaction
+and write-audit-publish — a minimal table format over plain parquet
+directories, for pipelines that need "what did this table look like
+when round N trained" without a lakehouse dependency.
+
+Layout::
+
+    <root>/v=<N>/part-*.parquet     one immutable directory per version
+    <root>/_manifest.json           {"current": N, "versions": {...}}
+
+Design (100 TB):
+- Versions are IMMUTABLE — a new version is a new directory, readers
+  of version N never see partial writes (publish is a directory
+  rename + manifest swap, both atomic on the filesystem; on object
+  stores use the same staged-prefix + manifest-pointer pattern).
+- The manifest stores row/file counts per version, so audits and the
+  `table_diff` reconciliation query know what to expect without
+  listing data files.
+- `compact` rewrites the CURRENT version into fewer, larger files as
+  a NEW version — readers pinned to old versions are unaffected, and
+  the operation is pure Spark (`repartition` + write), no driver
+  data movement.
+- `wap_publish` is the Write-Audit-Publish gate: the batch lands in a
+  staging prefix, the audits (schema contract + optional row checks)
+  run against the STAGED files, and only a clean audit renames the
+  prefix into the table — a failed audit leaves the current version
+  untouched.
+
+Reference parity: the reference persists engine-cycle changelogs and
+replays them (`csp_gateway/shared/json_converter.py`,
+`server/demo/omnibus.py` snapshot flags); versioned batch tables are
+the SURVEY §7.8 additive analogue for the training-data side.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_manifest.json"
+
+
+@dataclass(frozen=True)
+class VersionInfo:
+    version: int
+    rows: int
+    files: int
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, MANIFEST)
+
+
+def _read_manifest(root: str) -> dict:
+    p = _manifest_path(root)
+    if not os.path.exists(p):
+        return {"current": None, "versions": {}}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(root: str, manifest: dict) -> None:
+    tmp = _manifest_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(root))  # atomic pointer swap
+
+
+def _version_dir(root: str, version: int) -> str:
+    return os.path.join(root, f"v={version}")
+
+
+def list_versions(root: str) -> list[VersionInfo]:
+    m = _read_manifest(root)
+    return [
+        VersionInfo(int(v), info["rows"], info["files"])
+        for v, info in sorted(m["versions"].items(), key=lambda kv: int(kv[0]))
+    ]
+
+
+def current_version(root: str) -> Optional[int]:
+    return _read_manifest(root)["current"]
+
+
+def _count_files(path: str) -> int:
+    return sum(
+        1
+        for n in os.listdir(path)
+        if n.endswith(".parquet") or (n.startswith("part-") and not n.endswith(".crc"))
+    )
+
+
+def write_version(df: DataFrame, root: str) -> int:
+    """Write ``df`` as the next version and point `current` at it.
+    The data lands under a staging name first; the version becomes
+    visible only via the directory rename + manifest swap."""
+    os.makedirs(root, exist_ok=True)
+    m = _read_manifest(root)
+    nxt = (m["current"] or 0) + 1 if m["current"] is not None else 1
+    staged = os.path.join(root, f"_staged_v={nxt}")
+    df.write.mode("overwrite").parquet(staged)
+    rows = df.sparkSession.read.parquet(staged).count()
+    os.rename(staged, _version_dir(root, nxt))
+    m["versions"][str(nxt)] = {"rows": rows, "files": _count_files(_version_dir(root, nxt))}
+    m["current"] = nxt
+    _write_manifest(root, m)
+    return nxt
+
+
+def read_version(
+    spark: SparkSession, root: str, version: Optional[int] = None
+) -> DataFrame:
+    """Time-travel read: the pinned ``version``, or current."""
+    m = _read_manifest(root)
+    v = version if version is not None else m["current"]
+    if v is None or str(v) not in m["versions"]:
+        raise FileNotFoundError(f"no version {version!r} at {root}")
+    return spark.read.parquet(_version_dir(root, int(v)))
+
+
+def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
+    """Rewrite the current version into ``target_files`` files as a
+    NEW version (readers pinned to old versions are unaffected).
+    `repartition` (not coalesce) so the rewrite redistributes evenly
+    instead of concatenating input partitions."""
+    cur = read_version(spark, root)
+    return write_version(cur.repartition(target_files), root)
+
+
+def wap_publish(
+    df: DataFrame,
+    root: str,
+    contract=None,
+    audits: Sequence[Callable[[DataFrame], Optional[str]]] = (),
+) -> tuple[Optional[int], list[str]]:
+    """Write-Audit-Publish: stage ``df``, audit the STAGED files, and
+    publish only on a clean audit.
+
+    - ``contract``: optional `sources.contract.SchemaContract`; any
+      violation fails the audit.
+    - ``audits``: callables receiving the staged DataFrame and
+      returning an error string (fail) or None (pass) — row counts,
+      null floors, freshness checks.
+
+    Returns ``(version, problems)`` — ``(None, [...])`` when the audit
+    failed (staging removed, current version untouched)."""
+    os.makedirs(root, exist_ok=True)
+    m = _read_manifest(root)
+    nxt = (m["current"] or 0) + 1 if m["current"] is not None else 1
+    staged = os.path.join(root, f"_staged_v={nxt}")
+    df.write.mode("overwrite").parquet(staged)
+    spark = df.sparkSession
+    staged_df = spark.read.parquet(staged)
+
+    problems: list[str] = []
+    if contract is not None:
+        from csp_gateway_spark.sources.contract import enforce_contract
+
+        _, violations = enforce_contract(staged_df, contract)
+        problems += [f"{v.column}: {v.kind} ({v.detail})" for v in violations]
+    for audit in audits:
+        err = audit(staged_df)
+        if err:
+            problems.append(err)
+
+    if problems:
+        shutil.rmtree(staged, ignore_errors=True)
+        return None, problems
+
+    rows = staged_df.count()
+    os.rename(staged, _version_dir(root, nxt))
+    m["versions"][str(nxt)] = {
+        "rows": rows,
+        "files": _count_files(_version_dir(root, nxt)),
+    }
+    m["current"] = nxt
+    _write_manifest(root, m)
+    return nxt, []
