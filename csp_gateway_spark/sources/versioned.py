@@ -181,3 +181,81 @@ def wap_publish(
     m["current"] = nxt
     _write_manifest(root, m)
     return nxt, []
+
+
+def apply_cdc(
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str = "op",
+    ts_col: Optional[str] = None,
+) -> int:
+    """MERGE INTO for the versioned table: apply a change batch with
+    an ``op`` column (``I``/``U`` upsert, ``D`` delete) keyed on
+    ``key_cols`` and publish the result as a new version — the
+    lakehouse upsert, expressed as snapshot + delta → snapshot so the
+    write path stays immutable and time-travel keeps working.
+
+    Plan: when ``ts_col`` is given, the change batch first collapses
+    to its LAST change per key (max_by over the ts — map-side
+    combinable); the merge is then one full-outer join of current
+    snapshot vs collapsed changes on the key — co-partitioned, no
+    row-to-row fan-out.  Deletes drop the key; upserts replace the
+    payload; untouched keys carry forward."""
+    from pyspark.sql import functions as F
+
+    payload_cols = [c for c in changes.columns if c not in (op_col, ts_col)]
+    data_cols = [c for c in payload_cols if c not in key_cols]
+    ch = changes
+    if ts_col is not None:
+        ch = (
+            ch.groupBy(*[F.col(k) for k in key_cols])
+            .agg(
+                F.expr(
+                    f"max_by(struct({op_col}, {', '.join(data_cols)}), {ts_col})"
+                ).alias("_last")
+            )
+            .select(*key_cols, "_last.*")
+        )
+    cur = read_version(spark, root)
+    c = cur.alias("c")
+    d = ch.alias("d")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"c.{k}") == F.col(f"d.{k}")
+        cond = eq if cond is None else cond & eq
+    j = c.join(d, cond, "full_outer")
+    has_change = F.col(f"d.{op_col}").isNotNull()
+    keep = (~has_change) | (F.col(f"d.{op_col}") != "D")
+    out_cols = []
+    for k in key_cols:
+        out_cols.append(F.coalesce(F.col(f"d.{k}"), F.col(f"c.{k}")).alias(k))
+    for col in data_cols:
+        out_cols.append(
+            F.when(has_change, F.col(f"d.{col}")).otherwise(F.col(f"c.{col}")).alias(col)
+        )
+    merged = j.filter(keep).select(*out_cols)
+    return write_version(merged, root)
+
+
+def versioned_foreach_batch(
+    root: str,
+    contract=None,
+    audits: Sequence[Callable[[DataFrame], Optional[str]]] = (),
+    on_reject: Optional[Callable[[int, list], None]] = None,
+):
+    """Streaming sink: publish every non-empty micro-batch through the
+    Write-Audit-Publish gate — each version is one audited micro-batch
+    (exactly the engine-cycle granularity the reference's changelog
+    writer uses).  Rejected batches invoke ``on_reject(batch_id,
+    problems)`` and leave the table untouched."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        v, problems = wap_publish(batch_df, root, contract=contract, audits=audits)
+        if v is None and on_reject is not None:
+            on_reject(batch_id, problems)
+
+    return _sink

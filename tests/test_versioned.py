@@ -90,3 +90,65 @@ def test_read_missing_version_raises(spark, tmp_path):
     root = str(tmp_path / "tbl")
     with pytest.raises(FileNotFoundError):
         read_version(spark, root, 5)
+
+
+def test_apply_cdc_merge_semantics(spark, tmp_path):
+    from csp_gateway_spark.sources.versioned import apply_cdc
+
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, name string, v int"
+    )
+    write_version(base, root)
+    # update k=1 twice (last wins by ts), delete k=2, insert k=4
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", 11, "U", 100),
+            (1, "a2", 12, "U", 200),
+            (2, None, None, "D", 150),
+            (4, "d", 40, "I", 120),
+        ],
+        "k long, name string, v int, op string, ts long",
+    )
+    v = apply_cdc(spark, root, changes, ["k"], ts_col="ts")
+    got = {r.k: (r.name, r.v) for r in read_version(spark, root, v).collect()}
+    assert got == {1: ("a2", 12), 3: ("c", 30), 4: ("d", 40)}
+    # the base snapshot is still intact at version 1
+    assert read_version(spark, root, 1).count() == 3
+
+
+def test_versioned_streaming_sink_wap(spark, tmp_path):
+    import json as _json
+
+    from csp_gateway_spark.sources.contract import ColumnSpec, SchemaContract
+    from csp_gateway_spark.sources.versioned import versioned_foreach_batch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    root = str(tmp_path / "tbl")
+    rejected = []
+    contract = SchemaContract([ColumnSpec("k", "bigint"), ColumnSpec("v", "string")])
+    stream = spark.readStream.schema("k long, v string").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            versioned_foreach_batch(
+                root, contract=contract,
+                audits=[lambda df: "null key" if df.filter("k IS NULL").count() else None],
+                on_reject=lambda bid, probs: rejected.append((bid, probs)),
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        with open(src / "b1.json", "w") as f:
+            f.write(_json.dumps({"k": 1, "v": "x"}) + "\n")
+        q.processAllAvailable()
+        assert current_version(root) == 1
+        # a bad batch is rejected; the table pointer does not move
+        with open(src / "b2.json", "w") as f:
+            f.write(_json.dumps({"k": None, "v": "y"}) + "\n")
+        q.processAllAvailable()
+        assert current_version(root) == 1 and rejected
+    finally:
+        q.stop()
