@@ -6092,6 +6092,80 @@ FROM orders, b GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# STATE — MERGE INTO semantics (sources/versioned.py::merge_snapshot)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a deterministic I/U/D change batch to the customer
+    snapshot: custkey%10==0 updated (acctbal+1, two changes with the
+    later ts winning), custkey%15==7 deleted, three new keys
+    inserted.  ONE co-partitioned full-outer join after the change
+    batch collapses to last-change-per-key."""
+    from csp_gateway_spark.sources.versioned import merge_snapshot
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal")
+    )
+    k = F.col("c_custkey")
+    upd_stale = cust.filter(k % 10 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 99).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+        F.lit(100).alias("ts"),
+    )
+    upd = cust.filter(k % 10 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 1).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+        F.lit(200).alias("ts"),
+    )
+    dels = cust.filter(k % 15 == 7).select(
+        "c_custkey",
+        F.lit(None).cast("decimal(18,2)").alias("c_acctbal"),
+        F.lit("D").alias("op"),
+        F.lit(150).alias("ts"),
+    )
+    ins = cust.filter(k < 4).select(
+        (k + 100000).alias("c_custkey"),
+        F.lit(7.5).cast("decimal(18,2)").alias("c_acctbal"),
+        F.lit("I").alias("op"),
+        F.lit(120).alias("ts"),
+    )
+    changes = upd_stale.unionByName(upd).unionByName(dels).unionByName(ins)
+    merged = merge_snapshot(cust, changes, ["c_custkey"], ts_col="ts")
+    return merged.select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    ).orderBy("c_custkey")
+
+
+ORACLE_CDC_MERGE = """
+WITH cur AS (
+  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer
+), changes AS (
+  SELECT c_custkey, bal + 99 AS bal, 'U' AS op, 100 AS ts FROM cur WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, bal + 1, 'U', 200 FROM cur WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, NULL, 'D', 150 FROM cur WHERE c_custkey % 15 = 7
+  UNION ALL
+  SELECT c_custkey + 100000, CAST(7.5 AS DECIMAL(18,2)), 'I', 120 FROM cur WHERE c_custkey < 4
+), last AS (
+  SELECT c_custkey, arg_max(op, ts) AS op, arg_max(bal, ts) AS bal
+  FROM changes GROUP BY 1
+), j AS (
+  SELECT COALESCE(d.c_custkey, c.c_custkey) AS c_custkey,
+         d.op AS op,
+         CASE WHEN d.op IS NOT NULL THEN d.bal ELSE c.bal END AS bal
+  FROM cur c FULL OUTER JOIN last d ON c.c_custkey = d.c_custkey
+)
+SELECT c_custkey, CAST(bal AS DOUBLE) AS c_acctbal
+FROM j WHERE op IS NULL OR op <> 'D'
+ORDER BY c_custkey
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -6269,6 +6343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         "session_funnel": q_session_funnel,
         "depth_histogram": q_depth_histogram,
+        "cdc_merge": q_cdc_merge,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -6482,4 +6557,5 @@ def oracle_sql() -> dict[str, str]:
         "incremental_agg": ORACLE_INCREMENTAL_AGG,
         "session_funnel": ORACLE_SESSION_FUNNEL,
         "depth_histogram": _oracle_depth_histogram(),
+        "cdc_merge": ORACLE_CDC_MERGE,
     }

@@ -64,6 +64,7 @@ HEADLINE = [
     "incremental_agg",
     "session_funnel",
     "depth_histogram",
+    "cdc_merge",
     "url_canonical",
     "url_dedup",
     "source_drift",

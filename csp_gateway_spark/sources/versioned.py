@@ -205,6 +205,22 @@ def apply_cdc(
     payload; untouched keys carry forward."""
     from pyspark.sql import functions as F
 
+    merged = merge_snapshot(read_version(spark, root), changes, key_cols, op_col, ts_col)
+    return write_version(merged, root)
+
+
+def merge_snapshot(
+    cur: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str = "op",
+    ts_col: Optional[str] = None,
+) -> DataFrame:
+    """The pure merge behind `apply_cdc` (snapshot ⊕ I/U/D changes →
+    snapshot), exposed for oracle checking and for callers managing
+    their own storage.  See `apply_cdc` for plan shape."""
+    from pyspark.sql import functions as F
+
     payload_cols = [c for c in changes.columns if c not in (op_col, ts_col)]
     data_cols = [c for c in payload_cols if c not in key_cols]
     ch = changes
@@ -218,7 +234,6 @@ def apply_cdc(
             )
             .select(*key_cols, "_last.*")
         )
-    cur = read_version(spark, root)
     c = cur.alias("c")
     d = ch.alias("d")
     cond = None
@@ -235,8 +250,7 @@ def apply_cdc(
         out_cols.append(
             F.when(has_change, F.col(f"d.{col}")).otherwise(F.col(f"c.{col}")).alias(col)
         )
-    merged = j.filter(keep).select(*out_cols)
-    return write_version(merged, root)
+    return j.filter(keep).select(*out_cols)
 
 
 def versioned_foreach_batch(
