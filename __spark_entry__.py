@@ -6166,6 +6166,145 @@ ORDER BY c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# ANALYTICS — diagonal Mahalanobis outliers (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 lineitem rows by diagonal Mahalanobis distance over
+    (quantity, price, discount) — exact-decimal moments, one broadcast,
+    TakeOrdered."""
+    from csp_gateway_spark.operators.analytics import mahalanobis_outliers
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    out = mahalanobis_outliers(li, ["l_quantity", "l_extendedprice", "l_discount"], k=20)
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", F.round("m2", 6).alias("m2"),
+    )
+
+
+def _oracle_mahalanobis() -> str:
+    def z2(c: str, tag: str) -> str:
+        mu = f"CAST(s_{tag} AS DOUBLE) / CAST(n AS DOUBLE)"
+        var = f"CAST(ss_{tag} AS DOUBLE) / CAST(n AS DOUBLE) - ({mu}) * ({mu})"
+        return (
+            f"((CAST({c} AS DOUBLE) - {mu}) * (CAST({c} AS DOUBLE) - {mu}) / ({var}))"
+        )
+
+    moms = []
+    for c, tag in (("l_quantity", "q"), ("l_extendedprice", "p"), ("l_discount", "d")):
+        moms.append(f"SUM(CAST({c} AS DECIMAL(18,2))) AS s_{tag}")
+        moms.append(
+            f"SUM(CAST(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss_{tag}"
+        )
+    score = f"{z2('l_quantity', 'q')} + {z2('l_extendedprice', 'p')} + {z2('l_discount', 'd')}"
+    return f"""
+WITH mom AS (
+  SELECT count(*) AS n, {', '.join(moms)} FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+       round({score}, 6) AS m2
+FROM lineitem, mom
+ORDER BY ({score}) DESC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC,
+         l_extendedprice ASC, l_discount ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# CORPUS — k-core backbone (operators/corpus.py::kcore)
+# ---------------------------------------------------------------------------
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the shared-12-gram graph after 3 peeling rounds —
+    degree aggregations + semi-joins, all keyed on node ids."""
+    from csp_gateway_spark.operators.corpus import kcore
+    from csp_gateway_spark.operators.dedup import shared_ngram_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = shared_ngram_pairs(docs, k=_SNP_K)
+    return kcore(edges, k=2, rounds=3).orderBy("node")
+
+
+def _oracle_kcore() -> str:
+    body = """
+, e0 AS (
+  SELECT id_a AS src, id_b AS dst FROM cpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cpairs
+)"""
+    prev = "e0"
+    for r in (1, 2, 3):
+        body += f"""
+, d{r} AS (SELECT src, count(*) AS deg FROM {prev} GROUP BY 1)
+, k{r} AS (SELECT src FROM d{r} WHERE deg >= 2)
+, e{r} AS (
+  SELECT {prev}.src, {prev}.dst FROM {prev}
+  JOIN k{r} a ON {prev}.src = a.src
+  JOIN k{r} b ON {prev}.dst = b.src
+)"""
+        prev = f"e{r}"
+    return (
+        _snp_sql_prefix()
+        + body
+        + f"""
+SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+FROM {prev} GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANALYTICS — conversion lag percentiles (composition)
+# ---------------------------------------------------------------------------
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time from first view to first purchase for converting users
+    (first-touch ordering): one groupBy(user) of conditional mins, one
+    tiny percentile aggregate.  Lags are reduced to integer SECONDS
+    before the percentile — interpolated quantiles on 1e13-scale ns
+    values carry more cross-engine FP error than any fixed rounding
+    can absorb (the interarrival 2dp rule stops working past ~1e10)."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("_t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("_t2"),
+    )
+    lags = firsts.filter(
+        F.col("_t0").isNotNull() & F.col("_t2").isNotNull() & (F.col("_t2") >= F.col("_t0"))
+    ).select(F.expr("(_t2 - _t0) div 1000000000L").alias("_lag"))
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(_lag, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(_lag, 0.9)"), 6).alias("p90_s"),
+        F.max("_lag").alias("max_s"),
+    )
+
+
+ORACLE_CONVERSION_LAG = """
+WITH f AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t0,
+    min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t2
+  FROM events GROUP BY 1
+), lags AS (
+  SELECT (t2 - t0) // 1000000000 AS lag FROM f
+  WHERE t0 IS NOT NULL AND t2 IS NOT NULL AND t2 >= t0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+  round(quantile_cont(lag, 0.5), 6) AS p50_s,
+  round(quantile_cont(lag, 0.9), 6) AS p90_s,
+  CAST(max(lag) AS BIGINT) AS max_s
+FROM lags
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -6344,6 +6483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_funnel": q_session_funnel,
         "depth_histogram": q_depth_histogram,
         "cdc_merge": q_cdc_merge,
+        "mahalanobis": q_mahalanobis,
+        "kcore": q_kcore,
+        "conversion_lag": q_conversion_lag,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -6558,4 +6700,7 @@ def oracle_sql() -> dict[str, str]:
         "session_funnel": ORACLE_SESSION_FUNNEL,
         "depth_histogram": _oracle_depth_histogram(),
         "cdc_merge": ORACLE_CDC_MERGE,
+        "mahalanobis": _oracle_mahalanobis(),
+        "kcore": _oracle_kcore(),
+        "conversion_lag": ORACLE_CONVERSION_LAG,
     }

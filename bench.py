@@ -65,6 +65,9 @@ HEADLINE = [
     "session_funnel",
     "depth_histogram",
     "cdc_merge",
+    "mahalanobis",
+    "kcore",
+    "conversion_lag",
     "url_canonical",
     "url_dedup",
     "source_drift",

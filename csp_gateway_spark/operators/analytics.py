@@ -72,6 +72,7 @@ __all__ = [
     "cohort_ltv",
     "dup_invoices",
     "equi_depth_histogram",
+    "mahalanobis_outliers",
 ]
 
 
@@ -1639,3 +1640,42 @@ def equi_depth_histogram(
         )
     )
     return out
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    cols: Sequence[str],
+    k: int = 20,
+) -> DataFrame:
+    """Top-k multivariate outliers by diagonal Mahalanobis distance:
+    Σ_c ((x_c − μ_c)² / σ²_c) — the multi-column generalization of the
+    z-score screen (full-covariance Mahalanobis needs a matrix solve;
+    the diagonal form is the standard scan-scale screen).
+
+    Moments come from ONE aggregation in exact decimal (sum and
+    sum-of-squares are associative — map-side combined; decimal(38,4)
+    holds squares of 2-decimal inputs exactly), broadcast back as a
+    1-row join; the per-row score is a fixed-order sum of identical
+    FP expressions, so it is engine-exact.  Top-k is TakeOrdered."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        d18 = F.col(c).cast("decimal(18,2)")
+        aggs += [
+            F.sum(d18).alias(f"_s_{c}"),
+            F.sum((d18 * d18).cast("decimal(38,4)")).alias(f"_ss_{c}"),
+        ]
+    moments = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(moments))
+    score = None
+    for c in cols:
+        n = F.col("_n").cast("double")
+        mu = F.col(f"_s_{c}").cast("double") / n
+        var = F.col(f"_ss_{c}").cast("double") / n - mu * mu
+        z2 = (F.col(c).cast("double") - mu) * (F.col(c).cast("double") - mu) / var
+        score = z2 if score is None else score + z2
+    return (
+        out.withColumn("m2", score)
+        .select(*df.columns, "m2")
+        .orderBy(F.desc("m2"), *[F.asc(c) for c in df.columns])
+        .limit(k)
+    )

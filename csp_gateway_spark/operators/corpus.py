@@ -1111,3 +1111,41 @@ def triangle_count(
         .limit(topk)
     )
     return per_node.crossJoin(F.broadcast(total))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """k-core peeling: iteratively drop nodes with degree < ``k`` from
+    the undirected graph; after convergence the survivors form the
+    k-core — the dense backbone of a similarity graph (template
+    families, paraphrase clusters) with the pendant fringe removed.
+
+    Each round is one degree aggregation + two semi-joins — all keyed
+    on node ids; ``rounds`` bounds work (the gate oracle unrolls the
+    same rounds), with a `localCheckpoint` per round cutting lineage
+    like the other iterative operators.  Returns (node, degree) of
+    the surviving core after the final round."""
+    e = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

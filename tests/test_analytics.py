@@ -570,3 +570,15 @@ def test_wave4_operators_handle_empty_input(spark):
         # on empty input (funnel emits its stage skeleton); everything
         # else must be empty
         assert len(rows) <= len(df.columns) + 3
+
+
+def test_mahalanobis_outliers_finds_planted(spark):
+    from csp_gateway_spark.operators.analytics import mahalanobis_outliers
+
+    rows = [(i, 10.0 + (i % 3), 100.0 + (i % 5)) for i in range(50)]
+    rows.append((99, 500.0, 100.0))      # wild in col a
+    rows.append((98, 10.0, -900.0))      # wild in col b
+    df = spark.createDataFrame(rows, "k long, a double, b double")
+    top = mahalanobis_outliers(df, ["a", "b"], k=2).collect()
+    assert {r.k for r in top} == {98, 99}
+    assert all(r.m2 > 10 for r in top)

@@ -77,3 +77,15 @@ def test_triangle_count_census(spark):
     per = {r.node: r.n_tri for r in out}
     assert per[2] == 2 and per[3] == 2       # in both triangles
     assert per[1] == 1 and per[4] == 1
+
+
+def test_kcore_peels_pendants(spark):
+    from csp_gateway_spark.operators.corpus import kcore
+
+    # triangle 1-2-3 (2-core) with pendant chain 3-4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r.node: r.degree for r in kcore(edges, k=2, rounds=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(d == 2 for d in out.values())
