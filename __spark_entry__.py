@@ -6305,6 +6305,35 @@ FROM lags
 """
 
 
+# ---------------------------------------------------------------------------
+# CURATION — per-row weighted sampling (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each doc with probability 0.8·min(n_chars/2000, 1) via the
+    seeded 60-bit hash threshold — deterministic, scan-local, no RNG;
+    the per-row generalization of stratified sampling."""
+    from csp_gateway_spark.operators.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_w", F.col("n_chars").cast("double") / F.lit(2000.0)
+    )
+    out = weighted_sample(docs, "_w", base_fraction=0.8)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':31'), 1, 15))::BIGINT AS h,
+    CAST(floor(0.8 * least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0)
+               * 1152921504606846976.0) AS BIGINT) AS thr
+  FROM documents
+) WHERE h < thr ORDER BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -6486,6 +6515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mahalanobis": q_mahalanobis,
         "kcore": q_kcore,
         "conversion_lag": q_conversion_lag,
+        "weighted_sample": q_weighted_sample,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -6703,4 +6733,5 @@ def oracle_sql() -> dict[str, str]:
         "mahalanobis": _oracle_mahalanobis(),
         "kcore": _oracle_kcore(),
         "conversion_lag": ORACLE_CONVERSION_LAG,
+        "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     }

@@ -68,6 +68,7 @@ HEADLINE = [
     "mahalanobis",
     "kcore",
     "conversion_lag",
+    "weighted_sample",
     "url_canonical",
     "url_dedup",
     "source_drift",
