@@ -6334,6 +6334,63 @@ SELECT doc_id, source FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# ANALYTICS — Theil-Sen robust trend (outlier-immune complement of the
+# OLS forecast_revenue)
+# ---------------------------------------------------------------------------
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust monthly-revenue trend: slope = median of all pairwise
+    month-to-month slopes, intercept = median(y − slope·x).  The
+    pairwise self-join runs on the POST-AGGREGATION month table
+    (~80 rows → ~3k pairs), so the O(m²) step is dim-bounded; the
+    heavy work is one decimal aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("_m"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rd"))
+        .select(
+            ((F.year("_m") - 1995) * 12 + F.month("_m") - 1).cast("double").alias("x"),
+            F.col("_rd").cast("double").alias("y"),
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias("s")
+    )
+    slope = slopes.agg(F.expr("percentile(s, 0.5)").alias("slope"))
+    resid = m.crossJoin(F.broadcast(slope)).select(
+        "slope", (F.col("y") - F.col("slope") * F.col("x")).alias("r")
+    )
+    return resid.groupBy("slope").agg(
+        F.expr("percentile(r, 0.5)").alias("intercept"),
+        F.count(F.lit(1)).alias("n_months"),
+    ).select(
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        "n_months",
+    )
+
+
+ORACLE_THEIL_SEN = """
+WITH m AS (
+  SELECT CAST((year(date_trunc('month', o_orderdate)) - 1995) * 12
+              + month(date_trunc('month', o_orderdate)) - 1 AS DOUBLE) AS x,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+  FROM orders GROUP BY date_trunc('month', o_orderdate)
+), slopes AS (
+  SELECT (b.y - a.y) / (b.x - a.x) AS s FROM m a JOIN m b ON a.x < b.x
+), sl AS (
+  SELECT quantile_cont(s, 0.5) AS slope FROM slopes
+)
+SELECT round(slope, 6) AS slope,
+       round(quantile_cont(y - slope * x, 0.5), 6) AS intercept,
+       CAST(count(*) AS BIGINT) AS n_months
+FROM m, sl GROUP BY slope
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -6516,6 +6573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "conversion_lag": q_conversion_lag,
         "weighted_sample": q_weighted_sample,
+        "theil_sen": q_theil_sen,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -6734,4 +6792,5 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _oracle_kcore(),
         "conversion_lag": ORACLE_CONVERSION_LAG,
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+        "theil_sen": ORACLE_THEIL_SEN,
     }

@@ -69,6 +69,7 @@ HEADLINE = [
     "kcore",
     "conversion_lag",
     "weighted_sample",
+    "theil_sen",
     "url_canonical",
     "url_dedup",
     "source_drift",
