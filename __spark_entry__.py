@@ -6391,6 +6391,62 @@ FROM m, sl GROUP BY slope
 """
 
 
+# ---------------------------------------------------------------------------
+# ANALYTICS — Gini coefficient of customer revenue (exact integer form)
+# ---------------------------------------------------------------------------
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue inequality across customers via the rank formula
+    G = 2·Σ(i·yᵢ)/(n·Σyᵢ) − (n+1)/n over ascending-sorted spend.
+    Everything left of the final division is EXACT decimal (i·yᵢ
+    products summed in decimal(38,2)), so the lone double division is
+    engine-identical; the rank window sorts only the collapsed
+    customer dimension (cf. `pareto`)."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_y")
+    )
+    w = Window.orderBy(F.asc("_y"), F.asc("o_custkey"))
+    ranked = spend.withColumn("_i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("_sy"),
+        F.sum((F.col("_i").cast("decimal(19,0)") * F.col("_y")).cast("decimal(38,2)")).alias("_siy"),
+    )
+    return agg.select(
+        "n",
+        F.col("_sy").cast("double").alias("total_spend"),
+        F.round(
+            F.lit(2.0) * F.col("_siy").cast("double")
+            / (F.col("n").cast("double") * F.col("_sy").cast("double"))
+            - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n").cast("double"),
+            8,
+        ).alias("gini"),
+    )
+
+
+ORACLE_GINI = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT y, row_number() OVER (ORDER BY y ASC, o_custkey ASC) AS i FROM spend
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         SUM(y) AS sy,
+         SUM(CAST(CAST(i AS DECIMAL(19,0)) * y AS DECIMAL(38,2))) AS siy
+  FROM ranked
+)
+SELECT n, CAST(sy AS DOUBLE) AS total_spend,
+  round(2.0 * CAST(siy AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sy AS DOUBLE))
+        - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 8) AS gini
+FROM agg
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -6574,6 +6630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_lag": q_conversion_lag,
         "weighted_sample": q_weighted_sample,
         "theil_sen": q_theil_sen,
+        "gini": q_gini,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -6793,4 +6850,5 @@ def oracle_sql() -> dict[str, str]:
         "conversion_lag": ORACLE_CONVERSION_LAG,
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "theil_sen": ORACLE_THEIL_SEN,
+        "gini": ORACLE_GINI,
     }

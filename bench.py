@@ -70,6 +70,7 @@ HEADLINE = [
     "conversion_lag",
     "weighted_sample",
     "theil_sen",
+    "gini",
     "url_canonical",
     "url_dedup",
     "source_drift",
