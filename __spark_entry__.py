@@ -2053,6 +2053,7 @@ FROM s
 _SNP_K = 12
 _PR_DAMP = 0.85
 _PR_ITERS = 2
+_PR_FOLD_BUCKETS = 256
 
 
 def _snp_sql_prefix() -> str:
@@ -2108,7 +2109,9 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     edges = shared_ngram_pairs(docs, k=_SNP_K)
-    out = pagerank(edges, iters=_PR_ITERS, damping=_PR_DAMP)
+    out = pagerank(
+        edges, iters=_PR_ITERS, damping=_PR_DAMP, fold_buckets=_PR_FOLD_BUCKETS
+    )
     return out.select("node", F.round("pr", 6).alias("pr")).orderBy("node")
 
 
@@ -2131,8 +2134,12 @@ p0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)
 , c{it} AS (
   SELECT e0.src, e0.dst, {prev}.pr / CAST(dg.deg AS DOUBLE) AS c
   FROM e0 JOIN {prev} ON e0.src = {prev}.node JOIN dg ON e0.src = dg.src
+), b{it} AS (
+  SELECT dst, src % {_PR_FOLD_BUCKETS} AS b,
+         list_sum(list(c ORDER BY src)) AS bs
+  FROM c{it} GROUP BY 1, 2
 ), s{it} AS (
-  SELECT dst AS node, list_sum(list(c ORDER BY src)) AS s FROM c{it} GROUP BY 1
+  SELECT dst AS node, list_sum(list(bs ORDER BY b)) AS s FROM b{it} GROUP BY 1
 ), p{it} AS (
   SELECT nodes.node, {tele} / nn.n + {d} * COALESCE(s{it}.s, 0.0) AS pr
   FROM nodes LEFT JOIN s{it} USING (node), nn
@@ -5230,17 +5237,24 @@ def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_FK_AUDIT = """
 SELECT * FROM (
   SELECT 'lineitem->orders' AS relation, CAST(count(*) AS BIGINT) AS n_child,
-    CAST(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    CAST(SUM(CASE WHEN c.l_orderkey IS NOT NULL AND p._pk IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+    CAST(SUM(CASE WHEN c.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_null_fk
   FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS _pk FROM orders) p
     ON c.l_orderkey = p._pk
   UNION ALL
   SELECT 'orders->customer', CAST(count(*) AS BIGINT),
-    CAST(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    CAST(SUM(CASE WHEN c.o_custkey IS NOT NULL AND p._pk IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(SUM(CASE WHEN c.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
   FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS _pk FROM customer) p
     ON c.o_custkey = p._pk
   UNION ALL
   SELECT 'events->customer', CAST(count(*) AS BIGINT),
-    CAST(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    CAST(SUM(CASE WHEN c.user_id IS NOT NULL AND p._pk IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(SUM(CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
   FROM events c LEFT JOIN (SELECT DISTINCT c_custkey AS _pk FROM customer) p
     ON c.user_id = p._pk
 ) ORDER BY relation
@@ -6140,6 +6154,92 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end versioned-table gate: publish the customer snapshot
+    as v1, apply a deterministic U/D change batch through `apply_cdc`
+    (ts_col=None — exercises the key-unique guard) to publish v2, then
+    TIME-TRAVEL both versions back via `read_version` and reconcile
+    them (deleted / updated / unchanged counts + balance delta).  The
+    oracle recomputes the same reconciliation from the source table,
+    so a pinned read that leaked post-v1 state would hash-mismatch.
+    Versions are immutable directories + an atomic manifest pointer
+    (sources/versioned.py) — the object-store-safe pattern."""
+    import os
+    import shutil
+    import tempfile
+
+    from csp_gateway_spark.sources.versioned import (
+        apply_cdc,
+        read_version,
+        write_version,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"csp_gw_time_travel_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal")
+    )
+    write_version(cust, root)
+    k = F.col("c_custkey")
+    upd = cust.filter(k % 5 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 10).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+    )
+    dels = cust.filter((k % 7 == 3) & (k % 5 != 0)).select(
+        "c_custkey",
+        F.lit(None).cast("decimal(18,2)").alias("c_acctbal"),
+        F.lit("D").alias("op"),
+    )
+    apply_cdc(spark, root, upd.unionByName(dels), ["c_custkey"])
+    v1 = read_version(spark, root, 1).select(
+        F.col("c_custkey").alias("_k"), F.col("c_acctbal").alias("_b1")
+    )
+    v2 = read_version(spark, root, 2).select(
+        F.col("c_custkey").alias("_k"), F.col("c_acctbal").alias("_b2")
+    )
+    j = v1.join(v2, "_k", "left")
+    status = (
+        F.when(F.col("_b2").isNull(), F.lit("deleted"))
+        .when(F.col("_b1") != F.col("_b2"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.groupBy(status.alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.coalesce(F.col("_b2"), F.lit(0).cast("decimal(18,2)"))
+                - F.coalesce(F.col("_b1"), F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("bal_delta"),
+        )
+        .orderBy("status")
+    )
+
+
+ORACLE_TIME_TRAVEL = """
+WITH cur AS (
+  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer
+), v2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN bal + 10 ELSE bal END AS bal
+  FROM cur WHERE NOT (c_custkey % 7 = 3 AND c_custkey % 5 <> 0)
+)
+SELECT CASE WHEN b.c_custkey IS NULL THEN 'deleted'
+            WHEN a.bal <> b.bal THEN 'updated'
+            ELSE 'unchanged' END AS status,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(COALESCE(b.bal, 0) - COALESCE(a.bal, 0)) AS DOUBLE) AS bal_delta
+FROM cur a LEFT JOIN v2 b ON a.c_custkey = b.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_CDC_MERGE = """
 WITH cur AS (
   SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer
@@ -6401,16 +6501,20 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = 2·Σ(i·yᵢ)/(n·Σyᵢ) − (n+1)/n over ascending-sorted spend.
     Everything left of the final division is EXACT decimal (i·yᵢ
     products summed in decimal(38,2)), so the lone double division is
-    engine-identical; the rank window sorts only the collapsed
-    customer dimension (cf. `pareto`)."""
-    from pyspark.sql.window import Window
+    engine-identical; the global rank comes from the range-bucketed
+    two-phase `plans.scale.global_row_number` (broadcast cutoffs +
+    partitioned per-bucket row_number + broadcast offsets), so even
+    the collapsed customer dimension never funnels through one
+    task."""
+    from csp_gateway_spark.plans.scale import global_row_number
 
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_y")
     )
-    w = Window.orderBy(F.asc("_y"), F.asc("o_custkey"))
-    ranked = spend.withColumn("_i", F.row_number().over(w))
+    ranked = global_row_number(
+        spend, "_y", ["o_custkey"], rn_col="_i", ascending=True
+    )
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("_y").alias("_sy"),
@@ -6625,6 +6729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_funnel": q_session_funnel,
         "depth_histogram": q_depth_histogram,
         "cdc_merge": q_cdc_merge,
+        "time_travel": q_time_travel,
         "mahalanobis": q_mahalanobis,
         "kcore": q_kcore,
         "conversion_lag": q_conversion_lag,
@@ -6845,6 +6950,7 @@ def oracle_sql() -> dict[str, str]:
         "session_funnel": ORACLE_SESSION_FUNNEL,
         "depth_histogram": _oracle_depth_histogram(),
         "cdc_merge": ORACLE_CDC_MERGE,
+        "time_travel": ORACLE_TIME_TRAVEL,
         "mahalanobis": _oracle_mahalanobis(),
         "kcore": _oracle_kcore(),
         "conversion_lag": ORACLE_CONVERSION_LAG,

@@ -65,6 +65,7 @@ HEADLINE = [
     "session_funnel",
     "depth_histogram",
     "cdc_merge",
+    "time_travel",
     "mahalanobis",
     "kcore",
     "conversion_lag",
@@ -225,6 +226,20 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — the timed pass reports it
             pass
 
+    # scheduler calibration: the median wall time of a bare
+    # 1-partition count job.  BENCH totals are VM-sensitive (a 3×
+    # scheduler drift between round-3/4 VMs inflated every sub-second
+    # query equally); recording the fixed per-job overhead makes
+    # cross-round ratios self-normalizing:
+    # normalized ≈ total - n_queries * calibration_sec.
+    cal_runs = []
+    one = spark.range(1, 2).coalesce(1)
+    for _ in range(7):
+        t0 = time.time()
+        one.count()
+        cal_runs.append(time.time() - t0)
+    calibration = round(sorted(cal_runs)[len(cal_runs) // 2], 4)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
@@ -244,6 +259,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "calibration_sec": calibration,
+        "n_timed": len([t for t in times.values() if t > 0]),
     }
     print(json.dumps(full))
     # Keep the full per-query breakdown readable even when stdout is
@@ -257,7 +274,7 @@ def main() -> None:
     # line above now exceeds that (83 per-query entries), which left
     # BENCH_r03 with parsed:null.  Emit a compact summary LAST so the
     # tail always contains a parseable headline.
-    print(json.dumps({"metric": "headline_total", "value": total, "unit": "sec", "sf": sf}))
+    print(json.dumps({"metric": "headline_total", "value": total, "unit": "sec", "sf": sf, "calibration_sec": calibration, "n_timed": len([t for t in times.values() if t > 0])}))
 
 
 if __name__ == "__main__":

@@ -841,7 +841,8 @@ def profile_table(df, cols=None, exact: bool = True):
     )
 
 
-def winsorize(df, cols, lower: float = 0.01, upper: float = 0.99):
+def winsorize(df, cols, lower: float = 0.01, upper: float = 0.99,
+              keep_bounds: bool = False):
     """Percentile winsorization: clip each numeric column to its
     [lower, upper] quantiles — the outlier treatment applied to
     feature columns (lengths, scores, prices) before they feed
@@ -878,6 +879,12 @@ def winsorize(df, cols, lower: float = 0.01, upper: float = 0.99):
             F.greatest(F.col(c).cast("double"), F.col(f"_lo_{c}")), F.col(f"_hi_{c}")
         )
         out = out.withColumn(c, clipped)
+    if keep_bounds:
+        for c in cols:
+            out = out.withColumnRenamed(f"_lo_{c}", f"{c}_lo").withColumnRenamed(
+                f"_hi_{c}", f"{c}_hi"
+            )
+        return out
     return out.drop(*[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols])
 
 
@@ -1190,7 +1197,12 @@ def fk_audit(
     One join: the DISTINCT parent keys (a key dim, broadcast when it
     fits, else shuffle co-partitioned with the probe) left-joined
     under the child, then a single aggregate.  No anti-join + second
-    count pass — both numbers come out of one scan."""
+    count pass — all numbers come out of one scan.
+
+    SQL FK semantics: a NULL fk is NOT a violation (NULL never
+    equi-joins, so it can't prove a missing parent) — those rows are
+    reported separately as ``n_null_fk``; ``n_orphans`` counts only
+    non-null fks with no parent."""
     keys = parent.select(F.col(pk).alias("_pk")).distinct()
     j = child.select(F.col(fk).alias("_fk")).join(
         keys, F.col("_fk") == F.col("_pk"), "left"
@@ -1198,8 +1210,11 @@ def fk_audit(
     return j.agg(
         F.lit(relation).alias("relation"),
         F.count(F.lit(1)).alias("n_child"),
-        F.sum(F.col("_pk").isNull().cast("long")).alias("n_orphans"),
-    ).select("relation", "n_child", "n_orphans")
+        F.sum(
+            (F.col("_fk").isNotNull() & F.col("_pk").isNull()).cast("long")
+        ).alias("n_orphans"),
+        F.sum(F.col("_fk").isNull().cast("long")).alias("n_null_fk"),
+    ).select("relation", "n_child", "n_orphans", "n_null_fk")
 
 
 def table_diff(
@@ -1290,25 +1305,35 @@ def pareto(
     parts carry 80 % of revenue".
 
     The fact table collapses to one row per key first (one shuffle,
-    map-side combined); the ntile window then sorts the KEY DIMENSION
-    only — bounded by key cardinality, which is what a concentration
-    report is *about*, so the sort is inherent to the ask.  Share is
-    one double division of exact decimal sums."""
-    from pyspark.sql import Window
+    map-side combined); the global value order is then computed by
+    ``plans.scale.global_row_number`` — range-bucketed two-phase rank
+    (broadcast min/max cutoffs + partitioned per-bucket row_number +
+    broadcast offsets), so even the key dimension never funnels
+    through one task — and ``ntile_from_rank`` reproduces ntile's
+    remainder rule exactly.  Share is one double division of exact
+    decimal sums."""
+    from csp_gateway_spark.plans.scale import global_row_number, ntile_from_rank
 
     per_key = df.groupBy(key_col).agg(F.sum(dec(value_col)).alias("_rev"))
-    w = Window.orderBy(F.desc("_rev"), F.asc(key_col))
-    tiers = per_key.withColumn("decile", F.ntile(buckets).over(w))
+    ranked = global_row_number(
+        per_key, "_rev", [key_col], rn_col="_rn", ascending=False
+    )
+    tiers = ranked.withColumn(
+        "decile", ntile_from_rank("_rn", "_n_total", buckets)
+    )
+    # keep tier sums in exact decimal so the grand total re-derives
+    # from the ``buckets``-row frame (associative) — no second scan of
+    # the key dimension just for one scalar
     d = tiers.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_keys"),
-        F.sum("_rev").cast("double").alias("revenue"),
+        F.sum("_rev").alias("_revd"),
     )
-    total = per_key.agg(F.sum("_rev").cast("double").alias("_total"))
+    total = d.agg(F.sum("_revd").cast("double").alias("_total"))
     return d.crossJoin(F.broadcast(total)).select(
         "decile",
         "n_keys",
-        "revenue",
-        F.round(F.col("revenue") / F.col("_total"), 8).alias("share"),
+        F.col("_revd").cast("double").alias("revenue"),
+        F.round(F.col("_revd").cast("double") / F.col("_total"), 8).alias("share"),
     )
 
 
@@ -1475,12 +1500,17 @@ def rfm_segments(
     and Monetary (exact-decimal spend), reported as segment counts —
     the classic customer-value grid.
 
-    The fact table collapses to one row per customer first; the three
-    ntile windows then sort the CUSTOMER DIMENSION only (same bounded
-    rationale as `pareto`).  Ties break on the customer key, so the
-    grid is deterministic.  Output: (r_score, f_score, m_score,
+    The fact table collapses to one row per customer first; each score
+    is then an EXACT ntile reproduced WITHOUT an unpartitioned window:
+    ``plans.scale.global_row_number`` range-buckets the collapsed
+    dimension (broadcast min/max cutoffs, per-bucket partitioned
+    row_number, broadcast offsets) and ``ntile_from_rank`` applies the
+    ANSI remainder rule — so no per-customer table ever funnels
+    through one task, at any scale.  Ties break on the customer key,
+    so the grid is deterministic and bit-identical to the ntile
+    window it replaces.  Output: (r_score, f_score, m_score,
     n_customers, avg_spend)."""
-    from pyspark.sql import Window
+    from csp_gateway_spark.plans.scale import global_row_number, ntile_from_rank
 
     ref = orders.agg(F.max(F.col(date_col)).alias("_ref"))
     per_cust = (
@@ -1493,14 +1523,45 @@ def rfm_segments(
         .crossJoin(F.broadcast(ref))
         .withColumn("_rec_days", F.datediff(F.col("_ref"), F.col("_last")))
     )
+    # checkpoint the collapsed dimension: the three rank branches (and
+    # the final spend join) would otherwise each re-run the orders
+    # groupBy — a dim-bounded materialization, same pattern as
+    # market_basket's shared-subtree checkpoint
+    base = per_cust.select(
+        cust_col, "_rec_days", "_freq", "_spend"
+    ).localCheckpoint(eager=False)
+    # ONE aggregate pass computes the cutoff stats for all 3 metrics
+    stats = base.agg(
+        F.min("_rec_days").alias("_mn_r"), F.max("_rec_days").alias("_mx_r"),
+        F.min("_freq").alias("_mn_f"), F.max("_freq").alias("_mx_f"),
+        F.min("_spend").alias("_mn_m"), F.max("_spend").alias("_mx_m"),
+        F.count(F.lit(1)).alias("_n_total"),
+    ).localCheckpoint(eager=False)
+
+    def score(metric: str, tag: str, ascending: bool, name: str) -> DataFrame:
+        st = stats.select(
+            F.col(f"_mn_{tag}").alias("_gr_mn"),
+            F.col(f"_mx_{tag}").alias("_gr_mx"),
+            "_n_total",
+        )
+        ranked = global_row_number(
+            base.select(cust_col, metric),
+            metric,
+            [cust_col],
+            rn_col="_rn",
+            ascending=ascending,
+            stats_df=st,
+        )
+        return ranked.select(
+            cust_col, ntile_from_rank("_rn", "_n_total", buckets).alias(name)
+        )
+
     # recency: FEWER days since last order = better = higher score
-    wr = Window.orderBy(F.desc("_rec_days"), F.asc(cust_col))
-    wf = Window.orderBy(F.asc("_freq"), F.asc(cust_col))
-    wm = Window.orderBy(F.asc("_spend"), F.asc(cust_col))
     scored = (
-        per_cust.withColumn("r_score", F.ntile(buckets).over(wr))
-        .withColumn("f_score", F.ntile(buckets).over(wf))
-        .withColumn("m_score", F.ntile(buckets).over(wm))
+        base.select(cust_col, "_spend")
+        .join(score("_rec_days", "r", False, "r_score"), cust_col)
+        .join(score("_freq", "f", True, "f_score"), cust_col)
+        .join(score("_spend", "m", True, "m_score"), cust_col)
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),

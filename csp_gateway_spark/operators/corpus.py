@@ -35,14 +35,21 @@ def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text", id_col: str 
 
 def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Smooth TF-IDF: tf = count in doc; idf = ln((N+1)/(df+1)) + 1.
-    One shuffle for (doc, token) counts, one for document frequency."""
-    n_docs = df.count()
+    One shuffle for (doc, token) counts, one for document frequency.
+    N is fused into the plan as a 1-row broadcast aggregate (same
+    pattern as ``lm_score``) — no separate ``.count()`` action, no
+    second scan of the corpus."""
+    nd = df.agg((F.count(F.lit(1)) + F.lit(1)).cast("double").alias("_n1"))
     tok = token_rows(df, text_col, id_col)
     tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    out = tf.join(dfreq, "token").withColumn(
-        "tfidf",
-        F.col("tf") * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0),
+    out = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (F.log(F.col("_n1") / (F.col("df") + 1)) + 1.0),
+        )
     )
     return out.select(id_col, "token", "tf", "df", "tfidf")
 
@@ -681,6 +688,7 @@ def pagerank(
     dst_col: str = "id_b",
     directed: bool = False,
     checkpoint_every: int = 4,
+    fold_buckets: int = 256,
 ) -> DataFrame:
     """PageRank over the node set appearing in ``edges`` — centrality
     for similarity graphs (e.g. ``shared_ngram_pairs`` /
@@ -690,9 +698,14 @@ def pagerank(
 
     Undirected edges are symmetrized, so every node has out-degree ≥ 1
     (no dangling mass).  Per round: one join of ranks onto edges and
-    one groupBy(dst) — the per-node Σ is a SRC-ORDERED fold (never a
-    double SUM aggregate), so ranks are partitioning-invariant and
-    engine-reproducible; teleport ``(1−d)/n`` uses a 1-row broadcast
+    a TWO-LEVEL src-ordered fold (never a double SUM aggregate), so
+    ranks are partitioning-invariant and engine-reproducible — level
+    1 folds contributions per ``(dst, src mod fold_buckets)`` in src
+    order, level 2 folds the ≤``fold_buckets`` bucket sums in bucket
+    order.  A celebrity hub with 10⁷ in-edges therefore never
+    materializes one giant per-node array: the largest row is bounded
+    by ``degree / fold_buckets`` and the buckets spread across tasks.
+    Teleport ``(1−d)/n`` uses a 1-row broadcast
     count (no driver action).  Lineage is cut every
     ``checkpoint_every`` rounds (``localCheckpoint``, same as
     ``connected_components``) so long runs stay plan-bounded.
@@ -720,13 +733,26 @@ def pagerank(
             .join(deg, "src")
             .select("src", "dst", (F.col("pr") / F.col("_deg").cast("double")).alias("_c"))
         )
-        summed = (
-            contrib.groupBy("dst")
+        bucket_sums = (
+            contrib.groupBy(
+                "dst", F.pmod(F.col("src"), F.lit(fold_buckets)).alias("_b")
+            )
             .agg(F.array_sort(F.collect_list(F.struct("src", "_c"))).alias("_vs"))
+            .select(
+                "dst",
+                "_b",
+                F.aggregate(
+                    F.col("_vs"), F.lit(0.0), lambda acc, s: acc + s["_c"]
+                ).alias("_bs"),
+            )
+        )
+        summed = (
+            bucket_sums.groupBy("dst")
+            .agg(F.array_sort(F.collect_list(F.struct("_b", "_bs"))).alias("_bvs"))
             .select(
                 F.col("dst").alias("node"),
                 F.aggregate(
-                    F.col("_vs"), F.lit(0.0), lambda acc, s: acc + s["_c"]
+                    F.col("_bvs"), F.lit(0.0), lambda acc, s: acc + s["_bs"]
                 ).alias("_sum"),
             )
         )

@@ -116,7 +116,11 @@ def scd2(
 
     w = Window.partitionBy(*keys).orderBy(ts_col)
     attrs = [F.col(a) for a in attr_cols]
-    changed = F.lit(False)
+    # the first row per key is ALWAYS a version: anchor on lag(ts)
+    # being NULL — without it, a first row whose attrs are all NULL
+    # collides with lag's no-previous-row NULL (eqNullSafe(NULL,NULL)
+    # is true) and the opening version vanishes
+    changed = F.lag(F.col(ts_col)).over(w).isNull()
     for a in attr_cols:
         prev = F.lag(F.col(a)).over(w)
         changed = changed | (~F.col(a).eqNullSafe(prev))

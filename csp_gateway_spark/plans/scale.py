@@ -167,3 +167,106 @@ def file_stats(spark, path: str, cols: Sequence[str]) -> DataFrame:
     for c in cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     return df.groupBy("file").agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
+
+
+def global_row_number(
+    df: DataFrame,
+    metric,
+    tiebreaks: Sequence,
+    rn_col: str = "_rn",
+    ascending: bool = True,
+    buckets: int = 64,
+    keep_cols: Optional[Sequence[str]] = None,
+    stats_df: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Distributed global ``row_number`` over ``(metric, *tiebreaks)``
+    without a single-task unpartitioned window.
+
+    Two-phase plan (the range-partitioned rank the 100 TB design
+    needs — an unpartitioned ``Window.orderBy`` funnels the whole
+    frame through ONE task):
+
+    1. assign each row an ORDER-RESPECTING bucket from a linear
+       ``(metric - min) / span`` split — the ``(min, max)`` cutoffs
+       come from a 1-row broadcast aggregate, and because min/max/count
+       are exact order-independent aggregates the bucket expression is
+       deterministic even if Spark recomputes the subtree per branch
+       (no reliance on exchange reuse, no driver collect);
+    2. per-bucket ``row_number`` (a PARTITIONED window) plus broadcast
+       cumulative bucket offsets.  Offsets for the ≤``buckets``-row
+       count frame come from a triangular self-join, not an
+       unpartitioned window, so NO WindowExec in the plan lacks a
+       partition spec.
+
+    Rank is exact for ANY order-respecting bucketing, so value skew
+    only affects balance, never correctness.  ``metric`` must be
+    non-null and ``(metric, *tiebreaks)`` a strict total order.
+    The result also carries ``_n_total`` (the broadcast global count)
+    so callers can derive ntile/percent_rank without another scan.
+
+    ``stats_df``: optional precomputed 1-row frame with columns
+    ``(_gr_mn, _gr_mx, _n_total)`` — pass it when ranking several
+    metrics of one frame so all cutoffs come from ONE aggregate pass
+    (see ``rfm_segments``).
+    """
+    from pyspark.sql import Window
+
+    metric = F.col(metric) if isinstance(metric, str) else metric
+    tiebreaks = [F.col(t) if isinstance(t, str) else t for t in tiebreaks]
+    stats = stats_df if stats_df is not None else df.agg(
+        F.min(metric).alias("_gr_mn"),
+        F.max(metric).alias("_gr_mx"),
+        F.count(F.lit(1)).alias("_n_total"),
+    )
+    b = df.crossJoin(F.broadcast(stats))
+    pos = metric.cast("double") - F.col("_gr_mn").cast("double")
+    span = F.col("_gr_mx").cast("double") - F.col("_gr_mn").cast("double")
+    raw = F.floor(pos / span * F.lit(float(buckets))).cast("int")
+    bkt = F.when(span <= F.lit(0.0), F.lit(0)).otherwise(
+        F.least(F.lit(buckets - 1), F.greatest(F.lit(0), raw))
+    )
+    if not ascending:
+        bkt = F.lit(buckets - 1) - bkt
+    bucketed = b.withColumn("_gr_bkt", bkt).drop("_gr_mn", "_gr_mx")
+    counts = bucketed.groupBy("_gr_bkt").agg(F.count(F.lit(1)).alias("_gr_cnt"))
+    # cumulative offsets over a frame bounded by the CONSTANT bucket
+    # count: triangular join instead of an unpartitioned window
+    lower = counts.select(
+        F.col("_gr_bkt").alias("_lo_bkt"), F.col("_gr_cnt").alias("_lo_cnt")
+    )
+    offs = (
+        counts.join(F.broadcast(lower), F.col("_lo_bkt") < F.col("_gr_bkt"), "left")
+        .groupBy("_gr_bkt")
+        .agg(F.coalesce(F.sum("_lo_cnt"), F.lit(0)).alias("_gr_off"))
+    )
+    order = [metric.asc() if ascending else metric.desc()] + [t.asc() for t in tiebreaks]
+    w = Window.partitionBy("_gr_bkt").orderBy(*order)
+    out = (
+        bucketed.join(F.broadcast(offs), "_gr_bkt")
+        .withColumn(rn_col, (F.col("_gr_off") + F.row_number().over(w)).cast("long"))
+        .drop("_gr_bkt", "_gr_off")
+    )
+    if keep_cols is not None:
+        out = out.select(*keep_cols, "_n_total", rn_col)
+    return out
+
+
+def ntile_from_rank(rn, n, buckets: int):
+    """Exact SQL ``ntile(buckets)`` tile from a 1-based global rank and
+    total count — the ANSI remainder rule (first ``n % buckets`` tiles
+    get the extra row), so a distributed ``global_row_number`` plus
+    this expression reproduces ``ntile`` bit-for-bit without the
+    unpartitioned window ntile needs."""
+    rn = F.col(rn) if isinstance(rn, str) else rn
+    n = F.col(n) if isinstance(n, str) else n
+    # exact integer division via subtract-mod (`/` on longs promotes to
+    # double; exact here because (x - x%d) is divisible, but keep the
+    # arithmetic integer-shaped so it never depends on FP rounding)
+    def idiv(x, d):
+        return ((x - (x % d)) / d).cast("long")
+
+    q = idiv(n, F.lit(buckets))
+    r = (n % F.lit(buckets)).cast("long")
+    big = F.lit(1) + idiv(rn - 1, q + 1)
+    small = r + F.lit(1) + idiv(rn - r * (q + 1) - 1, q)
+    return F.when(rn <= r * (q + 1), big).otherwise(small).cast("int")

@@ -234,6 +234,25 @@ def merge_snapshot(
             )
             .select(*key_cols, "_last.*")
         )
+    else:
+        # without a ts to collapse on, a duplicate key in the change
+        # batch would fan out the full-outer join and silently publish
+        # a duplicate-key snapshot — refuse instead of corrupting.
+        # One bounded scan of the DELTA (never the snapshot).
+        dup = (
+            ch.groupBy(*[F.col(k) for k in key_cols])
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .take(1)
+        )
+        if dup:
+            raise ValueError(
+                "merge_snapshot: change batch has multiple rows for key "
+                f"{tuple(dup[0][k] for k in key_cols)!r} and no ts_col to "
+                "collapse on — pass ts_col or pre-collapse the batch to one "
+                "row per key"
+            )
     c = cur.alias("c")
     d = ch.alias("d")
     cond = None

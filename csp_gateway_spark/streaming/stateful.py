@@ -187,10 +187,13 @@ def transitions_stream(
             }
         )
 
+    # derive the key field's type from the input schema so non-bigint
+    # keys (string user ids, composite hashes) round-trip unchanged
+    key_type = stream.schema[key_col].dataType.simpleString()
     return apply_stateful(
         stream,
         [key_col],
         fn,
         state_schema="last string",
-        output_schema=f"{key_col} bigint, cur string, nxt string",
+        output_schema=f"{key_col} {key_type}, cur string, nxt string",
     )

@@ -349,10 +349,12 @@ def test_key_skew_hhi(spark):
 def test_fk_audit_orphans(spark):
     from csp_gateway_spark.operators.analytics import fk_audit
 
-    child = spark.createDataFrame([(1,), (2,), (2,), (9,)], "fk long")
+    child = spark.createDataFrame([(1,), (2,), (2,), (9,), (None,)], "fk long")
     parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
     (r,) = fk_audit(child, parent, "fk", "pk", "c->p").collect()
-    assert r.relation == "c->p" and r.n_child == 4 and r.n_orphans == 1
+    # SQL FK semantics: the NULL fk is n_null_fk, NOT an orphan
+    assert r.relation == "c->p" and r.n_child == 5
+    assert r.n_orphans == 1 and r.n_null_fk == 1
 
 
 def test_table_diff_classification(spark):
@@ -582,3 +584,15 @@ def test_mahalanobis_outliers_finds_planted(spark):
     top = mahalanobis_outliers(df, ["a", "b"], k=2).collect()
     assert {r.k for r in top} == {98, 99}
     assert all(r.m2 > 10 for r in top)
+
+
+def test_winsorize_keep_bounds_columns(spark):
+    from csp_gateway_spark.operators.analytics import winsorize
+
+    df = spark.range(0, 101).select(F.col("id").cast("double").alias("x"))
+    out = winsorize(df, ["x"], lower=0.05, upper=0.95, keep_bounds=True)
+    assert {"x", "x_lo", "x_hi"} <= set(out.columns)
+    r = out.agg(F.min("x"), F.max("x"), F.min("x_lo"), F.max("x_hi")).collect()[0]
+    assert r[0] == r[2] and r[1] == r[3]
+    # default drops the bound columns
+    assert set(winsorize(df, ["x"]).columns) == {"x"}

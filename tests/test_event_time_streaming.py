@@ -4,6 +4,8 @@ and a too-late row is dropped by the engine."""
 
 import json
 
+import pyspark.sql.functions as F
+
 from csp_gateway_spark.streaming.event_time import windowed_counts
 
 
@@ -428,3 +430,64 @@ def test_streaming_url_and_bag_dedup_match_batch(spark, tmp_path):
         finally:
             q.stop()
         assert {r["doc_id"] for r in out} == want, name
+
+
+def test_streaming_lsh_on_documents_with_foreachbatch_verify(spark, sf_dir, tmp_path):
+    """The full streaming dedup pipeline on the REAL documents table
+    (VERDICT r4 #5): replay documents as a stream through
+    ``lsh_pair_stream``, verify each micro-batch's candidates with
+    ``ngram_jaccard_pairs`` against the document store (the
+    foreachBatch pattern the dedup_stream docstring promises), and
+    assert the verified pair set equals the batch
+    ``minhash_lsh_pairs`` → ``ngram_jaccard_pairs`` output."""
+    from csp_gateway_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from csp_gateway_spark.streaming.dedup_stream import lsh_pair_stream
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 150)
+    )
+    cand = minhash_lsh_pairs(docs, num_hashes=16, bands=8)
+    batch_verified = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(docs, cand).collect()
+    }
+    assert batch_verified, "fixture must produce at least one candidate pair"
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    rows = [
+        {
+            "ts": f"2026-01-01T10:{(i // 60):02d}:{(i % 60):02d}",
+            "doc_id": r["doc_id"],
+            "text": r["text"],
+        }
+        for i, r in enumerate(docs.collect())
+    ]
+    _drop(src, "b1.json", rows)
+    stream = spark.readStream.schema("ts timestamp, doc_id long, text string").json(
+        str(src)
+    )
+    out = lsh_pair_stream(stream, num_hashes=16, bands=8, join_window="60 minutes")
+
+    stream_verified = set()
+
+    def verify_batch(pairs_df, batch_id):
+        got = ngram_jaccard_pairs(docs, pairs_df.select("id_a", "id_b")).collect()
+        stream_verified.update((r.id_a, r.id_b, round(r.jaccard, 9)) for r in got)
+
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(verify_batch)
+        .option("checkpointLocation", str(tmp_path / "ck_docs_lsh"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert stream_verified == batch_verified
+    finally:
+        q.stop()

@@ -239,3 +239,87 @@ def test_ivf_append_probe_sees_old_and_new(spark, embeddings, query_vec, tmp_pat
     a = [(r.vec_id, round(r.cos, 9)) for r in ivf_topk_from_index(spark, path_inc, cents, query_vec, k=10, nprobe=3).collect()]
     b = [(r.vec_id, round(r.cos, 9)) for r in ivf_topk_from_index(spark, path_full, cents, query_vec, k=10, nprobe=3).collect()]
     assert a == b and len(a) == 10
+
+
+def _window_lines(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [ln for ln in plan.splitlines() if " Window " in f" {ln.strip()} "
+            or ln.strip().startswith("Window ")]
+
+
+def test_global_row_number_matches_unpartitioned_window(spark, sf_dir):
+    """The two-phase range-bucketed rank must be BIT-IDENTICAL to the
+    single-task ``row_number``/``ntile`` window it replaces — for both
+    sort directions and for bucket counts far above and below the key
+    cardinality (remainder rule edge: n % buckets != 0)."""
+    from pyspark.sql import Window
+
+    from csp_gateway_spark.plans.scale import global_row_number, ntile_from_rank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("o_totalprice").alias("s")
+    )
+    for asc in (True, False):
+        for tiles in (4, 7):
+            got = global_row_number(
+                per, "m", ["o_custkey"], rn_col="rn", ascending=asc, buckets=8
+            ).select(
+                "o_custkey", "rn",
+                ntile_from_rank("rn", "_n_total", tiles).alias("tile"),
+            )
+            order = [F.asc("m") if asc else F.desc("m"), F.asc("o_custkey")]
+            w = Window.orderBy(*order)
+            want = per.select(
+                "o_custkey",
+                F.row_number().over(w).alias("rn"),
+                F.ntile(tiles).over(w).alias("tile"),
+            )
+            assert got.exceptAll(want).count() == 0
+            assert want.exceptAll(got).count() == 0
+
+
+def test_rank_family_has_no_unpartitioned_window(spark, sf_dir):
+    """rfm_segments / pareto / gini must never funnel the collapsed
+    dimension through ONE task: every WindowExec in their plans
+    carries a partition spec (the round-4 verdict's top item)."""
+    import __spark_entry__ as entry
+
+    from csp_gateway_spark.operators.analytics import pareto, rfm_segments
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    frames = [
+        rfm_segments(orders),
+        pareto(li),
+        entry.q_gini(spark, sf_dir),
+    ]
+    for df in frames:
+        for line in _window_lines(df):
+            # partitioned: "Window [funcs], [partSpec], [orderSpec]"
+            # unpartitioned: "Window [funcs], [orderSpec]" — 1 separator
+            assert line.count("], [") >= 2, line
+
+
+def test_pagerank_two_level_fold_bounds_hub_rows(spark):
+    """A star graph (one hub, 3000 spokes) through the two-level fold:
+    ranks must agree with the effectively-single-bucket fold (huge
+    fold_buckets => bucket==src => exact flat src-ordered fold) to
+    FP-grouping tolerance, and mass must be conserved."""
+    from csp_gateway_spark.operators.corpus import pagerank
+
+    n = 3000
+    edges = spark.range(1, n + 1).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b")
+    )
+    few = pagerank(edges, iters=2, fold_buckets=16).withColumnRenamed("pr", "pr_a")
+    flat = pagerank(edges, iters=2, fold_buckets=1 << 40).withColumnRenamed(
+        "pr", "pr_b"
+    )
+    j = few.join(flat, "node")
+    row = j.agg(
+        F.max(F.abs(F.col("pr_a") - F.col("pr_b"))).alias("maxdiff"),
+        F.sum("pr_a").alias("mass"),
+    ).collect()[0]
+    assert row["maxdiff"] < 1e-12
+    assert abs(row["mass"] - 1.0) < 1e-9

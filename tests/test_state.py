@@ -102,3 +102,22 @@ def test_agg_state_merge_equals_full(spark):
         assert merged[k].sum_v == full[k].sum_v
         assert merged[k].min_v == full[k].min_v
         assert merged[k].max_v == full[k].max_v
+
+
+def test_scd2_keeps_first_version_with_all_null_attrs(spark):
+    """A key whose FIRST row has NULL attrs must still open a version
+    (ADVICE r4: lag's no-previous-row NULL collides with a genuine
+    NULL attribute under eqNullSafe)."""
+    from csp_gateway_spark.operators.state import scd2
+
+    df = spark.createDataFrame(
+        [(1, 100, None), (1, 200, "a"), (2, 100, None), (2, 200, None)],
+        "k long, ts long, attr string",
+    )
+    out = scd2(df, keys=["k"], ts_col="ts", attr_cols=["attr"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append((r.valid_from, r.attr))
+    assert sorted(by_key[1]) == [(100, None), (200, "a")]
+    # key 2 never changes: one opening NULL version, still current
+    assert by_key[2] == [(100, None)]

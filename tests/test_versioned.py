@@ -152,3 +152,23 @@ def test_versioned_streaming_sink_wap(spark, tmp_path):
         assert current_version(root) == 1 and rejected
     finally:
         q.stop()
+
+
+def test_merge_snapshot_rejects_duplicate_keys_without_ts(spark):
+    """ts_col=None + duplicate key in the change batch must REFUSE
+    (ADVICE r4): a silent full-outer fan-out would publish a
+    duplicate-key snapshot."""
+    import pytest as _pytest
+
+    from csp_gateway_spark.sources.versioned import merge_snapshot
+
+    cur = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    dup = spark.createDataFrame(
+        [(1, 11.0, "U"), (1, 12.0, "U")], "k long, v double, op string"
+    )
+    with _pytest.raises(ValueError, match="multiple rows"):
+        merge_snapshot(cur, dup, ["k"])
+    # key-unique batch still merges fine without ts_col
+    ok = spark.createDataFrame([(1, 11.0, "U")], "k long, v double, op string")
+    got = {(r.k, r.v) for r in merge_snapshot(cur, ok, ["k"]).collect()}
+    assert got == {(1, 11.0), (2, 20.0)}

@@ -192,5 +192,76 @@ def main() -> None:
         print("wrote SCALING.md")
 
 
+
+
+# --------------------------------------------------------------------------
+# Extended replication (VERDICT r4 #4): push the heaviest distributed
+# family to 8x/16x so the 100 TB claims rest on more than 4x evidence.
+# Run AFTER the main table: python tools/scaling.py --extended 1 2 4 8 16
+# --------------------------------------------------------------------------
+
+EXTENDED = [
+    "dedup_minhash_pairs",
+    "dedup_incremental",
+    "pagerank_docs",
+    "market_basket",
+    "profile_table",
+    "semantic_dedup",
+]
+
+
+def extended_main(factors: list[int]) -> None:
+    import __spark_entry__ as entry
+
+    from csp_gateway_spark.session import get_spark
+
+    spark = get_spark("scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = "/root/testdata/sf0.1"
+    qs = entry.queries()
+    results: dict[int, dict[str, float]] = {}
+    for factor in factors:
+        d = os.path.join(tempfile.gettempdir(), f"spark_graft_scale_{factor}x")
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            build_scaled(spark, base, d, factor)
+        for timed in (False, True):
+            row: dict[str, float] = {}
+            for name in EXTENDED:
+                t0 = time.time()
+                _run_query(spark, qs, name, d, factor)
+                row[name] = round(time.time() - t0, 2)
+            if timed:
+                results[factor] = row
+        print(f"{factor}x: " + " ".join(f"{k}={v:.2f}s" for k, v in results[factor].items()))
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    marker = "\n## Extended replication"
+    with open(path) as f:
+        cur = f.read()
+    cur = cur.split("\n## Extended replication")[0].rstrip() + "\n"
+    lines = [
+        "",
+        "## Extended replication — heavy family at 8x/16x (auto-generated)",
+        "",
+        "| query | " + " | ".join(f"{n}x" for n in factors) + f" | ratio {factors[-1]}/{factors[0]}x |",
+        "|---|" + "---|" * (len(factors) + 1),
+    ]
+    for name in EXTENDED:
+        vals = [results[n][name] for n in factors]
+        ratio = vals[-1] / vals[0] if vals[0] > 0 else float("nan")
+        lines.append(
+            f"| {name} | " + " | ".join(f"{v:.2f}" for v in vals) + f" | {ratio:.1f}x |"
+        )
+    lines.append("")
+    with open(path, "w") as f:
+        f.write(cur + "\n".join(lines) + "\n")
+    print("appended extended table to SCALING.md")
+
+
 if __name__ == "__main__":
-    main()
+    if "--extended" in sys.argv:
+        extended_main([int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 2, 4, 8, 16])
+    else:
+        main()
