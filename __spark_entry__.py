@@ -2054,6 +2054,7 @@ _SNP_K = 12
 _PR_DAMP = 0.85
 _PR_ITERS = 2
 _PR_FOLD_BUCKETS = 256
+_LP_ITERS = 2
 
 
 def _snp_sql_prefix() -> str:
@@ -6551,6 +6552,360 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# WAVE 5 — time series monitoring, experimentation, privacy, graph labels
+# ---------------------------------------------------------------------------
+
+
+def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-smoothed monthly revenue level (α=0.3) — the
+    one-step forecast.  Calendar-bounded series folded in one 1-row
+    aggregate; exact-decimal sums feed an identical left-to-right
+    double fold in both engines."""
+    from csp_gateway_spark.operators.analytics import ewma_level
+
+    orders = _t(spark, sf_dir, "orders")
+    out = ewma_level(
+        orders, F.date_trunc("month", F.col("o_orderdate")), "o_totalprice"
+    )
+    return out.select(
+        "n_buckets",
+        F.date_format("last_bucket", "yyyy-MM").alias("last_month"),
+        F.round("level", 6).alias("level"),
+    )
+
+
+ORACLE_EWMA_FORECAST = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS b,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+  strftime(max(b), '%Y-%m') AS last_month,
+  round(list_reduce(list(CAST(y AS DOUBLE) ORDER BY b),
+        (acc, v) -> acc * 0.7 + v * 0.3), 6) AS level
+FROM m
+"""
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized CUSUM of daily order revenue — full per-day
+    series.  The running total is exact decimal through the two-phase
+    distributed cumulative (global_row_number cum_value), so it equals
+    DuckDB's flat SUM() OVER bit-for-bit; the standardization is one
+    double expression over exact inputs."""
+    from csp_gateway_spark.operators.analytics import cusum_scores
+
+    orders = _t(spark, sf_dir, "orders")
+    out = cusum_scores(orders, F.col("o_orderdate"), "o_totalprice")
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "t",
+        # + 0.0 folds IEEE negative zero into +0.0 (round(-1e-9, 6)
+        # renders '-0.0' in Spark but '0.0' in the oracle)
+        (F.round("cusum", 6) + F.lit(0.0)).alias("cusum"),
+    ).orderBy("day")
+
+
+ORACLE_CUSUM = """
+WITH d AS (
+  SELECT o_orderdate AS day, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+  FROM orders GROUP BY 1
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx,
+         SUM(CAST(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))
+             AS DECIMAL(38,4))) AS sxx
+  FROM d
+), r AS (
+  SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+         SUM(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+                      CURRENT ROW) AS cx
+  FROM d
+)
+SELECT strftime(r.day, '%Y-%m-%d') AS day, r.t,
+  round((CAST(r.cx AS DOUBLE) - CAST(r.t AS DOUBLE) *
+         (CAST(st.sx AS DOUBLE) / CAST(st.n AS DOUBLE)))
+        / sqrt(CAST(st.sxx AS DOUBLE) / CAST(st.n AS DOUBLE)
+               - (CAST(st.sx AS DOUBLE) / CAST(st.n AS DOUBLE))
+               * (CAST(st.sx AS DOUBLE) / CAST(st.n AS DOUBLE))), 6) + 0.0 AS cusum
+FROM r, st ORDER BY day
+"""
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm experiment readout over the events stream: units are
+    users (arm = user_id % 2 — deterministic, engine-portable),
+    outcome is total event value per user; Welch z for the mean
+    difference.  Sums and squares exact decimal; mean/var/z identical
+    double expressions both engines."""
+    from csp_gateway_spark.operators.analytics import ab_test_report
+
+    ev = _t(spark, sf_dir, "events")
+    out = ab_test_report(ev, "user_id", "value", F.col("user_id") % 2)
+    return out.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("diff", 6).alias("diff"),
+        F.round("z", 6).alias("z"),
+    )
+
+
+ORACLE_AB_TEST = """
+WITH per AS (
+  SELECT user_id % 2 AS arm, user_id,
+         SUM(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1, 2
+), ag AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n, SUM(v) AS sv,
+         SUM(CAST(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))
+             AS DECIMAL(38,4))) AS svv
+  FROM per GROUP BY 1
+)
+SELECT a.n AS n_a, b.n AS n_b,
+  round(CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE), 6) AS mean_a,
+  round(CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS mean_b,
+  round(CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE)
+        - CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE), 6) AS diff,
+  round((CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE)
+         - CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE))
+        / sqrt(((CAST(a.svv AS DOUBLE)
+                 - CAST(a.n AS DOUBLE) * (CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE))
+                   * (CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE)))
+                / (CAST(a.n AS DOUBLE) - 1.0)) / CAST(a.n AS DOUBLE)
+               + ((CAST(b.svv AS DOUBLE)
+                   - CAST(b.n AS DOUBLE) * (CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE))
+                     * (CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE)))
+                  / (CAST(b.n AS DOUBLE) - 1.0)) / CAST(b.n AS DOUBLE)), 6) AS z
+FROM (SELECT * FROM ag WHERE arm = 0) a, (SELECT * FROM ag WHERE arm = 1) b
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity (k=5) audit of the customer table under the
+    quasi-identifier (nation, market segment, $1000 balance bucket) —
+    two aggregates, pure integer outputs."""
+    from csp_gateway_spark.operators.analytics import k_anonymity
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity(
+        cust,
+        [
+            F.col("c_nationkey").alias("_q1"),
+            F.col("c_mktsegment").alias("_q2"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("_q3"),
+        ],
+        k=5,
+    )
+
+
+ORACLE_K_ANONYMITY = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, floor(c_acctbal / 1000.0) AS qb,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+  CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+  CAST(min(sz) AS BIGINT) AS min_class_size,
+  CAST(SUM(sz) AS BIGINT) AS n_rows
+FROM g
+"""
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-label propagation (2 rounds) of document SOURCE over
+    the shared-12-gram similarity graph — per-label document counts
+    after smoothing.  Pure integer/string logic, engine-exact."""
+    from csp_gateway_spark.operators.corpus import label_propagation
+    from csp_gateway_spark.operators.dedup import shared_ngram_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = shared_ngram_pairs(docs, k=_SNP_K)
+    seeds = docs.select(F.col("doc_id").alias("node"), F.col("source").alias("label"))
+    out = label_propagation(edges, seeds, iters=_LP_ITERS)
+    return (
+        out.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("label")
+    )
+
+
+def _oracle_label_propagation() -> str:
+    body = """
+, e0 AS (
+  SELECT id_a AS s, id_b AS t FROM cpairs
+  UNION
+  SELECT id_b AS s, id_a AS t FROM cpairs
+), l0 AS (SELECT doc_id AS n, source AS l FROM documents)
+"""
+    for it in range(1, _LP_ITERS + 1):
+        prev = f"l{it - 1}"
+        body += f"""
+, c{it} AS (
+  SELECT e0.t, {prev}.l, count(*) AS c FROM e0 JOIN {prev} ON e0.s = {prev}.n
+  GROUP BY 1, 2
+), m{it} AS (SELECT t, max(c) AS mc FROM c{it} GROUP BY 1),
+b{it} AS (
+  SELECT c{it}.t, min(c{it}.l) AS bl
+  FROM c{it} JOIN m{it} ON c{it}.t = m{it}.t AND c{it}.c = m{it}.mc
+  GROUP BY 1
+), l{it} AS (
+  SELECT {prev}.n, COALESCE(b{it}.bl, {prev}.l) AS l
+  FROM {prev} LEFT JOIN b{it} ON {prev}.n = b{it}.t
+)
+"""
+    return (
+        _snp_sql_prefix()
+        + body
+        + f"\nSELECT l AS label, CAST(count(*) AS BIGINT) AS n_docs"
+        f" FROM l{_LP_ITERS} GROUP BY 1 ORDER BY 1\n"
+    )
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated price quantiles by distributed rank-select
+    (global_row_number + 2-row-per-probe broadcast join) — order
+    statistics with NO single-reducer value map."""
+    from csp_gateway_spark.operators.analytics import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = exact_quantiles(
+        li,
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        [0.25, 0.5, 0.75, 0.9, 0.99],
+    )
+    return out.select("p", F.round("q", 6).alias("q")).orderBy("p")
+
+
+ORACLE_EXACT_QUANTILES = """
+SELECT p, round(q, 6) AS q FROM (
+  SELECT 0.25 AS p, quantile_cont(l_extendedprice, 0.25) AS q FROM lineitem
+  UNION ALL
+  SELECT 0.5, quantile_cont(l_extendedprice, 0.5) FROM lineitem
+  UNION ALL
+  SELECT 0.75, quantile_cont(l_extendedprice, 0.75) FROM lineitem
+  UNION ALL
+  SELECT 0.9, quantile_cont(l_extendedprice, 0.9) FROM lineitem
+  UNION ALL
+  SELECT 0.99, quantile_cont(l_extendedprice, 0.99) FROM lineitem
+) ORDER BY p
+"""
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quantiles (lower definition): first
+    value whose exact-decimal running weight reaches p·W — the
+    two-phase distributed cumulative again, zero interpolation FP."""
+    from csp_gateway_spark.operators.analytics import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = weighted_median(
+        li,
+        "l_extendedprice",
+        "l_quantity",
+        ["l_orderkey", "l_linenumber"],
+        probs=(0.25, 0.5, 0.75),
+    )
+    return out.select("p", F.round("wq", 6).alias("wq")).orderBy("p")
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH r AS (
+  SELECT l_extendedprice AS v,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)))
+           OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM lineitem
+), t AS (
+  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wt
+  FROM lineitem
+)
+SELECT pr.p,
+  round(CAST(min(CASE WHEN CAST(r.cw AS DOUBLE) >= pr.p * t.wt
+              THEN r.v END) AS DOUBLE), 6) AS wq
+FROM r, t, (VALUES (0.25), (0.5), (0.75)) pr(p)
+GROUP BY pr.p ORDER BY pr.p
+"""
+
+
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year multiplicative seasonality of order revenue —
+    two grouped aggregates over the calendar-bounded monthly series."""
+    from csp_gateway_spark.operators.analytics import seasonal_index
+
+    orders = _t(spark, sf_dir, "orders")
+    out = seasonal_index(orders, "o_orderdate", "o_totalprice")
+    return out.select(
+        "moy",
+        "n_months",
+        F.round("avg_rev", 6).alias("avg_rev"),
+        F.round("seasonal_index", 8).alias("seasonal_index"),
+    ).orderBy("moy")
+
+
+ORACLE_SEASONAL_INDEX = """
+WITH m AS (
+  SELECT year(o_orderdate) AS y, month(o_orderdate) AS mo,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2
+), g AS (
+  SELECT SUM(rev) AS gs, CAST(count(*) AS BIGINT) AS gn FROM m
+), pm AS (
+  SELECT CAST(mo AS INT) AS moy, CAST(count(*) AS BIGINT) AS n_months,
+         SUM(rev) AS ms
+  FROM m GROUP BY 1
+)
+SELECT moy, n_months,
+  round(CAST(ms AS DOUBLE) / CAST(n_months AS DOUBLE), 6) AS avg_rev,
+  round((CAST(ms AS DOUBLE) / CAST(n_months AS DOUBLE))
+        / (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)), 8) AS seasonal_index
+FROM pm, g ORDER BY moy
+"""
+
+
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose revenue total sits more than 2 population σ from the
+    mean — exact-decimal sums/squares, one identical double z."""
+    from csp_gateway_spark.operators.analytics import anomaly_days
+
+    orders = _t(spark, sf_dir, "orders")
+    out = anomaly_days(orders, F.col("o_orderdate"), "o_totalprice", z_thresh=2.0)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "total",
+        F.round("z", 6).alias("z"),
+    ).orderBy("day")
+
+
+ORACLE_ANOMALY_DAYS = """
+WITH d AS (
+  SELECT o_orderdate AS day, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx,
+         SUM(CAST(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))
+             AS DECIMAL(38,4))) AS sxx
+  FROM d
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, CAST(x AS DOUBLE) AS total,
+  round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        / sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS z
+FROM d, s
+WHERE abs((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+          / sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) > 2.0
+ORDER BY day
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -6730,6 +7085,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "depth_histogram": q_depth_histogram,
         "cdc_merge": q_cdc_merge,
         "time_travel": q_time_travel,
+        "ewma_forecast": q_ewma_forecast,
+        "cusum": q_cusum,
+        "ab_test": q_ab_test,
+        "k_anonymity": q_k_anonymity,
+        "label_propagation": q_label_propagation,
+        "exact_quantiles": q_exact_quantiles,
+        "weighted_median": q_weighted_median,
+        "seasonal_index": q_seasonal_index,
+        "anomaly_days": q_anomaly_days,
         "mahalanobis": q_mahalanobis,
         "kcore": q_kcore,
         "conversion_lag": q_conversion_lag,
@@ -6951,6 +7315,15 @@ def oracle_sql() -> dict[str, str]:
         "depth_histogram": _oracle_depth_histogram(),
         "cdc_merge": ORACLE_CDC_MERGE,
         "time_travel": ORACLE_TIME_TRAVEL,
+        "ewma_forecast": ORACLE_EWMA_FORECAST,
+        "cusum": ORACLE_CUSUM,
+        "ab_test": ORACLE_AB_TEST,
+        "k_anonymity": ORACLE_K_ANONYMITY,
+        "label_propagation": _oracle_label_propagation(),
+        "exact_quantiles": ORACLE_EXACT_QUANTILES,
+        "weighted_median": ORACLE_WEIGHTED_MEDIAN,
+        "seasonal_index": ORACLE_SEASONAL_INDEX,
+        "anomaly_days": ORACLE_ANOMALY_DAYS,
         "mahalanobis": _oracle_mahalanobis(),
         "kcore": _oracle_kcore(),
         "conversion_lag": ORACLE_CONVERSION_LAG,

@@ -66,6 +66,15 @@ HEADLINE = [
     "depth_histogram",
     "cdc_merge",
     "time_travel",
+    "ewma_forecast",
+    "cusum",
+    "ab_test",
+    "k_anonymity",
+    "label_propagation",
+    "exact_quantiles",
+    "weighted_median",
+    "seasonal_index",
+    "anomaly_days",
     "mahalanobis",
     "kcore",
     "conversion_lag",

@@ -1740,3 +1740,366 @@ def mahalanobis_outliers(
         .orderBy(F.desc("m2"), *[F.asc(c) for c in df.columns])
         .limit(k)
     )
+
+
+def ewma_level(
+    df: DataFrame,
+    bucket: Column,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Simple-exponential-smoothing level of a bucketed series (the
+    one-step-ahead forecast): S_1 = y_1, S_t = α·y_t + (1−α)·S_{t−1},
+    folded in bucket order.
+
+    The series is CALENDAR-BOUNDED (one row per bucket after the
+    grouped aggregate — months/days, never data volume), so the fold
+    runs over one bounded array in a 1-row aggregate: corpus → series
+    is the usual one shuffle with map-side combine; the recursion —
+    inherently sequential — touches only the collapsed series.  Sums
+    stay exact decimal until the fold so the array is
+    engine-reproducible; the fold itself is the same left-to-right
+    double expression either engine.
+
+    Output: (n_buckets, last_bucket, level)."""
+    a = float(alpha)
+    series = df.groupBy(bucket.alias("_b")).agg(
+        F.sum(dec(value_col)).alias("_y")
+    )
+    one = series.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_b"), F.col("_y").cast("double").alias("_yd")))
+        ).alias("_vs"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("_b").alias("last_bucket"),
+    )
+    ys = F.transform(F.col("_vs"), lambda s: s["_yd"])
+    level = F.aggregate(
+        F.slice(ys, 2, F.greatest(F.size(ys) - 1, F.lit(0))),
+        F.element_at(ys, 1),
+        lambda acc, v: acc * F.lit(1.0 - a) + v * F.lit(a),
+    )
+    return one.select("n_buckets", "last_bucket", level.alias("level"))
+
+
+def cusum_scores(
+    df: DataFrame,
+    day: Column,
+    value_col: str,
+) -> DataFrame:
+    """Standardized CUSUM over a daily total series — the classic
+    mean-shift / change-point monitor: C_t = Σ_{i≤t}(x_i − μ)/σ,
+    reported per day.
+
+    Everything order-sensitive stays EXACT: per-day totals and their
+    running sum are decimal (associative, so the two-phase
+    ``global_row_number(cum_value=...)`` cumulative — per-bucket
+    window + broadcast bucket-total offsets, never an unpartitioned
+    window — equals the flat running sum bit-for-bit), and
+    C_t = (cum_t − t·μ)/σ is one double expression over exact inputs
+    with 1-row broadcast μ, σ.  The series itself is calendar-bounded.
+
+    Output per day: (day, t, cusum) with ``cusum`` the standardized
+    cumulative deviation."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    daily = df.groupBy(day.alias("_d")).agg(F.sum(dec(value_col)).alias("_x"))
+    # narrow before squaring: a (38,2)x(38,2) product overflows the
+    # 38-digit cap (DuckDB errors, Spark silently loses precision) —
+    # (18,2)x(18,2) -> (38,4) is exact in both engines
+    x18 = F.col("_x").cast("decimal(18,2)")
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum((x18 * x18).cast("decimal(38,4)")).alias("_sxx"),
+    )
+    ranked = global_row_number(
+        daily.withColumn("_dn", F.datediff(F.col("_d"), F.lit("1970-01-01"))),
+        "_dn",
+        [],
+        rn_col="_t",
+        cum_value="_x",
+        cum_col="_cx",
+    )
+    mu = F.col("_sx").cast("double") / F.col("_n").cast("double")
+    var = (
+        F.col("_sxx").cast("double") / F.col("_n").cast("double") - mu * mu
+    )
+    return (
+        ranked.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("_d").alias("day"),
+            F.col("_t").alias("t"),
+            (
+                (F.col("_cx").cast("double") - F.col("_t").cast("double") * mu)
+                / F.sqrt(var)
+            ).alias("cusum"),
+        )
+    )
+
+
+def ab_test_report(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    arm: Column,
+) -> DataFrame:
+    """Two-sample experiment readout: per-arm unit counts, mean
+    outcome, and the large-sample z statistic for the mean difference
+    (Welch SE).  ``arm`` is a caller-supplied deterministic
+    assignment expression (e.g. ``F.col("user_id") % 2`` — hash-based
+    in production; the modulus keeps the oracle engine-portable).
+
+    One shuffle to collapse events → per-unit outcome, one tiny
+    per-arm aggregate.  Outcome sums and their squares stay exact
+    decimal, so mean/variance/z are single double expressions over
+    exact inputs — engine-identical.  Output: one row
+    (n_a, n_b, mean_a, mean_b, diff, z)."""
+    per_unit = df.groupBy(arm.alias("_arm"), F.col(unit_col).alias("_u")).agg(
+        F.sum(dec(value_col)).alias("_v")
+    )
+    v18 = F.col("_v").cast("decimal(18,2)")
+    arms = per_unit.groupBy("_arm").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_v").alias("_sv"),
+        F.sum((v18 * v18).cast("decimal(38,4)")).alias("_svv"),
+    )
+    a = arms.filter(F.col("_arm") == 0).select(
+        F.col("_n").alias("n_a"), F.col("_sv").alias("_sva"), F.col("_svv").alias("_svva")
+    )
+    b = arms.filter(F.col("_arm") == 1).select(
+        F.col("_n").alias("n_b"), F.col("_sv").alias("_svb"), F.col("_svv").alias("_svvb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("_sva").cast("double") / na
+    mb = F.col("_svb").cast("double") / nb
+    va = (F.col("_svva").cast("double") - na * ma * ma) / (na - 1.0)
+    vb = (F.col("_svvb").cast("double") - nb * mb * mb) / (nb - 1.0)
+    return j.select(
+        "n_a",
+        "n_b",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        (mb - ma).alias("diff"),
+        ((mb - ma) / F.sqrt(va / na + vb / nb)).alias("z"),
+    )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[Column],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: how many
+    equivalence classes exist, how many fall below ``k`` members, and
+    how many ROWS sit in those re-identifiable classes — the release
+    gate before sharing a "de-identified" extract.
+
+    Two aggregates (QI grouping with map-side combine, then a 1-row
+    rollup); no joins, no windows.  Output: one row
+    (n_groups, n_small_groups, rows_at_risk, min_class_size,
+    n_rows)."""
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_sz"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("_sz") < k).cast("long")).alias("n_small_groups"),
+        F.sum(F.when(F.col("_sz") < k, F.col("_sz")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+        F.min("_sz").alias("min_class_size"),
+        F.sum("_sz").alias("n_rows"),
+    )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    tiebreaks: Sequence[str],
+    probs: Sequence[float],
+    buckets: int = 64,
+) -> DataFrame:
+    """EXACT interpolated quantiles of a fact-table column by
+    distributed rank-select — order statistics without the
+    value→count map that makes ``percentile`` a single-reducer
+    memory bomb at 100 TB, and without ``approx_percentile``'s error.
+
+    Plan: ``global_row_number`` assigns every row its global rank
+    (range-bucketed two-phase — no unpartitioned window); each probe
+    p needs only ranks ⌊p·(n−1)⌋+1 and +2, so a ≤2·|probs|-row
+    broadcast probe table equi-joins on the rank and a tiny aggregate
+    interpolates v_lo + (v_hi − v_lo)·frac.  The fact table is
+    scanned, ranked and FILTERED BY JOIN — nothing value-shaped ever
+    concentrates on one task.
+
+    Output: (p, q) per probe."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    probs = [float(p) for p in probs]
+    stats = df.agg(
+        F.min(F.col(value_col)).alias("_gr_mn"),
+        F.max(F.col(value_col)).alias("_gr_mx"),
+        F.count(F.lit(1)).alias("_n_total"),
+    )
+    ranked = global_row_number(
+        df.select(value_col, *tiebreaks),
+        value_col,
+        list(tiebreaks),
+        rn_col="_rn",
+        buckets=buckets,
+        stats_df=stats,
+    )
+    spark = df.sparkSession
+    pdf = spark.createDataFrame([(p,) for p in probs], "p double")
+    n1 = F.col("_n_total").cast("double") - F.lit(1.0)
+    pos = F.col("p") * n1
+    k0 = F.floor(pos)
+    probe = (
+        pdf.crossJoin(F.broadcast(stats.select("_n_total")))
+        .select(
+            "p",
+            (pos - k0).alias("_frac"),
+            (k0 + 1).cast("long").alias("_rlo"),
+            F.least(k0 + 2, F.col("_n_total")).cast("long").alias("_rhi"),
+        )
+        .select(
+            "p",
+            "_frac",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("lo").alias("_side"), F.col("_rlo").alias("_r")),
+                    F.struct(F.lit("hi").alias("_side"), F.col("_rhi").alias("_r")),
+                )
+            ).alias("_pr"),
+        )
+        .select("p", "_frac", "_pr._side", "_pr._r")
+    )
+    hits = ranked.join(F.broadcast(probe), F.col("_rn") == F.col("_r"))
+    v = F.col(value_col).cast("double")
+    per_p = hits.groupBy("p").agg(
+        F.max(F.when(F.col("_side") == "lo", v)).alias("_vlo"),
+        F.max(F.when(F.col("_side") == "hi", v)).alias("_vhi"),
+        F.max("_frac").alias("_f"),
+    )
+    return per_p.select(
+        "p",
+        (
+            F.col("_vlo") + (F.col("_vhi") - F.col("_vlo")) * F.col("_f")
+        ).alias("q"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    tiebreaks: Sequence[str],
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact weighted quantiles (lower / left-continuous definition):
+    the smallest value whose running weight reaches p·W in value
+    order — computed distributed via the two-phase exact-decimal
+    cumulative of ``global_row_number(cum_value=...)``, then one
+    filtered min-struct aggregate per probe.  No sorting funnel, no
+    interpolation FP: weights stay decimal end-to-end and the p·W
+    thresholds use dyadic probs, so the comparison is engine-exact.
+
+    Output: (p, wq) per probe."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    probs = [float(p) for p in probs]
+    w = F.col(weight_col).cast("decimal(18,2)")
+    base = df.select(
+        F.col(value_col).alias("_v"), w.alias("_w"), *tiebreaks
+    )
+    ranked = global_row_number(
+        base,
+        "_v",
+        list(tiebreaks),
+        rn_col="_rn",
+        buckets=buckets,
+        cum_value="_w",
+        cum_col="_cw",
+    )
+    total = base.agg(F.sum("_w").cast("double").alias("_wtot"))
+    spark = df.sparkSession
+    pdf = spark.createDataFrame([(p,) for p in probs], "p double")
+    thr = pdf.crossJoin(F.broadcast(total)).select(
+        "p", (F.col("p") * F.col("_wtot")).alias("_thr")
+    )
+    hit = ranked.crossJoin(F.broadcast(thr)).filter(
+        F.col("_cw").cast("double") >= F.col("_thr")
+    )
+    return (
+        hit.groupBy("p")
+        .agg(F.min(F.struct(F.col("_rn"), F.col("_v"))).alias("_m"))
+        .select("p", F.col("_m._v").cast("double").alias("wq"))
+    )
+
+
+def seasonal_index(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Month-of-year seasonality profile: average monthly total per
+    calendar month ÷ grand average monthly total — the classic
+    multiplicative seasonal index.  Two grouped aggregates over the
+    calendar-bounded monthly series; all sums exact decimal, the two
+    divisions are identical double expressions either engine.
+
+    Output per month-of-year: (moy, n_months, avg_rev,
+    seasonal_index)."""
+    monthly = df.groupBy(
+        F.year(F.col(date_col)).alias("_y"), F.month(F.col(date_col)).alias("_m")
+    ).agg(F.sum(dec(value_col)).alias("_rev"))
+    grand = monthly.agg(
+        F.sum("_rev").alias("_gs"), F.count(F.lit(1)).alias("_gn")
+    )
+    per_moy = monthly.groupBy(F.col("_m").alias("moy")).agg(
+        F.count(F.lit(1)).alias("n_months"), F.sum("_rev").alias("_ms")
+    )
+    avg_rev = F.col("_ms").cast("double") / F.col("n_months").cast("double")
+    grand_avg = F.col("_gs").cast("double") / F.col("_gn").cast("double")
+    return per_moy.crossJoin(F.broadcast(grand)).select(
+        "moy",
+        "n_months",
+        avg_rev.alias("avg_rev"),
+        (avg_rev / grand_avg).alias("seasonal_index"),
+    )
+
+
+def anomaly_days(
+    df: DataFrame,
+    day: Column,
+    value_col: str,
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Daily-total anomaly screen: days whose total deviates more than
+    ``z_thresh`` population standard deviations from the mean.  Same
+    exact-decimal stats discipline as `cusum_scores` (sums and squares
+    decimal, one identical double expression for z) without the
+    cumulative — two aggregates and a broadcast.
+
+    Output: (day, total, z) for flagged days."""
+    daily = df.groupBy(day.alias("_d")).agg(F.sum(dec(value_col)).alias("_x"))
+    x18 = F.col("_x").cast("decimal(18,2)")
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum((x18 * x18).cast("decimal(38,4)")).alias("_sxx"),
+    )
+    mu = F.col("_sx").cast("double") / F.col("_n").cast("double")
+    var = F.col("_sxx").cast("double") / F.col("_n").cast("double") - mu * mu
+    z = (F.col("_x").cast("double") - mu) / F.sqrt(var)
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("_d").alias("day"),
+            F.col("_x").cast("double").alias("total"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > float(z_thresh))
+    )

@@ -1175,3 +1175,52 @@ def kcore(
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Community / source-attribution smoothing by majority label
+    propagation: each round every node adopts the most common label
+    among its neighbors (ties → lexicographically smallest label;
+    isolated nodes keep their label) — the cheap graph-clustering
+    companion to `connected_components` when nodes carry a prior
+    label (document source, language, site).
+
+    Pure integer/string logic — NO floating point anywhere, so the
+    result is engine-exact by construction.  Per round: one join of
+    labels onto the symmetrized edges, one (dst, label) count, and a
+    two-phase argmax (max count per dst, then min label at that
+    count) — all equi-shuffles on node ids; hub nodes cost a large
+    GROUP, never a large row (no collect_list).  Lineage is cut per
+    round like `pagerank`."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_t"))
+    e = e.unionByName(
+        e.select(F.col("_t").alias("_s"), F.col("_s").alias("_t"))
+    ).distinct().localCheckpoint(eager=False)
+    labels = seeds.select(F.col(node_col).alias("_n"), F.col(label_col).alias("_l"))
+    for _ in range(iters):
+        counts = (
+            e.join(labels, e["_s"] == labels["_n"])
+            .groupBy(F.col("_t"), F.col("_l"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        maxc = counts.groupBy("_t").agg(F.max("_c").alias("_mc"))
+        best = (
+            counts.join(maxc, "_t")
+            .filter(F.col("_c") == F.col("_mc"))
+            .groupBy("_t")
+            .agg(F.min("_l").alias("_bl"))
+        )
+        labels = (
+            labels.join(best, labels["_n"] == best["_t"], "left")
+            .select("_n", F.coalesce(F.col("_bl"), F.col("_l")).alias("_l"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("_n").alias(node_col), F.col("_l").alias(label_col))

@@ -178,6 +178,8 @@ def global_row_number(
     buckets: int = 64,
     keep_cols: Optional[Sequence[str]] = None,
     stats_df: Optional[DataFrame] = None,
+    cum_value: Optional[str] = None,
+    cum_col: str = "_cum",
 ) -> DataFrame:
     """Distributed global ``row_number`` over ``(metric, *tiebreaks)``
     without a single-task unpartitioned window.
@@ -208,6 +210,14 @@ def global_row_number(
     ``(_gr_mn, _gr_mx, _n_total)`` — pass it when ranking several
     metrics of one frame so all cutoffs come from ONE aggregate pass
     (see ``rfm_segments``).
+
+    ``cum_value``: optional EXACT-typed (decimal/integer) column to
+    running-total alongside the rank — ``cum_col`` gets the inclusive
+    cumulative sum in global order via the same two-phase plan
+    (per-bucket window cumsum + broadcast bucket-total offsets).
+    Exactness of the type is what makes the two-phase grouping equal
+    the flat running sum (decimal/int addition is associative; double
+    would drift).
     """
     from pyspark.sql import Window
 
@@ -228,26 +238,45 @@ def global_row_number(
     if not ascending:
         bkt = F.lit(buckets - 1) - bkt
     bucketed = b.withColumn("_gr_bkt", bkt).drop("_gr_mn", "_gr_mx")
-    counts = bucketed.groupBy("_gr_bkt").agg(F.count(F.lit(1)).alias("_gr_cnt"))
+    count_aggs = [F.count(F.lit(1)).alias("_gr_cnt")]
+    if cum_value is not None:
+        count_aggs.append(F.sum(F.col(cum_value)).alias("_gr_vsum"))
+    counts = bucketed.groupBy("_gr_bkt").agg(*count_aggs)
     # cumulative offsets over a frame bounded by the CONSTANT bucket
     # count: triangular join instead of an unpartitioned window
-    lower = counts.select(
+    lower_cols = [
         F.col("_gr_bkt").alias("_lo_bkt"), F.col("_gr_cnt").alias("_lo_cnt")
-    )
+    ]
+    if cum_value is not None:
+        lower_cols.append(F.col("_gr_vsum").alias("_lo_vsum"))
+    lower = counts.select(*lower_cols)
+    off_aggs = [F.coalesce(F.sum("_lo_cnt"), F.lit(0)).alias("_gr_off")]
+    if cum_value is not None:
+        off_aggs.append(F.sum("_lo_vsum").alias("_gr_voff"))
     offs = (
         counts.join(F.broadcast(lower), F.col("_lo_bkt") < F.col("_gr_bkt"), "left")
         .groupBy("_gr_bkt")
-        .agg(F.coalesce(F.sum("_lo_cnt"), F.lit(0)).alias("_gr_off"))
+        .agg(*off_aggs)
     )
     order = [metric.asc() if ascending else metric.desc()] + [t.asc() for t in tiebreaks]
     w = Window.partitionBy("_gr_bkt").orderBy(*order)
-    out = (
-        bucketed.join(F.broadcast(offs), "_gr_bkt")
-        .withColumn(rn_col, (F.col("_gr_off") + F.row_number().over(w)).cast("long"))
-        .drop("_gr_bkt", "_gr_off")
+    out = bucketed.join(F.broadcast(offs), "_gr_bkt").withColumn(
+        rn_col, (F.col("_gr_off") + F.row_number().over(w)).cast("long")
     )
+    if cum_value is not None:
+        local_cum = F.sum(F.col(cum_value)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = out.withColumn(
+            cum_col,
+            F.coalesce(F.col("_gr_voff"), F.lit(0)) + local_cum,
+        ).drop("_gr_voff")
+    out = out.drop("_gr_bkt", "_gr_off")
     if keep_cols is not None:
-        out = out.select(*keep_cols, "_n_total", rn_col)
+        keep = [*keep_cols, "_n_total", rn_col]
+        if cum_value is not None:
+            keep.append(cum_col)
+        out = out.select(*keep)
     return out
 
 

@@ -197,3 +197,55 @@ def transitions_stream(
         state_schema="last string",
         output_schema=f"{key_col} {key_type}, cur string, nxt string",
     )
+
+
+def cusum_stream(
+    stream: DataFrame,
+    mu: float,
+    sigma: float,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ord_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of ``operators.analytics.cusum_scores``: per-key
+    standardized CUSUM C_t = Σ(x_i − μ)/σ maintained across
+    micro-batches — the live mean-shift monitor.
+
+    μ/σ come from an OFFLINE reference build (same split as
+    ``drift_stream``'s vocabulary: heavy global stats batch-computed,
+    streaming state per key is two scalars).  State per key: (cum, n)
+    — bounded by key cardinality, never history.  Rows inside a
+    micro-batch fold in ``ord_col`` order; cross-batch order relies on
+    per-key arrival order (front with a watermark + event-time sort
+    for out-of-order feeds)."""
+    import pandas as pd
+
+    m, s = float(mu), float(sigma)
+    key_type = stream.schema[key_col].dataType.simpleString()
+
+    def fn(key, pdf_iter, state):
+        rows = pd.concat(list(pdf_iter))
+        rows = rows.sort_values([ord_col], kind="mergesort")
+        cum, n = state.get if state.exists else (0.0, 0)
+        out_c, out_n = [], []
+        for v in rows[value_col].tolist():
+            cum += (float(v) - m) / s
+            n += 1
+            out_c.append(cum)
+            out_n.append(n)
+        state.update((cum, n))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(out_c),
+                "t": out_n,
+                "cusum": out_c,
+            }
+        )
+
+    return apply_stateful(
+        stream,
+        [key_col],
+        fn,
+        state_schema="cum double, n bigint",
+        output_schema=f"{key_col} {key_type}, t bigint, cusum double",
+    )

@@ -596,3 +596,150 @@ def test_winsorize_keep_bounds_columns(spark):
     assert r[0] == r[2] and r[1] == r[3]
     # default drops the bound columns
     assert set(winsorize(df, ["x"]).columns) == {"x"}
+
+
+def test_ewma_level_matches_python_fold(spark):
+    from csp_gateway_spark.operators.analytics import ewma_level
+
+    rows = [(m, float(v)) for m, v in [(1, 10.0), (2, 20.0), (3, 5.0), (4, 40.0)]]
+    df = spark.createDataFrame(rows, "m int, v double")
+    out = ewma_level(df, F.col("m"), "v", alpha=0.3).collect()[0]
+    level = 10.0
+    for v in [20.0, 5.0, 40.0]:
+        level = level * 0.7 + v * 0.3
+    assert out.n_buckets == 4 and out.last_bucket == 4
+    assert abs(out.level - level) < 1e-12
+
+
+def test_cusum_two_phase_equals_flat_window(spark, sf_dir):
+    """The distributed cumulative (bucketed two-phase) must equal the
+    single-task flat running sum bit-for-bit (decimal associativity)."""
+    from pyspark.sql import Window
+
+    from csp_gateway_spark.operators.analytics import cusum_scores
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = cusum_scores(orders, F.col("o_orderdate"), "o_totalprice")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(
+            (F.col("x").cast("decimal(18,2)") * F.col("x").cast("decimal(18,2)")).cast(
+                "decimal(38,4)"
+            )
+        ).alias("sxx"),
+    )
+    w = Window.orderBy("day")
+    mu = F.col("sx").cast("double") / F.col("n").cast("double")
+    var = F.col("sxx").cast("double") / F.col("n").cast("double") - mu * mu
+    want = (
+        daily.withColumn("t", F.row_number().over(w))
+        .withColumn(
+            "cx", F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .crossJoin(F.broadcast(st))
+        .select(
+            "day",
+            "t",
+            (
+                (F.col("cx").cast("double") - F.col("t").cast("double") * mu)
+                / F.sqrt(var)
+            ).alias("cusum"),
+        )
+    )
+    g = {(r.day, r.t): r.cusum for r in got.collect()}
+    w_ = {(r.day, r.t): r.cusum for r in want.collect()}
+    assert g == w_  # bit-exact, not approx
+
+
+def test_ab_test_report_manual(spark):
+    from csp_gateway_spark.operators.analytics import ab_test_report
+
+    rows = []
+    for u in range(40):
+        rows.append((u, float(u % 7) + (1.5 if u % 2 else 0.0)))
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    out = ab_test_report(df, "user_id", "value", F.col("user_id") % 2).collect()[0]
+    import statistics
+
+    a = [float(u % 7) for u in range(0, 40, 2)]
+    b = [float(u % 7) + 1.5 for u in range(1, 40, 2)]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va, vb = statistics.variance(a), statistics.variance(b)
+    z = (mb - ma) / (va / len(a) + vb / len(b)) ** 0.5
+    assert out.n_a == 20 and out.n_b == 20
+    assert abs(out.mean_a - ma) < 1e-9 and abs(out.mean_b - mb) < 1e-9
+    assert abs(out.z - z) < 1e-9
+
+
+def test_k_anonymity_counts(spark):
+    from csp_gateway_spark.operators.analytics import k_anonymity
+
+    rows = [("x", 1)] * 6 + [("x", 2)] * 2 + [("y", 1)] * 1
+    df = spark.createDataFrame(rows, "a string, b int")
+    out = k_anonymity(df, [F.col("a"), F.col("b")], k=3).collect()[0]
+    assert out.n_groups == 3 and out.n_small_groups == 2
+    assert out.rows_at_risk == 3 and out.min_class_size == 1 and out.n_rows == 9
+
+
+def test_exact_quantiles_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    from csp_gateway_spark.operators.analytics import exact_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    probs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    got = {
+        r.p: r.q
+        for r in exact_quantiles(
+            li, "l_extendedprice", ["l_orderkey", "l_linenumber"], probs
+        ).collect()
+    }
+    vals = np.array(
+        [r[0] for r in li.select("l_extendedprice").collect()], dtype=float
+    )
+    for p in probs:
+        want = float(np.percentile(vals, p * 100))
+        assert abs(got[p] - want) < 1e-6, (p, got[p], want)
+
+
+def test_weighted_median_manual(spark):
+    from csp_gateway_spark.operators.analytics import weighted_median
+
+    rows = [(1.0, 1.0, 1), (2.0, 1.0, 2), (3.0, 6.0, 3), (4.0, 2.0, 4)]
+    df = spark.createDataFrame(rows, "v double, w double, k long")
+    got = {
+        r.p: r.wq
+        for r in weighted_median(df, "v", "w", ["k"], probs=(0.25, 0.5, 0.75)).collect()
+    }
+    # W=10; cum: 1->1, 2->2, 3->8, 4->10
+    assert got[0.25] == 3.0 and got[0.5] == 3.0 and got[0.75] == 3.0
+
+
+def test_seasonal_index_mean_one(spark, sf_dir):
+    """Weighted by month count, the seasonal indices average to 1."""
+    from csp_gateway_spark.operators.analytics import seasonal_index
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rows = seasonal_index(orders, "o_orderdate", "o_totalprice").collect()
+    assert {r.moy for r in rows} <= set(range(1, 13))
+    num = sum(r.seasonal_index * r.n_months for r in rows)
+    den = sum(r.n_months for r in rows)
+    assert abs(num / den - 1.0) < 1e-9
+
+
+def test_anomaly_days_threshold(spark, sf_dir):
+    from csp_gateway_spark.operators.analytics import anomaly_days
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rows = anomaly_days(
+        orders, F.col("o_orderdate"), "o_totalprice", z_thresh=1.5
+    ).collect()
+    assert all(abs(r.z) > 1.5 for r in rows)
+    loose = anomaly_days(
+        orders, F.col("o_orderdate"), "o_totalprice", z_thresh=0.5
+    ).collect()
+    assert len(loose) >= len(rows)

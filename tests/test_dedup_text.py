@@ -451,3 +451,22 @@ def test_lang_confusion_matrix(spark):
     assert out[("en", "en")] == 1
     assert out[("en", "und")] == 1
     assert out[("fr", "fr")] == 1
+
+
+def test_label_propagation_majority_and_ties(spark):
+    """Majority label wins; ties break to the lexicographically
+    smallest label; isolated nodes keep their seed."""
+    from csp_gateway_spark.operators.corpus import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 6)], "id_a long, id_b long"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "a"), (4, "b"), (5, "c"), (6, "d"), (7, "z")],
+        "node long, label string",
+    )
+    out = {r.node: r.label for r in label_propagation(edges, seeds, iters=1).collect()}
+    # node 1 neighbors: a,a,b -> a; node 2/3 see only 1 -> b; node 4 -> b
+    assert out[1] == "a" and out[2] == "b" and out[3] == "b" and out[4] == "b"
+    # 5<->6 swap labels; 7 isolated keeps z
+    assert out[5] == "d" and out[6] == "c" and out[7] == "z"

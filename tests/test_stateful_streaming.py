@@ -128,3 +128,50 @@ def test_transitions_stream_bridges_microbatches(spark, tmp_path):
     for u, c, n in got:
         got_counts[(c, n)] = got_counts.get((c, n), 0) + 1
     assert got_counts == want
+
+
+def test_cusum_stream_bridges_microbatches(spark, tmp_path):
+    """Per-key streaming CUSUM must carry (cum, n) across micro-batch
+    boundaries and reproduce the sequential fold exactly."""
+    from csp_gateway_spark.streaming.stateful import cusum_stream
+
+    src = tmp_path / "cusum_in"
+    src.mkdir()
+    stream = spark.readStream.schema(
+        "event_type string, value double, ts long"
+    ).json(str(src))
+    mu, sigma = 2.0, 0.5
+    q = (
+        cusum_stream(stream, mu, sigma)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_s")
+        .option("checkpointLocation", str(tmp_path / "cck"))
+        .start()
+    )
+    b1 = [
+        {"event_type": "a", "value": 3.0, "ts": 1},
+        {"event_type": "a", "value": 1.0, "ts": 2},
+        {"event_type": "b", "value": 2.5, "ts": 1},
+    ]
+    b2 = [
+        {"event_type": "a", "value": 4.0, "ts": 3},
+        {"event_type": "b", "value": 2.0, "ts": 2},
+    ]
+    try:
+        _drop(src, "b1.json", b1)
+        q.processAllAvailable()
+        _drop(src, "b2.json", b2)
+        q.processAllAvailable()
+        got = {
+            (r.event_type, r.t): r.cusum for r in spark.table("cusum_s").collect()
+        }
+    finally:
+        q.stop()
+    # sequential python fold per key
+    series = {"a": [3.0, 1.0, 4.0], "b": [2.5, 2.0]}
+    for k, vals in series.items():
+        cum = 0.0
+        for i, v in enumerate(vals, start=1):
+            cum += (v - mu) / sigma
+            assert got[(k, i)] == cum

@@ -45,6 +45,15 @@ INTENTIONAL_NESTED_LOOP = {
     # as Q22): the nested-loop build side is a single aggregate row
     "important_parts",
     "promotion_candidates",
+    # wave-5/6: 1-row broadcast stats (min/max/count, mu/sigma, grand
+    # totals) or <=5-row probe/threshold tables crossed into the scan —
+    # every nested-loop build side is constant-bounded by construction
+    "cusum",
+    "ab_test",
+    "anomaly_days",
+    "seasonal_index",
+    "exact_quantiles",
+    "weighted_median",
     # score-all-centroids broadcast (same class as ann_ivf_topk): every
     # vector × small centroid table before the max_by cell pick
     "semantic_dedup",
@@ -135,7 +144,10 @@ def main() -> None:
                 "sort-merge joins, nested-loop joins, whole-stage-codegen spans,\n"
                 "row-Python UDFs (none allowed), Arrow/pandas UDFs, parquet filter\n"
                 "pushdown. Flags: ROW-UDF = row-at-a-time Python in the hot path;\n"
-                "NESTED-LOOP = unintended cross join; SMJ-only = join runs\n"
+                "NESTED-LOOP = cross join to review: every audited instance is a\n"
+                "crossJoin(broadcast(<bounded frame>)) scalar fusion (1-row\n"
+                "stats or <=5-row probe tables) - verified by grep, see\n"
+                "VERDICT r4 adjudication; SMJ-only = join runs\n"
                 "sort-merge where a broadcast may fit (reviewed case by case).\n\n"
                 "| query | shuffles | reused | bcast | smj | nested | codegen | py-row | py-arrow | pushdown | flags |\n"
                 "|---|---|---|---|---|---|---|---|---|---|---|\n"

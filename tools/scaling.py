@@ -93,15 +93,23 @@ def build_scaled(spark, base_dir: str, out_dir: str, factor: int) -> None:
             for i in range(1, factor):
                 rep = df.withColumn(idc, F.col(idc) + F.lit(i * n))
                 if t == "documents":
-                    # mutate replica text (vowel rotation per replica):
-                    # verbatim copies would make EVERY doc a true
-                    # duplicate, and dedup cost would legitimately
-                    # scale with dup count, not corpus size — measured
-                    # 7× at 2× before this fix.  Rotated text keeps the
-                    # corpus dup-sparse at every factor.
-                    vowels = "aeiou"
-                    rot = vowels[i % 5:] + vowels[: i % 5]
-                    rep = rep.withColumn("text", F.translate(F.col("text"), vowels, rot))
+                    # mutate replica text (full-alphabet Caesar shift,
+                    # DISTINCT per replica): verbatim copies would make
+                    # every doc a true duplicate, and dedup cost would
+                    # legitimately scale with dup count, not corpus
+                    # size.  The earlier 5-vowel rotation CYCLED at
+                    # replica 5, so 8x/16x runs re-created verbatim
+                    # replica classes and candidate pairs grew ~N²/5 by
+                    # data construction (measured 27x at 16x); a shift
+                    # of i over 26 letters never repeats below 26
+                    # replicas, keeping the corpus dup-sparse at every
+                    # measured factor.
+                    alpha = "abcdefghijklmnopqrstuvwxyz"
+                    s = i % 25 + 1
+                    rep = rep.withColumn(
+                        "text",
+                        F.translate(F.col("text"), alpha, alpha[s:] + alpha[:s]),
+                    )
                 out = out.unionByName(rep)
         out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
 
