@@ -6906,6 +6906,158 @@ ORDER BY day
 """
 
 
+_CQ_CELLS = 16
+
+
+def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster cohesion/separation report over the IVF assignment
+    (seeded centroids) — member cosines round-6 and sum in decimal so
+    the mean is accumulation-order-free."""
+    from csp_gateway_spark.operators.similarity import (
+        cluster_quality,
+        sample_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sample_centroids(emb, _CQ_CELLS, oracle_safe=True)
+    out = cluster_quality(emb, cents)
+    return out.select(
+        "cell", "n", F.round("cohesion", 6).alias("cohesion"), "separation"
+    ).orderBy("cell")
+
+
+ORACLE_CLUSTER_QUALITY = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, e AS centroid FROM v
+  ORDER BY ('0x' || substr(md5(vec_id || ':42'), 1, 15))::BIGINT, vec_id
+  LIMIT {_CQ_CELLS}
+),
+assigned AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT v.vec_id, v.e, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.e, c.centroid) DESC, c.cent_id ASC
+           ) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+),
+per AS (
+  SELECT a.cell, CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(round(list_cosine_similarity(a.e, c.centroid), 6)
+             AS DECIMAL(18,6))) AS sc
+  FROM assigned a JOIN cents c ON a.cell = c.cent_id
+  GROUP BY 1
+),
+sep AS (
+  SELECT a.cent_id AS cell, max(round(list_cosine_similarity(a.centroid,
+         b.centroid), 6)) AS separation
+  FROM cents a JOIN cents b ON a.cent_id <> b.cent_id
+  GROUP BY 1
+)
+SELECT per.cell, per.n,
+  round(CAST(per.sc AS DOUBLE) / CAST(per.n AS DOUBLE), 6) AS cohesion,
+  sep.separation
+FROM per JOIN sep ON per.cell = sep.cell
+ORDER BY per.cell
+"""
+
+
+_WF_GAP_NS = 3 * 24 * 3600 * 1_000_000_000  # 3 days between stages
+
+
+def q_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-window funnel view→click→purchase: each stage must occur
+    within 3 days of a feasible previous-stage event (chain-existence
+    via per-user range semi-joins, not first-touch minima)."""
+    from csp_gateway_spark.operators.analytics import windowed_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_funnel(
+        ev, ["view", "click", "purchase"], F.lit(_WF_GAP_NS)
+    ).orderBy("stage_idx")
+
+
+ORACLE_WINDOWED_FUNNEL = f"""
+WITH e AS (
+  SELECT user_id AS u, event_type AS y, epoch_ns(ts) AS t FROM events
+), s1 AS (
+  SELECT u, t FROM e WHERE y = 'view'
+), s2 AS (
+  SELECT n.u, n.t FROM e n WHERE n.y = 'click' AND EXISTS (
+    SELECT 1 FROM s1 p WHERE p.u = n.u
+      AND p.t <= n.t AND p.t >= n.t - {_WF_GAP_NS}
+  )
+), s3 AS (
+  SELECT n.u, n.t FROM e n WHERE n.y = 'purchase' AND EXISTS (
+    SELECT 1 FROM s2 p WHERE p.u = n.u
+      AND p.t <= n.t AND p.t >= n.t - {_WF_GAP_NS}
+  )
+)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'view' AS stage,
+         CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(count(DISTINCT u) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(DISTINCT u) AS BIGINT) FROM s3
+) ORDER BY stage_idx
+"""
+
+
+def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff → CDC batch (inverse of cdc_merge): derive the
+    I/U/D rows transforming the customer snapshot into a
+    deterministically mutated one — one co-partitioned full-outer
+    join, null-safe payload compare."""
+    from csp_gateway_spark.sources.versioned import diff_to_changes
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("bal")
+    )
+    k = F.col("c_custkey")
+    nxt = (
+        cust.filter(~((k % 7 == 3) & (k % 5 != 0)))
+        .select(
+            "c_custkey",
+            F.when(k % 5 == 0, F.col("bal") + 10).otherwise(F.col("bal")).alias("bal"),
+        )
+        .unionByName(
+            cust.filter(k < 3).select(
+                (k + 500000).alias("c_custkey"),
+                F.lit(1.25).cast(cust.schema["bal"].dataType).alias("bal"),
+            )
+        )
+    )
+    out = diff_to_changes(cust, nxt, ["c_custkey"])
+    return out.select(
+        "c_custkey", F.col("bal").cast("double").alias("bal"), "op"
+    ).orderBy("c_custkey", "op")
+
+
+ORACLE_CDC_DIFF = """
+WITH cur AS (
+  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer
+), nxt AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN bal + 10 ELSE bal END AS bal
+  FROM cur WHERE NOT (c_custkey % 7 = 3 AND c_custkey % 5 <> 0)
+  UNION ALL
+  SELECT c_custkey + 500000, CAST(1.25 AS DECIMAL(18,2)) FROM cur
+  WHERE c_custkey < 3
+), j AS (
+  SELECT COALESCE(d.c_custkey, c.c_custkey) AS c_custkey, d.bal AS bal,
+    CASE WHEN d.c_custkey IS NULL THEN 'D'
+         WHEN c.c_custkey IS NULL THEN 'I'
+         WHEN c.bal IS DISTINCT FROM d.bal THEN 'U' END AS op
+  FROM cur c FULL OUTER JOIN nxt d ON c.c_custkey = d.c_custkey
+)
+SELECT c_custkey, CAST(bal AS DOUBLE) AS bal, op FROM j
+WHERE op IS NOT NULL ORDER BY c_custkey, op
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -7094,6 +7246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median": q_weighted_median,
         "seasonal_index": q_seasonal_index,
         "anomaly_days": q_anomaly_days,
+        "windowed_funnel": q_windowed_funnel,
+        "cdc_diff": q_cdc_diff,
+        "cluster_quality": q_cluster_quality,
         "mahalanobis": q_mahalanobis,
         "kcore": q_kcore,
         "conversion_lag": q_conversion_lag,
@@ -7324,6 +7479,9 @@ def oracle_sql() -> dict[str, str]:
         "weighted_median": ORACLE_WEIGHTED_MEDIAN,
         "seasonal_index": ORACLE_SEASONAL_INDEX,
         "anomaly_days": ORACLE_ANOMALY_DAYS,
+        "windowed_funnel": ORACLE_WINDOWED_FUNNEL,
+        "cdc_diff": ORACLE_CDC_DIFF,
+        "cluster_quality": ORACLE_CLUSTER_QUALITY,
         "mahalanobis": _oracle_mahalanobis(),
         "kcore": _oracle_kcore(),
         "conversion_lag": ORACLE_CONVERSION_LAG,

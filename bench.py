@@ -75,6 +75,9 @@ HEADLINE = [
     "weighted_median",
     "seasonal_index",
     "anomaly_days",
+    "windowed_funnel",
+    "cdc_diff",
+    "cluster_quality",
     "mahalanobis",
     "kcore",
     "conversion_lag",

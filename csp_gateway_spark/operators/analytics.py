@@ -2103,3 +2103,53 @@ def anomaly_days(
         )
         .filter(F.abs(F.col("z")) > float(z_thresh))
     )
+
+
+def windowed_funnel(
+    events: DataFrame,
+    stages: Sequence[str],
+    window_gap,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-constrained funnel: a user reaches stage k only via a
+    chain e₁ ≤ … ≤ e_k where every consecutive gap is ≤
+    ``window_gap`` (same ts units as ``ts_col``) — the strict-window
+    variant of `funnel`'s open first-touch semantics.
+
+    Chain-existence composes as k−1 PER-USER range semi-joins
+    (stage-k events keep only those with a feasible stage-(k−1) event
+    in [t−gap, t]): each join is an equi-shuffle on the user key with
+    a scan-local range filter — per-user event lists bound the work,
+    never the corpus square.  Counts are distinct users per reached
+    stage.  Output: (stage_idx, stage, n_users)."""
+    feasible = events.select(
+        F.col(user_col).alias("_u"), F.col(ts_col).alias("_t")
+    ).filter(F.col(type_col) == stages[0])
+    results = [feasible]
+    for s in stages[1:]:
+        nxt = events.select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_t")
+        ).filter(F.col(type_col) == s)
+        prev = results[-1].select(
+            F.col("_u").alias("_pu"), F.col("_t").alias("_pt")
+        )
+        feas = nxt.join(
+            prev,
+            (F.col("_u") == F.col("_pu"))
+            & (F.col("_pt") <= F.col("_t"))
+            & (F.col("_pt") >= F.col("_t") - window_gap),
+            "left_semi",
+        )
+        results.append(feas)
+    spark = events.sparkSession
+    out = None
+    for i, (s, df) in enumerate(zip(stages, results), start=1):
+        c = df.select("_u").distinct().agg(
+            F.lit(i).alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        out = c if out is None else out.unionAll(c)
+    return out

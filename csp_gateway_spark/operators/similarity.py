@@ -1122,3 +1122,59 @@ def hard_negatives(
     ``cosine_topk`` TakeOrdered — no shuffle."""
     pool = df.filter(F.col(label_col) != F.lit(query_label))
     return cosine_topk(pool, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def cluster_quality(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cent_id: str = "cent_id",
+    cent_vec: str = "centroid",
+) -> DataFrame:
+    """Per-cluster quality report after an IVF/k-means assignment:
+    member count, mean cosine to the own centroid (cohesion) and the
+    highest cosine from the own centroid to any OTHER centroid
+    (separation — a high value means two cells encode the same
+    concept and should merge).  The clustering-health dashboard for
+    the ANN/SemDeDup index family.
+
+    Plan: one broadcast-scored assignment (``ivf_assign``), one
+    groupBy(cell); centroid↔centroid similarity is a k×k broadcast
+    self-join (k² scalars).  Per-member cosines round to 6dp and sum
+    in DECIMAL so the group mean is accumulation-order-free —
+    engine-exact.  Output: (cell, n, cohesion, separation)."""
+    assigned = ivf_assign(df, centroids, vec_col, id_col, cent_id, cent_vec)
+    with_cos = assigned.join(
+        F.broadcast(centroids), assigned["cell"] == centroids[cent_id]
+    ).withColumn(
+        "_cos",
+        F.round(
+            cosine(_as_double(F.col(vec_col)), _as_double(F.col(cent_vec))), 6
+        ).cast("decimal(18,6)"),
+    )
+    per_cell = with_cos.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_cos").alias("_sc"),
+    )
+    a = centroids.select(
+        F.col(cent_id).alias("_ca"), F.col(cent_vec).alias("_va")
+    )
+    b = centroids.select(
+        F.col(cent_id).alias("_cb"), F.col(cent_vec).alias("_vb")
+    )
+    sep = (
+        a.join(F.broadcast(b), F.col("_ca") != F.col("_cb"))
+        .withColumn(
+            "_cc",
+            F.round(cosine(_as_double(F.col("_va")), _as_double(F.col("_vb"))), 6),
+        )
+        .groupBy(F.col("_ca").alias("cell"))
+        .agg(F.max("_cc").alias("separation"))
+    )
+    return per_cell.join(F.broadcast(sep), "cell").select(
+        "cell",
+        "n",
+        (F.col("_sc").cast("double") / F.col("n").cast("double")).alias("cohesion"),
+        "separation",
+    )

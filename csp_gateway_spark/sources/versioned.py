@@ -292,3 +292,45 @@ def versioned_foreach_batch(
             on_reject(batch_id, problems)
 
     return _sink
+
+
+def diff_to_changes(
+    cur: DataFrame,
+    nxt: DataFrame,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Inverse of `merge_snapshot`: derive the I/U/D change batch that
+    transforms snapshot ``cur`` into snapshot ``nxt`` — what a CDC
+    producer emits after a backfill, and the round-trip check for the
+    versioned-table layer (``merge_snapshot(cur, diff_to_changes(cur,
+    nxt), keys)`` ≡ ``nxt``).
+
+    ONE co-partitioned full-outer join on the key; row classification
+    is scan-local null-safe comparison over the payload columns.
+    Unchanged keys emit nothing, so the batch is delta-sized."""
+    from pyspark.sql import functions as F
+
+    data_cols = [c for c in nxt.columns if c not in key_cols]
+    c = cur.alias("c")
+    d = nxt.alias("d")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"c.{k}") == F.col(f"d.{k}")
+        cond = eq if cond is None else cond & eq
+    j = c.join(d, cond, "full_outer")
+    in_cur = F.col(f"c.{key_cols[0]}").isNotNull()
+    in_nxt = F.col(f"d.{key_cols[0]}").isNotNull()
+    changed = F.lit(False)
+    for col in data_cols:
+        changed = changed | ~F.col(f"c.{col}").eqNullSafe(F.col(f"d.{col}"))
+    op = (
+        F.when(~in_nxt, F.lit("D"))
+        .when(~in_cur, F.lit("I"))
+        .when(changed, F.lit("U"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"d.{k}"), F.col(f"c.{k}")).alias(k) for k in key_cols
+    ] + [F.col(f"d.{col}").alias(col) for col in data_cols]
+    return j.withColumn("op", op).filter(F.col("op").isNotNull()).select(
+        *out_cols, "op"
+    )

@@ -743,3 +743,38 @@ def test_anomaly_days_threshold(spark, sf_dir):
         orders, F.col("o_orderdate"), "o_totalprice", z_thresh=0.5
     ).collect()
     assert len(loose) >= len(rows)
+
+
+def test_windowed_funnel_chain_existence(spark):
+    """The strict-window funnel must accept a LATER stage-1 event when
+    the earliest one is out of window (chain existence, not
+    first-touch)."""
+    from csp_gateway_spark.operators.analytics import windowed_funnel
+
+    rows = [
+        (1, "view", 0), (1, "view", 50), (1, "click", 55), (1, "purchase", 200),
+        (2, "view", 0), (2, "click", 100),   # gap 100 > 10: no stage 2
+        (3, "click", 5),                     # click w/o view: no stage 2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    out = {
+        r.stage: r.n_users
+        for r in windowed_funnel(
+            df, ["view", "click", "purchase"], F.lit(10)
+        ).collect()
+    }
+    assert out == {"view": 2, "click": 1, "purchase": 0}
+
+
+def test_cluster_quality_bounds(spark, sf_dir):
+    from csp_gateway_spark.operators.similarity import (
+        cluster_quality,
+        sample_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = sample_centroids(emb, 8, oracle_safe=True)
+    rows = cluster_quality(emb, cents).collect()
+    assert sum(r.n for r in rows) == emb.count()
+    for r in rows:
+        assert -1.0 <= r.cohesion <= 1.0 and -1.0 <= r.separation <= 1.0

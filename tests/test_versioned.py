@@ -172,3 +172,23 @@ def test_merge_snapshot_rejects_duplicate_keys_without_ts(spark):
     ok = spark.createDataFrame([(1, 11.0, "U")], "k long, v double, op string")
     got = {(r.k, r.v) for r in merge_snapshot(cur, ok, ["k"]).collect()}
     assert got == {(1, 11.0), (2, 20.0)}
+
+
+def test_diff_to_changes_roundtrip(spark):
+    """merge_snapshot(cur, diff_to_changes(cur, nxt)) == nxt — the CDC
+    producer/consumer pair closes."""
+    from csp_gateway_spark.sources.versioned import diff_to_changes, merge_snapshot
+
+    cur = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)], "k long, v double"
+    )
+    nxt = spark.createDataFrame(
+        [(1, 10.0), (2, 21.0), (3, 3.0), (5, 50.0)], "k long, v double"
+    )
+    ch = diff_to_changes(cur, nxt, ["k"])
+    ops = {(r.k): r.op for r in ch.collect()}
+    assert ops == {2: "U", 3: "U", 4: "D", 5: "I"}  # k=1 unchanged: absent
+    back = merge_snapshot(cur, ch, ["k"])
+    assert {(r.k, r.v) for r in back.collect()} == {
+        (r.k, r.v) for r in nxt.collect()
+    }
