@@ -7058,6 +7058,154 @@ WHERE op IS NOT NULL ORDER BY c_custkey, op
 """
 
 
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of nation × market segment — the χ² sum
+    folds the (bounded) cell array in (a, b) order, engine-exact."""
+    from csp_gateway_spark.operators.analytics import chi_square_report
+
+    cust = _t(spark, sf_dir, "customer")
+    out = chi_square_report(cust, "c_nationkey", "c_mktsegment")
+    return out.select(F.round("chi2", 6).alias("chi2"), "dof", "n")
+
+
+ORACLE_CHI_SQUARE = """
+WITH cells AS (
+  SELECT c_nationkey AS a, c_mktsegment AS b, CAST(count(*) AS BIGINT) AS o
+  FROM customer GROUP BY 1, 2
+), r AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+c AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+t AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS nn,
+         CAST(count(DISTINCT a) AS BIGINT) AS rr,
+         CAST(count(DISTINCT b) AS BIGINT) AS cc
+  FROM cells
+), terms AS (
+  SELECT cells.a, cells.b,
+    (CAST(o AS DOUBLE)
+     - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn AS DOUBLE))
+    * (CAST(o AS DOUBLE)
+       - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn AS DOUBLE))
+    / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn AS DOUBLE)) AS trm
+  FROM cells JOIN r USING (a) JOIN c USING (b), t
+)
+SELECT round(list_sum(list(trm ORDER BY a, b)), 6) AS chi2,
+  CAST((t.rr - 1) * (t.cc - 1) AS BIGINT) AS dof, t.nn AS n
+FROM terms, t GROUP BY 2, 3
+"""
+
+
+_BOUNCE_GAP_NS = 1_800_000_000_000  # 30 min
+
+
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session bounce rate (30-min idle sessionization) — one
+    user-keyed window pass + two bounded aggregates."""
+    from csp_gateway_spark.operators.analytics import bounce_rate
+
+    ev = _t(spark, sf_dir, "events")
+    out = bounce_rate(ev, gap=_BOUNCE_GAP_NS)
+    return out.select(
+        "day_num",
+        "sessions",
+        "bounces",
+        F.round("bounce_rate", 6).alias("bounce_rate"),
+    ).orderBy("day_num")
+
+
+ORACLE_BOUNCE_RATE = f"""
+WITH e AS (
+  SELECT user_id AS u, epoch_ns(ts) AS t, event_id AS i FROM events
+), f AS (
+  SELECT u, t, i,
+    CASE WHEN lag(t) OVER w IS NULL THEN 1
+         WHEN t - lag(t) OVER w > {_BOUNCE_GAP_NS} THEN 1 ELSE 0 END AS nw
+  FROM e WINDOW w AS (PARTITION BY u ORDER BY t, i)
+), s AS (
+  SELECT u, t,
+    SUM(nw) OVER (PARTITION BY u ORDER BY t, i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+), ses AS (
+  SELECT u, sid, CAST(count(*) AS BIGINT) AS n, min(t) AS strt
+  FROM s GROUP BY 1, 2
+)
+SELECT strt // 86400000000000 AS day_num,
+  CAST(count(*) AS BIGINT) AS sessions,
+  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+  round(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+FROM ses GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language chars/words/BPE-ish-pieces fertility ratios — the
+    vocab-coverage signal tokenizer evals track."""
+    from csp_gateway_spark.operators.text import tokenizer_fertility
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tokenizer_fertility(docs)
+    return out.select(
+        "lang",
+        "n_docs",
+        "chars",
+        "words",
+        "pieces",
+        F.round("chars_per_word", 6).alias("chars_per_word"),
+        F.round("pieces_per_word", 6).alias("pieces_per_word"),
+    ).orderBy("lang")
+
+
+_ORACLE_NORMTOKS = _SQL_TOKS.replace("trim(lower(text))", _SQL_NORM)
+
+ORACLE_TOKENIZER_FERTILITY = f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(length({_SQL_NORM})) AS BIGINT) AS chars,
+  CAST(SUM(len({_ORACLE_NORMTOKS})) AS BIGINT) AS words,
+  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)))
+    AS BIGINT) AS pieces,
+  round(CAST(SUM(length({_SQL_NORM})) AS DOUBLE)
+        / CAST(SUM(len({_ORACLE_NORMTOKS})) AS DOUBLE), 6) AS chars_per_word,
+  round(CAST(SUM(len(regexp_extract_all(text,
+          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0))) AS DOUBLE)
+        / CAST(SUM(len({_ORACLE_NORMTOKS})) AS DOUBLE), 6) AS pieces_per_word
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+_SO_K = 8
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shared-8-gram matrix with Jaccard — the
+    data-mixing diagnostic for redundant sources."""
+    from csp_gateway_spark.operators.dedup import source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    out = source_overlap(docs, k=_SO_K)
+    return out.select(
+        "src_a", "src_b", "shared", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("src_a", "src_b")
+
+
+def _oracle_source_overlap() -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT source AS src, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM (SELECT source, unnest({_sql_shingles(_SO_K)}) AS s FROM documents)
+), sz AS (SELECT src, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+p AS (
+  SELECT a.src AS sa, b.src AS sb, CAST(count(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2
+)
+SELECT sa AS src_a, sb AS src_b, shared,
+  round(CAST(shared AS DOUBLE) / CAST(x.sz + y.sz - shared AS DOUBLE), 6)
+    AS jaccard
+FROM p JOIN sz x ON p.sa = x.src JOIN sz y ON p.sb = y.src
+ORDER BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -7249,6 +7397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_funnel": q_windowed_funnel,
         "cdc_diff": q_cdc_diff,
         "cluster_quality": q_cluster_quality,
+        "chi_square": q_chi_square,
+        "bounce_rate": q_bounce_rate,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "source_overlap": q_source_overlap,
         "mahalanobis": q_mahalanobis,
         "kcore": q_kcore,
         "conversion_lag": q_conversion_lag,
@@ -7482,6 +7634,10 @@ def oracle_sql() -> dict[str, str]:
         "windowed_funnel": ORACLE_WINDOWED_FUNNEL,
         "cdc_diff": ORACLE_CDC_DIFF,
         "cluster_quality": ORACLE_CLUSTER_QUALITY,
+        "chi_square": ORACLE_CHI_SQUARE,
+        "bounce_rate": ORACLE_BOUNCE_RATE,
+        "tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,
+        "source_overlap": _oracle_source_overlap(),
         "mahalanobis": _oracle_mahalanobis(),
         "kcore": _oracle_kcore(),
         "conversion_lag": ORACLE_CONVERSION_LAG,

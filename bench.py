@@ -78,6 +78,10 @@ HEADLINE = [
     "windowed_funnel",
     "cdc_diff",
     "cluster_quality",
+    "chi_square",
+    "bounce_rate",
+    "tokenizer_fertility",
+    "source_overlap",
     "mahalanobis",
     "kcore",
     "conversion_lag",

@@ -2153,3 +2153,112 @@ def windowed_funnel(
         )
         out = c if out is None else out.unionAll(c)
     return out
+
+
+def chi_square_report(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical
+    columns — the segmentation sanity check ("is market segment
+    independent of nation?").
+
+    One (a, b) cell aggregate (map-side combined) plus BOUNDED
+    row/column/grand-total broadcasts; the χ² sum folds the
+    cell-dimension array in (a, b) order inside a 1-row aggregate, so
+    the double accumulation is engine-reproducible (same trick as
+    `pagerank`'s src-ordered fold — cells are category-bounded, never
+    data-bounded).  Output: (chi2, dof, n)."""
+    cells = df.groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_o")
+    )
+    rows = cells.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    cols = cells.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    tot = cells.agg(
+        F.sum("_o").alias("_nn"),
+        F.countDistinct("_a").alias("_r"),
+        F.countDistinct("_b").alias("_c"),
+    )
+    j = (
+        cells.join(F.broadcast(rows), "_a")
+        .join(F.broadcast(cols), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    o = F.col("_o").cast("double")
+    e = (
+        F.col("_ra").cast("double") * F.col("_cb").cast("double")
+        / F.col("_nn").cast("double")
+    )
+    term = (o - e) * (o - e) / e
+    folded = j.select(
+        "_a", "_b", term.alias("_t"), "_nn", "_r", "_c"
+    ).agg(
+        F.array_sort(F.collect_list(F.struct("_a", "_b", "_t"))).alias("_vs"),
+        F.max("_nn").alias("n"),
+        F.max("_r").alias("_r"),
+        F.max("_c").alias("_c"),
+    )
+    chi2 = F.aggregate(F.col("_vs"), F.lit(0.0), lambda acc, s: acc + s["_t"])
+    return folded.select(
+        chi2.alias("chi2"),
+        ((F.col("_r") - 1) * (F.col("_c") - 1)).cast("long").alias("dof"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def bounce_rate(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap: int = 1_800_000_000_000,
+) -> DataFrame:
+    """Per-day session bounce rate: sessionize each user's stream with
+    an idle ``gap`` (default 30 min in ns), then report sessions,
+    single-event sessions (bounces) and their ratio per day of
+    session start.
+
+    One shuffle on the user key drives both the lag flag and the
+    cumulative session id (same partitioned window); the rest is two
+    bounded aggregates.  Output: (day_num, sessions, bounces,
+    bounce_rate)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    flagged = events.select(
+        user_col,
+        ts_col,
+        id_col,
+    ).withColumn(
+        "_new",
+        F.when(
+            F.col(ts_col) - F.lag(F.col(ts_col)).over(w) > gap, F.lit(1)
+        ).otherwise(
+            F.when(F.lag(F.col(ts_col)).over(w).isNull(), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ),
+    )
+    sid = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sessions = (
+        flagged.withColumn("_sid", sid)
+        .groupBy(user_col, "_sid")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min(ts_col).alias("_start"))
+    )
+    day = F.expr(f"_start div {86_400_000_000_000}")
+    return (
+        sessions.groupBy(day.alias("day_num"))
+        .agg(
+            F.count(F.lit(1)).alias("sessions"),
+            F.sum((F.col("_n") == 1).cast("long")).alias("bounces"),
+        )
+        .select(
+            "day_num",
+            "sessions",
+            "bounces",
+            (
+                F.col("bounces").cast("double") / F.col("sessions").cast("double")
+            ).alias("bounce_rate"),
+        )
+    )

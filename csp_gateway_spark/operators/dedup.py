@@ -1043,3 +1043,55 @@ def ngram_novelty(
         .otherwise(F.lit(0.0))
         .alias("novelty"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    k: int = 8,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix: for every pair of sources,
+    how many distinct token ``k``-grams they share and the Jaccard of
+    their shingle sets — the data-mixing diagnostic that catches two
+    "different" sources scraping the same sites before they both go
+    into a training mix.
+
+    Shingles come from the incremental ``shingle_rows`` path (posexplode
+    + lead — each token materialized once), source labels join back on
+    the doc key (co-partitioned equi-join), and the distinct (source,
+    hash) rows are one shuffle; the pair join keys on the hash, so each
+    shingle expands to at most |sources|²/2 pairs (source-bounded,
+    never corpus-bounded); per-source set sizes broadcast back for the
+    Jaccard.  Output: (src_a, src_b, shared, jaccard)."""
+    id_col = "doc_id"
+    sh = (
+        shingle_rows(df, text_col, id_col, k)
+        .join(df.select(id_col, F.col(source_col).alias("_src")), id_col)
+        .select("_src", _md5_base15(F.col("_s")).alias("_h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("_src").agg(F.count(F.lit(1)).alias("_sz"))
+    a = sh.select(F.col("_src").alias("src_a"), "_h")
+    b = sh.select(F.col("_src").alias("src_b"), "_h")
+    shared = (
+        a.join(b, "_h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("_src").alias("src_a"), F.col("_sz").alias("_sa"))
+    sb = sizes.select(F.col("_src").alias("src_b"), F.col("_sz").alias("_sb"))
+    return (
+        shared.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

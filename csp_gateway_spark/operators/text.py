@@ -521,3 +521,36 @@ def lang_confusion(
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility report per language: characters (normalized
+    text), whitespace words, BPE-ish sub-word pieces, and the
+    chars-per-word / pieces-per-word ratios tokenizer evaluations
+    track (high fertility = the vocab under-serves that language).
+    One grouped aggregate; ratios are single double expressions over
+    exact integer sums."""
+    norm = normalize_text(F.col(text_col))
+    out = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(norm)).alias("chars"),
+        F.sum(F.size(norm_tokens(F.col(text_col)))).alias("words"),
+        F.sum(bpe_ish_token_count(F.col(text_col))).alias("pieces"),
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        "chars",
+        "words",
+        "pieces",
+        (F.col("chars").cast("double") / F.col("words").cast("double")).alias(
+            "chars_per_word"
+        ),
+        (F.col("pieces").cast("double") / F.col("words").cast("double")).alias(
+            "pieces_per_word"
+        ),
+    )

@@ -778,3 +778,41 @@ def test_cluster_quality_bounds(spark, sf_dir):
     assert sum(r.n for r in rows) == emb.count()
     for r in rows:
         assert -1.0 <= r.cohesion <= 1.0 and -1.0 <= r.separation <= 1.0
+
+
+def test_chi_square_independent_uniform_is_zero(spark):
+    """A perfectly balanced contingency table has chi2 == 0."""
+    from csp_gateway_spark.operators.analytics import chi_square_report
+
+    rows = [(a, b) for a in range(3) for b in ("x", "y") for _ in range(4)]
+    df = spark.createDataFrame(rows, "a int, b string")
+    out = chi_square_report(df, "a", "b").collect()[0]
+    assert out.chi2 == 0.0 and out.dof == 2 and out.n == 24
+
+
+def test_chi_square_matches_scipy_formula(spark):
+    from csp_gateway_spark.operators.analytics import chi_square_report
+
+    rows = [(0, "x")] * 10 + [(0, "y")] * 2 + [(1, "x")] * 3 + [(1, "y")] * 9
+    df = spark.createDataFrame(rows, "a int, b string")
+    out = chi_square_report(df, "a", "b").collect()[0]
+    # manual: row totals 12/12, col totals 13/11, n 24
+    exp = {(0, "x"): 12 * 13 / 24, (0, "y"): 12 * 11 / 24,
+           (1, "x"): 12 * 13 / 24, (1, "y"): 12 * 11 / 24}
+    obs = {(0, "x"): 10, (0, "y"): 2, (1, "x"): 3, (1, "y"): 9}
+    chi2 = sum((obs[k] - e) ** 2 / e for k, e in sorted(exp.items()))
+    assert abs(out.chi2 - chi2) < 1e-9 and out.dof == 1
+
+
+def test_bounce_rate_sessionization(spark):
+    from csp_gateway_spark.operators.analytics import bounce_rate
+
+    D = 86_400_000_000_000
+    rows = [
+        (1, 0 * D + 1, 1), (1, 0 * D + 2, 2),        # one 2-event session day 0
+        (1, 0 * D + 10_000_000_000_000, 3),          # new session (gap), day 0
+        (2, 1 * D + 5, 4),                           # bounce day 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long")
+    out = {r.day_num: (r.sessions, r.bounces) for r in bounce_rate(df).collect()}
+    assert out == {0: (2, 1), 1: (1, 1)}

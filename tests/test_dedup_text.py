@@ -470,3 +470,34 @@ def test_label_propagation_majority_and_ties(spark):
     assert out[1] == "a" and out[2] == "b" and out[3] == "b" and out[4] == "b"
     # 5<->6 swap labels; 7 isolated keeps z
     assert out[5] == "d" and out[6] == "c" and out[7] == "z"
+
+
+def test_source_overlap_shared_and_jaccard(spark):
+    from csp_gateway_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "s1"),
+            (2, "alpha beta gamma delta", "s2"),   # identical 3-gram sets
+            (3, "totally different words here", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = source_overlap(docs, k=3).collect()
+    got = {(r.src_a, r.src_b): (r.shared, r.jaccard) for r in rows}
+    assert got == {("s1", "s2"): (2, 1.0)}  # 2 distinct 3-grams, full overlap
+
+
+def test_tokenizer_fertility_ratios(spark):
+    from csp_gateway_spark.operators.text import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, world!", "en"), (2, "abc-def 123", "en")],
+        "doc_id long, text string, lang string",
+    )
+    r = tokenizer_fertility(docs).collect()[0]
+    # norm: "hello world" (11 ch, 2 w), "abc def 123" (11 ch, 3 w)
+    # pieces: Hello , world ! = 4 ; abc - def 123 = 4
+    assert r.n_docs == 2 and r.chars == 22 and r.words == 5 and r.pieces == 8
+    assert abs(r.chars_per_word - 22 / 5) < 1e-12
+    assert abs(r.pieces_per_word - 8 / 5) < 1e-12
