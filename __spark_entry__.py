@@ -7206,6 +7206,156 @@ ORDER BY 1, 2
 """
 
 
+_PR_THRESHOLDS = ["0.02", "0.05", "0.08", "0.12", "0.16"]
+
+
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall sweep: stopword share (3dp decimal buckets)
+    predicting lang='en' — bounded count table + exact decimal
+    threshold comparisons."""
+    from decimal import Decimal
+
+    from csp_gateway_spark.operators.classifier import pr_curve
+    from csp_gateway_spark.operators.text import stopword_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        stopword_ratio(F.col("text")).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    thr = spark.createDataFrame(
+        [(Decimal(t),) for t in _PR_THRESHOLDS], "t decimal(7,3)"
+    )
+    out = pr_curve(scored, "score", "label", thr)
+    return out.select(
+        "t",
+        "tp",
+        "fp",
+        "fn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+    ).orderBy("t")
+
+
+def _oracle_pr_curve() -> str:
+    vals = ", ".join(_PR_THRESHOLDS)
+    return f"""
+WITH s AS (
+  SELECT CAST(round(CASE WHEN len({_SQL_TOKS}) > 0
+    THEN len(list_filter({_SQL_TOKS}, x -> list_contains({_EN}, x)))
+         / len({_SQL_TOKS})
+    ELSE 0.0 END, 3) AS DECIMAL(7,3)) AS b,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), counts AS (
+  SELECT b, y, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(CASE WHEN y = 1 THEN n ELSE 0 END) AS BIGINT) AS pos
+  FROM counts
+), thr AS (
+  SELECT CAST(unnest([{vals}]) AS DECIMAL(7,3)) AS t
+), per AS (
+  SELECT t,
+    CAST(SUM(CASE WHEN y = 1 THEN n ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN y = 0 THEN n ELSE 0 END) AS BIGINT) AS fp
+  FROM thr JOIN counts ON b >= t GROUP BY 1
+)
+SELECT CAST(t AS DOUBLE) AS t, tp, fp, pos - tp AS fn,
+  round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+  round(CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE), 6) AS recall
+FROM per, tot ORDER BY t
+"""
+
+
+def q_grouped_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — group-
+    partitioned exact-decimal cumulative, no global funnel."""
+    from csp_gateway_spark.operators.analytics import grouped_weighted_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = grouped_weighted_median(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        ["l_orderkey", "l_linenumber"],
+        p=0.5,
+    )
+    return out.select(
+        "l_returnflag", "n", "total_w", F.round("wq", 6).alias("wq")
+    ).orderBy("l_returnflag")
+
+
+ORACLE_GROUPED_WEIGHTED_MEDIAN = """
+WITH r AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+    SUM(CAST(l_quantity AS DECIMAL(18,2)))
+      OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM lineitem
+), t AS (
+  SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS wt
+  FROM lineitem GROUP BY 1
+)
+SELECT r.g AS l_returnflag, t.n, CAST(t.wt AS DOUBLE) AS total_w,
+  round(CAST(min(r.v) AS DOUBLE), 6) AS wq
+FROM r JOIN t ON r.g = t.g
+WHERE CAST(r.cw AS DOUBLE) >= 0.5 * CAST(t.wt AS DOUBLE)
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
+_PSI_W = 50.0
+_PSI_B = 20
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of token-length distributions,
+    src1 vs src2 — capped fixed-width buckets, add-one smoothing,
+    bucket-ordered fold."""
+    from csp_gateway_spark.operators.analytics import psi_drift
+    from csp_gateway_spark.operators.text import norm_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("source") == "src1")
+    b = docs.filter(F.col("source") == "src2")
+    metric = F.size(norm_tokens(F.col("text")))
+    out = psi_drift(a, b, metric, _PSI_W, _PSI_B)
+    return out.select("n_a", "n_b", F.round("psi", 6).alias("psi"))
+
+
+def _oracle_psi_drift() -> str:
+    ntoks = _SQL_TOKS.replace("trim(lower(text))", _SQL_NORM)
+    bkt = f"least({_PSI_B - 1}, CAST(floor(len({ntoks}) / {_PSI_W}) AS INT))"
+    return f"""
+WITH ha AS (
+  SELECT {bkt} AS bkt, CAST(count(*) AS BIGINT) AS na
+  FROM documents WHERE source = 'src1' GROUP BY 1
+), hb AS (
+  SELECT {bkt} AS bkt, CAST(count(*) AS BIGINT) AS nb
+  FROM documents WHERE source = 'src2' GROUP BY 1
+), j AS (
+  SELECT COALESCE(ha.bkt, hb.bkt) AS bkt,
+         COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+  FROM ha FULL OUTER JOIN hb ON ha.bkt = hb.bkt
+), t AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM j
+), terms AS (
+  SELECT bkt,
+    (CAST(na + 1 AS DOUBLE) / CAST(ta + {_PSI_B} AS DOUBLE)
+     - CAST(nb + 1 AS DOUBLE) / CAST(tb + {_PSI_B} AS DOUBLE))
+    * ln((CAST(na + 1 AS DOUBLE) / CAST(ta + {_PSI_B} AS DOUBLE))
+         / (CAST(nb + 1 AS DOUBLE) / CAST(tb + {_PSI_B} AS DOUBLE))) AS trm
+  FROM j, t
+)
+SELECT t.ta AS n_a, t.tb AS n_b,
+  round(list_sum(list(trm ORDER BY bkt)), 6) AS psi
+FROM terms, t GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -7401,6 +7551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounce_rate": q_bounce_rate,
         "tokenizer_fertility": q_tokenizer_fertility,
         "source_overlap": q_source_overlap,
+        "pr_curve": q_pr_curve,
+        "grouped_weighted_median": q_grouped_weighted_median,
+        "psi_drift": q_psi_drift,
         "mahalanobis": q_mahalanobis,
         "kcore": q_kcore,
         "conversion_lag": q_conversion_lag,
@@ -7638,6 +7791,9 @@ def oracle_sql() -> dict[str, str]:
         "bounce_rate": ORACLE_BOUNCE_RATE,
         "tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,
         "source_overlap": _oracle_source_overlap(),
+        "pr_curve": _oracle_pr_curve(),
+        "grouped_weighted_median": ORACLE_GROUPED_WEIGHTED_MEDIAN,
+        "psi_drift": _oracle_psi_drift(),
         "mahalanobis": _oracle_mahalanobis(),
         "kcore": _oracle_kcore(),
         "conversion_lag": ORACLE_CONVERSION_LAG,

@@ -82,6 +82,9 @@ HEADLINE = [
     "bounce_rate",
     "tokenizer_fertility",
     "source_overlap",
+    "pr_curve",
+    "grouped_weighted_median",
+    "psi_drift",
     "mahalanobis",
     "kcore",
     "conversion_lag",

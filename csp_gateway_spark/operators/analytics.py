@@ -2262,3 +2262,110 @@ def bounce_rate(
             ).alias("bounce_rate"),
         )
     )
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    tiebreaks: Sequence[str],
+    p: float = 0.5,
+) -> DataFrame:
+    """Exact weighted quantile PER GROUP (lower definition): within
+    each group, the smallest value whose exact-decimal running weight
+    reaches p·W_g.  The cumulative runs in a window PARTITIONED BY
+    GROUP (group-bounded, no global funnel); totals join back on the
+    group key; the pick is one min-struct aggregate.  ``p`` should be
+    dyadic (0.25/0.5/0.75) so p·W_g is an exact double product.
+    Output: (group, n, total_w, wq)."""
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("decimal(18,2)")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).alias("_v"),
+        w.alias("_w"),
+        *tiebreaks,
+    )
+    win = Window.partitionBy("_g").orderBy("_v", *tiebreaks).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = base.withColumn("_cw", F.sum("_w").over(win))
+    tot = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_w").alias("_wt")
+    )
+    j = cum.join(tot, "_g").filter(
+        F.col("_cw").cast("double")
+        >= F.lit(float(p)) * F.col("_wt").cast("double")
+    )
+    return (
+        j.groupBy("_g")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("_wt").alias("_wt"),
+            F.min(F.struct(F.col("_cw"), *[F.col(c) for c in tiebreaks], F.col("_v"))).alias("_m"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            "n",
+            F.col("_wt").cast("double").alias("total_w"),
+            F.col("_m._v").cast("double").alias("wq"),
+        )
+    )
+
+
+def psi_drift(
+    a: DataFrame,
+    b: DataFrame,
+    metric: Column,
+    bucket_width: float,
+    n_buckets: int,
+    out_metric_name: str = "psi",
+) -> DataFrame:
+    """Population Stability Index between two cohorts of a numeric
+    metric: PSI = Σ (p_A − p_B)·ln(p_A / p_B) over fixed-width capped
+    buckets with add-one smoothing (so empty buckets stay defined) —
+    the standard ML-monitoring drift score (PSI > 0.2 ≈ significant).
+
+    Each cohort is one bucketed aggregate; shares are single double
+    expressions over exact integers and the PSI sum folds the
+    (constant-bounded) bucket array in bucket order — engine-exact.
+    Output: one row (n_a, n_b, psi)."""
+    def hist(df: DataFrame, side: str) -> DataFrame:
+        bkt = F.least(
+            F.lit(n_buckets - 1),
+            F.floor(metric.cast("double") / F.lit(float(bucket_width))).cast("int"),
+        )
+        return df.select(bkt.alias("_bkt")).groupBy("_bkt").agg(
+            F.count(F.lit(1)).alias(f"_n_{side}")
+        )
+    ha = hist(a, "a")
+    hb = hist(b, "b")
+    j = ha.join(hb, "_bkt", "full_outer").select(
+        F.coalesce(F.col("_bkt"), F.lit(0)).alias("_bkt"),
+        F.coalesce(F.col("_n_a"), F.lit(0)).alias("_na"),
+        F.coalesce(F.col("_n_b"), F.lit(0)).alias("_nb"),
+    )
+    tot = j.agg(F.sum("_na").alias("_ta"), F.sum("_nb").alias("_tb"))
+    t = j.crossJoin(F.broadcast(tot))
+    pa = (F.col("_na") + 1).cast("double") / (
+        F.col("_ta") + F.lit(n_buckets)
+    ).cast("double")
+    pb = (F.col("_nb") + 1).cast("double") / (
+        F.col("_tb") + F.lit(n_buckets)
+    ).cast("double")
+    term = (pa - pb) * F.log(pa / pb)
+    folded = t.select(
+        "_bkt", term.alias("_t"), "_ta", "_tb"
+    ).agg(
+        F.array_sort(F.collect_list(F.struct("_bkt", "_t"))).alias("_vs"),
+        F.max("_ta").alias("n_a"),
+        F.max("_tb").alias("n_b"),
+    )
+    psi = F.aggregate(F.col("_vs"), F.lit(0.0), lambda acc, s: acc + s["_t"])
+    return folded.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        psi.alias(out_metric_name),
+    )

@@ -311,3 +311,51 @@ def calibration_bins(
             "pos_rate", F.col("n_pos").cast("double") / F.col("n").cast("double")
         )
     )
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: DataFrame,
+) -> DataFrame:
+    """Precision/recall sweep for a scored corpus — the
+    quality-classifier threshold-picking report.
+
+    Scores bucket to 3dp DECIMAL first, so the (≤1001-bucket ×
+    2-label) count table is category-bounded and every threshold
+    comparison is exact; the per-threshold sums are a bounded
+    broadcast range-join over that count table, never a rescan of the
+    corpus.  ``thresholds``: a 1-column ``t decimal(7,3)`` frame.
+    Output per threshold: (t, tp, fp, fn, precision, recall)."""
+    from pyspark.sql import functions as F
+
+    b = F.round(F.col(score_col), 3).cast("decimal(7,3)")
+    y = F.col(label_col).cast("int")
+    counts = scored.select(b.alias("_b"), y.alias("_y")).groupBy(
+        "_b", "_y"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    pos = counts.agg(
+        F.sum(F.when(F.col("_y") == 1, F.col("_n")).otherwise(0)).alias("_pos")
+    )
+    per = (
+        thresholds.join(F.broadcast(counts), F.col("_b") >= F.col("t"))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("_y") == 1, F.col("_n")).otherwise(0)).alias("tp"),
+            F.sum(F.when(F.col("_y") == 0, F.col("_n")).otherwise(0)).alias("fp"),
+        )
+    )
+    return per.crossJoin(F.broadcast(pos)).select(
+        F.col("t").cast("double").alias("t"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        (F.col("_pos") - F.col("tp")).cast("long").alias("fn"),
+        (
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double")
+        ).alias("precision"),
+        (F.col("tp").cast("double") / F.col("_pos").cast("double")).alias(
+            "recall"
+        ),
+    )

@@ -816,3 +816,28 @@ def test_bounce_rate_sessionization(spark):
     df = spark.createDataFrame(rows, "user_id long, ts long, event_id long")
     out = {r.day_num: (r.sessions, r.bounces) for r in bounce_rate(df).collect()}
     assert out == {0: (2, 1), 1: (1, 1)}
+
+
+def test_grouped_weighted_median_manual(spark):
+    from csp_gateway_spark.operators.analytics import grouped_weighted_median
+
+    rows = [
+        ("g1", 1.0, 1.0, 1), ("g1", 2.0, 1.0, 2), ("g1", 3.0, 6.0, 3),
+        ("g2", 5.0, 2.0, 4), ("g2", 7.0, 2.0, 5),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double, k long")
+    out = {r.g: r for r in grouped_weighted_median(df, "g", "v", "w", ["k"]).collect()}
+    assert out["g1"].wq == 3.0 and out["g1"].n == 3 and out["g1"].total_w == 8.0
+    assert out["g2"].wq == 5.0  # cum 2.0 >= 0.5*4 at the first row
+
+
+def test_psi_drift_identical_is_zero_and_orders(spark):
+    from csp_gateway_spark.operators.analytics import psi_drift
+
+    a = spark.range(0, 100).select((F.col("id") % 10).alias("x"))
+    b = spark.range(0, 100).select((F.col("id") % 10).alias("x"))
+    same = psi_drift(a, b, F.col("x"), 1.0, 10).collect()[0]
+    assert same.psi == 0.0 and same.n_a == 100 and same.n_b == 100
+    shifted = spark.range(0, 100).select((F.col("id") % 10 + 5).alias("x"))
+    drift = psi_drift(a, shifted, F.col("x"), 1.0, 10).collect()[0]
+    assert drift.psi > 0.2

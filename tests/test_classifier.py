@@ -132,3 +132,21 @@ def test_calibration_bins_rates(spark):
     # score 1.0 clamps into bin 9
     assert out[9].n == 3 and out[9].n_pos == 2
     assert abs(out[9].pos_rate - 2 / 3) < 1e-12
+
+
+def test_pr_curve_manual(spark):
+    from decimal import Decimal
+
+    from csp_gateway_spark.operators.classifier import pr_curve
+
+    rows = [(0.9, True), (0.8, True), (0.7, False), (0.3, True), (0.1, False)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    thr = spark.createDataFrame(
+        [(Decimal("0.5"),), (Decimal("0.75"),)], "t decimal(7,3)"
+    )
+    out = {r.t: r for r in pr_curve(df, "score", "label", thr).collect()}
+    r5 = out[0.5]
+    assert (r5.tp, r5.fp, r5.fn) == (2, 1, 1)
+    assert abs(r5.precision - 2 / 3) < 1e-12 and abs(r5.recall - 2 / 3) < 1e-12
+    r75 = out[0.75]
+    assert (r75.tp, r75.fp, r75.fn) == (2, 0, 1)
