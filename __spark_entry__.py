@@ -7356,6 +7356,97 @@ FROM terms, t GROUP BY 1, 2
 """
 
 
+def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation of o_totalprice against the
+    exact-decimal lineitem recomputation — honest report that the
+    synthetic generator does NOT satisfy the TPC-H identity."""
+    from csp_gateway_spark.operators.analytics import order_reconciliation
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    out = order_reconciliation(orders, li, tol=1.0)
+    return out.select(
+        "n_orders",
+        "n_no_lines",
+        "n_mismatch",
+        F.round("max_abs_diff", 2).alias("max_abs_diff"),
+        "sum_header",
+        "sum_detail",
+    )
+
+
+ORACLE_ORDER_RECONCILIATION = """
+WITH l AS (
+  SELECT l_orderkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS calc
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS hdr, calc
+  FROM orders LEFT JOIN l ON o_orderkey = l_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CASE WHEN calc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+  CAST(SUM(CASE WHEN calc IS NOT NULL
+       AND abs(CAST(hdr AS DOUBLE) - CAST(calc AS DOUBLE)) > 1.0
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+  round(max(abs(CAST(hdr AS DOUBLE) - CAST(calc AS DOUBLE))), 2)
+    AS max_abs_diff,
+  CAST(SUM(hdr) AS DOUBLE) AS sum_header,
+  CAST(SUM(calc) AS DOUBLE) AS sum_detail
+FROM j
+"""
+
+
+def q_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance share through region → nation: fact scanned
+    once, parent/grand totals re-derived from the leaf aggregate."""
+    from csp_gateway_spark.operators.analytics import hierarchy_share
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    out = hierarchy_share(
+        cust,
+        region,
+        nation,
+        fact_key="c_nationkey",
+        l2_key="n_nationkey",
+        l2_parent="n_regionkey",
+        l1_key="r_regionkey",
+        l1_name="r_name",
+        l2_name="n_name",
+        value_col="c_acctbal",
+    )
+    return out.select(
+        F.col("l1").alias("region"),
+        F.col("l2").alias("nation"),
+        "value",
+        F.round("share_of_parent", 8).alias("share_of_parent"),
+        F.round("share_of_total", 8).alias("share_of_total"),
+    ).orderBy("region", "nation")
+
+
+ORACLE_HIERARCHY_SHARE = """
+WITH leaf AS (
+  SELECT r_name AS region, n_name AS nation,
+         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS v
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), p AS (
+  SELECT region, SUM(v) AS pv FROM leaf GROUP BY 1
+), t AS (SELECT SUM(v) AS tv FROM leaf)
+SELECT leaf.region, leaf.nation, CAST(leaf.v AS DOUBLE) AS value,
+  round(CAST(leaf.v AS DOUBLE) / CAST(p.pv AS DOUBLE), 8) AS share_of_parent,
+  round(CAST(leaf.v AS DOUBLE) / CAST(t.tv AS DOUBLE), 8) AS share_of_total
+FROM leaf JOIN p ON leaf.region = p.region, t
+ORDER BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -7554,6 +7645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_curve": q_pr_curve,
         "grouped_weighted_median": q_grouped_weighted_median,
         "psi_drift": q_psi_drift,
+        "order_reconciliation": q_order_reconciliation,
+        "hierarchy_share": q_hierarchy_share,
         "mahalanobis": q_mahalanobis,
         "kcore": q_kcore,
         "conversion_lag": q_conversion_lag,
@@ -7794,6 +7887,8 @@ def oracle_sql() -> dict[str, str]:
         "pr_curve": _oracle_pr_curve(),
         "grouped_weighted_median": ORACLE_GROUPED_WEIGHTED_MEDIAN,
         "psi_drift": _oracle_psi_drift(),
+        "order_reconciliation": ORACLE_ORDER_RECONCILIATION,
+        "hierarchy_share": ORACLE_HIERARCHY_SHARE,
         "mahalanobis": _oracle_mahalanobis(),
         "kcore": _oracle_kcore(),
         "conversion_lag": ORACLE_CONVERSION_LAG,

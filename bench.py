@@ -85,6 +85,8 @@ HEADLINE = [
     "pr_curve",
     "grouped_weighted_median",
     "psi_drift",
+    "order_reconciliation",
+    "hierarchy_share",
     "mahalanobis",
     "kcore",
     "conversion_lag",

@@ -2369,3 +2369,98 @@ def psi_drift(
         F.col("n_b").cast("long").alias("n_b"),
         psi.alias(out_metric_name),
     )
+
+
+def order_reconciliation(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    tol: float = 1.0,
+) -> DataFrame:
+    """Header-vs-detail value reconciliation: recompute each order's
+    total from its lines (`extendedprice·(1−discount)·(1+tax)`, exact
+    decimal) and report how many headers disagree beyond ``tol`` —
+    the financial-close audit between a fact header and its detail
+    table.
+
+    One map-side-combined per-order aggregate, one co-partitioned
+    equi-join on the order key, one 1-row rollup.  Output:
+    (n_orders, n_no_lines, n_mismatch, max_abs_diff, sum_header,
+    sum_detail)."""
+    calc = lineitem.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.sum(
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+            )
+        ).alias("_calc")
+    )
+    j = orders.select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("_hdr")
+    ).join(calc, F.col("o_orderkey") == F.col("_ok"), "left")
+    diff = F.abs(
+        F.col("_hdr").cast("double") - F.col("_calc").cast("double")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("_calc").isNull().cast("long")).alias("n_no_lines"),
+        F.sum(
+            (F.col("_calc").isNotNull() & (diff > float(tol))).cast("long")
+        ).alias("n_mismatch"),
+        F.max(diff).alias("max_abs_diff"),
+        F.sum("_hdr").cast("double").alias("sum_header"),
+        F.sum("_calc").cast("double").alias("sum_detail"),
+    )
+
+
+def hierarchy_share(
+    fact: DataFrame,
+    level1: DataFrame,
+    level2: DataFrame,
+    fact_key: str,
+    l2_key: str,
+    l2_parent: str,
+    l1_key: str,
+    l1_name: str,
+    l2_name: str,
+    value_col: str,
+) -> DataFrame:
+    """Percent-of-parent and percent-of-total through a two-level
+    dimension hierarchy (region → nation → customers' revenue): fact
+    aggregates once on its dim key, both dimension joins broadcast,
+    and the parent/grand totals re-derive from the LEAF aggregate
+    (bounded frames) — the fact table is scanned exactly once.
+    Output: (l1, l2, value, share_of_parent, share_of_total)."""
+    per_leaf = fact.groupBy(F.col(fact_key).alias("_k")).agg(
+        F.sum(dec(value_col)).alias("_v")
+    )
+    dim = level2.select(
+        F.col(l2_key).alias("_k"),
+        F.col(l2_name).alias("l2"),
+        F.col(l2_parent).alias("_p"),
+    ).join(
+        F.broadcast(
+            level1.select(F.col(l1_key).alias("_p"), F.col(l1_name).alias("l1"))
+        ),
+        "_p",
+    )
+    leaf = per_leaf.join(F.broadcast(dim), "_k").groupBy("l1", "l2").agg(
+        F.sum("_v").alias("_lv")
+    )
+    parents = leaf.groupBy("l1").agg(F.sum("_lv").alias("_pv"))
+    total = leaf.agg(F.sum("_lv").alias("_tv"))
+    return (
+        leaf.join(F.broadcast(parents), "l1")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l1",
+            "l2",
+            F.col("_lv").cast("double").alias("value"),
+            (F.col("_lv").cast("double") / F.col("_pv").cast("double")).alias(
+                "share_of_parent"
+            ),
+            (F.col("_lv").cast("double") / F.col("_tv").cast("double")).alias(
+                "share_of_total"
+            ),
+        )
+    )

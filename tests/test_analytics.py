@@ -841,3 +841,41 @@ def test_psi_drift_identical_is_zero_and_orders(spark):
     shifted = spark.range(0, 100).select((F.col("id") % 10 + 5).alias("x"))
     drift = psi_drift(a, shifted, F.col("x"), 1.0, 10).collect()[0]
     assert drift.psi > 0.2
+
+
+def test_order_reconciliation_clean_and_dirty(spark):
+    from csp_gateway_spark.operators.analytics import order_reconciliation
+
+    orders = spark.createDataFrame(
+        [(1, 110.0), (2, 999.0), (3, 50.0)],
+        "o_orderkey long, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.0, 0.1), (2, 100.0, 0.0, 0.0)],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_tax double",
+    )
+    r = order_reconciliation(orders, li, tol=1.0).collect()[0]
+    # order 1 reconciles (100*1.1=110), order 2 off by 899, order 3 no lines
+    assert r.n_orders == 3 and r.n_no_lines == 1 and r.n_mismatch == 1
+    assert abs(r.max_abs_diff - 899.0) < 1e-9
+
+
+def test_hierarchy_share_sums_to_one(spark, sf_dir):
+    from csp_gateway_spark.operators.analytics import hierarchy_share
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rows = hierarchy_share(
+        cust, region, nation,
+        fact_key="c_nationkey", l2_key="n_nationkey", l2_parent="n_regionkey",
+        l1_key="r_regionkey", l1_name="r_name", l2_name="n_name",
+        value_col="c_acctbal",
+    ).collect()
+    assert abs(sum(r.share_of_total for r in rows) - 1.0) < 1e-9
+    by_parent = {}
+    for r in rows:
+        by_parent.setdefault(r.l1, 0.0)
+        by_parent[r.l1] += r.share_of_parent
+    for v in by_parent.values():
+        assert abs(v - 1.0) < 1e-9
