@@ -6614,7 +6614,7 @@ WITH d AS (
   FROM orders GROUP BY 1
 ), st AS (
   SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx,
-         SUM(CAST(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))
+         SUM(CAST(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2))
              AS DECIMAL(38,4))) AS sxx
   FROM d
 ), r AS (
@@ -6660,7 +6660,7 @@ WITH per AS (
   FROM events GROUP BY 1, 2
 ), ag AS (
   SELECT arm, CAST(count(*) AS BIGINT) AS n, SUM(v) AS sv,
-         SUM(CAST(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))
+         SUM(CAST(CAST(v AS DECIMAL(19,2)) * CAST(v AS DECIMAL(19,2))
              AS DECIMAL(38,4))) AS svv
   FROM per GROUP BY 1
 )
@@ -6888,7 +6888,7 @@ WITH d AS (
   FROM orders GROUP BY 1
 ), s AS (
   SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx,
-         SUM(CAST(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))
+         SUM(CAST(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2))
              AS DECIMAL(38,4))) AS sxx
   FROM d
 )

@@ -39,6 +39,7 @@ HEADLINE = [
     "vwap",
     "key_skew",
     "lang_confusion",
+    "calibration",
     "ctfidf",
     "triangle_count",
     "fk_audit",

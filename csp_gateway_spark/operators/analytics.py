@@ -1807,7 +1807,9 @@ def cusum_scores(
     # narrow before squaring: a (38,2)x(38,2) product overflows the
     # 38-digit cap (DuckDB errors, Spark silently loses precision) —
     # (18,2)x(18,2) -> (38,4) is exact in both engines
-    x18 = F.col("_x").cast("decimal(18,2)")
+    # (19,2) squaring keeps DuckDB on the int128 path (an (18,2)
+    # square overflows int64 once daily totals pass ~$2e7)
+    x18 = F.col("_x").cast("decimal(19,2)")
     stats = daily.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_x").alias("_sx"),
@@ -1858,7 +1860,7 @@ def ab_test_report(
     per_unit = df.groupBy(arm.alias("_arm"), F.col(unit_col).alias("_u")).agg(
         F.sum(dec(value_col)).alias("_v")
     )
-    v18 = F.col("_v").cast("decimal(18,2)")
+    v18 = F.col("_v").cast("decimal(19,2)")
     arms = per_unit.groupBy("_arm").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_v").alias("_sv"),
@@ -2085,7 +2087,9 @@ def anomaly_days(
 
     Output: (day, total, z) for flagged days."""
     daily = df.groupBy(day.alias("_d")).agg(F.sum(dec(value_col)).alias("_x"))
-    x18 = F.col("_x").cast("decimal(18,2)")
+    # (19,2) squaring keeps DuckDB on the int128 path (an (18,2)
+    # square overflows int64 once daily totals pass ~$2e7)
+    x18 = F.col("_x").cast("decimal(19,2)")
     stats = daily.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_x").alias("_sx"),

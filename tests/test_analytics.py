@@ -627,7 +627,7 @@ def test_cusum_two_phase_equals_flat_window(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum(
-            (F.col("x").cast("decimal(18,2)") * F.col("x").cast("decimal(18,2)")).cast(
+            (F.col("x").cast("decimal(19,2)") * F.col("x").cast("decimal(19,2)")).cast(
                 "decimal(38,4)"
             )
         ).alias("sxx"),

@@ -54,6 +54,15 @@ INTENTIONAL_NESTED_LOOP = {
     "seasonal_index",
     "exact_quantiles",
     "weighted_median",
+    # bounded-by-construction nested loops: score-all-centroids
+    # broadcast (cluster_quality, same class as ann_ivf_topk), 1-row
+    # grand-total crossJoins (chi_square, psi_drift, hierarchy_share),
+    # and the <=1001-bucket threshold range-join (pr_curve)
+    "cluster_quality",
+    "chi_square",
+    "pr_curve",
+    "psi_drift",
+    "hierarchy_share",
     # score-all-centroids broadcast (same class as ann_ivf_topk): every
     # vector × small centroid table before the max_by cell pick
     "semantic_dedup",
