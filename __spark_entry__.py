@@ -7447,6 +7447,103 @@ ORDER BY 1, 2
 """
 
 
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram over the REAL shared-12-gram
+    graph: connected components (pointer-jumping) + singleton
+    fill-in, reduced to (cluster_size, n_clusters).  The oracle
+    recomputes components with a recursive reachable-min CTE — the
+    iterative Spark algorithm is value-checked against an
+    independent fixpoint formulation, not a synthetic closed form."""
+    from csp_gateway_spark.operators.corpus import connected_components
+    from csp_gateway_spark.operators.dedup import shared_ngram_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = shared_ngram_pairs(docs, k=_SNP_K)
+    cc = connected_components(edges)
+    labeled = (
+        docs.select(F.col("doc_id").alias("node"))
+        .join(cc, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+        )
+    )
+    sizes = labeled.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def _oracle_dup_cluster_stats() -> str:
+    return (
+        _snp_sql_prefix()
+        + """
+, e0 AS (
+  SELECT id_a AS s, id_b AS t FROM cpairs
+  UNION
+  SELECT id_b AS s, id_a AS t FROM cpairs
+), nodes AS (SELECT doc_id AS n FROM documents),
+reach AS (
+  -- recursive reachable-min: every (node, reachable node) pair;
+  -- components here are tiny near-dup clusters, so the closure is
+  -- small even though it is quadratic per cluster
+  WITH RECURSIVE r(n, m) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT r.n, e0.t FROM r JOIN e0 ON r.m = e0.s
+  )
+  SELECT n, min(m) AS comp FROM r GROUP BY 1
+), sizes AS (
+  SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size FROM reach GROUP BY 1
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by absolute revenue change 1997→1998 — two
+    conditional decimal sums off one scan, TakeOrdered pick."""
+    orders = _t(spark, sf_dir, "orders")
+    y = F.year(F.col("o_orderdate"))
+    amt = F.col("o_totalprice").cast("decimal(18,2)")
+    per = orders.filter(y.isin(1997, 1998)).groupBy("o_custkey").agg(
+        F.sum(F.when(y == 1997, amt)).alias("_a"),
+        F.sum(F.when(y == 1998, amt)).alias("_b"),
+    )
+    out = per.select(
+        "o_custkey",
+        F.coalesce(F.col("_a"), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev_1997"),
+        F.coalesce(F.col("_b"), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev_1998"),
+    ).withColumn("delta", F.col("rev_1998") - F.col("rev_1997"))
+    return out.orderBy(F.abs(F.col("delta")).desc(), F.asc("o_custkey")).limit(10)
+
+
+ORACLE_TOP_MOVERS = """
+WITH per AS (
+  SELECT o_custkey,
+    SUM(CASE WHEN year(o_orderdate) = 1997
+        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS a,
+    SUM(CASE WHEN year(o_orderdate) = 1998
+        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS b
+  FROM orders WHERE year(o_orderdate) IN (1997, 1998) GROUP BY 1
+), o AS (
+  SELECT o_custkey,
+    CAST(COALESCE(a, 0) AS DOUBLE) AS rev_1997,
+    CAST(COALESCE(b, 0) AS DOUBLE) AS rev_1998
+  FROM per
+)
+SELECT o_custkey, rev_1997, rev_1998, rev_1998 - rev_1997 AS delta
+FROM o ORDER BY abs(rev_1998 - rev_1997) DESC, o_custkey ASC LIMIT 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -7647,6 +7744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "order_reconciliation": q_order_reconciliation,
         "hierarchy_share": q_hierarchy_share,
+        "dup_cluster_stats": q_dup_cluster_stats,
+        "top_movers": q_top_movers,
         "mahalanobis": q_mahalanobis,
         "kcore": q_kcore,
         "conversion_lag": q_conversion_lag,
@@ -7889,6 +7988,8 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _oracle_psi_drift(),
         "order_reconciliation": ORACLE_ORDER_RECONCILIATION,
         "hierarchy_share": ORACLE_HIERARCHY_SHARE,
+        "dup_cluster_stats": _oracle_dup_cluster_stats(),
+        "top_movers": ORACLE_TOP_MOVERS,
         "mahalanobis": _oracle_mahalanobis(),
         "kcore": _oracle_kcore(),
         "conversion_lag": ORACLE_CONVERSION_LAG,

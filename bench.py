@@ -88,6 +88,8 @@ HEADLINE = [
     "psi_drift",
     "order_reconciliation",
     "hierarchy_share",
+    "dup_cluster_stats",
+    "top_movers",
     "mahalanobis",
     "kcore",
     "conversion_lag",

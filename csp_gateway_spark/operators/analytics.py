@@ -2299,7 +2299,9 @@ def grouped_weighted_median(
     tot = base.groupBy("_g").agg(
         F.count(F.lit(1)).alias("n"), F.sum("_w").alias("_wt")
     )
-    j = cum.join(tot, "_g").filter(
+    # group-cardinality totals: broadcast, never an SMJ of the big
+    # cumulative frame against a dim-sized table
+    j = cum.join(F.broadcast(tot), "_g").filter(
         F.col("_cw").cast("double")
         >= F.lit(float(p)) * F.col("_wt").cast("double")
     )
