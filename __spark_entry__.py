@@ -7544,6 +7544,68 @@ FROM o ORDER BY abs(rev_1998 - rev_1997) DESC, o_custkey ASC LIMIT 10
 """
 
 
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the banded MinHash-LSH candidate generator
+    vs exact-Jaccard ground truth (shared-12-gram blocking verified at
+    ≥0.5) — the (num_hashes, bands) tuning report."""
+    from csp_gateway_spark.operators.dedup import lsh_recall_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lsh_recall_eval(
+        docs,
+        truth_threshold=0.5,
+        num_hashes=_MH_PAIR_HASHES,
+        bands=_MH_PAIR_BANDS,
+        oracle_safe=True,
+    )
+    return out.select(
+        "n_truth",
+        "n_candidates",
+        "n_tp",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+    )
+
+
+def _oracle_lsh_eval() -> str:
+    return (
+        _snp_sql_prefix()
+        + f"""
+, sh3 AS (
+  SELECT doc_id, {_sql_shingles()} AS s FROM documents
+), truth AS (
+  SELECT id_a, id_b
+  FROM cpairs JOIN sh3 sa ON sa.doc_id = id_a JOIN sh3 sb ON sb.doc_id = id_b
+  WHERE len(list_intersect(sa.s, sb.s))
+        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+), sig AS (
+  SELECT doc_id, list_transform(range(0, {_MH_PAIR_HASHES}), seed ->
+    list_min(list_transform(s, sx -> {_sql_affine_minhash(_MH_PAIR_HASHES, elem="sx")}))) AS sig
+  FROM sh3
+), banded AS (
+  SELECT doc_id, band,
+         array_to_string(sig[band*{_MH_PAIR_ROWS}+1 : band*{_MH_PAIR_ROWS}+{_MH_PAIR_ROWS}], '|') AS bh
+  FROM sig, (SELECT unnest(range(0, {_MH_PAIR_BANDS})) AS band) bs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), tp AS (
+  SELECT c.id_a FROM cand c JOIN truth t
+    ON c.id_a = t.id_a AND c.id_b = t.id_b
+), nums AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_tp
+)
+SELECT n_truth, n_candidates, n_tp,
+  round(CAST(n_tp AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6) AS precision,
+  round(CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall
+FROM nums
+"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -7746,6 +7808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchy_share": q_hierarchy_share,
         "dup_cluster_stats": q_dup_cluster_stats,
         "top_movers": q_top_movers,
+        "lsh_eval": q_lsh_eval,
         "mahalanobis": q_mahalanobis,
         "kcore": q_kcore,
         "conversion_lag": q_conversion_lag,
@@ -7990,6 +8053,7 @@ def oracle_sql() -> dict[str, str]:
         "hierarchy_share": ORACLE_HIERARCHY_SHARE,
         "dup_cluster_stats": _oracle_dup_cluster_stats(),
         "top_movers": ORACLE_TOP_MOVERS,
+        "lsh_eval": _oracle_lsh_eval(),
         "mahalanobis": _oracle_mahalanobis(),
         "kcore": _oracle_kcore(),
         "conversion_lag": ORACLE_CONVERSION_LAG,

@@ -90,6 +90,7 @@ HEADLINE = [
     "hierarchy_share",
     "dup_cluster_stats",
     "top_movers",
+    "lsh_eval",
     "mahalanobis",
     "kcore",
     "conversion_lag",

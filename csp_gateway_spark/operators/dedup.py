@@ -1095,3 +1095,67 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    truth_threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    block_k: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oracle_safe: bool = False,
+) -> DataFrame:
+    """Candidate-generator quality evaluation: precision/recall of the
+    banded MinHash-LSH candidate set against an exact-Jaccard ground
+    truth — the tuning report that tells you whether (num_hashes,
+    bands) is catching the near-dups before you commit a corpus-scale
+    run.
+
+    Ground truth = pairs sharing a ``block_k``-gram (exact blocking,
+    collision-bounded) whose ``k``-shingle Jaccard ≥
+    ``truth_threshold`` — i.e. recall is measured against the
+    exact-blocking family, which is itself a superset heuristic; both
+    generators are corpus-linear, so the eval costs two candidate
+    passes plus a pair-keyed join, never n².  Output: one row
+    (n_truth, n_candidates, n_tp, precision, recall)."""
+    truth = (
+        ngram_jaccard_pairs(
+            df, shared_ngram_pairs(df, k=block_k, text_col=text_col, id_col=id_col),
+            text_col=text_col, id_col=id_col, k=k,
+        )
+        .filter(F.col("jaccard") >= truth_threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    cand = minhash_lsh_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        jaccard_threshold=None,
+        oracle_safe=oracle_safe,
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    tp = cand.join(truth, ["id_a", "id_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    ntp = tp.agg(F.count(F.lit(1)).alias("n_tp"))
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ntp))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_tp",
+            (
+                F.col("n_tp").cast("double") / F.col("n_candidates").cast("double")
+            ).alias("precision"),
+            (F.col("n_tp").cast("double") / F.col("n_truth").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )

@@ -501,3 +501,15 @@ def test_tokenizer_fertility_ratios(spark):
     assert r.n_docs == 2 and r.chars == 22 and r.words == 5 and r.pieces == 8
     assert abs(r.chars_per_word - 22 / 5) < 1e-12
     assert abs(r.pieces_per_word - 8 / 5) < 1e-12
+
+
+def test_lsh_recall_eval_bounds(spark, sf_dir):
+    from csp_gateway_spark.operators.dedup import lsh_recall_eval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    r = lsh_recall_eval(docs, num_hashes=16, bands=4).collect()[0]
+    assert r.n_truth > 0 and r.n_candidates > 0
+    assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+    assert r.n_tp <= min(r.n_truth, r.n_candidates)
