@@ -2278,12 +2278,21 @@ def grouped_weighted_median(
 ) -> DataFrame:
     """Exact weighted quantile PER GROUP (lower definition): within
     each group, the smallest value whose exact-decimal running weight
-    reaches p·W_g.  The cumulative runs in a window PARTITIONED BY
-    GROUP (group-bounded, no global funnel); totals join back on the
-    group key; the pick is one min-struct aggregate.  ``p`` should be
-    dyadic (0.25/0.5/0.75) so p·W_g is an exact double product.
-    Output: (group, n, total_w, wq)."""
-    from pyspark.sql import Window
+    reaches p·W_g.
+
+    The per-group running weight comes from
+    :func:`plans.scale.grouped_row_number` — range-bucketed two-phase
+    cumulative (per-(group, value-range-bucket) PARTITIONED window +
+    broadcast per-group bucket offsets) — so a LOW-CARDINALITY group
+    column never funnels a group through one task (the r5-verdict
+    single-task-window fix; decimal addition is associative, so the
+    two-phase sum equals the flat per-group running sum
+    bit-for-bit).  The pick keys on the per-group value-order RANK
+    (not the cumulative weight), so zero-weight rows that tie on
+    running weight still resolve to the smallest qualifying value.
+    ``p`` should be dyadic (0.25/0.5/0.75) so p·W_g is an exact
+    double product.  Output: (group, n, total_w, wq)."""
+    from csp_gateway_spark.plans.scale import grouped_row_number
 
     w = F.col(weight_col).cast("decimal(18,2)")
     base = df.select(
@@ -2292,10 +2301,9 @@ def grouped_weighted_median(
         w.alias("_w"),
         *tiebreaks,
     )
-    win = Window.partitionBy("_g").orderBy("_v", *tiebreaks).rowsBetween(
-        Window.unboundedPreceding, 0
+    cum = grouped_row_number(
+        base, ["_g"], "_v", tiebreaks, rn_col="_rn", cum_value="_w", cum_col="_cw"
     )
-    cum = base.withColumn("_cw", F.sum("_w").over(win))
     tot = base.groupBy("_g").agg(
         F.count(F.lit(1)).alias("n"), F.sum("_w").alias("_wt")
     )
@@ -2310,7 +2318,7 @@ def grouped_weighted_median(
         .agg(
             F.max("n").alias("n"),
             F.max("_wt").alias("_wt"),
-            F.min(F.struct(F.col("_cw"), *[F.col(c) for c in tiebreaks], F.col("_v"))).alias("_m"),
+            F.min(F.struct(F.col("_rn"), F.col("_v"))).alias("_m"),
         )
         .select(
             F.col("_g").alias(group_col),

@@ -323,3 +323,56 @@ def test_pagerank_two_level_fold_bounds_hub_rows(spark):
     ).collect()[0]
     assert row["maxdiff"] < 1e-12
     assert abs(row["mass"] - 1.0) < 1e-9
+
+
+def test_grouped_row_number_matches_grouped_window(spark, sf_dir):
+    """The grouped two-phase rank + cumulative must be BIT-IDENTICAL
+    to the plain per-group window it replaces — rank, exact-decimal
+    running sum, and per-group counts, both sort directions."""
+    from pyspark.sql import Window
+
+    from csp_gateway_spark.plans.scale import grouped_row_number
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").alias("_w"),
+    )
+    for asc in (True, False):
+        got = grouped_row_number(
+            li, ["l_returnflag"], "l_extendedprice",
+            ["l_orderkey", "l_linenumber"], rn_col="rn", ascending=asc,
+            buckets=8, cum_value="_w", cum_col="cw",
+            keep_cols=["l_orderkey", "l_linenumber"],
+        ).select("l_returnflag", "l_orderkey", "l_linenumber", "rn", "cw")
+        order = [
+            F.asc("l_extendedprice") if asc else F.desc("l_extendedprice"),
+            F.asc("l_orderkey"), F.asc("l_linenumber"),
+        ]
+        w = Window.partitionBy("l_returnflag").orderBy(*order)
+        want = li.select(
+            "l_returnflag", "l_orderkey", "l_linenumber",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
+def test_grouped_weighted_median_no_group_only_window(spark, sf_dir):
+    """grouped_weighted_median must never funnel one group through one
+    task: every WindowExec carries a partition spec that includes the
+    range-bucket column, not just the (low-cardinality) group key
+    (the r5-verdict top item, same pin shape as the rfm family)."""
+    from csp_gateway_spark.operators.analytics import grouped_weighted_median
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = grouped_weighted_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity",
+        ["l_orderkey", "l_linenumber"],
+    )
+    lines = _window_lines(df)
+    assert lines, "expected a windowed plan"
+    for line in lines:
+        assert line.count("], [") >= 2, line
+        part = line.split("], [")[1]
+        assert "_gr_bkt" in part, line
