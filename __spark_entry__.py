@@ -6175,9 +6175,12 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_version,
     )
 
+    # per-process token in the path: two concurrent runs (or two repos
+    # benched against the same sf name) must not clobber each other's
+    # versioned store mid-query
     root = os.path.join(
         tempfile.gettempdir(),
-        f"csp_gw_time_travel_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"csp_gw_time_travel_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     shutil.rmtree(root, ignore_errors=True)
     cust = _t(spark, sf_dir, "customer").select(
@@ -6514,7 +6517,8 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_y")
     )
     ranked = global_row_number(
-        spend, "_y", ["o_custkey"], rn_col="_i", ascending=True
+        spend, "_y", ["o_custkey"], rn_col="_i", ascending=True,
+        checkpoint=True,
     )
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),
@@ -7256,12 +7260,13 @@ WITH s AS (
   SELECT CAST(unnest([{vals}]) AS DECIMAL(7,3)) AS t
 ), per AS (
   SELECT t,
-    CAST(SUM(CASE WHEN y = 1 THEN n ELSE 0 END) AS BIGINT) AS tp,
-    CAST(SUM(CASE WHEN y = 0 THEN n ELSE 0 END) AS BIGINT) AS fp
-  FROM thr JOIN counts ON b >= t GROUP BY 1
+    CAST(COALESCE(SUM(CASE WHEN y = 1 THEN n ELSE 0 END), 0) AS BIGINT) AS tp,
+    CAST(COALESCE(SUM(CASE WHEN y = 0 THEN n ELSE 0 END), 0) AS BIGINT) AS fp
+  FROM thr LEFT JOIN counts ON b >= t GROUP BY 1
 )
 SELECT CAST(t AS DOUBLE) AS t, tp, fp, pos - tp AS fn,
-  round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+  round(CASE WHEN tp + fp > 0
+        THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
   round(CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE), 6) AS recall
 FROM per, tot ORDER BY t
 """

@@ -1316,7 +1316,8 @@ def pareto(
 
     per_key = df.groupBy(key_col).agg(F.sum(dec(value_col)).alias("_rev"))
     ranked = global_row_number(
-        per_key, "_rev", [key_col], rn_col="_rn", ascending=False
+        per_key, "_rev", [key_col], rn_col="_rn", ascending=False,
+        checkpoint=True,
     )
     tiers = ranked.withColumn(
         "decile", ntile_from_rank("_rn", "_n_total", buckets)
@@ -1501,16 +1502,22 @@ def rfm_segments(
     the classic customer-value grid.
 
     The fact table collapses to one row per customer first; each score
-    is then an EXACT ntile reproduced WITHOUT an unpartitioned window:
-    ``plans.scale.global_row_number`` range-buckets the collapsed
-    dimension (broadcast min/max cutoffs, per-bucket partitioned
-    row_number, broadcast offsets) and ``ntile_from_rank`` applies the
-    ANSI remainder rule — so no per-customer table ever funnels
-    through one task, at any scale.  Ties break on the customer key,
-    so the grid is deterministic and bit-identical to the ntile
-    window it replaces.  Output: (r_score, f_score, m_score,
-    n_customers, avg_spend)."""
-    from csp_gateway_spark.plans.scale import global_row_number, ntile_from_rank
+    is then an EXACT ntile reproduced WITHOUT an unpartitioned window
+    (same range-bucket + broadcast-offset construction as
+    ``plans.scale.global_row_number``, fused across the three metrics):
+    ONE aggregate pass yields all cutoffs, ONE explode-tagged count
+    pass yields all three metrics' bucket counts (≤ 3 × buckets rows,
+    triangular-joined into offsets, broadcast back), and the three
+    per-bucket PARTITIONED ``row_number`` windows chain over a single
+    lineage — no per-metric rescan, no score-join on the customer key,
+    and no per-customer table ever funnels through one task, at any
+    scale.  ``ntile_from_rank`` applies the ANSI remainder rule and
+    ties break on the customer key, so the grid is deterministic and
+    bit-identical to the ntile windows it replaces.  Output:
+    (r_score, f_score, m_score, n_customers, avg_spend)."""
+    from pyspark.sql import Window
+
+    from csp_gateway_spark.plans.scale import ntile_from_rank
 
     ref = orders.agg(F.max(F.col(date_col)).alias("_ref"))
     per_cust = (
@@ -1538,31 +1545,68 @@ def rfm_segments(
         F.count(F.lit(1)).alias("_n_total"),
     ).localCheckpoint(eager=False)
 
-    def score(metric: str, tag: str, ascending: bool, name: str) -> DataFrame:
-        st = stats.select(
-            F.col(f"_mn_{tag}").alias("_gr_mn"),
-            F.col(f"_mx_{tag}").alias("_gr_mx"),
-            "_n_total",
+    n_bkt = 64
+
+    def bkt(metric: str, tag: str, ascending: bool):
+        # the global_row_number bucket expression, inlined so all three
+        # metrics bucket in one projection over one broadcast stats row
+        pos = F.col(metric).cast("double") - F.col(f"_mn_{tag}").cast("double")
+        span = (
+            F.col(f"_mx_{tag}").cast("double") - F.col(f"_mn_{tag}").cast("double")
         )
-        ranked = global_row_number(
-            base.select(cust_col, metric),
-            metric,
-            [cust_col],
-            rn_col="_rn",
-            ascending=ascending,
-            stats_df=st,
+        raw = F.floor(pos / span * F.lit(float(n_bkt))).cast("int")
+        k = F.when(span <= F.lit(0.0), F.lit(0)).otherwise(
+            F.least(F.lit(n_bkt - 1), F.greatest(F.lit(0), raw))
         )
-        return ranked.select(
-            cust_col, ntile_from_rank("_rn", "_n_total", buckets).alias(name)
-        )
+        return k if ascending else F.lit(n_bkt - 1) - k
 
     # recency: FEWER days since last order = better = higher score
-    scored = (
-        base.select(cust_col, "_spend")
-        .join(score("_rec_days", "r", False, "r_score"), cust_col)
-        .join(score("_freq", "f", True, "f_score"), cust_col)
-        .join(score("_spend", "m", True, "m_score"), cust_col)
+    specs = [("r", "_rec_days", False), ("f", "_freq", True), ("m", "_spend", True)]
+    bucketed = base.crossJoin(F.broadcast(stats)).select(
+        cust_col, "_rec_days", "_freq", "_spend", "_n_total",
+        *[bkt(m, t, asc).alias(f"_bkt_{t}") for t, m, asc in specs],
     )
+    # ONE pass counts every (metric, bucket) cell: explode-tag each row
+    # into its three bucket assignments, then a ≤ 3·n_bkt-row aggregate
+    tagged = bucketed.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("_tag"), F.col(f"_bkt_{t}").alias("_bkt")
+                )
+                for t, _, _ in specs
+            ])
+        ).alias("_e")
+    ).select("_e._tag", "_e._bkt")
+    counts = tagged.groupBy("_tag", "_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    lower = counts.select(
+        F.col("_tag").alias("_lt"), F.col("_bkt").alias("_lb"),
+        F.col("_cnt").alias("_lc"),
+    )
+    offs = (
+        counts.join(
+            F.broadcast(lower),
+            (F.col("_lt") == F.col("_tag")) & (F.col("_lb") < F.col("_bkt")),
+            "left",
+        )
+        .groupBy("_tag", "_bkt")
+        .agg(F.coalesce(F.sum("_lc"), F.lit(0)).alias("_off"))
+        .localCheckpoint(eager=False)
+    )
+    # three chained per-bucket PARTITIONED windows over ONE lineage —
+    # broadcast the per-tag offset maps in on the bucket column
+    scored = bucketed
+    for t, m, asc in specs:
+        o = offs.filter(F.col("_tag") == t).select(
+            F.col("_bkt").alias(f"_bkt_{t}"), F.col("_off").alias(f"_off_{t}")
+        )
+        order = [F.col(m).asc() if asc else F.col(m).desc(), F.col(cust_col).asc()]
+        w = Window.partitionBy(f"_bkt_{t}").orderBy(*order)
+        rn = (F.col(f"_off_{t}") + F.row_number().over(w)).cast("long")
+        scored = scored.join(F.broadcast(o), f"_bkt_{t}").withColumn(
+            {"r": "r_score", "f": "f_score", "m": "m_score"}[t],
+            ntile_from_rank(rn, "_n_total", buckets),
+        )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         (
@@ -1822,6 +1866,7 @@ def cusum_scores(
         rn_col="_t",
         cum_value="_x",
         cum_col="_cx",
+        checkpoint=True,
     )
     mu = F.col("_sx").cast("double") / F.col("_n").cast("double")
     var = (
@@ -1855,7 +1900,11 @@ def ab_test_report(
     One shuffle to collapse events → per-unit outcome, one tiny
     per-arm aggregate.  Outcome sums and their squares stay exact
     decimal, so mean/variance/z are single double expressions over
-    exact inputs — engine-identical.  Output: one row
+    exact inputs — engine-identical.  ALWAYS emits exactly one row:
+    an empty arm reports n=0 with NULL mean, and z is NULL unless
+    both arms have ≥ 2 units (Welch variance needs n−1 > 0) — the
+    degenerate-input cases surface as NULL stats, never as zero rows
+    or a divide blow-up.  Output: one row
     (n_a, n_b, mean_a, mean_b, diff, z)."""
     per_unit = df.groupBy(arm.alias("_arm"), F.col(unit_col).alias("_u")).agg(
         F.sum(dec(value_col)).alias("_v")
@@ -1866,26 +1915,31 @@ def ab_test_report(
         F.sum("_v").alias("_sv"),
         F.sum((v18 * v18).cast("decimal(38,4)")).alias("_svv"),
     )
-    a = arms.filter(F.col("_arm") == 0).select(
-        F.col("_n").alias("n_a"), F.col("_sv").alias("_sva"), F.col("_svv").alias("_svva")
+    # fold the ≤2-row arm frame to ONE row with conditional sums — a
+    # filter+crossJoin pair would return ZERO rows when an arm is empty
+    def pick(side: int, col: str, alias: str):
+        return F.sum(F.when(F.col("_arm") == side, F.col(col))).alias(alias)
+
+    j = arms.agg(
+        F.coalesce(pick(0, "_n", "_"), F.lit(0)).alias("n_a"),
+        F.coalesce(pick(1, "_n", "_"), F.lit(0)).alias("n_b"),
+        pick(0, "_sv", "_sva"), pick(0, "_svv", "_svva"),
+        pick(1, "_sv", "_svb"), pick(1, "_svv", "_svvb"),
     )
-    b = arms.filter(F.col("_arm") == 1).select(
-        F.col("_n").alias("n_b"), F.col("_sv").alias("_svb"), F.col("_svv").alias("_svvb")
-    )
-    j = a.crossJoin(F.broadcast(b))
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     ma = F.col("_sva").cast("double") / na
     mb = F.col("_svb").cast("double") / nb
     va = (F.col("_svva").cast("double") - na * ma * ma) / (na - 1.0)
     vb = (F.col("_svvb").cast("double") - nb * mb * mb) / (nb - 1.0)
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
     return j.select(
         "n_a",
         "n_b",
         ma.alias("mean_a"),
         mb.alias("mean_b"),
         (mb - ma).alias("diff"),
-        ((mb - ma) / F.sqrt(va / na + vb / nb)).alias("z"),
+        F.when(ok, (mb - ma) / F.sqrt(va / na + vb / nb)).alias("z"),
     )
 
 

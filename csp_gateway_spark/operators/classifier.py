@@ -327,6 +327,9 @@ def pr_curve(
     comparison is exact; the per-threshold sums are a bounded
     broadcast range-join over that count table, never a rescan of the
     corpus.  ``thresholds``: a 1-column ``t decimal(7,3)`` frame.
+    Every requested threshold appears in the output — one with no
+    score bucket at/above it emits tp=0/fp=0/recall=0 with a NULL
+    (undefined 0/0) precision, via a LEFT range-join.
     Output per threshold: (t, tp, fp, fn, precision, recall)."""
     from pyspark.sql import functions as F
 
@@ -339,11 +342,17 @@ def pr_curve(
         F.sum(F.when(F.col("_y") == 1, F.col("_n")).otherwise(0)).alias("_pos")
     )
     per = (
-        thresholds.join(F.broadcast(counts), F.col("_b") >= F.col("t"))
+        thresholds.join(F.broadcast(counts), F.col("_b") >= F.col("t"), "left")
         .groupBy("t")
         .agg(
-            F.sum(F.when(F.col("_y") == 1, F.col("_n")).otherwise(0)).alias("tp"),
-            F.sum(F.when(F.col("_y") == 0, F.col("_n")).otherwise(0)).alias("fp"),
+            F.coalesce(
+                F.sum(F.when(F.col("_y") == 1, F.col("_n")).otherwise(0)),
+                F.lit(0),
+            ).alias("tp"),
+            F.coalesce(
+                F.sum(F.when(F.col("_y") == 0, F.col("_n")).otherwise(0)),
+                F.lit(0),
+            ).alias("fp"),
         )
     )
     return per.crossJoin(F.broadcast(pos)).select(
@@ -351,9 +360,10 @@ def pr_curve(
         F.col("tp").cast("long").alias("tp"),
         F.col("fp").cast("long").alias("fp"),
         (F.col("_pos") - F.col("tp")).cast("long").alias("fn"),
-        (
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
             F.col("tp").cast("double")
-            / (F.col("tp") + F.col("fp")).cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double"),
         ).alias("precision"),
         (F.col("tp").cast("double") / F.col("_pos").cast("double")).alias(
             "recall"

@@ -1193,6 +1193,12 @@ def label_propagation(
     companion to `connected_components` when nodes carry a prior
     label (document source, language, site).
 
+    Graph nodes ABSENT from ``seeds`` participate unlabeled (NULL):
+    they cast no votes but adopt the majority label of their labeled
+    neighbors as rounds proceed, and they appear in the output (label
+    NULL if never reached) — so the node universe is seeds ∪ edge
+    endpoints, nothing silently dropped.
+
     Pure integer/string logic — NO floating point anywhere, so the
     result is engine-exact by construction.  Per round: one join of
     labels onto the symmetrized edges, one (dst, label) count, and a
@@ -1204,10 +1210,18 @@ def label_propagation(
     e = e.unionByName(
         e.select(F.col("_t").alias("_s"), F.col("_s").alias("_t"))
     ).distinct().localCheckpoint(eager=False)
-    labels = seeds.select(F.col(node_col).alias("_n"), F.col(label_col).alias("_l"))
+    seeded = seeds.select(F.col(node_col).alias("_n"), F.col(label_col).alias("_l"))
+    unseeded = (
+        e.select(F.col("_s").alias("_n"))
+        .distinct()
+        .join(seeded.select("_n"), "_n", "left_anti")
+        .withColumn("_l", F.lit(None).cast(seeded.schema["_l"].dataType))
+    )
+    labels = seeded.unionByName(unseeded)
     for _ in range(iters):
+        voters = labels.filter(F.col("_l").isNotNull())
         counts = (
-            e.join(labels, e["_s"] == labels["_n"])
+            e.join(voters, e["_s"] == voters["_n"])
             .groupBy(F.col("_t"), F.col("_l"))
             .agg(F.count(F.lit(1)).alias("_c"))
         )

@@ -180,6 +180,7 @@ def global_row_number(
     stats_df: Optional[DataFrame] = None,
     cum_value: Optional[str] = None,
     cum_col: str = "_cum",
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Distributed global ``row_number`` over ``(metric, *tiebreaks)``
     without a single-task unpartitioned window.
@@ -218,9 +219,19 @@ def global_row_number(
     Exactness of the type is what makes the two-phase grouping equal
     the flat running sum (decimal/int addition is associative; double
     would drift).
+
+    ``checkpoint``: lazily ``localCheckpoint`` the input before
+    fanning out — the plan consumes ``df`` three times (stats,
+    bucket counts, ranked join), so when the input is itself an
+    aggregate (a collapsed dimension) this trades one bounded
+    materialization for two subtree recomputes.  Leave False when the
+    input is a bare pushdown scan (recompute is cheaper than
+    materializing fact-width rows).
     """
     from pyspark.sql import Window
 
+    if checkpoint:
+        df = df.localCheckpoint(eager=False)
     metric = F.col(metric) if isinstance(metric, str) else metric
     tiebreaks = [F.col(t) if isinstance(t, str) else t for t in tiebreaks]
     stats = stats_df if stats_df is not None else df.agg(

@@ -879,3 +879,27 @@ def test_hierarchy_share_sums_to_one(spark, sf_dir):
         by_parent[r.l1] += r.share_of_parent
     for v in by_parent.values():
         assert abs(v - 1.0) < 1e-9
+
+
+def test_ab_test_report_degenerate_arms(spark):
+    """Empty or single-unit arms must yield ONE row with NULL stats,
+    never zero rows or a divide blow-up."""
+    from csp_gateway_spark.operators.analytics import ab_test_report
+
+    # arm 1 empty: even user ids only
+    df = spark.createDataFrame(
+        [(0, 1.0), (2, 2.0), (4, 3.0)], "user_id long, value double"
+    )
+    out = ab_test_report(df, "user_id", "value", F.col("user_id") % 2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_a == 3 and r.n_b == 0
+    assert r.mean_b is None and r.z is None and abs(r.mean_a - 2.0) < 1e-12
+
+    # arm 1 has n=1: Welch variance undefined -> z NULL, means present
+    df2 = spark.createDataFrame(
+        [(0, 1.0), (2, 2.0), (1, 5.0)], "user_id long, value double"
+    )
+    r2 = ab_test_report(df2, "user_id", "value", F.col("user_id") % 2).collect()[0]
+    assert r2.n_a == 2 and r2.n_b == 1
+    assert abs(r2.mean_b - 5.0) < 1e-12 and r2.z is None

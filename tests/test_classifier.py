@@ -150,3 +150,22 @@ def test_pr_curve_manual(spark):
     assert abs(r5.precision - 2 / 3) < 1e-12 and abs(r5.recall - 2 / 3) < 1e-12
     r75 = out[0.75]
     assert (r75.tp, r75.fp, r75.fn) == (2, 0, 1)
+
+
+def test_pr_curve_threshold_above_all_buckets(spark):
+    """A threshold with no score bucket at/above it must still appear:
+    tp=0/fp=0/recall=0, precision NULL (undefined 0/0)."""
+    from decimal import Decimal
+
+    from csp_gateway_spark.operators.classifier import pr_curve
+
+    rows = [(0.9, True), (0.8, True), (0.7, False), (0.3, True), (0.1, False)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    thr = spark.createDataFrame(
+        [(Decimal("0.5"),), (Decimal("0.95"),)], "t decimal(7,3)"
+    )
+    out = {r.t: r for r in pr_curve(df, "score", "label", thr).collect()}
+    assert set(out) == {0.5, 0.95}
+    r95 = out[0.95]
+    assert (r95.tp, r95.fp, r95.fn) == (0, 0, 3)
+    assert r95.precision is None and r95.recall == 0.0

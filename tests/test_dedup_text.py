@@ -513,3 +513,29 @@ def test_lsh_recall_eval_bounds(spark, sf_dir):
     assert r.n_truth > 0 and r.n_candidates > 0
     assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
     assert r.n_tp <= min(r.n_truth, r.n_candidates)
+
+
+def test_label_propagation_unseeded_nodes_adopt(spark):
+    """Graph nodes absent from the seed frame participate unlabeled:
+    they cast no votes, adopt the neighbor majority, and appear in the
+    output (NULL if never reached)."""
+    from csp_gateway_spark.operators.corpus import label_propagation
+
+    # 1(a) - 2(unseeded) - 3(unseeded island partner of nothing labeled)
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    seeds = spark.createDataFrame([(1, "a")], "node long, label string")
+    out = {r.node: r.label for r in label_propagation(edges, seeds, iters=1).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == "a"      # no labeled neighbor, keeps seed
+    assert out[2] == "a"      # adopted from labeled neighbor
+    assert out[3] is None and out[4] is None  # unreachable stay NULL
+
+    # round 2: the label keeps spreading through unseeded chains
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out2 = {
+        r.node: r.label
+        for r in label_propagation(chain, seeds, iters=2).collect()
+    }
+    assert out2 == {1: "a", 2: "a", 3: "a"}
