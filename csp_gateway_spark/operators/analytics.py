@@ -1502,19 +1502,23 @@ def rfm_segments(
     the classic customer-value grid.
 
     The fact table collapses to one row per customer first; each score
-    is then an EXACT ntile reproduced WITHOUT an unpartitioned window
-    (same range-bucket + broadcast-offset construction as
-    ``plans.scale.global_row_number``, fused across the three metrics):
-    ONE aggregate pass yields all cutoffs, ONE explode-tagged count
-    pass yields all three metrics' bucket counts (≤ 3 × buckets rows,
-    triangular-joined into offsets, broadcast back), and the three
-    per-bucket PARTITIONED ``row_number`` windows chain over a single
-    lineage — no per-metric rescan, no score-join on the customer key,
-    and no per-customer table ever funnels through one task, at any
-    scale.  ``ntile_from_rank`` applies the ANSI remainder rule and
-    ties break on the customer key, so the grid is deterministic and
-    bit-identical to the ntile windows it replaces.  Output:
-    (r_score, f_score, m_score, n_customers, avg_spend)."""
+    is then an EXACT ntile reproduced WITHOUT an unpartitioned window,
+    and — unlike ranking each metric separately — ALL THREE metrics
+    share ONE shuffle: each customer row explodes into three
+    (tag, value) rows (values normalized to one exact decimal type,
+    recency NEGATED so every ordering is ascending), range-bucketed
+    from a single broadcast cutoff row, ranked by a single
+    ``row_number`` window PARTITIONED BY (tag, bucket), and pivoted
+    back to one row per customer with conditional aggregates.  Bucket
+    offsets come from one (tag, bucket) hash count packed into a
+    single broadcast map (key = tag·n_bkt + bucket) whose per-tag
+    prefix sums are an expression scan.  Exact rank holds for ANY
+    order-respecting bucketing, ``ntile_from_rank`` applies the ANSI
+    remainder rule, and ties break on the customer key — so the grid
+    is deterministic and bit-identical to the three ntile windows it
+    replaces, with no per-customer table ever funnelling through one
+    task, at any scale.  Output: (r_score, f_score, m_score,
+    n_customers, avg_spend)."""
     from pyspark.sql import Window
 
     from csp_gateway_spark.plans.scale import ntile_from_rank
@@ -1530,10 +1534,10 @@ def rfm_segments(
         .crossJoin(F.broadcast(ref))
         .withColumn("_rec_days", F.datediff(F.col("_ref"), F.col("_last")))
     )
-    # checkpoint the collapsed dimension: the three rank branches (and
-    # the final spend join) would otherwise each re-run the orders
-    # groupBy — a dim-bounded materialization, same pattern as
-    # market_basket's shared-subtree checkpoint
+    # checkpoint the collapsed dimension: the stats pass and the
+    # tagged explode would otherwise each re-run the orders groupBy —
+    # a dim-bounded materialization, same pattern as market_basket's
+    # shared-subtree checkpoint
     base = per_cust.select(
         cust_col, "_rec_days", "_freq", "_spend"
     ).localCheckpoint(eager=False)
@@ -1546,68 +1550,84 @@ def rfm_segments(
     ).localCheckpoint(eager=False)
 
     n_bkt = 64
+    d38 = "decimal(38,6)"
 
-    def bkt(metric: str, tag: str, ascending: bool):
-        # the global_row_number bucket expression, inlined so all three
-        # metrics bucket in one projection over one broadcast stats row
-        pos = F.col(metric).cast("double") - F.col(f"_mn_{tag}").cast("double")
-        span = (
-            F.col(f"_mx_{tag}").cast("double") - F.col(f"_mn_{tag}").cast("double")
+    def entry38(ti: int, val, mn, mx):
+        # decimal normalization is EXACT for int days, long counts and
+        # (18,2) sums, so ordering by _val == ordering by the metric;
+        # recency passes val=-days (mn/mx swapped+negated) so every
+        # tag sorts ascending in the one shared window
+        return F.struct(
+            F.lit(ti).alias("_ti"),
+            val.cast(d38).alias("_val"),
+            mn.cast(d38).alias("_mn"),
+            mx.cast(d38).alias("_mx"),
         )
-        raw = F.floor(pos / span * F.lit(float(n_bkt))).cast("int")
-        k = F.when(span <= F.lit(0.0), F.lit(0)).otherwise(
-            F.least(F.lit(n_bkt - 1), F.greatest(F.lit(0), raw))
-        )
-        return k if ascending else F.lit(n_bkt - 1) - k
 
-    # recency: FEWER days since last order = better = higher score
-    specs = [("r", "_rec_days", False), ("f", "_freq", True), ("m", "_spend", True)]
-    bucketed = base.crossJoin(F.broadcast(stats)).select(
-        cust_col, "_rec_days", "_freq", "_spend", "_n_total",
-        *[bkt(m, t, asc).alias(f"_bkt_{t}") for t, m, asc in specs],
-    )
-    # ONE pass counts every (metric, bucket) cell: explode-tag each row
-    # into its three bucket assignments, then a ≤ 3·n_bkt-row aggregate
-    tagged = bucketed.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(t).alias("_tag"), F.col(f"_bkt_{t}").alias("_bkt")
+    tagged = (
+        base.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(cust_col),
+            "_spend",
+            "_n_total",
+            F.explode(
+                F.array(
+                    entry38(0, -F.col("_rec_days"), -F.col("_mx_r"), -F.col("_mn_r")),
+                    entry38(1, F.col("_freq"), F.col("_mn_f"), F.col("_mx_f")),
+                    entry38(2, F.col("_spend"), F.col("_mn_m"), F.col("_mx_m")),
                 )
-                for t, _, _ in specs
-            ])
-        ).alias("_e")
-    ).select("_e._tag", "_e._bkt")
-    counts = tagged.groupBy("_tag", "_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
-    lower = counts.select(
-        F.col("_tag").alias("_lt"), F.col("_bkt").alias("_lb"),
-        F.col("_cnt").alias("_lc"),
+            ).alias("_e"),
+        )
+        .select(cust_col, "_spend", "_n_total", "_e._ti", "_e._val", "_e._mn", "_e._mx")
     )
-    offs = (
-        counts.join(
-            F.broadcast(lower),
-            (F.col("_lt") == F.col("_tag")) & (F.col("_lb") < F.col("_bkt")),
-            "left",
-        )
-        .groupBy("_tag", "_bkt")
-        .agg(F.coalesce(F.sum("_lc"), F.lit(0)).alias("_off"))
-        .localCheckpoint(eager=False)
+    pos = F.col("_val").cast("double") - F.col("_mn").cast("double")
+    span = F.col("_mx").cast("double") - F.col("_mn").cast("double")
+    raw = F.floor(pos / span * F.lit(float(n_bkt))).cast("int")
+    bkt = F.when(span <= F.lit(0.0), F.lit(0)).otherwise(
+        F.least(F.lit(n_bkt - 1), F.greatest(F.lit(0), raw))
     )
-    # three chained per-bucket PARTITIONED windows over ONE lineage —
-    # broadcast the per-tag offset maps in on the bucket column
-    scored = bucketed
-    for t, m, asc in specs:
-        o = offs.filter(F.col("_tag") == t).select(
-            F.col("_bkt").alias(f"_bkt_{t}"), F.col("_off").alias(f"_off_{t}")
-        )
-        order = [F.col(m).asc() if asc else F.col(m).desc(), F.col(cust_col).asc()]
-        w = Window.partitionBy(f"_bkt_{t}").orderBy(*order)
-        rn = (F.col(f"_off_{t}") + F.row_number().over(w)).cast("long")
-        scored = scored.join(F.broadcast(o), f"_bkt_{t}").withColumn(
-            {"r": "r_score", "f": "f_score", "m": "m_score"}[t],
-            ntile_from_rank(rn, "_n_total", buckets),
-        )
-    return scored.groupBy("r_score", "f_score", "m_score").agg(
+    bucketed = tagged.withColumn("_bkt", bkt).drop("_mn", "_mx")
+    # (tag, bucket) counts from ONE hash aggregate, packed into ONE
+    # broadcast map row keyed by ti·n_bkt + bucket; per-tag prefix
+    # offsets are an expression scan over the 3·n_bkt-slot array
+    key = (F.col("_ti") * n_bkt + F.col("_bkt")).cast("long")
+    counts = bucketed.groupBy(key.alias("_k")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    packed = counts.agg(
+        F.map_from_entries(F.collect_list(F.struct("_k", "_cnt"))).alias("_cm")
+    )
+    seq = F.sequence(F.lit(0), F.lit(3 * n_bkt - 1))
+    zl = F.lit(0).cast("long")
+    cnt_arr = F.transform(
+        seq, lambda i: F.coalesce(F.element_at(F.col("_cm"), i.cast("long")), zl)
+    )
+    # per-tag prefix: slot i sums its tag block [ (i div n)·n , i )
+    off_arr = F.transform(
+        seq,
+        lambda i: F.aggregate(
+            F.slice(cnt_arr, (i - (i % n_bkt)) + 1, i % n_bkt),
+            zl,
+            lambda a, x: a + x,
+        ),
+    )
+    offs = packed.select(off_arr.alias("_offs"))
+    w = Window.partitionBy("_ti", "_bkt").orderBy("_val", cust_col)
+    rn = (
+        F.element_at(F.col("_offs"), (F.col("_ti") * n_bkt + F.col("_bkt")) + 1)
+        + F.row_number().over(w)
+    ).cast("long")
+    scored = bucketed.crossJoin(F.broadcast(offs)).withColumn(
+        "_score", ntile_from_rank(rn, "_n_total", buckets)
+    )
+    # pivot the three tag rows back to one row per customer
+    per = scored.groupBy(cust_col).agg(
+        F.max(F.when(F.col("_ti") == 0, F.col("_score"))).alias("r_score"),
+        F.max(F.when(F.col("_ti") == 1, F.col("_score"))).alias("f_score"),
+        F.max(F.when(F.col("_ti") == 2, F.col("_score"))).alias("m_score"),
+        F.max("_spend").alias("_spend"),
+    )
+    return per.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         (
             F.sum("_spend").cast("double") / F.count(F.lit(1)).cast("double")
@@ -1981,16 +2001,20 @@ def exact_quantiles(
     value→count map that makes ``percentile`` a single-reducer
     memory bomb at 100 TB, and without ``approx_percentile``'s error.
 
-    Plan: ``global_row_number`` assigns every row its global rank
-    (range-bucketed two-phase — no unpartitioned window); each probe
-    p needs only ranks ⌊p·(n−1)⌋+1 and +2, so a ≤2·|probs|-row
-    broadcast probe table equi-joins on the rank and a tiny aggregate
-    interpolates v_lo + (v_hi − v_lo)·frac.  The fact table is
-    scanned, ranked and FILTERED BY JOIN — nothing value-shaped ever
-    concentrates on one task.
+    Crossing-bucket plan: each probe p needs only global ranks
+    ⌊p·(n−1)⌋+1 and +2; rows range-bucket on the value (broadcast
+    1-row cutoffs), ONE hash aggregate yields per-bucket counts packed
+    into a broadcast map, and an expression scan maps each needed rank
+    to the single bucket that CONTAINS it.  Only those buckets' rows
+    (≈ |probs|/buckets of the data) shuffle into the per-bucket
+    PARTITIONED ``row_number`` window; the global rank is the bucket's
+    count-prefix offset plus the local number, and a ≤2·|probs|-row
+    broadcast probe table equi-joins on it.  Nothing value-shaped ever
+    concentrates on one task and the sort touches 1/buckets of the
+    data.
 
     Output: (p, q) per probe."""
-    from csp_gateway_spark.plans.scale import global_row_number
+    from pyspark.sql import Window
 
     probs = [float(p) for p in probs]
     stats = df.agg(
@@ -1998,19 +2022,39 @@ def exact_quantiles(
         F.max(F.col(value_col)).alias("_gr_mx"),
         F.count(F.lit(1)).alias("_n_total"),
     )
-    ranked = global_row_number(
-        df.select(value_col, *tiebreaks),
-        value_col,
-        list(tiebreaks),
-        rn_col="_rn",
-        buckets=buckets,
-        stats_df=stats,
+    b = df.select(value_col, *tiebreaks).crossJoin(F.broadcast(stats))
+    pos_b = F.col(value_col).cast("double") - F.col("_gr_mn").cast("double")
+    span = F.col("_gr_mx").cast("double") - F.col("_gr_mn").cast("double")
+    raw = F.floor(pos_b / span * F.lit(float(buckets))).cast("int")
+    bkt = F.when(span <= F.lit(0.0), F.lit(0)).otherwise(
+        F.least(F.lit(buckets - 1), F.greatest(F.lit(0), raw))
     )
+    bucketed = b.withColumn("_gr_bkt", bkt).drop("_gr_mn", "_gr_mx")
+    counts = bucketed.groupBy("_gr_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    packed = counts.agg(
+        F.map_from_entries(F.collect_list(F.struct("_gr_bkt", "_cnt"))).alias("_cm")
+    )
+    zl = F.lit(0).cast("long")
+    seq = F.sequence(F.lit(0), F.lit(buckets - 1))
+    cnt_arr = F.transform(
+        seq, lambda i: F.coalesce(F.element_at(F.col("_cm"), i), zl)
+    )
+
+    def prefix(n):  # rows in the first ``n`` buckets
+        return F.aggregate(F.slice(cnt_arr, 1, n), zl, lambda a, x: a + x)
+
     spark = df.sparkSession
     pdf = spark.createDataFrame([(p,) for p in probs], "p double")
     n1 = F.col("_n_total").cast("double") - F.lit(1.0)
     pos = F.col("p") * n1
     k0 = F.floor(pos)
+    crossing = F.aggregate(
+        seq,
+        F.lit(-1),
+        lambda acc, k: F.when(
+            (acc < 0) & (prefix(k + 1) >= F.col("_r")), k
+        ).otherwise(acc),
+    )
     probe = (
         pdf.crossJoin(F.broadcast(stats.select("_n_total")))
         .select(
@@ -2030,8 +2074,27 @@ def exact_quantiles(
             ).alias("_pr"),
         )
         .select("p", "_frac", "_pr._side", "_pr._r")
+        .crossJoin(F.broadcast(packed))
+        .select(
+            "p", "_frac", "_side", "_r",
+            crossing.alias("_cbkt"),
+            prefix(crossing).alias("_off"),
+        )
+        .localCheckpoint(eager=False)
     )
-    hits = ranked.join(F.broadcast(probe), F.col("_rn") == F.col("_r"))
+    # rows of ANY rank-containing bucket, each exactly once
+    cbs = probe.select(F.col("_cbkt").alias("_gr_bkt"), "_off").distinct()
+    cand = bucketed.join(F.broadcast(cbs), "_gr_bkt")
+    win = Window.partitionBy("_gr_bkt").orderBy(
+        F.col(value_col).asc(), *[F.col(t).asc() for t in tiebreaks]
+    )
+    ranked = cand.withColumn(
+        "_rn", (F.col("_off") + F.row_number().over(win)).cast("long")
+    )
+    hits = ranked.join(
+        F.broadcast(probe.select("p", "_frac", "_side", "_r")),
+        F.col("_rn") == F.col("_r"),
+    )
     v = F.col(value_col).cast("double")
     per_p = hits.groupBy("p").agg(
         F.max(F.when(F.col("_side") == "lo", v)).alias("_vlo"),
@@ -2056,38 +2119,87 @@ def weighted_median(
 ) -> DataFrame:
     """Exact weighted quantiles (lower / left-continuous definition):
     the smallest value whose running weight reaches p·W in value
-    order — computed distributed via the two-phase exact-decimal
-    cumulative of ``global_row_number(cum_value=...)``, then one
-    filtered min-struct aggregate per probe.  No sorting funnel, no
-    interpolation FP: weights stay decimal end-to-end and the p·W
-    thresholds use dyadic probs, so the comparison is engine-exact.
+    order — crossing-bucket plan: range-bucket on the value (broadcast
+    1-row cutoffs), ONE hash aggregate of exact-decimal per-bucket
+    weight sums packed into a broadcast map, an expression scan finds
+    each probe's CROSSING bucket, and only those buckets' rows
+    (≈ |probs|/buckets of the data) shuffle into the per-bucket
+    PARTITIONED running-weight window (offset by the bucket's exact
+    prefix sum — bit-equal to the flat running sum since decimal
+    addition is associative).  No sorting funnel, no interpolation FP:
+    weights stay decimal end-to-end and the p·W thresholds use dyadic
+    probs, so the comparison is engine-exact.
 
     Output: (p, wq) per probe."""
-    from csp_gateway_spark.plans.scale import global_row_number
+    from pyspark.sql import Window
+    from pyspark.sql.types import DecimalType
 
     probs = [float(p) for p in probs]
     w = F.col(weight_col).cast("decimal(18,2)")
     base = df.select(
         F.col(value_col).alias("_v"), w.alias("_w"), *tiebreaks
     )
-    ranked = global_row_number(
-        base,
-        "_v",
-        list(tiebreaks),
-        rn_col="_rn",
-        buckets=buckets,
-        cum_value="_w",
-        cum_col="_cw",
+    stats = base.agg(
+        F.min("_v").alias("_mn"),
+        F.max("_v").alias("_mx"),
+        F.sum("_w").alias("_wt"),
     )
-    total = base.agg(F.sum("_w").cast("double").alias("_wtot"))
+    b = base.crossJoin(F.broadcast(stats))
+    pos = F.col("_v").cast("double") - F.col("_mn").cast("double")
+    span = F.col("_mx").cast("double") - F.col("_mn").cast("double")
+    raw = F.floor(pos / span * F.lit(float(buckets))).cast("int")
+    bkt = F.when(span <= F.lit(0.0), F.lit(0)).otherwise(
+        F.least(F.lit(buckets - 1), F.greatest(F.lit(0), raw))
+    )
+    bucketed = b.withColumn("_gr_bkt", bkt).drop("_mn", "_mx", "_wt")
+    counts = bucketed.groupBy("_gr_bkt").agg(F.sum("_w").alias("_vs"))
+    packed = counts.agg(
+        F.map_from_entries(F.collect_list(F.struct("_gr_bkt", "_vs"))).alias("_vm")
+    ).crossJoin(F.broadcast(stats.select("_wt")))
+    sum_dt = counts.schema["_vs"].dataType
+    vzero = F.lit(0).cast(sum_dt)
+    vinit = (
+        F.lit(0).cast(DecimalType(38, sum_dt.scale))
+        if isinstance(sum_dt, DecimalType)
+        else F.lit(0).cast(sum_dt)
+    )
+    seq = F.sequence(F.lit(0), F.lit(buckets - 1))
+    v_arr = F.transform(
+        seq, lambda i: F.coalesce(F.element_at(F.col("_vm"), i), vzero)
+    )
+
+    def prefix(n):  # exact-decimal sum of the first ``n`` buckets
+        return F.aggregate(F.slice(v_arr, 1, n), vinit, lambda a, x: a + x)
+
     spark = df.sparkSession
     pdf = spark.createDataFrame([(p,) for p in probs], "p double")
-    thr = pdf.crossJoin(F.broadcast(total)).select(
-        "p", (F.col("p") * F.col("_wtot")).alias("_thr")
+    thresh = F.col("p") * F.col("_wt").cast("double")
+    crossing = F.aggregate(
+        seq,
+        F.lit(-1),
+        lambda acc, k: F.when(
+            (acc < 0) & (prefix(k + 1).cast("double") >= thresh), k
+        ).otherwise(acc),
     )
-    hit = ranked.crossJoin(F.broadcast(thr)).filter(
-        F.col("_cw").cast("double") >= F.col("_thr")
-    )
+    pre = pdf.crossJoin(F.broadcast(packed)).select(
+        "p",
+        thresh.alias("_thr"),
+        crossing.alias("_cbkt"),
+        prefix(crossing).alias("_voff"),
+    ).localCheckpoint(eager=False)
+    # rows of ANY crossing bucket, each exactly once, window per bucket
+    cbs = pre.select(F.col("_cbkt").alias("_gr_bkt"), "_voff").distinct()
+    cand = bucketed.join(F.broadcast(cbs), "_gr_bkt")
+    win = Window.partitionBy("_gr_bkt").orderBy("_v", *tiebreaks)
+    scored = cand.withColumn(
+        "_cw",
+        F.col("_voff")
+        + F.sum("_w").over(win.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("_rn", F.row_number().over(win))
+    hit = scored.join(
+        F.broadcast(pre.select("p", "_thr", F.col("_cbkt").alias("_pb"))),
+        F.col("_gr_bkt") == F.col("_pb"),
+    ).filter(F.col("_cw").cast("double") >= F.col("_thr"))
     return (
         hit.groupBy("p")
         .agg(F.min(F.struct(F.col("_rn"), F.col("_v"))).alias("_m"))
@@ -2334,20 +2446,27 @@ def grouped_weighted_median(
     each group, the smallest value whose exact-decimal running weight
     reaches p·W_g.
 
-    The per-group running weight comes from
-    :func:`plans.scale.grouped_row_number` — range-bucketed two-phase
-    cumulative (per-(group, value-range-bucket) PARTITIONED window +
-    broadcast per-group bucket offsets) — so a LOW-CARDINALITY group
-    column never funnels a group through one task (the r5-verdict
-    single-task-window fix; decimal addition is associative, so the
-    two-phase sum equals the flat per-group running sum
-    bit-for-bit).  The pick keys on the per-group value-order RANK
-    (not the cumulative weight), so zero-weight rows that tie on
-    running weight still resolve to the smallest qualifying value.
-    ``p`` should be dyadic (0.25/0.5/0.75) so p·W_g is an exact
-    double product.  Output: (group, n, total_w, wq)."""
-    from csp_gateway_spark.plans.scale import grouped_row_number
+    Two-phase crossing-bucket plan (the r5-verdict single-task-window
+    fix, sharpened): each group range-buckets on the value (broadcast
+    per-group min/max/total cutoffs), ONE hash aggregate yields each
+    (group, bucket)'s exact-decimal weight sum, and an expression scan
+    over the packed per-group bucket array finds the single CROSSING
+    bucket — the only bucket whose rows can contain the quantile.
+    Only those rows (≈ 1/buckets of the group) shuffle into the
+    per-(group, bucket) PARTITIONED window that computes the running
+    weight (offset by the crossing bucket's exact prefix sum, which
+    equals the flat per-group running sum bit-for-bit since decimal
+    addition is associative).  A LOW-CARDINALITY group column
+    therefore never funnels a group through one task, and the sort
+    touches 1/buckets of the data.  The pick keys on the in-bucket
+    value-order RANK, so zero-weight rows that tie on running weight
+    still resolve to the smallest qualifying value.  ``p`` should be
+    dyadic (0.25/0.5/0.75) so p·W_g is an exact double product.
+    Output: (group, n, total_w, wq)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import DecimalType
 
+    buckets = 64
     w = F.col(weight_col).cast("decimal(18,2)")
     base = df.select(
         F.col(group_col).alias("_g"),
@@ -2355,22 +2474,71 @@ def grouped_weighted_median(
         w.alias("_w"),
         *tiebreaks,
     )
-    cum = grouped_row_number(
-        base, ["_g"], "_v", tiebreaks, rn_col="_rn", cum_value="_w", cum_col="_cw"
+    stats = base.groupBy("_g").agg(
+        F.min("_v").alias("_mn"),
+        F.max("_v").alias("_mx"),
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_w").alias("_wt"),
     )
-    tot = base.groupBy("_g").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("_w").alias("_wt")
+    b = base.join(F.broadcast(stats), "_g")
+    pos = F.col("_v").cast("double") - F.col("_mn").cast("double")
+    span = F.col("_mx").cast("double") - F.col("_mn").cast("double")
+    raw = F.floor(pos / span * F.lit(float(buckets))).cast("int")
+    bkt = F.when(span <= F.lit(0.0), F.lit(0)).otherwise(
+        F.least(F.lit(buckets - 1), F.greatest(F.lit(0), raw))
     )
-    # group-cardinality totals: broadcast, never an SMJ of the big
-    # cumulative frame against a dim-sized table
-    j = cum.join(F.broadcast(tot), "_g").filter(
-        F.col("_cw").cast("double")
-        >= F.lit(float(p)) * F.col("_wt").cast("double")
+    bucketed = b.withColumn("_gr_bkt", bkt).drop("_mn", "_mx")
+    # exact per-(group, bucket) weight sums -> one packed map per group
+    counts = bucketed.groupBy("_g", "_gr_bkt").agg(F.sum("_w").alias("_vs"))
+    packed = counts.groupBy("_g").agg(
+        F.map_from_entries(F.collect_list(F.struct("_gr_bkt", "_vs"))).alias("_vm")
+    ).join(stats.select("_g", "_wt"), "_g")
+    sum_dt = counts.schema["_vs"].dataType
+    vzero = F.lit(0).cast(sum_dt)
+    vinit = (
+        F.lit(0).cast(DecimalType(38, sum_dt.scale))
+        if isinstance(sum_dt, DecimalType)
+        else F.lit(0).cast(sum_dt)
+    )
+    seq = F.sequence(F.lit(0), F.lit(buckets - 1))
+    v_arr = F.transform(
+        seq, lambda i: F.coalesce(F.element_at(F.col("_vm"), i), vzero)
+    )
+    thresh = F.lit(float(p)) * F.col("_wt").cast("double")
+
+    def prefix(n):  # exact-decimal sum of the first ``n`` buckets
+        return F.aggregate(F.slice(v_arr, 1, n), vinit, lambda a, x: a + x)
+
+    # first bucket whose INCLUSIVE prefix reaches the threshold: the
+    # row-level crossing row lives there (running weight nondecreasing)
+    crossing = F.aggregate(
+        seq,
+        F.lit(-1),
+        lambda acc, k: F.when(
+            (acc < 0) & (prefix(k + 1).cast("double") >= thresh), k
+        ).otherwise(acc),
+    )
+    pre = packed.select(
+        "_g",
+        crossing.alias("_cbkt"),
+        prefix(crossing).alias("_voff"),
+    )
+    j = bucketed.join(F.broadcast(pre), "_g").filter(
+        F.col("_gr_bkt") == F.col("_cbkt")
+    )
+    win = Window.partitionBy("_g", "_gr_bkt").orderBy("_v", *tiebreaks)
+    cum = F.col("_voff") + F.sum("_w").over(
+        win.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    picked = (
+        j.withColumn("_cw", cum)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_cw").cast("double") >= thresh)
     )
     return (
-        j.groupBy("_g")
+        picked.groupBy("_g")
         .agg(
-            F.max("n").alias("n"),
+            F.max("_n").alias("n"),
             F.max("_wt").alias("_wt"),
             F.min(F.struct(F.col("_rn"), F.col("_v"))).alias("_m"),
         )

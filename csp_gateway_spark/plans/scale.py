@@ -196,10 +196,11 @@ def global_row_number(
        deterministic even if Spark recomputes the subtree per branch
        (no reliance on exchange reuse, no driver collect);
     2. per-bucket ``row_number`` (a PARTITIONED window) plus broadcast
-       cumulative bucket offsets.  Offsets for the ≤``buckets``-row
-       count frame come from a triangular self-join, not an
-       unpartitioned window, so NO WindowExec in the plan lacks a
-       partition spec.
+       cumulative bucket offsets.  The per-bucket counts come from one
+       hash aggregate, pack into a single broadcast map row, and the
+       prefix offsets are an expression scan over the constant-length
+       bucket array — no triangular join, no offset shuffle, no
+       WindowExec in the plan lacking a partition spec.
 
     Rank is exact for ANY order-respecting bucketing, so value skew
     only affects balance, never correctness.  ``metric`` must be
@@ -249,40 +250,75 @@ def global_row_number(
     if not ascending:
         bkt = F.lit(buckets - 1) - bkt
     bucketed = b.withColumn("_gr_bkt", bkt).drop("_gr_mn", "_gr_mx")
+    # per-bucket counts from ONE cheap hash aggregate (one add per
+    # data row — a wide conditional-sum array would cost O(buckets)
+    # aggregate buffers PER ROW); the ≤``buckets``-row result packs
+    # into a single broadcast map row whose prefix offsets are an
+    # expression scan — no triangular join, no offset shuffle
     count_aggs = [F.count(F.lit(1)).alias("_gr_cnt")]
     if cum_value is not None:
         count_aggs.append(F.sum(F.col(cum_value)).alias("_gr_vsum"))
     counts = bucketed.groupBy("_gr_bkt").agg(*count_aggs)
-    # cumulative offsets over a frame bounded by the CONSTANT bucket
-    # count: triangular join instead of an unpartitioned window
-    lower_cols = [
-        F.col("_gr_bkt").alias("_lo_bkt"), F.col("_gr_cnt").alias("_lo_cnt")
+    pack_aggs = [
+        F.map_from_entries(
+            F.collect_list(F.struct("_gr_bkt", "_gr_cnt"))
+        ).alias("_cm")
     ]
     if cum_value is not None:
-        lower_cols.append(F.col("_gr_vsum").alias("_lo_vsum"))
-    lower = counts.select(*lower_cols)
-    off_aggs = [F.coalesce(F.sum("_lo_cnt"), F.lit(0)).alias("_gr_off")]
-    if cum_value is not None:
-        off_aggs.append(F.sum("_lo_vsum").alias("_gr_voff"))
-    offs = (
-        counts.join(F.broadcast(lower), F.col("_lo_bkt") < F.col("_gr_bkt"), "left")
-        .groupBy("_gr_bkt")
-        .agg(*off_aggs)
+        pack_aggs.append(
+            F.map_from_entries(
+                F.collect_list(F.struct("_gr_bkt", "_gr_vsum"))
+            ).alias("_vm")
+        )
+    packed = counts.agg(*pack_aggs)
+    seq = F.sequence(F.lit(0), F.lit(buckets - 1))
+    zl = F.lit(0).cast("long")
+    cnt_arr = F.transform(
+        seq, lambda i: F.coalesce(F.element_at(F.col("_cm"), i), zl)
     )
+    off_cols = [
+        F.transform(
+            seq,
+            lambda i: F.aggregate(F.slice(cnt_arr, 1, i), zl, lambda a, x: a + x),
+        ).alias("_gr_offs")
+    ]
+    if cum_value is not None:
+        from pyspark.sql.types import DecimalType
+
+        sum_dt = packed.schema["_vm"].dataType.valueType
+        vzero = F.lit(0).cast(sum_dt)
+        vinit = (
+            F.lit(0).cast(DecimalType(38, sum_dt.scale))
+            if isinstance(sum_dt, DecimalType)
+            else F.lit(0).cast(sum_dt)
+        )
+        v_arr = F.transform(
+            seq, lambda i: F.coalesce(F.element_at(F.col("_vm"), i), vzero)
+        )
+        off_cols.append(
+            F.transform(
+                seq,
+                lambda i: F.aggregate(
+                    F.slice(v_arr, 1, i), vinit, lambda a, x: a + x
+                ),
+            ).alias("_gr_voffs")
+        )
+    offs = packed.select(*off_cols)
+    idx1 = F.col("_gr_bkt") + F.lit(1)
     order = [metric.asc() if ascending else metric.desc()] + [t.asc() for t in tiebreaks]
     w = Window.partitionBy("_gr_bkt").orderBy(*order)
-    out = bucketed.join(F.broadcast(offs), "_gr_bkt").withColumn(
-        rn_col, (F.col("_gr_off") + F.row_number().over(w)).cast("long")
+    out = bucketed.crossJoin(F.broadcast(offs)).withColumn(
+        rn_col,
+        (F.element_at(F.col("_gr_offs"), idx1) + F.row_number().over(w)).cast("long"),
     )
     if cum_value is not None:
         local_cum = F.sum(F.col(cum_value)).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         )
         out = out.withColumn(
-            cum_col,
-            F.coalesce(F.col("_gr_voff"), F.lit(0)) + local_cum,
-        ).drop("_gr_voff")
-    out = out.drop("_gr_bkt", "_gr_off")
+            cum_col, F.element_at(F.col("_gr_voffs"), idx1) + local_cum
+        ).drop("_gr_voffs")
+    out = out.drop("_gr_bkt", "_gr_offs")
     if keep_cols is not None:
         keep = [*keep_cols, "_n_total", rn_col]
         if cum_value is not None:
@@ -316,8 +352,11 @@ def grouped_row_number(
     1. per-group ``(min, max, count)`` from ONE grouped aggregate,
        broadcast-joined back (the stats frame is group-cardinality);
     2. per-(group, bucket) PARTITIONED ``row_number`` plus broadcast
-       cumulative bucket offsets from a triangular self-join of the
-       ``|groups| × buckets``-row count frame.
+       cumulative bucket offsets: the (group, bucket) counts come from
+       one hash aggregate, pack into a map per group row, and each
+       group's prefix offsets are an expression scan over its
+       constant-length bucket array — no triangular join, no offset
+       shuffle.
 
     Rank is exact for any order-respecting bucketing; skew only
     affects balance.  ``metric`` must be non-null and ``(metric,
@@ -355,43 +394,75 @@ def grouped_row_number(
     if not ascending:
         bkt = F.lit(buckets - 1) - bkt
     bucketed = b.withColumn("_gr_bkt", bkt).drop("_gr_mn", "_gr_mx")
+    # per-(group, bucket) counts from ONE cheap hash aggregate (one
+    # add per data row), packed into a map per GROUP row; prefix
+    # offsets are an expression scan over the group's constant-length
+    # bucket array — no triangular join, no offset shuffle
     count_aggs = [F.count(F.lit(1)).alias("_gr_cnt")]
     if cum_value is not None:
         count_aggs.append(F.sum(F.col(cum_value)).alias("_gr_vsum"))
     counts = bucketed.groupBy(*gcols, "_gr_bkt").agg(*count_aggs)
-    lower_cols = [
-        *[F.col(g).alias(f"_lo_g{i}") for i, g in enumerate(gcols)],
-        F.col("_gr_bkt").alias("_lo_bkt"),
-        F.col("_gr_cnt").alias("_lo_cnt"),
+    pack_aggs = [
+        F.map_from_entries(
+            F.collect_list(F.struct("_gr_bkt", "_gr_cnt"))
+        ).alias("_cm")
     ]
     if cum_value is not None:
-        lower_cols.append(F.col("_gr_vsum").alias("_lo_vsum"))
-    lower = counts.select(*lower_cols)
-    cond = F.col("_lo_bkt") < F.col("_gr_bkt")
-    for i, g in enumerate(gcols):
-        cond = cond & (F.col(f"_lo_g{i}") == F.col(g))
-    off_aggs = [F.coalesce(F.sum("_lo_cnt"), F.lit(0)).alias("_gr_off")]
-    if cum_value is not None:
-        off_aggs.append(F.sum("_lo_vsum").alias("_gr_voff"))
-    offs = (
-        counts.join(F.broadcast(lower), cond, "left")
-        .groupBy(*gcols, "_gr_bkt")
-        .agg(*off_aggs)
+        pack_aggs.append(
+            F.map_from_entries(
+                F.collect_list(F.struct("_gr_bkt", "_gr_vsum"))
+            ).alias("_vm")
+        )
+    packed = counts.groupBy(*gcols).agg(*pack_aggs)
+    seq = F.sequence(F.lit(0), F.lit(buckets - 1))
+    zl = F.lit(0).cast("long")
+    cnt_arr = F.transform(
+        seq, lambda i: F.coalesce(F.element_at(F.col("_cm"), i), zl)
     )
+    off_cols = [
+        *gcols,
+        F.transform(
+            seq,
+            lambda i: F.aggregate(F.slice(cnt_arr, 1, i), zl, lambda a, x: a + x),
+        ).alias("_gr_offs"),
+    ]
+    if cum_value is not None:
+        from pyspark.sql.types import DecimalType
+
+        sum_dt = packed.schema["_vm"].dataType.valueType
+        vzero = F.lit(0).cast(sum_dt)
+        vinit = (
+            F.lit(0).cast(DecimalType(38, sum_dt.scale))
+            if isinstance(sum_dt, DecimalType)
+            else F.lit(0).cast(sum_dt)
+        )
+        v_arr = F.transform(
+            seq, lambda i: F.coalesce(F.element_at(F.col("_vm"), i), vzero)
+        )
+        off_cols.append(
+            F.transform(
+                seq,
+                lambda i: F.aggregate(
+                    F.slice(v_arr, 1, i), vinit, lambda a, x: a + x
+                ),
+            ).alias("_gr_voffs")
+        )
+    offs = packed.select(*off_cols)
+    idx1 = F.col("_gr_bkt") + F.lit(1)
     order = [metric.asc() if ascending else metric.desc()] + [t.asc() for t in tiebreaks]
     w = Window.partitionBy(*gcols, "_gr_bkt").orderBy(*order)
-    out = bucketed.join(F.broadcast(offs), [*gcols, "_gr_bkt"]).withColumn(
-        rn_col, (F.col("_gr_off") + F.row_number().over(w)).cast("long")
+    out = bucketed.join(F.broadcast(offs), gcols).withColumn(
+        rn_col,
+        (F.element_at(F.col("_gr_offs"), idx1) + F.row_number().over(w)).cast("long"),
     )
     if cum_value is not None:
         local_cum = F.sum(F.col(cum_value)).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         )
         out = out.withColumn(
-            cum_col,
-            F.coalesce(F.col("_gr_voff"), F.lit(0)) + local_cum,
-        ).drop("_gr_voff")
-    out = out.drop("_gr_bkt", "_gr_off")
+            cum_col, F.element_at(F.col("_gr_voffs"), idx1) + local_cum
+        ).drop("_gr_voffs")
+    out = out.drop("_gr_bkt", "_gr_offs")
     if keep_cols is not None:
         keep = [*gcols, *keep_cols, "_n_group", rn_col]
         if cum_value is not None:
