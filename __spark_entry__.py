@@ -60,6 +60,64 @@ ORDER BY user_id ASC NULLS FIRST
 """
 
 
+def q_state_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of `state_keyed_last`, promoted to the oracle
+    gate (reference is first a streaming gateway — channels.py:182):
+    events replay through a REAL Structured Streaming query —
+    readStream over an 8-file split with maxFilesPerTrigger=1, so
+    trigger(availableNow) executes 8 micro-batches whose keyed-last
+    states MERGE incrementally through the foreachBatch upsert
+    (streaming/state_stream.py) — and the final queryable state table
+    must hash-equal the batch window oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from csp_gateway_spark.streaming.state_stream import streaming_keyed_last
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix=f"csp_gw_stream_replay_{os.getpid()}_")
+    src = os.path.join(root, "src")
+    # deterministic 8-way split -> 8 source files -> 8 engine cycles
+    ev.withColumn("_b", F.pmod(F.hash("event_id"), F.lit(8))).repartition(
+        8, "_b"
+    ).drop("_b").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    table = f"gate_state_replay_{os.getpid()}"
+    q = streaming_keyed_last(
+        stream,
+        ["user_id"],
+        state_table=table,
+        order_by=["ts", "event_id"],
+        checkpoint=os.path.join(root, "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination()
+    # land the final state in its own parquet so the returned frame is
+    # a clean scan (the global-temp lineage chains back through every
+    # micro-batch to the replay source, which is cleaned up below)
+    state_out = os.path.join(root, "state_out")
+    spark.table(f"global_temp.{table}").write.mode("overwrite").parquet(state_out)
+    spark.catalog.dropGlobalTempView(table)
+    shutil.rmtree(os.path.join(root, "src"), ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "ckpt"), ignore_errors=True)
+    return spark.read.parquet(state_out).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+
+
+ORACLE_STATE_STREAM_REPLAY = ORACLE_STATE_KEYED_LAST
+
+
 # ---------------------------------------------------------------------------
 # P1-P3 — Filter/Query compilation on state (filter.py:16-66, state.py:339-376)
 # ---------------------------------------------------------------------------
@@ -7619,6 +7677,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "state_keyed_last": q_state_keyed_last,
+        "state_stream_replay": q_state_stream_replay,
         "state_filter_query": q_state_filter_query,
         "perspective_view": q_perspective_view,
         "perspective_pivot": q_perspective_pivot,
@@ -7830,7 +7889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green evidence from CORRECTNESS_r02 already.
     priority = [
         # keyed state / perspective
-        "state_keyed_last", "state_filter_query", "state_multikey",
+        "state_keyed_last", "state_stream_replay", "state_filter_query",
+        "state_multikey",
         "perspective_view", "perspective_pivot", "table_index_limit",
         # windows / joins / time
         "window_tumbling", "window_session", "asof_join", "interval_join",
@@ -7864,6 +7924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "state_keyed_last": ORACLE_STATE_KEYED_LAST,
+        "state_stream_replay": ORACLE_STATE_STREAM_REPLAY,
         "state_filter_query": ORACLE_STATE_FILTER_QUERY,
         "perspective_view": ORACLE_PERSPECTIVE_VIEW,
         "perspective_pivot": ORACLE_PERSPECTIVE_PIVOT,

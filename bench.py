@@ -101,6 +101,7 @@ HEADLINE = [
     "url_dedup",
     "source_drift",
     "state_keyed_last",
+    "state_stream_replay",
     "state_filter_query",
     "perspective_view",
     "perspective_pivot",

@@ -51,6 +51,7 @@ def streaming_keyed_last(
     checkpoint: Optional[str] = None,
     cache: Optional[LastValueCache] = None,
     channel: Optional[str] = None,
+    trigger_available_now: bool = False,
 ):
     """Run the keyed-last aggregation as a streaming query writing an
     in-memory queryable state table.
@@ -58,6 +59,11 @@ def streaming_keyed_last(
     One micro-batch ≙ one engine cycle (SURVEY §3.3): foreachBatch
     reduces the batch to last-per-key (map-side combine), then merges
     into the global state table with last-write-wins.
+
+    ``trigger_available_now``: replay everything currently available
+    (respecting source rate limits like ``maxFilesPerTrigger``, so a
+    multi-file source still exercises multi-batch state merging) and
+    then stop — the batch-replay mode the oracle gate uses.
     """
     from csp_gateway_spark.operators.state import keyed_last
 
@@ -85,11 +91,11 @@ def streaming_keyed_last(
         if cache is not None and channel is not None:
             cache.update(channel, batch_df.orderBy(*[F.asc(c) for c in order_by]).tail(1))
 
-    writer = (
-        stream.writeStream.foreachBatch(upsert)
-        .outputMode("append")
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-    )
+    writer = stream.writeStream.foreachBatch(upsert).outputMode("append")
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
