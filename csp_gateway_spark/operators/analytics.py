@@ -1210,10 +1210,17 @@ def fk_audit(
     return j.agg(
         F.lit(relation).alias("relation"),
         F.count(F.lit(1)).alias("n_child"),
-        F.sum(
-            (F.col("_fk").isNotNull() & F.col("_pk").isNull()).cast("long")
+        # coalesce: SUM over an EMPTY child is NULL, but "no rows" must
+        # report zero orphans / zero null fks, not unknown
+        F.coalesce(
+            F.sum(
+                (F.col("_fk").isNotNull() & F.col("_pk").isNull()).cast("long")
+            ),
+            F.lit(0),
         ).alias("n_orphans"),
-        F.sum(F.col("_fk").isNull().cast("long")).alias("n_null_fk"),
+        F.coalesce(
+            F.sum(F.col("_fk").isNull().cast("long")), F.lit(0)
+        ).alias("n_null_fk"),
     ).select("relation", "n_child", "n_orphans", "n_null_fk")
 
 

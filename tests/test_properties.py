@@ -133,3 +133,123 @@ def test_norm_tokens_equals_composed_tokenization(spark):
     a = df.select("i", F.posexplode_outer(composed)).collect()
     b = df.select("i", F.posexplode_outer(norm_tokens(F.col("t")))).collect()
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Randomized edge patterns for the round-5 advisory fixes: scd2's
+# all-NULL first row, merge_snapshot's duplicate-key refusal, and
+# fk_audit's NULL-FK accounting stay fixed under arbitrary key/NULL
+# shapes, checked against plain-Python reference models.
+# ---------------------------------------------------------------------------
+
+_attr_vals = st.one_of(st.none(), st.integers(0, 3))
+
+
+@st.composite
+def scd2_streams(draw):
+    n_keys = draw(st.integers(1, 3))
+    rows = []
+    for k in range(n_keys):
+        n = draw(st.integers(1, 6))
+        # unique ts per key (contract), attrs nullable with repeats
+        for t in range(n):
+            rows.append((k, t, draw(_attr_vals), draw(_attr_vals)))
+    return rows
+
+
+@given(scd2_streams())
+@settings(max_examples=10, deadline=None)
+def test_scd2_matches_reference_model_with_nulls(spark, rows):
+    from csp_gateway_spark.operators.state import scd2
+
+    df = spark.createDataFrame(rows, "k int, ts int, a int, b int")
+    got = {
+        (r.k, r.valid_from): (r.a, r.b, r.valid_to, r.is_current)
+        for r in scd2(df, ["k"], "ts", ["a", "b"]).collect()
+    }
+    # reference model: first row always opens a version; runs of
+    # None-safe-equal attrs collapse; valid_to = next version's ts
+    want = {}
+    by_key = {}
+    for k, ts, a, b in rows:
+        by_key.setdefault(k, []).append((ts, a, b))
+    for k, seq in by_key.items():
+        seq.sort()
+        versions = []
+        prev = object()
+        for ts, a, b in seq:
+            if (a, b) != prev:
+                versions.append((ts, a, b))
+            prev = (a, b)
+        for i, (ts, a, b) in enumerate(versions):
+            nxt = versions[i + 1][0] if i + 1 < len(versions) else None
+            want[(k, ts)] = (a, b, nxt, nxt is None)
+    assert got == want
+
+
+@st.composite
+def cdc_batches(draw):
+    cur = [(k, draw(st.integers(0, 9))) for k in range(draw(st.integers(1, 4)))]
+    n_ch = draw(st.integers(1, 5))
+    ch_keys = draw(
+        st.lists(st.integers(0, 5), min_size=n_ch, max_size=n_ch)
+    )
+    changes = [
+        (k, draw(st.integers(10, 19)), draw(st.sampled_from(["I", "U", "D"])))
+        for k in ch_keys
+    ]
+    return cur, changes
+
+
+@given(cdc_batches())
+@settings(max_examples=10, deadline=None)
+def test_merge_snapshot_dup_refusal_and_model(spark, data):
+    import pytest as _pytest
+
+    from csp_gateway_spark.sources.versioned import merge_snapshot
+
+    cur_rows, ch_rows = data
+    cur = spark.createDataFrame(cur_rows, "k int, v int")
+    ch = spark.createDataFrame(ch_rows, "k int, v int, op string")
+    keys = [k for k, _, _ in ch_rows]
+    if len(set(keys)) != len(keys):
+        # duplicate key in a ts-less batch MUST refuse, not fan out
+        with _pytest.raises(ValueError):
+            merge_snapshot(cur, ch, ["k"]).collect()
+        return
+    got = {r.k: r.v for r in merge_snapshot(cur, ch, ["k"]).collect()}
+    want = dict(cur_rows)
+    for k, v, op in ch_rows:
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert got == want
+
+
+@st.composite
+def fk_cases(draw):
+    child = draw(
+        st.lists(st.one_of(st.none(), st.integers(0, 5)), min_size=0, max_size=12)
+    )
+    parent = draw(
+        st.lists(st.one_of(st.none(), st.integers(0, 5)), min_size=0, max_size=8)
+    )
+    return child, parent
+
+
+@given(fk_cases())
+@settings(max_examples=10, deadline=None)
+def test_fk_audit_null_fk_accounting(spark, case):
+    from csp_gateway_spark.operators.analytics import fk_audit
+
+    child_vals, parent_vals = case
+    child = spark.createDataFrame([(v,) for v in child_vals], "fk int")
+    parent = spark.createDataFrame([(v,) for v in parent_vals], "pk int")
+    r = fk_audit(child, parent, "fk", "pk").collect()[0]
+    pk_set = {v for v in parent_vals if v is not None}
+    n_null = sum(1 for v in child_vals if v is None)
+    n_orph = sum(1 for v in child_vals if v is not None and v not in pk_set)
+    assert (r.n_child, r.n_orphans, r.n_null_fk) == (
+        len(child_vals), n_orph, n_null,
+    )

@@ -63,6 +63,15 @@ HEAVY = [
     "pareto_revenue",
     "winsorize_prices",
     "profile_table",
+    # round-6: graph/pair family + the re-planned grouped quantile
+    "label_propagation",
+    "source_overlap",
+    "dup_cluster_stats",
+    "lsh_eval",
+    "grouped_weighted_median",
+    "weighted_median",
+    "exact_quantiles",
+    "rfm_segments",
 ]
 
 TABLES = [
@@ -136,14 +145,60 @@ def _run_query(spark, qs, name: str, d: str, factor: int) -> None:
     qs[name](spark, d).write.format("noop").mode("overwrite").save()
 
 
+def hub_bench(spark, spokes=(100_000, 400_000), iters: int = 2) -> None:
+    """Hub-skew micro-bench for label_propagation: a star graph (one
+    hub, N spokes) concentrates the per-(dst,label) count on the hub
+    node.  The plan's two-phase argmax keeps the hub's cost inside a
+    map-side-combined GROUP (never a collected row), so time should
+    grow ~linearly with N — a super-linear ratio would flag a
+    skew-funnel."""
+    from pyspark.sql import functions as F
+
+    from csp_gateway_spark.operators.corpus import label_propagation
+
+    out = []
+    for n in spokes:
+        edges = spark.range(1, n + 1).select(
+            F.lit(0).alias("id_a"), F.col("id").alias("id_b")
+        )
+        seeds = spark.range(0, n + 1).select(
+            F.col("id").alias("node"),
+            (F.col("id") % 5).cast("string").alias("label"),
+        )
+        label_propagation(edges, seeds, iters=iters).write.format("noop").mode(
+            "overwrite"
+        ).save()  # warm
+        t0 = time.time()
+        label_propagation(edges, seeds, iters=iters).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out.append((n, round(time.time() - t0, 2)))
+    ratio = out[-1][1] / out[0][1] if out[0][1] > 0 else float("nan")
+    scale = out[-1][0] / out[0][0]
+    print(
+        "hub_label_propagation: "
+        + " ".join(f"{n}spokes={s:.2f}s" for n, s in out)
+        + f" ratio={ratio:.1f}x over {scale:.0f}x spokes"
+    )
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 2, 4]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
+    heavy = [n for n in HEAVY if only is None or n in only]
     import __spark_entry__ as entry
 
     from csp_gateway_spark.session import get_spark
 
     spark = get_spark("scaling")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--hub" in sys.argv:
+        hub_bench(spark)
+        if only is None and not factors:
+            return
     base = "/root/testdata/sf0.1"
     qs = entry.queries()
     results: dict[int, dict[str, float]] = {}
@@ -154,7 +209,7 @@ def main() -> None:
         # warm pass then timed pass (steady-state, like bench.py)
         for timed in (False, True):
             row: dict[str, float] = {}
-            for name in HEAVY:
+            for name in heavy:
                 t0 = time.time()
                 _run_query(spark, qs, name, d, factor)
                 row[name] = round(time.time() - t0, 2)
@@ -173,7 +228,7 @@ def main() -> None:
                 "| query | " + " | ".join(f"{n}x" for n in factors) + " | ratio {}/{}x |\n".format(factors[-1], factors[0])
             )
             f.write("|---|" + "---|" * (len(factors) + 1) + "\n")
-            for name in HEAVY:
+            for name in heavy:
                 vals = [results[n][name] for n in factors]
                 ratio = vals[-1] / vals[0] if vals[0] > 0 else float("nan")
                 f.write(f"| {name} | " + " | ".join(f"{v:.2f}" for v in vals) + f" | {ratio:.1f}× |\n")
