@@ -3888,6 +3888,257 @@ FROM f GROUP BY 1, 2 ORDER BY bucket_start, event_type
 # driver hooks
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# WAVE 12 (round 6) — feature association, growth/streak/interval analytics,
+# OLS trends, equi-depth profiling, containment dedup
+# ---------------------------------------------------------------------------
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information lang x source over documents — bounded cell
+    table, all three double sums folded in key order (engine-exact)."""
+    from csp_gateway_spark.operators.analytics import mutual_information
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mutual_information(docs, "lang", "source")
+    return out.select(
+        "n",
+        (F.round("mi", 6) + F.lit(0.0)).alias("mi"),
+        (F.round("h_a", 6) + F.lit(0.0)).alias("h_a"),
+        (F.round("h_b", 6) + F.lit(0.0)).alias("h_b"),
+        (F.round("nmi", 6) + F.lit(0.0)).alias("nmi"),
+    )
+
+
+ORACLE_MUTUAL_INFORMATION = """
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+), r AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+c AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+t AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+mi AS (
+  SELECT list_sum(list(
+    (CAST(o AS DOUBLE) / CAST(nn AS DOUBLE))
+    * ln(CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+         / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))
+    ORDER BY a, b)) AS mi
+  FROM cells JOIN r USING (a) JOIN c USING (b), t
+), ha AS (
+  SELECT list_sum(list(
+    -(CAST(ra AS DOUBLE) / CAST(nn AS DOUBLE))
+    * ln(CAST(ra AS DOUBLE) / CAST(nn AS DOUBLE)) ORDER BY a)) AS h_a
+  FROM r, t
+), hb AS (
+  SELECT list_sum(list(
+    -(CAST(cb AS DOUBLE) / CAST(nn AS DOUBLE))
+    * ln(CAST(cb AS DOUBLE) / CAST(nn AS DOUBLE)) ORDER BY b)) AS h_b
+  FROM c, t
+)
+SELECT t.nn AS n, round(mi.mi, 6) + 0.0 AS mi,
+  round(ha.h_a, 6) + 0.0 AS h_a, round(hb.h_b, 6) + 0.0 AS h_b,
+  round(CASE WHEN ha.h_a * hb.h_b > 0
+        THEN mi.mi / sqrt(ha.h_a * hb.h_b) ELSE 0.0 END, 6) + 0.0 AS nmi
+FROM t, mi, ha, hb
+"""
+
+
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user as a
+    (streak_days, n_users) distribution — gaps-and-islands, pure
+    integer logic."""
+    from csp_gateway_spark.operators.analytics import user_streaks
+
+    ev = _t(spark, sf_dir, "events")
+    return user_streaks(ev)
+
+
+ORACLE_USER_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+), i AS (
+  SELECT user_id, day,
+    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+  FROM d
+), s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS len FROM i GROUP BY user_id, isl
+), m AS (SELECT user_id, max(len) AS streak_days FROM s GROUP BY 1)
+SELECT streak_days, CAST(count(*) AS BIGINT) AS n_users
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_first_seen_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user growth per day — first-seen min per
+    user + two-phase exact running total (no unpartitioned window)."""
+    from csp_gateway_spark.operators.analytics import first_seen_growth
+
+    ev = _t(spark, sf_dir, "events")
+    return first_seen_growth(ev)
+
+
+ORACLE_FIRST_SEEN_GROWTH = """
+WITH f AS (
+  SELECT user_id, min(epoch_ns(ts) // 86400000000000) AS day
+  FROM events GROUP BY 1
+), d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+SELECT day AS day_num, new_users,
+  CAST(SUM(new_users) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM d ORDER BY 1
+"""
+
+
+def q_active_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-open-orders timeline via +/-1 delta events and an
+    exact two-phase running sum — interval overlap counting without an
+    interval self-join."""
+    from csp_gateway_spark.operators.analytics import active_orders
+
+    return active_orders(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+ORACLE_ACTIVE_ORDERS = """
+WITH cl AS (
+  SELECT l_orderkey AS k, max(CAST(l_shipdate AS DATE)) AS close_d
+  FROM lineitem GROUP BY 1
+), o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS open_d FROM orders),
+j AS (SELECT open_d, close_d FROM o JOIN cl USING (k)),
+dl AS (
+  SELECT datediff('day', DATE '1970-01-01', open_d) AS day, 1 AS delta FROM j
+  UNION ALL
+  SELECT datediff('day', DATE '1970-01-01', close_d) + 1 AS day, -1 AS delta FROM j
+), d AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS dl FROM dl GROUP BY 1)
+SELECT day AS day_num,
+  CAST(SUM(dl) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+FROM d ORDER BY 1
+"""
+
+
+def q_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation monthly-revenue OLS trend — exact decimal/integer
+    sums, closed-form slope/intercept as single double expressions."""
+    from csp_gateway_spark.operators.analytics import group_ols_trend
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        orders["o_custkey"] == cust["c_custkey"],
+    )
+    x = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    out = group_ols_trend(j, "c_nationkey", x, "o_totalprice")
+    return out.select(
+        F.col("grp").cast("long").alias("grp"),
+        "n_points",
+        (F.round("slope", 6) + F.lit(0.0)).alias("slope"),
+        (F.round("intercept", 6) + F.lit(0.0)).alias("intercept"),
+    ).orderBy("grp")
+
+
+ORACLE_GROUP_OLS_TREND = """
+WITH pts AS (
+  SELECT c_nationkey AS g,
+    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2
+), s AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+    SUM(y) AS sy,
+    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+    SUM(CAST(CAST(x AS DECIMAL(19,0)) * y AS DECIMAL(38,2))) AS sxy
+  FROM pts GROUP BY 1
+)
+SELECT CAST(g AS BIGINT) AS grp, n AS n_points,
+  round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0
+    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6) + 0.0 AS slope,
+  round((CAST(sy AS DOUBLE)
+         - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE), 6) + 0.0 AS intercept
+FROM s ORDER BY 1
+"""
+
+
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10-tile equi-depth histogram of l_extendedprice — ANSI
+    ntile reproduced by the two-phase rank (no unpartitioned
+    window)."""
+    from csp_gateway_spark.operators.analytics import equi_depth_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = equi_depth_histogram(
+        li, "l_extendedprice", ["l_orderkey", "l_linenumber"], buckets=10
+    )
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n",
+        (F.round("lo", 6) + F.lit(0.0)).alias("lo"),
+        (F.round("hi", 6) + F.lit(0.0)).alias("hi"),
+    )
+
+
+ORACLE_EQUI_DEPTH_HISTOGRAM = """
+WITH t AS (
+  SELECT l_extendedprice AS v,
+    ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+  FROM lineitem
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+  round(CAST(min(v) AS DOUBLE), 6) + 0.0 AS lo,
+  round(CAST(max(v) AS DOUBLE), 6) + 0.0 AS hi
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+_CONT_K = 12
+_CONT_THRESHOLD = 0.5
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (quote/subset detector) —
+    shingle-hash blocked, sizes joined on the doc key."""
+    from csp_gateway_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = containment_pairs(docs, k=_CONT_K, threshold=_CONT_THRESHOLD)
+    return out.select(
+        "id_a",
+        "id_b",
+        "shared",
+        (F.round("c_ab", 6) + F.lit(0.0)).alias("c_ab"),
+        (F.round("c_ba", 6) + F.lit(0.0)).alias("c_ba"),
+    ).orderBy("id_a", "id_b")
+
+
+def _oracle_containment_pairs() -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest({_sql_shingles(_CONT_K)}) AS s FROM documents)
+), sz AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+p AS (
+  SELECT a.id AS ia, b.id AS ib, CAST(count(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b, shared,
+  round(CAST(shared AS DOUBLE) / CAST(x.sz AS DOUBLE), 6) + 0.0 AS c_ab,
+  round(CAST(shared AS DOUBLE) / CAST(y.sz AS DOUBLE), 6) + 0.0 AS c_ba
+FROM p JOIN sz x ON p.ia = x.id JOIN sz y ON p.ib = y.id
+WHERE greatest(CAST(shared AS DOUBLE) / CAST(x.sz AS DOUBLE),
+               CAST(shared AS DOUBLE) / CAST(y.sz AS DOUBLE)) >= {_CONT_THRESHOLD}
+ORDER BY 1, 2
+"""
+
+
 def _stable(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Cast the final projection's decimal columns to double.
 

@@ -2707,3 +2707,261 @@ def hierarchy_share(
             ),
         )
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns plus
+    marginal entropies and the normalized MI — the feature-association
+    report that tells a training-mix owner whether two metadata
+    columns (language × source, segment × region) carry redundant
+    signal.
+
+    One (a, b) cell aggregate (map-side combined) plus BOUNDED
+    marginal aggregates; all three double sums fold their
+    category-bounded arrays in key order inside 1-row aggregates (the
+    ``chi_square_report`` trick), so the FP accumulation order is
+    engine-reproducible.  Output: one row (n, mi, h_a, h_b, nmi)."""
+    cells = df.groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_o")
+    )
+    rows = cells.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    cols = cells.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    tot = cells.agg(F.sum("_o").alias("_nn"))
+
+    def ent(frame: DataFrame, key: str, cnt: str, out: str) -> DataFrame:
+        t = frame.crossJoin(F.broadcast(tot))
+        p = F.col(cnt).cast("double") / F.col("_nn").cast("double")
+        folded = t.select(key, (-p * F.log(p)).alias("_t")).agg(
+            F.array_sort(F.collect_list(F.struct(key, "_t"))).alias("_vs")
+        )
+        return folded.select(
+            F.aggregate(F.col("_vs"), F.lit(0.0), lambda acc, s: acc + s["_t"]).alias(out)
+        )
+
+    j = (
+        cells.join(F.broadcast(rows), "_a")
+        .join(F.broadcast(cols), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    o = F.col("_o").cast("double")
+    n = F.col("_nn").cast("double")
+    term = (o / n) * F.log(
+        o * n / (F.col("_ra").cast("double") * F.col("_cb").cast("double"))
+    )
+    mi = (
+        j.select("_a", "_b", term.alias("_t"), "_nn")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_a", "_b", "_t"))).alias("_vs"),
+            F.max("_nn").alias("n"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.aggregate(
+                F.col("_vs"), F.lit(0.0), lambda acc, s: acc + s["_t"]
+            ).alias("mi"),
+        )
+    )
+    out = mi.crossJoin(F.broadcast(ent(rows, "_a", "_ra", "h_a"))).crossJoin(
+        F.broadcast(ent(cols, "_b", "_cb", "h_b"))
+    )
+    denom = F.sqrt(F.col("h_a") * F.col("h_b"))
+    return out.select(
+        "n",
+        "mi",
+        "h_a",
+        "h_b",
+        F.when(denom > 0, F.col("mi") / denom).otherwise(F.lit(0.0)).alias("nmi"),
+    )
+
+
+def user_streaks(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest consecutive-day activity streak per user, reported as a
+    (streak_days → n_users) distribution — the retention-health view
+    product teams watch.
+
+    Gaps-and-islands: per-user DISTINCT active days (one shuffle,
+    map-side combined), island id = day − row_number() in a window
+    PARTITIONED BY USER (bounded by the calendar span of one user's
+    activity, never data volume), two grouped counts.  Pure integer
+    logic — engine-exact.  ``ts_col`` is epoch-nanos."""
+    from pyspark.sql import Window
+
+    day = F.expr(f"{ts_col} div {86_400_000_000_000}")
+    d = events.select(F.col(user_col).alias("_u"), day.alias("_d")).distinct()
+    w = Window.partitionBy("_u").orderBy("_d")
+    isl = d.withColumn("_i", F.col("_d") - F.row_number().over(w))
+    streaks = isl.groupBy("_u", "_i").agg(F.count(F.lit(1)).alias("_len"))
+    per_user = streaks.groupBy("_u").agg(F.max("_len").alias("streak_days"))
+    return (
+        per_user.groupBy("streak_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("streak_days")
+    )
+
+
+def first_seen_growth(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cumulative-distinct-user growth curve: per day, how many users
+    appear for the FIRST time and the running total — the audience
+    growth chart, computed without any distinct-over-window blowup.
+
+    First-seen day per user is one map-side-combined min aggregate;
+    the day frame (calendar-bounded) gets its running total from the
+    two-phase ``global_row_number(cum_value=...)`` — integer addition
+    is associative, so the two-phase cumulative equals the flat
+    running sum exactly, with no unpartitioned window.  Output:
+    (day_num, new_users, cum_users)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    day = F.expr(f"min({ts_col}) div {86_400_000_000_000}")
+    first = events.groupBy(F.col(user_col).alias("_u")).agg(day.alias("_d"))
+    daily = first.groupBy("_d").agg(F.count(F.lit(1)).alias("new_users"))
+    ranked = global_row_number(
+        daily, "_d", [], rn_col="_rn", cum_value="new_users",
+        cum_col="_cum", checkpoint=True,
+    )
+    return ranked.select(
+        F.col("_d").alias("day_num"),
+        "new_users",
+        F.col("_cum").cast("long").alias("cum_users"),
+    ).orderBy("day_num")
+
+
+def active_orders(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    open_col: str = "o_orderdate",
+    close_col: str = "l_shipdate",
+) -> DataFrame:
+    """Concurrent-open-orders timeline: for every day on which the
+    count changes, how many orders are open (opened at
+    ``o_orderdate``, closed after their last shipment day) — the
+    classic interval-overlap counting problem, solved with ±1 delta
+    events and a running sum instead of an interval self-join (which
+    is O(n²) at scale).
+
+    Close day per order is one max aggregate; deltas aggregate per
+    day (calendar-bounded frame); the running total comes from the
+    two-phase ``global_row_number(cum_value=...)`` — exact integer
+    cumulative, no unpartitioned window.  Orders without line items
+    are excluded (no close evidence).  Output: (day_num,
+    open_orders)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    closes = lineitem.groupBy(F.col("l_orderkey").alias("_k")).agg(
+        F.max(F.to_date(F.col(close_col))).alias("_close")
+    )
+    opens = orders.select(
+        F.col("o_orderkey").alias("_k"), F.to_date(F.col(open_col)).alias("_open")
+    )
+    j = opens.join(closes, "_k")
+    epoch = F.lit("1970-01-01")
+    deltas = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.datediff(F.col("_open"), epoch).alias("_d"),
+                    F.lit(1).alias("_delta"),
+                ),
+                F.struct(
+                    (F.datediff(F.col("_close"), epoch) + 1).alias("_d"),
+                    F.lit(-1).alias("_delta"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e._d", "_e._delta")
+    daily = deltas.groupBy("_d").agg(F.sum("_delta").cast("long").alias("_dl"))
+    ranked = global_row_number(
+        daily, "_d", [], rn_col="_rn", cum_value="_dl",
+        cum_col="_cum", checkpoint=True,
+    )
+    return ranked.select(
+        F.col("_d").alias("day_num"), F.col("_cum").cast("long").alias("open_orders")
+    ).orderBy("day_num")
+
+
+def group_ols_trend(
+    df: DataFrame,
+    group_col,
+    x_col,
+    y_col,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line (slope + intercept)
+    of y over x — "revenue trend per nation", the segment-level twin
+    of ``theil_sen``.
+
+    The fact table collapses to one (group, x) point first; the five
+    OLS sums (n, Σx, Σy, Σx², Σxy) accumulate EXACTLY (integer x,
+    decimal y, decimal products capped below the 38-digit limit), so
+    the closed-form slope/intercept are single double expressions over
+    exact inputs — engine-identical.  Output per group:
+    (group, n_points, slope, intercept)."""
+    pts = df.groupBy(
+        F.col(group_col).alias("_g") if isinstance(group_col, str) else group_col.alias("_g"),
+        (F.col(x_col) if isinstance(x_col, str) else x_col).cast("long").alias("_x"),
+    ).agg(F.sum(dec(y_col) if isinstance(y_col, str) else y_col.cast("decimal(18,2)")).alias("_y"))
+    x19 = F.col("_x").cast("decimal(19,0)")
+    sums = pts.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(x19 * x19).alias("_sxx"),
+        F.sum((x19 * F.col("_y")).cast("decimal(38,2)")).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    denom = n * sxx - sx * sx
+    slope = F.when(denom != 0, (n * sxy - sx * sy) / denom)
+    return sums.select(
+        F.col("_g").alias("grp"),
+        F.col("_n").cast("long").alias("n_points"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    tiebreaks: Sequence[str],
+    buckets: int = 10,
+) -> DataFrame:
+    """Exact equal-count (equi-depth) histogram: split the column into
+    ``buckets`` ANSI-ntile tiles and report each tile's row count and
+    [lo, hi] value envelope — the boundary table a query optimizer or
+    data-profiling report wants, computed with NO unpartitioned
+    window (``global_row_number`` + ``ntile_from_rank`` reproduce
+    ntile's remainder rule exactly).  Ties break on ``tiebreaks`` so
+    the tile assignment is a strict total order.  Output per tile:
+    (bucket, n, lo, hi)."""
+    from csp_gateway_spark.plans.scale import global_row_number, ntile_from_rank
+
+    ranked = global_row_number(
+        df.select(value_col, *tiebreaks), value_col, list(tiebreaks), rn_col="_rn"
+    )
+    tiled = ranked.withColumn(
+        "bucket", ntile_from_rank("_rn", "_n_total", buckets)
+    )
+    return (
+        tiled.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col(value_col)).cast("double").alias("lo"),
+            F.max(F.col(value_col)).cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

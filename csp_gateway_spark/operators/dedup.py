@@ -1097,6 +1097,69 @@ def source_overlap(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    k: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over
+    distinct token ``k``-gram sets — the quote/subset detector
+    symmetric Jaccard misses (a short doc fully embedded in a long one
+    scores containment 1.0 but Jaccard ≈ |A|/|B|).  The standard
+    dedup screen for boilerplate wrappers and partial scrapes.
+
+    Plan (same blocking discipline as ``shared_ngram_pairs``): per-doc
+    DISTINCT shingle hashes (one map-side-combined projection), ONE
+    shuffle keyed on the 60-bit shingle hash, in-bucket pair expansion
+    over the collision-bounded id array, then a (pair → shared-count)
+    aggregate; per-doc set sizes join back on the doc key
+    (co-partitioned equi-joins, never a corpus-sized broadcast).
+    Emits pairs where max(C(A→B), C(B→A)) ≥ ``threshold``.
+    Output: (id_a, id_b, shared, c_ab, c_ba)."""
+    sh = (
+        shingle_rows(df, text_col, id_col, k)
+        .select(F.col(id_col), _md5_base15(F.col("_s")).alias("_h"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    buckets = (
+        sh.groupBy("_h")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    shared = (
+        buckets.select(F.explode(combos).alias("_p"))
+        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb"))
+    j = shared.join(sa, "id_a").join(sb, "id_b")
+    c_ab = F.col("shared").cast("double") / F.col("_sza").cast("double")
+    c_ba = F.col("shared").cast("double") / F.col("_szb").cast("double")
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            "shared",
+            c_ab.alias("c_ab"),
+            c_ba.alias("c_ba"),
+        )
+        .filter(F.greatest(F.col("c_ab"), F.col("c_ba")) >= F.lit(float(threshold)))
+    )
+
+
 def lsh_recall_eval(
     df: DataFrame,
     truth_threshold: float = 0.5,
