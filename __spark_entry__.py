@@ -4072,10 +4072,10 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 10-tile equi-depth histogram of l_extendedprice — ANSI
     ntile reproduced by the two-phase rank (no unpartitioned
     window)."""
-    from csp_gateway_spark.operators.analytics import equi_depth_histogram
+    from csp_gateway_spark.operators.analytics import ntile_histogram
 
     li = _t(spark, sf_dir, "lineitem")
-    out = equi_depth_histogram(
+    out = ntile_histogram(
         li, "l_extendedprice", ["l_orderkey", "l_linenumber"], buckets=10
     )
     return out.select(
@@ -8130,6 +8130,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "theil_sen": q_theil_sen,
         "gini": q_gini,
+        "mutual_information": q_mutual_information,
+        "user_streaks": q_user_streaks,
+        "first_seen_growth": q_first_seen_growth,
+        "active_orders": q_active_orders,
+        "group_ols_trend": q_group_ols_trend,
+        "ntile_histogram": q_equi_depth_histogram,
+        "containment_pairs": q_containment_pairs,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -8377,4 +8384,11 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "theil_sen": ORACLE_THEIL_SEN,
         "gini": ORACLE_GINI,
+        "mutual_information": ORACLE_MUTUAL_INFORMATION,
+        "user_streaks": ORACLE_USER_STREAKS,
+        "first_seen_growth": ORACLE_FIRST_SEEN_GROWTH,
+        "active_orders": ORACLE_ACTIVE_ORDERS,
+        "group_ols_trend": ORACLE_GROUP_OLS_TREND,
+        "ntile_histogram": ORACLE_EQUI_DEPTH_HISTOGRAM,
+        "containment_pairs": _oracle_containment_pairs(),
     }

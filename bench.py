@@ -97,6 +97,13 @@ HEADLINE = [
     "weighted_sample",
     "theil_sen",
     "gini",
+    "mutual_information",
+    "user_streaks",
+    "first_seen_growth",
+    "active_orders",
+    "group_ols_trend",
+    "ntile_histogram",
+    "containment_pairs",
     "url_canonical",
     "url_dedup",
     "source_drift",

@@ -2934,7 +2934,7 @@ def group_ols_trend(
     )
 
 
-def equi_depth_histogram(
+def ntile_histogram(
     df: DataFrame,
     value_col: str,
     tiebreaks: Sequence[str],

@@ -903,3 +903,92 @@ def test_ab_test_report_degenerate_arms(spark):
     r2 = ab_test_report(df2, "user_id", "value", F.col("user_id") % 2).collect()[0]
     assert r2.n_a == 2 and r2.n_b == 1
     assert abs(r2.mean_b - 5.0) < 1e-12 and r2.z is None
+
+
+def test_mutual_information_manual(spark):
+    import math
+
+    from csp_gateway_spark.operators.analytics import mutual_information
+
+    # perfectly dependent: a == b -> MI = H(A), NMI = 1
+    rows = [("x", "x")] * 3 + [("y", "y")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert abs(r.mi - math.log(2)) < 1e-9
+    assert abs(r.nmi - 1.0) < 1e-9
+    # independent uniform -> MI = 0
+    rows2 = [(a, b) for a in "xy" for b in "uv" for _ in range(2)]
+    df2 = spark.createDataFrame(rows2, "a string, b string")
+    r2 = mutual_information(df2, "a", "b").collect()[0]
+    assert abs(r2.mi) < 1e-12 and r2.n == 8
+
+
+def test_user_streaks_islands(spark):
+    from csp_gateway_spark.operators.analytics import user_streaks
+
+    D = 86_400_000_000_000
+    rows = [
+        # user 1: days 0,1,2 and 5 -> longest 3
+        (1, 0), (1, D), (1, 2 * D), (1, 5 * D), (1, 5 * D + 7),
+        # user 2: day 9 only -> 1
+        (2, 9 * D),
+        # user 3: days 3,4 -> 2
+        (3, 3 * D), (3, 4 * D),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    out = {r.streak_days: r.n_users for r in user_streaks(df).collect()}
+    assert out == {3: 1, 1: 1, 2: 1}
+
+
+def test_first_seen_growth_manual(spark):
+    from csp_gateway_spark.operators.analytics import first_seen_growth
+
+    D = 86_400_000_000_000
+    rows = [(1, 0), (2, 0), (1, D), (3, D), (4, 2 * D), (1, 2 * D)]
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    got = [(r.day_num, r.new_users, r.cum_users) for r in first_seen_growth(df).collect()]
+    assert got == [(0, 2, 2), (1, 1, 3), (2, 1, 4)]
+
+
+def test_active_orders_manual(spark):
+    import datetime
+
+    from csp_gateway_spark.operators.analytics import active_orders
+
+    d = lambda s: datetime.datetime.fromisoformat(s)
+    orders = spark.createDataFrame(
+        [(1, d("1970-01-02")), (2, d("1970-01-03")), (3, d("1970-01-10"))],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [(1, d("1970-01-04")), (1, d("1970-01-05")), (2, d("1970-01-03"))],
+        "l_orderkey long, l_shipdate timestamp",
+    )  # order 3 has no lines -> excluded
+    got = [(r.day_num, r.open_orders) for r in active_orders(orders, li).collect()]
+    # opens: day1 (+1), day2 (+1); closes: day5(last ship day4)+1=day5 for o1,
+    # day3+1=day4... o1 closes after day 1970-01-05 -> delta -1 at day 5;
+    # o2 closes after 1970-01-03 -> -1 at day 3
+    assert got == [(1, 1), (2, 2), (3, 1), (5, 0)]
+
+
+def test_group_ols_trend_exact_line(spark):
+    from csp_gateway_spark.operators.analytics import group_ols_trend
+
+    # group g: y = 2x + 1 exactly; group h: constant y = 5
+    rows = [("g", x, 2.0 * x + 1.0) for x in range(1, 6)]
+    rows += [("h", x, 5.0) for x in range(1, 4)]
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    out = {r.grp: r for r in group_ols_trend(df, "g", "x", "y").collect()}
+    assert abs(out["g"].slope - 2.0) < 1e-9 and abs(out["g"].intercept - 1.0) < 1e-9
+    assert abs(out["h"].slope) < 1e-9 and abs(out["h"].intercept - 5.0) < 1e-9
+
+
+def test_ntile_histogram_tiles(spark):
+    from csp_gateway_spark.operators.analytics import ntile_histogram
+
+    df = spark.createDataFrame([(float(i), i) for i in range(1, 11)], "v double, k int")
+    out = [(r.bucket, r.n, r.lo, r.hi) for r in ntile_histogram(df, "v", ["k"], buckets=4).collect()]
+    # ANSI ntile(4) over 10 rows: sizes 3,3,2,2
+    assert out == [
+        (1, 3, 1.0, 3.0), (2, 3, 4.0, 6.0), (3, 2, 7.0, 8.0), (4, 2, 9.0, 10.0),
+    ]

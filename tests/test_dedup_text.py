@@ -539,3 +539,21 @@ def test_label_propagation_unseeded_nodes_adopt(spark):
         for r in label_propagation(chain, seeds, iters=2).collect()
     }
     assert out2 == {1: "a", 2: "a", 3: "a"}
+
+
+def test_containment_pairs_subset_doc(spark):
+    """A short doc fully contained in a long one scores c_ab = 1.0
+    even when Jaccard is small."""
+    from csp_gateway_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    long_doc = quote + " eta theta iota kappa lambda mu nu xi omicron pi rho sigma"
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "totally unrelated words only here")],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, k=3, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert abs(r.c_ab - 1.0) < 1e-12 and r.c_ba < 0.5
