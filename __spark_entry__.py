@@ -3888,6 +3888,124 @@ FROM f GROUP BY 1, 2 ORDER BY bucket_start, event_type
 # driver hooks
 # ---------------------------------------------------------------------------
 
+def q_window_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of `window_tumbling` on the oracle gate: a REAL
+    streaming windowed aggregation — readStream over a 6-file split
+    (maxFilesPerTrigger=1 -> 6 micro-batches), event-time
+    `F.window(1 hour)` groupBy with an incremental state store,
+    outputMode(complete) into a memory sink — whose final table must
+    hash-equal the batch tumbling SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    root = tempfile.mkdtemp(prefix=f"csp_gw_wstream_{os.getpid()}_")
+    src_dir = os.path.join(root, "src")
+    ev.withColumn("_b", F.pmod(F.hash("event_id"), F.lit(6))).repartition(
+        6, "_b"
+    ).drop("_b").write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withColumn("_ets", F.expr("timestamp_micros(ts div 1000)"))
+        .groupBy(F.window("_ets", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+    )
+    table = f"gate_wstream_{os.getpid()}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(table)
+        .select(
+            F.col("window.start").cast("long").alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+    # memory sink rows live on the driver: the replay dirs can go now
+    state_out = os.path.join(root, "state_out")
+    out.write.mode("overwrite").parquet(state_out)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "ckpt"), ignore_errors=True)
+    return spark.read.parquet(state_out).orderBy("bucket_start", "event_type")
+
+
+ORACLE_WINDOW_STREAM_REPLAY = """
+SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_start, event_type,
+       COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING stateful dedup on the oracle gate: documents replay
+    through `dropDuplicates` on (source, md5(text)) — the streaming
+    state-store dedup — with each first-seen row appended to a memory
+    sink; per-source unique counts over the landed table must equal
+    the batch COUNT(DISTINCT) oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    root = tempfile.mkdtemp(prefix=f"csp_gw_dstream_{os.getpid()}_")
+    src_dir = os.path.join(root, "src")
+    docs.withColumn("_b", F.pmod(F.hash("doc_id"), F.lit(4))).repartition(
+        4, "_b"
+    ).drop("_b").write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    deduped = stream.select(
+        "source", F.md5(F.col("text")).alias("_h")
+    ).dropDuplicates(["source", "_h"])
+    table = f"gate_dstream_{os.getpid()}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(table)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .orderBy("source")
+    )
+    state_out = os.path.join(root, "state_out")
+    out.write.mode("overwrite").parquet(state_out)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "ckpt"), ignore_errors=True)
+    return spark.read.parquet(state_out).orderBy("source")
+
+
+ORACLE_DEDUP_STREAM_REPLAY = """
+SELECT source, CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # WAVE 12 (round 6) — feature association, growth/streak/interval analytics,
 # OLS trends, equi-depth profiling, containment dedup
@@ -7929,6 +8047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "state_keyed_last": q_state_keyed_last,
         "state_stream_replay": q_state_stream_replay,
+        "window_stream_replay": q_window_stream_replay,
+        "dedup_stream_replay": q_dedup_stream_replay,
         "state_filter_query": q_state_filter_query,
         "perspective_view": q_perspective_view,
         "perspective_pivot": q_perspective_pivot,
@@ -8183,6 +8303,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "state_keyed_last": ORACLE_STATE_KEYED_LAST,
         "state_stream_replay": ORACLE_STATE_STREAM_REPLAY,
+        "window_stream_replay": ORACLE_WINDOW_STREAM_REPLAY,
+        "dedup_stream_replay": ORACLE_DEDUP_STREAM_REPLAY,
         "state_filter_query": ORACLE_STATE_FILTER_QUERY,
         "perspective_view": ORACLE_PERSPECTIVE_VIEW,
         "perspective_pivot": ORACLE_PERSPECTIVE_PIVOT,

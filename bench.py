@@ -109,6 +109,8 @@ HEADLINE = [
     "source_drift",
     "state_keyed_last",
     "state_stream_replay",
+    "window_stream_replay",
+    "dedup_stream_replay",
     "state_filter_query",
     "perspective_view",
     "perspective_pivot",
