@@ -4257,6 +4257,95 @@ ORDER BY 1, 2
 """
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth at 4 doc-id checkpoints — min-first-
+    doc per token makes cumulative-distinct a plain count."""
+    from csp_gateway_spark.operators.corpus import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"), checkpoints=4)
+
+
+ORACLE_VOCAB_GROWTH = f"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+cp AS (SELECT CAST(i AS BIGINT) AS checkpoint, CAST((m * i) // 4 AS BIGINT) AS cutoff
+       FROM (SELECT unnest(range(1, 5)) AS i), mx),
+tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS.replace("trim(lower(text))", _SQL_NORM)}) AS token
+  FROM documents
+), first AS (SELECT token, min(doc_id) AS f FROM tok GROUP BY 1),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM tok GROUP BY 1),
+v AS (
+  SELECT checkpoint, cutoff, CAST(count(*) AS BIGINT) AS vocab
+  FROM first, cp WHERE f <= cutoff GROUP BY 1, 2
+), d AS (
+  SELECT checkpoint, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(nt) AS BIGINT) AS n_tokens
+  FROM pd, cp WHERE doc_id <= cutoff GROUP BY 1
+)
+SELECT v.checkpoint, cutoff, n_docs, n_tokens, vocab
+FROM v JOIN d USING (checkpoint) ORDER BY 1
+"""
+
+
+_PREFIX_K = 8
+
+
+def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate screen: groups of docs sharing an identical
+    first-8-token normalized prefix."""
+    from csp_gateway_spark.operators.dedup import prefix_dup_groups
+
+    out = prefix_dup_groups(_t(spark, sf_dir, "documents"), k=_PREFIX_K)
+    return out.select("prefix", "n_docs", "min_doc").orderBy("prefix")
+
+
+ORACLE_PREFIX_DUP_GROUPS = f"""
+WITH p AS (
+  SELECT doc_id,
+    array_to_string(({_SQL_TOKS.replace("trim(lower(text))", _SQL_NORM)})[1:{_PREFIX_K}], ' ') AS prefix
+  FROM documents
+)
+SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc
+FROM p GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+"""
+
+
+_BP_K = 2
+_BP_THRESHOLD = 0.15
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate 2-grams (present in >= 15% of a source's
+    docs) — the template-noise screen before training."""
+    from csp_gateway_spark.operators.curation import boilerplate_ngrams
+
+    out = boilerplate_ngrams(
+        _t(spark, sf_dir, "documents"), k=_BP_K, threshold=_BP_THRESHOLD
+    )
+    return out.select(
+        "source",
+        "ngram",
+        "n_docs",
+        (F.round("share", 6) + F.lit(0.0)).alias("share"),
+    ).orderBy("source", "ngram")
+
+
+def _oracle_boilerplate_ngrams() -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT source, doc_id, unnest({_sql_shingles(_BP_K)}) AS g
+  FROM documents
+), nd AS (SELECT source, CAST(count(*) AS BIGINT) AS ndocs FROM documents GROUP BY 1),
+c AS (SELECT source, g, CAST(count(*) AS BIGINT) AS n_docs FROM sh GROUP BY 1, 2)
+SELECT c.source, g AS ngram, n_docs,
+  round(CAST(n_docs AS DOUBLE) / CAST(ndocs AS DOUBLE), 6) + 0.0 AS share
+FROM c JOIN nd ON c.source = nd.source
+WHERE CAST(n_docs AS DOUBLE) / CAST(ndocs AS DOUBLE) >= {_BP_THRESHOLD}
+  AND n_docs >= 2
+ORDER BY 1, 2
+"""
+
+
 def _stable(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Cast the final projection's decimal columns to double.
 
@@ -8257,6 +8346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_ols_trend": q_group_ols_trend,
         "ntile_histogram": q_equi_depth_histogram,
         "containment_pairs": q_containment_pairs,
+        "vocab_growth": q_vocab_growth,
+        "prefix_dup_groups": q_prefix_dup_groups,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -8513,4 +8605,7 @@ def oracle_sql() -> dict[str, str]:
         "group_ols_trend": ORACLE_GROUP_OLS_TREND,
         "ntile_histogram": ORACLE_EQUI_DEPTH_HISTOGRAM,
         "containment_pairs": _oracle_containment_pairs(),
+        "vocab_growth": ORACLE_VOCAB_GROWTH,
+        "prefix_dup_groups": ORACLE_PREFIX_DUP_GROUPS,
+        "boilerplate_ngrams": _oracle_boilerplate_ngrams(),
     }

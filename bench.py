@@ -104,6 +104,9 @@ HEADLINE = [
     "group_ols_trend",
     "ntile_histogram",
     "containment_pairs",
+    "vocab_growth",
+    "prefix_dup_groups",
+    "boilerplate_ngrams",
     "url_canonical",
     "url_dedup",
     "source_drift",

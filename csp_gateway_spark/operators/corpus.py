@@ -1238,3 +1238,58 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels.select(F.col("_n").alias(node_col), F.col("_l").alias(label_col))
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoints: int = 4,
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct-vocabulary size,
+    document count and token count at ``checkpoints`` evenly-spaced
+    doc-id cutoffs — the corpus-stats report that tells a training-mix
+    owner whether more of a source still buys new vocabulary.
+
+    Each token's FIRST document (one min aggregate over the token
+    stream) makes the cumulative-distinct question a plain count:
+    vocab(c) = tokens whose first doc ≤ c — no distinct-over-window
+    blowup.  The checkpoint table is ≤ ``checkpoints`` rows (broadcast
+    into two bounded conditional joins).  Pure integer logic —
+    engine-exact.  Output per checkpoint: (checkpoint, cutoff,
+    n_docs, n_tokens, vocab)."""
+    stats = df.agg(F.max(F.col(id_col)).alias("_mx"))
+    cps = stats.select(
+        F.explode(F.sequence(F.lit(1), F.lit(checkpoints))).alias("_i"), "_mx"
+    ).select(
+        "_i", F.expr(f"(_mx * _i) div {checkpoints}").cast("long").alias("cutoff")
+    )
+    tok = token_rows(df, text_col, id_col)
+    first = tok.groupBy("token").agg(F.min(F.col(id_col)).alias("_first"))
+    per_doc = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nt"))
+    v = (
+        first.crossJoin(F.broadcast(cps))
+        .filter(F.col("_first") <= F.col("cutoff"))
+        .groupBy("_i", "cutoff")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    d = (
+        per_doc.crossJoin(F.broadcast(cps))
+        .filter(F.col(id_col) <= F.col("cutoff"))
+        .groupBy("_i")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        v.join(F.broadcast(d), "_i")
+        .select(
+            F.col("_i").cast("long").alias("checkpoint"),
+            "cutoff",
+            "n_docs",
+            "n_tokens",
+            "vocab",
+        )
+        .orderBy("checkpoint")
+    )

@@ -998,3 +998,53 @@ def exemplars(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n)
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    k: int = 2,
+    threshold: float = 0.15,
+    min_docs: int = 2,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source boilerplate n-gram detector: token ``k``-grams
+    present in at least ``threshold`` share of a source's documents —
+    headers, footers, navigation chrome and template noise that should
+    be stripped before training (the line-level classic, generalized
+    to n-grams for corpora without line structure).
+
+    Per-doc DISTINCT shingles come from the incremental
+    ``shingle_rows`` path; source labels join back on the doc key
+    (co-partitioned); one (source, ngram) count against a broadcast
+    per-source doc count.  ``min_docs`` floors the absolute document
+    count so degenerate tiny sources (1 doc ⇒ every n-gram has share
+    1.0) don't flood the report.  Output: (source, ngram, n_docs,
+    share)."""
+    from csp_gateway_spark.operators.dedup import shingle_rows
+
+    sh = (
+        shingle_rows(df, text_col, id_col, k)
+        .join(df.select(F.col(id_col), F.col(source_col).alias("_src")), id_col)
+        .select("_src", F.col(id_col), F.col("_s"))
+        .distinct()
+    )
+    nd = df.groupBy(F.col(source_col).alias("_src")).agg(
+        F.count(F.lit(1)).alias("_nd")
+    )
+    counts = sh.groupBy("_src", "_s").agg(F.count(F.lit(1)).alias("n_docs"))
+    share = F.col("n_docs").cast("double") / F.col("_nd").cast("double")
+    return (
+        counts.join(F.broadcast(nd), "_src")
+        .filter(
+            (share >= F.lit(float(threshold)))
+            & (F.col("n_docs") >= F.lit(int(min_docs)))
+        )
+        .select(
+            F.col("_src").alias(source_col),
+            F.col("_s").alias("ngram"),
+            "n_docs",
+            share.alias("share"),
+        )
+    )

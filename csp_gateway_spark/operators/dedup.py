@@ -1222,3 +1222,34 @@ def lsh_recall_eval(
             ),
         )
     )
+
+
+def prefix_dup_groups(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate groups by identical first-``k``-token prefix — the
+    cheap truncation-duplicate screen (same article cut at different
+    lengths shares its opening even when exact dedup misses it).
+
+    One projection computes each doc's normalized k-token prefix, one
+    hash aggregate groups on it; output only groups with > 1 doc.
+    Output: (prefix, n_docs, min_doc)."""
+    from csp_gateway_spark.operators.text import norm_tokens
+
+    pre = df.select(
+        F.col(id_col),
+        F.array_join(F.slice(norm_tokens(F.col(text_col)), 1, k), " ").alias(
+            "prefix"
+        ),
+    )
+    return (
+        pre.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("min_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

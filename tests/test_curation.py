@@ -758,3 +758,21 @@ def test_pack_batches_padding(spark):
     total_waste = st.agg(F.sum("pad_waste")).first()[0]
     total_tokens = st.agg(F.sum("sum_tokens")).first()[0]
     assert total_waste < 0.2 * total_tokens
+
+
+def test_boilerplate_ngrams_detects_template(spark):
+    from csp_gateway_spark.operators.curation import boilerplate_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "subscribe now unique words one", "s1"),
+            (2, "subscribe now different body here", "s1"),
+            (3, "subscribe now third doc text", "s1"),
+            (4, "no template in this one", "s1"),
+            (5, "other source entirely", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = boilerplate_ngrams(docs, k=2, threshold=0.6).collect()
+    got = {(r.source, r.ngram): (r.n_docs, round(r.share, 6)) for r in rows}
+    assert got == {("s1", "subscribe now"): (3, 0.75)}

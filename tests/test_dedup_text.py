@@ -557,3 +557,27 @@ def test_containment_pairs_subset_doc(spark):
     r = rows[0]
     assert (r.id_a, r.id_b) == (1, 2)
     assert abs(r.c_ab - 1.0) < 1e-12 and r.c_ba < 0.5
+
+
+def test_prefix_dup_groups_and_vocab_growth(spark):
+    from csp_gateway_spark.operators.corpus import vocab_growth
+    from csp_gateway_spark.operators.dedup import prefix_dup_groups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail one"),
+            (2, "a b c d e f g h different tail"),
+            (3, "совершенно unrelated doc here x y z w"),
+            (4, "q r s t u v w x"),
+        ],
+        "doc_id long, text string",
+    )
+    groups = prefix_dup_groups(docs, k=8).collect()
+    assert len(groups) == 1 and groups[0].n_docs == 2 and groups[0].min_doc == 1
+
+    vg = {r.checkpoint: r for r in vocab_growth(docs, checkpoints=4).collect()}
+    assert vg[4].n_docs == 4
+    # cumulative: vocab and token counts never decrease
+    vals = [vg[i] for i in sorted(vg)]
+    assert all(a.vocab <= b.vocab for a, b in zip(vals, vals[1:]))
+    assert all(a.n_tokens <= b.n_tokens for a, b in zip(vals, vals[1:]))
