@@ -2965,3 +2965,136 @@ def ntile_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col,
+    censored_col,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over integer durations with
+    right-censoring: S(t_k) = Π_{i ≤ k} (1 − d_i / n_i) where d_i =
+    events at duration t_i and n_i = subjects still at risk — the
+    standard time-to-event curve (order→ship latency, churn time,
+    ticket resolution).
+
+    Durations collapse to one row per distinct value (one hash
+    aggregate); at-risk counts n_i are a reverse running sum over the
+    DURATION-bounded step table, and every prefix product folds the
+    step array in duration order inside a 1-row aggregate — the
+    FP multiplication order is pinned, so the curve is
+    engine-reproducible.  Output per event step: (t, n_risk, d,
+    survival)."""
+    dur = F.col(duration_col) if isinstance(duration_col, str) else duration_col
+    cen = F.col(censored_col) if isinstance(censored_col, str) else censored_col
+    steps = df.select(
+        dur.cast("long").alias("_t"), cen.cast("int").alias("_c")
+    ).groupBy("_t").agg(
+        F.sum((F.col("_c") == 0).cast("long")).alias("_d"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    packed = steps.agg(
+        F.array_sort(F.collect_list(F.struct("_t", "_d", "_n"))).alias("_s")
+    )
+    # all arrays are duration-bounded: total, prefix counts, at-risk,
+    # step factors, and the prefix survival products are expression
+    # scans over the single packed row — O(steps²) on ONE row
+    total = F.aggregate(
+        F.col("_s"), F.lit(0).cast("long"), lambda a, s: a + s["_n"]
+    )
+    idx = F.sequence(F.lit(1), F.size(F.col("_s")))
+    risk = F.transform(
+        idx,
+        lambda i: total
+        - F.aggregate(
+            F.slice(F.col("_s"), 1, i - 1), F.lit(0).cast("long"),
+            lambda a, s: a + s["_n"],
+        ),
+    )
+    stepped = packed.select(
+        F.zip_with(
+            F.col("_s"), risk,
+            lambda s, r: F.struct(
+                s["_t"].alias("t"), r.alias("n_risk"), s["_d"].alias("d"),
+                (
+                    F.lit(1.0) - s["_d"].cast("double") / r.cast("double")
+                ).alias("_f"),
+            ),
+        ).alias("_z")
+    )
+    surv = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_z"))),
+        lambda i: F.aggregate(
+            F.slice(F.col("_z"), 1, i), F.lit(1.0), lambda a, s: a * s["_f"]
+        ),
+    )
+    rows = stepped.select(
+        F.posexplode(
+            F.zip_with(
+                F.col("_z"), surv,
+                lambda z, sv: F.struct(
+                    z["t"].alias("t"), z["n_risk"].alias("n_risk"),
+                    z["d"].alias("d"), sv.alias("survival"),
+                ),
+            )
+        ).alias("_i", "_row")
+    )
+    return rows.select(
+        F.col("_row.t").alias("t"),
+        F.col("_row.n_risk").alias("n_risk"),
+        F.col("_row.d").alias("d"),
+        F.col("_row.survival").alias("survival"),
+    ).filter(F.col("d") > 0).orderBy("t")
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    scale: int = 2,
+) -> DataFrame:
+    """Pairwise Pearson correlations of numeric fact columns in ONE
+    scan: every Σx, Σx², Σxy accumulates EXACTLY in decimal (inputs
+    quantized at ``scale`` dp; products narrowed per the 38-digit
+    cap), so each correlation is a single double expression over
+    exact sums — engine-identical, no per-pair rescans, no
+    row-by-row covariance updates.  Output per pair (upper triangle):
+    (var_a, var_b, corr)."""
+    qcols = {c: F.col(c).cast(f"decimal(19,{scale})") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(qcols[c]).alias(f"_s_{c}"))
+        aggs.append(
+            F.sum((qcols[c] * qcols[c]).cast(f"decimal(38,{2 * scale})")).alias(
+                f"_ss_{c}"
+            )
+        )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(
+            F.sum((qcols[a] * qcols[b]).cast(f"decimal(38,{2 * scale})")).alias(
+                f"_sp_{a}_{b}"
+            )
+        )
+    sums = df.agg(*aggs)
+    n = F.col("_n").cast("double")
+
+    def corr(a: str, b: str):
+        sa = F.col(f"_s_{a}").cast("double")
+        sb = F.col(f"_s_{b}").cast("double")
+        cov = n * F.col(f"_sp_{a}_{b}").cast("double") - sa * sb
+        va = n * F.col(f"_ss_{a}").cast("double") - sa * sa
+        vb = n * F.col(f"_ss_{b}").cast("double") - sb * sb
+        return F.when(va * vb > 0, cov / F.sqrt(va * vb))
+
+    out = sums.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(a).alias("var_a"), F.lit(b).alias("var_b"),
+                    corr(a, b).alias("corr"),
+                )
+                for a, b in pairs
+            ])
+        ).alias("_e")
+    )
+    return out.select("_e.var_a", "_e.var_b", "_e.corr").orderBy("var_a", "var_b")
