@@ -8127,6 +8127,119 @@ FROM nums
     )
 
 
+# ---------------------------------------------------------------------------
+# WAVE 15 (round 7) — survival analysis + correlation profiling
+# ---------------------------------------------------------------------------
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier order→ship latency curve: duration = days from
+    order date to line ship date; open linestatus 'O' lines are
+    right-censored.  Every prefix product folds the duration-ordered
+    step array, so the survival curve is engine-exact."""
+    from csp_gateway_spark.operators.analytics import kaplan_meier
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    base = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("dur"),
+        (F.col("l_linestatus") == "O").cast("int").alias("cens"),
+    )
+    out = kaplan_meier(base, "dur", "cens")
+    return out.select(
+        "t",
+        "n_risk",
+        "d",
+        (F.round("survival", 6) + F.lit(0.0)).alias("survival"),
+    ).orderBy("t")
+
+
+ORACLE_KAPLAN_MEIER = """
+WITH base AS (
+  SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS t,
+         CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), steps AS (
+  SELECT t, CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1
+), risk AS (
+  SELECT t, d,
+    CAST(SUM(n) OVER () - COALESCE(SUM(n) OVER (
+      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n_risk
+  FROM steps
+), f AS (
+  SELECT t, n_risk, d,
+         1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+  FROM risk
+), packed AS (
+  SELECT list(struct_pack(t := t, n_risk := n_risk, d := d, f := factor)
+              ORDER BY t) AS z
+  FROM f
+), ex AS (
+  SELECT unnest(z) AS s, generate_subscripts(z, 1) AS i, z FROM packed
+)
+SELECT s.t AS t, s.n_risk AS n_risk, s.d AS d,
+  round(list_reduce(list_transform(z[1:i], x -> x.f), (a, b) -> a * b), 6)
+    + 0.0 AS survival
+FROM ex WHERE s.d > 0 ORDER BY t
+"""
+
+
+_CORR_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the four lineitem fact columns
+    in ONE scan — exact-decimal Σx/Σx²/Σxy, double closed form."""
+    from csp_gateway_spark.operators.analytics import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = correlation_matrix(li, list(_CORR_COLS), scale=2)
+    return out.select(
+        "var_a",
+        "var_b",
+        (F.round("corr", 6) + F.lit(0.0)).alias("corr"),
+    ).orderBy("var_a", "var_b")
+
+
+def _oracle_correlation_matrix() -> str:
+    cols = _CORR_COLS
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in cols:
+        aggs.append(f"SUM(CAST({c} AS DECIMAL(19,2))) AS s_{c}")
+        aggs.append(
+            f"SUM(CAST(CAST({c} AS DECIMAL(19,2)) * CAST({c} AS DECIMAL(19,2))"
+            f" AS DECIMAL(38,4))) AS ss_{c}"
+        )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(
+            f"SUM(CAST(CAST({a} AS DECIMAL(19,2)) * CAST({b} AS DECIMAL(19,2))"
+            f" AS DECIMAL(38,4))) AS sp_{a}_{b}"
+        )
+    def corr(a: str, b: str) -> str:
+        return (
+            f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS var_a, '{b}' AS var_b,"
+        f" round({corr(a, b)}, 6) + 0.0 AS corr FROM s"
+        for a, b in pairs
+    )
+    return (
+        "WITH s AS (SELECT " + ", ".join(aggs) + " FROM lineitem)\n"
+        + arms
+        + "\nORDER BY var_a, var_b"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -8349,6 +8462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "prefix_dup_groups": q_prefix_dup_groups,
         "boilerplate_ngrams": q_boilerplate_ngrams,
+        "kaplan_meier": q_kaplan_meier,
+        "correlation_matrix": q_correlation_matrix,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -8358,9 +8473,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window/lookup forms, multimodal variants), most of which carry
     # driver-green evidence from CORRECTNESS_r02 already.
     priority = [
-        # keyed state / perspective
-        "state_keyed_last", "state_stream_replay", "state_filter_query",
-        "state_multikey",
+        # keyed state / perspective (incl. BOTH streaming shapes: the
+        # keyed-state replay AND the windowed-aggregation replay)
+        "state_keyed_last", "state_stream_replay", "window_stream_replay",
+        "state_filter_query", "state_multikey",
         "perspective_view", "perspective_pivot", "table_index_limit",
         # windows / joins / time
         "window_tumbling", "window_session", "asof_join", "interval_join",
@@ -8369,21 +8485,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_gate", "flatten_struct", "explode_embeddings", "replay_rewrite",
         "json_props",
         # text analysis
-        "text_stats", "text_clean", "quality_filter", "char_entropy",
+        "text_stats", "text_clean", "quality_filter",
         # dedup family
         "dedup_exact", "minhash_signature", "dedup_minhash_pairs",
-        "dedup_simhash", "ngram_jaccard", "line_dedup", "dedup_components",
+        "dedup_simhash", "ngram_jaccard", "dedup_components",
         "near_dedup_pipeline",
         # embeddings / ANN / clustering
         "embedding_neardup", "embedding_neardup_lsh", "ann_cosine_topk",
-        "ann_lsh_topk", "ann_ivf_topk", "embedding_quantize", "kmeans_refine",
+        "ann_lsh_topk", "ann_ivf_topk", "kmeans_refine",
         # corpus stats / encoding
         "vocab_topk", "tfidf", "doc_fingerprints", "vocab_encode",
         # curation
         "decontaminate", "stratified_sample", "train_split", "sequence_pack",
         "repetition_stats",
-        # sketches / rollups / analytics representative
-        "approx_distinct", "hypertable_rollup", "pricing_summary",
+        # sketches / rollups / analytics representatives
+        "approx_distinct", "hypertable_rollup", "kaplan_meier",
+        "correlation_matrix",
     ]
     ordered = {name: raw[name] for name in priority}
     ordered.update({name: fn for name, fn in raw.items() if name not in ordered})
@@ -8608,4 +8725,6 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": ORACLE_VOCAB_GROWTH,
         "prefix_dup_groups": ORACLE_PREFIX_DUP_GROUPS,
         "boilerplate_ngrams": _oracle_boilerplate_ngrams(),
+        "kaplan_meier": ORACLE_KAPLAN_MEIER,
+        "correlation_matrix": _oracle_correlation_matrix(),
     }
