@@ -8208,25 +8208,34 @@ def _oracle_correlation_matrix() -> str:
     cols = _CORR_COLS
     aggs = ["CAST(count(*) AS BIGINT) AS n"]
     for c in cols:
-        aggs.append(f"SUM(CAST({c} AS DECIMAL(19,2))) AS s_{c}")
+        aggs.append(f"SUM(CAST({c} AS DECIMAL(18,2))) AS s_{c}")
         aggs.append(
-            f"SUM(CAST(CAST({c} AS DECIMAL(19,2)) * CAST({c} AS DECIMAL(19,2))"
+            f"SUM(CAST(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2))"
             f" AS DECIMAL(38,4))) AS ss_{c}"
         )
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     for a, b in pairs:
         aggs.append(
-            f"SUM(CAST(CAST({a} AS DECIMAL(19,2)) * CAST({b} AS DECIMAL(19,2))"
+            f"SUM(CAST(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2))"
             f" AS DECIMAL(38,4))) AS sp_{a}_{b}"
         )
     def corr(a: str, b: str) -> str:
-        return (
-            f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
-            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
-            f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+        # guard the product of variances like the Spark operator's
+        # F.when(va*vb > 0, ...) — a zero-variance column yields NULL
+        # on both engines instead of DuckDB inf/NaN
+        va = (
+            f"(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
             f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
-            f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
-            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+        vb = (
+            f"(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        return (
+            f"CASE WHEN {va} * {vb} > 0 THEN"
+            f" (CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / sqrt({va} * {vb}) END"
         )
     arms = "\nUNION ALL\n".join(
         f"SELECT '{a}' AS var_a, '{b}' AS var_b,"

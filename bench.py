@@ -230,6 +230,8 @@ HEADLINE = [
     "embedding_standardize",
     "hard_negatives",
     "vocab_coverage",
+    "kaplan_meier",
+    "correlation_matrix",
 ]
 
 

@@ -3059,7 +3059,17 @@ def correlation_matrix(
     exact sums — engine-identical, no per-pair rescans, no
     row-by-row covariance updates.  Output per pair (upper triangle):
     (var_a, var_b, corr)."""
-    qcols = {c: F.col(c).cast(f"decimal(19,{scale})") for c in cols}
+    # quantize at (18, scale): an (18,s)×(18,s) product is precision
+    # 18+18+1 = 37 ≤ 38, so NEITHER engine precision-adjusts — squaring
+    # a (19,s) value would hit precision 39 and rely on Spark's silent
+    # min-scale clamp landing on 2·scale, which only holds for scale≤3.
+    if scale > 3:
+        raise ValueError(
+            f"correlation_matrix: scale={scale} > 3 — the exact-decimal "
+            "product path requires 2*scale+1 integer headroom inside "
+            "precision 38; pre-round the inputs instead"
+        )
+    qcols = {c: F.col(c).cast(f"decimal(18,{scale})") for c in cols}
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs.append(F.sum(qcols[c]).alias(f"_s_{c}"))

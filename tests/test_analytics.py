@@ -992,3 +992,35 @@ def test_ntile_histogram_tiles(spark):
     assert out == [
         (1, 3, 1.0, 3.0), (2, 3, 4.0, 6.0), (3, 2, 7.0, 8.0), (4, 2, 9.0, 10.0),
     ]
+
+
+def test_kaplan_meier_hand_computed(spark):
+    from csp_gateway_spark.operators.analytics import kaplan_meier
+
+    # 8 subjects; censored=1 rows leave the risk set without an event
+    rows = [(1, 0), (2, 0), (2, 1), (3, 0), (4, 1), (5, 0), (5, 0), (6, 1)]
+    df = spark.createDataFrame(rows, "dur int, cens int")
+    got = [(r.t, r.n_risk, r.d, r.survival) for r in kaplan_meier(df, "dur", "cens").collect()]
+    # S(1)=7/8, S(2)=7/8*6/7=3/4, S(3)=3/4*4/5=3/5, S(5)=3/5*(1/3)=1/5
+    assert [(t, n, d) for t, n, d, _ in got] == [(1, 8, 1), (2, 7, 1), (3, 5, 1), (5, 3, 2)]
+    for (_, _, _, s), want in zip(got, [0.875, 0.75, 0.6, 0.2]):
+        assert abs(s - want) < 1e-12
+
+
+def test_correlation_matrix_vs_numpy(spark):
+    import numpy as np
+
+    from csp_gateway_spark.operators.analytics import correlation_matrix
+
+    x = [1.0, 2.0, 3.0, 4.0, 5.0]
+    y = [2.0, 1.0, 4.0, 3.0, 7.0]
+    df = spark.createDataFrame(list(zip(x, y)), "x double, y double")
+    got = correlation_matrix(df, ["x", "y"], scale=2).collect()
+    assert [(r.var_a, r.var_b) for r in got] == [("x", "y")]
+    want = float(np.corrcoef(x, y)[0, 1])
+    assert abs(got[0].corr - want) < 1e-9
+    # constant column -> NULL, not NaN/inf (matches the oracle guard)
+    df2 = spark.createDataFrame([(v, 3.0) for v in x], "x double, y double")
+    assert correlation_matrix(df2, ["x", "y"], scale=2).collect()[0].corr is None
+    with pytest.raises(ValueError, match="scale"):
+        correlation_matrix(df, ["x", "y"], scale=4)
