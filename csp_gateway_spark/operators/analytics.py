@@ -31,6 +31,34 @@ from pyspark.sql import functions as F
 
 from csp_gateway_spark.plans.scale import broadcast_dim
 
+#: cap on single-row packed arrays (kaplan_meier step table,
+#: mutual_information cell list).  These operators fold a
+#: CARDINALITY-bounded array inside ONE row to pin FP order; if the
+#: distinct-key count approaches data volume the packed row no longer
+#: fits an executor and the plan is the wrong one — fail loudly with
+#: the cap instead of OOMing a task.
+PACKED_ARRAY_CAP = 1_000_000
+
+
+def _capped_packed(arr: Column, what: str, cap: int | None = None) -> Column:
+    """Runtime guard on a packed-array column: raises inside the plan
+    (no extra job) when the array exceeds ``cap`` elements (defaults
+    to the module-level ``PACKED_ARRAY_CAP``, read at call time)."""
+    if cap is None:
+        cap = PACKED_ARRAY_CAP
+    msg = F.concat(
+        F.lit(
+            f"{what}: packed array exceeds PACKED_ARRAY_CAP={cap} (got "
+        ),
+        F.size(arr).cast("string"),
+        F.lit(
+            " elements) — the single-row fold is only valid for "
+            "cardinality-bounded keys; reduce the domain or bucket first"
+        ),
+    )
+    return F.when(F.size(arr) > F.lit(cap), F.raise_error(msg)).otherwise(arr)
+
+
 __all__ = [
     "dec",
     "net_revenue",
@@ -2755,7 +2783,10 @@ def mutual_information(
     mi = (
         j.select("_a", "_b", term.alias("_t"), "_nn")
         .agg(
-            F.array_sort(F.collect_list(F.struct("_a", "_b", "_t"))).alias("_vs"),
+            _capped_packed(
+                F.array_sort(F.collect_list(F.struct("_a", "_b", "_t"))),
+                "mutual_information",
+            ).alias("_vs"),
             F.max("_nn").alias("n"),
         )
         .select(
@@ -2994,7 +3025,10 @@ def kaplan_meier(
         F.count(F.lit(1)).alias("_n"),
     )
     packed = steps.agg(
-        F.array_sort(F.collect_list(F.struct("_t", "_d", "_n"))).alias("_s")
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_t", "_d", "_n"))),
+            "kaplan_meier",
+        ).alias("_s")
     )
     # all arrays are duration-bounded: total, prefix counts, at-risk,
     # step factors, and the prefix survival products are expression

@@ -1024,3 +1024,28 @@ def test_correlation_matrix_vs_numpy(spark):
     assert correlation_matrix(df2, ["x", "y"], scale=2).collect()[0].corr is None
     with pytest.raises(ValueError, match="scale"):
         correlation_matrix(df, ["x", "y"], scale=4)
+
+
+def test_packed_array_cap_guards(spark):
+    from py4j.protocol import Py4JJavaError
+
+    from csp_gateway_spark.operators.analytics import (
+        kaplan_meier, mutual_information,
+    )
+    import csp_gateway_spark.operators.analytics as A_mod
+
+    old = A_mod.PACKED_ARRAY_CAP
+    try:
+        A_mod.PACKED_ARRAY_CAP = 3  # module default is read at call time
+        km_in = spark.createDataFrame(
+            [(i, 0) for i in range(10)], "dur int, cens int"
+        )
+        with pytest.raises(Exception, match="PACKED_ARRAY_CAP"):
+            kaplan_meier(km_in, "dur", "cens").collect()
+        mi_in = spark.createDataFrame(
+            [(str(i), str(i % 5)) for i in range(10)], "a string, b string"
+        )
+        with pytest.raises(Exception, match="PACKED_ARRAY_CAP"):
+            mutual_information(mi_in, "a", "b").collect()
+    finally:
+        A_mod.PACKED_ARRAY_CAP = old
