@@ -8482,9 +8482,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window/lookup forms, multimodal variants), most of which carry
     # driver-green evidence from CORRECTNESS_r02 already.
     priority = [
-        # keyed state / perspective (incl. BOTH streaming shapes: the
-        # keyed-state replay AND the windowed-aggregation replay)
+        # keyed state / perspective (incl. ALL THREE streaming shapes:
+        # keyed-state replay, windowed-aggregation replay, and the
+        # GroupState stateful-dedup replay)
         "state_keyed_last", "state_stream_replay", "window_stream_replay",
+        "dedup_stream_replay",
         "state_filter_query", "state_multikey",
         "perspective_view", "perspective_pivot", "table_index_limit",
         # windows / joins / time
@@ -8495,8 +8497,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props",
         # text analysis
         "text_stats", "text_clean", "quality_filter",
-        # dedup family
-        "dedup_exact", "minhash_signature", "dedup_minhash_pairs",
+        # dedup family (minhash_signature is subsumed by
+        # dedup_minhash_pairs, which recomputes the signatures — its
+        # slot funds the third streaming shape above; still replica-
+        # checked in the full 217-query sweep)
+        "dedup_exact", "dedup_minhash_pairs",
         "dedup_simhash", "ngram_jaccard", "dedup_components",
         "near_dedup_pipeline",
         # embeddings / ANN / clustering

@@ -2029,7 +2029,7 @@ def exact_quantiles(
     value_col: str,
     tiebreaks: Sequence[str],
     probs: Sequence[float],
-    buckets: int = 64,
+    buckets: "int | None" = None,
 ) -> DataFrame:
     """EXACT interpolated quantiles of a fact-table column by
     distributed rank-select — order statistics without the
@@ -2057,12 +2057,19 @@ def exact_quantiles(
         F.max(F.col(value_col)).alias("_gr_mx"),
         F.count(F.lit(1)).alias("_n_total"),
     )
+    from csp_gateway_spark.plans.scale import adaptive_bucket_count
+
     b = df.select(value_col, *tiebreaks).crossJoin(F.broadcast(stats))
+    nb = (
+        F.lit(buckets)
+        if buckets is not None
+        else adaptive_bucket_count(F.col("_n_total"))
+    )
     pos_b = F.col(value_col).cast("double") - F.col("_gr_mn").cast("double")
     span = F.col("_gr_mx").cast("double") - F.col("_gr_mn").cast("double")
-    raw = F.floor(pos_b / span * F.lit(float(buckets))).cast("int")
+    raw = F.floor(pos_b / span * nb.cast("double")).cast("int")
     bkt = F.when(span <= F.lit(0.0), F.lit(0)).otherwise(
-        F.least(F.lit(buckets - 1), F.greatest(F.lit(0), raw))
+        F.least(nb - F.lit(1), F.greatest(F.lit(0), raw))
     )
     bucketed = b.withColumn("_gr_bkt", bkt).drop("_gr_mn", "_gr_mx")
     counts = bucketed.groupBy("_gr_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
@@ -2070,7 +2077,15 @@ def exact_quantiles(
         F.map_from_entries(F.collect_list(F.struct("_gr_bkt", "_cnt"))).alias("_cm")
     )
     zl = F.lit(0).cast("long")
-    seq = F.sequence(F.lit(0), F.lit(buckets - 1))
+    # bucket-scan length from the max OBSERVED bucket id — every rank
+    # r ≤ n lands in an occupied-or-earlier bucket, so the crossing
+    # fold never needs the empty tail
+    seq = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.lit(0), F.coalesce(F.array_max(F.map_keys(F.col("_cm"))), F.lit(0))
+        ),
+    )
     cnt_arr = F.transform(
         seq, lambda i: F.coalesce(F.element_at(F.col("_cm"), i), zl)
     )
@@ -2150,7 +2165,7 @@ def weighted_median(
     weight_col: str,
     tiebreaks: Sequence[str],
     probs: Sequence[float] = (0.25, 0.5, 0.75),
-    buckets: int = 64,
+    buckets: "int | None" = None,
 ) -> DataFrame:
     """Exact weighted quantiles (lower / left-continuous definition):
     the smallest value whose running weight reaches p·W in value
@@ -2174,19 +2189,27 @@ def weighted_median(
     base = df.select(
         F.col(value_col).alias("_v"), w.alias("_w"), *tiebreaks
     )
+    from csp_gateway_spark.plans.scale import adaptive_bucket_count
+
     stats = base.agg(
         F.min("_v").alias("_mn"),
         F.max("_v").alias("_mx"),
         F.sum("_w").alias("_wt"),
+        F.count(F.lit(1)).alias("_n_total"),
     )
     b = base.crossJoin(F.broadcast(stats))
+    nb = (
+        F.lit(buckets)
+        if buckets is not None
+        else adaptive_bucket_count(F.col("_n_total"))
+    )
     pos = F.col("_v").cast("double") - F.col("_mn").cast("double")
     span = F.col("_mx").cast("double") - F.col("_mn").cast("double")
-    raw = F.floor(pos / span * F.lit(float(buckets))).cast("int")
+    raw = F.floor(pos / span * nb.cast("double")).cast("int")
     bkt = F.when(span <= F.lit(0.0), F.lit(0)).otherwise(
-        F.least(F.lit(buckets - 1), F.greatest(F.lit(0), raw))
+        F.least(nb - F.lit(1), F.greatest(F.lit(0), raw))
     )
-    bucketed = b.withColumn("_gr_bkt", bkt).drop("_mn", "_mx", "_wt")
+    bucketed = b.withColumn("_gr_bkt", bkt).drop("_mn", "_mx", "_wt", "_n_total")
     counts = bucketed.groupBy("_gr_bkt").agg(F.sum("_w").alias("_vs"))
     packed = counts.agg(
         F.map_from_entries(F.collect_list(F.struct("_gr_bkt", "_vs"))).alias("_vm")
@@ -2198,7 +2221,12 @@ def weighted_median(
         if isinstance(sum_dt, DecimalType)
         else F.lit(0).cast(sum_dt)
     )
-    seq = F.sequence(F.lit(0), F.lit(buckets - 1))
+    seq = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.lit(0), F.coalesce(F.array_max(F.map_keys(F.col("_vm"))), F.lit(0))
+        ),
+    )
     v_arr = F.transform(
         seq, lambda i: F.coalesce(F.element_at(F.col("_vm"), i), vzero)
     )
@@ -2501,7 +2529,8 @@ def grouped_weighted_median(
     from pyspark.sql import Window
     from pyspark.sql.types import DecimalType
 
-    buckets = 64
+    from csp_gateway_spark.plans.scale import adaptive_bucket_count
+
     w = F.col(weight_col).cast("decimal(18,2)")
     base = df.select(
         F.col(group_col).alias("_g"),
@@ -2516,11 +2545,13 @@ def grouped_weighted_median(
         F.sum("_w").alias("_wt"),
     )
     b = base.join(F.broadcast(stats), "_g")
+    # per-group adaptive bucket count — bounded per-bucket task size
+    nb = adaptive_bucket_count(F.col("_n"))
     pos = F.col("_v").cast("double") - F.col("_mn").cast("double")
     span = F.col("_mx").cast("double") - F.col("_mn").cast("double")
-    raw = F.floor(pos / span * F.lit(float(buckets))).cast("int")
+    raw = F.floor(pos / span * nb.cast("double")).cast("int")
     bkt = F.when(span <= F.lit(0.0), F.lit(0)).otherwise(
-        F.least(F.lit(buckets - 1), F.greatest(F.lit(0), raw))
+        F.least(nb - F.lit(1), F.greatest(F.lit(0), raw))
     )
     bucketed = b.withColumn("_gr_bkt", bkt).drop("_mn", "_mx")
     # exact per-(group, bucket) weight sums -> one packed map per group
@@ -2535,7 +2566,14 @@ def grouped_weighted_median(
         if isinstance(sum_dt, DecimalType)
         else F.lit(0).cast(sum_dt)
     )
-    seq = F.sequence(F.lit(0), F.lit(buckets - 1))
+    # per-group bucket-scan length from that group's max observed
+    # bucket id (the crossing bucket is always occupied-or-earlier)
+    seq = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.lit(0), F.coalesce(F.array_max(F.map_keys(F.col("_vm"))), F.lit(0))
+        ),
+    )
     v_arr = F.transform(
         seq, lambda i: F.coalesce(F.element_at(F.col("_vm"), i), vzero)
     )

@@ -15,8 +15,32 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: adaptive rank-bucket sizing: per-bucket task size is bounded by a
+#: CONSTANT number of rows, not data/64 — at 100 TB a fixed bucket
+#: count makes each per-bucket sort grow linearly with the data.
+TARGET_ROWS_PER_BUCKET = 2_000_000
+MIN_RANK_BUCKETS = 64
+MAX_RANK_BUCKETS = 4096
+
+
+def adaptive_bucket_count(
+    n_rows,
+    target_rows_per_bucket: int = TARGET_ROWS_PER_BUCKET,
+    lo: int = MIN_RANK_BUCKETS,
+    hi: int = MAX_RANK_BUCKETS,
+) -> Column:
+    """``clamp(ceil(n / target), lo, hi)`` as a Column expression over
+    the broadcast row-count aggregate — the bucket count the rank
+    family uses GROWS with input rows so per-bucket task size stays
+    bounded.  Derived from an exact count, so it is deterministic even
+    if Spark recomputes the subtree per branch (same property the
+    min/max cutoffs rely on)."""
+    n = n_rows if isinstance(n_rows, Column) else F.lit(n_rows)
+    raw = F.ceil(n.cast("double") / F.lit(float(target_rows_per_bucket)))
+    return F.least(F.lit(hi), F.greatest(F.lit(lo), raw.cast("int")))
 
 
 def broadcast_dim(df: DataFrame) -> DataFrame:
@@ -175,7 +199,8 @@ def global_row_number(
     tiebreaks: Sequence,
     rn_col: str = "_rn",
     ascending: bool = True,
-    buckets: int = 64,
+    buckets: Optional[int] = None,
+    target_rows_per_bucket: int = TARGET_ROWS_PER_BUCKET,
     keep_cols: Optional[Sequence[str]] = None,
     stats_df: Optional[DataFrame] = None,
     cum_value: Optional[str] = None,
@@ -241,14 +266,22 @@ def global_row_number(
         F.count(F.lit(1)).alias("_n_total"),
     )
     b = df.crossJoin(F.broadcast(stats))
+    # bucket count: explicit when given, else adaptive from the exact
+    # broadcast count so per-bucket task size is bounded by
+    # ``target_rows_per_bucket`` rows, not data/constant
+    nb = (
+        F.lit(buckets)
+        if buckets is not None
+        else adaptive_bucket_count(F.col("_n_total"), target_rows_per_bucket)
+    )
     pos = metric.cast("double") - F.col("_gr_mn").cast("double")
     span = F.col("_gr_mx").cast("double") - F.col("_gr_mn").cast("double")
-    raw = F.floor(pos / span * F.lit(float(buckets))).cast("int")
+    raw = F.floor(pos / span * nb.cast("double")).cast("int")
     bkt = F.when(span <= F.lit(0.0), F.lit(0)).otherwise(
-        F.least(F.lit(buckets - 1), F.greatest(F.lit(0), raw))
+        F.least(nb - F.lit(1), F.greatest(F.lit(0), raw))
     )
     if not ascending:
-        bkt = F.lit(buckets - 1) - bkt
+        bkt = nb - F.lit(1) - bkt
     bucketed = b.withColumn("_gr_bkt", bkt).drop("_gr_mn", "_gr_mx")
     # per-bucket counts from ONE cheap hash aggregate (one add per
     # data row — a wide conditional-sum array would cost O(buckets)
@@ -271,7 +304,15 @@ def global_row_number(
             ).alias("_vm")
         )
     packed = counts.agg(*pack_aggs)
-    seq = F.sequence(F.lit(0), F.lit(buckets - 1))
+    # offset-array length from the max OBSERVED bucket id (≤ nb − 1):
+    # empty trailing buckets need no offsets, and the count map itself
+    # carries the bound, so the expression stays correct for any nb
+    seq = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.lit(0), F.coalesce(F.array_max(F.map_keys(F.col("_cm"))), F.lit(0))
+        ),
+    )
     zl = F.lit(0).cast("long")
     cnt_arr = F.transform(
         seq, lambda i: F.coalesce(F.element_at(F.col("_cm"), i), zl)
@@ -334,7 +375,8 @@ def grouped_row_number(
     tiebreaks: Sequence,
     rn_col: str = "_rn",
     ascending: bool = True,
-    buckets: int = 64,
+    buckets: Optional[int] = None,
+    target_rows_per_bucket: int = TARGET_ROWS_PER_BUCKET,
     keep_cols: Optional[Sequence[str]] = None,
     cum_value: Optional[str] = None,
     cum_col: str = "_cum",
@@ -385,14 +427,22 @@ def grouped_row_number(
         F.count(F.lit(1)).alias("_n_group"),
     )
     b = df.join(F.broadcast(stats), gcols)
+    # per-GROUP adaptive bucket count from the exact per-group count —
+    # a 100 TB group still splits into bounded-size sub-buckets while
+    # a 100-row group keeps the minimum fan-out
+    nb = (
+        F.lit(buckets)
+        if buckets is not None
+        else adaptive_bucket_count(F.col("_n_group"), target_rows_per_bucket)
+    )
     pos = metric.cast("double") - F.col("_gr_mn").cast("double")
     span = F.col("_gr_mx").cast("double") - F.col("_gr_mn").cast("double")
-    raw = F.floor(pos / span * F.lit(float(buckets))).cast("int")
+    raw = F.floor(pos / span * nb.cast("double")).cast("int")
     bkt = F.when(span <= F.lit(0.0), F.lit(0)).otherwise(
-        F.least(F.lit(buckets - 1), F.greatest(F.lit(0), raw))
+        F.least(nb - F.lit(1), F.greatest(F.lit(0), raw))
     )
     if not ascending:
-        bkt = F.lit(buckets - 1) - bkt
+        bkt = nb - F.lit(1) - bkt
     bucketed = b.withColumn("_gr_bkt", bkt).drop("_gr_mn", "_gr_mx")
     # per-(group, bucket) counts from ONE cheap hash aggregate (one
     # add per data row), packed into a map per GROUP row; prefix
@@ -414,7 +464,14 @@ def grouped_row_number(
             ).alias("_vm")
         )
     packed = counts.groupBy(*gcols).agg(*pack_aggs)
-    seq = F.sequence(F.lit(0), F.lit(buckets - 1))
+    # per-group offset-array length from that group's max observed
+    # bucket id — variable-length per group row, bounded by nb
+    seq = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.lit(0), F.coalesce(F.array_max(F.map_keys(F.col("_cm"))), F.lit(0))
+        ),
+    )
     zl = F.lit(0).cast("long")
     cnt_arr = F.transform(
         seq, lambda i: F.coalesce(F.element_at(F.col("_cm"), i), zl)

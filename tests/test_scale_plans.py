@@ -376,3 +376,70 @@ def test_grouped_weighted_median_no_group_only_window(spark, sf_dir):
         assert line.count("], [") >= 2, line
         part = line.split("], [")[1]
         assert "_gr_bkt" in part, line
+
+
+def test_adaptive_bucket_count_grows_and_clamps(spark):
+    """The rank family's bucket count must GROW with input rows (so
+    per-bucket task size is bounded by target_rows_per_bucket, not
+    data/constant) and clamp to [MIN_RANK_BUCKETS, MAX_RANK_BUCKETS]."""
+    from csp_gateway_spark.plans.scale import (
+        MAX_RANK_BUCKETS, MIN_RANK_BUCKETS, adaptive_bucket_count,
+    )
+
+    one = spark.range(1)
+
+    def nb(n, target=2_000_000):
+        return one.select(
+            adaptive_bucket_count(F.lit(n), target).alias("b")
+        ).collect()[0].b
+
+    assert nb(0) == MIN_RANK_BUCKETS
+    assert nb(200_000_000) == 100         # ceil(2e8 / 2e6)
+    assert nb(1_000_000_000) == 500       # grows linearly with rows
+    assert nb(10**13) == MAX_RANK_BUCKETS  # 100 TB-scale row count clamps
+    assert nb(1_000) == MIN_RANK_BUCKETS   # small inputs keep min fan-out
+    # monotone non-decreasing in n
+    vals = [nb(n) for n in (10**6, 10**8, 10**9, 10**10)]
+    assert vals == sorted(vals)
+
+
+def test_global_row_number_adaptive_path_exact(spark, sf_dir):
+    """With a tiny target_rows_per_bucket the ADAPTIVE path fans out
+    past MIN_RANK_BUCKETS and must still be bit-identical to the flat
+    window — rank exactness is bucketing-independent."""
+    from pyspark.sql import Window
+
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("o_totalprice").alias("s")
+    )
+    got = global_row_number(
+        per, "m", ["o_custkey"], rn_col="rn", target_rows_per_bucket=3
+    ).select("o_custkey", "rn")
+    w = Window.orderBy(F.asc("m"), F.asc("o_custkey"))
+    want = per.select("o_custkey", F.row_number().over(w).alias("rn"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_grouped_row_number_adaptive_path_exact(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from csp_gateway_spark.plans.scale import grouped_row_number
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.select("o_orderstatus", "o_orderkey", "o_totalprice")
+    got = grouped_row_number(
+        base, ["o_orderstatus"], "o_totalprice", ["o_orderkey"],
+        rn_col="rn", target_rows_per_bucket=5,
+    ).select("o_orderstatus", "o_orderkey", "rn")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    want = base.select(
+        "o_orderstatus", "o_orderkey", F.row_number().over(w).alias("rn")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
