@@ -1349,27 +1349,38 @@ def pareto(
     decimal sums."""
     from csp_gateway_spark.plans.scale import global_row_number, ntile_from_rank
 
-    per_key = df.groupBy(key_col).agg(F.sum(dec(value_col)).alias("_rev"))
+    # checkpoint the collapsed key dimension once; ONE stats pass over
+    # it carries the rank cutoffs AND the grand total (exact decimal,
+    # associative), so no separate total aggregate + broadcast join —
+    # the total rides the already-broadcast stats row through the rank
+    per_key = df.groupBy(key_col).agg(
+        F.sum(dec(value_col)).alias("_rev")
+    ).localCheckpoint(eager=False)
+    stats = per_key.agg(
+        F.min("_rev").alias("_gr_mn"),
+        F.max("_rev").alias("_gr_mx"),
+        F.count(F.lit(1)).alias("_n_total"),
+        F.sum("_rev").alias("_tot"),
+    )
     ranked = global_row_number(
         per_key, "_rev", [key_col], rn_col="_rn", ascending=False,
-        checkpoint=True,
+        stats_df=stats,
     )
     tiers = ranked.withColumn(
         "decile", ntile_from_rank("_rn", "_n_total", buckets)
     )
-    # keep tier sums in exact decimal so the grand total re-derives
-    # from the ``buckets``-row frame (associative) — no second scan of
-    # the key dimension just for one scalar
     d = tiers.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("_rev").alias("_revd"),
+        F.max("_tot").alias("_tot"),
     )
-    total = d.agg(F.sum("_revd").cast("double").alias("_total"))
-    return d.crossJoin(F.broadcast(total)).select(
+    return d.select(
         "decile",
         "n_keys",
         F.col("_revd").cast("double").alias("revenue"),
-        F.round(F.col("_revd").cast("double") / F.col("_total"), 8).alias("share"),
+        F.round(
+            F.col("_revd").cast("double") / F.col("_tot").cast("double"), 8
+        ).alias("share"),
     )
 
 
@@ -1558,31 +1569,32 @@ def rfm_segments(
 
     from csp_gateway_spark.plans.scale import ntile_from_rank
 
-    ref = orders.agg(F.max(F.col(date_col)).alias("_ref"))
-    per_cust = (
+    # checkpoint the collapsed dimension: the stats pass and the
+    # tagged explode would otherwise each re-run the orders groupBy —
+    # a dim-bounded materialization, same pattern as market_basket's
+    # shared-subtree checkpoint.  The recency reference date is NOT a
+    # separate orders aggregate: max(o_orderdate) == max over
+    # customers of _last, so it rides the same stats row (one fewer
+    # fact-table scan + broadcast than the r4 shape).
+    base = (
         orders.groupBy(cust_col)
         .agg(
             F.max(F.col(date_col)).alias("_last"),
             F.count(F.lit(1)).alias("_freq"),
             F.sum(dec(amount_col)).alias("_spend"),
         )
-        .crossJoin(F.broadcast(ref))
-        .withColumn("_rec_days", F.datediff(F.col("_ref"), F.col("_last")))
+        .localCheckpoint(eager=False)
     )
-    # checkpoint the collapsed dimension: the stats pass and the
-    # tagged explode would otherwise each re-run the orders groupBy —
-    # a dim-bounded materialization, same pattern as market_basket's
-    # shared-subtree checkpoint
-    base = per_cust.select(
-        cust_col, "_rec_days", "_freq", "_spend"
-    ).localCheckpoint(eager=False)
-    # ONE aggregate pass computes the cutoff stats for all 3 metrics
+    # ONE aggregate pass computes the cutoff stats for all 3 metrics;
+    # recency derives exactly: _rec_days = datediff(max(_last), _last)
+    # so min_rec = 0 and max_rec = datediff(max(_last), min(_last))
     stats = base.agg(
-        F.min("_rec_days").alias("_mn_r"), F.max("_rec_days").alias("_mx_r"),
+        F.max("_last").alias("_ref"),
+        F.min("_last").alias("_first"),
         F.min("_freq").alias("_mn_f"), F.max("_freq").alias("_mx_f"),
         F.min("_spend").alias("_mn_m"), F.max("_spend").alias("_mx_m"),
         F.count(F.lit(1)).alias("_n_total"),
-    ).localCheckpoint(eager=False)
+    )
 
     n_bkt = 64
     d38 = "decimal(38,6)"
@@ -1607,7 +1619,15 @@ def rfm_segments(
             "_n_total",
             F.explode(
                 F.array(
-                    entry38(0, -F.col("_rec_days"), -F.col("_mx_r"), -F.col("_mn_r")),
+                    # negated recency so the shared window sorts ASC:
+                    # -datediff(_ref, _last) = datediff(_last, _ref),
+                    # bounds [-max_rec, 0] = [datediff(_first,_ref), 0]
+                    entry38(
+                        0,
+                        F.datediff(F.col("_last"), F.col("_ref")),
+                        F.datediff(F.col("_first"), F.col("_ref")),
+                        F.lit(0),
+                    ),
                     entry38(1, F.col("_freq"), F.col("_mn_f"), F.col("_mx_f")),
                     entry38(2, F.col("_spend"), F.col("_mn_m"), F.col("_mx_m")),
                 )
