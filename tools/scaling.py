@@ -72,6 +72,12 @@ HEAVY = [
     "weighted_median",
     "exact_quantiles",
     "rfm_segments",
+    # round-7/8: pair/curation/survival family
+    "containment_pairs",
+    "boilerplate_ngrams",
+    "ntile_histogram",
+    "active_orders",
+    "kaplan_meier",
 ]
 
 TABLES = [
