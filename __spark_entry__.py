@@ -8249,6 +8249,216 @@ def _oracle_correlation_matrix() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# WAVE 16 (round 8) — statistical testing + time-series association
+# ---------------------------------------------------------------------------
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between returned ('R') and acknowledged ('A') line
+    prices — one conditional-sum scan, closed-form doubles over exact
+    decimal moments."""
+    from csp_gateway_spark.operators.analytics import welch_ttest
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = welch_ttest(li, "l_returnflag", "l_extendedprice", "R", "A")
+    return out.select(
+        "n_a",
+        "n_b",
+        (F.round("mean_a", 6) + F.lit(0.0)).alias("mean_a"),
+        (F.round("mean_b", 6) + F.lit(0.0)).alias("mean_b"),
+        (F.round("t_stat", 6) + F.lit(0.0)).alias("t_stat"),
+        (F.round("df_welch", 4) + F.lit(0.0)).alias("df_welch"),
+    )
+
+
+def _welch_sql_side(flag: str, tag: str) -> str:
+    q = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    return (
+        f"CAST(SUM(CASE WHEN l_returnflag = '{flag}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{tag}, "
+        f"SUM(CASE WHEN l_returnflag = '{flag}' THEN {q} END) AS s_{tag}, "
+        f"SUM(CASE WHEN l_returnflag = '{flag}' THEN CAST({q} * {q} AS DECIMAL(38,4)) END) AS ss_{tag}"
+    )
+
+
+def _oracle_welch_ttest() -> str:
+    # the t/df expressions mirror the Spark operator's shape exactly:
+    # mean = s/n, var = (n·ss − s²)/(n·(n−1)), se = var/n,
+    # t = (ma − mb)/sqrt(sea+seb), df = (se2)²/(sea²/(na−1)+seb²/(nb−1))
+    def d(x: str) -> str:
+        return f"CAST({x} AS DOUBLE)"
+
+    ma, mb = f"({d('s_a')} / {d('n_a')})", f"({d('s_b')} / {d('n_b')})"
+    va = f"(({d('n_a')} * {d('ss_a')} - {d('s_a')} * {d('s_a')}) / ({d('n_a')} * ({d('n_a')} - 1.0)))"
+    vb = f"(({d('n_b')} * {d('ss_b')} - {d('s_b')} * {d('s_b')}) / ({d('n_b')} * ({d('n_b')} - 1.0)))"
+    sea, seb = f"({va} / {d('n_a')})", f"({vb} / {d('n_b')})"
+    se2 = f"({sea} + {seb})"
+    t = f"CASE WHEN {se2} > 0 THEN ({ma} - {mb}) / sqrt({se2}) END"
+    dfw = (
+        f"CASE WHEN {se2} > 0 THEN ({se2} * {se2})"
+        f" / ({sea} * {sea} / ({d('n_a')} - 1.0) + {seb} * {seb} / ({d('n_b')} - 1.0)) END"
+    )
+    return (
+        "WITH s AS (SELECT "
+        + _welch_sql_side("R", "a")
+        + ", "
+        + _welch_sql_side("A", "b")
+        + " FROM lineitem)\n"
+        + f"SELECT n_a, n_b, round({ma}, 6) + 0.0 AS mean_a,"
+        f" round({mb}, 6) + 0.0 AS mean_b, round({t}, 6) + 0.0 AS t_stat,"
+        f" round({dfw}, 4) + 0.0 AS df_welch FROM s"
+    )
+
+
+_LAG_CORR_EPOCH = "1992-01-01"
+_LAG_CORR_MAX = 7
+
+
+def q_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day autocorrelation of total order revenue at lags
+    1..7 — lag-exploded equi-join on the integer day key (gap-aware),
+    exact-decimal moment sums per lag, closed-form Pearson."""
+    from csp_gateway_spark.operators.analytics import lag_correlations
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    out = lag_correlations(daily, "day_num", "rev", max_lag=_LAG_CORR_MAX)
+    return out.select(
+        "lag",
+        "n_pairs",
+        (F.round("corr", 6) + F.lit(0.0)).alias("corr"),
+    ).orderBy("lag")
+
+
+ORACLE_LAG_CORR = f"""
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT l.lag, a.v AS va, b.v AS vb
+  FROM d a
+  CROSS JOIN (SELECT unnest(range(1, {_LAG_CORR_MAX + 1})) AS lag) l
+  JOIN d b ON b.k = a.k + l.lag
+), s AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         SUM(va) AS sa, SUM(vb) AS sb,
+         SUM(CAST(va * va AS DECIMAL(38,4))) AS saa,
+         SUM(CAST(vb * vb AS DECIMAL(38,4))) AS sbb,
+         SUM(CAST(va * vb AS DECIMAL(38,4))) AS sab
+  FROM p GROUP BY 1
+)
+SELECT CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+  CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+       THEN round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) + 0.0
+  END AS corr
+FROM s ORDER BY lag
+"""
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of order→ship latency (open 'O'
+    lines right-censored) — the additive twin of `kaplan_meier`, same
+    duration-ordered packed-array fold with a sum instead of a
+    product."""
+    from csp_gateway_spark.operators.analytics import nelson_aalen
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    base = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("dur"),
+        (F.col("l_linestatus") == "O").cast("int").alias("cens"),
+    )
+    out = nelson_aalen(base, "dur", "cens")
+    return out.select(
+        "t",
+        "n_risk",
+        "d",
+        (F.round("cum_hazard", 6) + F.lit(0.0)).alias("cum_hazard"),
+    ).orderBy("t")
+
+
+ORACLE_NELSON_AALEN = """
+WITH base AS (
+  SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS t,
+         CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), steps AS (
+  SELECT t, CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1
+), risk AS (
+  SELECT t, d,
+    CAST(SUM(n) OVER () - COALESCE(SUM(n) OVER (
+      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n_risk
+  FROM steps
+), f AS (
+  SELECT t, n_risk, d,
+         CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS h
+  FROM risk
+), packed AS (
+  SELECT list(struct_pack(t := t, n_risk := n_risk, d := d, h := h)
+              ORDER BY t) AS z
+  FROM f
+), ex AS (
+  SELECT unnest(z) AS s, generate_subscripts(z, 1) AS i, z FROM packed
+)
+SELECT s.t AS t, s.n_risk AS n_risk, s.d AS d,
+  round(list_reduce(list_transform(z[1:i], x -> x.h), (a, b) -> a + b), 6)
+    + 0.0 AS cum_hazard
+FROM ex WHERE s.d > 0 ORDER BY t
+"""
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 burstiest users by Fano factor of daily event counts —
+    two integer grouped aggregates + TakeOrdered, engine-exact
+    moments."""
+    from csp_gateway_spark.operators.analytics import burstiness
+
+    ev = _t(spark, sf_dir, "events")
+    out = burstiness(ev, "user_id", "ts", top_k=20)
+    return out.select(
+        "user_id",
+        "days_active",
+        "total_events",
+        (F.round("fano", 6) + F.lit(0.0)).alias("fano"),
+    )
+
+
+ORACLE_BURSTINESS = """
+WITH daily AS (
+  SELECT user_id AS u, epoch_ns(ts) // 86400000000000 AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), per AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS nd,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM daily GROUP BY 1 HAVING count(*) >= 2
+), scored AS (
+  SELECT u, nd, s,
+    ((CAST(nd AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+     / (CAST(nd AS DOUBLE) * (CAST(nd AS DOUBLE) - 1.0)))
+    / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) AS fano
+  FROM per
+)
+SELECT u AS user_id, nd AS days_active, s AS total_events,
+       round(fano, 6) + 0.0 AS fano
+FROM scored ORDER BY fano DESC, u ASC LIMIT 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -8473,6 +8683,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "kaplan_meier": q_kaplan_meier,
         "correlation_matrix": q_correlation_matrix,
+        "welch_ttest": q_welch_ttest,
+        "lag_corr": q_lag_corr,
+        "nelson_aalen": q_nelson_aalen,
+        "burstiness": q_burstiness,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -8741,4 +8955,8 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": _oracle_boilerplate_ngrams(),
         "kaplan_meier": ORACLE_KAPLAN_MEIER,
         "correlation_matrix": _oracle_correlation_matrix(),
+        "welch_ttest": _oracle_welch_ttest(),
+        "lag_corr": ORACLE_LAG_CORR,
+        "nelson_aalen": ORACLE_NELSON_AALEN,
+        "burstiness": ORACLE_BURSTINESS,
     }

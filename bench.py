@@ -232,6 +232,10 @@ HEADLINE = [
     "vocab_coverage",
     "kaplan_meier",
     "correlation_matrix",
+    "welch_ttest",
+    "lag_corr",
+    "nelson_aalen",
+    "burstiness",
 ]
 
 

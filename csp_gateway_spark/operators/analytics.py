@@ -3200,3 +3200,230 @@ def correlation_matrix(
         ).alias("_e")
     )
     return out.select("_e.var_a", "_e.var_b", "_e.corr").orderBy("var_a", "var_b")
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    group_a,
+    group_b,
+    scale: int = 2,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two cohorts of a
+    numeric fact column in ONE scan: conditional exact-decimal
+    Σx / Σx² per cohort (inputs quantized at ``scale`` dp, products
+    narrowed under the 38-digit cap), then the t statistic and
+    Welch–Satterthwaite degrees of freedom as single double
+    expressions over the exact sums — engine-identical, no per-cohort
+    rescans.  Output: one row (n_a, n_b, mean_a, mean_b, t_stat,
+    df_welch)."""
+    if scale > 3:
+        raise ValueError("welch_ttest: scale > 3 breaks the exact-decimal product path")
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    q = F.col(value_col).cast(f"decimal(18,{scale})")
+    q2 = (q * q).cast(f"decimal(38,{2 * scale})")
+
+    def side(cond, tag):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_n_{tag}"),
+            F.sum(F.when(cond, q)).alias(f"_s_{tag}"),
+            F.sum(F.when(cond, q2)).alias(f"_ss_{tag}"),
+        ]
+
+    sums = df.agg(*side(g == group_a, "a"), *side(g == group_b, "b"))
+
+    def stats(tag):
+        n = F.col(f"_n_{tag}").cast("double")
+        s = F.col(f"_s_{tag}").cast("double")
+        ss = F.col(f"_ss_{tag}").cast("double")
+        mean = s / n
+        # sample variance from exact sums: (n·Σx² − (Σx)²) / (n·(n−1))
+        var = (n * ss - s * s) / (n * (n - F.lit(1.0)))
+        return n, mean, var
+
+    na, ma, va = stats("a")
+    nb, mb, vb = stats("b")
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    t = F.when(se2 > 0, (ma - mb) / F.sqrt(se2))
+    dfw = F.when(
+        se2 > 0,
+        (se2 * se2)
+        / (sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))),
+    )
+    return sums.select(
+        F.col("_n_a").alias("n_a"),
+        F.col("_n_b").alias("n_b"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        t.alias("t_stat"),
+        dfw.alias("df_welch"),
+    )
+
+
+def lag_correlations(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    scale: int = 2,
+) -> DataFrame:
+    """Lagged Pearson autocorrelations of an integer-keyed series:
+    for each lag k in 1..``max_lag``, the correlation of the pairs
+    (y_t, y_{t+k}) over every t where BOTH keys exist (gap-aware —
+    missing keys simply contribute no pair).
+
+    One lag-exploded equi-join (each series row fans out ``max_lag``
+    times, joining back on ``key + k`` — co-partitioned on the key,
+    never a window over the whole series) and one grouped aggregate of
+    exact-decimal Σa/Σb/Σa²/Σb²/Σab per lag; each correlation is a
+    closed-form double over exact sums.  Output per lag:
+    (lag, n_pairs, corr)."""
+    if scale > 3:
+        raise ValueError("lag_correlations: scale > 3 breaks the exact-decimal product path")
+    d18 = f"decimal(18,{scale})"
+    d38 = f"decimal(38,{2 * scale})"
+    a = series.select(
+        F.col(key_col).cast("long").alias("_k"),
+        F.col(value_col).cast(d18).alias("_va"),
+    )
+    b = series.select(
+        F.col(key_col).cast("long").alias("_kb"),
+        F.col(value_col).cast(d18).alias("_vb"),
+    )
+    fanned = a.withColumn(
+        "lag", F.explode(F.sequence(F.lit(1), F.lit(int(max_lag))))
+    ).withColumn("_kb", F.col("_k") + F.col("lag"))
+    j = fanned.join(b, "_kb")
+    sums = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_va").alias("_sa"),
+        F.sum("_vb").alias("_sb"),
+        F.sum((F.col("_va") * F.col("_va")).cast(d38)).alias("_saa"),
+        F.sum((F.col("_vb") * F.col("_vb")).cast(d38)).alias("_sbb"),
+        F.sum((F.col("_va") * F.col("_vb")).cast(d38)).alias("_sab"),
+    )
+    n = F.col("_n").cast("double")
+    sa = F.col("_sa").cast("double")
+    sb = F.col("_sb").cast("double")
+    cov = n * F.col("_sab").cast("double") - sa * sb
+    va = n * F.col("_saa").cast("double") - sa * sa
+    vb = n * F.col("_sbb").cast("double") - sb * sb
+    return sums.select(
+        "lag",
+        F.col("_n").alias("n_pairs"),
+        F.when(va * vb > 0, cov / F.sqrt(va * vb)).alias("corr"),
+    ).orderBy("lag")
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col,
+    censored_col,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over integer durations
+    with right-censoring: H(t_k) = Σ_{i ≤ k} d_i / n_i — the additive
+    twin of :func:`kaplan_meier` (same step table, sum fold instead of
+    product fold; FP addition order pinned by the duration-ordered
+    packed array).  Output per event step: (t, n_risk, d,
+    cum_hazard)."""
+    dur = F.col(duration_col) if isinstance(duration_col, str) else duration_col
+    cen = F.col(censored_col) if isinstance(censored_col, str) else censored_col
+    steps = df.select(
+        dur.cast("long").alias("_t"), cen.cast("int").alias("_c")
+    ).groupBy("_t").agg(
+        F.sum((F.col("_c") == 0).cast("long")).alias("_d"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    packed = steps.agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_t", "_d", "_n"))),
+            "nelson_aalen",
+        ).alias("_s")
+    )
+    total = F.aggregate(
+        F.col("_s"), F.lit(0).cast("long"), lambda a, s: a + s["_n"]
+    )
+    idx = F.sequence(F.lit(1), F.size(F.col("_s")))
+    risk = F.transform(
+        idx,
+        lambda i: total
+        - F.aggregate(
+            F.slice(F.col("_s"), 1, i - 1), F.lit(0).cast("long"),
+            lambda a, s: a + s["_n"],
+        ),
+    )
+    stepped = packed.select(
+        F.zip_with(
+            F.col("_s"), risk,
+            lambda s, r: F.struct(
+                s["_t"].alias("t"), r.alias("n_risk"), s["_d"].alias("d"),
+                (s["_d"].cast("double") / r.cast("double")).alias("_h"),
+            ),
+        ).alias("_z")
+    )
+    cum = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_z"))),
+        lambda i: F.aggregate(
+            F.slice(F.col("_z"), 1, i), F.lit(0.0), lambda a, s: a + s["_h"]
+        ),
+    )
+    rows = stepped.select(
+        F.posexplode(
+            F.zip_with(
+                F.col("_z"), cum,
+                lambda z, h: F.struct(
+                    z["t"].alias("t"), z["n_risk"].alias("n_risk"),
+                    z["d"].alias("d"), h.alias("cum_hazard"),
+                ),
+            )
+        ).alias("_i", "_row")
+    )
+    return rows.select(
+        F.col("_row.t").alias("t"),
+        F.col("_row.n_risk").alias("n_risk"),
+        F.col("_row.d").alias("d"),
+        F.col("_row.cum_hazard").alias("cum_hazard"),
+    ).filter(F.col("d") > 0).orderBy("t")
+
+
+def burstiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    top_k: int = 20,
+) -> DataFrame:
+    """Per-user activity burstiness (Fano factor of daily event
+    counts: sample variance / mean — 1 ≈ Poisson, ≫1 = bursty), the
+    engagement-shape screen behind bot/burst detection.
+
+    Two grouped integer aggregates (user×day counts, then per-user
+    exact moment sums — all long arithmetic, engine-exact) and one
+    closed-form double per user; the report is a ``TakeOrdered``
+    top-``top_k`` with the user id as tiebreak, so nothing
+    user-shaped funnels through a full sort.  ``ts_col`` is
+    epoch-nanos.  Output: (user_id, days_active, total_events,
+    fano)."""
+    day = F.expr(f"{ts_col} div {86_400_000_000_000}")
+    daily = events.select(F.col(user_col).alias("_u"), day.alias("_d")).groupBy(
+        "_u", "_d"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    per_user = daily.groupBy("_u").agg(
+        F.count(F.lit(1)).alias("_nd"),
+        F.sum("_c").alias("_s"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_ss"),
+    ).filter(F.col("_nd") >= 2)
+    n = F.col("_nd").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    mean = s / n
+    var = (n * ss - s * s) / (n * (n - F.lit(1.0)))
+    scored = per_user.select(
+        F.col("_u").alias(user_col),
+        F.col("_nd").alias("days_active"),
+        F.col("_s").cast("long").alias("total_events"),
+        (var / mean).alias("fano"),
+    )
+    return scored.orderBy(F.desc("fano"), F.asc(user_col)).limit(top_k)

@@ -1049,3 +1049,69 @@ def test_packed_array_cap_guards(spark):
             mutual_information(mi_in, "a", "b").collect()
     finally:
         A_mod.PACKED_ARRAY_CAP = old
+
+
+def test_welch_ttest_vs_numpy(spark):
+    import numpy as np
+
+    from csp_gateway_spark.operators.analytics import welch_ttest
+
+    a = [10.0, 12.0, 9.0, 11.0, 13.0]
+    b = [8.0, 7.0, 9.5, 6.5]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t = (np.mean(a) - np.mean(b)) / np.sqrt(se2)
+    dfw = se2**2 / ((va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1))
+    assert (r.n_a, r.n_b) == (5, 4)
+    assert abs(r.t_stat - t) < 1e-9 and abs(r.df_welch - dfw) < 1e-9
+
+
+def test_lag_correlations_vs_numpy(spark):
+    import numpy as np
+
+    from csp_gateway_spark.operators.analytics import lag_correlations
+
+    y = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0]
+    df = spark.createDataFrame(list(enumerate(y)), "k int, v double")
+    got = {r.lag: r for r in lag_correlations(df, "k", "v", max_lag=3).collect()}
+    for k in (1, 2, 3):
+        want = float(np.corrcoef(y[:-k], y[k:])[0, 1])
+        assert got[k].n_pairs == len(y) - k
+        assert abs(got[k].corr - want) < 1e-9
+    # gap-aware: drop key 5 -> lag-1 pairs lose (4,5) and (5,6)
+    df2 = df.filter(F.col("k") != 5)
+    g2 = {r.lag: r for r in lag_correlations(df2, "k", "v", max_lag=1).collect()}
+    assert g2[1].n_pairs == 7
+
+
+def test_nelson_aalen_hand_computed(spark):
+    from csp_gateway_spark.operators.analytics import nelson_aalen
+
+    rows = [(1, 0), (2, 0), (2, 1), (3, 0), (4, 1), (5, 0), (5, 0), (6, 1)]
+    df = spark.createDataFrame(rows, "dur int, cens int")
+    got = [(r.t, r.n_risk, r.d, r.cum_hazard) for r in nelson_aalen(df, "dur", "cens").collect()]
+    assert [(t, n, d) for t, n, d, _ in got] == [(1, 8, 1), (2, 7, 1), (3, 5, 1), (5, 3, 2)]
+    wants = [1 / 8, 1 / 8 + 1 / 7, 1 / 8 + 1 / 7 + 1 / 5, 1 / 8 + 1 / 7 + 1 / 5 + 2 / 3]
+    for (_, _, _, h), want in zip(got, wants):
+        assert abs(h - want) < 1e-12
+
+
+def test_burstiness_manual(spark):
+    from csp_gateway_spark.operators.analytics import burstiness
+
+    D = 86_400_000_000_000
+    # user 1: counts [4, 1, 1] over 3 days  -> fano = var/mean = 3/2
+    # user 2: counts [2, 2] over 2 days     -> fano 0
+    # user 3: one day only -> excluded
+    rows = (
+        [(1, 0 * D + i) for i in range(4)]
+        + [(1, 1 * D), (1, 2 * D)]
+        + [(2, 0 * D), (2, 1), (2, 1 * D), (2, 1 * D + 1)]
+        + [(3, 0 * D)]
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    got = [(r.user_id, r.days_active, r.total_events, r.fano) for r in burstiness(df).collect()]
+    assert got == [(1, 3, 6, 1.5), (2, 2, 4, 0.0)]
