@@ -8249,6 +8249,114 @@ def _oracle_correlation_matrix() -> str:
     )
 
 
+def q_join_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING stream-stream interval join on the oracle gate:
+    click and purchase events replay as two file streams over a
+    TIME-ORDERED 6-file split (range-bucketed on ts, written in
+    order, `maxFilesPerTrigger=1` → monotone watermark), inner-joined
+    on user within [click, click + 1 h] under REAL 2-hour watermarks
+    on both sides (bounded join state — the production shape, unlike
+    an unbounded no-watermark join), appended to a memory sink; the
+    landed attribution pairs must hash-equal the batch self-join
+    oracle.  Timestamps run at micros (ns div 1000 — mirrored by the
+    oracle's `// 1000`)."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    root = tempfile.mkdtemp(prefix=f"csp_gw_jstream_{os.getpid()}_")
+    src_dir = os.path.join(root, "src")
+    # time-range buckets written SEQUENTIALLY so file modification
+    # order == event-time order and the watermark only moves forward
+    bounds = ev.agg(
+        F.min("ts").alias("_mn"), F.max("ts").alias("_mx")
+    ).collect()[0]
+    span = max(1, int(bounds._mx) - int(bounds._mn) + 1)
+    bucketed = ev.withColumn(
+        "_b",
+        ((F.col("ts") - F.lit(int(bounds._mn))) * 6 / F.lit(span)).cast("int"),
+    )
+    for k in range(6):
+        bucketed.filter(F.col("_b") == k).drop("_b").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    schema = ev.schema
+
+    def side(ty: str, ts_name: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .filter(F.col("event_type") == ty)
+            .withColumn(ts_name, F.expr("timestamp_micros(ts div 1000)"))
+            .withWatermark(ts_name, "2 hours")
+        )
+
+    clicks = side("click", "_cts").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("_cu"),
+        "_cts",
+    )
+    purchases = side("purchase", "_pts").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("_pu"),
+        F.col("value").alias("_pv"),
+        "_pts",
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("_cu") == F.col("_pu"))
+        & (F.col("_pts") >= F.col("_cts"))
+        & (F.col("_pts") <= F.col("_cts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    table = f"gate_jstream_{os.getpid()}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(table).select(
+        "click_id",
+        "purchase_id",
+        F.col("_cu").alias("user_id"),
+        # timestamp→long is epoch SECONDS in Spark (floored); the
+        # oracle mirrors with per-side `// 1000000` before the diff
+        (F.col("_pts").cast("long") - F.col("_cts").cast("long")).alias("lag_sec"),
+        (F.round("_pv", 6) + F.lit(0.0)).alias("purchase_value"),
+    )
+    state_out = os.path.join(root, "state_out")
+    out.write.mode("overwrite").parquet(state_out)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "ckpt"), ignore_errors=True)
+    return spark.read.parquet(state_out).orderBy("click_id", "purchase_id")
+
+
+ORACLE_JOIN_STREAM_REPLAY = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_ns(ts) // 1000 AS t_us
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id AS user_id,
+       CAST(p.t_us // 1000000 - c.t_us // 1000000 AS BIGINT) AS lag_sec,
+       round(p.value, 6) + 0.0 AS purchase_value
+FROM e c JOIN e p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.user_id = p.user_id
+ AND p.t_us >= c.t_us AND p.t_us <= c.t_us + 3600000000
+ORDER BY click_id, purchase_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # WAVE 16 (round 8) — statistical testing + time-series association
 # ---------------------------------------------------------------------------
@@ -8470,6 +8578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_stream_replay": q_state_stream_replay,
         "window_stream_replay": q_window_stream_replay,
         "dedup_stream_replay": q_dedup_stream_replay,
+        "join_stream_replay": q_join_stream_replay,
         "state_filter_query": q_state_filter_query,
         "perspective_view": q_perspective_view,
         "perspective_pivot": q_perspective_pivot,
@@ -8700,7 +8809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keyed-state replay, windowed-aggregation replay, and the
         # GroupState stateful-dedup replay)
         "state_keyed_last", "state_stream_replay", "window_stream_replay",
-        "dedup_stream_replay",
+        "dedup_stream_replay", "join_stream_replay",
         "state_filter_query", "state_multikey",
         "perspective_view", "perspective_pivot", "table_index_limit",
         # windows / joins / time
@@ -8718,9 +8827,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact", "dedup_minhash_pairs",
         "dedup_simhash", "ngram_jaccard", "dedup_components",
         "near_dedup_pipeline",
-        # embeddings / ANN / clustering
+        # embeddings / ANN / clustering (ann_lsh_topk's slot funds the
+        # fourth streaming shape; LSH stays represented by
+        # embedding_neardup_lsh and the dedup-LSH pair, and the full
+        # replica sweep still checks it)
         "embedding_neardup", "embedding_neardup_lsh", "ann_cosine_topk",
-        "ann_lsh_topk", "ann_ivf_topk", "kmeans_refine",
+        "ann_ivf_topk", "kmeans_refine",
         # corpus stats / encoding
         "vocab_topk", "tfidf", "doc_fingerprints", "vocab_encode",
         # curation
@@ -8742,6 +8854,7 @@ def oracle_sql() -> dict[str, str]:
         "state_stream_replay": ORACLE_STATE_STREAM_REPLAY,
         "window_stream_replay": ORACLE_WINDOW_STREAM_REPLAY,
         "dedup_stream_replay": ORACLE_DEDUP_STREAM_REPLAY,
+        "join_stream_replay": ORACLE_JOIN_STREAM_REPLAY,
         "state_filter_query": ORACLE_STATE_FILTER_QUERY,
         "perspective_view": ORACLE_PERSPECTIVE_VIEW,
         "perspective_pivot": ORACLE_PERSPECTIVE_PIVOT,

@@ -114,6 +114,7 @@ HEADLINE = [
     "state_stream_replay",
     "window_stream_replay",
     "dedup_stream_replay",
+    "join_stream_replay",
     "state_filter_query",
     "perspective_view",
     "perspective_pivot",
