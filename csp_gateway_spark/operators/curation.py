@@ -572,6 +572,13 @@ def dsir_weights(
     ``list_sum(list(n * lr ORDER BY bucket))``.  Docs with no
     features score 0.
     """
+    # the feature frame feeds BOTH the raw distribution and the
+    # per-doc scoring join; each branch re-runs the tokenize+hash
+    # shuffle (measured: a localCheckpoint here costs MORE than the
+    # recompute at bench scale — the materialized frame is wider than
+    # the two aggregates it would save).  At 100 TB, persist the
+    # features once (`feats.write.parquet`) and feed both branches
+    # from the stored table instead.
     feats = hashed_ngram_counts(corpus, dim, text_col, id_col)
     raw = feats.groupBy("bucket").agg(F.sum("n").alias("_rc"))
     tgt = (

@@ -443,3 +443,22 @@ def test_grouped_row_number_adaptive_path_exact(spark, sf_dir):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_wave16_plans_no_funnel_or_python(spark, sf_dir):
+    """Wave-15/16 analytics queries must keep scale-safe plans: no
+    unpartitioned windows, no sort-merge join where a bounded side
+    should broadcast, no Python in the hot path."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in [
+        "kaplan_meier", "correlation_matrix", "welch_ttest",
+        "lag_corr", "nelson_aalen", "burstiness",
+    ]:
+        df = qs[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        for line in _window_lines(df):
+            assert line.count("], [") >= 2, f"{name}: unpartitioned window: {line}"
