@@ -8567,6 +8567,95 @@ FROM scored ORDER BY fano DESC, u ASC LIMIT 20
 """
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between returned ('R') and
+    acknowledged ('A') line prices — packed two-cohort cumulative via
+    the range-bucketed two-phase rank, no unpartitioned window, no
+    binning."""
+    from csp_gateway_spark.operators.analytics import ks_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = ks_test(li, "l_returnflag", "l_extendedprice", "R", "A")
+    return out.select(
+        "n_a",
+        "n_b",
+        (F.round("d_stat", 6) + F.lit(0.0)).alias("d_stat"),
+        "at_value",
+    )
+
+
+ORACLE_KS_TEST = """
+WITH pv AS (
+  SELECT l_extendedprice AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM pv
+), c AS (
+  SELECT v,
+    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM pv
+), s AS (
+  SELECT v, na, nb,
+    abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+      - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE)) AS d
+  FROM c CROSS JOIN t
+)
+SELECT na AS n_a, nb AS n_b, round(d, 6) + 0.0 AS d_stat,
+       CAST(v AS DOUBLE) AS at_value
+FROM s ORDER BY d DESC, v ASC LIMIT 1
+"""
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day Holt linear-trend forecast of daily order revenue — the
+    level/trend recursion folds the day-ordered packed series with
+    pinned FP order; the oracle steps the identical expressions in a
+    recursive CTE."""
+    from csp_gateway_spark.operators.analytics import holt_forecast
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    out = holt_forecast(daily, "day_num", "rev", alpha=0.5, beta=0.25, horizon=7)
+    return out.select(
+        "h", (F.round("forecast", 4) + F.lit(0.0)).alias("forecast")
+    ).orderBy("h")
+
+
+ORACLE_HOLT_FORECAST = f"""
+WITH RECURSIVE d AS (
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM orders GROUP BY 1
+), o AS (
+  SELECT v, row_number() OVER (ORDER BY k) AS rn FROM d
+), r AS (
+  SELECT 1 AS i,
+         (SELECT v FROM o WHERE rn = 1) AS l,
+         (SELECT v FROM o WHERE rn = 2) - (SELECT v FROM o WHERE rn = 1) AS b
+  UNION ALL
+  SELECT r.i + 1,
+         0.5 * o.v + 0.5 * (r.l + r.b),
+         0.25 * ((0.5 * o.v + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b
+  FROM r JOIN o ON o.rn = r.i + 1
+), fin AS (
+  SELECT l, b FROM r WHERE i = (SELECT max(rn) FROM o)
+)
+SELECT CAST(h AS INTEGER) AS h,
+       round(l + CAST(h AS DOUBLE) * b, 4) + 0.0 AS forecast
+FROM fin CROSS JOIN (SELECT unnest(range(1, 8)) AS h)
+ORDER BY h
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -8796,6 +8885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_corr": q_lag_corr,
         "nelson_aalen": q_nelson_aalen,
         "burstiness": q_burstiness,
+        "ks_test": q_ks_test,
+        "holt_forecast": q_holt_forecast,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -9072,4 +9163,6 @@ def oracle_sql() -> dict[str, str]:
         "lag_corr": ORACLE_LAG_CORR,
         "nelson_aalen": ORACLE_NELSON_AALEN,
         "burstiness": ORACLE_BURSTINESS,
+        "ks_test": ORACLE_KS_TEST,
+        "holt_forecast": ORACLE_HOLT_FORECAST,
     }

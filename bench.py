@@ -237,6 +237,8 @@ HEADLINE = [
     "lag_corr",
     "nelson_aalen",
     "burstiness",
+    "ks_test",
+    "holt_forecast",
 ]
 
 

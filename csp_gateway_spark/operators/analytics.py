@@ -3427,3 +3427,144 @@ def burstiness(
         (var / mean).alias("fano"),
     )
     return scored.orderBy(F.desc("fano"), F.asc(user_col)).limit(top_k)
+
+
+def ks_test(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between two
+    cohorts of a numeric column: D = max over values of
+    |F̂_a(v) − F̂_b(v)| — the distribution-drift test that, unlike
+    ``psi_drift``, needs no binning choice.
+
+    The column collapses to one row per DISTINCT value with both
+    cohort counts (one hash aggregate); both empirical CDFs then need
+    one cumulative sum in value order — computed WITHOUT an
+    unpartitioned window by packing the two counts into a single
+    ``decimal(38,0)`` word (``ca·10¹⁵ + cb`` — addition distributes,
+    and each cumulative stays < 10¹⁵, so no carry crosses the fields)
+    and running ``plans.scale.global_row_number(cum_value=...)``'s
+    range-bucketed two-phase cumulative once.  D and its argmax value
+    are exact-integer ratios compared as identical doubles on both
+    engines; ties on D resolve to the smallest value.  Output: one
+    row (n_a, n_b, d_stat, at_value)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col)
+    per_val = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+        )
+    )
+    packed = per_val.withColumn(
+        "_pk",
+        (
+            # (20,0)×(16,0) → (37,0): stays under the 38-digit cap
+            # with no precision adjustment on either engine
+            F.col("_ca").cast("decimal(20,0)")
+            * F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
+            + F.col("_cb").cast("decimal(20,0)")
+        ).cast("decimal(38,0)"),
+    )
+    ranked = global_row_number(
+        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum"
+    )
+    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
+    # unpack without decimal-division rounding: modulo is exact, and
+    # the quotient (cum − cum_b)/shift is an exact integer, so the
+    # scale-6 division result represents it exactly
+    cum_b = F.pmod(F.col("_cum"), shift)
+    cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
+    totals = per_val.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    scored = ranked.crossJoin(F.broadcast(totals)).select(
+        "_v",
+        "_na",
+        "_nb",
+        F.abs(
+            cum_a.cast("double") / F.col("_na").cast("double")
+            - cum_b.cast("double") / F.col("_nb").cast("double")
+        ).alias("_d"),
+    )
+    top = scored.orderBy(F.desc("_d"), F.asc("_v")).limit(1)
+    return top.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.col("_d").alias("d_stat"),
+        F.col("_v").cast("double").alias("at_value"),
+    )
+
+
+def holt_forecast(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt linear-trend (double exponential smoothing) forecast of an
+    ordered series: level/trend recursion
+
+        l_i = α·y_i + (1−α)·(l_{i−1} + b_{i−1})
+        b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}
+
+    initialized l₁ = y₁, b₁ = y₂ − y₁, forecast ŷ_{n+h} = l_n + h·b_n.
+    The series packs into ONE key-ordered array (calendar-bounded —
+    cap-guarded) and the recursion is a single expression fold, so the
+    FP operation order is pinned and the forecast is
+    engine-reproducible (DuckDB mirror: a recursive CTE stepping the
+    identical expressions).  ``alpha``/``beta`` should be dyadic so
+    the smoothing products are exact.  Output: (h, forecast) for
+    h = 1..``horizon``."""
+    a = float(alpha)
+    b = float(beta)
+    packed = series.agg(
+        _capped_packed(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(key_col).cast("long").alias("_k"),
+                        F.col(value_col).cast("double").alias("_v"),
+                    )
+                )
+            ),
+            "holt_forecast",
+        ).alias("_s")
+    ).filter(F.size(F.col("_s")) >= 2)
+    l1 = F.element_at(F.col("_s"), 1)["_v"]
+    b1 = F.element_at(F.col("_s"), 2)["_v"] - F.element_at(F.col("_s"), 1)["_v"]
+
+    def step(acc, x):
+        lnew = F.lit(a) * x["_v"] + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        bnew = (
+            F.lit(b)
+            * ((F.lit(a) * x["_v"] + F.lit(1.0 - a) * (acc["l"] + acc["b"])) - acc["l"])
+            + F.lit(1.0 - b) * acc["b"]
+        )
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    fitted = packed.select(
+        F.aggregate(
+            F.slice(F.col("_s"), 2, F.size(F.col("_s")) - 1),
+            F.struct(l1.alias("l"), b1.alias("b")),
+            step,
+        ).alias("_f")
+    )
+    return fitted.select(
+        F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("h"),
+        F.col("_f.l").alias("_l"),
+        F.col("_f.b").alias("_b"),
+    ).select(
+        "h",
+        (F.col("_l") + F.col("h").cast("double") * F.col("_b")).alias("forecast"),
+    ).orderBy("h")

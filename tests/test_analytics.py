@@ -1115,3 +1115,39 @@ def test_burstiness_manual(spark):
     df = spark.createDataFrame(rows, "user_id long, ts long")
     got = [(r.user_id, r.days_active, r.total_events, r.fano) for r in burstiness(df).collect()]
     assert got == [(1, 3, 6, 1.5), (2, 2, 4, 0.0)]
+
+
+def test_ks_test_hand_computed(spark):
+    from csp_gateway_spark.operators.analytics import ks_test
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_test(df, "g", "v", "a", "b").collect()[0]
+    # F_a-F_b = 1/3 at v in {1,2,3}, 0 at 4.  In exact arithmetic the
+    # three are tied; in doubles 1 - 2/3 is the strict max (ulp above
+    # 1/3) — both engines agree, so the argmax is v=3 deterministically
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert abs(r.d_stat - 1 / 3) < 1e-12
+    assert r.at_value == 3.0
+    # identical cohorts -> D = 0
+    df2 = spark.createDataFrame(
+        [("a", v) for v in (1.0, 2.0)] + [("b", v) for v in (1.0, 2.0)],
+        "g string, v double",
+    )
+    assert ks_test(df2, "g", "v", "a", "b").collect()[0].d_stat == 0.0
+
+
+def test_holt_forecast_vs_python_loop(spark):
+    from csp_gateway_spark.operators.analytics import holt_forecast
+
+    y = [10.0, 12.0, 13.0, 16.0, 19.0, 18.0, 22.0]
+    a_, b_ = 0.5, 0.25
+    l, t = y[0], y[1] - y[0]
+    for v in y[1:]:
+        lnew = a_ * v + (1 - a_) * (l + t)
+        t = b_ * (lnew - l) + (1 - b_) * t
+        l = lnew
+    df = spark.createDataFrame(list(enumerate(y)), "k int, v double")
+    got = {r.h: r.forecast for r in holt_forecast(df, "k", "v", horizon=3).collect()}
+    for h in (1, 2, 3):
+        assert abs(got[h] - (l + h * t)) < 1e-9

@@ -454,7 +454,8 @@ def test_wave16_plans_no_funnel_or_python(spark, sf_dir):
     qs = entry.queries()
     for name in [
         "kaplan_meier", "correlation_matrix", "welch_ttest",
-        "lag_corr", "nelson_aalen", "burstiness",
+        "lag_corr", "nelson_aalen", "burstiness", "ks_test",
+        "holt_forecast",
     ]:
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
