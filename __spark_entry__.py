@@ -8656,6 +8656,63 @@ ORDER BY h
 """
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (midrank ties, tie-corrected z) between returned
+    and acknowledged line prices — the non-parametric twin of
+    `welch_ttest` on the same packed two-phase cumulative as
+    `ks_test`."""
+    from csp_gateway_spark.operators.analytics import mann_whitney_u
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = mann_whitney_u(li, "l_returnflag", "l_extendedprice", "R", "A")
+    return out.select(
+        "n_a",
+        "n_b",
+        (F.round("u_stat", 2) + F.lit(0.0)).alias("u_stat"),
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+ORACLE_MANN_WHITNEY = """
+WITH pv AS (
+  SELECT l_extendedprice AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1
+), c AS (
+  SELECT v, ca, cb,
+    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM pv
+), s AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+    SUM(CAST(CAST(ca AS DECIMAL(16,0))
+        * CAST(2 * (cum_a + cum_b - (ca + cb)) + (ca + cb) + 1 AS DECIMAL(20,0))
+        AS DECIMAL(38,0))) AS s2ra,
+    SUM(CAST(CAST(ca + cb AS DECIMAL(12,0)) * CAST(ca + cb AS DECIMAL(12,0))
+        * CAST(ca + cb AS DECIMAL(12,0)) - CAST(ca + cb AS DECIMAL(12,0))
+        AS DECIMAL(38,0))) AS ties
+  FROM c
+)
+SELECT na AS n_a, nb AS n_b,
+  round(CAST(s2ra AS DOUBLE) / 2.0
+        - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0, 2) + 0.0 AS u_stat,
+  round(CASE WHEN CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+       * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+          - CAST(ties AS DOUBLE) / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+              * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0))) > 0
+   THEN ((CAST(s2ra AS DOUBLE) / 2.0
+          - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0)
+         - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+        / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+       * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+          - CAST(ties AS DOUBLE) / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+              * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0))))
+  END, 6) + 0.0 AS z
+FROM s
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -8887,6 +8944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness": q_burstiness,
         "ks_test": q_ks_test,
         "holt_forecast": q_holt_forecast,
+        "mann_whitney": q_mann_whitney,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -9165,4 +9223,5 @@ def oracle_sql() -> dict[str, str]:
         "burstiness": ORACLE_BURSTINESS,
         "ks_test": ORACLE_KS_TEST,
         "holt_forecast": ORACLE_HOLT_FORECAST,
+        "mann_whitney": ORACLE_MANN_WHITNEY,
     }

@@ -239,6 +239,7 @@ HEADLINE = [
     "burstiness",
     "ks_test",
     "holt_forecast",
+    "mann_whitney",
 ]
 
 

@@ -3568,3 +3568,80 @@ def holt_forecast(
         "h",
         (F.col("_l") + F.col("h").cast("double") * F.col("_b")).alias("forecast"),
     ).orderBy("h")
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between two cohorts
+    with midrank ties and the normal approximation's tie-corrected
+    z — the non-parametric twin of :func:`welch_ttest`.
+
+    Same machinery as :func:`ks_test`: one distinct-value collapse
+    with both cohort counts, ONE packed two-phase cumulative (no
+    unpartitioned window).  Doubled rank sums keep every intermediate
+    an exact integer (midranks are halves, so 2·R_a = Σ ca·(2·(#rows
+    below v) + t_v + 1) is integer-exact in decimal), and the tie
+    term Σ(t³−t) aggregates exactly too; only the final U/z are
+    doubles, from identical expressions on both engines.  Output: one
+    row (n_a, n_b, u_stat, z)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col)
+    per_val = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+        )
+    )
+    packed = per_val.withColumn(
+        "_pk",
+        (
+            F.col("_ca").cast("decimal(20,0)")
+            * F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
+            + F.col("_cb").cast("decimal(20,0)")
+        ).cast("decimal(38,0)"),
+    )
+    ranked = global_row_number(
+        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum"
+    )
+    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
+    cum_b = F.pmod(F.col("_cum"), shift)
+    cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
+    cnt = (F.col("_ca") + F.col("_cb")).cast("decimal(20,0)")
+    below = (cum_a + cum_b.cast("decimal(38,0)")).cast("decimal(38,0)") - cnt  # rows strictly below v
+    two_ra_term = F.col("_ca").cast("decimal(16,0)") * (
+        F.lit(2).cast("decimal(2,0)") * below + cnt + F.lit(1).cast("decimal(2,0)")
+    ).cast("decimal(20,0)")
+    # cube at (12,0): 12+12+1=25 then 25+12+1=38 — exactly the cap, no
+    # precision adjustment on either engine (tie groups ≤ 1e12 rows)
+    cnt12 = cnt.cast("decimal(12,0)")
+    tie_term = (cnt12 * cnt12 * cnt12 - cnt12).cast("decimal(38,0)")
+    sums = ranked.agg(
+        F.sum("_ca").cast("long").alias("_na"),
+        F.sum("_cb").cast("long").alias("_nb"),
+        F.sum(two_ra_term.cast("decimal(38,0)")).alias("_s2ra"),
+        F.sum(tie_term).alias("_ties"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    n = na + nb
+    u = F.col("_s2ra").cast("double") / F.lit(2.0) - na * (na + F.lit(1.0)) / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    sigma2 = (
+        na * nb / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("_ties").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    return sums.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        u.alias("u_stat"),
+        F.when(sigma2 > 0, (u - mu) / F.sqrt(sigma2)).alias("z"),
+    )

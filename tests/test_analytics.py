@@ -1151,3 +1151,18 @@ def test_holt_forecast_vs_python_loop(spark):
     got = {r.h: r.forecast for r in holt_forecast(df, "k", "v", horizon=3).collect()}
     for h in (1, 2, 3):
         assert abs(got[h] - (l + h * t)) < 1e-9
+
+
+def test_mann_whitney_hand_computed(spark):
+    from csp_gateway_spark.operators.analytics import mann_whitney_u
+
+    # a = [1,2,3], b = [2,3,4]: midranks 1,2.5,4.5 for a -> R_a=8, U=2
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert abs(r.u_stat - 2.0) < 1e-12
+    # tie-corrected sigma^2 = (9/12)*(7 - 12/30) = 4.95; z = (2-4.5)/sqrt(4.95)
+    import math
+
+    assert abs(r.z - (2.0 - 4.5) / math.sqrt(4.95)) < 1e-9
