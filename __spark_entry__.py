@@ -8713,6 +8713,59 @@ FROM s
 """
 
 
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single changepoint of the daily-revenue series by
+    between-segment variance reduction — exact-decimal prefix sums via
+    the two-phase cumulative, closed-form doubles, TakeOrdered
+    argmax."""
+    from csp_gateway_spark.operators.analytics import changepoint
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    out = changepoint(daily, "day_num", "rev")
+    return out.select(
+        "n",
+        "split_key",
+        (F.round("reduction", 2) + F.lit(0.0)).alias("reduction"),
+        (F.round("mean_left", 4) + F.lit(0.0)).alias("mean_left"),
+        (F.round("mean_right", 4) + F.lit(0.0)).alias("mean_right"),
+    )
+
+
+ORACLE_CHANGEPOINT = f"""
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+  FROM orders GROUP BY 1
+), c AS (
+  SELECT k,
+    CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS rn,
+    SUM(y) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+), t AS (
+  SELECT SUM(y) AS s, CAST(count(*) AS BIGINT) AS n FROM d
+), scored AS (
+  SELECT k, n,
+    CAST(cum AS DOUBLE) * CAST(cum AS DOUBLE) / CAST(rn AS DOUBLE)
+      + (CAST(s AS DOUBLE) - CAST(cum AS DOUBLE)) * (CAST(s AS DOUBLE) - CAST(cum AS DOUBLE))
+        / (CAST(n AS DOUBLE) - CAST(rn AS DOUBLE))
+      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS red,
+    CAST(cum AS DOUBLE) / CAST(rn AS DOUBLE) AS ml,
+    (CAST(s AS DOUBLE) - CAST(cum AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(rn AS DOUBLE)) AS mr
+  FROM c CROSS JOIN t WHERE rn < n
+)
+SELECT n, k AS split_key, round(red, 2) + 0.0 AS reduction,
+       round(ml, 4) + 0.0 AS mean_left, round(mr, 4) + 0.0 AS mean_right
+FROM scored ORDER BY red DESC, k ASC LIMIT 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -8945,6 +8998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": q_ks_test,
         "holt_forecast": q_holt_forecast,
         "mann_whitney": q_mann_whitney,
+        "changepoint": q_changepoint,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -9224,4 +9278,5 @@ def oracle_sql() -> dict[str, str]:
         "ks_test": ORACLE_KS_TEST,
         "holt_forecast": ORACLE_HOLT_FORECAST,
         "mann_whitney": ORACLE_MANN_WHITNEY,
+        "changepoint": ORACLE_CHANGEPOINT,
     }

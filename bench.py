@@ -240,6 +240,7 @@ HEADLINE = [
     "ks_test",
     "holt_forecast",
     "mann_whitney",
+    "changepoint",
 ]
 
 

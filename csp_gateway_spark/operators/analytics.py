@@ -3645,3 +3645,60 @@ def mann_whitney_u(
         u.alias("u_stat"),
         F.when(sigma2 > 0, (u - mu) / F.sqrt(sigma2)).alias("z"),
     )
+
+
+def changepoint(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Offline single-changepoint detection on an ordered series: the
+    split k maximizing the between-segment sum of squares
+
+        R(k) = S₁²/k + (S−S₁)²/(n−k) − S²/n
+
+    (equivalently the k-means-style variance reduction of a binary
+    split; the offline complement of the streaming ``cusum``).
+
+    Prefix sums come from ``plans.scale.global_row_number``'s
+    range-bucketed two-phase cumulative (exact decimal — no
+    unpartitioned window); R(k) is a closed-form double per row over
+    exact sums, and the argmax is a ``TakeOrdered`` with the key as
+    tiebreak.  Output: one row (n, split_key, reduction, mean_left,
+    mean_right) — the split is BETWEEN ``split_key`` and the next
+    key."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    base = series.select(
+        F.col(key_col).alias("_k"),
+        F.col(value_col).cast("decimal(18,2)").alias("_y"),
+    )
+    ranked = global_row_number(
+        base, "_k", [], rn_col="_rn", cum_value="_y", cum_col="_cum"
+    )
+    totals = base.agg(
+        F.sum("_y").alias("_S"), F.count(F.lit(1)).alias("_n")
+    )
+    j = ranked.crossJoin(F.broadcast(totals)).filter(
+        F.col("_rn") < F.col("_n")
+    )
+    k = F.col("_rn").cast("double")
+    n = F.col("_n").cast("double")
+    s1 = F.col("_cum").cast("double")
+    s = F.col("_S").cast("double")
+    red = s1 * s1 / k + (s - s1) * (s - s1) / (n - k) - s * s / n
+    scored = j.select(
+        "_k",
+        F.col("_n").alias("n"),
+        red.alias("_red"),
+        (s1 / k).alias("_ml"),
+        ((s - s1) / (n - k)).alias("_mr"),
+    )
+    top = scored.orderBy(F.desc("_red"), F.asc("_k")).limit(1)
+    return top.select(
+        "n",
+        F.col("_k").cast("long").alias("split_key"),
+        F.col("_red").alias("reduction"),
+        F.col("_ml").alias("mean_left"),
+        F.col("_mr").alias("mean_right"),
+    )

@@ -1166,3 +1166,16 @@ def test_mann_whitney_hand_computed(spark):
     import math
 
     assert abs(r.z - (2.0 - 4.5) / math.sqrt(4.95)) < 1e-9
+
+
+def test_changepoint_finds_level_shift(spark):
+    from csp_gateway_spark.operators.analytics import changepoint
+
+    # clear level shift after k=5: [10×5, 50×5]
+    rows = [(k, 10.0) for k in range(1, 6)] + [(k, 50.0) for k in range(6, 11)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    r = changepoint(df, "k", "v").collect()[0]
+    assert r.n == 10 and r.split_key == 5
+    assert abs(r.mean_left - 10.0) < 1e-9 and abs(r.mean_right - 50.0) < 1e-9
+    # reduction equals n1*n2/n * (m1-m2)^2 = 25/10 * 1600 = 4000
+    assert abs(r.reduction - 4000.0) < 1e-6

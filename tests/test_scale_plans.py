@@ -455,7 +455,7 @@ def test_wave16_plans_no_funnel_or_python(spark, sf_dir):
     for name in [
         "kaplan_meier", "correlation_matrix", "welch_ttest",
         "lag_corr", "nelson_aalen", "burstiness", "ks_test",
-        "holt_forecast", "mann_whitney",
+        "holt_forecast", "mann_whitney", "changepoint",
     ]:
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
