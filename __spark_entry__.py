@@ -8447,7 +8447,12 @@ def q_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LAG_CORR = f"""
 WITH d AS (
   SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+         -- (19,2): int128 storage, so the v*v products below run on
+         -- DuckDB's int128 path — an (18,2)x(18,2) square would
+         -- multiply in int64 and overflow once a daily total passes
+         -- ~$3e7 (the round-5 cusum/anomaly_days lesson).  Values are
+         -- identical either way, so Spark's (18,2) side still matches.
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS v
   FROM orders GROUP BY 1
 ), p AS (
   SELECT l.lag, a.v AS va, b.v AS vb
