@@ -8771,6 +8771,487 @@ FROM scored ORDER BY red DESC, k ASC LIMIT 1
 """
 
 
+_KW_GROUPS = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five order priorities on order
+    value — the k-sample generalization of `mann_whitney` on the same
+    packed two-phase midrank cumulative, exact-integer rank sums."""
+    from csp_gateway_spark.operators.analytics import kruskal_wallis
+
+    orders = _t(spark, sf_dir, "orders")
+    out = kruskal_wallis(orders, "o_orderpriority", "o_totalprice", _KW_GROUPS)
+    return out.select(
+        "grp",
+        "n_g",
+        (F.round("mean_rank", 4) + F.lit(0.0)).alias("mean_rank"),
+        (F.round("h", 6) + F.lit(0.0)).alias("h"),
+        (F.round("h_adj", 6) + F.lit(0.0)).alias("h_adj"),
+    )
+
+
+ORACLE_KRUSKAL_WALLIS = """
+WITH pv AS (
+  SELECT o_totalprice AS v,
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+    CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+    CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+    CAST(count(*) AS BIGINT) AS ct
+  FROM orders GROUP BY 1
+), c AS (
+  SELECT *, SUM(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pv
+), s AS (
+  SELECT
+    CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
+    CAST(SUM(c2) AS BIGINT) AS n2, CAST(SUM(c3) AS BIGINT) AS n3,
+    CAST(SUM(c4) AS BIGINT) AS n4,
+    SUM(CAST(CAST(c0 AS DECIMAL(16,0)) * CAST(2*(cum-ct)+ct+1 AS DECIMAL(20,0)) AS DECIMAL(38,0))) AS r0,
+    SUM(CAST(CAST(c1 AS DECIMAL(16,0)) * CAST(2*(cum-ct)+ct+1 AS DECIMAL(20,0)) AS DECIMAL(38,0))) AS r1,
+    SUM(CAST(CAST(c2 AS DECIMAL(16,0)) * CAST(2*(cum-ct)+ct+1 AS DECIMAL(20,0)) AS DECIMAL(38,0))) AS r2,
+    SUM(CAST(CAST(c3 AS DECIMAL(16,0)) * CAST(2*(cum-ct)+ct+1 AS DECIMAL(20,0)) AS DECIMAL(38,0))) AS r3,
+    SUM(CAST(CAST(c4 AS DECIMAL(16,0)) * CAST(2*(cum-ct)+ct+1 AS DECIMAL(20,0)) AS DECIMAL(38,0))) AS r4,
+    SUM(CAST(CAST(ct AS DECIMAL(12,0)) * CAST(ct AS DECIMAL(12,0)) * CAST(ct AS DECIMAL(12,0))
+        - CAST(ct AS DECIMAL(12,0)) AS DECIMAL(38,0))) AS ties
+  FROM c
+), f AS (
+  SELECT *, CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+          + CAST(n3 AS DOUBLE) + CAST(n4 AS DOUBLE) AS n
+  FROM s
+), st AS (
+  SELECT *,
+    12.0/(n*(n+1.0)) * ((CAST(r0 AS DOUBLE)/2.0)*(CAST(r0 AS DOUBLE)/2.0)/CAST(n0 AS DOUBLE)
+      + (CAST(r1 AS DOUBLE)/2.0)*(CAST(r1 AS DOUBLE)/2.0)/CAST(n1 AS DOUBLE)
+      + (CAST(r2 AS DOUBLE)/2.0)*(CAST(r2 AS DOUBLE)/2.0)/CAST(n2 AS DOUBLE)
+      + (CAST(r3 AS DOUBLE)/2.0)*(CAST(r3 AS DOUBLE)/2.0)/CAST(n3 AS DOUBLE)
+      + (CAST(r4 AS DOUBLE)/2.0)*(CAST(r4 AS DOUBLE)/2.0)/CAST(n4 AS DOUBLE)) - 3.0*(n+1.0) AS h,
+    1.0 - CAST(ties AS DOUBLE)/(n*n*n - n) AS cc
+  FROM f
+)
+SELECT '1-URGENT' AS grp, n0 AS n_g,
+  round((CAST(r0 AS DOUBLE)/2.0)/CAST(n0 AS DOUBLE), 4) + 0.0 AS mean_rank,
+  round(h, 6) + 0.0 AS h,
+  round(CASE WHEN cc > 0 THEN h/cc END, 6) + 0.0 AS h_adj FROM st
+UNION ALL
+SELECT '2-HIGH', n1, round((CAST(r1 AS DOUBLE)/2.0)/CAST(n1 AS DOUBLE), 4) + 0.0,
+  round(h, 6) + 0.0, round(CASE WHEN cc > 0 THEN h/cc END, 6) + 0.0 FROM st
+UNION ALL
+SELECT '3-MEDIUM', n2, round((CAST(r2 AS DOUBLE)/2.0)/CAST(n2 AS DOUBLE), 4) + 0.0,
+  round(h, 6) + 0.0, round(CASE WHEN cc > 0 THEN h/cc END, 6) + 0.0 FROM st
+UNION ALL
+SELECT '4-NOT SPECIFIED', n3, round((CAST(r3 AS DOUBLE)/2.0)/CAST(n3 AS DOUBLE), 4) + 0.0,
+  round(h, 6) + 0.0, round(CASE WHEN cc > 0 THEN h/cc END, 6) + 0.0 FROM st
+UNION ALL
+SELECT '5-LOW', n4, round((CAST(r4 AS DOUBLE)/2.0)/CAST(n4 AS DOUBLE), 4) + 0.0,
+  round(h, 6) + 0.0, round(CASE WHEN cc > 0 THEN h/cc END, 6) + 0.0 FROM st
+ORDER BY grp
+"""
+
+
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: does URGENT-priority ship latency 'survive'
+    differently from LOW? Packed dual at-risk cumulative (ks_test's
+    packing) + duration-ordered O-E/variance folds."""
+    from csp_gateway_spark.operators.analytics import logrank_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    base = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("dur"),
+        (F.col("l_linestatus") == "O").cast("int").alias("cens"),
+    )
+    out = logrank_test(base, "prio", "dur", "cens", "1-URGENT", "5-LOW")
+    return out.select(
+        "n_a",
+        "n_b",
+        "o_a",
+        (F.round("e_a", 4) + F.lit(0.0)).alias("e_a"),
+        (F.round("chi2", 6) + F.lit(0.0)).alias("chi2"),
+    )
+
+
+ORACLE_LOGRANK_TEST = """
+WITH base AS (
+  SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS t,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga,
+         CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), steps AS (
+  SELECT t,
+    CAST(SUM(CASE WHEN ga = 1 AND c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+    CAST(SUM(CASE WHEN ga = 0 AND c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+    CAST(SUM(ga) AS BIGINT) AS n1,
+    CAST(SUM(1 - ga) AS BIGINT) AS n2
+  FROM base GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS na, CAST(SUM(n2) AS BIGINT) AS nb,
+         CAST(SUM(d1) AS BIGINT) AS o1
+  FROM steps
+), cum AS (
+  SELECT t, d1, d2, n1, n2,
+    SUM(n1) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+    SUM(n2) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM steps
+), risk AS (
+  SELECT t, d1, d2, CAST(na - (ca - n1) AS BIGINT) AS r1,
+         CAST(nb - (cb - n2) AS BIGINT) AS r2
+  FROM cum CROSS JOIN tot
+), terms AS (
+  SELECT t,
+    CAST(d1 + d2 AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE) AS e1,
+    CASE WHEN r1 + r2 > 1 THEN
+      CAST(d1 + d2 AS DOUBLE) * (CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
+        * (CAST(r2 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
+        * ((CAST(r1 + r2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE)) / (CAST(r1 + r2 AS DOUBLE) - 1.0))
+    ELSE 0.0 END AS v
+  FROM risk
+), packed AS (
+  SELECT list(struct_pack(t := t, e1 := e1, v := v) ORDER BY t) AS z FROM terms
+), folded AS (
+  SELECT list_reduce(list_transform(z, x -> x.e1), (a, b) -> a + b) AS es,
+         list_reduce(list_transform(z, x -> x.v), (a, b) -> a + b) AS vs
+  FROM packed
+)
+SELECT na AS n_a, nb AS n_b, o1 AS o_a,
+  round(es, 4) + 0.0 AS e_a,
+  round(CASE WHEN vs > 0 THEN (CAST(o1 AS DOUBLE) - es) * (CAST(o1 AS DOUBLE) - es) / vs END, 6)
+    + 0.0 AS chi2
+FROM folded CROSS JOIN tot
+"""
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of daily order revenue around its
+    median — exact-decimal median compare (2v vs m2), integer runs
+    fold over the calendar-bounded packed series."""
+    from csp_gateway_spark.operators.analytics import runs_test
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    out = runs_test(daily, "day_num", "rev")
+    return out.select(
+        "n_pos",
+        "n_neg",
+        "runs",
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+ORACLE_RUNS_TEST = f"""
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT list(y ORDER BY y) AS lv, CAST(count(*) AS BIGINT) AS n FROM d
+), m AS (
+  SELECT CAST(lv[CAST((n+1)//2 AS INTEGER)] + lv[CAST((n+2)//2 AS INTEGER)] AS DECIMAL(20,2)) AS m2
+  FROM t
+), s AS (
+  SELECT k, CASE WHEN CAST(y*2 AS DECIMAL(20,2)) > m2 THEN 1 ELSE 0 END AS sgn
+  FROM d CROSS JOIN m WHERE CAST(y*2 AS DECIMAL(20,2)) != m2
+), r AS (
+  SELECT sgn, lag(sgn) OVER (ORDER BY k) AS p FROM s
+), agg AS (
+  SELECT CAST(SUM(sgn) AS BIGINT) AS np,
+         CAST(SUM(1 - sgn) AS BIGINT) AS nn,
+         CAST(SUM(CASE WHEN p IS NULL OR sgn != p THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM r
+), z AS (
+  SELECT np, nn, runs,
+    2.0*CAST(np AS DOUBLE)*CAST(nn AS DOUBLE)/(CAST(np AS DOUBLE)+CAST(nn AS DOUBLE)) + 1.0 AS mu
+  FROM agg
+)
+SELECT np AS n_pos, nn AS n_neg, runs,
+  round(CASE WHEN (mu-1.0)*(mu-2.0)/((CAST(np AS DOUBLE)+CAST(nn AS DOUBLE))-1.0) > 0
+    THEN (CAST(runs AS DOUBLE) - mu)
+         / sqrt((mu-1.0)*(mu-2.0)/((CAST(np AS DOUBLE)+CAST(nn AS DOUBLE))-1.0)) END, 6)
+    + 0.0 AS z
+FROM z
+"""
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst peak-to-trough decline of daily order revenue — exact
+    decimal prefix maxima over the calendar-bounded packed series, no
+    FP compares."""
+    from csp_gateway_spark.operators.analytics import max_drawdown
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    out = max_drawdown(daily, "day_num", "rev")
+    return out.select("n", "trough_key", "peak", "trough", "drawdown")
+
+
+ORACLE_MAX_DRAWDOWN = f"""
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT k, y,
+    MAX(y) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM d
+), t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+SELECT n, k AS trough_key, CAST(peak AS DOUBLE) AS peak, CAST(y AS DOUBLE) AS trough,
+       CAST(CAST(peak - y AS DECIMAL(19,2)) AS DOUBLE) AS drawdown
+FROM m CROSS JOIN t ORDER BY CAST(peak - y AS DECIMAL(19,2)) DESC, k ASC LIMIT 1
+"""
+
+
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration HHI per nation on line revenue — exact
+    decimal Σr/Σr² per group, single closed-form double per nation."""
+    from csp_gateway_spark.operators.analytics import hhi_concentration
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    base = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+    )
+    out = hhi_concentration(base, "n_name", "l_suppkey", "l_extendedprice")
+    return out.select(
+        "grp",
+        "members",
+        (F.round("hhi", 8) + F.lit(0.0)).alias("hhi"),
+    )
+
+
+ORACLE_HHI_CONCENTRATION = """
+WITH per AS (
+  SELECT n_name AS g, l_suppkey AS m,
+         -- (19,2): int128 storage so r*r multiplies on DuckDB's
+         -- int128 path — an (18,2) square overflows int64 (the
+         -- round-5 lesson); values identical to Spark's (18,2) side
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS r
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+), a AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS members,
+         SUM(r) AS s1,
+         SUM(CAST(r * r AS DECIMAL(38,4))) AS s2
+  FROM per GROUP BY 1
+)
+SELECT g AS grp, members,
+  round(CAST(s2 AS DOUBLE) / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 8) + 0.0 AS hhi
+FROM a ORDER BY grp
+"""
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between order priority and order status — χ² over
+    the bounded contingency cells folded in (a,b) order, normalized
+    effect size."""
+    from csp_gateway_spark.operators.analytics import cramers_v
+
+    orders = _t(spark, sf_dir, "orders")
+    out = cramers_v(orders, "o_orderpriority", "o_orderstatus")
+    return out.select(
+        "n",
+        "r",
+        "c",
+        (F.round("chi2", 4) + F.lit(0.0)).alias("chi2"),
+        (F.round("v", 8) + F.lit(0.0)).alias("v"),
+    )
+
+
+ORACLE_CRAMERS_V = """
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b, CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+), rt AS (SELECT a, CAST(SUM(c) AS BIGINT) AS rt FROM cells GROUP BY 1),
+ct AS (SELECT b, CAST(SUM(c) AS BIGINT) AS ct FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+grid AS (
+  -- full r x c grid: zero-count cells still contribute (o-e)^2/e
+  SELECT a, rt, b, ct, COALESCE(c, CAST(0 AS BIGINT)) AS c
+  FROM rt CROSS JOIN ct LEFT JOIN cells USING (a, b)
+), terms AS (
+  SELECT a, b, n,
+    (CAST(c AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+    * (CAST(c AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+  FROM grid CROSS JOIN tot
+), p AS (
+  SELECT list(struct_pack(a := a, b := b, term := term) ORDER BY a, b) AS z,
+         MAX(n) AS nn
+  FROM terms
+), f AS (
+  SELECT nn AS n,
+    CAST(len(list_distinct(list_transform(z, x -> x.a))) AS BIGINT) AS r,
+    CAST(len(list_distinct(list_transform(z, x -> x.b))) AS BIGINT) AS c,
+    list_reduce(list_transform(z, x -> x.term), (p, q) -> p + q) AS chi2
+  FROM p
+)
+SELECT n, r, c, round(chi2, 4) + 0.0 AS chi2,
+  round(CASE WHEN least(r, c) > 1
+    THEN sqrt(chi2 / (CAST(n AS DOUBLE) * (CAST(least(r, c) AS DOUBLE) - 1.0)))
+  END, 8) + 0.0 AS v
+FROM f
+"""
+
+
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean ship latency at τ=60 days — area under the
+    `kaplan_meier` curve, duration-ordered step-integral fold."""
+    from csp_gateway_spark.operators.analytics import rmst
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    base = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("dur"),
+        (F.col("l_linestatus") == "O").cast("int").alias("cens"),
+    )
+    out = rmst(base, "dur", "cens", tau=60)
+    return out.select(
+        "tau",
+        "steps",
+        (F.round("rmst", 4) + F.lit(0.0)).alias("rmst"),
+    )
+
+
+ORACLE_RMST = """
+WITH base AS (
+  SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS t,
+         CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), steps AS (
+  SELECT t, CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1
+), risk AS (
+  SELECT t, d,
+    CAST(SUM(n) OVER () - COALESCE(SUM(n) OVER (
+      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n_risk
+  FROM steps
+), f AS (
+  SELECT t, d,
+         1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+  FROM risk
+), packed AS (
+  SELECT list(struct_pack(t := t, d := d, f := factor) ORDER BY t) AS z FROM f
+), ex AS (
+  SELECT unnest(z) AS s, generate_subscripts(z, 1) AS i, z FROM packed
+), surv AS (
+  SELECT s.t AS t,
+    list_reduce(list_transform(z[1:i], x -> x.f), (a, b) -> a * b) AS sv
+  FROM ex WHERE s.d > 0 AND s.t < 60
+), p2 AS (
+  SELECT list(struct_pack(t := t, sv := sv) ORDER BY t) AS w FROM surv
+), f2 AS (
+  SELECT CAST(len(w) AS BIGINT) AS k, w FROM p2
+), ex2 AS (
+  SELECT k, w, unnest(w) AS s, generate_subscripts(w, 1) AS i FROM f2
+), terms AS (
+  SELECT k,
+    s.sv * CAST((CASE WHEN i < k THEN w[CAST(i + 1 AS INTEGER)].t ELSE 60 END) - s.t
+                AS DOUBLE) AS term,
+    i
+  FROM ex2
+), folded AS (
+  SELECT MAX(k) AS k,
+    list_reduce(list_transform(list(struct_pack(i := i, term := term) ORDER BY i),
+                               x -> x.term), (a, b) -> a + b) AS integral
+  FROM terms
+), head AS (
+  SELECT CAST(w[1].t AS DOUBLE) AS h FROM f2
+)
+SELECT 60 AS tau, k AS steps, round(h + integral, 4) + 0.0 AS rmst
+FROM folded CROSS JOIN head
+"""
+
+
+def q_quadratic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic trend of daily order revenue — exact decimal moment
+    sums Σx..Σx⁴, Σy, Σxy, Σx²y in ONE scan, Cramer's-rule closed
+    form, identical double expansion on both engines."""
+    from csp_gateway_spark.operators.analytics import quadratic_trend
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    out = quadratic_trend(daily, "day_num", "rev")
+    return out.select(
+        "n",
+        (F.round("b0", 4) + F.lit(0.0)).alias("b0"),
+        (F.round("b1", 6) + F.lit(0.0)).alias("b1"),
+        (F.round("b2", 8) + F.lit(0.0)).alias("b2"),
+    )
+
+
+ORACLE_QUADRATIC_TREND = f"""
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    SUM(CAST(k AS DECIMAL(18,0))) AS sx,
+    SUM(CAST(CAST(k AS DECIMAL(9,0)) * CAST(k AS DECIMAL(9,0)) AS DECIMAL(38,0))) AS sx2,
+    SUM(CAST(CAST(k AS DECIMAL(12,0)) * CAST(k AS DECIMAL(12,0)) * CAST(k AS DECIMAL(12,0))
+        AS DECIMAL(38,0))) AS sx3,
+    SUM(CAST(CAST(CAST(k AS DECIMAL(9,0)) * CAST(k AS DECIMAL(9,0)) AS DECIMAL(18,0))
+        * CAST(CAST(k AS DECIMAL(9,0)) * CAST(k AS DECIMAL(9,0)) AS DECIMAL(18,0))
+        AS DECIMAL(38,0))) AS sx4,
+    SUM(y) AS sy,
+    SUM(CAST(CAST(k AS DECIMAL(10,0)) * y AS DECIMAL(38,2))) AS sxy,
+    SUM(CAST(CAST(CAST(k AS DECIMAL(9,0)) * CAST(k AS DECIMAL(9,0)) AS DECIMAL(14,0)) * y
+        AS DECIMAL(38,2))) AS sx2y
+  FROM d
+), v AS (
+  SELECT n,
+    CAST(n AS DOUBLE) AS m0, CAST(sx AS DOUBLE) AS m1, CAST(sx2 AS DOUBLE) AS m2,
+    CAST(sx3 AS DOUBLE) AS m3, CAST(sx4 AS DOUBLE) AS m4,
+    CAST(sy AS DOUBLE) AS z0, CAST(sxy AS DOUBLE) AS z1, CAST(sx2y AS DOUBLE) AS z2
+  FROM s
+), dets AS (
+  SELECT n,
+    m0*(m2*m4 - m3*m3) - m1*(m1*m4 - m3*m2) + m2*(m1*m3 - m2*m2) AS dd,
+    z0*(m2*m4 - m3*m3) - m1*(z1*m4 - m3*z2) + m2*(z1*m3 - m2*z2) AS d0,
+    m0*(z1*m4 - m3*z2) - z0*(m1*m4 - m3*m2) + m2*(m1*z2 - z1*m2) AS d1,
+    m0*(m2*z2 - z1*m3) - m1*(m1*z2 - z1*m2) + z0*(m1*m3 - m2*m2) AS d2
+  FROM v
+)
+SELECT n,
+  round(CASE WHEN abs(dd) > 0 THEN d0/dd END, 4) + 0.0 AS b0,
+  round(CASE WHEN abs(dd) > 0 THEN d1/dd END, 6) + 0.0 AS b1,
+  round(CASE WHEN abs(dd) > 0 THEN d2/dd END, 8) + 0.0 AS b2
+FROM dets
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -9004,6 +9485,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_forecast": q_holt_forecast,
         "mann_whitney": q_mann_whitney,
         "changepoint": q_changepoint,
+        "kruskal_wallis": q_kruskal_wallis,
+        "logrank_test": q_logrank_test,
+        "runs_test": q_runs_test,
+        "max_drawdown": q_max_drawdown,
+        "hhi_concentration": q_hhi_concentration,
+        "cramers_v": q_cramers_v,
+        "rmst": q_rmst,
+        "quadratic_trend": q_quadratic_trend,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -9284,4 +9773,12 @@ def oracle_sql() -> dict[str, str]:
         "holt_forecast": ORACLE_HOLT_FORECAST,
         "mann_whitney": ORACLE_MANN_WHITNEY,
         "changepoint": ORACLE_CHANGEPOINT,
+        "kruskal_wallis": ORACLE_KRUSKAL_WALLIS,
+        "logrank_test": ORACLE_LOGRANK_TEST,
+        "runs_test": ORACLE_RUNS_TEST,
+        "max_drawdown": ORACLE_MAX_DRAWDOWN,
+        "hhi_concentration": ORACLE_HHI_CONCENTRATION,
+        "cramers_v": ORACLE_CRAMERS_V,
+        "rmst": ORACLE_RMST,
+        "quadratic_trend": ORACLE_QUADRATIC_TREND,
     }

@@ -241,6 +241,14 @@ HEADLINE = [
     "holt_forecast",
     "mann_whitney",
     "changepoint",
+    "kruskal_wallis",
+    "logrank_test",
+    "runs_test",
+    "max_drawdown",
+    "hhi_concentration",
+    "cramers_v",
+    "rmst",
+    "quadratic_trend",
 ]
 
 

@@ -3702,3 +3702,563 @@ def changepoint(
         F.col("_ml").alias("mean_left"),
         F.col("_mr").alias("mean_right"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    groups: Sequence,
+) -> DataFrame:
+    """Kruskal-Wallis H test across k cohorts of a numeric column —
+    the k-sample generalization of ``mann_whitney_u`` (one-way ANOVA
+    on midranks; reference parity: the rank-based hypothesis tests the
+    gateway's perspective layer exposes over state tables).
+
+    The column collapses to one row per DISTINCT value carrying all k
+    cohort counts (one hash aggregate); the total-count cumulative
+    runs through ``plans.scale.global_row_number``'s range-bucketed
+    two-phase plan ONCE (no unpartitioned window), and each per-group
+    rank sum accumulates the EXACT integer 2·R_g = Σ c_g·(2·before +
+    t + 1) in decimal(38,0) — midranks are half-integers, so doubling
+    keeps every term integral; no FP accumulates across rows.  Ties
+    correct H by C = 1 − Σ(t³−t)/(N³−N) with the cubes exact in
+    decimal (same (12,0)³ headroom contract as ``mann_whitney_u``).
+    Output one row per group: (grp, n_g, mean_rank, h, h_adj) with
+    the shared statistic repeated."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col)
+    ks = list(groups)
+    per_val = (
+        df.filter(g.isin(ks))
+        .groupBy(v.alias("_v"))
+        .agg(
+            *[
+                F.sum(F.when(g == gr, 1).otherwise(0)).cast("long").alias(f"_c{i}")
+                for i, gr in enumerate(ks)
+            ],
+            F.count(F.lit(1)).alias("_ct"),
+        )
+    )
+    ranked = global_row_number(
+        per_val, "_v", [], rn_col="_rn", cum_value="_ct", cum_col="_cum"
+    )
+    # 2·(midrank of the tie block) = 2·before + t + 1, an exact integer
+    two_mid = (
+        2 * (F.col("_cum") - F.col("_ct")) + F.col("_ct") + 1
+    ).cast("decimal(20,0)")
+    aggs = []
+    for i in range(len(ks)):
+        aggs.append(F.sum(F.col(f"_c{i}")).alias(f"_n{i}"))
+        aggs.append(
+            F.sum(
+                (F.col(f"_c{i}").cast("decimal(16,0)") * two_mid).cast(
+                    "decimal(38,0)"
+                )
+            ).alias(f"_r2{i}")
+        )
+    ct12 = F.col("_ct").cast("decimal(12,0)")
+    aggs.append(
+        F.sum((ct12 * ct12 * ct12 - ct12).cast("decimal(38,0)")).alias("_ties")
+    )
+    sums = ranked.agg(*aggs)
+    nd = [F.col(f"_n{i}").cast("double") for i in range(len(ks))]
+    rg = [F.col(f"_r2{i}").cast("double") / F.lit(2.0) for i in range(len(ks))]
+    n = nd[0]
+    for t in nd[1:]:
+        n = n + t
+    rank_ss = rg[0] * rg[0] / nd[0]
+    for i in range(1, len(ks)):
+        rank_ss = rank_ss + rg[i] * rg[i] / nd[i]
+    h = F.lit(12.0) / (n * (n + F.lit(1.0))) * rank_ss - F.lit(3.0) * (
+        n + F.lit(1.0)
+    )
+    c = F.lit(1.0) - F.col("_ties").cast("double") / (n * n * n - n)
+    h_adj = F.when(c > 0, h / c)
+    out = sums.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(str(gr)).alias("grp"),
+                        F.col(f"_n{i}").alias("n_g"),
+                        (rg[i] / nd[i]).alias("mean_rank"),
+                        h.alias("h"),
+                        h_adj.alias("h_adj"),
+                    )
+                    for i, gr in enumerate(ks)
+                ]
+            )
+        ).alias("_e")
+    )
+    return out.select(
+        "_e.grp", "_e.n_g", "_e.mean_rank", "_e.h", "_e.h_adj"
+    ).orderBy("grp")
+
+
+def logrank_test(
+    df: DataFrame,
+    group_col,
+    duration_col,
+    censored_col,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-group log-rank test on right-censored integer durations —
+    the hypothesis-test companion of ``kaplan_meier``/``nelson_aalen``
+    (does cohort A's survival curve differ from B's?).
+
+    Durations collapse to one row per distinct value with per-group
+    death/total counts (one hash aggregate); BOTH at-risk series come
+    from ONE two-phase cumulative by packing the two group totals into
+    a single decimal(38,0) word (n₁·10¹⁵ + n₂ — addition distributes,
+    no carry while each cumulative stays < 10¹⁵, the same packing
+    contract as ``ks_test``).  Per event time: E₁ = d·r₁/r and the
+    hypergeometric variance v = d·(r₁/r)·(r₂/r)·(r−d)/(r−1); the two
+    double sums are order-sensitive, so they fold the duration-sorted
+    packed step array (bounded: distinct durations) with pinned FP
+    order.  χ² = (O₁−E₁)²/V.  Output: one row (n_a, n_b, o_a, e_a,
+    chi2)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    dur = F.col(duration_col) if isinstance(duration_col, str) else duration_col
+    cen = F.col(censored_col) if isinstance(censored_col, str) else censored_col
+    base = df.filter(g.isin([group_a, group_b])).select(
+        dur.cast("long").alias("_t"),
+        (g == group_a).cast("int").alias("_ga"),
+        cen.cast("int").alias("_c"),
+    )
+    steps = base.groupBy("_t").agg(
+        F.sum(((F.col("_ga") == 1) & (F.col("_c") == 0)).cast("long")).alias("_d1"),
+        F.sum(((F.col("_ga") == 0) & (F.col("_c") == 0)).cast("long")).alias("_d2"),
+        F.sum(F.col("_ga").cast("long")).alias("_n1"),
+        F.sum((1 - F.col("_ga")).cast("long")).alias("_n2"),
+    )
+    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
+    packed_steps = steps.withColumn(
+        "_pk",
+        (
+            F.col("_n1").cast("decimal(20,0)") * shift
+            + F.col("_n2").cast("decimal(20,0)")
+        ).cast("decimal(38,0)"),
+    )
+    ranked = global_row_number(
+        packed_steps, "_t", [], rn_col="_rn", cum_value="_pk", cum_col="_cum"
+    )
+    cum_b = F.pmod(F.col("_cum"), shift)
+    cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
+    totals = steps.agg(
+        F.sum("_n1").alias("_ta"),
+        F.sum("_n2").alias("_tb"),
+    )
+    j = ranked.crossJoin(F.broadcast(totals))
+    # at-risk INCLUDES the current time's subjects: N − (cum − n)
+    r1 = (F.col("_ta") - (cum_a.cast("long") - F.col("_n1"))).alias("_r1")
+    r2 = (F.col("_tb") - (cum_b.cast("long") - F.col("_n2"))).alias("_r2")
+    with_risk = j.select("_t", "_d1", "_d2", "_ta", "_tb", r1, r2)
+    d = (F.col("_d1") + F.col("_d2")).cast("double")
+    r1d = F.col("_r1").cast("double")
+    r2d = F.col("_r2").cast("double")
+    rd = (F.col("_r1") + F.col("_r2")).cast("double")
+    e1 = d * r1d / rd
+    var = F.when(
+        F.col("_r1") + F.col("_r2") > 1,
+        d * (r1d / rd) * (r2d / rd) * ((rd - d) / (rd - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    terms = with_risk.select(
+        "_t", "_d1", "_ta", "_tb", e1.alias("_e1"), var.alias("_v")
+    )
+    # ONE aggregate carries the fold array AND the totals (constant on
+    # every row after the broadcast) — no second crossJoin of the same
+    # 1-row frame, which would self-join-ambiguate its attributes
+    packed = terms.agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_t", "_e1", "_v"))),
+            "logrank_test",
+        ).alias("_z"),
+        F.max("_ta").alias("_tas"),
+        F.max("_tb").alias("_tbs"),
+        F.sum("_d1").alias("_O1s"),
+    )
+    e_sum = F.aggregate(
+        F.transform(F.col("_z"), lambda x: x["_e1"]), F.lit(0.0), lambda a, x: a + x
+    )
+    v_sum = F.aggregate(
+        F.transform(F.col("_z"), lambda x: x["_v"]), F.lit(0.0), lambda a, x: a + x
+    )
+    fin = packed.select(
+        F.col("_tas").alias("n_a"),
+        F.col("_tbs").alias("n_b"),
+        F.col("_O1s").alias("o_a"),
+        e_sum.alias("e_a"),
+        v_sum.alias("_vs"),
+    )
+    o1d = F.col("o_a").cast("double")
+    chi = F.when(
+        F.col("_vs") > 0,
+        (o1d - F.col("e_a")) * (o1d - F.col("e_a")) / F.col("_vs"),
+    )
+    return fin.select("n_a", "n_b", "o_a", "e_a", chi.alias("chi2"))
+
+
+def runs_test(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of an ordered series
+    around its median: too FEW sign runs means trending/clustered,
+    too MANY means oscillating — the classic sanity check on a daily
+    metric before fitting any trend model.
+
+    The series is calendar-bounded, so it packs into ONE key-ordered
+    array (cap-guarded); the median comes from a value-sorted twin of
+    the same array with the two middle elements summed EXACTLY in
+    decimal (compare 2·v against m₂ — no halving, no FP).  Ties at
+    the median drop (standard treatment); runs count is an integer
+    fold over adjacent sign pairs.  z uses μ = 2n₊n₋/n + 1 and
+    σ² = (μ−1)(μ−2)/(n−1), exact integers until the final doubles.
+    Output: one row (n_pos, n_neg, runs, z)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    base = series.select(
+        F.col(key_col).cast("long").alias("_k"),
+        F.col(value_col).cast("decimal(18,2)").alias("_y"),
+    )
+    # the median comes from the DISTRIBUTED two-phase rank, not from
+    # sorting inside the packed row: an array-median expression would
+    # get CollapseProject-inlined into the per-element sign lambdas
+    # and re-sort per element (measured O(n³) blowup); as a broadcast
+    # join attribute it is evaluated once and cannot be inlined
+    ranked = global_row_number(base, "_y", ["_k"], rn_col="_rn")
+    i1 = F.floor((F.col("_n_total") + 1) / 2).cast("long")
+    i2 = F.floor((F.col("_n_total") + 2) / 2).cast("long")
+    hits = (F.col("_rn") == i1).cast("int") + (F.col("_rn") == i2).cast("int")
+    med = ranked.agg(
+        F.sum(hits * F.col("_y")).cast("decimal(20,2)").alias("_m2")
+    )
+    arr = base.agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_k", "_y"))),
+            "runs_test",
+        ).alias("_s")
+    ).filter(F.size(F.col("_s")) >= 3)
+    s_signs = arr.crossJoin(F.broadcast(med)).select(
+        F.transform(
+            F.filter(
+                F.col("_s"),
+                lambda x: (x["_y"] * 2).cast("decimal(20,2)") != F.col("_m2"),
+            ),
+            lambda x: ((x["_y"] * 2).cast("decimal(20,2)") > F.col("_m2")).cast(
+                "int"
+            ),
+        ).alias("_sg")
+    )
+    signs = F.col("_sg")
+    n_pos = F.aggregate(signs, F.lit(0).cast("long"), lambda a, x: a + x)
+    n_tot = F.size(signs).cast("long")
+    trans = F.zip_with(
+        F.slice(signs, 1, F.size(signs) - 1),
+        F.slice(signs, 2, F.size(signs) - 1),
+        lambda a, b: (a != b).cast("int"),
+    )
+    runs = F.lit(1).cast("long") + F.aggregate(
+        trans, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    scored = s_signs.select(
+        n_pos.alias("n_pos"),
+        (n_tot - n_pos).alias("n_neg"),
+        runs.alias("runs"),
+    ).filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    npd = F.col("n_pos").cast("double")
+    nnd = F.col("n_neg").cast("double")
+    nd = npd + nnd
+    mu = F.lit(2.0) * npd * nnd / nd + F.lit(1.0)
+    sig2 = (mu - F.lit(1.0)) * (mu - F.lit(2.0)) / (nd - F.lit(1.0))
+    z = F.when(sig2 > 0, (F.col("runs").cast("double") - mu) / F.sqrt(sig2))
+    return scored.select("n_pos", "n_neg", "runs", z.alias("z"))
+
+
+def max_drawdown(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Maximum peak-to-trough drawdown of an ordered series: the
+    largest decline from any running peak, max_i (max_{j≤i} y_j −
+    y_i), with the day it bottoms — the standard worst-decline metric
+    on a daily level series.
+
+    The series is calendar-bounded, so it packs into ONE key-ordered
+    array (cap-guarded); every value stays EXACT decimal(18,2) —
+    running peaks are decimal array_max over prefixes and the deficit
+    is decimal subtraction, so the argmax is engine-exact with the
+    key as tiebreak (no FP compare anywhere).  O(n²) prefix scans run
+    as expressions over the single packed row — the bounded-key
+    contract shared with ``kaplan_meier``.  Output: one row (n,
+    trough_key, peak, trough, drawdown)."""
+    arr = series.agg(
+        _capped_packed(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(key_col).cast("long").alias("_k"),
+                        F.col(value_col).cast("decimal(18,2)").alias("_y"),
+                    )
+                )
+            ),
+            "max_drawdown",
+        ).alias("_s")
+    ).filter(F.size(F.col("_s")) >= 1)
+    idx = F.sequence(F.lit(1), F.size(F.col("_s")))
+    stepped = arr.select(
+        F.col("_s"),
+        F.transform(
+            idx,
+            lambda i: F.array_max(
+                F.transform(F.slice(F.col("_s"), 1, i), lambda x: x["_y"])
+            ),
+        ).alias("_peaks"),
+    )
+    rows = stepped.select(
+        F.size(F.col("_s")).cast("long").alias("n"),
+        F.posexplode(
+            F.zip_with(
+                F.col("_s"),
+                F.col("_peaks"),
+                lambda s, p: F.struct(
+                    s["_k"].alias("k"),
+                    p.alias("peak"),
+                    s["_y"].alias("trough"),
+                    (p - s["_y"]).cast("decimal(19,2)").alias("dd"),
+                ),
+            )
+        ).alias("_i", "_r"),
+    )
+    top = rows.orderBy(F.desc("_r.dd"), F.asc("_r.k")).limit(1)
+    return top.select(
+        "n",
+        F.col("_r.k").alias("trough_key"),
+        F.col("_r.peak").cast("double").alias("peak"),
+        F.col("_r.trough").cast("double").alias("trough"),
+        F.col("_r.dd").cast("double").alias("drawdown"),
+    )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    group_col,
+    member_col,
+    value_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group: HHI =
+    Σ share_i² over the members of each group — the standard market-
+    concentration measure (1/k for k equal members, 1.0 for a
+    monopoly).
+
+    Computed WITHOUT materializing shares: HHI = Σr_i² / (Σr_i)²
+    with member totals r_i EXACT decimal(18,2) and both sums exact
+    (squares at (37,4) under the 38-digit product cap), so each
+    group's index is a single double division over exact decimals —
+    order-independent, engine-identical.  Two hash aggregates, one
+    shuffle each.  Output per group: (grp, members, hhi)."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    m = F.col(member_col) if isinstance(member_col, str) else member_col
+    per = df.groupBy(g.alias("_g"), m.alias("_m")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("_r")
+    )
+    agg = per.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("members"),
+        F.sum("_r").alias("_s1"),
+        F.sum((F.col("_r") * F.col("_r")).cast("decimal(38,4)")).alias("_s2"),
+    )
+    hhi = F.col("_s2").cast("double") / (
+        F.col("_s1").cast("double") * F.col("_s1").cast("double")
+    )
+    return agg.select(
+        F.col("_g").alias("grp"), "members", hhi.alias("hhi")
+    ).orderBy("grp")
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a,
+    col_b,
+) -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    [0,1]-normalized effect size over the χ² contingency statistic,
+    V = sqrt(χ² / (n·(min(r,c)−1))).
+
+    One hash aggregate builds the contingency cells; row/column
+    totals broadcast back (cell count is bounded by the category
+    product); the χ² sum is order-sensitive in doubles, so it folds
+    the (a,b)-sorted packed cell array with pinned FP order.  Output:
+    one row (n, r, c, chi2, v)."""
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    cells = df.groupBy(a.alias("_a"), b.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    rt = cells.groupBy("_a").agg(F.sum("_c").alias("_rt"))
+    ct = cells.groupBy("_b").agg(F.sum("_c").alias("_ct"))
+    tot = cells.agg(F.sum("_c").alias("_n"))
+    # χ² runs over the FULL r×c grid — a groupBy alone would drop
+    # zero-count cells and understate the statistic; the marginal
+    # cross product is bounded by the category product
+    grid = rt.crossJoin(F.broadcast(ct))
+    j = (
+        grid.join(cells, on=["_a", "_b"], how="left")
+        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("_rt").cast("double")
+        * F.col("_ct").cast("double")
+        / F.col("_n").cast("double")
+    )
+    term = (
+        (F.col("_c").cast("double") - e) * (F.col("_c").cast("double") - e) / e
+    )
+    packed = j.select(
+        "_a", "_b", "_n", term.alias("_term")
+    ).agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_a", "_b", "_term"))),
+            "cramers_v",
+        ).alias("_z"),
+        F.max("_n").alias("_nn"),
+    )
+    chi2 = F.aggregate(
+        F.transform(F.col("_z"), lambda x: x["_term"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    r = F.size(F.array_distinct(F.transform(F.col("_z"), lambda x: x["_a"])))
+    c = F.size(F.array_distinct(F.transform(F.col("_z"), lambda x: x["_b"])))
+    staged = packed.select(
+        F.col("_nn").alias("n"),
+        r.cast("long").alias("r"),
+        c.cast("long").alias("c"),
+        chi2.alias("chi2"),
+    )
+    v = F.when(
+        F.least(F.col("r"), F.col("c")) > 1,
+        F.sqrt(
+            F.col("chi2")
+            / (
+                F.col("n").cast("double")
+                * (F.least(F.col("r"), F.col("c")).cast("double") - F.lit(1.0))
+            )
+        ),
+    )
+    return staged.select("n", "r", "c", "chi2", v.alias("v"))
+
+
+def rmst(
+    df: DataFrame,
+    duration_col,
+    censored_col,
+    tau: int,
+) -> DataFrame:
+    """Restricted mean survival time at horizon τ: the area under the
+    Kaplan-Meier curve on [0, τ] — the censoring-robust 'average
+    duration' companion of ``kaplan_meier`` (a plain mean is biased
+    the moment anything is censored).
+
+    Reuses the KM estimator, keeps event steps below τ, packs them
+    into ONE duration-ordered array (cap-guarded: same bounded-
+    duration contract as ``kaplan_meier``) and folds the step
+    integral t₁ + Σ S(tᵢ)·(min(tᵢ₊₁,τ)−tᵢ) with pinned FP order.
+    Output: one row (tau, steps, rmst)."""
+    km = kaplan_meier(df, duration_col, censored_col)
+    steps = km.filter(F.col("t") < F.lit(int(tau))).select("t", "survival")
+    packed = steps.agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("t", "survival"))),
+            "rmst",
+        ).alias("_z")
+    ).filter(F.size(F.col("_z")) >= 1)
+    ts = F.transform(F.col("_z"), lambda x: x["t"])
+    nxt = F.concat(
+        F.slice(ts, 2, F.size(ts) - 1),
+        F.array(F.lit(int(tau)).cast("long")),
+    )
+    staged = packed.select("_z", nxt.alias("_nxt"))
+    integral = F.aggregate(
+        F.zip_with(
+            F.col("_z"),
+            F.col("_nxt"),
+            lambda x, nt: x["survival"] * (nt - x["t"]).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    head = F.element_at(F.col("_z"), 1)["t"].cast("double")
+    return staged.select(
+        F.lit(int(tau)).alias("tau"),
+        F.size(F.col("_z")).cast("long").alias("steps"),
+        (head + integral).alias("rmst"),
+    )
+
+
+def quadratic_trend(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Quadratic trend fit y = b0 + b1·x + b2·x² by closed-form
+    normal equations — the 2-predictor extension of
+    ``group_ols_trend`` (is the series accelerating, not just
+    rising?).
+
+    ONE scan accumulates the exact moment sums Σx..Σx⁴ (integer
+    decimals, each product narrowed under the 38-digit cap) and
+    Σy/Σxy/Σx²y (value quantized at (18,2)); the 3×3 system solves by
+    Cramer's rule as a single closed-form double expression over the
+    exact sums — identical expansion on both engines, no iteration,
+    no per-row FP.  Keys must be calendar-bounded (< 10⁹) so x⁴ fits
+    the decimal headroom.  Output: one row (n, b0, b1, b2)."""
+    x = F.col(key_col).cast("long")
+    y = F.col(value_col).cast("decimal(18,2)")
+    x9 = x.cast("decimal(9,0)")
+    x12 = x.cast("decimal(12,0)")
+    xx = (x9 * x9).cast("decimal(18,0)")
+    sums = series.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x.cast("decimal(18,0)")).alias("_sx"),
+        F.sum((x9 * x9).cast("decimal(38,0)")).alias("_sx2"),
+        F.sum((x12 * x12 * x12).cast("decimal(38,0)")).alias("_sx3"),
+        F.sum((xx * xx).cast("decimal(38,0)")).alias("_sx4"),
+        F.sum(y).alias("_sy"),
+        F.sum((x.cast("decimal(10,0)") * y).cast("decimal(38,2)")).alias("_sxy"),
+        F.sum(((x9 * x9).cast("decimal(14,0)") * y).cast("decimal(38,2)")).alias(
+            "_sx2y"
+        ),
+    )
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sx2 = F.col("_sx2").cast("double")
+    sx3 = F.col("_sx3").cast("double")
+    sx4 = F.col("_sx4").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sx2y = F.col("_sx2y").cast("double")
+    dd = det3(n, sx, sx2, sx, sx2, sx3, sx2, sx3, sx4)
+    d0 = det3(sy, sx, sx2, sxy, sx2, sx3, sx2y, sx3, sx4)
+    d1 = det3(n, sy, sx2, sx, sxy, sx3, sx2, sx2y, sx4)
+    d2 = det3(n, sx, sy, sx, sx2, sxy, sx2, sx3, sx2y)
+    return sums.select(
+        F.col("_n").alias("n"),
+        F.when(F.abs(dd) > 0, d0 / dd).alias("b0"),
+        F.when(F.abs(dd) > 0, d1 / dd).alias("b1"),
+        F.when(F.abs(dd) > 0, d2 / dd).alias("b2"),
+    )

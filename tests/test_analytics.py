@@ -1179,3 +1179,134 @@ def test_changepoint_finds_level_shift(spark):
     assert abs(r.mean_left - 10.0) < 1e-9 and abs(r.mean_right - 50.0) < 1e-9
     # reduction equals n1*n2/n * (m1-m2)^2 = 25/10 * 1600 = 4000
     assert abs(r.reduction - 4000.0) < 1e-6
+
+
+def test_kruskal_wallis_hand_computed(spark):
+    from csp_gateway_spark.operators.analytics import kruskal_wallis
+
+    # a=[1,2,3], b=[2,3,4], c=[5,6]: midranks 1,2.5,2.5,4.5,4.5,6,7,8
+    # R_a=8, R_b=13, R_c=15; H = (12/72)*(64/3+169/3+225/2) - 27
+    rows = (
+        [("a", 1.0), ("a", 2.0), ("a", 3.0)]
+        + [("b", 2.0), ("b", 3.0), ("b", 4.0)]
+        + [("c", 5.0), ("c", 6.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r.grp: r
+        for r in kruskal_wallis(df, "g", "v", ["a", "b", "c"]).collect()
+    }
+    assert got["a"].n_g == 3 and got["b"].n_g == 3 and got["c"].n_g == 2
+    assert abs(got["a"].mean_rank - 8.0 / 3) < 1e-9
+    assert abs(got["c"].mean_rank - 7.5) < 1e-9
+    h = 12.0 / 72.0 * (64.0 / 3 + 169.0 / 3 + 225.0 / 2) - 27.0
+    c = 1.0 - 12.0 / (512.0 - 8.0)
+    assert abs(got["a"].h - h) < 1e-9
+    assert abs(got["b"].h_adj - h / c) < 1e-9
+
+
+def test_logrank_hand_computed(spark):
+    from csp_gateway_spark.operators.analytics import logrank_test
+
+    # a: events at 1,2; b: event at 1, censored at 3
+    rows = [("a", 1, 0), ("a", 2, 0), ("b", 1, 0), ("b", 3, 1)]
+    df = spark.createDataFrame(rows, "g string, dur int, cens int")
+    r = logrank_test(df, "g", "dur", "cens", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.o_a) == (2, 2, 2)
+    # t=1: E1=2*2/4=1, v=2*(1/2)*(1/2)*(2/3); t=2: E1=0.5, v=0.25
+    e = 1.0 + 0.5
+    v = 2.0 * 0.25 * (2.0 / 3.0) + 0.25
+    assert abs(r.e_a - e) < 1e-9
+    assert abs(r.chi2 - (2.0 - e) ** 2 / v) < 1e-9
+
+
+def test_runs_test_hand_computed(spark):
+    import math
+
+    from csp_gateway_spark.operators.analytics import runs_test
+
+    # alternating series: 6 runs of 6 kept points, z = 2/sqrt(1.2)
+    rows = list(enumerate([1.0, 5.0, 2.0, 6.0, 3.0, 7.0]))
+    df = spark.createDataFrame(rows, "k int, v double")
+    r = runs_test(df, "k", "v").collect()[0]
+    assert (r.n_pos, r.n_neg, r.runs) == (3, 3, 6)
+    assert abs(r.z - 2.0 / math.sqrt(1.2)) < 1e-9
+    # median tie drops; degenerate sigma -> NULL z
+    df2 = spark.createDataFrame(list(enumerate([1.0, 2.0, 3.0])), "k int, v double")
+    r2 = runs_test(df2, "k", "v").collect()[0]
+    assert (r2.n_pos, r2.n_neg, r2.runs) == (1, 1, 2)
+    assert r2.z is None
+
+
+def test_max_drawdown_hand_computed(spark):
+    from csp_gateway_spark.operators.analytics import max_drawdown
+
+    vals = [10.0, 20.0, 15.0, 5.0, 18.0, 25.0, 12.0]
+    df = spark.createDataFrame(list(enumerate(vals)), "k int, v double")
+    r = max_drawdown(df, "k", "v").collect()[0]
+    assert r.n == 7 and r.trough_key == 3
+    assert r.peak == 20.0 and r.trough == 5.0 and r.drawdown == 15.0
+    # monotone series -> zero drawdown at the first key
+    df2 = spark.createDataFrame(list(enumerate([1.0, 2.0, 3.0])), "k int, v double")
+    r2 = max_drawdown(df2, "k", "v").collect()[0]
+    assert r2.drawdown == 0.0 and r2.trough_key == 0
+
+
+def test_hhi_concentration_hand_computed(spark):
+    from csp_gateway_spark.operators.analytics import hhi_concentration
+
+    # g1: shares 50/30/20 -> HHI = 0.25+0.09+0.04 = 0.38; g2 monopoly
+    rows = [
+        ("g1", "a", 50.0), ("g1", "b", 30.0), ("g1", "c", 20.0),
+        ("g2", "x", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, m string, v double")
+    got = {r.grp: r for r in hhi_concentration(df, "g", "m", "v").collect()}
+    assert got["g1"].members == 3 and abs(got["g1"].hhi - 0.38) < 1e-12
+    assert got["g2"].members == 1 and abs(got["g2"].hhi - 1.0) < 1e-12
+
+
+def test_cramers_v_hand_computed(spark):
+    from csp_gateway_spark.operators.analytics import cramers_v
+
+    # perfect association on a 2x2 -> chi2 = n, V = 1
+    rows = [("x", "p")] * 5 + [("y", "q")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert (r.n, r.r, r.c) == (10, 2, 2)
+    assert abs(r.chi2 - 10.0) < 1e-9 and abs(r.v - 1.0) < 1e-12
+    # independence -> chi2 = 0
+    rows2 = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")]
+    r2 = cramers_v(spark.createDataFrame(rows2, "a string, b string")).collect() if False else cramers_v(
+        spark.createDataFrame(rows2, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert abs(r2.chi2) < 1e-12 and abs(r2.v) < 1e-12
+
+
+def test_rmst_hand_computed(spark):
+    from csp_gateway_spark.operators.analytics import rmst
+
+    # events at 1,2 (no censoring), n=2: S(1)=0.5, S(2)=0
+    # RMST(5) = 1 + 0.5*(2-1) + 0*(5-2) = 1.5
+    df = spark.createDataFrame([(1, 0), (2, 0)], "dur int, cens int")
+    r = rmst(df, "dur", "cens", tau=5).collect()[0]
+    assert r.tau == 5 and r.steps == 2
+    assert abs(r.rmst - 1.5) < 1e-12
+    # censoring at 2 of 3 subjects: events 1,3; S(1)=2/3, S(3)=0
+    # RMST(4) = 1 + (2/3)*(3-1) + 0 = 7/3
+    df2 = spark.createDataFrame([(1, 0), (2, 1), (3, 0)], "dur int, cens int")
+    r2 = rmst(df2, "dur", "cens", tau=4).collect()[0]
+    assert abs(r2.rmst - 7.0 / 3.0) < 1e-12
+
+
+def test_quadratic_trend_recovers_parabola(spark):
+    from csp_gateway_spark.operators.analytics import quadratic_trend
+
+    # y = 2 + 3x + 0.5x^2 exactly (2dp-exact at integer x)
+    rows = [(x, 2.0 + 3.0 * x + 0.5 * x * x) for x in range(1, 30)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    r = quadratic_trend(df, "k", "v").collect()[0]
+    assert r.n == 29
+    assert abs(r.b0 - 2.0) < 1e-6
+    assert abs(r.b1 - 3.0) < 1e-7
+    assert abs(r.b2 - 0.5) < 1e-8
