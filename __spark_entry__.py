@@ -4006,6 +4006,89 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def q_session_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of `window_session` on the oracle gate: a REAL
+    streaming SESSION-window aggregation — readStream over a 6-file
+    split (maxFilesPerTrigger=1 -> 6 micro-batches), per-user
+    `F.session_window(30 min)` with the state store MERGING sessions
+    as late micro-batches bridge gaps, outputMode(complete) into a
+    memory sink — whose final table must hash-equal the batch
+    gaps-and-islands SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    root = tempfile.mkdtemp(prefix=f"csp_gw_sstream_{os.getpid()}_")
+    src_dir = os.path.join(root, "src")
+    ev.withColumn("_b", F.pmod(F.hash("event_id"), F.lit(6))).repartition(
+        6, "_b"
+    ).drop("_b").write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withColumn("_ets", F.expr("timestamp_micros(ts div 1000)"))
+        .groupBy(F.session_window("_ets", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+    )
+    table = f"gate_sstream_{os.getpid()}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(table)
+        .select(
+            F.col("session_window.start").cast("long").alias("session_start"),
+            F.col("session_window.end").cast("long").alias("session_end"),
+            "user_id",
+            "n",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+    state_out = os.path.join(root, "state_out")
+    out.write.mode("overwrite").parquet(state_out)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "ckpt"), ignore_errors=True)
+    return spark.read.parquet(state_out).orderBy("user_id", "session_start")
+
+
+ORACLE_SESSION_STREAM_REPLAY = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events
+), s AS (
+  SELECT user_id, us, value,
+    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM e
+), sess AS (
+  SELECT user_id, us, value,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM s
+)
+SELECT CAST(MIN(us) // 1000000 AS BIGINT) AS session_start,
+       CAST((MAX(us) + 1800000000) // 1000000 AS BIGINT) AS session_end,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # WAVE 12 (round 6) — feature association, growth/streak/interval analytics,
 # OLS trends, equi-depth profiling, containment dedup
@@ -9264,6 +9347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_stream_replay": q_window_stream_replay,
         "dedup_stream_replay": q_dedup_stream_replay,
         "join_stream_replay": q_join_stream_replay,
+        "session_stream_replay": q_session_stream_replay,
         "state_filter_query": q_state_filter_query,
         "perspective_view": q_perspective_view,
         "perspective_pivot": q_perspective_pivot,
@@ -9502,11 +9586,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window/lookup forms, multimodal variants), most of which carry
     # driver-green evidence from CORRECTNESS_r02 already.
     priority = [
-        # keyed state / perspective (incl. ALL THREE streaming shapes:
-        # keyed-state replay, windowed-aggregation replay, and the
-        # GroupState stateful-dedup replay)
+        # keyed state / perspective (incl. ALL FIVE streaming shapes:
+        # keyed-state replay, windowed-aggregation replay, GroupState
+        # stateful-dedup replay, stream-stream interval join, and the
+        # session-window merge replay; session_stream_replay's slot
+        # funds text_clean's eviction — same family as text_stats,
+        # still replica-checked in the full sweep)
         "state_keyed_last", "state_stream_replay", "window_stream_replay",
-        "dedup_stream_replay", "join_stream_replay",
+        "dedup_stream_replay", "join_stream_replay", "session_stream_replay",
         "state_filter_query", "state_multikey",
         "perspective_view", "perspective_pivot", "table_index_limit",
         # windows / joins / time
@@ -9515,8 +9602,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_merge", "lookup_by_id", "channel_processor", "tick_counts",
         "time_gate", "flatten_struct", "explode_embeddings", "replay_rewrite",
         "json_props",
-        # text analysis
-        "text_stats", "text_clean", "quality_filter",
+        # text analysis (text_clean evicted for the fifth streaming
+        # shape — see above)
+        "text_stats", "quality_filter",
         # dedup family (minhash_signature is subsumed by
         # dedup_minhash_pairs, which recomputes the signatures — its
         # slot funds the third streaming shape above; still replica-
@@ -9777,6 +9865,7 @@ def oracle_sql() -> dict[str, str]:
         "logrank_test": ORACLE_LOGRANK_TEST,
         "runs_test": ORACLE_RUNS_TEST,
         "max_drawdown": ORACLE_MAX_DRAWDOWN,
+        "session_stream_replay": ORACLE_SESSION_STREAM_REPLAY,
         "hhi_concentration": ORACLE_HHI_CONCENTRATION,
         "cramers_v": ORACLE_CRAMERS_V,
         "rmst": ORACLE_RMST,

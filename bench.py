@@ -241,6 +241,7 @@ HEADLINE = [
     "holt_forecast",
     "mann_whitney",
     "changepoint",
+    "session_stream_replay",
     "kruskal_wallis",
     "logrank_test",
     "runs_test",
