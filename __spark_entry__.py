@@ -9335,6 +9335,223 @@ FROM dets
 """
 
 
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of line quantity vs extended price —
+    two two-phase midrank cumulatives, exact-integer rank sums,
+    closed-form double."""
+    from csp_gateway_spark.operators.analytics import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = spearman_corr(li, "l_quantity", "l_extendedprice")
+    return out.select("n", (F.round("rho", 8) + F.lit(0.0)).alias("rho"))
+
+
+ORACLE_SPEARMAN_CORR = """
+WITH b AS (
+  SELECT l_quantity AS va, l_extendedprice AS vb FROM lineitem
+), pa AS (
+  SELECT va AS v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1
+), ra AS (
+  SELECT v, CAST(2*(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+    AND CURRENT ROW) - c) + c + 1 AS BIGINT) AS r
+  FROM pa
+), pb AS (
+  SELECT vb AS v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1
+), rb AS (
+  SELECT v, CAST(2*(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+    AND CURRENT ROW) - c) + c + 1 AS BIGINT) AS r
+  FROM pb
+), j AS (
+  SELECT ra.r AS xra, rb.r AS xrb
+  FROM b JOIN ra ON b.va = ra.v JOIN rb ON b.vb = rb.v
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    SUM(CAST(xra AS DECIMAL(16,0))) AS s1,
+    SUM(CAST(xrb AS DECIMAL(16,0))) AS s2,
+    SUM(CAST(CAST(xra AS DECIMAL(13,0)) * CAST(xra AS DECIMAL(13,0)) AS DECIMAL(38,0))) AS saa,
+    SUM(CAST(CAST(xrb AS DECIMAL(13,0)) * CAST(xrb AS DECIMAL(13,0)) AS DECIMAL(38,0))) AS sbb,
+    SUM(CAST(CAST(xra AS DECIMAL(13,0)) * CAST(xrb AS DECIMAL(13,0)) AS DECIMAL(38,0))) AS sab
+  FROM j
+)
+SELECT n,
+  round(CASE WHEN (CAST(n AS DOUBLE)*CAST(saa AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+            * (CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)) > 0
+    THEN (CAST(n AS DOUBLE)*CAST(sab AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s2 AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE)*CAST(saa AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+              * (CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)))
+  END, 8) + 0.0 AS rho
+FROM s
+"""
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of daily order revenue — exact
+    decimal total, key-ordered central-moment folds with pinned FP
+    shape."""
+    from csp_gateway_spark.operators.analytics import jarque_bera
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    out = jarque_bera(daily, "day_num", "rev")
+    return out.select(
+        "n",
+        (F.round("skew", 8) + F.lit(0.0)).alias("skew"),
+        (F.round("kurt", 8) + F.lit(0.0)).alias("kurt"),
+        (F.round("jb", 6) + F.lit(0.0)).alias("jb"),
+    )
+
+
+ORACLE_JARQUE_BERA = f"""
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT list(struct_pack(k := k, y := y) ORDER BY k) AS z,
+         SUM(y) AS tot, CAST(count(*) AS BIGINT) AS n
+  FROM d
+), m AS (
+  SELECT n, z, CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS mu FROM t
+), f AS (
+  SELECT n,
+    list_reduce(list_transform(z, x ->
+      (CAST(x.y AS DOUBLE) - mu) * (CAST(x.y AS DOUBLE) - mu)), (a, b) -> a + b) AS m2,
+    list_reduce(list_transform(z, x ->
+      (CAST(x.y AS DOUBLE) - mu) * (CAST(x.y AS DOUBLE) - mu) * (CAST(x.y AS DOUBLE) - mu)),
+      (a, b) -> a + b) AS m3,
+    list_reduce(list_transform(z, x ->
+      ((CAST(x.y AS DOUBLE) - mu) * (CAST(x.y AS DOUBLE) - mu))
+      * ((CAST(x.y AS DOUBLE) - mu) * (CAST(x.y AS DOUBLE) - mu))), (a, b) -> a + b) AS m4
+  FROM m
+), st AS (
+  SELECT n,
+    (m3 / CAST(n AS DOUBLE))
+      / ((m2 / CAST(n AS DOUBLE)) * sqrt(m2 / CAST(n AS DOUBLE))) AS skew,
+    (m4 / CAST(n AS DOUBLE))
+      / ((m2 / CAST(n AS DOUBLE)) * (m2 / CAST(n AS DOUBLE))) AS kurt
+  FROM f WHERE m2 > 0
+)
+SELECT n, round(skew, 8) + 0.0 AS skew, round(kurt, 8) + 0.0 AS kurt,
+  round(CAST(n AS DOUBLE) / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0), 6)
+    + 0.0 AS jb
+FROM st
+"""
+
+
+def q_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs outlier statistic on daily order revenue — exact
+    decimal |n·y − Σy| argmax with key tiebreak, closed-form G."""
+    from csp_gateway_spark.operators.analytics import grubbs_test
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    out = grubbs_test(daily, "day_num", "rev")
+    return out.select(
+        "n",
+        "outlier_key",
+        "value",
+        (F.round("g", 8) + F.lit(0.0)).alias("g"),
+    )
+
+
+ORACLE_GRUBBS_TEST = f"""
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
+         -- (19,2): int128 storage so y*y squares on DuckDB's int128
+         -- path (values identical to Spark's (18,2) side)
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS y
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, SUM(y) AS sv,
+         SUM(CAST(y * y AS DECIMAL(38,4))) AS ss
+  FROM d
+), j AS (
+  SELECT k, y, n, sv, ss,
+    abs(CAST(y * CAST(n AS DECIMAL(12,0)) - sv AS DECIMAL(38,2))) AS dev
+  FROM d CROSS JOIN t
+)
+SELECT n, k AS outlier_key, CAST(y AS DOUBLE) AS value,
+  round(CASE WHEN (CAST(n AS DOUBLE)*CAST(ss AS DOUBLE)
+                 - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE))
+               / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)) > 0
+    THEN (CAST(dev AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE)*CAST(ss AS DOUBLE)
+               - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE))
+              / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)))
+  END, 8) + 0.0 AS g
+FROM j ORDER BY dev DESC, k ASC LIMIT 1
+"""
+
+
+_DID_SPLIT_NS = 1705363200000000000  # 2024-01-16T00:00:00Z, mid-window
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences of event value: click events
+    (treated) vs all others, pre/post the window midpoint — four
+    exact decimal cells, closed-form contrast."""
+    from csp_gateway_spark.operators.analytics import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events")
+    out = diff_in_diff(
+        ev,
+        treated=F.col("event_type") == "click",
+        post=F.col("ts") >= F.lit(_DID_SPLIT_NS),
+        value_col="value",
+    )
+    return out.select(
+        "n",
+        (F.round("m_treat_pre", 6) + F.lit(0.0)).alias("m_treat_pre"),
+        (F.round("m_treat_post", 6) + F.lit(0.0)).alias("m_treat_post"),
+        (F.round("m_ctrl_pre", 6) + F.lit(0.0)).alias("m_ctrl_pre"),
+        (F.round("m_ctrl_post", 6) + F.lit(0.0)).alias("m_ctrl_post"),
+        (F.round("did", 6) + F.lit(0.0)).alias("did"),
+    )
+
+
+ORACLE_DIFF_IN_DIFF = f"""
+WITH b AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS t,
+         CASE WHEN epoch_ns(ts) >= {_DID_SPLIT_NS} THEN 1 ELSE 0 END AS p,
+         CAST(value AS DECIMAL(18,2)) AS y
+  FROM events
+), s AS (
+  SELECT
+    SUM(CASE WHEN t = 1 AND p = 0 THEN y END) AS s_tp0,
+    CAST(SUM(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_tp0,
+    SUM(CASE WHEN t = 1 AND p = 1 THEN y END) AS s_tp1,
+    CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_tp1,
+    SUM(CASE WHEN t = 0 AND p = 0 THEN y END) AS s_cp0,
+    CAST(SUM(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_cp0,
+    SUM(CASE WHEN t = 0 AND p = 1 THEN y END) AS s_cp1,
+    CAST(SUM(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cp1
+  FROM b
+)
+SELECT c_tp0 + c_tp1 + c_cp0 + c_cp1 AS n,
+  round(CAST(s_tp0 AS DOUBLE) / CAST(c_tp0 AS DOUBLE), 6) + 0.0 AS m_treat_pre,
+  round(CAST(s_tp1 AS DOUBLE) / CAST(c_tp1 AS DOUBLE), 6) + 0.0 AS m_treat_post,
+  round(CAST(s_cp0 AS DOUBLE) / CAST(c_cp0 AS DOUBLE), 6) + 0.0 AS m_ctrl_pre,
+  round(CAST(s_cp1 AS DOUBLE) / CAST(c_cp1 AS DOUBLE), 6) + 0.0 AS m_ctrl_post,
+  round((CAST(s_tp1 AS DOUBLE) / CAST(c_tp1 AS DOUBLE)
+       - CAST(s_tp0 AS DOUBLE) / CAST(c_tp0 AS DOUBLE))
+      - (CAST(s_cp1 AS DOUBLE) / CAST(c_cp1 AS DOUBLE)
+       - CAST(s_cp0 AS DOUBLE) / CAST(c_cp0 AS DOUBLE)), 6) + 0.0 AS did
+FROM s
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -9577,6 +9794,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers_v": q_cramers_v,
         "rmst": q_rmst,
         "quadratic_trend": q_quadratic_trend,
+        "spearman_corr": q_spearman_corr,
+        "jarque_bera": q_jarque_bera,
+        "grubbs_test": q_grubbs_test,
+        "diff_in_diff": q_diff_in_diff,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -9870,4 +10091,8 @@ def oracle_sql() -> dict[str, str]:
         "cramers_v": ORACLE_CRAMERS_V,
         "rmst": ORACLE_RMST,
         "quadratic_trend": ORACLE_QUADRATIC_TREND,
+        "spearman_corr": ORACLE_SPEARMAN_CORR,
+        "jarque_bera": ORACLE_JARQUE_BERA,
+        "grubbs_test": ORACLE_GRUBBS_TEST,
+        "diff_in_diff": ORACLE_DIFF_IN_DIFF,
     }

@@ -242,6 +242,10 @@ HEADLINE = [
     "mann_whitney",
     "changepoint",
     "session_stream_replay",
+    "spearman_corr",
+    "jarque_bera",
+    "grubbs_test",
+    "diff_in_diff",
     "kruskal_wallis",
     "logrank_test",
     "runs_test",

@@ -4262,3 +4262,229 @@ def quadratic_trend(
         F.when(F.abs(dd) > 0, d1 / dd).alias("b1"),
         F.when(F.abs(dd) > 0, d2 / dd).alias("b2"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — the
+    monotone-association twin of ``correlation_matrix`` (Pearson on
+    midranks, robust to outliers and nonlinearity).
+
+    Each column collapses to one row per DISTINCT value (hash
+    aggregate), gets its midrank from ``global_row_number``'s
+    range-bucketed cumulative, and joins back to the fact rows; all
+    rank sums Σ2r, Σ(2r)², Σ(2rₐ·2r_b) accumulate EXACT integers in
+    decimal(38,0) — midranks are half-integers, so doubling keeps
+    every term integral and ρ is one closed-form double over exact
+    sums, engine-identical.  Output: one row (n, rho)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    base = df.select(F.col(col_a).alias("_va"), F.col(col_b).alias("_vb"))
+
+    def midranks(col: str, out: str) -> DataFrame:
+        per = base.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        ranked = global_row_number(
+            per, "_v", [], rn_col="_rn", cum_value="_c", cum_col="_cum"
+        )
+        two_mid = 2 * (F.col("_cum") - F.col("_c")) + F.col("_c") + 1
+        return ranked.select(
+            F.col("_v").alias(col), two_mid.cast("long").alias(out)
+        )
+
+    j = base.join(midranks("_va", "_ra"), on="_va").join(
+        midranks("_vb", "_rb"), on="_vb"
+    )
+    ra = F.col("_ra").cast("decimal(13,0)")
+    rb = F.col("_rb").cast("decimal(13,0)")
+    sums = j.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_ra").cast("decimal(16,0)")).alias("_s1"),
+        F.sum(F.col("_rb").cast("decimal(16,0)")).alias("_s2"),
+        F.sum((ra * ra).cast("decimal(38,0)")).alias("_saa"),
+        F.sum((rb * rb).cast("decimal(38,0)")).alias("_sbb"),
+        F.sum((ra * rb).cast("decimal(38,0)")).alias("_sab"),
+    )
+    n = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    cov = n * F.col("_sab").cast("double") - s1 * s2
+    va = n * F.col("_saa").cast("double") - s1 * s1
+    vb = n * F.col("_sbb").cast("double") - s2 * s2
+    rho = F.when(va * vb > 0, cov / F.sqrt(va * vb))
+    return sums.select(F.col("_n").alias("n"), rho.alias("rho"))
+
+
+def jarque_bera(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Jarque-Bera normality test of an ordered series: JB =
+    n/6·(S² + (K−3)²/4) from sample skewness S and kurtosis K — the
+    standard residual-normality gate before trusting a Gaussian model
+    on a daily metric.
+
+    The series is calendar-bounded, so it packs into ONE key-ordered
+    array (cap-guarded); the mean divides the EXACT decimal total
+    once, and the three central-moment sums fold the array in key
+    order with pinned FP shape — both engines execute the identical
+    (y−μ) product chains, so the statistic is engine-exact.  Output:
+    one row (n, skew, kurt, jb)."""
+    packed = series.agg(
+        _capped_packed(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(key_col).cast("long").alias("_k"),
+                        F.col(value_col).cast("decimal(18,2)").alias("_y"),
+                    )
+                )
+            ),
+            "jarque_bera",
+        ).alias("_s"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_tot"),
+    ).filter(F.size(F.col("_s")) >= 3)
+    staged = packed.select(
+        "_s",
+        F.size(F.col("_s")).cast("long").alias("_n"),
+        (F.col("_tot").cast("double") / F.size(F.col("_s")).cast("double")).alias(
+            "_mu"
+        ),
+    )
+
+    def fold(term):
+        return F.aggregate(
+            F.transform(F.col("_s"), term), F.lit(0.0), lambda a, x: a + x
+        )
+
+    mu = F.col("_mu")
+    m2 = fold(lambda x: (x["_y"].cast("double") - mu) * (x["_y"].cast("double") - mu))
+    m3 = fold(
+        lambda x: (x["_y"].cast("double") - mu)
+        * (x["_y"].cast("double") - mu)
+        * (x["_y"].cast("double") - mu)
+    )
+    m4 = fold(
+        lambda x: ((x["_y"].cast("double") - mu) * (x["_y"].cast("double") - mu))
+        * ((x["_y"].cast("double") - mu) * (x["_y"].cast("double") - mu))
+    )
+    moments = staged.select(
+        F.col("_n"), m2.alias("_m2"), m3.alias("_m3"), m4.alias("_m4")
+    )
+    nd = F.col("_n").cast("double")
+    v = F.col("_m2") / nd
+    skew = (F.col("_m3") / nd) / (v * F.sqrt(v))
+    kurt = (F.col("_m4") / nd) / (v * v)
+    jb = nd / F.lit(6.0) * (skew * skew + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0))
+    return moments.filter(F.col("_m2") > 0).select(
+        F.col("_n").alias("n"),
+        skew.alias("skew"),
+        kurt.alias("kurt"),
+        jb.alias("jb"),
+    )
+
+
+def grubbs_test(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Grubbs outlier statistic on a series: G = max|yᵢ−ȳ|/s with the
+    offending key — the classic single-outlier screen on a daily
+    metric (the argmax twin of ``mad_outliers``' robust flagging).
+
+    The deviation argmax is EXACT: |n·yᵢ − Σy| in decimal (scaling by
+    n clears the mean's division), with the key as tiebreak — no FP
+    compare decides the winner; G itself is one closed-form double
+    over the exact Σy/Σy² sums.  One aggregate, one broadcast, one
+    TakeOrdered.  Output: one row (n, outlier_key, value, g)."""
+    base = series.select(
+        F.col(key_col).cast("long").alias("_k"),
+        F.col(value_col).cast("decimal(18,2)").alias("_y"),
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").alias("_sv"),
+        F.sum((F.col("_y") * F.col("_y")).cast("decimal(38,4)")).alias("_ss"),
+    )
+    j = base.crossJoin(F.broadcast(totals))
+    dev = F.abs(
+        (
+            F.col("_y") * F.col("_n").cast("decimal(12,0)") - F.col("_sv")
+        ).cast("decimal(38,2)")
+    )
+    top = (
+        j.select("_k", "_y", "_n", "_sv", "_ss", dev.alias("_dev"))
+        .orderBy(F.desc("_dev"), F.asc("_k"))
+        .limit(1)
+    )
+    n = F.col("_n").cast("double")
+    var = (
+        n * F.col("_ss").cast("double")
+        - F.col("_sv").cast("double") * F.col("_sv").cast("double")
+    ) / (n * (n - F.lit(1.0)))
+    g = F.when(
+        var > 0, (F.col("_dev").cast("double") / n) / F.sqrt(var)
+    )
+    return top.select(
+        F.col("_n").alias("n"),
+        F.col("_k").alias("outlier_key"),
+        F.col("_y").cast("double").alias("value"),
+        g.alias("g"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treated,
+    post,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences estimate over a 2×2 design: DiD =
+    (ȳ_treated,post − ȳ_treated,pre) − (ȳ_control,post − ȳ_control,pre)
+    — the standard panel causal contrast (did the treated cohort move
+    MORE than the secular trend?).
+
+    ``treated``/``post`` are boolean Columns; ONE scan accumulates
+    the four cells' exact decimal sums and counts, and every mean and
+    the contrast are closed-form doubles over exact sums —
+    engine-identical, no sampling, no iteration.  Output: one row
+    (n, m_treat_pre, m_treat_post, m_ctrl_pre, m_ctrl_post, did)."""
+    t = treated.cast("int")
+    p = post.cast("int")
+    y = F.col(value_col).cast("decimal(18,2)")
+
+    def cell(ti: int, pi: int, tag: str):
+        m = (t == ti) & (p == pi)
+        return [
+            F.sum(F.when(m, y)).alias(f"_s_{tag}"),
+            F.sum(F.when(m, 1).otherwise(0)).cast("long").alias(f"_c_{tag}"),
+        ]
+
+    sums = df.agg(
+        *cell(1, 0, "tp0"), *cell(1, 1, "tp1"),
+        *cell(0, 0, "cp0"), *cell(0, 1, "cp1"),
+    )
+
+    def mean(tag: str):
+        return F.col(f"_s_{tag}").cast("double") / F.col(f"_c_{tag}").cast(
+            "double"
+        )
+
+    did = (mean("tp1") - mean("tp0")) - (mean("cp1") - mean("cp0"))
+    n = (
+        F.col("_c_tp0") + F.col("_c_tp1") + F.col("_c_cp0") + F.col("_c_cp1")
+    )
+    return sums.select(
+        n.alias("n"),
+        mean("tp0").alias("m_treat_pre"),
+        mean("tp1").alias("m_treat_post"),
+        mean("cp0").alias("m_ctrl_pre"),
+        mean("cp1").alias("m_ctrl_post"),
+        did.alias("did"),
+    )

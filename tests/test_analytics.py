@@ -1310,3 +1310,64 @@ def test_quadratic_trend_recovers_parabola(spark):
     assert abs(r.b0 - 2.0) < 1e-6
     assert abs(r.b1 - 3.0) < 1e-7
     assert abs(r.b2 - 0.5) < 1e-8
+
+
+def test_spearman_corr_hand_computed(spark):
+    import math
+
+    from csp_gateway_spark.operators.analytics import spearman_corr
+
+    # monotone -> rho = 1 exactly
+    rows = [(float(x), float(x * x)) for x in range(1, 6)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = spearman_corr(df, "a", "b").collect()[0]
+    assert r.n == 5 and abs(r.rho - 1.0) < 1e-12
+    # ties: a=[1,1,2] (midranks 1.5,1.5,3) vs b=[3,4,5] -> 1.5/sqrt(3)
+    df2 = spark.createDataFrame(
+        [(1.0, 3.0), (1.0, 4.0), (2.0, 5.0)], "a double, b double"
+    )
+    r2 = spearman_corr(df2, "a", "b").collect()[0]
+    assert abs(r2.rho - 1.5 / math.sqrt(3.0)) < 1e-12
+
+
+def test_jarque_bera_hand_computed(spark):
+    from csp_gateway_spark.operators.analytics import jarque_bera
+
+    # symmetric 1..5: skew = 0, kurt = 1.7, jb = 5/6 * (1.3^2/4)
+    df = spark.createDataFrame(
+        [(k, float(k + 1)) for k in range(5)], "k int, v double"
+    )
+    r = jarque_bera(df, "k", "v").collect()[0]
+    assert r.n == 5
+    assert abs(r.skew) < 1e-12
+    assert abs(r.kurt - 1.7) < 1e-12
+    assert abs(r.jb - 5.0 / 6.0 * (1.3 * 1.3 / 4.0)) < 1e-12
+
+
+def test_grubbs_hand_computed(spark):
+    from csp_gateway_spark.operators.analytics import grubbs_test
+
+    # [10,10,10,50]: s = 20, max dev 30 -> G = 1.5 at the 50's key
+    df = spark.createDataFrame(
+        [(0, 10.0), (1, 10.0), (2, 10.0), (3, 50.0)], "k int, v double"
+    )
+    r = grubbs_test(df, "k", "v").collect()[0]
+    assert r.n == 4 and r.outlier_key == 3 and r.value == 50.0
+    assert abs(r.g - 1.5) < 1e-12
+
+
+def test_diff_in_diff_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from csp_gateway_spark.operators.analytics import diff_in_diff
+
+    rows = (
+        [(1, 0, 10.0)] * 2 + [(1, 1, 20.0)] * 2
+        + [(0, 0, 5.0)] * 3 + [(0, 1, 7.0)] * 3
+    )
+    df = spark.createDataFrame(rows, "t int, p int, v double")
+    r = diff_in_diff(
+        df, treated=F.col("t") == 1, post=F.col("p") == 1, value_col="v"
+    ).collect()[0]
+    assert r.n == 10
+    assert abs(r.did - ((20.0 - 10.0) - (7.0 - 5.0))) < 1e-12
