@@ -9552,6 +9552,70 @@ FROM s
 """
 
 
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day Holt-Winters additive seasonal forecast of daily order
+    revenue — level/trend/seasonal fold with a rotating 7-slot
+    seasonal array; the oracle steps identical expressions in a
+    recursive CTE carrying a LIST column."""
+    from csp_gateway_spark.operators.analytics import holt_winters
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    out = holt_winters(daily, "day_num", "rev", period=7, horizon=7)
+    return out.select(
+        "h", (F.round("forecast", 4) + F.lit(0.0)).alias("forecast")
+    ).orderBy("h")
+
+
+ORACLE_HOLT_WINTERS = f"""
+WITH RECURSIVE d AS (
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM orders GROUP BY 1
+), o AS (
+  SELECT v, CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS rn FROM d
+), p AS (
+  SELECT list(v ORDER BY rn) AS lv FROM o
+), init AS (
+  SELECT list_reduce(lv[1:7], (a, b) -> a + b) AS s1,
+         list_reduce(lv[8:14], (a, b) -> a + b) AS s2,
+         lv
+  FROM p
+), i2 AS (
+  SELECT s1/7.0 AS l0, (s2/7.0 - s1/7.0)/7.0 AS b0,
+         list_transform(lv[1:7], x -> x - s1/7.0) AS s0
+  FROM init
+), r AS (
+  SELECT CAST(7 AS BIGINT) AS i, l0 AS l, b0 AS b, s0 AS s FROM i2
+  UNION ALL
+  SELECT r.i + 1,
+    0.5*(o.v - r.s[CAST((r.i % 7) + 1 AS INTEGER)]) + 0.5*(r.l + r.b),
+    0.25*((0.5*(o.v - r.s[CAST((r.i % 7) + 1 AS INTEGER)]) + 0.5*(r.l + r.b)) - r.l)
+      + 0.75*r.b,
+    list_transform([0, 1, 2, 3, 4, 5, 6], j -> CASE WHEN j = (r.i % 7)
+      THEN 0.25*(o.v - (0.5*(o.v - r.s[CAST((r.i % 7) + 1 AS INTEGER)])
+                        + 0.5*(r.l + r.b)))
+           + 0.75*r.s[CAST((r.i % 7) + 1 AS INTEGER)]
+      ELSE r.s[CAST(j + 1 AS INTEGER)] END)
+  FROM r JOIN o ON o.rn = r.i + 1
+), fin AS (
+  SELECT l, b, s FROM r WHERE i = (SELECT max(rn) FROM o)
+)
+SELECT CAST(h AS INTEGER) AS h,
+  round(l + CAST(h AS DOUBLE)*b
+        + s[CAST(((SELECT max(rn) FROM o) + h - 1) % 7 + 1 AS INTEGER)], 4)
+    + 0.0 AS forecast
+FROM fin CROSS JOIN (SELECT unnest(range(1, 8)) AS h)
+ORDER BY h
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -9798,6 +9862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jarque_bera": q_jarque_bera,
         "grubbs_test": q_grubbs_test,
         "diff_in_diff": q_diff_in_diff,
+        "holt_winters": q_holt_winters,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -10095,4 +10160,5 @@ def oracle_sql() -> dict[str, str]:
         "jarque_bera": ORACLE_JARQUE_BERA,
         "grubbs_test": ORACLE_GRUBBS_TEST,
         "diff_in_diff": ORACLE_DIFF_IN_DIFF,
+        "holt_winters": ORACLE_HOLT_WINTERS,
     }

@@ -246,6 +246,7 @@ HEADLINE = [
     "jarque_bera",
     "grubbs_test",
     "diff_in_diff",
+    "holt_winters",
     "kruskal_wallis",
     "logrank_test",
     "runs_test",

@@ -4488,3 +4488,128 @@ def diff_in_diff(
         mean("cp1").alias("m_ctrl_post"),
         did.alias("did"),
     )
+
+
+def holt_winters(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt-Winters additive seasonal forecast (level/trend/seasonal
+    triple exponential smoothing) — the seasonal extension of
+    ``holt_forecast`` for daily series with a weekly cycle:
+
+        l_t = α·(y_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(y_t − l_t) + (1−γ)·s_{t−m}
+
+    initialized from the first two seasons (l₀ = mean of season 1,
+    b₀ = (mean₂ − mean₁)/m, s_i = y_i − l₀) with the recursion
+    starting at t = m+1; forecast ŷ_{n+h} = l_n + h·b_n +
+    s_{n+h−m·⌈…⌉}.  The series packs into ONE key-ordered array
+    (calendar-bounded, cap-guarded) and the whole recursion is a
+    single expression fold over a (level, trend, seasonal-array)
+    struct — FP order pinned, engine-reproducible (DuckDB mirror: a
+    recursive CTE stepping identical expressions with a LIST-typed
+    seasonal column).  ``alpha``/``beta``/``gamma`` should be dyadic.
+    Output: (h, forecast) for h = 1..``horizon``."""
+    a = float(alpha)
+    b = float(beta)
+    g = float(gamma)
+    m = int(period)
+    packed = series.agg(
+        _capped_packed(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(key_col).cast("long").alias("_k"),
+                        F.col(value_col).cast("double").alias("_v"),
+                    )
+                )
+            ),
+            "holt_winters",
+        ).alias("_s0")
+    ).filter(F.size(F.col("_s0")) >= 2 * m)
+    # index the series: fold positions drive the seasonal slot t mod m
+    staged = packed.select(
+        F.zip_with(
+            F.col("_s0"),
+            F.sequence(F.lit(1), F.size(F.col("_s0"))),
+            lambda x, i: F.struct(x["_v"].alias("v"), i.alias("i")),
+        ).alias("_s"),
+        F.size(F.col("_s0")).alias("_n"),
+    )
+    arr = F.col("_s")
+    sum1 = F.aggregate(
+        F.slice(arr, 1, m), F.lit(0.0), lambda acc, x: acc + x["v"]
+    )
+    sum2 = F.aggregate(
+        F.slice(arr, m + 1, m), F.lit(0.0), lambda acc, x: acc + x["v"]
+    )
+    l0 = sum1 / F.lit(float(m))
+    b0 = (sum2 / F.lit(float(m)) - sum1 / F.lit(float(m))) / F.lit(float(m))
+    s0 = F.transform(
+        F.sequence(F.lit(1), F.lit(m)),
+        lambda i: F.element_at(arr, i)["v"] - l0,
+    )
+
+    def step(acc, x):
+        pos = F.pmod(x["i"] - 1, F.lit(m))
+        s_old = F.element_at(acc["s"], (pos + 1).cast("int"))
+        lnew = F.lit(a) * (x["v"] - s_old) + F.lit(1.0 - a) * (
+            acc["l"] + acc["b"]
+        )
+        bnew = (
+            F.lit(b)
+            * (
+                (
+                    F.lit(a) * (x["v"] - s_old)
+                    + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+                )
+                - acc["l"]
+            )
+            + F.lit(1.0 - b) * acc["b"]
+        )
+        snew = F.lit(g) * (
+            x["v"]
+            - (
+                F.lit(a) * (x["v"] - s_old)
+                + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+            )
+        ) + F.lit(1.0 - g) * s_old
+        return F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.when(j == pos, snew).otherwise(
+                    F.element_at(acc["s"], (j + 1).cast("int"))
+                ),
+            ).alias("s"),
+        )
+
+    fitted = staged.select(
+        F.aggregate(
+            F.slice(arr, m + 1, F.size(arr) - m),
+            F.struct(l0.alias("l"), b0.alias("b"), s0.alias("s")),
+            step,
+        ).alias("_f"),
+        F.col("_n"),
+    )
+    h = F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("h")
+    rows = fitted.select(h, "_f", "_n")
+    season = F.element_at(
+        F.col("_f.s"),
+        (F.pmod(F.col("_n") + F.col("h") - 1, F.lit(m)) + 1).cast("int"),
+    )
+    return rows.select(
+        "h",
+        (
+            F.col("_f.l") + F.col("h").cast("double") * F.col("_f.b") + season
+        ).alias("forecast"),
+    ).orderBy("h")

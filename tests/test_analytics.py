@@ -1371,3 +1371,26 @@ def test_diff_in_diff_hand_computed(spark):
     ).collect()[0]
     assert r.n == 10
     assert abs(r.did - ((20.0 - 10.0) - (7.0 - 5.0))) < 1e-12
+
+
+def test_holt_winters_vs_python_loop(spark):
+    from csp_gateway_spark.operators.analytics import holt_winters
+
+    m, a_, b_, g_ = 7, 0.5, 0.25, 0.25
+    y = [10.0 + (t % m) * 2.0 + 0.3 * t + (0.7 if t % 3 == 0 else 0.0)
+         for t in range(21)]
+    l = sum(y[:m]) / m
+    bb = (sum(y[m:2 * m]) / m - sum(y[:m]) / m) / m
+    s = [y[i] - l for i in range(m)]
+    for t in range(m, len(y)):
+        pos = t % m
+        so = s[pos]
+        ln = a_ * (y[t] - so) + (1 - a_) * (l + bb)
+        bn = b_ * (ln - l) + (1 - b_) * bb
+        sn = g_ * (y[t] - ln) + (1 - g_) * so
+        l, bb, s[pos] = ln, bn, sn
+    expect = {h: l + h * bb + s[(len(y) + h - 1) % m] for h in range(1, 8)}
+    df = spark.createDataFrame(list(enumerate(y)), "k int, v double")
+    got = {r.h: r.forecast for r in holt_winters(df, "k", "v").collect()}
+    for h in range(1, 8):
+        assert abs(got[h] - expect[h]) < 1e-9, (h, got[h], expect[h])
