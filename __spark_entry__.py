@@ -9616,6 +9616,102 @@ ORDER BY h
 """
 
 
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar supplier relatedness over the part-supplier
+    bipartite graph — hub-blocked pair generation with a degree cap,
+    part-sorted weight folds, exact-tiebreak top-20."""
+    from csp_gateway_spark.operators.corpus import adamic_adar
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = adamic_adar(li, "l_partkey", "l_suppkey", top_k=20)
+    return out.select(
+        "n1",
+        "n2",
+        "shared",
+        (F.round("score", 8) + F.lit(0.0)).alias("score"),
+    )
+
+
+ORACLE_ADAMIC_ADAR = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), deg AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS d FROM ps GROUP BY 1
+  HAVING count(*) >= 2 AND count(*) <= 1000
+), w AS (
+  SELECT p, 1.0 / ln(CAST(d AS DOUBLE)) AS w FROM deg
+), pr AS (
+  SELECT a.p AS p, a.s AS s1, b.s AS s2
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+), t AS (
+  SELECT pr.s1, pr.s2, pr.p, w.w FROM pr JOIN w ON pr.p = w.p
+), g AS (
+  SELECT s1, s2, CAST(count(*) AS BIGINT) AS shared,
+    list_reduce(list_transform(list(struct_pack(p := p, w := w) ORDER BY p),
+                               x -> x.w), (a, b) -> a + b) AS score
+  FROM t GROUP BY 1, 2
+)
+SELECT s1 AS n1, s2 AS n2, shared, round(score, 8) + 0.0 AS score
+FROM g ORDER BY score DESC, s1 ASC, s2 ASC LIMIT 20
+"""
+
+
+def q_topk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customer leaderboard churn between the two halves of
+    the order window — Jaccard set overlap + Spearman footrule over
+    exact-decimal TakeOrdered leaderboards."""
+    from csp_gateway_spark.operators.analytics import topk_overlap
+
+    orders = _t(spark, sf_dir, "orders")
+    out = topk_overlap(
+        orders,
+        split=F.col("o_orderdate") >= F.lit("1995-07-01").cast("date"),
+        key_col="o_custkey",
+        value_col="o_totalprice",
+        k=20,
+    )
+    return out.select(
+        "k",
+        "n_a",
+        "n_b",
+        "n_common",
+        (F.round("jaccard", 8) + F.lit(0.0)).alias("jaccard"),
+        "footrule",
+    )
+
+
+ORACLE_TOPK_OVERLAP = """
+WITH pa AS (
+  SELECT o_custkey AS k, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+  FROM orders WHERE o_orderdate < DATE '1995-07-01' GROUP BY 1
+  ORDER BY r DESC, k ASC LIMIT 20
+), pb AS (
+  SELECT o_custkey AS k, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+  FROM orders WHERE o_orderdate >= DATE '1995-07-01' GROUP BY 1
+  ORDER BY r DESC, k ASC LIMIT 20
+), ra AS (
+  SELECT k, CAST(row_number() OVER (ORDER BY r DESC, k ASC) AS BIGINT) AS rank_a FROM pa
+), rb AS (
+  SELECT k, CAST(row_number() OVER (ORDER BY r DESC, k ASC) AS BIGINT) AS rank_b FROM pb
+), j AS (
+  SELECT ra.rank_a, rb.rank_b FROM ra FULL OUTER JOIN rb USING (k)
+), a AS (
+  SELECT
+    CAST(SUM(CASE WHEN rank_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN rank_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN rank_a IS NOT NULL AND rank_b IS NOT NULL THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_common,
+    CAST(SUM(CASE WHEN rank_a IS NOT NULL AND rank_b IS NOT NULL
+                  THEN abs(rank_a - rank_b) ELSE 0 END) AS BIGINT) AS footrule
+  FROM j
+)
+SELECT 20 AS k, n_a, n_b, n_common,
+  round(CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE), 8) + 0.0 AS jaccard,
+  footrule
+FROM a
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -9863,6 +9959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grubbs_test": q_grubbs_test,
         "diff_in_diff": q_diff_in_diff,
         "holt_winters": q_holt_winters,
+        "adamic_adar": q_adamic_adar,
+        "topk_overlap": q_topk_overlap,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -10161,4 +10259,6 @@ def oracle_sql() -> dict[str, str]:
         "grubbs_test": ORACLE_GRUBBS_TEST,
         "diff_in_diff": ORACLE_DIFF_IN_DIFF,
         "holt_winters": ORACLE_HOLT_WINTERS,
+        "adamic_adar": ORACLE_ADAMIC_ADAR,
+        "topk_overlap": ORACLE_TOPK_OVERLAP,
     }

@@ -247,6 +247,8 @@ HEADLINE = [
     "grubbs_test",
     "diff_in_diff",
     "holt_winters",
+    "adamic_adar",
+    "topk_overlap",
     "kruskal_wallis",
     "logrank_test",
     "runs_test",

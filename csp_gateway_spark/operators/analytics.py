@@ -4613,3 +4613,75 @@ def holt_winters(
             F.col("_f.l") + F.col("h").cast("double") * F.col("_f.b") + season
         ).alias("forecast"),
     ).orderBy("h")
+
+
+def topk_overlap(
+    df: DataFrame,
+    split,
+    key_col: str,
+    value_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Rank-stability of a top-k leaderboard across two periods:
+    Jaccard overlap of the two top-k member sets plus Spearman's
+    footrule (Σ|rank_a − rank_b| over common members) — the churn
+    metric for 'did our biggest customers change?'.
+
+    ``split`` is a boolean Column naming the second period.  Each
+    period's top-k comes from an exact-decimal TakeOrdered (value
+    desc, key asc — no FP compare picks the cut); ranks come from
+    posexplode over the k-row packed array, NOT an unpartitioned
+    window.  Output: one row (k, n_a, n_b, n_common, jaccard,
+    footrule)."""
+    p = split.cast("int")
+    y = F.col(value_col).cast("decimal(18,2)")
+
+    def top(period: int, rank_alias: str) -> DataFrame:
+        per = (
+            df.filter(p == period)
+            .groupBy(F.col(key_col).alias("_k"))
+            .agg(F.sum(y).cast("decimal(18,2)").alias("_r"))
+            .orderBy(F.desc("_r"), F.asc("_k"))
+            .limit(int(k))
+        )
+        packed = per.agg(
+            F.array_sort(
+                F.collect_list(F.struct((F.col("_r") * -1).alias("_nr"), "_k"))
+            ).alias("_z")
+        )
+        return packed.select(
+            F.posexplode(F.col("_z")).alias("_i", "_e")
+        ).select(
+            F.col("_e._k").alias("_k"),
+            (F.col("_i") + 1).cast("long").alias(rank_alias),
+        )
+
+    ta = top(0, "_rank_a")
+    tb = top(1, "_rank_b")
+    j = ta.join(tb, on="_k", how="full")
+    agg = j.agg(
+        F.sum((F.col("_rank_a").isNotNull()).cast("long")).alias("n_a"),
+        F.sum((F.col("_rank_b").isNotNull()).cast("long")).alias("n_b"),
+        F.sum(
+            (F.col("_rank_a").isNotNull() & F.col("_rank_b").isNotNull()).cast(
+                "long"
+            )
+        ).alias("n_common"),
+        F.sum(
+            F.when(
+                F.col("_rank_a").isNotNull() & F.col("_rank_b").isNotNull(),
+                F.abs(F.col("_rank_a") - F.col("_rank_b")),
+            ).otherwise(0)
+        ).cast("long").alias("footrule"),
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return agg.select(
+        F.lit(int(k)).alias("k"),
+        "n_a",
+        "n_b",
+        "n_common",
+        jac.alias("jaccard"),
+        "footrule",
+    )

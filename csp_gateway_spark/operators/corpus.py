@@ -1293,3 +1293,59 @@ def vocab_growth(
         )
         .orderBy("checkpoint")
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    hub_col: str,
+    node_col: str,
+    min_degree: int = 2,
+    max_degree: int = 1000,
+    top_k: int = 20,
+) -> DataFrame:
+    """Adamic-Adar link prediction over a bipartite co-occurrence
+    graph: for every node pair sharing a hub, score = Σ_w 1/ln(deg w)
+    over the shared hubs — rarer hubs count more (the standard
+    common-neighbors signal for 'these two suppliers/authors/docs are
+    related').
+
+    Pair generation is HUB-BLOCKED: the self-join runs per hub, so
+    work is Σ d·(d−1)/2 over hub degrees, and ``max_degree`` drops
+    super-hubs before the quadratic step (the star-graph guard shared
+    with the SCALING.md label-propagation case).  Each pair's double
+    sum folds its hub-sorted shared list (bounded by the
+    co-occurrence contract) with pinned FP order, and the top-k pick
+    orders on engine-identical doubles with the pair as tiebreak.
+    Output: top-k rows (n1, n2, shared, score)."""
+    ps = edges.select(
+        F.col(hub_col).alias("_p"), F.col(node_col).alias("_s")
+    ).distinct()
+    deg = ps.groupBy("_p").agg(F.count(F.lit(1)).alias("_d")).filter(
+        (F.col("_d") >= int(min_degree)) & (F.col("_d") <= int(max_degree))
+    )
+    w = deg.select(
+        "_p", (F.lit(1.0) / F.log(F.col("_d").cast("double"))).alias("_w")
+    )
+    a = ps.select(F.col("_p"), F.col("_s").alias("_s1"))
+    b = ps.select(F.col("_p"), F.col("_s").alias("_s2"))
+    pairs = a.join(b, on="_p").filter(F.col("_s1") < F.col("_s2")).join(
+        w, on="_p"
+    )
+    g = pairs.groupBy("_s1", "_s2").agg(
+        F.count(F.lit(1)).alias("shared"),
+        F.array_sort(F.collect_list(F.struct("_p", "_w"))).alias("_z"),
+    )
+    score = F.aggregate(
+        F.transform(F.col("_z"), lambda x: x["_w"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = g.select(
+        F.col("_s1").alias("n1"),
+        F.col("_s2").alias("n2"),
+        "shared",
+        score.alias("score"),
+    )
+    return scored.orderBy(
+        F.desc("score"), F.asc("n1"), F.asc("n2")
+    ).limit(int(top_k))

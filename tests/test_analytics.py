@@ -1394,3 +1394,23 @@ def test_holt_winters_vs_python_loop(spark):
     got = {r.h: r.forecast for r in holt_winters(df, "k", "v").collect()}
     for h in range(1, 8):
         assert abs(got[h] - expect[h]) < 1e-9, (h, got[h], expect[h])
+
+
+def test_topk_overlap_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from csp_gateway_spark.operators.analytics import topk_overlap
+
+    # period 0 top-2: a(30), b(20); period 1 top-2: a(25), c(15)
+    rows = [
+        (0, "a", 30.0), (0, "b", 20.0), (0, "c", 5.0),
+        (1, "a", 25.0), (1, "c", 15.0), (1, "b", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "p int, k string, v double")
+    r = topk_overlap(
+        df, split=F.col("p") == 1, key_col="k", value_col="v", k=2
+    ).collect()[0]
+    assert (r.n_a, r.n_b, r.n_common) == (2, 2, 1)
+    assert abs(r.jaccard - 1.0 / 3.0) < 1e-12
+    # 'a' is rank 1 in both -> footrule 0
+    assert r.footrule == 0

@@ -581,3 +581,22 @@ def test_prefix_dup_groups_and_vocab_growth(spark):
     vals = [vg[i] for i in sorted(vg)]
     assert all(a.vocab <= b.vocab for a, b in zip(vals, vals[1:]))
     assert all(a.n_tokens <= b.n_tokens for a, b in zip(vals, vals[1:]))
+
+
+def test_adamic_adar_hand_computed(spark):
+    import math
+
+    from csp_gateway_spark.operators.corpus import adamic_adar
+
+    # hubs: p1 shared by s1,s2,s3 (deg 3); p2 shared by s1,s2 (deg 2)
+    rows = [
+        ("p1", "s1"), ("p1", "s2"), ("p1", "s3"),
+        ("p2", "s1"), ("p2", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "p string, s string")
+    got = {(r.n1, r.n2): r for r in adamic_adar(df, "p", "s").collect()}
+    # (s1,s2): 1/ln3 + 1/ln2; (s1,s3) and (s2,s3): 1/ln3
+    assert abs(got[("s1", "s2")].score - (1 / math.log(3) + 1 / math.log(2))) < 1e-12
+    assert got[("s1", "s2")].shared == 2
+    assert abs(got[("s1", "s3")].score - 1 / math.log(3)) < 1e-12
+    assert got[("s2", "s3")].shared == 1
