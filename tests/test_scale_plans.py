@@ -463,3 +463,28 @@ def test_wave16_plans_no_funnel_or_python(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         for line in _window_lines(df):
             assert line.count("], [") >= 2, f"{name}: unpartitioned window: {line}"
+
+
+def test_wave18_20_plans_scale_safe(spark, sf_dir):
+    """Round-8 analytics queries must keep scale-safe plans: no
+    Python in the hot path, no unpartitioned windows, and sort-merge
+    joins only where a big-big join is inherent (the 20-row full
+    outer in topk_overlap; spearman's value-rank join may legitimately
+    SMJ once the rank table outgrows the broadcast threshold)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    smj_ok = {"topk_overlap", "spearman_corr"}
+    for name in [
+        "kruskal_wallis", "logrank_test", "runs_test", "max_drawdown",
+        "hhi_concentration", "cramers_v", "rmst", "quadratic_trend",
+        "spearman_corr", "jarque_bera", "grubbs_test", "diff_in_diff",
+        "holt_winters", "adamic_adar", "topk_overlap",
+    ]:
+        df = qs[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if name not in smj_ok:
+            assert "SortMergeJoin" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        for line in _window_lines(df):
+            assert line.count("], [") >= 2, f"{name}: unpartitioned window: {line}"

@@ -84,6 +84,17 @@ INTENTIONAL_NESTED_LOOP = {
     "pagerank_docs",
     # 1-row broadcast bigram total crossed into the filtered PMI head
     "pmi_collocations",
+    # round-8 wave: 1-row broadcast stats/totals/median crossJoins
+    # (bounded by construction — same class as cusum/ab_test): rank
+    # totals (kruskal_wallis, spearman_corr), survival totals
+    # (logrank_test), the two-phase median row (runs_test), the
+    # contingency grand total (cramers_v), series totals (grubbs_test)
+    "kruskal_wallis",
+    "logrank_test",
+    "runs_test",
+    "cramers_v",
+    "spearman_corr",
+    "grubbs_test",
 }
 
 
