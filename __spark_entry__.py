@@ -35,6 +35,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _replay_shuffle(spark: SparkSession, n: int = 8):
+    """Replay-scoped shuffle-partition count for the streaming gate
+    queries: each trigger streams a tiny slice, so the dominant cost
+    is state-store open/commit per (trigger × partition × join side)
+    — at 32 partitions the replays pay ~4× their useful work in
+    store bookkeeping.  Production state sizing stays config-driven
+    (spark.sql.shuffle.partitions at first checkpoint write); this
+    scopes ONLY the replay harness.  Values are partition-invariant,
+    so the oracle hash is unchanged."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 # ---------------------------------------------------------------------------
 # A1/A2/A3 — keyed last-value state (state.py:165-225, 228-490)
 # ---------------------------------------------------------------------------
@@ -90,15 +111,16 @@ def q_state_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     table = f"gate_state_replay_{os.getpid()}"
-    q = streaming_keyed_last(
-        stream,
-        ["user_id"],
-        state_table=table,
-        order_by=["ts", "event_id"],
-        checkpoint=os.path.join(root, "ckpt"),
-        trigger_available_now=True,
-    )
-    q.awaitTermination()
+    with _replay_shuffle(spark):
+        q = streaming_keyed_last(
+            stream,
+            ["user_id"],
+            state_table=table,
+            order_by=["ts", "event_id"],
+            checkpoint=os.path.join(root, "ckpt"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination()
     # land the final state in its own parquet so the returned frame is
     # a clean scan (the global-temp lineage chains back through every
     # micro-batch to the replay source, which is cleaned up below)
@@ -3919,15 +3941,16 @@ def q_window_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     table = f"gate_wstream_{os.getpid()}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(table)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = (
         spark.table(table)
         .select(
@@ -3978,15 +4001,16 @@ def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.md5(F.col("text")).alias("_h")
     ).dropDuplicates(["source", "_h"])
     table = f"gate_dstream_{os.getpid()}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(table)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_shuffle(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = (
         spark.table(table)
         .groupBy("source")
@@ -4038,15 +4062,16 @@ def q_session_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     table = f"gate_sstream_{os.getpid()}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(table)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = (
         spark.table(table)
         .select(
@@ -8350,6 +8375,10 @@ def q_join_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "ts"
     ).filter(F.col("event_type").isin("click", "purchase"))
+    # the narrow click/purchase slice is consumed 7x below (bounds +
+    # six sequential bucket writes) — one bounded materialization
+    # beats seven parquet scans
+    ev = ev.localCheckpoint(eager=True)
     root = tempfile.mkdtemp(prefix=f"csp_gw_jstream_{os.getpid()}_")
     src_dir = os.path.join(root, "src")
     # time-range buckets written SEQUENTIALLY so file modification
@@ -8397,15 +8426,16 @@ def q_join_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     table = f"gate_jstream_{os.getpid()}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(table)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_shuffle(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.table(table).select(
         "click_id",
         "purchase_id",

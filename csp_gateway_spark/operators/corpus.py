@@ -1317,20 +1317,28 @@ def adamic_adar(
     co-occurrence contract) with pinned FP order, and the top-k pick
     orders on engine-identical doubles with the pair as tiebreak.
     Output: top-k rows (n1, n2, shared, score)."""
-    ps = edges.select(
-        F.col(hub_col).alias("_p"), F.col(node_col).alias("_s")
-    ).distinct()
-    deg = ps.groupBy("_p").agg(F.count(F.lit(1)).alias("_d")).filter(
-        (F.col("_d") >= int(min_degree)) & (F.col("_d") <= int(max_degree))
+    # ONE hub-side aggregate replaces distinct + self-join: collect_set
+    # dedups map-side, the degree filter prunes before the quadratic
+    # step, and the pair list explodes IN-PLAN per hub — two shuffles
+    # total (by hub, then by pair) instead of a 2-sided co-shuffle join
+    per_hub = edges.groupBy(F.col(hub_col).alias("_p")).agg(
+        F.sort_array(F.collect_set(F.col(node_col))).alias("_ss")
+    ).filter(
+        (F.size("_ss") >= int(min_degree)) & (F.size("_ss") <= int(max_degree))
     )
-    w = deg.select(
-        "_p", (F.lit(1.0) / F.log(F.col("_d").cast("double"))).alias("_w")
+    w = F.lit(1.0) / F.log(F.size("_ss").cast("double"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_ss"),
+            lambda s1, i: F.transform(
+                F.slice(F.col("_ss"), i + 2, F.size(F.col("_ss")) - i - 1),
+                lambda s2: F.struct(s1.alias("_s1"), s2.alias("_s2")),
+            ),
+        )
     )
-    a = ps.select(F.col("_p"), F.col("_s").alias("_s1"))
-    b = ps.select(F.col("_p"), F.col("_s").alias("_s2"))
-    pairs = a.join(b, on="_p").filter(F.col("_s1") < F.col("_s2")).join(
-        w, on="_p"
-    )
+    pairs = per_hub.select(
+        "_p", w.alias("_w"), F.explode(pair_arr).alias("_e")
+    ).select("_p", "_w", F.col("_e._s1").alias("_s1"), F.col("_e._s2").alias("_s2"))
     g = pairs.groupBy("_s1", "_s2").agg(
         F.count(F.lit(1)).alias("shared"),
         F.array_sort(F.collect_list(F.struct("_p", "_w"))).alias("_z"),
