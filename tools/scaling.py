@@ -18,6 +18,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HEAVY = [
+    "kruskal_wallis",
+    "logrank_test",
+    "spearman_corr",
+    "adamic_adar",
+    "runs_test",
     "state_keyed_last",
     "window_session",
     "minhash_signature",
