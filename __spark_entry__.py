@@ -9742,6 +9742,83 @@ FROM a
 """
 
 
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED readout on event value: even user_ids treated, window
+    midpoint splits pre/post — per-user exact decimal totals, pooled
+    exact moments, closed-form θ/adjusted means/ρ²."""
+    from csp_gateway_spark.operators.analytics import cuped
+
+    ev = _t(spark, sf_dir, "events")
+    out = cuped(
+        ev,
+        "user_id",
+        treated=F.pmod(F.col("user_id"), F.lit(2)) == 0,
+        post=F.col("ts") >= F.lit(_DID_SPLIT_NS),
+        value_col="value",
+    )
+    return out.select(
+        "n",
+        (F.round("theta", 8) + F.lit(0.0)).alias("theta"),
+        (F.round("m_treat", 6) + F.lit(0.0)).alias("m_treat"),
+        (F.round("m_treat_adj", 6) + F.lit(0.0)).alias("m_treat_adj"),
+        (F.round("m_ctrl", 6) + F.lit(0.0)).alias("m_ctrl"),
+        (F.round("m_ctrl_adj", 6) + F.lit(0.0)).alias("m_ctrl_adj"),
+        (F.round("var_reduction", 8) + F.lit(0.0)).alias("var_reduction"),
+    )
+
+
+ORACLE_CUPED = f"""
+WITH pu AS (
+  SELECT user_id,
+    CAST(MAX(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS INTEGER) AS t,
+    -- (19,2): int128 storage so the x*x/x*y/y*y products below run on
+    -- DuckDB's int128 path (values identical to Spark's (18,2) side)
+    CAST(COALESCE(SUM(CASE WHEN epoch_ns(ts) < {_DID_SPLIT_NS}
+                           THEN CAST(value AS DECIMAL(18,2)) END), 0)
+         AS DECIMAL(19,2)) AS x,
+    CAST(COALESCE(SUM(CASE WHEN epoch_ns(ts) >= {_DID_SPLIT_NS}
+                           THEN CAST(value AS DECIMAL(18,2)) END), 0)
+         AS DECIMAL(19,2)) AS y
+  FROM events GROUP BY 1
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    SUM(x) AS sx, SUM(y) AS sy,
+    SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+    SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy,
+    SUM(CAST(y * y AS DECIMAL(38,4))) AS syy,
+    CAST(SUM(t) AS BIGINT) AS nt,
+    SUM(CASE WHEN t = 1 THEN x END) AS sxt,
+    SUM(CASE WHEN t = 1 THEN y END) AS syt
+  FROM pu
+), v AS (
+  SELECT n,
+    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+    CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd,
+    CAST(nt AS DOUBLE) AS ntd, CAST(sxt AS DOUBLE) AS sxtd, CAST(syt AS DOUBLE) AS sytd
+  FROM s
+), e AS (
+  SELECT n, nd, sxd, syd, ntd, sxtd, sytd,
+    nd * sxyd - sxd * syd AS cov,
+    nd * sxxd - sxd * sxd AS vx,
+    nd * syyd - syd * syd AS vy
+  FROM v
+), f AS (
+  SELECT n, ntd, sytd, syd, sxtd, sxd, nd, cov, vx, vy,
+    CASE WHEN vx > 0 THEN cov / vx END AS theta
+  FROM e
+)
+SELECT n,
+  round(theta, 8) + 0.0 AS theta,
+  round(sytd / ntd, 6) + 0.0 AS m_treat,
+  round(sytd / ntd - theta * (sxtd / ntd - sxd / nd), 6) + 0.0 AS m_treat_adj,
+  round((syd - sytd) / (nd - ntd), 6) + 0.0 AS m_ctrl,
+  round((syd - sytd) / (nd - ntd) - theta * ((sxd - sxtd) / (nd - ntd) - sxd / nd), 6)
+    + 0.0 AS m_ctrl_adj,
+  round(CASE WHEN vx > 0 AND vy > 0 THEN cov * cov / (vx * vy) END, 8) + 0.0 AS var_reduction
+FROM f
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -9991,6 +10068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": q_holt_winters,
         "adamic_adar": q_adamic_adar,
         "topk_overlap": q_topk_overlap,
+        "cuped": q_cuped,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -10291,4 +10369,5 @@ def oracle_sql() -> dict[str, str]:
         "holt_winters": ORACLE_HOLT_WINTERS,
         "adamic_adar": ORACLE_ADAMIC_ADAR,
         "topk_overlap": ORACLE_TOPK_OVERLAP,
+        "cuped": ORACLE_CUPED,
     }

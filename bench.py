@@ -249,6 +249,7 @@ HEADLINE = [
     "holt_winters",
     "adamic_adar",
     "topk_overlap",
+    "cuped",
     "kruskal_wallis",
     "logrank_test",
     "runs_test",

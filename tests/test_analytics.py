@@ -1414,3 +1414,33 @@ def test_topk_overlap_hand_computed(spark):
     assert abs(r.jaccard - 1.0 / 3.0) < 1e-12
     # 'a' is rank 1 in both -> footrule 0
     assert r.footrule == 0
+
+
+def test_cuped_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from csp_gateway_spark.operators.analytics import cuped
+
+    # users: (treat, x_pre, y_post): perfect x->y correlation so the
+    # adjustment removes all covariate variance
+    rows = [
+        # u, t, period(0=pre,1=post), v
+        (1, 1, 0, 10.0), (1, 1, 1, 20.0),
+        (2, 1, 0, 20.0), (2, 1, 1, 30.0),
+        (3, 0, 0, 10.0), (3, 0, 1, 15.0),
+        (4, 0, 0, 20.0), (4, 0, 1, 25.0),
+    ]
+    df = spark.createDataFrame(rows, "u int, t int, p int, v double")
+    r = cuped(
+        df, "u", treated=F.col("t") == 1, post=F.col("p") == 1, value_col="v"
+    ).collect()[0]
+    # x = [10,20,10,20], y = [20,30,15,25]: cov = n*sxy - sx*sy
+    # sxy = 200+600+150+500 = 1450; sx=60, sy=90 -> cov = 5800-5400 = 400
+    # vx = 4*1000-3600 = 400 -> theta = 1
+    assert r.n == 4 and abs(r.theta - 1.0) < 1e-12
+    assert abs(r.m_treat - 25.0) < 1e-12 and abs(r.m_ctrl - 20.0) < 1e-12
+    # x-bar_t = 15, x-bar = 15 -> no shift for treat; same for ctrl
+    assert abs(r.m_treat_adj - 25.0) < 1e-12
+    assert abs(r.m_ctrl_adj - 20.0) < 1e-12
+    # vy = 4*(400+900+225+625) - 8100 = 500; rho^2 = 400^2/(400*500)
+    assert abs(r.var_reduction - 160000.0 / 200000.0) < 1e-12
