@@ -9819,6 +9819,65 @@ FROM f
 """
 
 
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast of supplier 1's daily
+    line revenue (sparse by construction) — dual (size, interval)
+    EWMA fold with pinned FP order; recursive-CTE oracle."""
+    from csp_gateway_spark.operators.analytics import croston
+
+    li = _t(spark, sf_dir, "lineitem")
+    daily = (
+        li.filter(F.col("l_suppkey") == 1)
+        .groupBy(
+            F.datediff(F.col("l_shipdate"), F.lit(_LAG_CORR_EPOCH)).alias(
+                "day_num"
+            )
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    out = croston(daily, "day_num", "rev", alpha=0.5)
+    return out.select(
+        "n_demands",
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+        (F.round("p", 6) + F.lit(0.0)).alias("p"),
+        (F.round("forecast", 6) + F.lit(0.0)).alias("forecast"),
+    )
+
+
+ORACLE_CROSTON = f"""
+WITH RECURSIVE d AS (
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', l_shipdate) AS BIGINT) AS k,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM lineitem WHERE l_suppkey = 1 GROUP BY 1
+), o AS (
+  SELECT k, v, CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS rn,
+         k - lag(k) OVER (ORDER BY k) AS q0
+  FROM d
+), o2 AS (
+  SELECT rn, v, CASE WHEN q0 IS NULL THEN 1 ELSE q0 END AS q FROM o
+), r AS (
+  SELECT CAST(1 AS BIGINT) AS i,
+         (SELECT v FROM o2 WHERE rn = 1) AS z,
+         CAST((SELECT q FROM o2 WHERE rn = 1) AS DOUBLE) AS p
+  UNION ALL
+  SELECT r.i + 1,
+         0.5*o2.v + 0.5*r.z,
+         0.5*CAST(o2.q AS DOUBLE) + 0.5*r.p
+  FROM r JOIN o2 ON o2.rn = r.i + 1
+), fin AS (
+  SELECT z, p FROM r WHERE i = (SELECT max(rn) FROM o2)
+)
+SELECT (SELECT max(rn) FROM o2) AS n_demands,
+  round(z, 6) + 0.0 AS z, round(p, 6) + 0.0 AS p,
+  round(z/p, 6) + 0.0 AS forecast
+FROM fin
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -10069,6 +10128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "topk_overlap": q_topk_overlap,
         "cuped": q_cuped,
+        "croston": q_croston,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -10370,4 +10430,5 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar": ORACLE_ADAMIC_ADAR,
         "topk_overlap": ORACLE_TOPK_OVERLAP,
         "cuped": ORACLE_CUPED,
+        "croston": ORACLE_CROSTON,
     }

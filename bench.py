@@ -250,6 +250,7 @@ HEADLINE = [
     "adamic_adar",
     "topk_overlap",
     "cuped",
+    "croston",
     "kruskal_wallis",
     "logrank_test",
     "runs_test",

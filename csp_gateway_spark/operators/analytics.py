@@ -4755,3 +4755,74 @@ def cuped(
         adj_c.alias("m_ctrl_adj"),
         var_red.alias("var_reduction"),
     )
+
+
+def croston(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand: separate exponential
+    smoothing of non-zero demand sizes z and inter-demand intervals p
+    (q₁ = 1 by convention), forecast = z/p per period — the standard
+    spare-parts/sparse-SKU forecaster where ``holt_forecast`` on the
+    zero-riddled series would chase the zeros.
+
+    Non-zero demands pack into ONE key-ordered array (cap-guarded);
+    intervals come from a shifted zip and the (z, p) recursion is a
+    single expression fold with pinned FP order (DuckDB mirror: a
+    recursive CTE stepping identical expressions).  ``alpha`` should
+    be dyadic.  Output: one row (n_demands, z, p, forecast)."""
+    a = float(alpha)
+    packed = series.filter(F.col(value_col) != 0).agg(
+        _capped_packed(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(key_col).cast("long").alias("_k"),
+                        F.col(value_col).cast("double").alias("_v"),
+                    )
+                )
+            ),
+            "croston",
+        ).alias("_s")
+    ).filter(F.size(F.col("_s")) >= 2)
+    ks = F.transform(F.col("_s"), lambda x: x["_k"])
+    gaps = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.zip_with(
+            F.slice(ks, 2, F.size(ks) - 1),
+            F.slice(ks, 1, F.size(ks) - 1),
+            lambda cur, prev: cur - prev,
+        ),
+    )
+    staged = packed.select(
+        "_s",
+        F.zip_with(
+            F.col("_s"), gaps, lambda x, q: F.struct(x["_v"].alias("v"), q.alias("q"))
+        ).alias("_e"),
+    )
+    arr = F.col("_e")
+    z1 = F.element_at(arr, 1)["v"]
+    p1 = F.element_at(arr, 1)["q"].cast("double")
+
+    def step(acc, x):
+        znew = F.lit(a) * x["v"] + F.lit(1.0 - a) * acc["z"]
+        pnew = F.lit(a) * x["q"].cast("double") + F.lit(1.0 - a) * acc["p"]
+        return F.struct(znew.alias("z"), pnew.alias("p"))
+
+    fitted = staged.select(
+        F.size(arr).cast("long").alias("n_demands"),
+        F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1),
+            F.struct(z1.alias("z"), p1.alias("p")),
+            step,
+        ).alias("_f"),
+    )
+    return fitted.select(
+        "n_demands",
+        F.col("_f.z").alias("z"),
+        F.col("_f.p").alias("p"),
+        (F.col("_f.z") / F.col("_f.p")).alias("forecast"),
+    )

@@ -1444,3 +1444,24 @@ def test_cuped_hand_computed(spark):
     assert abs(r.m_ctrl_adj - 20.0) < 1e-12
     # vy = 4*(400+900+225+625) - 8100 = 500; rho^2 = 400^2/(400*500)
     assert abs(r.var_reduction - 160000.0 / 200000.0) < 1e-12
+
+
+def test_croston_vs_python_loop(spark):
+    from csp_gateway_spark.operators.analytics import croston
+
+    # demands at days 1, 3, 6, 7 with sizes 4, 6, 2, 8
+    rows = [(1, 4.0), (3, 6.0), (6, 2.0), (7, 8.0)]
+    a_ = 0.5
+    z, p = 4.0, 1.0  # q1 = 1 by convention
+    for v, q in [(6.0, 2.0), (2.0, 3.0), (8.0, 1.0)]:
+        z = a_ * v + (1 - a_) * z
+        p = a_ * q + (1 - a_) * p
+    df = spark.createDataFrame(rows, "k int, v double")
+    r = croston(df, "k", "v").collect()[0]
+    assert r.n_demands == 4
+    assert abs(r.z - z) < 1e-12 and abs(r.p - p) < 1e-12
+    assert abs(r.forecast - z / p) < 1e-12
+    # zeros are ignored (intermittent semantics)
+    df2 = spark.createDataFrame(rows + [(2, 0.0), (4, 0.0)], "k int, v double")
+    r2 = croston(df2, "k", "v").collect()[0]
+    assert r2.n_demands == 4 and abs(r2.z - z) < 1e-12
