@@ -9878,6 +9878,116 @@ FROM fin
 """
 
 
+def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank: did same-day-of-year revenue shift from
+    1994 to 1995? Exact decimal differences, doubled-midrank W⁺ on
+    the two-phase cumulative, tie-corrected z."""
+    from csp_gateway_spark.operators.analytics import wilcoxon_signed_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate"))
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    daily = (
+        orders.filter(yr.isin(1994, 1995))
+        .groupBy(F.dayofyear(F.col("o_orderdate")).alias("doy"))
+        .agg(
+            F.sum(F.when(yr == 1994, price)).cast("decimal(18,2)").alias("y94"),
+            F.sum(F.when(yr == 1995, price)).cast("decimal(18,2)").alias("y95"),
+        )
+        .filter(F.col("y94").isNotNull() & F.col("y95").isNotNull())
+    )
+    out = wilcoxon_signed_rank(daily, "y95", "y94")
+    return out.select(
+        "n",
+        (F.round("w_plus", 2) + F.lit(0.0)).alias("w_plus"),
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+ORACLE_WILCOXON = """
+WITH p AS (
+  SELECT date_part('doy', o_orderdate) AS doy,
+    CAST(SUM(CASE WHEN date_part('year', o_orderdate) = 1994
+             THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS y94,
+    CAST(SUM(CASE WHEN date_part('year', o_orderdate) = 1995
+             THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS y95
+  FROM orders WHERE date_part('year', o_orderdate) IN (1994, 1995) GROUP BY 1
+), d0 AS (
+  SELECT CAST(y95 - y94 AS DECIMAL(19,2)) AS d FROM p
+  WHERE y94 IS NOT NULL AND y95 IS NOT NULL AND CAST(y95 - y94 AS DECIMAL(19,2)) != 0
+), pv AS (
+  SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp
+  FROM d0 GROUP BY 1
+), c AS (
+  SELECT *, SUM(ct) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pv
+), s AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS n,
+    SUM(CAST(CAST(cp AS DECIMAL(16,0)) * CAST(2*(cum-ct)+ct+1 AS DECIMAL(20,0)) AS DECIMAL(38,0))) AS w2,
+    SUM(CAST(CAST(ct AS DECIMAL(12,0)) * CAST(ct AS DECIMAL(12,0)) * CAST(ct AS DECIMAL(12,0))
+        - CAST(ct AS DECIMAL(12,0)) AS DECIMAL(38,0))) AS ties
+  FROM c
+)
+SELECT n, round(CAST(w2 AS DOUBLE)/2.0, 2) + 0.0 AS w_plus,
+  round(CASE WHEN CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)+1.0)*(2.0*CAST(n AS DOUBLE)+1.0)/24.0
+               - CAST(ties AS DOUBLE)/48.0 > 0
+    THEN (CAST(w2 AS DOUBLE)/2.0 - CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)+1.0)/4.0)
+         / sqrt(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)+1.0)*(2.0*CAST(n AS DOUBLE)+1.0)/24.0
+              - CAST(ties AS DOUBLE)/48.0)
+  END, 6) + 0.0 AS z
+FROM s
+"""
+
+
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of order value across the five priorities —
+    per-group exact decimal moments in one scan, group-sorted
+    between-group fold."""
+    from csp_gateway_spark.operators.analytics import anova_f
+
+    orders = _t(spark, sf_dir, "orders")
+    out = anova_f(orders, "o_orderpriority", "o_totalprice")
+    return out.select(
+        "n",
+        "k",
+        (F.round("ssb", 2) + F.lit(0.0)).alias("ssb"),
+        (F.round("ssw", 2) + F.lit(0.0)).alias("ssw"),
+        (F.round("f", 6) + F.lit(0.0)).alias("f"),
+    )
+
+
+ORACLE_ANOVA_F = """
+WITH per AS (
+  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS ng,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sg,
+    SUM(CAST(CAST(o_totalprice AS DECIMAL(19,2)) * CAST(o_totalprice AS DECIMAL(19,2))
+        AS DECIMAL(38,4))) AS ssg
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+    SUM(sg) AS s, SUM(ssg) AS ss,
+    list_reduce(list_transform(
+      list(struct_pack(g := g,
+                       term := CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+           ORDER BY g),
+      x -> x.term), (a, b) -> a + b) AS bt
+  FROM per
+), f AS (
+  SELECT n, k,
+    bt - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+    CAST(ss AS DOUBLE) - bt AS ssw,
+    CAST(k AS DOUBLE) - 1.0 AS df1,
+    CAST(n AS DOUBLE) - CAST(k AS DOUBLE) AS df2
+  FROM t
+)
+SELECT n, k, round(ssb, 2) + 0.0 AS ssb, round(ssw, 2) + 0.0 AS ssw,
+  round(CASE WHEN df1 > 0 AND df2 > 0 AND ssw > 0
+    THEN (ssb / df1) / (ssw / df2) END, 6) + 0.0 AS f
+FROM f
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -10129,6 +10239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_overlap": q_topk_overlap,
         "cuped": q_cuped,
         "croston": q_croston,
+        "wilcoxon": q_wilcoxon,
+        "anova_f": q_anova_f,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -10431,4 +10543,6 @@ def oracle_sql() -> dict[str, str]:
         "topk_overlap": ORACLE_TOPK_OVERLAP,
         "cuped": ORACLE_CUPED,
         "croston": ORACLE_CROSTON,
+        "wilcoxon": ORACLE_WILCOXON,
+        "anova_f": ORACLE_ANOVA_F,
     }

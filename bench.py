@@ -251,6 +251,8 @@ HEADLINE = [
     "topk_overlap",
     "cuped",
     "croston",
+    "wilcoxon",
+    "anova_f",
     "kruskal_wallis",
     "logrank_test",
     "runs_test",

@@ -4826,3 +4826,118 @@ def croston(
         F.col("_f.p").alias("p"),
         (F.col("_f.z") / F.col("_f.p")).alias("forecast"),
     )
+
+
+def wilcoxon_signed_rank(
+    pairs: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Wilcoxon signed-rank test for PAIRED samples: rank the
+    non-zero |dᵢ| = |aᵢ−bᵢ| with midranks, W⁺ = Σ ranks of positive
+    differences, z against μ = n(n+1)/4 and the tie-corrected
+    σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48 — the paired twin of
+    ``mann_whitney`` (same period last year, same user pre/post).
+
+    Differences stay EXACT decimal (sign and |d| compare exactly);
+    |d| collapses to one row per distinct value with (total, positive)
+    counts, the total-count cumulative runs ONE range-bucketed
+    two-phase pass, and 2·W⁺ accumulates as an exact integer in
+    decimal(38,0) (the doubled-midrank trick shared with
+    ``kruskal_wallis``).  Output: one row (n, w_plus, z)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    a = F.col(col_a).cast("decimal(18,2)")
+    b = F.col(col_b).cast("decimal(18,2)")
+    d = (a - b).cast("decimal(19,2)")
+    base = pairs.select(d.alias("_d")).filter(F.col("_d") != 0)
+    per_val = base.groupBy(F.abs(F.col("_d")).alias("_ad")).agg(
+        F.count(F.lit(1)).alias("_ct"),
+        F.sum((F.col("_d") > 0).cast("long")).alias("_cp"),
+    )
+    ranked = global_row_number(
+        per_val, "_ad", [], rn_col="_rn", cum_value="_ct", cum_col="_cum"
+    )
+    two_mid = (
+        2 * (F.col("_cum") - F.col("_ct")) + F.col("_ct") + 1
+    ).cast("decimal(20,0)")
+    ct12 = F.col("_ct").cast("decimal(12,0)")
+    sums = ranked.agg(
+        F.sum("_ct").alias("_n"),
+        F.sum(
+            (F.col("_cp").cast("decimal(16,0)") * two_mid).cast("decimal(38,0)")
+        ).alias("_w2"),
+        F.sum((ct12 * ct12 * ct12 - ct12).cast("decimal(38,0)")).alias("_ties"),
+    )
+    n = F.col("_n").cast("double")
+    w_plus = F.col("_w2").cast("double") / F.lit(2.0)
+    mu = n * (n + F.lit(1.0)) / F.lit(4.0)
+    sig2 = n * (n + F.lit(1.0)) * (F.lit(2.0) * n + F.lit(1.0)) / F.lit(24.0) - F.col(
+        "_ties"
+    ).cast("double") / F.lit(48.0)
+    z = F.when(sig2 > 0, (w_plus - mu) / F.sqrt(sig2))
+    return sums.select(
+        F.col("_n").alias("n"), w_plus.alias("w_plus"), z.alias("z")
+    )
+
+
+def anova_f(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F statistic across the groups of a categorical
+    column: F = (SSB/(k−1)) / (SSW/(N−k)) — the parametric k-sample
+    companion of ``kruskal_wallis`` (and of ``welch_ttest`` beyond
+    two groups; classic equal-variance form).
+
+    ONE grouped scan accumulates each group's exact decimal Σy / Σy² /
+    n; the k-bounded between-group sum Σ S_g²/n_g folds the
+    group-sorted packed list with pinned FP order, so SSB/SSW/F are
+    engine-identical doubles over exact sums.  Output: one row
+    (n, k, ssb, ssw, f)."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    y = F.col(value_col).cast("decimal(18,2)")
+    per = df.groupBy(g.alias("_g")).agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.sum(y).cast("decimal(38,2)").alias("_sg"),
+        F.sum((y * y).cast("decimal(38,4)")).alias("_ssg"),
+    )
+    term = (
+        F.col("_sg").cast("double")
+        * F.col("_sg").cast("double")
+        / F.col("_ng").cast("double")
+    )
+    packed = per.select(
+        "_g", "_ng", "_sg", "_ssg", term.alias("_term")
+    ).agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_g", "_term"))), "anova_f"
+        ).alias("_z"),
+        F.sum("_ng").alias("_n"),
+        F.sum("_sg").alias("_s"),
+        F.sum("_ssg").alias("_ss"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    between = F.aggregate(
+        F.transform(F.col("_z"), lambda x: x["_term"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = F.col("_n").cast("double")
+    k = F.col("_k").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    staged = packed.select(
+        F.col("_n").alias("n"),
+        F.col("_k").alias("k"),
+        (between - s * s / n).alias("ssb"),
+        (ss - between).alias("ssw"),
+        (k - F.lit(1.0)).alias("_df1"),
+        (n - k).alias("_df2"),
+    )
+    f = F.when(
+        (F.col("_df1") > 0) & (F.col("_df2") > 0) & (F.col("ssw") > 0),
+        (F.col("ssb") / F.col("_df1")) / (F.col("ssw") / F.col("_df2")),
+    )
+    return staged.select("n", "k", "ssb", "ssw", f.alias("f"))

@@ -1465,3 +1465,38 @@ def test_croston_vs_python_loop(spark):
     df2 = spark.createDataFrame(rows + [(2, 0.0), (4, 0.0)], "k int, v double")
     r2 = croston(df2, "k", "v").collect()[0]
     assert r2.n_demands == 4 and abs(r2.z - z) < 1e-12
+
+
+def test_wilcoxon_hand_computed(spark):
+    import math
+
+    from csp_gateway_spark.operators.analytics import wilcoxon_signed_rank
+
+    # d = a-b: [1, -2, 3, 4] -> |d| ranks 1,2,3,4; W+ = 1+3+4 = 8
+    rows = [(2.0, 1.0), (1.0, 3.0), (5.0, 2.0), (9.0, 5.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    assert r.n == 4 and abs(r.w_plus - 8.0) < 1e-12
+    mu = 4 * 5 / 4.0
+    sig2 = 4 * 5 * 9 / 24.0
+    assert abs(r.z - (8.0 - mu) / math.sqrt(sig2)) < 1e-12
+    # zero differences drop; ties share midranks
+    rows2 = [(1.0, 1.0), (3.0, 1.0), (4.0, 2.0), (1.0, 4.0)]
+    # d = [0(drop), 2, 2, -3]: |d| ranks 1.5,1.5,3 -> W+ = 3
+    r2 = wilcoxon_signed_rank(
+        spark.createDataFrame(rows2, "a double, b double"), "a", "b"
+    ).collect()[0]
+    assert r2.n == 3 and abs(r2.w_plus - 3.0) < 1e-12
+
+
+def test_anova_f_hand_computed(spark):
+    from csp_gateway_spark.operators.analytics import anova_f
+
+    # g1=[1,2,3], g2=[4,5,6]: SSB = 13.5, SSW = 4, F = 13.5/(4/4)
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_f(df, "g", "v").collect()[0]
+    assert (r.n, r.k) == (6, 2)
+    assert abs(r.ssb - 13.5) < 1e-9
+    assert abs(r.ssw - 4.0) < 1e-9
+    assert abs(r.f - 13.5 / 1.0) < 1e-9
