@@ -95,6 +95,9 @@ INTENTIONAL_NESTED_LOOP = {
     "cramers_v",
     "spearman_corr",
     "grubbs_test",
+    # doubled-midrank W+ on the same two-phase cumulative (1-row
+    # broadcast rank stats, same class as kruskal_wallis)
+    "wilcoxon",
 }
 
 
