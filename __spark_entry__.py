@@ -9652,7 +9652,9 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     part-sorted weight folds, exact-tiebreak top-20."""
     from csp_gateway_spark.operators.corpus import adamic_adar
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.year(F.col("l_shipdate")) == 1995
+    )
     out = adamic_adar(li, "l_partkey", "l_suppkey", top_k=20)
     return out.select(
         "n1",
@@ -9665,6 +9667,7 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ADAMIC_ADAR = """
 WITH ps AS (
   SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+  WHERE date_part('year', l_shipdate) = 1995
 ), deg AS (
   SELECT p, CAST(count(*) AS BIGINT) AS d FROM ps GROUP BY 1
   HAVING count(*) >= 2 AND count(*) <= 1000

@@ -22,9 +22,12 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     import __spark_entry__ as entry
 
-    con = duck_connect(sf_dir)
     times = {}
     for name, sql in entry.oracle_sql().items():
+        # fresh connection per query: DuckDB retains buffers across a
+        # 246-query session and eventually OOMs on the tail queries;
+        # view registration is milliseconds and stays outside the timer
+        con = duck_connect(sf_dir)
         t0 = time.time()
         try:
             con.execute(sql).fetchall()
@@ -32,6 +35,8 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"oracle error {name}: {e}", file=sys.stderr)
             times[name] = -1.0
+        finally:
+            con.close()
     print(json.dumps({"queries": times, "total": round(sum(t for t in times.values() if t > 0), 3)}))
 
 

@@ -28,6 +28,16 @@ TABLES = (
 
 def duck_connect(sf_dir: str):
     con = duckdb.connect()
+    # pin the memory budget and give blocking operators a spill path:
+    # DuckDB's autodetected limit varies inside sandboxes (observed
+    # std::bad_alloc at ~7 GB RSS with >100 GB free), and an in-memory
+    # instance cannot spill without an explicit temp_directory
+    import tempfile
+
+    con.execute("SET memory_limit='24GB'")
+    con.execute(
+        f"SET temp_directory='{tempfile.gettempdir()}/duckdb_oracle_spill'"
+    )
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
