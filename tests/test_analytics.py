@@ -1500,3 +1500,24 @@ def test_anova_f_hand_computed(spark):
     assert abs(r.ssb - 13.5) < 1e-9
     assert abs(r.ssw - 4.0) < 1e-9
     assert abs(r.f - 13.5 / 1.0) < 1e-9
+
+
+def test_packed_array_cap_guards_round8(spark):
+    import csp_gateway_spark.operators.analytics as A_mod
+    from csp_gateway_spark.operators.analytics import (
+        holt_winters, jarque_bera, max_drawdown, runs_test,
+    )
+
+    old = A_mod.PACKED_ARRAY_CAP
+    try:
+        A_mod.PACKED_ARRAY_CAP = 3  # module default is read at call time
+        series = spark.createDataFrame(
+            [(k, float(k + 1)) for k in range(20)], "k int, v double"
+        )
+        for fn in (max_drawdown, jarque_bera, runs_test):
+            with pytest.raises(Exception, match="PACKED_ARRAY_CAP"):
+                fn(series, "k", "v").collect()
+        with pytest.raises(Exception, match="PACKED_ARRAY_CAP"):
+            holt_winters(series, "k", "v").collect()
+    finally:
+        A_mod.PACKED_ARRAY_CAP = old
