@@ -9991,6 +9991,271 @@ FROM f
 """
 
 
+# ---------------------------------------------------------------------------
+# WAVE 21 (round 9) — evaluation / agreement / privacy / sequential testing
+# ---------------------------------------------------------------------------
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the document length signal as a 'from the target
+    source' classifier — exact midrank AUC (= normalized Mann-Whitney
+    U), the evaluation gate a quality-filter model ships through."""
+    from csp_gateway_spark.operators.analytics import roc_auc
+
+    docs = _t(spark, sf_dir, "documents")
+    out = roc_auc(
+        docs.select(
+            F.col("n_chars").alias("score"),
+            (F.col("source") == "src0").cast("int").alias("label"),
+        ),
+        "score",
+        "label",
+    )
+    return out.select(
+        "n_pos", "n_neg", (F.round("auc", 8) + F.lit(0.0)).alias("auc")
+    )
+
+
+ORACLE_ROC_AUC = """
+WITH pv AS (
+  SELECT n_chars AS v,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) AS cn
+  FROM documents GROUP BY 1
+), c AS (
+  SELECT v, cp, cn,
+    SUM(cp + cn) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pv
+), s AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cn) AS BIGINT) AS nn,
+    SUM(CAST(CAST(cp AS DECIMAL(16,0))
+        * CAST(2 * (cum - (cp + cn)) + (cp + cn) + 1 AS DECIMAL(20,0))
+        AS DECIMAL(38,0))) AS s2rp
+  FROM c
+)
+SELECT np AS n_pos, nn AS n_neg,
+  round(CASE WHEN np > 0 AND nn > 0 THEN
+    (CAST(s2rp AS DOUBLE) / 2.0 - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0) / 2.0)
+    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) END, 8) + 0.0 AS auc
+FROM s
+"""
+
+
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic 'annotators' (char-count
+    buckets vs token-count buckets) — the double-annotation QA gate."""
+    from csp_gateway_spark.operators.analytics import cohen_kappa
+    from csp_gateway_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    nw = F.size(tokens(F.col("text")))
+    rated = docs.select(
+        F.when(F.col("n_chars") < 250, "short")
+        .when(F.col("n_chars") < 400, "mid")
+        .otherwise("long")
+        .alias("rater_a"),
+        F.when(nw < 45, "short").when(nw < 72, "mid").otherwise("long").alias(
+            "rater_b"
+        ),
+    )
+    out = cohen_kappa(rated, "rater_a", "rater_b")
+    return out.select(
+        "n",
+        (F.round("po", 8) + F.lit(0.0)).alias("po"),
+        (F.round("pe", 8) + F.lit(0.0)).alias("pe"),
+        (F.round("kappa", 8) + F.lit(0.0)).alias("kappa"),
+    )
+
+
+ORACLE_COHEN_KAPPA = f"""
+WITH b AS (
+  SELECT CASE WHEN n_chars < 250 THEN 'short'
+              WHEN n_chars < 400 THEN 'mid' ELSE 'long' END AS a,
+         CASE WHEN len({_SQL_TOKS}) < 45 THEN 'short'
+              WHEN len({_SQL_TOKS}) < 72 THEN 'mid' ELSE 'long' END AS b
+  FROM documents
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS diag
+  FROM b
+), ma AS (SELECT a AS k, CAST(count(*) AS BIGINT) AS ca FROM b GROUP BY 1),
+mb AS (SELECT b AS k, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY 1),
+pe AS (
+  SELECT SUM(CAST(CAST(ca AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS pe_num
+  FROM ma JOIN mb USING (k)
+)
+SELECT n,
+  round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 8) + 0.0 AS po,
+  round(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 8) + 0.0 AS pe,
+  round(CASE WHEN CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+    THEN (CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)
+          - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+  END, 8) + 0.0 AS kappa
+FROM tot, pe
+"""
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over four deterministic synthetic raters (length
+    buckets under per-rater integer perturbation) — multi-annotator
+    agreement for labeling-pipeline QA."""
+    from csp_gateway_spark.operators.analytics import fleiss_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    rated = docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("_r"),
+        "n_chars",
+    ).select(
+        F.col("doc_id").alias("item"),
+        F.when(
+            F.col("n_chars") + 37 * ((F.col("doc_id") * (F.col("_r") + 1)) % 7)
+            < 280,
+            "a",
+        )
+        .when(
+            F.col("n_chars") + 37 * ((F.col("doc_id") * (F.col("_r") + 1)) % 7)
+            < 430,
+            "b",
+        )
+        .otherwise("c")
+        .alias("rating"),
+    )
+    out = fleiss_kappa(rated, "item", "rating")
+    return out.select(
+        "n_items",
+        "n_raters",
+        (F.round("p_bar", 8) + F.lit(0.0)).alias("p_bar"),
+        (F.round("p_e", 8) + F.lit(0.0)).alias("p_e"),
+        (F.round("kappa", 8) + F.lit(0.0)).alias("kappa"),
+    )
+
+
+ORACLE_FLEISS_KAPPA = """
+WITH rated AS (
+  SELECT doc_id AS item,
+         CASE WHEN n_chars + 37 * ((doc_id * (r + 1)) % 7) < 280 THEN 'a'
+              WHEN n_chars + 37 * ((doc_id * (r + 1)) % 7) < 430 THEN 'b'
+              ELSE 'c' END AS rating
+  FROM documents, (SELECT unnest([0, 1, 2, 3]) AS r)
+), cells AS (
+  SELECT item, rating, CAST(count(*) AS BIGINT) AS nik
+  FROM rated GROUP BY 1, 2
+), per_item AS (
+  SELECT item, CAST(SUM(nik) AS BIGINT) AS r,
+    SUM(CAST(CAST(nik AS DECIMAL(19,0)) * CAST(nik AS DECIMAL(19,0))
+        AS DECIMAL(38,0))) AS sq
+  FROM cells GROUP BY 1
+), items AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, MIN(r) AS rr, SUM(sq) AS ssq
+  FROM per_item
+), cats AS (
+  SELECT SUM(CAST(CAST(ck AS DECIMAL(19,0)) * CAST(ck AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS cksq
+  FROM (SELECT rating, CAST(SUM(nik) AS BIGINT) AS ck FROM cells GROUP BY 1)
+), f AS (
+  SELECT n, rr,
+    (CAST(ssq AS DOUBLE) - CAST(n AS DOUBLE) * CAST(rr AS DOUBLE))
+      / (CAST(n AS DOUBLE) * CAST(rr AS DOUBLE) * (CAST(rr AS DOUBLE) - 1.0)) AS p_bar,
+    CAST(cksq AS DOUBLE)
+      / (CAST(n AS DOUBLE) * CAST(rr AS DOUBLE) * CAST(n AS DOUBLE) * CAST(rr AS DOUBLE)) AS p_e
+  FROM items, cats
+)
+SELECT n AS n_items, rr AS n_raters,
+  round(p_bar, 8) + 0.0 AS p_bar, round(p_e, 8) + 0.0 AS p_e,
+  round(CASE WHEN p_e < 1.0 THEN (p_bar - p_e) / (1.0 - p_e) END, 8) + 0.0 AS kappa
+FROM f
+"""
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of order priorities within customer
+    (mktsegment × nation) quasi-identifier groups — the privacy
+    screen beside ``k_anonymity`` before a data release."""
+    from csp_gateway_spark.operators.analytics import l_diversity
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment", "c_nationkey")),
+        orders["o_custkey"] == cust["c_custkey"],
+    )
+    out = l_diversity(
+        j, ["c_mktsegment", "c_nationkey"], "o_orderpriority", l=5
+    )
+    return out.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "k_count",
+        "l_distinct",
+        "at_risk",
+    ).orderBy("segment", "nationkey")
+
+
+ORACLE_L_DIVERSITY = """
+SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nationkey,
+  CAST(count(*) AS BIGINT) AS k_count,
+  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_distinct,
+  count(DISTINCT o_orderpriority) < 5 AS at_risk
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT monitoring of the daily 'high-value event' rate
+    (value > 50) against H0 p=0.30 vs H1 p=0.40 — the always-valid
+    sequential readout beside the fixed-horizon ``ab_test``."""
+    from csp_gateway_spark.operators.analytics import sprt_monitor
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr("ts div 86400000000000L").alias("day"),
+        (F.col("value") > 50.0).cast("int").alias("success"),
+    )
+    out = sprt_monitor(base, "day", "success", p0=0.30, p1=0.40)
+    return out.select(
+        "day",
+        "t",
+        "k",
+        (F.round("llr", 6) + F.lit(0.0)).alias("llr"),
+        "decision",
+    ).orderBy("day")
+
+
+def _oracle_sprt_monitor() -> str:
+    import math
+
+    c1 = math.log(0.40 / 0.30)
+    c0 = math.log(0.60 / 0.70)
+    lo = math.log(0.05 / 0.95)
+    hi = math.log(0.95 / 0.05)
+    return f"""
+WITH per AS (
+  SELECT epoch_ns(ts) // 86400000000000 AS day,
+         CAST(count(*) AS BIGINT) AS td,
+         CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS kd
+  FROM events GROUP BY 1
+), c AS (
+  SELECT day,
+    SUM(td) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t,
+    SUM(kd) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+  FROM per
+), l AS (
+  SELECT day, CAST(t AS BIGINT) AS t, CAST(k AS BIGINT) AS k,
+    CAST(k AS DOUBLE) * {c1!r} + (CAST(t AS DOUBLE) - CAST(k AS DOUBLE)) * {c0!r} AS llr
+  FROM c
+)
+SELECT day, t, k, round(llr, 6) + 0.0 AS llr,
+  CASE WHEN llr >= {hi!r} THEN 'accept_h1'
+       WHEN llr <= {lo!r} THEN 'accept_h0'
+       ELSE 'continue' END AS decision
+FROM l ORDER BY day
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -10244,6 +10509,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "croston": q_croston,
         "wilcoxon": q_wilcoxon,
         "anova_f": q_anova_f,
+        "roc_auc": q_roc_auc,
+        "cohen_kappa": q_cohen_kappa,
+        "fleiss_kappa": q_fleiss_kappa,
+        "l_diversity": q_l_diversity,
+        "sprt_monitor": q_sprt_monitor,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -10548,4 +10818,9 @@ def oracle_sql() -> dict[str, str]:
         "croston": ORACLE_CROSTON,
         "wilcoxon": ORACLE_WILCOXON,
         "anova_f": ORACLE_ANOVA_F,
+        "roc_auc": ORACLE_ROC_AUC,
+        "cohen_kappa": ORACLE_COHEN_KAPPA,
+        "fleiss_kappa": ORACLE_FLEISS_KAPPA,
+        "l_diversity": ORACLE_L_DIVERSITY,
+        "sprt_monitor": _oracle_sprt_monitor(),
     }

@@ -4941,3 +4941,278 @@ def anova_f(
         (F.col("ssb") / F.col("_df1")) / (F.col("ssw") / F.col("_df2")),
     )
     return staged.select("n", "k", "ssb", "ssw", f.alias("f"))
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+) -> DataFrame:
+    """Exact ROC-AUC of a score column against a binary label — the
+    rank-based classifier-evaluation twin of :func:`mann_whitney_u`
+    (AUC = U⁺/(n⁺·n⁻) with midrank ties, the probability a random
+    positive outscores a random negative).
+
+    Same scale discipline: ONE distinct-score collapse carrying both
+    class counts, ONE packed two-phase cumulative
+    (``plans.scale.global_row_number`` — no unpartitioned window),
+    doubled rank sums so every intermediate is an exact integer;
+    only the final ratio is a double, from identical expressions on
+    both engines.  Output: one row (n_pos, n_neg, auc)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    v = F.col(score_col)
+    per_val = df.groupBy(v.alias("_v")).agg(
+        F.sum(y.cast("int")).cast("long").alias("_cp"),
+        F.sum(F.lit(1) - y.cast("int")).cast("long").alias("_cn"),
+    )
+    packed = per_val.withColumn(
+        "_pk",
+        (
+            F.col("_cp").cast("decimal(20,0)")
+            * F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
+            + F.col("_cn").cast("decimal(20,0)")
+        ).cast("decimal(38,0)"),
+    )
+    ranked = global_row_number(
+        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum"
+    )
+    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
+    cum_n = F.pmod(F.col("_cum"), shift)
+    cum_p = ((F.col("_cum") - cum_n) / shift).cast("decimal(38,0)")
+    cnt = (F.col("_cp") + F.col("_cn")).cast("decimal(20,0)")
+    below = (cum_p + cum_n.cast("decimal(38,0)")).cast("decimal(38,0)") - cnt
+    two_rp_term = F.col("_cp").cast("decimal(16,0)") * (
+        F.lit(2).cast("decimal(2,0)") * below + cnt + F.lit(1).cast("decimal(2,0)")
+    ).cast("decimal(20,0)")
+    sums = ranked.agg(
+        F.sum("_cp").cast("long").alias("_np"),
+        F.sum("_cn").cast("long").alias("_nn"),
+        F.sum(two_rp_term.cast("decimal(38,0)")).alias("_s2rp"),
+    )
+    np_ = F.col("_np").cast("double")
+    nn_ = F.col("_nn").cast("double")
+    u = (
+        F.col("_s2rp").cast("double") / F.lit(2.0)
+        - np_ * (np_ + F.lit(1.0)) / F.lit(2.0)
+    )
+    return sums.select(
+        F.col("_np").alias("n_pos"),
+        F.col("_nn").alias("n_neg"),
+        F.when((np_ > 0) & (nn_ > 0), u / (np_ * nn_)).alias("auc"),
+    )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a,
+    rater_b,
+) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement between two categorical
+    rating columns (the labeling-QA gate a curation pipeline runs on
+    double-annotated samples before trusting a label source).
+
+    Observed agreement p_o and the chance term p_e = Σ_k p_ak·p_bk
+    both reduce to exact-integer marginal counts: one scan for n and
+    the diagonal, two k-bounded marginal aggregates joined on
+    category (broadcast — category domains are small by contract), so
+    kappa is a closed-form double over exact integers.  Output: one
+    row (n, po, pe, kappa)."""
+    a = rater_a if not isinstance(rater_a, str) else F.col(rater_a)
+    b = rater_b if not isinstance(rater_b, str) else F.col(rater_b)
+    base = df.select(a.alias("_a"), b.alias("_b"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum((F.col("_a") == F.col("_b")).cast("long")).alias("_diag"),
+    )
+    ma = base.groupBy(F.col("_a").alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_ca")
+    )
+    mb = base.groupBy(F.col("_b").alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cb")
+    )
+    # Σ_k c_ak·c_bk exactly in decimal; the join is k-bounded
+    cross = ma.join(mb, "_k", "inner").agg(
+        F.sum(
+            (
+                F.col("_ca").cast("decimal(19,0)")
+                * F.col("_cb").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("_pe_num")
+    )
+    j = tot.crossJoin(F.broadcast(cross))
+    n = F.col("_n").cast("double")
+    po = F.col("_diag").cast("double") / n
+    pe = F.col("_pe_num").cast("double") / (n * n)
+    return j.select(
+        F.col("_n").alias("n"),
+        po.alias("po"),
+        pe.alias("pe"),
+        F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    rating_col,
+) -> DataFrame:
+    """Fleiss' kappa for r raters per item over a categorical rating
+    (multi-annotator agreement; requires the same rater count per
+    item, validated in-plan).
+
+    Everything reduces to exact integers: per-(item, category) cell
+    counts n_ik in one hash aggregate, Σ n_ik² per item, category
+    totals c_k, and the identities P̄ = (Σ n_ik² − N·r)/(N·r·(r−1)),
+    P̄_e = Σ c_k²/(N·r)² — so kappa is one closed-form double over
+    exact decimal sums with no FP accumulation anywhere.  Output: one
+    row (n_items, n_raters, p_bar, p_e, kappa)."""
+    r = rating_col if not isinstance(rating_col, str) else F.col(rating_col)
+    cells = df.groupBy(
+        F.col(item_col).alias("_i"), r.alias("_k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_nik"))
+    per_item = cells.groupBy("_i").agg(
+        F.sum("_nik").cast("long").alias("_r"),
+        F.sum(
+            (
+                F.col("_nik").cast("decimal(19,0)")
+                * F.col("_nik").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("_sq"),
+    )
+    items = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("_N"),
+        F.min("_r").alias("_rmin"),
+        F.max("_r").alias("_rmax"),
+        F.sum("_sq").cast("decimal(38,0)").alias("_ssq"),
+    )
+    cats = cells.groupBy("_k").agg(F.sum("_nik").cast("long").alias("_ck")).agg(
+        F.sum(
+            (
+                F.col("_ck").cast("decimal(19,0)")
+                * F.col("_ck").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("_cksq")
+    )
+    j = items.crossJoin(F.broadcast(cats))
+    guard = F.when(
+        F.col("_rmin") != F.col("_rmax"),
+        F.raise_error(
+            F.concat(
+                F.lit("fleiss_kappa: unequal rater counts per item ("),
+                F.col("_rmin").cast("string"),
+                F.lit(".."),
+                F.col("_rmax").cast("string"),
+                F.lit(") — the statistic requires a fixed r"),
+            )
+        ),
+    ).otherwise(F.col("_rmin"))
+    staged = j.select(
+        F.col("_N").alias("n_items"),
+        guard.cast("long").alias("n_raters"),
+        F.col("_ssq"),
+        F.col("_cksq"),
+    )
+    n = F.col("n_items").cast("double")
+    rr = F.col("n_raters").cast("double")
+    p_bar = (F.col("_ssq").cast("double") - n * rr) / (n * rr * (rr - F.lit(1.0)))
+    p_e = F.col("_cksq").cast("double") / (n * rr * n * rr)
+    return staged.select(
+        "n_items",
+        "n_raters",
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        F.when(p_e < 1.0, (p_bar - p_e) / (F.lit(1.0) - p_e)).alias("kappa"),
+    )
+
+
+def l_diversity(
+    df: DataFrame,
+    qi_cols: "list[str]",
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit (the companion of the k-anonymity check):
+    per quasi-identifier group, the group size k and the number of
+    DISTINCT sensitive values; groups with fewer than ``l`` distinct
+    sensitive values are flagged as re-identification risks.
+
+    One grouped aggregate (count + count distinct — Spark plans the
+    distinct as a two-phase partial aggregate, no extra shuffle
+    beyond the QI key); output is one row per QI group, so the
+    result is bounded by the QI domain."""
+    g = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("k_count"),
+        F.countDistinct(F.col(sensitive_col)).cast("long").alias("l_distinct"),
+    )
+    return g.select(
+        *qi_cols,
+        "k_count",
+        "l_distinct",
+        (F.col("l_distinct") < F.lit(l)).alias("at_risk"),
+    )
+
+
+def sprt_monitor(
+    df: DataFrame,
+    day_col,
+    success_col,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald sequential probability ratio test over a daily Bernoulli
+    stream: per day, the cumulative trial/success counts, the
+    log-likelihood ratio llr = k·ln(p1/p0) + (t−k)·ln((1−p1)/(1−p0)),
+    and the sequential decision against the Wald boundaries
+    ln(β/(1−α)) / ln((1−β)/α) — the always-valid monitoring twin of
+    the fixed-horizon ``ab_test``.
+
+    Days collapse to one row each (bounded by the calendar domain);
+    the two cumulatives ride ONE packed-decimal two-phase cumulative
+    (``global_row_number(cum_value=...)`` — no unpartitioned window),
+    so t/k are exact integers and llr is a closed-form double per
+    row.  Output: per day (day, t, k, llr, decision)."""
+    import math
+
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    d = day_col if not isinstance(day_col, str) else F.col(day_col)
+    s = success_col if not isinstance(success_col, str) else F.col(success_col)
+    per_day = df.groupBy(d.alias("_d")).agg(
+        F.count(F.lit(1)).cast("long").alias("_t"),
+        F.sum(s.cast("int")).cast("long").alias("_k"),
+    )
+    packed = per_day.withColumn(
+        "_pk",
+        (
+            F.col("_t").cast("decimal(20,0)")
+            * F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
+            + F.col("_k").cast("decimal(20,0)")
+        ).cast("decimal(38,0)"),
+    )
+    ranked = global_row_number(
+        packed, "_d", [], rn_col="_rn", cum_value="_pk", cum_col="_cum"
+    )
+    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
+    cum_k = F.pmod(F.col("_cum"), shift)
+    cum_t = ((F.col("_cum") - cum_k) / shift).cast("decimal(38,0)")
+    c1 = math.log(p1 / p0)
+    c0 = math.log((1.0 - p1) / (1.0 - p0))
+    lo = math.log(beta / (1.0 - alpha))
+    hi = math.log((1.0 - beta) / alpha)
+    k_d = cum_k.cast("double")
+    t_d = cum_t.cast("double")
+    llr = k_d * F.lit(c1) + (t_d - k_d) * F.lit(c0)
+    return ranked.select(
+        F.col("_d").alias("day"),
+        cum_t.cast("long").alias("t"),
+        cum_k.cast("long").alias("k"),
+        llr.alias("llr"),
+        F.when(llr >= F.lit(hi), F.lit("accept_h1"))
+        .when(llr <= F.lit(lo), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
