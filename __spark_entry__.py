@@ -10256,6 +10256,148 @@ FROM l ORDER BY day
 """
 
 
+def q_bollinger_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20-calendar-day mean ± 2σ) on daily order
+    revenue with breach flags — the band-monitoring shape of a
+    market-data gateway, built with zero unpartitioned windows
+    (explode-offset + hash aggregate)."""
+    from csp_gateway_spark.operators.analytics import bollinger_bands
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.to_date("o_orderdate").alias("day"), F.col("o_totalprice")
+    )
+    out = bollinger_bands(base, "day", "o_totalprice", n=20, k=2.0)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.round("value", 2) + F.lit(0.0)).alias("value"),
+        (F.round("mid", 4) + F.lit(0.0)).alias("mid"),
+        (F.round("std", 4) + F.lit(0.0)).alias("std"),
+        (F.round("upper", 4) + F.lit(0.0)).alias("upper"),
+        (F.round("lower", 4) + F.lit(0.0)).alias("lower"),
+        "breach",
+    ).orderBy("day")
+
+
+ORACLE_BOLLINGER_BREACHES = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT day, v,
+    CAST(COUNT(*) OVER win AS BIGINT) AS cnt,
+    SUM(v) OVER win AS s,
+    SUM(CAST(v * v AS DECIMAL(38,4))) OVER win AS ss
+  FROM daily
+  WINDOW win AS (ORDER BY day RANGE BETWEEN INTERVAL 19 DAYS PRECEDING AND CURRENT ROW)
+), f AS (
+  SELECT day, CAST(v AS DOUBLE) AS value,
+    CAST(s AS DOUBLE) / 20.0 AS mean,
+    sqrt(GREATEST((20.0 * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (20.0 * 19.0), 0.0)) AS std
+  FROM w WHERE cnt = 20
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+  round(value, 2) + 0.0 AS value,
+  round(mean, 4) + 0.0 AS mid,
+  round(std, 4) + 0.0 AS std,
+  round(mean + 2.0 * std, 4) + 0.0 AS upper,
+  round(mean - 2.0 * std, 4) + 0.0 AS lower,
+  CASE WHEN value > mean + 2.0 * std THEN 'up'
+       WHEN value < mean - 2.0 * std THEN 'down' END AS breach
+FROM f ORDER BY day
+"""
+
+
+def q_rsi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day SMA-form RSI on daily order revenue with
+    overbought/oversold flags — calendar-day deltas, exact decimal
+    gain/loss sums, closed-form double."""
+    from csp_gateway_spark.operators.analytics import rsi
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.to_date("o_orderdate").alias("day"), F.col("o_totalprice")
+    )
+    out = rsi(base, "day", "o_totalprice", n=14)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.round("delta", 2) + F.lit(0.0)).alias("delta"),
+        (F.round("rsi", 6) + F.lit(0.0)).alias("rsi"),
+        "signal",
+    ).orderBy("day")
+
+
+ORACLE_RSI_SIGNAL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
+  FROM orders GROUP BY 1
+), deltas AS (
+  SELECT d2.day AS day, CAST(d2.v - d1.v AS DECIMAL(38,2)) AS delta
+  FROM daily d2 JOIN daily d1 ON d1.day = d2.day - 1
+), gl AS (
+  SELECT day, delta,
+    GREATEST(delta, CAST(0 AS DECIMAL(38,2))) AS g,
+    GREATEST(-delta, CAST(0 AS DECIMAL(38,2))) AS l
+  FROM deltas
+), w AS (
+  SELECT day, delta,
+    CAST(COUNT(*) OVER win AS BIGINT) AS cnt,
+    SUM(g) OVER win AS sg,
+    SUM(l) OVER win AS sl
+  FROM gl
+  WINDOW win AS (ORDER BY day RANGE BETWEEN INTERVAL 13 DAYS PRECEDING AND CURRENT ROW)
+), f AS (
+  SELECT day, CAST(delta AS DOUBLE) AS delta,
+    CASE WHEN CAST(sg AS DOUBLE) + CAST(sl AS DOUBLE) > 0
+      THEN 100.0 * CAST(sg AS DOUBLE) / (CAST(sg AS DOUBLE) + CAST(sl AS DOUBLE)) END AS r
+  FROM w WHERE cnt = 14
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+  round(delta, 2) + 0.0 AS delta,
+  round(r, 6) + 0.0 AS rsi,
+  CASE WHEN r > 70.0 THEN 'overbought' WHEN r < 30.0 THEN 'oversold' END AS signal
+FROM f ORDER BY day
+"""
+
+
+def q_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly realized volatility of daily order revenue (√Σ of
+    squared consecutive-day log returns, day-sorted packed fold so
+    the double accumulation order is pinned)."""
+    from csp_gateway_spark.operators.analytics import realized_volatility
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.to_date("o_orderdate").alias("day"), F.col("o_totalprice")
+    )
+    out = realized_volatility(base, "day", "o_totalprice")
+    return out.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "n_ret",
+        (F.round("vol", 8) + F.lit(0.0)).alias("vol"),
+    ).orderBy("month")
+
+
+ORACLE_REALIZED_VOL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+  FROM orders GROUP BY 1
+), rets AS (
+  SELECT d2.day AS rday,
+         ln(CAST(d2.v AS DOUBLE)) - ln(CAST(d1.v AS DOUBLE)) AS r
+  FROM daily d2 JOIN daily d1 ON d1.day = d2.day - 1
+)
+SELECT strftime(date_trunc('month', rday), '%Y-%m') AS month,
+  CAST(count(*) AS BIGINT) AS n_ret,
+  round(sqrt(list_sum(list(r * r ORDER BY rday))), 8) + 0.0 AS vol
+FROM rets GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -10514,6 +10656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss_kappa": q_fleiss_kappa,
         "l_diversity": q_l_diversity,
         "sprt_monitor": q_sprt_monitor,
+        "bollinger_breaches": q_bollinger_breaches,
+        "rsi_signal": q_rsi_signal,
+        "realized_vol": q_realized_vol,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -10823,4 +10968,7 @@ def oracle_sql() -> dict[str, str]:
         "fleiss_kappa": ORACLE_FLEISS_KAPPA,
         "l_diversity": ORACLE_L_DIVERSITY,
         "sprt_monitor": _oracle_sprt_monitor(),
+        "bollinger_breaches": ORACLE_BOLLINGER_BREACHES,
+        "rsi_signal": ORACLE_RSI_SIGNAL,
+        "realized_vol": ORACLE_REALIZED_VOL,
     }

@@ -5216,3 +5216,210 @@ def sprt_monitor(
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+def _daily_decimal(df: DataFrame, day_col, value_col, scale: int = 2) -> DataFrame:
+    """Collapse raw rows to one (day, exact-decimal total) row each —
+    the bounded-by-the-calendar series every daily indicator below
+    consumes.  One hash aggregate; decimal keeps the total exact so
+    downstream closed forms are engine-identical."""
+    d = day_col if not isinstance(day_col, str) else F.col(day_col)
+    v = F.col(value_col).cast(f"decimal(18,{scale})")
+    return df.groupBy(d.alias("_day")).agg(
+        F.sum(v).cast("decimal(38,2)").alias("_v")
+    )
+
+
+def bollinger_bands(
+    df: DataFrame,
+    day_col,
+    value_col: str,
+    n: int = 20,
+    k: float = 2.0,
+) -> DataFrame:
+    """Bollinger bands over a daily total: n-CALENDAR-day trailing
+    mean ± k·std (sample), with a breach flag where the day's value
+    exits the band.
+
+    No unpartitioned window anywhere: each day EXPLODES to the n
+    anchor days its value contributes to (day+0..day+n−1), and one
+    hash aggregate per anchor rebuilds the trailing Σx/Σx²/count —
+    a pure equi-shuffle plan whose width is n×|days|, bounded by the
+    calendar domain.  Windows are calendar-day (an absent day shrinks
+    the count and the row is dropped by the completeness filter), so
+    the stats are exact decimals and mean/std/bands are closed-form
+    doubles.  Output per complete day: (day, value, mid, std, upper,
+    lower, breach∈{up,down,NULL})."""
+    daily = _daily_decimal(df, day_col, value_col)
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_off"),
+        "_day",
+        "_v",
+    ).select(
+        F.date_add(F.col("_day"), F.col("_off")).alias("_anchor"),
+        # narrow to (18,2) BEFORE squaring: (18,2)×(18,2) = (37,4) ≤ 38
+        # digits, so neither engine precision-adjusts the product (ANSI
+        # mode raises on a daily total beyond 10^16 instead of silently
+        # rounding)
+        F.col("_v").cast("decimal(18,2)").alias("_v"),
+    )
+    rolled = contrib.groupBy("_anchor").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum("_v").cast("decimal(38,2)").alias("_s"),
+        F.sum((F.col("_v") * F.col("_v")).cast("decimal(38,4)"))
+        .cast("decimal(38,4)")
+        .alias("_ss"),
+    )
+    j = rolled.filter(F.col("_cnt") == n).join(
+        daily, rolled["_anchor"] == daily["_day"]
+    )
+    nn = F.lit(float(n))
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    mean = s / nn
+    var = (nn * ss - s * s) / (nn * (nn - F.lit(1.0)))
+    std = F.sqrt(F.when(var > 0, var).otherwise(F.lit(0.0)))
+    upper = mean + F.lit(k) * std
+    lower = mean - F.lit(k) * std
+    v = F.col("_v").cast("double")
+    return j.select(
+        F.col("_day").alias("day"),
+        v.alias("value"),
+        mean.alias("mid"),
+        std.alias("std"),
+        upper.alias("upper"),
+        lower.alias("lower"),
+        F.when(v > upper, F.lit("up"))
+        .when(v < lower, F.lit("down"))
+        .alias("breach"),
+    )
+
+
+def rsi(
+    df: DataFrame,
+    day_col,
+    value_col: str,
+    n: int = 14,
+) -> DataFrame:
+    """SMA-form relative strength index over a daily total: deltas vs
+    the previous CALENDAR day, n-day trailing gain/loss sums, RSI =
+    100·Σgain/(Σgain+Σloss), with overbought/oversold flags at 70/30.
+
+    Same shuffle discipline as :func:`bollinger_bands`: the delta is
+    a 2-way explode (day d carries +v to anchor d and −v to anchor
+    d+1; an incomplete pair means the previous day is absent and the
+    delta is dropped), and the trailing sums are an n-way explode +
+    one hash aggregate — every join equi, every sum exact decimal.
+    Output per complete day: (day, delta, rsi, signal)."""
+    daily = _daily_decimal(df, day_col, value_col)
+    delta_contrib = daily.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("_off"), F.lit(1).alias("_sign")),
+                F.struct(F.lit(1).alias("_off"), F.lit(-1).alias("_sign")),
+            )
+        ).alias("_e"),
+        "_day",
+        "_v",
+    ).select(
+        F.date_add(F.col("_day"), F.col("_e._off")).alias("_dday"),
+        (F.col("_e._sign").cast("decimal(2,0)") * F.col("_v"))
+        .cast("decimal(38,2)")
+        .alias("_sv"),
+    )
+    deltas = (
+        delta_contrib.groupBy("_dday")
+        .agg(
+            F.count(F.lit(1)).alias("_pc"),
+            F.sum("_sv").cast("decimal(38,2)").alias("_delta"),
+        )
+        .filter(F.col("_pc") == 2)
+    )
+    zero = F.lit(0).cast("decimal(38,2)")
+    gl = deltas.select(
+        "_dday",
+        "_delta",
+        F.greatest(F.col("_delta"), zero).alias("_g"),
+        F.greatest(-F.col("_delta"), zero).alias("_l"),
+    )
+    contrib = gl.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_off"),
+        "_dday",
+        "_g",
+        "_l",
+    ).select(
+        F.date_add(F.col("_dday"), F.col("_off")).alias("_anchor"),
+        "_g",
+        "_l",
+    )
+    rolled = contrib.groupBy("_anchor").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum("_g").cast("decimal(38,2)").alias("_sg"),
+        F.sum("_l").cast("decimal(38,2)").alias("_sl"),
+    )
+    j = rolled.filter(F.col("_cnt") == n).join(
+        gl, rolled["_anchor"] == gl["_dday"]
+    )
+    sg = F.col("_sg").cast("double")
+    sl = F.col("_sl").cast("double")
+    r = F.when(sg + sl > 0, F.lit(100.0) * sg / (sg + sl))
+    return j.select(
+        F.col("_dday").alias("day"),
+        F.col("_delta").cast("double").alias("delta"),
+        r.alias("rsi"),
+        F.when(r > 70.0, F.lit("overbought"))
+        .when(r < 30.0, F.lit("oversold"))
+        .alias("signal"),
+    )
+
+
+def realized_volatility(
+    df: DataFrame,
+    day_col,
+    value_col: str,
+) -> DataFrame:
+    """Monthly realized volatility of a daily total: √Σ r_d² over the
+    month's daily log returns r_d = ln(v_d) − ln(v_{d−1}) (consecutive
+    CALENDAR days only).
+
+    The return needs just a 2-way explode + pair aggregate (the sum
+    of TWO doubles is order-invariant, so ln(v_d) − ln(v_{d−1}) is
+    engine-exact); the month's Σr² folds a day-sorted packed array
+    (≤31 elements — calendar-bounded) so the double accumulation
+    order is pinned.  Output per month: (month, n_ret, vol)."""
+    daily = _daily_decimal(df, day_col, value_col)
+    contrib = daily.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("_off"), F.lit(1).alias("_sign")),
+                F.struct(F.lit(1).alias("_off"), F.lit(-1).alias("_sign")),
+            )
+        ).alias("_e"),
+        "_day",
+        "_v",
+    ).select(
+        F.date_add(F.col("_day"), F.col("_e._off")).alias("_rday"),
+        (F.col("_e._sign").cast("double") * F.log(F.col("_v").cast("double")))
+        .alias("_lr"),
+    )
+    rets = (
+        contrib.groupBy("_rday")
+        .agg(F.count(F.lit(1)).alias("_pc"), F.sum("_lr").alias("_r"))
+        .filter(F.col("_pc") == 2)
+    )
+    monthly = rets.groupBy(
+        F.date_trunc("month", F.col("_rday")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ret"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_rday", "_r"))),
+                lambda x: x["_r"] * x["_r"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_ssq"),
+    )
+    return monthly.select(
+        "month", "n_ret", F.sqrt(F.col("_ssq")).alias("vol")
+    )
