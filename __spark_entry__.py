@@ -10398,6 +10398,188 @@ FROM rets GROUP BY 1 ORDER BY 1
 """
 
 
+_ATTR_WINDOW_NS = 7 * 86_400_000_000_000
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution of purchase conversions to the
+    same-user touch events in the prior 7 days — last-touch,
+    first-touch and (exact-fold) linear credit per touch type."""
+    from csp_gateway_spark.operators.analytics import attribution
+
+    ev = _t(spark, sf_dir, "events")
+    out = attribution(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        conversion_type="purchase",
+        window_ns=_ATTR_WINDOW_NS,
+    )
+    return out.select(
+        "event_type",
+        "touches",
+        "last_credit",
+        "first_credit",
+        (F.round("linear_credit", 6) + F.lit(0.0)).alias("linear_credit"),
+    ).orderBy("event_type")
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH conv AS (
+  SELECT event_id AS cid, user_id, epoch_ns(ts) AS cts
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT c.cid, e.event_type AS ttype, epoch_ns(e.ts) AS tts, e.event_id AS tid
+  FROM conv c JOIN events e ON e.user_id = c.user_id
+  WHERE e.event_type <> 'purchase'
+    AND epoch_ns(e.ts) < c.cts
+    AND epoch_ns(e.ts) >= c.cts - {_ATTR_WINDOW_NS}
+), r AS (
+  SELECT cid, ttype,
+    row_number() OVER (PARTITION BY cid ORDER BY tts DESC, tid DESC) AS rl,
+    row_number() OVER (PARTITION BY cid ORDER BY tts ASC, tid ASC) AS rf,
+    count(*) OVER (PARTITION BY cid) AS n
+  FROM t
+), agg AS (
+  SELECT ttype, CAST(count(*) AS BIGINT) AS touches,
+    CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_credit,
+    CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_credit
+  FROM r GROUP BY 1
+), lin_cells AS (
+  SELECT ttype, n, CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY 1, 2
+), lin AS (
+  SELECT ttype,
+    list_sum(list(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY n)) AS lc
+  FROM lin_cells GROUP BY 1
+)
+SELECT agg.ttype AS event_type, touches, last_credit, first_credit,
+  round(lc, 6) + 0.0 AS linear_credit
+FROM agg JOIN lin ON agg.ttype = lin.ttype
+ORDER BY 1
+"""
+
+
+def q_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of the lang / source features against the
+    'long document' label — the feature-selection screen before
+    training a quality classifier."""
+    from csp_gateway_spark.operators.analytics import info_gain
+
+    docs = _t(spark, sf_dir, "documents")
+    out = info_gain(
+        docs.withColumn("_lbl", (F.col("n_chars") > 300).cast("int")),
+        ["lang", "source"],
+        "_lbl",
+    )
+    return out.select(
+        "feature",
+        "n_groups",
+        (F.round("h_label", 8) + F.lit(0.0)).alias("h_label"),
+        (F.round("ig", 8) + F.lit(0.0)).alias("ig"),
+    ).orderBy("feature")
+
+
+def _oracle_info_gain() -> str:
+    def arm(col: str) -> str:
+        return f"""
+SELECT '{col}' AS feature, n_groups,
+  round(h_label, 8) + 0.0 AS h_label,
+  round(h_label - whg / CAST(N AS DOUBLE), 8) + 0.0 AS ig
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+    list_sum(list(CAST(ng AS DOUBLE) * hg ORDER BY g)) AS whg
+  FROM (
+    SELECT CAST({col} AS VARCHAR) AS g, CAST(count(*) AS BIGINT) AS ng,
+      CAST(SUM(lbl) AS BIGINT) AS pg,
+      (CASE WHEN SUM(lbl) > 0 THEN
+         -(CAST(SUM(lbl) AS DOUBLE)/count(*)) * ln(CAST(SUM(lbl) AS DOUBLE)/count(*))
+       ELSE 0.0 END
+       + CASE WHEN count(*) - SUM(lbl) > 0 THEN
+         -((count(*) - CAST(SUM(lbl) AS DOUBLE))/count(*))
+           * ln((count(*) - CAST(SUM(lbl) AS DOUBLE))/count(*))
+       ELSE 0.0 END) AS hg
+    FROM lbl GROUP BY 1
+  )
+), (
+  SELECT CAST(count(*) AS BIGINT) AS N,
+    (CASE WHEN SUM(lbl) > 0 THEN
+       -(CAST(SUM(lbl) AS DOUBLE)/count(*)) * ln(CAST(SUM(lbl) AS DOUBLE)/count(*))
+     ELSE 0.0 END
+     + CASE WHEN count(*) - SUM(lbl) > 0 THEN
+       -((count(*) - CAST(SUM(lbl) AS DOUBLE))/count(*))
+         * ln((count(*) - CAST(SUM(lbl) AS DOUBLE))/count(*))
+     ELSE 0.0 END) AS h_label
+  FROM lbl
+)"""
+
+    return (
+        "WITH lbl AS (SELECT lang, source,"
+        " CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS lbl FROM documents)\n"
+        + arm("lang")
+        + "\nUNION ALL\n"
+        + arm("source")
+        + "\nORDER BY feature"
+    )
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV via the minimax identity) calibration of the
+    normalized-length score against the 'English document' label on
+    40 bins — packed-array nested folds, engine-exact."""
+    from csp_gateway_spark.operators.analytics import isotonic_calibration
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.col("n_chars") / F.lit(600.0)).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    out = isotonic_calibration(scored, "score", "label", bins=40)
+    return out.select(
+        "bin",
+        "n",
+        (F.round("rate", 8) + F.lit(0.0)).alias("rate"),
+        (F.round("iso_rate", 8) + F.lit(0.0)).alias("iso_rate"),
+    ).orderBy("bin")
+
+
+ORACLE_ISOTONIC_CALIBRATION = """
+WITH cells AS (
+  SELECT LEAST(GREATEST(CAST(floor((n_chars / 600.0) * 40) AS INT), 0), 39) AS b,
+         CAST(count(*) AS BIGINT) AS w,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM documents GROUP BY 1
+), packed AS (
+  SELECT list(struct_pack(b := b, w := w, s := s) ORDER BY b) AS z FROM cells
+), pre AS (
+  SELECT z,
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(z) + 1),
+        i -> CAST(list_sum(list_transform(z[1:i], x -> x.w)) AS BIGINT))) AS cw,
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(z) + 1),
+        i -> CAST(list_sum(list_transform(z[1:i], x -> x.s)) AS BIGINT))) AS cs
+  FROM packed
+), iso AS (
+  SELECT z,
+    list_transform(range(1, len(z) + 1), i ->
+      list_max(list_transform(range(1, i + 1), j ->
+        list_min(list_transform(range(i, len(z) + 1), k ->
+          CAST(cs[CAST(k AS INT) + 1] - cs[CAST(j AS INT)] AS DOUBLE)
+            / CAST(cw[CAST(k AS INT) + 1] - cw[CAST(j AS INT)] AS DOUBLE))))))
+      AS v
+  FROM pre
+), ex AS (
+  SELECT unnest(z) AS s, unnest(v) AS iso FROM iso
+)
+SELECT s.b AS bin, s.w AS n,
+  round(CAST(s.s AS DOUBLE) / CAST(s.w AS DOUBLE), 8) + 0.0 AS rate,
+  round(iso, 8) + 0.0 AS iso_rate
+FROM ex ORDER BY bin
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -10659,6 +10841,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bollinger_breaches": q_bollinger_breaches,
         "rsi_signal": q_rsi_signal,
         "realized_vol": q_realized_vol,
+        "attribution": q_attribution,
+        "info_gain": q_info_gain,
+        "isotonic_calibration": q_isotonic_calibration,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -10971,4 +11156,7 @@ def oracle_sql() -> dict[str, str]:
         "bollinger_breaches": ORACLE_BOLLINGER_BREACHES,
         "rsi_signal": ORACLE_RSI_SIGNAL,
         "realized_vol": ORACLE_REALIZED_VOL,
+        "attribution": ORACLE_ATTRIBUTION,
+        "info_gain": _oracle_info_gain(),
+        "isotonic_calibration": ORACLE_ISOTONIC_CALIBRATION,
     }

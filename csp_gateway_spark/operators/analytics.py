@@ -5423,3 +5423,262 @@ def realized_volatility(
     return monthly.select(
         "month", "n_ret", F.sqrt(F.col("_ssq")).alias("vol")
     )
+
+
+def attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    conversion_type: str,
+    window_ns: int,
+) -> DataFrame:
+    """Multi-touch marketing attribution: for every conversion event,
+    the same-user touch events inside the lookback window share the
+    credit — last-touch, first-touch, and linear (1/n each) models in
+    one pass.
+
+    The conversion↔touch association is a USER-equi join (the range
+    predicate rides along as a join filter — no nested loop) whose
+    blowup is bounded by touches-per-window; first/last flags come
+    from windows PARTITIONED by conversion id.  Linear credit would
+    be an order-dependent double sum, so it aggregates per
+    (touch_type, n_touches) first — exact integer counts — and folds
+    cnt/n in n order (n is bounded by the window, cap-guarded), so
+    the total is engine-identical.  Output per touch type:
+    (event_type, touches, last_credit, first_credit, linear_credit)."""
+    from pyspark.sql import Window
+
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(id_col).alias("_cid"),
+        F.col(user_col).alias("_cu"),
+        F.col(ts_col).alias("_cts"),
+    )
+    touch = events.filter(F.col(type_col) != conversion_type).select(
+        F.col(user_col).alias("_tu"),
+        F.col(ts_col).alias("_tts"),
+        F.col(id_col).alias("_tid"),
+        F.col(type_col).alias("_ttype"),
+    )
+    j = conv.join(
+        touch,
+        (F.col("_cu") == F.col("_tu"))
+        & (F.col("_tts") < F.col("_cts"))
+        & (F.col("_tts") >= F.col("_cts") - F.lit(window_ns)),
+    )
+    w_last = Window.partitionBy("_cid").orderBy(
+        F.desc("_tts"), F.desc("_tid")
+    )
+    w_first = Window.partitionBy("_cid").orderBy(
+        F.asc("_tts"), F.asc("_tid")
+    )
+    r = j.select(
+        "_cid",
+        "_ttype",
+        F.row_number().over(w_last).alias("_rl"),
+        F.row_number().over(w_first).alias("_rf"),
+        F.count(F.lit(1)).over(Window.partitionBy("_cid")).alias("_n"),
+    )
+    agg = r.groupBy("_ttype").agg(
+        F.count(F.lit(1)).cast("long").alias("touches"),
+        F.sum((F.col("_rl") == 1).cast("long")).alias("last_credit"),
+        F.sum((F.col("_rf") == 1).cast("long")).alias("first_credit"),
+    )
+    lin_cells = r.groupBy("_ttype", "_n").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    lin = lin_cells.groupBy("_ttype").agg(
+        F.aggregate(
+            F.transform(
+                _capped_packed(
+                    F.array_sort(F.collect_list(F.struct("_n", "_cnt"))),
+                    "attribution",
+                ),
+                lambda x: x["_cnt"].cast("double") / x["_n"].cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("linear_credit")
+    )
+    return agg.join(lin, "_ttype").select(
+        F.col("_ttype").alias("event_type"),
+        "touches",
+        "last_credit",
+        "first_credit",
+        "linear_credit",
+    )
+
+
+def info_gain(
+    df: DataFrame,
+    feature_cols: "list[str]",
+    label_col,
+) -> DataFrame:
+    """Information gain of each categorical feature against a binary
+    label — the feature-selection screen before training a quality
+    classifier: IG(f) = H(y) − Σ_g (n_g/N)·H(y|g).
+
+    Per feature, ONE (feature, label) hash aggregate yields exact
+    integer cell counts; each group's conditional-entropy term is a
+    closed-form double over those integers, and the k-bounded sum
+    over groups folds a group-sorted packed array (cap-guarded) so
+    the accumulation order is pinned.  Output per feature:
+    (feature, n_groups, h_label, ig)."""
+    y = label_col if not isinstance(label_col, str) else F.col(label_col)
+    base = df.select(
+        *[F.col(c).cast("string").alias(c) for c in feature_cols],
+        y.cast("int").alias("_y"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_N"),
+        F.sum("_y").cast("long").alias("_P"),
+    )
+
+    def _h(p1, n):
+        # -Σ p·ln p with 0·ln0 = 0, p in exact-integer ratio form
+        frac1 = p1.cast("double") / n.cast("double")
+        frac0 = (n - p1).cast("double") / n.cast("double")
+        t1 = F.when(p1 > 0, -frac1 * F.log(frac1)).otherwise(F.lit(0.0))
+        t0 = F.when(n - p1 > 0, -frac0 * F.log(frac0)).otherwise(F.lit(0.0))
+        return t1 + t0
+
+    outs = []
+    for c in feature_cols:
+        cells = base.groupBy(F.col(c).alias("_g")).agg(
+            F.count(F.lit(1)).cast("long").alias("_ng"),
+            F.sum("_y").cast("long").alias("_pg"),
+        )
+        per_g = cells.select(
+            "_g",
+            "_ng",
+            (_h(F.col("_pg"), F.col("_ng"))).alias("_hg"),
+        )
+        folded = per_g.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.aggregate(
+                F.transform(
+                    _capped_packed(
+                        F.array_sort(
+                            F.collect_list(F.struct("_g", "_ng", "_hg"))
+                        ),
+                        "info_gain",
+                    ),
+                    lambda x: x["_ng"].cast("double") * x["_hg"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_whg"),
+        )
+        j = folded.crossJoin(F.broadcast(tot))
+        h_label = _h(F.col("_P"), F.col("_N"))
+        outs.append(
+            j.select(
+                F.lit(c).alias("feature"),
+                "n_groups",
+                h_label.alias("h_label"),
+                (h_label - F.col("_whg") / F.col("_N").cast("double")).alias(
+                    "ig"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    bins: int = 40,
+) -> DataFrame:
+    """Isotonic (PAV) calibration of a score against a binary label
+    on equal-width score bins: the fitted monotone rate per bin via
+    the minimax identity iso_i = max_{j≤i} min_{k≥i} mean(y[j..k]) —
+    equivalent to pool-adjacent-violators, but expressible as pure
+    (bounded) array expressions.
+
+    Raw rows collapse to ≤``bins`` exact-integer (weight, positives)
+    cells in one hash aggregate; the cells pack into ONE row
+    (cap-guarded) where prefix sums and the O(bins³) minimax run as
+    nested array lambdas over exact integers — engine-identical
+    doubles, no per-row Python.  Output per non-empty bin:
+    (bin, n, rate, iso_rate)."""
+    y = label_col if not isinstance(label_col, str) else F.col(label_col)
+    b = F.least(
+        F.floor(F.col(score_col) * bins).cast("int"), F.lit(bins - 1)
+    )
+    cells = df.select(
+        F.greatest(b, F.lit(0)).alias("_b"), y.cast("int").alias("_y")
+    ).groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_w"),
+        F.sum("_y").cast("long").alias("_s"),
+    )
+    packed = cells.agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_b", "_w", "_s"))),
+            "isotonic_calibration",
+            cap=100_000,
+        ).alias("_z")
+    )
+    z = F.col("_z")
+    nb = F.size(z)
+    # 1-indexed prefix-sum arrays with a leading 0 sentinel (index 1)
+    cw = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(
+            F.sequence(F.lit(1), nb),
+            lambda i: F.aggregate(
+                F.slice(z, F.lit(1), i),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x["_w"],
+            ),
+        ),
+    )
+    cs = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(
+            F.sequence(F.lit(1), nb),
+            lambda i: F.aggregate(
+                F.slice(z, F.lit(1), i),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x["_s"],
+            ),
+        ),
+    )
+    staged = packed.select(z.alias("_z"), cw.alias("_cw"), cs.alias("_cs"))
+    zc, cwc, csc = F.col("_z"), F.col("_cw"), F.col("_cs")
+
+    def mean_jk(j, k):
+        num = F.element_at(csc, k + 1) - F.element_at(csc, j)
+        den = F.element_at(cwc, k + 1) - F.element_at(cwc, j)
+        return num.cast("double") / den.cast("double")
+
+    iso = F.transform(
+        F.sequence(F.lit(1), F.size(zc)),
+        lambda i: F.array_max(
+            F.transform(
+                F.sequence(F.lit(1), i),
+                lambda j: F.array_min(
+                    F.transform(
+                        F.sequence(i, F.size(zc)),
+                        lambda k: mean_jk(j, k),
+                    )
+                ),
+            )
+        ),
+    )
+    ex = staged.select(
+        F.posexplode(F.arrays_zip(zc, iso.alias("_iso"))).alias("_p", "_e")
+    )
+    return ex.select(
+        F.col("_e._z._b").alias("bin"),
+        F.col("_e._z._w").alias("n"),
+        (
+            F.col("_e._z._s").cast("double")
+            / F.col("_e._z._w").cast("double")
+        ).alias("rate"),
+        F.col("_e._iso").alias("iso_rate"),
+    )
