@@ -10580,6 +10580,133 @@ FROM ex ORDER BY bin
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch-style readability profile from exact integer
+    word/syllable/letter totals (macro ratios — no double averaging)."""
+    from csp_gateway_spark.operators.text import readability
+
+    docs = _t(spark, sf_dir, "documents")
+    out = readability(docs, "text", "source")
+    return out.select(
+        "source",
+        "n_docs",
+        (F.round("avg_words", 6) + F.lit(0.0)).alias("avg_words"),
+        (F.round("syl_per_word", 6) + F.lit(0.0)).alias("syl_per_word"),
+        (F.round("letters_per_word", 6) + F.lit(0.0)).alias("letters_per_word"),
+        (F.round("flesch", 6) + F.lit(0.0)).alias("flesch"),
+    ).orderBy("source")
+
+
+ORACLE_READABILITY = f"""
+WITH d AS (
+  SELECT source,
+    len({_SQL_RAWTOKS}) AS w,
+    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS s,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS l
+  FROM documents
+), g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(SUM(w) AS BIGINT) AS sw, CAST(SUM(s) AS BIGINT) AS ss,
+    CAST(SUM(l) AS BIGINT) AS sl
+  FROM d GROUP BY 1
+)
+SELECT source, n_docs,
+  round(CAST(sw AS DOUBLE) / n_docs, 6) + 0.0 AS avg_words,
+  round(CAST(ss AS DOUBLE) / sw, 6) + 0.0 AS syl_per_word,
+  round(CAST(sl AS DOUBLE) / sw, 6) + 0.0 AS letters_per_word,
+  round(206.835 - 1.015 * (CAST(sw AS DOUBLE) / n_docs)
+        - 84.6 * (CAST(ss AS DOUBLE) / sw), 6) + 0.0 AS flesch
+FROM g ORDER BY source
+"""
+
+
+_ROUGE_OFFSET = 20
+
+
+def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-averaged ROUGE-1/2 between deterministic same-source doc
+    pairs (d, d+20) — clipped n-gram overlap from exact integer
+    counts, pure equi-join plan."""
+    from csp_gateway_spark.operators.corpus import rouge_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    out = rouge_overlap(docs, pair_offset=_ROUGE_OFFSET)
+    return out.select(
+        "source",
+        "metric",
+        "n_pairs",
+        "overlap",
+        "cand_total",
+        "ref_total",
+        (F.round("precision", 8) + F.lit(0.0)).alias("precision"),
+        (F.round("recall", 8) + F.lit(0.0)).alias("recall"),
+        (F.round("f1", 8) + F.lit(0.0)).alias("f1"),
+    ).orderBy("source", "metric")
+
+
+def _oracle_rouge_overlap() -> str:
+    toks = f"list_filter(regexp_split_to_array({_SQL_NORM}, ' '), x -> x != '')"
+
+    def arm(k: int, metric: str) -> str:
+        if k == 1:
+            grams = "tk"
+        else:
+            grams = (
+                f"CASE WHEN len(tk) >= {k} THEN "
+                f"list_transform(range(1, len(tk) - {k} + 2), "
+                f"i -> array_to_string(tk[i:i+{k}-1], ' ')) "
+                f"ELSE [array_to_string(tk, ' ')] END"
+            )
+        return f"""
+SELECT g AS source, '{metric}' AS metric, n_pairs, overlap, cand_total, ref_total,
+  round(CAST(overlap AS DOUBLE) / cand_total, 8) + 0.0 AS precision,
+  round(CAST(overlap AS DOUBLE) / ref_total, 8) + 0.0 AS recall,
+  round(CASE WHEN CAST(overlap AS DOUBLE) / cand_total
+              + CAST(overlap AS DOUBLE) / ref_total > 0
+    THEN 2.0 * (CAST(overlap AS DOUBLE) / cand_total)
+             * (CAST(overlap AS DOUBLE) / ref_total)
+         / (CAST(overlap AS DOUBLE) / cand_total
+            + CAST(overlap AS DOUBLE) / ref_total)
+    ELSE 0.0 END, 8) + 0.0 AS f1
+FROM (
+  WITH gr AS (
+    SELECT doc_id, unnest({grams}) AS gram
+    FROM (SELECT doc_id, {toks} AS tk FROM documents)
+  ), c AS (
+    SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM gr GROUP BY 1, 2
+  ), tot AS (
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS t FROM c GROUP BY 1
+  ), ov AS (
+    SELECT p.g, CAST(SUM(LEAST(ca.cnt, cb.cnt)) AS BIGINT) AS overlap
+    FROM pairs p
+    JOIN c ca ON ca.doc_id = p.aid
+    JOIN c cb ON cb.doc_id = p.bid AND cb.gram = ca.gram
+    GROUP BY 1
+  ), tots AS (
+    SELECT p.g, CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(SUM(tc.t) AS BIGINT) AS cand_total,
+      CAST(SUM(tr.t) AS BIGINT) AS ref_total
+    FROM pairs p JOIN tot tc ON tc.doc_id = p.aid JOIN tot tr ON tr.doc_id = p.bid
+    GROUP BY 1
+  )
+  SELECT tots.g, n_pairs, COALESCE(overlap, 0) AS overlap, cand_total, ref_total
+  FROM tots LEFT JOIN ov ON tots.g = ov.g
+)"""
+
+    return (
+        f"""WITH pairs AS (
+  SELECT a.doc_id AS aid, b.doc_id AS bid, a.source AS g
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id + {_ROUGE_OFFSET} AND a.source = b.source
+)
+"""
+        + arm(1, "rouge1")
+        + "\nUNION ALL\n"
+        + arm(2, "rouge2")
+        + "\nORDER BY source, metric"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -10844,6 +10971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "info_gain": q_info_gain,
         "isotonic_calibration": q_isotonic_calibration,
+        "readability": q_readability,
+        "rouge_overlap": q_rouge_overlap,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -11159,4 +11288,6 @@ def oracle_sql() -> dict[str, str]:
         "attribution": ORACLE_ATTRIBUTION,
         "info_gain": _oracle_info_gain(),
         "isotonic_calibration": ORACLE_ISOTONIC_CALIBRATION,
+        "readability": ORACLE_READABILITY,
+        "rouge_overlap": _oracle_rouge_overlap(),
     }

@@ -1357,3 +1357,114 @@ def adamic_adar(
     return scored.orderBy(
         F.desc("score"), F.asc("n1"), F.asc("n2")
     ).limit(int(top_k))
+
+
+def rouge_overlap(
+    df: DataFrame,
+    pair_offset: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str = "source",
+) -> DataFrame:
+    """Micro-averaged ROUGE-1/ROUGE-2 between deterministic document
+    pairs (candidate d ↔ reference d+``pair_offset``, same group) —
+    the n-gram-overlap summarization/paraphrase metric, run corpus-
+    scale.
+
+    The pairing is a pure EQUI join on the shifted id (the same-group
+    predicate rides along), and each ROUGE level is two more equi
+    joins: per-doc n-gram multiset counts (one explode + hash
+    aggregate), then pair×n-gram clipped-overlap Σmin(c_cand, c_ref).
+    Per-group totals are exact integers, so precision/recall/F1 are
+    closed-form doubles — no per-pair double averaging.  Output per
+    (group, metric∈{rouge1,rouge2}): (by, metric, n_pairs, overlap,
+    cand_total, ref_total, precision, recall, f1)."""
+    ids = F.col(id_col)
+    pairs = (
+        df.select(ids.alias("_aid"), F.col(by).alias("_g"))
+        .join(
+            df.select(
+                (ids - F.lit(pair_offset)).alias("_aid"),
+                ids.alias("_bid"),
+                F.col(by).alias("_g2"),
+            ),
+            "_aid",
+        )
+        .filter(F.col("_g") == F.col("_g2"))
+        .select("_aid", "_bid", "_g")
+    )
+
+    def gram_counts(k: int, side: str) -> DataFrame:
+        toks = norm_tokens(F.col(text_col))
+        if k == 1:
+            grams = toks
+        else:
+            grams = F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+                ),
+            ).otherwise(F.array(F.array_join(toks, " ")))
+        return (
+            df.select(ids.alias(side), F.explode(grams).alias("_gram"))
+            .groupBy(side, "_gram")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"_c{side}"))
+        )
+
+    out = None
+    for k, metric in ((1, "rouge1"), (2, "rouge2")):
+        ca = gram_counts(k, "_aid")
+        cb = gram_counts(k, "_bid")
+        ov = (
+            pairs.join(ca, "_aid")
+            .join(cb, ["_bid", "_gram"])
+            .groupBy("_g")
+            .agg(
+                F.sum(F.least(F.col("_c_aid"), F.col("_c_bid")))
+                .cast("long")
+                .alias("overlap")
+            )
+        )
+        tot_a = (
+            pairs.join(
+                ca.groupBy("_aid").agg(F.sum("_c_aid").alias("_ta")), "_aid"
+            )
+            .groupBy("_g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.sum("_ta").cast("long").alias("cand_total"),
+            )
+        )
+        tot_b = (
+            pairs.join(
+                cb.groupBy("_bid").agg(F.sum("_c_bid").alias("_tb")), "_bid"
+            )
+            .groupBy("_g")
+            .agg(F.sum("_tb").cast("long").alias("ref_total"))
+        )
+        m = tot_a.join(tot_b, "_g").join(ov, "_g", "left").select(
+            F.col("_g").alias(by),
+            F.lit(metric).alias("metric"),
+            "n_pairs",
+            F.coalesce(F.col("overlap"), F.lit(0)).cast("long").alias("overlap"),
+            "cand_total",
+            "ref_total",
+        )
+        p = F.col("overlap").cast("double") / F.col("cand_total").cast("double")
+        r = F.col("overlap").cast("double") / F.col("ref_total").cast("double")
+        m = m.select(
+            by,
+            "metric",
+            "n_pairs",
+            "overlap",
+            "cand_total",
+            "ref_total",
+            p.alias("precision"),
+            r.alias("recall"),
+            F.when(p + r > 0, F.lit(2.0) * p * r / (p + r))
+            .otherwise(F.lit(0.0))
+            .alias("f1"),
+        )
+        out = m if out is None else out.unionByName(m)
+    return out

@@ -554,3 +554,38 @@ def tokenizer_fertility(
             "pieces_per_word"
         ),
     )
+
+
+def readability(df: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:
+    """Per-group readability profile with a Flesch-style score —
+    macro-averaged from EXACT integer totals (Σwords, Σvowel-group
+    'syllables', Σletters), so the doubles are ratio-of-sums and
+    engine-identical: score = 206.835 − 1.015·(Σw/n) − 84.6·(Σsyl/Σw)
+    (the corpus has no sentence punctuation, so each doc counts as
+    one sentence).  One scan, one grouped aggregate — native
+    expressions only.  Output per group: (by, n_docs, avg_words,
+    syl_per_word, letters_per_word, flesch)."""
+    t = F.col(text_col)
+    words = F.size(F.filter(tokens(t), lambda x: x != F.lit("")))
+    syls = F.size(F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), 0))
+    letters = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    g = df.groupBy(F.col(by)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(words).cast("long").alias("_w"),
+        F.sum(syls).cast("long").alias("_s"),
+        F.sum(letters).cast("long").alias("_l"),
+    )
+    n = F.col("n_docs").cast("double")
+    w = F.col("_w").cast("double")
+    s = F.col("_s").cast("double")
+    l = F.col("_l").cast("double")
+    return g.select(
+        by,
+        "n_docs",
+        (w / n).alias("avg_words"),
+        (s / w).alias("syl_per_word"),
+        (l / w).alias("letters_per_word"),
+        (
+            F.lit(206.835) - F.lit(1.015) * (w / n) - F.lit(84.6) * (s / w)
+        ).alias("flesch"),
+    )
