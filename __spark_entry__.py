@@ -10707,6 +10707,135 @@ FROM (
     )
 
 
+_REVAL_TERMS = ["spark", "query", "window", "data"]
+
+
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 / MRR@10 / recall@10 of single-term BM25 retrieval per
+    query term, with binary relevance tf ≥ 3 — the offline ranking
+    eval beside ``bm25_topk``."""
+    from csp_gateway_spark.operators.retrieval import retrieval_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    out = retrieval_eval(docs, _REVAL_TERMS, k=10, rel_tf=3)
+    return out.select(
+        "term",
+        "n_cand",
+        "total_rel",
+        "rel_at_k",
+        (F.round("ndcg", 8) + F.lit(0.0)).alias("ndcg"),
+        (F.round("mrr", 8) + F.lit(0.0)).alias("mrr"),
+        (F.round("recall", 8) + F.lit(0.0)).alias("recall"),
+    ).orderBy("term")
+
+
+def _oracle_retrieval_metrics() -> str:
+    toks = _SQL_TOKS.replace("trim(lower(text))", _SQL_NORM)
+    term_list = ", ".join(f"'{t}'" for t in _REVAL_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS token FROM documents
+), dl AS (
+  SELECT doc_id, len({toks}) AS dl FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+  WHERE token IN ({term_list}) GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), cand AS (
+  SELECT tf.token, tf.doc_id,
+    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      * (CAST(tf AS DOUBLE) * 2.5
+         / (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s,
+    CASE WHEN tf >= 3 THEN 1 ELSE 0 END AS rel
+  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), stats
+), totals AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_cand,
+    CAST(SUM(rel) AS BIGINT) AS total_rel
+  FROM cand GROUP BY 1
+), top AS (
+  SELECT token, rel, rk FROM (
+    SELECT token, rel,
+      row_number() OVER (PARTITION BY token ORDER BY s DESC, doc_id ASC) AS rk
+    FROM cand
+  ) WHERE rk <= 10
+), m AS (
+  SELECT token,
+    list_sum(list(CAST(rel AS DOUBLE) / log2(CAST(rk AS DOUBLE) + 1.0) ORDER BY rk)) AS dcg,
+    MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+    CAST(SUM(rel) AS BIGINT) AS rel_at_k
+  FROM top GROUP BY 1
+)
+SELECT t.token AS term, n_cand, total_rel,
+  COALESCE(rel_at_k, 0) AS rel_at_k,
+  round(CASE WHEN LEAST(10, total_rel) > 0 THEN COALESCE(dcg, 0.0)
+    / list_sum(list_transform(range(1, CAST(LEAST(10, total_rel) AS INT) + 1),
+               i -> 1.0 / log2(CAST(i AS DOUBLE) + 1.0)))
+    ELSE 0.0 END, 8) + 0.0 AS ndcg,
+  round(CASE WHEN first_rel IS NOT NULL THEN 1.0 / first_rel ELSE 0.0 END, 8) + 0.0 AS mrr,
+  round(CASE WHEN total_rel > 0 THEN CAST(rel_at_k AS DOUBLE) / total_rel
+    ELSE 0.0 END, 8) + 0.0 AS recall
+FROM totals t LEFT JOIN m ON t.token = m.token
+ORDER BY term
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize per-source document lengths against the
+    global length distribution (1000-point empirical reference,
+    exact-integer grid mapping) — the cross-source comparability
+    transform before thresholding heterogeneous quality scores."""
+    from csp_gateway_spark.operators.analytics import quantile_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quantile_normalize(docs, "n_chars", "source", grid=1000)
+    return out.select(
+        "source",
+        F.col("value").cast("long").alias("value"),
+        "n",
+        (F.round("frac", 8) + F.lit(0.0)).alias("frac"),
+        F.col("norm_value").cast("long").alias("norm_value"),
+    ).orderBy("source", "value")
+
+
+ORACLE_QUANTILE_NORMALIZE = """
+WITH pgv AS (
+  SELECT source AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT g, v, c,
+    SUM(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(c) OVER (PARTITION BY g) AS ng
+  FROM pgv
+), tq AS (
+  SELECT g, v, c,
+    CAST(2 * (cum - c) + c + 1 AS DOUBLE) / CAST(2 * ng AS DOUBLE) AS frac,
+    CAST((1000 * (2 * (cum - c) + c + 1)) // (2 * ng) AS BIGINT) AS gpt
+  FROM t
+), pv AS (
+  SELECT n_chars AS gv, CAST(count(*) AS BIGINT) AS cv
+  FROM documents GROUP BY 1
+), rk AS (
+  SELECT gv, cv,
+    SUM(cv) OVER (ORDER BY gv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcum
+  FROM pv
+), tot AS (SELECT CAST(SUM(cv) AS BIGINT) AS N FROM pv),
+ref AS (
+  SELECT gv, CAST(unnest(range(
+    CAST(CASE WHEN gcum - cv = 0 THEN 0
+              ELSE (1000 * (gcum - cv)) // N + 1 END AS BIGINT),
+    CAST((1000 * gcum) // N + 1 AS BIGINT))) AS BIGINT) AS gpt
+  FROM rk, tot
+)
+SELECT tq.g AS source, CAST(v AS BIGINT) AS value, c AS n,
+  round(frac, 8) + 0.0 AS frac, CAST(gv AS BIGINT) AS norm_value
+FROM tq JOIN ref USING (gpt)
+ORDER BY source, value
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -10973,6 +11102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": q_isotonic_calibration,
         "readability": q_readability,
         "rouge_overlap": q_rouge_overlap,
+        "retrieval_metrics": q_retrieval_metrics,
+        "quantile_normalize": q_quantile_normalize,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -11290,4 +11421,6 @@ def oracle_sql() -> dict[str, str]:
         "isotonic_calibration": ORACLE_ISOTONIC_CALIBRATION,
         "readability": ORACLE_READABILITY,
         "rouge_overlap": _oracle_rouge_overlap(),
+        "retrieval_metrics": _oracle_retrieval_metrics(),
+        "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
     }

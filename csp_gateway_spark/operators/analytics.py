@@ -5682,3 +5682,101 @@ def isotonic_calibration(
         ).alias("rate"),
         F.col("_e._iso").alias("iso_rate"),
     )
+
+
+def _seq_if(start, stop):
+    """``sequence(start, stop)`` that is EMPTY when start > stop —
+    Spark's sequence would otherwise generate a DESCENDING range."""
+    return F.when(start <= stop, F.sequence(start, stop))
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    grid: int = 1000,
+) -> DataFrame:
+    """Quantile normalization of a numeric column against the GLOBAL
+    distribution: each (group, value) maps to the global value at the
+    same quantile position, via a ``grid``-point empirical reference
+    (the cross-source score-comparability transform a curation
+    pipeline applies before thresholding heterogeneous sources).
+
+    Everything is exact-integer arithmetic until the final readout:
+    per-group midrank fractions come from a PARTITIONED cumulative
+    over the (group, value)-collapsed frame; the grid point is
+    ``floor(grid·num/den)`` in pure integer math (no FP rounding
+    boundary); and the global distribution collapses to ≤``grid``+1
+    (grid_point → value) rows — the per-value global cumulative rides
+    ``plans.scale.global_row_number``, each value EXPLODES only to
+    the grid points inside its exact cumulative interval, and the
+    resulting reference table broadcasts to an equi join.  Output per
+    (group, value): (group, value, n, frac, norm_value)."""
+    from pyspark.sql import Window
+
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    g = F.col(group_col)
+    v = F.col(value_col)
+    per_gv = df.groupBy(g.alias("_g"), v.alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    wcum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("_g")
+    t = per_gv.select(
+        "_g",
+        "_v",
+        "_c",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wtot).alias("_ng"),
+    )
+    num = 2 * (F.col("_cum") - F.col("_c")) + F.col("_c") + 1
+    den = 2 * F.col("_ng")
+    tq = t.select(
+        "_g",
+        "_v",
+        "_c",
+        (num.cast("double") / den.cast("double")).alias("_frac"),
+        F.expr(f"(CAST({grid} AS BIGINT) * ({'2*(_cum - _c) + _c + 1'})) div (2 * _ng)").alias(
+            "_gpt"
+        ),
+    )
+    per_v = df.groupBy(v.alias("_gv")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cv")
+    )
+    ranked = global_row_number(
+        per_v, "_gv", [], rn_col="_rn", cum_value="_cv", cum_col="_gcum"
+    )
+    totals = per_v.agg(F.sum("_cv").cast("long").alias("_N"))
+    ref = (
+        ranked.select(
+            "_gv",
+            F.col("_cv").cast("long").alias("_cvl"),
+            F.col("_gcum").cast("long").alias("_gcl"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_gv",
+            F.explode(_seq_if(
+                F.when(
+                    F.col("_gcl") - F.col("_cvl") == 0, F.lit(0).cast("long")
+                ).otherwise(
+                    F.expr(f"(CAST({grid} AS BIGINT) * (_gcl - _cvl)) div _N")
+                    + F.lit(1).cast("long")
+                ),
+                F.expr(f"(CAST({grid} AS BIGINT) * _gcl) div _N"),
+            )).alias("_gpt"),
+        )
+    )
+    out = tq.join(F.broadcast(ref), "_gpt")
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_v").alias("value"),
+        F.col("_c").alias("n"),
+        F.col("_frac").alias("frac"),
+        F.col("_gv").alias("norm_value"),
+    )

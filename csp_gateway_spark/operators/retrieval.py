@@ -274,3 +274,108 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
     )
+
+
+def retrieval_eval(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    rel_tf: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """Ranking-quality evaluation of single-term BM25 retrieval:
+    NDCG@k, MRR@k and recall@k per query term, with binary relevance
+    rel = (tf ≥ ``rel_tf``) — the offline eval harness a retrieval
+    pipeline runs against labeled judgments.
+
+    Same shuffle discipline as :func:`bm25_scores` (only the query
+    terms' postings move; N/avgdl broadcast); the per-term top-k is a
+    window PARTITIONED by term over the term's candidate set, and
+    every metric folds the rank-sorted ≤k list (DCG) or an arithmetic
+    series (ideal DCG) with pinned order — doubles are
+    engine-identical.  Output per term: (term, n_cand, total_rel,
+    rel_at_k, ndcg, mrr, recall)."""
+    from pyspark.sql import Window
+
+    lengths = doc_lengths(df, text_col, id_col)
+    stats = _corpus_stats(lengths)
+    matched = postings(df, text_col, id_col).filter(
+        F.col("token").isin(list(terms))
+    )
+    dfreq = matched.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        matched.join(F.broadcast(dfreq), "token")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    part = idf * (
+        tf
+        * F.lit(k1 + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    )
+    cand = scored.select(
+        "token",
+        F.col(id_col),
+        part.alias("_s"),
+        (F.col("tf") >= rel_tf).cast("int").alias("_rel"),
+    )
+    totals = cand.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand"),
+        F.sum("_rel").cast("long").alias("total_rel"),
+    )
+    w = Window.partitionBy("token").orderBy(F.desc("_s"), F.asc(id_col))
+    top = cand.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k
+    )
+    folded = top.groupBy("token").agg(
+        F.array_sort(F.collect_list(F.struct("_rk", "_rel"))).alias("_z")
+    )
+    dcg = F.aggregate(
+        F.col("_z"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["_rel"].cast("double") / F.log2(x["_rk"].cast("double") + F.lit(1.0)),
+    )
+    first_rel = F.array_min(
+        F.filter(F.col("_z"), lambda x: x["_rel"] == 1)
+    )["_rk"]
+    rel_at_k = F.aggregate(
+        F.col("_z"), F.lit(0).cast("long"), lambda acc, x: acc + x["_rel"]
+    )
+    j = folded.join(totals, "token")
+    ideal_n = F.least(F.lit(k).cast("long"), F.col("total_rel"))
+    idcg = F.when(
+        ideal_n > 0,
+        F.aggregate(
+            F.sequence(F.lit(1).cast("long"), ideal_n),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)),
+        ),
+    )
+    return j.select(
+        F.col("token").alias("term"),
+        "n_cand",
+        "total_rel",
+        rel_at_k.alias("rel_at_k"),
+        F.when(idcg > 0, dcg / idcg).otherwise(F.lit(0.0)).alias("ndcg"),
+        F.when(
+            first_rel.isNotNull(), F.lit(1.0) / first_rel.cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mrr"),
+        F.when(
+            F.col("total_rel") > 0,
+            rel_at_k.cast("double") / F.col("total_rel").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
+    )
