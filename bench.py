@@ -261,6 +261,21 @@ HEADLINE = [
     "cramers_v",
     "rmst",
     "quadratic_trend",
+    "roc_auc",
+    "cohen_kappa",
+    "fleiss_kappa",
+    "l_diversity",
+    "sprt_monitor",
+    "bollinger_breaches",
+    "rsi_signal",
+    "realized_vol",
+    "attribution",
+    "info_gain",
+    "isotonic_calibration",
+    "readability",
+    "rouge_overlap",
+    "retrieval_metrics",
+    "quantile_normalize",
 ]
 
 

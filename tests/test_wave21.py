@@ -1,0 +1,264 @@
+"""Hand-computed unit tests for the wave-21 (round 9) operators:
+evaluation/agreement/privacy/sequential (batch A), daily market
+indicators (batch B), attribution/feature-selection/calibration
+(batch C), and text/retrieval metrics (batch D)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def test_roc_auc_separable_and_ties(spark):
+    from csp_gateway_spark.operators.analytics import roc_auc
+
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "score double, label int"
+    )
+    r = roc_auc(df, "score", "label").collect()[0]
+    assert (r.n_pos, r.n_neg) == (2, 2)
+    assert abs(r.auc - 1.0) < 1e-12
+    # tie at 2.0: pairs (2>1)=1, (2=2)=0.5, (3>1)=1, (3>2)=1 -> 3.5/4
+    df2 = spark.createDataFrame(
+        [(1.0, 0), (2.0, 1), (2.0, 0), (3.0, 1)], "score double, label int"
+    )
+    r2 = roc_auc(df2, "score", "label").collect()[0]
+    assert abs(r2.auc - 0.875) < 1e-12
+
+
+def test_cohen_kappa_hand_computed(spark):
+    from csp_gateway_spark.operators.analytics import cohen_kappa
+
+    a = ["x", "x", "x", "x", "y", "y", "y", "y"]
+    b = ["x", "x", "x", "y", "y", "y", "y", "x"]
+    df = spark.createDataFrame(list(zip(a, b)), "ra string, rb string")
+    r = cohen_kappa(df, "ra", "rb").collect()[0]
+    assert r.n == 8
+    assert abs(r.po - 0.75) < 1e-12
+    assert abs(r.pe - 0.5) < 1e-12
+    assert abs(r.kappa - 0.5) < 1e-12
+
+
+def test_fleiss_kappa_hand_computed_and_guard(spark):
+    from csp_gateway_spark.operators.analytics import fleiss_kappa
+
+    # 2 items x 2 raters: item1 (a,a), item2 (a,b)
+    rows = [(1, "a"), (1, "a"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "item int, rating string")
+    r = fleiss_kappa(df, "item", "rating").collect()[0]
+    assert (r.n_items, r.n_raters) == (2, 2)
+    assert abs(r.p_bar - 0.5) < 1e-12
+    assert abs(r.p_e - 0.625) < 1e-12
+    assert abs(r.kappa - (-1.0 / 3.0)) < 1e-12
+    # unequal rater counts must raise in-plan
+    bad = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a")], "item int, rating string"
+    )
+    with pytest.raises(Exception, match="unequal rater counts"):
+        fleiss_kappa(bad, "item", "rating").collect()
+
+
+def test_l_diversity_flags(spark):
+    from csp_gateway_spark.operators.analytics import l_diversity
+
+    rows = [
+        ("g1", "s1"), ("g1", "s2"), ("g1", "s3"),
+        ("g2", "s1"), ("g2", "s1"), ("g2", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "qi string, sens string")
+    out = {
+        r.qi: r for r in l_diversity(df, ["qi"], "sens", l=3).collect()
+    }
+    assert out["g1"].k_count == 3 and out["g1"].l_distinct == 3
+    assert not out["g1"].at_risk
+    assert out["g2"].l_distinct == 2 and out["g2"].at_risk
+
+
+def test_sprt_monitor_cumulative_llr(spark):
+    from csp_gateway_spark.operators.analytics import sprt_monitor
+
+    rows = [(1, 1), (1, 1), (1, 0), (2, 0), (2, 0)]
+    df = spark.createDataFrame(rows, "day int, success int")
+    out = {
+        r.day: r
+        for r in sprt_monitor(df, "day", "success", p0=0.3, p1=0.4).collect()
+    }
+    assert (out[1].t, out[1].k) == (3, 2)
+    assert (out[2].t, out[2].k) == (5, 2)
+    c1, c0 = math.log(0.4 / 0.3), math.log(0.6 / 0.7)
+    assert abs(out[2].llr - (2 * c1 + 3 * c0)) < 1e-12
+    assert out[2].decision == "continue"
+
+
+def test_bollinger_bands_hand_computed(spark):
+    import datetime
+
+    from csp_gateway_spark.operators.analytics import bollinger_bands
+
+    d = datetime.date
+    rows = [
+        (d(2024, 1, 1), 1.0),
+        (d(2024, 1, 2), 2.0),
+        (d(2024, 1, 3), 3.0),
+        (d(2024, 1, 4), 100.0),
+    ]
+    df = spark.createDataFrame(rows, "day date, v double")
+    out = {
+        r.day.isoformat(): r
+        for r in bollinger_bands(df, "day", "v", n=3, k=0.5).collect()
+    }
+    # first two days lack a complete 3-day window
+    assert set(out) == {"2024-01-03", "2024-01-04"}
+    r3 = out["2024-01-03"]
+    assert abs(r3.mid - 2.0) < 1e-12 and abs(r3.std - 1.0) < 1e-12
+    assert r3.breach == "up"  # k=0.5: upper = 2.5 < 3
+    r4 = out["2024-01-04"]  # window (2,3,100): mean 35, value 100 > upper
+    assert abs(r4.mid - 35.0) < 1e-9
+    assert r4.breach == "up"
+    # a calendar gap drops the window
+    rows_gap = rows[:2] + [(d(2024, 1, 4), 3.0)]
+    got = bollinger_bands(
+        spark.createDataFrame(rows_gap, "day date, v double"), "day", "v", n=3
+    ).collect()
+    assert got == []
+
+
+def test_rsi_hand_computed(spark):
+    import datetime
+
+    from csp_gateway_spark.operators.analytics import rsi
+
+    d = datetime.date
+    rows = [
+        (d(2024, 1, 1), 1.0),
+        (d(2024, 1, 2), 2.0),
+        (d(2024, 1, 3), 3.0),
+        (d(2024, 1, 4), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "day date, v double")
+    out = {
+        r.day.isoformat(): r for r in rsi(df, "day", "v", n=2).collect()
+    }
+    assert abs(out["2024-01-03"].rsi - 100.0) < 1e-12  # gains only
+    assert abs(out["2024-01-04"].rsi - 50.0) < 1e-12  # +1 / -1
+    assert out["2024-01-03"].signal == "overbought"
+    assert out["2024-01-04"].signal is None
+
+
+def test_realized_volatility_hand_computed(spark):
+    import datetime
+
+    from csp_gateway_spark.operators.analytics import realized_volatility
+
+    d = datetime.date
+    rows = [(d(2024, 1, 1), 1.0), (d(2024, 1, 2), 2.0), (d(2024, 1, 3), 4.0)]
+    df = spark.createDataFrame(rows, "day date, v double")
+    r = realized_volatility(df, "day", "v").collect()[0]
+    assert r.n_ret == 2
+    assert abs(r.vol - math.log(2.0) * math.sqrt(2.0)) < 1e-12
+
+
+def test_attribution_hand_computed(spark):
+    from csp_gateway_spark.operators.analytics import attribution
+
+    rows = [
+        (1, 100, 1, "click"),
+        (1, 200, 2, "view"),
+        (1, 300, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user long, ts long, id long, typ string")
+    out = {
+        r.event_type: r
+        for r in attribution(
+            df, "user", "ts", "id", "typ", "purchase", window_ns=1000
+        ).collect()
+    }
+    assert out["click"].first_credit == 1 and out["click"].last_credit == 0
+    assert out["view"].last_credit == 1 and out["view"].first_credit == 0
+    assert abs(out["click"].linear_credit - 0.5) < 1e-12
+    assert abs(out["view"].linear_credit - 0.5) < 1e-12
+
+
+def test_info_gain_perfect_and_uninformative(spark):
+    from csp_gateway_spark.operators.analytics import info_gain
+
+    rows = [
+        ("x", "p", 1), ("x", "q", 1), ("z", "p", 0), ("z", "q", 0),
+    ]
+    df = spark.createDataFrame(rows, "fa string, fb string, y int")
+    out = {r.feature: r for r in info_gain(df, ["fa", "fb"], "y").collect()}
+    assert abs(out["fa"].h_label - math.log(2.0)) < 1e-12
+    assert abs(out["fa"].ig - math.log(2.0)) < 1e-12  # perfect split
+    assert abs(out["fb"].ig - 0.0) < 1e-12  # uninformative
+
+
+def test_isotonic_calibration_pools_violation(spark):
+    from csp_gateway_spark.operators.analytics import isotonic_calibration
+
+    rows = [(0.15, 1)] * 3 + [(0.15, 0)] * 2 + [(0.35, 1)] * 1 + [(0.35, 0)] * 4
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r.bin: r for r in isotonic_calibration(df, "score", "label", bins=10).collect()}
+    assert abs(out[1].rate - 0.6) < 1e-12 and abs(out[3].rate - 0.2) < 1e-12
+    # monotone violation -> both bins pool to 4/10
+    assert abs(out[1].iso_rate - 0.4) < 1e-12
+    assert abs(out[3].iso_rate - 0.4) < 1e-12
+
+
+def test_readability_hand_computed(spark):
+    from csp_gateway_spark.operators.text import readability
+
+    df = spark.createDataFrame([("aa bb", "s1")], "text string, source string")
+    r = readability(df, "text", "source").collect()[0]
+    assert r.n_docs == 1
+    assert abs(r.avg_words - 2.0) < 1e-12
+    assert abs(r.syl_per_word - 0.5) < 1e-12  # one vowel group in 'aa'
+    assert abs(r.letters_per_word - 2.0) < 1e-12
+    assert abs(r.flesch - (206.835 - 1.015 * 2.0 - 84.6 * 0.5)) < 1e-12
+
+
+def test_rouge_overlap_hand_computed(spark):
+    from csp_gateway_spark.operators.corpus import rouge_overlap
+
+    rows = [(0, "a b c", "s1"), (1, "b c d", "s1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.metric: r for r in rouge_overlap(df, pair_offset=1).collect()
+    }
+    r1 = out["rouge1"]
+    assert (r1.n_pairs, r1.overlap, r1.cand_total, r1.ref_total) == (1, 2, 3, 3)
+    assert abs(r1.f1 - 2.0 / 3.0) < 1e-12
+    r2 = out["rouge2"]
+    assert (r2.overlap, r2.cand_total) == (1, 2)  # 'b c' shared
+    assert abs(r2.precision - 0.5) < 1e-12
+
+
+def test_retrieval_eval_hand_computed(spark):
+    from csp_gateway_spark.operators.retrieval import retrieval_eval
+
+    rows = [
+        (0, "x x x y y"),  # tf=3 -> relevant
+        (1, "x x y y y"),  # tf=2
+        (2, "x y y y y"),  # tf=1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = retrieval_eval(df, ["x"], k=2, rel_tf=3).collect()[0]
+    assert (r.term, r.n_cand, r.total_rel, r.rel_at_k) == ("x", 3, 1, 1)
+    # the tf=3 doc ranks first (same dl) -> perfect metrics
+    assert abs(r.ndcg - 1.0) < 1e-12
+    assert abs(r.mrr - 1.0) < 1e-12
+    assert abs(r.recall - 1.0) < 1e-12
+
+
+def test_quantile_normalize_aligns_groups(spark):
+    from csp_gateway_spark.operators.analytics import quantile_normalize
+
+    rows = [("a", 1), ("a", 2), ("b", 11), ("b", 12)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        (r.g, r.value): r.norm_value
+        for r in quantile_normalize(df, "v", "g", grid=1000).collect()
+    }
+    # both groups map onto the SAME global reference values
+    assert out[("a", 1)] == out[("b", 11)] == 2
+    assert out[("a", 2)] == out[("b", 12)] == 12
