@@ -98,6 +98,17 @@ INTENTIONAL_NESTED_LOOP = {
     # doubled-midrank W+ on the same two-phase cumulative (1-row
     # broadcast rank stats, same class as kruskal_wallis)
     "wilcoxon",
+    # wave-21: the same bounded 1-row broadcast fusions —
+    # global_row_number's bucket-cutoff/offset rows (roc_auc,
+    # sprt_monitor, quantile_normalize), the 1-row marginal-product
+    # and category tables (cohen_kappa, fleiss_kappa), and the 1-row
+    # corpus-stats cross of the bm25 family (retrieval_metrics)
+    "roc_auc",
+    "cohen_kappa",
+    "fleiss_kappa",
+    "sprt_monitor",
+    "retrieval_metrics",
+    "quantile_normalize",
 }
 
 
