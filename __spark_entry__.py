@@ -11150,9 +11150,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curation
         "decontaminate", "stratified_sample", "train_split", "sequence_pack",
         "repetition_stats",
-        # sketches / rollups / analytics representatives
-        "approx_distinct", "hypertable_rollup", "kaplan_meier",
-        "correlation_matrix",
+        # sketches / rollups / analytics representatives.  Round 9:
+        # kaplan_meier's and correlation_matrix's slots fund the two
+        # wave-21 representatives (rank-eval + text-pair-metric
+        # families) — both evictees carry driver-green CORRECTNESS_r07
+        # evidence and stay in the full-replica sweep run each round
+        "approx_distinct", "hypertable_rollup", "roc_auc",
+        "rouge_overlap",
     ]
     ordered = {name: raw[name] for name in priority}
     ordered.update({name: fn for name, fn in raw.items() if name not in ordered})
