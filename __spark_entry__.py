@@ -10836,6 +10836,79 @@ ORDER BY source, value
 """
 
 
+def q_argmax_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIXTH streaming gate shape: windowed ARGMAX — a REAL streaming
+    replay (6 micro-batches) maintaining per-(1-hour window,
+    event_type) max(value) AND its max_by event id in the state store,
+    complete-mode memory sink; hash-equal to the batch row_number
+    oracle.  max/max_by are order-independent aggregates, so the
+    replay is engine-exact with no decimal detour."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    root = tempfile.mkdtemp(prefix=f"csp_gw_astream_{os.getpid()}_")
+    src_dir = os.path.join(root, "src")
+    ev.withColumn("_b", F.pmod(F.hash("event_id"), F.lit(6))).repartition(
+        6, "_b"
+    ).drop("_b").write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withColumn("_ets", F.expr("timestamp_micros(ts div 1000)"))
+        .groupBy(F.window("_ets", "1 hour"), "event_type")
+        .agg(
+            F.max("value").alias("max_value"),
+            F.max_by(
+                "event_id", F.struct(F.col("value"), F.col("event_id"))
+            ).alias("max_event_id"),
+        )
+    )
+    table = f"gate_astream_{os.getpid()}"
+    with _replay_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = (
+        spark.table(table)
+        .select(
+            F.col("window.start").cast("long").alias("bucket_start"),
+            "event_type",
+            "max_value",
+            "max_event_id",
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+    state_out = os.path.join(root, "state_out")
+    out.write.mode("overwrite").parquet(state_out)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "ckpt"), ignore_errors=True)
+    return spark.read.parquet(state_out).orderBy("bucket_start", "event_type")
+
+
+ORACLE_ARGMAX_STREAM_REPLAY = """
+SELECT bucket_start, event_type, value AS max_value, event_id AS max_event_id
+FROM (
+  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_start, event_type,
+         value, event_id,
+         row_number() OVER (
+           PARTITION BY epoch_ns(ts) // 3600000000000, event_type
+           ORDER BY value DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY bucket_start, event_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -11104,6 +11177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge_overlap": q_rouge_overlap,
         "retrieval_metrics": q_retrieval_metrics,
         "quantile_normalize": q_quantile_normalize,
+        "argmax_stream_replay": q_argmax_stream_replay,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -11427,4 +11501,5 @@ def oracle_sql() -> dict[str, str]:
         "rouge_overlap": _oracle_rouge_overlap(),
         "retrieval_metrics": _oracle_retrieval_metrics(),
         "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
+        "argmax_stream_replay": ORACLE_ARGMAX_STREAM_REPLAY,
     }

@@ -276,6 +276,7 @@ HEADLINE = [
     "rouge_overlap",
     "retrieval_metrics",
     "quantile_normalize",
+    "argmax_stream_replay",
 ]
 
 

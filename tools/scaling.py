@@ -83,6 +83,12 @@ HEAVY = [
     "ntile_histogram",
     "active_orders",
     "kaplan_meier",
+    # round-9 wave-21 family
+    "roc_auc",
+    "attribution",
+    "rouge_overlap",
+    "quantile_normalize",
+    "retrieval_metrics",
 ]
 
 TABLES = [
