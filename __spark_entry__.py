@@ -10909,6 +10909,111 @@ FROM (
 """
 
 
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive STL-style decomposition of daily order revenue:
+    centered 7-day MA trend, zero-centered weekday seasonal,
+    residual — explode-offset windows, pinned-order folds."""
+    from csp_gateway_spark.operators.analytics import stl_decompose
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.to_date("o_orderdate").alias("day"), F.col("o_totalprice")
+    )
+    out = stl_decompose(base, "day", "o_totalprice", period=7, ma=7)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.round("value", 2) + F.lit(0.0)).alias("value"),
+        (F.round("trend", 6) + F.lit(0.0)).alias("trend"),
+        F.col("weekday").cast("long").alias("weekday"),
+        (F.round("seasonal", 6) + F.lit(0.0)).alias("seasonal"),
+        (F.round("residual", 6) + F.lit(0.0)).alias("residual"),
+    ).orderBy("day")
+
+
+_STL_ORACLE_CORE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+  FROM orders GROUP BY 1
+), tr AS (
+  SELECT day, CAST(v AS DOUBLE) AS vd,
+    CAST(COUNT(*) OVER win AS BIGINT) AS cnt,
+    CAST(SUM(v) OVER win AS DOUBLE) / 7.0 AS trend
+  FROM daily
+  WINDOW win AS (ORDER BY day RANGE BETWEEN INTERVAL 3 DAYS PRECEDING
+                 AND INTERVAL 3 DAYS FOLLOWING)
+), base AS (
+  SELECT day, vd, trend, vd - trend AS dt,
+         CAST(dayofweek(day) AS BIGINT) AS wd
+  FROM tr WHERE cnt = 7
+), sw AS (
+  SELECT wd, CAST(count(*) AS BIGINT) AS nw,
+    list_sum(list(dt ORDER BY day)) AS sww
+  FROM base GROUP BY 1
+), rs AS (SELECT wd, sww / nw AS sj FROM sw),
+ctr AS (SELECT list_sum(list(sj ORDER BY wd)) / count(*) AS mean_s FROM rs),
+seas AS (SELECT wd, sj - mean_s AS seasonal FROM rs, ctr)
+"""
+
+ORACLE_STL_DECOMPOSE = (
+    _STL_ORACLE_CORE
+    + """
+SELECT strftime(b.day, '%Y-%m-%d') AS day,
+  round(vd, 2) + 0.0 AS value,
+  round(trend, 6) + 0.0 AS trend,
+  b.wd AS weekday,
+  round(seasonal, 6) + 0.0 AS seasonal,
+  round(dt - seasonal, 6) + 0.0 AS residual
+FROM base b JOIN seas USING (wd) ORDER BY day
+"""
+)
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly days on daily order revenue:
+    |z| > 2.5 of the STL residual — the calendar-aware screen beside
+    the plain ``anomaly_days`` z-test."""
+    from csp_gateway_spark.operators.analytics import seasonal_anomaly
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.to_date("o_orderdate").alias("day"), F.col("o_totalprice")
+    )
+    out = seasonal_anomaly(base, "day", "o_totalprice", threshold=2.5)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.round("value", 2) + F.lit(0.0)).alias("value"),
+        (F.round("residual", 6) + F.lit(0.0)).alias("residual"),
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+    ).orderBy("day")
+
+
+ORACLE_SEASONAL_ANOMALY = (
+    _STL_ORACLE_CORE
+    + """
+, res AS (
+  SELECT b.day, vd, dt - seasonal AS r
+  FROM base b JOIN seas USING (wd)
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    list_sum(list(r ORDER BY day)) AS sr,
+    list_sum(list(r * r ORDER BY day)) AS srr
+  FROM res
+), st AS (
+  SELECT n, sr / n AS mu,
+    sqrt((srr - sr * sr / n) / (CAST(n AS DOUBLE) - 1.0)) AS sd
+  FROM mom
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+  round(vd, 2) + 0.0 AS value,
+  round(r, 6) + 0.0 AS residual,
+  round((r - mu) / sd, 6) + 0.0 AS z
+FROM res, st WHERE abs((r - mu) / sd) > 2.5
+ORDER BY day
+"""
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -11178,6 +11283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_metrics": q_retrieval_metrics,
         "quantile_normalize": q_quantile_normalize,
         "argmax_stream_replay": q_argmax_stream_replay,
+        "stl_decompose": q_stl_decompose,
+        "seasonal_anomaly": q_seasonal_anomaly,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -11502,4 +11609,6 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_metrics": _oracle_retrieval_metrics(),
         "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
         "argmax_stream_replay": ORACLE_ARGMAX_STREAM_REPLAY,
+        "stl_decompose": ORACLE_STL_DECOMPOSE,
+        "seasonal_anomaly": ORACLE_SEASONAL_ANOMALY,
     }

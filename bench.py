@@ -277,6 +277,8 @@ HEADLINE = [
     "retrieval_metrics",
     "quantile_normalize",
     "argmax_stream_replay",
+    "stl_decompose",
+    "seasonal_anomaly",
 ]
 
 

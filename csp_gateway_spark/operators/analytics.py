@@ -5780,3 +5780,150 @@ def quantile_normalize(
         F.col("_frac").alias("frac"),
         F.col("_gv").alias("norm_value"),
     )
+
+
+def stl_decompose(
+    df: DataFrame,
+    day_col,
+    value_col: str,
+    period: int = 7,
+    ma: int = 7,
+) -> DataFrame:
+    """Additive seasonal-trend decomposition of a daily total (an
+    STL-style single pass): trend = centered ``ma``-calendar-day
+    moving average, seasonal = per-weekday mean of the detrended
+    series re-centered to sum to zero, residual = remainder.
+
+    Scale shape: the centered MA is the same explode-offset + hash
+    aggregate as :func:`bollinger_bands` (no unpartitioned window);
+    the seasonal means fold day-sorted packed arrays per weekday
+    (calendar-bounded, cap-guarded) so every double accumulates in
+    pinned order; the ``period``-row seasonal table re-centers via
+    one weekday-sorted fold and broadcasts back.  Output per day with
+    a complete MA window: (day, value, trend, weekday, seasonal,
+    residual)."""
+    assert ma % 2 == 1, "centered moving average needs an odd window"
+    half = ma // 2
+    daily = _daily_decimal(df, day_col, value_col)
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(-half), F.lit(half))).alias("_off"),
+        "_day",
+        "_v",
+    ).select(F.date_add(F.col("_day"), F.col("_off")).alias("_anchor"), "_v")
+    trend = (
+        contrib.groupBy("_anchor")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum("_v").cast("decimal(38,2)").alias("_s"),
+        )
+        .filter(F.col("_cnt") == ma)
+        .select(
+            "_anchor",
+            (F.col("_s").cast("double") / F.lit(float(ma))).alias("_trend"),
+        )
+    )
+    base = daily.join(trend, daily["_day"] == trend["_anchor"]).select(
+        "_day",
+        F.col("_v").cast("double").alias("_vd"),
+        "_trend",
+        (F.col("_v").cast("double") - F.col("_trend")).alias("_dt"),
+        (F.dayofweek("_day") - F.lit(1)).alias("_wd"),
+    )
+    per_wd = base.groupBy("_wd").agg(
+        F.count(F.lit(1)).alias("_nw"),
+        F.aggregate(
+            F.transform(
+                _capped_packed(
+                    F.array_sort(F.collect_list(F.struct("_day", "_dt"))),
+                    "stl_decompose",
+                ),
+                lambda x: x["_dt"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_sw"),
+    )
+    raw_seasonal = per_wd.select(
+        "_wd", (F.col("_sw") / F.col("_nw").cast("double")).alias("_sj")
+    )
+    center = raw_seasonal.agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_wd", "_sj"))),
+                    lambda x: x["_sj"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_mean_s")
+    )
+    seasonal = raw_seasonal.crossJoin(F.broadcast(center)).select(
+        "_wd", (F.col("_sj") - F.col("_mean_s")).alias("_seasonal")
+    )
+    out = base.join(F.broadcast(seasonal), "_wd")
+    return out.select(
+        F.col("_day").alias("day"),
+        F.col("_vd").alias("value"),
+        F.col("_trend").alias("trend"),
+        F.col("_wd").alias("weekday"),
+        F.col("_seasonal").alias("seasonal"),
+        (F.col("_dt") - F.col("_seasonal")).alias("residual"),
+    )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    day_col,
+    value_col: str,
+    period: int = 7,
+    ma: int = 7,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Seasonally-adjusted anomaly days: z-score each
+    :func:`stl_decompose` residual against the residual distribution
+    and keep |z| > ``threshold`` — the calendar-aware upgrade of a
+    plain z-test (a Monday dip is not an anomaly if Mondays always
+    dip).
+
+    The residual moments fold ONE day-sorted packed array
+    (calendar-bounded, cap-guarded) so σ is engine-identical; z is a
+    closed form per row.  Output: (day, value, residual, z) for
+    anomalous days, day-ordered."""
+    dec = stl_decompose(df, day_col, value_col, period=period, ma=ma)
+    stats = dec.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.aggregate(
+            F.transform(
+                _capped_packed(
+                    F.array_sort(F.collect_list(F.struct("day", "residual"))),
+                    "seasonal_anomaly",
+                ),
+                lambda x: F.struct(
+                    x["residual"].alias("r"),
+                    (x["residual"] * x["residual"]).alias("r2"),
+                ),
+            ),
+            F.struct(F.lit(0.0).alias("r"), F.lit(0.0).alias("r2")),
+            lambda acc, x: F.struct(
+                (acc["r"] + x["r"]).alias("r"),
+                (acc["r2"] + x["r2"]).alias("r2"),
+            ),
+        ).alias("_m"),
+    ).select(
+        "_n",
+        (F.col("_m.r") / F.col("_n").cast("double")).alias("_mu"),
+        F.sqrt(
+            (
+                F.col("_m.r2")
+                - F.col("_m.r") * F.col("_m.r") / F.col("_n").cast("double")
+            )
+            / (F.col("_n").cast("double") - F.lit(1.0))
+        ).alias("_sd"),
+    )
+    j = dec.crossJoin(F.broadcast(stats))
+    z = (F.col("residual") - F.col("_mu")) / F.col("_sd")
+    return j.select(
+        "day", "value", "residual", z.alias("z")
+    ).filter(F.abs(F.col("z")) > threshold)

@@ -262,3 +262,46 @@ def test_quantile_normalize_aligns_groups(spark):
     # both groups map onto the SAME global reference values
     assert out[("a", 1)] == out[("b", 11)] == 2
     assert out[("a", 2)] == out[("b", 12)] == 12
+
+
+def test_stl_decompose_hand_computed(spark):
+    import datetime
+
+    from csp_gateway_spark.operators.analytics import stl_decompose
+
+    d = datetime.date
+    # 14 consecutive days, strict weekly pattern + linear trend absent:
+    # value = 10 + weekday bump on Sundays
+    rows = [
+        (d(2024, 1, 1 + i), 10.0 + (3.0 if (d(2024, 1, 1 + i).weekday() == 6) else 0.0))
+        for i in range(14)
+    ]
+    df = spark.createDataFrame(rows, "day date, v double")
+    out = {r.day.isoformat(): r for r in stl_decompose(df, "day", "v").collect()}
+    # complete centered 7-day windows exist for days 4..11
+    assert len(out) == 8
+    # every trend is the weekly mean (one Sunday in each window)
+    for r in out.values():
+        assert abs(r.trend - (10.0 + 3.0 / 7.0)) < 1e-9
+    # Sunday seasonal is positive, others negative, and they re-center
+    sun = [r for r in out.values() if r.weekday == 0]
+    assert sun and all(r.seasonal > 1.5 for r in sun)
+    assert all(abs(r.residual) < 1e-9 for r in out.values())
+
+
+def test_seasonal_anomaly_flags_break(spark):
+    import datetime
+
+    from csp_gateway_spark.operators.analytics import seasonal_anomaly
+
+    d = datetime.date
+    rows = []
+    for i in range(28):
+        day = d(2024, 1, 1 + i)
+        v = 10.0 + (3.0 if day.weekday() == 6 else 0.0)
+        if i == 14:
+            v += 50.0  # the genuine anomaly
+        rows.append((day, v))
+    df = spark.createDataFrame(rows, "day date, v double")
+    got = seasonal_anomaly(df, "day", "v", threshold=2.5).collect()
+    assert any(r.day == d(2024, 1, 15) for r in got)
