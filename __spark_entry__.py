@@ -11014,6 +11014,81 @@ ORDER BY day
 )
 
 
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF + PACF of daily order revenue at lags 1..7 (Durbin-Levinson
+    on the packed exact-moment autocorrelations) — the Box-Jenkins
+    identification readout beside ``lag_corr`` / ``ewma_forecast``."""
+    from csp_gateway_spark.operators.analytics import pacf
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.to_date("o_orderdate").alias("day"), F.col("o_totalprice")
+    )
+    out = pacf(base, "day", "o_totalprice", max_lag=7)
+    return out.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        (F.round("acf", 8) + F.lit(0.0)).alias("acf"),
+        (F.round("pacf", 8) + F.lit(0.0)).alias("pacf"),
+    ).orderBy("lag")
+
+
+ORACLE_PACF = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, SUM(v) AS s,
+         SUM(CAST(v * v AS DECIMAL(38,4))) AS ss
+  FROM daily
+), yb AS (
+  SELECT n, CAST(s AS DOUBLE) / n AS ybar, CAST(ss AS DOUBLE) AS ssd FROM tot
+), lags AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS nk,
+    SUM(l.v) AS sl, SUM(r.v) AS sr,
+    SUM(CAST(l.v * r.v AS DECIMAL(38,4))) AS slr
+  FROM daily l, (SELECT CAST(unnest(range(1, 8)) AS INT) AS k) ks, daily r
+  WHERE r.day = l.day + k
+  GROUP BY 1
+), racf AS (
+  SELECT k, nk,
+    (CAST(slr AS DOUBLE) - ybar * CAST(sr AS DOUBLE)
+       - ybar * CAST(sl AS DOUBLE) + nk * ybar * ybar)
+    / (ssd - n * ybar * ybar) AS r
+  FROM lags, yb
+), rarr AS (
+  SELECT list(r ORDER BY k) AS rr FROM racf
+), dl AS (
+  SELECT 1 AS k, [rr[1]] AS phi, [rr[1]] AS pacf FROM rarr
+  UNION ALL
+  SELECT k + 1,
+    list_append(
+      list_transform(range(1, k + 1),
+        j -> phi[CAST(j AS INT)] - A * phi[CAST(k + 1 - j AS INT)]),
+      A),
+    list_append(pacf, A)
+  FROM (
+    SELECT d.k, d.phi, d.pacf,
+      (rr[d.k + 1]
+       - list_sum(list_transform(range(1, d.k + 1),
+           j -> d.phi[CAST(j AS INT)] * rr[CAST(d.k + 1 - j AS INT)])))
+      / (1.0
+       - list_sum(list_transform(range(1, d.k + 1),
+           j -> d.phi[CAST(j AS INT)] * rr[CAST(j AS INT)]))) AS A,
+      rr
+    FROM dl d, rarr WHERE d.k < 7
+  )
+), final AS (
+  SELECT pacf FROM dl WHERE k = 7
+)
+SELECT CAST(racf.k AS BIGINT) AS lag, nk AS n_pairs,
+  round(r, 8) + 0.0 AS acf,
+  round(final.pacf[CAST(racf.k AS INT)], 8) + 0.0 AS pacf
+FROM racf, final ORDER BY lag
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -11285,6 +11360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax_stream_replay": q_argmax_stream_replay,
         "stl_decompose": q_stl_decompose,
         "seasonal_anomaly": q_seasonal_anomaly,
+        "pacf": q_pacf,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -11611,4 +11687,5 @@ def oracle_sql() -> dict[str, str]:
         "argmax_stream_replay": ORACLE_ARGMAX_STREAM_REPLAY,
         "stl_decompose": ORACLE_STL_DECOMPOSE,
         "seasonal_anomaly": ORACLE_SEASONAL_ANOMALY,
+        "pacf": ORACLE_PACF,
     }

@@ -279,6 +279,7 @@ HEADLINE = [
     "argmax_stream_replay",
     "stl_decompose",
     "seasonal_anomaly",
+    "pacf",
 ]
 
 

@@ -5927,3 +5927,140 @@ def seasonal_anomaly(
     return j.select(
         "day", "value", "residual", z.alias("z")
     ).filter(F.abs(F.col("z")) > threshold)
+
+
+def pacf(
+    df: DataFrame,
+    day_col,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation AND partial autocorrelation of a daily total at
+    lags 1..``max_lag`` — the Box-Jenkins model-identification pair
+    (PACF via the Durbin-Levinson recursion on the ACF).
+
+    Scale shape: ONE equi self-join of the day-collapsed series
+    against its k-shifted explode (lag pair sums Σy_t·y_{t+k} and the
+    marginals, all exact decimal with (18,2) narrowing before
+    products); r_k is then a closed-form double per lag over the
+    broadcast full-series moments.  The m-element ACF packs into ONE
+    row (m is a query constant) where the Durbin-Levinson fold runs
+    as a bounded array recursion — inner sums iterate j ascending on
+    both engines, so every φ and PACF value is engine-identical.
+    Output per lag: (lag, n_pairs, acf, pacf)."""
+    m = int(max_lag)
+    daily = _daily_decimal(df, day_col, value_col)
+    v18 = F.col("_v").cast("decimal(18,2)")
+    left = daily.select(
+        F.explode(F.sequence(F.lit(1), F.lit(m))).alias("_k"),
+        "_day",
+        v18.alias("_vl"),
+    ).select(
+        F.col("_k"),
+        F.expr("date_add(_day, _k)").alias("_jday"),
+        "_vl",
+    )
+    right = daily.select(F.col("_day").alias("_jday"), v18.alias("_vr"))
+    lagsums = (
+        left.join(right, "_jday")
+        .groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nk"),
+            F.sum("_vl").cast("decimal(38,2)").alias("_sl"),
+            F.sum("_vr").cast("decimal(38,2)").alias("_sr"),
+            F.sum((F.col("_vl") * F.col("_vr")).cast("decimal(38,4)"))
+            .cast("decimal(38,4)")
+            .alias("_slr"),
+        )
+    )
+    totals = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(v18).cast("decimal(38,2)").alias("_s"),
+        F.sum((v18 * v18).cast("decimal(38,4)"))
+        .cast("decimal(38,4)")
+        .alias("_ss"),
+    )
+    packed = lagsums.crossJoin(F.broadcast(totals))
+    ybar = F.col("_s").cast("double") / F.col("_n").cast("double")
+    denom = F.col("_ss").cast("double") - F.col("_n").cast("double") * ybar * ybar
+    num = (
+        F.col("_slr").cast("double")
+        - ybar * F.col("_sr").cast("double")
+        - ybar * F.col("_sl").cast("double")
+        + F.col("_nk").cast("double") * ybar * ybar
+    )
+    rrows = packed.select(
+        "_k", "_nk", (num / denom).alias("_r")
+    )
+    one = rrows.agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_k", "_nk", "_r"))),
+            "pacf",
+            cap=10_000,
+        ).alias("_z")
+    ).select(
+        F.when(
+            F.size("_z") == m, F.col("_z")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"pacf: expected {m} lags, got "),
+                    F.size("_z").cast("string"),
+                    F.lit(" — the series has calendar gaps at some lag"),
+                )
+            )
+        ).alias("_z")
+    )
+    r = F.transform(F.col("_z"), lambda x: x["_r"])
+
+    def dl(racc):
+        # Durbin-Levinson fold: acc = (phi[1..k], pacf[1..k])
+        init = F.struct(
+            F.array(F.element_at(racc, 1)).alias("phi"),
+            F.array(F.element_at(racc, 1)).alias("pacf"),
+        )
+
+        def step(acc, k):
+            # k is the NEW order (2..m); prior order is k-1
+            prior = k - F.lit(1)
+            s_num = F.aggregate(
+                F.sequence(F.lit(1), prior),
+                F.lit(0.0),
+                lambda s, j: s
+                + F.element_at(acc["phi"], j) * F.element_at(racc, k - j),
+            )
+            s_den = F.aggregate(
+                F.sequence(F.lit(1), prior),
+                F.lit(0.0),
+                lambda s, j: s
+                + F.element_at(acc["phi"], j) * F.element_at(racc, j),
+            )
+            a = (F.element_at(racc, k) - s_num) / (F.lit(1.0) - s_den)
+            newphi = F.concat(
+                F.transform(
+                    F.sequence(F.lit(1), prior),
+                    lambda j: F.element_at(acc["phi"], j)
+                    - a * F.element_at(acc["phi"], k - j),
+                ),
+                F.array(a),
+            )
+            return F.struct(
+                newphi.alias("phi"),
+                F.concat(acc["pacf"], F.array(a)).alias("pacf"),
+            )
+
+        return F.aggregate(F.sequence(F.lit(2), F.lit(m)), init, step)
+
+    pacf_arr = (
+        F.array(F.element_at(r, 1)) if m < 2 else dl(r)["pacf"]
+    )  # sequence(2, 1) would generate DESCENDING — skip the fold at m=1
+    staged = one.select(F.col("_z"), pacf_arr.alias("_pacf"))
+    ex = staged.select(
+        F.posexplode(F.col("_z")).alias("_i", "_e"), F.col("_pacf")
+    )
+    return ex.select(
+        F.col("_e._k").alias("lag"),
+        F.col("_e._nk").alias("n_pairs"),
+        F.col("_e._r").alias("acf"),
+        F.element_at(F.col("_pacf"), F.col("_i") + 1).alias("pacf"),
+    )

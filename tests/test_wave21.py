@@ -305,3 +305,35 @@ def test_seasonal_anomaly_flags_break(spark):
     df = spark.createDataFrame(rows, "day date, v double")
     got = seasonal_anomaly(df, "day", "v", threshold=2.5).collect()
     assert any(r.day == d(2024, 1, 15) for r in got)
+
+
+def test_pacf_matches_statsmodels_formula(spark):
+    import datetime
+
+    from csp_gateway_spark.operators.analytics import pacf
+
+    d = datetime.date
+    vals = [10.0, 12.0, 9.0, 14.0, 11.0, 13.0, 8.0, 15.0, 10.5, 12.5]
+    rows = [(d(2024, 1, 1 + i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "day date, v double")
+    got = {r.lag: r for r in pacf(df, "day", "v", max_lag=3).collect()}
+
+    # reference Durbin-Levinson in plain python over the same ACF
+    n = len(vals)
+    yb = sum(vals) / n
+    den = sum((v - yb) ** 2 for v in vals)
+    r = [
+        sum((vals[t] - yb) * (vals[t + k] - yb) for t in range(n - k)) / den
+        for k in range(1, 4)
+    ]
+    phi = [r[0]]
+    expect = [r[0]]
+    for k in range(2, 4):
+        num = r[k - 1] - sum(phi[j] * r[k - 2 - j] for j in range(k - 1))
+        dd = 1.0 - sum(phi[j] * r[j] for j in range(k - 1))
+        a = num / dd
+        phi = [phi[j] - a * phi[k - 2 - j] for j in range(k - 1)] + [a]
+        expect.append(a)
+    for k in range(1, 4):
+        assert abs(got[k].acf - r[k - 1]) < 1e-9
+        assert abs(got[k].pacf - expect[k - 1]) < 1e-9
