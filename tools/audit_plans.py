@@ -109,6 +109,11 @@ INTENTIONAL_NESTED_LOOP = {
     "sprt_monitor",
     "retrieval_metrics",
     "quantile_normalize",
+    # wave-22: 1-row broadcast seasonal re-centering / residual-moment
+    # / series-totals crossJoins (same bounded class)
+    "stl_decompose",
+    "seasonal_anomaly",
+    "pacf",
 }
 
 
