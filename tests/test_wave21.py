@@ -337,3 +337,73 @@ def test_pacf_matches_statsmodels_formula(spark):
     for k in range(1, 4):
         assert abs(got[k].acf - r[k - 1]) < 1e-9
         assert abs(got[k].pacf - expect[k - 1]) < 1e-9
+
+
+def test_hill_tail_pareto_exact(spark):
+    # exact Pareto(alpha=2) order stats: x_i = (n/i)^(1/2)
+    n, k = 400, 50
+    rows = [(float((n / i) ** 0.5),) for i in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "v double")
+    r = __import__(
+        "csp_gateway_spark.operators.analytics", fromlist=["hill_tail"]
+    ).hill_tail(df, "v", k=k).collect()[0]
+    assert r.k == k
+    # Hill estimate on exact Pareto order stats ~ alpha = 2
+    assert abs(r.hill_alpha - 2.0) < 0.15
+
+
+def test_expectations_report_counts(spark):
+    from pyspark.sql import functions as F
+
+    from csp_gateway_spark.operators.analytics import expectations_report
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "id int, v double"
+    )
+    out = {
+        r.rule: r
+        for r in expectations_report(
+            df, {"positive_v": F.col("v") > 0, "has_v": F.col("v").isNotNull()}
+        ).collect()
+    }
+    assert out["positive_v"].checked == 3
+    assert out["positive_v"].violations == 2  # -1 and NULL both fail
+    assert out["has_v"].violations == 1
+
+
+def test_fdr_bh_hand_computed(spark):
+    from csp_gateway_spark.operators.analytics import fdr_bh
+
+    # classic BH at q=0.25 over m=4: p=(0.01,0.04,0.2,0.9)
+    # thresholds i*q/m = 0.0625, 0.125, 0.1875, 0.25 -> imax=2
+    rows = [("a", 0.01), ("b", 0.04), ("c", 0.2), ("d", 0.9)]
+    df = spark.createDataFrame(rows, "k string, p double")
+    out = {r.k: r for r in fdr_bh(df, "k", "p", q=0.25).collect()}
+    assert out["a"].rejected and out["b"].rejected
+    assert not out["c"].rejected and not out["d"].rejected
+    assert out["c"].rank == 3
+
+
+def test_code_switch_flags_mixed_doc(spark):
+    from csp_gateway_spark.operators.text import code_switch
+
+    rows = [
+        (0, "the cat and the dog", "s1"),       # en only
+        (1, "the dog et la vie de paris", "s1"),  # en + fr markers
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = code_switch(df).collect()[0]
+    assert r.n_docs == 2 and r.n_multilang == 1
+
+
+def test_burrows_delta_symmetry_and_zero(spark):
+    from csp_gateway_spark.operators.corpus import burrows_delta
+
+    rows = [
+        (0, "a a b c", "s1"), (1, "a a b c", "s2"), (2, "b b b a", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.source_a, r.source_b): r.delta for r in burrows_delta(df, top_v=3).collect()}
+    # identical frequency profiles -> delta 0; s3 differs
+    assert abs(out[("s1", "s2")]) < 1e-12
+    assert out[("s1", "s3")] > 0.1
