@@ -114,6 +114,10 @@ INTENTIONAL_NESTED_LOOP = {
     "stl_decompose",
     "seasonal_anomaly",
     "pacf",
+    # wave-23: the top-V vocab × group-totals grid (≤ V·|groups| rows
+    # by construction) and the 1-row family-totals broadcast
+    "burrows_delta",
+    "fdr_bh",
 }
 
 
