@@ -10268,13 +10268,25 @@ def q_bollinger_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("day"), F.col("o_totalprice")
     )
     out = bollinger_bands(base, "day", "o_totalprice", n=20, k=2.0)
+    # readout discipline (sf0.1 lesson): mid = Σ/20 TERMINATES in
+    # decimal, so it lands exactly on .005 round boundaries where the
+    # engines' double-round semantics can disagree — emit it as the
+    # EXACT integer mean×10⁴ (Σ·500 is integral) instead of rounding;
+    # std is irrational (sqrt), so a 2dp round only risks the ~1e-8
+    # int128→double conversion jitter — negligible at 2dp; the bands
+    # derive from those two engine-identical values
+    mid_e4 = (F.col("wsum").cast("decimal(38,2)") * F.lit(500)).cast(
+        "decimal(38,0)"
+    ).cast("long")
+    std_r = F.round("std", 2) + F.lit(0.0)
+    mid_d = mid_e4.cast("double") / F.lit(10000.0)
     return out.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         (F.round("value", 2) + F.lit(0.0)).alias("value"),
-        (F.round("mid", 4) + F.lit(0.0)).alias("mid"),
-        (F.round("std", 4) + F.lit(0.0)).alias("std"),
-        (F.round("upper", 4) + F.lit(0.0)).alias("upper"),
-        (F.round("lower", 4) + F.lit(0.0)).alias("lower"),
+        mid_e4.alias("mid_e4"),
+        std_r.alias("std"),
+        (mid_d + F.lit(2.0) * std_r).alias("upper"),
+        (mid_d - F.lit(2.0) * std_r).alias("lower"),
         "breach",
     ).orderBy("day")
 
@@ -10288,11 +10300,12 @@ WITH daily AS (
   SELECT day, v,
     CAST(COUNT(*) OVER win AS BIGINT) AS cnt,
     SUM(v) OVER win AS s,
-    SUM(CAST(v * v AS DECIMAL(38,4))) OVER win AS ss
+    SUM(CAST(CAST(v AS DECIMAL(19,2)) * v AS DECIMAL(38,4))) OVER win AS ss
   FROM daily
   WINDOW win AS (ORDER BY day RANGE BETWEEN INTERVAL 19 DAYS PRECEDING AND CURRENT ROW)
 ), f AS (
   SELECT day, CAST(v AS DOUBLE) AS value,
+    CAST(CAST(s AS DECIMAL(38,2)) * 500 AS BIGINT) AS mid_e4,
     CAST(s AS DOUBLE) / 20.0 AS mean,
     sqrt(GREATEST((20.0 * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
                   / (20.0 * 19.0), 0.0)) AS std
@@ -10300,10 +10313,10 @@ WITH daily AS (
 )
 SELECT strftime(day, '%Y-%m-%d') AS day,
   round(value, 2) + 0.0 AS value,
-  round(mean, 4) + 0.0 AS mid,
-  round(std, 4) + 0.0 AS std,
-  round(mean + 2.0 * std, 4) + 0.0 AS upper,
-  round(mean - 2.0 * std, 4) + 0.0 AS lower,
+  mid_e4,
+  round(std, 2) + 0.0 AS std,
+  (CAST(mid_e4 AS DOUBLE) / 10000.0) + 2.0 * (round(std, 2) + 0.0) AS upper,
+  (CAST(mid_e4 AS DOUBLE) / 10000.0) - 2.0 * (round(std, 2) + 0.0) AS lower,
   CASE WHEN value > mean + 2.0 * std THEN 'up'
        WHEN value < mean - 2.0 * std THEN 'down' END AS breach
 FROM f ORDER BY day
@@ -11040,14 +11053,14 @@ WITH RECURSIVE daily AS (
   FROM orders GROUP BY 1
 ), tot AS (
   SELECT CAST(count(*) AS BIGINT) AS n, SUM(v) AS s,
-         SUM(CAST(v * v AS DECIMAL(38,4))) AS ss
+         SUM(CAST(CAST(v AS DECIMAL(19,2)) * v AS DECIMAL(38,4))) AS ss
   FROM daily
 ), yb AS (
   SELECT n, CAST(s AS DOUBLE) / n AS ybar, CAST(ss AS DOUBLE) AS ssd FROM tot
 ), lags AS (
   SELECT k, CAST(count(*) AS BIGINT) AS nk,
     SUM(l.v) AS sl, SUM(r.v) AS sr,
-    SUM(CAST(l.v * r.v AS DECIMAL(38,4))) AS slr
+    SUM(CAST(CAST(l.v AS DECIMAL(19,2)) * r.v AS DECIMAL(38,4))) AS slr
   FROM daily l, (SELECT CAST(unnest(range(1, 8)) AS INT) AS k) ks, daily r
   WHERE r.day = l.day + k
   GROUP BY 1
@@ -11086,6 +11099,251 @@ SELECT CAST(racf.k AS BIGINT) AS lag, nk AS n_pairs,
   round(r, 8) + 0.0 AS acf,
   round(final.pacf[CAST(racf.k AS INT)], 8) + 0.0 AS pacf
 FROM racf, final ORDER BY lag
+"""
+
+
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between every source pair
+    over the top-50 word z-scored frequencies — template/authorship
+    drift across corpus slices."""
+    from csp_gateway_spark.operators.corpus import burrows_delta
+
+    docs = _t(spark, sf_dir, "documents")
+    out = burrows_delta(docs, top_v=50)
+    return out.select(
+        "source_a",
+        "source_b",
+        (F.round("delta", 8) + F.lit(0.0)).alias("delta"),
+    ).orderBy("source_a", "source_b")
+
+
+def _oracle_burrows_delta() -> str:
+    toks = _SQL_TOKS.replace("trim(lower(text))", _SQL_NORM)
+    return f"""
+WITH toks AS (
+  SELECT source AS g, unnest({toks}) AS w FROM documents
+), totals AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1
+), counts AS (
+  SELECT w, g, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT w FROM (SELECT w, count(*) AS tc FROM toks GROUP BY 1)
+  ORDER BY tc DESC, w ASC LIMIT 50
+), freq AS (
+  SELECT v.w, t.g, CAST(COALESCE(c.c, 0) AS DOUBLE) / t.n AS f
+  FROM vocab v CROSS JOIN totals t
+  LEFT JOIN counts c ON c.w = v.w AND c.g = t.g
+), pw AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS k,
+    list_sum(list(f ORDER BY g)) AS s,
+    list_sum(list(f * f ORDER BY g)) AS s2
+  FROM freq GROUP BY 1
+), st AS (
+  SELECT w, s / k AS mu,
+    sqrt((s2 - s * s / k) / (CAST(k AS DOUBLE) - 1.0)) AS sd
+  FROM pw
+), z AS (
+  SELECT freq.w, g,
+    CASE WHEN sd > 0 THEN (f - mu) / sd ELSE 0.0 END AS z
+  FROM freq JOIN st ON freq.w = st.w
+), p AS (
+  SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS nv,
+    list_sum(list(abs(a.z - b.z) ORDER BY a.w)) AS sm
+  FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT ga AS source_a, gb AS source_b, round(sm / nv, 8) + 0.0 AS delta
+FROM p ORDER BY 1, 2
+"""
+
+
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill power-law tail index of line extended prices over the
+    top-200 order statistics — the heavy-tail diagnostic beside
+    ``zipf_fit``."""
+    from csp_gateway_spark.operators.analytics import hill_tail
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = hill_tail(li, "l_extendedprice", k=200)
+    return out.select(
+        "k",
+        (F.round("x_kplus1", 2) + F.lit(0.0)).alias("x_kplus1"),
+        (F.round("hill_alpha", 8) + F.lit(0.0)).alias("hill_alpha"),
+    )
+
+
+ORACLE_HILL_TAIL = """
+WITH top AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+  WHERE l_extendedprice > 0 ORDER BY v DESC LIMIT 201
+), packed AS (SELECT list(v ORDER BY v DESC) AS z FROM top)
+SELECT CAST(200 AS BIGINT) AS k,
+  round(z[201], 2) + 0.0 AS x_kplus1,
+  round(1.0 / (list_sum(list_transform(z[1:200], x -> ln(x) - ln(z[201]))) / 200.0),
+        8) + 0.0 AS hill_alpha
+FROM packed
+"""
+
+
+def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source code-switching share: documents matching marker
+    stopwords of 2+ languages — the mixed-language screen before
+    per-language splits."""
+    from csp_gateway_spark.operators.text import code_switch
+
+    docs = _t(spark, sf_dir, "documents")
+    out = code_switch(docs)
+    return out.select(
+        "source",
+        "n_docs",
+        "n_multilang",
+        (F.round("share", 8) + F.lit(0.0)).alias("share"),
+    ).orderBy("source")
+
+
+def _oracle_code_switch() -> str:
+    from csp_gateway_spark.operators.text import LANG_MARKERS
+
+    toks = _SQL_TOKS.replace("trim(lower(text))", _SQL_NORM)
+    hits = []
+    for lang in sorted(LANG_MARKERS):
+        lst = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        hits.append(
+            f"CASE WHEN len(list_intersect(list_distinct(tk), [{lst}])) >= 2"
+            f" THEN 1 ELSE 0 END AS h_{lang}"
+        )
+    total = " + ".join(f"h_{lang}" for lang in sorted(LANG_MARKERS))
+    return f"""
+WITH d AS (SELECT source, {toks} AS tk FROM documents),
+h AS (SELECT source, {', '.join(hits)} FROM d)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN {total} >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multilang,
+  round(CAST(SUM(CASE WHEN {total} >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 8) + 0.0 AS share
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality contract gate over lineitem (+ referential check
+    against orders): five named expectations evaluated in one scan,
+    per-rule violation counts and pass rates."""
+    from csp_gateway_spark.operators.analytics import expectations_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left")
+    out = expectations_report(
+        j,
+        {
+            "enum_returnflag": F.col("l_returnflag").isin("A", "N", "R"),
+            "positive_price": F.col("l_extendedprice") > 0,
+            "qty_range": (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+            "ref_order_exists": F.col("o_orderkey").isNotNull(),
+            "ship_after_order": F.col("l_shipdate") >= F.col("o_orderdate"),
+        },
+    )
+    return out.select(
+        "rule",
+        "checked",
+        "violations",
+        (F.round("pass_rate", 8) + F.lit(0.0)).alias("pass_rate"),
+    ).orderBy("rule")
+
+
+def _oracle_expectations_report() -> str:
+    rules = {
+        "enum_returnflag": "l_returnflag IN ('A', 'N', 'R')",
+        "positive_price": "l_extendedprice > 0",
+        "qty_range": "l_quantity >= 1 AND l_quantity <= 50",
+        "ref_order_exists": "o_orderkey IS NOT NULL",
+        "ship_after_order": "l_shipdate >= o_orderdate",
+    }
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, n AS checked, v_{name} AS violations,"
+        f" round(CAST(n - v_{name} AS DOUBLE) / n, 8) + 0.0 AS pass_rate FROM s"
+        for name in sorted(rules)
+    )
+    viol = ", ".join(
+        f"CAST(SUM(CASE WHEN {cond} THEN 0 ELSE 1 END) AS BIGINT) AS v_{name}"
+        for name, cond in sorted(rules.items())
+    )
+    return f"""
+WITH j AS (
+  SELECT l.*, o.o_orderkey, o.o_orderdate
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+), s AS (SELECT CAST(count(*) AS BIGINT) AS n, {viol} FROM j)
+{arms}
+ORDER BY rule
+"""
+
+
+_FDR_Q = 0.2
+
+
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over the per-nation 'urgent order share'
+    test family (z against the global share, logistic pseudo-p) —
+    the multiple-testing correction after a segment sweep."""
+    from csp_gateway_spark.operators.analytics import fdr_bh
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    per = j.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum((F.col("o_orderpriority") == "1-URGENT").cast("long")).alias("_u"),
+    )
+    # totals aggregate the base join directly (NOT per) — deriving the
+    # 1-row frame from `per` would make the crossJoin a self-join with
+    # ambiguous `_n`/`_u` lineage
+    tot = j.agg(
+        F.count(F.lit(1)).cast("long").alias("_tot_n"),
+        F.sum((F.col("o_orderpriority") == "1-URGENT").cast("long")).alias("_tot_u"),
+    )
+    p0 = F.col("_tot_u").cast("double") / F.col("_tot_n").cast("double")
+    pi = F.col("_u").cast("double") / F.col("_n").cast("double")
+    z = (pi - p0) / F.sqrt(p0 * (F.lit(1.0) - p0) / F.col("_n").cast("double"))
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        F.col("nation").cast("long").alias("nation"),
+        (F.lit(2.0) / (F.lit(1.0) + F.exp(F.abs(z)))).alias("pseudo_p"),
+    )
+    out = fdr_bh(scored, "nation", "pseudo_p", q=_FDR_Q)
+    return out.select(
+        "nation",
+        (F.round("p", 8) + F.lit(0.0)).alias("p"),
+        "rank",
+        "rejected",
+    ).orderBy("rank")
+
+
+ORACLE_FDR_BH = f"""
+WITH per AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS u
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(u) AS BIGINT) AS uu FROM per),
+scored AS (
+  SELECT nation,
+    2.0 / (1.0 + exp(abs(
+      (CAST(u AS DOUBLE) / CAST(n AS DOUBLE) - CAST(uu AS DOUBLE) / CAST(nn AS DOUBLE))
+      / sqrt(CAST(uu AS DOUBLE) / CAST(nn AS DOUBLE)
+             * (1.0 - CAST(uu AS DOUBLE) / CAST(nn AS DOUBLE))
+             / CAST(n AS DOUBLE))))) AS p
+  FROM per, tot
+), ranked AS (
+  SELECT nation, p,
+    CAST(row_number() OVER (ORDER BY p ASC, nation ASC) AS BIGINT) AS rank,
+    CAST(count(*) OVER () AS BIGINT) AS m
+  FROM scored
+), cut AS (
+  SELECT COALESCE(MAX(rank), 0) AS imax FROM ranked
+  WHERE p <= {_FDR_Q} * CAST(rank AS DOUBLE) / CAST(m AS DOUBLE)
+)
+SELECT nation, round(p, 8) + 0.0 AS p, rank, rank <= imax AS rejected
+FROM ranked, cut ORDER BY rank
 """
 
 
@@ -11361,6 +11619,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_decompose": q_stl_decompose,
         "seasonal_anomaly": q_seasonal_anomaly,
         "pacf": q_pacf,
+        "burrows_delta": q_burrows_delta,
+        "hill_tail": q_hill_tail,
+        "code_switch": q_code_switch,
+        "expectations_report": q_expectations_report,
+        "fdr_bh": q_fdr_bh,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -11688,4 +11951,9 @@ def oracle_sql() -> dict[str, str]:
         "stl_decompose": ORACLE_STL_DECOMPOSE,
         "seasonal_anomaly": ORACLE_SEASONAL_ANOMALY,
         "pacf": ORACLE_PACF,
+        "burrows_delta": _oracle_burrows_delta(),
+        "hill_tail": ORACLE_HILL_TAIL,
+        "code_switch": _oracle_code_switch(),
+        "expectations_report": _oracle_expectations_report(),
+        "fdr_bh": ORACLE_FDR_BH,
     }

@@ -280,6 +280,11 @@ HEADLINE = [
     "stl_decompose",
     "seasonal_anomaly",
     "pacf",
+    "burrows_delta",
+    "hill_tail",
+    "code_switch",
+    "expectations_report",
+    "fdr_bh",
 ]
 
 

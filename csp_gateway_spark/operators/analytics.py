@@ -5285,6 +5285,9 @@ def bollinger_bands(
     return j.select(
         F.col("_day").alias("day"),
         v.alias("value"),
+        F.col("_s").alias("wsum"),  # exact decimal window sum (readouts
+        # that must avoid terminating-decimal round boundaries derive
+        # from this instead of the double mean)
         mean.alias("mid"),
         std.alias("std"),
         upper.alias("upper"),
@@ -6063,4 +6066,135 @@ def pacf(
         F.col("_e._nk").alias("n_pairs"),
         F.col("_e._r").alias("acf"),
         F.element_at(F.col("_pacf"), F.col("_i") + 1).alias("pacf"),
+    )
+
+
+def hill_tail(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over the top-``k``
+    order statistics: α̂ = [ (1/k)·Σ_{i≤k} (ln x_i − ln x_{k+1}) ]⁻¹
+    — the heavy-tail diagnostic beside ``zipf_fit`` (which fits ranks,
+    not tails).
+
+    The ONLY global ordering needed is a TakeOrdered top-(k+1)
+    (per-partition partial top-k, never a global sort); the k+1
+    values pack into one row where the log-excess fold runs in
+    descending-value order (pinned FP).  Output: one row
+    (k, x_kplus1, hill_alpha)."""
+    v = F.col(value_col).cast("double")
+    top = (
+        df.select(v.alias("_v"))
+        .filter(F.col("_v") > 0)
+        .orderBy(F.desc("_v"))
+        .limit(k + 1)
+    )
+    packed = top.agg(
+        F.reverse(F.array_sort(F.collect_list("_v"))).alias("_z")
+    )
+    xk1 = F.element_at(F.col("_z"), k + 1)
+    mean_excess = (
+        F.aggregate(
+            F.slice(F.col("_z"), 1, k),
+            F.lit(0.0),
+            lambda acc, x: acc + (F.log(x) - F.log(xk1)),
+        )
+        / F.lit(float(k))
+    )
+    return packed.select(
+        F.lit(k).cast("long").alias("k"),
+        xk1.alias("x_kplus1"),
+        (F.lit(1.0) / mean_excess).alias("hill_alpha"),
+    )
+
+
+def expectations_report(df: DataFrame, rules: "dict[str, Column]") -> DataFrame:
+    """Data-quality expectations report: evaluate named boolean rules
+    (True = pass; NULL counts as a violation) over a frame in ONE
+    scan and emit per-rule checked/violation counts + pass rate —
+    the contract gate a pipeline runs before publishing a table.
+    Referential rules compose upstream (left-join a marker column,
+    rule = marker IS NOT NULL).  Output per rule: (rule, checked,
+    violations, pass_rate)."""
+    names = sorted(rules)
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for name in names:
+        aggs.append(
+            F.sum(
+                F.when(rules[name], F.lit(0)).otherwise(F.lit(1))
+            ).cast("long").alias(f"_viol_{name}")
+        )
+    one = df.agg(*aggs)
+    ex = one.select(
+        F.col("_n"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col(f"_viol_{name}").alias("violations"),
+                )
+                for name in names
+            ])
+        ).alias("_e"),
+    )
+    return ex.select(
+        F.col("_e.rule").alias("rule"),
+        F.col("_n").alias("checked"),
+        F.col("_e.violations").alias("violations"),
+        (
+            (F.col("_n") - F.col("_e.violations")).cast("double")
+            / F.col("_n").cast("double")
+        ).alias("pass_rate"),
+    )
+
+
+def fdr_bh(
+    df: DataFrame,
+    key_col: str,
+    p_col: str,
+    q: float = 0.1,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a bounded family of tests:
+    rank the p-values ascending, find the largest i with
+    p_(i) ≤ q·i/m, and reject hypotheses 1..i — the multiple-testing
+    correction applied after a per-segment test sweep.
+
+    The family is bounded by the segment domain, so the ranked
+    p-values pack into ONE cap-guarded row; the cutoff rank is an
+    integer argmax over the packed array and every comparison is an
+    exact-rational double — engine-identical.  Output per key:
+    (key, p, rank, rejected)."""
+    base = df.select(
+        F.col(key_col).alias("_k"), F.col(p_col).cast("double").alias("_p")
+    )
+    packed = base.agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_p", "_k"))),
+            "fdr_bh",
+            cap=100_000,
+        ).alias("_z")
+    )
+    m = F.size("_z")
+    imax = F.when(
+        m > 0,  # sequence(1, 0) would generate DESCENDING on empty input
+        F.aggregate(
+            F.sequence(F.lit(1), m),
+            F.lit(0),
+            lambda acc, i: F.when(
+                F.element_at(F.col("_z"), i)["_p"]
+                <= F.lit(q) * i.cast("double") / m.cast("double"),
+                i,
+            ).otherwise(acc),
+        ),
+    ).otherwise(F.lit(0))
+    ex = packed.select(
+        imax.alias("_imax"), F.posexplode("_z").alias("_i", "_e")
+    )
+    return ex.select(
+        F.col("_e._k").alias(key_col),
+        F.col("_e._p").alias("p"),
+        (F.col("_i") + 1).cast("long").alias("rank"),
+        (F.col("_i") + 1 <= F.col("_imax")).alias("rejected"),
     )

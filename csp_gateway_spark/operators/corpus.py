@@ -1468,3 +1468,100 @@ def rouge_overlap(
         )
         out = m if out is None else out.unionByName(m)
     return out
+
+
+def burrows_delta(
+    df: DataFrame,
+    top_v: int = 50,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between every pair of
+    groups: z-score each of the ``top_v`` most frequent words'
+    relative frequency across groups, then Delta(a,b) = mean |z_a −
+    z_b| — the authorship/template-drift measure over corpus slices.
+
+    Scale shape: ONE token aggregate; the vocabulary head is a
+    TakeOrdered top-V (broadcast); the (V × groups) frequency grid is
+    grid-bounded by construction, so the per-word mean/sd and the
+    per-pair Delta both fold SORTED packed arrays (pinned FP order) —
+    relative frequencies are exact-integer ratios, everything after
+    is identical closed-form doubles.  Output per unordered pair:
+    (source_a, source_b, delta)."""
+    toks = (
+        df.select(F.col(by).alias("_g"), F.explode(norm_tokens(F.col(text_col))).alias("_w"))
+    )
+    totals = toks.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    counts = toks.groupBy("_w", "_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    vocab = (
+        toks.groupBy("_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("_tc"))
+        .orderBy(F.desc("_tc"), F.asc("_w"))
+        .limit(top_v)
+        .select("_w")
+    )
+    grid = F.broadcast(vocab).crossJoin(totals.select("_g", "_n"))
+    freq = grid.join(counts, ["_w", "_g"], "left").select(
+        "_w",
+        "_g",
+        (
+            F.coalesce(F.col("_c"), F.lit(0)).cast("double")
+            / F.col("_n").cast("double")
+        ).alias("_f"),
+    )
+    per_word = freq.groupBy("_w").agg(
+        F.count(F.lit(1)).cast("long").alias("_k"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_g", "_f"))),
+                lambda x: F.struct(
+                    x["_f"].alias("s"), (x["_f"] * x["_f"]).alias("s2")
+                ),
+            ),
+            F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("s2")),
+            lambda acc, x: F.struct(
+                (acc["s"] + x["s"]).alias("s"),
+                (acc["s2"] + x["s2"]).alias("s2"),
+            ),
+        ).alias("_m"),
+    )
+    stats = per_word.select(
+        "_w",
+        (F.col("_m.s") / F.col("_k").cast("double")).alias("_mu"),
+        F.sqrt(
+            (F.col("_m.s2") - F.col("_m.s") * F.col("_m.s") / F.col("_k").cast("double"))
+            / (F.col("_k").cast("double") - F.lit(1.0))
+        ).alias("_sd"),
+    )
+    z = freq.join(F.broadcast(stats), "_w").select(
+        "_w",
+        "_g",
+        F.when(F.col("_sd") > 0, (F.col("_f") - F.col("_mu")) / F.col("_sd"))
+        .otherwise(F.lit(0.0))
+        .alias("_z"),
+    )
+    za = z.select("_w", F.col("_g").alias("_ga"), F.col("_z").alias("_za"))
+    zb = z.select("_w", F.col("_g").alias("_gb"), F.col("_z").alias("_zb"))
+    pairs = za.join(zb, "_w").filter(F.col("_ga") < F.col("_gb"))
+    out = pairs.groupBy("_ga", "_gb").agg(
+        F.count(F.lit(1)).cast("long").alias("_nv"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("_w", F.abs(F.col("_za") - F.col("_zb")).alias("_d"))
+                    )
+                ),
+                lambda x: x["_d"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_sum"),
+    )
+    return out.select(
+        F.col("_ga").alias("source_a"),
+        F.col("_gb").alias("source_b"),
+        (F.col("_sum") / F.col("_nv").cast("double")).alias("delta"),
+    )

@@ -589,3 +589,34 @@ def readability(df: DataFrame, text_col: str = "text", by: str = "source") -> Da
             F.lit(206.835) - F.lit(1.015) * (w / n) - F.lit(84.6) * (s / w)
         ).alias("flesch"),
     )
+
+
+def code_switch(df: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:
+    """Code-switching screen: per group, how many documents match
+    marker stopwords of 2+ languages (≥2 DISTINCT markers each) — the
+    mixed-language contamination check before per-language training
+    splits.  One scan, native array intersections against the
+    broadcast marker lists; per-group exact counts.  Output:
+    (by, n_docs, n_multilang, share)."""
+    toks = F.array_distinct(norm_tokens(F.col(text_col)))
+    lang_hits = [
+        (F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))) >= 2)
+        .cast("int")
+        .alias(f"_h_{lang}")
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    base = df.select(F.col(by).alias("_g"), *lang_hits)
+    n_langs = sum(F.col(f"_h_{lang}") for lang in sorted(LANG_MARKERS))
+    flagged = base.select("_g", (n_langs >= 2).cast("long").alias("_multi"))
+    out = flagged.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_multi").cast("long").alias("n_multilang"),
+    )
+    return out.select(
+        F.col("_g").alias(by),
+        "n_docs",
+        "n_multilang",
+        (F.col("n_multilang").cast("double") / F.col("n_docs").cast("double")).alias(
+            "share"
+        ),
+    )
