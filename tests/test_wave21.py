@@ -407,3 +407,39 @@ def test_burrows_delta_symmetry_and_zero(spark):
     # identical frequency profiles -> delta 0; s3 differs
     assert abs(out[("s1", "s2")]) < 1e-12
     assert out[("s1", "s3")] > 0.1
+
+
+def test_packed_array_cap_guards_round9(spark):
+    import pytest as _pytest
+
+    import csp_gateway_spark.operators.analytics as A_mod
+    from csp_gateway_spark.operators.analytics import (
+        attribution, info_gain, seasonal_anomaly, stl_decompose,
+    )
+
+    old = A_mod.PACKED_ARRAY_CAP
+    try:
+        A_mod.PACKED_ARRAY_CAP = 2  # module default read at call time
+        import datetime
+
+        d = datetime.date
+        days = [(d(2024, 1, 1 + i), float(10 + i % 3)) for i in range(21)]
+        daily = spark.createDataFrame(days, "day date, v double")
+        with _pytest.raises(Exception, match="PACKED_ARRAY_CAP"):
+            stl_decompose(daily, "day", "v").collect()
+        with _pytest.raises(Exception, match="PACKED_ARRAY_CAP"):
+            seasonal_anomaly(daily, "day", "v", threshold=0.0).collect()
+        ev = spark.createDataFrame(
+            [(1, 100 + i, i, "t" if i % 3 else "purchase") for i in range(30)],
+            "u long, ts long, id long, typ string",
+        )
+        with _pytest.raises(Exception, match="PACKED_ARRAY_CAP"):
+            attribution(ev, "u", "ts", "id", "typ", "purchase", 1000).collect()
+        doc = spark.createDataFrame(
+            [(str(i), str(i % 5), i % 2) for i in range(20)],
+            "fa string, fb string, y int",
+        )
+        with _pytest.raises(Exception, match="PACKED_ARRAY_CAP"):
+            info_gain(doc, ["fa"], "y").collect()
+    finally:
+        A_mod.PACKED_ARRAY_CAP = old
