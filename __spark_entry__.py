@@ -11347,6 +11347,103 @@ FROM ranked, cut ORDER BY rank
 """
 
 
+def q_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-step AR(7) forecast of daily order revenue — Yule-Walker via
+    Durbin-Levinson on the exact-moment ACF, recursive readout from
+    the last 7 observed days (the autoregressive sibling of
+    ``holt_forecast`` / ``ewma_forecast``)."""
+    from csp_gateway_spark.operators.analytics import ar_forecast
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.to_date("o_orderdate").alias("day"), F.col("o_totalprice")
+    )
+    out = ar_forecast(base, "day", "o_totalprice", p=7, horizon=7)
+    return out.select(
+        "h", (F.round("forecast", 4) + F.lit(0.0)).alias("forecast")
+    ).orderBy("h")
+
+
+ORACLE_AR_FORECAST = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, SUM(v) AS s,
+         SUM(CAST(CAST(v AS DECIMAL(19,2)) * v AS DECIMAL(38,4))) AS ss
+  FROM daily
+), yb AS (
+  SELECT n, CAST(s AS DOUBLE) / n AS ybar, CAST(ss AS DOUBLE) AS ssd FROM tot
+), lags AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS nk,
+    SUM(l.v) AS sl, SUM(r.v) AS sr,
+    SUM(CAST(CAST(l.v AS DECIMAL(19,2)) * r.v AS DECIMAL(38,4))) AS slr
+  FROM daily l, (SELECT CAST(unnest(range(1, 8)) AS INT) AS k) ks, daily r
+  WHERE r.day = l.day + k
+  GROUP BY 1
+), racf AS (
+  SELECT k, nk,
+    (CAST(slr AS DOUBLE) - ybar * CAST(sr AS DOUBLE)
+       - ybar * CAST(sl AS DOUBLE) + nk * ybar * ybar)
+    / (ssd - n * ybar * ybar) AS r
+  FROM lags, yb
+), rarr AS (
+  SELECT list(r ORDER BY k) AS rr FROM racf
+), dl AS (
+  SELECT 1 AS k, [rr[1]] AS phi FROM rarr
+  UNION ALL
+  SELECT k + 1,
+    list_append(
+      list_transform(range(1, k + 1),
+        j -> phi[CAST(j AS INT)] - A * phi[CAST(k + 1 - j AS INT)]),
+      A)
+  FROM (
+    SELECT d.k, d.phi,
+      (rr[d.k + 1]
+       - list_sum(list_transform(range(1, d.k + 1),
+           j -> d.phi[CAST(j AS INT)] * rr[CAST(d.k + 1 - j AS INT)])))
+      / (1.0
+       - list_sum(list_transform(range(1, d.k + 1),
+           j -> d.phi[CAST(j AS INT)] * rr[CAST(j AS INT)]))) AS A,
+      rr
+    FROM dl d, rarr WHERE d.k < 7
+  )
+), phif AS (
+  SELECT phi FROM dl WHERE k = 7
+), lastv AS (
+  SELECT list_transform(
+    list(struct_pack(day := day, vd := CAST(v AS DOUBLE)) ORDER BY day DESC),
+    x -> x.vd) AS lv
+  FROM (SELECT day, v FROM daily ORDER BY day DESC LIMIT 7)
+), st0 AS (
+  SELECT list_transform(lv, x -> x - ybar) AS st, ybar FROM lastv, yb
+), fc AS (
+  SELECT 0 AS h, st, CAST([] AS DOUBLE[]) AS outv, ybar FROM st0
+  UNION ALL
+  SELECT h + 1,
+    list_prepend(pred, st[1:6]),
+    list_append(outv, pred),
+    ybar
+  FROM (
+    SELECT f.h, f.st, f.outv, f.ybar,
+      list_sum(list_transform(range(1, 8),
+        j -> p.phi[CAST(j AS INT)] * f.st[CAST(j AS INT)])) AS pred
+    FROM fc f, phif p WHERE f.h < 7
+  )
+), final AS (
+  SELECT outv, ybar FROM fc WHERE h = 7
+)
+SELECT CAST(u.i AS BIGINT) AS h,
+  round(u.pred + ybar, 4) + 0.0 AS forecast
+FROM (
+  SELECT unnest(outv) AS pred, generate_subscripts(outv, 1) AS i, ybar
+  FROM final
+) u
+ORDER BY h
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -11624,6 +11721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_switch": q_code_switch,
         "expectations_report": q_expectations_report,
         "fdr_bh": q_fdr_bh,
+        "ar_forecast": q_ar_forecast,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -11956,4 +12054,5 @@ def oracle_sql() -> dict[str, str]:
         "code_switch": _oracle_code_switch(),
         "expectations_report": _oracle_expectations_report(),
         "fdr_bh": ORACLE_FDR_BH,
+        "ar_forecast": ORACLE_AR_FORECAST,
     }

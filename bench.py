@@ -285,6 +285,7 @@ HEADLINE = [
     "code_switch",
     "expectations_report",
     "fdr_bh",
+    "ar_forecast",
 ]
 
 

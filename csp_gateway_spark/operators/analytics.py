@@ -6198,3 +6198,158 @@ def fdr_bh(
         (F.col("_i") + 1).cast("long").alias("rank"),
         (F.col("_i") + 1 <= F.col("_imax")).alias("rejected"),
     )
+
+
+def ar_forecast(
+    df: DataFrame,
+    day_col,
+    value_col: str,
+    p: int = 7,
+    horizon: int = 7,
+) -> DataFrame:
+    """AR(p) forecast of a daily total: Yule-Walker coefficients via
+    the Durbin-Levinson recursion on the exact-moment ACF (same
+    machinery as :func:`pacf`), then an h-step recursive forecast
+    from the last ``p`` observed (mean-centered) values —
+    ŷ_{t+h} = ȳ + Σ_j φ_j·(y_{t+h−j} − ȳ).
+
+    Everything bounded: the lag moments are ONE equi self-join of the
+    day-collapsed series ((18,2)-narrowed exact decimal products);
+    φ comes from a p-element array recursion on ONE packed row; the
+    tail values are a TakeOrdered top-p; the forecast fold iterates
+    ``horizon`` steps with a p-length state array — inner sums run j
+    ascending on both engines.  Output per step: (h, forecast)."""
+    m = int(p)
+    daily = _daily_decimal(df, day_col, value_col)
+    v18 = F.col("_v").cast("decimal(18,2)")
+    left = daily.select(
+        F.explode(F.sequence(F.lit(1), F.lit(m))).alias("_k"),
+        "_day",
+        v18.alias("_vl"),
+    ).select(F.col("_k"), F.expr("date_add(_day, _k)").alias("_jday"), "_vl")
+    right = daily.select(F.col("_day").alias("_jday"), v18.alias("_vr"))
+    lagsums = (
+        left.join(right, "_jday")
+        .groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nk"),
+            F.sum("_vl").cast("decimal(38,2)").alias("_sl"),
+            F.sum("_vr").cast("decimal(38,2)").alias("_sr"),
+            F.sum(
+                (F.col("_vl").cast("decimal(19,2)") * F.col("_vr")).cast(
+                    "decimal(38,4)"
+                )
+            )
+            .cast("decimal(38,4)")
+            .alias("_slr"),
+        )
+    )
+    totals = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(v18).cast("decimal(38,2)").alias("_s"),
+        F.sum((v18.cast("decimal(19,2)") * v18).cast("decimal(38,4)"))
+        .cast("decimal(38,4)")
+        .alias("_ss"),
+    )
+    packed = lagsums.crossJoin(F.broadcast(totals))
+    ybar = F.col("_s").cast("double") / F.col("_n").cast("double")
+    denom = F.col("_ss").cast("double") - F.col("_n").cast("double") * ybar * ybar
+    num = (
+        F.col("_slr").cast("double")
+        - ybar * F.col("_sr").cast("double")
+        - ybar * F.col("_sl").cast("double")
+        + F.col("_nk").cast("double") * ybar * ybar
+    )
+    rrows = packed.select("_k", (num / denom).alias("_r"), "_n", "_s")
+    one = rrows.groupBy("_n", "_s").agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_k", "_r"))), "ar_forecast",
+            cap=10_000,
+        ).alias("_zr")
+    ).select(
+        "_n",
+        "_s",
+        F.when(F.size("_zr") == m, F.col("_zr"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"ar_forecast: expected {m} lags, got "),
+                    F.size("_zr").cast("string"),
+                )
+            )
+        )
+        .alias("_zr"),
+    )
+    r = F.transform(F.col("_zr"), lambda x: x["_r"])
+
+    def dl_phi(racc):
+        init = F.struct(F.array(F.element_at(racc, 1)).alias("phi"))
+
+        def step(acc, k):
+            prior = k - F.lit(1)
+            s_num = F.aggregate(
+                F.sequence(F.lit(1), prior),
+                F.lit(0.0),
+                lambda s, j: s
+                + F.element_at(acc["phi"], j) * F.element_at(racc, k - j),
+            )
+            s_den = F.aggregate(
+                F.sequence(F.lit(1), prior),
+                F.lit(0.0),
+                lambda s, j: s
+                + F.element_at(acc["phi"], j) * F.element_at(racc, j),
+            )
+            a = (F.element_at(racc, k) - s_num) / (F.lit(1.0) - s_den)
+            newphi = F.concat(
+                F.transform(
+                    F.sequence(F.lit(1), prior),
+                    lambda j: F.element_at(acc["phi"], j)
+                    - a * F.element_at(acc["phi"], k - j),
+                ),
+                F.array(a),
+            )
+            return F.struct(newphi.alias("phi"))
+
+        return F.aggregate(F.sequence(F.lit(2), F.lit(m)), init, step)["phi"]
+
+    phi_arr = (
+        F.array(F.element_at(r, 1)) if m < 2 else dl_phi(r)
+    )
+    # last p observed values, most recent FIRST
+    tail = daily.orderBy(F.desc("_day")).limit(m)
+    tail_packed = tail.agg(
+        F.reverse(
+            F.array_sort(F.collect_list(F.struct("_day", v18.alias("_vt"))))
+        ).alias("_lv")
+    )
+    j = one.select(phi_arr.alias("_phi"), "_n", "_s").crossJoin(
+        F.broadcast(tail_packed)
+    )
+    yb = F.col("_s").cast("double") / F.col("_n").cast("double")
+    state0 = F.transform(F.col("_lv"), lambda x: x["_vt"].cast("double") - yb)
+
+    def fc_fold(phi, st0):
+        init = F.struct(st0.alias("st"), F.array().cast("array<double>").alias("out"))
+
+        def step(acc, _h):
+            pred = F.aggregate(
+                F.sequence(F.lit(1), F.lit(m)),
+                F.lit(0.0),
+                lambda s, j: s
+                + F.element_at(phi, j) * F.element_at(acc["st"], j),
+            )
+            return F.struct(
+                F.concat(F.array(pred), F.slice(acc["st"], 1, m - 1)).alias("st"),
+                F.concat(acc["out"], F.array(pred)).alias("out"),
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(int(horizon))), init, step
+        )["out"]
+
+    staged = j.select(fc_fold(F.col("_phi"), state0).alias("_fc"), yb.alias("_yb"))
+    ex = staged.select(F.posexplode("_fc").alias("_i", "_pred"), "_yb")
+    return ex.select(
+        (F.col("_i") + 1).cast("long").alias("h"),
+        (F.col("_pred") + F.col("_yb")).alias("forecast"),
+    )

@@ -443,3 +443,35 @@ def test_packed_array_cap_guards_round9(spark):
             info_gain(doc, ["fa"], "y").collect()
     finally:
         A_mod.PACKED_ARRAY_CAP = old
+
+
+def test_ar_forecast_matches_python_reference(spark):
+    import datetime
+
+    from csp_gateway_spark.operators.analytics import ar_forecast
+
+    d = datetime.date
+    vals = [10.0, 12.0, 9.0, 14.0, 11.0, 13.0, 8.0, 15.0, 10.5, 12.5, 11.0, 9.5]
+    rows = [(d(2024, 1, 1 + i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "day date, v double")
+    got = {r.h: r.forecast for r in ar_forecast(df, "day", "v", p=2, horizon=3).collect()}
+
+    n = len(vals)
+    yb = sum(vals) / n
+    den = sum((v - yb) ** 2 for v in vals)
+    r = [
+        sum((vals[t] - yb) * (vals[t + k] - yb) for t in range(n - k)) / den
+        for k in (1, 2)
+    ]
+    # Durbin-Levinson to order 2
+    phi = [r[0]]
+    a = (r[1] - phi[0] * r[0]) / (1.0 - phi[0] * r[0])
+    phi = [phi[0] - a * phi[0], a]
+    st = [vals[-1] - yb, vals[-2] - yb]
+    expect = []
+    for _ in range(3):
+        pred = phi[0] * st[0] + phi[1] * st[1]
+        st = [pred, st[0]]
+        expect.append(pred + yb)
+    for h in (1, 2, 3):
+        assert abs(got[h] - expect[h - 1]) < 1e-9
