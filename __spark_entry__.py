@@ -11444,6 +11444,62 @@ ORDER BY h
 """
 
 
+def q_identity_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-key identity stitching: users sharing a signup attribute
+    (the JSON ``k`` prop of their high-value signups) merge into
+    one identity cluster via
+    connected components over the user↔attribute bipartite graph —
+    the device-graph / household-resolution shape, reusing the
+    pointer-jumping min-label CC (corpus.py::connected_components,
+    citing csp_gateway's keyed-identity lookup surface).  Per
+    component: user and attribute counts."""
+    from csp_gateway_spark.operators.corpus import connected_components
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    edges = (
+        ev.filter((F.col("event_type") == "signup") & (F.col("value") > 90.0))
+        .select(
+            (F.col("user_id") * 2).alias("id_a"),
+            (k * 2 + 1).alias("id_b"),
+        )
+        .distinct()
+    )
+    cc = connected_components(edges)
+    out = cc.groupBy("component").agg(
+        F.sum((F.col("node") % 2 == 0).cast("long")).alias("n_users"),
+        F.sum((F.col("node") % 2 == 1).cast("long")).alias("n_attrs"),
+    )
+    return out.select(
+        F.col("component").cast("long").alias("component"),
+        "n_users",
+        "n_attrs",
+    ).orderBy("component")
+
+
+ORACLE_IDENTITY_STITCH = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT CAST(user_id * 2 AS BIGINT) AS a,
+         CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 + 1 AS BIGINT) AS b
+  FROM events WHERE event_type = 'signup' AND value > 90.0
+), und AS (
+  SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges
+), nodes AS (
+  SELECT DISTINCT a AS n FROM und
+), cc AS (
+  SELECT n, n AS lbl FROM nodes
+  UNION
+  SELECT u.b AS n, c.lbl FROM cc c JOIN und u ON u.a = c.n WHERE c.lbl < u.b
+), lab AS (
+  SELECT n, MIN(lbl) AS component FROM cc GROUP BY 1
+)
+SELECT component,
+  CAST(SUM(CASE WHEN n % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN n % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_attrs
+FROM lab GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -11722,6 +11778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_report": q_expectations_report,
         "fdr_bh": q_fdr_bh,
         "ar_forecast": q_ar_forecast,
+        "identity_stitch": q_identity_stitch,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -12055,4 +12112,5 @@ def oracle_sql() -> dict[str, str]:
         "expectations_report": _oracle_expectations_report(),
         "fdr_bh": ORACLE_FDR_BH,
         "ar_forecast": ORACLE_AR_FORECAST,
+        "identity_stitch": ORACLE_IDENTITY_STITCH,
     }

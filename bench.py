@@ -286,6 +286,7 @@ HEADLINE = [
     "expectations_report",
     "fdr_bh",
     "ar_forecast",
+    "identity_stitch",
 ]
 
 
