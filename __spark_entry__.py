@@ -11500,6 +11500,100 @@ FROM lab GROUP BY 1 ORDER BY 1
 """
 
 
+_MMR_LAM = 0.7
+_MMR_K = 5
+_MMR_POOL = 12
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification of each query term's BM25 top-12 pool:
+    greedy top-5 by λ·relevance − (1−λ)·max token-set Jaccard to the
+    already-selected — the RAG context-packing rerank, run as a
+    bounded array fold on ONE packed row per term."""
+    from csp_gateway_spark.operators.retrieval import mmr_rerank
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mmr_rerank(docs, _REVAL_TERMS, k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAM)
+    return out.select(
+        "term",
+        "rank",
+        "doc_id",
+        (F.round("mmr", 8) + F.lit(0.0)).alias("mmr"),
+    ).orderBy("term", "rank")
+
+
+def _oracle_mmr_rerank() -> str:
+    toks = _SQL_TOKS.replace("trim(lower(text))", _SQL_NORM)
+    term_list = ", ".join(f"'{t}'" for t in _REVAL_TERMS)
+    lam, mlam = repr(_MMR_LAM), repr(1.0 - _MMR_LAM)
+    jac = (
+        "len(list_intersect(z[CAST(i AS INT)].tk, z[CAST(j AS INT)].tk))"
+        " / (len(z[CAST(i AS INT)].tk) + len(z[CAST(j AS INT)].tk)"
+        " - len(list_intersect(z[CAST(i AS INT)].tk, z[CAST(j AS INT)].tk)))"
+    )
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, unnest({toks}) AS token FROM documents
+), dl AS (
+  SELECT doc_id, len({toks}) AS dl FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+  WHERE token IN ({term_list}) GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), cand AS (
+  SELECT tf.token, tf.doc_id,
+    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      * (CAST(tf AS DOUBLE) * 2.5
+         / (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), stats
+), top AS (
+  SELECT token, doc_id, s, rk FROM (
+    SELECT token, doc_id, s,
+      row_number() OVER (PARTITION BY token ORDER BY s DESC, doc_id ASC) AS rk
+    FROM cand
+  ) WHERE rk <= {_MMR_POOL}
+), tks AS (
+  SELECT doc_id, list_distinct({toks}) AS tk FROM documents
+), packed AS (
+  SELECT token,
+    list(struct_pack(rk := rk, id := doc_id, s := s, tk := tk) ORDER BY rk) AS z
+  FROM top JOIN tks USING (doc_id) GROUP BY 1
+), mm AS (
+  SELECT token, 0 AS step, CAST([] AS INT[]) AS sel,
+    CAST([] AS STRUCT(rank INT, doc_id BIGINT, mmr DOUBLE)[]) AS outv, z
+  FROM packed
+  UNION ALL
+  SELECT token, step + 1,
+    list_append(sel, best.idx),
+    list_append(outv, struct_pack(
+      rank := CAST(step + 1 AS INT), doc_id := best.did, mmr := -best.negmmr)),
+    z
+  FROM (
+    SELECT token, step, sel, outv, z,
+      list_min(list_transform(
+        list_filter(range(1, len(z) + 1),
+                    i -> NOT list_contains(sel, CAST(i AS INT))),
+        i -> struct_pack(
+          negmmr := -({lam} * z[CAST(i AS INT)].s
+            - {mlam} * (CASE WHEN len(sel) = 0 THEN 0.0
+                ELSE list_max(list_transform(sel, j -> {jac})) END)),
+          did := z[CAST(i AS INT)].id,
+          idx := CAST(i AS INT)))) AS best
+    FROM mm WHERE step < LEAST({_MMR_K}, len(z))
+  )
+), final AS (
+  SELECT token, outv FROM mm WHERE step = LEAST({_MMR_K}, len(z))
+)
+SELECT token AS term, u.rank AS rank, u.doc_id AS doc_id,
+  round(u.mmr, 8) + 0.0 AS mmr
+FROM (SELECT token, unnest(outv) AS u FROM final)
+ORDER BY term, rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -11779,6 +11873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fdr_bh": q_fdr_bh,
         "ar_forecast": q_ar_forecast,
         "identity_stitch": q_identity_stitch,
+        "mmr_rerank": q_mmr_rerank,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -12113,4 +12208,5 @@ def oracle_sql() -> dict[str, str]:
         "fdr_bh": ORACLE_FDR_BH,
         "ar_forecast": ORACLE_AR_FORECAST,
         "identity_stitch": ORACLE_IDENTITY_STITCH,
+        "mmr_rerank": _oracle_mmr_rerank(),
     }

@@ -287,6 +287,7 @@ HEADLINE = [
     "fdr_bh",
     "ar_forecast",
     "identity_stitch",
+    "mmr_rerank",
 ]
 
 

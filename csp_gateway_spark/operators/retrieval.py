@@ -379,3 +379,133 @@ def retrieval_eval(
         .otherwise(F.lit(0.0))
         .alias("recall"),
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 5,
+    pool: int = 12,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking of the per-term BM25
+    candidate pool: greedily select ``k`` of the top-``pool``
+    candidates maximizing λ·score − (1−λ)·max_{s∈S} jaccard(cand, s)
+    (token-set similarity) — the diversification step a RAG retriever
+    applies before context packing.
+
+    The greedy loop is inherently sequential but BOUNDED (k steps
+    over ``pool`` candidates), so the whole per-query rerank runs as
+    an array fold on ONE packed row per term — candidates keep their
+    distinct-token sets in-row; each step's argmax is an array_min
+    over (−mmr, doc_id, idx) structs (lexicographic, so ties break on
+    doc id identically on both engines).  Everything upstream is the
+    postings-only BM25 shuffle.  Output: (term, rank, doc_id, mmr)."""
+    from pyspark.sql import Window
+
+    lengths = doc_lengths(df, text_col, id_col)
+    stats = _corpus_stats(lengths)
+    matched = postings(df, text_col, id_col).filter(
+        F.col("token").isin(list(terms))
+    )
+    dfreq = matched.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        matched.join(F.broadcast(dfreq), "token")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    part = idf * (
+        tf
+        * F.lit(k1 + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    )
+    cand = scored.select("token", F.col(id_col), part.alias("_s"))
+    w = Window.partitionBy("token").orderBy(F.desc("_s"), F.asc(id_col))
+    top = cand.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= pool
+    )
+    toksets = df.select(
+        F.col(id_col), F.array_distinct(norm_tokens(F.col(text_col))).alias("_tk")
+    )
+    topt = top.join(toksets, id_col)
+    packed = topt.groupBy("token").agg(
+        F.array_sort(
+            F.collect_list(F.struct("_rk", F.col(id_col).alias("_id"), "_s", "_tk"))
+        ).alias("_z")
+    )
+    z = F.col("_z")
+    n = F.size(z)
+
+    def jac(i, j):
+        a = F.element_at(z, i)["_tk"]
+        bb = F.element_at(z, j)["_tk"]
+        inter = F.size(F.array_intersect(a, bb))
+        return inter / (F.size(a) + F.size(bb) - inter)
+
+    def mmr_of(i, sel):
+        pen = F.when(
+            F.size(sel) == 0, F.lit(0.0)
+        ).otherwise(F.array_max(F.transform(sel, lambda j: jac(i, j))))
+        return (
+            F.lit(lam) * F.element_at(z, i)["_s"] - F.lit(1.0 - lam) * pen
+        )
+
+    out_t = "array<struct<rank:int,doc_id:bigint,mmr:double>>"
+    init = F.struct(
+        F.array().cast("array<int>").alias("sel"),
+        F.array().cast(out_t).alias("out"),
+    )
+
+    def step(acc, s):
+        remaining = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: ~F.array_contains(acc["sel"], i),
+        )
+        best = F.array_min(
+            F.transform(
+                remaining,
+                lambda i: F.struct(
+                    (-mmr_of(i, acc["sel"])).alias("negmmr"),
+                    F.element_at(z, i)["_id"].alias("did"),
+                    i.alias("idx"),
+                ),
+            )
+        )
+        return F.struct(
+            F.concat(acc["sel"], F.array(best["idx"])).alias("sel"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        s.cast("int").alias("rank"),
+                        best["did"].alias("doc_id"),
+                        (-best["negmmr"]).alias("mmr"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    kk = F.least(F.lit(int(k)), n)
+    folded = packed.select(
+        "token",
+        F.when(
+            kk > 0,
+            F.aggregate(F.sequence(F.lit(1), kk), init, step)["out"],
+        ).alias("_out"),
+    )
+    ex = folded.select("token", F.explode("_out").alias("_e"))
+    return ex.select(
+        F.col("token").alias("term"),
+        F.col("_e.rank").alias("rank"),
+        F.col("_e.doc_id").alias("doc_id"),
+        F.col("_e.mmr").alias("mmr"),
+    )

@@ -475,3 +475,26 @@ def test_ar_forecast_matches_python_reference(spark):
         expect.append(pred + yb)
     for h in (1, 2, 3):
         assert abs(got[h] - expect[h - 1]) < 1e-9
+
+
+def test_mmr_rerank_diversifies(spark):
+    from csp_gateway_spark.operators.retrieval import mmr_rerank
+
+    # three docs contain 'x'; doc 0 and 1 are near-identical token
+    # sets, doc 2 is different.  Pure relevance would rank (0, 1, 2);
+    # MMR must demote the near-duplicate and pick doc 2 second.
+    rows = [
+        (0, "x x x a b c d"),
+        (1, "x x a b c d e"),
+        (2, "x p q r s t u"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.rank, r.doc_id)
+        for r in mmr_rerank(df, ["x"], k=3, pool=3, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got[0][1] == 0  # highest BM25 first
+    assert got[1][1] == 2  # diversity beats the near-dup
+    assert got[2][1] == 1
