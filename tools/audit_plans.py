@@ -118,6 +118,10 @@ INTENTIONAL_NESTED_LOOP = {
     # by construction) and the 1-row family-totals broadcast
     "burrows_delta",
     "fdr_bh",
+    # wave-24: 1-row broadcast series-totals / p-row tail crossJoins
+    # (ar_forecast) and the 1-row bm25 corpus-stats cross (mmr_rerank)
+    "ar_forecast",
+    "mmr_rerank",
 }
 
 
