@@ -11594,6 +11594,134 @@ ORDER BY term, rank
 """
 
 
+_TCLOSE_T = 0.05
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of order priorities within (mktsegment ×
+    nation) quasi-identifier groups — completes the k-anonymity /
+    l-diversity / t-closeness privacy triad."""
+    from csp_gateway_spark.operators.analytics import t_closeness
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment", "c_nationkey")),
+        orders["o_custkey"] == cust["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "o_orderpriority",
+    )
+    out = t_closeness(j, ["segment", "nationkey"], "o_orderpriority", t=_TCLOSE_T)
+    return out.select(
+        "segment",
+        "nationkey",
+        "k_count",
+        (F.round("emd", 8) + F.lit(0.0)).alias("emd"),
+        "violates_t",
+    ).orderBy("segment", "nationkey")
+
+
+ORACLE_T_CLOSENESS = f"""
+WITH j AS (
+  SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nk,
+         o_orderpriority AS cat
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), cells AS (
+  SELECT seg, nk, cat, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY 1, 2, 3
+), gtot AS (
+  SELECT cat, CAST(count(*) AS BIGINT) AS gc FROM j GROUP BY 1
+), gall AS (SELECT CAST(count(*) AS BIGINT) AS N FROM j),
+groups AS (
+  SELECT seg, nk, CAST(SUM(c) AS BIGINT) AS k_count FROM cells GROUP BY 1, 2
+), grid AS (
+  SELECT g.seg, g.nk, g.k_count, t.cat, t.gc, a.N
+  FROM groups g CROSS JOIN gtot t CROSS JOIN gall a
+), filled AS (
+  SELECT grid.seg, grid.nk, grid.k_count, grid.cat, grid.gc, grid.N,
+         COALESCE(c.c, 0) AS c
+  FROM grid LEFT JOIN cells c
+    ON c.seg = grid.seg AND c.nk = grid.nk AND c.cat = grid.cat
+), per AS (
+  SELECT seg, nk, k_count, CAST(count(*) AS BIGINT) AS m,
+    list_transform(
+      list(struct_pack(cat := cat,
+           d := CAST(c AS DOUBLE) / k_count - CAST(gc AS DOUBLE) / N)
+           ORDER BY cat),
+      x -> x.d) AS ds
+  FROM filled GROUP BY 1, 2, 3
+), emd AS (
+  SELECT seg, nk, k_count,
+    CASE WHEN m > 1 THEN
+      list_sum(list_transform(range(1, CAST(m AS INT) + 1),
+        k -> abs(list_sum(ds[1:CAST(k AS INT)]))))
+      / (CAST(m AS DOUBLE) - 1.0)
+    ELSE 0.0 END AS e
+  FROM per
+)
+SELECT seg AS segment, nk AS nationkey, k_count,
+  round(e, 8) + 0.0 AS emd,
+  e > {_TCLOSE_T} AS violates_t
+FROM emd ORDER BY segment, nationkey
+"""
+
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the binned Brier score of the
+    normalized-length 'English document' forecast — the calibration
+    summary beside ``calibration`` / ``isotonic_calibration``."""
+    from csp_gateway_spark.operators.analytics import brier_decomposition
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.col("n_chars") / F.lit(600.0)).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    out = brier_decomposition(scored, "score", "label", bins=20)
+    return out.select(
+        "n",
+        (F.round("reliability", 8) + F.lit(0.0)).alias("reliability"),
+        (F.round("resolution", 8) + F.lit(0.0)).alias("resolution"),
+        (F.round("uncertainty", 8) + F.lit(0.0)).alias("uncertainty"),
+        (F.round("brier_binned", 8) + F.lit(0.0)).alias("brier_binned"),
+    )
+
+
+ORACLE_BRIER_DECOMPOSITION = """
+WITH cells AS (
+  SELECT GREATEST(LEAST(CAST(floor((n_chars / 600.0) * 20) AS INT), 19), 0) AS b,
+         CAST(count(*) AS BIGINT) AS w,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS N,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS P
+  FROM documents
+), terms AS (
+  SELECT b,
+    CAST(w AS DOUBLE)
+      * (CAST(s AS DOUBLE) / CAST(w AS DOUBLE) - (CAST(b AS DOUBLE) + 0.5) / 20.0)
+      * (CAST(s AS DOUBLE) / CAST(w AS DOUBLE) - (CAST(b AS DOUBLE) + 0.5) / 20.0) AS rel,
+    CAST(w AS DOUBLE)
+      * (CAST(s AS DOUBLE) / CAST(w AS DOUBLE) - CAST(P AS DOUBLE) / CAST(N AS DOUBLE))
+      * (CAST(s AS DOUBLE) / CAST(w AS DOUBLE) - CAST(P AS DOUBLE) / CAST(N AS DOUBLE)) AS res
+  FROM cells, tot
+), folded AS (
+  SELECT list_sum(list(rel ORDER BY b)) AS srel,
+         list_sum(list(res ORDER BY b)) AS sres
+  FROM terms
+)
+SELECT N AS n,
+  round(srel / N, 8) + 0.0 AS reliability,
+  round(sres / N, 8) + 0.0 AS resolution,
+  round((CAST(P AS DOUBLE) / N) * (1.0 - CAST(P AS DOUBLE) / N), 8) + 0.0 AS uncertainty,
+  round(srel / N - sres / N
+        + (CAST(P AS DOUBLE) / N) * (1.0 - CAST(P AS DOUBLE) / N), 8) + 0.0 AS brier_binned
+FROM folded, tot
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -11874,6 +12002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar_forecast": q_ar_forecast,
         "identity_stitch": q_identity_stitch,
         "mmr_rerank": q_mmr_rerank,
+        "t_closeness": q_t_closeness,
+        "brier_decomposition": q_brier_decomposition,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -12209,4 +12339,6 @@ def oracle_sql() -> dict[str, str]:
         "ar_forecast": ORACLE_AR_FORECAST,
         "identity_stitch": ORACLE_IDENTITY_STITCH,
         "mmr_rerank": _oracle_mmr_rerank(),
+        "t_closeness": ORACLE_T_CLOSENESS,
+        "brier_decomposition": ORACLE_BRIER_DECOMPOSITION,
     }

@@ -288,6 +288,8 @@ HEADLINE = [
     "ar_forecast",
     "identity_stitch",
     "mmr_rerank",
+    "t_closeness",
+    "brier_decomposition",
 ]
 
 

@@ -6353,3 +6353,153 @@ def ar_forecast(
         (F.col("_i") + 1).cast("long").alias("h"),
         (F.col("_pred") + F.col("_yb")).alias("forecast"),
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    qi_cols: "list[str]",
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit — the third rung of the privacy ladder after
+    :func:`k_anonymity` and :func:`l_diversity`: per quasi-identifier
+    group, the earth-mover's distance between the group's ORDERED
+    sensitive-value distribution and the global one,
+    EMD = (1/(m−1))·Σ_k |Σ_{j≤k}(p_j − q_j)|; groups with EMD > ``t``
+    leak the sensitive attribute.
+
+    The category domain m is bounded, so the (group × category) grid
+    is grid-bounded by construction (built by crossing the group
+    totals with the BROADCAST m-row global distribution — zero cells
+    included); the cumulative-difference fold runs category-sorted on
+    one packed array per group, and every probability is an
+    exact-integer ratio.  Output per group: (qi..., k_count, emd,
+    violates_t)."""
+    qi = [F.col(c) for c in qi_cols]
+    cells = df.groupBy(
+        *[c.alias(n) for c, n in zip(qi, qi_cols)],
+        F.col(sensitive_col).alias("_cat"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    gtot = df.groupBy(F.col(sensitive_col).alias("_cat")).agg(
+        F.count(F.lit(1)).cast("long").alias("_gc")
+    )
+    gall = df.agg(F.count(F.lit(1)).cast("long").alias("_N"))
+    groups = cells.groupBy(*qi_cols).agg(F.sum("_c").cast("long").alias("k_count"))
+    grid = groups.crossJoin(F.broadcast(gtot.crossJoin(gall)))
+    filled = grid.join(cells, [*qi_cols, "_cat"], "left").select(
+        *qi_cols,
+        "k_count",
+        "_cat",
+        F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("_c"),
+        "_gc",
+        "_N",
+    )
+    per_group = filled.groupBy(*qi_cols, "k_count").agg(
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.aggregate(
+            F.transform(
+                _capped_packed(
+                    F.array_sort(F.collect_list(F.struct("_cat", "_c", "_gc", "_N"))),
+                    "t_closeness",
+                ),
+                lambda x: F.struct(
+                    (
+                        x["_c"].cast("double") / F.col("k_count").cast("double")
+                        - x["_gc"].cast("double") / x["_N"].cast("double")
+                    ).alias("d")
+                ),
+            ),
+            F.struct(F.lit(0.0).alias("cum"), F.lit(0.0).alias("s")),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["d"]).alias("cum"),
+                (acc["s"] + F.abs(acc["cum"] + x["d"])).alias("s"),
+            ),
+        ).alias("_f"),
+    )
+    emd = F.when(
+        F.col("_m") > 1,
+        F.col("_f.s") / (F.col("_m").cast("double") - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    return per_group.select(
+        *qi_cols,
+        "k_count",
+        emd.alias("emd"),
+        (emd > F.lit(t)).alias("violates_t"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    bins: int = 20,
+) -> DataFrame:
+    """Murphy decomposition of the (binned) Brier score of a
+    probabilistic classifier: reliability − resolution + uncertainty,
+    with forecast bins at fixed equal-width centers — the
+    calibration-quality summary beside :func:`isotonic_calibration`
+    and the ``calibration`` reliability diagram.
+
+    All three terms are exact-integer arithmetic: per-bin counts and
+    positives in one hash aggregate, bin centers are query constants,
+    and the ≤``bins`` per-bin terms fold bin-sorted on one packed
+    row.  Output: one row (n, reliability, resolution, uncertainty,
+    brier_binned)."""
+    y = label_col if not isinstance(label_col, str) else F.col(label_col)
+    b = F.greatest(
+        F.least(F.floor(F.col(score_col) * bins).cast("int"), F.lit(bins - 1)),
+        F.lit(0),
+    )
+    cells = df.select(b.alias("_b"), y.cast("int").alias("_y")).groupBy(
+        "_b"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("_w"),
+        F.sum("_y").cast("long").alias("_s"),
+    )
+    tot = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_N"),
+        F.sum(y.cast("int")).cast("long").alias("_P"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    ybar = F.col("_P").cast("double") / F.col("_N").cast("double")
+    center = (F.col("_b").cast("double") + F.lit(0.5)) / F.lit(float(bins))
+    rate = F.col("_s").cast("double") / F.col("_w").cast("double")
+    terms = j.select(
+        "_b",
+        "_N",
+        "_P",
+        (F.col("_w").cast("double") * (rate - center) * (rate - center)).alias(
+            "_rel"
+        ),
+        (F.col("_w").cast("double") * (rate - ybar) * (rate - ybar)).alias(
+            "_res"
+        ),
+    )
+    folded = terms.groupBy("_N", "_P").agg(
+        F.aggregate(
+            F.transform(
+                _capped_packed(
+                    F.array_sort(F.collect_list(F.struct("_b", "_rel", "_res"))),
+                    "brier_decomposition",
+                ),
+                lambda x: F.struct(x["_rel"].alias("rel"), x["_res"].alias("res")),
+            ),
+            F.struct(F.lit(0.0).alias("rel"), F.lit(0.0).alias("res")),
+            lambda acc, x: F.struct(
+                (acc["rel"] + x["rel"]).alias("rel"),
+                (acc["res"] + x["res"]).alias("res"),
+            ),
+        ).alias("_f"),
+    )
+    n = F.col("_N").cast("double")
+    yb = F.col("_P").cast("double") / n
+    rel = F.col("_f.rel") / n
+    res = F.col("_f.res") / n
+    unc = yb * (F.lit(1.0) - yb)
+    return folded.select(
+        F.col("_N").alias("n"),
+        rel.alias("reliability"),
+        res.alias("resolution"),
+        unc.alias("uncertainty"),
+        (rel - res + unc).alias("brier_binned"),
+    )

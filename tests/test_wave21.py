@@ -498,3 +498,36 @@ def test_mmr_rerank_diversifies(spark):
     assert got[0][1] == 0  # highest BM25 first
     assert got[1][1] == 2  # diversity beats the near-dup
     assert got[2][1] == 1
+
+
+def test_t_closeness_hand_computed(spark):
+    from csp_gateway_spark.operators.analytics import t_closeness
+
+    # group g1 has sensitive dist (2 a, 0 b); global is (3 a, 1 b).
+    rows = [("g1", "a"), ("g1", "a"), ("g2", "a"), ("g2", "b")]
+    df = spark.createDataFrame(rows, "qi string, s string")
+    out = {r.qi: r for r in t_closeness(df, ["qi"], "s", t=0.2).collect()}
+    # m=2 categories: EMD(g1) = |1.0 - 0.75| = 0.25 (cum diff at 'a')
+    assert abs(out["g1"].emd - 0.25) < 1e-12
+    assert out["g1"].violates_t
+    assert abs(out["g2"].emd - 0.25) < 1e-12
+
+
+def test_brier_decomposition_identities(spark):
+    from csp_gateway_spark.operators.analytics import brier_decomposition
+
+    rows = [(0.025, 0)] * 9 + [(0.025, 1)] + [(0.975, 1)] * 8 + [(0.975, 0)] * 2
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = brier_decomposition(df, "score", "label", bins=20).collect()[0]
+    assert r.n == 20
+    # plain-python Murphy reference: bins (center, w, s)
+    cells = [(0.025, 10, 1), (0.975, 10, 8)]
+    n = 20
+    yb = 9 / 20
+    rel = sum(w * (s / w - c) ** 2 for c, w, s in cells) / n
+    res = sum(w * (s / w - yb) ** 2 for c, w, s in cells) / n
+    unc = yb * (1 - yb)
+    assert abs(r.reliability - rel) < 1e-12
+    assert abs(r.resolution - res) < 1e-12
+    assert abs(r.uncertainty - unc) < 1e-12
+    assert abs(r.brier_binned - (rel - res + unc)) < 1e-12
