@@ -122,6 +122,11 @@ INTENTIONAL_NESTED_LOOP = {
     # (ar_forecast) and the 1-row bm25 corpus-stats cross (mmr_rerank)
     "ar_forecast",
     "mmr_rerank",
+    # wave-25: the m-row global-distribution × 1-row total grid cross
+    # (t_closeness — grid-bounded by the category domain) and the
+    # 1-row label-totals broadcast (brier_decomposition)
+    "t_closeness",
+    "brier_decomposition",
 }
 
 
