@@ -89,6 +89,12 @@ HEAVY = [
     "rouge_overlap",
     "quantile_normalize",
     "retrieval_metrics",
+    # round-9 waves 22-25
+    "stl_decompose",
+    "pacf",
+    "identity_stitch",
+    "mmr_rerank",
+    "t_closeness",
 ]
 
 TABLES = [
