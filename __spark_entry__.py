@@ -10048,7 +10048,10 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
-    nw = F.size(tokens(F.col("text")))
+    # empty-filtered count — matches len(_SQL_TOKS) exactly (an
+    # empty/whitespace-only doc is 0 tokens, not 1), same as
+    # readability(); keeps the bucket edges engine-identical
+    nw = F.size(F.filter(tokens(F.col("text")), lambda t: t != F.lit("")))
     rated = docs.select(
         F.when(F.col("n_chars") < 250, "short")
         .when(F.col("n_chars") < 400, "mid")

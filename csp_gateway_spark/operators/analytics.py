@@ -5806,6 +5806,15 @@ def stl_decompose(
     a complete MA window: (day, value, trend, weekday, seasonal,
     residual)."""
     assert ma % 2 == 1, "centered moving average needs an odd window"
+    if int(period) != 7:
+        # the seasonal index is the calendar weekday (dayofweek), so
+        # only the weekly cycle is implemented — fail loudly rather
+        # than silently returning weekday seasonality for period != 7
+        raise ValueError(
+            f"stl_decompose: period={period} unsupported — the seasonal "
+            "index is day-of-week (weekly cycle); only period=7 is "
+            "implemented"
+        )
     half = ma // 2
     daily = _daily_decimal(df, day_col, value_col)
     contrib = daily.select(
@@ -6091,9 +6100,21 @@ def hill_tail(
         .orderBy(F.desc("_v"))
         .limit(k + 1)
     )
-    packed = top.agg(
-        F.reverse(F.array_sort(F.collect_list("_v"))).alias("_z")
+    raw = F.reverse(F.array_sort(F.collect_list("_v")))
+    # element_at(_z, k+1) on a short array silently yields NULL
+    # (non-ANSI) — fail loudly like the pacf cardinality guard instead
+    # of returning NULL x_kplus1/hill_alpha
+    guarded = F.when(
+        F.size(raw) >= F.lit(k + 1), raw
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"hill_tail: expected at least {k + 1} positive values, got "),
+                F.size(raw).cast("string"),
+            )
+        )
     )
+    packed = top.agg(guarded.alias("_z"))
     xk1 = F.element_at(F.col("_z"), k + 1)
     mean_excess = (
         F.aggregate(

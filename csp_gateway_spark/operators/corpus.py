@@ -1426,24 +1426,26 @@ def rouge_overlap(
                 .alias("overlap")
             )
         )
-        tot_a = (
+        # ALL THREE totals from ONE pairs-frame inner-joined to BOTH
+        # per-doc totals (mirrors the oracle's `pairs JOIN tot tc JOIN
+        # tot tr`): a doc with zero normalized grams drops its pairs
+        # from n_pairs/cand_total/ref_total consistently, instead of
+        # each total being computed over a different pair subset
+        tots = (
             pairs.join(
                 ca.groupBy("_aid").agg(F.sum("_c_aid").alias("_ta")), "_aid"
+            )
+            .join(
+                cb.groupBy("_bid").agg(F.sum("_c_bid").alias("_tb")), "_bid"
             )
             .groupBy("_g")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_pairs"),
                 F.sum("_ta").cast("long").alias("cand_total"),
+                F.sum("_tb").cast("long").alias("ref_total"),
             )
         )
-        tot_b = (
-            pairs.join(
-                cb.groupBy("_bid").agg(F.sum("_c_bid").alias("_tb")), "_bid"
-            )
-            .groupBy("_g")
-            .agg(F.sum("_tb").cast("long").alias("ref_total"))
-        )
-        m = tot_a.join(tot_b, "_g").join(ov, "_g", "left").select(
+        m = tots.join(ov, "_g", "left").select(
             F.col("_g").alias(by),
             F.lit(metric).alias("metric"),
             "n_pairs",

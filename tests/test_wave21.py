@@ -352,6 +352,38 @@ def test_hill_tail_pareto_exact(spark):
     assert abs(r.hill_alpha - 2.0) < 0.15
 
 
+def test_hill_tail_short_input_raises(spark):
+    # fewer than k+1 positive values must fail loudly, not return a
+    # NULL x_kplus1/hill_alpha via non-ANSI element_at
+    import pytest
+
+    from csp_gateway_spark.operators.analytics import hill_tail
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 6)], "v double")
+    with pytest.raises(Exception, match="hill_tail"):
+        hill_tail(df, "v", k=10).collect()
+
+
+def test_stl_decompose_rejects_non_weekly_period(spark):
+    import datetime
+
+    import pytest
+
+    from csp_gateway_spark.operators.analytics import (
+        seasonal_anomaly, stl_decompose,
+    )
+
+    rows = [
+        (datetime.date(2024, 1, 1) + datetime.timedelta(days=i), 1.0)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "day date, v double")
+    with pytest.raises(ValueError, match="period"):
+        stl_decompose(df, "day", "v", period=12)
+    with pytest.raises(ValueError, match="period"):
+        seasonal_anomaly(df, "day", "v", period=30)
+
+
 def test_expectations_report_counts(spark):
     from pyspark.sql import functions as F
 
