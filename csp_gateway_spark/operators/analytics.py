@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from csp_gateway_spark.plans.scale import broadcast_dim
+from csp_gateway_spark.plans.scale import TARGET_ROWS_PER_BUCKET, broadcast_dim
 
 #: cap on single-row packed arrays (kaplan_meier step table,
 #: mutual_information cell list).  These operators fold a
@@ -2918,7 +2918,7 @@ def first_seen_growth(
     daily = first.groupBy("_d").agg(F.count(F.lit(1)).alias("new_users"))
     ranked = global_row_number(
         daily, "_d", [], rn_col="_rn", cum_value="new_users",
-        cum_col="_cum", checkpoint=True,
+        cum_col="_cum", small_threshold=TARGET_ROWS_PER_BUCKET,
     )
     return ranked.select(
         F.col("_d").alias("day_num"),
@@ -2973,7 +2973,7 @@ def active_orders(
     daily = deltas.groupBy("_d").agg(F.sum("_delta").cast("long").alias("_dl"))
     ranked = global_row_number(
         daily, "_d", [], rn_col="_rn", cum_value="_dl",
-        cum_col="_cum", checkpoint=True,
+        cum_col="_cum", small_threshold=TARGET_ROWS_PER_BUCKET,
     )
     return ranked.select(
         F.col("_d").alias("day_num"), F.col("_cum").cast("long").alias("open_orders")
@@ -3056,6 +3056,29 @@ def ntile_histogram(
     )
 
 
+def survival_steps(
+    df: DataFrame,
+    duration_col,
+    censored_col,
+) -> DataFrame:
+    """Collapse right-censored (duration, censored) observations to
+    the survival STEP TABLE ``(_t, _d, _n)`` — deaths and totals per
+    distinct duration — the shared upstream of :func:`kaplan_meier`,
+    :func:`nelson_aalen` and :func:`rmst`.  One hash aggregate;
+    callers computing several survival statistics over the same
+    cohort should ``localCheckpoint`` this once and feed the
+    ``*_from_steps`` forms instead of re-collapsing the fact table
+    per statistic."""
+    dur = F.col(duration_col) if isinstance(duration_col, str) else duration_col
+    cen = F.col(censored_col) if isinstance(censored_col, str) else censored_col
+    return df.select(
+        dur.cast("long").alias("_t"), cen.cast("int").alias("_c")
+    ).groupBy("_t").agg(
+        F.sum((F.col("_c") == 0).cast("long")).alias("_d"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+
+
 def kaplan_meier(
     df: DataFrame,
     duration_col,
@@ -3074,14 +3097,14 @@ def kaplan_meier(
     FP multiplication order is pinned, so the curve is
     engine-reproducible.  Output per event step: (t, n_risk, d,
     survival)."""
-    dur = F.col(duration_col) if isinstance(duration_col, str) else duration_col
-    cen = F.col(censored_col) if isinstance(censored_col, str) else censored_col
-    steps = df.select(
-        dur.cast("long").alias("_t"), cen.cast("int").alias("_c")
-    ).groupBy("_t").agg(
-        F.sum((F.col("_c") == 0).cast("long")).alias("_d"),
-        F.count(F.lit(1)).alias("_n"),
+    return kaplan_meier_from_steps(
+        survival_steps(df, duration_col, censored_col)
     )
+
+
+def kaplan_meier_from_steps(steps: DataFrame) -> DataFrame:
+    """:func:`kaplan_meier` over a precollapsed
+    :func:`survival_steps` table — the shared-checkpoint form."""
     packed = steps.agg(
         _capped_packed(
             F.array_sort(F.collect_list(F.struct("_t", "_d", "_n"))),
@@ -3329,14 +3352,14 @@ def nelson_aalen(
     product fold; FP addition order pinned by the duration-ordered
     packed array).  Output per event step: (t, n_risk, d,
     cum_hazard)."""
-    dur = F.col(duration_col) if isinstance(duration_col, str) else duration_col
-    cen = F.col(censored_col) if isinstance(censored_col, str) else censored_col
-    steps = df.select(
-        dur.cast("long").alias("_t"), cen.cast("int").alias("_c")
-    ).groupBy("_t").agg(
-        F.sum((F.col("_c") == 0).cast("long")).alias("_d"),
-        F.count(F.lit(1)).alias("_n"),
+    return nelson_aalen_from_steps(
+        survival_steps(df, duration_col, censored_col)
     )
+
+
+def nelson_aalen_from_steps(steps: DataFrame) -> DataFrame:
+    """:func:`nelson_aalen` over a precollapsed
+    :func:`survival_steps` table — the shared-checkpoint form."""
     packed = steps.agg(
         _capped_packed(
             F.array_sort(F.collect_list(F.struct("_t", "_d", "_n"))),
@@ -3475,7 +3498,8 @@ def ks_test(
         ).cast("decimal(38,0)"),
     )
     ranked = global_row_number(
-        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum"
+        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
     )
     shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
     # unpack without decimal-division rounding: modulo is exact, and
@@ -3610,7 +3634,8 @@ def mann_whitney_u(
         ).cast("decimal(38,0)"),
     )
     ranked = global_row_number(
-        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum"
+        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
     )
     shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
     cum_b = F.pmod(F.col("_cum"), shift)
@@ -3674,7 +3699,8 @@ def changepoint(
         F.col(value_col).cast("decimal(18,2)").alias("_y"),
     )
     ranked = global_row_number(
-        base, "_k", [], rn_col="_rn", cum_value="_y", cum_col="_cum"
+        base, "_k", [], rn_col="_rn", cum_value="_y", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
     )
     totals = base.agg(
         F.sum("_y").alias("_S"), F.count(F.lit(1)).alias("_n")
@@ -3743,7 +3769,8 @@ def kruskal_wallis(
         )
     )
     ranked = global_row_number(
-        per_val, "_v", [], rn_col="_rn", cum_value="_ct", cum_col="_cum"
+        per_val, "_v", [], rn_col="_rn", cum_value="_ct", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
     )
     # 2·(midrank of the tie block) = 2·before + t + 1, an exact integer
     two_mid = (
@@ -3846,7 +3873,8 @@ def logrank_test(
         ).cast("decimal(38,0)"),
     )
     ranked = global_row_number(
-        packed_steps, "_t", [], rn_col="_rn", cum_value="_pk", cum_col="_cum"
+        packed_steps, "_t", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
     )
     cum_b = F.pmod(F.col("_cum"), shift)
     cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
@@ -3933,7 +3961,10 @@ def runs_test(
     # get CollapseProject-inlined into the per-element sign lambdas
     # and re-sort per element (measured O(n³) blowup); as a broadcast
     # join attribute it is evaluated once and cannot be inlined
-    ranked = global_row_number(base, "_y", ["_k"], rn_col="_rn")
+    ranked = global_row_number(
+        base, "_y", ["_k"], rn_col="_rn",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
+    )
     i1 = F.floor((F.col("_n_total") + 1) / 2).cast("long")
     i2 = F.floor((F.col("_n_total") + 2) / 2).cast("long")
     hits = (F.col("_rn") == i1).cast("int") + (F.col("_rn") == i2).cast("int")
@@ -4175,7 +4206,15 @@ def rmst(
     duration contract as ``kaplan_meier``) and folds the step
     integral t₁ + Σ S(tᵢ)·(min(tᵢ₊₁,τ)−tᵢ) with pinned FP order.
     Output: one row (tau, steps, rmst)."""
-    km = kaplan_meier(df, duration_col, censored_col)
+    return rmst_from_steps(
+        survival_steps(df, duration_col, censored_col), tau
+    )
+
+
+def rmst_from_steps(step_table: DataFrame, tau: int) -> DataFrame:
+    """:func:`rmst` over a precollapsed :func:`survival_steps` table
+    — the shared-checkpoint form."""
+    km = kaplan_meier_from_steps(step_table)
     steps = km.filter(F.col("t") < F.lit(int(tau))).select("t", "survival")
     packed = steps.agg(
         _capped_packed(
@@ -4273,31 +4312,73 @@ def spearman_corr(
     monotone-association twin of ``correlation_matrix`` (Pearson on
     midranks, robust to outliers and nonlinearity).
 
-    Each column collapses to one row per DISTINCT value (hash
-    aggregate), gets its midrank from ``global_row_number``'s
-    range-bucketed cumulative, and joins back to the fact rows; all
-    rank sums Σ2r, Σ(2r)², Σ(2rₐ·2r_b) accumulate EXACT integers in
-    decimal(38,0) — midranks are half-integers, so doubling keeps
-    every term integral and ρ is one closed-form double over exact
-    sums, engine-identical.  Output: one row (n, rho)."""
-    from csp_gateway_spark.plans.scale import global_row_number
+    BOTH columns collapse in ONE pass: each fact row explodes to two
+    (variable, value) cells, one hash aggregate counts per distinct
+    cell, and the per-variable counts pack into a single
+    decimal(38,0) word (c_a·10¹⁵ + c_b — the ``mann_whitney_u``
+    packing: addition distributes, no carry while each cumulative
+    stays < 10¹⁵) so ONE ``global_row_number`` cumulative ordered by
+    (value, variable) yields both variables' midranks — half the rank
+    stages of ranking each column separately.  All rank sums Σ2r,
+    Σ(2r)², Σ(2rₐ·2r_b) accumulate EXACT integers in decimal(38,0) —
+    midranks are half-integers, so doubling keeps every term integral
+    and ρ is one closed-form double over exact sums,
+    engine-identical.  Output: one row (n, rho)."""
+    from csp_gateway_spark.plans.scale import (
+        TARGET_ROWS_PER_BUCKET, global_row_number,
+    )
 
     base = df.select(F.col(col_a).alias("_va"), F.col(col_b).alias("_vb"))
-
-    def midranks(col: str, out: str) -> DataFrame:
-        per = base.groupBy(F.col(col).alias("_v")).agg(
-            F.count(F.lit(1)).alias("_c")
-        )
-        ranked = global_row_number(
-            per, "_v", [], rn_col="_rn", cum_value="_c", cum_col="_cum"
-        )
-        two_mid = 2 * (F.col("_cum") - F.col("_c")) + F.col("_c") + 1
-        return ranked.select(
-            F.col("_v").alias(col), two_mid.cast("long").alias(out)
-        )
-
-    j = base.join(midranks("_va", "_ra"), on="_va").join(
-        midranks("_vb", "_rb"), on="_vb"
+    cells = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("_var"), F.col("_va").alias("_v")),
+                F.struct(F.lit(1).alias("_var"), F.col("_vb").alias("_v")),
+            )
+        ).alias("_e")
+    ).select("_e._var", "_e._v")
+    per = cells.groupBy("_var", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
+    packed = per.withColumn(
+        "_pk",
+        (
+            F.when(F.col("_var") == 0, F.col("_c")).otherwise(0).cast("decimal(20,0)")
+            * shift
+            + F.when(F.col("_var") == 1, F.col("_c")).otherwise(0).cast("decimal(20,0)")
+        ).cast("decimal(38,0)"),
+    )
+    ranked = global_row_number(
+        packed, "_v", ["_var"], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
+    )
+    cum_b = F.pmod(F.col("_cum"), shift)
+    cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
+    # at a var-a row the a-part of the packed cumulative is Σ c_a over
+    # values ≤ v (var-b rows contribute 0 to the high word, and the
+    # (value, variable) tiebreak puts the same-value var-b row after);
+    # symmetrically for var-b and the low word
+    part = F.when(F.col("_var") == 0, cum_a).otherwise(cum_b.cast("decimal(38,0)"))
+    two_mid = (
+        F.lit(2).cast("decimal(2,0)") * (part - F.col("_c").cast("decimal(20,0)"))
+        + F.col("_c").cast("decimal(20,0)")
+        + F.lit(1).cast("decimal(2,0)")
+    )
+    # the midrank table is distinct-value-bounded and consumed by BOTH
+    # variable branches — one lazy bounded materialization instead of
+    # re-running the rank pipeline per branch
+    ranks = ranked.select(
+        "_var", "_v", two_mid.cast("long").alias("_2r")
+    ).localCheckpoint(eager=False)
+    j = base.join(
+        ranks.filter(F.col("_var") == 0).select(
+            F.col("_v").alias("_va"), F.col("_2r").alias("_ra")
+        ),
+        on="_va",
+    ).join(
+        ranks.filter(F.col("_var") == 1).select(
+            F.col("_v").alias("_vb"), F.col("_2r").alias("_rb")
+        ),
+        on="_vb",
     )
     ra = F.col("_ra").cast("decimal(13,0)")
     rb = F.col("_rb").cast("decimal(13,0)")
@@ -4856,7 +4937,8 @@ def wilcoxon_signed_rank(
         F.sum((F.col("_d") > 0).cast("long")).alias("_cp"),
     )
     ranked = global_row_number(
-        per_val, "_ad", [], rn_col="_rn", cum_value="_ct", cum_col="_cum"
+        per_val, "_ad", [], rn_col="_rn", cum_value="_ct", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
     )
     two_mid = (
         2 * (F.col("_cum") - F.col("_ct")) + F.col("_ct") + 1
@@ -4976,7 +5058,8 @@ def roc_auc(
         ).cast("decimal(38,0)"),
     )
     ranked = global_row_number(
-        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum"
+        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
     )
     shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
     cum_n = F.pmod(F.col("_cum"), shift)
@@ -5194,7 +5277,8 @@ def sprt_monitor(
         ).cast("decimal(38,0)"),
     )
     ranked = global_row_number(
-        packed, "_d", [], rn_col="_rn", cum_value="_pk", cum_col="_cum"
+        packed, "_d", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
     )
     shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
     cum_k = F.pmod(F.col("_cum"), shift)

@@ -279,6 +279,51 @@ def test_global_row_number_matches_unpartitioned_window(spark, sf_dir):
             assert want.exceptAll(got).count() == 0
 
 
+def test_small_threshold_reengages_bucket_path(spark, sf_dir):
+    """global_row_number(small_threshold=): below the threshold the
+    single-bucket fast path runs (no offset broadcast join in the
+    plan); above it the full bucketed machinery re-engages — and BOTH
+    paths return bit-identical ranks, cumulatives, and column types."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    per = (
+        spark.range(0, 1000)
+        .select((F.col("id") * 7 % 97).alias("v"), F.col("id").alias("k"))
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("k").cast("decimal(18,2)")).alias("s"),
+        )
+    )
+    bucketed = global_row_number(
+        per, "v", ["c"], rn_col="rn", cum_value="s", cum_col="cum"
+    )
+    small = global_row_number(
+        per, "v", ["c"], rn_col="rn", cum_value="s", cum_col="cum",
+        small_threshold=100_000,
+    )
+    reengaged = global_row_number(
+        per, "v", ["c"], rn_col="rn", cum_value="s", cum_col="cum",
+        small_threshold=10,  # 97 distinct values > 10 -> bucket path
+    )
+    def shape(df):
+        # names + types (the small path's row_number is non-nullable
+        # where the bucketed offset-sum is nullable — values identical)
+        return [(f.name, f.dataType) for f in df.schema.fields]
+
+    assert shape(small) == shape(bucketed) == shape(reengaged)
+    for other in (small, reengaged):
+        assert bucketed.exceptAll(other).count() == 0
+        assert other.exceptAll(bucketed).count() == 0
+    # plan signature: the bucketed path broadcasts the offset array
+    # (nested-loop cross of a 1-row frame); the small path bakes the
+    # count literal and has no cross join at all
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    plan_re = reengaged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan_small
+    assert "BroadcastNestedLoopJoin" in plan_re
+
+
 def test_rank_family_has_no_unpartitioned_window(spark, sf_dir):
     """rfm_segments / pareto / gini must never funnel the collapsed
     dimension through ONE task: every WindowExec in their plans
@@ -452,6 +497,12 @@ def test_wave16_plans_no_funnel_or_python(spark, sf_dir):
     import __spark_entry__ as entry
 
     qs = entry.queries()
+    # queries whose rank runs through global_row_number(small_threshold=):
+    # at test scale the counted-small single-bucket window is LEGAL (the
+    # constant bucket key gets folded out of the plan line); the bucket
+    # path re-engagement above the threshold is pinned by
+    # test_small_threshold_reengages_bucket_path
+    small_ok = {"ks_test", "mann_whitney", "changepoint"}
     for name in [
         "kaplan_meier", "correlation_matrix", "welch_ttest",
         "lag_corr", "nelson_aalen", "burstiness", "ks_test",
@@ -461,6 +512,8 @@ def test_wave16_plans_no_funnel_or_python(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        if name in small_ok:
+            continue
         for line in _window_lines(df):
             assert line.count("], [") >= 2, f"{name}: unpartitioned window: {line}"
 
@@ -475,6 +528,9 @@ def test_wave18_20_plans_scale_safe(spark, sf_dir):
 
     qs = entry.queries()
     smj_ok = {"topk_overlap", "spearman_corr"}
+    # threshold-guarded single-bucket rank path (see
+    # test_wave16_plans_no_funnel_or_python for the rationale)
+    small_ok = {"kruskal_wallis", "logrank_test", "runs_test", "spearman_corr"}
     for name in [
         "kruskal_wallis", "logrank_test", "runs_test", "max_drawdown",
         "hhi_concentration", "cramers_v", "rmst", "quadratic_trend",
@@ -486,5 +542,7 @@ def test_wave18_20_plans_scale_safe(spark, sf_dir):
         if name not in smj_ok:
             assert "SortMergeJoin" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        if name in small_ok:
+            continue
         for line in _window_lines(df):
             assert line.count("], [") >= 2, f"{name}: unpartitioned window: {line}"
