@@ -35,6 +35,44 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# -- shared bounded intermediates ------------------------------------------
+# Gate queries that share an expensive upstream stage (the survival
+# step table, winnowing fingerprints, LR training) memoize it per
+# (session, sf_dir): each query stays individually correct — the memo
+# only caches a DETERMINISTIC bounded intermediate (localCheckpointed
+# collapsed frame or a collected scalar list), so results are
+# hash-identical with or without a warm cache.
+_SHARED_MEMO: dict = {}
+
+
+def _shared(spark: SparkSession, sf_dir: str, name: str, build):
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _SHARED_MEMO:
+        _SHARED_MEMO[key] = build()
+    return _SHARED_MEMO[key]
+
+
+def _survival_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE checkpointed survival step table (duration → deaths/total
+    over the order→ship latency cohort, open 'O' lines censored)
+    shared by `kaplan_meier` / `nelson_aalen` / `rmst` — three gate
+    queries that otherwise each re-run the lineitem⋈orders join and
+    the duration collapse."""
+
+    def build():
+        from csp_gateway_spark.operators.analytics import survival_steps
+
+        li = _t(spark, sf_dir, "lineitem")
+        orders = _t(spark, sf_dir, "orders")
+        base = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("dur"),
+            (F.col("l_linestatus") == "O").cast("int").alias("cens"),
+        )
+        return survival_steps(base, "dur", "cens").localCheckpoint(eager=True)
+
+    return _shared(spark, sf_dir, "survival_steps", build)
+
+
 from contextlib import contextmanager
 
 
@@ -1033,6 +1071,89 @@ ORACLE_REPLAY_REWRITE = """
 SELECT event_id, epoch_us(ts) AS ts_us, event_type,
        CAST(value AS DECIMAL(18,2)) AS value, true AS replayed
 FROM events
+"""
+
+
+def q_replay_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EngineReplay ``start_writing`` read→write handoff on the oracle
+    gate (reference `shared/engine_replay.py:107-118`): run A writes
+    the pre-cutover click/purchase cycles to a JSON changelog; run B
+    replays them below the cutover (`csp.times(...) < alarm_time`) and
+    appends ONLY its post-cutover ticks as new cycles to the SAME
+    changelog.  The combined changelog must decode to the continuous
+    run — per-type count / exact value sum / ts range hash-equal to
+    the direct batch aggregate over events (nothing duplicated at the
+    seam, nothing dropped)."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    from csp_gateway_spark.catalog import ChannelCatalog
+    from csp_gateway_spark.sources.engine_replay import EngineReplay, ReadWriteMode
+    from csp_gateway_spark.sources.replay import read_changelog, replay_channel
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("value"),
+            F.expr("ts div 1000").alias("ts_us"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("timestamp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = ev.agg(F.min("timestamp").alias("_mn"), F.max("timestamp").alias("_mx")).collect()[0]
+    span = (b._mx - b._mn).total_seconds()
+    cutover = b._mn + _dt.timedelta(seconds=span * 0.6)
+    schema = ev.schema
+    root = tempfile.mkdtemp(prefix=f"csp_gw_handoff_{os.getpid()}_")
+    path = os.path.join(root, "log")
+
+    # run A: WRITE mode from before the data — full pre-cutover history
+    run_a = EngineReplay(
+        path=path, schemas={"events": schema},
+        read_write_mode=ReadWriteMode.WRITE,
+        start_writing=b._mn - _dt.timedelta(days=1),
+    )
+    cat_a = ChannelCatalog(spark)
+    run_a.connect(cat_a)
+    cat_a.set_channel("events", ev.filter(F.col("timestamp") < F.lit(cutover)))
+    run_a.flush()
+
+    # run B: READ_AND_WRITE handoff at the cutover — replay history,
+    # then append only the new (>= cutover) cycles
+    run_b = EngineReplay(
+        path=path, schemas={"events": schema}, start_writing=cutover
+    )
+    cat_b = ChannelCatalog(spark)
+    run_b.connect(cat_b)
+    cat_b.set_channel("events", ev.filter(F.col("timestamp") >= F.lit(cutover)))
+    run_b.flush()
+
+    combined = replay_channel(read_changelog(spark, path), "events", schema)
+    out = combined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min("ts_us").cast("long").alias("min_ts_us"),
+        F.max("ts_us").cast("long").alias("max_ts_us"),
+    )
+    state_out = os.path.join(root, "agg_out")
+    out.write.mode("overwrite").parquet(state_out)
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.read.parquet(state_out).orderBy("event_type")
+
+
+ORACLE_REPLAY_HANDOFF = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
+       CAST(MIN(epoch_ns(ts) // 1000) AS BIGINT) AS min_ts_us,
+       CAST(MAX(epoch_ns(ts) // 1000) AS BIGINT) AS max_ts_us
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY 1 ORDER BY 1
 """
 
 
@@ -2252,11 +2373,32 @@ def _lrq_parts(spark: SparkSession, sf_dir: str):
     from csp_gateway_spark.operators.corpus import tf_hash_features
 
     docs = _t(spark, sf_dir, "documents")
-    feats = tf_hash_features(docs, dim=_LRQ_DIM).withColumnRenamed("tf", "x")
+    # the hashed-TF frame feeds training rounds AND scoring across two
+    # gate queries — one bounded checkpoint (≤ docs·min(dim, tokens)
+    # rows) instead of re-running tokenize+hash per consumer
+    feats = _shared(
+        spark, sf_dir, "lrq_features",
+        lambda: tf_hash_features(docs, dim=_LRQ_DIM)
+        .withColumnRenamed("tf", "x")
+        .localCheckpoint(eager=False),
+    )
     labels = docs.select(
         "doc_id", (F.col("source") == "src13").cast("int").alias("y")
     )
     return docs, feats, labels
+
+
+def _lrq_weights(spark: SparkSession, sf_dir: str, feats, labels) -> list:
+    """Trained LR weights memoized per (session, sf_dir):
+    `lr_quality_weights` and `lr_quality_scores` share ONE training
+    run (the weights are a collected dim+1 scalar list — a
+    deterministic bounded intermediate)."""
+    from csp_gateway_spark.operators.classifier import lr_train
+
+    return _shared(
+        spark, sf_dir, "lrq_weights",
+        lambda: lr_train(feats, labels, dim=_LRQ_DIM, iters=_LRQ_ITERS),
+    )
 
 
 def q_lr_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2265,10 +2407,8 @@ def q_lr_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     = "doc comes from the target source".  The oracle unrolls the same
     rounds in SQL, so the trained WEIGHTS hash-match — an iterative
     learned model checked by value, not rows-only."""
-    from csp_gateway_spark.operators.classifier import lr_train
-
     _, feats, labels = _lrq_parts(spark, sf_dir)
-    w = lr_train(feats, labels, dim=_LRQ_DIM, iters=_LRQ_ITERS)
+    w = _lrq_weights(spark, sf_dir, feats, labels)
     wdf = spark.createDataFrame(
         [(b, w[b]) for b in range(len(w))], "bucket int, w double"
     )
@@ -2288,10 +2428,10 @@ def q_lr_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score every document with the trained linear model — the
     filter stage a 100 TB curation run applies after training on a
     small labeled sample."""
-    from csp_gateway_spark.operators.classifier import lr_score, lr_train
+    from csp_gateway_spark.operators.classifier import lr_score
 
     docs, feats, labels = _lrq_parts(spark, sf_dir)
-    w = lr_train(feats, labels, dim=_LRQ_DIM, iters=_LRQ_ITERS)
+    w = _lrq_weights(spark, sf_dir, feats, labels)
     out = lr_score(feats, w, docs)
     return out.select("doc_id", F.round("score", 6).alias("score")).orderBy("doc_id")
 
@@ -5681,10 +5821,10 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     tenth-wide score bins vs empirical positive rate.  Bins computed
     on the round-6 scores (hash-proven identical cross-engine), so
     bin edges cannot flake on ULPs."""
-    from csp_gateway_spark.operators.classifier import calibration_bins, lr_score, lr_train
+    from csp_gateway_spark.operators.classifier import calibration_bins, lr_score
 
     docs, feats, labels = _lrq_parts(spark, sf_dir)
-    w = lr_train(feats, labels, dim=_LRQ_DIM, iters=_LRQ_ITERS)
+    w = _lrq_weights(spark, sf_dir, feats, labels)
     scores = lr_score(feats, w, docs).select(
         "doc_id", F.round("score", 6).alias("score")
     )
@@ -8244,16 +8384,12 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier order→ship latency curve: duration = days from
     order date to line ship date; open linestatus 'O' lines are
     right-censored.  Every prefix product folds the duration-ordered
-    step array, so the survival curve is engine-exact."""
-    from csp_gateway_spark.operators.analytics import kaplan_meier
+    step array, so the survival curve is engine-exact.  The step
+    table is the checkpointed `_survival_steps` shared with
+    `nelson_aalen` / `rmst`."""
+    from csp_gateway_spark.operators.analytics import kaplan_meier_from_steps
 
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    base = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
-        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("dur"),
-        (F.col("l_linestatus") == "O").cast("int").alias("cens"),
-    )
-    out = kaplan_meier(base, "dur", "cens")
+    out = kaplan_meier_from_steps(_survival_steps(spark, sf_dir))
     return out.select(
         "t",
         "n_risk",
@@ -8596,15 +8732,9 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines right-censored) — the additive twin of `kaplan_meier`, same
     duration-ordered packed-array fold with a sum instead of a
     product."""
-    from csp_gateway_spark.operators.analytics import nelson_aalen
+    from csp_gateway_spark.operators.analytics import nelson_aalen_from_steps
 
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    base = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
-        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("dur"),
-        (F.col("l_linestatus") == "O").cast("int").alias("cens"),
-    )
-    out = nelson_aalen(base, "dur", "cens")
+    out = nelson_aalen_from_steps(_survival_steps(spark, sf_dir))
     return out.select(
         "t",
         "n_risk",
@@ -9233,15 +9363,9 @@ FROM f
 def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Restricted mean ship latency at τ=60 days — area under the
     `kaplan_meier` curve, duration-ordered step-integral fold."""
-    from csp_gateway_spark.operators.analytics import rmst
+    from csp_gateway_spark.operators.analytics import rmst_from_steps
 
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    base = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
-        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("dur"),
-        (F.col("l_linestatus") == "O").cast("int").alias("cens"),
-    )
-    out = rmst(base, "dur", "cens", tau=60)
+    out = rmst_from_steps(_survival_steps(spark, sf_dir), tau=60)
     return out.select(
         "tau",
         "steps",
@@ -11768,6 +11892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": q_window_sliding,
         "flatten_struct": q_flatten_struct,
         "replay_rewrite": q_replay_rewrite,
+        "replay_handoff": q_replay_handoff,
         "text_clean": q_text_clean,
         "vocab_topk": q_vocab_topk,
         "tfidf": q_tfidf,
@@ -12031,7 +12156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bus semantics / replay / serialization
         "union_merge", "lookup_by_id", "channel_processor", "tick_counts",
         "time_gate", "flatten_struct", "explode_embeddings", "replay_rewrite",
-        "json_props",
+        "replay_handoff", "json_props",
         # text analysis (text_clean evicted for the fifth streaming
         # shape — see above)
         "text_stats", "quality_filter",
@@ -12039,8 +12164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_minhash_pairs, which recomputes the signatures — its
         # slot funds the third streaming shape above; still replica-
         # checked in the full 217-query sweep)
-        "dedup_exact", "dedup_minhash_pairs",
-        "dedup_simhash", "ngram_jaccard", "dedup_components",
+        "dedup_exact", "dedup_minhash_pairs", "dedup_components",
         "near_dedup_pipeline",
         # embeddings / ANN / clustering (ann_lsh_topk's slot funds the
         # fourth streaming shape; LSH stays represented by
@@ -12058,8 +12182,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave-21 representatives (rank-eval + text-pair-metric
         # families) — both evictees carry driver-green CORRECTNESS_r07
         # evidence and stay in the full-replica sweep run each round
-        "approx_distinct", "hypertable_rollup", "roc_auc",
-        "rouge_overlap",
+        "roc_auc", "rouge_overlap",
+        # round-10 rotation: replay_handoff (new W3-closure gate) takes
+        # replay's family slot; char_entropy / line_dedup /
+        # embedding_quantize return after 8 evicted rounds; the four
+        # funding evictees (dedup_simhash, ngram_jaccard,
+        # approx_distinct, hypertable_rollup) carry 8 consecutive
+        # driver-green rounds and stay in the full replica sweep
+        "char_entropy", "line_dedup", "embedding_quantize",
     ]
     ordered = {name: raw[name] for name in priority}
     ordered.update({name: fn for name, fn in raw.items() if name not in ordered})
@@ -12105,6 +12235,7 @@ def oracle_sql() -> dict[str, str]:
         "window_sliding": ORACLE_WINDOW_SLIDING,
         "flatten_struct": ORACLE_FLATTEN_STRUCT,
         "replay_rewrite": ORACLE_REPLAY_REWRITE,
+        "replay_handoff": ORACLE_REPLAY_HANDOFF,
         "text_clean": ORACLE_TEXT_CLEAN,
         "vocab_topk": ORACLE_VOCAB_TOPK,
         "tfidf": ORACLE_TFIDF,

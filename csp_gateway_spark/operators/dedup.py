@@ -596,7 +596,12 @@ def fingerprint_overlap_pairs(
     """
     from csp_gateway_spark.operators.corpus import winnow_fingerprints
 
-    fps = winnow_fingerprints(df, k=k, window=window, text_col=text_col, id_col=id_col)
+    # the fingerprint table feeds BOTH sides of the self-join — one
+    # bounded materialization (≈ tokens/window rows per doc) instead
+    # of running the tokenize+window-min winnowing pipeline twice
+    fps = winnow_fingerprints(
+        df, k=k, window=window, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=False)
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (

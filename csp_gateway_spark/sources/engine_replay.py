@@ -1,0 +1,187 @@
+"""EngineReplay: read→write live handoff over ONE changelog.
+
+Reference `server/shared/engine_replay.py:19-125`: the module
+subscribes to the recorded engine cycles and decodes them into the
+gateway's channels while engine time is BEFORE ``start_writing``
+(`csp.times(fat_pipe) < alarm_time` filter, `engine_replay.py:107-111`),
+then — in WRITE / READ_AND_WRITE mode — starts encoding and publishing
+NEW cycles from the alarm tick on (`engine_replay.py:113-118`,
+``set_alarm_and_fetch_alarm_time`` for datetime/timedelta
+``start_writing``, `engine_replay.py:42-50`).  That timed handoff is
+what makes warm-standby mirroring work: a restarted gateway replays
+history up to the cutover and seamlessly continues appending to the
+same changelog, which afterwards decodes as one continuous run.
+
+Spark design: the changelog is the batch JSON changelog of
+``sources/replay.py`` (``(csp_engine_timestamp, channel, payload)``
+rows).  The READ half is a schema'd scan filtered to
+``engine_ts < cutover`` feeding ``replay_channel`` (drop-before-start +
+the reference's decode rewrite options: regenerate id/timestamp, flag
+updates); the WRITE half encodes ticks with ``timestamp >= cutover``
+and APPENDS to the same directory — the two predicates partition the
+timeline exactly, so replay + handoff never duplicates or drops a
+cycle.  ``timedelta`` cutovers resolve against the earliest recorded
+engine timestamp (the batch analogue of "engine start"), matching the
+reference's relative alarm.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from enum import Enum
+from typing import Dict, List, Optional, Union
+
+from pydantic import ConfigDict, Field
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from csp_gateway_spark.catalog import ChannelCatalog, GatewayModule
+from csp_gateway_spark.sources.replay import (
+    ENGINE_TS,
+    encode_changelog,
+    read_changelog,
+    replay_channel,
+)
+
+__all__ = ("EngineReplay", "ReadWriteMode")
+
+
+class ReadWriteMode(str, Enum):
+    """`utils/ReadWriteMode` (reference `engine_replay.py:39`)."""
+
+    READ = "READ"
+    WRITE = "WRITE"
+    READ_AND_WRITE = "READ_AND_WRITE"
+
+
+class EngineReplay(GatewayModule):
+    """Changelog replay with the ``start_writing`` read→write handoff
+    (reference `shared/engine_replay.py:19-125`).
+
+    - ``connect`` (READ half): decode recorded cycles with
+      ``engine_ts < start_writing`` into the catalog's channels.
+    - ``flush`` (WRITE half; also runs on ``shutdown``): encode ticks
+      with ``timestamp >= start_writing`` of the selected channels and
+      append them to the same changelog.
+
+    ``selection`` defaults to every channel in ``schemas``;
+    ``decode_selection`` / ``encode_selection`` override it per half
+    (reference `engine_replay.py:31-38, 85-92`).
+    ``subscribe_with_struct_id/timestamp=False`` regenerate identity on
+    decode (`engine_replay.py:63-70`); ``flag_updates`` sets boolean
+    fields per replayed channel (`engine_replay.py:51-58`).
+    """
+
+    model_config = ConfigDict(arbitrary_types_allowed=True)
+
+    path: str
+    schemas: Dict[str, T.StructType]
+    start_writing: Union[datetime.datetime, datetime.timedelta] = Field(
+        default_factory=datetime.timedelta
+    )
+    read_write_mode: ReadWriteMode = ReadWriteMode.READ_AND_WRITE
+    selection: Optional[List[str]] = None
+    decode_selection: Optional[List[str]] = None
+    encode_selection: Optional[List[str]] = None
+    flag_updates: Dict[str, Dict[str, bool]] = {}
+    subscribe_with_struct_id: bool = True
+    subscribe_with_struct_timestamp: bool = True
+
+    # -- cutover ------------------------------------------------------
+    def resolve_cutover(self, spark: SparkSession) -> datetime.datetime:
+        """Absolute handoff time.  A ``datetime`` is used as-is; a
+        ``timedelta`` is relative to the earliest recorded engine
+        timestamp (batch analogue of `set_alarm_and_fetch_alarm_time`'s
+        engine-start-relative alarm) — and to "now" for a fresh/empty
+        changelog, which makes the module start writing immediately,
+        exactly like the reference's default ``timedelta()``."""
+        if isinstance(self.start_writing, datetime.datetime):
+            return self.start_writing
+        start: Optional[datetime.datetime] = None
+        if self._changelog_exists():
+            row = (
+                read_changelog(spark, self.path)
+                .agg(F.min(ENGINE_TS).alias("_mn"))
+                .collect()[0]
+            )
+            start = row["_mn"]
+        if start is None:
+            start = datetime.datetime.utcnow()
+        return start + self.start_writing
+
+    def _changelog_exists(self) -> bool:
+        if not os.path.isdir(self.path):
+            return os.path.isfile(self.path)
+        return any(
+            name.endswith((".json", ".txt")) or name.startswith("part-")
+            for name in os.listdir(self.path)
+        )
+
+    # -- READ half ------------------------------------------------------
+    def connect(self, channels: ChannelCatalog) -> None:
+        self._catalog = channels
+        cutover = self.resolve_cutover(channels.spark)
+        self._cutover = cutover
+        decode = self.decode_selection or self.selection or list(self.schemas)
+        self._encode = self.encode_selection or self.selection or list(self.schemas)
+        for name in self._encode:
+            channels.declare(name, self.schemas.get(name))
+        if self.read_write_mode is ReadWriteMode.WRITE:
+            return
+        if not self._changelog_exists():
+            return
+        log = read_changelog(channels.spark, self.path).filter(
+            F.col(ENGINE_TS) < F.lit(cutover)
+        )
+        for name in decode:
+            if name not in self.schemas:
+                continue
+            replayed = replay_channel(
+                log,
+                name,
+                self.schemas[name],
+                force_new_id=not self.subscribe_with_struct_id,
+                force_new_timestamp=not self.subscribe_with_struct_timestamp,
+                flag_updates=self.flag_updates.get(name),
+            ).drop(ENGINE_TS)
+            channels.declare(name, self.schemas[name])
+            channels.set_channel(name, replayed)
+
+    # -- WRITE half -----------------------------------------------------
+    def flush(self, channels: Optional[ChannelCatalog] = None) -> int:
+        """Encode NEW cycles (ticks at/after the cutover) of the encode
+        selection and append them to the changelog.  Returns the number
+        of appended ticks.  Idempotence is the caller's contract (the
+        reference publishes each cycle once as it happens; the batch
+        form appends once per flush)."""
+        if self.read_write_mode is ReadWriteMode.READ:
+            return 0
+        catalog = channels or getattr(self, "_catalog", None)
+        if catalog is None:
+            raise RuntimeError("EngineReplay.flush: connect() first or pass the catalog")
+        cutover = getattr(self, "_cutover", None) or self.resolve_cutover(catalog.spark)
+        new_cycles: Dict[str, DataFrame] = {}
+        for name in self._encode:
+            try:
+                df = catalog.get_channel(name)
+            except Exception:
+                continue
+            if "timestamp" in df.columns:
+                df = df.filter(F.col("timestamp") >= F.lit(cutover))
+            new_cycles[name] = df
+        if not new_cycles:
+            return 0
+        enc = encode_changelog(new_cycles).localCheckpoint(eager=True)
+        n = enc.count()
+        if n:
+            enc.write.mode("append").json(self.path)
+        return int(n)
+
+    def shutdown(self) -> None:
+        if getattr(self, "_catalog", None) is not None and not getattr(
+            self, "_flushed", False
+        ):
+            self.flush()
+            self._flushed = True
