@@ -5526,6 +5526,7 @@ def attribution(
     type_col: str,
     conversion_type: str,
     window_ns: int,
+    max_touches_per_conversion: int = 1000,
 ) -> DataFrame:
     """Multi-touch marketing attribution: for every conversion event,
     the same-user touch events inside the lookback window share the
@@ -5540,9 +5541,20 @@ def attribution(
     (touch_type, n_touches) first — exact integer counts — and folds
     cnt/n in n order (n is bounded by the window, cap-guarded), so
     the total is engine-identical.  Output per touch type:
-    (event_type, touches, last_credit, first_credit, linear_credit)."""
+    (event_type, touches, last_credit, first_credit, linear_credit).
+
+    ``max_touches_per_conversion`` is the ENFORCED contract bound on
+    per-conversion fan-out (the lookback-window blowup is otherwise a
+    data-shape assumption — a bot user with 10⁶ touches in the window
+    would dominate one conversion's partition): only the most recent
+    ``max_touches_per_conversion`` touches inside the window share
+    credit; first/linear credit are computed over that capped set.
+    The default (1000) is far above organic journeys, so it only
+    engages on the adversarial shape it exists to bound."""
     from pyspark.sql import Window
 
+    if max_touches_per_conversion < 1:
+        raise ValueError("attribution: max_touches_per_conversion must be >= 1")
     conv = events.filter(F.col(type_col) == conversion_type).select(
         F.col(id_col).alias("_cid"),
         F.col(user_col).alias("_cu"),
@@ -5563,13 +5575,20 @@ def attribution(
     w_last = Window.partitionBy("_cid").orderBy(
         F.desc("_tts"), F.desc("_tid")
     )
+    # cap BEFORE the first/total windows: the recency rank streams
+    # through one partitioned sort and the filter bounds every
+    # downstream per-conversion partition to the contract size
+    capped = j.select(
+        "_cid", "_ttype", "_tts", "_tid",
+        F.row_number().over(w_last).alias("_rl"),
+    ).filter(F.col("_rl") <= F.lit(int(max_touches_per_conversion)))
     w_first = Window.partitionBy("_cid").orderBy(
         F.asc("_tts"), F.asc("_tid")
     )
-    r = j.select(
+    r = capped.select(
         "_cid",
         "_ttype",
-        F.row_number().over(w_last).alias("_rl"),
+        "_rl",
         F.row_number().over(w_first).alias("_rf"),
         F.count(F.lit(1)).over(Window.partitionBy("_cid")).alias("_n"),
     )

@@ -559,6 +559,89 @@ class GatewayApi:
             writer.write_table(table)
         return sink.getvalue()
 
+    def perspective_view_compute(
+        self, channel: str, config: Optional[Dict[str, Any]] = None,
+        limit: Optional[int] = None,
+    ) -> List[Dict[str, Any]]:
+        """Server-side ViewConfig materialization over the table's
+        state (reference `perspective.py:133-142` view configs run in
+        the embedded Perspective engine; here SPARK is the pivot
+        engine — group_by/split_by/aggregates/sort/filter/expressions
+        compile to one distributed plan and only the pivoted grid is
+        collected).  Row-level auth filters apply BEFORE aggregation,
+        same as the JSON routes."""
+        from csp_gateway_spark.operators.pivot import _AGGS, ViewConfig, perspective_view
+
+        self._channel_or_404(channel)
+        try:
+            cfg = ViewConfig(**(config or {}))
+        except Exception as e:  # noqa: BLE001 — pydantic validation
+            raise ApiError(422, f"bad view config: {e}") from e
+        for agg_name in cfg.aggregates.values():
+            if agg_name.lower() not in _AGGS:
+                raise ApiError(
+                    422,
+                    f"unsupported aggregate {agg_name!r}; one of {sorted(_AGGS)}",
+                )
+        lim = 1000 if limit is None else int(limit)
+        rows = self._collect_or_404(
+            channel,
+            lambda: perspective_view(
+                self._plan_filters(channel, self.catalog.query(channel, None)), cfg
+            ).limit(lim),
+        )
+        return [_jsonable(r) for r in rows]
+
+    def perspective_ui_html(self) -> str:
+        """`GET /perspective/ui` — a dependency-free pivot grid over
+        the view-compute route: pick a table, group-by / split-by
+        columns and an aggregate, and the server-side Spark pivot
+        renders as an HTML table.  A basic UI over the same data
+        surface the reference's bundled Perspective workspace serves
+        (`perspective.py:541-627`); the Perspective websocket wire
+        protocol itself remains descoped per SURVEY §7.4."""
+        return (
+            "<!doctype html><html><head><meta charset='utf-8'>"
+            "<title>pivot — csp-gateway-spark</title><style>"
+            "body{font-family:monospace;margin:2em}table{border-collapse:collapse;margin:1em 0}"
+            "td,th{border:1px solid #999;padding:2px 8px}select,button{margin-right:8px}"
+            "</style></head><body><h1>pivot viewer</h1>"
+            "<div>table <select id='tbl'></select>"
+            " group_by <select id='gb'></select>"
+            " split_by <select id='sb'><option value=''>(none)</option></select>"
+            " agg <select id='agg'><option>count</option><option>sum</option>"
+            "<option>avg</option><option>min</option><option>max</option>"
+            "<option>median</option><option>unique</option></select>"
+            " of <select id='col'></select>"
+            " <button onclick='go()'>pivot</button></div>"
+            "<div id='grid'></div><script>"
+            "let SCHEMAS={};"
+            "async function init(){SCHEMAS=await (await fetch('/api/v1/perspective/tables')).json();"
+            "const t=document.getElementById('tbl');"
+            "for(const name of Object.keys(SCHEMAS)){const o=document.createElement('option');o.text=name;t.add(o);}"
+            "t.onchange=fill;fill();}"
+            "function fill(){const name=document.getElementById('tbl').value;"
+            "if(!name)return;const cols=Object.keys(SCHEMAS[name]||{});"
+            "for(const id of ['gb','sb','col']){const s=document.getElementById(id);"
+            "s.innerHTML=id==='sb'?'<option value=\\'\\'>(none)</option>':'';"
+            "for(const c of cols){const o=document.createElement('option');o.text=c;s.add(o);}}}"
+            "async function go(){const name=document.getElementById('tbl').value;"
+            "const gb=document.getElementById('gb').value,sb=document.getElementById('sb').value;"
+            "const agg=document.getElementById('agg').value,col=document.getElementById('col').value;"
+            "const cfg={group_by:[gb],aggregates:{[col]:agg},sort:[[gb,'asc']]};"
+            "if(sb&&sb!==gb)cfg.split_by=[sb];"
+            "const r=await fetch('/api/v1/perspective/view/'+name,"
+            "{method:'POST',headers:{'Content-Type':'application/json'},body:JSON.stringify(cfg)});"
+            "const grid=document.getElementById('grid');"
+            "if(!r.ok){grid.innerHTML='<p>'+r.status+' '+await r.text()+'</p>';return;}"
+            "const rows=await r.json();if(!rows.length){grid.innerHTML='<p>no rows</p>';return;}"
+            "const cols=Object.keys(rows[0]);let h='<table><tr>';"
+            "for(const c of cols)h+='<th>'+c+'</th>';h+='</tr>';"
+            "for(const row of rows){h+='<tr>';for(const c of cols)h+='<td>'+String(row[c])+'</td>';h+='</tr>';}"
+            "grid.innerHTML=h+'</table>';}"
+            "init();</script></body></html>"
+        )
+
     def openapi(self) -> Dict[str, Any]:
         """Minimal OpenAPI document with the reference's `type_` extra
         (fully-qualified type name per route → client `as_struct`,
@@ -962,6 +1045,16 @@ def build_fastapi_app(api: GatewayApi):
             media_type="application/vnd.apache.arrow.stream",
         )
 
+    @protected.post("/perspective/view/{name}")
+    def perspective_view(name: str, config: Any = None, limit: Optional[int] = None):
+        return api.perspective_view_compute(name, config, limit)
+
+    @protected.get("/perspective/ui")
+    def perspective_ui():
+        from fastapi.responses import HTMLResponse
+
+        return HTMLResponse(content=api.perspective_ui_html())
+
     @protected.post("/controls/shutdown")
     def shutdown():
         return api.shutdown()
@@ -1177,6 +1270,21 @@ class GatewayHttpServer:
                         self.end_headers()
                         self.wfile.write(data)
                         return None
+                    if method == "POST" and rest[:2] == ["perspective", "view"] and len(rest) == 3:
+                        length = int(self.headers.get("Content-Length", 0))
+                        try:
+                            payload = json.loads(self.rfile.read(length) or b"null")
+                        except json.JSONDecodeError as e:
+                            raise ApiError(422, f"malformed JSON body: {e}") from e
+                        lim = qs.get("limit", [None])[0]
+                        return self._reply(
+                            200,
+                            outer.api.perspective_view_compute(
+                                rest[2], payload, int(lim) if lim else None
+                            ),
+                        )
+                    if method == "GET" and rest == ["perspective", "ui"]:
+                        return self._reply_html(outer.api.perspective_ui_html())
                     raise ApiError(404, "not found")
                 except ApiError as e:
                     return self._reply(e.status, {"detail": e.detail})

@@ -180,6 +180,48 @@ def test_attribution_hand_computed(spark):
     assert abs(out["view"].linear_credit - 0.5) < 1e-12
 
 
+def test_attribution_touch_cap_bounds_fanout(spark):
+    """max_touches_per_conversion is an enforced operator bound: a
+    conversion with more in-window touches than the cap credits only
+    the most RECENT cap touches (first/linear over the capped set),
+    and the cap validates."""
+    import pytest
+
+    from csp_gateway_spark.operators.analytics import attribution
+
+    # one user, 6 touches (ts 1..6, alternating types), conversion at 10
+    rows = [(1, t, t, "click" if t % 2 else "view") for t in range(1, 7)]
+    rows.append((1, 10, 99, "purchase"))
+    df = spark.createDataFrame(rows, "user long, ts long, id long, typ string")
+    out = {
+        r.event_type: r
+        for r in attribution(
+            df, "user", "ts", "id", "typ", "purchase", window_ns=100,
+            max_touches_per_conversion=3,
+        ).collect()
+    }
+    # capped set = most recent 3 touches: ts 6 (view), 5 (click), 4 (view)
+    assert out["view"].touches == 2 and out["click"].touches == 1
+    assert out["view"].last_credit == 1  # ts 6
+    # first of the CAPPED set is ts 4 (a view); click ts 1/3 fell out
+    assert out["view"].first_credit == 1 and out["click"].first_credit == 0
+    assert abs(out["view"].linear_credit - 2.0 / 3.0) < 1e-12
+    assert abs(out["click"].linear_credit - 1.0 / 3.0) < 1e-12
+    # uncapped default reproduces the full 6-touch split
+    full = {
+        r.event_type: r
+        for r in attribution(
+            df, "user", "ts", "id", "typ", "purchase", window_ns=100
+        ).collect()
+    }
+    assert full["click"].touches == 3 and full["view"].touches == 3
+    with pytest.raises(ValueError, match="max_touches_per_conversion"):
+        attribution(
+            df, "user", "ts", "id", "typ", "purchase", window_ns=100,
+            max_touches_per_conversion=0,
+        )
+
+
 def test_info_gain_perfect_and_uninformative(spark):
     from csp_gateway_spark.operators.analytics import info_gain
 

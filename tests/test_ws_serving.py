@@ -175,6 +175,42 @@ def test_perspective_arrow_stream(served):
     assert "quotes" in spec["components"]["schemas"]
 
 
+def test_perspective_view_compute_and_ui(served):
+    """POST /perspective/view/<table>: server-side Spark pivot of the
+    table state (ViewConfig group_by/split_by/aggregates); GET
+    /perspective/ui serves the dependency-free pivot page."""
+    base = f"http://127.0.0.1:{served.port}"
+    GatewayClient(base).send("quotes", {"sym": "B", "px": 3.0})
+    cfg = {"group_by": ["sym"], "aggregates": {"px": "sum"}, "sort": [["sym", "asc"]]}
+    req = urllib.request.Request(
+        f"{base}/api/v1/perspective/view/quotes",
+        data=json.dumps(cfg).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    rows = json.loads(urllib.request.urlopen(req).read())
+    got = {r["sym"]: r["sum_px"] for r in rows}
+    assert got.get("A") == 1.0 and got.get("B") == 3.0
+    # bad config -> 422
+    bad = urllib.request.Request(
+        f"{base}/api/v1/perspective/view/quotes",
+        data=json.dumps({"aggregates": {"px": "nope"}}).encode(),
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(bad)
+    assert ei.value.code == 422
+    # unknown table -> 404
+    missing = urllib.request.Request(
+        f"{base}/api/v1/perspective/view/nope", data=b"{}", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(missing)
+    assert ei.value.code == 404
+    html = urllib.request.urlopen(f"{base}/api/v1/perspective/ui").read().decode()
+    assert "pivot viewer" in html and "/api/v1/perspective/view/" in html
+
+
 def test_shutdown_route(spark):
     cat = ChannelCatalog(spark)
     cat.declare("quotes", QUOTE)
