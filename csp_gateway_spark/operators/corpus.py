@@ -146,39 +146,36 @@ def winnow_fingerprints(
     any shared run of ≥ (window + k - 1) tokens between two documents
     shares at least one fingerprint.
 
-    All-native plan: posexplode tokens → lead() k-gram assembly → md5 →
-    windowed min — one shuffle on doc id, codegen throughout.  Hashes
-    are md5 strings (portable: DuckDB md5 produces identical values,
-    min = lexicographic in both engines).  Docs shorter than
+    All-native ZERO-SHUFFLE plan: the whole winnow is scan-local —
+    k-gram md5s and the sliding window minima are per-doc ARRAY
+    expressions (token counts are document-bounded), so no
+    doc-partitioned window sort ever shuffles the token stream; the
+    only exchanges left in a fingerprint pipeline are whatever the
+    consumer does with the (id, fp) rows.  Hashes are md5 strings
+    (portable: DuckDB md5 produces identical values, min =
+    lexicographic in both engines).  Docs shorter than
     k + window - 1 tokens yield no fingerprints.
     """
-    from pyspark.sql.window import Window
-
     toks = norm_tokens(F.col(text_col))
-    tok_rows = df.select(F.col(id_col), F.posexplode(toks).alias("_p", "_t"))
-    w = Window.partitionBy(id_col).orderBy("_p")
-    leads = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, k)]
-    grams = (
-        tok_rows.select(
-            F.col(id_col),
-            F.col("_p"),
-            F.md5(F.concat_ws(" ", *leads)).alias("_h"),
-            F.lead("_t", k - 1).over(w).alias("_ok"),
-        )
-        .filter(F.col("_ok").isNotNull())
-        .select(id_col, "_p", "_h")
-    )
-    w2 = Window.partitionBy(id_col).orderBy("_p").rowsBetween(0, window - 1)
-    return (
-        grams.select(
-            F.col(id_col),
-            F.min("_h").over(w2).alias("fp"),
-            F.count("_h").over(w2).alias("_c"),
-        )
-        .filter(F.col("_c") == window)
-        .select(id_col, "fp")
-        .distinct()
-    )
+    empty = F.array().cast("array<string>")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")),
+        ),
+    ).otherwise(empty)
+    staged = df.select(F.col(id_col), grams.alias("_g"))
+    fps = F.when(
+        F.size(F.col("_g")) >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col("_g")) - window),
+                lambda j: F.array_min(F.slice(F.col("_g"), j + 1, window)),
+            )
+        ),
+    ).otherwise(empty)
+    return staged.select(id_col, F.explode(fps).alias("fp"))
 
 
 def dedup_keep_representatives(

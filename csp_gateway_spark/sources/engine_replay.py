@@ -45,7 +45,7 @@ from csp_gateway_spark.sources.replay import (
     replay_channel,
 )
 
-__all__ = ("EngineReplay", "ReadWriteMode")
+__all__ = ("EngineReplay", "KafkaEngineReplay", "ReadWriteMode")
 
 
 class ReadWriteMode(str, Enum):
@@ -102,7 +102,7 @@ class EngineReplay(GatewayModule):
         start: Optional[datetime.datetime] = None
         if self._changelog_exists():
             row = (
-                read_changelog(spark, self.path)
+                self._read_log(spark)
                 .agg(F.min(ENGINE_TS).alias("_mn"))
                 .collect()[0]
             )
@@ -119,6 +119,17 @@ class EngineReplay(GatewayModule):
             for name in os.listdir(self.path)
         )
 
+    # -- transport (overridden by KafkaEngineReplay) --------------------
+    def _read_log(self, spark: SparkSession) -> DataFrame:
+        return read_changelog(spark, self.path)
+
+    def _append(self, changelog: DataFrame) -> int:
+        enc = changelog.localCheckpoint(eager=True)
+        n = enc.count()
+        if n:
+            enc.write.mode("append").json(self.path)
+        return int(n)
+
     # -- READ half ------------------------------------------------------
     def connect(self, channels: ChannelCatalog) -> None:
         self._catalog = channels
@@ -132,7 +143,7 @@ class EngineReplay(GatewayModule):
             return
         if not self._changelog_exists():
             return
-        log = read_changelog(channels.spark, self.path).filter(
+        log = self._read_log(channels.spark).filter(
             F.col(ENGINE_TS) < F.lit(cutover)
         )
         for name in decode:
@@ -173,11 +184,7 @@ class EngineReplay(GatewayModule):
             new_cycles[name] = df
         if not new_cycles:
             return 0
-        enc = encode_changelog(new_cycles).localCheckpoint(eager=True)
-        n = enc.count()
-        if n:
-            enc.write.mode("append").json(self.path)
-        return int(n)
+        return self._append(encode_changelog(new_cycles))
 
     def shutdown(self) -> None:
         if getattr(self, "_catalog", None) is not None and not getattr(
@@ -185,3 +192,56 @@ class EngineReplay(GatewayModule):
         ):
             self.flush()
             self._flushed = True
+
+
+class KafkaEngineReplay(EngineReplay):
+    """The Kafka-wire twin (reference `ReplayEngineKafka`,
+    `modules/kafka/kafka.py:360-450`): same ``start_writing`` handoff,
+    but cycles travel as `EncodedEngineCycle` wire messages — ONE
+    (key, value) message per engine cycle whose JSON value carries the
+    cycle's (channel, payload) ticks plus the uint64-millis engine
+    timestamp — via the hash-checked codec shared with S6
+    (`sources/kafka.py::encode_engine_cycles/decode_engine_cycles`).
+    All messages share ``replay_key`` so one replay stream stays
+    totally ordered within its topic-partition (the reference's
+    ordering guarantee).  Transport is the ``FileStubBroker`` topic
+    log (no broker in this sandbox); a real deployment swaps the
+    broker object for `read_kafka`/`write_kafka` with the same codec.
+
+    NOTE the wire granularity: the Kafka form appends one message per
+    CYCLE (ticks grouped by engine timestamp), so engine-time
+    resolution is the reference's UINT64 MILLIS — producers ticking
+    sub-millisecond collapse into one cycle, exactly as on the
+    reference's wire."""
+
+    path: str = ""  # unused: the topic log lives in the broker
+    topic: str = "engine-replay"
+    replay_key: str = "engine"
+    broker_root: str = ""
+    num_partitions: int = 4
+
+    def _broker(self):
+        from csp_gateway_spark.sources.kafka import FileStubBroker
+
+        if not self.broker_root:
+            raise RuntimeError("KafkaEngineReplay: broker_root is required")
+        return FileStubBroker(self.broker_root, num_partitions=self.num_partitions)
+
+    def _changelog_exists(self) -> bool:
+        return os.path.isdir(os.path.join(self.broker_root, self.topic))
+
+    def _read_log(self, spark: SparkSession) -> DataFrame:
+        from csp_gateway_spark.sources.kafka import decode_engine_cycles
+
+        return decode_engine_cycles(self._broker().subscribe(spark, self.topic))
+
+    def _append(self, changelog: DataFrame) -> int:
+        from csp_gateway_spark.sources.kafka import encode_engine_cycles
+
+        enc = encode_engine_cycles(changelog, key=self.replay_key).localCheckpoint(
+            eager=True
+        )
+        n = enc.count()
+        if n:
+            self._broker().publish(enc, self.topic)
+        return int(n)

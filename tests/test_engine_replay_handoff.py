@@ -174,6 +174,47 @@ def test_decode_rewrite_options(spark, tmp_path):
     assert mod.flush() == 0
 
 
+def test_kafka_wire_handoff_round_trip(spark, tmp_path):
+    """KafkaEngineReplay: the same start_writing handoff over the
+    EncodedEngineCycle wire (one message per cycle, engine time from
+    the message's csp_timestamp — reference ReplayEngineKafka,
+    `kafka.py:360-450`) against the FileStubBroker topic log."""
+    from csp_gateway_spark.sources.engine_replay import KafkaEngineReplay
+
+    root = str(tmp_path / "broker")
+    cutover = T0 + datetime.timedelta(minutes=10)
+    run_a = KafkaEngineReplay(
+        broker_root=root, topic="cycles", schemas={"trades": SCHEMA},
+        read_write_mode=ReadWriteMode.WRITE,
+        start_writing=T0 - datetime.timedelta(days=1),
+    )
+    cat_a = ChannelCatalog(spark)
+    run_a.connect(cat_a)
+    _send(cat_a, [_row(1, 1), _row(2, 5)])
+    assert run_a.flush() == 2  # two distinct engine-ms -> two cycles
+
+    run_b = KafkaEngineReplay(
+        broker_root=root, topic="cycles", schemas={"trades": SCHEMA},
+        start_writing=cutover,
+    )
+    cat_b = ChannelCatalog(spark)
+    run_b.connect(cat_b)
+    assert {r.id for r in cat_b.get_channel("trades").collect()} == {"r1", "r2"}
+    _send(cat_b, [_row(4, 11, live=True), _row(5, 15, live=True)])
+    assert run_b.flush() == 2
+
+    # combined topic decodes as ONE continuous run through the shared codec
+    combined = run_b._read_log(spark)
+    got = replay_channel(combined, "trades", SCHEMA).orderBy("id")
+    rows = [(r.id, r.timestamp, r.price, r.live) for r in got.collect()]
+    assert rows == [
+        ("r1", T0 + datetime.timedelta(minutes=1), 101.0, False),
+        ("r2", T0 + datetime.timedelta(minutes=5), 102.0, False),
+        ("r4", T0 + datetime.timedelta(minutes=11), 104.0, True),
+        ("r5", T0 + datetime.timedelta(minutes=15), 105.0, True),
+    ]
+
+
 def test_fresh_changelog_timedelta_starts_writing_immediately(spark, tmp_path):
     path = str(tmp_path / "log")
     mod = EngineReplay(path=path, schemas={"trades": SCHEMA})
