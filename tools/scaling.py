@@ -95,6 +95,12 @@ HEAVY = [
     "identity_stitch",
     "mmr_rerank",
     "t_closeness",
+    # round-10: handoff gate + re-planned rank/fingerprint family
+    "replay_handoff",
+    "fingerprint_pairs",
+    "mann_whitney",
+    "nelson_aalen",
+    "rmst",
 ]
 
 TABLES = [
