@@ -142,6 +142,7 @@ HEADLINE = [
     "window_sliding",
     "flatten_struct",
     "replay_rewrite",
+    "replay_handoff",
     "minhash_signature",
     "ngram_jaccard",
     "text_clean",
