@@ -1770,16 +1770,30 @@ lr AS (
 """.replace("{toks}", _SQL_TOKS.replace("trim(lower(text))", _SQL_NORM))
 
 
+def _dsir_weight_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE checkpointed DSIR weight table (doc_id, logw, ...) shared by
+    `dsir_weights` and `dsir_sample` — the resample is top-k over the
+    same weights the report serves, so the hashed-n-gram distribution
+    pipeline runs once per session."""
+
+    def build():
+        from csp_gateway_spark.operators.curation import dsir_weights
+
+        docs = _t(spark, sf_dir, "documents")
+        target = docs.filter(F.col("source") == _DSIR_TARGET_SRC)
+        return dsir_weights(docs, target, dim=_DSIR_DIM).localCheckpoint(
+            eager=True
+        )
+
+    return _shared(spark, sf_dir, "dsir_weights", build)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (arXiv:2302.03169): hashed-n-gram
     log-likelihood ratio of a target source vs the raw corpus.  The
     per-doc sum is a bucket-ordered fold, so doubles are bit-identical
     across engines before the display rounding."""
-    from csp_gateway_spark.operators.curation import dsir_weights
-
-    docs = _t(spark, sf_dir, "documents")
-    target = docs.filter(F.col("source") == _DSIR_TARGET_SRC)
-    out = dsir_weights(docs, target, dim=_DSIR_DIM)
+    out = _dsir_weight_table(spark, sf_dir)
     return out.select("doc_id", F.round("logw", 6).alias("logw")).orderBy("doc_id")
 
 
@@ -1801,7 +1815,10 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     target = docs.filter(F.col("source") == _DSIR_TARGET_SRC)
-    out = dsir_sample(docs, target, n_keep=_DSIR_KEEP, dim=_DSIR_DIM, seed=17)
+    out = dsir_sample(
+        docs, target, n_keep=_DSIR_KEEP, dim=_DSIR_DIM, seed=17,
+        weights=_dsir_weight_table(spark, sf_dir),
+    )
     return out.select("doc_id", F.round("score", 6).alias("score")).orderBy("doc_id")
 
 

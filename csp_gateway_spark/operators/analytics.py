@@ -5861,7 +5861,8 @@ def quantile_normalize(
         F.count(F.lit(1)).cast("long").alias("_cv")
     )
     ranked = global_row_number(
-        per_v, "_gv", [], rn_col="_rn", cum_value="_cv", cum_col="_gcum"
+        per_v, "_gv", [], rn_col="_rn", cum_value="_cv", cum_col="_gcum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
     )
     totals = per_v.agg(F.sum("_cv").cast("long").alias("_N"))
     ref = (

@@ -632,6 +632,7 @@ def dsir_sample(
     gumbel: bool = True,
     text_col: str = "text",
     id_col: str = "doc_id",
+    weights: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """Select ``n_keep`` corpus documents by DSIR importance
     resampling: top-k of ``logw + Gumbel noise`` (the Gumbel-top-k
@@ -643,8 +644,17 @@ def dsir_sample(
 
     The top-k compiles to TakeOrdered (per-partition partial top-k +
     driver merge of k rows) — never a global sort/window.
+
+    ``weights``: optional precomputed :func:`dsir_weights` frame —
+    pass a checkpointed one when the weights are also served on their
+    own (a pipeline computes them ONCE and both resamples and reports
+    from the same table).
     """
-    w = dsir_weights(corpus, target, dim, smoothing, text_col, id_col)
+    w = (
+        weights
+        if weights is not None
+        else dsir_weights(corpus, target, dim, smoothing, text_col, id_col)
+    )
     score = F.col("logw")
     if gumbel:
         u = (sample_hash(F.col(id_col), seed) + F.lit(0.5)) / F.lit(HASH60_SPACE)
