@@ -11830,6 +11830,68 @@ FROM emd ORDER BY segment, nationkey
 """
 
 
+_KC_K = 6
+_KC_DIM = 64
+
+
+def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity sample of the embedding corpus
+    (farthest-point traversal, Gonzalez 2-approx) — the coreset
+    selection a curation run uses for eval probes / annotation
+    batches.  Every distance is an exact floor(x*1e6) integer, so the
+    greedy chain (where one FP-different pick would cascade) is
+    hash-checked against the oracle's unrolled rounds, not
+    rows-only."""
+    from csp_gateway_spark.operators.similarity import kcenter_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_sample(emb, k=_KC_K).orderBy("sel_round")
+
+
+def _oracle_kcenter_sample() -> str:
+    """Unrolled greedy rounds: c1 = min id; m_r carries each surviving
+    point's EXACT running min squared distance to the chosen set;
+    c_{r+1} = argmax (d DESC, vec_id ASC) — the same integer
+    arithmetic as the operator."""
+    dim, k = _KC_DIM, _KC_K
+    # DuckDB lambdas cannot capture outer columns through a scalar
+    # subquery — each round's 1-row chosen center CROSS JOINs in so the
+    # lambda sees both sides directly
+    d_expr = (
+        "CAST(list_sum(list_transform(range(1, %d + 1), "
+        "i -> (v.q[CAST(i AS INT)] - c.q[CAST(i AS INT)])"
+        " * (v.q[CAST(i AS INT)] - c.q[CAST(i AS INT)]))) AS BIGINT)" % dim
+    )
+    parts = [
+        "WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),"
+        " x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS q FROM embeddings),",
+        "c1 AS (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT 1),",
+        f"m1 AS (SELECT v.vec_id, v.q, {d_expr} AS d"
+        " FROM q v CROSS JOIN c1 c WHERE v.vec_id != c.vec_id),",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"c{r} AS (SELECT vec_id, q, d FROM m{r-1}"
+            " ORDER BY d DESC, vec_id ASC LIMIT 1),"
+        )
+        if r < k:
+            parts.append(
+                f"m{r} AS (SELECT v.vec_id, v.q,"
+                f" LEAST(v.d, {d_expr}) AS d"
+                f" FROM m{r-1} v CROSS JOIN c{r} c WHERE v.vec_id != c.vec_id),"
+            )
+    parts[-1] = parts[-1].rstrip(",")
+    selects = [
+        "SELECT 1 AS sel_round, CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(0 AS BIGINT) AS d2_scaled FROM c1"
+    ]
+    for r in range(2, k + 1):
+        selects.append(
+            f"SELECT {r}, CAST(vec_id AS BIGINT), CAST(d AS BIGINT) FROM c{r}"
+        )
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(selects) + "\nORDER BY sel_round"
+
+
 def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Murphy decomposition of the binned Brier score of the
     normalized-length 'English document' forecast — the calibration
@@ -12168,6 +12230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "t_closeness": q_t_closeness,
         "brier_decomposition": q_brier_decomposition,
+        "kcenter_sample": q_kcenter_sample,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -12511,4 +12574,5 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": _oracle_mmr_rerank(),
         "t_closeness": ORACLE_T_CLOSENESS,
         "brier_decomposition": ORACLE_BRIER_DECOMPOSITION,
+        "kcenter_sample": _oracle_kcenter_sample(),
     }

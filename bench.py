@@ -194,6 +194,7 @@ HEADLINE = [
     "sequence_pack",
     "repetition_stats",
     "kmeans_refine",
+    "kcenter_sample",
     "char_entropy",
     "vocab_encode",
     "lm_perplexity",

@@ -436,6 +436,79 @@ def kmeans_refine(
     return out
 
 
+def kcenter_sample(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Greedy k-center (farthest-point traversal, Gonzalez 1985 —
+    the classic 2-approximation) DIVERSITY sampling over an embedding
+    column: seed with the minimum-id vector, then repeatedly pick the
+    point FARTHEST from its nearest already-chosen center.  The
+    curation use: select a maximally diverse coreset (eval probes,
+    annotation batches, dedup exemplars) instead of a random sample
+    that oversamples dense regions.
+
+    Determinism / engine parity: every distance is an EXACT integer —
+    coordinates quantize to ``floor(x·scale)`` longs, the squared-L2
+    fold sums integer squares — so the greedy argmax chain (the
+    brittle part: one FP-different pick cascades into a different
+    sample) is bit-identical on any engine and any partitioning; ties
+    break on ascending id.  Valid while dim·(2·scale·|x|)² < 2⁶³
+    (dim 64, |x| ≤ 20 at the default scale).
+
+    Plan per round: one broadcast-literal distance update (the newest
+    center folds into a RUNNING per-point min — each round is O(n·dim)
+    work, not O(n·k·dim)) + one TakeOrdered(1).  Driver state is the
+    chosen ids/vectors only (k·dim scalars, the ``kmeans_refine``
+    contract); the quantized base is checkpointed once and the
+    running-min lineage stays k expressions deep (k is small by
+    contract).  Output: (sel_round, id, d2_scaled) — d2_scaled is the
+    EXACT scaled squared distance to the nearest earlier center at
+    selection time (0 for the seed), i.e. the coverage-radius sequence.
+    """
+    if k < 1:
+        raise ValueError("kcenter_sample: k must be >= 1")
+    spark = df.sparkSession
+    quant = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+        ).alias("_q"),
+    ).localCheckpoint(eager=False)
+    seed = quant.orderBy(F.asc("_id")).first()
+    if seed is None:
+        raise ValueError("kcenter_sample: empty input")
+    chosen = [(seed["_id"], list(seed["_q"]), 0)]
+
+    def dist_to(center_q):
+        lit_c = F.array(*[F.lit(int(v)).cast("long") for v in center_q])
+        return F.aggregate(
+            F.zip_with(F.col("_q"), lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    mins = quant.select("_id", "_q", dist_to(seed["_q"]).alias("_d"))
+    for _ in range(1, int(k)):
+        mins = mins.filter(F.col("_id") != F.lit(chosen[-1][0]))
+        if len(chosen) > 1:
+            mins = mins.withColumn(
+                "_d", F.least(F.col("_d"), dist_to(chosen[-1][1]))
+            )
+        nxt = mins.orderBy(F.desc("_d"), F.asc("_id")).first()
+        if nxt is None:
+            break  # fewer than k points
+        chosen.append((nxt["_id"], list(nxt["_q"]), int(nxt["_d"])))
+    return spark.createDataFrame(
+        [(i + 1, cid, d) for i, (cid, _, d) in enumerate(chosen)],
+        "sel_round int, vec_id long, d2_scaled long",
+    )
+
+
 def kmeans_inertia(
     df: DataFrame,
     centroids: DataFrame,

@@ -324,6 +324,46 @@ def test_small_threshold_reengages_bucket_path(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan_re
 
 
+def test_small_threshold_equality_over_frame_shapes(spark):
+    """The short-circuit must be value-identical to the bucketed rank
+    for adversarial frame shapes: heavy ties, negative/mixed metrics,
+    a single row, descending order, and a cum type that exercises the
+    decimal-widening path."""
+    from pyspark.sql import Window
+
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    shapes = [
+        # (rows as (v, k, y), ascending)
+        ([(1, i, "1.00") for i in range(5)], True),            # all-tie
+        ([(-3, 0, "2.50"), (7, 1, "0.10"), (-3, 2, "4.00"),
+          (0, 3, "1.25"), (7, 4, "9.99")], True),              # mixed sign + ties
+        ([(42, 0, "8.00")], True),                             # single row
+        ([(i % 4, i, f"{i}.25") for i in range(32)], False),   # descending
+    ]
+    from decimal import Decimal
+
+    for rows, asc in shapes:
+        df = spark.createDataFrame(
+            [(v, k, Decimal(y)) for v, k, y in rows],
+            "v int, k int, y decimal(18,2)",
+        )
+        got = global_row_number(
+            df, "v", ["k"], rn_col="rn", ascending=asc,
+            cum_value="y", cum_col="cum", small_threshold=1_000_000,
+        )
+        order = [F.asc("v") if asc else F.desc("v"), F.asc("k")]
+        w = Window.orderBy(*order)
+        want = df.select(
+            "v", "k", "y",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("decimal(38,2)").alias("cum"),
+        )
+        g = got.select("v", "k", "y", "rn", "cum")
+        assert g.exceptAll(want).count() == 0 and want.exceptAll(g).count() == 0
+
+
 def test_rank_family_has_no_unpartitioned_window(spark, sf_dir):
     """rfm_segments / pareto / gini must never funnel the collapsed
     dimension through ONE task: every WindowExec in their plans

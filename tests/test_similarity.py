@@ -438,3 +438,27 @@ def test_hard_negatives_excludes_query_label(embeddings, query_vec):
         ).collect()
     }
     assert qlabel not in got_labels
+
+
+def test_kcenter_sample_hand_computed(spark):
+    """Greedy farthest-point on a 1-D line: seed = min id (x=0), then
+    always the point maximizing the min distance to the chosen set."""
+    import pytest
+
+    from csp_gateway_spark.operators.similarity import kcenter_sample
+
+    # ids 0..4 at positions 0, 1, 10, 11, 5
+    pts = [(0, [0.0]), (1, [1.0]), (2, [10.0]), (3, [11.0]), (4, [5.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = [
+        (r.sel_round, r.vec_id, r.d2_scaled)
+        for r in kcenter_sample(df, k=4, scale=1).collect()
+    ]
+    # round 2: farthest from 0 is x=11 (id 3, d²=121); round 3: farthest
+    # from {0,11} is x=5 (id 4, d²=25); round 4: {0,11,5} -> x=1? d²=1,
+    # x=10? min(100,1,25)=1 -> tie on d²=1 -> lower id wins (id 1)
+    assert got == [(1, 0, 0), (2, 3, 121), (3, 4, 25), (4, 1, 1)]
+    # k beyond the point count stops early; k<1 rejects
+    assert kcenter_sample(df, k=9, scale=1).count() == 5
+    with pytest.raises(ValueError, match="k must be"):
+        kcenter_sample(df, k=0)
