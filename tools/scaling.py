@@ -101,6 +101,7 @@ HEAVY = [
     "mann_whitney",
     "nelson_aalen",
     "rmst",
+    "kcenter_sample",
 ]
 
 TABLES = [
