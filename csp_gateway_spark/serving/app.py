@@ -613,9 +613,13 @@ class GatewayApi:
             "<option>avg</option><option>min</option><option>max</option>"
             "<option>median</option><option>unique</option></select>"
             " of <select id='col'></select>"
+            " sort <select id='sd'><option>asc</option><option>desc</option></select>"
+            " expr <input id='ex' size='24' placeholder='name=SQL expr (optional)'>"
             " <button onclick='go()'>pivot</button></div>"
             "<div id='grid'></div><script>"
             "let SCHEMAS={};"
+            "function esc(s){return String(s).replace(/&/g,'&amp;')"
+            ".replace(/</g,'&lt;').replace(/>/g,'&gt;').replace(/\"/g,'&quot;');}"
             "async function init(){SCHEMAS=await (await fetch('/api/v1/perspective/tables')).json();"
             "const t=document.getElementById('tbl');"
             "for(const name of Object.keys(SCHEMAS)){const o=document.createElement('option');o.text=name;t.add(o);}"
@@ -628,16 +632,19 @@ class GatewayApi:
             "async function go(){const name=document.getElementById('tbl').value;"
             "const gb=document.getElementById('gb').value,sb=document.getElementById('sb').value;"
             "const agg=document.getElementById('agg').value,col=document.getElementById('col').value;"
-            "const cfg={group_by:[gb],aggregates:{[col]:agg},sort:[[gb,'asc']]};"
+            "const sd=document.getElementById('sd').value,ex=document.getElementById('ex').value;"
+            "const cfg={group_by:[gb],aggregates:{[col]:agg},sort:[[gb,sd]]};"
             "if(sb&&sb!==gb)cfg.split_by=[sb];"
+            "const eq=ex.indexOf('=');"
+            "if(eq>0)cfg.expressions={[ex.slice(0,eq).trim()]:ex.slice(eq+1).trim()};"
             "const r=await fetch('/api/v1/perspective/view/'+name,"
             "{method:'POST',headers:{'Content-Type':'application/json'},body:JSON.stringify(cfg)});"
             "const grid=document.getElementById('grid');"
-            "if(!r.ok){grid.innerHTML='<p>'+r.status+' '+await r.text()+'</p>';return;}"
+            "if(!r.ok){grid.innerHTML='<p>'+esc(r.status)+' '+esc(await r.text())+'</p>';return;}"
             "const rows=await r.json();if(!rows.length){grid.innerHTML='<p>no rows</p>';return;}"
             "const cols=Object.keys(rows[0]);let h='<table><tr>';"
-            "for(const c of cols)h+='<th>'+c+'</th>';h+='</tr>';"
-            "for(const row of rows){h+='<tr>';for(const c of cols)h+='<td>'+String(row[c])+'</td>';h+='</tr>';}"
+            "for(const c of cols)h+='<th>'+esc(c)+'</th>';h+='</tr>';"
+            "for(const row of rows){h+='<tr>';for(const c of cols)h+='<td>'+esc(row[c])+'</td>';h+='</tr>';}"
             "grid.innerHTML=h+'</table>';}"
             "init();</script></body></html>"
         )
@@ -1046,7 +1053,14 @@ def build_fastapi_app(api: GatewayApi):
         )
 
     @protected.post("/perspective/view/{name}")
-    def perspective_view(name: str, config: Any = None, limit: Optional[int] = None):
+    async def perspective_view(name: str, request: Request, limit: Optional[int] = None):
+        # FastAPI treats an `Any`-annotated param as a scalar query param,
+        # so the JSON view config must be read from the request body
+        # explicitly (same pattern as the send routes above).
+        try:
+            config = await request.json()
+        except Exception:
+            config = None
         return api.perspective_view_compute(name, config, limit)
 
     @protected.get("/perspective/ui")

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import datetime
 import os
+import warnings
 from enum import Enum
 from typing import Dict, List, Optional, Union
 
@@ -90,13 +91,18 @@ class EngineReplay(GatewayModule):
     subscribe_with_struct_timestamp: bool = True
 
     # -- cutover ------------------------------------------------------
-    def resolve_cutover(self, spark: SparkSession) -> datetime.datetime:
+    def resolve_cutover(
+        self, spark: SparkSession, catalog: Optional[ChannelCatalog] = None
+    ) -> datetime.datetime:
         """Absolute handoff time.  A ``datetime`` is used as-is; a
         ``timedelta`` is relative to the earliest recorded engine
         timestamp (batch analogue of `set_alarm_and_fetch_alarm_time`'s
-        engine-start-relative alarm) — and to "now" for a fresh/empty
-        changelog, which makes the module start writing immediately,
-        exactly like the reference's default ``timedelta()``."""
+        engine-start-relative alarm).  For a fresh/empty changelog the
+        anchor falls back to the earliest tick of the encode channels
+        (then epoch) — NOT wall-clock "now", which would silently fail
+        ``timestamp >= cutover`` for every historical tick and write
+        nothing; with the default ``timedelta()`` this makes the module
+        start writing immediately, like the reference's default."""
         if isinstance(self.start_writing, datetime.datetime):
             return self.start_writing
         start: Optional[datetime.datetime] = None
@@ -107,8 +113,21 @@ class EngineReplay(GatewayModule):
                 .collect()[0]
             )
             start = row["_mn"]
+        if start is None and catalog is not None:
+            mins = []
+            for name in self._encode_names():
+                try:
+                    df = catalog.get_channel(name)
+                except Exception:
+                    continue
+                if "timestamp" in df.columns:
+                    row = df.agg(F.min("timestamp").alias("_mn")).collect()[0]
+                    if row["_mn"] is not None:
+                        mins.append(row["_mn"])
+            if mins:
+                start = min(mins)
         if start is None:
-            start = datetime.datetime.utcnow()
+            start = datetime.datetime(1970, 1, 1)
         return start + self.start_writing
 
     def _changelog_exists(self) -> bool:
@@ -117,6 +136,16 @@ class EngineReplay(GatewayModule):
         return any(
             name.endswith((".json", ".txt")) or name.startswith("part-")
             for name in os.listdir(self.path)
+        )
+
+    def _encode_names(self) -> List[str]:
+        # flush() may run WRITE-mode without a prior connect(); fall back
+        # to the declared selection so self._encode is never required.
+        return (
+            getattr(self, "_encode", None)
+            or self.encode_selection
+            or self.selection
+            or list(self.schemas)
         )
 
     # -- transport (overridden by KafkaEngineReplay) --------------------
@@ -133,18 +162,24 @@ class EngineReplay(GatewayModule):
     # -- READ half ------------------------------------------------------
     def connect(self, channels: ChannelCatalog) -> None:
         self._catalog = channels
-        cutover = self.resolve_cutover(channels.spark)
-        self._cutover = cutover
+        has_log = self._changelog_exists()
         decode = self.decode_selection or self.selection or list(self.schemas)
         self._encode = self.encode_selection or self.selection or list(self.schemas)
+        self._decoded: set = set()
         for name in self._encode:
             channels.declare(name, self.schemas.get(name))
+        if isinstance(self.start_writing, datetime.timedelta) and not has_log:
+            # Fresh changelog: defer the relative cutover until flush(),
+            # when the encode channels carry ticks to anchor it on.
+            self._cutover = None
+        else:
+            self._cutover = self.resolve_cutover(channels.spark)
         if self.read_write_mode is ReadWriteMode.WRITE:
             return
-        if not self._changelog_exists():
+        if not has_log:
             return
         log = self._read_log(channels.spark).filter(
-            F.col(ENGINE_TS) < F.lit(cutover)
+            F.col(ENGINE_TS) < F.lit(self._cutover)
         )
         for name in decode:
             if name not in self.schemas:
@@ -159,6 +194,7 @@ class EngineReplay(GatewayModule):
             ).drop(ENGINE_TS)
             channels.declare(name, self.schemas[name])
             channels.set_channel(name, replayed)
+            self._decoded.add(name)
 
     # -- WRITE half -----------------------------------------------------
     def flush(self, channels: Optional[ChannelCatalog] = None) -> int:
@@ -172,15 +208,36 @@ class EngineReplay(GatewayModule):
         catalog = channels or getattr(self, "_catalog", None)
         if catalog is None:
             raise RuntimeError("EngineReplay.flush: connect() first or pass the catalog")
-        cutover = getattr(self, "_cutover", None) or self.resolve_cutover(catalog.spark)
+        cutover = getattr(self, "_cutover", None)
+        if cutover is None:
+            cutover = self.resolve_cutover(catalog.spark, catalog)
+            self._cutover = cutover
         new_cycles: Dict[str, DataFrame] = {}
-        for name in self._encode:
+        for name in self._encode_names():
             try:
                 df = catalog.get_channel(name)
             except Exception:
                 continue
             if "timestamp" in df.columns:
                 df = df.filter(F.col("timestamp") >= F.lit(cutover))
+            elif name in getattr(self, "_decoded", set()):
+                # connect() replayed this channel's history into the
+                # catalog; without a timestamp column the cutover filter
+                # cannot partition the timeline, so an unfiltered append
+                # would duplicate every replayed cycle in the changelog.
+                raise ValueError(
+                    f"EngineReplay.flush: channel {name!r} has no 'timestamp' "
+                    "column, so replayed history cannot be separated from new "
+                    "ticks; add a timestamp field or exclude it from "
+                    "encode_selection"
+                )
+            else:
+                warnings.warn(
+                    f"EngineReplay.flush: channel {name!r} has no 'timestamp' "
+                    "column; appending ALL rows (the start_writing cutover "
+                    "cannot be applied)",
+                    stacklevel=2,
+                )
             new_cycles[name] = df
         if not new_cycles:
             return 0

@@ -216,12 +216,65 @@ def test_kafka_wire_handoff_round_trip(spark, tmp_path):
 
 
 def test_fresh_changelog_timedelta_starts_writing_immediately(spark, tmp_path):
+    """Default ``timedelta()`` + empty changelog must write EVERYTHING,
+    even channels carrying historical tick timestamps: the cutover
+    anchors on the encode channels' earliest tick (then epoch), never
+    wall-clock "now" — which would silently fail ``ts >= cutover`` for
+    every historical row and append 0 rows."""
     path = str(tmp_path / "log")
     mod = EngineReplay(path=path, schemas={"trades": SCHEMA})
-    before = datetime.datetime.utcnow() - datetime.timedelta(seconds=1)
-    cut = mod.resolve_cutover(spark)
-    assert cut >= before  # "now": write from the start of the run
+    # no changelog, no channels to anchor on -> epoch (writes everything)
+    assert mod.resolve_cutover(spark) == datetime.datetime(1970, 1, 1)
     cat = ChannelCatalog(spark)
     mod.connect(cat)
     with pytest.raises(Exception):
         cat.get_channel("trades") and None  # no provider yet, no replay
+    # historical ticks (far in the past) are still written on flush
+    _send(cat, [_row(1, 0), _row(2, 5)])
+    assert mod.flush() == 2
+    back = replay_channel(read_changelog(spark, path), "trades", SCHEMA)
+    assert {r.id for r in back.collect()} == {"r1", "r2"}
+
+
+def test_flush_without_connect_write_mode(spark, tmp_path):
+    """WRITE-mode flush(channels=...) without a prior connect() uses the
+    declared selection instead of dereferencing connect()-only state."""
+    path = str(tmp_path / "log")
+    mod = EngineReplay(
+        path=path, schemas={"trades": SCHEMA},
+        read_write_mode=ReadWriteMode.WRITE,
+        start_writing=T0 - datetime.timedelta(days=1),
+    )
+    cat = ChannelCatalog(spark)
+    cat.declare("trades", SCHEMA)
+    _send(cat, [_row(1, 1), _row(2, 2)])
+    assert mod.flush(channels=cat) == 2
+
+
+def test_flush_raises_on_replayed_channel_without_timestamp(spark, tmp_path):
+    """READ_AND_WRITE flush over a replayed channel with no 'timestamp'
+    column raises — an unfiltered append would duplicate every replayed
+    cycle in the changelog."""
+    import pyspark.sql.types as T
+
+    bare = T.StructType([T.StructField("id", T.StringType())])
+    path = str(tmp_path / "log")
+    writer = EngineReplay(
+        path=path, schemas={"bare": bare},
+        read_write_mode=ReadWriteMode.WRITE,
+    )
+    cat = ChannelCatalog(spark)
+    writer.connect(cat)
+    with pytest.warns(UserWarning, match="no 'timestamp' column"):
+        cat.set_channel("bare", spark.createDataFrame([("a",), ("b",)], bare))
+        assert writer.flush() == 2
+
+    mod = EngineReplay(
+        path=path, schemas={"bare": bare},
+        start_writing=datetime.datetime(2100, 1, 1),
+    )
+    cat2 = ChannelCatalog(spark)
+    mod.connect(cat2)  # replays history into the catalog
+    assert {r.id for r in cat2.get_channel("bare").collect()} == {"a", "b"}
+    with pytest.raises(ValueError, match="no 'timestamp' column"):
+        mod.flush()

@@ -209,6 +209,28 @@ def test_perspective_view_compute_and_ui(served):
     assert ei.value.code == 404
     html = urllib.request.urlopen(f"{base}/api/v1/perspective/ui").read().decode()
     assert "pivot viewer" in html and "/api/v1/perspective/view/" in html
+    # the UI passes split_by / sort direction / expressions through and
+    # HTML-escapes every rendered cell (row data is untrusted)
+    assert "split_by" in html and "id='sd'" in html and "id='ex'" in html
+    assert "function esc(" in html and "esc(row[c])" in html
+    # the exact config shape the UI posts: split_by + desc sort + expression
+    ui_cfg = {
+        "group_by": ["sym"],
+        "split_by": ["sym"],
+        "aggregates": {"px": "sum"},
+        "sort": [["sym", "desc"]],
+        "expressions": {"px2": "px * 2"},
+    }
+    req2 = urllib.request.Request(
+        f"{base}/api/v1/perspective/view/quotes",
+        data=json.dumps(ui_cfg).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    rows2 = json.loads(urllib.request.urlopen(req2).read())
+    syms = [r["sym"] for r in rows2]
+    assert syms == sorted(syms, reverse=True) and {"A", "B"} <= set(syms)  # desc sort
+    assert any(k.startswith("B_") or k == "B" for r in rows2 for k in r)  # split_by pivoted
 
 
 def test_shutdown_route(spark):
