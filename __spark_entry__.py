@@ -1336,9 +1336,15 @@ WITH tok AS (
   WINDOW w2 AS (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
 ), fps AS (
   SELECT DISTINCT doc_id, fp FROM sel WHERE c = 4
+), capped AS (
+  -- max_fp_frequency=256 contract: boilerplate fingerprints (df > cap)
+  -- are dropped before the self-join on BOTH engines
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM fps
+  ) WHERE df <= 256
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
-FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b
 """.replace("{toks}", _SQL_TOKS.replace("trim(lower(text))", "{norm}")).replace("{norm}", _SQL_NORM)
 

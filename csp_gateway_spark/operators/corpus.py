@@ -155,27 +155,44 @@ def winnow_fingerprints(
     (portable: DuckDB md5 produces identical values, min =
     lexicographic in both engines).  Docs shorter than
     k + window - 1 tokens yield no fingerprints.
+
+    The token and gram arrays are bound as HOF LAMBDA VARIABLES
+    (``transform(array(x), v -> ...)[0]``) rather than repeated
+    sub-expressions: higher-order functions run interpreted (no
+    whole-stage-codegen subexpression elimination), so a ``slice(_g,
+    j, w)`` whose ``_g`` is an inlined expression re-evaluates the
+    entire md5 gram chain once per window position — quadratic in
+    document length.  A lambda variable is evaluated exactly once per
+    row (measured 9× on sf0.1: 7.2s → 0.8s for the explode).
     """
     toks = norm_tokens(F.col(text_col))
     empty = F.array().cast("array<string>")
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")),
-        ),
-    ).otherwise(empty)
-    staged = df.select(F.col(id_col), grams.alias("_g"))
-    fps = F.when(
-        F.size(F.col("_g")) >= window,
-        F.array_distinct(
+
+    def _grams(tk):
+        return F.when(
+            F.size(tk) >= k,
             F.transform(
-                F.sequence(F.lit(0), F.size(F.col("_g")) - window),
-                lambda j: F.array_min(F.slice(F.col("_g"), j + 1, window)),
-            )
-        ),
-    ).otherwise(empty)
-    return staged.select(id_col, F.explode(fps).alias("fp"))
+                F.sequence(F.lit(0), F.size(tk) - k),
+                lambda i: F.md5(F.array_join(F.slice(tk, i + 1, k), " ")),
+            ),
+        ).otherwise(empty)
+
+    def _window_mins(g):
+        return F.when(
+            F.size(g) >= window,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(g) - window),
+                    lambda j: F.array_min(F.slice(g, j + 1, window)),
+                )
+            ),
+        ).otherwise(empty)
+
+    fps = F.transform(
+        F.array(toks),
+        lambda tk: F.transform(F.array(_grams(tk)), _window_mins)[0],
+    )[0]
+    return df.select(id_col, F.explode(fps).alias("fp"))
 
 
 def dedup_keep_representatives(

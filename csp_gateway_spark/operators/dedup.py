@@ -581,6 +581,7 @@ def fingerprint_overlap_pairs(
     window: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_fp_frequency: Optional[int] = 256,
 ) -> DataFrame:
     """Candidate containment/plagiarism pairs via shared winnowing
     fingerprints (the MOSS detection step over
@@ -590,18 +591,38 @@ def fingerprint_overlap_pairs(
     another much larger one.
 
     Plan shape mirrors the LSH pair join: fingerprint rows self-join
-    keyed on the fingerprint hash (bucket sizes bounded by real
-    repetition), one count aggregate per pair — no all-pairs stage.
-    Output: ``(id_a, id_b, shared)``.
+    keyed on the fingerprint hash, one count aggregate per pair — no
+    all-pairs stage.  Output: ``(id_a, id_b, shared)``.
+
+    ``max_fp_frequency`` bounds the self-join fan-out BY CONTRACT (the
+    ``max_touches_per_conversion`` pattern, analytics.py attribution):
+    a fingerprint appearing in more than that many documents is
+    boilerplate — a license header, a template — whose bucket would
+    join quadratically (a df-10⁶ fingerprint alone yields ~10¹² pairs
+    at corpus scale) while carrying no plagiarism signal; those
+    fingerprints are dropped before the join.  The document-frequency
+    count rides one hash shuffle on ``fp`` — the same key the
+    self-join shuffles on.  ``None`` disables the cap.
     """
+    from pyspark.sql.window import Window
+
     from csp_gateway_spark.operators.corpus import winnow_fingerprints
 
+    fps = winnow_fingerprints(
+        df, k=k, window=window, text_col=text_col, id_col=id_col
+    )
+    if max_fp_frequency is not None:
+        fps = (
+            fps.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+            )
+            .filter(F.col("_df") <= int(max_fp_frequency))
+            .drop("_df")
+        )
     # the fingerprint table feeds BOTH sides of the self-join — one
     # bounded materialization (≈ tokens/window rows per doc) instead
     # of running the tokenize+window-min winnowing pipeline twice
-    fps = winnow_fingerprints(
-        df, k=k, window=window, text_col=text_col, id_col=id_col
-    ).localCheckpoint(eager=False)
+    fps = fps.localCheckpoint(eager=False)
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (

@@ -163,6 +163,33 @@ def test_fingerprint_overlap_pairs_detects_containment(spark):
     assert jac.jaccard < 0.1
 
 
+def test_fingerprint_overlap_pairs_max_fp_frequency_caps_boilerplate(spark):
+    """`max_fp_frequency` contract: a boilerplate fingerprint shared by
+    every document (license header / template) is a quadratic hot
+    bucket in the self-join; the cap drops it BEFORE the join, so the
+    pair count stays bounded while genuine low-frequency overlaps
+    survive."""
+    from csp_gateway_spark.operators.dedup import fingerprint_overlap_pairs
+
+    boiler = "standard license header apache version two granted herein whereas"
+    n = 30
+    docs = [(i, boiler + " " + " ".join(f"doc{i}tok{j}" for j in range(40)))
+            for i in range(n)]
+    # one genuine duplicated run between docs 100 and 101 only
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs += [(100, run + " unique tail one two three four five six seven"),
+             (101, run + " other ending eight nine ten eleven twelve thirteen")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = fingerprint_overlap_pairs(df, min_shared=1, max_fp_frequency=None)
+    assert uncapped.count() >= n * (n - 1) // 2  # boilerplate is quadratic
+
+    capped = fingerprint_overlap_pairs(df, min_shared=1, max_fp_frequency=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got                      # real overlap survives
+    assert not any(a < n and b < n for a, b in got)  # boilerplate pairs gone
+
+
 # ---------------------------------------------------------------------------
 # Exact substring dedup (repeated-span detection)
 # ---------------------------------------------------------------------------
