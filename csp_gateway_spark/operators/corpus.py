@@ -1409,17 +1409,23 @@ def rouge_overlap(
     )
 
     def gram_counts(k: int, side: str) -> DataFrame:
-        toks = norm_tokens(F.col(text_col))
+        toks_expr = norm_tokens(F.col(text_col))
         if k == 1:
-            grams = toks
+            grams = toks_expr
         else:
-            grams = F.when(
-                F.size(toks) >= k,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - k),
-                    lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-                ),
-            ).otherwise(F.array(F.array_join(toks, " ")))
+            # bind the token array as a lambda variable — an inlined
+            # tokenizer expression under an interpreted HOF re-runs per
+            # gram position (quadratic; see winnow_fingerprints)
+            grams = F.transform(
+                F.array(toks_expr),
+                lambda toks: F.when(
+                    F.size(toks) >= k,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - k),
+                        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+                    ),
+                ).otherwise(F.array(F.array_join(toks, " "))),
+            )[0]
         return (
             df.select(ids.alias(side), F.explode(grams).alias("_gram"))
             .groupBy(side, "_gram")

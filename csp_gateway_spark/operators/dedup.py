@@ -47,16 +47,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n
 def shingles(col: Column, k: int = 3) -> Column:
     """Distinct word k-shingles of normalized text (column form).
 
-    NOTE: the transform lambda references the token array as an outer
-    expression, which Catalyst re-evaluates per index — fine for
-    per-candidate verification, quadratic-ish for corpus-wide scans.
-    Corpus-scale shingling uses ``shingle_rows`` (posexplode + window
-    lead: incremental, no re-evaluation)."""
-    toks = norm_tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+    The token array is bound as a HOF LAMBDA VARIABLE
+    (``transform(array(toks), t -> ...)[0]``) so the per-index
+    ``slice`` reads a bound value: higher-order functions run
+    interpreted (no codegen subexpression elimination), and slicing an
+    inlined tokenizer expression would re-run the whole regex chain
+    once per shingle position — quadratic in document length (the
+    winnow_fingerprints lesson, measured 9× there)."""
+    toks_expr = norm_tokens(col)
+
+    def _build(toks):
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        return F.array_distinct(
+            F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks)))
+        )
+
+    return F.transform(F.array(toks_expr), _build)[0]
 
 
 def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
@@ -136,13 +144,15 @@ def _md5_base15(col: Column) -> Column:
 def minhash_signature(col: Column, num_hashes: int = 32, k: int = 3, oracle_safe: bool = False) -> Column:
     """Array of ``num_hashes`` min-hash values over word k-shingles.
 
-    NOTE: as a single column expression the shingle pipeline is inlined
-    into every hash (num_hashes×) by Catalyst — fine for a handful of
-    hashes, pathological for 32.  The scale path is
+    The shingle array is bound ONCE as a HOF lambda variable; writing
+    it as a plain sub-expression would inline the whole shingle
+    pipeline into every hash (num_hashes× re-evaluation under the
+    interpreted HOF path).  Row-wise min-hash remains a column
+    expression; the explode-based scale path is
     ``minhash_signatures`` (explode → hash → groupBy-min).
     ``oracle_safe`` uses md5-hex hashing (portable); default xxhash64.
     """
-    sh = shingles(col, k)
+    sh_expr = shingles(col, k)
     hf = _hash_md5_hex if oracle_safe else _hash64
 
     def _with_seed(seed: int):
@@ -150,7 +160,12 @@ def minhash_signature(col: Column, num_hashes: int = 32, k: int = 3, oracle_safe
         # two-arg callables, which would clobber a default-arg seed
         return lambda s: hf(s, seed)
 
-    return F.array(*[F.array_min(F.transform(sh, _with_seed(i))) for i in range(num_hashes)])
+    return F.transform(
+        F.array(sh_expr),
+        lambda sh: F.array(
+            *[F.array_min(F.transform(sh, _with_seed(i))) for i in range(num_hashes)]
+        ),
+    )[0]
 
 
 def minhash_signatures(
