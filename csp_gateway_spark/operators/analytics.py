@@ -3038,20 +3038,86 @@ def ntile_histogram(
     ntile's remainder rule exactly).  Ties break on ``tiebreaks`` so
     the tile assignment is a strict total order.  Output per tile:
     (bucket, n, lo, hi)."""
-    from csp_gateway_spark.plans.scale import global_row_number, ntile_from_rank
+    from csp_gateway_spark.plans.scale import (
+        TARGET_ROWS_PER_BUCKET, global_row_number,
+    )
 
+    # The histogram never needs per-ROW tile assignment: ANSI ntile
+    # tile sizes are closed-form (base = ⌊N/b⌋, the first N mod b
+    # tiles get one extra row) and each tile's [lo, hi] envelope is a
+    # pair of order statistics — the values at global ranks
+    # offset(i)+1 and offset(i)+n_i — which depend only on the
+    # VALUE's multiset, never on tiebreaks (ties share a value).  So
+    # the plan collapses to the distinct-value ECDF (one hash
+    # aggregate), ONE cumulative over distinct values, and a
+    # broadcast join of b tiny boundary rows against the ECDF —
+    # ranking all N fact rows (3 scans + per-bucket windows) is
+    # replaced by ranking |distinct| collapsed rows.
+    per_val = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("_c")
+    )
     ranked = global_row_number(
-        df.select(value_col, *tiebreaks), value_col, list(tiebreaks), rn_col="_rn"
+        per_val, "_v", [], rn_col="_rn", cum_value="_c", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
+    ).localCheckpoint(eager=False)
+    totals = ranked.agg(F.max(F.col("_cum").cast("long")).alias("_N"))
+    b = F.lit(int(buckets)).cast("long")
+    n_big = F.col("_N")
+    base_sz = F.floor(n_big / b).cast("long")
+    rem = F.pmod(n_big, b).cast("long")
+    tiles = (
+        totals.select(
+            F.explode(F.sequence(F.lit(1).cast("long"), b)).alias("bucket"),
+            base_sz.alias("_base"),
+            rem.alias("_rem"),
+        )
+        .select(
+            "bucket",
+            (
+                F.col("_base")
+                + (F.col("bucket") <= F.col("_rem")).cast("long")
+            ).alias("n"),
+            (
+                (F.col("bucket") - 1) * F.col("_base")
+                + F.least(F.col("bucket") - 1, F.col("_rem"))
+            ).alias("_off"),
+        )
+        .filter(F.col("n") > 0)  # N < buckets: ANSI ntile leaves the tail tiles empty
     )
-    tiled = ranked.withColumn(
-        "bucket", ntile_from_rank("_rn", "_n_total", buckets)
+    ecdf = ranked.select(
+        "_v",
+        (F.col("_cum") - F.col("_c") + 1).cast("long").alias("_r_lo"),
+        F.col("_cum").cast("long").alias("_r_hi"),
     )
+    # both boundary order statistics of every tile ride ONE broadcast
+    # nested-loop join (2·buckets tiny rows against the ECDF), pivoted
+    # back to (lo, hi) by a per-tile aggregate
+    targets = tiles.select(
+        "bucket",
+        "n",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lo").alias("_side"),
+                    (F.col("_off") + 1).alias("_target"),
+                ),
+                F.struct(
+                    F.lit("hi").alias("_side"),
+                    (F.col("_off") + F.col("n")).alias("_target"),
+                ),
+            )
+        ).alias("_t"),
+    ).select("bucket", "n", "_t._side", "_t._target")
     return (
-        tiled.groupBy("bucket")
+        targets.join(
+            ecdf,
+            (F.col("_target") >= F.col("_r_lo"))
+            & (F.col("_target") <= F.col("_r_hi")),
+        )
+        .groupBy("bucket", "n")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(F.col(value_col)).cast("double").alias("lo"),
-            F.max(F.col(value_col)).cast("double").alias("hi"),
+            F.max(F.when(F.col("_side") == "lo", F.col("_v"))).cast("double").alias("lo"),
+            F.max(F.when(F.col("_side") == "hi", F.col("_v"))).cast("double").alias("hi"),
         )
         .orderBy("bucket")
     )
@@ -3513,7 +3579,10 @@ def ks_test(
     # scale-6 division result represents it exactly
     cum_b = F.pmod(F.col("_cum"), shift)
     cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
-    totals = per_val.agg(
+    # totals from the RANKED frame (already checkpointed inside
+    # global_row_number) — aggregating per_val again would re-run the
+    # whole scan+collapse a second time (the r10 ks_test regression)
+    totals = ranked.agg(
         F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
     )
     scored = ranked.crossJoin(F.broadcast(totals)).select(
