@@ -73,7 +73,13 @@ def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     shuffle on id; each token is materialized exactly once.  Documents
     shorter than k tokens contribute their whole text as one shingle
     (matching ``shingles``).  May emit duplicate shingles per doc —
-    harmless for MIN-based signatures."""
+    harmless for MIN-based signatures.
+
+    A scan-local bound-lambda form (explode the per-doc shingle array)
+    was tried and REVERTED: interpreted HOF slices copy k strings per
+    position, which at blocking k=12 measured 2.5× slower warm (and
+    ~10× cold) than this codegen'd window-lead plan — the narrow
+    shuffle is cheaper than leaving whole-stage codegen."""
     from pyspark.sql.window import Window
 
     toks = norm_tokens(F.col(text_col))
