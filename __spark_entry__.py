@@ -12255,9 +12255,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_keyed_last", "state_stream_replay", "window_stream_replay",
         "dedup_stream_replay", "join_stream_replay", "session_stream_replay",
         "state_filter_query", "state_multikey",
-        "perspective_view", "perspective_pivot", "table_index_limit",
-        # windows / joins / time
-        "window_tumbling", "window_session", "asof_join", "interval_join",
+        # perspective_pivot's slot funds a round-11 changed query; the
+        # pivot path stays driver-covered by perspective_view
+        "perspective_view", "table_index_limit",
+        # windows / joins / time (round-11 rotation: window_tumbling's
+        # slot funds a changed-query entry below; the tumbling shape
+        # stays driver-covered by window_stream_replay + window_session
+        # and replica-checked in the full sweep)
+        "window_session", "asof_join", "interval_join",
         # bus semantics / replay / serialization
         "union_merge", "lookup_by_id", "channel_processor", "tick_counts",
         "time_gate", "flatten_struct", "explode_embeddings", "replay_rewrite",
@@ -12277,8 +12282,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replica sweep still checks it)
         "embedding_neardup", "embedding_neardup_lsh", "ann_cosine_topk",
         "ann_ivf_topk", "kmeans_refine",
-        # corpus stats / encoding
-        "vocab_topk", "tfidf", "doc_fingerprints", "vocab_encode",
+        # corpus stats / encoding (vocab_topk's slot funds a round-11
+        # changed query; vocab coverage stays via tfidf + vocab_encode)
+        "tfidf", "doc_fingerprints", "vocab_encode",
         # curation
         "decontaminate", "stratified_sample", "train_split", "sequence_pack",
         "repetition_stats",
@@ -12287,7 +12293,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave-21 representatives (rank-eval + text-pair-metric
         # families) — both evictees carry driver-green CORRECTNESS_r07
         # evidence and stay in the full-replica sweep run each round
-        "roc_auc", "rouge_overlap",
+        # roc_auc's slot funds a round-11 changed query (rank-eval
+        # family stays replica-checked; rouge_overlap keeps the
+        # text-pair-metric seat)
+        "rouge_overlap",
         # round-10 rotation: replay_handoff (new W3-closure gate) takes
         # replay's family slot; char_entropy / line_dedup /
         # embedding_quantize return after 8 evicted rounds; the four
@@ -12295,6 +12304,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approx_distinct, hypertable_rollup) carry 8 consecutive
         # driver-green rounds and stay in the full replica sweep
         "char_entropy", "line_dedup", "embedding_quantize",
+        # round-11 rotation: the three queries whose implementations
+        # changed this round enter the window so the driver gate
+        # carries direct evidence on the new code (fingerprint df-cap,
+        # ECDF ntile, ks_test totals reuse), plus the longest-evicted
+        # TPC-H representative
+        "fingerprint_pairs", "ntile_histogram", "ks_test",
+        "volume_shipping",
     ]
     ordered = {name: raw[name] for name in priority}
     ordered.update({name: fn for name, fn in raw.items() if name not in ordered})
