@@ -3169,6 +3169,49 @@ def kaplan_meier(
     )
 
 
+def _blocked_append_scan(arr, row_type, init_rem, init_run, scan, block: int = 128):
+    """Left-to-right fold of the survival ``scan`` step over ``arr``
+    with the ROWS-array accumulation restructured into blocks of
+    ``block`` elements: the flat fold's per-element
+    ``concat(acc.rows, [row])`` copies the whole accumulated array
+    every step — O(n²) struct copies (measured ~1.5 s at 4.9k steps
+    at sf0.1, and hours at a 100k-duration domain) — while blocking
+    costs O(n·B + n²/B), minimized near B≈√n.  Elements are still
+    processed strictly in order with the SAME running (rem, run)
+    scalar sequence, so every sum/product adds/multiplies in the
+    identical order and the output is bit-identical to the flat fold
+    (and to the DuckDB oracle's list_reduce).
+
+    ``arr`` MUST be a bound column attribute (not an inline
+    expression): it is sliced once per block inside an interpreted
+    HOF lambda, which would re-evaluate an inline expression per
+    block.  The inner fold result is bound as a lambda variable
+    before its three field reads for the same reason."""
+    empty = F.lit([]).cast(T.ArrayType(row_type))
+    nb = F.ceil(F.size(arr) / F.lit(block)).cast("int")
+    blocks = F.sequence(F.lit(0), F.greatest(nb - F.lit(1), F.lit(0)))
+    outer_init = F.struct(
+        empty.alias("rows"), init_rem.alias("rem"), init_run.alias("run")
+    )
+
+    def outer(acc, bi):
+        blk = F.slice(arr, bi * F.lit(block) + 1, block)
+        inner_init = F.struct(
+            empty.alias("rows"), acc["rem"].alias("rem"), acc["run"].alias("run")
+        )
+        inner = F.aggregate(blk, inner_init, scan)
+        return F.transform(
+            F.array(inner),
+            lambda iv: F.struct(
+                F.concat(acc["rows"], iv["rows"]).alias("rows"),
+                iv["rem"].alias("rem"),
+                iv["run"].alias("run"),
+            ),
+        )[0]
+
+    return F.aggregate(blocks, outer_init, outer)
+
+
 def kaplan_meier_from_steps(steps: DataFrame) -> DataFrame:
     """:func:`kaplan_meier` over a precollapsed
     :func:`survival_steps` table — the shared-checkpoint form."""
@@ -3214,13 +3257,10 @@ def kaplan_meier_from_steps(steps: DataFrame) -> DataFrame:
             run2.alias("run"),
         )
 
-    init = F.struct(
-        F.lit([]).cast(T.ArrayType(row_t)).alias("rows"),
-        total.alias("rem"),
-        F.lit(1.0).alias("run"),
-    )
     folded = packed.select(
-        F.aggregate(F.col("_s"), init, scan)["rows"].alias("_rows")
+        _blocked_append_scan(F.col("_s"), row_t, total, F.lit(1.0), scan)[
+            "rows"
+        ].alias("_rows")
     )
     rows = folded.select(F.explode(F.col("_rows")).alias("_row"))
     return rows.select(
@@ -3467,13 +3507,10 @@ def nelson_aalen_from_steps(steps: DataFrame) -> DataFrame:
             run2.alias("run"),
         )
 
-    init = F.struct(
-        F.lit([]).cast(T.ArrayType(row_t)).alias("rows"),
-        total.alias("rem"),
-        F.lit(0.0).alias("run"),
-    )
     folded = packed.select(
-        F.aggregate(F.col("_s"), init, scan)["rows"].alias("_rows")
+        _blocked_append_scan(F.col("_s"), row_t, total, F.lit(0.0), scan)[
+            "rows"
+        ].alias("_rows")
     )
     rows = folded.select(F.explode(F.col("_rows")).alias("_row"))
     return rows.select(
