@@ -1061,23 +1061,36 @@ def ngram_novelty(
     duplicated each doc's content is (useful as a mixing weight and as
     a memorization-risk signal).
 
-    Plan: distinct (doc, shingle) rows → ONE groupBy(shingle) document
-    frequency (map-side combined) → join back → per-doc ratio of exact
-    integer counts.  Cost ∝ corpus shingle count, same as the MinHash
+    Plan: distinct (doc, shingle) rows → TWO independent aggregates
+    over the one checkpointed shingle table — per-doc distinct-gram
+    counts, and a per-shingle document-frequency pass that keeps ONLY
+    df==1 rows (a novel shingle belongs to exactly one document, so
+    ``min(doc)`` IS its owner and the novel counts come from a second
+    tiny groupBy) — then a broadcast join of the two doc-keyed frames.
+    No shingle-table self-join: the former df-count → join-back plan
+    re-shuffled the full shingle table a second time just to tag each
+    row with its df.  Cost ∝ corpus shingle count, same as the MinHash
     signature pass.
     """
     sh = shingle_rows(df, text_col, id_col, k=k).dropDuplicates([id_col, "_s"])
-    # the distinct shingle table feeds the document-frequency count AND
-    # the join probe; checkpoint so the explode+distinct runs once
+    # the distinct shingle table feeds BOTH aggregates; checkpoint so
+    # the explode+distinct runs once
     sh = sh.localCheckpoint(eager=False)
-    dfreq = sh.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-    per_doc = (
-        sh.join(dfreq, "_s")
-        .groupBy(id_col)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        sh.groupBy("_s")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("novel_grams"),
+            F.count(F.lit(1)).alias("_df"),
+            F.min(F.col(id_col)).alias("_owner"),
         )
+        .filter(F.col("_df") == 1)
+        .groupBy(F.col("_owner").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("novel_grams"))
+    )
+    per_doc = counts.join(F.broadcast(novel), id_col, "left").select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.coalesce(F.col("novel_grams"), F.lit(0)).alias("novel_grams"),
     )
     return df.select(id_col).join(per_doc, id_col, "left").select(
         F.col(id_col),
