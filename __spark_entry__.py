@@ -7301,6 +7301,56 @@ FROM m, sl GROUP BY slope
 """
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily order revenue — the
+    distribution-free "does a trend exist" companion of `theil_sen`'s
+    slope.  S and the tie-corrected variance are exact integer
+    arithmetic; the O(days²) pair stage is calendar-bounded."""
+    from csp_gateway_spark.operators.analytics import mann_kendall
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.select(
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("k"),
+        F.col("o_totalprice").alias("y"),
+    )
+    out = mann_kendall(daily, "k", "y")
+    return out.select(
+        "n",
+        "s_stat",
+        (F.round("var_s", 4) + F.lit(0.0)).alias("var_s"),
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+ORACLE_MANN_KENDALL = """
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS k,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN 1
+                                WHEN b.y < a.y THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+  FROM d a JOIN d b ON a.k < b.k
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d
+), ties AS (
+  SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)), 0) AS DOUBLE) AS tt
+  FROM (SELECT COUNT(*) AS t FROM d GROUP BY y)
+), v AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tt) / 18.0 AS var_s
+  FROM nn, ties
+)
+SELECT v.n AS n, s.s_stat AS s_stat,
+       ROUND(v.var_s, 4) + 0.0 AS var_s,
+       ROUND(CASE WHEN v.var_s <= 0 THEN NULL
+                  WHEN s.s_stat > 0 THEN (s.s_stat - 1.0) / sqrt(v.var_s)
+                  WHEN s.s_stat < 0 THEN (s.s_stat + 1.0) / sqrt(v.var_s)
+                  ELSE 0.0 END, 6) + 0.0 AS z
+FROM s, v
+"""
+
+
 # ---------------------------------------------------------------------------
 # ANALYTICS — Gini coefficient of customer revenue (exact integer form)
 # ---------------------------------------------------------------------------
@@ -12167,6 +12217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_lag": q_conversion_lag,
         "weighted_sample": q_weighted_sample,
         "theil_sen": q_theil_sen,
+        "mann_kendall": q_mann_kendall,
         "gini": q_gini,
         "mutual_information": q_mutual_information,
         "user_streaks": q_user_streaks,
@@ -12526,6 +12577,7 @@ def oracle_sql() -> dict[str, str]:
         "conversion_lag": ORACLE_CONVERSION_LAG,
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "theil_sen": ORACLE_THEIL_SEN,
+        "mann_kendall": ORACLE_MANN_KENDALL,
         "gini": ORACLE_GINI,
         "mutual_information": ORACLE_MUTUAL_INFORMATION,
         "user_streaks": ORACLE_USER_STREAKS,

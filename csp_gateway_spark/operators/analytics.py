@@ -2981,6 +2981,92 @@ def active_orders(
     ).orderBy("day_num")
 
 
+def mann_kendall(
+    series: DataFrame,
+    key_col,
+    value_col,
+) -> DataFrame:
+    """Mann-Kendall trend test of an ordered series: S = Σ_{i<j}
+    sign(y_j − y_i) over key order, the tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18, and the
+    continuity-corrected normal statistic Z — the standard
+    distribution-free "is this metric trending" test, the inferential
+    companion of the ``theil_sen`` slope (use MK to decide IF a trend
+    exists, Theil-Sen to size it).
+
+    The series collapses to one row per key first (duplicate keys sum,
+    the same convention as the other series operators), values
+    quantize at decimal(18,2) so the pairwise sign and the tie groups
+    are engine-exact; S and the variance are integer arithmetic and Z
+    is one closed-form double.  The pairwise stage is an explicit
+    key-ordered self-join — O(n²) pairs BY CONTRACT on a
+    calendar-bounded series (a 10-year daily series is ~6.7M pairs;
+    guard anything unbounded upstream with an aggregation).  Output:
+    one row (n, s_stat, var_s, z)."""
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = (
+        series.groupBy(k.cast("long").alias("_k"))
+        .agg(F.sum(v.cast("decimal(18,2)")).alias("_y"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    s_row = (
+        a.join(b, F.col("a._k") < F.col("b._k"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.signum(
+                        (F.col("b._y") - F.col("a._y")).cast("double")
+                    ).cast("long")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("_S")
+        )
+    )
+    t = F.col("_t").cast("decimal(20,0)")
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+    ).crossJoin(
+        F.broadcast(
+            base.groupBy("_y")
+            .agg(F.count(F.lit(1)).alias("_t"))
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        (
+                            t
+                            * (t - F.lit(1).cast("decimal(2,0)"))
+                            * (
+                                F.lit(2).cast("decimal(2,0)") * t
+                                + F.lit(5).cast("decimal(2,0)")
+                            )
+                        ).cast("decimal(38,0)")
+                    ),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("_tt")
+            )
+        )
+    )
+    n = F.col("_n").cast("double")
+    var_s = (
+        n * (n - F.lit(1.0)) * (F.lit(2.0) * n + F.lit(5.0))
+        - F.col("_tt").cast("double")
+    ) / F.lit(18.0)
+    s = F.col("_S").cast("double")
+    z = F.when(var_s <= 0, F.lit(None).cast("double")).otherwise(
+        F.when(s > 0, (s - F.lit(1.0)) / F.sqrt(var_s))
+        .when(s < 0, (s + F.lit(1.0)) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return s_row.crossJoin(F.broadcast(stats)).select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_S").alias("s_stat"),
+        var_s.alias("var_s"),
+        z.alias("z"),
+    )
+
+
 def group_ols_trend(
     df: DataFrame,
     group_col,

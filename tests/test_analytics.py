@@ -1521,3 +1521,30 @@ def test_packed_array_cap_guards_round8(spark):
             holt_winters(series, "k", "v").collect()
     finally:
         A_mod.PACKED_ARRAY_CAP = old
+
+
+def test_mann_kendall_hand_computed(spark):
+    """y = [1, 2, 2, 3] over k = 1..4: S = 5 (five rising pairs, one
+    tie), one tie group of 2 -> tt = 2*1*9 = 18,
+    Var = (4*3*13 - 18)/18 = 138/18, Z = (5-1)/sqrt(138/18)."""
+    import math
+
+    from csp_gateway_spark.operators.analytics import mann_kendall
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 2.0), (4, 3.0)], "k int, y double"
+    )
+    r = mann_kendall(df, "k", "y").collect()[0]
+    assert (r.n, r.s_stat) == (4, 5)
+    assert abs(r.var_s - 138.0 / 18.0) < 1e-12
+    assert abs(r.z - 4.0 / math.sqrt(138.0 / 18.0)) < 1e-12
+    # perfectly decreasing: S = -(n choose 2), continuity corrects +1
+    dec = spark.createDataFrame(
+        [(1, 4.0), (2, 3.0), (3, 2.0), (4, 1.0)], "k int, y double"
+    )
+    r2 = mann_kendall(dec, "k", "y").collect()[0]
+    assert r2.s_stat == -6 and r2.z < 0
+    # constant series: S = 0, variance 0 after tie correction -> z null
+    flat = spark.createDataFrame([(i, 5.0) for i in range(1, 5)], "k int, y double")
+    r3 = mann_kendall(flat, "k", "y").collect()[0]
+    assert r3.s_stat == 0 and r3.z is None
