@@ -646,6 +646,17 @@ def _sql_shingles(k: int = _SHINGLE_K) -> str:
     )
 
 
+def _sql_shingles_all(k: int) -> str:
+    """Non-distinct shingle list (every position, duplicates kept) —
+    mirrors ``dedup.shingle_rows`` occurrence semantics."""
+    toks = f"list_filter(regexp_split_to_array({_SQL_NORM}, ' '), x -> x != '')"
+    return (
+        f"(CASE WHEN len({toks}) >= {k} "
+        f"THEN list_transform(range(1, len({toks}) - {k} + 2), i -> array_to_string(({toks})[i:i+{k}-1], ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
+
+
 def _sql_affine_minhash(num_hashes: int, elem: str = "s", seed_ref: str = "seed") -> str:
     """DuckDB expression replicating the portable affine minhash family
     (one md5 per shingle, per-seed 2-universal rehash; see
@@ -7322,6 +7333,43 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget curve over trigram shingles: the smallest
+    frequency-ranked vocabulary covering 50/90/99% of the corpus gram
+    mass — one corpus scan, one collapsed two-phase cumulative, one
+    broadcast boundary probe per coverage point."""
+    from csp_gateway_spark.operators.corpus import token_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_coverage(docs, k=3, coverage=(0.5, 0.9, 0.99))
+
+
+ORACLE_TOKEN_COVERAGE = f"""
+WITH g AS (
+  SELECT unnest({{sh}}) AS s FROM documents
+), c AS (
+  SELECT s, CAST(COUNT(*) AS DECIMAL(18,0)) AS c FROM g GROUP BY s
+), r AS (
+  SELECT s, c,
+    ROW_NUMBER() OVER (ORDER BY c DESC, s) AS rn,
+    SUM(c) OVER (ORDER BY c DESC, s ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total FROM c
+), ps AS (
+  SELECT unnest([0.5, 0.9, 0.99]) AS coverage
+)
+SELECT p.coverage AS coverage,
+       CAST(r.rn AS BIGINT) AS vocab_size,
+       CAST(r.cum AS BIGINT) AS covered,
+       t.total AS total_occurrences
+FROM ps p, tot t, r
+WHERE p.coverage * CAST(t.total AS DOUBLE) <= CAST(r.cum AS DOUBLE)
+  AND p.coverage * CAST(t.total AS DOUBLE) > CAST(r.cum AS DOUBLE) - CAST(r.c AS DOUBLE)
+ORDER BY coverage
+""".replace("{sh}", _sql_shingles_all(3))
+
+
 ORACLE_MANN_KENDALL = """
 WITH d AS (
   SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS k,
@@ -12218,6 +12266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "theil_sen": q_theil_sen,
         "mann_kendall": q_mann_kendall,
+        "token_coverage": q_token_coverage,
         "gini": q_gini,
         "mutual_information": q_mutual_information,
         "user_streaks": q_user_streaks,
@@ -12578,6 +12627,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "theil_sen": ORACLE_THEIL_SEN,
         "mann_kendall": ORACLE_MANN_KENDALL,
+        "token_coverage": ORACLE_TOKEN_COVERAGE,
         "gini": ORACLE_GINI,
         "mutual_information": ORACLE_MUTUAL_INFORMATION,
         "user_streaks": ORACLE_USER_STREAKS,

@@ -212,6 +212,79 @@ def dedup_keep_representatives(
     return df.join(F.broadcast(losers), id_col, "left_anti")
 
 
+def token_coverage(
+    df: DataFrame,
+    k: int = 1,
+    coverage=(0.5, 0.9, 0.99),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-budget curve: for each requested coverage fraction p,
+    the smallest frequency-ranked vocabulary of token ``k``-grams whose
+    occurrences cover ≥ p of the corpus gram mass — the sizing question
+    every tokenizer/vocab decision starts from ("how many entries buy
+    95% coverage?").  Rank order is (count desc, gram asc): fully
+    deterministic, the :func:`build_vocab` convention.
+
+    Plan: gram counts (ONE map-side-combined shuffle) → one collapsed
+    two-phase cumulative over the distinct-gram frame
+    (``plans.scale.global_row_number``, no unpartitioned window) → a
+    broadcast boundary probe per coverage point (the ECDF
+    boundary-join shape of ``ntile_histogram``) — the corpus is
+    scanned once regardless of how many coverage points are asked.
+    Output per p: (coverage, vocab_size, covered, total_occurrences).
+    """
+    from csp_gateway_spark.operators.dedup import shingle_rows
+    from csp_gateway_spark.plans.scale import (
+        TARGET_ROWS_PER_BUCKET, global_row_number,
+    )
+
+    if k > 1:
+        rows = shingle_rows(df, text_col, id_col, k)
+    else:
+        rows = df.select(
+            F.col(id_col), F.explode(norm_tokens(F.col(text_col))).alias("_s")
+        )
+    counts = rows.groupBy("_s").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("_c")
+    )
+    ranked = global_row_number(
+        counts, "_c", ["_s"], rn_col="_rn", ascending=False,
+        cum_value="_c", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
+    ).localCheckpoint(eager=False)
+    totals = ranked.agg(
+        F.max(F.col("_cum").cast("long")).alias("_total"),
+    )
+    ps = totals.select(
+        F.explode(F.array(*[F.lit(float(p)) for p in coverage])).alias("coverage"),
+        F.col("_total"),
+    ).select(
+        "coverage",
+        "_total",
+        (F.col("coverage") * F.col("_total").cast("double")).alias("_target"),
+    )
+    ecdf = ranked.select(
+        F.col("_rn"),
+        F.col("_cum").cast("double").alias("_hi"),
+        (F.col("_cum") - F.col("_c")).cast("double").alias("_lo"),
+        F.col("_cum").cast("long").alias("_covered"),
+    )
+    return (
+        ps.join(
+            ecdf,
+            (F.col("_target") <= F.col("_hi")) & (F.col("_target") > F.col("_lo")),
+        )
+        .select(
+            "coverage",
+            F.col("_rn").cast("long").alias("vocab_size"),
+            F.col("_covered").alias("covered"),
+            F.col("_total").alias("total_occurrences"),
+        )
+        .orderBy("coverage")
+    )
+
+
 def build_vocab(
     df: DataFrame,
     size: int = 1 << 15,

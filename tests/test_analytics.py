@@ -1548,3 +1548,15 @@ def test_mann_kendall_hand_computed(spark):
     flat = spark.createDataFrame([(i, 5.0) for i in range(1, 5)], "k int, y double")
     r3 = mann_kendall(flat, "k", "y").collect()[0]
     assert r3.s_stat == 0 and r3.z is None
+
+
+def test_token_coverage_hand_computed(spark):
+    """counts a=5 b=4 c=3 d=1 e=1 (total 14): p=.5 -> rank2 (cum 9),
+    p=.9 -> rank4 (cum 13), p=.99 -> rank5 (cum 14)."""
+    from csp_gateway_spark.operators.corpus import token_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c d"), (2, "a b b c c e")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in token_coverage(df, k=1).collect()]
+    assert got == [(0.5, 2, 9, 14), (0.9, 4, 13, 14), (0.99, 5, 14, 14)]
