@@ -1539,6 +1539,45 @@ _SEMDEDUP_CELLS = 16
 _SEMDEDUP_THR = 0.4
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors within
+    cosine>=0.3 of any eval vector (vec_id % 41 == 0 plays the eval
+    suite), found via the deterministic hyperplane-LSH buckets with a
+    hamming-1 multi-probe on the broadcast eval side — the paraphrase
+    leakage k-gram decontamination misses."""
+    from csp_gateway_spark.operators.similarity import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 41 != 0),
+        emb.filter(F.col("vec_id") % 41 == 0),
+        dim=64,
+        threshold=0.3,
+        bits=8,
+    )
+    return out.select(
+        "vec_id", "eval_id", (F.round("cos", 6) + F.lit(0.0)).alias("cos")
+    ).orderBy("vec_id")
+
+
+ORACLE_SEMANTIC_DECONTAMINATE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (SELECT vec_id, e, {_sql_lsh_bucket_expr(8)} AS b FROM v WHERE vec_id % 41 != 0),
+ev AS (SELECT vec_id AS eid, e AS ee, {_sql_lsh_bucket_expr(8, vec="e")} AS b FROM v WHERE vec_id % 41 = 0),
+hits AS (
+  SELECT c.vec_id, ev.eid, list_cosine_similarity(c.e, ev.ee) AS cos
+  FROM c JOIN ev ON bit_count(xor(c.b, ev.b)) <= 1
+  WHERE list_cosine_similarity(c.e, ev.ee) >= 0.3
+), ranked AS (
+  SELECT vec_id, eid, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, eid ASC) AS rn
+  FROM hits
+)
+SELECT vec_id, CAST(eid AS BIGINT) AS eval_id, ROUND(cos, 6) + 0.0 AS cos
+FROM ranked WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paraphrase-level dedup lexical MinHash misses: cluster
     embeddings, drop same-cell vectors whose cosine to a lower-id
@@ -12267,6 +12306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "mann_kendall": q_mann_kendall,
         "token_coverage": q_token_coverage,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "gini": q_gini,
         "mutual_information": q_mutual_information,
         "user_streaks": q_user_streaks,
@@ -12628,6 +12668,7 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen": ORACLE_THEIL_SEN,
         "mann_kendall": ORACLE_MANN_KENDALL,
         "token_coverage": ORACLE_TOKEN_COVERAGE,
+        "semantic_decontaminate": ORACLE_SEMANTIC_DECONTAMINATE,
         "gini": ORACLE_GINI,
         "mutual_information": ORACLE_MUTUAL_INFORMATION,
         "user_streaks": ORACLE_USER_STREAKS,

@@ -583,6 +583,69 @@ def semantic_dedup(
     return assigned.join(F.broadcast(dropped), id_col, "left_anti")
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 8,
+    nprobe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Semantic (embedding-space) decontamination: corpus rows whose
+    embedding reaches ≥ ``threshold`` cosine against ANY eval-set
+    embedding — the leakage k-gram decontamination
+    (``curation.decontaminate``) misses when eval text is paraphrased
+    but the meaning survives into the embedding.
+
+    Blocking discipline: both sides bucket on the deterministic
+    hyperplane LSH; the EVAL side multi-probes its bucket plus every
+    hamming-``nprobe_hamming`` neighbor (the ``lsh_topk`` probe
+    pattern) so near-boundary pairs are still compared, and exact
+    cosine verifies within buckets only.  The eval side is small by
+    nature (a benchmark suite), so the exploded probe table BROADCASTS
+    and the corpus scan never shuffles.  A corpus row meets each eval
+    row through at most one probe (a bucket and its 1-bit flips are
+    distinct), so no pair is scored twice.  Output: one row per
+    contaminated corpus id with its best eval hit ``(id, eval_id,
+    cos)`` — ties on cos resolve to the smallest eval id."""
+    from csp_gateway_spark.operators.dedup import cosine
+
+    cb = lsh_bucket(corpus, dim, bits, vec_col=vec_col, out_col="_b", seed=seed)
+    ev = lsh_bucket(eval_set, dim, bits, vec_col=vec_col, out_col="_b", seed=seed)
+    probe_cols = [F.col("_b")]
+    if nprobe_hamming >= 1:
+        probe_cols += [
+            F.col("_b").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(bits)
+        ]
+    probes = ev.select(
+        F.col(id_col).alias("_eid"),
+        _as_double(F.col(vec_col)).alias("_evec"),
+        F.explode(F.array(*probe_cols)).alias("_b"),
+    )
+    hits = (
+        cb.join(F.broadcast(probes), "_b")
+        .select(
+            F.col(id_col),
+            F.col("_eid"),
+            cosine(_as_double(F.col(vec_col)), F.col("_evec")).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= F.lit(float(threshold)))
+    )
+    best = hits.groupBy(id_col).agg(
+        F.max(
+            F.struct(F.col("_cos").alias("c"), (-F.col("_eid")).alias("nid"))
+        ).alias("_m")
+    )
+    return best.select(
+        F.col(id_col),
+        (-F.col("_m.nid")).cast("long").alias("eval_id"),
+        F.col("_m.c").alias("cos"),
+    )
+
+
 def semantic_dup_pairs(
     assigned: DataFrame,
     threshold: float = 0.9,

@@ -462,3 +462,28 @@ def test_kcenter_sample_hand_computed(spark):
     assert kcenter_sample(df, k=9, scale=1).count() == 5
     with pytest.raises(ValueError, match="k must be"):
         kcenter_sample(df, k=0)
+
+
+def test_semantic_decontaminate_flags_planted_leak(spark):
+    """A corpus vector equal to an eval vector is flagged with cos=1
+    and the smallest eval id on ties; unrelated vectors stay clean."""
+    import pyspark.sql.functions as F
+
+    from csp_gateway_spark.operators.similarity import semantic_decontaminate
+
+    dim = 8
+    leak = [1.0, 0.0] * 4
+    ortho = [0.0, 1.0] * 4
+    corpus = spark.createDataFrame(
+        [(1, leak), (2, ortho)], "vec_id long, embedding array<float>"
+    )
+    evals = spark.createDataFrame(
+        [(100, leak), (101, leak), (102, [0.5] + [0.0] * 7)],
+        "vec_id long, embedding array<float>",
+    )
+    got = semantic_decontaminate(
+        corpus, evals, dim=dim, threshold=0.95, bits=4
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.vec_id == 1 and r.eval_id == 100 and abs(r.cos - 1.0) < 1e-12
