@@ -2344,6 +2344,24 @@ FROM s
 
 
 _SNP_K = 12
+
+
+def _snp_edges(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """ONE checkpointed shared-12-gram candidate-pair table (the
+    exact-blocking similarity graph over documents) shared by the six
+    graph/pair gates (edit_distance_pairs, pagerank_docs,
+    triangle_count, kcore, label_propagation, dup_cluster_stats) —
+    the `_survival_steps` checkpoint-and-share pattern: the shingle
+    blocking scan runs once per sf_dir instead of once per gate."""
+
+    def build():
+        from csp_gateway_spark.operators.dedup import shared_ngram_pairs
+
+        docs = _t(spark, sf_dir, "documents")
+        return shared_ngram_pairs(docs, k=_SNP_K).localCheckpoint(eager=True)
+
+    return _shared(spark, sf_dir, "snp_edges", build)
+
 _PR_DAMP = 0.85
 _PR_ITERS = 2
 _PR_FOLD_BUCKETS = 256
@@ -2372,7 +2390,7 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import edit_verify, shared_ngram_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = shared_ngram_pairs(docs, k=_SNP_K)
+    pairs = _snp_edges(spark, sf_dir)
     out = edit_verify(pairs, docs, threshold=1.0)
     return out.select(
         "id_a", "id_b", "dist", F.round("sim", 6).alias("sim")
@@ -2402,7 +2420,7 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import shared_ngram_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    edges = shared_ngram_pairs(docs, k=_SNP_K)
+    edges = _snp_edges(spark, sf_dir)
     out = pagerank(
         edges, iters=_PR_ITERS, damping=_PR_DAMP, fold_buckets=_PR_FOLD_BUCKETS
     )
@@ -6037,7 +6055,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import shared_ngram_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    edges = shared_ngram_pairs(docs, k=_SNP_K)
+    edges = _snp_edges(spark, sf_dir)
     return triangle_count(edges, topk=10).orderBy(F.desc("n_tri"), F.asc("node"))
 
 
@@ -7187,7 +7205,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import shared_ngram_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    edges = shared_ngram_pairs(docs, k=_SNP_K)
+    edges = _snp_edges(spark, sf_dir)
     return kcore(edges, k=2, rounds=3).orderBy("node")
 
 
@@ -7671,7 +7689,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import shared_ngram_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    edges = shared_ngram_pairs(docs, k=_SNP_K)
+    edges = _snp_edges(spark, sf_dir)
     seeds = docs.select(F.col("doc_id").alias("node"), F.col("source").alias("label"))
     out = label_propagation(edges, seeds, iters=_LP_ITERS)
     return (
@@ -8406,7 +8424,7 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import shared_ngram_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    edges = shared_ngram_pairs(docs, k=_SNP_K)
+    edges = _snp_edges(spark, sf_dir)
     cc = connected_components(edges)
     labeled = (
         docs.select(F.col("doc_id").alias("node"))
