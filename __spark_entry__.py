@@ -8523,6 +8523,7 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_MH_PAIR_HASHES,
         bands=_MH_PAIR_BANDS,
         oracle_safe=True,
+        blocking_pairs=_snp_edges(spark, sf_dir),
     )
     return out.select(
         "n_truth",

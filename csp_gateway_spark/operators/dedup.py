@@ -1230,6 +1230,7 @@ def lsh_recall_eval(
     text_col: str = "text",
     id_col: str = "doc_id",
     oracle_safe: bool = False,
+    blocking_pairs: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Candidate-generator quality evaluation: precision/recall of the
     banded MinHash-LSH candidate set against an exact-Jaccard ground
@@ -1242,11 +1243,17 @@ def lsh_recall_eval(
     ``truth_threshold`` — i.e. recall is measured against the
     exact-blocking family, which is itself a superset heuristic; both
     generators are corpus-linear, so the eval costs two candidate
-    passes plus a pair-keyed join, never n².  Output: one row
-    (n_truth, n_candidates, n_tp, precision, recall)."""
+    passes plus a pair-keyed join, never n².  Pass ``blocking_pairs``
+    (a precomputed ``shared_ngram_pairs(df, k=block_k)`` table, e.g. a
+    shared checkpoint) to skip re-running the blocking scan.  Output:
+    one row (n_truth, n_candidates, n_tp, precision, recall)."""
+    if blocking_pairs is None:
+        blocking_pairs = shared_ngram_pairs(
+            df, k=block_k, text_col=text_col, id_col=id_col
+        )
     truth = (
         ngram_jaccard_pairs(
-            df, shared_ngram_pairs(df, k=block_k, text_col=text_col, id_col=id_col),
+            df, blocking_pairs,
             text_col=text_col, id_col=id_col, k=k,
         )
         .filter(F.col("jaccard") >= truth_threshold)

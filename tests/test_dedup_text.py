@@ -540,6 +540,12 @@ def test_lsh_recall_eval_bounds(spark, sf_dir):
     assert r.n_truth > 0 and r.n_candidates > 0
     assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
     assert r.n_tp <= min(r.n_truth, r.n_candidates)
+    # a precomputed blocking table yields the identical report
+    from csp_gateway_spark.operators.dedup import shared_ngram_pairs
+
+    pre = shared_ngram_pairs(docs, k=12).localCheckpoint(eager=True)
+    r2 = lsh_recall_eval(docs, num_hashes=16, bands=4, blocking_pairs=pre).collect()[0]
+    assert tuple(r2) == tuple(r)
 
 
 def test_label_propagation_unseeded_nodes_adopt(spark):
