@@ -292,6 +292,10 @@ HEADLINE = [
     "mmr_rerank",
     "t_closeness",
     "brier_decomposition",
+    # round-11 additions
+    "mann_kendall",
+    "token_coverage",
+    "semantic_decontaminate",
 ]
 
 

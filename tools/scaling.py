@@ -102,6 +102,10 @@ HEAVY = [
     "nelson_aalen",
     "rmst",
     "kcenter_sample",
+    # round-11: new operators + the re-planned fingerprint/rank family
+    "mann_kendall",
+    "token_coverage",
+    "semantic_decontaminate",
 ]
 
 TABLES = [
