@@ -4567,26 +4567,51 @@ def spearman_corr(
     ranks = ranked.select(
         "_var", "_v", two_mid.cast("long").alias("_2r")
     ).localCheckpoint(eager=False)
-    j = base.join(
-        ranks.filter(F.col("_var") == 0).select(
-            F.col("_v").alias("_va"), F.col("_2r").alias("_ra")
-        ),
-        on="_va",
-    ).join(
-        ranks.filter(F.col("_var") == 1).select(
-            F.col("_v").alias("_vb"), F.col("_2r").alias("_rb")
-        ),
-        on="_vb",
-    )
-    ra = F.col("_ra").cast("decimal(13,0)")
+    # ONE broadcast join over the fact rows: 2rₐ is a function of _va
+    # alone, so Σ2rₐ·2r_b factors as Σ_va 2rₐ(va)·(Σ_{rows@va} 2r_b)
+    # and every other moment is a per-va count/sum — collapse the fact
+    # table per _va first (map-side combined), then attach the a-ranks
+    # to the collapsed frame.  Every sum is an exact integer in
+    # decimal, so the factored totals — and ρ — are bit-identical to
+    # the former two-join row-level aggregation.
     rb = F.col("_rb").cast("decimal(13,0)")
-    sums = j.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(F.col("_ra").cast("decimal(16,0)")).alias("_s1"),
-        F.sum(F.col("_rb").cast("decimal(16,0)")).alias("_s2"),
-        F.sum((ra * ra).cast("decimal(38,0)")).alias("_saa"),
-        F.sum((rb * rb).cast("decimal(38,0)")).alias("_sbb"),
-        F.sum((ra * rb).cast("decimal(38,0)")).alias("_sab"),
+    per_a = (
+        base.join(
+            F.broadcast(
+                ranks.filter(F.col("_var") == 1).select(
+                    F.col("_v").alias("_vb"), F.col("_2r").alias("_rb")
+                )
+            ),
+            on="_vb",
+        )
+        .groupBy("_va")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum(F.col("_rb").cast("decimal(25,0)")).alias("_sb"),
+            F.sum((rb * rb).cast("decimal(38,0)")).alias("_sbb_p"),
+        )
+    )
+    # (12,0)-bounded ranks (≤1e12 rows, the module's tie-group bound)
+    # keep every product under the 38-digit cap with no adjustment
+    ra12 = F.col("_ra").cast("decimal(12,0)")
+    cnt12 = F.col("_cnt").cast("decimal(12,0)")
+    sums = (
+        per_a.join(
+            F.broadcast(
+                ranks.filter(F.col("_var") == 0).select(
+                    F.col("_v").alias("_va"), F.col("_2r").alias("_ra")
+                )
+            ),
+            on="_va",
+        )
+        .agg(
+            F.sum("_cnt").cast("long").alias("_n"),
+            F.sum((cnt12 * ra12).cast("decimal(38,0)")).alias("_s1"),
+            F.sum(F.col("_sb").cast("decimal(38,0)")).alias("_s2"),
+            F.sum((cnt12 * ra12 * ra12).cast("decimal(38,0)")).alias("_saa"),
+            F.sum(F.col("_sbb_p")).alias("_sbb"),
+            F.sum((ra12 * F.col("_sb").cast("decimal(25,0)")).cast("decimal(38,0)")).alias("_sab"),
+        )
     )
     n = F.col("_n").cast("double")
     s1 = F.col("_s1").cast("double")
