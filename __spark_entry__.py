@@ -7427,6 +7427,54 @@ ORDER BY coverage
 """.replace("{sh}", _sql_shingles_all(3))
 
 
+def q_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank change-point on daily order revenue — the
+    distribution-free complement of `changepoint`'s variance split;
+    all U_t from one pair pass via the difference-array prefix sum."""
+    from csp_gateway_spark.operators.analytics import pettitt_test
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.select(
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("k"),
+        F.col("o_totalprice").alias("y"),
+    )
+    out = pettitt_test(daily, "k", "y")
+    return out.select(
+        "n", "k_stat", "split_key",
+        (F.round("p_approx", 6) + F.lit(0.0)).alias("p_approx"),
+    )
+
+
+ORACLE_PETTITT_TEST = """
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS k,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1
+), pr AS (
+  SELECT a.k AS ki, b.k AS kj,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS s
+  FROM d a JOIN d b ON a.k < b.k
+), del AS (
+  SELECT k, CAST(SUM(dd) AS DECIMAL(18,0)) AS dd FROM (
+    SELECT ki AS k, s AS dd FROM pr
+    UNION ALL
+    SELECT kj AS k, -s AS dd FROM pr
+  ) GROUP BY k
+), u AS (
+  SELECT k, SUM(dd) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS u FROM del
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d
+), top AS (
+  SELECT k, CAST(ABS(u) AS BIGINT) AS k_stat
+  FROM u ORDER BY ABS(u) DESC, k ASC LIMIT 1
+)
+SELECT nn.n AS n, top.k_stat AS k_stat, top.k AS split_key,
+       ROUND(LEAST(1.0, 2.0 * exp(-6.0 * CAST(top.k_stat AS DOUBLE) * CAST(top.k_stat AS DOUBLE)
+             / (CAST(nn.n AS DOUBLE) * nn.n * nn.n + CAST(nn.n AS DOUBLE) * nn.n))), 6) + 0.0 AS p_approx
+FROM top, nn
+"""
+
+
 ORACLE_MANN_KENDALL = """
 WITH d AS (
   SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS k,
@@ -12324,6 +12372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "theil_sen": q_theil_sen,
         "mann_kendall": q_mann_kendall,
+        "pettitt_test": q_pettitt_test,
         "token_coverage": q_token_coverage,
         "semantic_decontaminate": q_semantic_decontaminate,
         "gini": q_gini,
@@ -12686,6 +12735,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "theil_sen": ORACLE_THEIL_SEN,
         "mann_kendall": ORACLE_MANN_KENDALL,
+        "pettitt_test": ORACLE_PETTITT_TEST,
         "token_coverage": ORACLE_TOKEN_COVERAGE,
         "semantic_decontaminate": ORACLE_SEMANTIC_DECONTAMINATE,
         "gini": ORACLE_GINI,

@@ -296,6 +296,7 @@ HEADLINE = [
     "mann_kendall",
     "token_coverage",
     "semantic_decontaminate",
+    "pettitt_test",
 ]
 
 

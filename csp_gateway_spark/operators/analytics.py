@@ -3067,6 +3067,80 @@ def mann_kendall(
     )
 
 
+def pettitt_test(
+    series: DataFrame,
+    key_col,
+    value_col,
+) -> DataFrame:
+    """Pettitt change-point test of an ordered series: U_t = Σ_{i≤t}
+    Σ_{j>t} sign(y_j − y_i), K = max_t |U_t|, split at the argmax —
+    the rank-based (distribution-free) complement of
+    :func:`changepoint`'s variance-reduction split, robust to
+    outliers and level shifts in heavy-tailed metrics.  The
+    approximate significance is p ≈ 2·exp(−6K²/(n³+n²)).
+
+    All U_t come from ONE pair pass: a pair (i<j) contributes its
+    sign to every t in [i, j), so aggregating +sign at t=k_i and
+    −sign at t=k_j builds a DIFFERENCE ARRAY whose key-ordered prefix
+    sum (the collapsed two-phase cumulative — the frame is
+    distinct-key-bounded) is U_t — no per-t rescan.  Like
+    :func:`mann_kendall`, the O(n²) pair stage is calendar-bounded by
+    contract.  Ties in |U_t| resolve to the smallest key.  Output:
+    one row (n, k_stat, split_key, p_approx)."""
+    from csp_gateway_spark.plans.scale import (
+        TARGET_ROWS_PER_BUCKET, global_row_number,
+    )
+
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = (
+        series.groupBy(k.cast("long").alias("_k"))
+        .agg(F.sum(v.cast("decimal(18,2)")).alias("_y"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    sgn = F.signum((F.col("b._y") - F.col("a._y")).cast("double")).cast("long")
+    deltas = (
+        a.join(b, F.col("a._k") < F.col("b._k"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a._k").alias("_k"), sgn.alias("_d")),
+                    F.struct(F.col("b._k").alias("_k"), (-sgn).alias("_d")),
+                )
+            ).alias("_e")
+        )
+        .select("_e._k", "_e._d")
+        .groupBy("_k")
+        .agg(F.sum("_d").cast("decimal(18,0)").alias("_d"))
+    )
+    ranked = global_row_number(
+        deltas, "_k", [], rn_col="_rn", cum_value="_d", cum_col="_u",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
+    )
+    scored = ranked.select(
+        F.col("_k"), F.abs(F.col("_u").cast("long")).alias("_absu")
+    )
+    top = scored.orderBy(F.desc("_absu"), F.asc("_k")).limit(1)
+    n_row = base.agg(F.count(F.lit(1)).alias("_n"))
+    nn = F.col("_n").cast("double")
+    return top.crossJoin(F.broadcast(n_row)).select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_absu").alias("k_stat"),
+        F.col("_k").alias("split_key"),
+        F.least(
+            F.lit(1.0),
+            F.lit(2.0)
+            * F.exp(
+                F.lit(-6.0)
+                * F.col("_absu").cast("double")
+                * F.col("_absu").cast("double")
+                / (nn * nn * nn + nn * nn)
+            ),
+        ).alias("p_approx"),
+    )
+
+
 def group_ols_trend(
     df: DataFrame,
     group_col,

@@ -1560,3 +1560,24 @@ def test_token_coverage_hand_computed(spark):
     )
     got = [tuple(r) for r in token_coverage(df, k=1).collect()]
     assert got == [(0.5, 2, 9, 14), (0.9, 4, 13, 14), (0.99, 5, 14, 14)]
+
+
+def test_pettitt_hand_computed(spark):
+    """Step series [1,1,1,5,5]: U_t peaks at the level shift.  For
+    t=3 (last key of the low level): every (low, high) pair crossing
+    t contributes +1 -> U_3 = 6 = K; split at key 3."""
+    import math
+
+    from csp_gateway_spark.operators.analytics import pettitt_test
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 1.0), (4, 5.0), (5, 5.0)], "k int, y double"
+    )
+    r = pettitt_test(df, "k", "y").collect()[0]
+    assert (r.n, r.k_stat, r.split_key) == (5, 6, 3)
+    expect = min(1.0, 2.0 * math.exp(-6.0 * 36 / (125.0 + 25.0)))
+    assert abs(r.p_approx - expect) < 1e-12
+    # constant series: K = 0, split at the smallest key by tie-break
+    flat = spark.createDataFrame([(i, 2.0) for i in range(1, 6)], "k int, y double")
+    r2 = pettitt_test(flat, "k", "y").collect()[0]
+    assert r2.k_stat == 0 and r2.split_key == 1 and r2.p_approx == 1.0

@@ -106,6 +106,7 @@ HEAVY = [
     "mann_kendall",
     "token_coverage",
     "semantic_decontaminate",
+    "pettitt_test",
 ]
 
 TABLES = [
