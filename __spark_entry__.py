@@ -7427,6 +7427,63 @@ ORDER BY coverage
 """.replace("{sh}", _sql_shingles_all(3))
 
 
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity W across order priorities —
+    the precondition check for `anova_f` on the same cohorts; exact
+    doubled-deviation moments, group-sorted fold."""
+    from csp_gateway_spark.operators.analytics import levene_test
+
+    orders = _t(spark, sf_dir, "orders")
+    out = levene_test(orders, "o_orderpriority", "o_totalprice")
+    return out.select(
+        "n",
+        "k",
+        (F.round("ssb", 2) + F.lit(0.0)).alias("ssb"),
+        (F.round("ssw", 2) + F.lit(0.0)).alias("ssw"),
+        (F.round("f", 6) + F.lit(0.0)).alias("f"),
+    )
+
+
+ORACLE_LEVENE_TEST = """
+WITH med AS (
+  SELECT o_orderpriority AS g,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS med
+  FROM orders GROUP BY 1
+), z AS (
+  SELECT m.g,
+         CAST(ABS(CAST(2 * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,2))
+                  - CAST(m.med * 2.0 AS DECIMAL(19,2))) AS DECIMAL(19,2)) AS z2
+  FROM orders o JOIN med m ON o.o_orderpriority = m.g
+), per AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+    SUM(CAST(z2 AS DECIMAL(18,2))) AS sg,
+    SUM(CAST(CAST(z2 AS DECIMAL(19,2)) * CAST(z2 AS DECIMAL(19,2))
+        AS DECIMAL(38,4))) AS ssg
+  FROM z GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+    SUM(sg) AS s, SUM(ssg) AS ss,
+    list_reduce(list_transform(
+      list(struct_pack(g := g,
+                       term := CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+           ORDER BY g),
+      x -> x.term), (a, b) -> a + b) AS bt
+  FROM per
+), f AS (
+  SELECT n, k,
+    bt - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+    CAST(ss AS DOUBLE) - bt AS ssw,
+    CAST(k AS DOUBLE) - 1.0 AS df1,
+    CAST(n AS DOUBLE) - CAST(k AS DOUBLE) AS df2
+  FROM t
+)
+SELECT n, k, round(ssb, 2) + 0.0 AS ssb, round(ssw, 2) + 0.0 AS ssw,
+  round(CASE WHEN df1 > 0 AND df2 > 0 AND ssw > 0
+    THEN (ssb / df1) / (ssw / df2) END, 6) + 0.0 AS f
+FROM f
+"""
+
+
 def q_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pettitt rank change-point on daily order revenue — the
     distribution-free complement of `changepoint`'s variance split;
@@ -12373,6 +12430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "mann_kendall": q_mann_kendall,
         "pettitt_test": q_pettitt_test,
+        "levene_test": q_levene_test,
         "token_coverage": q_token_coverage,
         "semantic_decontaminate": q_semantic_decontaminate,
         "gini": q_gini,
@@ -12736,6 +12794,7 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen": ORACLE_THEIL_SEN,
         "mann_kendall": ORACLE_MANN_KENDALL,
         "pettitt_test": ORACLE_PETTITT_TEST,
+        "levene_test": ORACLE_LEVENE_TEST,
         "token_coverage": ORACLE_TOKEN_COVERAGE,
         "semantic_decontaminate": ORACLE_SEMANTIC_DECONTAMINATE,
         "gini": ORACLE_GINI,

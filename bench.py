@@ -297,6 +297,7 @@ HEADLINE = [
     "token_coverage",
     "semantic_decontaminate",
     "pettitt_test",
+    "levene_test",
 ]
 
 

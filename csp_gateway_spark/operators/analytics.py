@@ -3067,6 +3067,41 @@ def mann_kendall(
     )
 
 
+def levene_test(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) homogeneity-of-variance
+    test: the one-way ANOVA F over the absolute deviations
+    z = |y − median_g| — the variance-equality gate to run BEFORE
+    trusting :func:`anova_f`'s equal-variance assumption (a
+    significant W says the group variances differ).
+
+    Exactness: group medians of (18,2)-quantized data land on
+    half-cents, and a half-cent is exactly representable in a double
+    (it is (a+b)/2 of two exact cent values), so the deviations are
+    DOUBLED — 2·|y − med_g| = |2y − (a+b)| is exact at (18,2) — before
+    feeding :func:`anova_f`, whose F statistic is scale-invariant; no
+    rounding enters anywhere.  One grouped percentile scan + one
+    broadcast join + the anova_f moment scan.  Output: one row
+    (n, k, ssb, ssw, f) over the doubled deviations."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    y2 = (F.lit(2).cast("decimal(2,0)") * F.col(value_col).cast("decimal(18,2)")).cast(
+        "decimal(19,2)"
+    )
+    med = df.groupBy(g.alias("_g")).agg(
+        F.percentile(F.col(value_col).cast("double"), F.lit(0.5)).alias("_med")
+    )
+    z = df.join(F.broadcast(med), g == F.col("_g")).select(
+        F.col("_g"),
+        F.abs(
+            y2 - (F.col("_med") * F.lit(2.0)).cast("decimal(19,2)")
+        ).alias("_z2"),
+    )
+    return anova_f(z, "_g", "_z2")
+
+
 def pettitt_test(
     series: DataFrame,
     key_col,

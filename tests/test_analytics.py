@@ -1581,3 +1581,23 @@ def test_pettitt_hand_computed(spark):
     flat = spark.createDataFrame([(i, 2.0) for i in range(1, 6)], "k int, y double")
     r2 = pettitt_test(flat, "k", "y").collect()[0]
     assert r2.k_stat == 0 and r2.split_key == 1 and r2.p_approx == 1.0
+
+
+def test_levene_test_hand_computed(spark):
+    """A=[1,2,3] vs B=[10,20,30]: doubled deviations [2,0,2] vs
+    [20,0,20] -> F = 216 / (269.333/4).  Same-spread groups give F=0."""
+    from csp_gateway_spark.operators.analytics import levene_test
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 20.0), ("b", 30.0)],
+        "g string, y double",
+    )
+    r = levene_test(df, "g", "y").collect()[0]
+    assert (r.n, r.k) == (6, 2)
+    assert abs(r.f - 216.0 / ((808.0 - 538.0 - 2.0 / 3.0) / 4.0)) < 1e-9
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 11.0), ("b", 12.0), ("b", 13.0)],
+        "g string, y double",
+    )
+    r2 = levene_test(same, "g", "y").collect()[0]
+    assert abs(r2.f) < 1e-12  # identical spreads -> zero between-group SS

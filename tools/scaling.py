@@ -107,6 +107,7 @@ HEAVY = [
     "token_coverage",
     "semantic_decontaminate",
     "pettitt_test",
+    "levene_test",
 ]
 
 TABLES = [
