@@ -2383,6 +2383,48 @@ WITH shs AS (
 """
 
 
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning sweep over the shared 12-gram blocking
+    graph: verified-pair and implicated-doc counts per candidate
+    Jaccard cutoff — one verify pass, broadcast threshold cross."""
+    from csp_gateway_spark.operators.dedup import dedup_threshold_sweep
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_threshold_sweep(
+        docs, thresholds=(0.5, 0.7, 0.8, 0.9),
+        blocking_pairs=_snp_edges(spark, sf_dir),
+    )
+
+
+ORACLE_DEDUP_THRESHOLD_SWEEP = (
+    _snp_sql_prefix()
+    + f"""
+, shj AS (
+  SELECT doc_id, {{sh3}} AS s FROM documents
+), scored AS (
+  SELECT p.id_a, p.id_b,
+         len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) AS j
+  FROM cpairs p JOIN shj a ON p.id_a = a.doc_id JOIN shj b ON p.id_b = b.doc_id
+), th AS (
+  SELECT unnest([0.5, 0.7, 0.8, 0.9]) AS threshold
+), np AS (
+  SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM th JOIN scored ON j >= threshold GROUP BY 1
+), nd AS (
+  SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+  FROM th JOIN (
+    SELECT j, id_a AS d FROM scored UNION ALL SELECT j, id_b AS d FROM scored
+  ) ON j >= threshold GROUP BY 1
+)
+SELECT th.threshold AS threshold,
+       COALESCE(np.n_pairs, 0) AS n_pairs,
+       COALESCE(nd.n_docs, 0) AS n_docs
+FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+ORDER BY threshold
+"""
+).replace("{sh3}", _sql_shingles(3))
+
+
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance verify over exact-blocking candidates: pairs
     sharing a 12-gram, scored by JVM-side Levenshtein (O(len²) only on
@@ -12431,6 +12473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "pettitt_test": q_pettitt_test,
         "levene_test": q_levene_test,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "token_coverage": q_token_coverage,
         "semantic_decontaminate": q_semantic_decontaminate,
         "gini": q_gini,
@@ -12795,6 +12838,7 @@ def oracle_sql() -> dict[str, str]:
         "mann_kendall": ORACLE_MANN_KENDALL,
         "pettitt_test": ORACLE_PETTITT_TEST,
         "levene_test": ORACLE_LEVENE_TEST,
+        "dedup_threshold_sweep": ORACLE_DEDUP_THRESHOLD_SWEEP,
         "token_coverage": ORACLE_TOKEN_COVERAGE,
         "semantic_decontaminate": ORACLE_SEMANTIC_DECONTAMINATE,
         "gini": ORACLE_GINI,

@@ -298,6 +298,7 @@ HEADLINE = [
     "semantic_decontaminate",
     "pettitt_test",
     "levene_test",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -1291,6 +1291,64 @@ def lsh_recall_eval(
     )
 
 
+def dedup_threshold_sweep(
+    df: DataFrame,
+    thresholds: Sequence[float] = (0.5, 0.7, 0.8, 0.9),
+    k: int = 3,
+    block_k: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocking_pairs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Dedup-threshold tuning report: for each candidate Jaccard
+    cutoff, how many blocked candidate pairs verify at-or-above it and
+    how many distinct documents are implicated — the sweep to run
+    BEFORE committing a corpus-scale dedup threshold (too low eats
+    real data, too high leaves near-dups in).
+
+    One blocking pass (``shared_ngram_pairs``, or a precomputed/shared
+    ``blocking_pairs`` table) + one Jaccard verify produce a scored
+    pair table bounded by real near-dups; the sweep itself is a tiny
+    broadcast cross of that table with the threshold list — adding
+    thresholds costs nothing.  Output per threshold: (threshold,
+    n_pairs, n_docs), zero-filled, ordered by threshold."""
+    if blocking_pairs is None:
+        blocking_pairs = shared_ngram_pairs(
+            df, k=block_k, text_col=text_col, id_col=id_col
+        )
+    scored = ngram_jaccard_pairs(
+        df, blocking_pairs, text_col=text_col, id_col=id_col, k=k
+    ).select("id_a", "id_b", "jaccard").localCheckpoint(eager=False)
+    tf = df.sparkSession.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    pairs = (
+        scored.crossJoin(F.broadcast(tf))
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("_np"))
+    )
+    docs = (
+        scored.select(
+            "jaccard", F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("_doc")
+        )
+        .crossJoin(F.broadcast(tf))
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count_distinct(F.col("_doc")).alias("_nd"))
+    )
+    return (
+        tf.join(pairs, "threshold", "left")
+        .join(docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("_np"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("_nd"), F.lit(0)).cast("long").alias("n_docs"),
+        )
+        .orderBy("threshold")
+    )
+
+
 def prefix_dup_groups(
     df: DataFrame,
     k: int = 8,

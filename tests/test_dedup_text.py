@@ -633,3 +633,23 @@ def test_adamic_adar_hand_computed(spark):
     assert got[("s1", "s2")].shared == 2
     assert abs(got[("s1", "s3")].score - 1 / math.log(3)) < 1e-12
     assert got[("s2", "s3")].shared == 1
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    """Counts are non-increasing in the threshold; a verbatim dup pair
+    survives every cutoff while a partial overlap drops out."""
+    from csp_gateway_spark.operators.dedup import dedup_threshold_sweep
+
+    run = " ".join(f"tok{i}" for i in range(30))
+    half = " ".join(f"tok{i}" for i in range(15)) + " " + " ".join(
+        f"other{i}" for i in range(15)
+    )
+    df = spark.createDataFrame(
+        [(1, run), (2, run), (3, half), (4, "совсем unrelated text here")],
+        "doc_id long, text string",
+    )
+    rows = dedup_threshold_sweep(df, thresholds=(0.3, 0.9)).collect()
+    got = {r.threshold: (r.n_pairs, r.n_docs) for r in rows}
+    assert got[0.9][0] >= 1          # the verbatim pair survives 0.9
+    assert got[0.3][0] >= got[0.9][0]  # monotone non-increasing
+    assert got[0.3][1] >= got[0.9][1]

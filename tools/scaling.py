@@ -108,6 +108,7 @@ HEAVY = [
     "semantic_decontaminate",
     "pettitt_test",
     "levene_test",
+    "dedup_threshold_sweep",
 ]
 
 TABLES = [
