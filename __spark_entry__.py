@@ -197,6 +197,66 @@ def q_state_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STATE_STREAM_REPLAY = ORACLE_STATE_KEYED_LAST
 
 
+def q_enrich_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEVENTH streaming gate shape: STREAM-STATIC broadcast
+    enrichment + complete-mode aggregation.  Events replay through a
+    real Structured Streaming query (8-file split, one micro-batch
+    per file); each micro-batch inner-joins the STATIC customer dim
+    (broadcast — the stream side never shuffles for the join) and the
+    running (segment × event_type) totals re-emit in COMPLETE output
+    mode; the final memory-sink table must hash-equal the batch
+    join+groupBy oracle."""
+    import os
+    import shutil
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    root = _gate_tmpdir(prefix=f"csp_gw_enrich_replay_{os.getpid()}_")
+    src = os.path.join(root, "src")
+    ev.withColumn("_b", F.pmod(F.hash("event_id"), F.lit(8))).repartition(
+        8, "_b"
+    ).drop("_b").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    enriched = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+    )
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+    table = f"gate_enrich_replay_{os.getpid()}"
+    with _replay_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = os.path.join(root, "out")
+    spark.table(table).write.mode("overwrite").parquet(out)
+    spark.catalog.dropTempView(table)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "ckpt"), ignore_errors=True)
+    return spark.read.parquet(out).select(
+        "c_mktsegment", "event_type", "n", "sum_value"
+    ).orderBy("c_mktsegment", "event_type")
+
+
+ORACLE_ENRICH_STREAM_REPLAY = """
+SELECT c_mktsegment, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # P1-P3 — Filter/Query compilation on state (filter.py:16-66, state.py:339-376)
 # ---------------------------------------------------------------------------
@@ -12269,6 +12329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream_replay": q_dedup_stream_replay,
         "join_stream_replay": q_join_stream_replay,
         "session_stream_replay": q_session_stream_replay,
+        "enrich_stream_replay": q_enrich_stream_replay,
         "state_filter_query": q_state_filter_query,
         "perspective_view": q_perspective_view,
         "perspective_pivot": q_perspective_pivot,
@@ -12563,6 +12624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still replica-checked in the full sweep)
         "state_keyed_last", "state_stream_replay", "window_stream_replay",
         "dedup_stream_replay", "join_stream_replay", "session_stream_replay",
+        "enrich_stream_replay",
         "state_filter_query", "state_multikey",
         # perspective_pivot's slot funds a round-11 changed query; the
         # pivot path stays driver-covered by perspective_view
@@ -12574,7 +12636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_session", "asof_join", "interval_join",
         # bus semantics / replay / serialization
         "union_merge", "lookup_by_id", "channel_processor", "tick_counts",
-        "time_gate", "flatten_struct", "explode_embeddings", "replay_rewrite",
+        "time_gate", "flatten_struct", "replay_rewrite",
         "replay_handoff", "json_props",
         # text analysis (text_clean evicted for the fifth streaming
         # shape — see above)
@@ -12867,6 +12929,7 @@ def oracle_sql() -> dict[str, str]:
         "runs_test": ORACLE_RUNS_TEST,
         "max_drawdown": ORACLE_MAX_DRAWDOWN,
         "session_stream_replay": ORACLE_SESSION_STREAM_REPLAY,
+        "enrich_stream_replay": ORACLE_ENRICH_STREAM_REPLAY,
         "hhi_concentration": ORACLE_HHI_CONCENTRATION,
         "cramers_v": ORACLE_CRAMERS_V,
         "rmst": ORACLE_RMST,

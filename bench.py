@@ -299,6 +299,7 @@ HEADLINE = [
     "pettitt_test",
     "levene_test",
     "dedup_threshold_sweep",
+    "enrich_stream_replay",
 ]
 
 
