@@ -38,6 +38,42 @@ def run(cmd: list) -> int:
     return subprocess.call(cmd, cwd=ROOT)
 
 
+def readme_drift() -> int:
+    """Bookkeeping guard (VERDICT r10 ask #4): README's stated gate
+    count and bench total must match the registry and the measured
+    BENCH_LOCAL.json — drift here cost a verdict note in round 10."""
+    import json
+    import re
+
+    import __spark_entry__ as entry
+
+    failures = 0
+    readme = open(os.path.join(ROOT, "README.md")).read()
+    n_actual = len(entry.queries())
+    m = re.search(r"\*\*(\d+) `queries\(\)` entries", readme)
+    print("\n=== README drift check")
+    if not m or int(m.group(1)) != n_actual:
+        print(
+            f"README gate count {m.group(1) if m else '???'} != registry {n_actual} — update README.md"
+        )
+        failures += 1
+    else:
+        print(f"gate count OK ({n_actual})")
+    bench_path = os.path.join(ROOT, "BENCH_LOCAL.json")
+    if os.path.exists(bench_path):
+        bench = json.load(open(bench_path))
+        total, n_timed = bench.get("value"), len(bench.get("queries", {}))
+        if n_timed != n_actual:
+            print(
+                f"BENCH_LOCAL times {n_timed} queries but the registry has "
+                f"{n_actual} — add the missing names to bench.py HEADLINE"
+            )
+            failures += 1
+        else:
+            print(f"bench covers all {n_timed} queries (total {total:.1f}s)")
+    return failures
+
+
 def window_staleness() -> None:
     import __spark_entry__ as entry
 
@@ -85,6 +121,7 @@ def main() -> int:
     if "--skip-plans" not in sys.argv:
         if run([sys.executable, "tools/audit_plans.py", sf_dir, "--write"]) != 0:
             failures += 1
+    failures += readme_drift()
     window_staleness()
     print(f"\nround_close: {'FAIL' if failures else 'OK'} ({failures} stage failures)")
     return 1 if failures else 0
