@@ -12316,6 +12316,457 @@ FROM folded, tot
 """
 
 
+# ---------------------------------------------------------------------------
+# WAVE 23 (round 11) — agreement / concordance / distribution-shape /
+# momentum / graph-centrality / corpus-diversity additions
+# ---------------------------------------------------------------------------
+
+
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over four lineitem 'item' signals — the
+    internal-consistency gate before collapsing several quality
+    signals into one composite score.  All moments exact decimal; the
+    k-term variance sum folds left-to-right in column order."""
+    from csp_gateway_spark.operators.analytics import cronbach_alpha
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = cronbach_alpha(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    return out.select(
+        "n",
+        "k",
+        (F.round("item_var_sum", 4) + F.lit(0.0)).alias("item_var_sum"),
+        (F.round("total_var", 4) + F.lit(0.0)).alias("total_var"),
+        (F.round("alpha", 6) + F.lit(0.0)).alias("alpha"),
+    )
+
+
+ORACLE_CRONBACH_ALPHA = """
+WITH base AS (
+  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x0,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS x1,
+         CAST(l_discount AS DECIMAL(18,2)) AS x2,
+         CAST(l_tax AS DECIMAL(18,2)) AS x3,
+         CAST(CAST(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(25,2))
+              + CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(25,2))
+              + CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(25,2))
+              + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(25,2)) AS tt
+  FROM lineitem
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    SUM(CAST(x0 AS DECIMAL(38,2))) AS s0,
+    SUM(CAST(CAST(x0 AS DECIMAL(19,2)) * CAST(x0 AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS q0,
+    SUM(CAST(x1 AS DECIMAL(38,2))) AS s1,
+    SUM(CAST(CAST(x1 AS DECIMAL(19,2)) * CAST(x1 AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS q1,
+    SUM(CAST(x2 AS DECIMAL(38,2))) AS s2,
+    SUM(CAST(CAST(x2 AS DECIMAL(19,2)) * CAST(x2 AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS q2,
+    SUM(CAST(x3 AS DECIMAL(38,2))) AS s3,
+    SUM(CAST(CAST(x3 AS DECIMAL(19,2)) * CAST(x3 AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS q3,
+    SUM(CAST(tt AS DECIMAL(38,2))) AS st,
+    SUM(CAST(CAST(tt AS DECIMAL(19,2)) * CAST(tt AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS qt
+  FROM base
+), v AS (
+  SELECT n,
+    CAST(n AS DOUBLE) * CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+    + (CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+    + (CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+    + (CAST(n AS DOUBLE) * CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)) AS item_sum,
+    CAST(n AS DOUBLE) * CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) AS total_num,
+    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) AS denom
+  FROM s
+)
+SELECT n, CAST(4 AS BIGINT) AS k,
+  round(item_sum / denom, 4) + 0.0 AS item_var_sum,
+  round(total_num / denom, 4) + 0.0 AS total_var,
+  round(CASE WHEN total_num > 0
+        THEN (4.0 / 3.0) * (1.0 - item_sum / total_num) END, 6) + 0.0 AS alpha
+FROM v
+"""
+
+
+def q_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(1) of line price by supplier — how much of price variance
+    is 'which supplier' (rater-agreement form of anova_f); exact
+    moments + group-sorted fold, one double expression each output."""
+    from csp_gateway_spark.operators.analytics import icc_oneway
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = icc_oneway(li, "l_suppkey", "l_extendedprice")
+    return out.select(
+        "n",
+        "k",
+        (F.round("msb", 2) + F.lit(0.0)).alias("msb"),
+        (F.round("msw", 2) + F.lit(0.0)).alias("msw"),
+        (F.round("n0", 6) + F.lit(0.0)).alias("n0"),
+        (F.round("icc", 6) + F.lit(0.0)).alias("icc"),
+    )
+
+
+ORACLE_ICC_ONEWAY = """
+WITH per AS (
+  SELECT l_suppkey AS g, CAST(count(*) AS BIGINT) AS ng,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sg,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2))
+        AS DECIMAL(38,4))) AS ssg
+  FROM lineitem GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+    SUM(sg) AS s, SUM(ssg) AS ss,
+    SUM(CAST(CAST(ng AS DECIMAL(19,0)) * CAST(ng AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS n2,
+    list_reduce(list_transform(
+      list(struct_pack(g := g,
+                       term := CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+           ORDER BY g),
+      x -> x.term), (a, b) -> a + b) AS bt
+  FROM per
+), f AS (
+  SELECT n, k,
+    (bt - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      / (CAST(k AS DOUBLE) - 1.0) AS msb,
+    (CAST(ss AS DOUBLE) - bt) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw,
+    (CAST(n AS DOUBLE) - CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE))
+      / (CAST(k AS DOUBLE) - 1.0) AS n0
+  FROM t
+)
+SELECT n, k,
+  round(msb, 2) + 0.0 AS msb,
+  round(msw, 2) + 0.0 AS msw,
+  round(n0, 6) + 0.0 AS n0,
+  round(CASE WHEN msb + (n0 - 1.0) * msw != 0
+        THEN (msb - msw) / (msb + (n0 - 1.0) * msw) END, 6) + 0.0 AS icc
+FROM f
+"""
+
+
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: does monthly revenue rank the five order
+    priorities consistently?  Blocks = months, treatments =
+    priorities; doubled midranks keep every term exact-integer."""
+    from csp_gateway_spark.operators.analytics import friedman_test
+
+    orders = _t(spark, sf_dir, "orders")
+    out = friedman_test(
+        orders,
+        F.date_format(F.col("o_orderdate"), "yyyy-MM"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    return out.select(
+        "n_blocks",
+        "k",
+        (F.round("chi2", 6) + F.lit(0.0)).alias("chi2"),
+        (F.round("w", 6) + F.lit(0.0)).alias("w"),
+    )
+
+
+ORACLE_FRIEDMAN_TEST = """
+WITH cells AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS b,
+         o_orderpriority AS t,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1, 2
+), kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cells),
+comp AS (
+  SELECT b, t, y, COUNT(*) OVER (PARTITION BY b) AS cb FROM cells
+), r AS (
+  SELECT b, t,
+    CAST(2 * rank() OVER (PARTITION BY b ORDER BY y)
+         + COUNT(*) OVER (PARTITION BY b, y) - 1 AS BIGINT) AS r2
+  FROM comp, kk WHERE cb = kk.k
+), pt AS (
+  SELECT t, SUM(CAST(r2 AS HUGEINT)) AS rj,
+         SUM(CAST(r2 AS HUGEINT) * r2) AS rsq,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM r GROUP BY 1
+), one AS (
+  SELECT CAST(MAX(nb) AS BIGINT) AS n, SUM(rsq) AS a2,
+         SUM(CAST(rj AS HUGEINT) * rj) AS sr2, SUM(rj) AS sr
+  FROM pt
+), z AS (
+  SELECT n, kk.k AS k,
+    CAST(sr2 AS DOUBLE)
+      - 2.0 * (CAST(n AS DOUBLE) * (CAST(kk.k AS DOUBLE) + 1.0)) * CAST(sr AS DOUBLE)
+      + CAST(kk.k AS DOUBLE) * (CAST(n AS DOUBLE) * (CAST(kk.k AS DOUBLE) + 1.0))
+        * (CAST(n AS DOUBLE) * (CAST(kk.k AS DOUBLE) + 1.0)) AS num,
+    CAST(a2 AS DOUBLE)
+      - CAST(n AS DOUBLE) * CAST(kk.k AS DOUBLE) * (CAST(kk.k AS DOUBLE) + 1.0)
+        * (CAST(kk.k AS DOUBLE) + 1.0) AS den
+  FROM one, kk
+)
+SELECT n AS n_blocks, k,
+  round(CASE WHEN den > 0 THEN (CAST(k AS DOUBLE) - 1.0) * num / den END, 6) + 0.0 AS chi2,
+  round(CASE WHEN den > 0 AND n > 0 AND k > 1
+        THEN (CAST(k AS DOUBLE) - 1.0) * num / den
+             / (CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0)) END, 6) + 0.0 AS w
+FROM z
+"""
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q: did 1995 customers order in all four quarters at
+    the same rate?  Blocks = customers active in 1995, treatments =
+    quarters, x = ordered-that-quarter; pure integer counting."""
+    from csp_gateway_spark.operators.analytics import cochran_q
+
+    orders = _t(spark, sf_dir, "orders")
+    o95 = orders.filter(F.year("o_orderdate") == 1995)
+    out = cochran_q(o95, "o_custkey", F.quarter("o_orderdate"), F.lit(1))
+    return out.select(
+        "n_blocks",
+        "k",
+        (F.round("q_stat", 6) + F.lit(0.0)).alias("q_stat"),
+        "df",
+    )
+
+
+ORACLE_COCHRAN_Q = """
+WITH cells AS (
+  SELECT o_custkey AS b, CAST(quarter(o_orderdate) AS INT) AS t, MAX(1) AS x
+  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2
+), kk AS (
+  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS nb
+  FROM cells
+), ts AS (
+  SELECT SUM(CAST(cj AS HUGEINT)) AS tt, SUM(CAST(cj AS HUGEINT) * cj) AS c2
+  FROM (SELECT t, SUM(x) AS cj FROM cells GROUP BY 1)
+), bs AS (
+  SELECT SUM(CAST(ri AS HUGEINT) * ri) AS r2
+  FROM (SELECT b, SUM(x) AS ri FROM cells GROUP BY 1)
+)
+SELECT kk.nb AS n_blocks, kk.k AS k,
+  round(CASE WHEN CAST(kk.k AS DOUBLE) * CAST(tt AS DOUBLE) - CAST(r2 AS DOUBLE) > 0
+        THEN (CAST(kk.k AS DOUBLE) - 1.0)
+             * (CAST(kk.k AS DOUBLE) * CAST(c2 AS DOUBLE)
+                - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE))
+             / (CAST(kk.k AS DOUBLE) * CAST(tt AS DOUBLE) - CAST(r2 AS DOUBLE))
+        END, 6) + 0.0 AS q_stat,
+  CAST(kk.k - 1 AS BIGINT) AS df
+FROM kk, ts, bs
+"""
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between line quantity and discount — the
+    concordance twin of spearman_corr, computed on the 550-cell joint
+    frequency table instead of the O(n²) pair space."""
+    from csp_gateway_spark.operators.analytics import kendall_tau
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = kendall_tau(li, "l_quantity", "l_discount")
+    return out.select(
+        "n",
+        "concordant",
+        "discordant",
+        (F.round("tau_b", 6) + F.lit(0.0)).alias("tau_b"),
+    )
+
+
+ORACLE_KENDALL_TAU = """
+WITH cells AS (
+  SELECT l_quantity AS a, l_discount AS b, CAST(count(*) AS BIGINT) AS f
+  FROM lineitem GROUP BY 1, 2
+), pc AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN c2.b < c1.b THEN CAST(c1.f AS HUGEINT) * c2.f END), 0) AS c,
+    COALESCE(SUM(CASE WHEN c2.b > c1.b THEN CAST(c1.f AS HUGEINT) * c2.f END), 0) AS d
+  FROM cells c1 JOIN cells c2 ON c2.a < c1.a
+), ta AS (
+  SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS n1x2, SUM(CAST(t AS HUGEINT)) AS n
+  FROM (SELECT SUM(f) AS t FROM cells GROUP BY a)
+), tb AS (
+  SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS n2x2
+  FROM (SELECT SUM(f) AS t FROM cells GROUP BY b)
+), z AS (
+  SELECT CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0 AS n0,
+         CAST(n1x2 AS DOUBLE) / 2.0 AS n1,
+         CAST(n2x2 AS DOUBLE) / 2.0 AS n2,
+         CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd,
+         n, c, d
+  FROM pc, ta, tb
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS concordant,
+       CAST(d AS BIGINT) AS discordant,
+  round(CASE WHEN (n0 - n1) * (n0 - n2) > 0
+        THEN (cd - dd) / sqrt((n0 - n1) * (n0 - n2)) END, 6) + 0.0 AS tau_b
+FROM z
+"""
+
+
+def q_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises between returned ('R') and
+    acknowledged ('A') line quantities — integrates EVERY ECDF gap
+    (ks_test reacts only to the worst one); exact factored moments."""
+    from csp_gateway_spark.operators.analytics import cvm_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = cvm_test(li, "l_returnflag", "l_quantity", "R", "A")
+    return out.select(
+        "n_a",
+        "n_b",
+        (F.round("t_stat", 8) + F.lit(0.0)).alias("t_stat"),
+    )
+
+
+ORACLE_CVM_TEST = """
+WITH pv AS (
+  SELECT l_quantity AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1
+), c AS (
+  SELECT v, ca, cb,
+    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM pv
+), m AS (
+  SELECT
+    SUM(CAST(ca + cb AS HUGEINT) * cum_a * cum_a) AS A,
+    SUM(CAST(ca + cb AS HUGEINT) * cum_a * cum_b) AS B,
+    SUM(CAST(ca + cb AS HUGEINT) * cum_b * cum_b) AS C,
+    CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+  FROM c
+)
+SELECT na AS n_a, nb AS n_b,
+  round((CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(A AS DOUBLE)
+         - 2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(B AS DOUBLE)
+         + CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * CAST(C AS DOUBLE))
+        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+           * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+           * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))), 8) + 0.0 AS t_stat
+FROM m
+"""
+
+
+def q_macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD momentum decomposition of monthly order revenue — per
+    month: macd line, signal line, histogram.  One packed fold with
+    pinned FP order; DuckDB mirror is a recursive CTE stepping the
+    identical expressions."""
+    from csp_gateway_spark.operators.analytics import macd
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.select(
+        (
+            (F.year("o_orderdate") - F.lit(1970)) * F.lit(12)
+            + F.month("o_orderdate")
+            - F.lit(1)
+        ).cast("long").alias("k"),
+        F.col("o_totalprice").alias("y"),
+    )
+    out = macd(monthly, "k", "y")
+    return out.select(
+        "k",
+        (F.round("macd", 6) + F.lit(0.0)).alias("macd"),
+        (F.round("signal", 6) + F.lit(0.0)).alias("signal"),
+        (F.round("histogram", 6) + F.lit(0.0)).alias("histogram"),
+    ).orderBy("k")
+
+
+ORACLE_MACD_SIGNAL = """
+WITH RECURSIVE m AS (
+  SELECT CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS BIGINT) AS k,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT k, CAST(y AS DOUBLE) AS v,
+         CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS t
+  FROM m
+), r AS (
+  SELECT t, k, v, v AS ef, v AS es,
+         CAST(0.0 AS DOUBLE) AS mv, CAST(0.0 AS DOUBLE) AS g
+  FROM s WHERE t = 1
+  UNION ALL
+  SELECT x.t, x.k, x.v, x.ef, x.es, x.ef - x.es AS mv,
+         (2.0 / 10.0) * (x.ef - x.es) + (1.0 - 2.0 / 10.0) * x.g0 AS g
+  FROM (
+    SELECT s.t, s.k, s.v,
+           (2.0 / 13.0) * s.v + (1.0 - 2.0 / 13.0) * r.ef AS ef,
+           (2.0 / 27.0) * s.v + (1.0 - 2.0 / 27.0) * r.es AS es,
+           r.g AS g0
+    FROM r JOIN s ON s.t = r.t + 1
+  ) x
+)
+SELECT k, round(mv, 6) + 0.0 AS macd, round(g, 6) + 0.0 AS signal,
+       round(mv - g, 6) + 0.0 AS histogram
+FROM r ORDER BY k
+"""
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority centrality over the shared 12-gram
+    similarity graph — template-core detection beside pagerank_docs.
+    Integer half-steps, one final L1 normalization per axis."""
+    from csp_gateway_spark.operators.corpus import hits
+
+    edges = _snp_edges(spark, sf_dir)
+    out = hits(edges, iters=2)
+    return out.select(
+        "node",
+        (F.round("hub", 6) + F.lit(0.0)).alias("hub"),
+        (F.round("auth", 6) + F.lit(0.0)).alias("auth"),
+    ).orderBy("node")
+
+
+def _oracle_hits_scores() -> str:
+    return (
+        _snp_sql_prefix()
+        + """
+, e0 AS (
+  SELECT id_a AS src, id_b AS dst FROM cpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cpairs
+), nodes AS (SELECT DISTINCT src AS node FROM e0),
+h0 AS (SELECT node, CAST(1 AS HUGEINT) AS s FROM nodes),
+a1 AS (SELECT dst AS node, SUM(h0.s) AS s FROM e0 JOIN h0 ON e0.src = h0.node GROUP BY 1),
+h1 AS (SELECT src AS node, SUM(a1.s) AS s FROM e0 JOIN a1 ON e0.dst = a1.node GROUP BY 1),
+a2 AS (SELECT dst AS node, SUM(h1.s) AS s FROM e0 JOIN h1 ON e0.src = h1.node GROUP BY 1),
+h2 AS (SELECT src AS node, SUM(a2.s) AS s FROM e0 JOIN a2 ON e0.dst = a2.node GROUP BY 1),
+th AS (SELECT SUM(s) AS t FROM h2), ta AS (SELECT SUM(s) AS t FROM a2)
+SELECT nodes.node AS node,
+  round(CAST(COALESCE(h2.s, 0) AS DOUBLE) / CAST(th.t AS DOUBLE), 6) + 0.0 AS hub,
+  round(CAST(COALESCE(a2.s, 0) AS DOUBLE) / CAST(ta.t AS DOUBLE), 6) + 0.0 AS auth
+FROM nodes LEFT JOIN h2 USING (node) LEFT JOIN a2 USING (node), th, ta
+ORDER BY node
+"""
+    )
+
+
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus distinct-n diversity (n = 1, 2, 3): distinct vs total
+    token n-grams — the templated-text smell test, with shingle
+    semantics shared with the dedup family."""
+    from csp_gateway_spark.operators.corpus import distinct_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    out = distinct_ngrams(docs)
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        "total_ngrams",
+        F.col("distinct_ngrams").cast("long").alias("distinct_ngrams"),
+        (F.round("distinct_ratio", 6) + F.lit(0.0)).alias("distinct_ratio"),
+    ).orderBy("n")
+
+
+def _oracle_distinct_ngrams() -> str:
+    parts = []
+    for n in (1, 2, 3):
+        parts.append(
+            f"SELECT CAST({n} AS BIGINT) AS n, unnest({_sql_shingles_all(n)}) AS s FROM documents"
+        )
+    union = "\n  UNION ALL ".join(parts)
+    return f"""
+WITH g AS (
+  {union}
+)
+SELECT n, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+       CAST(COUNT(DISTINCT s) AS BIGINT) AS distinct_ngrams,
+       round(CAST(COUNT(DISTINCT s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS distinct_ratio
+FROM g GROUP BY 1 ORDER BY n
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -12533,6 +12984,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "mann_kendall": q_mann_kendall,
         "pettitt_test": q_pettitt_test,
+        "cronbach_alpha": q_cronbach_alpha,
+        "icc_oneway": q_icc_oneway,
+        "friedman_test": q_friedman_test,
+        "cochran_q": q_cochran_q,
+        "kendall_tau": q_kendall_tau,
+        "cvm_test": q_cvm_test,
+        "macd_signal": q_macd_signal,
+        "hits_scores": q_hits_scores,
+        "distinct_ngrams": q_distinct_ngrams,
         "levene_test": q_levene_test,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "token_coverage": q_token_coverage,
@@ -12899,6 +13359,15 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen": ORACLE_THEIL_SEN,
         "mann_kendall": ORACLE_MANN_KENDALL,
         "pettitt_test": ORACLE_PETTITT_TEST,
+        "cronbach_alpha": ORACLE_CRONBACH_ALPHA,
+        "icc_oneway": ORACLE_ICC_ONEWAY,
+        "friedman_test": ORACLE_FRIEDMAN_TEST,
+        "cochran_q": ORACLE_COCHRAN_Q,
+        "kendall_tau": ORACLE_KENDALL_TAU,
+        "cvm_test": ORACLE_CVM_TEST,
+        "macd_signal": ORACLE_MACD_SIGNAL,
+        "hits_scores": _oracle_hits_scores(),
+        "distinct_ngrams": _oracle_distinct_ngrams(),
         "levene_test": ORACLE_LEVENE_TEST,
         "dedup_threshold_sweep": ORACLE_DEDUP_THRESHOLD_SWEEP,
         "token_coverage": ORACLE_TOKEN_COVERAGE,

@@ -6960,3 +6960,538 @@ def brier_decomposition(
         unc.alias("uncertainty"),
         (rel - res + unc).alias("brier_binned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WAVE 23 (round 11) — agreement / concordance / distribution-shape tests
+# ---------------------------------------------------------------------------
+
+
+def cronbach_alpha(df: DataFrame, item_cols: list) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient over k
+    numeric "item" columns: α = k/(k−1) · (1 − Σᵢσ²ᵢ/σ²_T) with T the
+    per-row item total — the standard reliability gate before
+    averaging several noisy quality signals into one score.
+
+    ONE scan accumulates every moment EXACTLY: per-item Σx, Σx² and
+    the total's ΣT, ΣT² in decimal (T is the exact decimal sum of the
+    (18,2)-quantized items), so each variance numerator n·Σx² − (Σx)²
+    is a double over exact sums; the k-term numerator sum folds
+    LEFT-TO-RIGHT in the given column order (both engines run the
+    identical association).  Sample-vs-population normalization
+    cancels in the ratio.  Output: one row
+    (n, k, item_var_sum, total_var, alpha)."""
+    k = len(item_cols)
+    if k < 2:
+        raise ValueError("cronbach_alpha needs >= 2 item columns")
+    items = [F.col(c).cast("decimal(18,2)") for c in item_cols]
+    total = items[0].cast("decimal(25,2)")
+    for it in items[1:]:
+        total = (total + it).cast("decimal(25,2)")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, it in enumerate(items):
+        sq = (it.cast("decimal(19,2)") * it.cast("decimal(19,2)")).cast(
+            "decimal(38,4)"
+        )
+        aggs.append(F.sum(it.cast("decimal(38,2)")).alias(f"_s{i}"))
+        aggs.append(F.sum(sq).alias(f"_q{i}"))
+    tsq = (total.cast("decimal(19,2)") * total.cast("decimal(19,2)")).cast(
+        "decimal(38,4)"
+    )
+    aggs.append(F.sum(total.cast("decimal(38,2)")).alias("_st"))
+    aggs.append(F.sum(tsq).alias("_qt"))
+    one = df.agg(*aggs)
+    n = F.col("_n").cast("double")
+
+    def var_num(s, q):
+        return n * F.col(q).cast("double") - F.col(s).cast("double") * F.col(
+            s
+        ).cast("double")
+
+    item_sum = var_num("_s0", "_q0")
+    for i in range(1, k):
+        item_sum = item_sum + var_num(f"_s{i}", f"_q{i}")
+    total_num = var_num("_st", "_qt")
+    denom = n * (n - F.lit(1.0))
+    alpha = F.when(
+        total_num > 0,
+        F.lit(float(k) / (k - 1)) * (F.lit(1.0) - item_sum / total_num),
+    )
+    return one.select(
+        F.col("_n").cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        (item_sum / denom).alias("item_var_sum"),
+        (total_num / denom).alias("total_var"),
+        alpha.alias("alpha"),
+    )
+
+
+def icc_oneway(df: DataFrame, group_col, value_col: str) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1): the
+    share of variance explained by group membership,
+    (MSB − MSW)/(MSB + (n₀−1)·MSW) with n₀ the unbalanced-design
+    average group size (N − Σn_g²/N)/(k−1) — the rater-agreement /
+    clustering-strength companion of :func:`anova_f`.
+
+    Same exactness discipline as ``anova_f``: one grouped scan of
+    exact decimal moments (plus the exact Σn_g² integer), the
+    k-bounded Σ S_g²/n_g term folded group-sorted with pinned FP
+    order, every downstream quantity one double expression.  Output:
+    one row (n, k, msb, msw, n0, icc)."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    y = F.col(value_col).cast("decimal(18,2)")
+    per = df.groupBy(g.alias("_g")).agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.sum(y).cast("decimal(38,2)").alias("_sg"),
+        F.sum((y * y).cast("decimal(38,4)")).alias("_ssg"),
+    )
+    term = (
+        F.col("_sg").cast("double")
+        * F.col("_sg").cast("double")
+        / F.col("_ng").cast("double")
+    )
+    ng19 = F.col("_ng").cast("decimal(19,0)")
+    packed = per.select(
+        "_g", "_ng", "_sg", "_ssg", term.alias("_term")
+    ).agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_g", "_term"))), "icc_oneway"
+        ).alias("_z"),
+        F.sum("_ng").alias("_n"),
+        F.sum("_sg").alias("_s"),
+        F.sum("_ssg").alias("_ss"),
+        F.sum((ng19 * ng19).cast("decimal(38,0)")).alias("_n2"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    between = F.aggregate(
+        F.transform(F.col("_z"), lambda x: x["_term"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = F.col("_n").cast("double")
+    k = F.col("_k").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    staged = packed.select(
+        F.col("_n").alias("n"),
+        F.col("_k").alias("k"),
+        ((between - s * s / n) / (k - F.lit(1.0))).alias("msb"),
+        ((ss - between) / (n - k)).alias("msw"),
+        ((n - F.col("_n2").cast("double") / n) / (k - F.lit(1.0))).alias("n0"),
+    )
+    icc = F.when(
+        (F.col("msb") + (F.col("n0") - F.lit(1.0)) * F.col("msw")) != 0,
+        (F.col("msb") - F.col("msw"))
+        / (F.col("msb") + (F.col("n0") - F.lit(1.0)) * F.col("msw")),
+    )
+    return staged.select("n", "k", "msb", "msw", "n0", icc.alias("icc"))
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col,
+    treat_col,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test for k related treatments over n blocks —
+    the within-block (repeated-measures) twin of ``kruskal_wallis``:
+    rank the k treatment cells inside each block, then test whether
+    the treatment rank sums differ.  Tie-corrected:
+
+        χ² = (k−1)·Σⱼ(2Rⱼ − n(k+1))² / (Σᵢⱼ(2rᵢⱼ)² − n·k·(k+1)²)
+
+    using DOUBLED midranks so every term is an EXACT integer (midranks
+    are half-integers; 2r = 2·minrank + t − 1).  Blocks missing any
+    treatment are dropped (complete-block design), with k taken over
+    the full cell table.  The within-block rank is a window
+    partitioned BY BLOCK — k-bounded partitions, never a global sort —
+    and every sum is a plain integer aggregate, so the statistic is
+    engine-exact up to one final double division.  Output: one row
+    (n_blocks, k, chi2, w) with Kendall's W = χ²/(n(k−1))."""
+    from pyspark.sql.window import Window
+
+    b = F.col(block_col) if isinstance(block_col, str) else block_col
+    t = F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    cells = df.groupBy(b.alias("_b"), t.alias("_t")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_y")
+    )
+    kk = cells.agg(F.countDistinct("_t").alias("_k"))
+    complete = (
+        cells.withColumn(
+            "_cb", F.count(F.lit(1)).over(Window.partitionBy("_b"))
+        )
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("_cb") == F.col("_k"))
+    )
+    wrank = Window.partitionBy("_b").orderBy("_y")
+    wties = Window.partitionBy("_b", "_y")
+    ranked = complete.select(
+        "_b",
+        "_t",
+        "_k",
+        (
+            F.lit(2) * F.rank().over(wrank)
+            + F.count(F.lit(1)).over(wties)
+            - F.lit(1)
+        ).cast("long").alias("_2r"),
+    )
+    r2 = F.col("_2r").cast("decimal(19,0)")
+    per_treat = ranked.groupBy("_t").agg(
+        F.sum(F.col("_2r").cast("decimal(38,0)")).alias("_rj"),
+        F.sum((r2 * r2).cast("decimal(38,0)")).alias("_rsq"),
+        F.count(F.lit(1)).alias("_nb"),
+        F.max("_k").alias("_k"),
+    )
+    one = per_treat.agg(
+        F.max("_nb").cast("long").alias("_n"),
+        F.max("_k").cast("long").alias("_kk"),
+        F.sum("_rsq").alias("_a2"),
+        # Σⱼ(2Rⱼ − n(k+1))² needs n and k first; carry Σ2Rⱼ² and Σ2Rⱼ
+        # moments instead: Σ(R−c)² = ΣR² − 2cΣR + k·c² with c=n(k+1)
+        F.sum((F.col("_rj").cast("decimal(19,0)") * F.col("_rj").cast("decimal(19,0)")).cast("decimal(38,0)")).alias("_sr2"),
+        F.sum("_rj").alias("_sr"),
+    )
+    n = F.col("_n").cast("double")
+    k = F.col("_kk").cast("double")
+    c = n * (k + F.lit(1.0))
+    num = (
+        F.col("_sr2").cast("double")
+        - F.lit(2.0) * c * F.col("_sr").cast("double")
+        + k * c * c
+    )
+    den = F.col("_a2").cast("double") - n * k * (k + F.lit(1.0)) * (
+        k + F.lit(1.0)
+    )
+    chi2 = F.when(den > 0, (k - F.lit(1.0)) * num / den)
+    w = F.when(
+        (den > 0) & (n > 0) & (k > 1), (k - F.lit(1.0)) * num / den / (n * (k - F.lit(1.0)))
+    )
+    return one.select(
+        F.col("_n").alias("n_blocks"),
+        F.col("_kk").alias("k"),
+        chi2.alias("chi2"),
+        w.alias("w"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col,
+    treat_col,
+    x_col,
+) -> DataFrame:
+    """Cochran's Q test for k related BINARY treatments over n blocks
+    (the dichotomous sibling of :func:`friedman_test` — "did the
+    success rate differ across the k conditions?"):
+
+        Q = (k−1)·(k·ΣⱼCⱼ² − T²) / (k·T − ΣᵢRᵢ²)
+
+    with Cⱼ the per-treatment success totals, Rᵢ the per-block
+    totals, T the grand total.  Duplicate (block, treatment)
+    observations OR into one cell.  Everything is integer counting —
+    two k-/n-bounded grouped aggregates over the cell table — so Q is
+    exact up to the final double division.  Output: one row
+    (n_blocks, k, q_stat, df)."""
+    b = F.col(block_col) if isinstance(block_col, str) else block_col
+    t = F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    cells = df.groupBy(b.alias("_b"), t.alias("_t")).agg(
+        F.max(x.cast("int")).alias("_x")
+    )
+    kk = cells.agg(
+        F.countDistinct("_t").alias("_k"),
+        F.countDistinct("_b").alias("_nb"),
+    )
+    cj = F.col("_cj").cast("decimal(19,0)")
+    per_t = cells.groupBy("_t").agg(F.sum("_x").alias("_cj"))
+    tstats = per_t.agg(
+        F.sum(F.col("_cj").cast("decimal(38,0)")).alias("_tt"),
+        F.sum((cj * cj).cast("decimal(38,0)")).alias("_c2"),
+    )
+    ri = F.col("_ri").cast("decimal(19,0)")
+    bstats = (
+        cells.groupBy("_b")
+        .agg(F.sum("_x").alias("_ri"))
+        .agg(F.sum((ri * ri).cast("decimal(38,0)")).alias("_r2"))
+    )
+    one = tstats.crossJoin(F.broadcast(bstats)).crossJoin(F.broadcast(kk))
+    k = F.col("_k").cast("double")
+    tt = F.col("_tt").cast("double")
+    num = k * F.col("_c2").cast("double") - tt * tt
+    den = k * tt - F.col("_r2").cast("double")
+    q = F.when(den > 0, (k - F.lit(1.0)) * num / den)
+    return one.select(
+        F.col("_nb").cast("long").alias("n_blocks"),
+        F.col("_k").cast("long").alias("k"),
+        q.alias("q_stat"),
+        (F.col("_k") - F.lit(1)).cast("long").alias("df"),
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_cells: int = 2_000_000,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation between two numeric columns —
+    the concordant/discordant-pair companion of ``spearman_corr``
+    (τ weights each inversion once; ρ weights by rank distance).
+
+    The O(n²) pair space NEVER materializes: the data collapses to
+    the joint frequency table f(a,b) first (one hash aggregate), and
+    concordant/discordant counts come from the CELL self-join
+    C = Σ f·f′ over (a′<a, b′<b), D over (a′<a, b′>b) — quadratic
+    only in DISTINCT CELLS, which the ``max_cells`` contract bounds
+    (raise inside the plan, the ``PACKED_ARRAY_CAP`` pattern): τ on
+    unbounded-cardinality doubles is the wrong tool — quantize or
+    sample upstream.  Tie terms n₁ = Σt_a(t_a−1)/2, n₂ likewise come
+    from the marginals.  All counts are exact decimal integers;
+    τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)) is one closed-form double.
+    Output: one row (n, concordant, discordant, tau_b)."""
+    cells = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_f"))
+    ncells = cells.agg(F.count(F.lit(1)).alias("_nc"))
+    guard_msg = F.concat(
+        F.lit(f"kendall_tau: joint cell table exceeds max_cells={max_cells} (got "),
+        F.col("_nc").cast("string"),
+        F.lit(") — the cell self-join is only valid for distinct-bounded pairs; quantize first"),
+    )
+    # fold the guard into the USED frequency column — a standalone
+    # guarded column would be pruned away by Catalyst before it could
+    # fire (column pruning removes unused projections)
+    cells = cells.crossJoin(F.broadcast(ncells)).select(
+        "_a",
+        "_b",
+        F.when(F.col("_nc") > F.lit(max_cells), F.raise_error(guard_msg))
+        .otherwise(F.col("_f"))
+        .alias("_f"),
+    )
+    right = cells.select(
+        F.col("_a").alias("_a2"), F.col("_b").alias("_b2"), F.col("_f").alias("_f2")
+    )
+    ff = (F.col("_f").cast("decimal(19,0)") * F.col("_f2").cast("decimal(19,0)")).cast(
+        "decimal(38,0)"
+    )
+    pair_counts = (
+        cells.join(F.broadcast(right), F.col("_a2") < F.col("_a"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_b2") < F.col("_b"), ff)), F.lit(0).cast("decimal(38,0)")
+            ).alias("_c"),
+            F.coalesce(
+                F.sum(F.when(F.col("_b2") > F.col("_b"), ff)), F.lit(0).cast("decimal(38,0)")
+            ).alias("_d"),
+        )
+    )
+    ta = F.col("_t").cast("decimal(19,0)")
+    tie_a = (
+        cells.groupBy("_a")
+        .agg(F.sum("_f").alias("_t"))
+        .agg(F.sum((ta * (ta - F.lit(1).cast("decimal(2,0)"))).cast("decimal(38,0)")).alias("_2n1"),
+             F.sum(F.col("_t").cast("decimal(38,0)")).alias("_n"))
+    )
+    tie_b = (
+        cells.groupBy("_b")
+        .agg(F.sum("_f").alias("_t"))
+        .agg(F.sum((ta * (ta - F.lit(1).cast("decimal(2,0)"))).cast("decimal(38,0)")).alias("_2n2"))
+    )
+    one = pair_counts.crossJoin(F.broadcast(tie_a)).crossJoin(F.broadcast(tie_b))
+    n = F.col("_n").cast("double")
+    n0 = n * (n - F.lit(1.0)) / F.lit(2.0)
+    n1 = F.col("_2n1").cast("double") / F.lit(2.0)
+    n2 = F.col("_2n2").cast("double") / F.lit(2.0)
+    c = F.col("_c").cast("double")
+    d = F.col("_d").cast("double")
+    tau = F.when(
+        (n0 - n1) * (n0 - n2) > 0, (c - d) / F.sqrt((n0 - n1) * (n0 - n2))
+    )
+    return one.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_c").cast("long").alias("concordant"),
+        F.col("_d").cast("long").alias("discordant"),
+        tau.alias("tau_b"),
+    )
+
+
+def cvm_test(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact two-sample Cramér–von Mises statistic between two
+    cohorts of a numeric column: T = n₁n₂/N² · Σ_z h(z)·(F̂₁(z)−F̂₂(z))²
+    over the pooled sample (h = multiplicity) — the
+    whole-distribution companion of :func:`ks_test` (KS reacts to the
+    single worst gap; CvM integrates every gap, so it sees broad
+    small shifts KS misses).
+
+    Same scale shape as ``ks_test``: ONE distinct-value collapse
+    carrying both cohort counts, ONE packed decimal(38,0) cumulative
+    via the range-bucketed two-phase rank.  The gap sum FACTORS
+    through three exact integer moments — Σh·c₁², Σh·c₁c₂, Σh·c₂²
+    (order-free decimal(38,0) sums, bounded for cohorts ≤ 10¹¹ rows)
+    — so Σh·(c₁n₂−c₂n₁)² = n₂²A − 2n₁n₂B + n₁²C is ONE double
+    expression over exact sums and T divides once by n₁n₂N².
+    Output: one row (n_a, n_b, t_stat)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col)
+    per_val = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+        )
+    )
+    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
+    packed = per_val.withColumn(
+        "_pk",
+        (
+            F.col("_ca").cast("decimal(20,0)") * shift
+            + F.col("_cb").cast("decimal(20,0)")
+        ).cast("decimal(38,0)"),
+    )
+    ranked = global_row_number(
+        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
+    )
+    cum_b = F.pmod(F.col("_cum"), shift)
+    cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
+    # exact typed products: c ≤ 10¹¹ as (12,0), c·c′ → (23,0) cast,
+    # h ≤ 2·10¹¹ as (12,0), h·(c·c′) → (36,0) — every intermediate
+    # stays under the 38-digit cap on BOTH engines with no precision
+    # loss (the DuckDB mirror runs the same ladder in HUGEINT)
+    ca12 = cum_a.cast("decimal(12,0)")
+    cb12 = cum_b.cast("decimal(12,0)")
+    h12 = (F.col("_ca") + F.col("_cb")).cast("decimal(12,0)")
+    summed = ranked.agg(
+        F.sum((h12 * (ca12 * ca12).cast("decimal(23,0)")).cast("decimal(38,0)")).alias("_A"),
+        F.sum((h12 * (ca12 * cb12).cast("decimal(23,0)")).cast("decimal(38,0)")).alias("_B"),
+        F.sum((h12 * (cb12 * cb12).cast("decimal(23,0)")).cast("decimal(38,0)")).alias("_C"),
+        F.sum("_ca").alias("_na"),
+        F.sum("_cb").alias("_nb"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    nn = na + nb
+    gap_sum = (
+        nb * nb * F.col("_A").cast("double")
+        - F.lit(2.0) * na * nb * F.col("_B").cast("double")
+        + na * na * F.col("_C").cast("double")
+    )
+    t_stat = gap_sum / (na * nb * nn * nn)
+    return summed.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        t_stat.alias("t_stat"),
+    )
+
+
+def macd(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+) -> DataFrame:
+    """MACD momentum decomposition of an ordered series: fast/slow
+    EMAs (α = 2/(span+1)), macd = EMA_fast − EMA_slow, signal =
+    EMA_signal(macd), histogram = macd − signal — the trading-style
+    trend monitor over e.g. monthly revenue, per period.
+
+    The series collapses to one row per key (duplicate keys sum in
+    exact decimal) and packs into ONE key-ordered array
+    (calendar-bounded, cap-guarded) whose single left fold carries
+    (ema_f, ema_s, sig, rows): each step appends one output struct, so
+    the FP operation order is pinned and every period's triple is
+    engine-reproducible (DuckDB mirror: a recursive CTE stepping the
+    identical expressions).  EMAs seed at the first value; the signal
+    seeds at the first macd (0).  Output per period:
+    (k, macd, signal, histogram)."""
+    af = 2.0 / (fast + 1)
+    a_s = 2.0 / (slow + 1)
+    ag = 2.0 / (signal + 1)
+    packed = (
+        series.groupBy(F.col(key_col).cast("long").alias("_k"))
+        .agg(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_y"))
+        .agg(
+            _capped_packed(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("_k", F.col("_y").cast("double").alias("_v"))
+                    )
+                ),
+                "macd",
+            ).alias("_s")
+        )
+        .filter(F.size(F.col("_s")) >= 1)
+    )
+    first = F.element_at(F.col("_s"), 1)
+    row_t = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("m", T.DoubleType()),
+            T.StructField("g", T.DoubleType()),
+        ]
+    )
+    init = F.struct(
+        first["_v"].alias("ef"),
+        first["_v"].alias("es"),
+        F.lit(0.0).alias("sg"),
+        F.array(
+            F.struct(
+                first["_k"].alias("k"), F.lit(0.0).alias("m"), F.lit(0.0).alias("g")
+            )
+        ).cast(T.ArrayType(row_t)).alias("out"),
+    )
+
+    def step(acc, x):
+        ef = F.lit(af) * x["_v"] + F.lit(1.0 - af) * acc["ef"]
+        es = F.lit(a_s) * x["_v"] + F.lit(1.0 - a_s) * acc["es"]
+        m = (
+            (F.lit(af) * x["_v"] + F.lit(1.0 - af) * acc["ef"])
+            - (F.lit(a_s) * x["_v"] + F.lit(1.0 - a_s) * acc["es"])
+        )
+        sg = (
+            F.lit(ag)
+            * (
+                (F.lit(af) * x["_v"] + F.lit(1.0 - af) * acc["ef"])
+                - (F.lit(a_s) * x["_v"] + F.lit(1.0 - a_s) * acc["es"])
+            )
+            + F.lit(1.0 - ag) * acc["sg"]
+        )
+        return F.struct(
+            ef.alias("ef"),
+            es.alias("es"),
+            sg.alias("sg"),
+            F.array_append(
+                acc["out"],
+                F.struct(
+                    x["_k"].alias("k"),
+                    m.alias("m"),
+                    sg.alias("g"),
+                ),
+            ).alias("out"),
+        )
+
+    folded = packed.select(
+        F.aggregate(
+            F.slice(F.col("_s"), 2, F.greatest(F.size("_s") - 1, F.lit(0))),
+            init,
+            step,
+        )["out"].alias("_o")
+    )
+    row = F.explode(F.col("_o")).alias("_r")
+    return folded.select(row).select(
+        F.col("_r.k").alias("k"),
+        F.col("_r.m").alias("macd"),
+        F.col("_r.g").alias("signal"),
+        (F.col("_r.m") - F.col("_r.g")).alias("histogram"),
+    )

@@ -1660,3 +1660,114 @@ def burrows_delta(
         F.col("_gb").alias("source_b"),
         (F.col("_sum") / F.col("_nv").cast("double")).alias("delta"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    directed: bool = False,
+) -> DataFrame:
+    """HITS hub/authority scores over the node set of ``edges`` — the
+    mutual-reinforcement companion of :func:`pagerank` (a good hub
+    links to good authorities; a good authority is linked by good
+    hubs).  On a similarity graph, authorities are the densely-linked
+    template cores and hubs the docs touching many of them.
+
+    Scale + exactness design: hubs seed at 1 and the two alternating
+    half-steps a ← Σ_{u→v} h(u), h ← Σ_{u→v} a(v) stay EXACT
+    INTEGERS (decimal(38,0)) for the whole unrolled run — integer
+    sums are order-free, so unlike :func:`pagerank` no ordered fold
+    is needed anywhere; normalization by the exact L1 totals happens
+    ONCE at the end as a single double division per node.  Per
+    half-step: one shuffle join of scores onto edges + one hash
+    aggregate — a celebrity hub is just a big combiner group, never a
+    per-node array.  Magnitudes grow ≤ degree^(2·iters), so the
+    default 2 rounds stay inside the 38-digit window for graphs with
+    max degree < ~10⁹ (raise ``iters`` only with degree bounds in
+    hand).  Returns (node, hub, auth) with L1-normalized doubles."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().localCheckpoint()
+    nodes = e.select(F.col("src").alias("node")).unionByName(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    h = nodes.select("node", F.lit(1).cast("decimal(38,0)").alias("score"))
+    a = None
+    for _ in range(iters):
+        a = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("score").alias("score"))
+        )
+        h = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("score").alias("score"))
+        )
+    h_tot = h.agg(F.sum("score").alias("_th"))
+    a_tot = a.agg(F.sum("score").alias("_ta"))
+    scored = (
+        nodes.join(h.withColumnRenamed("score", "_h"), "node", "left")
+        .join(a.withColumnRenamed("score", "_a"), "node", "left")
+        .crossJoin(F.broadcast(h_tot))
+        .crossJoin(F.broadcast(a_tot))
+    )
+    return scored.select(
+        "node",
+        (
+            F.coalesce(F.col("_h"), F.lit(0).cast("decimal(38,0)")).cast("double")
+            / F.col("_th").cast("double")
+        ).alias("hub"),
+        (
+            F.coalesce(F.col("_a"), F.lit(0).cast("decimal(38,0)")).cast("double")
+            / F.col("_ta").cast("double")
+        ).alias("auth"),
+    )
+
+
+def distinct_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    orders: tuple = (1, 2, 3),
+) -> DataFrame:
+    """Corpus n-gram diversity (the "distinct-n" generation metric):
+    for each n, the number of distinct token n-grams, the total
+    occurrence count, and their ratio — low distinct-2/3 flags
+    templated or degenerate text before it trains a model.
+
+    Tokenization and n-gram semantics are EXACTLY
+    ``dedup.shingle_rows`` (normalized tokens, window-lead grams,
+    short docs contribute their whole text once), so the metric is
+    consistent with the dedup family's shingles.  One narrow
+    per-order scan → one (order, gram) hash collapse → one k-bounded
+    final aggregate; counts are exact integers, the ratio one double
+    division.  Output per order: (n, total_ngrams, distinct_ngrams,
+    distinct_ratio)."""
+    from csp_gateway_spark.operators.dedup import shingle_rows
+
+    tagged = None
+    for n in orders:
+        rows = shingle_rows(docs, text_col=text_col, id_col=id_col, k=int(n)).select(
+            F.lit(int(n)).alias("_n"), F.col("_s")
+        )
+        tagged = rows if tagged is None else tagged.unionByName(rows)
+    per_gram = tagged.groupBy("_n", "_s").agg(F.count(F.lit(1)).alias("_c"))
+    out = per_gram.groupBy("_n").agg(
+        F.sum("_c").cast("long").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+    )
+    return out.select(
+        F.col("_n").alias("n"),
+        "total_ngrams",
+        "distinct_ngrams",
+        (
+            F.col("distinct_ngrams").cast("double")
+            / F.col("total_ngrams").cast("double")
+        ).alias("distinct_ratio"),
+    )
