@@ -4619,32 +4619,34 @@ def spearman_corr(
     monotone-association twin of ``correlation_matrix`` (Pearson on
     midranks, robust to outliers and nonlinearity).
 
-    BOTH columns collapse in ONE pass: each fact row explodes to two
-    (variable, value) cells, one hash aggregate counts per distinct
-    cell, and the per-variable counts pack into a single
-    decimal(38,0) word (c_a·10¹⁵ + c_b — the ``mann_whitney_u``
-    packing: addition distributes, no carry while each cumulative
-    stays < 10¹⁵) so ONE ``global_row_number`` cumulative ordered by
-    (value, variable) yields both variables' midranks — half the rank
-    stages of ranking each column separately.  All rank sums Σ2r,
-    Σ(2r)², Σ(2rₐ·2r_b) accumulate EXACT integers in decimal(38,0) —
-    midranks are half-integers, so doubling keeps every term integral
-    and ρ is one closed-form double over exact sums,
-    engine-identical.  Output: one row (n, rho)."""
+    BOTH columns collapse first — two COLUMN-PRUNED grouped counts
+    (each scan reads exactly one parquet column) unioned into one
+    (variable, value, count) cell table whose per-variable counts pack
+    into a single decimal(38,0) word (c_a·10¹⁵ + c_b — the
+    ``mann_whitney_u`` packing: addition distributes, no carry while
+    each cumulative stays < 10¹⁵) so ONE ``global_row_number``
+    cumulative ordered by (value, variable) yields both variables'
+    midranks — half the rank stages of ranking each column
+    separately.  All rank sums Σ2r, Σ(2r)², Σ(2rₐ·2r_b) accumulate
+    EXACT integers in decimal(38,0) — midranks are half-integers, so
+    doubling keeps every term integral and ρ is one closed-form
+    double over exact sums, engine-identical.  Output: one row
+    (n, rho)."""
     from csp_gateway_spark.plans.scale import (
         TARGET_ROWS_PER_BUCKET, global_row_number,
     )
 
     base = df.select(F.col(col_a).alias("_va"), F.col(col_b).alias("_vb"))
-    cells = base.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("_var"), F.col("_va").alias("_v")),
-                F.struct(F.lit(1).alias("_var"), F.col("_vb").alias("_v")),
-            )
-        ).alias("_e")
-    ).select("_e._var", "_e._v")
-    per = cells.groupBy("_var", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    per = (
+        base.groupBy(F.col("_va").alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(F.lit(0).alias("_var"), "_v", "_c")
+        .unionByName(
+            base.groupBy(F.col("_vb").alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select(F.lit(1).alias("_var"), "_v", "_c")
+        )
+    )
     shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
     packed = per.withColumn(
         "_pk",
@@ -4674,62 +4676,74 @@ def spearman_corr(
     # variable branches — one lazy bounded materialization instead of
     # re-running the rank pipeline per branch
     ranks = ranked.select(
-        "_var", "_v", two_mid.cast("long").alias("_2r")
+        "_var", "_v", two_mid.cast("long").alias("_2r"), F.col("_c")
     ).localCheckpoint(eager=False)
-    # ONE broadcast join over the fact rows: 2rₐ is a function of _va
-    # alone, so Σ2rₐ·2r_b factors as Σ_va 2rₐ(va)·(Σ_{rows@va} 2r_b)
-    # and every other moment is a per-va count/sum — collapse the fact
-    # table per _va first (map-side combined), then attach the a-ranks
-    # to the collapsed frame.  Every sum is an exact integer in
-    # decimal, so the factored totals — and ρ — are bit-identical to
-    # the former two-join row-level aggregation.
-    rb = F.col("_rb").cast("decimal(13,0)")
-    per_a = (
-        base.join(
-            F.broadcast(
-                ranks.filter(F.col("_var") == 1).select(
-                    F.col("_v").alias("_vb"), F.col("_2r").alias("_rb")
-                )
-            ),
-            on="_vb",
-        )
-        .groupBy("_va")
+    # every PER-VARIABLE moment (n, Σ2r, Σ(2r)² over ROWS) comes from
+    # the rank table alone — Σ_rows f(v) = Σ_cells c·f(v) — so the
+    # fact table is touched exactly ONCE more, for the cross moment.
+    # ONE collect materializes the checkpoint and returns BOTH the
+    # per-side moments and the cell counts (5 bounded driver scalars
+    # per side — the centroid/LR-weights precedent): the moments
+    # re-enter the final plan as exact literals, and the cell counts
+    # pick which rank table is small enough to broadcast.
+    r13 = F.col("_2r").cast("decimal(13,0)")
+    c13 = F.col("_c").cast("decimal(13,0)")
+    mom = {
+        r["_var"]: r
+        for r in ranks.groupBy("_var")
         .agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.sum(F.col("_rb").cast("decimal(25,0)")).alias("_sb"),
-            F.sum((rb * rb).cast("decimal(38,0)")).alias("_sbb_p"),
+            F.count(F.lit(1)).alias("_sc"),
+            F.sum(F.col("_c").cast("decimal(38,0)")).alias("_nn"),
+            F.sum((c13 * r13).cast("decimal(38,0)")).alias("_s"),
+            F.sum((c13 * (r13 * r13).cast("decimal(27,0)")).cast("decimal(38,0)")).alias("_ssq"),
         )
+        .collect()
+    }
+    if not mom:
+        return df.sparkSession.createDataFrame(
+            [], "n long, rho double"
+        )
+    n_int = int(mom[0]["_nn"])
+    s1_int, s2_int = int(mom[0]["_s"]), int(mom[1]["_s"])
+    saa_int, sbb_int = int(mom[0]["_ssq"]), int(mom[1]["_ssq"])
+    # the cross moment Σ2rₐ·2r_b factors through the LOWER-cardinality
+    # side: broadcast ITS rank table onto the fact rows (the other
+    # side's table can approach row cardinality — broadcasting it, the
+    # former plan, is exactly the 100 TB anti-pattern), collapse per
+    # big-side value (map-side combined), and resolve the big side's
+    # ranks with an equi-join of two distinct-keyed bounded frames.
+    # Every sum stays an exact decimal integer, so the factored totals
+    # — and ρ — are bit-identical to the row-level aggregation
+    # (int→double via Python float() and via the decimal→double cast
+    # are both correctly-rounded IEEE conversions of the same exact
+    # integer).
+    small_var = 0 if mom[0]["_sc"] <= mom[1]["_sc"] else 1
+    small_col, big_col = ("_va", "_vb") if small_var == 0 else ("_vb", "_va")
+    m_small = ranks.filter(F.col("_var") == small_var).select(
+        F.col("_v").alias(small_col), F.col("_2r").alias("_rs")
     )
-    # (12,0)-bounded ranks (≤1e12 rows, the module's tie-group bound)
-    # keep every product under the 38-digit cap with no adjustment
-    ra12 = F.col("_ra").cast("decimal(12,0)")
-    cnt12 = F.col("_cnt").cast("decimal(12,0)")
-    sums = (
-        per_a.join(
-            F.broadcast(
-                ranks.filter(F.col("_var") == 0).select(
-                    F.col("_v").alias("_va"), F.col("_2r").alias("_ra")
-                )
-            ),
-            on="_va",
-        )
-        .agg(
-            F.sum("_cnt").cast("long").alias("_n"),
-            F.sum((cnt12 * ra12).cast("decimal(38,0)")).alias("_s1"),
-            F.sum(F.col("_sb").cast("decimal(38,0)")).alias("_s2"),
-            F.sum((cnt12 * ra12 * ra12).cast("decimal(38,0)")).alias("_saa"),
-            F.sum(F.col("_sbb_p")).alias("_sbb"),
-            F.sum((ra12 * F.col("_sb").cast("decimal(25,0)")).cast("decimal(38,0)")).alias("_sab"),
-        )
+    m_big = ranks.filter(F.col("_var") == (1 - small_var)).select(
+        F.col("_v").alias(big_col), F.col("_2r").alias("_rb")
     )
-    n = F.col("_n").cast("double")
-    s1 = F.col("_s1").cast("double")
-    s2 = F.col("_s2").cast("double")
+    per_big = (
+        base.join(F.broadcast(m_small), on=small_col)
+        .groupBy(big_col)
+        .agg(F.sum(F.col("_rs").cast("decimal(25,0)")).alias("_srs"))
+    )
+    cross = per_big.join(m_big, on=big_col).agg(
+        F.coalesce(
+            F.sum((F.col("_rb").cast("decimal(13,0)") * F.col("_srs")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_sab")
+    )
+    n = F.lit(float(n_int))
+    s1 = F.lit(float(s1_int))
+    s2 = F.lit(float(s2_int))
     cov = n * F.col("_sab").cast("double") - s1 * s2
-    va = n * F.col("_saa").cast("double") - s1 * s1
-    vb = n * F.col("_sbb").cast("double") - s2 * s2
+    va = n * F.lit(float(saa_int)) - s1 * s1
+    vb = n * F.lit(float(sbb_int)) - s2 * s2
     rho = F.when(va * vb > 0, cov / F.sqrt(va * vb))
-    return sums.select(F.col("_n").alias("n"), rho.alias("rho"))
+    return cross.select(F.lit(n_int).cast("long").alias("n"), rho.alias("rho"))
 
 
 def jarque_bera(
