@@ -12767,6 +12767,377 @@ FROM g GROUP BY 1 ORDER BY n
 """
 
 
+# ---------------------------------------------------------------------------
+# WAVE 24 (round 11) — time-series diagnostics / paired tests / variance
+# homogeneity / shift estimation / graph structure / corpus diversity
+# ---------------------------------------------------------------------------
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation diagnostic of daily order
+    revenue — exact decimal lag-1 difference sum, one double
+    division."""
+    from csp_gateway_spark.operators.analytics import durbin_watson
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.select(
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("k"),
+        F.col("o_totalprice").alias("y"),
+    )
+    out = durbin_watson(daily, "k", "y")
+    return out.select("n", (F.round("dw", 6) + F.lit(0.0)).alias("dw"))
+
+
+ORACLE_DURBIN_WATSON = """
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS k,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1
+), nm AS (
+  SELECT COALESCE(SUM(CAST(
+           CAST(a.y - b.y AS DECIMAL(19,2)) * CAST(a.y - b.y AS DECIMAL(19,2))
+         AS DECIMAL(38,4))), 0) AS num
+  FROM d a JOIN (SELECT k + 1 AS k, y FROM d) b USING (k)
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, SUM(y) AS s,
+    SUM(CAST(CAST(y AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS ss
+  FROM d
+)
+SELECT n,
+  round(CASE WHEN (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE) > 0
+        THEN CAST(num AS DOUBLE)
+             / ((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))
+        END, 6) + 0.0 AS dw
+FROM nm, t
+"""
+
+
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test over monthly revenue (lags 1-12) —
+    full-series-mean autocorrelations, exact lag-join moments, one
+    lag-ordered fold for Q."""
+    from csp_gateway_spark.operators.analytics import ljung_box
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.select(
+        (
+            (F.year("o_orderdate") - F.lit(1970)) * F.lit(12)
+            + F.month("o_orderdate")
+            - F.lit(1)
+        ).cast("long").alias("k"),
+        F.col("o_totalprice").alias("y"),
+    )
+    out = ljung_box(monthly, "k", "y", max_lag=12)
+    return out.select(
+        "n", "m", (F.round("q_stat", 6) + F.lit(0.0)).alias("q_stat")
+    )
+
+
+ORACLE_LJUNG_BOX = """
+WITH d AS (
+  SELECT CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS BIGINT) AS k,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, SUM(y) AS s,
+    SUM(CAST(CAST(y AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS ss
+  FROM d
+), lags AS (SELECT unnest(range(1, 13)) AS lag),
+pl AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS nk,
+    SUM(a.y) AS sa, SUM(b.y) AS sb,
+    SUM(CAST(CAST(a.y AS DECIMAL(19,2)) * CAST(b.y AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS sab
+  FROM lags JOIN d a ON true JOIN d b ON b.k = a.k + lag
+  GROUP BY 1
+), terms AS (
+  SELECT lag, t.n,
+    (CAST(sab AS DOUBLE)
+     - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+     + CAST(nk AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+    / (CAST(ss AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS rho,
+    CAST(n AS DOUBLE) - CAST(lag AS DOUBLE) AS nml
+  FROM pl, t
+), folded AS (
+  SELECT MAX(n) AS n, CAST(count(*) AS BIGINT) AS m,
+    list_reduce(list_prepend(0.0, list(rho * rho / nml ORDER BY lag)), (a, b) -> a + b) AS qsum
+  FROM terms
+)
+SELECT n, m,
+  round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * qsum, 6) + 0.0 AS q_stat
+FROM folded
+"""
+
+
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test: did customers switch between ordering in
+    1994 and 1995?  Pure integer switch counting with continuity
+    correction."""
+    from csp_gateway_spark.operators.analytics import mcnemar_test
+
+    orders = _t(spark, sf_dir, "orders")
+    two = orders.filter(F.year("o_orderdate").isin([1994, 1995])).select(
+        "o_custkey", F.year("o_orderdate").alias("yr"), F.lit(1).alias("x")
+    )
+    out = mcnemar_test(two, "o_custkey", "yr", "x", 1994, 1995)
+    return out.select(
+        "n_subjects", "b", "c", (F.round("chi2", 6) + F.lit(0.0)).alias("chi2")
+    )
+
+
+ORACLE_MCNEMAR_TEST = """
+WITH cells AS (
+  SELECT o_custkey AS s,
+    MAX(CASE WHEN year(o_orderdate) = 1994 THEN 1 ELSE 0 END) AS xa,
+    MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS xb
+  FROM orders WHERE year(o_orderdate) IN (1994, 1995) GROUP BY 1
+), z AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN xa = 1 AND xb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN xa = 0 AND xb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM cells
+)
+SELECT n AS n_subjects, b, c,
+  round(CASE WHEN b + c > 0
+        THEN (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+             * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+             / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END, 6) + 0.0 AS chi2
+FROM z
+"""
+
+
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L ordered-trend test: does monthly revenue rank
+    monotonically along the priority order?  Doubled midranks keep L
+    exact; no-tie normal approximation for z."""
+    from csp_gateway_spark.operators.analytics import page_trend_test
+
+    orders = _t(spark, sf_dir, "orders")
+    out = page_trend_test(
+        orders,
+        F.date_format(F.col("o_orderdate"), "yyyy-MM"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    return out.select(
+        "n_blocks",
+        "k",
+        (F.round("l_stat", 2) + F.lit(0.0)).alias("l_stat"),
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+ORACLE_PAGE_TREND = """
+WITH cells AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS b,
+         o_orderpriority AS t,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1, 2
+), kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cells),
+comp AS (
+  SELECT b, t, y, COUNT(*) OVER (PARTITION BY b) AS cb FROM cells
+), r AS (
+  SELECT b,
+    CAST(row_number() OVER (PARTITION BY b ORDER BY t) AS BIGINT) AS j,
+    CAST(2 * rank() OVER (PARTITION BY b ORDER BY y)
+         + COUNT(*) OVER (PARTITION BY b, y) - 1 AS BIGINT) AS r2
+  FROM comp, kk WHERE cb = kk.k
+), one AS (
+  SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n,
+         SUM(CAST(j AS HUGEINT) * r2) AS l2
+  FROM r
+)
+SELECT n AS n_blocks, kk.k AS k,
+  round(CAST(l2 AS DOUBLE) / 2.0, 2) + 0.0 AS l_stat,
+  round(CASE WHEN CAST(n AS DOUBLE) * CAST(kk.k AS DOUBLE) * CAST(kk.k AS DOUBLE)
+                  * (CAST(kk.k AS DOUBLE) + 1.0)
+                  * (CAST(kk.k AS DOUBLE) * CAST(kk.k AS DOUBLE) - 1.0) / 144.0 > 0
+        THEN (CAST(l2 AS DOUBLE) / 2.0
+              - CAST(n AS DOUBLE) * CAST(kk.k AS DOUBLE) * (CAST(kk.k AS DOUBLE) + 1.0)
+                * (CAST(kk.k AS DOUBLE) + 1.0) / 4.0)
+             / sqrt(CAST(n AS DOUBLE) * CAST(kk.k AS DOUBLE) * CAST(kk.k AS DOUBLE)
+                    * (CAST(kk.k AS DOUBLE) + 1.0)
+                    * (CAST(kk.k AS DOUBLE) * CAST(kk.k AS DOUBLE) - 1.0) / 144.0)
+        END, 6) + 0.0 AS z
+FROM one, kk
+"""
+
+
+def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett variance-homogeneity test of line price across return
+    flags — the normal-theory sibling of levene_test; exact group
+    moments, group-sorted ln folds."""
+    from csp_gateway_spark.operators.analytics import bartlett_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = bartlett_test(li, "l_returnflag", "l_extendedprice")
+    return out.select(
+        "n", "k", (F.round("b_stat", 6) + F.lit(0.0)).alias("b_stat")
+    )
+
+
+ORACLE_BARTLETT_TEST = """
+WITH per AS (
+  SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS ng,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sg,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2))
+        AS DECIMAL(38,4))) AS ssg
+  FROM lineitem GROUP BY 1
+), terms AS (
+  SELECT g, ng,
+    (CAST(ng AS DOUBLE) * CAST(ssg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+      / CAST(ng AS DOUBLE) AS q
+  FROM per
+), t2 AS (
+  SELECT g, ng, q,
+    CASE WHEN ng > 1 AND q > 0
+         THEN (CAST(ng AS DOUBLE) - 1.0) * ln(q / (CAST(ng AS DOUBLE) - 1.0)) END AS lnterm,
+    CASE WHEN ng > 1 THEN 1.0 / (CAST(ng AS DOUBLE) - 1.0) END AS inv
+  FROM terms
+), folded AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+    MIN(ng) AS minng,
+    MIN(CASE WHEN q > 0 THEN 1 ELSE 0 END) AS posvar,
+    list_reduce(list_prepend(0.0, list(q ORDER BY g)), (a, b) -> a + b) AS qsum,
+    list_reduce(list_prepend(0.0, list(lnterm ORDER BY g)), (a, b) -> a + b) AS lnsum,
+    list_reduce(list_prepend(0.0, list(inv ORDER BY g)), (a, b) -> a + b) AS invsum
+  FROM t2
+)
+SELECT n, k,
+  round(CASE WHEN minng > 1 AND posvar = 1 AND k > 1
+        THEN ((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+               * ln(qsum / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) - lnsum)
+             / (1.0 + (invsum - 1.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                      / (3.0 * (CAST(k AS DOUBLE) - 1.0)))
+        END, 6) + 0.0 AS b_stat
+FROM folded
+"""
+
+
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift between returned ('R') and acknowledged
+    ('A') line quantities — the median pairwise difference via the
+    distinct-value convolution, never the O(n²) pair space."""
+    from csp_gateway_spark.operators.analytics import hodges_lehmann
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = hodges_lehmann(li, "l_returnflag", "l_quantity", "R", "A")
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_pairs",
+        (F.round("hl_shift", 6) + F.lit(0.0)).alias("hl_shift"),
+    )
+
+
+ORACLE_HODGES_LEHMANN = """
+WITH pv AS (
+  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1
+), conv AS (
+  SELECT CAST(a.v - b.v AS DECIMAL(19,2)) AS d,
+         SUM(CAST(a.ca AS HUGEINT) * b.cb) AS w
+  FROM pv a, pv b WHERE a.ca > 0 AND b.cb > 0 GROUP BY 1
+), tot AS (SELECT SUM(w) AS t FROM conv),
+cum AS (SELECT d, SUM(w) OVER (ORDER BY d) AS c FROM conv),
+lo AS (SELECT MIN(d) AS d FROM cum, tot WHERE c >= (t + t % 2) // 2),
+hi AS (SELECT MIN(d) AS d FROM cum, tot WHERE c >= (t - t % 2) // 2 + 1),
+counts AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM pv
+)
+SELECT counts.na AS n_a, counts.nb AS n_b, CAST(tot.t AS BIGINT) AS n_pairs,
+  round(CAST(CAST((lo.d + hi.d) * 100 AS HUGEINT) AS DOUBLE) / 200.0, 6) + 0.0 AS hl_shift
+FROM counts, tot, lo, hi
+"""
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the shared 12-gram similarity graph —
+    do template hubs link to other hubs?  Exact integer degree
+    moments over the symmetrized edge list."""
+    from csp_gateway_spark.operators.corpus import degree_assortativity
+
+    edges = _snp_edges(spark, sf_dir)
+    out = degree_assortativity(edges)
+    return out.select("n_edges", (F.round("r", 6) + F.lit(0.0)).alias("r"))
+
+
+def _oracle_assortativity() -> str:
+    return (
+        _snp_sql_prefix()
+        + """
+, e0 AS (
+  SELECT id_a AS src, id_b AS dst FROM cpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cpairs
+), dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e0 GROUP BY 1),
+j AS (
+  SELECT d1.deg AS ds, d2.deg AS dd
+  FROM e0 JOIN dg d1 ON e0.src = d1.src JOIN dg d2 ON e0.dst = d2.src
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+    SUM(CAST(ds AS HUGEINT)) AS sa, SUM(CAST(dd AS HUGEINT)) AS sb,
+    SUM(CAST(ds AS HUGEINT) * ds) AS saa, SUM(CAST(dd AS HUGEINT) * dd) AS sbb,
+    SUM(CAST(ds AS HUGEINT) * dd) AS sab
+  FROM j
+)
+SELECT m AS n_edges,
+  round(CASE WHEN (CAST(m AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                * (CAST(m AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+        THEN (CAST(m AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / sqrt((CAST(m AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                  * (CAST(m AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+        END, 6) + 0.0 AS r
+FROM s
+"""
+    )
+
+
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon/Simpson diversity of the documents' source mix with
+    effective-source numbers — the corpus-concentration gate before
+    mixture weighting."""
+    from csp_gateway_spark.operators.corpus import source_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    out = source_diversity(docs, "source")
+    return out.select(
+        "n_docs",
+        "k_groups",
+        (F.round("shannon", 6) + F.lit(0.0)).alias("shannon"),
+        (F.round("simpson", 6) + F.lit(0.0)).alias("simpson"),
+        (F.round("eff_shannon", 6) + F.lit(0.0)).alias("eff_shannon"),
+        (F.round("eff_simpson", 6) + F.lit(0.0)).alias("eff_simpson"),
+    )
+
+
+ORACLE_SOURCE_DIVERSITY = """
+WITH per AS (
+  SELECT source AS g, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k FROM per),
+terms AS (
+  SELECT g, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM per, tot
+), folded AS (
+  SELECT
+    list_reduce(list_prepend(0.0,
+      list(CASE WHEN p > 0 THEN p * ln(p) ELSE 0.0 END ORDER BY g)), (a, b) -> a + b) AS hsum,
+    list_reduce(list_prepend(0.0, list(p * p ORDER BY g)), (a, b) -> a + b) AS dsum
+  FROM terms
+)
+SELECT tot.n AS n_docs, tot.k AS k_groups,
+  round(-hsum, 6) + 0.0 AS shannon,
+  round(dsum, 6) + 0.0 AS simpson,
+  round(exp(-hsum), 6) + 0.0 AS eff_shannon,
+  round(1.0 / dsum, 6) + 0.0 AS eff_simpson
+FROM folded, tot
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -12993,6 +13364,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "macd_signal": q_macd_signal,
         "hits_scores": q_hits_scores,
         "distinct_ngrams": q_distinct_ngrams,
+        "durbin_watson": q_durbin_watson,
+        "ljung_box": q_ljung_box,
+        "mcnemar_test": q_mcnemar_test,
+        "page_trend": q_page_trend,
+        "bartlett_test": q_bartlett_test,
+        "hodges_lehmann": q_hodges_lehmann,
+        "assortativity": q_assortativity,
+        "source_diversity": q_source_diversity,
         "levene_test": q_levene_test,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "token_coverage": q_token_coverage,
@@ -13368,6 +13747,14 @@ def oracle_sql() -> dict[str, str]:
         "macd_signal": ORACLE_MACD_SIGNAL,
         "hits_scores": _oracle_hits_scores(),
         "distinct_ngrams": _oracle_distinct_ngrams(),
+        "durbin_watson": ORACLE_DURBIN_WATSON,
+        "ljung_box": ORACLE_LJUNG_BOX,
+        "mcnemar_test": ORACLE_MCNEMAR_TEST,
+        "page_trend": ORACLE_PAGE_TREND,
+        "bartlett_test": ORACLE_BARTLETT_TEST,
+        "hodges_lehmann": ORACLE_HODGES_LEHMANN,
+        "assortativity": _oracle_assortativity(),
+        "source_diversity": ORACLE_SOURCE_DIVERSITY,
         "levene_test": ORACLE_LEVENE_TEST,
         "dedup_threshold_sweep": ORACLE_DEDUP_THRESHOLD_SWEEP,
         "token_coverage": ORACLE_TOKEN_COVERAGE,

@@ -7509,3 +7509,424 @@ def macd(
         F.col("_r.g").alias("signal"),
         (F.col("_r.m") - F.col("_r.g")).alias("histogram"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WAVE 24 (round 11) — time-series diagnostics / paired tests / variance
+# homogeneity / shift estimation
+# ---------------------------------------------------------------------------
+
+
+def durbin_watson(series: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Durbin-Watson autocorrelation diagnostic of a mean-centered
+    ordered series: DW = Σ(e_t − e_{t−1})² / Σe_t² with e = y − ȳ —
+    the classic "are residuals serially correlated" gate (DW ≈ 2 means
+    none).  The mean CANCELS in the numerator differences, so
+    Σ(y_t − y_{t−1})² accumulates as EXACT decimal over one lag-1
+    equi-join on the integer key (adjacent keys by contract — feed a
+    dense calendar index); the denominator is (n·Σy² − S²)/n, one
+    double over exact sums.  Output: one row (n, dw)."""
+    a = series.groupBy(F.col(key_col).cast("long").alias("_k")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_y")
+    ).localCheckpoint(eager=False)
+    b = a.select((F.col("_k") + 1).alias("_k"), F.col("_y").alias("_yp"))
+    d = F.col("_y").cast("decimal(19,2)") - F.col("_yp").cast("decimal(19,2)")
+    num = a.join(b, "_k").agg(
+        F.coalesce(
+            F.sum((d * d).cast("decimal(38,4)")),
+            F.lit(0).cast("decimal(38,4)"),
+        ).alias("_num")
+    )
+    y19 = F.col("_y").cast("decimal(19,2)")
+    tot = a.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").alias("_s"),
+        F.sum((y19 * y19).cast("decimal(38,4)")).alias("_ss"),
+    )
+    one = num.crossJoin(F.broadcast(tot))
+    n = F.col("_n").cast("double")
+    den = (
+        n * F.col("_ss").cast("double")
+        - F.col("_s").cast("double") * F.col("_s").cast("double")
+    ) / n
+    dw = F.when(den > 0, F.col("_num").cast("double") / den)
+    return one.select(F.col("_n").cast("long").alias("n"), dw.alias("dw"))
+
+
+def ljung_box(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+    max_lag: int = 12,
+) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test of an ordered series:
+    Q = n(n+2)·Σ_{k≤m} ρ̂_k²/(n−k) with the FULL-SERIES-MEAN
+    autocorrelations ρ̂_k = Σ(y_t−ȳ)(y_{t+k}−ȳ)/Σ(y_t−ȳ)² — the
+    "any serial structure at all?" companion of the per-lag
+    ``lag_correlations`` (which Pearson-normalizes each lag's pair
+    set separately).  Keys must be DENSE integers by contract (month
+    index); n, every Σy_t y_{t+k}, and the per-lag partial sums
+    Σ_{t≤n−k}, Σ_{t>k} accumulate exactly from ONE lag-exploded
+    equi-join, so each ρ̂_k = (Σyy_k − ȳ(Σa+Σb) + (n−k)ȳ²)/D is one
+    pinned double expression, and Q folds the m-bounded lag list in
+    lag order.  Output: one row (n, m, q_stat)."""
+    a = series.groupBy(F.col(key_col).cast("long").alias("_k")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_y")
+    ).localCheckpoint(eager=False)
+    y19 = F.col("_y").cast("decimal(19,2)")
+    tot = a.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").alias("_s"),
+        F.sum((y19 * y19).cast("decimal(38,4)")).alias("_ss"),
+    )
+    b = a.select(F.col("_k").alias("_kb"), F.col("_y").alias("_yb"))
+    fanned = a.withColumn(
+        "_lag", F.explode(F.sequence(F.lit(1), F.lit(int(max_lag))))
+    ).withColumn("_kb", F.col("_k") + F.col("_lag"))
+    per_lag = (
+        fanned.join(b, "_kb")
+        .groupBy("_lag")
+        .agg(
+            F.count(F.lit(1)).alias("_nk"),
+            F.sum("_y").alias("_sa"),
+            F.sum("_yb").alias("_sb"),
+            F.sum(
+                (y19 * F.col("_yb").cast("decimal(19,2)")).cast("decimal(38,4)")
+            ).alias("_sab"),
+        )
+    )
+    j = per_lag.crossJoin(F.broadcast(tot))
+    n = F.col("_n").cast("double")
+    mean = F.col("_s").cast("double") / n
+    den = F.col("_ss").cast("double") - n * mean * mean
+    rho = (
+        F.col("_sab").cast("double")
+        - mean * (F.col("_sa").cast("double") + F.col("_sb").cast("double"))
+        + F.col("_nk").cast("double") * mean * mean
+    ) / den
+    terms = j.select(
+        "_lag",
+        "_n",
+        (rho * rho / (n - F.col("_lag").cast("double"))).alias("_t"),
+    )
+    folded = terms.agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_lag", "_t"))), "ljung_box"
+        ).alias("_z"),
+        F.max("_n").alias("_n"),
+        F.count(F.lit(1)).alias("_m"),
+    )
+    qsum = F.aggregate(
+        F.transform(F.col("_z"), lambda x: x["_t"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nn = F.col("_n").cast("double")
+    return folded.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_m").cast("long").alias("m"),
+        (nn * (nn + F.lit(2.0)) * qsum).alias("q_stat"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    subject_col,
+    condition_col,
+    x_col,
+    cond_a,
+    cond_b,
+) -> DataFrame:
+    """McNemar paired-binary test: among subjects observed under two
+    conditions, do the (yes→no) and (no→yes) switch counts differ?
+    χ² = (|b − c| − 1)²/(b + c) with continuity correction — the
+    2-treatment special case of :func:`cochran_q` (retention-style
+    questions: ordered in 1994 but not 1995?).
+
+    Subjects missing a condition count as x = 0 for it (presence
+    semantics).  One cell aggregate per (subject, condition), one
+    subject-level pivot, three integer counts — χ² is one double
+    division.  Output: one row (n_subjects, b, c, chi2)."""
+    s = F.col(subject_col) if isinstance(subject_col, str) else subject_col
+    cnd = F.col(condition_col) if isinstance(condition_col, str) else condition_col
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    cells = df.groupBy(s.alias("_s")).agg(
+        F.max(F.when(cnd == cond_a, x.cast("int")).otherwise(0)).alias("_xa"),
+        F.max(F.when(cnd == cond_b, x.cast("int")).otherwise(0)).alias("_xb"),
+    )
+    one = cells.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            ((F.col("_xa") == 1) & (F.col("_xb") == 0)).cast("long")
+        ).alias("_b"),
+        F.sum(
+            ((F.col("_xa") == 0) & (F.col("_xb") == 1)).cast("long")
+        ).alias("_c"),
+    )
+    b = F.col("_b").cast("double")
+    c = F.col("_c").cast("double")
+    chi2 = F.when(
+        (b + c) > 0,
+        (F.abs(b - c) - F.lit(1.0)) * (F.abs(b - c) - F.lit(1.0)) / (b + c),
+    )
+    return one.select(
+        F.col("_n").cast("long").alias("n_subjects"),
+        F.col("_b").alias("b"),
+        F.col("_c").alias("c"),
+        chi2.alias("chi2"),
+    )
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col,
+    treat_col,
+    value_col: str,
+) -> DataFrame:
+    """Page's L trend test for an ORDERED alternative over k related
+    treatments (the monotone-hypothesis sharpening of
+    :func:`friedman_test`): L = Σ_j j·R_j over within-block midranks
+    with treatments in their natural sort order; under H₀,
+    E[L] = nk(k+1)²/4 and Var[L] = nk²(k+1)(k²−1)/144 (no-tie form),
+    z = (L − E)/√Var.  Doubled midranks keep 2L and 2E exact
+    integers; blocks missing any treatment are dropped.  Output: one
+    row (n_blocks, k, l_stat, z)."""
+    from pyspark.sql.window import Window
+
+    b = F.col(block_col) if isinstance(block_col, str) else block_col
+    t = F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    cells = df.groupBy(b.alias("_b"), t.alias("_t")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_y")
+    )
+    kk = cells.agg(F.countDistinct("_t").alias("_k"))
+    complete = (
+        cells.withColumn(
+            "_cb", F.count(F.lit(1)).over(Window.partitionBy("_b"))
+        )
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("_cb") == F.col("_k"))
+    )
+    wrank = Window.partitionBy("_b").orderBy("_y")
+    wties = Window.partitionBy("_b", "_y")
+    wtreat = Window.partitionBy("_b").orderBy("_t")
+    ranked = complete.select(
+        "_b",
+        "_k",
+        F.row_number().over(wtreat).cast("long").alias("_j"),
+        (
+            F.lit(2) * F.rank().over(wrank)
+            + F.count(F.lit(1)).over(wties)
+            - F.lit(1)
+        ).cast("long").alias("_2r"),
+    )
+    j19 = F.col("_j").cast("decimal(19,0)")
+    one = ranked.agg(
+        F.countDistinct("_b").cast("long").alias("_n"),
+        F.max("_k").cast("long").alias("_kk"),
+        F.sum((j19 * F.col("_2r").cast("decimal(19,0)")).cast("decimal(38,0)")).alias("_2l"),
+    )
+    n = F.col("_n").cast("double")
+    k = F.col("_kk").cast("double")
+    l_stat = F.col("_2l").cast("double") / F.lit(2.0)
+    e_l = n * k * (k + F.lit(1.0)) * (k + F.lit(1.0)) / F.lit(4.0)
+    var_l = (
+        n * k * k * (k + F.lit(1.0)) * (k * k - F.lit(1.0)) / F.lit(144.0)
+    )
+    z = F.when(var_l > 0, (l_stat - e_l) / F.sqrt(var_l))
+    return one.select(
+        F.col("_n").alias("n_blocks"),
+        F.col("_kk").alias("k"),
+        l_stat.alias("l_stat"),
+        z.alias("z"),
+    )
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+) -> DataFrame:
+    """Bartlett's homogeneity-of-variance test across k groups:
+    B = [(N−k)·ln S_p² − Σ(n_i−1)·ln S_i²] / C with the usual
+    correction C = 1 + (Σ1/(n_i−1) − 1/(N−k)) / (3(k−1)) — the
+    normal-theory (variance-sensitive) sibling of the
+    median-centered :func:`levene_test`.
+
+    One grouped scan of exact decimal moments; every group's
+    (n_i−1)S_i² = (n_iΣy² − (Σy)²)/n_i and the three k-bounded sums
+    (ln terms, reciprocals, pooled SS) fold group-sorted with pinned
+    FP order, so B is engine-identical.  Groups with n_i < 2 or zero
+    variance are rejected by a NULL statistic rather than a wrong
+    one.  Output: one row (n, k, b_stat)."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    y = F.col(value_col).cast("decimal(18,2)")
+    per = df.groupBy(g.alias("_g")).agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.sum(y).cast("decimal(38,2)").alias("_sg"),
+        F.sum((y.cast("decimal(19,2)") * y.cast("decimal(19,2)")).cast("decimal(38,4)")).alias("_ssg"),
+    )
+    ngd = F.col("_ng").cast("double")
+    ssq = (
+        ngd * F.col("_ssg").cast("double")
+        - F.col("_sg").cast("double") * F.col("_sg").cast("double")
+    ) / ngd  # = (n_i − 1)·S_i²
+    per2 = per.select(
+        "_g",
+        "_ng",
+        ssq.alias("_q"),
+        F.when(
+            (F.col("_ng") > 1) & (ssq > 0),
+            (ngd - F.lit(1.0)) * F.log(ssq / (ngd - F.lit(1.0))),
+        ).alias("_lnterm"),
+        F.when(F.col("_ng") > 1, F.lit(1.0) / (ngd - F.lit(1.0))).alias("_inv"),
+    )
+    packed = per2.agg(
+        _capped_packed(
+            F.array_sort(
+                F.collect_list(F.struct("_g", "_q", "_lnterm", "_inv"))
+            ),
+            "bartlett_test",
+        ).alias("_z"),
+        F.sum("_ng").alias("_n"),
+        F.count(F.lit(1)).alias("_k"),
+        F.min("_ng").alias("_minng"),
+        F.min(F.when(F.col("_q") > 0, 1).otherwise(0)).alias("_posvar"),
+    )
+
+    def fold(field):
+        return F.aggregate(
+            F.transform(F.col("_z"), lambda x: x[field]),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    n = F.col("_n").cast("double")
+    k = F.col("_k").cast("double")
+    pooled = fold("_q") / (n - k)
+    b_num = (n - k) * F.log(pooled) - fold("_lnterm")
+    c = F.lit(1.0) + (fold("_inv") - F.lit(1.0) / (n - k)) / (
+        F.lit(3.0) * (k - F.lit(1.0))
+    )
+    b_stat = F.when(
+        (F.col("_minng") > 1) & (F.col("_posvar") == 1) & (k > 1),
+        b_num / c,
+    )
+    return packed.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k"),
+        b_stat.alias("b_stat"),
+    )
+
+
+def hodges_lehmann(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    group_a,
+    group_b,
+    max_cells: int = 2_000_000,
+) -> DataFrame:
+    """Hodges-Lehmann shift estimator between two samples: the median
+    of all n_a·n_b pairwise differences x_i − y_j — the robust
+    "how big is the shift" companion of :func:`mann_whitney_u`
+    (which only says whether one exists).
+
+    The pair space never materializes per-row: both samples collapse
+    to distinct-value counts, the difference distribution is their
+    O(cells²) convolution (bounded by the ``max_cells`` contract —
+    quantize unbounded doubles upstream), and the median comes from
+    ONE diff-sorted fold over the convolved cells: lower/upper
+    medians at the ⌈T/2⌉ and ⌊T/2⌋+1 cumulative thresholds, averaged
+    exactly in decimal before ONE double cast.  Output: one row
+    (n_a, n_b, n_pairs, hl_shift)."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col).cast("decimal(18,2)")
+    cells = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+        )
+    )
+    ncells = cells.agg(F.count(F.lit(1)).alias("_nc"))
+    guard_msg = F.concat(
+        F.lit(
+            f"hodges_lehmann: distinct-value table exceeds max_cells={max_cells} (got "
+        ),
+        F.col("_nc").cast("string"),
+        F.lit(") — the convolution is only valid for distinct-bounded values; quantize first"),
+    )
+    cells = cells.crossJoin(F.broadcast(ncells)).select(
+        "_v",
+        F.when(F.col("_nc") > F.lit(max_cells), F.raise_error(guard_msg))
+        .otherwise(F.col("_ca"))
+        .alias("_ca"),
+        "_cb",
+    )
+    right = cells.select(F.col("_v").alias("_v2"), F.col("_cb").alias("_cb2"))
+    conv = (
+        cells.filter(F.col("_ca") > 0)
+        .join(F.broadcast(right.filter(F.col("_cb2") > 0)), how="cross")
+        .groupBy((F.col("_v") - F.col("_v2")).alias("_d"))
+        .agg(
+            F.sum(
+                (
+                    F.col("_ca").cast("decimal(19,0)")
+                    * F.col("_cb2").cast("decimal(19,0)")
+                ).cast("decimal(38,0)")
+            ).alias("_w")
+        )
+    )
+    packed = conv.agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_d", "_w"))), "hodges_lehmann"
+        ).alias("_z")
+    )
+    ws = F.transform(F.col("_z"), lambda s: s["_w"])
+    total = F.aggregate(
+        ws, F.lit(0).cast("decimal(38,0)"), lambda acc, w: acc + w
+    )
+    # ⌈T/2⌉ and ⌊T/2⌋+1 in EXACT decimal (a double round-trip would
+    # corrupt thresholds beyond 2⁵³ pairs)
+    odd = F.pmod(total, F.lit(2).cast("decimal(2,0)"))
+    lo_t = ((total + odd) / F.lit(2).cast("decimal(2,0)")).cast("decimal(38,0)")
+    hi_t = (
+        (total - odd) / F.lit(2).cast("decimal(2,0)")
+        + F.lit(1).cast("decimal(2,0)")
+    ).cast("decimal(38,0)")
+
+    def median_at(threshold):
+        # first diff whose cumulative weight reaches the threshold —
+        # a single fold carrying (cum, found)
+        return F.aggregate(
+            F.col("_z"),
+            F.struct(
+                F.lit(0).cast("decimal(38,0)").alias("cum"),
+                F.lit(None).cast("decimal(19,2)").alias("med"),
+            ),
+            lambda acc, s: F.struct(
+                (acc["cum"] + s["_w"]).alias("cum"),
+                F.when(
+                    acc["med"].isNull() & ((acc["cum"] + s["_w"]) >= threshold),
+                    s["_d"].cast("decimal(19,2)"),
+                )
+                .otherwise(acc["med"])
+                .alias("med"),
+            ),
+        )["med"]
+
+    counts = cells.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    out = packed.crossJoin(F.broadcast(counts))
+    hl = (
+        (median_at(lo_t) + median_at(hi_t))
+        / F.lit(2).cast("decimal(2,0)")
+    ).cast("double")
+    return out.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        total.cast("long").alias("n_pairs"),
+        hl.alias("hl_shift"),
+    )

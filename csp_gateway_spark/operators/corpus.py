@@ -1771,3 +1771,107 @@ def distinct_ngrams(
             / F.col("total_ngrams").cast("double")
         ).alias("distinct_ratio"),
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    directed: bool = False,
+) -> DataFrame:
+    """Degree assortativity of a graph: the Pearson correlation of
+    (deg(src), deg(dst)) over the (symmetrized) edge list — positive
+    means hubs link to hubs (a template-cluster smell on similarity
+    graphs), negative means hub-and-spoke.
+
+    One degree aggregate, two broadcast-free equi-joins of the edge
+    list against the k-bounded degree table (shuffle-keyed on the
+    node — a celebrity node is one big join group, never an array),
+    and exact integer moments: degrees and their products accumulate
+    in decimal(38,0) (bounded for graphs ≤ ~10¹² edges), so r is one
+    closed-form double.  Output: one row (n_edges, r)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    with_src = e.join(deg, "src").select(
+        "dst", F.col("_deg").alias("_ds")
+    )
+    both = with_src.join(
+        deg.select(F.col("src").alias("dst"), F.col("_deg").alias("_dd")),
+        "dst",
+    )
+    ds13 = F.col("_ds").cast("decimal(13,0)")
+    dd13 = F.col("_dd").cast("decimal(13,0)")
+    sums = both.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum(F.col("_ds").cast("decimal(38,0)")).alias("_sa"),
+        F.sum(F.col("_dd").cast("decimal(38,0)")).alias("_sb"),
+        F.sum((ds13 * ds13).cast("decimal(38,0)")).alias("_saa"),
+        F.sum((dd13 * dd13).cast("decimal(38,0)")).alias("_sbb"),
+        F.sum((ds13 * dd13).cast("decimal(38,0)")).alias("_sab"),
+    )
+    m = F.col("_m").cast("double")
+    sa = F.col("_sa").cast("double")
+    sb = F.col("_sb").cast("double")
+    cov = m * F.col("_sab").cast("double") - sa * sb
+    va = m * F.col("_saa").cast("double") - sa * sa
+    vb = m * F.col("_sbb").cast("double") - sb * sb
+    r = F.when(va * vb > 0, cov / F.sqrt(va * vb))
+    return sums.select(F.col("_m").cast("long").alias("n_edges"), r.alias("r"))
+
+
+def source_diversity(
+    docs: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Diversity profile of a categorical corpus dimension (source,
+    language, domain): Shannon entropy H = −Σp·ln p, Simpson
+    concentration D = Σp², and their effective-source numbers
+    exp(H) and 1/D — the "is this corpus dominated by one crawl?"
+    gate before mixing.
+
+    One grouped count, then the k-bounded share terms fold
+    group-sorted with pinned FP order (the ``anova_f`` discipline) so
+    both indices are engine-identical doubles over exact counts.
+    Output: one row (n_docs, k_groups, shannon, simpson,
+    eff_shannon, eff_simpson)."""
+    per = docs.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tot = per.agg(F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_k"))
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "_g",
+        "_n",
+        "_k",
+        (F.col("_c").cast("double") / F.col("_n").cast("double")).alias("_p"),
+    )
+    from csp_gateway_spark.operators.analytics import _capped_packed
+
+    packed = terms.agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_g", "_p"))),
+            "source_diversity",
+        ).alias("_z"),
+        F.max("_n").alias("_n"),
+        F.max("_k").alias("_k"),
+    )
+
+    def fold(expr):
+        return F.aggregate(
+            F.transform(F.col("_z"), expr), F.lit(0.0), lambda a, x: a + x
+        )
+
+    shannon = -fold(lambda s: F.when(s["_p"] > 0, s["_p"] * F.log(s["_p"])).otherwise(0.0))
+    simpson = fold(lambda s: s["_p"] * s["_p"])
+    return packed.select(
+        F.col("_n").cast("long").alias("n_docs"),
+        F.col("_k").cast("long").alias("k_groups"),
+        shannon.alias("shannon"),
+        simpson.alias("simpson"),
+        F.exp(shannon).alias("eff_shannon"),
+        (F.lit(1.0) / simpson).alias("eff_simpson"),
+    )
