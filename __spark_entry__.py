@@ -13138,6 +13138,209 @@ FROM folded, tot
 """
 
 
+# ---------------------------------------------------------------------------
+# WAVE 25 (round 11) — deterministic resampling inference (no RNG: all
+# replicate randomness is the portable md5 hash, bit-reproducible on
+# both engines and any partitioning)
+# ---------------------------------------------------------------------------
+
+_BOOT_REPS = 32
+_BOOT_THRESH = [
+    98751885, 197503771, 246879713, 263338361, 267453023, 268275955,
+    268413111, 268432704, 268435153, 268435426, 268435453, 268435455,
+]
+_SF_REPS = 63
+
+
+def _sql_hash28(rep: str, ident: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({rep} AS VARCHAR) || ':' || "
+        f"CAST({ident} AS VARCHAR)), 1, 7))::BIGINT"
+    )
+
+
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 90% CI for the mean order value — the
+    resampling scheme that distributes (per-row hash weights, one
+    explode + one grouped aggregate for all 32 replicates; classical
+    bootstrap's global multinomial draw does not)."""
+    from csp_gateway_spark.operators.analytics import bootstrap_mean_ci
+
+    orders = _t(spark, sf_dir, "orders")
+    out = bootstrap_mean_ci(
+        orders, "o_orderkey", "o_totalprice", reps=_BOOT_REPS, alpha=0.10
+    )
+    return out.select(
+        "n",
+        "reps",
+        (F.round("mean", 4) + F.lit(0.0)).alias("mean"),
+        (F.round("ci_lo", 4) + F.lit(0.0)).alias("ci_lo"),
+        (F.round("ci_hi", 4) + F.lit(0.0)).alias("ci_hi"),
+    )
+
+
+def _oracle_bootstrap_mean_ci() -> str:
+    x = _sql_hash28("rep", "o_orderkey")
+    ladder = "CASE " + " ".join(
+        f"WHEN {x} < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    ) + f" ELSE {len(_BOOT_THRESH)} END"
+    import math as _m
+
+    lo_idx = int(_m.floor(0.05 * _BOOT_REPS)) + 1
+    hi_idx = int(_m.ceil(0.95 * _BOOT_REPS))
+    return f"""
+WITH reps AS (SELECT unnest(range(0, {_BOOT_REPS})) AS rep),
+fanned AS (
+  SELECT rep, CAST({ladder} AS BIGINT) AS w,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS y
+  FROM orders, reps
+), per_rep AS (
+  SELECT rep, SUM(CAST(CAST(w AS DECIMAL(6,0)) * y AS DECIMAL(38,2))) AS sw,
+         CAST(SUM(w) AS BIGINT) AS nw
+  FROM fanned GROUP BY 1
+), means AS (
+  SELECT CASE WHEN nw > 0 THEN CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) END AS m
+  FROM per_rep
+), packed AS (
+  SELECT list(m ORDER BY m) AS ms, CAST(count(*) AS BIGINT) AS b FROM means
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders
+)
+SELECT n, b AS reps,
+  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0.0 AS mean,
+  round(ms[{lo_idx}], 4) + 0.0 AS ci_lo,
+  round(ms[{hi_idx}], 4) + 0.0 AS ci_hi
+FROM packed, tot
+"""
+
+
+def q_signflip_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign-flip randomization test: did per-customer spend
+    shift from 1994 to 1995?  63 hash-signed replicates, exact
+    decimal totals, exact-rational p."""
+    from csp_gateway_spark.operators.analytics import signflip_test
+
+    orders = _t(spark, sf_dir, "orders")
+    pairs = (
+        orders.filter(F.year("o_orderdate").isin([1994, 1995]))
+        .groupBy("o_custkey")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.year("o_orderdate") == 1995,
+                        F.col("o_totalprice").cast("decimal(18,2)"),
+                    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+                )
+                - F.sum(
+                    F.when(
+                        F.year("o_orderdate") == 1994,
+                        F.col("o_totalprice").cast("decimal(18,2)"),
+                    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+                )
+            ).alias("d")
+        )
+    )
+    out = signflip_test(pairs, "o_custkey", "d", reps=_SF_REPS)
+    return out.select(
+        "n_pairs",
+        "reps",
+        (F.round("t_obs", 2) + F.lit(0.0)).alias("t_obs"),
+        (F.round("p_value", 6) + F.lit(0.0)).alias("p_value"),
+    )
+
+
+def _oracle_signflip_test() -> str:
+    x = _sql_hash28("rep", "_id")
+    return f"""
+WITH pairs AS (
+  SELECT o_custkey AS _id,
+    CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+             THEN CAST(o_totalprice AS DECIMAL(18,2))
+             ELSE CAST(0 AS DECIMAL(18,2)) END)
+       - SUM(CASE WHEN year(o_orderdate) = 1994
+             THEN CAST(o_totalprice AS DECIMAL(18,2))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS d
+  FROM orders WHERE year(o_orderdate) IN (1994, 1995) GROUP BY 1
+), obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         COALESCE(SUM(d), CAST(0 AS DECIMAL(38,2))) AS t
+  FROM pairs
+), reps AS (SELECT unnest(range(1, {_SF_REPS} + 1)) AS rep),
+per_rep AS (
+  SELECT rep,
+    SUM(CAST(CAST(CASE WHEN {x} % 2 = 0 THEN 1 ELSE -1 END AS DECIMAL(2,0)) * d
+        AS DECIMAL(38,2))) AS tr
+  FROM pairs, reps GROUP BY 1
+), counted AS (
+  SELECT CAST(SUM(CASE WHEN abs(tr) >= abs(obs.t) THEN 1 ELSE 0 END) AS BIGINT) AS ge,
+         MAX(obs.n) AS n, MAX(obs.t) AS t
+  FROM per_rep, obs
+)
+SELECT n AS n_pairs, CAST({_SF_REPS} AS BIGINT) AS reps,
+  round(CAST(t AS DOUBLE), 2) + 0.0 AS t_obs,
+  round((1.0 + CAST(ge AS DOUBLE)) / {float(_SF_REPS + 1)!r}, 6) + 0.0 AS p_value
+FROM counted
+"""
+
+
+def q_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-month block jackknife of the mean order value — the
+    cluster-respecting standard error (iid bootstrap understates SEs
+    when rows cluster by month)."""
+    from csp_gateway_spark.operators.analytics import jackknife_variance
+
+    orders = _t(spark, sf_dir, "orders")
+    out = jackknife_variance(
+        orders, F.date_format(F.col("o_orderdate"), "yyyy-MM"), "o_totalprice"
+    )
+    return out.select(
+        "n",
+        "g",
+        (F.round("theta", 4) + F.lit(0.0)).alias("theta"),
+        (F.round("jack_var", 4) + F.lit(0.0)).alias("jack_var"),
+        (F.round("jack_se", 6) + F.lit(0.0)).alias("jack_se"),
+    )
+
+
+ORACLE_JACKKNIFE_VARIANCE = """
+WITH per AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS g,
+         CAST(count(*) AS BIGINT) AS ng,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sg
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS s,
+         CAST(count(*) AS BIGINT) AS gc
+  FROM per
+), terms AS (
+  SELECT g, CAST(s - sg AS DOUBLE) / CAST(n - ng AS DOUBLE) AS tg
+  FROM per, tot
+), folded AS (
+  SELECT list(struct_pack(g := g, tg := tg) ORDER BY g) AS zs FROM terms
+), stage AS (
+  SELECT list_reduce(list_prepend(0.0, list_transform(zs, xx -> xx.tg)),
+                     (a, b) -> a + b) / CAST(gc AS DOUBLE) AS tbar,
+         zs, n, s, gc
+  FROM folded, tot
+), fin AS (
+  SELECT n, gc, s,
+    (CAST(gc AS DOUBLE) - 1.0) / CAST(gc AS DOUBLE)
+      * list_reduce(list_prepend(0.0,
+          list_transform(zs, x -> (x.tg - tbar) * (x.tg - tbar))),
+          (a, b) -> a + b) AS jvar
+  FROM stage
+)
+SELECT n, gc AS g,
+  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0.0 AS theta,
+  round(jvar, 4) + 0.0 AS jack_var,
+  round(sqrt(jvar), 6) + 0.0 AS jack_se
+FROM fin
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -13372,6 +13575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hodges_lehmann": q_hodges_lehmann,
         "assortativity": q_assortativity,
         "source_diversity": q_source_diversity,
+        "bootstrap_mean_ci": q_bootstrap_mean_ci,
+        "signflip_test": q_signflip_test,
+        "jackknife_variance": q_jackknife_variance,
         "levene_test": q_levene_test,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "token_coverage": q_token_coverage,
@@ -13755,6 +13961,9 @@ def oracle_sql() -> dict[str, str]:
         "hodges_lehmann": ORACLE_HODGES_LEHMANN,
         "assortativity": _oracle_assortativity(),
         "source_diversity": ORACLE_SOURCE_DIVERSITY,
+        "bootstrap_mean_ci": _oracle_bootstrap_mean_ci(),
+        "signflip_test": _oracle_signflip_test(),
+        "jackknife_variance": ORACLE_JACKKNIFE_VARIANCE,
         "levene_test": ORACLE_LEVENE_TEST,
         "dedup_threshold_sweep": ORACLE_DEDUP_THRESHOLD_SWEEP,
         "token_coverage": ORACLE_TOKEN_COVERAGE,

@@ -26,6 +26,8 @@ user-space there); they are the additive SURVEY §7.8 set.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -7929,4 +7931,212 @@ def hodges_lehmann(
         F.col("_nb").cast("long").alias("n_b"),
         total.cast("long").alias("n_pairs"),
         hl.alias("hl_shift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAVE 25 (round 11) — deterministic resampling inference.  No RNG
+# anywhere: replicate randomness comes from the engine-portable md5
+# hash (dedup's `_hash_md5_hex` convention), so every replicate — and
+# therefore every CI and p-value — is bit-reproducible on any engine
+# and any partitioning.
+# ---------------------------------------------------------------------------
+
+#: integer inverse-CDF thresholds of Poisson(1) over the 28-bit hash
+#: space: weight w = #{t : t ≤ x} for x = int(md5[:7], 16) — exact
+#: integer comparisons, no float boundary anywhere.
+_POISSON1_THRESHOLDS = [
+    98751885, 197503771, 246879713, 263338361, 267453023, 268275955,
+    268413111, 268432704, 268435153, 268435426, 268435453, 268435455,
+]
+
+
+def _hash28(col, seed_col) -> Column:
+    """Portable 28-bit uniform: int(md5(rep||':'||id)[:7], 16) — the
+    minhash family's base hash, reproducible in DuckDB as
+    ('0x' || substr(md5(rep || ':' || id), 1, 7))::BIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.concat(seed_col.cast("string"), F.lit(":"), col.cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("long")
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    reps: int = 32,
+    alpha: float = 0.10,
+) -> DataFrame:
+    """Percentile bootstrap CI for the mean via the POISSON bootstrap
+    — the resampling scheme that actually distributes: classical
+    bootstrap needs a global multinomial draw (one coordinator owning
+    all n rows); Poisson(1) weights are per-row independent, so each
+    replicate is ONE weighted aggregate and the whole B-replicate
+    ensemble is ONE explode + ONE grouped aggregate, any partitioning.
+
+    Determinism: the weight for (row, rep) inverts the Poisson(1) CDF
+    at a 28-bit md5 hash of ``rep:id`` against INTEGER thresholds —
+    no RNG, no float boundaries — so the replicate means (exact
+    decimal totals over exact integer weights, one double division
+    each) and the order-statistic CI endpoints are engine-exact.
+    Output: one row (n, reps, mean, ci_lo, ci_hi)."""
+    b = int(reps)
+    x = _hash28(F.col(id_col), F.col("_rep"))
+    # ascending CASE ladder: weight k iff T_{k−1} ≤ x < T_k, capped at
+    # len(thresholds) past the last cutoff — mirrors the oracle's
+    # CASE WHEN x < T0 THEN 0 WHEN x < T1 THEN 1 ... ELSE 12 END
+    w = F.lit(len(_POISSON1_THRESHOLDS))
+    for k in reversed(range(len(_POISSON1_THRESHOLDS))):
+        w = F.when(x < F.lit(_POISSON1_THRESHOLDS[k]), F.lit(k)).otherwise(w)
+    w = w.cast("long")
+    y = F.col(value_col).cast("decimal(18,2)")
+    fanned = df.select(
+        F.col(id_col), y.alias("_y"),
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("_rep"),
+    )
+    per_rep = fanned.select("_rep", w.alias("_w"), "_y").groupBy("_rep").agg(
+        F.sum((F.col("_w").cast("decimal(6,0)") * F.col("_y")).cast("decimal(38,2)")).alias("_sw"),
+        F.sum("_w").alias("_nw"),
+    )
+    means = per_rep.select(
+        "_rep",
+        F.when(
+            F.col("_nw") > 0,
+            F.col("_sw").cast("double") / F.col("_nw").cast("double"),
+        ).alias("_m"),
+    )
+    lo_idx = int(math.floor(alpha / 2.0 * b)) + 1
+    hi_idx = int(math.ceil((1.0 - alpha / 2.0) * b))
+    tot = df.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(y).alias("_s")
+    )
+    packed = means.agg(
+        F.array_sort(F.collect_list("_m")).alias("_ms"),
+        F.count(F.lit(1)).alias("_b"),
+    ).crossJoin(F.broadcast(tot))
+    return packed.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_b").cast("long").alias("reps"),
+        (F.col("_s").cast("double") / F.col("_n").cast("double")).alias("mean"),
+        F.element_at(F.col("_ms"), lo_idx).alias("ci_lo"),
+        F.element_at(F.col("_ms"), hi_idx).alias("ci_hi"),
+    )
+
+
+def signflip_test(
+    pairs: DataFrame,
+    id_col: str,
+    diff_col: str,
+    reps: int = 63,
+) -> DataFrame:
+    """Paired randomization (sign-flip) test: under H₀ the paired
+    difference d_i is symmetric around 0, so every ±1 sign pattern of
+    Σs_i·d_i is equally likely; p = (1 + #{r : |T_r| ≥ |T_obs|})
+    / (reps + 1) — the assumption-free alternative to the paired t /
+    ``wilcoxon`` pair.
+
+    Signs come from one md5 hash bit of ``rep:id`` (deterministic,
+    partition-invariant); every replicate total is an EXACT decimal
+    sum, so the |T_r| ≥ |T_obs| comparisons are exact and p is a
+    rational with one final double cast.  One explode + one grouped
+    aggregate for all replicates.  Output: one row
+    (n_pairs, reps, t_obs, p_value)."""
+    b = int(reps)
+    d = F.col(diff_col).cast("decimal(18,2)")
+    base = pairs.select(F.col(id_col).alias("_id"), d.alias("_d"))
+    obs = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(F.sum("_d"), F.lit(0).cast("decimal(38,2)")).alias("_t"),
+    )
+    x = _hash28(F.col("_id"), F.col("_rep"))
+    sign = F.when(F.pmod(x, F.lit(2)) == 0, F.lit(1)).otherwise(F.lit(-1))
+    fanned = base.select(
+        "_id", "_d",
+        F.explode(F.sequence(F.lit(1), F.lit(b))).alias("_rep"),
+    )
+    per_rep = fanned.select("_rep", (sign.cast("decimal(2,0)") * F.col("_d")).alias("_sd")).groupBy(
+        "_rep"
+    ).agg(F.sum(F.col("_sd").cast("decimal(38,2)")).alias("_tr"))
+    counted = per_rep.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            (F.abs(F.col("_tr")) >= F.abs(F.col("_t"))).cast("long")
+        ).alias("_ge"),
+        F.max("_n").alias("_n"),
+        F.max("_t").alias("_t"),
+    )
+    return counted.select(
+        F.col("_n").cast("long").alias("n_pairs"),
+        F.lit(b).cast("long").alias("reps"),
+        F.col("_t").cast("double").alias("t_obs"),
+        (
+            (F.lit(1.0) + F.col("_ge").cast("double"))
+            / F.lit(float(b + 1))
+        ).alias("p_value"),
+    )
+
+
+def jackknife_variance(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+) -> DataFrame:
+    """Delete-one-GROUP (block) jackknife variance of the mean: for
+    each of the G groups, the leave-that-group-out mean
+    θ̂₍₋g₎ = (S − S_g)/(N − n_g); the jackknife variance is
+    (G−1)/G · Σ(θ̂₍₋g₎ − θ̄)² — the dependence-respecting standard
+    error when rows cluster (by month, by crawl, by customer), which
+    the iid bootstrap understates.
+
+    One grouped scan of exact decimal sums; the G-bounded θ̂ terms
+    fold group-sorted with pinned FP order (both moment folds reuse
+    ONE packed array), so the variance is engine-identical.  Output:
+    one row (n, g, theta, jack_var, jack_se)."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    y = F.col(value_col).cast("decimal(18,2)")
+    per = df.groupBy(g.alias("_g")).agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.sum(y).cast("decimal(38,2)").alias("_sg"),
+    )
+    tot = per.agg(
+        F.sum("_ng").alias("_n"),
+        F.sum("_sg").alias("_s"),
+        F.count(F.lit(1)).alias("_gc"),
+    )
+    theta_g = (
+        (F.col("_s") - F.col("_sg")).cast("double")
+        / (F.col("_n") - F.col("_ng")).cast("double")
+    )
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "_g", "_n", "_s", "_gc", theta_g.alias("_tg")
+    )
+    packed = terms.agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_g", "_tg"))),
+            "jackknife_variance",
+        ).alias("_z"),
+        F.max("_n").alias("_n"),
+        F.max("_s").alias("_s"),
+        F.max("_gc").alias("_gc"),
+    )
+    tsum = F.aggregate(
+        F.transform(F.col("_z"), lambda s: s["_tg"]),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    gc = F.col("_gc").cast("double")
+    tbar = tsum / gc
+    ssq = F.aggregate(
+        F.transform(F.col("_z"), lambda s: (s["_tg"] - tbar) * (s["_tg"] - tbar)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    jvar = (gc - F.lit(1.0)) / gc * ssq
+    return packed.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_gc").cast("long").alias("g"),
+        (F.col("_s").cast("double") / F.col("_n").cast("double")).alias("theta"),
+        jvar.alias("jack_var"),
+        F.sqrt(jvar).alias("jack_se"),
     )

@@ -207,3 +207,92 @@ def test_source_diversity_single_group(spark):
     )
     r = source_diversity(docs, "source").collect()[0]
     assert r.shannon == 0.0 and abs(r.simpson - 1.0) < 1e-12
+
+
+# --- wave 25: deterministic resampling -------------------------------------
+
+
+def _h28(rep, ident):
+    import hashlib
+
+    return int(hashlib.md5(f"{rep}:{ident}".encode()).hexdigest()[:7], 16)
+
+
+def test_bootstrap_weights_match_reference_hash(spark):
+    """The in-plan Poisson weight must equal the Python-side inverse
+    CDF at the same md5 hash (the determinism contract)."""
+    from csp_gateway_spark.operators.analytics import (
+        _POISSON1_THRESHOLDS, bootstrap_mean_ci,
+    )
+
+    rows = [(i, 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, y double")
+    out = bootstrap_mean_ci(df, "id", "y", reps=4).collect()[0]
+    assert out.n == 200 and out.reps == 4
+    # all values 1.0 -> every replicate mean is exactly 1.0
+    assert out.mean == 1.0 and out.ci_lo == 1.0 and out.ci_hi == 1.0
+    # spot-check the weight ladder against Python
+    for rep in range(2):
+        for ident in (0, 7, 123):
+            x = _h28(rep, ident)
+            w = sum(1 for t in _POISSON1_THRESHOLDS if x >= t)
+            assert 0 <= w <= len(_POISSON1_THRESHOLDS)
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    from csp_gateway_spark.operators.analytics import bootstrap_mean_ci
+
+    rows = [(i, float(i % 100)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, y double")
+    out = bootstrap_mean_ci(df, "id", "y", reps=32, alpha=0.10).collect()[0]
+    assert out.ci_lo <= out.mean <= out.ci_hi
+    # CI should be tight around 49.5 for n=5000
+    assert abs(out.mean - 49.5) < 1e-9
+    assert out.ci_hi - out.ci_lo < 5.0
+
+
+def test_signflip_detects_strong_shift(spark):
+    from csp_gateway_spark.operators.analytics import signflip_test
+
+    # every pair shifted by +10: observed |T| is the maximum possible,
+    # so only sign patterns matching/spanning it count -> small p
+    df = spark.createDataFrame(
+        [(i, 10.0) for i in range(50)], "id long, d double"
+    )
+    r = signflip_test(df, "id", "d", reps=63).collect()[0]
+    assert r.n_pairs == 50 and r.reps == 63
+    assert r.t_obs == 500.0
+    assert r.p_value <= 2.0 / 64.0
+
+
+def test_signflip_null_is_uniformish(spark):
+    from csp_gateway_spark.operators.analytics import signflip_test
+
+    # symmetric differences: p should not be tiny
+    df = spark.createDataFrame(
+        [(i, 1.0 if i % 2 == 0 else -1.0) for i in range(100)],
+        "id long, d double",
+    )
+    r = signflip_test(df, "id", "d", reps=63).collect()[0]
+    assert r.t_obs == 0.0
+    assert r.p_value == 1.0  # |T_r| >= 0 always
+
+
+def test_jackknife_matches_manual(spark):
+    from csp_gateway_spark.operators.analytics import jackknife_variance
+
+    data = {"g1": [1.0, 2.0], "g2": [3.0, 4.0, 5.0], "g3": [10.0]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, y double")
+    all_v = [v for vs in data.values() for v in vs]
+    n, gc = len(all_v), len(data)
+    thetas = []
+    for g in data:
+        rest = [v for gg, vs in data.items() if gg != g for v in vs]
+        thetas.append(sum(rest) / len(rest))
+    tbar = sum(thetas) / gc
+    jvar = (gc - 1) / gc * sum((t - tbar) ** 2 for t in thetas)
+    r = jackknife_variance(df, "g", "y").collect()[0]
+    assert (r.n, r.g) == (n, gc)
+    assert abs(r.theta - sum(all_v) / n) < 1e-12
+    assert abs(r.jack_var - jvar) < 1e-9
