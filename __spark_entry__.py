@@ -13341,6 +13341,266 @@ FROM fin
 """
 
 
+# ---------------------------------------------------------------------------
+# WAVE 26 (round 11) — distribution distance / partial association /
+# graph clustering / sequence entropy / spectral seasonality
+# ---------------------------------------------------------------------------
+
+
+def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein distance between returned ('R') and acknowledged
+    ('A') line prices — the dollars-valued drift metric beside
+    ks_test/cvm_test; exact step integral over the collapsed ECDF."""
+    from csp_gateway_spark.operators.analytics import wasserstein_distance
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = wasserstein_distance(li, "l_returnflag", "l_extendedprice", "R", "A")
+    return out.select(
+        "n_a", "n_b", (F.round("w1", 6) + F.lit(0.0)).alias("w1")
+    )
+
+
+ORACLE_WASSERSTEIN = """
+WITH pv AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1
+), c AS (
+  SELECT v,
+    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+    lead(v) OVER (ORDER BY v) AS vhi
+  FROM pv
+), t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM pv),
+s AS (
+  SELECT COALESCE(SUM(CAST(
+           CAST(abs(CAST(c1 AS HUGEINT) * nb - CAST(c2 AS HUGEINT) * na) AS DECIMAL(24,0))
+           * CAST(vhi - v AS DECIMAL(13,2))
+         AS DECIMAL(38,2))), CAST(0 AS DECIMAL(38,2))) AS w
+  FROM c, t WHERE vhi IS NOT NULL
+)
+SELECT na AS n_a, nb AS n_b,
+  round(CAST(w AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) + 0.0 AS w1
+FROM s, t
+"""
+
+
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of quantity and price controlling for
+    discount — the confounder screen; nine exact moments in one
+    scan."""
+    from csp_gateway_spark.operators.analytics import partial_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = partial_corr(li, "l_quantity", "l_extendedprice", "l_discount")
+    return out.select(
+        "n",
+        (F.round("r_xy", 6) + F.lit(0.0)).alias("r_xy"),
+        (F.round("r_xz", 6) + F.lit(0.0)).alias("r_xz"),
+        (F.round("r_yz", 6) + F.lit(0.0)).alias("r_yz"),
+        (F.round("partial_r", 6) + F.lit(0.0)).alias("partial_r"),
+    )
+
+
+ORACLE_PARTIAL_CORR = """
+WITH b AS (
+  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS y,
+         CAST(l_discount AS DECIMAL(18,2)) AS z
+  FROM lineitem
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    SUM(CAST(x AS DECIMAL(38,2))) AS sx, SUM(CAST(y AS DECIMAL(38,2))) AS sy,
+    SUM(CAST(z AS DECIMAL(38,2))) AS sz,
+    SUM(CAST(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS sxx,
+    SUM(CAST(CAST(y AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS syy,
+    SUM(CAST(CAST(z AS DECIMAL(19,2)) * CAST(z AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS szz,
+    SUM(CAST(CAST(x AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS sxy,
+    SUM(CAST(CAST(x AS DECIMAL(19,2)) * CAST(z AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS sxz,
+    SUM(CAST(CAST(y AS DECIMAL(19,2)) * CAST(z AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS syz
+  FROM b
+), r AS (
+  SELECT n,
+    CASE WHEN (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+            * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) > 0
+      THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) END AS r_xy,
+    CASE WHEN (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+            * (CAST(n AS DOUBLE)*CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)*CAST(sz AS DOUBLE)) > 0
+      THEN (CAST(n AS DOUBLE)*CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sz AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE)*CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)*CAST(sz AS DOUBLE))) END AS r_xz,
+    CASE WHEN (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))
+            * (CAST(n AS DOUBLE)*CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)*CAST(sz AS DOUBLE)) > 0
+      THEN (CAST(n AS DOUBLE)*CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sz AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))
+                * (CAST(n AS DOUBLE)*CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)*CAST(sz AS DOUBLE))) END AS r_yz
+  FROM s
+)
+SELECT n,
+  round(r_xy, 6) + 0.0 AS r_xy,
+  round(r_xz, 6) + 0.0 AS r_xz,
+  round(r_yz, 6) + 0.0 AS r_yz,
+  round(CASE WHEN (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0
+        THEN (r_xy - r_xz * r_yz)
+             / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)) END, 6) + 0.0 AS partial_r
+FROM r
+"""
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global + average-local clustering coefficients of the shared
+    12-gram similarity graph — do near-dup neighborhoods close their
+    triangles?"""
+    from csp_gateway_spark.operators.corpus import clustering_coefficient
+
+    edges = _snp_edges(spark, sf_dir)
+    out = clustering_coefficient(edges)
+    return out.select(
+        "n_nodes",
+        "n_triangles",
+        (F.round("global_cc", 6) + F.lit(0.0)).alias("global_cc"),
+        (F.round("avg_local_cc", 6) + F.lit(0.0)).alias("avg_local_cc"),
+    )
+
+
+def _oracle_clustering_coeff() -> str:
+    return (
+        _snp_sql_prefix()
+        + """
+, e AS (
+  SELECT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+  FROM cpairs WHERE id_a != id_b
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+), tpn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS t
+  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY 1
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+), pn AS (
+  SELECT deg.node, deg.d, COALESCE(tpn.t, 0) AS t,
+    CASE WHEN deg.d >= 2
+         THEN 2.0 * CAST(COALESCE(tpn.t, 0) AS DOUBLE)
+              / (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0)) END AS cc
+  FROM deg LEFT JOIN tpn USING (node)
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS nn,
+    SUM(CAST(t AS HUGEINT)) AS t3,
+    SUM(CASE WHEN d >= 2 THEN CAST(d AS HUGEINT) * (d - 1) ELSE CAST(0 AS HUGEINT) END) AS w2,
+    CAST(SUM(CASE WHEN cc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nd2,
+    list_reduce(list_prepend(0.0, list(cc ORDER BY node) FILTER (WHERE cc IS NOT NULL)),
+                (x, y) -> x + y) AS ccsum
+  FROM pn
+)
+SELECT nn AS n_nodes, CAST(t3 // 3 AS BIGINT) AS n_triangles,
+  round(CASE WHEN w2 > 0 THEN 2.0 * CAST(t3 AS DOUBLE) / CAST(w2 AS DOUBLE) END, 6) + 0.0 AS global_cc,
+  round(CASE WHEN nd2 > 0 THEN ccsum / CAST(nd2 AS DOUBLE) END, 6) + 0.0 AS avg_local_cc
+FROM agg
+"""
+    )
+
+
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy of the user event Markov chain — how
+    predictable is the next event, with the effective branching
+    factor exp(H)."""
+    from csp_gateway_spark.operators.corpus import transition_entropy
+    from csp_gateway_spark.operators.windows import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    trans = event_transitions(
+        ev, key_col="user_id", type_col="event_type", order_cols=["ts", "event_id"]
+    )
+    out = transition_entropy(trans)
+    return out.select(
+        "n_transitions",
+        "k_states",
+        (F.round("cond_entropy", 8) + F.lit(0.0)).alias("cond_entropy"),
+        (F.round("eff_branching", 8) + F.lit(0.0)).alias("eff_branching"),
+    )
+
+
+ORACLE_TRANSITION_ENTROPY = """
+WITH s AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS nxt
+  FROM events
+), p AS (
+  SELECT event_type AS cur, nxt, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+), tc AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS tot FROM p GROUP BY 1),
+tt AS (SELECT CAST(SUM(n) AS BIGINT) AS t, CAST(COUNT(DISTINCT cur) AS BIGINT) AS k FROM p),
+terms AS (
+  SELECT p.cur, p.nxt,
+    -(CAST(p.n AS DOUBLE) / CAST(tt.t AS DOUBLE))
+      * ln(CAST(p.n AS DOUBLE) / CAST(tc.tot AS DOUBLE)) AS h
+  FROM p JOIN tc USING (cur), tt
+), folded AS (
+  SELECT list_reduce(list_prepend(0.0, list(h ORDER BY cur, nxt)), (a, b) -> a + b) AS hs
+  FROM terms
+)
+SELECT tt.t AS n_transitions, tt.k AS k_states,
+  round(hs, 8) + 0.0 AS cond_entropy,
+  round(exp(hs), 8) + 0.0 AS eff_branching
+FROM folded, tt
+"""
+
+
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized DFT periodogram of monthly revenue (candidate
+    periods 2-24 months) — the seasonality scan; one pinned-order
+    fold per period over the packed series."""
+    from csp_gateway_spark.operators.analytics import periodogram
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.select(
+        (
+            (F.year("o_orderdate") - F.lit(1970)) * F.lit(12)
+            + F.month("o_orderdate")
+            - F.lit(1)
+        ).cast("long").alias("k"),
+        F.col("o_totalprice").alias("y"),
+    )
+    out = periodogram(monthly, "k", "y", min_period=2, max_period=24)
+    return out.select(
+        "period", (F.round("power", 8) + F.lit(0.0)).alias("power")
+    ).orderBy("period")
+
+
+ORACLE_PERIODOGRAM = """
+WITH m AS (
+  SELECT CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS BIGINT) AS k,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(y) AS s FROM m),
+er AS (
+  SELECT CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS t,
+         (CAST(y AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / CAST(s AS DOUBLE) AS yv
+  FROM m, tot
+), periods AS (SELECT unnest(range(2, 25)) AS p),
+folds AS (
+  SELECT p,
+    list_reduce(list_prepend(0.0,
+      list(yv * cos(6.283185307179586 * CAST(t AS DOUBLE) / CAST(p AS DOUBLE)) ORDER BY t)),
+      (a, b) -> a + b) AS c,
+    list_reduce(list_prepend(0.0,
+      list(yv * sin(6.283185307179586 * CAST(t AS DOUBLE) / CAST(p AS DOUBLE)) ORDER BY t)),
+      (a, b) -> a + b) AS sn
+  FROM periods, er GROUP BY p
+)
+SELECT CAST(p AS BIGINT) AS period, round(c * c + sn * sn, 8) + 0.0 AS power
+FROM folds ORDER BY period
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -13578,6 +13838,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
         "signflip_test": q_signflip_test,
         "jackknife_variance": q_jackknife_variance,
+        "wasserstein": q_wasserstein,
+        "partial_corr": q_partial_corr,
+        "clustering_coeff": q_clustering_coeff,
+        "transition_entropy": q_transition_entropy,
+        "periodogram": q_periodogram,
         "levene_test": q_levene_test,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "token_coverage": q_token_coverage,
@@ -13964,6 +14229,11 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_mean_ci": _oracle_bootstrap_mean_ci(),
         "signflip_test": _oracle_signflip_test(),
         "jackknife_variance": ORACLE_JACKKNIFE_VARIANCE,
+        "wasserstein": ORACLE_WASSERSTEIN,
+        "partial_corr": ORACLE_PARTIAL_CORR,
+        "clustering_coeff": _oracle_clustering_coeff(),
+        "transition_entropy": ORACLE_TRANSITION_ENTROPY,
+        "periodogram": ORACLE_PERIODOGRAM,
         "levene_test": ORACLE_LEVENE_TEST,
         "dedup_threshold_sweep": ORACLE_DEDUP_THRESHOLD_SWEEP,
         "token_coverage": ORACLE_TOKEN_COVERAGE,

@@ -8140,3 +8140,235 @@ def jackknife_variance(
         jvar.alias("jack_var"),
         F.sqrt(jvar).alias("jack_se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WAVE 26 (round 11) — distribution distance / partial association /
+# spectral seasonality
+# ---------------------------------------------------------------------------
+
+
+def wasserstein_distance(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between two cohorts
+    of a numeric column: W₁ = ∫|F̂₁ − F̂₂| dx — the metric companion
+    of :func:`ks_test` (max gap) and :func:`cvm_test` (integrated
+    squared gap): W₁ is in the VALUE's units, so "the distributions
+    are $312 apart" reads directly.
+
+    Same collapsed-ECDF shape: one distinct-value collapse with both
+    cohort counts, one packed decimal cumulative
+    (``global_row_number``), then the step integral
+    Σ|c₁n₂ − c₂n₁|·(v_{i+1} − v_i) accumulates EXACTLY — the rank
+    column turns "next distinct value" into an equi-join on rn+1 (no
+    window) — and divides once by n₁n₂.  Output: one row
+    (n_a, n_b, w1)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col)
+    per_val = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(v.cast("decimal(18,2)").alias("_v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+        )
+    )
+    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
+    packed = per_val.withColumn(
+        "_pk",
+        (
+            F.col("_ca").cast("decimal(20,0)") * shift
+            + F.col("_cb").cast("decimal(20,0)")
+        ).cast("decimal(38,0)"),
+    )
+    ranked = global_row_number(
+        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
+    ).localCheckpoint(eager=False)
+    cum_b = F.pmod(F.col("_cum"), shift)
+    cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
+    steps = ranked.select(
+        "_rn",
+        F.col("_v").alias("_vlo"),
+        cum_a.cast("decimal(12,0)").alias("_c1"),
+        cum_b.cast("decimal(12,0)").alias("_c2"),
+        "_ca",
+        "_cb",
+    )
+    nxt = ranked.select((F.col("_rn") - 1).alias("_rn"), F.col("_v").alias("_vhi"))
+    gap = (
+        F.col("_vhi").cast("decimal(19,2)") - F.col("_vlo").cast("decimal(19,2)")
+    ).cast("decimal(13,2)")
+    totals = ranked.agg(F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"))
+    delta = F.abs(
+        F.col("_c1").cast("decimal(19,0)") * F.col("_nb").cast("decimal(12,0)")
+        - F.col("_c2").cast("decimal(19,0)") * F.col("_na").cast("decimal(12,0)")
+    ).cast("decimal(24,0)")
+    # (24,0)×(13,2) → exact decimal(38,2) on both engines for cohorts
+    # ≤ 10¹¹ rows and value spans ≤ 10¹¹ units
+    summed = (
+        steps.join(nxt, "_rn")
+        .crossJoin(F.broadcast(totals))
+        .agg(
+            F.coalesce(
+                F.sum((delta * gap).cast("decimal(38,2)")),
+                F.lit(0).cast("decimal(38,2)"),
+            ).alias("_s"),
+            F.max("_na").alias("_na"),
+            F.max("_nb").alias("_nb"),
+        )
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    return summed.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        (F.col("_s").cast("double") / (na * nb)).alias("w1"),
+    )
+
+
+def partial_corr(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    col_z: str,
+) -> DataFrame:
+    """First-order partial correlation r_xy·z — the association of x
+    and y with z held fixed, from the classic recursion
+    (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — the "is this
+    correlation just a confounder" screen.
+
+    ONE scan accumulates all nine exact decimal moments (three sums,
+    three squares, three cross products at (19,2)×(19,2)); each
+    pairwise r and the partial are closed-form doubles over exact
+    sums.  Output: one row (n, r_xy, r_xz, r_yz, partial_r)."""
+    x = F.col(col_x).cast("decimal(18,2)")
+    y = F.col(col_y).cast("decimal(18,2)")
+    z = F.col(col_z).cast("decimal(18,2)")
+
+    def sq(a, b):
+        return F.sum(
+            (a.cast("decimal(19,2)") * b.cast("decimal(19,2)")).cast("decimal(38,4)")
+        )
+
+    one = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x.cast("decimal(38,2)")).alias("_sx"),
+        F.sum(y.cast("decimal(38,2)")).alias("_sy"),
+        F.sum(z.cast("decimal(38,2)")).alias("_sz"),
+        sq(x, x).alias("_sxx"),
+        sq(y, y).alias("_syy"),
+        sq(z, z).alias("_szz"),
+        sq(x, y).alias("_sxy"),
+        sq(x, z).alias("_sxz"),
+        sq(y, z).alias("_syz"),
+    )
+    n = F.col("_n").cast("double")
+
+    def r(sab, sa, sb, saa, sbb):
+        cov = n * F.col(sab).cast("double") - F.col(sa).cast("double") * F.col(sb).cast("double")
+        va = n * F.col(saa).cast("double") - F.col(sa).cast("double") * F.col(sa).cast("double")
+        vb = n * F.col(sbb).cast("double") - F.col(sb).cast("double") * F.col(sb).cast("double")
+        return F.when(va * vb > 0, cov / F.sqrt(va * vb))
+
+    r_xy = r("_sxy", "_sx", "_sy", "_sxx", "_syy")
+    r_xz = r("_sxz", "_sx", "_sz", "_sxx", "_szz")
+    r_yz = r("_syz", "_sy", "_sz", "_syy", "_szz")
+    staged = one.select(
+        F.col("_n").cast("long").alias("n"),
+        r_xy.alias("r_xy"),
+        r_xz.alias("r_xz"),
+        r_yz.alias("r_yz"),
+    )
+    denom = (F.lit(1.0) - F.col("r_xz") * F.col("r_xz")) * (
+        F.lit(1.0) - F.col("r_yz") * F.col("r_yz")
+    )
+    partial = F.when(
+        denom > 0,
+        (F.col("r_xy") - F.col("r_xz") * F.col("r_yz")) / F.sqrt(denom),
+    )
+    return staged.select("n", "r_xy", "r_xz", "r_yz", partial.alias("partial_r"))
+
+
+def periodogram(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+    min_period: int = 2,
+    max_period: int = 24,
+) -> DataFrame:
+    """Normalized DFT periodogram of an ordered series: for each
+    candidate period p, the spectral power of the mean-centered,
+    total-normalized series at frequency 1/p — the "which seasonality
+    is real" scan behind :func:`seasonal_index` (pick the argmax
+    period, then decompose).
+
+    The series packs into ONE key-ordered array (calendar-bounded,
+    cap-guarded); each period's cos/sin projections are a single
+    pinned-order fold over the same array, and normalizing by the
+    exact total keeps power O(1) so the trig term is the only
+    engine-variance surface (identical operation order both sides;
+    DuckDB mirrors with the same nested list folds).  Output per
+    period: (period, power)."""
+    packed = (
+        series.groupBy(F.col(key_col).cast("long").alias("_k"))
+        .agg(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_y"))
+        .agg(
+            _capped_packed(
+                F.array_sort(
+                    F.collect_list(F.struct("_k", F.col("_y").cast("double").alias("_v")))
+                ),
+                "periodogram",
+            ).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_y").alias("_tot"),
+        )
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_tot").cast("double") / n
+    scale = F.col("_tot").cast("double")
+    two_pi = 6.283185307179586
+    rows = packed.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(int(min_period)), F.lit(int(max_period))),
+                lambda p: F.struct(
+                    p.cast("long").alias("period"),
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("_s"),
+                            F.sequence(F.lit(1), F.size("_s")),
+                            lambda s, i: F.struct(
+                                ((s["_v"] - mean) / scale).alias("yv"),
+                                i.cast("double").alias("tt"),
+                            ),
+                        ),
+                        F.struct(F.lit(0.0).alias("c"), F.lit(0.0).alias("sn")),
+                        lambda acc, e: F.struct(
+                            (
+                                acc["c"]
+                                + e["yv"]
+                                * F.cos(F.lit(two_pi) * e["tt"] / p.cast("double"))
+                            ).alias("c"),
+                            (
+                                acc["sn"]
+                                + e["yv"]
+                                * F.sin(F.lit(two_pi) * e["tt"] / p.cast("double"))
+                            ).alias("sn"),
+                        ),
+                        lambda acc: acc["c"] * acc["c"] + acc["sn"] * acc["sn"],
+                    ).alias("power"),
+                ),
+            )
+        ).alias("_r")
+    )
+    return rows.select(
+        F.col("_r.period").alias("period"), F.col("_r.power").alias("power")
+    ).orderBy("period")

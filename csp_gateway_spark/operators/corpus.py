@@ -1875,3 +1875,158 @@ def source_diversity(
         F.exp(shannon).alias("eff_shannon"),
         (F.lit(1.0) / simpson).alias("eff_simpson"),
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Clustering coefficients of an undirected graph: the GLOBAL
+    coefficient 3·triangles/wedges and the AVERAGE local coefficient
+    mean_v 2·tri(v)/(deg(v)(deg(v)−1)) over nodes of degree ≥ 2 —
+    "how clique-like are the neighborhoods" (template families close
+    their triangles; chains of borderline near-dups do not).
+
+    Same ordered wedge-close as :func:`triangle_count` (a<b<c counts
+    each triangle once; join cost Σdeg² bounded by the blocking
+    generator).  Triangle counts and degrees are exact integers;
+    the node-bounded local-cc terms fold node-sorted with pinned FP
+    order.  Output: one row (n_nodes, n_triangles, global_cc,
+    avg_local_cc)."""
+    from csp_gateway_spark.operators.analytics import _capped_packed
+
+    e = edges.select(
+        F.least(F.col(a_col), F.col(b_col)).alias("a"),
+        F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=False)
+    bc = e.select(F.col("a").alias("_b"), F.col("b").alias("c"))
+    wedges = e.join(bc, F.col("b") == F.col("_b")).select("a", "b", "c")
+    close = e.select(F.col("a").alias("_ca"), F.col("b").alias("_cc"))
+    tri = wedges.join(
+        close, (F.col("a") == F.col("_ca")) & (F.col("c") == F.col("_cc"))
+    ).select("a", "b", "c")
+    tri_per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_t"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    per_node = deg.join(tri_per_node, "node", "left").select(
+        "node",
+        "_d",
+        F.coalesce(F.col("_t"), F.lit(0)).alias("_t"),
+    )
+    dd = F.col("_d").cast("double")
+    local = F.when(
+        F.col("_d") >= 2,
+        F.lit(2.0) * F.col("_t").cast("double") / (dd * (dd - F.lit(1.0))),
+    )
+    terms = per_node.select("node", "_d", "_t", local.alias("_cc"))
+    w19 = F.col("_d").cast("decimal(19,0)")
+    packed = terms.agg(
+        _capped_packed(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_cc").isNotNull(), F.struct("node", "_cc"))
+                )
+            ),
+            "clustering_coefficient",
+        ).alias("_z"),
+        F.count(F.lit(1)).alias("_nn"),
+        F.sum((F.col("_t").cast("decimal(19,0)")).cast("decimal(38,0)")).alias("_t3"),
+        F.sum(
+            F.when(
+                F.col("_d") >= 2,
+                (w19 * (w19 - F.lit(1).cast("decimal(2,0)"))).cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("_w2"),
+        F.sum((F.col("_cc").isNotNull()).cast("long")).alias("_nd2"),
+    )
+    ccsum = F.aggregate(
+        F.transform(F.col("_z"), lambda s: s["_cc"]),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    # Σ_v tri(v) = 3·triangles; Σ_v deg(deg−1) = 2·wedges, so the
+    # transitivity 3·triangles/wedges = 2·Σtri(v)/Σdeg(deg−1)
+    global_cc = F.when(
+        F.col("_w2") > 0,
+        F.lit(2.0) * F.col("_t3").cast("double") / F.col("_w2").cast("double"),
+    )
+    avg_local = F.when(
+        F.col("_nd2") > 0, ccsum / F.col("_nd2").cast("double")
+    )
+    return packed.select(
+        F.col("_nn").cast("long").alias("n_nodes"),
+        (F.col("_t3") / F.lit(3).cast("decimal(2,0)")).cast("long").alias("n_triangles"),
+        global_cc.alias("global_cc"),
+        avg_local.alias("avg_local_cc"),
+    )
+
+
+def transition_entropy(
+    transitions: DataFrame,
+    cur_col: str = "cur",
+    nxt_col: str = "nxt",
+    n_col: str = "n",
+) -> DataFrame:
+    """Conditional entropy of a first-order Markov transition table
+    (the :func:`windows.event_transitions` output): H(next|cur) =
+    −Σ p(cur,nxt)·ln p(nxt|cur) in nats, plus the effective branching
+    factor exp(H) — "how predictable is the next event".
+
+    The table is state-space-bounded, so the entropy terms fold
+    (cur, nxt)-sorted in one packed row with pinned FP order over
+    exact integer counts.  Output: one row (n_transitions, k_states,
+    cond_entropy, eff_branching)."""
+    from csp_gateway_spark.operators.analytics import _capped_packed
+
+    counts = transitions.select(
+        F.col(cur_col).alias("_c"), F.col(nxt_col).alias("_x"),
+        F.col(n_col).cast("long").alias("_n"),
+    )
+    per_cur = counts.groupBy("_c").agg(F.sum("_n").alias("_tc"))
+    tot = counts.agg(
+        F.sum("_n").alias("_t"), F.countDistinct("_c").alias("_k")
+    )
+    terms = (
+        counts.join(F.broadcast(per_cur), "_c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_c",
+            "_x",
+            "_t",
+            "_k",
+            (
+                -(F.col("_n").cast("double") / F.col("_t").cast("double"))
+                * F.log(
+                    F.col("_n").cast("double") / F.col("_tc").cast("double")
+                )
+            ).alias("_h"),
+        )
+    )
+    packed = terms.agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_c", "_x", "_h"))),
+            "transition_entropy",
+        ).alias("_z"),
+        F.max("_t").alias("_t"),
+        F.max("_k").alias("_k"),
+    )
+    h = F.aggregate(
+        F.transform(F.col("_z"), lambda s: s["_h"]),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return packed.select(
+        F.col("_t").cast("long").alias("n_transitions"),
+        F.col("_k").cast("long").alias("k_states"),
+        h.alias("cond_entropy"),
+        F.exp(h).alias("eff_branching"),
+    )
