@@ -13978,20 +13978,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family stays replica-checked; rouge_overlap keeps the
         # text-pair-metric seat)
         "rouge_overlap",
-        # round-10 rotation: replay_handoff (new W3-closure gate) takes
-        # replay's family slot; char_entropy / line_dedup /
-        # embedding_quantize return after 8 evicted rounds; the four
-        # funding evictees (dedup_simhash, ngram_jaccard,
-        # approx_distinct, hypertable_rollup) carry 8 consecutive
-        # driver-green rounds and stay in the full replica sweep
-        "char_entropy", "line_dedup", "embedding_quantize",
-        # round-11 rotation: the three queries whose implementations
-        # changed this round enter the window so the driver gate
-        # carries direct evidence on the new code (fingerprint df-cap,
-        # ECDF ntile, ks_test totals reuse), plus the longest-evicted
-        # TPC-H representative
+        # round-11 rotation (first pass): the three queries whose
+        # implementations changed early in the round enter the window
+        # so the driver gate carries direct evidence on the new code
+        # (fingerprint df-cap, ECDF ntile, ks_test totals reuse)
         "fingerprint_pairs", "ntile_histogram", "ks_test",
-        "volume_shipping",
+        # round-11 rotation (second pass): the r10 returnees
+        # (char_entropy / line_dedup / embedding_quantize /
+        # volume_shipping) banked fresh driver-green evidence in
+        # CORRECTNESS_r10 and rotate back out; their seats fund direct
+        # driver evidence on this round's re-planned spearman (smaller-
+        # side broadcast) and three wave-23/25/26 representatives —
+        # the evictees stay in the full per-round replica sweep
+        "spearman_corr", "bootstrap_mean_ci", "kendall_tau",
+        "wasserstein",
     ]
     ordered = {name: raw[name] for name in priority}
     ordered.update({name: fn for name, fn in raw.items() if name not in ordered})

@@ -109,6 +109,19 @@ HEAVY = [
     "pettitt_test",
     "levene_test",
     "dedup_threshold_sweep",
+    # round-11 waves 23-26: concordance/shape/resampling/graph/diversity
+    "kendall_tau",
+    "cvm_test",
+    "hits_scores",
+    "distinct_ngrams",
+    "hodges_lehmann",
+    "bootstrap_mean_ci",
+    "signflip_test",
+    "wasserstein",
+    "clustering_coeff",
+    "assortativity",
+    "durbin_watson",
+    "friedman_test",
 ]
 
 TABLES = [
