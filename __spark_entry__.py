@@ -13180,20 +13180,30 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_bootstrap_mean_ci() -> str:
-    x = _sql_hash28("rep", "o_orderkey")
-    ladder = "CASE " + " ".join(
-        f"WHEN {x} < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
-    ) + f" ELSE {len(_BOOT_THRESH)} END"
+    from csp_gateway_spark.operators.analytics import _POISSON1_P_THRESHOLDS
+    from csp_gateway_spark.operators.dedup import _AFFINE_P, _affine_coeffs
+
+    coeffs = _affine_coeffs(_BOOT_REPS)
+    alist = "[" + ", ".join(str(a) for a, _ in coeffs) + "]"
+    clist = "[" + ", ".join(str(c) for _, c in coeffs) + "]"
+    x = f"(({alist}[rep + 1] * x0 + {clist}[rep + 1]) % {_AFFINE_P})"
+    ladder = "(" + " + ".join(
+        f"(CASE WHEN {x} >= {t} THEN 1 ELSE 0 END)"
+        for t in _POISSON1_P_THRESHOLDS
+    ) + ")"
     import math as _m
 
     lo_idx = int(_m.floor(0.05 * _BOOT_REPS)) + 1
     hi_idx = int(_m.ceil(0.95 * _BOOT_REPS))
     return f"""
 WITH reps AS (SELECT unnest(range(0, {_BOOT_REPS})) AS rep),
-fanned AS (
-  SELECT rep, CAST({ladder} AS BIGINT) AS w,
+base AS (
+  SELECT ('0x' || substr(md5('boot:' || CAST(o_orderkey AS VARCHAR)), 1, 7))::BIGINT AS x0,
          CAST(o_totalprice AS DECIMAL(18,2)) AS y
-  FROM orders, reps
+  FROM orders
+), fanned AS (
+  SELECT rep, CAST({ladder} AS BIGINT) AS w, y
+  FROM base, reps
 ), per_rep AS (
   SELECT rep, SUM(CAST(CAST(w AS DECIMAL(6,0)) * y AS DECIMAL(38,2))) AS sw,
          CAST(SUM(w) AS BIGINT) AS nw
@@ -13601,6 +13611,268 @@ FROM folds ORDER BY period
 """
 
 
+# ---------------------------------------------------------------------------
+# WAVE 27 (round 11) — Kneser-Ney LM quality + conformal intervals
+# ---------------------------------------------------------------------------
+
+
+def q_kn_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cross-entropy / perplexity under an interpolated
+    Kneser-Ney bigram LM — continuation-count smoothing beside the
+    stupid-backoff scorer; exact count tables, (v,w)-sorted log
+    fold."""
+    from csp_gateway_spark.operators.corpus import kn_bigram_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    out = kn_bigram_entropy(docs)
+    return out.select(
+        "n_bigrams",
+        "n_cells",
+        (F.round("cross_entropy", 8) + F.lit(0.0)).alias("cross_entropy"),
+        (F.round("perplexity", 6) + F.lit(0.0)).alias("perplexity"),
+    )
+
+
+def _oracle_kn_bigram_entropy() -> str:
+    return f"""
+WITH sh AS (SELECT unnest({_sql_shingles_all(2)}) AS s FROM documents),
+pr AS (SELECT string_split(s, ' ') AS p FROM sh),
+bg AS (SELECT p[1] AS v, p[2] AS w FROM pr WHERE len(p) = 2),
+cells AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+lft AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv, CAST(count(*) AS BIGINT) AS n1v
+        FROM cells GROUP BY 1),
+rgt AS (SELECT w, CAST(count(*) AS BIGINT) AS n1w FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nb, CAST(count(*) AS BIGINT) AS ncells
+        FROM cells),
+terms AS (
+  SELECT cells.v, cells.w,
+    -CAST(c AS DOUBLE) * ln(
+        greatest(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(cv AS DOUBLE)
+        + 0.75 * CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE)
+          * (CAST(n1w AS DOUBLE) / CAST(ncells AS DOUBLE))
+      ) AS h
+  FROM cells JOIN lft USING (v) JOIN rgt USING (w), tot
+), folded AS (
+  SELECT list_reduce(list_prepend(0.0, list(h ORDER BY v, w)), (a, b) -> a + b) AS hs
+  FROM terms
+)
+SELECT nb AS n_bigrams, ncells AS n_cells,
+  round(hs / CAST(nb AS DOUBLE), 8) + 0.0 AS cross_entropy,
+  round(exp(hs / CAST(nb AS DOUBLE)), 6) + 0.0 AS perplexity
+FROM folded, tot
+"""
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% interval around the per-priority median
+    order value — hash-split halves, exact order-statistic quantile,
+    test-set coverage."""
+    from csp_gateway_spark.operators.analytics import conformal_interval
+
+    orders = _t(spark, sf_dir, "orders")
+    out = conformal_interval(
+        orders, "o_orderkey", "o_orderpriority", "o_totalprice", alpha=0.10
+    )
+    return out.select(
+        "n_calib",
+        "n_test",
+        (F.round("q_hat", 4) + F.lit(0.0)).alias("q_hat"),
+        (F.round("coverage", 8) + F.lit(0.0)).alias("coverage"),
+    )
+
+
+def _oracle_conformal_interval() -> str:
+    x = _sql_hash28("0", "o_orderkey")
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS id, o_orderpriority AS g,
+         CAST(2 * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,2)) AS y2,
+         {x} % 2 AS half
+  FROM orders
+), med AS (
+  SELECT g, quantile_cont(CAST(y2 AS DOUBLE), 0.5) AS m2
+  FROM base WHERE half = 0 GROUP BY 1
+), resid AS (
+  SELECT base.half,
+         CAST(ABS(y2 - CAST(m2 AS DECIMAL(19,2))) AS DECIMAL(19,2)) AS r2
+  FROM base JOIN med USING (g)
+), pv AS (
+  SELECT r2 AS v, CAST(count(*) AS BIGINT) AS c
+  FROM resid WHERE half = 0 GROUP BY 1
+), rk AS (
+  SELECT v, c,
+    SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pv
+), nc AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM pv),
+kk AS (SELECT CAST(((n + 1) * 9 + 9) // 10 AS BIGINT) AS k, n FROM nc),
+q AS (
+  SELECT v AS q2, kk.n FROM rk, kk WHERE cum >= kk.k AND cum - c < kk.k
+), cov AS (
+  SELECT CAST(count(*) AS BIGINT) AS nt,
+         CAST(SUM(CASE WHEN r2 <= q.q2 THEN 1 ELSE 0 END) AS BIGINT) AS inn,
+         MAX(q.q2) AS q2, MAX(q.n) AS n
+  FROM resid, q WHERE half = 1
+)
+SELECT n AS n_calib, nt AS n_test,
+  round(CAST(q2 AS DOUBLE) / 2.0, 4) + 0.0 AS q_hat,
+  round(CAST(inn AS DOUBLE) / CAST(nt AS DOUBLE), 8) + 0.0 AS coverage
+FROM cov
+"""
+
+
+# ---------------------------------------------------------------------------
+# WAVE 28 (round 11) — domain-mixture reweighting (DoReMi-style)
+# ---------------------------------------------------------------------------
+
+_DRM_ETA = 0.5
+_DRM_ROUNDS = 2
+
+
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-DRO mixture weights over document sources: per-source
+    excess loss under the corpus unigram LM drives two exponentiated-
+    gradient updates — the domain-level counterpart of dsir_weights."""
+    from csp_gateway_spark.operators.curation import doremi_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    out = doremi_weights(docs, eta=_DRM_ETA, rounds=_DRM_ROUNDS)
+    return out.select(
+        "source",
+        "n_tokens",
+        (F.round("loss", 8) + F.lit(0.0)).alias("loss"),
+        (F.round("weight", 8) + F.lit(0.0)).alias("weight"),
+    ).orderBy("source")
+
+
+def _oracle_doremi_weights() -> str:
+    toks = _SQL_TOKS.replace("trim(lower(text))", _SQL_NORM)
+    e = _DRM_ETA
+    return f"""
+WITH tk AS (
+  SELECT source AS s, unnest({toks}) AS w FROM documents
+), cells AS (
+  SELECT s, w, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2
+), marg AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT s, w, c,
+    -CAST(c AS DOUBLE) * ln(CAST(cw AS DOUBLE) / CAST(n AS DOUBLE)) AS h
+  FROM cells JOIN marg USING (w), tot
+), per_src AS (
+  SELECT s, CAST(SUM(c) AS BIGINT) AS nt,
+    list_reduce(list_prepend(0.0, list(h ORDER BY w)), (a, b) -> a + b) AS hsum
+  FROM terms GROUP BY 1
+), losses AS (
+  SELECT s, nt, hsum / CAST(nt AS DOUBLE) AS loss FROM per_src
+), packed AS (
+  SELECT list(struct_pack(s := s, nt := nt, loss := loss) ORDER BY s) AS g
+  FROM losses
+), r1 AS (
+  SELECT g, list_transform(g, x -> 1.0 * exp({e} * x.loss)) AS raw1 FROM packed
+), w1 AS (
+  SELECT g, list_transform(raw1,
+    v -> v / list_reduce(list_prepend(0.0, raw1), (a, b) -> a + b)) AS wl
+  FROM r1
+), r2 AS (
+  SELECT g, list_transform(range(1, len(g) + 1),
+    i -> wl[i] * exp({e} * g[i].loss)) AS raw2
+  FROM w1
+), w2 AS (
+  SELECT g, list_transform(raw2,
+    v -> v / list_reduce(list_prepend(0.0, raw2), (a, b) -> a + b)) AS wl
+  FROM r2
+), rows_ AS (
+  SELECT unnest(list_transform(range(1, len(g) + 1),
+    i -> struct_pack(source := g[i].s, n_tokens := g[i].nt,
+                     loss := g[i].loss, weight := wl[i]))) AS r
+  FROM w2
+)
+SELECT r.source AS source, r.n_tokens AS n_tokens,
+  round(r.loss, 8) + 0.0 AS loss,
+  round(r.weight, 8) + 0.0 AS weight
+FROM rows_ ORDER BY source
+"""
+
+
+def q_topk_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIGHTH streaming gate shape: CUSTOM-STATE top-k — a REAL
+    streaming replay (6 micro-batches) where an
+    ``applyInPandasWithState`` node keeps each event_type's top-3
+    (value, event_id) leaderboard in bounded per-key state (the
+    reference's `@csp.node`-with-state W10 shape, not a built-in
+    aggregate).  Every trigger emits the refreshed board tagged with
+    the processed count; the replay selects each key's FINAL emission
+    (seen == the key's total) — deterministic because the merge
+    order is (value, id) descending regardless of trigger slicing —
+    and hash-checks it against the batch row_number oracle."""
+    import os
+    import shutil
+
+    from csp_gateway_spark.streaming.stateful import apply_stateful, make_topk_hook
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    root = _gate_tmpdir(prefix=f"csp_gw_tkstream_{os.getpid()}_")
+    src_dir = os.path.join(root, "src")
+    ev.withColumn("_b", F.pmod(F.hash("event_id"), F.lit(6))).repartition(
+        6, "_b"
+    ).drop("_b").write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    boards = apply_stateful(
+        stream,
+        keys=["event_type"],
+        func=make_topk_hook(k=3),
+        state_schema="seen bigint, vs array<double>, ids array<bigint>",
+        output_schema="key string, rank int, value double, id bigint, seen bigint",
+    )
+    table = f"gate_tkstream_{os.getpid()}"
+    with _replay_shuffle(spark):
+        q = (
+            boards.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    totals = ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.count(F.lit(1)).alias("_tot")
+    )
+    out = (
+        spark.table(table)
+        .join(F.broadcast(totals), "key")
+        .filter(F.col("seen") == F.col("_tot"))
+        .select(
+            F.col("key").alias("event_type"),
+            F.col("rank").cast("long").alias("rank"),
+            "value",
+            F.col("id").alias("event_id"),
+        )
+        .orderBy("event_type", "rank")
+    )
+    state_out = os.path.join(root, "state_out")
+    out.write.mode("overwrite").parquet(state_out)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "ckpt"), ignore_errors=True)
+    return spark.read.parquet(state_out).orderBy("event_type", "rank")
+
+
+ORACLE_TOPK_STREAM_REPLAY = """
+SELECT event_type, CAST(rn AS BIGINT) AS rank, value, event_id
+FROM (
+  SELECT event_type, value, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY value DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 3 ORDER BY event_type, rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -13843,6 +14115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "transition_entropy": q_transition_entropy,
         "periodogram": q_periodogram,
+        "kn_bigram_entropy": q_kn_bigram_entropy,
+        "conformal_interval": q_conformal_interval,
+        "doremi_weights": q_doremi_weights,
+        "topk_stream_replay": q_topk_stream_replay,
         "levene_test": q_levene_test,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "token_coverage": q_token_coverage,
@@ -14234,6 +14510,10 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _oracle_clustering_coeff(),
         "transition_entropy": ORACLE_TRANSITION_ENTROPY,
         "periodogram": ORACLE_PERIODOGRAM,
+        "kn_bigram_entropy": _oracle_kn_bigram_entropy(),
+        "conformal_interval": _oracle_conformal_interval(),
+        "doremi_weights": _oracle_doremi_weights(),
+        "topk_stream_replay": ORACLE_TOPK_STREAM_REPLAY,
         "levene_test": ORACLE_LEVENE_TEST,
         "dedup_threshold_sweep": ORACLE_DEDUP_THRESHOLD_SWEEP,
         "token_coverage": ORACLE_TOKEN_COVERAGE,

@@ -7950,6 +7950,15 @@ _POISSON1_THRESHOLDS = [
     268413111, 268432704, 268435153, 268435426, 268435453, 268435455,
 ]
 
+#: the same Poisson(1) inverse CDF scaled to the affine-rehash range
+#: [0, 2³¹−1) (``dedup._AFFINE_P``) — for the one-md5-per-row /
+#: affine-per-replicate fast path.
+_POISSON1_P_THRESHOLDS = [
+    790015083, 1580030167, 1975037709, 2106706890, 2139624185,
+    2146207644, 2147304887, 2147461637, 2147481230, 2147483407,
+    2147483625, 2147483645,
+]
+
 
 def _hash28(col, seed_col) -> Column:
     """Portable 28-bit uniform: int(md5(rep||':'||id)[:7], 16) — the
@@ -7976,52 +7985,95 @@ def bootstrap_mean_ci(
     replicate is ONE weighted aggregate and the whole B-replicate
     ensemble is ONE explode + ONE grouped aggregate, any partitioning.
 
-    Determinism: the weight for (row, rep) inverts the Poisson(1) CDF
-    at a 28-bit md5 hash of ``rep:id`` against INTEGER thresholds —
-    no RNG, no float boundaries — so the replicate means (exact
-    decimal totals over exact integer weights, one double division
-    each) and the order-statistic CI endpoints are engine-exact.
-    Output: one row (n, reps, mean, ci_lo, ci_hi)."""
+    Determinism: each row pays ONE md5 (the 28-bit base hash of its
+    id — the minhash family's base), then every replicate derives its
+    uniform via the seeded affine rehash h_r = (a_r·x + c_r) mod
+    2³¹−1 (``dedup._affine_coeffs`` — a 2-universal family, literal
+    coefficients on both engines, ~30× cheaper than an md5 per
+    (row, rep)) and inverts the Poisson(1) CDF against INTEGER
+    thresholds — no RNG, no float boundaries — so the replicate means
+    (exact decimal totals over exact integer weights, one double
+    division each) and the order-statistic CI endpoints are
+    engine-exact.  Output: one row (n, reps, mean, ci_lo, ci_hi)."""
+    from csp_gateway_spark.operators.dedup import _AFFINE_P, _affine_coeffs
+
     b = int(reps)
-    x = _hash28(F.col(id_col), F.col("_rep"))
-    # ascending CASE ladder: weight k iff T_{k−1} ≤ x < T_k, capped at
-    # len(thresholds) past the last cutoff — mirrors the oracle's
-    # CASE WHEN x < T0 THEN 0 WHEN x < T1 THEN 1 ... ELSE 12 END
-    w = F.lit(len(_POISSON1_THRESHOLDS))
-    for k in reversed(range(len(_POISSON1_THRESHOLDS))):
-        w = F.when(x < F.lit(_POISSON1_THRESHOLDS[k]), F.lit(k)).otherwise(w)
+    coeffs = _affine_coeffs(b)
+    x0 = _hash28(F.col("_id"), F.lit("boot"))
+    # the replicate fan-out explodes an array of (rep, a, c) STRUCTS —
+    # coefficients travel as plain fields of the exploded row; an
+    # element_at(array(...)) lookup instead would rebuild the literal
+    # array per FANNED row (B× the base), measured 8× slower
+    rep_structs = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("_rep"),
+                F.lit(a).cast("long").alias("_a"),
+                F.lit(c).cast("long").alias("_c"),
+            )
+            for r, (a, c) in enumerate(coeffs)
+        ]
+    )
+    x = F.pmod(F.col("_a") * F.col("_x0") + F.col("_c"), F.lit(_AFFINE_P))
+    # inverse CDF as the FLAT sum w = Σ_k [x ≥ T_k] — value-identical
+    # to the ascending CASE ladder but codegen-light; the rehash x is
+    # PROJECTED ONCE per fanned row so the 12 ladder terms reference a
+    # plain column instead of 12 copies of the hash expression tree
+    # (nested-ladder + inlined trees measured seconds of first-run
+    # JIT; this shape compiles in milliseconds)
+    w = F.lit(0)
+    for t in _POISSON1_P_THRESHOLDS:
+        w = w + (F.col("_xr") >= F.lit(t)).cast("int")
     w = w.cast("long")
     y = F.col(value_col).cast("decimal(18,2)")
-    fanned = df.select(
-        F.col(id_col), y.alias("_y"),
-        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("_rep"),
+    # one narrow shuffle BEFORE the B× fan-out: a single-file scan
+    # would otherwise leave the explode+hash+weight work on one task
+    # (row-count × reps on a single thread — measured 7 s vs 0.6 s at
+    # sf0.1); after it, the replicate expansion is scan-parallel
+    fanned = (
+        df.select(F.col(id_col).alias("_id"), y.alias("_y"))
+        .repartition(F.col("_id"))
+        .select(x0.alias("_x0"), F.col("_y"), F.explode(rep_structs).alias("_rc"))
+        .select("_y", F.col("_rc._rep").alias("_rep"), F.col("_rc._a").alias("_a"), F.col("_rc._c").alias("_c"), "_x0")
+        .select("_y", "_rep", x.alias("_xr"))
     )
     per_rep = fanned.select("_rep", w.alias("_w"), "_y").groupBy("_rep").agg(
         F.sum((F.col("_w").cast("decimal(6,0)") * F.col("_y")).cast("decimal(38,2)")).alias("_sw"),
         F.sum("_w").alias("_nw"),
     )
-    means = per_rep.select(
-        "_rep",
-        F.when(
-            F.col("_nw") > 0,
-            F.col("_sw").cast("double") / F.col("_nw").cast("double"),
-        ).alias("_m"),
+    # the replicate table is ≤ reps rows — a bounded driver
+    # intermediate (the centroid/LR-weights precedent).  Python's
+    # float(Decimal) and float/float division are the same
+    # correctly-rounded IEEE operations as Spark's decimal→double cast
+    # and double division, so the sorted replicate means — and the
+    # order-statistic endpoints re-entering the plan as literals — are
+    # bit-identical to the former in-plan array_sort tail (which cost
+    # seconds of per-query Catalyst analysis).  AQE is scoped OFF for
+    # this one bounded job: a fixed 32-group aggregate gains nothing
+    # from runtime re-planning and its per-stage re-optimization was
+    # measured at half the operator's wall clock (values are
+    # partitioning-invariant, so the result is unchanged).
+    sess = df.sparkSession
+    prev_aqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        rows = per_rep.collect()
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    ms = sorted(
+        float(r["_sw"]) / float(r["_nw"]) for r in rows if r["_nw"]
     )
     lo_idx = int(math.floor(alpha / 2.0 * b)) + 1
     hi_idx = int(math.ceil((1.0 - alpha / 2.0) * b))
-    tot = df.agg(
-        F.count(F.lit(1)).alias("_n"), F.sum(y).alias("_s")
-    )
-    packed = means.agg(
-        F.array_sort(F.collect_list("_m")).alias("_ms"),
-        F.count(F.lit(1)).alias("_b"),
-    ).crossJoin(F.broadcast(tot))
-    return packed.select(
+    ci_lo = ms[lo_idx - 1] if len(ms) >= lo_idx else None
+    ci_hi = ms[hi_idx - 1] if len(ms) >= hi_idx else None
+    tot = df.agg(F.count(F.lit(1)).alias("_n"), F.sum(y).alias("_s"))
+    return tot.select(
         F.col("_n").cast("long").alias("n"),
-        F.col("_b").cast("long").alias("reps"),
+        F.lit(len(ms)).cast("long").alias("reps"),
         (F.col("_s").cast("double") / F.col("_n").cast("double")).alias("mean"),
-        F.element_at(F.col("_ms"), lo_idx).alias("ci_lo"),
-        F.element_at(F.col("_ms"), hi_idx).alias("ci_hi"),
+        F.lit(ci_lo).cast("double").alias("ci_lo"),
+        F.lit(ci_hi).cast("double").alias("ci_hi"),
     )
 
 
@@ -8372,3 +8424,87 @@ def periodogram(
     return rows.select(
         F.col("_r.period").alias("period"), F.col("_r.power").alias("power")
     ).orderBy("period")
+
+
+def conformal_interval(
+    df: DataFrame,
+    id_col: str,
+    group_col,
+    value_col: str,
+    alpha: float = 0.10,
+) -> DataFrame:
+    """Split-conformal prediction interval around a per-group median
+    model: hash-split the rows into calibration/test halves, take the
+    ⌈(n_cal+1)(1−α)⌉-th smallest calibration residual as the
+    conformal quantile q̂, and report the test-set coverage of
+    ŷ ± q̂ — the distribution-free "are my intervals honest" gate.
+
+    Determinism and exactness end-to-end: the split is one md5 hash
+    bit (no RNG); the predictor is the CALIBRATION-half per-group
+    median, so DOUBLED residuals |2y − 2ŷ| are exact decimals (the
+    ``levene_test`` half-cent trick); and q̂ is an exact order
+    statistic from the packed two-phase cumulative over the collapsed
+    residual ECDF — no unpartitioned window, no float thresholds.
+    Output: one row (n_calib, n_test, q_hat, coverage)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    y2 = (F.lit(2).cast("decimal(2,0)") * F.col(value_col).cast("decimal(18,2)")).cast(
+        "decimal(19,2)"
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), g.alias("_g"), y2.alias("_y2"),
+        F.pmod(_hash28(F.col(id_col), F.lit(0)), F.lit(2)).alias("_half"),
+    ).localCheckpoint(eager=False)
+    med = base.filter(F.col("_half") == 0).groupBy("_g").agg(
+        F.percentile(F.col("_y2").cast("double"), F.lit(0.5)).alias("_m2")
+    )
+    resid = base.join(F.broadcast(med), "_g").select(
+        "_half",
+        F.abs(
+            F.col("_y2") - F.col("_m2").cast("decimal(19,2)")
+        ).alias("_r2"),
+    ).localCheckpoint(eager=False)
+    calib = resid.filter(F.col("_half") == 0)
+    per_val = calib.groupBy(F.col("_r2").alias("_v")).agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("_c")
+    )
+    ranked = global_row_number(
+        per_val, "_v", [], rn_col="_rn", cum_value="_c", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
+    )
+    n_cal = ranked.agg(F.max(F.col("_cum").cast("long")).alias("_nc"))
+    # k = ⌈(n+1)(1−α)⌉ as exact integer arithmetic on the DECIMAL
+    # rational the caller wrote (Fraction('0.1') = 1/10; the binary
+    # float would make (n+1)·(1−α) land ε above exact integers and
+    # shift k by one whenever (n+1)(1−α) is integral)
+    from fractions import Fraction
+
+    fr = Fraction(1) - Fraction(str(alpha))
+    num, den = fr.numerator, fr.denominator
+    k = F.ceil(
+        (F.col("_nc") + F.lit(1)).cast("decimal(20,0)")
+        * F.lit(num).cast("decimal(20,0)")
+        / F.lit(den).cast("decimal(20,0)")
+    ).cast("decimal(20,0)")
+    qrow = (
+        ranked.crossJoin(F.broadcast(n_cal))
+        .filter(
+            (F.col("_cum") >= k)
+            & ((F.col("_cum") - F.col("_c")) < k)
+        )
+        .select(F.col("_v").alias("_q2"), F.col("_nc"))
+    )
+    test = resid.filter(F.col("_half") == 1)
+    cov = test.crossJoin(F.broadcast(qrow)).agg(
+        F.count(F.lit(1)).alias("_nt"),
+        F.sum((F.col("_r2") <= F.col("_q2")).cast("long")).alias("_in"),
+        F.max("_q2").alias("_q2"),
+        F.max("_nc").alias("_nc"),
+    )
+    return cov.select(
+        F.col("_nc").cast("long").alias("n_calib"),
+        F.col("_nt").cast("long").alias("n_test"),
+        (F.col("_q2").cast("double") / F.lit(2.0)).alias("q_hat"),
+        (F.col("_in").cast("double") / F.col("_nt").cast("double")).alias("coverage"),
+    )

@@ -2030,3 +2030,83 @@ def transition_entropy(
         h.alias("cond_entropy"),
         F.exp(h).alias("eff_branching"),
     )
+
+
+def kn_bigram_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Corpus cross-entropy under an interpolated Kneser-Ney bigram
+    LM trained on the corpus itself — the smoothing-quality
+    counterpart of the stupid-backoff scorer (``lm_score_backoff``):
+    KN discounts every bigram count by a fixed D and redistributes
+    the held-out mass through CONTINUATION counts
+    (p_cont(w) ∝ #distinct left-contexts of w), the classic fix for
+    "Francisco is frequent but only follows San".
+
+        p(w|v) = max(c(vw)−D, 0)/c(v·) + D·N₁₊(v·)/c(v·) · p_cont(w)
+
+    Everything reduces to exact integer count tables (bigram cells,
+    left/right continuation counts) joined on the cell key; the
+    per-cell log terms fold (v, w)-sorted in one cap-guarded packed
+    row, so H and perplexity are engine-identical.  Output: one row
+    (n_bigrams, n_cells, cross_entropy, perplexity)."""
+    from csp_gateway_spark.operators.analytics import _capped_packed
+    from csp_gateway_spark.operators.dedup import shingle_rows
+
+    d = float(discount)
+    big = shingle_rows(docs, text_col=text_col, id_col=id_col, k=2).select(
+        F.split(F.col("_s"), " ").alias("_p")
+    ).filter(F.size("_p") == 2).select(
+        F.col("_p")[0].alias("_v"), F.col("_p")[1].alias("_w")
+    )
+    cells = big.groupBy("_v", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    left = cells.groupBy("_v").agg(
+        F.sum("_c").alias("_cv"), F.count(F.lit(1)).alias("_n1v")
+    )
+    right = cells.groupBy("_w").agg(F.count(F.lit(1)).alias("_n1w"))
+    tot = cells.agg(
+        F.sum("_c").alias("_nb"), F.count(F.lit(1)).alias("_ncells")
+    )
+    joined = (
+        cells.join(left, "_v")
+        .join(right, "_w")
+        .crossJoin(F.broadcast(tot))
+    )
+    cv = F.col("_cv").cast("double")
+    p = (
+        F.greatest(F.col("_c").cast("double") - F.lit(d), F.lit(0.0)) / cv
+        + F.lit(d)
+        * F.col("_n1v").cast("double")
+        / cv
+        * (F.col("_n1w").cast("double") / F.col("_ncells").cast("double"))
+    )
+    terms = joined.select(
+        "_v",
+        "_w",
+        "_nb",
+        "_ncells",
+        (-F.col("_c").cast("double") * F.log(p)).alias("_h"),
+    )
+    packed = terms.agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_v", "_w", "_h"))),
+            "kn_bigram_entropy",
+        ).alias("_z"),
+        F.max("_nb").alias("_nb"),
+        F.max("_ncells").alias("_ncells"),
+    )
+    hsum = F.aggregate(
+        F.transform(F.col("_z"), lambda s: s["_h"]),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    h = hsum / F.col("_nb").cast("double")
+    return packed.select(
+        F.col("_nb").cast("long").alias("n_bigrams"),
+        F.col("_ncells").cast("long").alias("n_cells"),
+        h.alias("cross_entropy"),
+        F.exp(h).alias("perplexity"),
+    )

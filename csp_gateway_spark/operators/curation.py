@@ -1065,3 +1065,98 @@ def boilerplate_ngrams(
             share.alias("share"),
         )
     )
+
+
+def doremi_weights(
+    docs,
+    source_col: str = "source",
+    text_col: str = "text",
+    eta: float = 0.5,
+    rounds: int = 2,
+):
+    """Group-DRO mixture reweighting (DoReMi-style, Xie et al. 2023
+    §3 simplified): per-source excess loss under the CORPUS unigram
+    LM drives ``rounds`` exponentiated-gradient updates
+    w ← normalize(w·exp(η·loss)), starting uniform — sources the
+    reference model explains worst get upweighted, the
+    domain-mixture counterpart of the per-example ``dsir_weights``.
+
+    The loss is the per-source token-level cross-entropy
+    −Σ c_s(w)·ln p(w) / Σ c_s(w) with p(w) the corpus unigram MLE —
+    everything reduces to one (source, token) count table joined to
+    the corpus token marginal (both exact integers), the per-source
+    log terms fold token-sorted per source, and the k-bounded EG
+    recursion runs on ONE packed source-sorted row with pinned FP
+    order.  Output per source: (source, n_tokens, loss, weight)."""
+    from pyspark.sql import functions as F
+
+    from csp_gateway_spark.operators.analytics import _capped_packed
+    from csp_gateway_spark.operators.text import norm_tokens
+
+    e = float(eta)
+    toks = docs.select(
+        F.col(source_col).alias("_s"),
+        F.explode(norm_tokens(F.col(text_col))).alias("_w"),
+    )
+    cells = toks.groupBy("_s", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    marg = cells.groupBy("_w").agg(F.sum("_c").alias("_cw"))
+    tot = cells.agg(F.sum("_c").alias("_n"))
+    terms = (
+        cells.join(marg, "_w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_s",
+            "_w",
+            "_c",
+            (
+                -F.col("_c").cast("double")
+                * F.log(
+                    F.col("_cw").cast("double") / F.col("_n").cast("double")
+                )
+            ).alias("_h"),
+        )
+    )
+    per_src = terms.groupBy("_s").agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_w", "_h"))),
+            "doremi_weights",
+        ).alias("_z"),
+        F.sum("_c").alias("_nt"),
+    )
+    hsum = F.aggregate(
+        F.transform(F.col("_z"), lambda s: s["_h"]),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    losses = per_src.select(
+        "_s",
+        F.col("_nt").cast("long").alias("_nt"),
+        (hsum / F.col("_nt").cast("double")).alias("_loss"),
+    )
+    packed = losses.agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_s", "_nt", "_loss"))),
+            "doremi_weights",
+        ).alias("_g")
+    )
+    # EG recursion on the k-bounded source list: each round multiplies
+    # by exp(eta*loss) then renormalizes by the source-ordered sum —
+    # identical fold shape in the DuckDB oracle
+    w = F.transform(F.col("_g"), lambda s: F.lit(1.0))
+    for _ in range(int(rounds)):
+        raw = F.zip_with(
+            w,
+            F.col("_g"),
+            lambda wi, s: wi * F.exp(F.lit(e) * s["_loss"]),
+        )
+        z = F.aggregate(raw, F.lit(0.0), lambda a, v: a + v)
+        w = F.transform(raw, lambda wi: wi / z)
+    rows = packed.select(
+        F.explode(F.arrays_zip(F.col("_g"), w.alias("_w"))).alias("_r")
+    )
+    return rows.select(
+        F.col("_r._g._s").alias("source"),
+        F.col("_r._g._nt").alias("n_tokens"),
+        F.col("_r._g._loss").alias("loss"),
+        F.col("_r._w").alias("weight"),
+    )

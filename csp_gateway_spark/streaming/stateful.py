@@ -249,3 +249,51 @@ def cusum_stream(
         state_schema="cum double, n bigint",
         output_schema=f"{key_col} {key_type}, t bigint, cusum double",
     )
+
+
+def make_topk_hook(k: int = 3):
+    """Per-key streaming TOP-K custom node for ``apply_stateful``
+    (reference W10 `@csp.node` with `csp.state`: a bounded leaderboard
+    that survives micro-batches): state is the current top-``k``
+    (value, id) pairs (flattened to fixed columns — k·2 scalars per
+    key, the bounded-state contract) plus the processed-row count;
+    each trigger merges the batch rows and emits the refreshed
+    leaderboard tagged with ``seen`` so a replay can select the final
+    emission per key (the one where seen == the key's total).
+
+    The merge is deterministic in (value, id) descending order, so
+    the final state is independent of how triggers slice the input —
+    the property the streaming gate hash-checks against the batch
+    row_number oracle.
+
+    State schema: ``seen bigint, vs array<double>, ids array<bigint>``
+    Output schema: ``key string, rank int, value double, id bigint,
+    seen bigint``
+    """
+
+    def hook(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            seen, vs, ids = state.get
+            top = list(zip(list(vs), list(ids)))
+        else:
+            seen, top = 0, []
+        for pdf in pdf_iter:
+            seen += len(pdf)
+            for v, i in zip(pdf["value"], pdf["event_id"]):
+                top.append((float(v), int(i)))
+            top.sort(key=lambda t: (-t[0], -t[1]))
+            top = top[:k]
+        state.update((seen, [t[0] for t in top], [t[1] for t in top]))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+                "value": [t[0] for t in top],
+                "id": [t[1] for t in top],
+                "seen": [seen] * len(top),
+            }
+        )
+
+    return hook

@@ -146,3 +146,88 @@ def test_periodogram_finds_planted_period(spark):
     best = max(out, key=out.get)
     assert best == 6
     assert out[6] > 10 * max(v for p, v in out.items() if p not in (5, 6, 7))
+
+
+# --- wave 27: KN bigram LM + conformal intervals ----------------------------
+
+
+def test_kn_bigram_entropy_hand_computed(spark):
+    from csp_gateway_spark.operators.corpus import kn_bigram_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    # bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    r = kn_bigram_entropy(docs).collect()[0]
+    assert (r.n_bigrams, r.n_cells) == (4, 3)
+    d = 0.75
+    cells = {("a", "b"): 2, ("b", "a"): 1, ("a", "c"): 1}
+    cv = {"a": 3, "b": 1}
+    n1v = {"a": 2, "b": 1}
+    n1w = {"b": 1, "a": 1, "c": 1}
+    ncells = 3
+    import math as m
+
+    h = 0.0
+    for (v, w), c in cells.items():
+        p = max(c - d, 0.0) / cv[v] + d * n1v[v] / cv[v] * (n1w[w] / ncells)
+        h += -c * m.log(p)
+    h /= 4
+    assert abs(r.cross_entropy - h) < 1e-9
+    assert abs(r.perplexity - m.exp(h)) < 1e-9
+
+
+def test_kn_probabilities_sum_to_one_per_context(spark):
+    """Sanity: interpolated KN must be a proper distribution over the
+    OBSERVED vocabulary for each context with all continuations
+    counted (holds when every word type appears as a continuation)."""
+    import math as m
+
+    docs_text = "a b b a c a b c b a"
+    toks = docs_text.split()
+    cells = {}
+    for v, w in zip(toks, toks[1:]):
+        cells[(v, w)] = cells.get((v, w), 0) + 1
+    cv = {}
+    n1v = {}
+    n1w = {}
+    for (v, w), c in cells.items():
+        cv[v] = cv.get(v, 0) + c
+        n1v[v] = n1v.get(v, 0) + 1
+        n1w[w] = n1w.get(w, 0) + 1
+    ncells = len(cells)
+    d = 0.75
+    vocab = set(w for _, w in cells)
+    for v in cv:
+        tot = 0.0
+        for w in vocab:
+            c = cells.get((v, w), 0)
+            tot += max(c - d, 0) / cv[v] + d * n1v[v] / cv[v] * (
+                n1w[w] / ncells
+            )
+        assert abs(tot - 1.0) < 1e-12
+
+
+def test_conformal_interval_coverage(spark):
+    from csp_gateway_spark.operators.analytics import conformal_interval
+
+    # one group, values uniform over 0..99 -> q_hat near the 90th pct
+    rows = [(i, "g", float(i % 100)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, g string, y double")
+    r = conformal_interval(df, "id", "g", "y", alpha=0.10).collect()[0]
+    assert r.n_calib + r.n_test == 4000
+    # hash split is roughly even
+    assert abs(r.n_calib - 2000) < 300
+    # coverage should be near 0.9 for iid halves
+    assert 0.85 <= r.coverage <= 0.95
+    assert r.q_hat > 0
+
+
+def test_conformal_quantile_rank_exact(spark):
+    from csp_gateway_spark.operators.analytics import conformal_interval
+
+    # all values identical -> every residual 0 -> q_hat 0, coverage 1
+    rows = [(i, "g", 5.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, y double")
+    r = conformal_interval(df, "id", "g", "y", alpha=0.10).collect()[0]
+    assert r.q_hat == 0.0 and r.coverage == 1.0
