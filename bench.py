@@ -15,6 +15,35 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "assortativity",
+    "bartlett_test",
+    "bootstrap_mean_ci",
+    "clustering_coeff",
+    "cochran_q",
+    "conformal_interval",
+    "cronbach_alpha",
+    "cvm_test",
+    "distinct_ngrams",
+    "doremi_weights",
+    "durbin_watson",
+    "friedman_test",
+    "hits_scores",
+    "hodges_lehmann",
+    "icc_oneway",
+    "jackknife_variance",
+    "kendall_tau",
+    "kn_bigram_entropy",
+    "ljung_box",
+    "macd_signal",
+    "mcnemar_test",
+    "page_trend",
+    "partial_corr",
+    "periodogram",
+    "signflip_test",
+    "source_diversity",
+    "topk_stream_replay",
+    "transition_entropy",
+    "wasserstein",
     "bm25_topk",
     "gopher_quality",
     "c4_quality",

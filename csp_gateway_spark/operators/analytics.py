@@ -4638,6 +4638,27 @@ def spearman_corr(
         TARGET_ROWS_PER_BUCKET, global_row_number,
     )
 
+    # AQE is scoped OFF for the whole pipeline (restored before
+    # returning): every stage is collapse-bounded with known sizes —
+    # runtime re-planning buys nothing and its per-stage
+    # re-optimization measured ~1 s of the operator's wall clock; the
+    # result (one row, partition-invariant exact sums) is unchanged.
+    # The returned frame is eagerly checkpointed INSIDE the scope so
+    # the caller's collect reads a materialized row.
+    sess = df.sparkSession
+    prev_aqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _spearman_corr_body(df, col_a, col_b).localCheckpoint(eager=True)
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _spearman_corr_body(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    from csp_gateway_spark.plans.scale import (
+        TARGET_ROWS_PER_BUCKET, global_row_number,
+    )
+
     base = df.select(F.col(col_a).alias("_va"), F.col(col_b).alias("_vb"))
     per = (
         base.groupBy(F.col("_va").alias("_v"))
