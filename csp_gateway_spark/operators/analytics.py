@@ -107,6 +107,26 @@ __all__ = [
 ]
 
 
+def _finalize_bounded(out: "DataFrame") -> "DataFrame":
+    """Materialize a BOUNDED-result plan (one row / a handful of rows)
+    under scoped-off AQE and return the checkpointed frame.
+
+    The rank/ECDF family's stages are collapse-bounded with known
+    sizes, so AQE's per-stage re-optimization buys nothing and was
+    measured at up to half the operator wall clock on local[32]; the
+    values are partition-invariant exact sums, so the result is
+    unchanged.  Eager checkpointing inside the scope means the
+    caller's collect reads materialized rows regardless of its own
+    session settings."""
+    sess = out.sparkSession
+    prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def dec(c: str, scale: int = 2) -> Column:
     """Exact-arithmetic projection of a double column (see module doc)."""
     return F.col(c).cast(f"decimal(18,{scale})")
@@ -3305,7 +3325,7 @@ def ntile_histogram(
             )
         ).alias("_t"),
     ).select("bucket", "n", "_t._side", "_t._target")
-    return (
+    return _finalize_bounded(
         targets.join(
             ecdf,
             (F.col("_target") >= F.col("_r_lo"))
@@ -3829,12 +3849,12 @@ def ks_test(
         ).alias("_d"),
     )
     top = scored.orderBy(F.desc("_d"), F.asc("_v")).limit(1)
-    return top.select(
+    return _finalize_bounded(top.select(
         F.col("_na").alias("n_a"),
         F.col("_nb").alias("n_b"),
         F.col("_d").alias("d_stat"),
         F.col("_v").cast("double").alias("at_value"),
-    )
+    ))
 
 
 def holt_forecast(
@@ -3973,12 +3993,12 @@ def mann_whitney_u(
         na * nb / F.lit(12.0)
         * ((n + F.lit(1.0)) - F.col("_ties").cast("double") / (n * (n - F.lit(1.0))))
     )
-    return sums.select(
+    return _finalize_bounded(sums.select(
         F.col("_na").alias("n_a"),
         F.col("_nb").alias("n_b"),
         u.alias("u_stat"),
         F.when(sigma2 > 0, (u - mu) / F.sqrt(sigma2)).alias("z"),
-    )
+    ))
 
 
 def changepoint(
@@ -7423,11 +7443,11 @@ def cvm_test(
         + na * na * F.col("_C").cast("double")
     )
     t_stat = gap_sum / (na * nb * nn * nn)
-    return summed.select(
+    return _finalize_bounded(summed.select(
         F.col("_na").cast("long").alias("n_a"),
         F.col("_nb").cast("long").alias("n_b"),
         t_stat.alias("t_stat"),
-    )
+    ))
 
 
 def macd(
@@ -8300,11 +8320,11 @@ def wasserstein_distance(
     )
     na = F.col("_na").cast("double")
     nb = F.col("_nb").cast("double")
-    return summed.select(
+    return _finalize_bounded(summed.select(
         F.col("_na").cast("long").alias("n_a"),
         F.col("_nb").cast("long").alias("n_b"),
         (F.col("_s").cast("double") / (na * nb)).alias("w1"),
-    )
+    ))
 
 
 def partial_corr(
