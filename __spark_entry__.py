@@ -13873,6 +13873,130 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# WAVE 29 (round 11) — post-hoc pairwise comparison / competing risks
+# ---------------------------------------------------------------------------
+
+
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD pairs over order priorities — WHICH priority
+    pairs differ in mean order value, after anova_f says some do."""
+    from csp_gateway_spark.operators.analytics import tukey_hsd
+
+    orders = _t(spark, sf_dir, "orders")
+    out = tukey_hsd(orders, "o_orderpriority", "o_totalprice")
+    return out.select(
+        "g_a",
+        "g_b",
+        "n_a",
+        "n_b",
+        (F.round("diff", 4) + F.lit(0.0)).alias("diff"),
+        (F.round("q", 6) + F.lit(0.0)).alias("q"),
+    ).orderBy("g_a", "g_b")
+
+
+ORACLE_TUKEY_HSD = """
+WITH per AS (
+  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS ng,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sg,
+    SUM(CAST(CAST(o_totalprice AS DECIMAL(19,2)) * CAST(o_totalprice AS DECIMAL(19,2))
+        AS DECIMAL(38,4))) AS ssg
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+    SUM(ssg) AS ss,
+    list_reduce(list_prepend(0.0,
+      list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) ORDER BY g)),
+      (a, b) -> a + b) AS bt
+  FROM per
+), m AS (
+  SELECT (CAST(ss AS DOUBLE) - bt) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw
+  FROM t
+)
+SELECT a.g AS g_a, b.g AS g_b, a.ng AS n_a, b.ng AS n_b,
+  round(CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE)
+        - CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE), 4) + 0.0 AS diff,
+  round(CASE WHEN sqrt(msw / 2.0 * (1.0 / CAST(a.ng AS DOUBLE) + 1.0 / CAST(b.ng AS DOUBLE))) > 0
+        THEN abs(CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE)
+                 - CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE))
+             / sqrt(msw / 2.0 * (1.0 / CAST(a.ng AS DOUBLE) + 1.0 / CAST(b.ng AS DOUBLE)))
+        END, 6) + 0.0 AS q
+FROM per a JOIN per b ON a.g < b.g, m
+ORDER BY g_a, g_b
+"""
+
+
+def q_cumulative_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence of 'returned' vs
+    'acknowledged' over ship latency (open lines censored) — the
+    competing-risks correction of per-cause 1−KM."""
+    from csp_gateway_spark.operators.analytics import cumulative_incidence
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    base = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        # weekly buckets: the CIF recursion is inherently sequential
+        # (one fold step per distinct duration on BOTH engines), so the
+        # gate keys it calendar-bounded — ~70 weekly steps instead of
+        # thousands of raw day-mix steps
+        F.floor(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) / F.lit(7)
+        ).cast("long").alias("dur"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    out = cumulative_incidence(base, "dur", "flag", "R", "A")
+    return out.select(
+        "t",
+        "n_risk",
+        "d1",
+        "d2",
+        (F.round("cif1", 6) + F.lit(0.0)).alias("cif1"),
+        (F.round("cif2", 6) + F.lit(0.0)).alias("cif2"),
+    ).orderBy("t")
+
+
+ORACLE_CUMULATIVE_INCIDENCE = """
+WITH RECURSIVE base AS (
+  -- floor (not //, which truncates toward zero): this synthetic
+  -- testdata has NEGATIVE ship latencies and Spark's floor(x/7) and
+  -- DuckDB's x//7 disagree on them
+  SELECT CAST(floor(CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE) / 7.0)
+              AS BIGINT) AS t,
+         l_returnflag AS flag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), steps AS (
+  SELECT t,
+    CAST(SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+    CAST(SUM(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+    CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1
+), risk AS (
+  SELECT t, d1, d2, n,
+    CAST(SUM(n) OVER () - COALESCE(SUM(n) OVER (
+      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS nr,
+    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn
+  FROM steps
+), r AS (
+  SELECT rn, t, nr, d1, d2,
+    0.0 + 1.0 * CAST(d1 AS DOUBLE) / CAST(nr AS DOUBLE) AS cif1,
+    0.0 + 1.0 * CAST(d2 AS DOUBLE) / CAST(nr AS DOUBLE) AS cif2,
+    1.0 * (1.0 - CAST(d1 + d2 AS DOUBLE) / CAST(nr AS DOUBLE)) AS surv
+  FROM risk WHERE rn = 1
+  UNION ALL
+  SELECT x.rn, x.t, x.nr, x.d1, x.d2,
+    r.cif1 + r.surv * CAST(x.d1 AS DOUBLE) / CAST(x.nr AS DOUBLE),
+    r.cif2 + r.surv * CAST(x.d2 AS DOUBLE) / CAST(x.nr AS DOUBLE),
+    r.surv * (1.0 - CAST(x.d1 + x.d2 AS DOUBLE) / CAST(x.nr AS DOUBLE))
+  FROM r JOIN risk x ON x.rn = r.rn + 1
+)
+SELECT t, nr AS n_risk, d1, d2,
+  round(cif1, 6) + 0.0 AS cif1,
+  round(cif2, 6) + 0.0 AS cif2
+FROM r WHERE d1 + d2 > 0 ORDER BY t
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: keyed-last state + filter query on sf0.001."""
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
@@ -14119,6 +14243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_interval": q_conformal_interval,
         "doremi_weights": q_doremi_weights,
         "topk_stream_replay": q_topk_stream_replay,
+        "tukey_hsd": q_tukey_hsd,
+        "cumulative_incidence": q_cumulative_incidence,
         "levene_test": q_levene_test,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "token_coverage": q_token_coverage,
@@ -14514,6 +14640,8 @@ def oracle_sql() -> dict[str, str]:
         "conformal_interval": _oracle_conformal_interval(),
         "doremi_weights": _oracle_doremi_weights(),
         "topk_stream_replay": ORACLE_TOPK_STREAM_REPLAY,
+        "tukey_hsd": ORACLE_TUKEY_HSD,
+        "cumulative_incidence": ORACLE_CUMULATIVE_INCIDENCE,
         "levene_test": ORACLE_LEVENE_TEST,
         "dedup_threshold_sweep": ORACLE_DEDUP_THRESHOLD_SWEEP,
         "token_coverage": ORACLE_TOKEN_COVERAGE,

@@ -15,6 +15,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "cumulative_incidence",
+    "tukey_hsd",
     "assortativity",
     "bartlett_test",
     "bootstrap_mean_ci",

@@ -8549,3 +8549,179 @@ def conformal_interval(
         (F.col("_q2").cast("double") / F.lit(2.0)).alias("q_hat"),
         (F.col("_in").cast("double") / F.col("_nt").cast("double")).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WAVE 29 (round 11) — post-hoc pairwise comparison / competing risks
+# ---------------------------------------------------------------------------
+
+
+def tukey_hsd(df: DataFrame, group_col, value_col: str) -> DataFrame:
+    """Tukey-Kramer honestly-significant-difference table: for every
+    group pair, the mean difference and the studentized-range
+    statistic q = |x̄ᵢ − x̄ⱼ| / √(MSW/2·(1/nᵢ + 1/nⱼ)) — the post-hoc
+    step after :func:`anova_f` says "some group differs" (HSD says
+    WHICH pairs, with family-wise error control).
+
+    One grouped scan of exact decimal moments; MSW folds the
+    k-bounded S²/n terms group-sorted (the ``anova_f`` discipline);
+    the pair table is a broadcast self-join of the k-row group frame
+    (k² bounded pairs).  Output per pair (g_a < g_b):
+    (g_a, g_b, n_a, n_b, diff, q)."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    y = F.col(value_col).cast("decimal(18,2)")
+    per = df.groupBy(g.alias("_g")).agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.sum(y).cast("decimal(38,2)").alias("_sg"),
+        F.sum((y.cast("decimal(19,2)") * y.cast("decimal(19,2)")).cast("decimal(38,4)")).alias("_ssg"),
+    ).localCheckpoint(eager=False)
+    term = (
+        F.col("_sg").cast("double")
+        * F.col("_sg").cast("double")
+        / F.col("_ng").cast("double")
+    )
+    msw_row = per.select("_g", "_ng", "_ssg", term.alias("_term")).agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_g", "_term"))), "tukey_hsd"
+        ).alias("_z"),
+        F.sum("_ng").alias("_n"),
+        F.sum("_ssg").alias("_ss"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    between = F.aggregate(
+        F.transform(F.col("_z"), lambda s: s["_term"]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    msw = (F.col("_ss").cast("double") - between) / (
+        F.col("_n").cast("double") - F.col("_k").cast("double")
+    )
+    stats = msw_row.select(msw.alias("_msw"))
+    right = per.select(
+        F.col("_g").alias("_gb"), F.col("_ng").alias("_nb"), F.col("_sg").alias("_sb")
+    )
+    pairs = per.join(F.broadcast(right), F.col("_g") < F.col("_gb")).crossJoin(
+        F.broadcast(stats)
+    )
+    mean_a = F.col("_sg").cast("double") / F.col("_ng").cast("double")
+    mean_b = F.col("_sb").cast("double") / F.col("_nb").cast("double")
+    diff = mean_a - mean_b
+    se = F.sqrt(
+        F.col("_msw")
+        / F.lit(2.0)
+        * (
+            F.lit(1.0) / F.col("_ng").cast("double")
+            + F.lit(1.0) / F.col("_nb").cast("double")
+        )
+    )
+    q = F.when(se > 0, F.abs(diff) / se)
+    return pairs.select(
+        F.col("_g").alias("g_a"),
+        F.col("_gb").alias("g_b"),
+        F.col("_ng").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        diff.alias("diff"),
+        q.alias("q"),
+    )
+
+
+def cumulative_incidence(
+    df: DataFrame,
+    duration_col,
+    type_col,
+    type_1,
+    type_2,
+) -> DataFrame:
+    """Competing-risks cumulative incidence (Aalen-Johansen for two
+    event types): CIF_k(t) = Σ_{s ≤ t} S(s⁻)·d_k(s)/n(s), with S the
+    overall Kaplan-Meier survival of EITHER event — the right answer
+    when "returned" and "delivered" compete (naive 1−KM per cause
+    overstates both).  Rows whose type is neither ``type_1`` nor
+    ``type_2`` are right-censored.
+
+    Same scale shape as :func:`kaplan_meier`: one duration collapse
+    carrying (d₁, d₂, n) per step, at-risk counts from the reverse
+    running sum, and ONE blocked O(n·√n) left-to-right scan whose
+    running state is (at-risk, S, CIF₁, CIF₂) — FP order pinned, so
+    both curves are engine-identical (oracle mirror: a recursive CTE
+    stepping the same expressions).  Output per event step:
+    (t, n_risk, d1, d2, cif1, cif2)."""
+    dur = F.col(duration_col) if isinstance(duration_col, str) else duration_col
+    ty = F.col(type_col) if isinstance(type_col, str) else type_col
+    steps = df.groupBy(dur.cast("long").alias("_t")).agg(
+        F.sum((ty == type_1).cast("long")).alias("_d1"),
+        F.sum((ty == type_2).cast("long")).alias("_d2"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    packed = steps.agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_t", "_d1", "_d2", "_n"))),
+            "cumulative_incidence",
+        ).alias("_s")
+    )
+    total = F.aggregate(
+        F.col("_s"), F.lit(0).cast("long"), lambda a, s: a + s["_n"]
+    )
+    row_t = T.StructType(
+        [
+            T.StructField("t", T.LongType()),
+            T.StructField("n_risk", T.LongType()),
+            T.StructField("d1", T.LongType()),
+            T.StructField("d2", T.LongType()),
+            T.StructField("cif1", T.DoubleType()),
+            T.StructField("cif2", T.DoubleType()),
+        ]
+    )
+    run_t = T.StructType(
+        [
+            T.StructField("surv", T.DoubleType()),
+            T.StructField("c1", T.DoubleType()),
+            T.StructField("c2", T.DoubleType()),
+        ]
+    )
+
+    def scan(acc, s):
+        r = acc["rem"].cast("double")
+        c1 = acc["run"]["c1"] + acc["run"]["surv"] * s["_d1"].cast("double") / r
+        c2 = acc["run"]["c2"] + acc["run"]["surv"] * s["_d2"].cast("double") / r
+        surv = acc["run"]["surv"] * (
+            F.lit(1.0) - (s["_d1"] + s["_d2"]).cast("double") / r
+        )
+        return F.struct(
+            F.concat(
+                acc["rows"],
+                F.array(
+                    F.struct(
+                        s["_t"].alias("t"),
+                        acc["rem"].alias("n_risk"),
+                        s["_d1"].alias("d1"),
+                        s["_d2"].alias("d2"),
+                        c1.alias("cif1"),
+                        c2.alias("cif2"),
+                    )
+                ),
+            ).alias("rows"),
+            (acc["rem"] - s["_n"]).alias("rem"),
+            F.struct(surv.alias("surv"), c1.alias("c1"), c2.alias("c2")).alias("run"),
+        )
+
+    folded = packed.select(
+        _blocked_append_scan(
+            F.col("_s"),
+            row_t,
+            total,
+            F.struct(
+                F.lit(1.0).alias("surv"), F.lit(0.0).alias("c1"), F.lit(0.0).alias("c2")
+            ).cast(run_t),
+            scan,
+        )["rows"].alias("_r")
+    )
+    out = folded.select(F.explode("_r").alias("_e")).select(
+        F.col("_e.t").alias("t"),
+        F.col("_e.n_risk").alias("n_risk"),
+        F.col("_e.d1").alias("d1"),
+        F.col("_e.d2").alias("d2"),
+        F.col("_e.cif1").alias("cif1"),
+        F.col("_e.cif2").alias("cif2"),
+    )
+    return out.filter((F.col("d1") + F.col("d2")) > 0)
