@@ -13956,7 +13956,7 @@ def q_cumulative_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CUMULATIVE_INCIDENCE = """
-WITH RECURSIVE base AS (
+WITH RECURSIVE base AS MATERIALIZED (
   -- floor (not //, which truncates toward zero): this synthetic
   -- testdata has NEGATIVE ship latencies and Spark's floor(x/7) and
   -- DuckDB's x//7 disagree on them
@@ -13970,7 +13970,7 @@ WITH RECURSIVE base AS (
     CAST(SUM(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS d2,
     CAST(count(*) AS BIGINT) AS n
   FROM base GROUP BY 1
-), risk AS (
+), risk AS MATERIALIZED (
   SELECT t, d1, d2, n,
     CAST(SUM(n) OVER () - COALESCE(SUM(n) OVER (
       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
