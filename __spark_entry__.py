@@ -13676,6 +13676,7 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "n_calib",
         "n_test",
+        "n_test_dropped",
         (F.round("q_hat", 4) + F.lit(0.0)).alias("q_hat"),
         (F.round("coverage", 8) + F.lit(0.0)).alias("coverage"),
     )
@@ -13695,7 +13696,7 @@ WITH base AS (
 ), resid AS (
   SELECT base.half,
          CAST(ABS(y2 - CAST(m2 AS DECIMAL(19,2))) AS DECIMAL(19,2)) AS r2
-  FROM base JOIN med USING (g)
+  FROM base LEFT JOIN med USING (g)
 ), pv AS (
   SELECT r2 AS v, CAST(count(*) AS BIGINT) AS c
   FROM resid WHERE half = 0 GROUP BY 1
@@ -13707,15 +13708,18 @@ WITH base AS (
 kk AS (SELECT CAST(((n + 1) * 9 + 9) // 10 AS BIGINT) AS k, n FROM nc),
 q AS (
   SELECT v AS q2, kk.n FROM rk, kk WHERE cum >= kk.k AND cum - c < kk.k
+), qone AS (
+  SELECT MAX(q2) AS q2, MAX(n) AS n FROM q
 ), cov AS (
   SELECT CAST(count(*) AS BIGINT) AS nt,
-         CAST(SUM(CASE WHEN r2 <= q.q2 THEN 1 ELSE 0 END) AS BIGINT) AS inn,
-         MAX(q.q2) AS q2, MAX(q.n) AS n
-  FROM resid, q WHERE half = 1
+         CAST(SUM(CASE WHEN r2 <= qone.q2 THEN 1 ELSE 0 END) AS BIGINT) AS inn,
+         CAST(SUM(CASE WHEN r2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS drp,
+         MAX(qone.q2) AS q2, MAX(qone.n) AS n
+  FROM resid, qone WHERE half = 1
 )
-SELECT n AS n_calib, nt AS n_test,
+SELECT n AS n_calib, nt AS n_test, COALESCE(drp, 0) AS n_test_dropped,
   round(CAST(q2 AS DOUBLE) / 2.0, 4) + 0.0 AS q_hat,
-  round(CAST(inn AS DOUBLE) / CAST(nt AS DOUBLE), 8) + 0.0 AS coverage
+  round(COALESCE(CAST(inn AS DOUBLE), 0.0) / CAST(nt AS DOUBLE), 8) + 0.0 AS coverage
 FROM cov
 """
 

@@ -109,22 +109,20 @@ __all__ = [
 
 def _finalize_bounded(out: "DataFrame") -> "DataFrame":
     """Materialize a BOUNDED-result plan (one row / a handful of rows)
-    under scoped-off AQE and return the checkpointed frame.
+    with AQE off and return the checkpointed frame bound to the
+    caller's session.
 
     The rank/ECDF family's stages are collapse-bounded with known
     sizes, so AQE's per-stage re-optimization buys nothing and was
     measured at up to half the operator wall clock on local[32]; the
     values are partition-invariant exact sums, so the result is
-    unchanged.  Eager checkpointing inside the scope means the
-    caller's collect reads materialized rows regardless of its own
-    session settings."""
-    sess = out.sparkSession
-    prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return out.localCheckpoint(eager=True)
-    finally:
-        sess.conf.set("spark.sql.adaptive.enabled", prev)
+    unchanged.  The job runs on the dedicated AQE-off
+    ``session.bounded_session`` clone — the SHARED session's conf is
+    never mutated, so concurrent queries on other threads are
+    unaffected (the former scoped conf toggle was a race)."""
+    from csp_gateway_spark.session import run_bounded
+
+    return run_bounded(out)
 
 
 def dec(c: str, scale: int = 2) -> Column:
@@ -4658,20 +4656,21 @@ def spearman_corr(
         TARGET_ROWS_PER_BUCKET, global_row_number,
     )
 
-    # AQE is scoped OFF for the whole pipeline (restored before
-    # returning): every stage is collapse-bounded with known sizes —
-    # runtime re-planning buys nothing and its per-stage
-    # re-optimization measured ~1 s of the operator's wall clock; the
-    # result (one row, partition-invariant exact sums) is unchanged.
-    # The returned frame is eagerly checkpointed INSIDE the scope so
-    # the caller's collect reads a materialized row.
+    # The whole pipeline (including the intermediate moment collect)
+    # runs on the dedicated AQE-off bounded session: every stage is
+    # collapse-bounded with known sizes — runtime re-planning buys
+    # nothing and its per-stage re-optimization measured ~1 s of the
+    # operator's wall clock; the result (one row, partition-invariant
+    # exact sums) is unchanged.  The SHARED session's conf is never
+    # mutated (the former scoped toggle raced concurrent queries); the
+    # returned frame is eagerly checkpointed and rebound to the
+    # caller's session.
+    from csp_gateway_spark.session import bounded_session, rebind_session, run_bounded
+
     sess = df.sparkSession
-    prev_aqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return _spearman_corr_body(df, col_a, col_b).localCheckpoint(eager=True)
-    finally:
-        sess.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    bs = bounded_session(sess)
+    body = _spearman_corr_body(rebind_session(df, bs), col_a, col_b)
+    return run_bounded(body, target=sess)
 
 
 def _spearman_corr_body(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
@@ -4679,7 +4678,13 @@ def _spearman_corr_body(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         TARGET_ROWS_PER_BUCKET, global_row_number,
     )
 
-    base = df.select(F.col(col_a).alias("_va"), F.col(col_b).alias("_vb"))
+    # pairwise-complete observations only: rows where EITHER column is
+    # NULL are excluded up front so every moment (the per-variable rank
+    # sums AND the equi-joined cross moment, whose NULL keys would
+    # silently never match) is computed over the same row set
+    base = df.select(F.col(col_a).alias("_va"), F.col(col_b).alias("_vb")).filter(
+        F.col("_va").isNotNull() & F.col("_vb").isNotNull()
+    )
     per = (
         base.groupBy(F.col("_va").alias("_v"))
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -4743,8 +4748,11 @@ def _spearman_corr_body(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .collect()
     }
     if not mom:
+        # aggregate-shaped result: empty input yields ONE row
+        # (n=0, rho=NULL), matching `SELECT count(*), corr(...)` in the
+        # SQL oracle rather than zero rows
         return df.sparkSession.createDataFrame(
-            [], "n long, rho double"
+            [(0, None)], "n long, rho double"
         )
     n_int = int(mom[0]["_nn"])
     s1_int, s2_int = int(mom[0]["_s"]), int(mom[1]["_s"])
@@ -8089,18 +8097,16 @@ def bootstrap_mean_ci(
     # and double division, so the sorted replicate means — and the
     # order-statistic endpoints re-entering the plan as literals — are
     # bit-identical to the former in-plan array_sort tail (which cost
-    # seconds of per-query Catalyst analysis).  AQE is scoped OFF for
-    # this one bounded job: a fixed 32-group aggregate gains nothing
-    # from runtime re-planning and its per-stage re-optimization was
-    # measured at half the operator's wall clock (values are
-    # partitioning-invariant, so the result is unchanged).
+    # seconds of per-query Catalyst analysis).  The one bounded job
+    # runs on the dedicated AQE-off session clone: a fixed 32-group
+    # aggregate gains nothing from runtime re-planning and its
+    # per-stage re-optimization was measured at half the operator's
+    # wall clock (values are partitioning-invariant, so the result is
+    # unchanged) — and the SHARED session's conf is never mutated.
+    from csp_gateway_spark.session import bounded_session, rebind_session
+
     sess = df.sparkSession
-    prev_aqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    try:
-        sess.conf.set("spark.sql.adaptive.enabled", "false")
-        rows = per_rep.collect()
-    finally:
-        sess.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    rows = rebind_session(per_rep, bounded_session(sess)).collect()
     ms = sorted(
         float(r["_sw"]) / float(r["_nw"]) for r in rows if r["_nw"]
     )
@@ -8486,7 +8492,15 @@ def conformal_interval(
     ``levene_test`` half-cent trick); and q̂ is an exact order
     statistic from the packed two-phase cumulative over the collapsed
     residual ECDF — no unpartitioned window, no float thresholds.
-    Output: one row (n_calib, n_test, q_hat, coverage)."""
+
+    Honest coverage: the predictor join is a LEFT join, so test rows
+    whose group has zero calibration rows are NOT silently dropped —
+    they stay in the denominator as uncovered (the model cannot
+    predict them) and are counted in ``n_test_dropped``.  The
+    quantile frame is collapsed to a guaranteed single row, so an
+    empty calibration half yields one row of NULL q_hat rather than
+    zero rows.  Output: one row (n_calib, n_test, n_test_dropped,
+    q_hat, coverage)."""
     from csp_gateway_spark.plans.scale import global_row_number
 
     g = F.col(group_col) if isinstance(group_col, str) else group_col
@@ -8500,7 +8514,10 @@ def conformal_interval(
     med = base.filter(F.col("_half") == 0).groupBy("_g").agg(
         F.percentile(F.col("_y2").cast("double"), F.lit(0.5)).alias("_m2")
     )
-    resid = base.join(F.broadcast(med), "_g").select(
+    # LEFT join: calibration rows always find their own group's median
+    # (it was built from them), but a test row whose group never hit
+    # the calibration half keeps a NULL residual instead of vanishing
+    resid = base.join(F.broadcast(med), "_g", "left").select(
         "_half",
         F.abs(
             F.col("_y2") - F.col("_m2").cast("decimal(19,2)")
@@ -8536,18 +8553,30 @@ def conformal_interval(
         )
         .select(F.col("_v").alias("_q2"), F.col("_nc"))
     )
+    # collapse to EXACTLY one row (agg over an empty frame still
+    # yields a row of NULLs) so an empty calibration half surfaces as
+    # NULL q_hat, never as zero output rows
+    qone = qrow.agg(F.max("_q2").alias("_q2"), F.max("_nc").alias("_nc"))
     test = resid.filter(F.col("_half") == 1)
-    cov = test.crossJoin(F.broadcast(qrow)).agg(
+    # NULL residual (group unseen in calibration): `_r2 <= _q2` is
+    # NULL → excluded from the covered sum but kept in the
+    # denominator — coverage is honest over ALL test rows
+    cov = test.crossJoin(F.broadcast(qone)).agg(
         F.count(F.lit(1)).alias("_nt"),
         F.sum((F.col("_r2") <= F.col("_q2")).cast("long")).alias("_in"),
+        F.sum(F.col("_r2").isNull().cast("long")).alias("_drop"),
         F.max("_q2").alias("_q2"),
         F.max("_nc").alias("_nc"),
     )
     return cov.select(
         F.col("_nc").cast("long").alias("n_calib"),
         F.col("_nt").cast("long").alias("n_test"),
+        F.coalesce(F.col("_drop"), F.lit(0)).cast("long").alias("n_test_dropped"),
         (F.col("_q2").cast("double") / F.lit(2.0)).alias("q_hat"),
-        (F.col("_in").cast("double") / F.col("_nt").cast("double")).alias("coverage"),
+        (
+            F.coalesce(F.col("_in"), F.lit(0)).cast("double")
+            / F.col("_nt").cast("double")
+        ).alias("coverage"),
     )
 
 

@@ -1687,6 +1687,17 @@ def hits(
     default 2 rounds stay inside the 38-digit window for graphs with
     max degree < ~10⁹ (raise ``iters`` only with degree bounds in
     hand).  Returns (node, hub, auth) with L1-normalized doubles."""
+    if iters < 1:
+        raise ValueError(f"hits: iters must be >= 1 (got {iters})")
+    if iters > 18:
+        # decimal(38,0) holds degree^(2*iters); even degree-100 graphs
+        # overflow past 19 rounds — refuse rather than surface a
+        # mid-plan decimal overflow as NULL scores
+        raise ValueError(
+            f"hits: iters={iters} exceeds the exact-decimal bound "
+            "(scores grow <= degree^(2*iters) and must fit "
+            "decimal(38,0)); use <= 18 and check your max degree"
+        )
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if not directed:
         e = e.unionByName(
@@ -1784,24 +1795,37 @@ def degree_assortativity(
     means hubs link to hubs (a template-cluster smell on similarity
     graphs), negative means hub-and-spoke.
 
-    One degree aggregate, two broadcast-free equi-joins of the edge
-    list against the k-bounded degree table (shuffle-keyed on the
-    node — a celebrity node is one big join group, never an array),
-    and exact integer moments: degrees and their products accumulate
-    in decimal(38,0) (bounded for graphs ≤ ~10¹² edges), so r is one
-    closed-form double.  Output: one row (n_edges, r)."""
+    One degree aggregate per side, two broadcast-free equi-joins of
+    the edge list against the k-bounded degree tables (shuffle-keyed
+    on the node — a celebrity node is one big join group, never an
+    array), and exact integer moments: degrees and their products
+    accumulate in decimal(38,0) (bounded for graphs ≤ ~10¹² edges),
+    so r is one closed-form double.  Output: one row (n_edges, r).
+
+    Directed semantics (networkx ``degree_assortativity_coefficient``
+    with default out/in): correlate OUT-degree of the source with
+    IN-degree of the destination.  Every edge's src has out-degree
+    ≥ 1 and dst has in-degree ≥ 1 by construction, so the two
+    equi-joins are lossless — no edge can drop.  Undirected keeps the
+    symmetrized single-degree-table plan."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if not directed:
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     e = e.distinct().localCheckpoint(eager=False)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    with_src = e.join(deg, "src").select(
+    deg_out = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    if directed:
+        deg_in = e.groupBy("dst").agg(F.count(F.lit(1)).alias("_deg"))
+    else:
+        # symmetrized edge list: out-degree IS the degree; dst's table
+        # is the same frame re-keyed (no second aggregate)
+        deg_in = deg_out.select(F.col("src").alias("dst"), "_deg")
+    with_src = e.join(deg_out, "src").select(
         "dst", F.col("_deg").alias("_ds")
     )
     both = with_src.join(
-        deg.select(F.col("src").alias("dst"), F.col("_deg").alias("_dd")),
+        deg_in.withColumnRenamed("_deg", "_dd"),
         "dst",
     )
     ds13 = F.col("_ds").cast("decimal(13,0)")

@@ -14,10 +14,89 @@ Scale notes (100 TB design point):
 from __future__ import annotations
 
 import os
+import threading
+import uuid
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# --- bounded-finalize session ------------------------------------------------
+# The rank/ECDF/bootstrap family materializes BOUNDED results (one row /
+# a handful of rows) with AQE off: every stage is collapse-bounded with
+# known sizes, so per-stage runtime re-planning buys nothing and was
+# measured at up to half the operator wall clock on local[32].  Mutating
+# `spark.sql.adaptive.enabled` on the SHARED session for the scope of the
+# job is a concurrency race (a concurrent request plans with AQE silently
+# off; two overlapping scopes clobber each other's restore value), so the
+# bounded jobs run on a dedicated `newSession()` clone instead: same
+# SparkContext, same RDD/block state, same *global temp* view namespace,
+# its own SQLConf with AQE pre-disabled once at creation and never
+# mutated again.  DataFrames cross the session boundary through the
+# shared global-temp-view catalog (classic mode resolves `spark.table()`
+# eagerly, so the short-lived view can be dropped immediately).
+
+_BOUNDED_SESSIONS: dict = {}
+_BOUNDED_LOCK = threading.Lock()
+
+# runtime confs the clone inherits from its parent at creation so its
+# plans differ ONLY in AQE (`newSession()` starts from the builder conf,
+# not the parent's runtime conf)
+_BOUNDED_INHERIT = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.session.timeZone",
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.execution.arrow.pyspark.enabled",
+)
+
+
+def bounded_session(sess: SparkSession) -> SparkSession:
+    """The AQE-off `newSession()` clone for ``sess``'s SparkContext
+    (memoized per context; idempotent when handed a clone itself)."""
+    with _BOUNDED_LOCK:
+        for bs in _BOUNDED_SESSIONS.values():
+            if bs is sess:
+                return sess
+        sc = sess.sparkContext
+        key = (sc.applicationId, sc.startTime)
+        bs = _BOUNDED_SESSIONS.get(key)
+        if bs is None:
+            bs = sess.newSession()
+            for k in _BOUNDED_INHERIT:
+                v = sess.conf.get(k, None)
+                if v is not None:
+                    bs.conf.set(k, v)
+            bs.conf.set("spark.sql.adaptive.enabled", "false")
+            _BOUNDED_SESSIONS[key] = bs
+        return bs
+
+
+def rebind_session(df, target: SparkSession):
+    """Re-expose ``df``'s logical plan as a DataFrame of ``target``
+    (same SparkContext) via a transient global temp view.  The target
+    resolves the view eagerly (classic mode), so the view is dropped
+    before returning; execution then runs under ``target``'s conf."""
+    if df.sparkSession is target:
+        return df
+    name = f"csp_rebind_{uuid.uuid4().hex}"
+    df.createOrReplaceGlobalTempView(name)
+    try:
+        return target.table(f"global_temp.{name}")
+    finally:
+        target.catalog.dropGlobalTempView(name)
+
+
+def run_bounded(out, target: SparkSession | None = None):
+    """Materialize a BOUNDED-result frame on the AQE-off bounded
+    session (eager localCheckpoint — the caller's collect reads
+    materialized rows regardless of its own session settings) and
+    return the checkpointed rows bound to ``target`` (default: the
+    frame's own session).  Thread-safe: no shared conf is mutated."""
+    target = target or out.sparkSession
+    bs = bounded_session(out.sparkSession)
+    ck = rebind_session(out, bs).localCheckpoint(eager=True)
+    return rebind_session(ck, target)
 
 
 def get_spark(app_name: str = "csp-gateway-spark", cpus: str | None = None) -> SparkSession:

@@ -39,9 +39,14 @@ def run(cmd: list) -> int:
 
 
 def readme_drift() -> int:
-    """Bookkeeping guard (VERDICT r10 ask #4): README's stated gate
-    count and bench total must match the registry and the measured
-    BENCH_LOCAL.json — drift here cost a verdict note in round 10."""
+    """Bookkeeping guard (VERDICT r10 ask #4, tightened per r11 #3):
+    README's stated gate count must match the registry, BENCH_LOCAL
+    must cover the registry, and — the part that actually drifted two
+    rounds running — the SECONDS/RATIO the README quotes must match
+    the artifact files it cites.  The headline pair must cite the
+    immutable per-round driver artifacts (BENCH_rNN.json /
+    BASELINE_ORACLE_rNN.json), NOT BENCH_LOCAL.json, which the driver
+    overwrites after close."""
     import json
     import re
 
@@ -71,6 +76,57 @@ def readme_drift() -> int:
             failures += 1
         else:
             print(f"bench covers all {n_timed} queries (total {total:.1f}s)")
+    # quoted-number check: the README headline pair must cite driver
+    # artifacts and quote exactly their numbers (the prose wraps, so
+    # match on whitespace-normalized text)
+    flat = re.sub(r"\s+", " ", readme)
+    pair = re.search(
+        r"Spark ([\d.]+) s vs the DuckDB oracle total ([\d.]+) s across "
+        r"all (\d+) queries — ([\d.]+)×\*{0,2} \(driver artifacts "
+        r"`(BENCH_r\d+\.json)`(?: */ *| and )`(BASELINE_ORACLE_r\d+\.json)`",
+        flat,
+    )
+    if not pair:
+        print(
+            "README headline bench pair not found or does not cite driver "
+            "artifacts (`BENCH_rNN.json` / `BASELINE_ORACLE_rNN.json`) — "
+            "BENCH_LOCAL.json is overwritten by the driver after close and "
+            "must not anchor the quoted numbers"
+        )
+        return failures + 1
+    q_spark, q_duck, q_n, q_ratio = (
+        float(pair.group(1)), float(pair.group(2)), int(pair.group(3)),
+        float(pair.group(4)),
+    )
+    bench_file, base_file = pair.group(5), pair.group(6)
+    try:
+        b = json.load(open(os.path.join(ROOT, bench_file)))
+        a_spark = float(b["parsed"]["value"] if "parsed" in b else b["value"])
+        a_n = int(b["parsed"].get("n_timed", 0) if "parsed" in b else b.get("n_timed", 0))
+        base = json.load(open(os.path.join(ROOT, base_file)))
+        a_duck = float(base["total"])
+    except Exception as exc:  # noqa: BLE001
+        print(f"cannot load cited artifacts {bench_file}/{base_file}: {exc}")
+        return failures + 1
+    a_ratio = a_spark / a_duck
+    ok = (
+        abs(q_spark - a_spark) < 0.1
+        and abs(q_duck - a_duck) < 0.1
+        and q_n == a_n
+        and abs(q_ratio - a_ratio) < 0.006
+    )
+    if ok:
+        print(
+            f"quoted bench pair OK ({q_spark:.1f}s / {q_duck:.1f}s / "
+            f"{q_n}q / {q_ratio:.2f}x vs {bench_file})"
+        )
+    else:
+        print(
+            f"README quotes {q_spark}s/{q_duck}s/{q_n}q/{q_ratio}x but "
+            f"{bench_file}+{base_file} say {a_spark:.1f}s/{a_duck:.1f}s/"
+            f"{a_n}q/{a_ratio:.2f}x — regenerate the README sentence"
+        )
+        failures += 1
     return failures
 
 
