@@ -5315,22 +5315,27 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import ngram_novelty
 
     out = ngram_novelty(_t(spark, sf_dir, "documents"), k=_NOVELTY_K)
+    # no ORDER BY: the gate compare is order-insensitive and the final
+    # global sort exchange was ~5% of the query's wall clock
     return out.select(
         "doc_id",
         "n_grams",
         "novel_grams",
         F.round("novelty", 6).alias("novelty"),
-    ).orderBy("doc_id")
+    )
 
 
 ORACLE_NGRAM_NOVELTY = f"""
 WITH tk AS (
   SELECT doc_id, {_SQL_TOKS.replace("trim(lower(text))", "{norm}")} AS t FROM documents
 ), sh_long AS (
-  SELECT DISTINCT doc_id, array_to_string(t[j:j + {_NOVELTY_K - 1}], ' ') AS s
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(array_to_string(t[j:j + {_NOVELTY_K - 1}], ' ')), 1, 15))::BIGINT AS s
   FROM tk, unnest(range(1, len(t) - {_NOVELTY_K - 2})) r(j) WHERE len(t) >= {_NOVELTY_K}
 ), sh_short AS (
-  SELECT DISTINCT doc_id, array_to_string(t, ' ') AS s FROM tk WHERE len(t) < {_NOVELTY_K}
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(array_to_string(t, ' ')), 1, 15))::BIGINT AS s
+  FROM tk WHERE len(t) < {_NOVELTY_K}
 ), sh AS (
   SELECT * FROM sh_long UNION ALL SELECT * FROM sh_short
 ), dfq AS (
@@ -14380,24 +14385,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave-21 representatives (rank-eval + text-pair-metric
         # families) — both evictees carry driver-green CORRECTNESS_r07
         # evidence and stay in the full-replica sweep run each round
-        # roc_auc's slot funds a round-11 changed query (rank-eval
-        # family stays replica-checked; rouge_overlap keeps the
-        # text-pair-metric seat)
-        "rouge_overlap",
-        # round-11 rotation (first pass): the three queries whose
-        # implementations changed early in the round enter the window
-        # so the driver gate carries direct evidence on the new code
-        # (fingerprint df-cap, ECDF ntile, ks_test totals reuse)
-        "fingerprint_pairs", "ntile_histogram", "ks_test",
-        # round-11 rotation (second pass): the r10 returnees
-        # (char_entropy / line_dedup / embedding_quantize /
-        # volume_shipping) banked fresh driver-green evidence in
-        # CORRECTNESS_r10 and rotate back out; their seats fund direct
-        # driver evidence on this round's re-planned spearman (smaller-
-        # side broadcast) and three wave-23/25/26 representatives —
-        # the evictees stay in the full per-round replica sweep
-        "spearman_corr", "bootstrap_mean_ci", "kendall_tau",
-        "wasserstein",
+        # round-12 rotation: the r11 returnees (fingerprint_pairs,
+        # ks_test, bootstrap_mean_ci, kendall_tau, wasserstein,
+        # rouge_overlap) banked fresh driver-green evidence in
+        # CORRECTNESS_r11 and rotate back out (all stay in the full
+        # per-round replica sweep).  Their six seats fund:
+        #  - the three queries RE-PLANNED this round (spearman's
+        #    closed-form-moment fast path, ntile's probe-bucket
+        #    boundary pruning, ngram_novelty's scan-local hashed
+        #    shingles) so the driver gate carries direct evidence on
+        #    the new code,
+        #  - conformal_interval, whose output contract changed
+        #    (honest-coverage n_test_dropped column),
+        #  - and wave-24/26/29 representatives that have never faced
+        #    the driver directly (clustering_coeff, hodges_lehmann,
+        #    tukey_hsd, kn_bigram_entropy — VERDICT r11 ask #4)
+        "spearman_corr", "ntile_histogram", "ngram_novelty",
+        "conformal_interval", "clustering_coeff", "hodges_lehmann",
+        "tukey_hsd", "kn_bigram_entropy",
     ]
     ordered = {name: raw[name] for name in priority}
     ordered.update({name: fn for name, fn in raw.items() if name not in ordered})

@@ -3244,87 +3244,118 @@ def ntile_histogram(
     value_col: str,
     tiebreaks: Sequence[str],
     buckets: int = 10,
+    probe_buckets: int = 1024,
 ) -> DataFrame:
     """Exact equal-count (equi-depth) histogram: split the column into
     ``buckets`` ANSI-ntile tiles and report each tile's row count and
     [lo, hi] value envelope — the boundary table a query optimizer or
-    data-profiling report wants, computed with NO unpartitioned
-    window (``global_row_number`` + ``ntile_from_rank`` reproduce
-    ntile's remainder rule exactly).  Ties break on ``tiebreaks`` so
-    the tile assignment is a strict total order.  Output per tile:
-    (bucket, n, lo, hi)."""
-    from csp_gateway_spark.plans.scale import (
-        TARGET_ROWS_PER_BUCKET, global_row_number,
-    )
+    data-profiling report wants.  Ties break on ``tiebreaks`` so the
+    tile assignment is a strict total order.  Output per tile:
+    (bucket, n, lo, hi).
 
-    # The histogram never needs per-ROW tile assignment: ANSI ntile
-    # tile sizes are closed-form (base = ⌊N/b⌋, the first N mod b
-    # tiles get one extra row) and each tile's [lo, hi] envelope is a
-    # pair of order statistics — the values at global ranks
-    # offset(i)+1 and offset(i)+n_i — which depend only on the
-    # VALUE's multiset, never on tiebreaks (ties share a value).  So
-    # the plan collapses to the distinct-value ECDF (one hash
-    # aggregate), ONE cumulative over distinct values, and a
-    # broadcast join of b tiny boundary rows against the ECDF —
-    # ranking all N fact rows (3 scans + per-bucket windows) is
-    # replaced by ranking |distinct| collapsed rows.
-    per_val = df.groupBy(F.col(value_col).alias("_v")).agg(
-        F.count(F.lit(1)).cast("decimal(18,0)").alias("_c")
-    )
-    ranked = global_row_number(
-        per_val, "_v", [], rn_col="_rn", cum_value="_c", cum_col="_cum",
-        small_threshold=TARGET_ROWS_PER_BUCKET,
-    ).localCheckpoint(eager=False)
-    totals = ranked.agg(F.max(F.col("_cum").cast("long")).alias("_N"))
-    b = F.lit(int(buckets)).cast("long")
-    n_big = F.col("_N")
-    base_sz = F.floor(n_big / b).cast("long")
-    rem = F.pmod(n_big, b).cast("long")
-    tiles = (
-        totals.select(
-            F.explode(F.sequence(F.lit(1).cast("long"), b)).alias("bucket"),
-            base_sz.alias("_base"),
-            rem.alias("_rem"),
+    The histogram never needs per-ROW tile assignment: ANSI ntile tile
+    sizes are closed-form (base = ⌊N/b⌋, the first N mod b tiles get
+    one extra row) and each tile's [lo, hi] envelope is a pair of
+    order statistics — the values at global ranks offset(i)+1 and
+    offset(i)+n_i — which depend only on the VALUE's multiset, never
+    on tiebreaks (ties share a value).  And order statistics at 2·b
+    KNOWN ranks never need the full ECDF either: one scan-only
+    min/max/count, one 32×``probe_buckets`` map-combined range-probe
+    count (both bounded driver rows), then the driver resolves which
+    probe ranges contain boundary ranks and ONLY those ranges' cells
+    are grouped and cumulated — a PARTITIONED window over the pruned
+    boundary neighborhoods with driver-known range offsets, never a
+    single-task pass over all distinct values.  Row skew is immune
+    (a heavy value is ONE cell); distinct-value skew merely widens a
+    neighborhood (worst case = the old full-ECDF cost).  Probe
+    bucketing only needs a monotone value→range map, so the double
+    cast's rounding cannot misrank anything — local rank + exact
+    per-range offsets reproduce the exact global rank."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull()).select(v.alias("_v"))
+    spark = df.sparkSession
+    stats = base.agg(
+        F.min("_v").alias("_mn"), F.max("_v").alias("_mx"),
+        F.count(F.lit(1)).alias("_n"),
+    ).collect()[0]
+    n = int(stats["_n"])
+    if n == 0:
+        return spark.createDataFrame([], "bucket long, n long, lo double, hi double")
+    b = int(buckets)
+    base_sz, rem = divmod(n, b)
+    tiles = [
+        (i, base_sz + (1 if i <= rem else 0), (i - 1) * base_sz + min(i - 1, rem))
+        for i in range(1, b + 1)
+    ]
+    # N < buckets: ANSI ntile leaves the tail tiles empty
+    tiles = [(i, sz, off) for i, sz, off in tiles if sz > 0]
+    targets = [
+        (i, sz, side, off + 1 if side == "lo" else off + sz)
+        for i, sz, off in tiles
+        for side in ("lo", "hi")
+    ]
+    mn_d, mx_d = float(stats["_mn"]), float(stats["_mx"])
+    span = mx_d - mn_d
+    if span > 0:
+        p = int(probe_buckets)
+        pb_expr = F.least(
+            F.lit(p - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("_v").cast("double") - F.lit(mn_d)) / F.lit(span) * F.lit(p)
+                ).cast("int"),
+            ),
         )
-        .select(
-            "bucket",
-            (
-                F.col("_base")
-                + (F.col("bucket") <= F.col("_rem")).cast("long")
-            ).alias("n"),
-            (
-                (F.col("bucket") - 1) * F.col("_base")
-                + F.least(F.col("bucket") - 1, F.col("_rem"))
-            ).alias("_off"),
-        )
-        .filter(F.col("n") > 0)  # N < buckets: ANSI ntile leaves the tail tiles empty
+    else:  # single value / double-collapsed range: one probe range
+        p = 1
+        pb_expr = F.lit(0).cast("int")
+    probed = base.select("_v", pb_expr.alias("_pb"))
+    pc = {
+        int(r["_pb"]): int(r["_c"])
+        for r in probed.groupBy("_pb").agg(F.count(F.lit(1)).alias("_c")).collect()
+    }  # ≤ probe_buckets bounded driver rows
+    offs: dict = {}
+    acc = 0
+    for pb in range(p):
+        offs[pb] = acc
+        acc += pc.get(pb, 0)
+    present = sorted(pc)
+    bounds = [(pb, offs[pb], offs[pb] + pc[pb]) for pb in present]
+    needed = set()
+    for _, _, _, t in targets:
+        for pb, lo, hi in bounds:
+            if lo < t <= hi:
+                needed.add(pb)
+                break
+    needed_pbs = sorted(needed)
+    cells = (
+        probed.filter(F.col("_pb").isin(needed_pbs))
+        .groupBy("_pb", "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
     )
-    ecdf = ranked.select(
+    w = Window.partitionBy("_pb").orderBy("_v")
+    off_map = F.create_map(
+        *[x for pb in needed_pbs for x in (F.lit(pb), F.lit(offs[pb]))]
+    )
+    ecdf = cells.select(
         "_v",
-        (F.col("_cum") - F.col("_c") + 1).cast("long").alias("_r_lo"),
-        F.col("_cum").cast("long").alias("_r_hi"),
+        (off_map[F.col("_pb")] + F.sum("_c").over(w)).alias("_r_hi"),
+        F.col("_c"),
+    ).select(
+        "_v", (F.col("_r_hi") - F.col("_c") + 1).alias("_r_lo"), "_r_hi"
+    )
+    targets_df = spark.createDataFrame(
+        targets, "bucket long, n long, _side string, _target long"
     )
     # both boundary order statistics of every tile ride ONE broadcast
-    # nested-loop join (2·buckets tiny rows against the ECDF), pivoted
-    # back to (lo, hi) by a per-tile aggregate
-    targets = tiles.select(
-        "bucket",
-        "n",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("lo").alias("_side"),
-                    (F.col("_off") + 1).alias("_target"),
-                ),
-                F.struct(
-                    F.lit("hi").alias("_side"),
-                    (F.col("_off") + F.col("n")).alias("_target"),
-                ),
-            )
-        ).alias("_t"),
-    ).select("bucket", "n", "_t._side", "_t._target")
+    # nested-loop join (2·buckets tiny rows against the pruned ECDF),
+    # pivoted back to (lo, hi) by a per-tile aggregate
     return _finalize_bounded(
-        targets.join(
+        F.broadcast(targets_df)
+        .join(
             ecdf,
             (F.col("_target") >= F.col("_r_lo"))
             & (F.col("_target") <= F.col("_r_hi")),
@@ -4673,11 +4704,15 @@ def spearman_corr(
     return run_bounded(body, target=sess)
 
 
-def _spearman_corr_body(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
-    from csp_gateway_spark.plans.scale import (
-        TARGET_ROWS_PER_BUCKET, global_row_number,
-    )
+#: fast-path bound: a variable whose distinct-value count is at or
+#: below this is "driver-small" — its (value, count) cells collect as
+#: bounded driver rows (~1 MB at the bound; the centroid/LR-weights
+#: precedent) and its midranks are computed in exact Python ints.  The
+#: bound is a HARD guard (limit N+1 probe), never a truncation.
+_SPEARMAN_SMALL_CELLS = 65536
 
+
+def _spearman_corr_body(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     # pairwise-complete observations only: rows where EITHER column is
     # NULL are excluded up front so every moment (the per-variable rank
     # sums AND the equi-joined cross moment, whose NULL keys would
@@ -4685,6 +4720,144 @@ def _spearman_corr_body(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     base = df.select(F.col(col_a).alias("_va"), F.col(col_b).alias("_vb")).filter(
         F.col("_va").isNotNull() & F.col("_vb").isNotNull()
     )
+    # one cheap pass sizes both sides; the fast path engages when one
+    # side is driver-small (typical: a bounded physical domain like
+    # quantity/priority against a near-unique measure)
+    approx = base.agg(
+        F.approx_count_distinct("_va").alias("_na"),
+        F.approx_count_distinct("_vb").alias("_nb"),
+    ).collect()[0]
+    order = ["_va", "_vb"] if approx["_na"] <= approx["_nb"] else ["_vb", "_va"]
+    for small_col in order:
+        # approx error is ~2-5%; probe only plausibly-small sides
+        if int(approx["_na" if small_col == "_va" else "_nb"]) > 2 * _SPEARMAN_SMALL_CELLS:
+            continue
+        big_col = "_vb" if small_col == "_va" else "_va"
+        out = _spearman_try_fast(base, small_col, big_col)
+        if out is not None:
+            return out
+    return _spearman_corr_generic(base)
+
+
+def _spearman_try_fast(base: DataFrame, small_col: str, big_col: str):
+    """Closed-form-moment spearman when ``small_col`` is driver-small.
+
+    Midrank identities over doubled ranks 2r = 2·cum − c + 1 make the
+    per-variable moments closed-form — Σ_rows 2r = n(n+1) always, and
+    Σ_rows (2r)² = (2n(n+1)(2n+1) − Σ(c³ − c))/3 (the classical tie
+    correction; every term divisible by 3, so exact integers) — so NO
+    rank table is ever materialized for the moments.  The small side's
+    midranks are exact Python ints over its collected cells; the big
+    side needs only ONE cumulative (``global_row_number`` over its
+    collapsed cells, 2r_b derived in-line from the running count) with
+    the small-rank row sums Σ2rₐ riding the SAME grouped aggregate —
+    one broadcast join + one groupBy + one cumulative + one 1-row
+    collapse, no checkpointed rank table, no second fact join.  All
+    sums are exact decimal integers → ρ is the oracle's double formula
+    over correctly-rounded conversions of the same exact integers —
+    bit-identical to the rank-table plan.  Returns None when the probe
+    overflows the bound (caller falls back to the generic plan)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from csp_gateway_spark.plans.scale import (
+        TARGET_ROWS_PER_BUCKET, global_row_number,
+    )
+
+    dt = base.schema[small_col].dataType
+    if not isinstance(
+        dt,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType),
+    ):
+        return None
+    cells = (
+        base.groupBy(F.col(small_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .limit(_SPEARMAN_SMALL_CELLS + 1)
+        .collect()
+    )
+    if len(cells) > _SPEARMAN_SMALL_CELLS:
+        return None
+    spark = base.sparkSession
+    if not cells:
+        # aggregate-shaped: empty input yields one (0, NULL) row
+        return spark.createDataFrame([(0, None)], "n long, rho double")
+    vals = [(r["_v"], int(r["_c"])) for r in cells]
+    if any(v != v for v, _ in vals):  # float NaN sorts differently
+        return None
+    vals.sort(key=lambda t: t[0])
+    cum = 0
+    small_rows = []
+    ssq_small = 0  # Σ_rows (2r)² for the small side, exact int
+    for v, c in vals:
+        r2 = 2 * cum + c + 1  # doubled midrank of this tie group
+        small_rows.append((v, r2))
+        ssq_small += c * r2 * r2
+        cum += c
+    n = cum
+    schema = T.StructType(
+        [T.StructField(small_col, dt), T.StructField("_rs", T.LongType())]
+    )
+    m_small = spark.createDataFrame(small_rows, schema)
+    # ONE fact pass: small ranks broadcast on, collapse per big value
+    # carrying (count, Σ2rₐ); then ONE cumulative over the collapsed
+    # cells gives 2r_b in-line — no rank table, no further fact touch
+    per_big = (
+        base.join(F.broadcast(m_small), on=small_col)
+        .groupBy(F.col(big_col).alias("_v"))
+        .agg(
+            F.count(F.lit(1)).cast("decimal(20,0)").alias("_cd"),
+            F.sum(F.col("_rs").cast("decimal(25,0)")).alias("_srs"),
+        )
+    )
+    ranked = global_row_number(
+        per_big, "_v", [], rn_col="_rn", cum_value="_cd", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
+    )
+    rb = (
+        F.lit(2).cast("decimal(2,0)") * F.col("_cum")
+        - F.col("_cd")
+        + F.lit(1).cast("decimal(2,0)")
+    ).cast("decimal(13,0)")
+    c12 = F.col("_cd").cast("decimal(12,0)")
+    fin = ranked.agg(
+        F.coalesce(
+            F.sum((rb * F.col("_srs")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_sab"),
+        F.sum((c12 * c12 * c12).cast("decimal(38,0)")).alias("_sc3"),
+    ).collect()[0]  # bounded: exactly one row of driver scalars
+    sab = int(fin["_sab"])
+    sc3 = int(fin["_sc3"])
+    # tie-corrected Σ(2r)² for the big side — exact (numerator ≡ 0 mod 3)
+    ssq_big = (2 * n * (n + 1) * (2 * n + 1) - (sc3 - n)) // 3
+    saa, sbb = (
+        (ssq_small, ssq_big) if small_col == "_va" else (ssq_big, ssq_small)
+    )
+    # ρ in the ORACLE's exact double shape: every factor is a
+    # correctly-rounded conversion of the same exact integer both
+    # engines hold, and *, -, /, sqrt are IEEE-identical in Python,
+    # the JVM, and DuckDB
+    n_d = float(n)
+    s_d = float(n * (n + 1))  # Σ2r is n(n+1) for BOTH sides, always
+    va = n_d * float(saa) - s_d * s_d
+    vb = n_d * float(sbb) - s_d * s_d
+    rho = (
+        (n_d * float(sab) - s_d * s_d) / math.sqrt(va * vb)
+        if va * vb > 0
+        else None
+    )
+    return spark.createDataFrame([(n, rho)], "n long, rho double")
+
+
+def _spearman_corr_generic(base: DataFrame) -> DataFrame:
+    from csp_gateway_spark.plans.scale import (
+        TARGET_ROWS_PER_BUCKET, global_row_number,
+    )
+
+    df = base
     per = (
         base.groupBy(F.col("_va").alias("_v"))
         .agg(F.count(F.lit(1)).alias("_c"))
