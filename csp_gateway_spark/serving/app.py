@@ -73,6 +73,37 @@ class ApiError(Exception):
         self.detail = detail
 
 
+def _user_raised_detail(e: Exception):
+    """The message of a Spark ``raise_error`` user exception (the
+    bounded-contract guards raise these mid-collect), or None if ``e``
+    is anything else.  Works from the typed error class when PySpark
+    surfaces one and falls back to the wire format
+    ``[USER_RAISED_EXCEPTION] <msg> SQLSTATE: ...``."""
+    try:
+        from pyspark.errors.exceptions.base import PySparkException
+
+        if isinstance(e, PySparkException):
+            cls = None
+            try:
+                cls = e.getErrorClass()
+            except Exception:  # noqa: BLE001
+                pass
+            if cls == "USER_RAISED_EXCEPTION":
+                params = {}
+                try:
+                    params = e.getMessageParameters() or {}
+                except Exception:  # noqa: BLE001
+                    pass
+                return params.get("errorMessage") or str(e)[:500]
+    except Exception:  # noqa: BLE001 — never let detection itself fail
+        pass
+    s = str(e)
+    if "USER_RAISED_EXCEPTION" in s:
+        tail = s.split("USER_RAISED_EXCEPTION]", 1)[-1]
+        return tail.split("SQLSTATE", 1)[0].strip()[:500]
+    return None
+
+
 class NextTickBroker:
     """`/next` blocking-read semantics (reference `futures/adapter.py:
     69-134` + filtered variant `auth_filter.py:355-441`): a request
@@ -240,6 +271,16 @@ class GatewayApi:
         except ApiError:
             raise
         except Exception as e:  # noqa: BLE001 — unwired: no ticks yet
+            detail = _user_raised_detail(e)
+            if detail is not None:
+                # an operator's in-plan contract guard fired
+                # (max_cells / max_fp_frequency raise_error): the
+                # caller hit a documented bound, not a server fault —
+                # surface the quantize-first message as a structured
+                # 422, never a 500/404
+                raise ApiError(
+                    422, f"operator contract bound hit: {detail}"
+                ) from e
             raise ApiError(404, f"no ticks yet on {channel!r}: {e}") from e
 
     # --- routes ------------------------------------------------------
@@ -583,6 +624,44 @@ class GatewayApi:
                     422,
                     f"unsupported aggregate {agg_name!r}; one of {sorted(_AGGS)}",
                 )
+        # schema-aware pre-validation: resolve the channel's plan once
+        # and check every expression / referenced column against it so
+        # a typo'd pivot config comes back as a clear 422 naming the
+        # available columns, not an escaped analyzer stack.  Plan
+        # resolution failures (no ticks yet) fall through to the
+        # normal 404 path below.
+        plan_df = None
+        try:
+            plan_df = self._plan_filters(channel, self.catalog.query(channel, None))
+        except Exception:  # noqa: BLE001 — unwired channel: defer to collect
+            pass
+        if plan_df is not None:
+            avail = sorted(plan_df.columns)
+            for name, expr in cfg.expressions.items():
+                try:
+                    plan_df.selectExpr(f"{expr} AS `{name}`")
+                except Exception as e:  # noqa: BLE001 — analyzer reject
+                    first = str(e).strip().splitlines()[0][:200]
+                    raise ApiError(
+                        422,
+                        f"bad expression {name!r} = {expr!r}: {first}; "
+                        f"available columns: {avail}",
+                    ) from e
+            # sort/columns resolve against the AGGREGATED output
+            # (agg aliases like sum_px), so only pre-agg references
+            # are validated here
+            known = set(avail) | set(cfg.expressions)
+            referenced = (
+                list(cfg.group_by) + list(cfg.split_by) + list(cfg.aggregates)
+                + [c for c, _, _ in cfg.filter]
+            )
+            for c in referenced:
+                if c not in known:
+                    raise ApiError(
+                        422,
+                        f"unknown column {c!r}; available columns: "
+                        f"{sorted(known)}",
+                    )
         lim = 1000 if limit is None else int(limit)
         rows = self._collect_or_404(
             channel,

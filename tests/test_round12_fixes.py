@@ -220,3 +220,43 @@ def test_hits_rejects_bad_iters(spark):
         hits(edges, iters=-3)
     with pytest.raises(ValueError, match="decimal"):
         hits(edges, iters=19)
+
+
+# --- bounded-contract errors surface as structured 4xx ------------------------
+
+
+def test_contract_guard_maps_to_422(spark):
+    """A raise_error contract guard firing mid-collect must surface as
+    a 422 with the operator's quantize-first message, never a 500/404."""
+    from pyspark.sql import types as T
+
+    from csp_gateway_spark.catalog import ChannelCatalog
+    from csp_gateway_spark.serving.app import ApiError, GatewayApi
+
+    cat = ChannelCatalog(spark)
+    cat.declare("t", T.StructType([T.StructField("v", T.LongType())]))
+    api = GatewayApi(cat)
+    msg = (
+        "hodges_lehmann: pair-cell space 4000000 exceeds max_cells"
+        "=2000000 - quantize the values first"
+    )
+    guarded = spark.range(5).select(
+        F.when(F.col("id") > 2, F.raise_error(F.lit(msg)))
+        .otherwise(F.col("id").cast("string"))
+        .alias("v")
+    )
+    with pytest.raises(ApiError) as ei:
+        api._collect_or_404("t", lambda: guarded)
+    assert ei.value.status == 422
+    assert "contract bound" in ei.value.detail and "quantize" in ei.value.detail
+    # a plain failure still maps to the no-ticks 404
+    broken = spark.createDataFrame([(1,)], "v long").select(
+        (F.col("v") / F.lit(0)).alias("x")
+    )
+
+    def boom():
+        raise RuntimeError("plain failure")
+
+    with pytest.raises(ApiError) as ei:
+        api._collect_or_404("t", boom)
+    assert ei.value.status == 404

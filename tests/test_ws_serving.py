@@ -363,3 +363,39 @@ def test_outputs_folder_browser(spark, tmp_path):
         assert ei.value.code == 404
     finally:
         srv.stop()
+
+
+def test_perspective_view_expression_validation(served):
+    """Round-12: schema-aware pivot-config validation — a bad SQL
+    expression or an unknown column comes back as a clear 422 naming
+    the available columns, not an escaped analyzer stack."""
+    base = f"http://127.0.0.1:{served.port}"
+    bad_expr = {
+        "group_by": ["sym"],
+        "aggregates": {"px": "sum"},
+        "expressions": {"oops": "no_such_col * 2"},
+    }
+    req = urllib.request.Request(
+        f"{base}/api/v1/perspective/view/quotes",
+        data=json.dumps(bad_expr).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 422
+    detail = json.loads(ei.value.read())["detail"]
+    assert "bad expression" in detail and "available columns" in detail
+    assert "sym" in detail  # the column list is actionable
+    bad_col = {"group_by": ["symbol_typo"], "aggregates": {"px": "sum"}}
+    req2 = urllib.request.Request(
+        f"{base}/api/v1/perspective/view/quotes",
+        data=json.dumps(bad_col).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req2)
+    assert ei.value.code == 422
+    detail = json.loads(ei.value.read())["detail"]
+    assert "unknown column" in detail and "symbol_typo" in detail
