@@ -14011,6 +14011,299 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_state_filter_query(spark, "/root/testdata/sf0.001")
 
 
+
+# ---------------------------------------------------------------------------
+# WAVE 30 (round 12) — robust nonparametrics + forecast backtesting +
+# embedding drift
+# ---------------------------------------------------------------------------
+
+
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of order value across the five priorities —
+    exact order-statistic grand median, k-bounded 2xk chi-square."""
+    from csp_gateway_spark.operators.analytics import mood_median
+
+    orders = _t(spark, sf_dir, "orders")
+    out = mood_median(orders, "o_orderpriority", "o_totalprice")
+    return out.select(
+        "n",
+        "k",
+        (F.round("median", 6) + F.lit(0.0)).alias("median"),
+        (F.round("chi2", 6) + F.lit(0.0)).alias("chi2"),
+        "df",
+    )
+
+
+ORACLE_MOOD_MEDIAN = """
+WITH b AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS g, o_totalprice AS v FROM orders
+), pv AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1
+), rk AS (
+  SELECT v, c,
+    SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pv
+), nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM pv),
+kk AS (SELECT CAST((n + 1) // 2 AS BIGINT) AS k FROM nt),
+md AS (SELECT v AS med FROM rk, kk WHERE cum >= kk.k AND cum - c < kk.k),
+pg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+         CAST(SUM(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT) AS ab
+  FROM b, md GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(ab) AS BIGINT) AS ma,
+         CAST(count(*) AS BIGINT) AS k
+  FROM pg
+), chi AS (
+  SELECT list_reduce(list_prepend(0.0, list(
+      (CAST(ab AS DOUBLE) - CAST(ng AS DOUBLE) * CAST(ma AS DOUBLE) / CAST(n AS DOUBLE))
+    * (CAST(ab AS DOUBLE) - CAST(ng AS DOUBLE) * CAST(ma AS DOUBLE) / CAST(n AS DOUBLE))
+    / (CAST(ng AS DOUBLE) * CAST(ma AS DOUBLE) / CAST(n AS DOUBLE))
+    + (CAST(ng - ab AS DOUBLE) - CAST(ng AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ma AS DOUBLE)) / CAST(n AS DOUBLE))
+    * (CAST(ng - ab AS DOUBLE) - CAST(ng AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ma AS DOUBLE)) / CAST(n AS DOUBLE))
+    / (CAST(ng AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ma AS DOUBLE)) / CAST(n AS DOUBLE))
+    ORDER BY g)), (a, b) -> a + b) AS chi2
+  FROM pg, tot
+)
+SELECT tot.n AS n, tot.k AS k,
+  round(CAST(med AS DOUBLE), 6) + 0.0 AS median,
+  CASE WHEN ma > 0 AND ma < tot.n THEN round(chi2, 6) + 0.0 END AS chi2,
+  tot.k - 1 AS df
+FROM chi, tot, md
+"""
+
+
+_BM_A, _BM_B = "1-URGENT", "5-LOW"
+
+
+def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel stochastic-superiority test, urgent vs low
+    priority order values — midrank machinery, exact integer rank
+    moments, scipy-shape W and Satterthwaite df."""
+    from csp_gateway_spark.operators.analytics import brunner_munzel
+
+    orders = _t(spark, sf_dir, "orders")
+    out = brunner_munzel(orders, "o_orderpriority", "o_totalprice", _BM_A, _BM_B)
+    return out.select(
+        "n_a",
+        "n_b",
+        (F.round("p_hat", 8) + F.lit(0.0)).alias("p_hat"),
+        (F.round("w", 6) + F.lit(0.0)).alias("w"),
+        (F.round("df", 4) + F.lit(0.0)).alias("df"),
+    )
+
+
+ORACLE_BRUNNER_MUNZEL = f"""
+WITH b AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+  WHERE o_orderpriority IN ('{_BM_A}', '{_BM_B}')
+), pv AS (
+  SELECT v,
+    CAST(SUM(CASE WHEN g = '{_BM_A}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(SUM(CASE WHEN g = '{_BM_B}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM b GROUP BY 1
+), rk AS (
+  SELECT v, ca, cb,
+    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+  FROM pv
+), tm AS (
+  SELECT ca, cb,
+    2 * ((cuma + cumb) - (ca + cb)) + (ca + cb) + 1 AS r2,
+    2 * (cuma - ca) + ca + 1 AS r2a,
+    2 * (cumb - cb) + cb + 1 AS r2b
+  FROM rk
+), s AS (
+  SELECT
+    CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+    SUM(CAST(ca AS DECIMAL(13,0)) * CAST(r2 AS DECIMAL(20,0))) AS s2ra,
+    SUM(CAST(cb AS DECIMAL(13,0)) * CAST(r2 AS DECIMAL(20,0))) AS s2rb,
+    SUM(CAST(ca AS DECIMAL(13,0)) * CAST(r2 - r2a AS DECIMAL(13,0))) AS sda,
+    SUM(CAST(cb AS DECIMAL(13,0)) * CAST(r2 - r2b AS DECIMAL(13,0))) AS sdb,
+    SUM(CAST(ca AS DECIMAL(13,0)) * CAST(CAST(r2 - r2a AS DECIMAL(13,0)) * CAST(r2 - r2a AS DECIMAL(13,0)) AS DECIMAL(27,0))) AS sda2,
+    SUM(CAST(cb AS DECIMAL(13,0)) * CAST(CAST(r2 - r2b AS DECIMAL(13,0)) * CAST(r2 - r2b AS DECIMAL(13,0)) AS DECIMAL(27,0))) AS sdb2
+  FROM tm
+), f AS (
+  SELECT na, nb,
+    CAST(s2ra AS DOUBLE) / (2.0 * CAST(na AS DOUBLE)) AS rma,
+    CAST(s2rb AS DOUBLE) / (2.0 * CAST(nb AS DOUBLE)) AS rmb,
+    (CAST(sda2 AS DOUBLE) - CAST(sda AS DOUBLE) * CAST(sda AS DOUBLE) / CAST(na AS DOUBLE))
+      / (4.0 * (CAST(na AS DOUBLE) - 1.0)) AS s2a,
+    (CAST(sdb2 AS DOUBLE) - CAST(sdb AS DOUBLE) * CAST(sdb AS DOUBLE) / CAST(nb AS DOUBLE))
+      / (4.0 * (CAST(nb AS DOUBLE) - 1.0)) AS s2b
+  FROM s
+)
+SELECT na AS n_a, nb AS n_b,
+  round((rmb - (CAST(nb AS DOUBLE) + 1.0) / 2.0) / CAST(na AS DOUBLE), 8) + 0.0 AS p_hat,
+  CASE WHEN CAST(na AS DOUBLE) * s2a + CAST(nb AS DOUBLE) * s2b > 0 THEN
+    round(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * (rmb - rma)
+          / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+          / sqrt(CAST(na AS DOUBLE) * s2a + CAST(nb AS DOUBLE) * s2b), 6) + 0.0
+  END AS w,
+  CASE WHEN CAST(na AS DOUBLE) * s2a + CAST(nb AS DOUBLE) * s2b > 0 THEN
+    round((CAST(na AS DOUBLE) * s2a + CAST(nb AS DOUBLE) * s2b)
+          * (CAST(na AS DOUBLE) * s2a + CAST(nb AS DOUBLE) * s2b)
+          / ((CAST(na AS DOUBLE) * s2a) * (CAST(na AS DOUBLE) * s2a) / (CAST(na AS DOUBLE) - 1.0)
+             + (CAST(nb AS DOUBLE) * s2b) * (CAST(nb AS DOUBLE) * s2b) / (CAST(nb AS DOUBLE) - 1.0)), 4) + 0.0
+  END AS df
+FROM f
+"""
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+
+
+_SQL_DAILY_REV = f"""
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS x,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+  FROM orders GROUP BY 1
+"""
+
+
+def q_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of daily revenue — exact order-statistic
+    median over the contract-bounded pairwise-slope distribution."""
+    from csp_gateway_spark.operators.analytics import theil_sen_slope
+
+    out = theil_sen_slope(_daily_revenue(spark, sf_dir), "day_num", "rev")
+    return out.select(
+        "n_points",
+        "n_pairs",
+        (F.round("slope", 8) + F.lit(0.0)).alias("slope"),
+    )
+
+
+ORACLE_THEIL_SEN_DAILY = f"""
+WITH d AS (
+{_SQL_DAILY_REV}
+), p AS (
+  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+  FROM d a JOIN d b ON b.x > a.x
+), cells AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS w FROM p GROUP BY 1
+), rk AS (
+  SELECT s, w,
+    SUM(w) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM cells
+), t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM cells),
+kk AS (SELECT (tot + tot % 2) // 2 AS lo, (tot - tot % 2) // 2 + 1 AS hi, tot FROM t),
+lom AS (SELECT s FROM rk, kk WHERE cum >= kk.lo AND cum - w < kk.lo),
+him AS (SELECT s FROM rk, kk WHERE cum >= kk.hi AND cum - w < kk.hi),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM d)
+SELECT np.n_points, kk.tot AS n_pairs,
+  round((lom.s + him.s) / 2.0, 8) + 0.0 AS slope
+FROM np, kk, lom, him
+"""
+
+
+_MASE_SEASON, _MASE_H = 7, 28
+
+
+def q_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive MASE/sMAPE backtest of daily revenue: hold out
+    the last 28 days, forecast each from one season back in-train."""
+    from csp_gateway_spark.operators.analytics import mase_backtest
+
+    out = mase_backtest(
+        _daily_revenue(spark, sf_dir), "day_num", "rev",
+        season=_MASE_SEASON, horizon=_MASE_H,
+    )
+    return out.select(
+        "n",
+        "train_n",
+        "horizon",
+        (F.round("mase", 8) + F.lit(0.0)).alias("mase"),
+        (F.round("smape", 8) + F.lit(0.0)).alias("smape"),
+    )
+
+
+ORACLE_MASE_BACKTEST = f"""
+WITH d AS (
+{_SQL_DAILY_REV}
+), t AS (
+  SELECT list(CAST(y AS DOUBLE) ORDER BY x) AS ys, CAST(count(*) AS BIGINT) AS n
+  FROM d
+), s AS (
+  SELECT n, ys, n - {_MASE_H} AS tn,
+    list_reduce(list_prepend(0.0, list_transform(
+      range({_MASE_SEASON} + 1, n - {_MASE_H} + 1),
+      tt -> abs(ys[tt] - ys[tt - {_MASE_SEASON}]))), (a, b) -> a + b)
+      / CAST(n - {_MASE_H} - {_MASE_SEASON} AS DOUBLE) AS sc
+  FROM t
+), e AS (
+  SELECT n, tn, sc,
+    list_reduce(list_prepend(0.0, list_transform(range(1, {_MASE_H} + 1),
+      j -> abs(ys[tn + j] - ys[tn + j - {_MASE_SEASON} * CAST(CEIL(CAST(j AS DOUBLE) / {_MASE_SEASON}.0) AS BIGINT)]))),
+      (a, b) -> a + b) AS ae,
+    list_reduce(list_prepend(0.0, list_transform(range(1, {_MASE_H} + 1),
+      j -> 2.0 * abs(ys[tn + j] - ys[tn + j - {_MASE_SEASON} * CAST(CEIL(CAST(j AS DOUBLE) / {_MASE_SEASON}.0) AS BIGINT)])
+           / (abs(ys[tn + j]) + abs(ys[tn + j - {_MASE_SEASON} * CAST(CEIL(CAST(j AS DOUBLE) / {_MASE_SEASON}.0) AS BIGINT)])))),
+      (a, b) -> a + b) AS sm
+  FROM s
+)
+SELECT n, tn AS train_n, CAST({_MASE_H} AS BIGINT) AS horizon,
+  CASE WHEN tn > {_MASE_SEASON} AND sc > 0
+       THEN round(ae / {_MASE_H}.0 / sc, 8) + 0.0 END AS mase,
+  round(sm / {_MASE_H}.0, 8) + 0.0 AS smape
+FROM e
+"""
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding-centroid drift vs the global centroid —
+    fixed-point exact per-dimension sums, pos-sorted cosine folds."""
+    from csp_gateway_spark.operators.similarity import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    out = embedding_drift(emb, docs)
+    return out.select(
+        "source",
+        "n_vecs",
+        (F.round("cos_to_global", 8) + F.lit(0.0)).alias("cos_to_global"),
+        (F.round("centroid_norm", 6) + F.lit(0.0)).alias("centroid_norm"),
+    ).orderBy("source")
+
+
+ORACLE_EMBEDDING_DRIFT = """
+WITH j AS (
+  SELECT d.source AS g, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+), fl AS (
+  SELECT g, r.p AS pos, CAST(FLOOR(v[r.p] * 1048576.0) AS BIGINT) AS q
+  FROM j, unnest(range(1, len(v) + 1)) r(p)
+), per AS (
+  SELECT g, pos, CAST(SUM(q) AS DECIMAL(38,0)) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM fl GROUP BY 1, 2
+), gl AS (
+  SELECT pos, CAST(SUM(s) AS DECIMAL(38,0)) AS gs FROM per GROUP BY 1
+), pk AS (
+  SELECT g, MAX(n) AS nv,
+    list(struct_pack(s := CAST(s AS DOUBLE), gs := CAST(gs AS DOUBLE)) ORDER BY pos) AS z
+  FROM per JOIN gl USING (pos) GROUP BY 1
+), f AS (
+  SELECT g, nv,
+    list_reduce(list_prepend(0.0, list_transform(z, e -> e.s * e.gs)), (a, b) -> a + b) AS dot,
+    list_reduce(list_prepend(0.0, list_transform(z, e -> e.s * e.s)), (a, b) -> a + b) AS aa,
+    list_reduce(list_prepend(0.0, list_transform(z, e -> e.gs * e.gs)), (a, b) -> a + b) AS bb
+  FROM pk
+)
+SELECT g AS source, CAST(nv AS BIGINT) AS n_vecs,
+  CASE WHEN aa > 0 AND bb > 0
+       THEN round(dot / (sqrt(aa) * sqrt(bb)), 8) + 0.0 END AS cos_to_global,
+  round(sqrt(aa) / (CAST(nv AS DOUBLE) * 1048576.0), 6) + 0.0 AS centroid_norm
+FROM f ORDER BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "state_keyed_last": q_state_keyed_last,
@@ -14328,6 +14621,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "brier_decomposition": q_brier_decomposition,
         "kcenter_sample": q_kcenter_sample,
+        # wave 30 (round 12)
+        "mood_median": q_mood_median,
+        "brunner_munzel": q_brunner_munzel,
+        "theil_sen_daily": q_theil_sen_daily,
+        "mase_backtest": q_mase_backtest,
+        "embedding_drift": q_embedding_drift,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -14648,6 +14947,12 @@ def oracle_sql() -> dict[str, str]:
         "kn_bigram_entropy": _oracle_kn_bigram_entropy(),
         "conformal_interval": _oracle_conformal_interval(),
         "doremi_weights": _oracle_doremi_weights(),
+        # wave 30 (round 12)
+        "mood_median": ORACLE_MOOD_MEDIAN,
+        "brunner_munzel": ORACLE_BRUNNER_MUNZEL,
+        "theil_sen_daily": ORACLE_THEIL_SEN_DAILY,
+        "mase_backtest": ORACLE_MASE_BACKTEST,
+        "embedding_drift": ORACLE_EMBEDDING_DRIFT,
         "topk_stream_replay": ORACLE_TOPK_STREAM_REPLAY,
         "tukey_hsd": ORACLE_TUKEY_HSD,
         "cumulative_incidence": ORACLE_CUMULATIVE_INCIDENCE,

@@ -226,6 +226,11 @@ HEADLINE = [
     "repetition_stats",
     "kmeans_refine",
     "kcenter_sample",
+    "mood_median",
+    "brunner_munzel",
+    "theil_sen_daily",
+    "mase_backtest",
+    "embedding_drift",
     "char_entropy",
     "vocab_encode",
     "lm_perplexity",

@@ -8927,3 +8927,436 @@ def cumulative_incidence(
         F.col("_e.cif2").alias("cif2"),
     )
     return out.filter((F.col("d1") + F.col("d2")) > 0)
+
+
+# ---------------------------------------------------------------------------
+# WAVE 30 (round 12) — robust nonparametrics + forecast backtesting.
+# Same exactness discipline as waves 23-29: distinct-value collapses,
+# packed two-phase cumulatives (no unpartitioned window), exact decimal
+# integer moments, doubles only in the final closed form mirrored by
+# the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+def mood_median(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+) -> DataFrame:
+    """Mood's median test across k groups: dichotomize every row at
+    the GRAND lower median (ties at the median count as "≤", the
+    deterministic convention both engines share — no interpolated
+    median, so the cut value is an exact order statistic) and
+    chi-square the resulting 2×k table — the k-sample "are the
+    medians equal" screen that, unlike Kruskal-Wallis, is insensitive
+    to tail shape.
+
+    One distinct-value collapse + ONE packed cumulative finds the
+    median cell (the ``conformal_interval`` order-statistic shape);
+    one grouped aggregate builds the k-bounded 2×k table; χ² folds
+    over the group-sorted packed array (``_capped_packed`` guard) so
+    the double sum has ONE deterministic order on any partitioning.
+    Output: one row (n, k, median, chi2, df)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    base = df.select(
+        g.cast("string").alias("_g"), F.col(value_col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    per_val = base.groupBy("_v").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("_c")
+    )
+    ranked = global_row_number(
+        per_val, "_v", [], rn_col="_rn", cum_value="_c", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
+    )
+    n_tot = ranked.agg(F.max(F.col("_cum").cast("long")).alias("_n"))
+    # lower median rank ⌈n/2⌉ in exact integer arithmetic
+    k_med = F.ceil(F.col("_n").cast("decimal(20,0)") / F.lit(2).cast("decimal(2,0)")).cast(
+        "decimal(20,0)"
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .filter((F.col("_cum") >= k_med) & ((F.col("_cum") - F.col("_c")) < k_med))
+        .select(F.col("_v").alias("_med"))
+    )
+    per_group = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_ng"),
+            F.sum((F.col("_v") > F.col("_med")).cast("long")).alias("_ab"),
+            F.max("_med").alias("_med"),
+        )
+    )
+    packed = per_group.agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_g", "_ng", "_ab"))),
+            "mood_median",
+        ).alias("_z"),
+        F.sum("_ng").alias("_n"),
+        F.sum("_ab").alias("_ma"),
+        F.count(F.lit(1)).cast("long").alias("_k"),
+        F.max("_med").cast("double").alias("_medd"),
+    )
+    n = F.col("_n").cast("double")
+    ma = F.col("_ma").cast("double")  # total above
+    mb = n - ma  # total at-or-below
+    def _cell(o, e):
+        # (O−E)²/E with an explicit multiply — pow(x, 2) is not
+        # guaranteed bit-identical across engines
+        return (o - e) * (o - e) / e
+
+    chi2 = F.aggregate(
+        F.col("_z"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + _cell(s["_ab"].cast("double"), s["_ng"].cast("double") * ma / n)
+        + _cell(
+            (s["_ng"] - s["_ab"]).cast("double"),
+            s["_ng"].cast("double") * mb / n,
+        ),
+    )
+    return _finalize_bounded(
+        packed.select(
+            F.col("_n").alias("n"),
+            F.col("_k").alias("k"),
+            F.col("_medd").alias("median"),
+            F.when((F.col("_ma") > 0) & (F.col("_ma") < F.col("_n")), chi2).alias(
+                "chi2"
+            ),
+            (F.col("_k") - F.lit(1)).cast("long").alias("df"),
+        )
+    )
+
+
+def brunner_munzel(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Brunner-Munzel test between two cohorts: the rank-based
+    "stochastic superiority" test that, unlike Mann-Whitney, stays
+    valid when the two samples have different variances/shapes
+    (the Behrens-Fisher situation).  Reports the common-language
+    effect p̂ = P(X_a < X_b) + ½P(X_a = X_b), the studentized W, and
+    the Satterthwaite df — scipy.stats.brunnermunzel's formulas.
+
+    Same machinery as :func:`mann_whitney_u`: ONE distinct-value
+    collapse carrying both cohort counts, ONE packed two-phase
+    cumulative (c_a·10¹⁵ + c_b — no unpartitioned window) yields the
+    combined AND the within-cohort midranks per cell, and every
+    moment — Σ2R per cohort and the rank-variance terms
+    Σc·d, Σc·d² with d = 2R − 2R^(within) — accumulates as an exact
+    decimal integer (doubled midranks stay integral).  Only the final
+    p̂/W/df are doubles, identical expressions on both engines.
+    Output: one row (n_a, n_b, p_hat, w, df)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col)
+    per_val = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+        )
+    )
+    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
+    packed = per_val.withColumn(
+        "_pk",
+        (
+            F.col("_ca").cast("decimal(20,0)") * shift
+            + F.col("_cb").cast("decimal(20,0)")
+        ).cast("decimal(38,0)"),
+    )
+    ranked = global_row_number(
+        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
+    )
+    cum_b = F.pmod(F.col("_cum"), shift)
+    cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
+    ca = F.col("_ca").cast("decimal(20,0)")
+    cb = F.col("_cb").cast("decimal(20,0)")
+    two = F.lit(2).cast("decimal(2,0)")
+    one = F.lit(1).cast("decimal(2,0)")
+    cumc = (cum_a + cum_b.cast("decimal(38,0)")).cast("decimal(38,0)")
+    # doubled midranks: combined and within-cohort (the within rank of
+    # a cell is only meaningful where that cohort has rows there)
+    r2 = (two * (cumc - (ca + cb)) + (ca + cb) + one).cast("decimal(20,0)")
+    r2a = (two * (cum_a - ca) + ca + one).cast("decimal(20,0)")
+    r2b = (two * (cum_b.cast("decimal(38,0)") - cb) + cb + one).cast("decimal(20,0)")
+    da = (r2 - r2a).cast("decimal(13,0)")  # ≤ 2N: 13 digits at N ≤ 1e12
+    db = (r2 - r2b).cast("decimal(13,0)")
+    ca13 = ca.cast("decimal(13,0)")
+    cb13 = cb.cast("decimal(13,0)")
+    sums = ranked.agg(
+        F.sum("_ca").cast("long").alias("_na"),
+        F.sum("_cb").cast("long").alias("_nb"),
+        F.sum((ca13 * r2.cast("decimal(20,0)")).cast("decimal(38,0)")).alias("_s2ra"),
+        F.sum((cb13 * r2.cast("decimal(20,0)")).cast("decimal(38,0)")).alias("_s2rb"),
+        F.sum((ca13 * da).cast("decimal(38,0)")).alias("_sda"),
+        F.sum((cb13 * db).cast("decimal(38,0)")).alias("_sdb"),
+        F.sum((ca13 * (da * da).cast("decimal(27,0)")).cast("decimal(38,0)")).alias("_sda2"),
+        F.sum((cb13 * (db * db).cast("decimal(27,0)")).cast("decimal(38,0)")).alias("_sdb2"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    rma = F.col("_s2ra").cast("double") / (F.lit(2.0) * na)
+    rmb = F.col("_s2rb").cast("double") / (F.lit(2.0) * nb)
+    # S² of (R − R_within) per cohort from the doubled-rank moments:
+    # Var terms divide by 4 exactly once
+    s2a = (
+        (F.col("_sda2").cast("double") - F.col("_sda").cast("double")
+         * F.col("_sda").cast("double") / na)
+        / (F.lit(4.0) * (na - F.lit(1.0)))
+    )
+    s2b = (
+        (F.col("_sdb2").cast("double") - F.col("_sdb").cast("double")
+         * F.col("_sdb").cast("double") / nb)
+        / (F.lit(4.0) * (nb - F.lit(1.0)))
+    )
+    p_hat = (rmb - (nb + F.lit(1.0)) / F.lit(2.0)) / na
+    pooled = na * s2a + nb * s2b
+    w = F.when(
+        pooled > 0,
+        na * nb * (rmb - rma) / (na + nb) / F.sqrt(pooled),
+    )
+    dof = F.when(
+        pooled > 0,
+        (pooled * pooled)
+        / (
+            (na * s2a) * (na * s2a) / (na - F.lit(1.0))
+            + (nb * s2b) * (nb * s2b) / (nb - F.lit(1.0))
+        ),
+    )
+    return _finalize_bounded(
+        sums.select(
+            F.col("_na").alias("n_a"),
+            F.col("_nb").alias("n_b"),
+            p_hat.alias("p_hat"),
+            w.alias("w"),
+            dof.alias("df"),
+        )
+    )
+
+
+def theil_sen_slope(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+    max_pairs: int = 8_000_000,
+    probe_buckets: int = 1024,
+    refine_cap: int = 65536,
+) -> DataFrame:
+    """Theil-Sen robust trend: the median of all pairwise slopes
+    (y_j − y_i)/(x_j − x_i) over x_j > x_i — the outlier-immune
+    regression slope (breakdown point 29%) for a daily metric where
+    one bad day wrecks OLS.
+
+    The pair space is bounded by contract (``max_pairs`` — the series
+    must be collapsed to one (x, y) cell per key upstream; the point
+    count is known before any pair materializes, so the bound raises
+    in Python with the aggregate-first message).  The median is TWO
+    order statistics (lower/upper, averaged), found by ITERATIVE
+    probe refinement — a distributed log-depth selection: each level
+    range-buckets the surviving slopes into ``probe_buckets`` ranges
+    (one map-combined count job, ≤ ``probe_buckets`` driver rows),
+    the driver keeps only the bucket(s) spanning the two target
+    ranks, and the next level re-buckets inside them.  Heavy-tailed
+    slope ranges (adjacent-day pairs make the linear split put ~all
+    mass in one bucket) just cost another ~1 s level instead of a
+    single-task window over millions of cells (which measured 10+ s).
+    The pair fan-out itself is whole-stage codegen over an in-memory
+    broadcast (~0.7 s/pass) and is deliberately never materialized.
+    Filters compose the exact bucket EXPRESSIONS, so double rounding
+    can never misplace a value across a level; local rank + exact
+    driver offsets reproduce the exact global order statistic.
+    Slopes are IEEE doubles, identical subtract-then-divide on both
+    engines.  Output: one row (n_points, n_pairs, slope)."""
+    from pyspark.sql import Window
+
+    base = series.select(
+        F.col(key_col).cast("long").alias("_x"),
+        F.col(value_col).cast("decimal(18,2)").alias("_y"),
+    ).localCheckpoint(eager=True)
+    n_points = base.count()
+    n_pairs = n_points * (n_points - 1) // 2
+    spark = series.sparkSession
+    if n_pairs > max_pairs:
+        raise ValueError(
+            f"theil_sen_slope: pair space {n_pairs} exceeds "
+            f"max_pairs={max_pairs} — aggregate the series first"
+        )
+    if n_pairs == 0:
+        return spark.createDataFrame(
+            [(n_points, 0, None)], "n_points long, n_pairs long, slope double"
+        )
+    right = base.select(F.col("_x").alias("_x2"), F.col("_y").alias("_y2"))
+    # the collapsed series is tiny, so AQE leaves it on ONE partition —
+    # but the pair fan-out multiplies it by n/2; spread the LEFT side
+    # first so every O(n²) pass runs scan-parallel
+    # x2 > x rides the JOIN CONDITION, and the division is try_divide:
+    # downstream probe filters on _s get pushed into the join's
+    # conjuncts, whose evaluation ORDER is arbitrary — under ANSI mode
+    # a plain `/` evaluated on an x2 == x pair is a division-by-zero
+    # error even though the pair is about to be dropped.  try_divide
+    # is value-identical on every surviving row (x2 > x ⇒ nonzero
+    # divisor ⇒ the same IEEE division).
+    slopes = base.repartition(F.col("_x")).join(
+        F.broadcast(right), on=F.col("_x2") > F.col("_x"), how="inner"
+    ).select(
+        F.try_divide(
+            (F.col("_y2") - F.col("_y")).cast("double"),
+            (F.col("_x2") - F.col("_x")).cast("double"),
+        ).alias("_s")
+    )
+    stats = slopes.agg(F.min("_s").alias("_mn"), F.max("_s").alias("_mx")).collect()[0]
+    lo_v, hi_v = float(stats["_mn"]), float(stats["_mx"])
+    odd = n_pairs % 2
+    lo_t = (n_pairs + odd) // 2
+    hi_t = (n_pairs - odd) // 2 + 1
+    p = int(probe_buckets)
+    cur = slopes
+    base_off = 0  # pairs with slope ordered before cur's range
+    for _ in range(12):
+        span = hi_v - lo_v
+        if not span > 0:
+            break
+        pb_expr = F.least(
+            F.lit(p - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("_s") - F.lit(lo_v)) / F.lit(span) * F.lit(p)).cast(
+                    "int"
+                ),
+            ),
+        )
+        pc = {
+            int(r["_pb"]): int(r["_c"])
+            for r in cur.select(pb_expr.alias("_pb"))
+            .groupBy("_pb")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        }
+        offs: dict = {}
+        acc = base_off
+        for b in range(p):
+            offs[b] = acc
+            acc += pc.get(b, 0)
+
+        def _bucket_of(t):
+            for b in sorted(pc):
+                if offs[b] < t <= offs[b] + pc[b]:
+                    return b
+            raise AssertionError("rank outside probed range")
+
+        b_lo, b_hi = _bucket_of(lo_t), _bucket_of(hi_t)
+        kept = [b for b in range(b_lo, b_hi + 1) if b in pc]
+        n_kept = sum(pc[b] for b in kept)
+        cur = cur.filter(pb_expr.isin(kept))
+        base_off = offs[b_lo]
+        # arithmetic bounds of the kept buckets (only feed the NEXT
+        # level's monotone bucketing — the clamp absorbs edge rounding)
+        lo_v, hi_v = lo_v + b_lo * span / p, lo_v + (b_hi + 1) * span / p
+        if n_kept <= int(refine_cap):
+            break
+    cells = cur.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    w = Window.partitionBy(F.lit(1)).orderBy("_s")
+    ecdf = cells.select(
+        "_s",
+        (F.lit(base_off) + F.sum("_c").over(w)).alias("_r_hi"),
+        F.col("_c"),
+    ).select("_s", (F.col("_r_hi") - F.col("_c") + 1).alias("_r_lo"), "_r_hi")
+    hits = ecdf.filter(
+        ((F.lit(lo_t) >= F.col("_r_lo")) & (F.lit(lo_t) <= F.col("_r_hi")))
+        | ((F.lit(hi_t) >= F.col("_r_lo")) & (F.lit(hi_t) <= F.col("_r_hi")))
+    ).collect()  # bounded: at most the two boundary cells
+    v_lo = next(float(r["_s"]) for r in hits if r["_r_lo"] <= lo_t <= r["_r_hi"])
+    v_hi = next(float(r["_s"]) for r in hits if r["_r_lo"] <= hi_t <= r["_r_hi"])
+    return spark.createDataFrame(
+        [(n_points, n_pairs, (v_lo + v_hi) / 2.0)],
+        "n_points long, n_pairs long, slope double",
+    )
+
+
+def mase_backtest(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+    season: int = 7,
+    horizon: int = 14,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest on an ordered series: hold out
+    the last ``horizon`` points, forecast each as the last in-train
+    value one whole season back (ŷ_{T+h} = y_{T+h−m·⌈h/m⌉}), and
+    report MASE (mean |error| over the holdout divided by the
+    in-train mean |seasonal difference| — Hyndman's scale-free
+    yardstick; < 1 beats the naive forecaster) and sMAPE.
+
+    The series collapses to one cell per key upstream; the fold runs
+    over the key-sorted packed array (``_capped_packed`` guard — the
+    ``jarque_bera`` single-row precedent), so every double
+    accumulates in ONE pinned order and element_at indexing replaces
+    any self-join.  Output: one row (n, train_n, horizon, mase,
+    smape)."""
+    m, h = int(season), int(horizon)
+    if m < 1 or h < 1:
+        raise ValueError(f"mase_backtest: season/horizon must be >= 1 (got {m}/{h})")
+    base = series.select(
+        F.col(key_col).cast("long").alias("_k"),
+        F.col(value_col).cast("double").alias("_y"),
+    )
+    packed = base.agg(
+        _capped_packed(
+            F.array_sort(F.collect_list(F.struct("_k", "_y"))), "mase_backtest"
+        ).alias("_z")
+    )
+    ys = F.transform(F.col("_z"), lambda s: s["_y"])
+    n = F.size(ys)
+    train_n = n - F.lit(h)
+    # in-train seasonal-difference scale: Σ_{t=m+1..train_n} |y_t − y_{t−m}|
+    scale_sum = F.aggregate(
+        F.sequence(F.lit(m + 1), train_n),
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.abs(F.element_at(ys, t) - F.element_at(ys, t - F.lit(m))),
+    )
+    scale = scale_sum / (train_n - F.lit(m)).cast("double")
+    # holdout errors: ŷ_{train_n+j} = y at train_n + j − m·⌈j/m⌉
+    fc_idx = lambda j: train_n + j - F.lit(m) * F.ceil(j.cast("double") / F.lit(float(m))).cast("int")  # noqa: E731
+    err = F.aggregate(
+        F.sequence(F.lit(1), F.lit(h)),
+        F.struct(F.lit(0.0).alias("ae"), F.lit(0.0).alias("sm")),
+        lambda acc, j: F.struct(
+            (
+                acc["ae"]
+                + F.abs(
+                    F.element_at(ys, train_n + j) - F.element_at(ys, fc_idx(j))
+                )
+            ).alias("ae"),
+            (
+                acc["sm"]
+                + F.lit(2.0)
+                * F.abs(F.element_at(ys, train_n + j) - F.element_at(ys, fc_idx(j)))
+                / (
+                    F.abs(F.element_at(ys, train_n + j))
+                    + F.abs(F.element_at(ys, fc_idx(j)))
+                )
+            ).alias("sm"),
+        ),
+    )
+    return _finalize_bounded(
+        packed.select(
+            n.cast("long").alias("n"),
+            train_n.cast("long").alias("train_n"),
+            F.lit(h).cast("long").alias("horizon"),
+            F.when(
+                (train_n > F.lit(m)) & (scale > 0), err["ae"] / F.lit(float(h)) / scale
+            ).alias("mase"),
+            (err["sm"] / F.lit(float(h))).alias("smape"),
+        )
+    )

@@ -1314,3 +1314,86 @@ def cluster_quality(
         (F.col("_sc").cast("double") / F.col("n").cast("double")).alias("cohesion"),
         "separation",
     )
+
+
+def embedding_drift(
+    emb: DataFrame,
+    labels: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_id_col: str = "doc_id",
+    group_col: str = "source",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Per-group embedding-centroid drift: each group's centroid, its
+    cosine to the GLOBAL centroid, and the centroid L2 norm — the
+    "did one crawl's embedding distribution wander off" gate a
+    mixture pipeline runs before trusting per-source similarity
+    thresholds (a drifted source makes one global threshold wrong).
+
+    Exactness at scale (the ``embedding_standardize`` /
+    ``pca_moment_sums`` contract): per-dimension sums accumulate as
+    fixed-point integers Σ⌊x·2²⁰⌋ via ONE posexplode →
+    map-side-combined groupBy(group, pos) — partitioning-invariant
+    and engine-reproducible; the global sums are the per-group sums
+    re-aggregated (exact integer addition), never a second scan.  The
+    cosine/norm fold runs over the pos-sorted packed array per group
+    (bounded: groups × dim cells), so every double accumulates in one
+    pinned order.  Output per group: (group, n_vecs, cos_to_global,
+    centroid_norm)."""
+    flat = (
+        emb.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+        .join(
+            labels.select(
+                F.col(label_id_col).alias("_id"), F.col(group_col).alias("_g")
+            ),
+            "_id",
+        )
+        .select("_g", F.posexplode("_v").alias("_pos", "_x"))
+    )
+    q = F.floor(F.col("_x") * F.lit(float(scale))).cast("long")
+    per = flat.groupBy("_g", "_pos").agg(
+        F.sum(q).cast("decimal(38,0)").alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    # global per-dimension sums: exact re-aggregation of the group sums
+    glob = per.groupBy("_pos").agg(
+        F.sum("_s").alias("_gs"), F.sum("_n").alias("_gn")
+    )
+    joined = per.join(glob, "_pos").select(
+        "_g", "_pos", "_s", "_n", "_gs", "_gn"
+    )
+    packed = joined.groupBy("_g").agg(
+        F.array_sort(
+            F.collect_list(F.struct("_pos", "_s", "_gs"))
+        ).alias("_z"),
+        F.max(F.col("_n")).cast("long").alias("n_vecs"),
+        F.max(F.col("_gn")).cast("long").alias("_ngl"),
+    )
+    # centroid_g[j] = s_j/(n·scale); global centroid likewise.  The
+    # scale and 1/n factors cancel inside the cosine, so the fold works
+    # on the raw integer sums normalized only at the end.
+    acc0 = F.struct(
+        F.lit(0.0).alias("dot"), F.lit(0.0).alias("aa"), F.lit(0.0).alias("bb")
+    )
+    folded = F.aggregate(
+        F.col("_z"),
+        acc0,
+        lambda acc, s: F.struct(
+            (acc["dot"] + s["_s"].cast("double") * s["_gs"].cast("double")).alias("dot"),
+            (acc["aa"] + s["_s"].cast("double") * s["_s"].cast("double")).alias("aa"),
+            (acc["bb"] + s["_gs"].cast("double") * s["_gs"].cast("double")).alias("bb"),
+        ),
+    )
+    return packed.select(
+        F.col("_g").alias(group_col),
+        "n_vecs",
+        F.when(
+            (folded["aa"] > 0) & (folded["bb"] > 0),
+            folded["dot"] / (F.sqrt(folded["aa"]) * F.sqrt(folded["bb"])),
+        ).alias("cos_to_global"),
+        (
+            F.sqrt(folded["aa"])
+            / (F.col("n_vecs").cast("double") * F.lit(float(scale)))
+        ).alias("centroid_norm"),
+    )

@@ -56,8 +56,32 @@ HEAVY_GEN = [
     "rmst",
 ]
 
+# round-12 extension (VERDICT r11 ask #5): streaming state size and
+# graph degree distributions are exactly what replication flatters —
+# the eight Structured-Streaming replay gates run against 10x events
+# with a FRESH 10x user keyspace (state-store key growth is real, not
+# cloned), and the shared-shingle similarity-graph family runs against
+# the generated documents (fresh shingle keyspace -> fresh edges).
+STREAM_GEN = [
+    "state_stream_replay",
+    "window_stream_replay",
+    "dedup_stream_replay",
+    "join_stream_replay",
+    "session_stream_replay",
+    "enrich_stream_replay",
+    "argmax_stream_replay",
+    "topk_stream_replay",
+]
+
+GRAPH_GEN = [
+    "kcore",
+    "hits_scores",
+    "clustering_coeff",
+    "assortativity",
+]
+
 COPY_TABLES = [
-    "region", "nation", "customer", "supplier", "part", "events",
+    "region", "nation", "customer", "supplier", "part",
     "embeddings",
 ]
 
@@ -92,15 +116,42 @@ def build(spark) -> None:
     n_src = base_docs.select("source").distinct().count()
     v_arr = F.array(*[F.lit(w) for w in vocab])
     docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    # REAL duplicate structure that GROWS with the corpus (round 12 —
+    # fully-random docs share almost no shingles, which starves the
+    # similarity graph/self-join family of the very stress this
+    # harness exists to apply): 20% of docs are near-clones of a
+    # template pool sized n_docs/50 (fresh templates at every scale,
+    # so cluster COUNT grows 10x while cluster sizes stay ~10), each
+    # clone mutating ~5% of its template's tokens.  The remaining 80%
+    # stay fresh random sequences (shingle keyspace still grows).
+    n_tpl = max(1, n_docs // 50)
+    is_dup = _h(F.col("doc_id"), F.lit("dup")) % 5 == 0
+    tpl = (_h(F.col("doc_id"), F.lit("tplpick")) % n_tpl).cast("long")
     n_toks = (_h(F.col("doc_id"), F.lit("len")) % 91 + 10).cast("int")  # 10..100
-    text = F.concat_ws(
-        " ",
-        F.transform(
-            F.sequence(F.lit(1), n_toks),
-            lambda j: F.element_at(
-                v_arr, (_h(F.col("doc_id"), j) % len(vocab) + 1).cast("int")
+    n_toks_tpl = (_h(tpl, F.lit("tlen")) % 91 + 10).cast("int")
+    rand_tok = lambda key, j: F.element_at(  # noqa: E731
+        v_arr, (_h(key, j) % len(vocab) + 1).cast("int")
+    )
+    tpl_tok = lambda j: F.element_at(  # noqa: E731
+        v_arr, (_h(F.lit("tpl"), tpl, j) % len(vocab) + 1).cast("int")
+    )
+    text = F.when(
+        is_dup,
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), n_toks_tpl),
+                lambda j: F.when(
+                    _h(F.col("doc_id"), j, F.lit("mut")) % 20 == 0,
+                    rand_tok(F.col("doc_id"), j),
+                ).otherwise(tpl_tok(j)),
             ),
         ),
+    ).otherwise(
+        F.concat_ws(
+            " ",
+            F.transform(F.sequence(F.lit(1), n_toks), lambda j: rand_tok(F.col("doc_id"), j)),
+        )
     )
     docs = docs.select(
         "doc_id",
@@ -114,6 +165,51 @@ def build(spark) -> None:
         ),
     ).withColumn("n_chars", F.length("text"))
     docs.repartition(32).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
+
+    # ---- events: fresh user keyspace, same time window ----------------
+    # 10x rows AND 10x distinct users (the state-store key count the
+    # streaming gates' GroupState/window state scales with), fresh
+    # event ids, timestamps spread over the same one-month window in
+    # near-monotone order (base data is time-ordered with jitter; the
+    # replay harnesses re-bucket by ts themselves)
+    base_ev = spark.read.parquet(f"{BASE}/events.parquet")
+    n_ev = base_ev.count() * FACTOR
+    n_users = 1500 * FACTOR
+    ev_types = F.array(*[
+        F.lit(t) for t in ("click", "error", "purchase", "signup", "view")
+    ])
+    month_us = 30 * 24 * 3600 * 1_000_000
+    step_us = month_us // n_ev
+    ts_us = (
+        F.col("id") * F.lit(step_us)
+        + (_h(F.col("id"), F.lit("jit")) % F.lit(step_us * 3)).cast("long")
+    )
+    events = spark.range(n_ev).select(
+        F.col("id").alias("event_id"),
+        (_h(F.col("id"), F.lit("user")) % n_users).alias("user_id"),
+        F.element_at(
+            ev_types, (_h(F.col("id"), F.lit("et")) % 5 + 1).cast("int")
+        ).alias("event_type"),
+        F.round(
+            (_h(F.col("id"), F.lit("val")) % 56021).cast("double") / 100.0, 2
+        ).alias("value"),
+        F.concat(
+            F.lit('{"k": '),
+            (_h(F.col("id"), F.lit("pk")) % 100).cast("string"),
+            F.lit("}"),
+        ).alias("props"),
+        ts_us.alias("_ts_us"),
+    ).select(
+        "event_id",
+        F.timestamp_micros(
+            (
+                F.col("_ts_us")
+                + F.lit(1704067200000000)  # 2024-01-01T00:00:00Z in micros
+            ).cast("long")
+        ).cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    events.coalesce(8).write.mode("overwrite").parquet(f"{OUT}/events.parquet")
 
     # ---- orders / lineitem: fresh keys, prices, dates ----------------
     n_orders = spark.read.parquet(f"{BASE}/orders.parquet").count() * FACTOR
@@ -186,15 +282,16 @@ def build(spark) -> None:
     li.repartition(32).write.mode("overwrite").parquet(f"{OUT}/lineitem.parquet")
 
 
-def measure(spark) -> dict:
+def measure(spark, names=None) -> dict:
     import __spark_entry__ as entry
 
+    names = names if names is not None else HEAVY_GEN
     qs = entry.queries()
     out: dict[str, dict[str, float]] = {}
     for label, d in (("sf0.1", BASE), (f"gen{FACTOR}x", OUT)):
         row: dict[str, float] = {}
         for timed in (False, True):
-            for name in HEAVY_GEN:
+            for name in names:
                 t0 = time.time()
                 qs[name](spark, d).write.format("noop").mode("overwrite").save()
                 if timed:
@@ -211,13 +308,18 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     if "--rebuild" in sys.argv and os.path.isdir(OUT):
         shutil.rmtree(OUT)
-    if not os.path.exists(os.path.join(OUT, "lineitem.parquet")):
+    if not os.path.exists(os.path.join(OUT, "lineitem.parquet")) or not os.path.exists(
+        os.path.join(OUT, "events.parquet")
+    ):
         print(f"building generated {FACTOR}x corpus at {OUT} ...")
         t0 = time.time()
         build(spark)
         print(f"built in {time.time() - t0:.1f}s")
-    res = measure(spark)
-    base, gen = res["sf0.1"], res[f"gen{FACTOR}x"]
+    families = [("batch self-join / rank / survival", HEAVY_GEN)]
+    if "--streaming" in sys.argv or "--all" in sys.argv:
+        families.append(("streaming replay gates", STREAM_GEN))
+    if "--graph" in sys.argv or "--all" in sys.argv:
+        families.append(("similarity-graph family", GRAPH_GEN))
     lines = [
         "",
         f"## Generated {FACTOR}× (fresh keyspace — tools/gen_scale.py)",
@@ -225,23 +327,52 @@ def main() -> int:
         "Unlike the replication harness above, this corpus is GENERATED:",
         f"{FACTOR}× documents are new random token sequences over the same",
         f"vocabulary (fingerprint/shingle keyspaces grow), {FACTOR}× orders/",
-        "lineitem carry fresh keys/prices/dates. Ratios ≈ linear (≤ "
-        f"{FACTOR}×) confirm the self-join family holds without the",
+        f"lineitem carry fresh keys/prices/dates, and {FACTOR}× events carry",
+        "a fresh 10× user keyspace (15 000 users — streaming state-store",
+        "keys and graph degrees GROW instead of repeating). Ratios ≈",
+        f"linear (≤ {FACTOR}×) confirm the designs hold without the",
         "replication caveat.",
         "",
-        "| query | sf0.1 s | gen10x s | ratio |",
-        "|---|---|---|---|",
     ]
-    for name in HEAVY_GEN:
-        r = gen[name] / base[name] if base[name] > 0 else float("nan")
-        lines.append(f"| {name} | {base[name]:.2f} | {gen[name]:.2f} | {r:.1f}× |")
+    for title, names in families:
+        res = measure(spark, names)
+        base, gen = res["sf0.1"], res[f"gen{FACTOR}x"]
+        lines += [
+            f"### {title}",
+            "",
+            "| query | sf0.1 s | gen10x s | ratio |",
+            "|---|---|---|---|",
+        ]
+        for name in names:
+            r = gen[name] / base[name] if base[name] > 0 else float("nan")
+            lines.append(
+                f"| {name} | {base[name]:.2f} | {gen[name]:.2f} | {r:.1f}× |"
+            )
+        lines.append("")
+        if names is GRAPH_GEN:
+            # degree context: the graph queries all consume the shared
+            # 12-gram similarity edges — report the edge volumes so a
+            # sub/super-linear runtime ratio is attributable
+            import __spark_entry__ as entry
+
+            e_base = entry._snp_edges(spark, BASE).count()
+            e_gen = entry._snp_edges(spark, OUT).count()
+            lines += [
+                f"Similarity-graph edge volumes: sf0.1 = {e_base:,} edges, "
+                f"gen{FACTOR}x = {e_gen:,} edges "
+                f"({e_gen / max(1, e_base):.1f}× — template-clone clusters "
+                "grow in COUNT with the corpus, ~constant cluster size).",
+                "",
+            ]
     lines += [
-        "",
         "The survival trio can run FASTER at 10×: its cost is",
         "step-table-bound (the 6M-row collapse is the memoized shared",
         "checkpoint), and the generated duration domain is ≤121 distinct",
         "values (shipdate = orderdate + 1..120 days by construction).",
         "`doc_fingerprints` is flat by design (bounded doc_id<100 probe).",
+        "Streaming replays pay a per-micro-batch floor (6-file triggered",
+        "replay), so their ratios read as marginal state+volume cost, not",
+        "pure throughput; sub-linear there means bounded state held.",
     ]
     report = "\n".join(lines) + "\n"
     print(report)
