@@ -14304,6 +14304,93 @@ FROM f ORDER BY source
 """
 
 
+
+def q_quantiles_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-1 quantiles of l_extendedprice at 5 probabilities via
+    the probe_order_stats log-depth selection — never a full sort or a
+    distinct-value-wide cumulative."""
+    from csp_gateway_spark.operators.analytics import quantiles_probe
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = quantiles_probe(li, "l_extendedprice")
+    return out.select(
+        "prob",
+        "rank",
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+    )
+
+
+ORACLE_QUANTILES_PROBE = """
+WITH pv AS (
+  SELECT l_extendedprice AS v, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1
+), rk AS (
+  SELECT v, c,
+    SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pv
+), nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM pv),
+t(p) AS (VALUES (0.01), (0.25), (0.5), (0.75), (0.99)),
+tk AS (SELECT p, GREATEST(1, CAST(CEIL(p * n) AS BIGINT)) AS k FROM t, nt)
+SELECT CAST(p AS DOUBLE) AS prob, k AS rank,
+  round(CAST(v AS DOUBLE), 6) + 0.0 AS value
+FROM tk JOIN rk ON cum >= k AND cum - c < k
+"""
+
+
+_IQR_K = 1.5
+
+
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier report on l_extendedprice — exact q1/q3
+    from the shared selection engine, one scan-only fence count."""
+    from csp_gateway_spark.operators.analytics import iqr_outliers
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = iqr_outliers(li, "l_extendedprice", k=_IQR_K)
+    return out.select(
+        "n",
+        (F.round("q1", 6) + F.lit(0.0)).alias("q1"),
+        (F.round("q3", 6) + F.lit(0.0)).alias("q3"),
+        (F.round("lo_fence", 6) + F.lit(0.0)).alias("lo_fence"),
+        (F.round("hi_fence", 6) + F.lit(0.0)).alias("hi_fence"),
+        "n_low",
+        "n_high",
+        (F.round("outlier_share", 8) + F.lit(0.0)).alias("outlier_share"),
+    )
+
+
+ORACLE_IQR_OUTLIERS = f"""
+WITH pv AS (
+  SELECT l_extendedprice AS v, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1
+), rk AS (
+  SELECT v, c,
+    SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pv
+), nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM pv),
+kk AS (
+  SELECT GREATEST(1, CAST(CEIL(0.25 * n) AS BIGINT)) AS k1,
+         GREATEST(1, CAST(CEIL(0.75 * n) AS BIGINT)) AS k3, n
+  FROM nt
+), q1r AS (SELECT CAST(v AS DOUBLE) AS q1 FROM rk, kk WHERE cum >= k1 AND cum - c < k1),
+q3r AS (SELECT CAST(v AS DOUBLE) AS q3 FROM rk, kk WHERE cum >= k3 AND cum - c < k3),
+f AS (
+  SELECT n, q1, q3,
+         q1 - {_IQR_K} * (q3 - q1) AS lo_f,
+         q3 + {_IQR_K} * (q3 - q1) AS hi_f
+  FROM kk, q1r, q3r
+), cnt AS (
+  SELECT
+    CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) < lo_f THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+    CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) > hi_f THEN 1 ELSE 0 END) AS BIGINT) AS nh
+  FROM lineitem, f
+)
+SELECT n, round(q1, 6) + 0.0 AS q1, round(q3, 6) + 0.0 AS q3,
+  round(lo_f, 6) + 0.0 AS lo_fence, round(hi_f, 6) + 0.0 AS hi_fence,
+  nl AS n_low, nh AS n_high,
+  round(CAST(nl + nh AS DOUBLE) / CAST(n AS DOUBLE), 8) + 0.0 AS outlier_share
+FROM f, cnt
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "state_keyed_last": q_state_keyed_last,
@@ -14627,6 +14714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_daily": q_theil_sen_daily,
         "mase_backtest": q_mase_backtest,
         "embedding_drift": q_embedding_drift,
+        "quantiles_probe": q_quantiles_probe,
+        "iqr_outliers": q_iqr_outliers,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -14953,6 +15042,8 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen_daily": ORACLE_THEIL_SEN_DAILY,
         "mase_backtest": ORACLE_MASE_BACKTEST,
         "embedding_drift": ORACLE_EMBEDDING_DRIFT,
+        "quantiles_probe": ORACLE_QUANTILES_PROBE,
+        "iqr_outliers": ORACLE_IQR_OUTLIERS,
         "topk_stream_replay": ORACLE_TOPK_STREAM_REPLAY,
         "tukey_hsd": ORACLE_TUKEY_HSD,
         "cumulative_incidence": ORACLE_CUMULATIVE_INCIDENCE,

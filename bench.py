@@ -231,6 +231,8 @@ HEADLINE = [
     "theil_sen_daily",
     "mase_backtest",
     "embedding_drift",
+    "quantiles_probe",
+    "iqr_outliers",
     "char_entropy",
     "vocab_encode",
     "lm_perplexity",

@@ -9214,72 +9214,259 @@ def theil_sen_slope(
             (F.col("_x2") - F.col("_x")).cast("double"),
         ).alias("_s")
     )
-    stats = slopes.agg(F.min("_s").alias("_mn"), F.max("_s").alias("_mx")).collect()[0]
-    lo_v, hi_v = float(stats["_mn"]), float(stats["_mx"])
-    odd = n_pairs % 2
-    lo_t = (n_pairs + odd) // 2
-    hi_t = (n_pairs - odd) // 2 + 1
+    got = probe_order_stats(
+        slopes, "_s",
+        {"lo": (n_pairs + n_pairs % 2) // 2, "hi": (n_pairs - n_pairs % 2) // 2 + 1},
+        probe_buckets=probe_buckets, refine_cap=refine_cap,
+    )
+    return spark.createDataFrame(
+        [(n_points, n_pairs, (got["lo"] + got["hi"]) / 2.0)],
+        "n_points long, n_pairs long, slope double",
+    )
+
+
+def probe_order_stats(
+    values: DataFrame,
+    col: str,
+    ranks: dict,
+    probe_buckets: int = 1024,
+    refine_cap: int = 65536,
+    max_levels: int = 12,
+) -> dict:
+    """EXACT order statistics at known global ranks without ranking
+    the frame — a distributed log-depth selection (the shared engine
+    under :func:`theil_sen_slope`, :func:`quantiles_probe` and
+    :func:`iqr_outliers`).
+
+    ``ranks`` maps name → 1-based global rank over ``values[col]``
+    ascending (the caller knows the total, e.g. from a count).  Each
+    level runs ONE map-combined job: every still-unresolved region
+    range-buckets its rows into ``probe_buckets`` linear sub-ranges
+    (a single chained-CASE projection tags (region, bucket), so k
+    simultaneous quantiles still cost one pass), the driver keeps
+    only the buckets containing target ranks, and regions at or below
+    ``refine_cap`` rows stop refining.  The final pass groups the
+    surviving regions' cells and reads the boundary values under a
+    REGION-partitioned window with exact driver offsets — no
+    unpartitioned window, no full-frame sort, and heavy-tailed value
+    ranges (where a linear split puts ~all mass in one bucket) just
+    cost another ~1 job instead of a single-task cumulative.  Region
+    membership composes the exact bucket EXPRESSIONS, so double
+    rounding can never misplace a value across levels.  Driver state
+    is bounded: ≤ probe_buckets·regions count rows per level,
+    ≤ len(ranks) result rows.  Returns name → float value."""
+    from pyspark.sql import Window
+
+    stats = values.agg(
+        F.min(col).alias("_mn"), F.max(col).alias("_mx")
+    ).collect()[0]
+    if stats["_mn"] is None:
+        raise ValueError("probe_order_stats: empty input")
     p = int(probe_buckets)
-    cur = slopes
-    base_off = 0  # pairs with slope ordered before cur's range
-    for _ in range(12):
-        span = hi_v - lo_v
-        if not span > 0:
+    # region: (filter_expr|None, lo_v, hi_v, base_off, {name: rank}, n_rows|None)
+    regions = [
+        (None, float(stats["_mn"]), float(stats["_mx"]), 0, dict(ranks), None)
+    ]
+    final_regions = []
+    for _ in range(max_levels):
+        live = []
+        for r in regions:
+            # NOTE: membership tests would invoke Column.__eq__ on the
+            # filter expression — partition explicitly instead
+            if (r[5] is None or r[5] > int(refine_cap)) and r[2] > r[1]:
+                live.append(r)
+            else:
+                final_regions.append(r)
+        if not live:
+            regions = []
             break
-        pb_expr = F.least(
-            F.lit(p - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor((F.col("_s") - F.lit(lo_v)) / F.lit(span) * F.lit(p)).cast(
-                    "int"
+        tag = None
+        bexprs = []
+        for i, (filt, lo_v, hi_v, _off, _rks, _n) in enumerate(live):
+            span = hi_v - lo_v
+            bexpr = F.least(
+                F.lit(p - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(col) - F.lit(lo_v)) / F.lit(span) * F.lit(p)
+                    ).cast("int"),
                 ),
-            ),
-        )
-        pc = {
-            int(r["_pb"]): int(r["_c"])
-            for r in cur.select(pb_expr.alias("_pb"))
-            .groupBy("_pb")
+            )
+            bexprs.append(bexpr)
+            t = F.struct(F.lit(i).alias("_ri"), bexpr.alias("_pb"))
+            cond = filt if filt is not None else F.lit(True)
+            tag = F.when(cond, t) if tag is None else tag.when(cond, t)
+        counts = (
+            values.select(tag.alias("_t"))
+            .filter(F.col("_t").isNotNull())
+            .groupBy(F.col("_t._ri").alias("_ri"), F.col("_t._pb").alias("_pb"))
             .agg(F.count(F.lit(1)).alias("_c"))
             .collect()
-        }
-        offs: dict = {}
-        acc = base_off
-        for b in range(p):
-            offs[b] = acc
-            acc += pc.get(b, 0)
-
-        def _bucket_of(t):
-            for b in sorted(pc):
-                if offs[b] < t <= offs[b] + pc[b]:
-                    return b
-            raise AssertionError("rank outside probed range")
-
-        b_lo, b_hi = _bucket_of(lo_t), _bucket_of(hi_t)
-        kept = [b for b in range(b_lo, b_hi + 1) if b in pc]
-        n_kept = sum(pc[b] for b in kept)
-        cur = cur.filter(pb_expr.isin(kept))
-        base_off = offs[b_lo]
-        # arithmetic bounds of the kept buckets (only feed the NEXT
-        # level's monotone bucketing — the clamp absorbs edge rounding)
-        lo_v, hi_v = lo_v + b_lo * span / p, lo_v + (b_hi + 1) * span / p
-        if n_kept <= int(refine_cap):
-            break
-    cells = cur.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("_c"))
-    w = Window.partitionBy(F.lit(1)).orderBy("_s")
+        )
+        pc: dict = {}
+        for r in counts:
+            pc.setdefault(int(r["_ri"]), {})[int(r["_pb"])] = int(r["_c"])
+        regions = []
+        for i, (filt, lo_v, hi_v, base_off, rks, _n) in enumerate(live):
+            span = hi_v - lo_v
+            buckets = pc.get(i, {})
+            offs: dict = {}
+            acc = base_off
+            for b in range(p):
+                offs[b] = acc
+                acc += buckets.get(b, 0)
+            by_bucket: dict = {}
+            for name, t in rks.items():
+                for b in sorted(buckets):
+                    if offs[b] < t <= offs[b] + buckets[b]:
+                        by_bucket.setdefault(b, {})[name] = t
+                        break
+                else:
+                    raise AssertionError("rank outside probed region")
+            for b, sub in by_bucket.items():
+                sub_filt = bexprs[i] == F.lit(b)
+                if filt is not None:
+                    sub_filt = filt & sub_filt
+                regions.append(
+                    (
+                        sub_filt,
+                        lo_v + b * span / p,
+                        lo_v + (b + 1) * span / p,
+                        offs[b],
+                        sub,
+                        buckets[b],
+                    )
+                )
+    final_regions.extend(regions)
+    # resolution pass: group each final region's cells, cumulate under
+    # a REGION-partitioned window, read off the boundary values
+    tag = None
+    for i, (filt, _lo, _hi, _off, _rks, _n) in enumerate(final_regions):
+        cond = filt if filt is not None else F.lit(True)
+        tag = F.when(cond, F.lit(i)) if tag is None else tag.when(cond, F.lit(i))
+    cells = (
+        values.select(tag.alias("_ri"), F.col(col).alias("_v"))
+        .filter(F.col("_ri").isNotNull())
+        .groupBy("_ri", "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    off_map = F.create_map(
+        *[
+            x
+            for i, r in enumerate(final_regions)
+            for x in (F.lit(i), F.lit(r[3]))
+        ]
+    )
+    w = Window.partitionBy("_ri").orderBy("_v")
     ecdf = cells.select(
-        "_s",
-        (F.lit(base_off) + F.sum("_c").over(w)).alias("_r_hi"),
+        "_ri",
+        "_v",
+        (off_map[F.col("_ri")] + F.sum("_c").over(w)).alias("_r_hi"),
         F.col("_c"),
-    ).select("_s", (F.col("_r_hi") - F.col("_c") + 1).alias("_r_lo"), "_r_hi")
-    hits = ecdf.filter(
-        ((F.lit(lo_t) >= F.col("_r_lo")) & (F.lit(lo_t) <= F.col("_r_hi")))
-        | ((F.lit(hi_t) >= F.col("_r_lo")) & (F.lit(hi_t) <= F.col("_r_hi")))
-    ).collect()  # bounded: at most the two boundary cells
-    v_lo = next(float(r["_s"]) for r in hits if r["_r_lo"] <= lo_t <= r["_r_hi"])
-    v_hi = next(float(r["_s"]) for r in hits if r["_r_lo"] <= hi_t <= r["_r_hi"])
+    ).select("_ri", "_v", (F.col("_r_hi") - F.col("_c") + 1).alias("_r_lo"), "_r_hi")
+    wanted = [
+        (i, name, t)
+        for i, r in enumerate(final_regions)
+        for name, t in r[4].items()
+    ]
+    cond = None
+    for i, _name, t in wanted:
+        c = (
+            (F.col("_ri") == i)
+            & (F.lit(t) >= F.col("_r_lo"))
+            & (F.lit(t) <= F.col("_r_hi"))
+        )
+        cond = c if cond is None else cond | c
+    hits = ecdf.filter(cond).collect()  # bounded: ≤ len(ranks) cells
+    out = {}
+    for i, name, t in wanted:
+        out[name] = next(
+            float(h["_v"])
+            for h in hits
+            if int(h["_ri"]) == i and h["_r_lo"] <= t <= h["_r_hi"]
+        )
+    return out
+
+
+def quantiles_probe(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float] = (0.01, 0.25, 0.5, 0.75, 0.99),
+    probe_buckets: int = 1024,
+    refine_cap: int = 65536,
+) -> DataFrame:
+    """EXACT (type-1, lower order statistic — no interpolation)
+    quantiles of a column at the given probabilities, computed by the
+    :func:`probe_order_stats` log-depth selection: ~2-3 map-combined
+    probe jobs for ALL requested quantiles together, never a full
+    sort, never an unpartitioned cumulative over the distinct values
+    (the profiling-report shape ``approx_percentile`` can't give you
+    exactly and a global rank pays millions-of-cells windows for).
+    Rank k_p = max(1, ⌈p·n⌉) in exact rational arithmetic
+    (Fraction(str(p)) — a binary-float p·n would land ε above exact
+    integers and shift k by one).  Output per prob: (prob, rank,
+    value)."""
+    from fractions import Fraction
+
+    base = df.select(F.col(value_col).alias("_v")).filter(F.col("_v").isNotNull())
+    n = base.count()
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "prob double, rank long, value double")
+    ranks = {}
+    for prob in probs:
+        fr = Fraction(str(prob)) * n
+        k = max(1, -(-fr.numerator // fr.denominator))  # exact ceil
+        ranks[str(prob)] = k
+    got = probe_order_stats(
+        base, "_v", ranks, probe_buckets=probe_buckets, refine_cap=refine_cap
+    )
+    rows = [(float(p_), int(ranks[str(p_)]), got[str(p_)]) for p_ in probs]
+    return spark.createDataFrame(rows, "prob double, rank long, value double")
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier report: EXACT q1/q3 via
+    :func:`quantiles_probe`'s selection, fences at q1 − k·IQR /
+    q3 + k·IQR, and one scan-only aggregate counting the rows outside
+    — the distribution-profiling gate a pipeline runs before trusting
+    means.  Output: one row (n, q1, q3, iqr, lo_fence, hi_fence,
+    n_low, n_high, outlier_share)."""
+    from fractions import Fraction
+
+    base = df.select(F.col(value_col).alias("_v")).filter(F.col("_v").isNotNull())
+    base = base.localCheckpoint(eager=True)
+    n = base.count()
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "n long, q1 double, q3 double, iqr double, lo_fence double, "
+            "hi_fence double, n_low long, n_high long, outlier_share double",
+        )
+
+    def _rank(p):
+        fr = Fraction(str(p)) * n
+        return max(1, -(-fr.numerator // fr.denominator))
+
+    got = probe_order_stats(base, "_v", {"q1": _rank(0.25), "q3": _rank(0.75)})
+    q1, q3 = got["q1"], got["q3"]
+    iqr = q3 - q1
+    lo_f, hi_f = q1 - k * iqr, q3 + k * iqr
+    counts = base.agg(
+        F.sum((F.col("_v") < F.lit(lo_f)).cast("long")).alias("_nl"),
+        F.sum((F.col("_v") > F.lit(hi_f)).cast("long")).alias("_nh"),
+    ).collect()[0]
+    nl, nh = int(counts["_nl"]), int(counts["_nh"])
     return spark.createDataFrame(
-        [(n_points, n_pairs, (v_lo + v_hi) / 2.0)],
-        "n_points long, n_pairs long, slope double",
+        [(n, q1, q3, iqr, lo_f, hi_f, nl, nh, (nl + nh) / float(n))],
+        "n long, q1 double, q3 double, iqr double, lo_fence double, "
+        "hi_fence double, n_low long, n_high long, outlier_share double",
     )
 
 

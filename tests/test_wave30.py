@@ -169,3 +169,46 @@ def test_embedding_drift_orthogonal_group(spark):
     rows = {r.source: r for r in embedding_drift(emb, labels).collect()}
     for r in rows.values():
         assert r.cos_to_global == pytest.approx(math.cos(math.pi / 4), abs=1e-9)
+
+
+def test_quantiles_probe_exact_ranks(spark):
+    from csp_gateway_spark.operators.analytics import quantiles_probe
+
+    df = spark.range(1, 1001).select(F.col("id").cast("double").alias("v"))
+    got = {r.prob: (r.rank, r.value) for r in quantiles_probe(df, "v").collect()}
+    assert got == {
+        0.01: (10, 10.0),
+        0.25: (250, 250.0),
+        0.5: (500, 500.0),
+        0.75: (750, 750.0),
+        0.99: (990, 990.0),
+    }
+
+
+def test_quantiles_probe_heavy_tail_and_ties(spark):
+    from csp_gateway_spark.operators.analytics import quantiles_probe
+
+    # one extreme outlier squeezes ~all mass into one probe bucket —
+    # the refinement must still find the exact order statistics; a
+    # massive tie group can never split, and must still resolve
+    rows = [(1.0,)] * 500 + [(float(i),) for i in range(2, 500)] + [(1e12,)]
+    df = spark.createDataFrame(rows, "v double")
+    n = len(rows)
+    got = {r.prob: r.value for r in quantiles_probe(df, "v").collect()}
+    vals = sorted(v for (v,) in rows)
+    import math
+
+    for p in (0.01, 0.25, 0.5, 0.75, 0.99):
+        k = max(1, math.ceil(p * n))
+        assert got[p] == vals[k - 1], (p, k)
+
+
+def test_iqr_outliers_report(spark):
+    from csp_gateway_spark.operators.analytics import iqr_outliers
+
+    df = spark.range(1, 1001).select(F.col("id").cast("double").alias("v"))
+    df = df.union(spark.createDataFrame([(1e9,), (-1e9,)], "v double"))
+    r = iqr_outliers(df, "v").collect()[0]
+    assert r.n == 1002 and r.n_low == 1 and r.n_high == 1
+    assert r.q1 < r.q3 and r.lo_fence < r.q1 and r.hi_fence > r.q3
+    assert r.outlier_share == 2 / 1002
