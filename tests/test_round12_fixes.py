@@ -261,3 +261,26 @@ def test_contract_guard_maps_to_422(spark):
     with pytest.raises(ApiError) as ei:
         api._collect_or_404("t", boom)
     assert ei.value.status == 404
+
+
+def test_run_bounded_parallel_callers(spark):
+    """Eight threads drive bounded finalizes simultaneously: distinct
+    transient view names, one shared AQE-off clone, no conf mutation —
+    every result must be correct and the main session untouched."""
+    import concurrent.futures
+
+    from csp_gateway_spark.session import run_bounded
+
+    def job(i):
+        out = (
+            spark.range(5000)
+            .groupBy((F.col("id") % (i + 2)).alias("k"))
+            .agg(F.sum("id").alias("s"))
+        )
+        rows = run_bounded(out).collect()
+        return sum(r["s"] for r in rows)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        got = list(ex.map(job, range(8)))
+    assert got == [sum(range(5000))] * 8
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
