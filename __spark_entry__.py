@@ -14405,6 +14405,72 @@ FROM f, cnt
 """
 
 
+
+_AB_A, _AB_B = "2-HIGH", "4-NOT SPECIFIED"
+
+
+def q_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley scale test, high vs not-specified priority order
+    values — both-ends rank scores, tie-exact conditional moments."""
+    from csp_gateway_spark.operators.analytics import ansari_bradley
+
+    orders = _t(spark, sf_dir, "orders")
+    out = ansari_bradley(orders, "o_orderpriority", "o_totalprice", _AB_A, _AB_B)
+    return out.select(
+        "n_a",
+        "n_b",
+        (F.round("ab_stat", 4) + F.lit(0.0)).alias("ab_stat"),
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+ORACLE_ANSARI_BRADLEY = f"""
+WITH b AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+  WHERE o_orderpriority IN ('{_AB_A}', '{_AB_B}')
+), pv AS (
+  SELECT v,
+    CAST(SUM(CASE WHEN g = '{_AB_A}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(SUM(CASE WHEN g = '{_AB_B}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM b GROUP BY 1
+), nt AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM pv
+), rk AS (
+  SELECT v, ca, cb,
+    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+  FROM pv
+), tm AS (
+  SELECT ca, cb,
+    LEAST(2 * ((cuma + cumb) - (ca + cb)) + (ca + cb) + 1,
+          2 * (na + nb + 1) - (2 * ((cuma + cumb) - (ca + cb)) + (ca + cb) + 1)) AS s2
+  FROM rk, nt
+), s AS (
+  SELECT na, nb,
+    SUM(CAST(ca AS DECIMAL(13,0)) * CAST(s2 AS DECIMAL(13,0))) AS a2,
+    SUM(CAST(ca + cb AS DECIMAL(13,0)) * CAST(s2 AS DECIMAL(13,0))) AS t2,
+    SUM(CAST(ca + cb AS DECIMAL(13,0)) * CAST(CAST(s2 AS DECIMAL(13,0)) * CAST(s2 AS DECIMAL(13,0)) AS DECIMAL(27,0))) AS t2q
+  FROM tm, nt GROUP BY 1, 2
+), f AS (
+  SELECT na, nb,
+    CAST(a2 AS DOUBLE) / 2.0 AS a_stat,
+    CAST(na AS DOUBLE) * (CAST(t2 AS DOUBLE) / 2.0)
+      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS e_a,
+    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) * (CAST(t2q AS DOUBLE) / 4.0)
+         - (CAST(t2 AS DOUBLE) / 2.0) * (CAST(t2 AS DOUBLE) / 2.0))
+      / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+         * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+         * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)) AS var_a
+  FROM s
+)
+SELECT na AS n_a, nb AS n_b,
+  round(a_stat, 4) + 0.0 AS ab_stat,
+  CASE WHEN var_a > 0 THEN round((a_stat - e_a) / sqrt(var_a), 6) + 0.0 END AS z
+FROM f
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "state_keyed_last": q_state_keyed_last,
@@ -14730,6 +14796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "quantiles_probe": q_quantiles_probe,
         "iqr_outliers": q_iqr_outliers,
+        "ansari_bradley": q_ansari_bradley,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -15058,6 +15125,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift": ORACLE_EMBEDDING_DRIFT,
         "quantiles_probe": ORACLE_QUANTILES_PROBE,
         "iqr_outliers": ORACLE_IQR_OUTLIERS,
+        "ansari_bradley": ORACLE_ANSARI_BRADLEY,
         "topk_stream_replay": ORACLE_TOPK_STREAM_REPLAY,
         "tukey_hsd": ORACLE_TUKEY_HSD,
         "cumulative_incidence": ORACLE_CUMULATIVE_INCIDENCE,

@@ -233,6 +233,7 @@ HEADLINE = [
     "embedding_drift",
     "quantiles_probe",
     "iqr_outliers",
+    "ansari_bradley",
     "char_entropy",
     "vocab_encode",
     "lm_perplexity",

@@ -9547,3 +9547,104 @@ def mase_backtest(
             (err["sm"] / F.lit(float(h))).alias("smape"),
         )
     )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Ansari-Bradley scale test between two cohorts: are the two
+    samples equally DISPERSED around a common median?  The rank-based
+    completion of the family — :func:`mann_whitney_u` tests location,
+    :func:`brunner_munzel` stochastic superiority, this tests spread —
+    with the statistic A = Σ_{i∈a} min(Rᵢ, N+1−Rᵢ) (ranks scored from
+    both ends, midrank ties) and the exact CONDITIONAL normal
+    approximation: E[A] and Var[A] come from the observed score
+    multiset via sampling-without-replacement moments, so ties need no
+    special casing.
+
+    Same machinery as :func:`mann_whitney_u`: one distinct-value
+    collapse with both cohort counts, ONE packed two-phase cumulative,
+    and every moment an exact decimal integer on DOUBLED scores
+    s₂(v) = min(2R, 2(N+1) − 2R) (midranks are halves, so doubling
+    keeps scores integral).  Only the final A/z are doubles, identical
+    expressions on both engines.  Output: one row (n_a, n_b, ab_stat,
+    z)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col)
+    per_val = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+        )
+    )
+    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
+    packed = per_val.withColumn(
+        "_pk",
+        (
+            F.col("_ca").cast("decimal(20,0)") * shift
+            + F.col("_cb").cast("decimal(20,0)")
+        ).cast("decimal(38,0)"),
+    )
+    ranked = global_row_number(
+        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
+    )
+    cum_b = F.pmod(F.col("_cum"), shift)
+    cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
+    ca = F.col("_ca").cast("decimal(20,0)")
+    cb = F.col("_cb").cast("decimal(20,0)")
+    two = F.lit(2).cast("decimal(2,0)")
+    one = F.lit(1).cast("decimal(2,0)")
+    cumc = (cum_a + cum_b.cast("decimal(38,0)")).cast("decimal(38,0)")
+    r2 = (two * (cumc - (ca + cb)) + (ca + cb) + one).cast("decimal(20,0)")
+    # the score needs N before the aggregate: totals ride a 1-row
+    # broadcast (exact integer sums)
+    totals = per_val.agg(
+        F.sum("_ca").cast("long").alias("_na"),
+        F.sum("_cb").cast("long").alias("_nb"),
+    )
+    j = ranked.crossJoin(F.broadcast(totals))
+    n_dec = (F.col("_na") + F.col("_nb")).cast("decimal(20,0)")
+    s2 = F.least(r2, (two * (n_dec + one) - r2).cast("decimal(20,0)"))
+    ca13 = ca.cast("decimal(13,0)")
+    cb13 = cb.cast("decimal(13,0)")
+    cc13 = (ca + cb).cast("decimal(13,0)")
+    s13 = s2.cast("decimal(13,0)")
+    sums = j.groupBy("_na", "_nb").agg(
+        F.sum((ca13 * s13).cast("decimal(38,0)")).alias("_a2"),
+        F.sum((cc13 * s13).cast("decimal(38,0)")).alias("_t2"),
+        F.sum((cc13 * (s13 * s13).cast("decimal(27,0)")).cast("decimal(38,0)")).alias("_t2q"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    n = na + nb
+    a_stat = F.col("_a2").cast("double") / F.lit(2.0)
+    # sampling-without-replacement moments of Σ over n_a draws from the
+    # observed score multiset (tie-exact, no parametric null):
+    # E[A] = n_a·s̄, Var[A] = n_a·n_b·(N·Σs² − (Σs)²)/(N²(N−1))
+    e_a = na * (F.col("_t2").cast("double") / F.lit(2.0)) / n
+    var_a = (
+        na * nb
+        * (
+            n * (F.col("_t2q").cast("double") / F.lit(4.0))
+            - (F.col("_t2").cast("double") / F.lit(2.0))
+            * (F.col("_t2").cast("double") / F.lit(2.0))
+        )
+        / (n * n * (n - F.lit(1.0)))
+    )
+    return _finalize_bounded(
+        sums.select(
+            F.col("_na").alias("n_a"),
+            F.col("_nb").alias("n_b"),
+            a_stat.alias("ab_stat"),
+            F.when(var_a > 0, (a_stat - e_a) / F.sqrt(var_a)).alias("z"),
+        )
+    )

@@ -212,3 +212,45 @@ def test_iqr_outliers_report(spark):
     assert r.n == 1002 and r.n_low == 1 and r.n_high == 1
     assert r.q1 < r.q3 and r.lo_fence < r.q1 and r.hi_fence > r.q3
     assert r.outlier_share == 2 / 1002
+
+
+def _ab_ref(x, y):
+    """Ansari-Bradley A + conditional-moment z (tie-exact)."""
+    pooled = sorted(x + y)
+    n = len(pooled)
+    mr = _midranks(pooled)
+    score = {v: min(mr[v], n + 1 - mr[v]) for v in mr}
+    a = sum(score[v] for v in x)
+    scores_all = [score[v] for v in pooled]
+    sbar = sum(scores_all) / n
+    ssq = sum(s * s for s in scores_all)
+    na, nb = len(x), len(y)
+    e_a = na * sbar
+    var_a = na * nb * (n * ssq - sum(scores_all) ** 2) / (n * n * (n - 1))
+    return a, (a - e_a) / math.sqrt(var_a)
+
+
+def test_ansari_bradley_vs_reference(spark):
+    from csp_gateway_spark.operators.analytics import ansari_bradley
+
+    x = [1.0, 5.0, 5.0, 9.0, 2.0, 8.0, 2.5]
+    y = [4.0, 4.5, 5.5, 5.0, 6.0, 5.2]
+    rows = [("a", v) for v in x] + [("b", v) for v in y]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ansari_bradley(df, "g", "v", "a", "b").collect()[0]
+    a_ref, z_ref = _ab_ref(x, y)
+    assert r.n_a == len(x) and r.n_b == len(y)
+    assert r.ab_stat == pytest.approx(a_ref, abs=1e-12)
+    assert r.z == pytest.approx(z_ref, abs=1e-10)
+
+
+def test_ansari_bradley_identical_scale_z_small(spark):
+    from csp_gateway_spark.operators.analytics import ansari_bradley
+
+    # interleaved identical-spread samples: A ~ E[A], z near 0
+    rows = [("a", float(i)) for i in range(0, 40, 2)] + [
+        ("b", float(i)) for i in range(1, 41, 2)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ansari_bradley(df, "g", "v", "a", "b").collect()[0]
+    assert abs(r.z) < 1.0
