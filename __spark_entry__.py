@@ -40,16 +40,24 @@ def _gate_tmpdir(prefix: str) -> str:
 #: footer/schema reads EVERY call, a fixed ~30-80 ms × 322 queries ×
 #: (warm + timed) bench passes.  Plans are immutable and the testdata
 #: is static, so the resolved frame is safe to reuse per
-#: (context, session, dir, table).
-_T_CACHE: dict = {}
+#: (session, dir, table).  Keyed on the session OBJECT via a
+#: WeakKeyDictionary — not id(spark), whose CPython address can be
+#: reused by a NEW session of the same context after GC (returning a
+#: frame bound to the dead session) — and dead sessions' entries
+#: evict themselves.
+import weakref
+
+_T_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os
 
-    sc = spark.sparkContext
-    key = (sc.applicationId, sc.startTime, id(spark), sf_dir, name)
-    hit = _T_CACHE.get(key)
+    per_session = _T_CACHE.get(spark)
+    if per_session is None:
+        per_session = _T_CACHE[spark] = {}
+    key = (sf_dir, name)
+    hit = per_session.get(key)
     if hit is not None:
         return hit
     # The driver builds its own SparkSession (not csp_gateway_spark.session),
@@ -64,7 +72,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from csp_gateway_spark.session import normalize_event_ts
 
         df = normalize_event_ts(df)
-    _T_CACHE[key] = df
+    per_session[key] = df
     return df
 
 
@@ -2418,6 +2426,9 @@ FROM s
 
 
 _SNP_K = 12
+#: boilerplate cap mirrored from dedup.shared_ngram_pairs /
+#: containment_pairs (max_ngram_frequency default)
+_SNP_DF_CAP = 256
 
 
 def _snp_edges(spark: SparkSession, sf_dir: str) -> "DataFrame":
@@ -2444,12 +2455,18 @@ _LP_ITERS = 2
 
 def _snp_sql_prefix() -> str:
     """Shared candidate-pair CTE: docs sharing ≥1 token 12-gram
-    (mirrors dedup.shared_ngram_pairs)."""
+    (mirrors dedup.shared_ngram_pairs, incl. its boilerplate cap —
+    shingles with document frequency > {_SNP_DF_CAP} are dropped
+    before pairing)."""
     return f"""
 WITH shs AS (
   SELECT doc_id, unnest({_sql_shingles(_SNP_K)}) AS s FROM documents
-), hh AS (
+), hh0 AS (
   SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shs
+), hh AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM hh0
+  ) WHERE df <= {_SNP_DF_CAP}
 ), cpairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -4712,14 +4729,22 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_containment_pairs() -> str:
+    # sz (the containment denominators) stays PRE-cap — matching the
+    # Spark operator, where only the pair numerator drops boilerplate
+    # buckets (df > cap) and scores stay conservative
     return f"""
 WITH sh AS (
   SELECT DISTINCT doc_id AS id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
   FROM (SELECT doc_id, unnest({_sql_shingles(_CONT_K)}) AS s FROM documents)
 ), sz AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+shc AS (
+  SELECT id, h FROM (
+    SELECT id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM sh
+  ) WHERE df <= {_SNP_DF_CAP}
+),
 p AS (
   SELECT a.id AS ia, b.id AS ib, CAST(count(*) AS BIGINT) AS shared
-  FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2
+  FROM shc a JOIN shc b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2
 )
 SELECT ia AS id_a, ib AS id_b, shared,
   round(CAST(shared AS DOUBLE) / CAST(x.sz AS DOUBLE), 6) + 0.0 AS c_ab,

@@ -3253,6 +3253,14 @@ def ntile_histogram(
     tile assignment is a strict total order.  Output per tile:
     (bucket, n, lo, hi).
 
+    CONTRACT: ``value_col`` must be numeric (double-castable — the
+    probe ranges are arithmetic on the value) and NULLs are excluded
+    from the rank domain (the envelope [lo, hi] is a value statistic;
+    a NULL has no place on a value axis).  This intentionally differs
+    from a bare ANSI ``ntile`` over an arbitrary orderable column,
+    which ranks NULLs first and accepts strings/dates — profile those
+    with ``value_histogram``/``profile_table`` instead.
+
     The histogram never needs per-ROW tile assignment: ANSI ntile tile
     sizes are closed-form (base = ⌊N/b⌋, the first N mod b tiles get
     one extra row) and each tile's [lo, hi] envelope is a pair of
@@ -9179,11 +9187,29 @@ def theil_sen_slope(
     engines.  Output: one row (n_points, n_pairs, slope)."""
     from pyspark.sql import Window
 
-    base = series.select(
-        F.col(key_col).cast("long").alias("_x"),
-        F.col(value_col).cast("decimal(18,2)").alias("_y"),
-    ).localCheckpoint(eager=True)
-    n_points = base.count()
+    base = (
+        series.select(
+            F.col(key_col).cast("long").alias("_x"),
+            F.col(value_col).cast("decimal(18,2)").alias("_y"),
+        )
+        .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    # one-(x, y)-cell-per-key is the contract the rank arithmetic
+    # rests on (n_pairs counts x2 > x pairs; duplicate keys would make
+    # the target ranks exceed the real x2 > x slope population and
+    # surface as an opaque probe assertion) — validate it up front
+    # with the same aggregate-first message the pair cap uses
+    head = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.count_distinct("_x").alias("_nd")
+    ).collect()[0]
+    n_points = int(head["_n"])
+    if int(head["_nd"]) != n_points:
+        raise ValueError(
+            "theil_sen_slope: duplicate x keys "
+            f"({n_points - int(head['_nd'])} collisions) — aggregate the "
+            "series to one (x, y) cell per key first"
+        )
     n_pairs = n_points * (n_points - 1) // 2
     spark = series.sparkSession
     if n_pairs > max_pairs:
@@ -9488,8 +9514,13 @@ def mase_backtest(
     over the key-sorted packed array (``_capped_packed`` guard — the
     ``jarque_bera`` single-row precedent), so every double
     accumulates in ONE pinned order and element_at indexing replaces
-    any self-join.  Output: one row (n, train_n, horizon, mase,
-    smape)."""
+    any self-join.  Series too short to backtest (n ≤ horizon +
+    season, i.e. no in-train point one season back from every
+    holdout point) emit NULL mase AND NULL smape — both folds are
+    gated behind the same ``train_n > season`` CASE branch, so no
+    out-of-range element_at is ever evaluated (ANSI index-0 errors /
+    silent negative-index wraparound).  Output: one row (n, train_n,
+    horizon, mase, smape)."""
     m, h = int(season), int(horizon)
     if m < 1 or h < 1:
         raise ValueError(f"mase_backtest: season/horizon must be >= 1 (got {m}/{h})")
@@ -9536,15 +9567,22 @@ def mase_backtest(
             ).alias("sm"),
         ),
     )
+    # train_n > m guards EVERY fold evaluation (CASE branches evaluate
+    # lazily): with train_n <= m the scale fold's sequence(m+1, train_n)
+    # runs BACKWARD (step -1) into element_at index <= 0 and the smape
+    # fold's fc_idx hits 0 (ANSI error) or negatives (silent end-of-
+    # array indexing) — short series must short-circuit to NULL before
+    # either fold is touched.
+    ok = train_n > F.lit(m)
     return _finalize_bounded(
         packed.select(
             n.cast("long").alias("n"),
             train_n.cast("long").alias("train_n"),
             F.lit(h).cast("long").alias("horizon"),
             F.when(
-                (train_n > F.lit(m)) & (scale > 0), err["ae"] / F.lit(float(h)) / scale
+                ok, F.when(scale > 0, err["ae"] / F.lit(float(h)) / scale)
             ).alias("mase"),
-            (err["sm"] / F.lit(float(h))).alias("smape"),
+            F.when(ok, err["sm"] / F.lit(float(h))).alias("smape"),
         )
     )
 

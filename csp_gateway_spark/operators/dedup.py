@@ -27,6 +27,23 @@ from pyspark.sql import functions as F
 from csp_gateway_spark.operators.text import norm_tokens, normalize_text, tokens
 
 
+def _validated_df_cap(cap: Optional[int], op: str) -> Optional[int]:
+    """Validate a document-frequency fan-out cap (the
+    ``max_fp_frequency`` / ``max_ngram_frequency`` contract shared by
+    the pair generators).  A cap below 2 can never emit a pair — a
+    config mistake the serving layer surfaces as a structured 422
+    (ValueError → contract-guard mapping)."""
+    if cap is None:
+        return None
+    cap = int(cap)
+    if cap < 2:
+        raise ValueError(
+            f"{op}: max_ngram_frequency must be >= 2 (a shingle must "
+            f"appear in at least two documents to form a pair); got {cap}"
+        )
+    return cap
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -794,6 +811,7 @@ def shared_ngram_pairs(
     k: int = 12,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_ngram_frequency: Optional[int] = 256,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) of documents sharing at least one
     token k-gram — the cheapest exact blocking generator (tight k ⇒
@@ -802,7 +820,20 @@ def shared_ngram_pairs(
     shuffle keyed on the shingle hash, candidate cost ∝ collisions,
     never O(n²).  Feed the pairs to a verifier (``edit_verify``,
     ``ngram_jaccard_pairs``) or a graph step (``pagerank``,
-    ``connected_components``)."""
+    ``connected_components``).
+
+    ``max_ngram_frequency`` bounds the in-bucket pair expansion BY
+    CONTRACT (the ``fingerprint_overlap_pairs`` / ``max_fp_frequency``
+    pattern): a shingle appearing in more than that many documents is
+    boilerplate — a license header, a template — whose bucket would
+    expand to df²/2 pairs inside ONE task row while carrying no
+    duplication signal (every one of those pairs is also reachable
+    through some rarer shared shingle if the docs genuinely overlap).
+    Buckets above the cap are dropped BEFORE the expansion; the
+    document-frequency check is free (``size(_ids)`` on the already-
+    grouped bucket).  ``None`` disables the cap (exact candidate
+    semantics on a corpus known boilerplate-free)."""
+    cap = _validated_df_cap(max_ngram_frequency, "shared_ngram_pairs")
     sh = (
         shingle_rows(df, text_col, id_col, k)
         .select(F.col(id_col), _md5_base15(F.col("_s")).alias("_h"))
@@ -811,11 +842,17 @@ def shared_ngram_pairs(
     # bucket-group instead of self-join: one shuffle on the shingle
     # hash, then in-bucket pair expansion over the (collision-bounded)
     # id array — the self-join form cost two extra exchanges because
-    # AQE's broadcast conversion defeated exchange reuse
+    # AQE's broadcast conversion defeated exchange reuse.  `_ids` is
+    # the DISTINCT doc set per hash, so size(_ids) IS the shingle's
+    # document frequency — the boilerplate cap rides the same filter.
     buckets = (
         sh.groupBy("_h")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
-        .filter(F.size("_ids") > 1)
+        .filter(
+            (F.size("_ids") > 1)
+            if cap is None
+            else F.size("_ids").between(2, cap)
+        )
     )
     combos = F.flatten(
         F.transform(
@@ -1180,6 +1217,7 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_ngram_frequency: Optional[int] = 256,
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over
     distinct token ``k``-gram sets — the quote/subset detector
@@ -1194,7 +1232,18 @@ def containment_pairs(
     aggregate; per-doc set sizes join back on the doc key
     (co-partitioned equi-joins, never a corpus-sized broadcast).
     Emits pairs where max(C(A→B), C(B→A)) ≥ ``threshold``.
-    Output: (id_a, id_b, shared, c_ab, c_ba)."""
+    Output: (id_a, id_b, shared, c_ab, c_ba).
+
+    ``max_ngram_frequency`` caps the in-bucket expansion by document
+    frequency exactly as in :func:`shared_ngram_pairs` — a boilerplate
+    shingle shared by m documents would otherwise expand to m²/2 pairs
+    in one bucket row (one task).  Dropped buckets also leave the
+    shared-count numerator, so a capped run scores containment over
+    the sub-boilerplate shingle sets on BOTH sides of the ratio —
+    consistent, and the per-doc denominators keep their full size so
+    capped scores are conservative (never inflated).  ``None``
+    disables the cap."""
+    cap = _validated_df_cap(max_ngram_frequency, "containment_pairs")
     sh = (
         shingle_rows(df, text_col, id_col, k)
         .select(F.col(id_col), _md5_base15(F.col("_s")).alias("_h"))
@@ -1204,7 +1253,11 @@ def containment_pairs(
     buckets = (
         sh.groupBy("_h")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
-        .filter(F.size("_ids") > 1)
+        .filter(
+            (F.size("_ids") > 1)
+            if cap is None
+            else F.size("_ids").between(2, cap)
+        )
     )
     combos = F.flatten(
         F.transform(

@@ -651,12 +651,23 @@ class GatewayApi:
             # (agg aliases like sum_px), so only pre-agg references
             # are validated here
             known = set(avail) | set(cfg.expressions)
+            # Spark's analyzer resolves columns case-insensitively
+            # unless spark.sql.caseSensitive is on — the pre-check
+            # must match, or configs the analyzer accepts (e.g. 'SYM'
+            # for column 'sym') get a spurious 422 here
+            case_sensitive = (
+                plan_df.sparkSession.conf.get(
+                    "spark.sql.caseSensitive", "false"
+                )
+                or "false"
+            ).lower() == "true"
+            known_cmp = known if case_sensitive else {c.lower() for c in known}
             referenced = (
                 list(cfg.group_by) + list(cfg.split_by) + list(cfg.aggregates)
                 + [c for c, _, _ in cfg.filter]
             )
             for c in referenced:
-                if c not in known:
+                if (c if case_sensitive else c.lower()) not in known_cmp:
                     raise ApiError(
                         422,
                         f"unknown column {c!r}; available columns: "

@@ -275,6 +275,50 @@ def test_shared_ngram_pairs_blocks_correctly(blocky_docs):
     assert all(3 not in p for p in pairs)
 
 
+def test_pair_generators_boilerplate_df_cap(spark):
+    """The max_ngram_frequency contract (VERDICT r12 #1): a shingle
+    shared by more than the cap's document count is boilerplate whose
+    bucket would expand quadratically — both pair generators must drop
+    it BEFORE the in-bucket expansion, and reject nonsensical caps."""
+    from csp_gateway_spark.operators.dedup import (
+        containment_pairs,
+        shared_ngram_pairs,
+    )
+
+    boiler = "standard license header words one two three four five six"
+    rare = "rare duplicated payload alpha beta gamma delta epsilon zeta eta"
+    rows = [(i, boiler + f" filler{i}") for i in range(1, 6)]
+    rows += [(10, rare + " tail a"), (11, rare + " tail b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # k=10 so `boiler` (10 tokens) is one shingle shared by docs 1..5
+    # (df=5) and `rare` (10 tokens) one shared by 10/11 (df=2)
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in shared_ngram_pairs(
+            docs, k=10, max_ngram_frequency=None
+        ).collect()
+    }
+    assert (10, 11) in uncapped and (1, 2) in uncapped
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in shared_ngram_pairs(docs, k=10, max_ngram_frequency=4).collect()
+    }
+    assert capped == {(10, 11)}  # the df=5 boilerplate bucket is gone
+
+    cont = containment_pairs(
+        docs, k=10, threshold=0.1, max_ngram_frequency=4
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in cont} == {(10, 11)}
+    # denominators stay pre-cap: shared counts only sub-cap shingles
+    assert all(r.c_ab <= 1.0 and r.c_ba <= 1.0 for r in cont)
+
+    for fn in (shared_ngram_pairs, containment_pairs):
+        with pytest.raises(ValueError, match="max_ngram_frequency"):
+            fn(docs, max_ngram_frequency=1)
+
+
 def test_edit_verify_distance_and_threshold(blocky_docs):
     from csp_gateway_spark.operators.dedup import edit_verify, shared_ngram_pairs
 
