@@ -177,8 +177,9 @@ def local_supplier_volume(
 ) -> DataFrame:
     """TPC-H Q5 shape: revenue by nation where customer and supplier
     share the nation, customers restricted to one region. nation⨝region
-    collapses to a broadcast key list; the only big shuffles are
-    lineitem⨝orders and the final group-by."""
+    collapses to a broadcast key list; supplier and customer are
+    SF-scaling, so their joins stay plain (broadcast_dim declines the
+    hint — AQE broadcasts them at small SF, shuffles them at 100 TB)."""
     nations = nation.join(
         broadcast_dim(region.filter(F.col("r_name") == region_name)),
         nation.n_regionkey == F.col("r_regionkey"),
@@ -211,8 +212,10 @@ def volume_shipping(
     nation_b: str = "NATION_2",
 ) -> DataFrame:
     """TPC-H Q7 shape: trade volume between two nations by year and
-    direction. Both nation sides resolve through broadcast joins; the
-    fact table shuffles once for lineitem⨝orders."""
+    direction. The nation lookups broadcast; the nation-filtered
+    supplier/customer sides are still SF-scaling, so their joins are
+    left to AQE (broadcast_dim declines the hint on fact subtrees);
+    the fact table shuffles once for lineitem⨝orders."""
     n1 = nation.filter(F.col("n_name").isin(nation_a, nation_b))
     supp = supplier.join(
         broadcast_dim(n1.select(F.col("n_nationkey").alias("sn_key"),

@@ -43,9 +43,46 @@ def adaptive_bucket_count(
     return F.least(F.lit(hi), F.greatest(F.lit(lo), raw.cast("int")))
 
 
+#: key attributes of the SF-scaling tables: any frame whose analyzed
+#: plan still reads one of these RAW (no aggregation between the scan
+#: and the hint) grows with the data — customer at the 100 TB design
+#: point is ~10 B rows, supplier ~0.7 B — and a FORCED broadcast OOMs
+#: the build side where a plain join (AQE decides from runtime stats)
+#: is correct.
+_FACT_KEY_ATTRS = (
+    "c_custkey",
+    "s_suppkey",
+    "p_partkey",
+    "o_orderkey",
+    "l_orderkey",
+    "ps_partkey",
+    "event_id",
+    "doc_id",
+    "vec_id",
+)
+
+
 def broadcast_dim(df: DataFrame) -> DataFrame:
     """Mark a dimension table for broadcast join (metadata-sized
-    tables: region/nation/date dims...)."""
+    tables: region/nation/date dims and bounded derived aggregates).
+
+    The hint is CONDITIONAL on the input actually being
+    dimension-sized: if the analyzed plan reads a fact-table column
+    (``_FACT_KEY_ATTRS``) with no Aggregate anywhere in the subtree,
+    the frame scales with the data and the hint is DECLINED — the
+    join is left plain and AQE's runtime broadcast conversion (or the
+    static autoBroadcastJoinThreshold estimate) picks the strategy
+    from real sizes.  Aggregate-derived frames (a global max, a
+    per-group threshold) keep the hint: their cardinality is bounded
+    by the group domain, which the call site vouches for.  Join
+    results stay identical either way — only the physical strategy
+    moves."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 — connect-mode/shim: keep the hint
+        return F.broadcast(df)
+    if "Aggregate" not in plan and any(a in plan for a in _FACT_KEY_ATTRS):
+        return df
     return F.broadcast(df)
 
 

@@ -586,3 +586,66 @@ def test_wave18_20_plans_scale_safe(spark, sf_dir):
             continue
         for line in _window_lines(df):
             assert line.count("], [") >= 2, f"{name}: unpartitioned window: {line}"
+
+
+def test_broadcast_dim_declines_fact_sized_inputs(spark, sf_dir):
+    """VERDICT r12 #4: the broadcast_dim hint must never land on an
+    SF-scaling table — customer at the 100 TB design point is ~10 B
+    rows and a forced broadcast OOMs the build side.  The guard is
+    structural: raw (non-aggregated) fact-table subtrees decline the
+    hint (AQE picks the strategy from runtime sizes); true dims and
+    bounded derived aggregates keep it."""
+    from csp_gateway_spark.plans.scale import broadcast_dim
+
+    def hinted(df):
+        return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+
+    # raw facts — declined, even filtered/projected (still ∝ SF)
+    assert not hinted(broadcast_dim(cust))
+    assert not hinted(broadcast_dim(supp.select("s_suppkey", "s_nationkey")))
+    assert not hinted(
+        broadcast_dim(cust.filter("c_mktsegment = 'BUILDING'").select("c_custkey"))
+    )
+    # fact joined to a dim without aggregation — still fact-sized
+    assert not hinted(
+        broadcast_dim(
+            supp.join(nation, supp.s_nationkey == nation.n_nationkey).select(
+                "s_suppkey", "n_name"
+            )
+        )
+    )
+    # metadata dims — hinted
+    assert hinted(broadcast_dim(nation))
+    assert hinted(broadcast_dim(region.filter("r_name = 'ASIA'")))
+    assert hinted(
+        broadcast_dim(nation.join(region, nation.n_regionkey == region.r_regionkey))
+    )
+    # bounded derived aggregates — hinted (cardinality ≤ group domain)
+    assert hinted(broadcast_dim(cust.groupBy().agg(F.avg("c_acctbal").alias("t"))))
+
+    # physically: with the hint declined, no-AQE + threshold=-1 planning
+    # must NOT produce a broadcast join (proves no hint reaches Catalyst)
+    from csp_gateway_spark.session import bounded_session, rebind_session
+
+    bs = bounded_session(spark)
+    prev = bs.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    bs.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        j = orders.join(broadcast_dim(cust), orders.o_custkey == cust.c_custkey)
+        plan = (
+            rebind_session(j, bs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+        j2 = cust.join(broadcast_dim(nation), cust.c_nationkey == nation.n_nationkey)
+        plan2 = (
+            rebind_session(j2, bs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastExchange" in plan2
+    finally:
+        bs.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
