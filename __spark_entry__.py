@@ -14844,15 +14844,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # perspective_pivot's slot funds a round-11 changed query; the
         # pivot path stays driver-covered by perspective_view
         "perspective_view", "table_index_limit",
-        # windows / joins / time (round-11 rotation: window_tumbling's
-        # slot funds a changed-query entry below; the tumbling shape
-        # stays driver-covered by window_stream_replay + window_session
-        # and replica-checked in the full sweep)
-        "window_session", "asof_join", "interval_join",
-        # bus semantics / replay / serialization
+        # windows / joins / time (round-13 rotation: window_session's
+        # slot funds a round-13 changed query below; the session shape
+        # stays driver-covered by session_stream_replay — its streaming
+        # twin whose oracle IS the batch gaps-and-islands SQL — and
+        # replica-checked in the full sweep)
+        "asof_join", "interval_join",
+        # bus semantics / replay / serialization (json_props' slot
+        # funds a round-13 changed query; the JSON encode path stays
+        # driver-covered by replay_rewrite and the replica sweep)
         "union_merge", "lookup_by_id", "channel_processor", "tick_counts",
         "time_gate", "flatten_struct", "replay_rewrite",
-        "replay_handoff", "json_props",
+        "replay_handoff",
         # text analysis (text_clean evicted for the fifth streaming
         # shape — see above)
         "text_stats", "quality_filter",
@@ -14879,24 +14882,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave-21 representatives (rank-eval + text-pair-metric
         # families) — both evictees carry driver-green CORRECTNESS_r07
         # evidence and stay in the full-replica sweep run each round
-        # round-12 rotation: the r11 returnees (fingerprint_pairs,
-        # ks_test, bootstrap_mean_ci, kendall_tau, wasserstein,
-        # rouge_overlap) banked fresh driver-green evidence in
-        # CORRECTNESS_r11 and rotate back out (all stay in the full
-        # per-round replica sweep).  Their six seats fund:
-        #  - the three queries RE-PLANNED this round (spearman's
-        #    closed-form-moment fast path, ntile's probe-bucket
-        #    boundary pruning, ngram_novelty's scan-local hashed
-        #    shingles) so the driver gate carries direct evidence on
-        #    the new code,
-        #  - conformal_interval, whose output contract changed
-        #    (honest-coverage n_test_dropped column),
-        #  - and wave-24/26/29 representatives that have never faced
-        #    the driver directly (clustering_coeff, hodges_lehmann,
-        #    tukey_hsd, kn_bigram_entropy — VERDICT r11 ask #4)
-        "spearman_corr", "ntile_histogram", "ngram_novelty",
-        "conformal_interval", "clustering_coeff", "hodges_lehmann",
-        "tukey_hsd", "kn_bigram_entropy",
+        # round-13 rotation (VERDICT r12 ask #6): the r12 entrants
+        # (spearman_corr, ntile_histogram, ngram_novelty,
+        # conformal_interval, clustering_coeff, hodges_lehmann,
+        # tukey_hsd, kn_bigram_entropy) banked driver-green evidence
+        # in CORRECTNESS_r12 and rotate back out (all stay in the
+        # full per-round replica sweep).  Their eight seats — plus
+        # window_session's and json_props' (see above) — fund:
+        #  - the full wave-30 family, which has never faced the
+        #    driver's gate directly (mood_median, brunner_munzel,
+        #    theil_sen_daily, mase_backtest, embedding_drift,
+        #    quantiles_probe, iqr_outliers, ansari_bradley) — incl.
+        #    the two CHANGED this round (mase_backtest's short-series
+        #    NULL guard, theil_sen_daily's dup-key validation),
+        #  - and the two queries whose plans changed this round:
+        #    containment_pairs (max_ngram_frequency boilerplate cap)
+        #    and dup_cluster_stats (rides the capped shared-12-gram
+        #    blocking graph).
+        "mood_median", "brunner_munzel", "theil_sen_daily",
+        "mase_backtest", "embedding_drift", "quantiles_probe",
+        "iqr_outliers", "ansari_bradley", "containment_pairs",
+        "dup_cluster_stats",
     ]
     ordered = {name: raw[name] for name in priority}
     ordered.update({name: fn for name, fn in raw.items() if name not in ordered})
