@@ -22,6 +22,10 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     import __spark_entry__ as entry
 
+    # identical noise rule to bench.py: first run > 1 s → run once
+    # more, report the min (steady-state; keeps the Spark/DuckDB
+    # ratio like-for-like under shared-VM scheduler spikes)
+    RERUN_ABOVE_SEC = 1.0
     times = {}
     for name, sql in entry.oracle_sql().items():
         # fresh connection per query: DuckDB retains buffers across a
@@ -31,7 +35,12 @@ def main() -> None:
         t0 = time.time()
         try:
             con.execute(sql).fetchall()
-            times[name] = round(time.time() - t0, 3)
+            took = round(time.time() - t0, 3)
+            if took > RERUN_ABOVE_SEC:
+                t1 = time.time()
+                con.execute(sql).fetchall()
+                took = min(took, round(time.time() - t1, 3))
+            times[name] = took
         except Exception as e:  # noqa: BLE001
             print(f"oracle error {name}: {e}", file=sys.stderr)
             times[name] = -1.0

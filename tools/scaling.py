@@ -131,21 +131,72 @@ TABLES = [
 
 ID_COLS = {"documents": "doc_id", "events": "event_id", "embeddings": "vec_id"}
 
+#: true metadata dims: NOT replicated (a 16x-replicated nation would
+#: fan every customer⋈nation row out 16x — a many-to-many join blowup
+#: manufactured by the harness, not the plan; VERDICT r12 #2)
+DIM_TABLES = {"region", "nation"}
+
+
+def _tpch_offsets(spark, base_dir: str) -> dict:
+    """Per-table {col: per-replica offset} for the TPC-H join keys.
+    Offsetting BOTH sides of every fact-fact key (custkey, suppkey,
+    partkey, orderkey) by the same per-replica stride keeps each join
+    1:1 across replicas — replica i's orders only ever match replica
+    i's customers.  Dim foreign keys (nationkey/regionkey) stay in the
+    original domain, matching the un-replicated dims."""
+    from pyspark.sql import functions as F
+
+    mx = {}
+    for t, col in (
+        ("customer", "c_custkey"),
+        ("supplier", "s_suppkey"),
+        ("part", "p_partkey"),
+        ("orders", "o_orderkey"),
+    ):
+        mx[col] = int(
+            spark.read.parquet(f"{base_dir}/{t}.parquet").agg(F.max(col)).collect()[0][0]
+        )
+    return {
+        "customer": {"c_custkey": mx["c_custkey"]},
+        "supplier": {"s_suppkey": mx["s_suppkey"]},
+        "part": {"p_partkey": mx["p_partkey"]},
+        "orders": {
+            "o_orderkey": mx["o_orderkey"],
+            "o_custkey": mx["c_custkey"],
+        },
+        "lineitem": {
+            "l_orderkey": mx["o_orderkey"],
+            "l_suppkey": mx["s_suppkey"],
+            "l_partkey": mx["p_partkey"],
+        },
+    }
+
 
 def build_scaled(spark, base_dir: str, out_dir: str, factor: int) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
+    offsets = _tpch_offsets(spark, base_dir) if factor > 1 else {}
     for t in TABLES:
         src = f"{base_dir}/{t}.parquet"
         df = spark.read.parquet(src)
         idc = ID_COLS.get(t)
-        if factor == 1 or idc is None:
-            # dims and fact tables without a unique id: replicate as-is
-            # (joins/aggs still scale; id-keyed ops use the offset tables)
+        if factor == 1 or t in DIM_TABLES:
+            # metadata dims keep ONE copy: per-dim-key row counts grow
+            # with the facts, join fan-out stays 1:1
+            out = df
+        elif t in offsets:
+            # TPC-H facts: replicate with ALL join keys offset per
+            # replica so fact-fact joins stay 1:1 (previously only
+            # id-carrying tables were offset — orders⋈customer on
+            # un-offset o_custkey became a factor×factor many-to-many
+            # fan-out, ≈256x rows at 16x, by construction)
             out = df
             for i in range(1, factor):
-                out = out.unionByName(df)
+                rep = df
+                for col, stride in offsets[t].items():
+                    rep = rep.withColumn(col, F.col(col) + F.lit(i * stride))
+                out = out.unionByName(rep)
         else:
             n = df.count()
             out = df
@@ -272,7 +323,13 @@ def main() -> None:
             f.write(
                 "# SCALING — measured sf0.1 × N replication (auto-generated by tools/scaling.py)\n\n"
                 "Steady-state seconds per heavy query as the sf0.1 tables are\n"
-                "replicated Nx (ids offset so key cardinality scales too).\n"
+                "replicated Nx.  EVERY join key is offset per replica (doc/event/\n"
+                "vec ids AND the TPC-H custkey/suppkey/partkey/orderkey domains),\n"
+                "so fact-fact joins stay 1:1 as data grows; region/nation keep\n"
+                "ONE copy (replicating a dim would fan customer⋈nation out Nx by\n"
+                "construction).  Keyspaces that repeat per replica (events\n"
+                "user_id, documents source/lang) measure per-key VOLUME growth —\n"
+                "the fresh-keyspace axis is the gen_scale section below.\n"
                 "Near-linear growth = the plan's shuffle/agg structure holds as\n"
                 "data scales; super-linear growth would flag a quadratic stage.\n\n"
                 "| query | " + " | ".join(f"{n}x" for n in factors) + " | ratio {}/{}x |\n".format(factors[-1], factors[0])
