@@ -110,6 +110,58 @@ def test_theil_sen_pair_contract(spark):
         theil_sen_slope(df, "x", "y", max_pairs=10)
 
 
+def test_theil_sen_rejects_duplicate_keys_and_drops_nulls(spark):
+    """ADVICE r12: duplicate x keys used to surface as an opaque probe
+    assertion (n_pairs counted from raw rows but the x2 > x join skips
+    equal keys); NULL keys/values must be excluded up front."""
+    from csp_gateway_spark.operators.analytics import theil_sen_slope
+
+    dup = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 3.0)], "x long, y double"
+    )
+    with pytest.raises(ValueError, match="duplicate x keys"):
+        theil_sen_slope(dup, "x", "y")
+
+    with_nulls = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (None, 9.0), (4, None)],
+        "x long, y double",
+    )
+    r = theil_sen_slope(with_nulls, "x", "y").collect()[0]
+    assert r.n_points == 3 and r.n_pairs == 3
+    assert r.slope == pytest.approx(1.0, abs=1e-12)
+
+
+def test_mase_short_series_null_not_error(spark):
+    """ADVICE r12: n <= horizon + season used to evaluate the smape
+    fold with index 0 (ANSI error) or negative indices (silent wrong
+    elements from the array END) — short series must emit NULL mase
+    AND NULL smape, not a wrong number."""
+    from csp_gateway_spark.operators.analytics import mase_backtest
+
+    # n = 20 <= horizon(14) + season(7): train_n = 6 < m = 7
+    rows = [(t, float(t)) for t in range(1, 21)]
+    df = spark.createDataFrame(rows, "k long, y double")
+    r = mase_backtest(df, "k", "y", season=7, horizon=14).collect()[0]
+    assert r.n == 20 and r.train_n == 6
+    assert r.mase is None and r.smape is None
+
+    # boundary: train_n == m is still too short (scale denominator 0)
+    rows = [(t, float(t)) for t in range(1, 22)]
+    r = mase_backtest(
+        spark.createDataFrame(rows, "k long, y double"), "k", "y",
+        season=7, horizon=14,
+    ).collect()[0]
+    assert r.train_n == 7 and r.mase is None and r.smape is None
+
+    # one past the boundary: defined again
+    rows = [(t, float(t)) for t in range(1, 23)]
+    r = mase_backtest(
+        spark.createDataFrame(rows, "k long, y double"), "k", "y",
+        season=7, horizon=14,
+    ).collect()[0]
+    assert r.train_n == 8 and r.mase is not None and r.smape is not None
+
+
 def test_mase_linear_trend_is_one(spark):
     from csp_gateway_spark.operators.analytics import mase_backtest
 

@@ -399,3 +399,14 @@ def test_perspective_view_expression_validation(served):
     assert ei.value.code == 422
     detail = json.loads(ei.value.read())["detail"]
     assert "unknown column" in detail and "symbol_typo" in detail
+    # ADVICE r12: case-insensitive resolution (Spark's default) must
+    # pass the pre-check too — 'SYM' resolves to column 'sym'
+    upper = {"group_by": ["SYM"], "aggregates": {"px": "sum"}}
+    req3 = urllib.request.Request(
+        f"{base}/api/v1/perspective/view/quotes",
+        data=json.dumps(upper).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    rows = json.loads(urllib.request.urlopen(req3).read())
+    assert rows and all("SYM" in r or "sym" in r for r in rows)
