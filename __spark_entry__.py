@@ -14496,6 +14496,169 @@ FROM f
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# WAVE 31 (round 13) — ordered-trend tests + MATTR lexical diversity
+# ---------------------------------------------------------------------------
+
+_JT_PRIORITIES = ['1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW']
+
+
+def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend: does order value
+    trend with priority class?  k-1 pooled Mann-Whitney passes over
+    one shared distinct-value collapse; 2J and all null moments exact
+    integers."""
+    from csp_gateway_spark.operators.analytics import jonckheere_terpstra
+
+    orders = _t(spark, sf_dir, "orders")
+    out = jonckheere_terpstra(
+        orders, "o_orderpriority", "o_totalprice", _JT_PRIORITIES
+    )
+    return out.select(
+        "n", "k", "jt2", (F.round("z", 6) + F.lit(0.0)).alias("z")
+    )
+
+
+ORACLE_JONCKHEERE = """
+WITH cells AS (
+  SELECT o_totalprice AS v,
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+    CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+    CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS c4
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, c0, c1, c2, c3, c4, SUM(c0) OVER w AS m0, SUM(c1) OVER w AS m1, SUM(c2) OVER w AS m2, SUM(c3) OVER w AS m3, SUM(c4) OVER w AS m4
+  FROM cells WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+), jt AS (
+  SELECT CAST(SUM(c1*(2*(m0) - (c0)) + c2*(2*(m0 + m1) - (c0 + c1)) + c3*(2*(m0 + m1 + m2) - (c0 + c1 + c2)) + c4*(2*(m0 + m1 + m2 + m3) - (c0 + c1 + c2 + c3))) AS BIGINT) AS jt2 FROM cum
+), nj AS (
+  SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2, CAST(SUM(c3) AS BIGINT) AS n3, CAST(SUM(c4) AS BIGINT) AS n4 FROM cells
+), tie AS (
+  SELECT
+    CAST(SUM(t*(t-1)*(2*t+5)) AS BIGINT) AS t25,
+    CAST(SUM(t*(t-1)*(t-2)) AS BIGINT) AS t3,
+    CAST(SUM(t*(t-1)) AS BIGINT) AS t2
+  FROM (SELECT c0 + c1 + c2 + c3 + c4 AS t FROM cells)
+), mo AS (
+  SELECT jt2,
+    n0 + n1 + n2 + n3 + n4 AS bn,
+    n0*n1 + n0*n2 + n0*n3 + n0*n4 + n1*n2 + n1*n3 + n1*n4 + n2*n3 + n2*n4 + n3*n4 AS two_e,
+    t25, t3, t2,
+    n0*(n0-1)*(2*n0+5) + n1*(n1-1)*(2*n1+5) + n2*(n2-1)*(2*n2+5) + n3*(n3-1)*(2*n3+5) + n4*(n4-1)*(2*n4+5) AS n25,
+    n0*(n0-1)*(n0-2) + n1*(n1-1)*(n1-2) + n2*(n2-1)*(n2-2) + n3*(n3-1)*(n3-2) + n4*(n4-1)*(n4-2) AS n3,
+    n0*(n0-1) + n1*(n1-1) + n2*(n2-1) + n3*(n3-1) + n4*(n4-1) AS n2
+  FROM jt, nj, tie
+), fin AS (
+  SELECT jt2, bn, two_e,
+    (bn*(bn-1)*(2*bn+5) - n25 - t25) / 72.0
+      + (n3 * t3) / (36.0 * bn * (bn - 1) * (bn - 2))
+      + (n2 * t2) / (8.0 * bn * (bn - 1)) AS var
+  FROM mo
+)
+SELECT CAST(bn AS BIGINT) AS n, CAST(5 AS BIGINT) AS k, jt2,
+  CASE WHEN bn >= 3 AND var > 0
+       THEN round((jt2 - two_e) / (2.0 * sqrt(var)), 6) + 0.0 END AS z
+FROM fin
+"""
+
+
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage proportion trend: does the return rate trend
+    with line quantity?  One map-combined aggregate, exact decimal
+    score sums, closed-form chi2/z."""
+    from csp_gateway_spark.operators.analytics import cochran_armitage
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = cochran_armitage(
+        li.withColumn("_ret", (F.col("l_returnflag") == "R").cast("int")),
+        "l_quantity", "_ret",
+    )
+    return out.select(
+        "n", "successes",
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+        (F.round("chi2", 6) + F.lit(0.0)).alias("chi2"),
+    )
+
+
+ORACLE_COCHRAN_ARMITAGE = """
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sw,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sw2,
+    SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS t
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+), f AS (
+  SELECT n, r,
+    CAST(n AS DOUBLE) * CAST(t AS DOUBLE) - CAST(r AS DOUBLE) * CAST(sw AS DOUBLE) AS num,
+    CAST(r AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE))
+      * (CAST(n AS DOUBLE) * CAST(sw2 AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) AS den
+  FROM s
+)
+SELECT n, r AS successes,
+  CASE WHEN den > 0 THEN round(sign(num) * sqrt(CAST(n AS DOUBLE) * num * num / den), 6) + 0.0 END AS z,
+  CASE WHEN den > 0 THEN round(CAST(n AS DOUBLE) * num * num / den, 6) + 0.0 END AS chi2
+FROM f
+"""
+
+
+_MATTR_W = 50
+
+
+def q_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR lexical diversity per source (pooled integer ratio):
+    sliding-window distinct counts via the per-position closed form —
+    O(tokens), one (doc, token) lag shuffle, never O(tokens*window)."""
+    from csp_gateway_spark.operators.corpus import mattr_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mattr_diversity(docs, window=_MATTR_W)
+    return out.select(
+        "source", "n_docs", "n_windows",
+        (F.round("mattr", 6) + F.lit(0.0)).alias("mattr"),
+    ).orderBy("source")
+
+
+def _oracle_mattr() -> str:
+    toks = _SQL_TOKS.replace("trim(lower(text))", _SQL_NORM)
+    w = _MATTR_W
+    return f"""
+WITH tk AS (
+  SELECT doc_id, source, {toks} AS arr FROM documents
+), pos AS (
+  SELECT doc_id, source, len(arr) AS n,
+         unnest(arr) AS t, generate_subscripts(arr, 1) AS p
+  FROM tk
+), prv AS (
+  SELECT source, n, p,
+    COALESCE(lag(p) OVER (PARTITION BY doc_id, t ORDER BY p), 0) AS prev
+  FROM pos
+), dsum AS (
+  SELECT source, CAST(SUM(
+    CASE WHEN n >= {w}
+         THEN greatest(0, least(p, n - {w} + 1) - greatest(1, p - {w} + 1, prev + 1) + 1)
+         ELSE CASE WHEN prev = 0 THEN 1 ELSE 0 END END) AS BIGINT) AS dist
+  FROM prv GROUP BY 1
+), lens AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN n >= {w} THEN n - {w} + 1
+                  WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_windows,
+    CAST(SUM(CASE WHEN n >= {w} THEN (n - {w} + 1) * {w} ELSE n END) AS BIGINT) AS ln
+  FROM (SELECT source, len({toks}) AS n FROM documents) GROUP BY 1
+)
+SELECT lens.source AS source, n_docs, n_windows,
+  CASE WHEN ln > 0
+       THEN round(CAST(COALESCE(dist, 0) AS DOUBLE) / CAST(ln AS DOUBLE), 6) + 0.0
+  END AS mattr
+FROM lens LEFT JOIN dsum ON lens.source = dsum.source
+ORDER BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "state_keyed_last": q_state_keyed_last,
@@ -14822,6 +14985,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_probe": q_quantiles_probe,
         "iqr_outliers": q_iqr_outliers,
         "ansari_bradley": q_ansari_bradley,
+        # wave 31 (round 13)
+        "jonckheere": q_jonckheere,
+        "cochran_armitage": q_cochran_armitage,
+        "mattr_diversity": q_mattr_diversity,
     }
     # Present one representative of EVERY operator family within the
     # first 50 entries: the driver's correctness harness checked exactly
@@ -15157,6 +15324,9 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_probe": ORACLE_QUANTILES_PROBE,
         "iqr_outliers": ORACLE_IQR_OUTLIERS,
         "ansari_bradley": ORACLE_ANSARI_BRADLEY,
+        "jonckheere": ORACLE_JONCKHEERE,
+        "cochran_armitage": ORACLE_COCHRAN_ARMITAGE,
+        "mattr_diversity": _oracle_mattr(),
         "topk_stream_replay": ORACLE_TOPK_STREAM_REPLAY,
         "tukey_hsd": ORACLE_TUKEY_HSD,
         "cumulative_incidence": ORACLE_CUMULATIVE_INCIDENCE,

@@ -339,6 +339,10 @@ HEADLINE = [
     "levene_test",
     "dedup_threshold_sweep",
     "enrich_stream_replay",
+    # round-13 additions (wave 31)
+    "jonckheere",
+    "cochran_armitage",
+    "mattr_diversity",
 ]
 
 

@@ -9689,3 +9689,201 @@ def ansari_bradley(
             F.when(var_a > 0, (a_stat - e_a) / F.sqrt(var_a)).alias("z"),
         )
     )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    ordered_groups: Sequence,
+    max_groups: int = 16,
+) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative across k
+    groups — "does the value tend to increase along this group
+    ordering?" — the trend-aware upgrade of :func:`kruskal_wallis`
+    (which only detects *some* difference).  J = Σ_{i<j} U_ij, the sum
+    of Mann-Whitney counts over every ordered group pair, with midrank
+    ties (equal pairs count ½); z comes from the exact tie-corrected
+    null moments.
+
+    Plan: U is additive over the lower cohort, so J = Σ_j U(pooled
+    groups < j, group j) — k−1 pooled two-cohort passes over ONE
+    shared distinct-value collapse (localCheckpointed; each pass is
+    the :func:`mann_whitney_u` machinery: packed two-phase cumulative
+    via ``global_row_number``, no unpartitioned window, no per-group
+    packing-capacity limit).  ``ordered_groups`` is an explicit
+    bounded contract (the ordering IS the hypothesis; ≤ ``max_groups``
+    keeps the pass count bounded).  2J and every null-moment term are
+    exact integers (2U = 2R_a − n_a(n_a+1); 4E[J] = N² − Σn_j² is
+    always even, so 2E is integral too); only the final z divides, in
+    the same expression shape on both engines.  Output: one row
+    (n, k, jt2, z) with jt2 = 2J (exact; J itself may be a half).
+    """
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    groups = list(ordered_groups)
+    k = len(groups)
+    if k < 2 or k > max_groups:
+        raise ValueError(
+            f"jonckheere_terpstra: need 2..{max_groups} ordered groups, got {k}"
+        )
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col)
+    cells = (
+        df.filter(g.isin(groups) & v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(
+            *[
+                F.sum(F.when(g == F.lit(grp), 1).otherwise(0))
+                .cast("long")
+                .alias(f"_c{i}")
+                for i, grp in enumerate(groups)
+            ]
+        )
+        .localCheckpoint(eager=True)
+    )
+    t = sum(F.col(f"_c{i}") for i in range(k)).cast("decimal(19,0)")
+    one = F.lit(1).cast("decimal(2,0)")
+    # tie-moment products at (12,0)·(12,0)→(25,0), ·(12,0)→(38,0) —
+    # exactly the decimal cap, no precision adjustment on either
+    # engine (tie groups ≤ 1e12 rows; the mann_whitney cube pattern)
+    t12 = t.cast("decimal(12,0)")
+    tt1 = (t12 * (t - one).cast("decimal(12,0)")).cast("decimal(25,0)")
+    mom = cells.agg(
+        *[F.sum(f"_c{i}").cast("long").alias(f"_n{i}") for i in range(k)],
+        F.sum(
+            tt1
+            * (F.lit(2).cast("decimal(2,0)") * t + F.lit(5).cast("decimal(2,0)")).cast(
+                "decimal(12,0)"
+            )
+        ).cast("decimal(38,0)").alias("_t25"),
+        F.sum(
+            tt1 * (t - F.lit(2).cast("decimal(2,0)")).cast("decimal(12,0)")
+        ).cast("decimal(38,0)").alias("_t3"),
+        F.sum(
+            (t.cast("decimal(18,0)") * (t - one).cast("decimal(18,0)")).cast(
+                "decimal(37,0)"
+            )
+        ).cast("decimal(38,0)").alias("_t2"),
+    ).collect()[0]
+    n_j = [int(mom[f"_n{i}"]) for i in range(k)]
+    spark = df.sparkSession
+    two_j = 0
+    for j in range(1, k):
+        ca = sum(F.col(f"_c{i}") for i in range(j)).alias("_ca")
+        sub = cells.select("_v", ca, F.col(f"_c{j}").alias("_cb")).filter(
+            (F.col("_ca") > 0) | (F.col("_cb") > 0)
+        )
+        shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
+        packed = sub.withColumn(
+            "_pk",
+            (
+                F.col("_ca").cast("decimal(20,0)") * shift
+                + F.col("_cb").cast("decimal(20,0)")
+            ).cast("decimal(38,0)"),
+        )
+        ranked = global_row_number(
+            packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+            small_threshold=TARGET_ROWS_PER_BUCKET,
+        )
+        cum_b = F.pmod(F.col("_cum"), shift)
+        cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
+        cnt = (F.col("_ca") + F.col("_cb")).cast("decimal(20,0)")
+        below = (cum_a + cum_b.cast("decimal(38,0)")).cast("decimal(38,0)") - cnt
+        two_ra_term = F.col("_ca").cast("decimal(16,0)") * (
+            F.lit(2).cast("decimal(2,0)") * below + cnt + F.lit(1).cast("decimal(2,0)")
+        ).cast("decimal(20,0)")
+        got = ranked.agg(
+            F.sum("_ca").cast("long").alias("_na"),
+            F.sum("_cb").cast("long").alias("_nb"),
+            F.sum(two_ra_term.cast("decimal(38,0)")).alias("_s2ra"),
+        ).collect()[0]
+        na, nb, s2ra = int(got["_na"]), int(got["_nb"]), int(got["_s2ra"])
+        two_u = s2ra - na * (na + 1)  # 2·U_a = 2·(R_a − n_a(n_a+1)/2)
+        two_j += 2 * na * nb - two_u  # 2·(#(a<b) + ½#(a=b))
+    big_n = sum(n_j)
+    two_e = sum(
+        n_j[i] * n_j[jj] for i in range(k) for jj in range(i + 1, k)
+    )  # 2E[J] = Σ_{i<j} n_i n_j  (4E = N² − Σn² = 2·this)
+    a_term = (
+        big_n * (big_n - 1) * (2 * big_n + 5)
+        - sum(nj * (nj - 1) * (2 * nj + 5) for nj in n_j)
+        - int(mom["_t25"])
+    )
+    b_term = sum(nj * (nj - 1) * (nj - 2) for nj in n_j) * int(mom["_t3"])
+    c_term = sum(nj * (nj - 1) for nj in n_j) * int(mom["_t2"])
+    z = None
+    if big_n >= 3:
+        var = (
+            a_term / 72.0
+            + b_term / (36.0 * big_n * (big_n - 1) * (big_n - 2))
+            + c_term / (8.0 * big_n * (big_n - 1))
+        )
+        if var > 0:
+            import math
+
+            z = (two_j - two_e) / (2.0 * math.sqrt(var))
+    return spark.createDataFrame(
+        [(big_n, k, two_j, z)], "n long, k long, jt2 long, z double"
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    outcome_col,
+) -> DataFrame:
+    """Cochran-Armitage trend test: does a BINARY outcome's success
+    rate trend linearly with an ordered numeric score (dose, bucket
+    index, quantity)?  The categorical-trend sibling of
+    :func:`jonckheere_terpstra` (which tests a continuous value
+    against ordered groups; this tests a proportion against ordered
+    scores).
+
+        χ² = N·(N·T − R·S_w)² / (R·(N−R)·(N·S_w² − S_w·S_w))
+
+    with T = Σ w over successes, S_w/S_w² the score sums — ONE
+    map-side-combined aggregate over the raw rows (no collapse, no
+    window, no shuffle beyond the 1-row agg).  Scores accumulate as
+    exact decimals; the statistic is a closed form over five exact
+    sums, identical on both engines.  z carries the trend's sign
+    (positive = success rate rises with the score).  Output: one row
+    (n, successes, z, chi2)."""
+    w = F.col(score_col).cast("decimal(18,2)")
+    y = F.col(outcome_col) if not isinstance(outcome_col, str) else F.col(outcome_col)
+    base = df.filter(w.isNotNull() & y.isNotNull()).select(
+        w.alias("_w"), y.cast("int").alias("_y")
+    )
+    sums = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_r"),
+        F.sum("_w").cast("decimal(38,2)").alias("_sw"),
+        F.sum(
+            (F.col("_w").cast("decimal(18,2)") * F.col("_w").cast("decimal(18,2)")).cast(
+                "decimal(38,4)"
+            )
+        ).alias("_sw2"),
+        F.sum(F.when(F.col("_y") == 1, F.col("_w")).otherwise(F.lit(0).cast("decimal(18,2)")))
+        .cast("decimal(38,2)")
+        .alias("_t"),
+    )
+    n = F.col("_n").cast("double")
+    r = F.col("_r").cast("double")
+    sw = F.col("_sw").cast("double")
+    sw2 = F.col("_sw2").cast("double")
+    tt = F.col("_t").cast("double")
+    num = n * tt - r * sw
+    den = r * (n - r) * (n * sw2 - sw * sw)
+    chi2 = F.when(den > 0, n * num * num / den)
+    z = F.when(
+        den > 0,
+        F.signum(num) * F.sqrt(n * num * num / den),
+    )
+    return _finalize_bounded(
+        sums.select(
+            F.col("_n").alias("n"),
+            F.col("_r").alias("successes"),
+            z.alias("z"),
+            chi2.alias("chi2"),
+        )
+    )

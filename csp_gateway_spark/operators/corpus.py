@@ -2134,3 +2134,90 @@ def kn_bigram_entropy(
         h.alias("cross_entropy"),
         F.exp(h).alias("perplexity"),
     )
+
+
+def mattr_diversity(
+    df: DataFrame,
+    window: int = 50,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Moving-Average Type-Token Ratio (MATTR, Covington & McFall
+    2010): lexical diversity as distinct-tokens / window-length
+    averaged over every sliding token window — the length-robust
+    replacement for raw TTR (which collapses as documents grow) used
+    to screen repetitive/templated text in training-data curation.
+
+    Pooled per ``group_col``: mattr = Σ distinct-in-window / Σ
+    window-length over all windows of all docs (a ratio of two exact
+    integers — engine-exact; a macro-average of per-doc doubles would
+    be FP-order-sensitive).  Docs shorter than ``window`` contribute
+    their single whole-doc window (length n).
+
+    The plan never materializes a window: position p is distinct in
+    window [i, i+w) iff its PREVIOUS occurrence falls before i, so
+    Σ_windows distinct = Σ_p #{valid starts i > prev_occ(p)} — a
+    CLOSED FORM per token position.  prev_occ is one lag window
+    partitioned by (doc, token) — the narrow shuffle shingle_rows
+    uses — then everything is a map-side-combined integer aggregate:
+    O(tokens) total work instead of O(tokens × window) per doc.
+    Output per group: (group, n_docs, n_windows, mattr)."""
+    from pyspark.sql.window import Window
+
+    w = int(window)
+    if w < 1:
+        raise ValueError(f"mattr_diversity: window must be >= 1, got {w}")
+    toks = norm_tokens(F.col(text_col))
+    pos_rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        F.size(toks).alias("_n"),
+        F.posexplode(toks).alias("_p0", "_t"),
+    ).select("_id", "_g", "_n", (F.col("_p0") + 1).alias("_p"), "_t")
+    prev = F.lag("_p").over(Window.partitionBy("_id", "_t").orderBy("_p"))
+    marked = pos_rows.withColumn("_prev", F.coalesce(prev, F.lit(0)))
+    n = F.col("_n")
+    p = F.col("_p")
+    long_doc = n >= F.lit(w)
+    # valid starts i ∈ [max(1, p−w+1, prev+1), min(p, n−w+1)]
+    lo = F.greatest(F.lit(1), p - F.lit(w - 1), F.col("_prev") + 1)
+    hi = F.least(p, n - F.lit(w - 1))
+    per_pos = F.when(
+        long_doc, F.greatest(F.lit(0), hi - lo + 1)
+    ).otherwise(
+        # short doc: one whole-doc window; p counted iff first occurrence
+        (F.col("_prev") == 0).cast("int")
+    ).cast("long")
+    per_doc_len = df.select(
+        F.col(group_col).alias("_g"),
+        F.size(norm_tokens(F.col(text_col))).alias("_n"),
+    ).select(
+        "_g",
+        F.when(F.col("_n") >= w, (F.col("_n") - w + 1) * w)
+        .otherwise(F.col("_n"))
+        .cast("long")
+        .alias("_len"),
+        F.when(F.col("_n") >= w, F.col("_n") - w + 1)
+        .otherwise(F.when(F.col("_n") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("_nw"),
+    )
+    distinct_sums = marked.groupBy("_g").agg(
+        F.sum(per_pos).cast("long").alias("_dist")
+    )
+    len_sums = per_doc_len.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nw").cast("long").alias("n_windows"),
+        F.sum("_len").cast("long").alias("_len"),
+    )
+    return len_sums.join(distinct_sums, "_g", "left").select(
+        F.col("_g").alias(group_col),
+        "n_docs",
+        "n_windows",
+        F.when(
+            F.col("_len") > 0,
+            F.coalesce(F.col("_dist"), F.lit(0)).cast("double")
+            / F.col("_len").cast("double"),
+        ).alias("mattr"),
+    )
