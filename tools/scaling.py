@@ -224,6 +224,24 @@ def build_scaled(spark, base_dir: str, out_dir: str, factor: int) -> None:
         out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
 
 
+def _cleanup(spark) -> None:
+    """Periodic block-manager GC between queries — the bench.py fix
+    (commit ae6fae6): eagerly localCheckpointed blocks accumulate
+    faster than the weak-ref ContextCleaner reclaims them across
+    hundreds of executions in one session, degrading LATE queries
+    (measured 4.3 → 10.5 s over 18 back-to-back runs without it).
+    The scaling harness runs ~660 executions per chain, so without
+    this the 16x pass (always last) reads inflated — a harness
+    artifact masquerading as a scale defect."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — connect-mode or shim: skip
+        pass
+
+
 def _run_query(spark, qs, name: str, d: str, factor: int) -> None:
     """Run one heavy query against the scaled dir.  ``semantic_dedup``
     is operated as its docstring prescribes — n_clusters ∝ √n — because
@@ -310,7 +328,9 @@ def main() -> None:
         # warm pass then timed pass (steady-state, like bench.py)
         for timed in (False, True):
             row: dict[str, float] = {}
-            for name in heavy:
+            for qi, name in enumerate(heavy):
+                if qi % 20 == 0:
+                    _cleanup(spark)
                 t0 = time.time()
                 _run_query(spark, qs, name, d, factor)
                 row[name] = round(time.time() - t0, 2)
@@ -396,7 +416,9 @@ def extended_main(factors: list[int]) -> None:
             build_scaled(spark, base, d, factor)
         for timed in (False, True):
             row: dict[str, float] = {}
-            for name in EXTENDED:
+            for qi, name in enumerate(EXTENDED):
+                if qi % 20 == 0:
+                    _cleanup(spark)
                 t0 = time.time()
                 _run_query(spark, qs, name, d, factor)
                 row[name] = round(time.time() - t0, 2)
