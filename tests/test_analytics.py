@@ -107,8 +107,14 @@ def test_market_share_bounds_and_plan(tables):
         tables["customer"], tables["orders"], tables["lineitem"],
         tables["supplier"], tables["part"], tables["nation"], tables["region"],
     )
-    assert "SortMergeJoin" not in _plan(df)
+    # broadcast_dim declines the hint on the fact-sized customer/
+    # supplier subtrees (VERDICT r12 #4), so the INITIAL static plan
+    # may show SMJ; the contract is that AQE's runtime stats convert
+    # it — assert on the FINAL adaptive plan after execution
     rows = df.collect()
+    final = _plan(df).split("Initial Plan")[0]
+    assert "isFinalPlan=true" in final or "AdaptiveSparkPlan" not in final
+    assert "SortMergeJoin" not in final
     assert rows
     for r in rows:
         assert 0.0 <= r.mkt_share <= 1.0
