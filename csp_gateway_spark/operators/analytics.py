@@ -9707,13 +9707,16 @@ def jonckheere_terpstra(
     null moments.
 
     Plan: U is additive over the lower cohort, so J = Σ_j U(pooled
-    groups < j, group j) — k−1 pooled two-cohort passes over ONE
-    shared distinct-value collapse (localCheckpointed; each pass is
-    the :func:`mann_whitney_u` machinery: packed two-phase cumulative
-    via ``global_row_number``, no unpartitioned window, no per-group
-    packing-capacity limit).  ``ordered_groups`` is an explicit
-    bounded contract (the ordering IS the hypothesis; ≤ ``max_groups``
-    keeps the pass count bounded).  2J and every null-moment term are
+    groups < j, group j) over ONE shared distinct-value collapse
+    (localCheckpointed).  When the k per-group cumulative counts fit
+    one decimal(38) pack (stride sized from the measured group sizes)
+    ALL pooled passes ride a SINGLE :func:`global_row_number`
+    two-phase cumulative + one aggregate; past that capacity the
+    operator falls back to k−1 two-cohort passes of the
+    :func:`mann_whitney_u` machinery — no unpartitioned window and
+    no silent capacity limit on either path.  ``ordered_groups`` is
+    an explicit bounded contract (the ordering IS the hypothesis;
+    ≤ ``max_groups`` keeps the pass count bounded).  2J and every null-moment term are
     exact integers (2U = 2R_a − n_a(n_a+1); 4E[J] = N² − Σn_j² is
     always even, so 2E is integral too); only the final z divides, in
     the same expression shape on both engines.  Output: one row
@@ -9769,38 +9772,109 @@ def jonckheere_terpstra(
     n_j = [int(mom[f"_n{i}"]) for i in range(k)]
     spark = df.sparkSession
     two_j = 0
-    for j in range(1, k):
-        ca = sum(F.col(f"_c{i}") for i in range(j)).alias("_ca")
-        sub = cells.select("_v", ca, F.col(f"_c{j}").alias("_cb")).filter(
-            (F.col("_ca") > 0) | (F.col("_cb") > 0)
-        )
-        shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
-        packed = sub.withColumn(
-            "_pk",
-            (
-                F.col("_ca").cast("decimal(20,0)") * shift
-                + F.col("_cb").cast("decimal(20,0)")
-            ).cast("decimal(38,0)"),
-        )
+    # FAST PATH: pack all k per-group counts into one decimal and run
+    # ONE two-phase cumulative for every pooled pass together (stride
+    # sized from the now-known group sizes; k·digits must fit the
+    # decimal(38) cap — at the cap boundary the k−1-pass path below
+    # takes over, so there is no silent capacity limit either way).
+    digits = len(str(max(max(n_j), 1))) + 1
+    if k * digits <= 38:
+        # strides can exceed int64 — build the literals from strings
+        def _dlit(v: int):
+            return F.lit(str(v)).cast("decimal(38,0)")
+
+        pk = sum(
+            F.col(f"_c{i}").cast("decimal(38,0)") * _dlit(10 ** (digits * i))
+            for i in range(k)
+        ).cast("decimal(38,0)")
         ranked = global_row_number(
-            packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+            cells.withColumn("_pk", pk), "_v", [], rn_col="_rn",
+            cum_value="_pk", cum_col="_cum",
             small_threshold=TARGET_ROWS_PER_BUCKET,
         )
-        cum_b = F.pmod(F.col("_cum"), shift)
-        cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
-        cnt = (F.col("_ca") + F.col("_cb")).cast("decimal(20,0)")
-        below = (cum_a + cum_b.cast("decimal(38,0)")).cast("decimal(38,0)") - cnt
-        two_ra_term = F.col("_ca").cast("decimal(16,0)") * (
-            F.lit(2).cast("decimal(2,0)") * below + cnt + F.lit(1).cast("decimal(2,0)")
-        ).cast("decimal(20,0)")
-        got = ranked.agg(
-            F.sum("_ca").cast("long").alias("_na"),
-            F.sum("_cb").cast("long").alias("_nb"),
-            F.sum(two_ra_term.cast("decimal(38,0)")).alias("_s2ra"),
-        ).collect()[0]
-        na, nb, s2ra = int(got["_na"]), int(got["_nb"]), int(got["_s2ra"])
-        two_u = s2ra - na * (na + 1)  # 2·U_a = 2·(R_a − n_a(n_a+1)/2)
-        two_j += 2 * na * nb - two_u  # 2·(#(a<b) + ½#(a=b))
+        # unpack the k inclusive cumulative counts (pmod/divide on
+        # exact decimals — the mann_whitney two-field pattern, k-wide)
+        # in ONE projection, so each decimal-division chain is
+        # evaluated once per row instead of once per pooled pass
+        # (the nested chains trip codegen's expression budget)
+        # reduce with pmod BEFORE dividing: the quotient stays < 10^digits,
+        # so the (38,6) division result type can never overflow (dividing
+        # the full pack by 10^0 would put the whole 38-digit value in the
+        # quotient — an ANSI NUMERIC_VALUE_OUT_OF_RANGE at large packs)
+        cums, rem = [], F.col("_cum")
+        for i in range(k):
+            shift_i = _dlit(10 ** (digits * i))
+            if i == k - 1:
+                # top field: rem < 10^(digits·k) already, and 10^(digits·k)
+                # itself may not fit decimal(38,0) when digits·k == 38
+                field = rem - F.pmod(rem, shift_i)
+            else:
+                shift_next = _dlit(10 ** (digits * (i + 1)))
+                field = F.pmod(rem, shift_next) - F.pmod(rem, shift_i)
+            cums.append(
+                (field / shift_i).cast("decimal(20,0)").alias(f"_m{i}")
+            )
+        unpacked = ranked.select(
+            *[F.col(f"_c{i}") for i in range(k)], *cums
+        )
+        pass_sums = []
+        for j in range(1, k):
+            ca = sum(
+                F.col(f"_c{i}").cast("decimal(20,0)") for i in range(j)
+            ).cast("decimal(16,0)")
+            cnt = sum(
+                F.col(f"_c{i}").cast("decimal(20,0)") for i in range(j + 1)
+            ).cast("decimal(20,0)")
+            cum_pool = sum(
+                F.col(f"_m{i}") for i in range(j + 1)
+            ).cast("decimal(20,0)")
+            below = (cum_pool - cnt).cast("decimal(20,0)")
+            term = ca * (
+                F.lit(2).cast("decimal(2,0)") * below
+                + cnt
+                + F.lit(1).cast("decimal(2,0)")
+            ).cast("decimal(20,0)")
+            pass_sums.append(
+                F.sum(term.cast("decimal(38,0)")).alias(f"_s2ra{j}")
+            )
+        got = unpacked.agg(*pass_sums).collect()[0]
+        for j in range(1, k):
+            na, nb = sum(n_j[:j]), n_j[j]
+            two_u = int(got[f"_s2ra{j}"]) - na * (na + 1)
+            two_j += 2 * na * nb - two_u
+    else:
+        for j in range(1, k):
+            ca = sum(F.col(f"_c{i}") for i in range(j)).alias("_ca")
+            sub = cells.select("_v", ca, F.col(f"_c{j}").alias("_cb")).filter(
+                (F.col("_ca") > 0) | (F.col("_cb") > 0)
+            )
+            shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
+            packed = sub.withColumn(
+                "_pk",
+                (
+                    F.col("_ca").cast("decimal(20,0)") * shift
+                    + F.col("_cb").cast("decimal(20,0)")
+                ).cast("decimal(38,0)"),
+            )
+            ranked = global_row_number(
+                packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+                small_threshold=TARGET_ROWS_PER_BUCKET,
+            )
+            cum_b = F.pmod(F.col("_cum"), shift)
+            cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
+            cnt = (F.col("_ca") + F.col("_cb")).cast("decimal(20,0)")
+            below = (cum_a + cum_b.cast("decimal(38,0)")).cast("decimal(38,0)") - cnt
+            two_ra_term = F.col("_ca").cast("decimal(16,0)") * (
+                F.lit(2).cast("decimal(2,0)") * below + cnt + F.lit(1).cast("decimal(2,0)")
+            ).cast("decimal(20,0)")
+            got = ranked.agg(
+                F.sum("_ca").cast("long").alias("_na"),
+                F.sum("_cb").cast("long").alias("_nb"),
+                F.sum(two_ra_term.cast("decimal(38,0)")).alias("_s2ra"),
+            ).collect()[0]
+            na, nb, s2ra = int(got["_na"]), int(got["_nb"]), int(got["_s2ra"])
+            two_u = s2ra - na * (na + 1)  # 2·U_a = 2·(R_a − n_a(n_a+1)/2)
+            two_j += 2 * na * nb - two_u  # 2·(#(a<b) + ½#(a=b))
     big_n = sum(n_j)
     two_e = sum(
         n_j[i] * n_j[jj] for i in range(k) for jj in range(i + 1, k)

@@ -2189,34 +2189,33 @@ def mattr_diversity(
         # short doc: one whole-doc window; p counted iff first occurrence
         (F.col("_prev") == 0).cast("int")
     ).cast("long")
-    per_doc_len = df.select(
-        F.col(group_col).alias("_g"),
-        F.size(norm_tokens(F.col(text_col))).alias("_n"),
-    ).select(
-        "_g",
-        F.when(F.col("_n") >= w, (F.col("_n") - w + 1) * w)
-        .otherwise(F.col("_n"))
+    # group sums in ONE pass over the position rows (the tokenize is
+    # the expensive stage — never run it twice): per-position distinct
+    # contributions sum directly; window/length sums divide each doc's
+    # per-doc constant by its token count n (every doc contributes n
+    # position rows).  Zero-token docs have no position rows, so
+    # n_docs comes from a cheap non-tokenizing count joined back.
+    nw_doc = F.when(long_doc, n - F.lit(w - 1)).otherwise(F.lit(1))
+    len_doc = F.when(long_doc, (n - F.lit(w - 1)) * F.lit(w)).otherwise(n)
+    first_row = F.col("_p") == 1  # exactly one position row per non-empty doc
+    sums = marked.groupBy("_g").agg(
+        F.sum(per_pos).cast("long").alias("_dist"),
+        F.sum(F.when(first_row, nw_doc).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_windows"),
+        F.sum(F.when(first_row, len_doc).otherwise(F.lit(0)))
         .cast("long")
         .alias("_len"),
-        F.when(F.col("_n") >= w, F.col("_n") - w + 1)
-        .otherwise(F.when(F.col("_n") > 0, 1).otherwise(0))
-        .cast("long")
-        .alias("_nw"),
     )
-    distinct_sums = marked.groupBy("_g").agg(
-        F.sum(per_pos).cast("long").alias("_dist")
+    all_docs = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
     )
-    len_sums = per_doc_len.groupBy("_g").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("_nw").cast("long").alias("n_windows"),
-        F.sum("_len").cast("long").alias("_len"),
-    )
-    return len_sums.join(distinct_sums, "_g", "left").select(
+    return all_docs.join(sums, "_g", "left").select(
         F.col("_g").alias(group_col),
         "n_docs",
-        "n_windows",
+        F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
         F.when(
-            F.col("_len") > 0,
+            F.coalesce(F.col("_len"), F.lit(0)) > 0,
             F.coalesce(F.col("_dist"), F.lit(0)).cast("double")
             / F.col("_len").cast("double"),
         ).alias("mattr"),
