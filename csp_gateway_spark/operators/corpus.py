@@ -2168,12 +2168,20 @@ def mattr_diversity(
     w = int(window)
     if w < 1:
         raise ValueError(f"mattr_diversity: window must be >= 1, got {w}")
-    toks = norm_tokens(F.col(text_col))
-    pos_rows = df.select(
+    # materialize the token array in its own projection first: size()
+    # and posexplode() in one select would each re-run the tokenizer
+    # regex (no common-subexpression elimination across generators —
+    # the shingles lesson)
+    tok_rows_df = df.select(
         F.col(id_col).alias("_id"),
         F.col(group_col).alias("_g"),
-        F.size(toks).alias("_n"),
-        F.posexplode(toks).alias("_p0", "_t"),
+        norm_tokens(F.col(text_col)).alias("_tk"),
+    )
+    pos_rows = tok_rows_df.select(
+        "_id",
+        "_g",
+        F.size("_tk").alias("_n"),
+        F.posexplode("_tk").alias("_p0", "_t"),
     ).select("_id", "_g", "_n", (F.col("_p0") + 1).alias("_p"), "_t")
     prev = F.lag("_p").over(Window.partitionBy("_id", "_t").orderBy("_p"))
     marked = pos_rows.withColumn("_prev", F.coalesce(prev, F.lit(0)))
