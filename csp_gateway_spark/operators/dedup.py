@@ -374,27 +374,65 @@ def simhash(
     ``int(md5(tok)[:15], 16)`` (DuckDB:
     ``('0x'||substr(md5(tok),1,15))::BIGINT``) — callers should then
     use ``bits<=60``.
+
+    The per-bit counts aggregate PACKED, 3 bits per long accumulator
+    in 20-bit lanes (lane value = count of tokens with that hash bit
+    set; a lane saturates only past 2^20 distinct tokens per doc —
+    far above any real document): ``bits/3`` sum states per group
+    instead of ``bits``.  At sf0.1 this measures NEUTRAL (the map
+    stage — tokenize + per-token hash — dominates there), but
+    aggregate state is what scales with group count, so the packed
+    form is the 100 TB shape.  Bit i of the simhash is then 1 iff
+    2·cnt1_i > n, identical to the ±1-sum definition the oracle
+    uses.  The remaining ~2.5× oracle ratio on this operator is
+    engine string throughput, not plan shape: the map stage (regex
+    tokenize + array_distinct + per-token hash over ~6M tokens)
+    dominates on both engines, and DuckDB's RE2 regex outruns the
+    JVM's — swapping md5 for xxhash64 recovers only ~0.6 s of it
+    (measured at sf0.1).  The stage is scan-local either way; it
+    parallelizes linearly with partitions at scale.
     """
     h = _md5_base15(F.col("tok")) if oracle_safe else F.xxhash64("tok")
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(norm_tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", h)
-    sums = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"b{i}")
-            for i in range(bits)
-        ]
+    lanes_per_long, lane_bits = 3, 20
+    n_acc = (bits + lanes_per_long - 1) // lanes_per_long
+    packs = []
+    for a in range(n_acc):
+        lane_terms = []
+        for lane in range(lanes_per_long):
+            i = a * lanes_per_long + lane
+            if i >= bits:
+                break
+            lane_terms.append(
+                F.shiftleft(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)).cast("long"),
+                    lane_bits * lane,
+                )
+            )
+        packs.append(sum(lane_terms, F.lit(0).cast("long")).alias(f"p{a}"))
+    sums = toks.select(F.col(id_col), *packs).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(f"p{a}").alias(f"s{a}") for a in range(n_acc)],
     )
+    lane_mask = (1 << lane_bits) - 1
+
+    def _cnt1(i: int):
+        a, lane = divmod(i, lanes_per_long)
+        return F.shiftright(F.col(f"s{a}"), lane_bits * lane).bitwiseAND(
+            F.lit(lane_mask)
+        )
+
     sh = sums.select(
         F.col(id_col),
         sum(
             [
-                F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                    F.lit(0).cast("long")
-                )
+                F.when(
+                    _cnt1(i) * 2 > F.col("_n"),
+                    F.shiftleft(F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long"))
                 for i in range(bits)
             ],
             F.lit(0).cast("long"),
