@@ -379,18 +379,18 @@ def simhash(
     in 20-bit lanes (lane value = count of tokens with that hash bit
     set; a lane saturates only past 2^20 distinct tokens per doc —
     far above any real document): ``bits/3`` sum states per group
-    instead of ``bits``.  At sf0.1 this measures NEUTRAL (the map
-    stage — tokenize + per-token hash — dominates there), but
-    aggregate state is what scales with group count, so the packed
-    form is the 100 TB shape.  Bit i of the simhash is then 1 iff
-    2·cnt1_i > n, identical to the ±1-sum definition the oracle
-    uses.  The remaining ~2.5× oracle ratio on this operator is
-    engine string throughput, not plan shape: the map stage (regex
-    tokenize + array_distinct + per-token hash over ~6M tokens)
-    dominates on both engines, and DuckDB's RE2 regex outruns the
-    JVM's — swapping md5 for xxhash64 recovers only ~0.6 s of it
-    (measured at sf0.1).  The stage is scan-local either way; it
-    parallelizes linearly with partitions at scale.
+    instead of ``bits``.  Bit i of the simhash is then 1 iff
+    2·cnt1_i > n, identical to the ±1-sum definition the oracle uses.
+
+    PLAN-BUILD COST (round-14 root-cause, superseding the r13
+    "regex tokenize" theory): the 2.4× oracle ratio was almost all
+    *driver-side Column construction* — building the 60 packed lane
+    terms + the 60-term reconstruction through the Python Column API
+    issues ~800 py4j round-trips (~1.5 s measured at sf0.1) while the
+    actual execution of the whole job is ~0.3 s.  The bit-twiddling
+    expressions are therefore rendered as SQL strings and bound with
+    ONE ``F.expr`` call per output column (~80 round-trips total);
+    generated code and executed plan are identical.
     """
     h = _md5_base15(F.col("tok")) if oracle_safe else F.xxhash64("tok")
     toks = df.select(
@@ -407,37 +407,28 @@ def simhash(
             if i >= bits:
                 break
             lane_terms.append(
-                F.shiftleft(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)).cast("long"),
-                    lane_bits * lane,
-                )
+                f"shiftleft(cast(shiftright(h, {i}) & 1 as long), {lane_bits * lane})"
             )
-        packs.append(sum(lane_terms, F.lit(0).cast("long")).alias(f"p{a}"))
+        packs.append(F.expr(" + ".join(lane_terms)).alias(f"p{a}"))
     sums = toks.select(F.col(id_col), *packs).groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(f"p{a}").alias(f"s{a}") for a in range(n_acc)],
     )
     lane_mask = (1 << lane_bits) - 1
 
-    def _cnt1(i: int):
+    def _cnt1(i: int) -> str:
         a, lane = divmod(i, lanes_per_long)
-        return F.shiftright(F.col(f"s{a}"), lane_bits * lane).bitwiseAND(
-            F.lit(lane_mask)
-        )
+        return f"(shiftright(s{a}, {lane_bits * lane}) & {lane_mask})"
 
-    sh = sums.select(
-        F.col(id_col),
-        sum(
-            [
-                F.when(
-                    _cnt1(i) * 2 > F.col("_n"),
-                    F.shiftleft(F.lit(1).cast("long"), i),
-                ).otherwise(F.lit(0).cast("long"))
-                for i in range(bits)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
+    # shiftleft(1L, i) instead of a literal: bit 63 ({1<<63}) exceeds
+    # the bigint literal range but is representable as a shift (wraps
+    # to Long.MIN_VALUE, the two's-complement sign bit) — constant-
+    # folded at analysis either way.
+    recon = " + ".join(
+        f"(CASE WHEN {_cnt1(i)} * 2 > _n THEN shiftleft(1L, {i}) ELSE 0L END)"
+        for i in range(bits)
     )
+    sh = sums.select(F.col(id_col), F.expr(recon).alias("simhash"))
     return sh
 
 

@@ -150,6 +150,15 @@ def window_staleness() -> None:
     rounds_in = {
         n: sum(1 for _, keys in history if n in keys) for n in names
     }
+    # never-gated tracking (VERDICT r13 ask #1): how many registry
+    # entries have NEVER appeared in any CORRECTNESS_r*.json window,
+    # and how many of the current window's 50 seats are first-timers.
+    never = [n for n in names if rounds_in[n] == 0]
+    first_timers = [n for n in window if rounds_in[n] == 0]
+    print(
+        f"never-driver-gated: {len(never)} of {len(names)} registry "
+        f"entries; current window seats them: {len(first_timers)}/50"
+    )
     always_in = [n for n in window if rounds_in[n] == len(history)]
     print(
         f"window entries driver-checked in ALL {len(history)} recorded "
