@@ -8445,12 +8445,19 @@ def wasserstein_distance(
     are $312 apart" reads directly.
 
     Same collapsed-ECDF shape: one distinct-value collapse with both
-    cohort counts, one packed decimal cumulative
-    (``global_row_number``), then the step integral
-    Σ|c₁n₂ − c₂n₁|·(v_{i+1} − v_i) accumulates EXACTLY — the rank
-    column turns "next distinct value" into an equi-join on rn+1 (no
-    window) — and divides once by n₁n₂.  Output: one row
-    (n_a, n_b, w1)."""
+    cohort counts and one packed decimal cumulative
+    (``global_row_number``).  The step integral is TELESCOPED
+    (round 14, VERDICT r13 ask #4): with D_i = |c₁ᵢn₂ − c₂ᵢn₁| the
+    classic Σ D_i·(v_{i+1} − v_i) equals Σ v_i·(D_{i−1} − D_i)
+    exactly (D_0 = D_n = 0 kills the boundary terms), and D_{i−1}
+    is derivable PER ROW from the inclusive cumulative minus the
+    row's own counts — so the "next distinct value" rn+1 self-join
+    (which ran single-task over the collapsed frame and dominated
+    the query) disappears; one aggregate over the ranked cells
+    finishes the job.  Every term is an exact decimal (per-cell
+    bound: (ca·n₂ + cb·n₁)·v must fit decimal(38,2) — cohorts to
+    ~10⁹ rows at 10⁹-unit values); divides once by n₁n₂.
+    Output: one row (n_a, n_b, w1)."""
     from csp_gateway_spark.plans.scale import global_row_number
 
     g = F.col(group_col) if isinstance(group_col, str) else group_col
@@ -8463,57 +8470,49 @@ def wasserstein_distance(
             F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
         )
     )
-    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
-    packed = per_val.withColumn(
-        "_pk",
-        (
-            F.col("_ca").cast("decimal(20,0)") * shift
-            + F.col("_cb").cast("decimal(20,0)")
-        ).cast("decimal(38,0)"),
-    )
-    ranked = global_row_number(
-        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
-        small_threshold=TARGET_ROWS_PER_BUCKET,
-    ).localCheckpoint(eager=False)
-    cum_b = F.pmod(F.col("_cum"), shift)
-    cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
-    steps = ranked.select(
-        "_rn",
-        F.col("_v").alias("_vlo"),
-        cum_a.cast("decimal(12,0)").alias("_c1"),
-        cum_b.cast("decimal(12,0)").alias("_c2"),
-        "_ca",
-        "_cb",
-    )
-    nxt = ranked.select((F.col("_rn") - 1).alias("_rn"), F.col("_v").alias("_vhi"))
-    gap = (
-        F.col("_vhi").cast("decimal(19,2)") - F.col("_vlo").cast("decimal(19,2)")
-    ).cast("decimal(13,2)")
-    totals = ranked.agg(F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"))
-    delta = F.abs(
-        F.col("_c1").cast("decimal(19,0)") * F.col("_nb").cast("decimal(12,0)")
-        - F.col("_c2").cast("decimal(19,0)") * F.col("_na").cast("decimal(12,0)")
-    ).cast("decimal(24,0)")
-    # (24,0)×(13,2) → exact decimal(38,2) on both engines for cohorts
-    # ≤ 10¹¹ rows and value spans ≤ 10¹¹ units
-    summed = (
-        steps.join(nxt, "_rn")
-        .crossJoin(F.broadcast(totals))
-        .agg(
-            F.coalesce(
-                F.sum((delta * gap).cast("decimal(38,2)")),
-                F.lit(0).cast("decimal(38,2)"),
-            ).alias("_s"),
-            F.max("_na").alias("_na"),
-            F.max("_nb").alias("_nb"),
+    per_val = per_val.localCheckpoint(eager=True)
+    head = per_val.agg(
+        F.count(F.lit(1)).cast("long").alias("_ncells"),
+        F.sum("_ca").cast("long").alias("_na"),
+        F.sum("_cb").cast("long").alias("_nb"),
+    ).collect()[0]
+    n_a, n_b = int(head["_na"]), int(head["_nb"])
+    spark = df.sparkSession
+    if n_a == 0 or n_b == 0:
+        return spark.createDataFrame(
+            [(n_a, n_b, None)], "n_a long, n_b long, w1 double"
         )
+    # cohort totals ride as LITERALS (the head aggregate above already
+    # paid for them), so there is no broadcast-totals sub-job; the two
+    # per-group running counts ride the cumulative as plain longs —
+    # no decimal packing, no pmod/divide unpack
+    ranked = global_row_number(
+        per_val, "_v", [], rn_col="_rn",
+        cum_values=[("_ca", "_ma"), ("_cb", "_mb")],
+        small_threshold=TARGET_ROWS_PER_BUCKET,
+        known_count=int(head["_ncells"]),
     )
-    na = F.col("_na").cast("double")
-    nb = F.col("_nb").cast("double")
+    na12 = F.lit(n_a).cast("decimal(12,0)")
+    nb12 = F.lit(n_b).cast("decimal(12,0)")
+
+    def _d(c1, c2):
+        return F.abs(
+            c1.cast("decimal(19,0)") * nb12 - c2.cast("decimal(19,0)") * na12
+        ).cast("decimal(25,0)")
+
+    d_cur = _d(F.col("_ma"), F.col("_mb"))
+    d_prev = _d(F.col("_ma") - F.col("_ca"), F.col("_mb") - F.col("_cb"))
+    term = (
+        F.col("_v").cast("decimal(19,2)")
+        * (d_prev - d_cur).cast("decimal(18,0)")
+    ).cast("decimal(38,2)")
+    summed = ranked.agg(
+        F.coalesce(F.sum(term), F.lit(0).cast("decimal(38,2)")).alias("_s"),
+    )
     return _finalize_bounded(summed.select(
-        F.col("_na").cast("long").alias("n_a"),
-        F.col("_nb").cast("long").alias("n_b"),
-        (F.col("_s").cast("double") / (na * nb)).alias("w1"),
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        (F.col("_s").cast("double") / F.lit(float(n_a) * float(n_b))).alias("w1"),
     ))
 
 
@@ -9243,6 +9242,13 @@ def theil_sen_slope(
             (F.col("_x2") - F.col("_x")).cast("double"),
         ).alias("_s")
     )
+    # Materialize the slope population ONCE (round 14, VERDICT r13
+    # ask #3): every probe level plus the resolution pass scans
+    # ``slopes``; un-checkpointed, each of those ~4 jobs re-runs the
+    # O(n²) fan-out (~0.7 s/pass at sf0.1).  The frame is bounded by
+    # the max_pairs contract checked above (≤ 8M doubles ≈ 64 MB),
+    # so this is a bounded intermediate, not an unbounded spill.
+    slopes = slopes.localCheckpoint(eager=True)
     got = probe_order_stats(
         slopes, "_s",
         {"lo": (n_pairs + n_pairs % 2) // 2, "hi": (n_pairs - n_pairs % 2) // 2 + 1},
@@ -9270,34 +9276,44 @@ def probe_order_stats(
     ``ranks`` maps name → 1-based global rank over ``values[col]``
     ascending (the caller knows the total, e.g. from a count).  Each
     level runs ONE map-combined job: every still-unresolved region
-    range-buckets its rows into ``probe_buckets`` linear sub-ranges
-    (a single chained-CASE projection tags (region, bucket), so k
-    simultaneous quantiles still cost one pass), the driver keeps
-    only the buckets containing target ranks, and regions at or below
-    ``refine_cap`` rows stop refining.  The final pass groups the
-    surviving regions' cells and reads the boundary values under a
-    REGION-partitioned window with exact driver offsets — no
-    unpartitioned window, no full-frame sort, and heavy-tailed value
-    ranges (where a linear split puts ~all mass in one bucket) just
-    cost another ~1 job instead of a single-task cumulative.  Region
-    membership composes the exact bucket EXPRESSIONS, so double
-    rounding can never misplace a value across levels.  Driver state
-    is bounded: ≤ probe_buckets·regions count rows per level,
-    ≤ len(ranks) result rows.  Returns name → float value."""
+    range-buckets its rows into ``probe_buckets`` sub-ranges (a single
+    chained-CASE projection tags (region, bucket), so k simultaneous
+    quantiles still cost one pass), the driver keeps only the buckets
+    containing target ranks, and regions at or below ``refine_cap``
+    rows stop refining.  The final pass groups the surviving regions'
+    cells and reads the boundary values under a REGION-partitioned
+    window with exact driver offsets — no unpartitioned window, no
+    full-frame sort.  Region membership composes the exact bucket
+    EXPRESSIONS, so double rounding can never misplace a value across
+    levels.  Driver state is bounded: ≤ probe_buckets·regions count
+    rows per level, ≤ len(ranks) result rows.
+
+    Round 14 (VERDICT r13 ask #3): buckets split a SIGNED-LOG axis
+    ``sign(v)·log1p(|v|)`` over the observed transformed [min, max]
+    instead of a linear split of the raw range.  The transform is
+    monotonic, so rank arithmetic is unchanged, and exactness never
+    depended on where the boundaries fall (filters compose the bucket
+    expressions).  The win is heavy-tailed inputs — pairwise slopes,
+    where a few adjacent-x pairs blow the raw range so wide that the
+    linear split put ~all mass in one bucket and each extra level cost
+    a full re-evaluation of the O(n²) fan-out (~1 s) — now spread
+    across the log grid and resolve in 1-2 levels in the common case.
+    Returns name → float value."""
     from pyspark.sql import Window
 
+    p = int(probe_buckets)
+    t_expr = F.signum(F.col(col)) * F.log1p(F.abs(F.col(col)))
     stats = values.agg(
-        F.min(col).alias("_mn"), F.max(col).alias("_mx")
+        F.min(t_expr).alias("_mn"), F.max(t_expr).alias("_mx")
     ).collect()[0]
     if stats["_mn"] is None:
         raise ValueError("probe_order_stats: empty input")
-    p = int(probe_buckets)
-    # region: (filter_expr|None, lo_v, hi_v, base_off, {name: rank}, n_rows|None)
+    # region: (filter_expr|None, lo_t, hi_t, base_off, {name: rank}, n_rows|None)
     regions = [
         (None, float(stats["_mn"]), float(stats["_mx"]), 0, dict(ranks), None)
     ]
     final_regions = []
-    for _ in range(max_levels):
+    for level in range(max_levels):
         live = []
         for r in regions:
             # NOTE: membership tests would invoke Column.__eq__ on the
@@ -9318,13 +9334,13 @@ def probe_order_stats(
                 F.greatest(
                     F.lit(0),
                     F.floor(
-                        (F.col(col) - F.lit(lo_v)) / F.lit(span) * F.lit(p)
+                        (t_expr - F.lit(lo_v)) / F.lit(span) * F.lit(p)
                     ).cast("int"),
                 ),
             )
             bexprs.append(bexpr)
             t = F.struct(F.lit(i).alias("_ri"), bexpr.alias("_pb"))
-            cond = filt if filt is not None else F.lit(True)
+            cond = filt if filt is not None else F.col(col).isNotNull()
             tag = F.when(cond, t) if tag is None else tag.when(cond, t)
         counts = (
             values.select(tag.alias("_t"))
@@ -9333,6 +9349,8 @@ def probe_order_stats(
             .agg(F.count(F.lit(1)).alias("_c"))
             .collect()
         )
+        if level == 0 and not counts:
+            raise ValueError("probe_order_stats: empty input")
         pc: dict = {}
         for r in counts:
             pc.setdefault(int(r["_ri"]), {})[int(r["_pb"])] = int(r["_c"])
@@ -9372,7 +9390,7 @@ def probe_order_stats(
     # a REGION-partitioned window, read off the boundary values
     tag = None
     for i, (filt, _lo, _hi, _off, _rks, _n) in enumerate(final_regions):
-        cond = filt if filt is not None else F.lit(True)
+        cond = filt if filt is not None else F.col(col).isNotNull()
         tag = F.when(cond, F.lit(i)) if tag is None else tag.when(cond, F.lit(i))
     cells = (
         values.select(tag.alias("_ri"), F.col(col).alias("_v"))
@@ -9708,13 +9726,12 @@ def jonckheere_terpstra(
 
     Plan: U is additive over the lower cohort, so J = Σ_j U(pooled
     groups < j, group j) over ONE shared distinct-value collapse
-    (localCheckpointed).  When the k per-group cumulative counts fit
-    one decimal(38) pack (stride sized from the measured group sizes)
-    ALL pooled passes ride a SINGLE :func:`global_row_number`
-    two-phase cumulative + one aggregate; past that capacity the
-    operator falls back to k−1 two-cohort passes of the
-    :func:`mann_whitney_u` machinery — no unpartitioned window and
-    no silent capacity limit on either path.  ``ordered_groups`` is
+    (localCheckpointed).  ALL pooled passes ride a SINGLE
+    :func:`global_row_number` two-phase cumulative carrying the k
+    per-group running counts as k plain LONG columns
+    (``cum_values``) + one aggregate — three actions total (collapse,
+    moments, pass sums), no unpartitioned window, no pack-capacity
+    ceiling.  ``ordered_groups`` is
     an explicit bounded contract (the ordering IS the hypothesis;
     ≤ ``max_groups`` keeps the pass count bounded).  2J and every null-moment term are
     exact integers (2U = 2R_a − n_a(n_a+1); 4E[J] = N² − Σn_j² is
@@ -9753,6 +9770,7 @@ def jonckheere_terpstra(
     t12 = t.cast("decimal(12,0)")
     tt1 = (t12 * (t - one).cast("decimal(12,0)")).cast("decimal(25,0)")
     mom = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("_ncells"),
         *[F.sum(f"_c{i}").cast("long").alias(f"_n{i}") for i in range(k)],
         F.sum(
             tt1
@@ -9769,112 +9787,56 @@ def jonckheere_terpstra(
             )
         ).cast("decimal(38,0)").alias("_t2"),
     ).collect()[0]
-    n_j = [int(mom[f"_n{i}"]) for i in range(k)]
     spark = df.sparkSession
+    if int(mom["_ncells"]) == 0:
+        # empty after filtering (no rows in the ordered groups / all
+        # values NULL): the driver-side sums come back NULL and would
+        # crash as int(None) — return the degenerate row instead
+        # (ADVICE r13)
+        return spark.createDataFrame(
+            [(0, k, 0, None)], "n long, k long, jt2 long, z double"
+        )
+    n_j = [int(mom[f"_n{i}"]) for i in range(k)]
     two_j = 0
-    # FAST PATH: pack all k per-group counts into one decimal and run
-    # ONE two-phase cumulative for every pooled pass together (stride
-    # sized from the now-known group sizes; k·digits must fit the
-    # decimal(38) cap — at the cap boundary the k−1-pass path below
-    # takes over, so there is no silent capacity limit either way).
-    digits = len(str(max(max(n_j), 1))) + 1
-    if k * digits <= 38:
-        # strides can exceed int64 — build the literals from strings
-        def _dlit(v: int):
-            return F.lit(str(v)).cast("decimal(38,0)")
-
-        pk = sum(
-            F.col(f"_c{i}").cast("decimal(38,0)") * _dlit(10 ** (digits * i))
-            for i in range(k)
-        ).cast("decimal(38,0)")
-        ranked = global_row_number(
-            cells.withColumn("_pk", pk), "_v", [], rn_col="_rn",
-            cum_value="_pk", cum_col="_cum",
-            small_threshold=TARGET_ROWS_PER_BUCKET,
+    # ALL k per-group inclusive cumulative counts ride ONE two-phase
+    # cumulative as k plain LONG running totals (global_row_number's
+    # cum_values, added round 14).  The previous form packed the k
+    # counts into one decimal(38) and unpacked with pmod/divide chains
+    # — ~10 BigDecimal ops per row that measured 1.3 s of this
+    # query's 2.6 s final aggregate at sf0.1 AND imposed a k·digits
+    # ≤ 38 capacity ceiling with a k-pass fallback.  k long columns
+    # stay inside whole-stage codegen and have no capacity limit, so
+    # the fallback is gone.  known_count: the moments aggregate above
+    # already counted the checkpointed cells — skip global_row_number's
+    # redundant re-checkpoint + count pair (VERDICT r13 ask #4).
+    ranked = global_row_number(
+        cells, "_v", [], rn_col="_rn",
+        cum_values=[(f"_c{i}", f"_m{i}") for i in range(k)],
+        small_threshold=TARGET_ROWS_PER_BUCKET,
+        known_count=int(mom["_ncells"]),
+    )
+    # pooled-pass terms: 2R_a(pass j) = Σ_cells ca_j·(2·below + cnt + 1)
+    # with below = cum_pool − cnt; counts/cums are longs, products are
+    # cast to exact decimals only where they can exceed int64
+    pass_sums = []
+    for j in range(1, k):
+        ca = sum(F.col(f"_c{i}") for i in range(j)).cast("decimal(16,0)")
+        cnt = sum(F.col(f"_c{i}") for i in range(j + 1))
+        cum_pool = sum(F.col(f"_m{i}") for i in range(j + 1))
+        below = (cum_pool - cnt).cast("decimal(20,0)")
+        term = ca * (
+            F.lit(2).cast("decimal(2,0)") * below
+            + cnt.cast("decimal(20,0)")
+            + F.lit(1).cast("decimal(2,0)")
+        ).cast("decimal(20,0)")
+        pass_sums.append(
+            F.sum(term.cast("decimal(38,0)")).alias(f"_s2ra{j}")
         )
-        # unpack the k inclusive cumulative counts (pmod/divide on
-        # exact decimals — the mann_whitney two-field pattern, k-wide)
-        # in ONE projection, so each decimal-division chain is
-        # evaluated once per row instead of once per pooled pass
-        # (the nested chains trip codegen's expression budget)
-        # reduce with pmod BEFORE dividing: the quotient stays < 10^digits,
-        # so the (38,6) division result type can never overflow (dividing
-        # the full pack by 10^0 would put the whole 38-digit value in the
-        # quotient — an ANSI NUMERIC_VALUE_OUT_OF_RANGE at large packs)
-        cums, rem = [], F.col("_cum")
-        for i in range(k):
-            shift_i = _dlit(10 ** (digits * i))
-            if i == k - 1:
-                # top field: rem < 10^(digits·k) already, and 10^(digits·k)
-                # itself may not fit decimal(38,0) when digits·k == 38
-                field = rem - F.pmod(rem, shift_i)
-            else:
-                shift_next = _dlit(10 ** (digits * (i + 1)))
-                field = F.pmod(rem, shift_next) - F.pmod(rem, shift_i)
-            cums.append(
-                (field / shift_i).cast("decimal(20,0)").alias(f"_m{i}")
-            )
-        unpacked = ranked.select(
-            *[F.col(f"_c{i}") for i in range(k)], *cums
-        )
-        pass_sums = []
-        for j in range(1, k):
-            ca = sum(
-                F.col(f"_c{i}").cast("decimal(20,0)") for i in range(j)
-            ).cast("decimal(16,0)")
-            cnt = sum(
-                F.col(f"_c{i}").cast("decimal(20,0)") for i in range(j + 1)
-            ).cast("decimal(20,0)")
-            cum_pool = sum(
-                F.col(f"_m{i}") for i in range(j + 1)
-            ).cast("decimal(20,0)")
-            below = (cum_pool - cnt).cast("decimal(20,0)")
-            term = ca * (
-                F.lit(2).cast("decimal(2,0)") * below
-                + cnt
-                + F.lit(1).cast("decimal(2,0)")
-            ).cast("decimal(20,0)")
-            pass_sums.append(
-                F.sum(term.cast("decimal(38,0)")).alias(f"_s2ra{j}")
-            )
-        got = unpacked.agg(*pass_sums).collect()[0]
-        for j in range(1, k):
-            na, nb = sum(n_j[:j]), n_j[j]
-            two_u = int(got[f"_s2ra{j}"]) - na * (na + 1)
-            two_j += 2 * na * nb - two_u
-    else:
-        for j in range(1, k):
-            ca = sum(F.col(f"_c{i}") for i in range(j)).alias("_ca")
-            sub = cells.select("_v", ca, F.col(f"_c{j}").alias("_cb")).filter(
-                (F.col("_ca") > 0) | (F.col("_cb") > 0)
-            )
-            shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
-            packed = sub.withColumn(
-                "_pk",
-                (
-                    F.col("_ca").cast("decimal(20,0)") * shift
-                    + F.col("_cb").cast("decimal(20,0)")
-                ).cast("decimal(38,0)"),
-            )
-            ranked = global_row_number(
-                packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
-                small_threshold=TARGET_ROWS_PER_BUCKET,
-            )
-            cum_b = F.pmod(F.col("_cum"), shift)
-            cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
-            cnt = (F.col("_ca") + F.col("_cb")).cast("decimal(20,0)")
-            below = (cum_a + cum_b.cast("decimal(38,0)")).cast("decimal(38,0)") - cnt
-            two_ra_term = F.col("_ca").cast("decimal(16,0)") * (
-                F.lit(2).cast("decimal(2,0)") * below + cnt + F.lit(1).cast("decimal(2,0)")
-            ).cast("decimal(20,0)")
-            got = ranked.agg(
-                F.sum("_ca").cast("long").alias("_na"),
-                F.sum("_cb").cast("long").alias("_nb"),
-                F.sum(two_ra_term.cast("decimal(38,0)")).alias("_s2ra"),
-            ).collect()[0]
-            na, nb, s2ra = int(got["_na"]), int(got["_nb"]), int(got["_s2ra"])
-            two_u = s2ra - na * (na + 1)  # 2·U_a = 2·(R_a − n_a(n_a+1)/2)
-            two_j += 2 * na * nb - two_u  # 2·(#(a<b) + ½#(a=b))
+    got = ranked.agg(*pass_sums).collect()[0]
+    for j in range(1, k):
+        na, nb = sum(n_j[:j]), n_j[j]
+        two_u = int(got[f"_s2ra{j}"]) - na * (na + 1)  # 2·U_a
+        two_j += 2 * na * nb - two_u  # 2·(#(a<b) + ½#(a=b))
     big_n = sum(n_j)
     two_e = sum(
         n_j[i] * n_j[jj] for i in range(k) for jj in range(i + 1, k)

@@ -237,8 +237,7 @@ def _small_global_row_number(
     rn_col: str,
     ascending: bool,
     keep_cols: Optional[Sequence[str]],
-    cum_value: Optional[str],
-    cum_col: str,
+    cum_pairs: Sequence,
     n_total: int,
 ) -> DataFrame:
     """Single-bucket fast path of :func:`global_row_number` for a
@@ -267,21 +266,20 @@ def _small_global_row_number(
     out = counted.withColumn(
         rn_col, F.row_number().over(w).cast("long")
     )
-    if cum_value is not None:
-        cum = F.sum(F.col(cum_value)).over(
+    for in_col, out_col in cum_pairs:
+        cum = F.sum(F.col(in_col)).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         )
         # match the bucketed path's cum type exactly: its offsets fold
         # with a decimal(38,s) init, so decimals widen to (38,s)
-        in_dt = df.schema[cum_value].dataType
+        in_dt = df.schema[in_col].dataType
         if isinstance(in_dt, DecimalType):
             cum = cum.cast(DecimalType(38, in_dt.scale))
-        out = out.withColumn(cum_col, cum)
+        out = out.withColumn(out_col, cum)
     out = out.drop("_gr_bkt")
     if keep_cols is not None:
         keep = [*keep_cols, "_n_total", rn_col]
-        if cum_value is not None:
-            keep.append(cum_col)
+        keep.extend(out_col for _in, out_col in cum_pairs)
         out = out.select(*keep)
     return out
 
@@ -300,6 +298,8 @@ def global_row_number(
     cum_col: str = "_cum",
     checkpoint: bool = False,
     small_threshold: Optional[int] = None,
+    known_count: Optional[int] = None,
+    cum_values: Optional[Sequence] = None,
 ) -> DataFrame:
     """Distributed global ``row_number`` over ``(metric, *tiebreaks)``
     without a single-task unpartitioned window.
@@ -358,16 +358,42 @@ def global_row_number(
     no offset packing, no broadcast offset join).  Above the threshold
     the full bucketed machinery re-engages unchanged, so the plan
     still never funnels a large frame through one task.
+
+    ``known_count``: exact row count of ``df`` the CALLER already paid
+    a job for (e.g. an upstream moments aggregate over the same
+    checkpointed frame).  With ``small_threshold``, skips this
+    function's own checkpoint+count pair — the caller vouches both
+    that the count is exact and that ``df`` is already materialized
+    (or cheap to evaluate per consumer).
+
+    ``cum_values``: sequence of ``(in_col, out_col)`` pairs for
+    SEVERAL exact running totals in one pass — the k-column form of
+    ``cum_value``/``cum_col`` (mutually exclusive with them).  Added
+    round 14: callers that packed k counts into one decimal(38) to
+    ride the single-``cum_value`` API paid ~10 BigDecimal pmod/divide
+    ops per row to unpack (measured 1.3 s of jonckheere's 2.6 s final
+    aggregate at sf0.1); k plain long cumulatives stay in codegen and
+    remove any pack-capacity ceiling.  Per-bucket offset state grows
+    from 1 to k values per bucket — broadcast-sized either way.
     """
     from pyspark.sql import Window
 
+    if cum_values is not None:
+        if cum_value is not None:
+            raise ValueError("pass cum_value or cum_values, not both")
+        cum_pairs = [tuple(p) for p in cum_values]
+    else:
+        cum_pairs = [(cum_value, cum_col)] if cum_value is not None else []
     if small_threshold is not None:
-        df = df.localCheckpoint(eager=True)
-        n_small = df.count()
+        if known_count is not None:
+            n_small = int(known_count)
+        else:
+            df = df.localCheckpoint(eager=True)
+            n_small = df.count()
         if n_small <= int(small_threshold):
             return _small_global_row_number(
                 df, metric, tiebreaks, rn_col, ascending,
-                keep_cols, cum_value, cum_col, n_small,
+                keep_cols, cum_pairs, n_small,
             )
     elif checkpoint:
         df = df.localCheckpoint(eager=False)
@@ -402,19 +428,19 @@ def global_row_number(
     # into a single broadcast map row whose prefix offsets are an
     # expression scan — no triangular join, no offset shuffle
     count_aggs = [F.count(F.lit(1)).alias("_gr_cnt")]
-    if cum_value is not None:
-        count_aggs.append(F.sum(F.col(cum_value)).alias("_gr_vsum"))
+    for j, (in_col, _out) in enumerate(cum_pairs):
+        count_aggs.append(F.sum(F.col(in_col)).alias(f"_gr_vsum{j}"))
     counts = bucketed.groupBy("_gr_bkt").agg(*count_aggs)
     pack_aggs = [
         F.map_from_entries(
             F.collect_list(F.struct("_gr_bkt", "_gr_cnt"))
         ).alias("_cm")
     ]
-    if cum_value is not None:
+    for j in range(len(cum_pairs)):
         pack_aggs.append(
             F.map_from_entries(
-                F.collect_list(F.struct("_gr_bkt", "_gr_vsum"))
-            ).alias("_vm")
+                F.collect_list(F.struct("_gr_bkt", f"_gr_vsum{j}"))
+            ).alias(f"_vm{j}")
         )
     packed = counts.agg(*pack_aggs)
     # offset-array length from the max OBSERVED bucket id (≤ nb − 1):
@@ -436,26 +462,29 @@ def global_row_number(
             lambda i: F.aggregate(F.slice(cnt_arr, 1, i), zl, lambda a, x: a + x),
         ).alias("_gr_offs")
     ]
-    if cum_value is not None:
+    for j in range(len(cum_pairs)):
         from pyspark.sql.types import DecimalType
 
-        sum_dt = packed.schema["_vm"].dataType.valueType
+        sum_dt = packed.schema[f"_vm{j}"].dataType.valueType
         vzero = F.lit(0).cast(sum_dt)
         vinit = (
             F.lit(0).cast(DecimalType(38, sum_dt.scale))
             if isinstance(sum_dt, DecimalType)
             else F.lit(0).cast(sum_dt)
         )
-        v_arr = F.transform(
-            seq, lambda i: F.coalesce(F.element_at(F.col("_vm"), i), vzero)
-        )
+
+        def _mk_v_at(_j, _vz):
+            return lambda i: F.coalesce(F.element_at(F.col(f"_vm{_j}"), i), _vz)
+
+        v_arr = F.transform(seq, _mk_v_at(j, vzero))
+
+        def _mk_off(_v, _init):
+            return lambda i: F.aggregate(
+                F.slice(_v, 1, i), _init, lambda a, x: a + x
+            )
+
         off_cols.append(
-            F.transform(
-                seq,
-                lambda i: F.aggregate(
-                    F.slice(v_arr, 1, i), vinit, lambda a, x: a + x
-                ),
-            ).alias("_gr_voffs")
+            F.transform(seq, _mk_off(v_arr, vinit)).alias(f"_gr_voffs{j}")
         )
     offs = packed.select(*off_cols)
     idx1 = F.col("_gr_bkt") + F.lit(1)
@@ -465,18 +494,17 @@ def global_row_number(
         rn_col,
         (F.element_at(F.col("_gr_offs"), idx1) + F.row_number().over(w)).cast("long"),
     )
-    if cum_value is not None:
-        local_cum = F.sum(F.col(cum_value)).over(
+    for j, (in_col, out_col) in enumerate(cum_pairs):
+        local_cum = F.sum(F.col(in_col)).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         )
         out = out.withColumn(
-            cum_col, F.element_at(F.col("_gr_voffs"), idx1) + local_cum
-        ).drop("_gr_voffs")
+            out_col, F.element_at(F.col(f"_gr_voffs{j}"), idx1) + local_cum
+        ).drop(f"_gr_voffs{j}")
     out = out.drop("_gr_bkt", "_gr_offs")
     if keep_cols is not None:
         keep = [*keep_cols, "_n_total", rn_col]
-        if cum_value is not None:
-            keep.append(cum_col)
+        keep.extend(out_col for _in, out_col in cum_pairs)
         out = out.select(*keep)
     return out
 
