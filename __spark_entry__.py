@@ -43,8 +43,13 @@ def _gate_tmpdir(prefix: str) -> str:
 #: (session, dir, table).  Keyed on the session OBJECT via a
 #: WeakKeyDictionary — not id(spark), whose CPython address can be
 #: reused by a NEW session of the same context after GC (returning a
-#: frame bound to the dead session) — and dead sessions' entries
-#: evict themselves.
+#: frame bound to the dead session).  NOTE (ADVICE r13): the weak
+#: keying only guards against id reuse; it does NOT self-evict —
+#: cached DataFrames strongly reference their SparkSession, and
+#: WeakKeyDictionary values are strong refs, so each entry keeps its
+#: key alive for the process lifetime.  Acceptable here: the bench
+#: and gate harnesses run a single session per process, so the cache
+#: is bounded by (dirs × tables).
 import weakref
 
 _T_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()

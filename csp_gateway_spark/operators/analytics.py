@@ -9866,8 +9866,9 @@ def jonckheere_terpstra(
 
 def cochran_armitage(
     df: DataFrame,
-    score_col: str,
+    score_col,
     outcome_col,
+    score_scale: int = 2,
 ) -> DataFrame:
     """Cochran-Armitage trend test: does a BINARY outcome's success
     rate trend linearly with an ordered numeric score (dose, bucket
@@ -9884,23 +9885,36 @@ def cochran_armitage(
     exact decimals; the statistic is a closed form over five exact
     sums, identical on both engines.  z carries the trend's sign
     (positive = success rate rises with the score).  Output: one row
-    (n, successes, z, chi2)."""
-    w = F.col(score_col).cast("decimal(18,2)")
-    y = F.col(outcome_col) if not isinstance(outcome_col, str) else F.col(outcome_col)
+    (n, successes, z, chi2).
+
+    SCORE QUANTIZATION CONTRACT (ADVICE r13): scores are cast to
+    ``decimal(18, score_scale)`` — default 2 decimal places — BEFORE
+    the sums, so finer-grained doses (0.001 increments) are rounded
+    and would shift z/χ² silently.  Pass a larger ``score_scale``
+    (≤ 16) for finer scores; the exact-decimal bound then becomes
+    |score| < 10^(18−score_scale).  ``score_col``/``outcome_col``
+    accept a name or a Column (the jonckheere group_col pattern)."""
+    if not (0 <= int(score_scale) <= 16):
+        raise ValueError("cochran_armitage: score_scale must be in 0..16")
+    sdt = f"decimal(18,{int(score_scale)})"
+    w = (
+        F.col(score_col) if isinstance(score_col, str) else score_col
+    ).cast(sdt)
+    y = F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
     base = df.filter(w.isNotNull() & y.isNotNull()).select(
         w.alias("_w"), y.cast("int").alias("_y")
     )
     sums = base.agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("_y").cast("long").alias("_r"),
-        F.sum("_w").cast("decimal(38,2)").alias("_sw"),
+        F.sum("_w").cast(f"decimal(38,{int(score_scale)})").alias("_sw"),
         F.sum(
-            (F.col("_w").cast("decimal(18,2)") * F.col("_w").cast("decimal(18,2)")).cast(
-                "decimal(38,4)"
+            (F.col("_w").cast(sdt) * F.col("_w").cast(sdt)).cast(
+                f"decimal(38,{2 * int(score_scale)})"
             )
         ).alias("_sw2"),
-        F.sum(F.when(F.col("_y") == 1, F.col("_w")).otherwise(F.lit(0).cast("decimal(18,2)")))
-        .cast("decimal(38,2)")
+        F.sum(F.when(F.col("_y") == 1, F.col("_w")).otherwise(F.lit(0).cast(sdt)))
+        .cast(f"decimal(38,{int(score_scale)})")
         .alias("_t"),
     )
     n = F.col("_n").cast("double")

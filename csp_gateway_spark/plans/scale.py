@@ -76,12 +76,36 @@ def broadcast_dim(df: DataFrame) -> DataFrame:
     per-group threshold) keep the hint: their cardinality is bounded
     by the group domain, which the call site vouches for.  Join
     results stay identical either way — only the physical strategy
-    moves."""
+    moves.
+
+    The check WALKS the analyzed plan (node class names + every
+    node's output attribute names) instead of substring-matching
+    ``toString()`` — the rendered form truncates attribute lists at
+    ``spark.sql.debug.maxToStringFields`` (default 25), which could
+    elide a key attribute on a wide fact frame and silently keep the
+    forced broadcast, and a string literal containing a key name
+    could spuriously decline the hint (ADVICE r13).  Outputs are
+    collected from ALL nodes, not only leaf scans, so a fact key
+    surfaced by a Project alias still declines; string literals never
+    appear in output attribute names, so they can't spuriously
+    match."""
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
+        classes: List[str] = []
+        attrs: List[str] = []
+
+        def _walk(node) -> None:
+            classes.append(node.getClass().getSimpleName())
+            out = node.output()
+            for i in range(out.size()):
+                attrs.append(out.apply(i).name())
+            ch = node.children()
+            for i in range(ch.size()):
+                _walk(ch.apply(i))
+
+        _walk(df._jdf.queryExecution().analyzed())
     except Exception:  # noqa: BLE001 — connect-mode/shim: keep the hint
         return F.broadcast(df)
-    if "Aggregate" not in plan and any(a in plan for a in _FACT_KEY_ATTRS):
+    if "Aggregate" not in classes and any(a in _FACT_KEY_ATTRS for a in attrs):
         return df
     return F.broadcast(df)
 

@@ -153,3 +153,70 @@ def test_mattr_brute_force(spark):
     assert got["s2"].mattr < got["s1"].mattr
     with pytest.raises(ValueError, match="window"):
         mattr_diversity(df, window=0)
+
+
+def test_jonckheere_empty_input_degenerate_row(spark):
+    """ADVICE r13: empty after filtering must return (n=0, k, jt2=0,
+    z=NULL), not crash with int(None)."""
+    from csp_gateway_spark.operators.analytics import jonckheere_terpstra
+
+    df = spark.createDataFrame([("zz", 1.0)], "grp string, v double")
+    r = jonckheere_terpstra(
+        df.filter(F.col("grp") == "nope"), "grp", "v", ["a", "b"]
+    ).collect()[0]
+    assert (r["n"], r["k"], r["jt2"], r["z"]) == (0, 2, 0, None)
+    # all values NULL is the same degenerate case
+    df2 = spark.createDataFrame([("a", None), ("b", None)], "grp string, v double")
+    r2 = jonckheere_terpstra(df2, "grp", "v", ["a", "b"]).collect()[0]
+    assert (r2["n"], r2["jt2"], r2["z"]) == (0, 0, None)
+
+
+def test_cochran_armitage_column_args_and_score_scale(spark):
+    """ADVICE r13: outcome_col/score_col accept Columns (jonckheere's
+    group_col pattern), and score_scale widens the quantization
+    contract past the decimal(18,2) default."""
+    from csp_gateway_spark.operators.analytics import cochran_armitage
+
+    rows = [(0.001 * i, 1 if i > 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "dose double, hit int")
+    # Column-typed args must behave exactly like names
+    by_name = cochran_armitage(df, "dose", "hit", score_scale=3).collect()[0]
+    by_col = cochran_armitage(
+        df, F.col("dose"), F.col("hit") > 0, score_scale=3
+    ).collect()[0]
+    assert by_name["n"] == by_col["n"] == 100
+    assert by_name["z"] == pytest.approx(by_col["z"], rel=1e-12)
+    # at the default 2-dp contract the 0.001-grained doses quantize:
+    # scale=3 must differ from scale=2 (documents the contract is real)
+    coarse = cochran_armitage(df, "dose", "hit").collect()[0]
+    assert coarse["z"] != pytest.approx(by_name["z"], rel=1e-9)
+    with pytest.raises(ValueError, match="score_scale"):
+        cochran_armitage(df, "dose", "hit", score_scale=17)
+
+
+def test_broadcast_dim_decline_survives_tostring_truncation(spark):
+    """ADVICE r13: the fact-sized decline must use a structured plan
+    walk, not analyzed().toString() — the string form truncates
+    attribute lists at spark.sql.debug.maxToStringFields (default 25),
+    which can elide the key attribute on a wide frame, and a string
+    LITERAL containing a key name must not spuriously decline."""
+    from csp_gateway_spark.plans.scale import broadcast_dim
+
+    def hinted(frame):
+        return "UnresolvedHint" in frame._jdf.queryExecution().logical().toString() or \
+            "ResolvedHint" in frame._jdf.queryExecution().analyzed().toString()
+
+    # wide fact frame: >25 columns with the key attr LAST in the scan
+    # output, so the truncated toString would elide it
+    wide = spark.range(10).select(
+        *[F.lit(i).alias(f"pad_{i:02d}") for i in range(30)],
+        F.col("id").alias("c_custkey"),
+    )
+    assert not hinted(broadcast_dim(wide))
+    # a dim-sized frame whose only mention of a key name is a STRING
+    # LITERAL must keep the hint
+    lit_frame = spark.range(3).select(
+        F.col("id").alias("n_nationkey"),
+        F.lit("join on c_custkey later").alias("note"),
+    )
+    assert hinted(broadcast_dim(lit_frame))
