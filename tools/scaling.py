@@ -122,6 +122,10 @@ HEAVY = [
     "assortativity",
     "durbin_watson",
     "friedman_test",
+    # round-14 wave 31
+    "jonckheere",
+    "cochran_armitage",
+    "mattr_diversity",
 ]
 
 TABLES = [
@@ -399,8 +403,23 @@ EXTENDED = [
     "semantic_dedup",
 ]
 
+#: wave-31 family (VERDICT r13 #5): mattr's (doc,token) lag shuffle
+#: and jonckheere's long-cumulative rank plan are exactly the shapes
+#: the replication table certifies; cochran_armitage is a five-sum
+#: single agg included for completeness.
+WAVE31 = [
+    "jonckheere",
+    "cochran_armitage",
+    "mattr_diversity",
+]
 
-def extended_main(factors: list[int]) -> None:
+
+def extended_main(
+    factors: list[int],
+    names: list[str] | None = None,
+    title: str = "Extended replication — heavy family at 8x/16x (auto-generated)",
+    marker: str = "\n## Extended replication",
+) -> None:
     import __spark_entry__ as entry
 
     from csp_gateway_spark.session import get_spark
@@ -409,6 +428,7 @@ def extended_main(factors: list[int]) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     base = "/root/testdata/sf0.1"
     qs = entry.queries()
+    names = EXTENDED if names is None else names
     results: dict[int, dict[str, float]] = {}
     for factor in factors:
         d = os.path.join(tempfile.gettempdir(), f"spark_graft_scale_{factor}x")
@@ -416,7 +436,7 @@ def extended_main(factors: list[int]) -> None:
             build_scaled(spark, base, d, factor)
         for timed in (False, True):
             row: dict[str, float] = {}
-            for qi, name in enumerate(EXTENDED):
+            for qi, name in enumerate(names):
                 if qi % 20 == 0:
                     _cleanup(spark)
                 t0 = time.time()
@@ -429,18 +449,24 @@ def extended_main(factors: list[int]) -> None:
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
     )
-    marker = "\n## Extended replication"
     with open(path) as f:
         cur = f.read()
-    cur = cur.split("\n## Extended replication")[0].rstrip() + "\n"
+    # replace any existing copy of THIS section (idempotent re-runs);
+    # sections live after the main auto-generated table, ordered by
+    # first write, each delimited by its own "## <title>" marker
+    if marker in cur:
+        head, _, rest = cur.partition(marker)
+        nxt = rest.find("\n## ", 1)
+        cur = head.rstrip() + "\n" + (rest[nxt:] if nxt != -1 else "")
+    cur = cur.rstrip() + "\n"
     lines = [
         "",
-        "## Extended replication — heavy family at 8x/16x (auto-generated)",
+        f"## {title}",
         "",
         "| query | " + " | ".join(f"{n}x" for n in factors) + f" | ratio {factors[-1]}/{factors[0]}x |",
         "|---|" + "---|" * (len(factors) + 1),
     ]
-    for name in EXTENDED:
+    for name in names:
         vals = [results[n][name] for n in factors]
         ratio = vals[-1] / vals[0] if vals[0] > 0 else float("nan")
         lines.append(
@@ -449,11 +475,18 @@ def extended_main(factors: list[int]) -> None:
     lines.append("")
     with open(path, "w") as f:
         f.write(cur + "\n".join(lines) + "\n")
-    print("appended extended table to SCALING.md")
+    print(f"appended '{title.split(' —')[0]}' table to SCALING.md")
 
 
 if __name__ == "__main__":
-    if "--extended" in sys.argv:
+    if "--wave31" in sys.argv:
+        extended_main(
+            [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 16],
+            names=WAVE31,
+            title="Wave-31 replication — jonckheere / cochran_armitage / mattr (auto-generated)",
+            marker="\n## Wave-31 replication",
+        )
+    elif "--extended" in sys.argv:
         extended_main([int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 2, 4, 8, 16])
     else:
         main()
