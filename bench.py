@@ -343,6 +343,10 @@ HEADLINE = [
     "jonckheere",
     "cochran_armitage",
     "mattr_diversity",
+    "ordinal_assoc",
+    "dickey_fuller",
+    "hurst_rs",
+    "anderson_darling",
 ]
 
 

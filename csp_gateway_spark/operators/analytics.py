@@ -9937,3 +9937,459 @@ def cochran_armitage(
             chi2.alias("chi2"),
         )
     )
+
+
+def ordinal_association(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_cells: int = 2_000_000,
+) -> DataFrame:
+    """Goodman-Kruskal γ and both Somers' D asymmetries between two
+    ORDINAL columns — the effect-size companions of
+    :func:`kendall_tau` (γ ignores ties entirely; Somers' D_ba
+    penalizes pairs tied on the PREDICTOR a, the standard
+    "concordance of outcome b given a" — the statistic behind the
+    c-index).
+
+    Same scale plan as :func:`kendall_tau`: the O(n²) pair space
+    never materializes — one hash aggregate collapses to the joint
+    frequency table f(a,b), and concordant/discordant counts come
+    from the broadcast CELL self-join (quadratic only in DISTINCT
+    cells, bounded by the ``max_cells`` contract; ordinal columns are
+    low-cardinality by definition — quantize first if not).  All
+    pair counts are exact decimal integers; the three ratios are one
+    closed-form double each:
+
+      γ     = (C−D)/(C+D)
+      D_ba  = (C−D)/(n0−n1)   (pairs not tied on a — predict b from a)
+      D_ab  = (C−D)/(n0−n2)   (pairs not tied on b)
+
+    with n0 = n(n−1)/2, n1 = Σ_a t_a(t_a−1)/2, n2 = Σ_b t_b(t_b−1)/2.
+    Output: one row (n, concordant, discordant, gamma, somers_ba,
+    somers_ab)."""
+    cells = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_f"))
+    ncells = cells.agg(F.count(F.lit(1)).alias("_nc"))
+    guard_msg = F.concat(
+        F.lit(
+            f"ordinal_association: joint cell table exceeds max_cells={max_cells} (got "
+        ),
+        F.col("_nc").cast("string"),
+        F.lit(") — the cell self-join is only valid for distinct-bounded ordinals; quantize first"),
+    )
+    # guard folded into the USED frequency column (kendall_tau
+    # pattern — a standalone guarded column would be pruned away)
+    cells = cells.crossJoin(F.broadcast(ncells)).select(
+        "_a",
+        "_b",
+        F.when(F.col("_nc") > F.lit(max_cells), F.raise_error(guard_msg))
+        .otherwise(F.col("_f"))
+        .alias("_f"),
+    )
+    right = cells.select(
+        F.col("_a").alias("_a2"), F.col("_b").alias("_b2"), F.col("_f").alias("_f2")
+    )
+    ff = (F.col("_f").cast("decimal(19,0)") * F.col("_f2").cast("decimal(19,0)")).cast(
+        "decimal(38,0)"
+    )
+    pair_counts = (
+        cells.join(F.broadcast(right), F.col("_a2") < F.col("_a"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_b2") < F.col("_b"), ff)),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_c"),
+            F.coalesce(
+                F.sum(F.when(F.col("_b2") > F.col("_b"), ff)),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_d"),
+        )
+    )
+    ta = F.col("_t").cast("decimal(19,0)")
+    tie_a = (
+        cells.groupBy("_a")
+        .agg(F.sum("_f").alias("_t"))
+        .agg(
+            F.sum((ta * (ta - F.lit(1).cast("decimal(2,0)"))).cast("decimal(38,0)")).alias("_2n1"),
+            F.sum(F.col("_t").cast("decimal(38,0)")).alias("_n"),
+        )
+    )
+    tie_b = (
+        cells.groupBy("_b")
+        .agg(F.sum("_f").alias("_t"))
+        .agg(F.sum((ta * (ta - F.lit(1).cast("decimal(2,0)"))).cast("decimal(38,0)")).alias("_2n2"))
+    )
+    one = pair_counts.crossJoin(F.broadcast(tie_a)).crossJoin(F.broadcast(tie_b))
+    n = F.col("_n").cast("double")
+    two_n0 = n * (n - F.lit(1.0))
+    c = F.col("_c").cast("double")
+    d = F.col("_d").cast("double")
+    cd = c - d
+    gamma = F.when(c + d > 0, cd / (c + d))
+    somers_ba = F.when(
+        two_n0 - F.col("_2n1").cast("double") > 0,
+        F.lit(2.0) * cd / (two_n0 - F.col("_2n1").cast("double")),
+    )
+    somers_ab = F.when(
+        two_n0 - F.col("_2n2").cast("double") > 0,
+        F.lit(2.0) * cd / (two_n0 - F.col("_2n2").cast("double")),
+    )
+    return _finalize_bounded(
+        one.select(
+            F.col("_n").cast("long").alias("n"),
+            F.col("_c").cast("long").alias("concordant"),
+            F.col("_d").cast("long").alias("discordant"),
+            gamma.alias("gamma"),
+            somers_ba.alias("somers_ba"),
+            somers_ab.alias("somers_ab"),
+        )
+    )
+
+
+def dickey_fuller(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dickey-Fuller unit-root test (lag-1, with intercept) on an
+    integer-keyed series: regress Δy_t = α + β·y_{t−1} + ε over
+    CALENDAR-ADJACENT pairs (keys k and k+1 — feed a dense index; gap
+    pairs are excluded by the equi-join, the :func:`durbin_watson`
+    contract) and report the t-statistic of β̂.  β̂ near 0 (t ≳ −1)
+    says "random walk" (unit root); strongly negative t says the
+    series mean-reverts.  The DF statistic is NOT t-distributed —
+    compare to Dickey-Fuller critical values (−2.86 at 5% for the
+    constant-only form), which is the caller's lookup.
+
+    Plan: one hash collapse to (k, Σvalue) exact decimals, one 1:1
+    self-join on k+1 (no window at all), one five-sum aggregate
+    (Σx, Σd, Σx², Σd², Σxd as exact decimals, x = y_{t−1},
+    d = Δy_t), then the closed-form OLS slope/SE in doubles —
+    identical expression shape on both engines.  Output: one row
+    (n_pairs, beta, t_stat)."""
+    a = series.groupBy(F.col(key_col).cast("long").alias("_k")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_y")
+    ).localCheckpoint(eager=False)
+    b = a.select((F.col("_k") + 1).alias("_k"), F.col("_y").alias("_yp"))
+    x = F.col("_yp").cast("decimal(19,2)")
+    dd = F.col("_y").cast("decimal(19,2)") - F.col("_yp").cast("decimal(19,2)")
+    pairs = a.join(b, "_k").select(x.alias("_x"), dd.cast("decimal(19,2)").alias("_d"))
+    xx = F.col("_x")
+    dv = F.col("_d")
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(xx.cast("decimal(38,2)")).alias("_sx"),
+        F.sum(dv.cast("decimal(38,2)")).alias("_sd"),
+        F.sum((xx * xx).cast("decimal(38,4)")).alias("_sxx"),
+        F.sum((dv * dv).cast("decimal(38,4)")).alias("_sdd"),
+        F.sum((xx * dv).cast("decimal(38,4)")).alias("_sxd"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sd = F.col("_sd").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sdd = F.col("_sdd").cast("double")
+    sxd = F.col("_sxd").cast("double")
+    cxx = sxx - sx * sx / n
+    cxd = sxd - sx * sd / n
+    cdd = sdd - sd * sd / n
+    beta = F.when(cxx > 0, cxd / cxx)
+    rss = cdd - cxd * cxd / cxx
+    t_stat = F.when(
+        (F.col("_n") > 2) & (cxx > 0) & (rss > 0),
+        (cxd / cxx) / F.sqrt((rss / (n - F.lit(2.0))) / cxx),
+    )
+    return _finalize_bounded(
+        sums.select(
+            F.col("_n").alias("n_pairs"),
+            beta.alias("beta"),
+            t_stat.alias("t_stat"),
+        )
+    )
+
+
+_HURST_WINDOWS = (16, 32, 64, 128)
+
+
+def hurst_exponent(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+    window_sizes: Sequence = _HURST_WINDOWS,
+) -> DataFrame:
+    """Hurst exponent by classic rescaled-range (R/S) analysis of an
+    integer-keyed series: for each block size w, split the series (in
+    key order) into ⌊n/w⌋ full contiguous blocks, compute each
+    block's rescaled range R/S, average per w, and fit the log-log
+    slope — H ≈ 0.5 is a random walk, > 0.5 persistent trending,
+    < 0.5 mean-reverting.
+
+    Scale plan: ONE :func:`global_row_number` ranks the collapsed
+    series (bounded-domain daily collapse → the small-frame
+    short-circuit; bucketed two-phase above it), the rank fans out
+    ×|window_sizes| via posexplode (4 literal sizes — a bounded
+    multiplier, not a shuffle), and every block statistic comes from
+    ONE partitioned window over (w, block) — partitions ≤ max(w) =
+    bounded by contract, never an unpartitioned sort.  Exactness: the
+    within-block cumulative deviation is scaled by w to stay an
+    EXACT decimal — dev_i = w·cum_i − i·S (S the block sum), so
+    R/S = (max dev − min dev)/√(w·Σy² − S²) divides two exact
+    decimals in one double per block; the per-w mean and the 4-point
+    log-log OLS slope are the only float sums (≤ ⌊n/min(w)⌋ terms).
+    Output: one row per w — (w, n_blocks, rs_mean, hurst), hurst
+    repeated (the slope over all w rows)."""
+    from pyspark.sql import Window
+
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    ws = [int(w) for w in window_sizes]
+    if len(ws) < 2 or any(w < 4 for w in ws) or len(set(ws)) != len(ws):
+        raise ValueError(
+            "hurst_exponent: need >=2 distinct window sizes, each >= 4"
+        )
+    if max(ws) > 100_000:
+        raise ValueError(
+            "hurst_exponent: window sizes are a bounded-partition contract (<= 100000)"
+        )
+    a = series.groupBy(F.col(key_col).cast("long").alias("_k")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_y")
+    )
+    ranked = global_row_number(
+        a, "_k", [], rn_col="_rn",
+        small_threshold=TARGET_ROWS_PER_BUCKET, checkpoint=True,
+    )
+    w_arr = F.array(*[F.lit(w) for w in ws])
+    fan = ranked.select(
+        "_rn", "_y", F.col("_n_total"), F.explode(w_arr).alias("_w")
+    ).select(
+        "_w", "_y",
+        ((F.col("_rn") - 1) / F.col("_w")).cast("long").alias("_blk"),
+        (F.col("_rn") - 1 - ((F.col("_rn") - 1) / F.col("_w")).cast("long") * F.col("_w") + 1).alias("_pos"),
+        (F.col("_n_total") / F.col("_w")).cast("long").alias("_full_blocks"),
+    ).filter(F.col("_blk") < F.col("_full_blocks"))
+    win = Window.partitionBy("_w", "_blk").orderBy("_pos")
+    full = Window.partitionBy("_w", "_blk")
+    y19 = F.col("_y").cast("decimal(19,2)")
+    blk = fan.select(
+        "_w", "_blk", "_pos", "_y",
+        F.sum(F.col("_y").cast("decimal(30,2)")).over(win).alias("_cum"),
+        F.sum(F.col("_y").cast("decimal(30,2)")).over(full).alias("_s"),
+        F.sum((y19 * y19).cast("decimal(38,4)")).over(full).alias("_ss"),
+    )
+    # dev_i = w·cum_i − i·S : exact decimal, scaled ×w so the block
+    # mean never divides inside the running term
+    dev = (
+        F.col("_w").cast("decimal(6,0)") * F.col("_cum").cast("decimal(31,2)")
+        - F.col("_pos").cast("decimal(6,0)") * F.col("_s").cast("decimal(31,2)")
+    ).cast("decimal(38,2)")
+    per_block = blk.groupBy("_w", "_blk").agg(
+        (F.max(dev) - F.min(dev)).alias("_r"),
+        F.first("_s").alias("_sb"),
+        F.first("_ss").alias("_ssb"),
+    )
+    den2 = (
+        F.col("_w").cast("double") * F.col("_ssb").cast("double")
+        - F.col("_sb").cast("double") * F.col("_sb").cast("double")
+    )
+    rs = F.when(den2 > 0, F.col("_r").cast("double") / F.sqrt(den2))
+    per_w = per_block.groupBy("_w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.avg(rs).alias("rs_mean"),
+    )
+    lx = F.log(F.col("_w").cast("double"))
+    ly = F.log(F.col("rs_mean"))
+    fit = per_w.filter(F.col("rs_mean") > 0).agg(
+        F.count(F.lit(1)).cast("double").alias("_m"),
+        F.sum(lx).alias("_sx"),
+        F.sum(ly).alias("_sy"),
+        F.sum(lx * lx).alias("_sxx"),
+        F.sum(lx * ly).alias("_sxy"),
+    )
+    slope = F.when(
+        F.col("_m") * F.col("_sxx") - F.col("_sx") * F.col("_sx") > 0,
+        (F.col("_m") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        / (F.col("_m") * F.col("_sxx") - F.col("_sx") * F.col("_sx")),
+    )
+    out = per_w.crossJoin(F.broadcast(fit.select(slope.alias("hurst")))).select(
+        F.col("_w").cast("int").alias("w"),
+        "n_blocks",
+        "rs_mean",
+        "hurst",
+    )
+    return _finalize_bounded(out)
+
+
+def anderson_ksamp(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    groups: Sequence,
+    max_groups: int = 16,
+) -> DataFrame:
+    """k-sample Anderson-Darling test (tie-adjusted midrank version
+    A²akN of Scholz & Stephens 1987 — the scipy ``anderson_ksamp``
+    statistic): are the k samples drawn from one common distribution?
+    AD weights the ECDF discrepancy by 1/(H(1−H)), so it out-powers
+    Kolmogorov-Smirnov and :func:`cvm_test` in the tails — the
+    standard distribution-drift gate.
+
+    Plan (the :func:`jonckheere_terpstra` shape): one distinct-value
+    collapse to per-group cell counts (localCheckpointed), one
+    1-row moments aggregate, and ONE shared
+    :func:`global_row_number` two-phase cumulative carrying the k
+    per-group running counts as plain longs — no unpartitioned
+    window.  Doubling clears the midrank halves: with P_i = 2F_ij −
+    f_ij and Q = 2H_j − h_j (exact longs from the cumulative),
+
+      A² = (N−1)/N² · Σ_i (1/n_i) Σ_j h_j·X²/Y,
+      X = N·P_i − n_i·Q (exact decimal), Y = 2NQ − Q² − N·h_j,
+
+    where each cell term converts X to double only after the exact
+    integer subtraction, so both engines square the SAME double.  The
+    normalization T = (A² − (k−1))/σ_N needs the harmonic sums
+    h = Σ_{i<N} 1/i and g = Σ_{j=2}^{N−1} (h_{N−1} − h_{N−j})/j of
+    Scholz-Stephens eq. 4-7: those ride a second bounded cumulative
+    over ``spark.range(N−1)`` in FIXED-POINT (⌊1e17/i⌋ longs —
+    exact integer division on both engines, cumsum < 2⁶³), linear
+    and distributed, never a driver loop.  Output: one row
+    (n, k, a2, z); degenerate inputs (empty, N < 4) yield NULL z.
+
+    Reference parity: scipy.stats.anderson_ksamp (midrank=True).
+    """
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    groups = list(groups)
+    k = len(groups)
+    if k < 2 or k > max_groups:
+        raise ValueError(
+            f"anderson_ksamp: need 2..{max_groups} groups, got {k}"
+        )
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col)
+    cells = (
+        df.filter(g.isin(groups) & v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(
+            *[
+                F.sum(F.when(g == F.lit(grp), 1).otherwise(0))
+                .cast("long")
+                .alias(f"_c{i}")
+                for i, grp in enumerate(groups)
+            ]
+        )
+        .localCheckpoint(eager=True)
+    )
+    mom = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("_ncells"),
+        *[F.sum(f"_c{i}").cast("long").alias(f"_n{i}") for i in range(k)],
+    ).collect()[0]
+    spark = df.sparkSession
+    if int(mom["_ncells"]) == 0:
+        return spark.createDataFrame(
+            [(0, k, None, None)], "n long, k long, a2 double, z double"
+        )
+    n_j = [int(mom[f"_n{i}"]) for i in range(k)]
+    big_n = sum(n_j)
+    if min(n_j) == 0:
+        raise ValueError(
+            "anderson_ksamp: every group needs at least one observation"
+        )
+    ranked = global_row_number(
+        cells, "_v", [], rn_col="_rn",
+        cum_values=[(f"_c{i}", f"_m{i}") for i in range(k)],
+        small_threshold=TARGET_ROWS_PER_BUCKET,
+        known_count=int(mom["_ncells"]),
+    )
+    h = sum(F.col(f"_c{i}") for i in range(k))
+    bigh = sum(F.col(f"_m{i}") for i in range(k))
+    q = (F.lit(2).cast("long") * bigh - h).cast("decimal(20,0)")
+    nlit = F.lit(big_n).cast("decimal(20,0)")
+    y_den = (
+        F.lit(2).cast("decimal(2,0)") * nlit * q
+        - (q * q).cast("decimal(38,0)")
+        - nlit * h.cast("decimal(20,0)")
+    ).cast("decimal(38,0)").cast("double")
+    sample_sums = []
+    for i in range(k):
+        p_i = (
+            F.lit(2).cast("long") * F.col(f"_m{i}") - F.col(f"_c{i}")
+        ).cast("decimal(20,0)")
+        x_i = (nlit * p_i - F.lit(n_j[i]).cast("decimal(20,0)") * q).cast(
+            "decimal(38,0)"
+        ).cast("double")
+        sample_sums.append(
+            F.sum(h.cast("double") * x_i * x_i / y_den).alias(f"_s{i}")
+        )
+    got = ranked.agg(*sample_sums).collect()[0]
+    a2 = (
+        float(big_n - 1)
+        / (float(big_n) * float(big_n))
+        * sum(float(got[f"_s{i}"]) / n_j[i] for i in range(k))
+    )
+    z = None
+    if big_n >= 4:
+        # harmonic terms in fixed-point over a bounded cumulative:
+        # ⌊1e17/i⌋ is exact integer division on both engines and the
+        # running sum stays < 1.3e18 « 2⁶³ for any N
+        rng = spark.range(1, big_n).select(
+            F.col("id").alias("_i"),
+            F.expr("100000000000000000 div id").alias("_ht"),
+        )
+        ranked_h = global_row_number(
+            rng, "_i", [], rn_col="_rnh",
+            cum_values=[("_ht", "_ch")],
+            small_threshold=TARGET_ROWS_PER_BUCKET,
+            known_count=big_n - 1,
+        )
+        tot = rng.agg(F.sum("_ht").cast("long").alias("_cht"))
+        g_row = (
+            ranked_h.crossJoin(F.broadcast(tot))
+            .filter(F.col("_i") <= F.lit(big_n - 2))
+            .agg(
+                F.sum(
+                    (F.col("_cht") - F.col("_ch")).cast("double")
+                    / F.lit(1e17)
+                    / (F.lit(big_n).cast("double") - F.col("_i").cast("double"))
+                ).alias("_g"),
+                F.first(F.col("_cht")).alias("_chtot"),
+            )
+            .collect()[0]
+        )
+        gsum = float(g_row["_g"])
+        hsum = float(g_row["_chtot"]) / 1e17
+        bigh_cap = sum(1.0 / nj for nj in n_j)
+        kk = float(k)
+        a = (4.0 * gsum - 6.0) * (kk - 1.0) + (10.0 - 6.0 * gsum) * bigh_cap
+        b = (
+            (2.0 * gsum - 4.0) * kk * kk
+            + 8.0 * hsum * kk
+            + (2.0 * gsum - 14.0 * hsum - 4.0) * bigh_cap
+            - 8.0 * hsum
+            + 4.0 * gsum
+            - 6.0
+        )
+        c = (
+            (6.0 * hsum + 2.0 * gsum - 2.0) * kk * kk
+            + (4.0 * hsum - 6.0 * gsum + 2.0) * kk
+            + (2.0 * hsum - 6.0) * bigh_cap
+            + 4.0 * hsum
+        )
+        d = (2.0 * hsum + 6.0) * kk * kk - 4.0 * hsum * kk
+        nf = float(big_n)
+        # nf*nf*nf, not nf**3: libm pow can differ from repeated
+        # multiplication by 1 ulp once N³ > 2⁵³, and the oracle SQL
+        # multiplies — keep both engines on the identical expression
+        sigma_sq = (a * nf * nf * nf + b * nf * nf + c * nf + d) / (
+            (nf - 1.0) * (nf - 2.0) * (nf - 3.0)
+        )
+        if sigma_sq > 0:
+            import math
+
+            z = (a2 - (kk - 1.0)) / math.sqrt(sigma_sq)
+    return spark.createDataFrame(
+        [(big_n, k, a2, z)], "n long, k long, a2 double, z double"
+    )
