@@ -126,6 +126,11 @@ HEAVY = [
     "jonckheere",
     "cochran_armitage",
     "mattr_diversity",
+    # round-14 wave 32
+    "ordinal_assoc",
+    "dickey_fuller",
+    "hurst_rs",
+    "anderson_darling",
 ]
 
 TABLES = [
@@ -413,6 +418,16 @@ WAVE31 = [
     "mattr_diversity",
 ]
 
+#: wave-32 family (round 14): anderson's cells+harmonic cumulatives
+#: and hurst's block windows are the new shapes; ordinal_assoc's cell
+#: self-join and dickey_fuller's 1:1 lag join round out the table.
+WAVE32 = [
+    "ordinal_assoc",
+    "dickey_fuller",
+    "hurst_rs",
+    "anderson_darling",
+]
+
 
 def extended_main(
     factors: list[int],
@@ -485,6 +500,13 @@ if __name__ == "__main__":
             names=WAVE31,
             title="Wave-31 replication — jonckheere / cochran_armitage / mattr (auto-generated)",
             marker="\n## Wave-31 replication",
+        )
+    elif "--wave32" in sys.argv:
+        extended_main(
+            [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 8, 16],
+            names=WAVE32,
+            title="Wave-32 replication — ordinal_assoc / dickey_fuller / hurst / anderson (auto-generated)",
+            marker="\n## Wave-32 replication",
         )
     elif "--extended" in sys.argv:
         extended_main([int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 2, 4, 8, 16])
