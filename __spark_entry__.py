@@ -14929,6 +14929,275 @@ FROM fin
 """
 
 
+def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade range-weighted blocked rank test: months × order
+    priorities on monthly revenue — the weighted sibling of the
+    friedman gate; doubled midranks twice over keep every sum an
+    exact integer."""
+    from csp_gateway_spark.operators.analytics import quade_test
+
+    orders = _t(spark, sf_dir, "orders")
+    out = quade_test(
+        orders,
+        F.date_format(F.col("o_orderdate"), "yyyy-MM"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    return out.select(
+        "n_blocks", "k",
+        (F.round("f_stat", 6) + F.lit(0.0)).alias("f_stat"),
+    )
+
+
+ORACLE_QUADE_TEST = """
+WITH cells AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS b,
+         o_orderpriority AS t,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1, 2
+), kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cells),
+comp AS (
+  SELECT b, t, y, COUNT(*) OVER (PARTITION BY b) AS cb FROM cells
+), complete AS (
+  SELECT b, t, y, kk.k FROM comp, kk WHERE cb = kk.k
+), ranked AS (
+  SELECT b, t, k,
+    CAST(2 * rank() OVER (PARTITION BY b ORDER BY y)
+         + COUNT(*) OVER (PARTITION BY b, y) - 1 AS BIGINT) AS r2
+  FROM complete
+), ranges AS (
+  SELECT b, MAX(y) - MIN(y) AS rng FROM complete GROUP BY 1
+), rc AS (
+  SELECT rng, CAST(count(*) AS BIGINT) AS cnt FROM ranges GROUP BY 1
+), rcum AS (
+  SELECT rng, cnt,
+    SUM(cnt) OVER (ORDER BY rng ROWS UNBOUNDED PRECEDING) AS cum
+  FROM rc
+), q2 AS (
+  SELECT rng, CAST(2 * (cum - cnt) + cnt + 1 AS BIGINT) AS q2 FROM rcum
+), bq AS (
+  SELECT b, q2 FROM ranges JOIN q2 USING (rng)
+), pc AS (
+  SELECT r.b, r.t, r.k,
+    CAST(q2 AS HUGEINT) * (r2 - (k + 1)) AS s4
+  FROM ranked r JOIN bq USING (b)
+), tot AS (
+  SELECT CAST(count(DISTINCT b) AS BIGINT) AS n,
+         CAST(MAX(k) AS BIGINT) AS kk2,
+         SUM(CAST(s4 AS HUGEINT) * s4) AS a16
+  FROM pc
+), bs AS (
+  SELECT SUM(CAST(sj AS HUGEINT) * sj) AS b16
+  FROM (SELECT SUM(s4) AS sj FROM pc GROUP BY t)
+)
+SELECT n AS n_blocks, kk2 AS k,
+  round(CASE WHEN n > 1
+        AND CAST(a16 AS DOUBLE) - CAST(b16 AS DOUBLE) / CAST(n AS DOUBLE) > 0
+        THEN (CAST(n AS DOUBLE) - 1.0)
+             * (CAST(b16 AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(a16 AS DOUBLE) - CAST(b16 AS DOUBLE) / CAST(n AS DOUBLE))
+  END, 6) + 0.0 AS f_stat
+FROM tot, bs
+"""
+
+
+_VR_Q = 5
+
+
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio random-walk test on daily order
+    revenue at q=5 — the momentum/mean-reversion companion of
+    hurst_rs and dickey_fuller; two lag joins, exact decimal sums."""
+    from csp_gateway_spark.operators.analytics import variance_ratio
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.select(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("k"),
+        F.col("o_totalprice").alias("v"),
+    )
+    out = variance_ratio(daily, "k", "v", q=_VR_Q)
+    return out.select(
+        "n1", "nq",
+        (F.round("vr", 6) + F.lit(0.0)).alias("vr"),
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+ORACLE_VARIANCE_RATIO = f"""
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS v
+  FROM orders GROUP BY 1
+), d1 AS (
+  SELECT CAST(a.v - b.v AS DECIMAL(19,2)) AS dd FROM d a JOIN d b ON a.k = b.k + 1
+), dq AS (
+  SELECT CAST(a.v - b.v AS DECIMAL(19,2)) AS dd FROM d a JOIN d b ON a.k = b.k + {_VR_Q}
+), s1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n1, SUM(dd) AS s1,
+         SUM(CAST(dd * dd AS DECIMAL(38,4))) AS ss1
+  FROM d1
+), sq AS (
+  SELECT CAST(count(*) AS BIGINT) AS nq, SUM(dd) AS sq,
+         SUM(CAST(dd * dd AS DECIMAL(38,4))) AS ssq
+  FROM dq
+), f AS (
+  SELECT n1, nq,
+    (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / CAST(n1 AS DOUBLE) AS var1,
+    (CAST(ssq AS DOUBLE)
+     - 2.0 * {float(_VR_Q)} * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * CAST(sq AS DOUBLE)
+     + CAST(nq AS DOUBLE) * {float(_VR_Q)} * {float(_VR_Q)}
+       * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+    / ({float(_VR_Q)} * CAST(nq AS DOUBLE)) AS varq
+  FROM s1, sq
+)
+SELECT n1, nq,
+  round(CASE WHEN n1 > 1 AND nq > 0 AND var1 > 0 THEN varq / var1 END, 6) + 0.0 AS vr,
+  round(CASE WHEN n1 > 1 AND nq > 0 AND var1 > 0
+        THEN (varq / var1 - 1.0)
+             / sqrt({2.0 * (2 * _VR_Q - 1) * (_VR_Q - 1)} / ({3.0 * _VR_Q} * CAST(n1 AS DOUBLE)))
+  END, 6) + 0.0 AS z
+FROM f
+"""
+
+
+def q_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger F at lag 1: does yesterday's ORDER COUNT improve the
+    prediction of today's revenue beyond yesterday's revenue?  Ten
+    exact decimal sums + Cramer closed form, no matrix library."""
+    from csp_gateway_spark.operators.analytics import granger_lag1
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.select(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("k"),
+        F.col("o_totalprice").alias("y"),
+        F.lit(1).alias("x"),
+    )
+    out = granger_lag1(daily, "k", "y", "x")
+    return out.select(
+        "n",
+        (F.round("beta_x", 6) + F.lit(0.0)).alias("beta_x"),
+        (F.round("f_stat", 6) + F.lit(0.0)).alias("f_stat"),
+    )
+
+
+ORACLE_GRANGER_LAG1 = f"""
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS y,
+         CAST(SUM(CAST(1 AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS x
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT c.y AS yy, pr.y AS a, pr.x AS bx
+  FROM d c JOIN d pr ON c.k = pr.k + 1
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    SUM(a) AS sa, SUM(bx) AS sb, SUM(yy) AS sy,
+    SUM(CAST(a * a AS DECIMAL(38,4))) AS saa,
+    SUM(CAST(bx * bx AS DECIMAL(38,4))) AS sbb,
+    SUM(CAST(a * bx AS DECIMAL(38,4))) AS sab,
+    SUM(CAST(yy * yy AS DECIMAL(38,4))) AS syy,
+    SUM(CAST(yy * a AS DECIMAL(38,4))) AS sya,
+    SUM(CAST(yy * bx AS DECIMAL(38,4))) AS syb
+  FROM p
+), c AS (
+  SELECT n,
+    CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) AS caa,
+    CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n AS DOUBLE) AS cbb,
+    CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n AS DOUBLE) AS cab,
+    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy,
+    CAST(sya AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) AS cya,
+    CAST(syb AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n AS DOUBLE) AS cyb
+  FROM s
+), f AS (
+  SELECT n, caa, cbb, cab, cyy, cya, cyb,
+    caa * cbb - cab * cab AS det
+  FROM c
+), g AS (
+  SELECT n, det, caa,
+    (cya * cbb - cyb * cab) / det AS b1,
+    (caa * cyb - cab * cya) / det AS b2,
+    cyy, cya, cyb
+  FROM f
+), h AS (
+  SELECT n, det, caa, b2,
+    cyy - b1 * cya - b2 * cyb AS rss_u,
+    cyy - cya * cya / caa AS rss_r
+  FROM g
+)
+SELECT n,
+  round(CASE WHEN n > 3 AND det > 0 AND caa > 0 THEN b2 END, 6) + 0.0 AS beta_x,
+  round(CASE WHEN n > 3 AND det > 0 AND caa > 0 AND rss_u > 0
+        THEN (rss_r - rss_u) / (rss_u / (CAST(n AS DOUBLE) - 3.0))
+  END, 6) + 0.0 AS f_stat
+FROM h
+"""
+
+
+def q_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger cointegration of daily revenue against daily
+    order count — OLS residuals (broadcast scalars) + no-constant
+    Dickey-Fuller on the residual series."""
+    from csp_gateway_spark.operators.analytics import engle_granger
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.select(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("k"),
+        F.col("o_totalprice").alias("y"),
+        F.lit(1).alias("x"),
+    )
+    out = engle_granger(daily, "k", "y", "x")
+    return out.select(
+        "n_pairs",
+        (F.round("alpha", 4) + F.lit(0.0)).alias("alpha"),
+        (F.round("beta", 6) + F.lit(0.0)).alias("beta"),
+        (F.round("adf_t", 6) + F.lit(0.0)).alias("adf_t"),
+    )
+
+
+ORACLE_ENGLE_GRANGER = f"""
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS y,
+         CAST(SUM(CAST(1 AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS x
+  FROM orders GROUP BY 1
+), st1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+    SUM(x) AS sx, SUM(y) AS sy,
+    SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+    SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy
+  FROM d
+), co AS (
+  SELECT
+    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n0 AS DOUBLE))
+    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n0 AS DOUBLE)) AS beta,
+    (CAST(sy AS DOUBLE)
+     - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n0 AS DOUBLE))
+        / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n0 AS DOUBLE)))
+       * CAST(sx AS DOUBLE)) / CAST(n0 AS DOUBLE) AS alpha
+  FROM st1
+), e AS (
+  SELECT k, CAST(y AS DOUBLE) - alpha - beta * CAST(x AS DOUBLE) AS e, alpha, beta
+  FROM d, co
+), p AS (
+  SELECT c.alpha, c.beta, pr.e AS ep, c.e - pr.e AS de
+  FROM e c JOIN e pr ON c.k = pr.k + 1
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    FIRST(alpha) AS al, FIRST(beta) AS be,
+    SUM(ep * ep) AS spp, SUM(ep * de) AS spd, SUM(de * de) AS sdd
+  FROM p
+)
+SELECT n AS n_pairs,
+  round(al, 4) + 0.0 AS alpha,
+  round(be, 6) + 0.0 AS beta,
+  round(CASE WHEN n > 1 AND spp > 0 AND sdd - spd * spd / spp > 0
+        THEN (spd / spp)
+             / sqrt(((sdd - spd * spd / spp) / (CAST(n AS DOUBLE) - 1.0)) / spp)
+  END, 6) + 0.0 AS adf_t
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "state_keyed_last": q_state_keyed_last,
@@ -15264,6 +15533,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dickey_fuller": q_dickey_fuller,
         "hurst_rs": q_hurst_rs,
         "anderson_darling": q_anderson_darling,
+        # wave 33 (round 14)
+        "quade_test": q_quade_test,
+        "variance_ratio": q_variance_ratio,
+        "granger_lag1": q_granger_lag1,
+        "engle_granger": q_engle_granger,
     }
     # The driver's correctness harness checks exactly the FIRST 50
     # entries (a budget, by all appearances), and dict order decides
@@ -15293,9 +15567,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replay_handoff", "topk_stream_replay", "argmax_stream_replay",
         # wave 31 — brand new in round 13, zero driver evidence
         "jonckheere", "cochran_armitage", "mattr_diversity",
-        # wave 32 — brand new this round (the last four r4/r5 curation
-        # seats below roll past 50 and fall back to replica coverage)
+        # waves 32/33 — brand new this round (the last eight r4/r5
+        # curation seats below roll past 50, back to replica coverage)
         "ordinal_assoc", "dickey_fuller", "hurst_rs", "anderson_darling",
+        "quade_test", "variance_ratio", "granger_lag1", "engle_granger",
         # the 17 r4-era TPC-H join/agg shapes (Q6/Q10/Q14/... family):
         # only ever replica-checked since round 4
         "volume_shipping", "returned_items", "promo_revenue",
@@ -15575,6 +15850,10 @@ def oracle_sql() -> dict[str, str]:
         "dickey_fuller": ORACLE_DICKEY_FULLER,
         "hurst_rs": ORACLE_HURST_RS,
         "anderson_darling": ORACLE_ANDERSON_DARLING,
+        "quade_test": ORACLE_QUADE_TEST,
+        "variance_ratio": ORACLE_VARIANCE_RATIO,
+        "granger_lag1": ORACLE_GRANGER_LAG1,
+        "engle_granger": ORACLE_ENGLE_GRANGER,
         "topk_stream_replay": ORACLE_TOPK_STREAM_REPLAY,
         "tukey_hsd": ORACLE_TUKEY_HSD,
         "cumulative_incidence": ORACLE_CUMULATIVE_INCIDENCE,

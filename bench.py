@@ -347,6 +347,10 @@ HEADLINE = [
     "dickey_fuller",
     "hurst_rs",
     "anderson_darling",
+    "quade_test",
+    "variance_ratio",
+    "granger_lag1",
+    "engle_granger",
 ]
 
 

@@ -10393,3 +10393,359 @@ def anderson_ksamp(
     return spark.createDataFrame(
         [(big_n, k, a2, z)], "n long, k long, a2 double, z double"
     )
+
+
+
+def quade_test(
+    df: DataFrame,
+    block_col,
+    treat_col,
+    value_col: str,
+) -> DataFrame:
+    """Quade test for k related treatments over n blocks — the
+    range-weighted upgrade of :func:`friedman_test`: blocks that
+    spread treatments further apart (larger within-block value range)
+    carry proportionally more weight, which beats Friedman's power at
+    small k.  S_ij = Q_i·(r_ij − (k+1)/2) with r_ij the within-block
+    midrank and Q_i the ACROSS-block midrank of block i's range;
+    F = (n−1)·B/(A−B), B = Σ_j S_j²/n, A = Σ_ij S_ij², on
+    (k−1, (n−1)(k−1)) df.
+
+    Exactness by doubling twice: 2r and 2Q are exact integers, so
+    4S_ij = 2Q_i·(2r_ij − (k+1)) is an exact integer and the 16s
+    cancel inside F.  Scale plan: within-block ranks are k-bounded
+    partitioned windows (the friedman shape); the across-block range
+    rank — the axis that GROWS with the data — collapses to DISTINCT
+    range values first and rides one :func:`global_row_number`
+    cumulative (midrank2 = 2·below + ties + 1), never an
+    unpartitioned window over the block table.  Incomplete blocks are
+    dropped (complete-block design).  Output: one row
+    (n_blocks, k, f_stat)."""
+    from pyspark.sql.window import Window
+
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    b = F.col(block_col) if isinstance(block_col, str) else block_col
+    t = F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    cells = df.groupBy(b.alias("_b"), t.alias("_t")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_y")
+    )
+    kk = cells.agg(F.countDistinct("_t").alias("_k"))
+    complete = (
+        cells.withColumn(
+            "_cb", F.count(F.lit(1)).over(Window.partitionBy("_b"))
+        )
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("_cb") == F.col("_k"))
+        .localCheckpoint(eager=False)
+    )
+    wrank = Window.partitionBy("_b").orderBy("_y")
+    wties = Window.partitionBy("_b", "_y")
+    ranked = complete.select(
+        "_b",
+        "_t",
+        "_k",
+        (
+            F.lit(2) * F.rank().over(wrank)
+            + F.count(F.lit(1)).over(wties)
+            - F.lit(1)
+        ).cast("long").alias("_2r"),
+    )
+    ranges = complete.groupBy("_b").agg(
+        (F.max("_y") - F.min("_y")).alias("_rng")
+    )
+    rcells = ranges.groupBy("_rng").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    rranked = global_row_number(
+        rcells, "_rng", [], rn_col="_rrn",
+        cum_value="_cnt", cum_col="_cum",
+        small_threshold=TARGET_ROWS_PER_BUCKET,
+    )
+    q2 = rranked.select(
+        "_rng",
+        (
+            F.lit(2) * (F.col("_cum") - F.col("_cnt"))
+            + F.col("_cnt")
+            + F.lit(1)
+        ).cast("long").alias("_2q"),
+    )
+    blocks_q = ranges.join(q2, "_rng").select("_b", "_2q")
+    s4 = (
+        F.col("_2q").cast("decimal(19,0)")
+        * (
+            F.col("_2r") - (F.col("_k").cast("long") + F.lit(1))
+        ).cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    per_cell = ranked.join(blocks_q, "_b").select(
+        "_b", "_t", "_k", s4.alias("_4s")
+    ).localCheckpoint(eager=False)
+    s19 = F.col("_4s").cast("decimal(19,0)")
+    tot = per_cell.agg(
+        F.countDistinct("_b").cast("long").alias("_n"),
+        F.max("_k").cast("long").alias("_kk"),
+        F.sum((s19 * s19).cast("decimal(38,0)")).alias("_a16"),
+    )
+    sj19 = F.col("_sj").cast("decimal(19,0)")
+    bsum = (
+        per_cell.groupBy("_t")
+        .agg(F.sum("_4s").alias("_sj"))
+        .agg(F.sum((sj19 * sj19).cast("decimal(38,0)")).alias("_b16"))
+    )
+    one = tot.crossJoin(F.broadcast(bsum))
+    n = F.col("_n").cast("double")
+    a16 = F.col("_a16").cast("double")
+    b16 = F.col("_b16").cast("double")
+    f_stat = F.when(
+        (F.col("_n") > 1) & (a16 - b16 / n > 0),
+        (n - F.lit(1.0)) * (b16 / n) / (a16 - b16 / n),
+    )
+    return _finalize_bounded(
+        one.select(
+            F.col("_n").alias("n_blocks"),
+            F.col("_kk").alias("k"),
+            f_stat.alias("f_stat"),
+        )
+    )
+
+
+def variance_ratio(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+    q: int = 5,
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio random-walk test on an
+    integer-keyed series: under a random walk, the variance of
+    q-period differences is q× the variance of 1-period differences,
+    so VR(q) = σ²_q/(q·σ²_1) ≈ 1; VR < 1 flags mean reversion, > 1
+    momentum.  z = (VR−1)/√(2(2q−1)(q−1)/(3q·n₁)) is the
+    homoskedastic form.
+
+    The 1- and q-period differences come from two 1:1 equi-joins on
+    the integer key (k+1 and k+q — calendar-adjacent contract, gap
+    pairs excluded, the :func:`dickey_fuller` convention); μ̂ is the
+    1-period mean, and the q-period sum centers about q·μ̂ per
+    Lo-MacKinlay.  All raw sums are exact decimals; VR and z are
+    closed-form doubles.  Output: one row (n1, nq, vr, z)."""
+    q = int(q)
+    if q < 2:
+        raise ValueError("variance_ratio: q must be >= 2")
+    a = series.groupBy(F.col(key_col).cast("long").alias("_k")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_y")
+    ).localCheckpoint(eager=False)
+    d1f = a.join(
+        a.select((F.col("_k") + 1).alias("_k"), F.col("_y").alias("_yp")), "_k"
+    ).select(
+        (F.col("_y").cast("decimal(19,2)") - F.col("_yp").cast("decimal(19,2)"))
+        .cast("decimal(19,2)")
+        .alias("_d")
+    )
+    dqf = a.join(
+        a.select((F.col("_k") + q).alias("_k"), F.col("_y").alias("_yq")), "_k"
+    ).select(
+        (F.col("_y").cast("decimal(19,2)") - F.col("_yq").cast("decimal(19,2)"))
+        .cast("decimal(19,2)")
+        .alias("_d")
+    )
+    def _sums(f, pre):
+        d = F.col("_d")
+        return f.agg(
+            F.count(F.lit(1)).cast("long").alias(f"_n{pre}"),
+            F.sum(d.cast("decimal(38,2)")).alias(f"_s{pre}"),
+            F.sum((d * d).cast("decimal(38,4)")).alias(f"_ss{pre}"),
+        )
+    one = _sums(d1f, "1").crossJoin(F.broadcast(_sums(dqf, "q")))
+    n1 = F.col("_n1").cast("double")
+    nq = F.col("_nq").cast("double")
+    s1 = F.col("_s1").cast("double")
+    ss1 = F.col("_ss1").cast("double")
+    sq = F.col("_sq").cast("double")
+    ssq = F.col("_ssq").cast("double")
+    mu = s1 / n1
+    var1 = (ss1 - s1 * s1 / n1) / n1
+    qd = F.lit(float(q))
+    varq = (ssq - F.lit(2.0) * qd * mu * sq + nq * qd * qd * mu * mu) / (
+        qd * nq
+    )
+    vr = F.when((F.col("_n1") > 1) & (F.col("_nq") > 0) & (var1 > 0), varq / var1)
+    z = F.when(
+        (F.col("_n1") > 1) & (F.col("_nq") > 0) & (var1 > 0),
+        (varq / var1 - F.lit(1.0))
+        / F.sqrt(
+            F.lit(2.0 * (2 * q - 1) * (q - 1)) / (F.lit(3.0 * q) * n1)
+        ),
+    )
+    return _finalize_bounded(
+        one.select(
+            F.col("_n1").alias("n1"),
+            F.col("_nq").alias("nq"),
+            vr.alias("vr"),
+            z.alias("z"),
+        )
+    )
+
+
+def granger_lag1(
+    df: DataFrame,
+    key_col: str,
+    y_col,
+    x_col,
+) -> DataFrame:
+    """Granger-causality F test at lag 1: does x's past improve the
+    prediction of y beyond y's own past?  Compares the restricted
+    regression y_t ~ (1, y_{t−1}) against the unrestricted
+    y_t ~ (1, y_{t−1}, x_{t−1}) over calendar-adjacent pairs;
+    F = (RSS_r − RSS_u)/(RSS_u/(n−3)) on (1, n−3) df.
+
+    One hash collapse to (k, Σy, Σx) exact decimals, one 1:1 lag
+    join, one TEN-sum aggregate, then the 2×2 centered normal
+    equations in closed form (Cramer) — no matrix library, identical
+    double expressions on both engines.  Output: one row
+    (n, beta_x, f_stat)."""
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    a = df.groupBy(F.col(key_col).cast("long").alias("_k")).agg(
+        F.sum(y.cast("decimal(18,2)")).alias("_y"),
+        F.sum(x.cast("decimal(18,2)")).alias("_x"),
+    ).localCheckpoint(eager=False)
+    prev = a.select(
+        (F.col("_k") + 1).alias("_k"),
+        F.col("_y").alias("_ya"),
+        F.col("_x").alias("_xa"),
+    )
+    p = a.join(prev, "_k").select(
+        F.col("_y").cast("decimal(19,2)").alias("_yy"),
+        F.col("_ya").cast("decimal(19,2)").alias("_a"),
+        F.col("_xa").cast("decimal(19,2)").alias("_bx"),
+    )
+    yy, aa, bb = F.col("_yy"), F.col("_a"), F.col("_bx")
+    sums = p.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(aa.cast("decimal(38,2)")).alias("_sa"),
+        F.sum(bb.cast("decimal(38,2)")).alias("_sb"),
+        F.sum(yy.cast("decimal(38,2)")).alias("_sy"),
+        F.sum((aa * aa).cast("decimal(38,4)")).alias("_saa"),
+        F.sum((bb * bb).cast("decimal(38,4)")).alias("_sbb"),
+        F.sum((aa * bb).cast("decimal(38,4)")).alias("_sab"),
+        F.sum((yy * yy).cast("decimal(38,4)")).alias("_syy"),
+        F.sum((yy * aa).cast("decimal(38,4)")).alias("_sya"),
+        F.sum((yy * bb).cast("decimal(38,4)")).alias("_syb"),
+    )
+    n = F.col("_n").cast("double")
+    sa = F.col("_sa").cast("double")
+    sb = F.col("_sb").cast("double")
+    sy = F.col("_sy").cast("double")
+    caa = F.col("_saa").cast("double") - sa * sa / n
+    cbb = F.col("_sbb").cast("double") - sb * sb / n
+    cab = F.col("_sab").cast("double") - sa * sb / n
+    cyy = F.col("_syy").cast("double") - sy * sy / n
+    cya = F.col("_sya").cast("double") - sy * sa / n
+    cyb = F.col("_syb").cast("double") - sy * sb / n
+    det = caa * cbb - cab * cab
+    b1 = (cya * cbb - cyb * cab) / det
+    b2 = (caa * cyb - cab * cya) / det
+    rss_u = cyy - b1 * cya - b2 * cyb
+    rss_r = cyy - cya * cya / caa
+    ok = (F.col("_n") > 3) & (det > 0) & (caa > 0)
+    beta_x = F.when(ok, b2)
+    f_stat = F.when(
+        ok & (rss_u > 0),
+        (rss_r - rss_u) / (rss_u / (n - F.lit(3.0))),
+    )
+    return _finalize_bounded(
+        sums.select(
+            F.col("_n").alias("n"),
+            beta_x.alias("beta_x"),
+            f_stat.alias("f_stat"),
+        )
+    )
+
+
+def engle_granger(
+    df: DataFrame,
+    key_col: str,
+    y_col,
+    x_col,
+) -> DataFrame:
+    """Engle-Granger two-step cointegration test: (1) OLS y_t = α +
+    β·x_t over the keyed series, (2) Dickey-Fuller (no constant —
+    residuals are mean-zero by construction) on the residuals
+    e_t = y_t − α − β·x_t.  A strongly negative adf_t says the
+    residuals mean-revert — y and x share a common stochastic trend.
+    (Compare against Engle-Granger critical values, ≈ −3.34 at 5%
+    for two series; the caller's lookup.)
+
+    Stage-1 sums are exact decimals collapsing to ONE broadcast row
+    (α, β never touch the driver); residuals are per-row double
+    expressions; stage 2 is one lag join + three double sums.
+    Output: one row (n_pairs, alpha, beta, adf_t)."""
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    a = df.groupBy(F.col(key_col).cast("long").alias("_k")).agg(
+        F.sum(y.cast("decimal(18,2)")).alias("_y"),
+        F.sum(x.cast("decimal(18,2)")).alias("_x"),
+    ).localCheckpoint(eager=False)
+    x19 = F.col("_x").cast("decimal(19,2)")
+    y19 = F.col("_y").cast("decimal(19,2)")
+    st1 = a.agg(
+        F.count(F.lit(1)).cast("long").alias("_n0"),
+        F.sum(x19.cast("decimal(38,2)")).alias("_sx"),
+        F.sum(y19.cast("decimal(38,2)")).alias("_sy"),
+        F.sum((x19 * x19).cast("decimal(38,4)")).alias("_sxx"),
+        F.sum((x19 * y19).cast("decimal(38,4)")).alias("_sxy"),
+    )
+    n0 = F.col("_n0").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cxx = F.col("_sxx").cast("double") - sx * sx / n0
+    cxy = F.col("_sxy").cast("double") - sx * sy / n0
+    coefs = st1.select(
+        (cxy / cxx).alias("_beta"),
+        ((sy - (cxy / cxx) * sx) / n0).alias("_alpha"),
+    )
+    withe = a.crossJoin(F.broadcast(coefs)).select(
+        "_k",
+        "_alpha",
+        "_beta",
+        (
+            F.col("_y").cast("double")
+            - F.col("_alpha")
+            - F.col("_beta") * F.col("_x").cast("double")
+        ).alias("_e"),
+    )
+    prev = withe.select(
+        (F.col("_k") + 1).alias("_k"), F.col("_e").alias("_ep")
+    )
+    pairs = withe.join(prev, "_k").select(
+        "_alpha",
+        "_beta",
+        F.col("_ep").alias("_p"),
+        (F.col("_e") - F.col("_ep")).alias("_d"),
+    )
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.first("_alpha").alias("_al"),
+        F.first("_beta").alias("_be"),
+        F.sum(F.col("_p") * F.col("_p")).alias("_spp"),
+        F.sum(F.col("_p") * F.col("_d")).alias("_spd"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_sdd"),
+    )
+    n = F.col("_n").cast("double")
+    spp = F.col("_spp")
+    spd = F.col("_spd")
+    sdd = F.col("_sdd")
+    beta = spd / spp
+    rss = sdd - spd * spd / spp
+    adf_t = F.when(
+        (F.col("_n") > 1) & (spp > 0) & (rss > 0),
+        (spd / spp) / F.sqrt((rss / (n - F.lit(1.0))) / spp),
+    )
+    return _finalize_bounded(
+        sums.select(
+            F.col("_n").alias("n_pairs"),
+            F.col("_al").alias("alpha"),
+            F.col("_be").alias("beta"),
+            adf_t.alias("adf_t"),
+        )
+    )
