@@ -131,6 +131,11 @@ HEAVY = [
     "dickey_fuller",
     "hurst_rs",
     "anderson_darling",
+    # round-14 wave 33
+    "quade_test",
+    "variance_ratio",
+    "granger_lag1",
+    "engle_granger",
 ]
 
 TABLES = [
@@ -428,6 +433,15 @@ WAVE32 = [
     "anderson_darling",
 ]
 
+#: wave-33 family (round 14): quade's across-block range rank is the
+#: data-growing axis; the other three are daily-collapse closed forms.
+WAVE33 = [
+    "quade_test",
+    "variance_ratio",
+    "granger_lag1",
+    "engle_granger",
+]
+
 
 def extended_main(
     factors: list[int],
@@ -507,6 +521,13 @@ if __name__ == "__main__":
             names=WAVE32,
             title="Wave-32 replication — ordinal_assoc / dickey_fuller / hurst / anderson (auto-generated)",
             marker="\n## Wave-32 replication",
+        )
+    elif "--wave33" in sys.argv:
+        extended_main(
+            [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 8, 16],
+            names=WAVE33,
+            title="Wave-33 replication — quade / variance_ratio / granger / engle_granger (auto-generated)",
+            marker="\n## Wave-33 replication",
         )
     elif "--extended" in sys.argv:
         extended_main([int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 2, 4, 8, 16])
