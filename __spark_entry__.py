@@ -9060,6 +9060,135 @@ ORDER BY click_id, purchase_id
 """
 
 
+def q_outer_join_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TENTH streaming gate shape: stream-stream LEFT OUTER interval
+    join with watermark NULL-emission — the Structured Streaming
+    semantics corner the inner gate (`join_stream_replay`) cannot
+    exercise.  An unmatched click may only emit its NULL-padded row
+    once the watermark has passed the END of its join window (before
+    that, a matching purchase could still arrive), so correctness
+    here proves the engine holds per-click state exactly until
+    `click_ts + 1 h` falls behind the watermark and then flushes —
+    not before (phantom NULLs) and not never (withheld tail).  To
+    close the tail, the replay appends a FINAL sentinel file (one
+    future click + one future purchase at max_ts + 4 h, ids = −1 —
+    each side's watermark column only sees its own event type, so
+    BOTH sides need a sentinel) that drives every real click's window
+    behind the watermark; the final no-data micro-batch flushes the
+    remaining NULL rows, the sentinels themselves are filtered from
+    the landed table, and the result must hash-equal the batch LEFT
+    JOIN oracle.  Reference parity: the reference gateway's channel
+    graph ticks every channel independently — a click with no
+    purchase still surfaces on its channel (csp_gateway/server/
+    gateway/csp/channels.py ts wiring); this gate is that
+    keep-the-unmatched-side semantics replayed event-time-complete."""
+    import os
+    import shutil
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    ev = ev.localCheckpoint(eager=True)
+    root = _gate_tmpdir(prefix=f"csp_gw_ojstream_{os.getpid()}_")
+    src_dir = os.path.join(root, "src")
+    bounds = ev.agg(
+        F.min("ts").alias("_mn"), F.max("ts").alias("_mx")
+    ).collect()[0]
+    span = max(1, int(bounds._mx) - int(bounds._mn) + 1)
+    bucketed = ev.withColumn(
+        "_b",
+        ((F.col("ts") - F.lit(int(bounds._mn))) * 6 / F.lit(span)).cast("int"),
+    )
+    for k in range(6):
+        bucketed.filter(F.col("_b") == k).drop("_b").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    # sentinel file LAST in modification order: one click + one
+    # purchase 4 h past the real maximum, so after the final trigger
+    # both sides' watermarks (2 h delay) sit 2 h past max_ts — beyond
+    # every real click's window end (max_ts + 1 h) — and the no-data
+    # flush batch emits every remaining unmatched click
+    sentinel_ts = int(bounds._mx) + 4 * 3600 * 1_000_000_000
+    spark.createDataFrame(
+        [
+            (-1, -1, "click", 0.0, sentinel_ts),
+            (-1, -1, "purchase", 0.0, sentinel_ts),
+        ],
+        ev.schema,
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    schema = ev.schema
+
+    def side(ty: str, ts_name: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .filter(F.col("event_type") == ty)
+            .withColumn(ts_name, F.expr("timestamp_micros(ts div 1000)"))
+            .withWatermark(ts_name, "2 hours")
+        )
+
+    clicks = side("click", "_cts").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("_cu"),
+        "_cts",
+    )
+    purchases = side("purchase", "_pts").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("_pu"),
+        F.col("value").alias("_pv"),
+        "_pts",
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("_cu") == F.col("_pu"))
+        & (F.col("_pts") >= F.col("_cts"))
+        & (F.col("_pts") <= F.col("_cts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    table = f"gate_ojstream_{os.getpid()}"
+    with _replay_shuffle(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.table(table).filter(F.col("click_id") >= 0).select(
+        "click_id",
+        "purchase_id",
+        F.col("_cu").alias("user_id"),
+        (F.col("_pts").cast("long") - F.col("_cts").cast("long")).alias("lag_sec"),
+        (F.round("_pv", 6) + F.lit(0.0)).alias("purchase_value"),
+    )
+    state_out = os.path.join(root, "state_out")
+    out.write.mode("overwrite").parquet(state_out)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "ckpt"), ignore_errors=True)
+    return spark.read.parquet(state_out).orderBy("click_id", "purchase_id")
+
+
+ORACLE_OUTER_JOIN_STREAM_REPLAY = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_ns(ts) // 1000 AS t_us
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id AS user_id,
+       CAST(p.t_us // 1000000 - c.t_us // 1000000 AS BIGINT) AS lag_sec,
+       round(p.value, 6) + 0.0 AS purchase_value
+FROM (SELECT * FROM e WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.t_us >= c.t_us AND p.t_us <= c.t_us + 3600000000
+ORDER BY click_id, purchase_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # WAVE 16 (round 8) — statistical testing + time-series association
 # ---------------------------------------------------------------------------
@@ -15538,6 +15667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variance_ratio": q_variance_ratio,
         "granger_lag1": q_granger_lag1,
         "engle_granger": q_engle_granger,
+        # round-14: tenth streaming gate shape (left-outer watermark
+        # NULL-emission)
+        "outer_join_stream_replay": q_outer_join_stream_replay,
     }
     # The driver's correctness harness checks exactly the FIRST 50
     # entries (a budget, by all appearances), and dict order decides
@@ -15557,14 +15689,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and stays in the full 326-query replica sweep run each round
     # (tools/check.py; round_close prints the never-gated count).
     priority = [
-        # ALL NINE streaming replay shapes — these are the only gate
+        # ALL TEN streaming replay shapes — these are the only gate
         # entries that exercise Structured Streaming under the driver
         # harness (batch replicas can't), so they keep standing seats.
-        # topk/argmax stream replays are first-timers themselves.
+        # topk/argmax/outer-join stream replays are first-timers.
         "state_stream_replay", "window_stream_replay",
         "dedup_stream_replay", "join_stream_replay",
         "session_stream_replay", "enrich_stream_replay",
         "replay_handoff", "topk_stream_replay", "argmax_stream_replay",
+        "outer_join_stream_replay",
         # wave 31 — brand new in round 13, zero driver evidence
         "jonckheere", "cochran_armitage", "mattr_diversity",
         # waves 32/33 — brand new this round (the last eight r4/r5
@@ -15854,6 +15987,7 @@ def oracle_sql() -> dict[str, str]:
         "variance_ratio": ORACLE_VARIANCE_RATIO,
         "granger_lag1": ORACLE_GRANGER_LAG1,
         "engle_granger": ORACLE_ENGLE_GRANGER,
+        "outer_join_stream_replay": ORACLE_OUTER_JOIN_STREAM_REPLAY,
         "topk_stream_replay": ORACLE_TOPK_STREAM_REPLAY,
         "tukey_hsd": ORACLE_TUKEY_HSD,
         "cumulative_incidence": ORACLE_CUMULATIVE_INCIDENCE,

@@ -351,6 +351,7 @@ HEADLINE = [
     "variance_ratio",
     "granger_lag1",
     "engle_granger",
+    "outer_join_stream_replay",
 ]
 
 

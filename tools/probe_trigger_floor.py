@@ -30,6 +30,7 @@ GATES = [
     "enrich_stream_replay",
     "topk_stream_replay",
     "argmax_stream_replay",
+    "outer_join_stream_replay",
 ]
 
 
