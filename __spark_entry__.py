@@ -15327,6 +15327,246 @@ FROM s
 """
 
 
+def _order_value_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two 'measurements' of order value: the stamped o_totalprice vs
+    the gross line-item sum — the method-comparison pair the
+    deming/bland-altman gates fit."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    line_sum = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_ls")
+    )
+    return orders.join(
+        line_sum, orders["o_orderkey"] == line_sum["l_orderkey"]
+    ).select(
+        F.col("o_totalprice").alias("x"),
+        F.col("_ls").alias("y"),
+    )
+
+
+_ORDER_PAIR_SQL = """
+  SELECT o.o_totalprice AS x, l.s AS y
+  FROM orders o JOIN (
+    SELECT l_orderkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s
+    FROM lineitem GROUP BY 1
+  ) l ON o.o_orderkey = l.l_orderkey
+"""
+
+
+def q_deming_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deming (errors-in-variables) regression of gross line sum on
+    order totalprice — the method-comparison fit; five exact decimal
+    sums, closed-form slope/intercept."""
+    from csp_gateway_spark.operators.analytics import deming_regression
+
+    out = deming_regression(_order_value_pair(spark, sf_dir), "x", "y")
+    return out.select(
+        "n",
+        (F.round("slope", 6) + F.lit(0.0)).alias("slope"),
+        (F.round("intercept", 4) + F.lit(0.0)).alias("intercept"),
+    )
+
+
+ORACLE_DEMING_FIT = f"""
+WITH pair AS ({_ORDER_PAIR_SQL}),
+b AS (
+  SELECT CAST(x AS DECIMAL(19,2)) AS x, CAST(y AS DECIMAL(19,2)) AS y
+  FROM pair WHERE x IS NOT NULL AND y IS NOT NULL
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    SUM(CAST(x AS DECIMAL(38,2))) AS sx, SUM(CAST(y AS DECIMAL(38,2))) AS sy,
+    SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+    SUM(CAST(y * y AS DECIMAL(38,4))) AS syy,
+    SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy
+  FROM b
+), c AS (
+  SELECT n,
+    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cxx,
+    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy,
+    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cxy
+  FROM s
+), f AS (
+  SELECT n, sxd, syd, cxy,
+    (cyy - 1.0 * cxx + sqrt((cyy - 1.0 * cxx) * (cyy - 1.0 * cxx) + 4.0 * 1.0 * cxy * cxy))
+    / (2.0 * cxy) AS slope
+  FROM c
+)
+SELECT n,
+  round(CASE WHEN n > 1 AND cxy <> 0 THEN slope END, 6) + 0.0 AS slope,
+  round(CASE WHEN n > 1 AND cxy <> 0
+        THEN (syd - slope * sxd) / CAST(n AS DOUBLE) END, 4) + 0.0 AS intercept
+FROM f
+"""
+
+
+def q_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement of order totalprice vs gross line sum:
+    bias, SD, 95% limits of agreement, count outside — two aggregate
+    passes, limits as one broadcast scalar row."""
+    from csp_gateway_spark.operators.analytics import bland_altman
+
+    out = bland_altman(_order_value_pair(spark, sf_dir), "x", "y")
+    return out.select(
+        "n",
+        (F.round("mean_diff", 6) + F.lit(0.0)).alias("mean_diff"),
+        (F.round("sd_diff", 6) + F.lit(0.0)).alias("sd_diff"),
+        (F.round("loa_low", 6) + F.lit(0.0)).alias("loa_low"),
+        (F.round("loa_high", 6) + F.lit(0.0)).alias("loa_high"),
+        "n_outside",
+    )
+
+
+ORACLE_BLAND_ALTMAN = f"""
+WITH pair AS ({_ORDER_PAIR_SQL}),
+b AS (
+  SELECT CAST(CAST(x AS DECIMAL(19,2)) - CAST(y AS DECIMAL(19,2)) AS DECIMAL(19,2)) AS d
+  FROM pair WHERE x IS NOT NULL AND y IS NOT NULL
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    SUM(CAST(d AS DECIMAL(38,2))) AS sd,
+    SUM(CAST(d * d AS DECIMAL(38,4))) AS sdd
+  FROM b
+), lim AS (
+  SELECT n,
+    CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS md,
+    CASE WHEN n > 1 THEN sqrt(
+      (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+      / (CAST(n AS DOUBLE) - 1.0)) END AS sdev
+  FROM s
+), lim2 AS (
+  SELECT n, md, sdev, md - 1.96 * sdev AS lo, md + 1.96 * sdev AS hi FROM lim
+)
+SELECT n,
+  round(md, 6) + 0.0 AS mean_diff,
+  round(sdev, 6) + 0.0 AS sd_diff,
+  round(lo, 6) + 0.0 AS loa_low,
+  round(hi, 6) + 0.0 AS loa_high,
+  (SELECT CAST(SUM(CASE WHEN CAST(d AS DOUBLE) < lo OR CAST(d AS DOUBLE) > hi
+                THEN 1 ELSE 0 END) AS BIGINT)
+   FROM b) AS n_outside
+FROM lim2
+"""
+
+
+def q_optimal_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden-J optimal threshold for the document-length 'from src0'
+    classifier (roc_auc's deployable-cutoff companion) — exact
+    integer argmax key, TakeOrdered(1), never a global sort."""
+    from csp_gateway_spark.operators.analytics import optimal_cutoff
+
+    docs = _t(spark, sf_dir, "documents")
+    out = optimal_cutoff(
+        docs.select(
+            F.col("n_chars").alias("score"),
+            (F.col("source") == "src0").cast("int").alias("label"),
+        ),
+        "score",
+        "label",
+    )
+    return out.select(
+        "n_pos", "n_neg", "threshold",
+        (F.round("j_stat", 6) + F.lit(0.0)).alias("j_stat"),
+        (F.round("sensitivity", 6) + F.lit(0.0)).alias("sensitivity"),
+        (F.round("specificity", 6) + F.lit(0.0)).alias("specificity"),
+    )
+
+
+ORACLE_OPTIMAL_CUTOFF = """
+WITH b AS (
+  SELECT n_chars AS s, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS l
+  FROM documents WHERE n_chars IS NOT NULL
+), cells AS (
+  SELECT s, CAST(SUM(l) AS BIGINT) AS p, CAST(SUM(1 - l) AS BIGINT) AS q
+  FROM b GROUP BY 1
+), cum AS (
+  SELECT s, p, q,
+    SUM(p) OVER w AS cp, SUM(q) OVER w AS cq
+  FROM cells WINDOW w AS (ORDER BY s ROWS UNBOUNDED PRECEDING)
+), tot AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS tp_all, CAST(SUM(q) AS BIGINT) AS tn_all
+  FROM cells
+), j AS (
+  SELECT s, tp_all, tn_all,
+    tp_all - (cp - p) AS tp, tn_all - (cq - q) AS fp,
+    CAST(tp_all - (cp - p) AS HUGEINT) * tn_all
+      - CAST(tn_all - (cq - q) AS HUGEINT) * tp_all AS jn
+  FROM cum, tot
+)
+SELECT tp_all AS n_pos, tn_all AS n_neg, s AS threshold,
+  round(CASE WHEN tp_all > 0 AND tn_all > 0
+        THEN CAST(jn AS DOUBLE) / (CAST(tp_all AS DOUBLE) * CAST(tn_all AS DOUBLE))
+  END, 6) + 0.0 AS j_stat,
+  round(CASE WHEN tp_all > 0 THEN CAST(tp AS DOUBLE) / CAST(tp_all AS DOUBLE) END, 6) + 0.0 AS sensitivity,
+  round(CASE WHEN tn_all > 0
+        THEN (CAST(tn_all AS DOUBLE) - CAST(fp AS DOUBLE)) / CAST(tn_all AS DOUBLE)
+  END, 6) + 0.0 AS specificity
+FROM j ORDER BY jn DESC, s ASC LIMIT 1
+"""
+
+
+_LIFT_K = 10
+
+
+def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains of the document-length 'from src0' scorer —
+    deterministic doc_id tiebreak, exact integer tile cut, zero
+    windows (k×k broadcast self-join for the cumulative gain)."""
+    from csp_gateway_spark.operators.analytics import lift_table
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lift_table(
+        docs.select(
+            F.col("n_chars").alias("score"),
+            (F.col("source") == "src0").cast("int").alias("label"),
+            F.col("doc_id"),
+        ),
+        "score",
+        "label",
+        "doc_id",
+        k=_LIFT_K,
+    )
+    return out.select(
+        "tile", "n", "positives",
+        (F.round("rate", 6) + F.lit(0.0)).alias("rate"),
+        (F.round("lift", 6) + F.lit(0.0)).alias("lift"),
+        (F.round("cum_gain", 6) + F.lit(0.0)).alias("cum_gain"),
+    ).orderBy("tile")
+
+
+ORACLE_LIFT_TABLE = f"""
+WITH b AS (
+  SELECT n_chars AS s, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS l,
+         doc_id AS id
+  FROM documents WHERE n_chars IS NOT NULL
+), rk AS (
+  SELECT l, row_number() OVER (ORDER BY s DESC, id ASC) AS rn,
+         count(*) OVER () AS n_total
+  FROM b
+), tiled AS (
+  SELECT l, ((rn - 1) * {_LIFT_K}) // n_total + 1 AS tile FROM rk
+), pt AS (
+  SELECT tile, CAST(count(*) AS BIGINT) AS n, CAST(SUM(l) AS BIGINT) AS positives
+  FROM tiled GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(positives) AS BIGINT) AS pt_all
+  FROM pt
+), cum AS (
+  SELECT a.tile, CAST(SUM(bb.positives) AS BIGINT) AS cpos
+  FROM pt a JOIN pt bb ON bb.tile <= a.tile GROUP BY 1
+)
+SELECT CAST(pt.tile AS INTEGER) AS tile, n, positives,
+  round(CAST(positives AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS rate,
+  round(CASE WHEN pt_all > 0
+        THEN (CAST(positives AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(pt_all AS DOUBLE) / CAST(nt AS DOUBLE)) END, 6) + 0.0 AS lift,
+  round(CASE WHEN pt_all > 0
+        THEN CAST(cpos AS DOUBLE) / CAST(pt_all AS DOUBLE) END, 6) + 0.0 AS cum_gain
+FROM pt JOIN cum ON pt.tile = cum.tile, tot
+ORDER BY tile
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "state_keyed_last": q_state_keyed_last,
@@ -15670,6 +15910,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-14: tenth streaming gate shape (left-outer watermark
         # NULL-emission)
         "outer_join_stream_replay": q_outer_join_stream_replay,
+        # wave 34 (round 14): ML-eval / method-comparison family
+        "deming_fit": q_deming_fit,
+        "bland_altman": q_bland_altman,
+        "optimal_cutoff": q_optimal_cutoff,
+        "lift_table": q_lift_table,
     }
     # The driver's correctness harness checks exactly the FIRST 50
     # entries (a budget, by all appearances), and dict order decides
@@ -15704,6 +15949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curation seats below roll past 50, back to replica coverage)
         "ordinal_assoc", "dickey_fuller", "hurst_rs", "anderson_darling",
         "quade_test", "variance_ratio", "granger_lag1", "engle_granger",
+        "deming_fit", "bland_altman", "optimal_cutoff", "lift_table",
         # the 17 r4-era TPC-H join/agg shapes (Q6/Q10/Q14/... family):
         # only ever replica-checked since round 4
         "volume_shipping", "returned_items", "promo_revenue",
@@ -15988,6 +16234,10 @@ def oracle_sql() -> dict[str, str]:
         "granger_lag1": ORACLE_GRANGER_LAG1,
         "engle_granger": ORACLE_ENGLE_GRANGER,
         "outer_join_stream_replay": ORACLE_OUTER_JOIN_STREAM_REPLAY,
+        "deming_fit": ORACLE_DEMING_FIT,
+        "bland_altman": ORACLE_BLAND_ALTMAN,
+        "optimal_cutoff": ORACLE_OPTIMAL_CUTOFF,
+        "lift_table": ORACLE_LIFT_TABLE,
         "topk_stream_replay": ORACLE_TOPK_STREAM_REPLAY,
         "tukey_hsd": ORACLE_TUKEY_HSD,
         "cumulative_incidence": ORACLE_CUMULATIVE_INCIDENCE,

@@ -352,6 +352,10 @@ HEADLINE = [
     "granger_lag1",
     "engle_granger",
     "outer_join_stream_replay",
+    "deming_fit",
+    "bland_altman",
+    "optimal_cutoff",
+    "lift_table",
 ]
 
 

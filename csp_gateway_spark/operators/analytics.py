@@ -10749,3 +10749,283 @@ def engle_granger(
             adf_t.alias("adf_t"),
         )
     )
+
+
+def deming_regression(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    delta: float = 1.0,
+) -> DataFrame:
+    """Deming (errors-in-variables) regression of y on x — the method-
+    comparison fit that treats BOTH variables as noisy, where OLS
+    attenuates the slope toward zero.  δ is the ratio of error
+    variances (σ²_y/σ²_x; δ=1 is orthogonal regression).  Closed
+    form over five exact decimal sums:
+
+      β = (s_yy − δ·s_xx + √((s_yy − δ·s_xx)² + 4δ·s_xy²)) / (2·s_xy)
+      α = ȳ − β·x̄
+
+    One map-combined aggregate, identical double expressions on both
+    engines; β is NULL when s_xy = 0 (no linear association — the
+    formula's 0/0).  Output: one row (n, slope, intercept)."""
+    delta = float(delta)
+    if delta <= 0:
+        raise ValueError("deming_regression: delta must be > 0")
+    x = F.col(x_col).cast("decimal(19,2)")
+    y = F.col(y_col).cast("decimal(19,2)")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("_x"), y.alias("_y")
+    )
+    xx, yy = F.col("_x"), F.col("_y")
+    sums = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(xx.cast("decimal(38,2)")).alias("_sx"),
+        F.sum(yy.cast("decimal(38,2)")).alias("_sy"),
+        F.sum((xx * xx).cast("decimal(38,4)")).alias("_sxx"),
+        F.sum((yy * yy).cast("decimal(38,4)")).alias("_syy"),
+        F.sum((xx * yy).cast("decimal(38,4)")).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cxx = F.col("_sxx").cast("double") - sx * sx / n
+    cyy = F.col("_syy").cast("double") - sy * sy / n
+    cxy = F.col("_sxy").cast("double") - sx * sy / n
+    dl = F.lit(delta)
+    disc = (cyy - dl * cxx) * (cyy - dl * cxx) + F.lit(4.0) * dl * cxy * cxy
+    slope = F.when(
+        (F.col("_n") > 1) & (cxy != 0),
+        (cyy - dl * cxx + F.sqrt(disc)) / (F.lit(2.0) * cxy),
+    )
+    intercept = F.when(
+        (F.col("_n") > 1) & (cxy != 0),
+        (sy - ((cyy - dl * cxx + F.sqrt(disc)) / (F.lit(2.0) * cxy)) * sx) / n,
+    )
+    return _finalize_bounded(
+        sums.select(
+            F.col("_n").alias("n"),
+            slope.alias("slope"),
+            intercept.alias("intercept"),
+        )
+    )
+
+
+def bland_altman(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Bland-Altman agreement analysis of two measurements: mean
+    difference (bias), SD of differences, 95% limits of agreement
+    (bias ± 1.96·SD), and the count of pairs falling OUTSIDE the
+    limits.  Two aggregate passes — the second re-scans with the
+    bias/SD as one broadcast scalar row (never a driver value) — and
+    every raw sum is an exact decimal, so the limits are identical
+    doubles on both engines.  Output: one row (n, mean_diff, sd_diff,
+    loa_low, loa_high, n_outside)."""
+    x = F.col(x_col).cast("decimal(19,2)")
+    y = F.col(y_col).cast("decimal(19,2)")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        (x - y).cast("decimal(19,2)").alias("_d")
+    ).localCheckpoint(eager=False)
+    d = F.col("_d")
+    s1 = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(d.cast("decimal(38,2)")).alias("_sd"),
+        F.sum((d * d).cast("decimal(38,4)")).alias("_sdd"),
+    )
+    n = F.col("_n").cast("double")
+    md = F.col("_sd").cast("double") / n
+    sdd = F.when(
+        F.col("_n") > 1,
+        F.sqrt(
+            (F.col("_sdd").cast("double")
+             - F.col("_sd").cast("double") * F.col("_sd").cast("double") / n)
+            / (n - F.lit(1.0))
+        ),
+    )
+    lims = s1.select(
+        F.col("_n").alias("_n"),
+        md.alias("_md"),
+        sdd.alias("_sdev"),
+        (md - F.lit(1.96) * sdd).alias("_lo"),
+        (md + F.lit(1.96) * sdd).alias("_hi"),
+    )
+    out = base.crossJoin(F.broadcast(lims)).agg(
+        F.first("_n").alias("n"),
+        F.first("_md").alias("mean_diff"),
+        F.first("_sdev").alias("sd_diff"),
+        F.first("_lo").alias("loa_low"),
+        F.first("_hi").alias("loa_high"),
+        F.sum(
+            F.when(
+                (d.cast("double") < F.col("_lo"))
+                | (d.cast("double") > F.col("_hi")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_outside"),
+    )
+    return _finalize_bounded(out)
+
+
+def optimal_cutoff(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Youden-J optimal classification threshold: over every distinct
+    score t (decision rule "positive iff score ≥ t"), maximize
+    J(t) = TPR(t) − FPR(t); ties broken toward the SMALLEST
+    threshold.  The companion of :func:`roc_auc` that turns the curve
+    into a deployable cutoff.
+
+    Scale plan: one distinct-score collapse with per-class counts,
+    ONE :func:`global_row_number` cumulative (the rank-family shape),
+    and a TakeOrdered(1) — never a global sort.  The argmax key is
+    the EXACT integer J_num = TP·N − FP·P (J's numerator scaled by
+    P·N), so the winner is engine-exact; TPR/FPR/J divide only in the
+    reported row.  Output: one row (n_pos, n_neg, threshold, j_stat,
+    sensitivity, specificity)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    s = F.col(score_col)
+    lab = F.col(label_col).cast("int")
+    cells = (
+        df.filter(s.isNotNull() & lab.isNotNull())
+        .groupBy(s.alias("_s"))
+        .agg(
+            F.sum(lab).cast("long").alias("_p"),
+            F.sum(F.lit(1) - lab).cast("long").alias("_q"),
+        )
+    )
+    ranked = global_row_number(
+        cells, "_s", [], rn_col="_rn",
+        cum_values=[("_p", "_cp"), ("_q", "_cq")],
+        small_threshold=TARGET_ROWS_PER_BUCKET, checkpoint=True,
+    )
+    tot = cells.agg(
+        F.sum("_p").cast("long").alias("_tp_all"),
+        F.sum("_q").cast("long").alias("_tn_all"),
+    )
+    wtot = ranked.crossJoin(F.broadcast(tot))
+    # rule "score >= t": cumulative counts are INCLUSIVE of t's cell,
+    # so >= t means total − cum(< t) = total − (cum − cell)
+    tp = F.col("_tp_all") - (F.col("_cp") - F.col("_p"))
+    fp = F.col("_tn_all") - (F.col("_cq") - F.col("_q"))
+    j_num = (
+        tp.cast("decimal(19,0)") * F.col("_tn_all").cast("decimal(19,0)")
+        - fp.cast("decimal(19,0)") * F.col("_tp_all").cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    best = (
+        wtot.select(
+            "_s",
+            F.col("_tp_all"),
+            F.col("_tn_all"),
+            tp.alias("_tp"),
+            fp.alias("_fp"),
+            j_num.alias("_jn"),
+        )
+        .orderBy(F.col("_jn").desc(), F.col("_s").asc())
+        .limit(1)
+    )
+    p = F.col("_tp_all").cast("double")
+    q = F.col("_tn_all").cast("double")
+    sens = F.when(F.col("_tp_all") > 0, F.col("_tp").cast("double") / p)
+    spec = F.when(
+        F.col("_tn_all") > 0,
+        (q - F.col("_fp").cast("double")) / q,
+    )
+    jst = F.when(
+        (F.col("_tp_all") > 0) & (F.col("_tn_all") > 0),
+        F.col("_jn").cast("double") / (p * q),
+    )
+    return _finalize_bounded(
+        best.select(
+            F.col("_tp_all").alias("n_pos"),
+            F.col("_tn_all").alias("n_neg"),
+            F.col("_s").alias("threshold"),
+            jst.alias("j_stat"),
+            sens.alias("sensitivity"),
+            spec.alias("specificity"),
+        )
+    )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Decile lift/gains table for a scored binary outcome: rank by
+    score DESCENDING (ties broken by ``tiebreak_col`` — pass a UNIQUE
+    id; tile assignment would otherwise be nondeterministic), cut
+    into k index-equal tiles via tile = ⌊(rank−1)·k/n⌋+1, and report
+    each tile's response rate, lift over the base rate, and
+    cumulative gain (share of all positives captured through that
+    tile).
+
+    Scale plan: ONE :func:`global_row_number` rank (two-phase
+    bucketed, never a global sort); the cumulative-gain join is a
+    k×k broadcast self-join over the k-row tile table — zero windows
+    anywhere.  Output: k rows (tile, n, positives, rate, lift,
+    cum_gain)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    k = int(k)
+    if not (2 <= k <= 1000):
+        raise ValueError("lift_table: k must be in 2..1000")
+    s = F.col(score_col)
+    lab = F.col(label_col).cast("int")
+    base = df.filter(s.isNotNull() & lab.isNotNull()).select(
+        s.alias("_s"), lab.alias("_l"), F.col(tiebreak_col).alias("_id")
+    )
+    ranked = global_row_number(
+        base, "_s", ["_id"], rn_col="_rn", ascending=False,
+    )
+    # exact INTEGER division for the tile cut (never float-divide-
+    # then-truncate): both engines compute the identical ⌊·⌋
+    tiled = ranked.select(
+        "_l",
+        F.expr(f"((_rn - 1) * {k}) div _n_total + 1").alias("tile"),
+    )
+    per_tile = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_l").cast("long").alias("positives"),
+    ).localCheckpoint(eager=False)
+    tot = per_tile.agg(
+        F.sum("n").cast("long").alias("_nt"),
+        F.sum("positives").cast("long").alias("_pt"),
+    )
+    cum = (
+        per_tile.alias("a")
+        .join(
+            F.broadcast(per_tile.alias("b")),
+            F.col("b.tile") <= F.col("a.tile"),
+        )
+        .groupBy(F.col("a.tile").alias("tile"))
+        .agg(F.sum(F.col("b.positives")).cast("long").alias("_cpos"))
+    )
+    out = (
+        per_tile.join(cum, "tile")
+        .crossJoin(F.broadcast(tot))
+    )
+    rate = F.col("positives").cast("double") / F.col("n").cast("double")
+    base_rate = F.col("_pt").cast("double") / F.col("_nt").cast("double")
+    lift = F.when(F.col("_pt") > 0, rate / base_rate)
+    cum_gain = F.when(
+        F.col("_pt") > 0,
+        F.col("_cpos").cast("double") / F.col("_pt").cast("double"),
+    )
+    return _finalize_bounded(
+        out.select(
+            F.col("tile").cast("int").alias("tile"),
+            "n",
+            "positives",
+            rate.alias("rate"),
+            lift.alias("lift"),
+            cum_gain.alias("cum_gain"),
+        ).orderBy("tile")
+    )
