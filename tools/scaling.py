@@ -136,6 +136,11 @@ HEAVY = [
     "variance_ratio",
     "granger_lag1",
     "engle_granger",
+    # round-14 wave 34
+    "deming_fit",
+    "bland_altman",
+    "optimal_cutoff",
+    "lift_table",
 ]
 
 TABLES = [
@@ -442,6 +447,15 @@ WAVE33 = [
     "engle_granger",
 ]
 
+#: wave-34 family (round 14): deming/bland pay a real orders⋈lineitem
+#: join per pass; cutoff/lift are rank-family shapes over documents.
+WAVE34 = [
+    "deming_fit",
+    "bland_altman",
+    "optimal_cutoff",
+    "lift_table",
+]
+
 
 def extended_main(
     factors: list[int],
@@ -528,6 +542,13 @@ if __name__ == "__main__":
             names=WAVE33,
             title="Wave-33 replication — quade / variance_ratio / granger / engle_granger (auto-generated)",
             marker="\n## Wave-33 replication",
+        )
+    elif "--wave34" in sys.argv:
+        extended_main(
+            [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 8, 16],
+            names=WAVE34,
+            title="Wave-34 replication — deming / bland_altman / cutoff / lift (auto-generated)",
+            marker="\n## Wave-34 replication",
         )
     elif "--extended" in sys.argv:
         extended_main([int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 2, 4, 8, 16])
