@@ -15567,6 +15567,275 @@ ORDER BY tile
 """
 
 
+# ---------------------------------------------------------------------------
+# wave 35 (round 14) — regression / stationarity diagnostics over the
+# daily order series (analytics.py wave-35 block)
+# ---------------------------------------------------------------------------
+
+def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan (Koenker) heteroskedasticity LM: is the variance
+    of the daily-revenue ~ order-count OLS residual constant in the
+    order count?  Stage-1 OLS as ONE broadcast row, squared residuals
+    per-row, one six-sum aggregate."""
+    from csp_gateway_spark.operators.analytics import breusch_pagan
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.select(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("k"),
+        F.col("o_totalprice").alias("y"),
+        F.lit(1).alias("x"),
+    )
+    out = breusch_pagan(daily, "k", "y", "x")
+    return out.select(
+        "n",
+        (F.round("lm_stat", 6) + F.lit(0.0)).alias("lm_stat"),
+        (F.round("aux_r2", 6) + F.lit(0.0)).alias("aux_r2"),
+    )
+
+
+ORACLE_BREUSCH_PAGAN = f"""
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS y,
+         CAST(SUM(CAST(1 AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS x
+  FROM orders GROUP BY 1
+), s1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+    SUM(CAST(x AS DECIMAL(38,2))) AS sx, SUM(CAST(y AS DECIMAL(38,2))) AS sy,
+    SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+    SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy
+  FROM d
+), cf AS (
+  SELECT
+    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n0 AS DOUBLE))
+      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n0 AS DOUBLE)) AS beta,
+    (CAST(sy AS DOUBLE)
+      - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n0 AS DOUBLE))
+        / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n0 AS DOUBLE))
+        * CAST(sx AS DOUBLE)) / CAST(n0 AS DOUBLE) AS alpha
+  FROM s1
+), u AS (
+  SELECT CAST(x AS DOUBLE) AS xd,
+    (CAST(y AS DOUBLE) - alpha - beta * CAST(x AS DOUBLE))
+      * (CAST(y AS DOUBLE) - alpha - beta * CAST(x AS DOUBLE)) AS uu
+  FROM d, cf
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    SUM(xd) AS ax, SUM(uu) AS au,
+    SUM(xd * xd) AS axx, SUM(uu * uu) AS auu, SUM(xd * uu) AS axu
+  FROM u
+), c AS (
+  SELECT n,
+    axx - ax * ax / CAST(n AS DOUBLE) AS bxx,
+    auu - au * au / CAST(n AS DOUBLE) AS buu,
+    axu - ax * au / CAST(n AS DOUBLE) AS bxu
+  FROM s
+)
+SELECT n,
+  round(CASE WHEN n > 2 AND bxx > 0 AND buu > 0
+        THEN CAST(n AS DOUBLE) * bxu * bxu / (bxx * buu) END, 6) + 0.0 AS lm_stat,
+  round(CASE WHEN n > 2 AND bxx > 0 AND buu > 0
+        THEN bxu * bxu / (bxx * buu) END, 6) + 0.0 AS aux_r2
+FROM c
+"""
+
+
+import datetime as _dt
+
+_CHOW_BREAK_DATE = "1995-06-30"
+_CHOW_BREAK_KEY = (
+    _dt.date(1995, 6, 30) - _dt.date(1992, 1, 1)
+).days
+
+
+def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break F on the daily revenue ~ order-count fit
+    at 1995-06-30 — ONE map-combined aggregate carrying both
+    segments' conditional exact-decimal moments."""
+    from csp_gateway_spark.operators.analytics import chow_test
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.select(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("k"),
+        F.col("o_totalprice").alias("y"),
+        F.lit(1).alias("x"),
+    )
+    out = chow_test(daily, "k", "y", "x", break_key=_CHOW_BREAK_KEY)
+    return out.select(
+        "n1", "n2",
+        (F.round("f_stat", 6) + F.lit(0.0)).alias("f_stat"),
+    )
+
+
+ORACLE_CHOW_TEST = f"""
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS y,
+         CAST(SUM(CAST(1 AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS x
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT
+    CAST(SUM(CASE WHEN k < {_CHOW_BREAK_KEY} THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    SUM(CASE WHEN k < {_CHOW_BREAK_KEY} THEN CAST(x AS DECIMAL(38,2)) ELSE CAST(0 AS DECIMAL(38,2)) END) AS sx1,
+    SUM(CASE WHEN k < {_CHOW_BREAK_KEY} THEN CAST(y AS DECIMAL(38,2)) ELSE CAST(0 AS DECIMAL(38,2)) END) AS sy1,
+    SUM(CASE WHEN k < {_CHOW_BREAK_KEY} THEN CAST(x * x AS DECIMAL(38,4)) ELSE CAST(0 AS DECIMAL(38,4)) END) AS sxx1,
+    SUM(CASE WHEN k < {_CHOW_BREAK_KEY} THEN CAST(x * y AS DECIMAL(38,4)) ELSE CAST(0 AS DECIMAL(38,4)) END) AS sxy1,
+    SUM(CASE WHEN k < {_CHOW_BREAK_KEY} THEN CAST(y * y AS DECIMAL(38,4)) ELSE CAST(0 AS DECIMAL(38,4)) END) AS syy1,
+    CAST(SUM(CASE WHEN k >= {_CHOW_BREAK_KEY} THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    SUM(CASE WHEN k >= {_CHOW_BREAK_KEY} THEN CAST(x AS DECIMAL(38,2)) ELSE CAST(0 AS DECIMAL(38,2)) END) AS sx2,
+    SUM(CASE WHEN k >= {_CHOW_BREAK_KEY} THEN CAST(y AS DECIMAL(38,2)) ELSE CAST(0 AS DECIMAL(38,2)) END) AS sy2,
+    SUM(CASE WHEN k >= {_CHOW_BREAK_KEY} THEN CAST(x * x AS DECIMAL(38,4)) ELSE CAST(0 AS DECIMAL(38,4)) END) AS sxx2,
+    SUM(CASE WHEN k >= {_CHOW_BREAK_KEY} THEN CAST(x * y AS DECIMAL(38,4)) ELSE CAST(0 AS DECIMAL(38,4)) END) AS sxy2,
+    SUM(CASE WHEN k >= {_CHOW_BREAK_KEY} THEN CAST(y * y AS DECIMAL(38,4)) ELSE CAST(0 AS DECIMAL(38,4)) END) AS syy2
+  FROM d
+), r AS (
+  SELECT n1, n2,
+    (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      - (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        * (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        / (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS rss1,
+    CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS cxx1,
+    (CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      - (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        * (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        / (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS rss2,
+    CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS cxx2,
+    (CAST(syy1 + syy2 AS DOUBLE) - CAST(sy1 + sy2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+      - (CAST(sxy1 + sxy2 AS DOUBLE) - CAST(sx1 + sx2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        * (CAST(sxy1 + sxy2 AS DOUBLE) - CAST(sx1 + sx2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        / (CAST(sxx1 + sxx2 AS DOUBLE) - CAST(sx1 + sx2 AS DOUBLE) * CAST(sx1 + sx2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) AS rssp,
+    CAST(sxx1 + sxx2 AS DOUBLE) - CAST(sx1 + sx2 AS DOUBLE) * CAST(sx1 + sx2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS cxxp
+  FROM s
+)
+SELECT n1, n2,
+  round(CASE WHEN n1 > 2 AND n2 > 2 AND cxx1 > 0 AND cxx2 > 0 AND cxxp > 0
+                  AND rss1 + rss2 > 0
+        THEN ((rssp - rss1 - rss2) / 2.0)
+             / ((rss1 + rss2) / (CAST(n1 + n2 AS DOUBLE) - 4.0)) END, 6) + 0.0 AS f_stat
+FROM r
+"""
+
+
+def q_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle ARCH LM at lag 1 on daily order revenue — volatility
+    clustering as autocorrelation of squared deviations; broadcast
+    mean, one lag join, six double sums."""
+    from csp_gateway_spark.operators.analytics import arch_lm
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.select(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("k"),
+        F.col("o_totalprice").alias("v"),
+    )
+    out = arch_lm(daily, "k", "v")
+    return out.select(
+        "n_pairs",
+        (F.round("lm_stat", 6) + F.lit(0.0)).alias("lm_stat"),
+        (F.round("aux_r2", 6) + F.lit(0.0)).alias("aux_r2"),
+    )
+
+
+ORACLE_ARCH_LM = f"""
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+  FROM orders GROUP BY 1
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0, SUM(CAST(v AS DECIMAL(38,2))) AS sv
+  FROM d
+), u AS (
+  SELECT k,
+    (CAST(v AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n0 AS DOUBLE))
+      * (CAST(v AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n0 AS DOUBLE)) AS uu
+  FROM d, st
+), p AS (
+  SELECT c.uu AS u, pr.uu AS up FROM u c JOIN u pr ON c.k = pr.k + 1
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    SUM(up) AS sa, SUM(u) AS sy,
+    SUM(up * up) AS saa, SUM(u * u) AS syy, SUM(up * u) AS say
+  FROM p
+), c AS (
+  SELECT n,
+    saa - sa * sa / CAST(n AS DOUBLE) AS caa,
+    syy - sy * sy / CAST(n AS DOUBLE) AS cyy,
+    say - sa * sy / CAST(n AS DOUBLE) AS cay
+  FROM s
+)
+SELECT n AS n_pairs,
+  round(CASE WHEN n > 2 AND caa > 0 AND cyy > 0
+        THEN CAST(n AS DOUBLE) * cay * cay / (caa * cyy) END, 6) + 0.0 AS lm_stat,
+  round(CASE WHEN n > 2 AND caa > 0 AND cyy > 0
+        THEN cay * cay / (caa * cyy) END, 6) + 0.0 AS aux_r2
+FROM c
+"""
+
+
+_KPSS_LAGS = 4
+
+
+def q_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test on daily order revenue (Bartlett
+    window, ℓ=4) — partial sums from ONE global_row_number exact
+    cumulative, autocovariances via ℓ shifted copies + one hash
+    join; dickey_fuller's complement."""
+    from csp_gateway_spark.operators.analytics import kpss_test
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.select(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("k"),
+        F.col("o_totalprice").alias("v"),
+    )
+    out = kpss_test(daily, "k", "v", lags=_KPSS_LAGS)
+    return out.select(
+        "n",
+        (F.round("eta", 6) + F.lit(0.0)).alias("eta"),
+        (F.round("lrv_ratio", 6) + F.lit(0.0)).alias("lrv_ratio"),
+    )
+
+
+ORACLE_KPSS_TEST = f"""
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+  FROM orders GROUP BY 1
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0, SUM(CAST(v AS DECIMAL(38,2))) AS sv
+  FROM d
+), r AS (
+  SELECT v,
+    row_number() OVER (ORDER BY k) AS rn,
+    SUM(CAST(v AS DECIMAL(38,2))) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS cv
+  FROM d
+), b AS (
+  SELECT rn,
+    CAST(v AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n0 AS DOUBLE) AS e,
+    CAST(cv AS DOUBLE)
+      - CAST(rn AS DOUBLE) * (CAST(sv AS DOUBLE) / CAST(n0 AS DOUBLE)) AS s
+  FROM r, st
+), core AS (
+  SELECT SUM(s * s) AS ss, SUM(e * e) AS g0 FROM b
+), sh AS (
+  SELECT rn + 1 AS rn, e AS ep, 1 AS j FROM b
+  UNION ALL SELECT rn + 2, e, 2 FROM b
+  UNION ALL SELECT rn + 3, e, 3 FROM b
+  UNION ALL SELECT rn + 4, e, 4 FROM b
+), gj AS (
+  SELECT j, SUM(b.e * sh.ep) AS g FROM b JOIN sh USING (rn) GROUP BY 1
+), ws AS (
+  SELECT COALESCE(SUM((1.0 - CAST(j AS DOUBLE) / {float(_KPSS_LAGS + 1)}) * g), 0.0) AS w
+  FROM gj
+)
+SELECT (SELECT n0 FROM st) AS n,
+  round(CASE WHEN n0 > {_KPSS_LAGS + 1} AND (g0 + 2.0 * w) / CAST(n0 AS DOUBLE) > 0 AND g0 > 0
+        THEN ss / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                   * ((g0 + 2.0 * w) / CAST(n0 AS DOUBLE))) END, 6) + 0.0 AS eta,
+  round(CASE WHEN n0 > {_KPSS_LAGS + 1} AND (g0 + 2.0 * w) / CAST(n0 AS DOUBLE) > 0 AND g0 > 0
+        THEN (g0 + 2.0 * w) / CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE) / g0 END, 6) + 0.0 AS lrv_ratio
+FROM core, ws, st
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "state_keyed_last": q_state_keyed_last,
@@ -15915,6 +16184,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bland_altman": q_bland_altman,
         "optimal_cutoff": q_optimal_cutoff,
         "lift_table": q_lift_table,
+        # wave 35 (round 14): regression / stationarity diagnostics
+        "breusch_pagan": q_breusch_pagan,
+        "chow_test": q_chow_test,
+        "arch_lm": q_arch_lm,
+        "kpss_test": q_kpss_test,
     }
     # The driver's correctness harness checks exactly the FIRST 50
     # entries (a budget, by all appearances), and dict order decides
@@ -15950,6 +16224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordinal_assoc", "dickey_fuller", "hurst_rs", "anderson_darling",
         "quade_test", "variance_ratio", "granger_lag1", "engle_granger",
         "deming_fit", "bland_altman", "optimal_cutoff", "lift_table",
+        "breusch_pagan", "chow_test", "arch_lm", "kpss_test",
         # the 17 r4-era TPC-H join/agg shapes (Q6/Q10/Q14/... family):
         # only ever replica-checked since round 4
         "volume_shipping", "returned_items", "promo_revenue",
@@ -16238,6 +16513,10 @@ def oracle_sql() -> dict[str, str]:
         "bland_altman": ORACLE_BLAND_ALTMAN,
         "optimal_cutoff": ORACLE_OPTIMAL_CUTOFF,
         "lift_table": ORACLE_LIFT_TABLE,
+        "breusch_pagan": ORACLE_BREUSCH_PAGAN,
+        "chow_test": ORACLE_CHOW_TEST,
+        "arch_lm": ORACLE_ARCH_LM,
+        "kpss_test": ORACLE_KPSS_TEST,
         "topk_stream_replay": ORACLE_TOPK_STREAM_REPLAY,
         "tukey_hsd": ORACLE_TUKEY_HSD,
         "cumulative_incidence": ORACLE_CUMULATIVE_INCIDENCE,

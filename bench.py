@@ -356,6 +356,10 @@ HEADLINE = [
     "bland_altman",
     "optimal_cutoff",
     "lift_table",
+    "breusch_pagan",
+    "chow_test",
+    "arch_lm",
+    "kpss_test",
 ]
 
 

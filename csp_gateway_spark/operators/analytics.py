@@ -11029,3 +11029,334 @@ def lift_table(
             cum_gain.alias("cum_gain"),
         ).orderBy("tile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 35 — regression / stationarity diagnostics (additive SURVEY §7.8
+# set; the reference gateway exposes no batch analytics surface —
+# csp_gateway/server/demo/omnibus.py:252-257 keeps computation in
+# user-space modules — so these follow the engine's established
+# exact-sum + broadcast-scalar plan shapes).
+# ---------------------------------------------------------------------------
+
+def breusch_pagan(
+    df: DataFrame,
+    key_col: str,
+    y_col,
+    x_col,
+) -> DataFrame:
+    """Breusch-Pagan heteroskedasticity test (Koenker's studentized
+    form): fit OLS y = α + β·x over the keyed series, then regress
+    the SQUARED residuals on x; LM = n·R² of that auxiliary
+    regression is asymptotically χ²(1) under homoskedasticity.
+
+    Plan: one hash collapse to the keyed series, stage-1 OLS from
+    five exact decimal sums collapsing to ONE broadcast row (α, β
+    never touch the driver — the engle_granger shape), squared
+    residuals as per-row double expressions, then one six-sum
+    aggregate and the auxiliary R² in closed form.  Output: one row
+    (n, lm_stat, aux_r2)."""
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    a = df.groupBy(F.col(key_col).cast("long").alias("_k")).agg(
+        F.sum(y.cast("decimal(18,2)")).alias("_y"),
+        F.sum(x.cast("decimal(18,2)")).alias("_x"),
+    ).localCheckpoint(eager=False)
+    x19 = F.col("_x").cast("decimal(19,2)")
+    y19 = F.col("_y").cast("decimal(19,2)")
+    st1 = a.agg(
+        F.count(F.lit(1)).cast("long").alias("_n0"),
+        F.sum(x19.cast("decimal(38,2)")).alias("_sx"),
+        F.sum(y19.cast("decimal(38,2)")).alias("_sy"),
+        F.sum((x19 * x19).cast("decimal(38,4)")).alias("_sxx"),
+        F.sum((x19 * y19).cast("decimal(38,4)")).alias("_sxy"),
+    )
+    n0 = F.col("_n0").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cxx = F.col("_sxx").cast("double") - sx * sx / n0
+    cxy = F.col("_sxy").cast("double") - sx * sy / n0
+    coefs = st1.select(
+        (cxy / cxx).alias("_beta"),
+        ((sy - (cxy / cxx) * sx) / n0).alias("_alpha"),
+    )
+    resid = (
+        F.col("_y").cast("double")
+        - F.col("_alpha")
+        - F.col("_beta") * F.col("_x").cast("double")
+    )
+    withu = a.crossJoin(F.broadcast(coefs)).select(
+        F.col("_x").cast("double").alias("_xd"),
+        (resid * resid).alias("_u"),
+    )
+    xd, u = F.col("_xd"), F.col("_u")
+    sums = withu.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(xd).alias("_ax"),
+        F.sum(u).alias("_au"),
+        F.sum(xd * xd).alias("_axx"),
+        F.sum(u * u).alias("_auu"),
+        F.sum(xd * u).alias("_axu"),
+    )
+    n = F.col("_n").cast("double")
+    axd = F.col("_ax")
+    au = F.col("_au")
+    bxx = F.col("_axx") - axd * axd / n
+    buu = F.col("_auu") - au * au / n
+    bxu = F.col("_axu") - axd * au / n
+    ok = (F.col("_n") > 2) & (bxx > 0) & (buu > 0)
+    r2 = F.when(ok, bxu * bxu / (bxx * buu))
+    return _finalize_bounded(
+        sums.select(
+            F.col("_n").alias("n"),
+            F.when(ok, n * bxu * bxu / (bxx * buu)).alias("lm_stat"),
+            r2.alias("aux_r2"),
+        )
+    )
+
+
+def chow_test(
+    df: DataFrame,
+    key_col: str,
+    y_col,
+    x_col,
+    break_key: int,
+) -> DataFrame:
+    """Chow structural-break F test at a KNOWN break point: fit
+    y = α + β·x separately before (k < break) and after
+    (k ≥ break), compare against the pooled fit;
+    F = ((RSS_p − RSS₁ − RSS₂)/2) / ((RSS₁ + RSS₂)/(n − 4)) on
+    (2, n − 4) df under no-break.
+
+    Plan: ONE hash collapse + ONE map-combined aggregate carrying
+    both segments' six moment sums as conditional exact decimals
+    (the pooled moments are their sums — no third pass, no broadcast
+    stage, no driver scalars).  Output: one row (n1, n2, f_stat)."""
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    a = df.groupBy(F.col(key_col).cast("long").alias("_k")).agg(
+        F.sum(y.cast("decimal(18,2)")).alias("_y"),
+        F.sum(x.cast("decimal(18,2)")).alias("_x"),
+    )
+    seg1 = F.col("_k") < F.lit(int(break_key))
+    x19 = F.col("_x").cast("decimal(19,2)")
+    y19 = F.col("_y").cast("decimal(19,2)")
+
+    def segsums(cond, tag):
+        z2 = F.lit(0).cast("decimal(38,2)")
+        z4 = F.lit(0).cast("decimal(38,4)")
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_n{tag}"),
+            F.sum(F.when(cond, x19.cast("decimal(38,2)")).otherwise(z2)).alias(f"_sx{tag}"),
+            F.sum(F.when(cond, y19.cast("decimal(38,2)")).otherwise(z2)).alias(f"_sy{tag}"),
+            F.sum(F.when(cond, (x19 * x19).cast("decimal(38,4)")).otherwise(z4)).alias(f"_sxx{tag}"),
+            F.sum(F.when(cond, (x19 * y19).cast("decimal(38,4)")).otherwise(z4)).alias(f"_sxy{tag}"),
+            F.sum(F.when(cond, (y19 * y19).cast("decimal(38,4)")).otherwise(z4)).alias(f"_syy{tag}"),
+        ]
+
+    sums = a.agg(*(segsums(seg1, "1") + segsums(~seg1, "2")))
+
+    # LAYERED selects, not one inlined expression: the f-statistic
+    # references each RSS ~3×, each RSS its centered moments twice —
+    # fully inlined the tree grows multiplicatively and Catalyst
+    # analysis alone was >1 s.  Named attribute layers keep every
+    # subtree single (CollapseProject declines to re-inline non-cheap
+    # duplicated refs), so the same closed form analyzes in ms.
+    def cent(tag):
+        n = F.col(f"_n{tag}").cast("double")
+        sx = F.col(f"_sx{tag}").cast("double")
+        sy = F.col(f"_sy{tag}").cast("double")
+        return [
+            (F.col(f"_sxx{tag}").cast("double") - sx * sx / n).alias(f"_cxx{tag}"),
+            (F.col(f"_sxy{tag}").cast("double") - sx * sy / n).alias(f"_cxy{tag}"),
+            (F.col(f"_syy{tag}").cast("double") - sy * sy / n).alias(f"_cyy{tag}"),
+        ]
+
+    pooled = sums.select(
+        "_n1", "_n2",
+        *[(F.col(f"_{m}1") + F.col(f"_{m}2")).alias(f"_{m}p")
+          for m in ("sx", "sy", "sxx", "sxy", "syy")],
+        *[F.col(c) for c in (
+            "_sx1", "_sy1", "_sxx1", "_sxy1", "_syy1",
+            "_sx2", "_sy2", "_sxx2", "_sxy2", "_syy2",
+        )],
+    ).withColumn("_np", F.col("_n1") + F.col("_n2"))
+    cents = pooled.select(
+        "_n1", "_n2", "_np", *cent("1"), *cent("2"), *cent("p")
+    )
+
+    def rss(tag):
+        return (
+            F.col(f"_cyy{tag}")
+            - F.col(f"_cxy{tag}") * F.col(f"_cxy{tag}") / F.col(f"_cxx{tag}")
+        ).alias(f"_rss{tag}")
+
+    rssl = cents.select(
+        "_n1", "_n2", "_np", "_cxx1", "_cxx2", "_cxxp",
+        rss("1"), rss("2"), rss("p"),
+    )
+    n = F.col("_np").cast("double")
+    ok = (
+        (F.col("_n1") > 2) & (F.col("_n2") > 2)
+        & (F.col("_cxx1") > 0) & (F.col("_cxx2") > 0) & (F.col("_cxxp") > 0)
+        & (F.col("_rss1") + F.col("_rss2") > 0)
+    )
+    f_stat = F.when(
+        ok,
+        ((F.col("_rssp") - F.col("_rss1") - F.col("_rss2")) / F.lit(2.0))
+        / ((F.col("_rss1") + F.col("_rss2")) / (n - F.lit(4.0))),
+    )
+    return _finalize_bounded(
+        rssl.select(
+            F.col("_n1").alias("n1"),
+            F.col("_n2").alias("n2"),
+            f_stat.alias("f_stat"),
+        )
+    )
+
+
+def arch_lm(
+    df: DataFrame,
+    key_col: str,
+    value_col,
+) -> DataFrame:
+    """Engle's ARCH LM test at lag 1: volatility clustering shows up
+    as autocorrelation in SQUARED deviations — regress
+    (v_t − v̄)² on (v_{t−1} − v̄)²; LM = n·R² is asymptotically
+    χ²(1) under no-ARCH.
+
+    Plan: one hash collapse, the series mean as ONE broadcast scalar
+    row, squared deviations as per-row doubles, one 1:1
+    calendar-adjacent lag join, one six-sum aggregate, closed-form
+    R².  Output: one row (n_pairs, lm_stat, aux_r2)."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    a = df.groupBy(F.col(key_col).cast("long").alias("_k")).agg(
+        F.sum(v.cast("decimal(18,2)")).alias("_v"),
+    ).localCheckpoint(eager=False)
+    st1 = a.agg(
+        F.count(F.lit(1)).cast("long").alias("_n0"),
+        F.sum(F.col("_v").cast("decimal(38,2)")).alias("_sv"),
+    )
+    mu = st1.select(
+        (F.col("_sv").cast("double") / F.col("_n0").cast("double")).alias("_mu")
+    )
+    dev = F.col("_v").cast("double") - F.col("_mu")
+    withu = a.crossJoin(F.broadcast(mu)).select(
+        "_k",
+        (dev * dev).alias("_u"),
+    )
+    prev = withu.select((F.col("_k") + 1).alias("_k"), F.col("_u").alias("_up"))
+    pairs = withu.join(prev, "_k").select("_u", "_up")
+    u, up = F.col("_u"), F.col("_up")
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(up).alias("_sa"),
+        F.sum(u).alias("_sy"),
+        F.sum(up * up).alias("_saa"),
+        F.sum(u * u).alias("_syy"),
+        F.sum(up * u).alias("_say"),
+    )
+    n = F.col("_n").cast("double")
+    sa, sy = F.col("_sa"), F.col("_sy")
+    caa = F.col("_saa") - sa * sa / n
+    cyy = F.col("_syy") - sy * sy / n
+    cay = F.col("_say") - sa * sy / n
+    ok = (F.col("_n") > 2) & (caa > 0) & (cyy > 0)
+    return _finalize_bounded(
+        sums.select(
+            F.col("_n").alias("n_pairs"),
+            F.when(ok, n * cay * cay / (caa * cyy)).alias("lm_stat"),
+            F.when(ok, cay * cay / (caa * cyy)).alias("aux_r2"),
+        )
+    )
+
+
+def kpss_test(
+    df: DataFrame,
+    key_col: str,
+    value_col,
+    lags: int = 4,
+) -> DataFrame:
+    """KPSS level-stationarity test: η = Σ_t S_t² / (n²·σ̂²_lrv)
+    where S_t are partial sums of the demeaned series and σ̂²_lrv is
+    the Bartlett-kernel long-run variance at ``lags``
+    (γ₀ + 2·Σ_{j≤ℓ} (1 − j/(ℓ+1))·γ_j).  Large η rejects
+    stationarity — the complement of dickey_fuller's unit-root null.
+
+    Plan: one hash collapse; the partial sums come from ONE
+    :func:`plans.scale.global_row_number` cumulative over the EXACT
+    decimal series (rank-family two-phase shape — no unpartitioned
+    window), demeaned per row against a broadcast mean, so
+    S_t = cum_t − t·v̄ is a per-row double; autocovariances via one
+    union of ℓ shifted copies + one equi-join on the dense rank (a
+    band join flattened to hash joins).  ℓ is a small constant, so
+    every intermediate is bounded.  Output: one row (n, eta, lrv)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    lags = int(lags)
+    if lags < 0:
+        raise ValueError("kpss_test: lags must be >= 0")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    a = df.groupBy(F.col(key_col).cast("long").alias("_k")).agg(
+        F.sum(v.cast("decimal(18,2)")).alias("_v"),
+    )
+    ranked = global_row_number(
+        a, "_k", [], rn_col="_rn",
+        cum_values=[("_v", "_cv")],
+        small_threshold=TARGET_ROWS_PER_BUCKET, checkpoint=True,
+    )
+    st1 = a.agg(
+        F.count(F.lit(1)).cast("long").alias("_n0"),
+        F.sum(F.col("_v").cast("decimal(38,2)")).alias("_sv"),
+    )
+    mu = st1.select(
+        F.col("_n0"),
+        (F.col("_sv").cast("double") / F.col("_n0").cast("double")).alias("_mu"),
+    )
+    base = ranked.crossJoin(F.broadcast(mu)).select(
+        "_rn",
+        "_n0",
+        (F.col("_v").cast("double") - F.col("_mu")).alias("_e"),
+        (
+            F.col("_cv").cast("double")
+            - F.col("_rn").cast("double") * F.col("_mu")
+        ).alias("_s"),
+    ).localCheckpoint(eager=False)
+    core = base.agg(
+        F.first("_n0").alias("_n"),
+        F.sum(F.col("_s") * F.col("_s")).alias("_ss"),
+        F.sum(F.col("_e") * F.col("_e")).alias("_g0"),
+    )
+    if lags > 0:
+        shifted = None
+        for j in range(1, lags + 1):
+            sj = base.select(
+                (F.col("_rn") + j).alias("_rn"),
+                F.col("_e").alias("_ep"),
+                F.lit(j).alias("_j"),
+            )
+            shifted = sj if shifted is None else shifted.unionByName(sj)
+        gj = (
+            base.join(shifted, "_rn")
+            .groupBy("_j")
+            .agg(F.sum(F.col("_e") * F.col("_ep")).alias("_g"))
+        )
+        w = F.lit(1.0) - F.col("_j").cast("double") / F.lit(float(lags + 1))
+        wsum = gj.agg(F.coalesce(F.sum(w * F.col("_g")), F.lit(0.0)).alias("_w"))
+        core = core.crossJoin(F.broadcast(wsum))
+    else:
+        core = core.withColumn("_w", F.lit(0.0))
+    n = F.col("_n").cast("double")
+    lrv = (F.col("_g0") + F.lit(2.0) * F.col("_w")) / n
+    ok = (F.col("_n") > lags + 1) & (lrv > 0) & (F.col("_g0") > 0)
+    # lrv is reported RELATIVE to the plain variance γ₀/n — both η
+    # and the ratio are O(1), so a 6-dp oracle rounding absorbs the
+    # double-summation order drift that an absolute (data-scaled)
+    # lrv would leak past it
+    return _finalize_bounded(
+        core.select(
+            F.col("_n").alias("n"),
+            F.when(ok, F.col("_ss") / (n * n * lrv)).alias("eta"),
+            F.when(ok, lrv * n / F.col("_g0")).alias("lrv_ratio"),
+        )
+    )
