@@ -15836,6 +15836,222 @@ FROM core, ws, st
 """
 
 
+# ---------------------------------------------------------------------------
+# wave 36 (round 14) — survival regression family over the order→ship
+# latency cohort (analytics.py wave-36 block): Cox PH (Breslow, 3
+# fixed Newton steps), Schoenfeld PH-trend (shares the fit), Harrell's
+# C for the quantity risk score.
+# ---------------------------------------------------------------------------
+
+_COX_STEPS = 3
+
+
+def _cox_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(duration, event, score) cohort: order→ship latency, open 'O'
+    lines right-censored, l_quantity as the quantized risk score —
+    the same cohort as `_survival_steps` plus the covariate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("dur"),
+        (F.col("l_linestatus") != "O").cast("int").alias("event"),
+        F.col("l_quantity").cast("double").alias("x"),
+    )
+
+
+def _cox_fit(spark: SparkSession, sf_dir: str):
+    """ONE Newton fit (eval frame + β, both eagerly checkpointed)
+    shared by `cox_ph` / `schoenfeld_trend` — two gate queries that
+    otherwise each pay the 3-step iteration."""
+
+    def build():
+        from csp_gateway_spark.operators.analytics import _cox_newton
+
+        return _cox_newton(
+            _cox_cohort(spark, sf_dir), "dur", "event", "x", _COX_STEPS
+        )
+
+    return _shared(spark, sf_dir, "cox_fit", build)
+
+
+def q_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards fit of ship-latency hazard on line
+    quantity (Breslow ties, 3 Newton steps): cell-collapse once,
+    β as a broadcast row, risk-set sums from descending
+    global_row_number cumulatives."""
+    from csp_gateway_spark.operators.analytics import cox_ph_from_eval
+
+    final, beta = _cox_fit(spark, sf_dir)
+    out = cox_ph_from_eval(final, beta)
+    return out.select(
+        "n_events",
+        (F.round("beta", 6) + F.lit(0.0)).alias("beta"),
+        (F.round("se", 6) + F.lit(0.0)).alias("se"),
+        (F.round("hr", 6) + F.lit(0.0)).alias("hr"),
+    )
+
+
+def _cox_iter_sql(steps: int) -> str:
+    """The unrolled Newton CTE chain (b0 = 0, b{s} after step s, one
+    extra evaluation pass at the final β) — the literal mirror of
+    `_cox_newton`'s per-step expressions."""
+    parts = ["b0 AS (SELECT 0.0 AS beta)"]
+    for s in range(1, steps + 2):
+        prev = f"b{s - 1}"
+        parts.append(f"""t{s} AS (
+  SELECT cells.t,
+    SUM(CAST(na AS DOUBLE) * exp(b.beta * x)) AS c0,
+    SUM((CAST(na AS DOUBLE) * exp(b.beta * x)) * x) AS c1,
+    SUM(((CAST(na AS DOUBLE) * exp(b.beta * x)) * x) * x) AS c2,
+    CAST(SUM(ne) AS BIGINT) AS d,
+    SUM(CAST(ne AS DOUBLE) * x) AS sxd,
+    SUM((CAST(ne AS DOUBLE) * x) * x) AS sxxd
+  FROM cells, {prev} b GROUP BY cells.t
+), r{s} AS (
+  SELECT t, d, sxd, sxxd,
+    SUM(c0) OVER w AS s0, SUM(c1) OVER w AS s1, SUM(c2) OVER w AS s2
+  FROM t{s} WINDOW w AS (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+), u{s} AS (
+  SELECT CAST(SUM(d) AS BIGINT) AS nev,
+    SUM(sxd - CAST(d AS DOUBLE) * (s1 / s0)) AS u,
+    SUM(CAST(d AS DOUBLE) * (s2 / s0 - (s1 / s0) * (s1 / s0))) AS i
+  FROM r{s} WHERE d > 0
+)""")
+        if s <= steps:
+            parts.append(
+                f"b{s} AS (SELECT CASE WHEN i > 0 THEN b.beta + u / i "
+                f"ELSE b.beta END AS beta FROM u{s}, {prev} b)"
+            )
+    return ",\n".join(parts)
+
+
+_COX_BASE_SQL = """
+base AS (
+  SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS t,
+         CASE WHEN l_linestatus = 'O' THEN 0 ELSE 1 END AS e,
+         CAST(l_quantity AS DOUBLE) AS x
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), cells AS (
+  SELECT t, x, CAST(count(*) AS BIGINT) AS na, CAST(SUM(e) AS BIGINT) AS ne
+  FROM base GROUP BY 1, 2
+)"""
+
+
+ORACLE_COX_PH = f"""
+WITH {_COX_BASE_SQL},
+{_cox_iter_sql(_COX_STEPS)}
+SELECT nev AS n_events,
+  round(beta, 6) + 0.0 AS beta,
+  round(CASE WHEN i > 0 THEN 1.0 / sqrt(i) END, 6) + 0.0 AS se,
+  round(exp(beta), 6) + 0.0 AS hr
+FROM u{_COX_STEPS + 1}, b{_COX_STEPS}
+"""
+
+
+def q_schoenfeld_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PH-assumption check on the cox_ph fit: correlation of per-event
+    Schoenfeld residuals with event time — shares the memoized
+    Newton fit with `cox_ph` (one iteration, two gate queries)."""
+    from csp_gateway_spark.operators.analytics import (
+        schoenfeld_trend_from_eval,
+    )
+
+    final, _beta = _cox_fit(spark, sf_dir)
+    out = schoenfeld_trend_from_eval(final)
+    return out.select(
+        "n_events",
+        (F.round("corr", 6) + F.lit(0.0)).alias("corr"),
+        (F.round("t_stat", 6) + F.lit(0.0)).alias("t_stat"),
+    )
+
+
+ORACLE_SCHOENFELD_TREND = f"""
+WITH {_COX_BASE_SQL},
+{_cox_iter_sql(_COX_STEPS)},
+e4 AS (
+  SELECT t, d, sxd, sxxd, s1 / s0 AS e1
+  FROM r{_COX_STEPS + 1} WHERE d > 0
+), ss AS (
+  SELECT CAST(SUM(d) AS BIGINT) AS n,
+    SUM(CAST(d AS DOUBLE) * CAST(t AS DOUBLE)) AS st,
+    SUM((CAST(d AS DOUBLE) * CAST(t AS DOUBLE)) * CAST(t AS DOUBLE)) AS stt,
+    SUM(sxd - CAST(d AS DOUBLE) * e1) AS sr,
+    SUM(CAST(t AS DOUBLE) * (sxd - CAST(d AS DOUBLE) * e1)) AS srt,
+    SUM(sxxd - 2.0 * e1 * sxd + CAST(d AS DOUBLE) * e1 * e1) AS srr
+  FROM e4
+), cc AS (
+  SELECT n,
+    stt - st * st / CAST(n AS DOUBLE) AS ctt,
+    srr - sr * sr / CAST(n AS DOUBLE) AS crr,
+    srt - st * sr / CAST(n AS DOUBLE) AS crt
+  FROM ss
+), co AS (
+  SELECT n,
+    CASE WHEN n > 2 AND ctt > 0 AND crr > 0
+         THEN crt / sqrt(ctt * crr) END AS corr
+  FROM cc
+)
+SELECT n AS n_events,
+  round(corr, 6) + 0.0 AS corr,
+  round(CASE WHEN corr IS NOT NULL AND abs(corr) < 1.0
+        THEN corr * sqrt((CAST(n AS DOUBLE) - 2.0) / (1.0 - corr * corr))
+  END, 6) + 0.0 AS t_stat
+FROM co
+"""
+
+
+def q_harrell_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's concordance of the quantity risk score on ship
+    latency — dense bounded (time × score) grid, three PARTITIONED
+    window cumulatives, exact-long dominance counts; never the
+    O(n²) pair expansion."""
+    from csp_gateway_spark.operators.analytics import harrell_c
+
+    out = harrell_c(_cox_cohort(spark, sf_dir), "dur", "event", "x")
+    return out.select(
+        "n_comparable", "n_concordant", "n_tied",
+        (F.round("c_index", 6) + F.lit(0.0)).alias("c_index"),
+    )
+
+
+ORACLE_HARRELL_C = f"""
+WITH {_COX_BASE_SQL},
+ts AS (SELECT DISTINCT t FROM cells),
+xs AS (SELECT DISTINCT x FROM cells),
+grid AS (
+  SELECT ts.t, xs.x, COALESCE(c.na, 0) AS na
+  FROM ts CROSS JOIN xs LEFT JOIN cells c ON c.t = ts.t AND c.x = xs.x
+), g1 AS (
+  SELECT t, x,
+    COALESCE(SUM(na) OVER (PARTITION BY x ORDER BY t DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS later
+  FROM grid
+), g2 AS (
+  SELECT t, x, later,
+    COALESCE(SUM(later) OVER (PARTITION BY t ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt,
+    SUM(later) OVER (PARTITION BY t) AS tot
+  FROM g1
+), ev AS (
+  SELECT c.ne, g2.tot, g2.lt, g2.later
+  FROM cells c JOIN g2 ON c.t = g2.t AND c.x = g2.x
+  WHERE c.ne > 0
+), agg AS (
+  SELECT CAST(SUM(ne * tot) AS BIGINT) AS comp,
+         CAST(SUM(ne * lt) AS BIGINT) AS conc,
+         CAST(SUM(ne * later) AS BIGINT) AS tie
+  FROM ev
+)
+SELECT COALESCE(comp, 0) AS n_comparable,
+       COALESCE(conc, 0) AS n_concordant,
+       COALESCE(tie, 0) AS n_tied,
+  round(CASE WHEN comp > 0
+        THEN (2.0 * CAST(conc AS DOUBLE) + CAST(tie AS DOUBLE))
+             / (2.0 * CAST(comp AS DOUBLE)) END, 6) + 0.0 AS c_index
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "state_keyed_last": q_state_keyed_last,
@@ -16189,6 +16405,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chow_test": q_chow_test,
         "arch_lm": q_arch_lm,
         "kpss_test": q_kpss_test,
+        # wave 36 (round 14): survival regression family
+        "cox_ph": q_cox_ph,
+        "schoenfeld_trend": q_schoenfeld_trend,
+        "harrell_c": q_harrell_c,
     }
     # The driver's correctness harness checks exactly the FIRST 50
     # entries (a budget, by all appearances), and dict order decides
@@ -16225,6 +16445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quade_test", "variance_ratio", "granger_lag1", "engle_granger",
         "deming_fit", "bland_altman", "optimal_cutoff", "lift_table",
         "breusch_pagan", "chow_test", "arch_lm", "kpss_test",
+        "cox_ph", "schoenfeld_trend", "harrell_c",
         # the 17 r4-era TPC-H join/agg shapes (Q6/Q10/Q14/... family):
         # only ever replica-checked since round 4
         "volume_shipping", "returned_items", "promo_revenue",
@@ -16517,6 +16738,9 @@ def oracle_sql() -> dict[str, str]:
         "chow_test": ORACLE_CHOW_TEST,
         "arch_lm": ORACLE_ARCH_LM,
         "kpss_test": ORACLE_KPSS_TEST,
+        "cox_ph": ORACLE_COX_PH,
+        "schoenfeld_trend": ORACLE_SCHOENFELD_TREND,
+        "harrell_c": ORACLE_HARRELL_C,
         "topk_stream_replay": ORACLE_TOPK_STREAM_REPLAY,
         "tukey_hsd": ORACLE_TUKEY_HSD,
         "cumulative_incidence": ORACLE_CUMULATIVE_INCIDENCE,

@@ -360,6 +360,9 @@ HEADLINE = [
     "chow_test",
     "arch_lm",
     "kpss_test",
+    "cox_ph",
+    "schoenfeld_trend",
+    "harrell_c",
 ]
 
 

@@ -11360,3 +11360,309 @@ def kpss_test(
             F.when(ok, lrv * n / F.col("_g0")).alias("lrv_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 36 — survival regression family: Cox proportional hazards
+# (Breslow ties), Schoenfeld PH-assumption trend, Harrell's C.
+# Companions of kaplan_meier / nelson_aalen / rmst / logrank_test;
+# additive SURVEY §7.8 set (the reference gateway has no analytics
+# surface — csp_gateway/server/demo/omnibus.py:252-257).
+# ---------------------------------------------------------------------------
+
+def _cox_newton(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    score_col: str,
+    steps: int,
+):
+    """Shared Cox machinery: ``steps`` Newton-Raphson updates of the
+    single-covariate partial-likelihood score from β=0, then one
+    EVALUATION pass at the final β.  Returns ``(eval_by_time, beta)``
+    — the per-event-time frame (d, Σx over events, Σx² over events,
+    and the Breslow risk-set sums S₀/S₁/S₂ at the final β) plus the
+    1-row β frame.
+
+    Scale plan: ONE fact-scan collapse to (time, score) cells — the
+    quantized-score contract (ntile_histogram's numeric-domain rule):
+    the cell table, not the cohort, is what every iteration touches.
+    β lives in a 1-row broadcast frame (never the driver); risk-set
+    sums are suffix cumulatives from :func:`global_row_number`
+    descending (the rank-family two-phase shape — serial-order exact
+    on the collapsed-domain small path); each step eagerly
+    checkpoints ONE row, so lineage stays flat across iterations."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    steps = int(steps)
+    if steps < 1:
+        raise ValueError("cox_ph: steps must be >= 1")
+    t = F.col(time_col) if isinstance(time_col, str) else F.col(time_col)
+    ev = F.col(event_col).cast("int")
+    x = F.col(score_col).cast("double")
+    cells = (
+        df.filter(
+            t.isNotNull() & ev.isNotNull() & x.isNotNull()
+        )
+        .groupBy(t.cast("long").alias("_t"), x.alias("_x"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_na"),
+            F.sum(ev).cast("long").alias("_ne"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    beta = cells.sparkSession.range(1).select(F.lit(0.0).alias("_beta"))
+
+    def by_time(beta_df):
+        w = cells.crossJoin(F.broadcast(beta_df))
+        c0 = F.col("_na").cast("double") * F.exp(F.col("_beta") * F.col("_x"))
+        c1 = c0 * F.col("_x")
+        c2 = c1 * F.col("_x")
+        ned = F.col("_ne").cast("double")
+        byt = w.groupBy("_t").agg(
+            F.sum(c0).alias("_c0"),
+            F.sum(c1).alias("_c1"),
+            F.sum(c2).alias("_c2"),
+            F.sum("_ne").cast("long").alias("_d"),
+            F.sum(ned * F.col("_x")).alias("_sxd"),
+            F.sum((ned * F.col("_x")) * F.col("_x")).alias("_sxxd"),
+        )
+        return global_row_number(
+            byt, "_t", [], rn_col="_rn", ascending=False,
+            cum_values=[("_c0", "_s0"), ("_c1", "_s1"), ("_c2", "_s2")],
+            small_threshold=TARGET_ROWS_PER_BUCKET,
+        )
+
+    def score_info(ranked):
+        dd = F.col("_d").cast("double")
+        e1 = F.col("_s1") / F.col("_s0")
+        u_t = F.col("_sxd") - dd * e1
+        i_t = dd * (F.col("_s2") / F.col("_s0") - e1 * e1)
+        return ranked.filter(F.col("_d") > 0).agg(
+            F.sum("_d").cast("long").alias("_nev"),
+            F.sum(u_t).alias("_u"),
+            F.sum(i_t).alias("_i"),
+        )
+
+    for _ in range(steps):
+        ui = score_info(by_time(beta))
+        beta = (
+            ui.crossJoin(F.broadcast(beta))
+            .select(
+                F.when(
+                    F.col("_i") > 0,
+                    F.col("_beta") + F.col("_u") / F.col("_i"),
+                ).otherwise(F.col("_beta")).alias("_beta")
+            )
+            .localCheckpoint(eager=True)
+        )
+    final = by_time(beta).localCheckpoint(eager=True)
+    return final, beta
+
+
+def cox_ph(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    score_col: str,
+    steps: int = 3,
+) -> DataFrame:
+    """Cox proportional-hazards fit (single covariate, Breslow tie
+    handling): β̂ after ``steps`` Newton updates of the partial
+    likelihood, with the model-based standard error
+    1/√I(β̂) from one evaluation pass at the final β.  Output: one
+    row (n_events, beta, se, hr = e^β).  See :func:`_cox_newton`
+    for the scale plan (cell-collapse + broadcast β + suffix
+    risk-set sums)."""
+    final, beta = _cox_newton(df, time_col, event_col, score_col, steps)
+    return cox_ph_from_eval(final, beta)
+
+
+def cox_ph_from_eval(final: DataFrame, beta: DataFrame) -> DataFrame:
+    """Cox summary row from an already-evaluated :func:`_cox_newton`
+    pair (gate queries memoize the fit and share it with
+    :func:`schoenfeld_trend_from_eval`)."""
+    dd = F.col("_d").cast("double")
+    e1 = F.col("_s1") / F.col("_s0")
+    i_t = dd * (F.col("_s2") / F.col("_s0") - e1 * e1)
+    agg = final.filter(F.col("_d") > 0).agg(
+        F.sum("_d").cast("long").alias("_nev"),
+        F.sum(i_t).alias("_i"),
+    )
+    out = agg.crossJoin(F.broadcast(beta))
+    ok = F.col("_i") > 0
+    return _finalize_bounded(
+        out.select(
+            F.col("_nev").alias("n_events"),
+            F.col("_beta").alias("beta"),
+            F.when(ok, F.lit(1.0) / F.sqrt(F.col("_i"))).alias("se"),
+            F.exp(F.col("_beta")).alias("hr"),
+        )
+    )
+
+
+def schoenfeld_trend(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    score_col: str,
+    steps: int = 3,
+) -> DataFrame:
+    """Proportional-hazards assumption check: the Pearson correlation
+    of per-event Schoenfeld residuals r_i = x_i − E(t_i) with event
+    time (E = S₁/S₀ at the fitted β), plus its t statistic — a
+    non-zero trend says the hazard ratio drifts over time.  Per-time
+    residual sums come from the SAME evaluated frame as
+    :func:`cox_ph` (share it via a caller-side memo); Σr², needed
+    for the correlation, expands exactly over the per-time event
+    moments (Σx, Σx² at t).  Output: one row
+    (n_events, corr, t_stat)."""
+    final, _beta = _cox_newton(df, time_col, event_col, score_col, steps)
+    return schoenfeld_trend_from_eval(final)
+
+
+def schoenfeld_trend_from_eval(final: DataFrame) -> DataFrame:
+    """The Schoenfeld trend statistic from an already-evaluated
+    :func:`_cox_newton` per-time frame (gate queries memoize the fit
+    and call this to avoid a second Newton run)."""
+    evrows = final.filter(F.col("_d") > 0).select(
+        "_t", "_d", "_sxd", "_sxxd",
+        (F.col("_s1") / F.col("_s0")).alias("_e1"),
+    )
+    dd = F.col("_d").cast("double")
+    td = F.col("_t").cast("double")
+    r_sum = F.col("_sxd") - dd * F.col("_e1")
+    r2_sum = (
+        F.col("_sxxd")
+        - F.lit(2.0) * F.col("_e1") * F.col("_sxd")
+        + dd * F.col("_e1") * F.col("_e1")
+    )
+    sums = evrows.agg(
+        F.sum("_d").cast("long").alias("_n"),
+        F.sum(dd * td).alias("_st"),
+        F.sum((dd * td) * td).alias("_stt"),
+        F.sum(r_sum).alias("_sr"),
+        F.sum(td * r_sum).alias("_srt"),
+        F.sum(r2_sum).alias("_srr"),
+    )
+    n = F.col("_n").cast("double")
+    ctt = F.col("_stt") - F.col("_st") * F.col("_st") / n
+    crr = F.col("_srr") - F.col("_sr") * F.col("_sr") / n
+    crt = F.col("_srt") - F.col("_st") * F.col("_sr") / n
+    cents = sums.select(
+        "_n", ctt.alias("_ctt"), crr.alias("_crr"), crt.alias("_crt")
+    )
+    ok = (F.col("_n") > 2) & (F.col("_ctt") > 0) & (F.col("_crr") > 0)
+    corr = F.col("_crt") / F.sqrt(F.col("_ctt") * F.col("_crr"))
+    withc = cents.select(
+        "_n", F.when(ok, corr).alias("_corr")
+    )
+    n2 = F.col("_n").cast("double") - F.lit(2.0)
+    t_stat = F.col("_corr") * F.sqrt(
+        n2 / (F.lit(1.0) - F.col("_corr") * F.col("_corr"))
+    )
+    return _finalize_bounded(
+        withc.select(
+            F.col("_n").alias("n_events"),
+            F.col("_corr").alias("corr"),
+            F.when(
+                F.col("_corr").isNotNull()
+                & (F.abs(F.col("_corr")) < 1.0),
+                t_stat,
+            ).alias("t_stat"),
+        )
+    )
+
+
+def harrell_c(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Harrell's concordance index for a single risk score over
+    right-censored outcomes: among comparable pairs (i experienced
+    the event strictly before j's observed time), the fraction where
+    the earlier-event subject carries the HIGHER score; score ties
+    count ½.  Equal observed times are not comparable (the common
+    strict-inequality convention — documented contract).
+
+    Scale plan: never the O(n²) pair expansion — ONE collapse to
+    (time, score) cells (quantized-score contract, as
+    ntile_histogram), a dense |T|×|X| grid from the crossJoin of the
+    two bounded distinct sets, and three PARTITIONED window
+    cumulatives (suffix over time per score column, prefix over
+    score per time row) that turn every pair count into exact-long
+    dominance sums.  C = (2·concordant + ties)/(2·comparable) in
+    integer arithmetic — engine-exact.  Output: one row
+    (n_comparable, n_concordant, n_tied, c_index)."""
+    from pyspark.sql import Window
+
+    t = F.col(time_col)
+    ev = F.col(event_col).cast("int")
+    x = F.col(score_col).cast("double")
+    cells = (
+        df.filter(t.isNotNull() & ev.isNotNull() & x.isNotNull())
+        .groupBy(t.cast("long").alias("_t"), x.alias("_x"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_na"),
+            F.sum(ev).cast("long").alias("_ne"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # the distinct sets are bounded collapses (the quantized-domain
+    # contract) — coalesce to 1 partition each BEFORE the crossJoin,
+    # else the cartesian inherits left×right partitioning (32×32 =
+    # 1024 near-empty tasks observed at sf0.01); the window shuffles
+    # below re-partition the dense grid by _x / _t anyway
+    ts = cells.select("_t").distinct().coalesce(1)
+    xs = cells.select("_x").distinct().coalesce(1)
+    grid = (
+        ts.crossJoin(xs)
+        .join(cells.select("_t", "_x", "_na"), ["_t", "_x"], "left")
+        .withColumn("_na", F.coalesce(F.col("_na"), F.lit(0).cast("long")))
+    )
+    w_suffix = (
+        Window.partitionBy("_x")
+        .orderBy(F.col("_t").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g1 = grid.withColumn(
+        "_later",
+        F.coalesce(F.sum("_na").over(w_suffix), F.lit(0).cast("long")),
+    )
+    w_lt = (
+        Window.partitionBy("_t")
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("_t")
+    g2 = g1.select(
+        "_t",
+        "_x",
+        "_later",
+        F.coalesce(F.sum("_later").over(w_lt), F.lit(0).cast("long")).alias("_lt"),
+        F.sum("_later").over(w_all).alias("_tot"),
+    )
+    evc = cells.filter(F.col("_ne") > 0).join(g2, ["_t", "_x"])
+    agg = evc.agg(
+        F.sum(F.col("_ne") * F.col("_tot")).cast("long").alias("_comp"),
+        F.sum(F.col("_ne") * F.col("_lt")).cast("long").alias("_conc"),
+        F.sum(F.col("_ne") * F.col("_later")).cast("long").alias("_tie"),
+    )
+    c_index = F.when(
+        F.col("_comp") > 0,
+        (
+            F.lit(2.0) * F.col("_conc").cast("double")
+            + F.col("_tie").cast("double")
+        )
+        / (F.lit(2.0) * F.col("_comp").cast("double")),
+    )
+    return _finalize_bounded(
+        agg.select(
+            F.coalesce(F.col("_comp"), F.lit(0).cast("long")).alias("n_comparable"),
+            F.coalesce(F.col("_conc"), F.lit(0).cast("long")).alias("n_concordant"),
+            F.coalesce(F.col("_tie"), F.lit(0).cast("long")).alias("n_tied"),
+            c_index.alias("c_index"),
+        )
+    )
