@@ -456,6 +456,28 @@ WAVE34 = [
     "lift_table",
 ]
 
+#: wave-35 family (round 14): breusch_pagan/chow/arch are
+#: daily-collapse closed forms (the collapse scan is the growing
+#: axis); kpss adds the global_row_number exact cumulative + ℓ
+#: shifted-copy joins over the bounded day domain.
+WAVE35 = [
+    "breusch_pagan",
+    "chow_test",
+    "arch_lm",
+    "kpss_test",
+]
+
+#: wave-36 family (round 14): the survival-regression set — the
+#: orders⋈lineitem cohort scan grows with data, everything after the
+#: (time,score) cell collapse is bounded by the quantized domains
+#: (days × quantity), so the Newton iterations and the dense C-index
+#: grid should be ~flat.
+WAVE36 = [
+    "cox_ph",
+    "schoenfeld_trend",
+    "harrell_c",
+]
+
 
 def extended_main(
     factors: list[int],
@@ -478,6 +500,15 @@ def extended_main(
         if not os.path.exists(os.path.join(d, "documents.parquet")):
             build_scaled(spark, base, d, factor)
         for timed in (False, True):
+            if timed:
+                # queries that share a memoized fit (`_shared`, e.g.
+                # the cox_ph/schoenfeld pair) must PAY the fit inside
+                # the timed pass — the warm pass exists for JIT/
+                # codegen, not to hide the data-dependent stage the
+                # replication table is measuring.  Within the timed
+                # pass the second query still reuses the first's fit,
+                # mirroring the gate's documented sharing.
+                entry._SHARED_MEMO.clear()
             row: dict[str, float] = {}
             for qi, name in enumerate(names):
                 if qi % 20 == 0:
@@ -549,6 +580,20 @@ if __name__ == "__main__":
             names=WAVE34,
             title="Wave-34 replication — deming / bland_altman / cutoff / lift (auto-generated)",
             marker="\n## Wave-34 replication",
+        )
+    elif "--wave35" in sys.argv:
+        extended_main(
+            [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 8, 16],
+            names=WAVE35,
+            title="Wave-35 replication — breusch_pagan / chow / arch_lm / kpss (auto-generated)",
+            marker="\n## Wave-35 replication",
+        )
+    elif "--wave36" in sys.argv:
+        extended_main(
+            [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 8, 16],
+            names=WAVE36,
+            title="Wave-36 replication — cox_ph / schoenfeld / harrell_c (auto-generated)",
+            marker="\n## Wave-36 replication",
         )
     elif "--extended" in sys.argv:
         extended_main([int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 2, 4, 8, 16])
