@@ -16052,6 +16052,175 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# wave 37 (round 14) — panel / clustered regression over the customer
+# order panel (analytics.py wave-37 block): entity = o_custkey,
+# x = order day, y = order value.
+# ---------------------------------------------------------------------------
+
+def _order_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_custkey").alias("g"),
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+
+
+_PANEL_SQL = f"""
+  SELECT o_custkey AS g,
+         CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS DECIMAL(19,2)) AS x,
+         CAST(o_totalprice AS DECIMAL(19,2)) AS y
+  FROM orders
+"""
+
+_PANEL_PG_SQL = """
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+    SUM(CAST(x AS DECIMAL(38,2))) AS sx, SUM(CAST(y AS DECIMAL(38,2))) AS sy,
+    SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+    SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy,
+    SUM(CAST(y * y AS DECIMAL(38,4))) AS syy
+  FROM p GROUP BY 1
+"""
+
+
+def q_fe_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effects (within) estimator of order value on order day
+    with customer intercepts absorbed — one per-group exact-sum pass,
+    algebraic demeaning, no join back to facts."""
+    from csp_gateway_spark.operators.analytics import fe_within
+
+    out = fe_within(_order_panel(spark, sf_dir), "g", "y", "x")
+    return out.select(
+        "n", "n_groups",
+        (F.round("beta", 6) + F.lit(0.0)).alias("beta"),
+        (F.round("r2_within", 6) + F.lit(0.0)).alias("r2_within"),
+    )
+
+
+ORACLE_FE_WITHIN = f"""
+WITH p AS ({_PANEL_SQL}),
+pg AS ({_PANEL_PG_SQL}),
+pool AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS ng,
+    SUM(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS cxx,
+    SUM(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cxy,
+    SUM(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cyy
+  FROM pg
+)
+SELECT nt AS n, ng AS n_groups,
+  round(CASE WHEN cxx > 0 AND cyy > 0 THEN cxy / cxx END, 6) + 0.0 AS beta,
+  round(CASE WHEN cxx > 0 AND cyy > 0
+        THEN cxy * cxy / (cxx * cyy) END, 6) + 0.0 AS r2_within
+FROM pool
+"""
+
+
+def q_between_reg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between estimator — OLS of customer-mean order value on
+    customer-mean order day; fe_within's cross-sectional complement."""
+    from csp_gateway_spark.operators.analytics import between_reg
+
+    out = between_reg(_order_panel(spark, sf_dir), "g", "y", "x")
+    return out.select(
+        "n_groups",
+        (F.round("beta", 6) + F.lit(0.0)).alias("beta"),
+        (F.round("r2", 6) + F.lit(0.0)).alias("r2"),
+    )
+
+
+ORACLE_BETWEEN_REG = f"""
+WITH p AS ({_PANEL_SQL}),
+pg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+    SUM(CAST(x AS DECIMAL(38,2))) AS sx, SUM(CAST(y AS DECIMAL(38,2))) AS sy
+  FROM p GROUP BY 1
+), m AS (
+  SELECT CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+  FROM pg
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS ng,
+    SUM(mx) AS ax, SUM(my) AS ay,
+    SUM(mx * mx) AS axx, SUM(mx * my) AS axy, SUM(my * my) AS ayy
+  FROM m
+), c AS (
+  SELECT ng,
+    axx - ax * ax / CAST(ng AS DOUBLE) AS cxx,
+    axy - ax * ay / CAST(ng AS DOUBLE) AS cxy,
+    ayy - ay * ay / CAST(ng AS DOUBLE) AS cyy
+  FROM s
+)
+SELECT ng AS n_groups,
+  round(CASE WHEN ng > 2 AND cxx > 0 AND cyy > 0 THEN cxy / cxx END, 6) + 0.0 AS beta,
+  round(CASE WHEN ng > 2 AND cxx > 0 AND cyy > 0
+        THEN cxy * cxy / (cxx * cyy) END, 6) + 0.0 AS r2
+FROM c
+"""
+
+
+def q_cluster_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled OLS day-trend of order value with the customer-clustered
+    CR0 standard error — the per-group score expands algebraically
+    over exact sums, so no second fact pass."""
+    from csp_gateway_spark.operators.analytics import cluster_se
+
+    out = cluster_se(_order_panel(spark, sf_dir), "g", "y", "x")
+    return out.select(
+        "n", "n_groups",
+        (F.round("beta", 6) + F.lit(0.0)).alias("beta"),
+        (F.round("se_ols", 6) + F.lit(0.0)).alias("se_ols"),
+        (F.round("se_cluster", 6) + F.lit(0.0)).alias("se_cluster"),
+    )
+
+
+ORACLE_CLUSTER_SE = f"""
+WITH p AS ({_PANEL_SQL}),
+pg AS ({_PANEL_PG_SQL}),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS ngr,
+    SUM(CAST(sx AS DECIMAL(38,2))) AS tx, SUM(CAST(sy AS DECIMAL(38,2))) AS ty,
+    SUM(CAST(sxx AS DECIMAL(38,4))) AS txx,
+    SUM(CAST(sxy AS DECIMAL(38,4))) AS txy,
+    SUM(CAST(syy AS DECIMAL(38,4))) AS tyy
+  FROM pg
+), cm AS (
+  SELECT nt, ngr,
+    CAST(txx AS DOUBLE) - CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE) / CAST(nt AS DOUBLE) AS cxx,
+    CAST(txy AS DOUBLE) - CAST(tx AS DOUBLE) * CAST(ty AS DOUBLE) / CAST(nt AS DOUBLE) AS cxy,
+    CAST(tyy AS DOUBLE) - CAST(ty AS DOUBLE) * CAST(ty AS DOUBLE) / CAST(nt AS DOUBLE) AS cyy,
+    CAST(tx AS DOUBLE) AS txd, CAST(ty AS DOUBLE) AS tyd,
+    CAST(nt AS DOUBLE) AS ntd
+  FROM tot
+), cf AS (
+  SELECT nt, ngr, cxx, cyy,
+    cxy / cxx AS b,
+    (tyd - (cxy / cxx) * txd) / ntd AS a,
+    txd / ntd AS xbar,
+    cyy - (cxy / cxx) * cxy AS rss
+  FROM cm
+), h AS (
+  SELECT
+    (CAST(sxy AS DOUBLE) - a * CAST(sx AS DOUBLE) - b * CAST(sxx AS DOUBLE))
+      - xbar * (CAST(sy AS DOUBLE) - a * CAST(n AS DOUBLE) - b * CAST(sx AS DOUBLE)) AS hg
+  FROM pg, cf
+), agg AS (
+  SELECT (SELECT nt FROM cf) AS nt, (SELECT ngr FROM cf) AS ngr,
+         (SELECT b FROM cf) AS b, (SELECT cxx FROM cf) AS pxx,
+         (SELECT rss FROM cf) AS prss,
+         SUM(hg * hg) AS hh
+  FROM h
+)
+SELECT nt AS n, ngr AS n_groups,
+  round(CASE WHEN nt > 2 AND pxx > 0 THEN b END, 6) + 0.0 AS beta,
+  round(CASE WHEN nt > 2 AND pxx > 0 AND prss > 0
+        THEN sqrt((prss / (CAST(nt AS DOUBLE) - 2.0)) / pxx) END, 6) + 0.0 AS se_ols,
+  round(CASE WHEN nt > 2 AND pxx > 0
+        THEN sqrt(hh) / pxx END, 6) + 0.0 AS se_cluster
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "state_keyed_last": q_state_keyed_last,
@@ -16409,6 +16578,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cox_ph": q_cox_ph,
         "schoenfeld_trend": q_schoenfeld_trend,
         "harrell_c": q_harrell_c,
+        # wave 37 (round 14): panel / clustered regression family
+        "fe_within": q_fe_within,
+        "between_reg": q_between_reg,
+        "cluster_se": q_cluster_se,
     }
     # The driver's correctness harness checks exactly the FIRST 50
     # entries (a budget, by all appearances), and dict order decides
@@ -16446,6 +16619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deming_fit", "bland_altman", "optimal_cutoff", "lift_table",
         "breusch_pagan", "chow_test", "arch_lm", "kpss_test",
         "cox_ph", "schoenfeld_trend", "harrell_c",
+        "fe_within", "between_reg", "cluster_se",
         # the 17 r4-era TPC-H join/agg shapes (Q6/Q10/Q14/... family):
         # only ever replica-checked since round 4
         "volume_shipping", "returned_items", "promo_revenue",
@@ -16741,6 +16915,9 @@ def oracle_sql() -> dict[str, str]:
         "cox_ph": ORACLE_COX_PH,
         "schoenfeld_trend": ORACLE_SCHOENFELD_TREND,
         "harrell_c": ORACLE_HARRELL_C,
+        "fe_within": ORACLE_FE_WITHIN,
+        "between_reg": ORACLE_BETWEEN_REG,
+        "cluster_se": ORACLE_CLUSTER_SE,
         "topk_stream_replay": ORACLE_TOPK_STREAM_REPLAY,
         "tukey_hsd": ORACLE_TUKEY_HSD,
         "cumulative_incidence": ORACLE_CUMULATIVE_INCIDENCE,

@@ -363,6 +363,9 @@ HEADLINE = [
     "cox_ph",
     "schoenfeld_trend",
     "harrell_c",
+    "fe_within",
+    "between_reg",
+    "cluster_se",
 ]
 
 

@@ -11666,3 +11666,221 @@ def harrell_c(
             c_index.alias("c_index"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 37 — panel / clustered regression family: fixed-effects within
+# estimator, between estimator, cluster-robust (Liang-Zeger CR0)
+# standard error.  Additive SURVEY §7.8 set; the per-entity-slope twin
+# is :func:`group_ols_trend`.
+# ---------------------------------------------------------------------------
+
+def fe_within(
+    df: DataFrame,
+    group_col,
+    y_col,
+    x_col,
+) -> DataFrame:
+    """Fixed-effects (within) estimator of y on x with entity
+    intercepts absorbed: β_FE = Σ_g C_xy,g / Σ_g C_xx,g over
+    per-group centered moments — the panel regression that removes
+    every time-invariant entity confounder.  Within-R² from the same
+    three pooled centered moments.
+
+    Plan: ONE hash aggregate to per-group EXACT decimal sums
+    (n, Σx, Σy, Σx², Σxy, Σy²), then one bounded aggregate over the
+    ≤|groups| rows folding the centered moments — the demeaning is
+    algebraic (C_g = S − S·S/n per group), never a second data pass,
+    never a join back to the fact rows.  Output: one row
+    (n, n_groups, beta, r2_within)."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    x19 = x.cast("decimal(19,2)")
+    y19 = y.cast("decimal(19,2)")
+    per_g = df.filter(x19.isNotNull() & y19.isNotNull()).groupBy(
+        g.alias("_g")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(x19.cast("decimal(38,2)")).alias("_sx"),
+        F.sum(y19.cast("decimal(38,2)")).alias("_sy"),
+        F.sum((x19 * x19).cast("decimal(38,4)")).alias("_sxx"),
+        F.sum((x19 * y19).cast("decimal(38,4)")).alias("_sxy"),
+        F.sum((y19 * y19).cast("decimal(38,4)")).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    pooled = per_g.agg(
+        F.sum("_n").cast("long").alias("_nt"),
+        F.count(F.lit(1)).cast("long").alias("_ng"),
+        F.sum(F.col("_sxx").cast("double") - sx * sx / n).alias("_cxx"),
+        F.sum(F.col("_sxy").cast("double") - sx * sy / n).alias("_cxy"),
+        F.sum(F.col("_syy").cast("double") - sy * sy / n).alias("_cyy"),
+    )
+    ok = (F.col("_cxx") > 0) & (F.col("_cyy") > 0)
+    beta = F.col("_cxy") / F.col("_cxx")
+    r2 = (
+        F.col("_cxy") * F.col("_cxy") / (F.col("_cxx") * F.col("_cyy"))
+    )
+    return _finalize_bounded(
+        pooled.select(
+            F.col("_nt").alias("n"),
+            F.col("_ng").alias("n_groups"),
+            F.when(ok, beta).alias("beta"),
+            F.when(ok, r2).alias("r2_within"),
+        )
+    )
+
+
+def between_reg(
+    df: DataFrame,
+    group_col,
+    y_col,
+    x_col,
+) -> DataFrame:
+    """Between estimator: OLS of the GROUP MEANS ȳ_g on x̄_g — the
+    cross-sectional complement of :func:`fe_within` (their divergence
+    is the classic fixed-vs-pooled signal).  One hash collapse to
+    per-group exact sums, means as per-row doubles, one five-sum
+    aggregate over the bounded group frame.  Output: one row
+    (n_groups, beta, r2)."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    x19 = x.cast("decimal(19,2)")
+    y19 = y.cast("decimal(19,2)")
+    per_g = df.filter(x19.isNotNull() & y19.isNotNull()).groupBy(
+        g.alias("_g")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(x19.cast("decimal(38,2)")).alias("_sx"),
+        F.sum(y19.cast("decimal(38,2)")).alias("_sy"),
+    )
+    means = per_g.select(
+        (F.col("_sx").cast("double") / F.col("_n").cast("double")).alias("_mx"),
+        (F.col("_sy").cast("double") / F.col("_n").cast("double")).alias("_my"),
+    )
+    mx, my = F.col("_mx"), F.col("_my")
+    sums = means.agg(
+        F.count(F.lit(1)).cast("long").alias("_ng"),
+        F.sum(mx).alias("_ax"),
+        F.sum(my).alias("_ay"),
+        F.sum(mx * mx).alias("_axx"),
+        F.sum(mx * my).alias("_axy"),
+        F.sum(my * my).alias("_ayy"),
+    )
+    ng = F.col("_ng").cast("double")
+    cxx = F.col("_axx") - F.col("_ax") * F.col("_ax") / ng
+    cxy = F.col("_axy") - F.col("_ax") * F.col("_ay") / ng
+    cyy = F.col("_ayy") - F.col("_ay") * F.col("_ay") / ng
+    cents = sums.select(
+        "_ng", cxx.alias("_cxx"), cxy.alias("_cxy"), cyy.alias("_cyy")
+    )
+    ok = (F.col("_ng") > 2) & (F.col("_cxx") > 0) & (F.col("_cyy") > 0)
+    return _finalize_bounded(
+        cents.select(
+            F.col("_ng").alias("n_groups"),
+            F.when(ok, F.col("_cxy") / F.col("_cxx")).alias("beta"),
+            F.when(
+                ok,
+                F.col("_cxy") * F.col("_cxy")
+                / (F.col("_cxx") * F.col("_cyy")),
+            ).alias("r2"),
+        )
+    )
+
+
+def cluster_se(
+    df: DataFrame,
+    group_col,
+    y_col,
+    x_col,
+) -> DataFrame:
+    """Pooled OLS slope of y on x with the Liang-Zeger cluster-robust
+    (CR0) standard error: SE²_cl = Σ_g (Σ_{i∈g} x̃_i e_i)² / C_xx² —
+    within-cluster error correlation inflates the naive i.i.d. SE,
+    and the ratio se_cluster/se_ols is the design-effect signal.
+
+    Plan: per-group EXACT decimal sums in one pass; pooled OLS
+    coefficients fold from the SAME group frame into ONE broadcast
+    scalar row (never the driver); each group's score
+    h_g = Σ x̃ e then EXPANDS ALGEBRAICALLY over its six sums —
+    h_g = (Sxy − a·Sx − b·Sxx) − x̄·(Sy − a·n − b·Sx) — so no second
+    fact pass and no per-row residuals.  Output: one row
+    (n, n_groups, beta, se_ols, se_cluster)."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    x19 = x.cast("decimal(19,2)")
+    y19 = y.cast("decimal(19,2)")
+    per_g = df.filter(x19.isNotNull() & y19.isNotNull()).groupBy(
+        g.alias("_g")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(x19.cast("decimal(38,2)")).alias("_sx"),
+        F.sum(y19.cast("decimal(38,2)")).alias("_sy"),
+        F.sum((x19 * x19).cast("decimal(38,4)")).alias("_sxx"),
+        F.sum((x19 * y19).cast("decimal(38,4)")).alias("_sxy"),
+        F.sum((y19 * y19).cast("decimal(38,4)")).alias("_syy"),
+    ).localCheckpoint(eager=False)
+    tot = per_g.agg(
+        F.sum("_n").cast("long").alias("_nt"),
+        F.count(F.lit(1)).cast("long").alias("_ngr"),
+        F.sum(F.col("_sx").cast("decimal(38,2)")).alias("_tx"),
+        F.sum(F.col("_sy").cast("decimal(38,2)")).alias("_ty"),
+        F.sum(F.col("_sxx").cast("decimal(38,4)")).alias("_txx"),
+        F.sum(F.col("_sxy").cast("decimal(38,4)")).alias("_txy"),
+        F.sum(F.col("_syy").cast("decimal(38,4)")).alias("_tyy"),
+    )
+    nt = F.col("_nt").cast("double")
+    tx = F.col("_tx").cast("double")
+    ty = F.col("_ty").cast("double")
+    cxx = F.col("_txx").cast("double") - tx * tx / nt
+    cxy = F.col("_txy").cast("double") - tx * ty / nt
+    cyy = F.col("_tyy").cast("double") - ty * ty / nt
+    coefs = tot.select(
+        "_nt", "_ngr",
+        cxx.alias("_cxx"), cyy.alias("_cyy"),
+        (cxy / cxx).alias("_b"),
+        ((ty - (cxy / cxx) * tx) / nt).alias("_a"),
+        (tx / nt).alias("_xbar"),
+        (cyy - (cxy / cxx) * cxy).alias("_rss"),
+    )
+    w = per_g.crossJoin(F.broadcast(coefs))
+    h = (
+        (
+            F.col("_sxy").cast("double")
+            - F.col("_a") * F.col("_sx").cast("double")
+            - F.col("_b") * F.col("_sxx").cast("double")
+        )
+        - F.col("_xbar")
+        * (
+            F.col("_sy").cast("double")
+            - F.col("_a") * F.col("_n").cast("double")
+            - F.col("_b") * F.col("_sx").cast("double")
+        )
+    )
+    agg = w.agg(
+        F.first("_nt").alias("_nt"),
+        F.first("_ngr").alias("_ngr"),
+        F.first("_b").alias("_bb"),
+        F.first("_cxx").alias("_pxx"),
+        F.first("_rss").alias("_prss"),
+        F.sum(h * h).alias("_hh"),
+    )
+    nt2 = F.col("_nt").cast("double")
+    ok = (F.col("_nt") > 2) & (F.col("_pxx") > 0)
+    se_ols = F.sqrt(
+        (F.col("_prss") / (nt2 - F.lit(2.0))) / F.col("_pxx")
+    )
+    se_cl = F.sqrt(F.col("_hh")) / F.col("_pxx")
+    return _finalize_bounded(
+        agg.select(
+            F.col("_nt").alias("n"),
+            F.col("_ngr").alias("n_groups"),
+            F.when(ok, F.col("_bb")).alias("beta"),
+            F.when(ok & (F.col("_prss") > 0), se_ols).alias("se_ols"),
+            F.when(ok, se_cl).alias("se_cluster"),
+        )
+    )
