@@ -16221,6 +16221,196 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# wave 38 (round 14) — forecast-comparison family over daily order
+# revenue (analytics.py wave-38 block): naive lag-1 vs seasonal lag-7
+# benchmarks, squared-error loss.
+# ---------------------------------------------------------------------------
+
+_DM_LAGS = 6  # h = 7-step seasonal forecast ⇒ Bartlett lags h−1
+
+_DM_DAILY_SQL = f"""
+  SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS k,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+  FROM orders GROUP BY 1
+"""
+
+
+def _dm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH))
+        .cast("long")
+        .alias("k")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("v"))
+
+
+def q_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano test: does the 7-day seasonal-naive forecast
+    of daily revenue beat the 1-day naive, under squared-error loss?
+    Bartlett long-run variance at h−1 = 6 lags (the KPSS machinery
+    pointed at the loss differential)."""
+    from csp_gateway_spark.operators.analytics import diebold_mariano
+
+    d = _dm_daily(spark, sf_dir).localCheckpoint(eager=False)
+    p1 = d.select((F.col("k") + 1).alias("k"), F.col("v").alias("v1"))
+    p7 = d.select((F.col("k") + 7).alias("k"), F.col("v").alias("v7"))
+    e1 = F.col("v").cast("double") - F.col("v1").cast("double")
+    e7 = F.col("v").cast("double") - F.col("v7").cast("double")
+    pairs = d.join(p1, "k").join(p7, "k").select(
+        "k",
+        (e1 * e1).alias("l1"),
+        (e7 * e7).alias("l2"),
+    )
+    out = diebold_mariano(pairs, "k", "l1", "l2", lags=_DM_LAGS)
+    return out.select(
+        "n",
+        (F.round("loss_ratio", 6) + F.lit(0.0)).alias("loss_ratio"),
+        (F.round("dm_stat", 6) + F.lit(0.0)).alias("dm_stat"),
+    )
+
+
+ORACLE_DIEBOLD_MARIANO = f"""
+WITH d AS ({_DM_DAILY_SQL}),
+p AS (
+  SELECT c.k,
+    (CAST(c.v AS DOUBLE) - CAST(p1.v AS DOUBLE))
+      * (CAST(c.v AS DOUBLE) - CAST(p1.v AS DOUBLE)) AS l1,
+    (CAST(c.v AS DOUBLE) - CAST(p7.v AS DOUBLE))
+      * (CAST(c.v AS DOUBLE) - CAST(p7.v AS DOUBLE)) AS l2
+  FROM d c JOIN d p1 ON c.k = p1.k + 1 JOIN d p7 ON c.k = p7.k + 7
+), r AS (
+  SELECT l1, l2, l1 - l2 AS dd, row_number() OVER (ORDER BY k) AS rn
+  FROM p
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, SUM(l1) AS s1, SUM(l2) AS s2,
+         SUM(dd) AS sd
+  FROM r
+), b AS (
+  SELECT rn, dd - sd / CAST(n AS DOUBLE) AS e FROM r, st
+), core AS (
+  SELECT SUM(e * e) AS g0 FROM b
+), sh AS (
+  SELECT rn + 1 AS rn, e AS ep, 1 AS j FROM b
+  UNION ALL SELECT rn + 2, e, 2 FROM b
+  UNION ALL SELECT rn + 3, e, 3 FROM b
+  UNION ALL SELECT rn + 4, e, 4 FROM b
+  UNION ALL SELECT rn + 5, e, 5 FROM b
+  UNION ALL SELECT rn + 6, e, 6 FROM b
+), gj AS (
+  SELECT j, SUM(b.e * sh.ep) AS g FROM b JOIN sh USING (rn) GROUP BY 1
+), ws AS (
+  SELECT COALESCE(SUM((1.0 - CAST(j AS DOUBLE) / {float(_DM_LAGS + 1)}) * g), 0.0) AS w
+  FROM gj
+)
+SELECT n,
+  round(CASE WHEN n > {_DM_LAGS + 1} AND (g0 + 2.0 * w) / CAST(n AS DOUBLE) > 0 AND s2 <> 0
+        THEN s1 / s2 END, 6) + 0.0 AS loss_ratio,
+  round(CASE WHEN n > {_DM_LAGS + 1} AND (g0 + 2.0 * w) / CAST(n AS DOUBLE) > 0 AND s2 <> 0
+        THEN (sd / CAST(n AS DOUBLE))
+             / sqrt(((g0 + 2.0 * w) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) END, 6) + 0.0 AS dm_stat
+FROM st, core, ws
+"""
+
+
+def q_pesaran_timmermann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pesaran-Timmermann directional accuracy of the momentum rule
+    (yesterday's revenue change predicts today's direction) — four
+    exact counts, closed-form variance decomposition."""
+    from csp_gateway_spark.operators.analytics import pesaran_timmermann
+
+    d = _dm_daily(spark, sf_dir).localCheckpoint(eager=False)
+    p1 = d.select((F.col("k") + 1).alias("k"), F.col("v").alias("v1"))
+    p2 = d.select((F.col("k") + 2).alias("k"), F.col("v").alias("v2"))
+    pairs = d.join(p1, "k").join(p2, "k").select(
+        (F.col("v").cast("double") - F.col("v1").cast("double")).alias("dy"),
+        (F.col("v1").cast("double") - F.col("v2").cast("double")).alias("dx"),
+    )
+    out = pesaran_timmermann(pairs, "dy", "dx")
+    return out.select(
+        "n",
+        (F.round("accuracy", 6) + F.lit(0.0)).alias("accuracy"),
+        (F.round("pt_stat", 6) + F.lit(0.0)).alias("pt_stat"),
+    )
+
+
+ORACLE_PESARAN_TIMMERMANN = f"""
+WITH d AS ({_DM_DAILY_SQL}),
+p AS (
+  SELECT
+    CASE WHEN CAST(c.v AS DOUBLE) - CAST(p1.v AS DOUBLE) > 0 THEN 1 ELSE 0 END AS uy,
+    CASE WHEN CAST(p1.v AS DOUBLE) - CAST(p2.v AS DOUBLE) > 0 THEN 1 ELSE 0 END AS ux
+  FROM d c JOIN d p1 ON c.k = p1.k + 1 JOIN d p2 ON c.k = p2.k + 2
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(uy) AS BIGINT) AS ny, CAST(SUM(ux) AS BIGINT) AS nx,
+    CAST(SUM(CASE WHEN uy = ux THEN 1 ELSE 0 END) AS BIGINT) AS na
+  FROM p
+), pr AS (
+  SELECT n,
+    CAST(na AS DOUBLE) / CAST(n AS DOUBLE) AS s,
+    CAST(ny AS DOUBLE) / CAST(n AS DOUBLE) AS py,
+    CAST(nx AS DOUBLE) / CAST(n AS DOUBLE) AS px
+  FROM s
+), l1 AS (
+  SELECT n, s, py, px,
+    py * px + (1.0 - py) * (1.0 - px) AS pstar
+  FROM pr
+), l2 AS (
+  SELECT n, s, pstar,
+    pstar * (1.0 - pstar) / CAST(n AS DOUBLE) AS vs,
+    (2.0 * py - 1.0) * (2.0 * py - 1.0) * px * (1.0 - px) / CAST(n AS DOUBLE)
+      + (2.0 * px - 1.0) * (2.0 * px - 1.0) * py * (1.0 - py) / CAST(n AS DOUBLE)
+      + 4.0 * py * px * (1.0 - py) * (1.0 - px)
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vp
+  FROM l1
+)
+SELECT n,
+  round(s, 6) + 0.0 AS accuracy,
+  round(CASE WHEN n > 1 AND vs - vp > 0
+        THEN (s - pstar) / sqrt(vs - vp) END, 6) + 0.0 AS pt_stat
+FROM l2
+"""
+
+
+def q_theil_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U2 of the 7-day seasonal-naive revenue forecast against
+    the 1-day no-change benchmark — one two-sum aggregate."""
+    from csp_gateway_spark.operators.analytics import theil_u2
+
+    d = _dm_daily(spark, sf_dir).localCheckpoint(eager=False)
+    p1 = d.select((F.col("k") + 1).alias("k"), F.col("v").alias("v1"))
+    p7 = d.select((F.col("k") + 7).alias("k"), F.col("v").alias("v7"))
+    pairs = d.join(p1, "k").join(p7, "k").select(
+        F.col("v").cast("double").alias("y"),
+        F.col("v7").cast("double").alias("f"),
+        F.col("v1").cast("double").alias("nv"),
+    )
+    out = theil_u2(pairs, "y", "f", "nv")
+    return out.select(
+        "n",
+        (F.round("u2", 6) + F.lit(0.0)).alias("u2"),
+    )
+
+
+ORACLE_THEIL_U2 = f"""
+WITH d AS ({_DM_DAILY_SQL}),
+p AS (
+  SELECT CAST(c.v AS DOUBLE) AS y, CAST(p7.v AS DOUBLE) AS f,
+         CAST(p1.v AS DOUBLE) AS nv
+  FROM d c JOIN d p1 ON c.k = p1.k + 1 JOIN d p7 ON c.k = p7.k + 7
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    SUM((f - y) * (f - y)) AS sf,
+    SUM((nv - y) * (nv - y)) AS sn
+  FROM p
+)
+SELECT n,
+  round(CASE WHEN n > 0 AND sn > 0 THEN sqrt(sf / sn) END, 6) + 0.0 AS u2
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "state_keyed_last": q_state_keyed_last,
@@ -16582,6 +16772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fe_within": q_fe_within,
         "between_reg": q_between_reg,
         "cluster_se": q_cluster_se,
+        # wave 38 (round 14): forecast-comparison family
+        "diebold_mariano": q_diebold_mariano,
+        "pesaran_timmermann": q_pesaran_timmermann,
+        "theil_u2": q_theil_u2,
     }
     # The driver's correctness harness checks exactly the FIRST 50
     # entries (a budget, by all appearances), and dict order decides
@@ -16620,6 +16814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "breusch_pagan", "chow_test", "arch_lm", "kpss_test",
         "cox_ph", "schoenfeld_trend", "harrell_c",
         "fe_within", "between_reg", "cluster_se",
+        "diebold_mariano", "pesaran_timmermann", "theil_u2",
         # the 17 r4-era TPC-H join/agg shapes (Q6/Q10/Q14/... family):
         # only ever replica-checked since round 4
         "volume_shipping", "returned_items", "promo_revenue",
@@ -16918,6 +17113,9 @@ def oracle_sql() -> dict[str, str]:
         "fe_within": ORACLE_FE_WITHIN,
         "between_reg": ORACLE_BETWEEN_REG,
         "cluster_se": ORACLE_CLUSTER_SE,
+        "diebold_mariano": ORACLE_DIEBOLD_MARIANO,
+        "pesaran_timmermann": ORACLE_PESARAN_TIMMERMANN,
+        "theil_u2": ORACLE_THEIL_U2,
         "topk_stream_replay": ORACLE_TOPK_STREAM_REPLAY,
         "tukey_hsd": ORACLE_TUKEY_HSD,
         "cumulative_incidence": ORACLE_CUMULATIVE_INCIDENCE,

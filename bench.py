@@ -366,6 +366,9 @@ HEADLINE = [
     "fe_within",
     "between_reg",
     "cluster_se",
+    "diebold_mariano",
+    "pesaran_timmermann",
+    "theil_u2",
 ]
 
 

@@ -11884,3 +11884,202 @@ def cluster_se(
             F.when(ok, se_cl).alias("se_cluster"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 38 — forecast-comparison family: Diebold-Mariano, Pesaran-
+# Timmermann directional accuracy, Theil's U2.  Companions of
+# mase_backtest / holt_forecast; additive SURVEY §7.8 set.
+# ---------------------------------------------------------------------------
+
+def diebold_mariano(
+    df: DataFrame,
+    key_col: str,
+    loss1_col,
+    loss2_col,
+    lags: int = 0,
+) -> DataFrame:
+    """Diebold-Mariano equal-predictive-accuracy test over a keyed
+    loss-differential series: d_t = L₁(t) − L₂(t),
+    DM = d̄ / √(LRV(d)/n) with the Bartlett-kernel long-run variance
+    at ``lags`` (h-step forecasts ⇒ lags = h−1; 0 = plain variance).
+    DM < 0 favors forecast 1.  The reported companion is the O(1)
+    loss ratio ΣL₁/ΣL₂ — the data-scaled d̄ itself would leak
+    double-summation drift past a fixed-dp oracle rounding.
+
+    Plan: one hash collapse to the keyed differential, dense order
+    from :func:`global_row_number` (rank-family shape), mean as ONE
+    broadcast row, autocovariances via ``lags`` shifted copies + one
+    hash join — the KPSS long-run-variance machinery pointed at a
+    differential series.  Output: one row (n, loss_ratio, dm_stat)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    lags = int(lags)
+    if lags < 0:
+        raise ValueError("diebold_mariano: lags must be >= 0")
+    l1 = F.col(loss1_col) if isinstance(loss1_col, str) else loss1_col
+    l2 = F.col(loss2_col) if isinstance(loss2_col, str) else loss2_col
+    a = df.filter(l1.isNotNull() & l2.isNotNull()).groupBy(
+        F.col(key_col).cast("long").alias("_k")
+    ).agg(
+        F.sum(l1.cast("double")).alias("_l1"),
+        F.sum(l2.cast("double")).alias("_l2"),
+    )
+    ranked = global_row_number(
+        a.select("_k", "_l1", "_l2", (F.col("_l1") - F.col("_l2")).alias("_d")),
+        "_k", [], rn_col="_rn",
+        small_threshold=TARGET_ROWS_PER_BUCKET, checkpoint=True,
+    )
+    st = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_l1").alias("_s1"),
+        F.sum("_l2").alias("_s2"),
+        F.sum("_d").alias("_sd"),
+    )
+    mu = st.select(
+        "_n", "_s1", "_s2",
+        (F.col("_sd") / F.col("_n").cast("double")).alias("_mu"),
+    )
+    base = ranked.crossJoin(F.broadcast(mu)).select(
+        "_rn", "_n", "_s1", "_s2", "_mu",
+        (F.col("_d") - F.col("_mu")).alias("_e"),
+    ).localCheckpoint(eager=False)
+    core = base.agg(
+        F.first("_n").alias("_n"),
+        F.first("_s1").alias("_c1"),
+        F.first("_s2").alias("_c2"),
+        F.first("_mu").alias("_m"),
+        F.sum(F.col("_e") * F.col("_e")).alias("_g0"),
+    )
+    if lags > 0:
+        shifted = None
+        for j in range(1, lags + 1):
+            sj = base.select(
+                (F.col("_rn") + j).alias("_rn"),
+                F.col("_e").alias("_ep"),
+                F.lit(j).alias("_j"),
+            )
+            shifted = sj if shifted is None else shifted.unionByName(sj)
+        gj = (
+            base.join(shifted, "_rn")
+            .groupBy("_j")
+            .agg(F.sum(F.col("_e") * F.col("_ep")).alias("_g"))
+        )
+        w = F.lit(1.0) - F.col("_j").cast("double") / F.lit(float(lags + 1))
+        wsum = gj.agg(F.coalesce(F.sum(w * F.col("_g")), F.lit(0.0)).alias("_w"))
+        core = core.crossJoin(F.broadcast(wsum))
+    else:
+        core = core.withColumn("_w", F.lit(0.0))
+    n = F.col("_n").cast("double")
+    lrv = (F.col("_g0") + F.lit(2.0) * F.col("_w")) / n
+    ok = (F.col("_n") > lags + 1) & (lrv > 0) & (F.col("_c2") != 0)
+    return _finalize_bounded(
+        core.select(
+            F.col("_n").alias("n"),
+            F.when(ok, F.col("_c1") / F.col("_c2")).alias("loss_ratio"),
+            F.when(ok, F.col("_m") / F.sqrt(lrv / n)).alias("dm_stat"),
+        )
+    )
+
+
+def pesaran_timmermann(
+    df: DataFrame,
+    actual_col,
+    forecast_col,
+) -> DataFrame:
+    """Pesaran-Timmermann directional-accuracy test over paired
+    (actual change, predicted change) rows: is the sign-agreement
+    rate S better than the independence benchmark
+    P* = P_y·P_x + (1−P_y)(1−P_x)?
+    PT = (S − P*) / √(V_S − V_P), asymptotically N(0,1).
+
+    ONE map-combined aggregate of four exact counts (n, #Δy>0,
+    #Δx>0, #agree) — every probability and variance is a closed form
+    over those integers, so the statistic is engine-deterministic up
+    to final-double rounding.  Output: one row (n, accuracy,
+    pt_stat)."""
+    ay = F.col(actual_col) if isinstance(actual_col, str) else actual_col
+    fx = F.col(forecast_col) if isinstance(forecast_col, str) else forecast_col
+    b = df.filter(ay.isNotNull() & fx.isNotNull()).select(
+        (ay > 0).cast("int").alias("_uy"),
+        (fx > 0).cast("int").alias("_ux"),
+    )
+    sums = b.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_uy").cast("long").alias("_ny"),
+        F.sum("_ux").cast("long").alias("_nx"),
+        F.sum((F.col("_uy") == F.col("_ux")).cast("int")).cast("long").alias("_na"),
+    )
+    n = F.col("_n").cast("double")
+    py = F.col("_ny").cast("double") / n
+    px = F.col("_nx").cast("double") / n
+    s = F.col("_na").cast("double") / n
+    probs = sums.select(
+        "_n",
+        s.alias("_s"), py.alias("_py"), px.alias("_px"),
+    )
+    pyc, pxc, sc = F.col("_py"), F.col("_px"), F.col("_s")
+    pstar = pyc * pxc + (F.lit(1.0) - pyc) * (F.lit(1.0) - pxc)
+    lay = probs.select(
+        "_n", "_s", "_py", "_px", pstar.alias("_pstar")
+    )
+    n2 = F.col("_n").cast("double")
+    vs = F.col("_pstar") * (F.lit(1.0) - F.col("_pstar")) / n2
+    vp = (
+        (F.lit(2.0) * F.col("_py") - F.lit(1.0))
+        * (F.lit(2.0) * F.col("_py") - F.lit(1.0))
+        * F.col("_px") * (F.lit(1.0) - F.col("_px")) / n2
+        + (F.lit(2.0) * F.col("_px") - F.lit(1.0))
+        * (F.lit(2.0) * F.col("_px") - F.lit(1.0))
+        * F.col("_py") * (F.lit(1.0) - F.col("_py")) / n2
+        + F.lit(4.0) * F.col("_py") * F.col("_px")
+        * (F.lit(1.0) - F.col("_py")) * (F.lit(1.0) - F.col("_px"))
+        / (n2 * n2)
+    )
+    lay2 = lay.select(
+        "_n", "_s", "_pstar", vs.alias("_vs"), vp.alias("_vp")
+    )
+    ok = (F.col("_n") > 1) & (F.col("_vs") - F.col("_vp") > 0)
+    return _finalize_bounded(
+        lay2.select(
+            F.col("_n").alias("n"),
+            F.col("_s").alias("accuracy"),
+            F.when(
+                ok,
+                (F.col("_s") - F.col("_pstar"))
+                / F.sqrt(F.col("_vs") - F.col("_vp")),
+            ).alias("pt_stat"),
+        )
+    )
+
+
+def theil_u2(
+    df: DataFrame,
+    actual_col,
+    forecast_col,
+    naive_col,
+) -> DataFrame:
+    """Theil's U2 forecast-quality ratio over aligned rows:
+    U2 = √(Σ(f−y)² / Σ(naive−y)²) — below 1 the forecast beats the
+    no-change benchmark.  ONE aggregate of two double sums; the
+    ratio is O(1) so 6-dp oracle rounding absorbs summation-order
+    drift.  Output: one row (n, u2)."""
+    y = F.col(actual_col) if isinstance(actual_col, str) else actual_col
+    f = F.col(forecast_col) if isinstance(forecast_col, str) else forecast_col
+    nv = F.col(naive_col) if isinstance(naive_col, str) else naive_col
+    b = df.filter(y.isNotNull() & f.isNotNull() & nv.isNotNull()).select(
+        ((f - y) * (f - y)).cast("double").alias("_ef"),
+        ((nv - y) * (nv - y)).cast("double").alias("_en"),
+    )
+    sums = b.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_ef").alias("_sf"),
+        F.sum("_en").alias("_sn"),
+    )
+    ok = (F.col("_n") > 0) & (F.col("_sn") > 0)
+    return _finalize_bounded(
+        sums.select(
+            F.col("_n").alias("n"),
+            F.when(ok, F.sqrt(F.col("_sf") / F.col("_sn"))).alias("u2"),
+        )
+    )
