@@ -9189,6 +9189,180 @@ ORDER BY click_id, purchase_id
 """
 
 
+def q_join_window_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ELEVENTH streaming gate shape: CHAINED stateful operators —
+    a stream-stream interval join feeding a tumbling-window event-time
+    aggregation inside ONE streaming query (Spark's
+    multiple-stateful-operator pipeline,
+    `spark.sql.streaming.statefulOperator.allowMultipleStatefulOperators`).
+    This is the semantics corner none of the other ten gates reach:
+    the JOIN's state must emit matches whose click-side event time
+    then drives a SECOND state store's window lifecycle, with ONE
+    global watermark closing both — a window may only finalize after
+    the watermark passes its end AND every join match for it has been
+    emitted.  The replay appends a FINAL sentinel file (one click +
+    one purchase at max_ts + 3 days, ids = −1; the sentinel pair
+    joins only itself and is filtered) so the last real day-window
+    falls behind the watermark and the no-data flush batch emits it;
+    the landed table must hash-equal the batch join+GROUP BY oracle.
+    Reference parity: the reference channel graph freely chains
+    stateful nodes (csp_gateway/server/gateway/csp/channels.py) —
+    this gate is that composition replayed event-time-complete."""
+    import os
+    import shutil
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    ev = ev.localCheckpoint(eager=True)
+    root = _gate_tmpdir(prefix=f"csp_gw_jwstream_{os.getpid()}_")
+    src_dir = os.path.join(root, "src")
+    bounds = ev.agg(
+        F.min("ts").alias("_mn"), F.max("ts").alias("_mx")
+    ).collect()[0]
+    # 3 time-ordered buckets (not 6): per trigger this replay pays
+    # FIVE state-store commits per partition (4 join stores + 1 agg
+    # store), so batches are the dominant cost; three real triggers +
+    # three sentinel batches exercise the same multi-batch watermark
+    # progression the gate exists to prove
+    span = max(1, int(bounds._mx) - int(bounds._mn) + 1)
+    bucketed = ev.withColumn(
+        "_b",
+        ((F.col("ts") - F.lit(int(bounds._mn))) * 3 / F.lit(span)).cast("int"),
+    )
+    for k in range(3):
+        bucketed.filter(F.col("_b") == k).drop("_b").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    # THREE sentinel files, 3/6/9 days past max: the last real
+    # click's day-window end can sit up to 24 h after max_ts, so the
+    # watermark must clear it (sentinel − 2 h delay ≥ window end).
+    # Measured behavior of the chained-stateful availableNow replay
+    # (per-batch progress instrumented): (a) NO no-data flush batch
+    # runs after the last file — unlike the single-operator gates —
+    # and (b) each side's watermark node adopts a batch's max event
+    # time only ONE BATCH LATER, with the global watermark the MIN
+    # across nodes (observed: the batch after the first sentinel
+    # still carried real_max − 2 h).  So the flush needs the
+    # sentinel-derived watermark to become EFFECTIVE in a real batch:
+    # sentinel₁ advances the nodes during sentinel₂'s batch, and
+    # sentinel₃'s batch finally EXECUTES with watermark ≥ sentinel₁
+    # − 2 h > every real window end.  Sentinel self-pairs land in
+    # their own far-future windows and are filtered post-sink.
+    for days in (3, 6, 9):
+        sentinel_ts = int(bounds._mx) + days * 24 * 3600 * 1_000_000_000
+        spark.createDataFrame(
+            [
+                (-1, -1, "click", 0.0, sentinel_ts),
+                (-1, -1, "purchase", 0.0, sentinel_ts),
+            ],
+            ev.schema,
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+    schema = ev.schema
+
+    def side(ty: str, ts_name: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .filter(F.col("event_type") == ty)
+            .withColumn(ts_name, F.expr("timestamp_micros(ts div 1000)"))
+            .withWatermark(ts_name, "2 hours")
+        )
+
+    clicks = side("click", "_cts").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("_cu"),
+        "_cts",
+    )
+    purchases = side("purchase", "_pts").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("_pu"),
+        F.col("value").alias("_pv"),
+        "_pts",
+    )
+    # NO sentinel predicate inside the join: a deterministic
+    # single-sided filter is pushed BELOW the EventTimeWatermark node,
+    # so the sentinel rows would never reach the watermark collector
+    # and the windows would never close (measured: watermark frozen at
+    # real_max − 2 h with the predicate in place).  Sentinel self-pairs
+    # flow through and are dropped POST-SINK, the outer gate's idiom.
+    joined = clicks.join(
+        purchases,
+        (F.col("_cu") == F.col("_pu"))
+        & (F.col("_pts") >= F.col("_cts"))
+        & (F.col("_pts") <= F.col("_cts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    agg = (
+        joined.groupBy(
+            F.window("_cts", "1 day").alias("_w"),
+            F.col("_cu").alias("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("_pv").alias("_sv"),
+        )
+    )
+    table = f"gate_jwstream_{os.getpid()}"
+    prev_multi = spark.conf.get(
+        "spark.sql.streaming.statefulOperator.allowMultipleStatefulOperators",
+        "false",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.statefulOperator.allowMultipleStatefulOperators",
+        "true",
+    )
+    try:
+        with _replay_shuffle(spark, n=2):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(table)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.statefulOperator.allowMultipleStatefulOperators",
+            prev_multi,
+        )
+    out = spark.table(table).filter(F.col("user_id") >= 0).select(
+        F.col("_w.start").cast("long").alias("window_start"),
+        "user_id",
+        "n_pairs",
+        (F.round("_sv", 6) + F.lit(0.0)).alias("purchase_sum"),
+    )
+    state_out = os.path.join(root, "state_out")
+    out.write.mode("overwrite").parquet(state_out)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "ckpt"), ignore_errors=True)
+    return spark.read.parquet(state_out).orderBy("window_start", "user_id")
+
+
+ORACLE_JOIN_WINDOW_STREAM_REPLAY = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_ns(ts) // 1000 AS t_us
+  FROM events WHERE event_type IN ('click', 'purchase')
+), j AS (
+  SELECT c.t_us AS c_us, c.user_id AS user_id, p.value AS pv
+  FROM (SELECT * FROM e WHERE event_type = 'click') c
+  JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id
+   AND p.t_us >= c.t_us AND p.t_us <= c.t_us + 3600000000
+)
+SELECT CAST((c_us // 86400000000) * 86400 AS BIGINT) AS window_start,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(SUM(pv), 6) + 0.0 AS purchase_sum
+FROM j GROUP BY 1, 2
+ORDER BY window_start, user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # WAVE 16 (round 8) — statistical testing + time-series association
 # ---------------------------------------------------------------------------
@@ -16754,6 +16928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-14: tenth streaming gate shape (left-outer watermark
         # NULL-emission)
         "outer_join_stream_replay": q_outer_join_stream_replay,
+        # round-14: eleventh streaming gate shape (chained stateful
+        # operators — stream-stream join → windowed aggregation)
+        "join_window_stream_replay": q_join_window_stream_replay,
         # wave 34 (round 14): ML-eval / method-comparison family
         "deming_fit": q_deming_fit,
         "bland_altman": q_bland_altman,
@@ -16803,7 +16980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream_replay", "join_stream_replay",
         "session_stream_replay", "enrich_stream_replay",
         "replay_handoff", "topk_stream_replay", "argmax_stream_replay",
-        "outer_join_stream_replay",
+        "outer_join_stream_replay", "join_window_stream_replay",
         # wave 31 — brand new in round 13, zero driver evidence
         "jonckheere", "cochran_armitage", "mattr_diversity",
         # waves 32/33 — brand new this round (the last eight r4/r5
@@ -17099,6 +17276,7 @@ def oracle_sql() -> dict[str, str]:
         "granger_lag1": ORACLE_GRANGER_LAG1,
         "engle_granger": ORACLE_ENGLE_GRANGER,
         "outer_join_stream_replay": ORACLE_OUTER_JOIN_STREAM_REPLAY,
+        "join_window_stream_replay": ORACLE_JOIN_WINDOW_STREAM_REPLAY,
         "deming_fit": ORACLE_DEMING_FIT,
         "bland_altman": ORACLE_BLAND_ALTMAN,
         "optimal_cutoff": ORACLE_OPTIMAL_CUTOFF,

@@ -352,6 +352,7 @@ HEADLINE = [
     "granger_lag1",
     "engle_granger",
     "outer_join_stream_replay",
+    "join_window_stream_replay",
     "deming_fit",
     "bland_altman",
     "optimal_cutoff",

@@ -31,6 +31,7 @@ GATES = [
     "topk_stream_replay",
     "argmax_stream_replay",
     "outer_join_stream_replay",
+    "join_window_stream_replay",
 ]
 
 

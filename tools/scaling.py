@@ -467,6 +467,24 @@ WAVE35 = [
     "kpss_test",
 ]
 
+#: wave-37 family (round 14): the panel set — one per-group exact-sum
+#: pass each; the group count (customers) grows with data, the
+#: post-collapse aggregates are group-bounded.
+WAVE37 = [
+    "fe_within",
+    "between_reg",
+    "cluster_se",
+]
+
+#: wave-38 family (round 14): daily-collapse lag-join closed forms;
+#: diebold_mariano adds the shifted-copy LRV joins over the bounded
+#: day domain.
+WAVE38 = [
+    "diebold_mariano",
+    "pesaran_timmermann",
+    "theil_u2",
+]
+
 #: wave-36 family (round 14): the survival-regression set — the
 #: orders⋈lineitem cohort scan grows with data, everything after the
 #: (time,score) cell collapse is bounded by the quantized domains
@@ -587,6 +605,20 @@ if __name__ == "__main__":
             names=WAVE35,
             title="Wave-35 replication — breusch_pagan / chow / arch_lm / kpss (auto-generated)",
             marker="\n## Wave-35 replication",
+        )
+    elif "--wave37" in sys.argv:
+        extended_main(
+            [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 8, 16],
+            names=WAVE37,
+            title="Wave-37 replication — fe_within / between_reg / cluster_se (auto-generated)",
+            marker="\n## Wave-37 replication",
+        )
+    elif "--wave38" in sys.argv:
+        extended_main(
+            [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 8, 16],
+            names=WAVE38,
+            title="Wave-38 replication — diebold_mariano / pesaran_timmermann / theil_u2 (auto-generated)",
+            marker="\n## Wave-38 replication",
         )
     elif "--wave36" in sys.argv:
         extended_main(
