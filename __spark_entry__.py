@@ -16585,6 +16585,123 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# wave 39 (round 14) — unsupervised keyword extraction over documents
+# (corpus.py wave-39 block): RAKE and TextRank-lite.
+# ---------------------------------------------------------------------------
+
+_RAKE_SQL_PHRASES = f"""
+  SELECT doc_id,
+    unnest(list_filter(
+      list_transform(
+        regexp_split_to_array(
+          array_to_string(
+            list_transform(
+              list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x != ''),
+              t -> CASE WHEN list_contains({_EN}, t) THEN '|' ELSE t END),
+            ' '),
+          '\\|'),
+        p -> trim(regexp_replace(p, '\\s+', ' ', 'g'))),
+      p -> p != '')) AS phrase
+  FROM documents
+"""
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE corpus keywords: stopword-delimited candidate phrases,
+    word score deg/freq, phrase score = Σ member scores; ranking on
+    the 6-dp rounded score (engine-portable tie handling)."""
+    from csp_gateway_spark.operators.corpus import rake_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    out = rake_keywords(docs, topk=50)
+    return out.select(
+        "phrase",
+        "n",
+        (F.round("score", 6) + F.lit(0.0)).alias("score"),
+    )
+
+
+ORACLE_RAKE_KEYWORDS = f"""
+WITH ph AS ({_RAKE_SQL_PHRASES}),
+occ AS (
+  SELECT phrase, len(string_split(phrase, ' ')) AS plen FROM ph
+  WHERE len(string_split(phrase, ' ')) <= 4
+), words AS (
+  SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS w FROM occ
+), ws AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
+  FROM words GROUP BY 1
+), pc AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n FROM occ GROUP BY 1
+), pw AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM pc
+), ps AS (
+  SELECT phrase, SUM(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)) AS score
+  FROM pw JOIN ws USING (w) GROUP BY 1
+)
+SELECT pc.phrase AS phrase, n, round(score, 6) + 0.0 AS score
+FROM pc JOIN ps ON pc.phrase = ps.phrase
+ORDER BY round(score, 6) DESC, n DESC, phrase ASC LIMIT 50
+"""
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank-lite keyword ranks: 2 damped power iterations over
+    the undirected adjacent-token co-occurrence graph (stopword runs
+    excluded); 10-dp rounded ranking keys."""
+    from csp_gateway_spark.operators.corpus import textrank_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    out = textrank_keywords(docs, topk=50, iters=2)
+    return out.select(
+        "w",
+        (F.round("rank", 10) + F.lit(0.0)).alias("rank"),
+    )
+
+
+ORACLE_TEXTRANK_KEYWORDS = f"""
+WITH ph AS ({_RAKE_SQL_PHRASES}),
+runs AS (
+  SELECT string_split(phrase, ' ') AS a FROM ph
+  WHERE len(string_split(phrase, ' ')) >= 2
+), pairs AS (
+  SELECT s.w AS w, s.w2 AS w2 FROM (
+    SELECT unnest(list_transform(generate_series(2, len(a)),
+                  i -> {{'w': a[i-1], 'w2': a[i]}})) AS s
+    FROM runs
+  ) WHERE s.w != s.w2
+), ed AS (
+  SELECT w AS src, w2 AS dst FROM pairs
+  UNION ALL SELECT w2 AS src, w AS dst FROM pairs
+), edges AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS wt FROM ed GROUP BY 1, 2
+), outdeg AS (
+  SELECT src, SUM(wt) AS outw FROM edges GROUP BY 1
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM outdeg
+), r0 AS (
+  SELECT src AS w, outw, 1.0 / n AS r FROM outdeg, nn
+), c1 AS (
+  SELECT e.dst AS w, SUM(r0.r / r0.outw * e.wt) AS inc
+  FROM r0 JOIN edges e ON r0.w = e.src GROUP BY 1
+), r1 AS (
+  SELECT r0.w, r0.outw,
+    (1.0 - 0.85) / n + 0.85 * COALESCE(c1.inc, 0.0) AS r
+  FROM r0 LEFT JOIN c1 ON r0.w = c1.w, nn
+), c2 AS (
+  SELECT e.dst AS w, SUM(r1.r / r1.outw * e.wt) AS inc
+  FROM r1 JOIN edges e ON r1.w = e.src GROUP BY 1
+), r2 AS (
+  SELECT r1.w,
+    (1.0 - 0.85) / n + 0.85 * COALESCE(c2.inc, 0.0) AS r
+  FROM r1 LEFT JOIN c2 ON r1.w = c2.w, nn
+)
+SELECT w, round(r, 10) + 0.0 AS rank
+FROM r2 ORDER BY round(r, 10) DESC, w ASC LIMIT 50
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "state_keyed_last": q_state_keyed_last,
@@ -16953,6 +17070,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diebold_mariano": q_diebold_mariano,
         "pesaran_timmermann": q_pesaran_timmermann,
         "theil_u2": q_theil_u2,
+        # wave 39 (round 14): unsupervised keyword extraction
+        "rake_keywords": q_rake_keywords,
+        "textrank_keywords": q_textrank_keywords,
     }
     # The driver's correctness harness checks exactly the FIRST 50
     # entries (a budget, by all appearances), and dict order decides
@@ -16992,6 +17112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cox_ph", "schoenfeld_trend", "harrell_c",
         "fe_within", "between_reg", "cluster_se",
         "diebold_mariano", "pesaran_timmermann", "theil_u2",
+        "rake_keywords", "textrank_keywords",
         # the 17 r4-era TPC-H join/agg shapes (Q6/Q10/Q14/... family):
         # only ever replica-checked since round 4
         "volume_shipping", "returned_items", "promo_revenue",
@@ -17294,6 +17415,8 @@ def oracle_sql() -> dict[str, str]:
         "diebold_mariano": ORACLE_DIEBOLD_MARIANO,
         "pesaran_timmermann": ORACLE_PESARAN_TIMMERMANN,
         "theil_u2": ORACLE_THEIL_U2,
+        "rake_keywords": ORACLE_RAKE_KEYWORDS,
+        "textrank_keywords": ORACLE_TEXTRANK_KEYWORDS,
         "topk_stream_replay": ORACLE_TOPK_STREAM_REPLAY,
         "tukey_hsd": ORACLE_TUKEY_HSD,
         "cumulative_incidence": ORACLE_CUMULATIVE_INCIDENCE,

@@ -370,6 +370,8 @@ HEADLINE = [
     "diebold_mariano",
     "pesaran_timmermann",
     "theil_u2",
+    "rake_keywords",
+    "textrank_keywords",
 ]
 
 

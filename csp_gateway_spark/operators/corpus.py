@@ -2228,3 +2228,186 @@ def mattr_diversity(
             / F.col("_len").cast("double"),
         ).alias("mattr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 39 — unsupervised keyword extraction: RAKE and TextRank-lite.
+# Additive SURVEY §7.8 set; companions of pmi_collocations / tf_idf
+# for tokenizer-vocabulary and corpus-summarization signals.
+# ---------------------------------------------------------------------------
+
+def rake_phrases(
+    df: DataFrame,
+    stopwords: list[str] | None = None,
+    max_phrase_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate-phrase rows for RAKE: each document's normalized
+    token stream split at stopword boundaries, one row per phrase
+    OCCURRENCE with its word count.  Phrases longer than
+    ``max_phrase_len`` words are dropped (RAKE's standard cap — long
+    runs between stopwords are noise, and the cap bounds the
+    downstream explode).  All-JVM expressions: one transform marks
+    stopword tokens, one split recovers the phrase runs."""
+    from csp_gateway_spark.operators.text import EN_STOPWORDS
+
+    stops = F.array(
+        *[F.lit(w) for w in (stopwords or EN_STOPWORDS)]
+    )
+    toks = norm_tokens(F.col(text_col))
+    marked = F.transform(
+        toks,
+        lambda t: F.when(F.array_contains(stops, t), F.lit("|")).otherwise(t),
+    )
+    joined = F.array_join(marked, " ")
+    phrases = F.filter(
+        F.transform(
+            F.split(joined, r"\|"),
+            lambda p: F.trim(F.regexp_replace(p, r"\s+", " ")),
+        ),
+        lambda p: p != F.lit(""),
+    )
+    occ = df.select(
+        F.col(id_col), F.explode(phrases).alias("phrase")
+    ).withColumn("plen", F.size(F.split(F.col("phrase"), " ")))
+    return occ.filter(F.col("plen") <= int(max_phrase_len))
+
+
+def rake_keywords(
+    df: DataFrame,
+    topk: int = 50,
+    stopwords: list[str] | None = None,
+    max_phrase_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction, Rose et al. 2010)
+    over the corpus: candidate phrases are stopword-delimited token
+    runs; word score = deg(w)/freq(w) where deg sums the lengths of
+    every phrase occurrence containing w; phrase score sums its
+    member-word scores (duplicates count per occurrence).  Returns
+    the top-k phrases by (score, count, phrase) with their corpus
+    occurrence counts.
+
+    Plan: one scan → phrase explode (bounded by ``max_phrase_len``),
+    ONE word-stats shuffle (freq/deg map-combined), one distinct-
+    phrase explode joined against the word table, TakeOrdered(topk)
+    — never a global sort; the scores are exact-integer ratios
+    summed per phrase (≤ max_phrase_len doubles)."""
+    occ = rake_phrases(df, stopwords, max_phrase_len, text_col, id_col)
+    words = occ.select(
+        "phrase", "plen", F.explode(F.split(F.col("phrase"), " ")).alias("w")
+    )
+    wstats = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("_freq"),
+        F.sum("plen").cast("long").alias("_deg"),
+    )
+    pcounts = occ.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    pwords = pcounts.select(
+        "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("w")
+    )
+    pscore = (
+        pwords.join(wstats, "w")
+        .groupBy("phrase")
+        .agg(
+            F.sum(
+                F.col("_deg").cast("double") / F.col("_freq").cast("double")
+            ).alias("score")
+        )
+    )
+    # rank on the 6-dp ROUNDED score: the phrase score is a sum of
+    # ≤ max_phrase_len doubles whose accumulation order differs
+    # between engines, so structurally-tied phrases could straddle
+    # the top-k boundary differently; rounding collapses ulp drift
+    # and the (n, phrase) tiebreak then decides identically
+    return (
+        pcounts.join(pscore, "phrase")
+        .orderBy(
+            F.round(F.col("score"), 6).desc(), F.desc("n"), F.asc("phrase")
+        )
+        .limit(int(topk))
+    )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    topk: int = 50,
+    iters: int = 2,
+    damping: float = 0.85,
+    stopwords: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TextRank-lite (Mihalcea & Tarau 2004) keyword scores: a
+    PageRank power iteration over the UNDIRECTED co-occurrence graph
+    of adjacent non-stopword tokens (window 2 within the stopword-
+    delimited runs), ``iters`` fixed iterations from the uniform
+    start, damping d.  Returns the top-k words by final rank.
+
+    Plan: edges from one bigram explode (both directions — the
+    undirected walk), out-degrees from one count shuffle, each
+    iteration ONE join + ONE aggregate on the bounded vocabulary
+    frame; N (vocab size) rides along as a broadcast 1-row aggregate.
+    Iteration count is a small constant, so the lineage is flat and
+    every intermediate is vocabulary-bounded."""
+    iters = int(iters)
+    if iters < 1:
+        raise ValueError("textrank_keywords: iters must be >= 1")
+    occ = rake_phrases(df, stopwords, 1_000_000, text_col, id_col)
+    # adjacent pairs from the phrase array itself (scan-local — no
+    # row ids, no self-join): transform positions 1..len−1 into
+    # (a[i−1], a[i]) structs and explode
+    runs = occ.select(F.split(F.col("phrase"), " ").alias("a")).filter(
+        F.size(F.col("a")) >= 2
+    )
+    pairs = runs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a) - 1),"
+                " i -> struct(a[i - 1] AS w, a[i] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w", "p.w2").filter(F.col("w") != F.col("w2"))
+    edges = pairs.select(F.col("w").alias("src"), F.col("w2").alias("dst")).unionByName(
+        pairs.select(F.col("w2").alias("src"), F.col("w").alias("dst"))
+    )
+    edges = edges.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("_wt")
+    ).localCheckpoint(eager=False)
+    outdeg = edges.groupBy("src").agg(F.sum("_wt").alias("_out"))
+    nodes = outdeg.select(F.col("src").alias("w"), "_out")
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    d = float(damping)
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "w", "_out", "_n", (F.lit(1.0) / F.col("_n")).alias("_r")
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.select(F.col("w").alias("src"), (F.col("_r") / F.col("_out")).alias("_c"))
+            .join(edges, "src")
+            .groupBy(F.col("dst").alias("w"))
+            .agg(F.sum(F.col("_c") * F.col("_wt")).alias("_in"))
+        )
+        ranks = (
+            ranks.join(contrib, "w", "left")
+            .select(
+                "w", "_out", "_n",
+                (
+                    (F.lit(1.0) - F.lit(d)) / F.col("_n")
+                    + F.lit(d) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("_r"),
+            )
+        )
+    # rounded-rank ordering for the same engine-portability reason
+    # as rake_keywords: symmetric nodes tie in real arithmetic but
+    # drift in the last ulp per engine.  10 dp (not 6): ranks scale
+    # like 1/|V| so 6 dp would collapse real distinctions, while ulp
+    # drift (~1e−19) still sits 8 orders below the rounding boundary
+    return (
+        ranks.select("w", F.col("_r").alias("rank"))
+        .orderBy(F.round(F.col("rank"), 10).desc(), F.asc("w"))
+        .limit(int(topk))
+    )

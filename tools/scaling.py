@@ -485,6 +485,14 @@ WAVE38 = [
     "theil_u2",
 ]
 
+#: wave-39 family (round 14): keyword extraction — phrase explode +
+#: word-stats shuffles (rake) and a bounded-vocabulary 2-iteration
+#: power method (textrank); corpus scan is the growing axis.
+WAVE39 = [
+    "rake_keywords",
+    "textrank_keywords",
+]
+
 #: wave-36 family (round 14): the survival-regression set — the
 #: orders⋈lineitem cohort scan grows with data, everything after the
 #: (time,score) cell collapse is bounded by the quantized domains
@@ -619,6 +627,13 @@ if __name__ == "__main__":
             names=WAVE38,
             title="Wave-38 replication — diebold_mariano / pesaran_timmermann / theil_u2 (auto-generated)",
             marker="\n## Wave-38 replication",
+        )
+    elif "--wave39" in sys.argv:
+        extended_main(
+            [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 8, 16],
+            names=WAVE39,
+            title="Wave-39 replication — rake_keywords / textrank_keywords (auto-generated)",
+            marker="\n## Wave-39 replication",
         )
     elif "--wave36" in sys.argv:
         extended_main(
