@@ -16702,6 +16702,157 @@ FROM r2 ORDER BY round(r, 10) DESC, w ASC LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# wave 40 (round 14) — distribution-distance / scale tests on the
+# returned-vs-acknowledged price cohorts (analytics.py wave-40 block)
+# ---------------------------------------------------------------------------
+
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Székely-Rizzo energy distance between returned ('R') and
+    acknowledged ('A') line prices — every pairwise |·| sum factors
+    through ONE four-column exact-decimal cumulative; engine-exact
+    up to the final normalizations."""
+    from csp_gateway_spark.operators.analytics import energy_distance
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = energy_distance(li, "l_returnflag", "l_extendedprice", "R", "A")
+    return out.select(
+        "n_a", "n_b",
+        (F.round("d2", 6) + F.lit(0.0)).alias("d2"),
+        (F.round("e_stat", 6) + F.lit(0.0)).alias("e_stat"),
+    )
+
+
+ORACLE_ENERGY_DISTANCE = """
+WITH cells AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(15,2)) AS v,
+    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1
+), c2 AS (
+  SELECT v, ca, cb,
+    CAST(v * ca AS DECIMAL(38,2)) AS sa,
+    CAST(v * cb AS DECIMAL(38,2)) AS sb
+  FROM cells
+), r AS (
+  SELECT v, ca, cb, sa, sb,
+    SUM(ca) OVER w AS cca, SUM(cb) OVER w AS ccb,
+    SUM(sa) OVER w AS csa, SUM(sb) OVER w AS csb
+  FROM c2 WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+         CAST(SUM(sa) AS DECIMAL(38,2)) AS ta, CAST(SUM(sb) AS DECIMAL(38,2)) AS tb
+  FROM c2
+), terms AS (
+  SELECT
+    CAST(ca AS DECIMAL(12,0)) * CAST(
+      CAST(v * (ccb - cb) AS DECIMAL(38,2)) - CAST(csb - sb AS DECIMAL(38,2))
+      + CAST(tb - csb AS DECIMAL(38,2)) - CAST(v * (nb - ccb) AS DECIMAL(38,2))
+      AS DECIMAL(25,2)) AS cr,
+    CAST(ca AS DECIMAL(12,0)) * CAST(
+      CAST(v * (cca - ca) AS DECIMAL(38,2)) - CAST(csa - sa AS DECIMAL(38,2))
+      AS DECIMAL(25,2)) AS wa,
+    CAST(cb AS DECIMAL(12,0)) * CAST(
+      CAST(v * (ccb - cb) AS DECIMAL(38,2)) - CAST(csb - sb AS DECIMAL(38,2))
+      AS DECIMAL(25,2)) AS wb
+  FROM r, tot
+), s AS (
+  SELECT (SELECT na FROM tot) AS na, (SELECT nb FROM tot) AS nb,
+    CAST(SUM(cr) AS DECIMAL(38,2)) AS scr,
+    CAST(SUM(wa) AS DECIMAL(38,2)) AS swa,
+    CAST(SUM(wb) AS DECIMAL(38,2)) AS swb
+  FROM terms
+), f AS (
+  SELECT na, nb,
+    2.0 * CAST(scr AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+    - 2.0 * CAST(swa AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE))
+    - 2.0 * CAST(swb AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)) AS d2
+  FROM s
+)
+SELECT na AS n_a, nb AS n_b,
+  round(CASE WHEN na > 0 AND nb > 0 THEN d2 END, 6) + 0.0 AS d2,
+  round(CASE WHEN na > 0 AND nb > 0
+        THEN CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+             / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) * d2 END, 6) + 0.0 AS e_stat
+FROM f
+"""
+
+
+def q_conover_squared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conover squared-ranks variance test between returned and
+    acknowledged line prices — rank-robust scale comparison; exact
+    first moments, double fourth moment in the z denominator."""
+    from csp_gateway_spark.operators.analytics import conover_squared_ranks
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = conover_squared_ranks(
+        li, "l_returnflag", "l_extendedprice", "R", "A"
+    )
+    return out.select(
+        "n_a", "n_b",
+        (F.round((F.col("t_stat") / F.lit(1e9)), 6) + F.lit(0.0)).alias("t_stat_1e9"),
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+ORACLE_CONOVER_SQUARED_RANKS = """
+WITH b AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ga,
+         CAST(l_extendedprice AS DECIMAL(19,2)) AS v
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+), st AS (
+  SELECT
+    CAST(SUM(CASE WHEN ga = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(SUM(CASE WHEN ga = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    SUM(CASE WHEN ga = 1 THEN CAST(v AS DECIMAL(38,2)) ELSE CAST(0 AS DECIMAL(38,2)) END) AS sa,
+    SUM(CASE WHEN ga = 0 THEN CAST(v AS DECIMAL(38,2)) ELSE CAST(0 AS DECIMAL(38,2)) END) AS sb
+  FROM b
+), u AS (
+  SELECT ga,
+    abs(CAST(v AS DOUBLE) - CASE WHEN ga = 1
+        THEN CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        ELSE CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) END) AS uu
+  FROM b, st
+), cells AS (
+  SELECT uu, CAST(SUM(ga) AS BIGINT) AS ca, CAST(SUM(1 - ga) AS BIGINT) AS cb
+  FROM u GROUP BY 1
+), r AS (
+  SELECT ca, cb,
+    SUM(ca) OVER w AS cca, SUM(cb) OVER w AS ccb
+  FROM cells WINDOW w AS (ORDER BY uu ROWS UNBOUNDED PRECEDING)
+), q AS (
+  SELECT ca, cb,
+    CAST(2 * (cca + ccb - ca - cb) + (ca + cb) + 1 AS HUGEINT) AS two_r
+  FROM r
+), s AS (
+  SELECT
+    SUM(CAST(ca AS HUGEINT) * (two_r * two_r)) AS qa,
+    SUM(CAST(ca + cb AS HUGEINT) * (two_r * two_r)) AS qt,
+    SUM(CAST(ca + cb AS DOUBLE)
+        * (CAST(two_r * two_r AS DOUBLE) * CAST(two_r * two_r AS DOUBLE))) AS q4,
+    CAST(SUM(ca) AS BIGINT) AS n1, CAST(SUM(cb) AS BIGINT) AS n2
+  FROM q
+), f AS (
+  SELECT n1, n2,
+    CAST(qa AS DOUBLE) / 4.0 AS t_stat,
+    CAST(qt AS DOUBLE) / (4.0 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) AS meanr2,
+    q4 / (16.0 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) AS m4
+  FROM s
+), f2 AS (
+  SELECT n1, n2, t_stat, meanr2, m4 - meanr2 * meanr2 AS varpop
+  FROM f
+)
+SELECT n1 AS n_a, n2 AS n_b,
+  round(t_stat / 1000000000.0, 6) + 0.0 AS t_stat_1e9,
+  round(CASE WHEN n1 > 1 AND n2 > 1 AND varpop > 0
+        THEN (t_stat - CAST(n1 AS DOUBLE) * meanr2)
+             / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0) * varpop)
+  END, 6) + 0.0 AS z
+FROM f2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         "state_keyed_last": q_state_keyed_last,
@@ -17073,6 +17224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 39 (round 14): unsupervised keyword extraction
         "rake_keywords": q_rake_keywords,
         "textrank_keywords": q_textrank_keywords,
+        # wave 40 (round 14): distribution distance / scale tests
+        "energy_distance": q_energy_distance,
+        "conover_squared_ranks": q_conover_squared_ranks,
     }
     # The driver's correctness harness checks exactly the FIRST 50
     # entries (a budget, by all appearances), and dict order decides
@@ -17113,6 +17267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fe_within", "between_reg", "cluster_se",
         "diebold_mariano", "pesaran_timmermann", "theil_u2",
         "rake_keywords", "textrank_keywords",
+        "energy_distance", "conover_squared_ranks",
         # the 17 r4-era TPC-H join/agg shapes (Q6/Q10/Q14/... family):
         # only ever replica-checked since round 4
         "volume_shipping", "returned_items", "promo_revenue",
@@ -17417,6 +17572,8 @@ def oracle_sql() -> dict[str, str]:
         "theil_u2": ORACLE_THEIL_U2,
         "rake_keywords": ORACLE_RAKE_KEYWORDS,
         "textrank_keywords": ORACLE_TEXTRANK_KEYWORDS,
+        "energy_distance": ORACLE_ENERGY_DISTANCE,
+        "conover_squared_ranks": ORACLE_CONOVER_SQUARED_RANKS,
         "topk_stream_replay": ORACLE_TOPK_STREAM_REPLAY,
         "tukey_hsd": ORACLE_TUKEY_HSD,
         "cumulative_incidence": ORACLE_CUMULATIVE_INCIDENCE,

@@ -372,6 +372,8 @@ HEADLINE = [
     "theil_u2",
     "rake_keywords",
     "textrank_keywords",
+    "energy_distance",
+    "conover_squared_ranks",
 ]
 
 

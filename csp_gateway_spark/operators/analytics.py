@@ -12083,3 +12083,219 @@ def theil_u2(
             F.when(ok, F.sqrt(F.col("_sf") / F.col("_sn"))).alias("u2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 40 — distribution-distance / scale tests on exact rank
+# machinery: 1-D energy distance (engine-exact decimal closed form)
+# and Conover's squared-ranks variance test.  Companions of ks_test /
+# cvm_test / ansari_bradley; additive SURVEY §7.8 set.
+# ---------------------------------------------------------------------------
+
+def energy_distance(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample 1-D energy distance and the Székely-Rizzo energy
+    test statistic: D² = 2·E|X−Y| − E|X−X′| − E|Y−Y′| (V-statistic
+    convention), E = n₁n₂/(n₁+n₂)·D².  Sensitive to ANY
+    distributional difference, not just location.
+
+    Never the O(n²) pair expansion: over the value-sorted distinct
+    cells, every pairwise |·| sum factors through cumulative
+    counts/sums — Σ|x−y| = Σ_cells c_a·(v·B₍<₎ − S₍<₎ + S₍>₎ −
+    v·B₍>₎) — so ONE distinct-value collapse + ONE four-column
+    :func:`global_row_number` cumulative + one aggregate.  Every
+    numerator is an EXACT decimal (value × count products); only the
+    final normalizations divide as doubles, so the statistic is
+    engine-exact.  Output: one row (n_a, n_b, d2, e_stat)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col).cast("decimal(15,2)")
+    cells = (
+        df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+        )
+        .select(
+            "_v", "_ca", "_cb",
+            (F.col("_v") * F.col("_ca").cast("decimal(10,0)"))
+            .cast("decimal(38,2)").alias("_sa"),
+            (F.col("_v") * F.col("_cb").cast("decimal(10,0)"))
+            .cast("decimal(38,2)").alias("_sb"),
+        )
+    )
+    # ONE materialization of the collapse: `ranked` and `tot` both
+    # consume it, and the count doubles as the small-path's
+    # known_count (without this the totals aggregate re-ran the full
+    # collapse shuffle — measured 5.4 s → ~3 s at sf0.1)
+    cells = cells.localCheckpoint(eager=True)
+    n_cells = cells.count()
+    ranked = global_row_number(
+        cells, "_v", [], rn_col="_rn",
+        cum_values=[("_ca", "_cca"), ("_cb", "_ccb"),
+                    ("_sa", "_csa"), ("_sb", "_csb")],
+        small_threshold=TARGET_ROWS_PER_BUCKET, known_count=n_cells,
+    )
+    tot = cells.agg(
+        F.sum("_ca").cast("long").alias("_na"),
+        F.sum("_cb").cast("long").alias("_nb"),
+        F.sum("_sa").cast("decimal(38,2)").alias("_ta"),
+        F.sum("_sb").cast("decimal(38,2)").alias("_tb"),
+    )
+    w = ranked.crossJoin(F.broadcast(tot))
+    ca10 = F.col("_ca").cast("decimal(10,0)")
+    cb10 = F.col("_cb").cast("decimal(10,0)")
+    b_blw = (F.col("_ccb") - F.col("_cb")).cast("decimal(10,0)")
+    b_abv = (F.col("_nb").cast("decimal(10,0)") - F.col("_ccb").cast("decimal(10,0)"))
+    sb_blw = (F.col("_csb") - F.col("_sb")).cast("decimal(38,2)")
+    sb_abv = (F.col("_tb") - F.col("_csb")).cast("decimal(38,2)")
+    a_blw = (F.col("_cca") - F.col("_ca")).cast("decimal(10,0)")
+    sa_blw = (F.col("_csa") - F.col("_sa")).cast("decimal(38,2)")
+    b_blw_s = (F.col("_v") * b_blw).cast("decimal(38,2)")
+    b_abv_s = (F.col("_v") * b_abv).cast("decimal(38,2)")
+    a_blw_s = (F.col("_v") * a_blw).cast("decimal(38,2)")
+    cross = (
+        ca10.cast("decimal(12,0)")
+        * (b_blw_s - sb_blw + sb_abv - b_abv_s).cast("decimal(25,2)")
+    ).cast("decimal(38,2)")
+    wa = (ca10.cast("decimal(12,0)") * (a_blw_s - sa_blw).cast("decimal(25,2)")).cast("decimal(38,2)")
+    # within-B mirrors within-A with the roles swapped
+    bb_blw = (F.col("_ccb") - F.col("_cb")).cast("decimal(10,0)")
+    sbb_blw = (F.col("_csb") - F.col("_sb")).cast("decimal(38,2)")
+    wb = (
+        cb10.cast("decimal(12,0)")
+        * ((F.col("_v") * bb_blw).cast("decimal(38,2)") - sbb_blw).cast("decimal(25,2)")
+    ).cast("decimal(38,2)")
+    agg = w.agg(
+        F.first("_na").alias("_n1"),
+        F.first("_nb").alias("_n2"),
+        F.sum(cross).alias("_cr"),
+        F.sum(wa).alias("_wa"),
+        F.sum(wb).alias("_wb"),
+    )
+    na = F.col("_n1").cast("double")
+    nb = F.col("_n2").cast("double")
+    d2 = (
+        F.lit(2.0) * F.col("_cr").cast("double") / (na * nb)
+        - F.lit(2.0) * F.col("_wa").cast("double") / (na * na)
+        - F.lit(2.0) * F.col("_wb").cast("double") / (nb * nb)
+    )
+    ok = (F.col("_n1") > 0) & (F.col("_n2") > 0)
+    lay = agg.select(
+        F.col("_n1").alias("n_a"),
+        F.col("_n2").alias("n_b"),
+        F.when(ok, d2).alias("d2"),
+    )
+    e_stat = (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+        / (F.col("n_a").cast("double") + F.col("n_b").cast("double"))
+        * F.col("d2")
+    )
+    return _finalize_bounded(
+        lay.select("n_a", "n_b", "d2", e_stat.alias("e_stat"))
+    )
+
+
+def conover_squared_ranks(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Conover's squared-ranks test for equality of VARIANCES between
+    two cohorts: rank the absolute deviations u = |x − x̄_g| (each
+    value from its OWN group mean) over the pooled sample, sum the
+    SQUARED midranks of cohort A, and standardize against the
+    without-replacement moments.  The rank-based robust alternative
+    to :func:`bartlett_test` (normality-sensitive) and
+    :func:`levene_test` (mean-based F).
+
+    Plan: per-group means from one exact-decimal aggregate as ONE
+    broadcast row; u is a per-row double (identical on both engines);
+    one distinct-u collapse + ONE two-column cumulative; DOUBLED
+    midranks keep q = (2R)² and its first two moments exact decimals
+    (order-free sums); the fourth moment feeds only the z
+    denominator and sums as double (see inline note).  Output: one
+    row (n_a, n_b, t_stat, z)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col).cast("decimal(19,2)")
+    base = df.filter(g.isin([group_a, group_b]) & v.isNotNull()).select(
+        (g == group_a).cast("int").alias("_ga"), v.alias("_v")
+    )
+    st1 = base.agg(
+        F.sum(F.when(F.col("_ga") == 1, 1).otherwise(0)).cast("long").alias("_na"),
+        F.sum(F.when(F.col("_ga") == 0, 1).otherwise(0)).cast("long").alias("_nb"),
+        F.sum(F.when(F.col("_ga") == 1, F.col("_v").cast("decimal(38,2)"))
+              .otherwise(F.lit(0).cast("decimal(38,2)"))).alias("_sa"),
+        F.sum(F.when(F.col("_ga") == 0, F.col("_v").cast("decimal(38,2)"))
+              .otherwise(F.lit(0).cast("decimal(38,2)"))).alias("_sb"),
+    )
+    means = st1.select(
+        (F.col("_sa").cast("double") / F.col("_na").cast("double")).alias("_ma"),
+        (F.col("_sb").cast("double") / F.col("_nb").cast("double")).alias("_mb"),
+    )
+    withu = base.crossJoin(F.broadcast(means)).select(
+        "_ga",
+        F.abs(
+            F.col("_v").cast("double")
+            - F.when(F.col("_ga") == 1, F.col("_ma")).otherwise(F.col("_mb"))
+        ).alias("_u"),
+    )
+    cells = withu.groupBy("_u").agg(
+        F.sum("_ga").cast("long").alias("_ca"),
+        F.sum(F.lit(1) - F.col("_ga")).cast("long").alias("_cb"),
+    )
+    ranked = global_row_number(
+        cells, "_u", [], rn_col="_rn",
+        cum_values=[("_ca", "_cca"), ("_cb", "_ccb")],
+        small_threshold=TARGET_ROWS_PER_BUCKET, checkpoint=True,
+    )
+    t = (F.col("_ca") + F.col("_cb")).cast("decimal(20,0)")
+    below = (
+        F.col("_cca").cast("decimal(20,0)") + F.col("_ccb").cast("decimal(20,0)")
+        - t
+    )
+    two_r = (F.lit(2).cast("decimal(20,0)") * below + t
+             + F.lit(1).cast("decimal(20,0)")).cast("decimal(20,0)")
+    q = (two_r * two_r).cast("decimal(38,0)")
+    # first two moments exact decimals (fit to N ≈ 10⁹); the FOURTH
+    # moment q² = (2R)⁴ would overflow decimal(38) near N ≈ 10⁷, so
+    # Σt·q² sums as double — it only feeds the z denominator, and the
+    # 6-dp oracle rounding absorbs the ~1e−13 relative summation-order
+    # drift (the engle_granger residual-sum precedent)
+    qd = q.cast("double")
+    sums = ranked.agg(
+        F.sum(F.col("_ca").cast("decimal(10,0)") * q.cast("decimal(27,0)")).alias("_qa"),
+        F.sum(t.cast("decimal(10,0)") * q.cast("decimal(27,0)")).alias("_qt"),
+        F.sum(t.cast("double") * (qd * qd)).alias("_q4"),
+        F.sum(F.col("_ca")).cast("long").alias("_n1"),
+        F.sum(F.col("_cb")).cast("long").alias("_n2"),
+    )
+    na = F.col("_n1").cast("double")
+    nb = F.col("_n2").cast("double")
+    nn = na + nb
+    t_stat = F.col("_qa").cast("double") / F.lit(4.0)
+    meanr2 = F.col("_qt").cast("double") / (F.lit(4.0) * nn)
+    varpop = (
+        F.col("_q4") / (F.lit(16.0) * nn) - meanr2 * meanr2
+    )
+    ok = (F.col("_n1") > 1) & (F.col("_n2") > 1) & (varpop > 0)
+    z = (t_stat - na * meanr2) / F.sqrt(na * nb / (nn - F.lit(1.0)) * varpop)
+    return _finalize_bounded(
+        sums.select(
+            F.col("_n1").alias("n_a"),
+            F.col("_n2").alias("n_b"),
+            t_stat.alias("t_stat"),
+            F.when(ok, z).alias("z"),
+        )
+    )

@@ -493,6 +493,15 @@ WAVE39 = [
     "textrank_keywords",
 ]
 
+#: wave-40 family (round 14): the exact-decimal rank-distance pair —
+#: distinct-value collapse + four-column cumulative (energy) and the
+#: squared-midrank moments (conover); collapse cardinality grows with
+#: distinct prices.
+WAVE40 = [
+    "energy_distance",
+    "conover_squared_ranks",
+]
+
 #: wave-36 family (round 14): the survival-regression set — the
 #: orders⋈lineitem cohort scan grows with data, everything after the
 #: (time,score) cell collapse is bounded by the quantized domains
@@ -634,6 +643,13 @@ if __name__ == "__main__":
             names=WAVE39,
             title="Wave-39 replication — rake_keywords / textrank_keywords (auto-generated)",
             marker="\n## Wave-39 replication",
+        )
+    elif "--wave40" in sys.argv:
+        extended_main(
+            [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 8, 16],
+            names=WAVE40,
+            title="Wave-40 replication — energy_distance / conover_squared_ranks (auto-generated)",
+            marker="\n## Wave-40 replication",
         )
     elif "--wave36" in sys.argv:
         extended_main(
