@@ -374,6 +374,8 @@ HEADLINE = [
     "textrank_keywords",
     "energy_distance",
     "conover_squared_ranks",
+    "yuen_trimmed_t",
+    "huber_irls",
 ]
 
 

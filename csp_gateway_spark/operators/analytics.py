@@ -12299,3 +12299,222 @@ def conover_squared_ranks(
             F.when(ok, z).alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 41 — robust estimation: Yuen's trimmed-mean t test and Huber
+# IRLS regression.  Companions of welch_ttest / mood_median /
+# theil_sen; additive SURVEY §7.8 set.
+# ---------------------------------------------------------------------------
+
+def yuen_trimmed_t(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    group_a,
+    group_b,
+    trim: float = 0.2,
+) -> DataFrame:
+    """Yuen's t test on trimmed means: compare the central
+    (1−2·trim) mass of two cohorts with winsorized variances —
+    robust to heavy tails where :func:`welch_ttest` is dragged by
+    outliers.  t = (x̄ₜ₁ − x̄ₜ₂)/√(d₁+d₂),
+    d_j = (n_j−1)·s²_{w,j} / (h_j·(h_j−1)), h_j = n_j − 2g_j,
+    g_j = ⌊trim·n_j⌋.
+
+    Plan: ONE distinct-value collapse carrying both cohort counts +
+    ONE two-column exact cumulative; every order statistic (the trim
+    cut values) and every trimmed/winsorized sum comes from exact
+    per-cell rank-overlap arithmetic — Σv·overlap with
+    overlap = clamp(min(cum, n−g) − max(cum−c, g)) — so the trimmed
+    means are EXACT decimal ratios and only the final t divides as
+    doubles.  Two bounded aggregates (the second needs the cut
+    values as ONE broadcast row).  Output: one row
+    (h_a, h_b, mean_trim_a, mean_trim_b, t_stat)."""
+    from csp_gateway_spark.plans.scale import global_row_number
+
+    trim = float(trim)
+    if not (0.0 <= trim < 0.5):
+        raise ValueError("yuen_trimmed_t: trim must be in [0, 0.5)")
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col).cast("decimal(15,2)")
+    cells = (
+        df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_cells = cells.count()
+    ranked = global_row_number(
+        cells, "_v", [], rn_col="_rn",
+        cum_values=[("_ca", "_cca"), ("_cb", "_ccb")],
+        small_threshold=TARGET_ROWS_PER_BUCKET, known_count=n_cells,
+    ).localCheckpoint(eager=False)
+    tot = cells.agg(
+        F.sum("_ca").cast("long").alias("_na"),
+        F.sum("_cb").cast("long").alias("_nb"),
+    )
+    w = ranked.crossJoin(F.broadcast(tot))
+    ga = F.floor(F.lit(trim) * F.col("_na")).cast("long")
+    gb = F.floor(F.lit(trim) * F.col("_nb")).cast("long")
+
+    def overlap(cum, cnt, n, gcut):
+        lo = F.greatest(cum - cnt, gcut)
+        hi = F.least(cum, n - gcut)
+        return F.greatest(hi - lo, F.lit(0).cast("long"))
+
+    ov_a = overlap(F.col("_cca"), F.col("_ca"), F.col("_na"), ga)
+    ov_b = overlap(F.col("_ccb"), F.col("_cb"), F.col("_nb"), gb)
+    st1 = w.agg(
+        F.first("_na").alias("_n1"),
+        F.first("_nb").alias("_n2"),
+        F.sum((F.col("_v") * ov_a.cast("decimal(12,0)")).cast("decimal(38,2)")).alias("_tsa"),
+        F.sum((F.col("_v") * ov_b.cast("decimal(12,0)")).cast("decimal(38,2)")).alias("_tsb"),
+        # cut values: the order statistics at ranks g+1 and n−g
+        F.min(F.when(F.col("_cca") >= ga + 1, F.col("_v"))).alias("_loa"),
+        F.min(F.when(F.col("_cca") >= F.col("_na") - ga, F.col("_v"))).alias("_hia"),
+        F.min(F.when(F.col("_ccb") >= gb + 1, F.col("_v"))).alias("_lob"),
+        F.min(F.when(F.col("_ccb") >= F.col("_nb") - gb, F.col("_v"))).alias("_hib"),
+    )
+    cuts = st1.localCheckpoint(eager=True)
+    w2 = w.crossJoin(F.broadcast(cuts))
+    v2 = (F.col("_v") * F.col("_v")).cast("decimal(31,4)")
+    sq_a = F.sum((v2 * ov_a.cast("decimal(12,0)")).cast("decimal(38,4)")).alias("_qa")
+    sq_b = F.sum((v2 * ov_b.cast("decimal(12,0)")).cast("decimal(38,4)")).alias("_qb")
+    st2 = w2.agg(sq_a, sq_b)
+    out = st2.crossJoin(F.broadcast(cuts))
+    n1, n2 = F.col("_n1"), F.col("_n2")
+    g1 = F.floor(F.lit(trim) * n1).cast("long")
+    g2 = F.floor(F.lit(trim) * n2).cast("long")
+    h1 = (n1 - 2 * g1).cast("double")
+    h2 = (n2 - 2 * g2).cast("double")
+    mt1 = F.col("_tsa").cast("double") / h1
+    mt2 = F.col("_tsb").cast("double") / h2
+    g1d, g2d = g1.cast("double"), g2.cast("double")
+    lo1 = F.col("_loa").cast("double")
+    hi1 = F.col("_hia").cast("double")
+    lo2 = F.col("_lob").cast("double")
+    hi2 = F.col("_hib").cast("double")
+    # winsorized sums: middle mass + g copies of each cut value
+    ws1 = F.col("_tsa").cast("double") + g1d * (lo1 + hi1)
+    ws2 = F.col("_tsb").cast("double") + g2d * (lo2 + hi2)
+    wq1 = F.col("_qa").cast("double") + g1d * (lo1 * lo1 + hi1 * hi1)
+    wq2 = F.col("_qb").cast("double") + g2d * (lo2 * lo2 + hi2 * hi2)
+    n1d, n2d = n1.cast("double"), n2.cast("double")
+    ssd1 = wq1 - ws1 * ws1 / n1d
+    ssd2 = wq2 - ws2 * ws2 / n2d
+    # Yuen's d_j = (n_j−1)·s²_w/(h_j(h_j−1)) with s²_w = SSD_w/(n_j−1):
+    # the (n−1) cancels algebraically, so fold it out of the plan
+    d1 = ssd1 / (h1 * (h1 - F.lit(1.0)))
+    d2 = ssd2 / (h2 * (h2 - F.lit(1.0)))
+    ok = (h1 > 1) & (h2 > 1) & (d1 + d2 > 0)
+    return _finalize_bounded(
+        out.select(
+            h1.cast("long").alias("h_a"),
+            h2.cast("long").alias("h_b"),
+            mt1.alias("mean_trim_a"),
+            mt2.alias("mean_trim_b"),
+            F.when(ok, (mt1 - mt2) / F.sqrt(d1 + d2)).alias("t_stat"),
+        )
+    )
+
+
+def huber_irls(
+    df: DataFrame,
+    y_col,
+    x_col,
+    k: float = 1.345,
+    steps: int = 2,
+) -> DataFrame:
+    """Huber robust regression of y on x by ``steps`` fixed IRLS
+    reweighting passes: start from OLS, scale s = RMSE of the
+    current fit (the practical pseudo-scale; documented contract —
+    not the MAD), weights w = min(1, k·s/|e|), weighted
+    least-squares in closed form each pass.  Outliers get weight
+    k·s/|e| < 1 instead of quadratic pull.
+
+    Plan: stage-1 OLS from five exact decimal sums as ONE broadcast
+    row; each IRLS pass re-scans with (a, b, s) broadcast, computes
+    per-row double weights, and folds SEVEN weighted sums — no
+    driver scalars, flat lineage via one eager 1-row checkpoint per
+    pass.  Output: one row (n, beta, alpha, n_downweighted)."""
+    steps = int(steps)
+    if steps < 1:
+        raise ValueError("huber_irls: steps must be >= 1")
+    k = float(k)
+    if k <= 0:
+        raise ValueError("huber_irls: k must be > 0")
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    base = df.filter(y.isNotNull() & x.isNotNull()).select(
+        x.cast("double").alias("_x"), y.cast("double").alias("_y")
+    ).localCheckpoint(eager=False)
+    x19 = F.col("_x").cast("decimal(19,2)")
+    y19 = F.col("_y").cast("decimal(19,2)")
+    st1 = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n0"),
+        F.sum(x19.cast("decimal(38,2)")).alias("_sx"),
+        F.sum(y19.cast("decimal(38,2)")).alias("_sy"),
+        F.sum((x19 * x19).cast("decimal(38,4)")).alias("_sxx"),
+        F.sum((x19 * y19).cast("decimal(38,4)")).alias("_sxy"),
+        F.sum((y19 * y19).cast("decimal(38,4)")).alias("_syy"),
+    )
+    n0 = F.col("_n0").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cxx = F.col("_sxx").cast("double") - sx * sx / n0
+    cxy = F.col("_sxy").cast("double") - sx * sy / n0
+    cyy = F.col("_syy").cast("double") - sy * sy / n0
+    coefs = st1.select(
+        F.col("_n0"),
+        (cxy / cxx).alias("_b"),
+        ((sy - (cxy / cxx) * sx) / n0).alias("_a"),
+        F.sqrt(
+            F.greatest(
+                (cyy - (cxy / cxx) * cxy) / n0, F.lit(0.0)
+            )
+        ).alias("_s"),
+    ).localCheckpoint(eager=True)
+    for _ in range(steps):
+        wdf = base.crossJoin(F.broadcast(coefs))
+        e = F.abs(F.col("_y") - F.col("_a") - F.col("_b") * F.col("_x"))
+        # s = 0 means the current fit is exact — every weight stays 1
+        # (k·0/|e| would zero ALL weights and break the normalization)
+        wt = F.least(F.lit(1.0), F.lit(k) * F.col("_s") / e)
+        wt = F.when((e > 0) & (F.col("_s") > 0), wt).otherwise(F.lit(1.0))
+        ws = wdf.select(
+            "_x", "_y", wt.alias("_w"),
+            (F.col("_y") - F.col("_a") - F.col("_b") * F.col("_x")).alias("_e"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("_n0"),
+            F.sum("_w").alias("_sw"),
+            F.sum(F.col("_w") * F.col("_x")).alias("_swx"),
+            F.sum(F.col("_w") * F.col("_y")).alias("_swy"),
+            F.sum(F.col("_w") * F.col("_x") * F.col("_x")).alias("_swxx"),
+            F.sum(F.col("_w") * F.col("_x") * F.col("_y")).alias("_swxy"),
+            F.sum(F.col("_e") * F.col("_e")).alias("_see"),
+            F.sum((F.col("_w") < 1.0).cast("long")).cast("long").alias("_nd"),
+        )
+        sw = F.col("_sw")
+        swx = F.col("_swx")
+        swy = F.col("_swy")
+        wxx = F.col("_swxx") - swx * swx / sw
+        wxy = F.col("_swxy") - swx * swy / sw
+        coefs = ws.select(
+            F.col("_n0"),
+            (wxy / wxx).alias("_b"),
+            ((swy - (wxy / wxx) * swx) / sw).alias("_a"),
+            F.sqrt(F.col("_see") / F.col("_n0").cast("double")).alias("_s"),
+            F.col("_nd"),
+        ).localCheckpoint(eager=True)
+    return _finalize_bounded(
+        coefs.select(
+            F.col("_n0").alias("n"),
+            F.col("_b").alias("beta"),
+            F.col("_a").alias("alpha"),
+            F.col("_nd").alias("n_downweighted"),
+        )
+    )
