@@ -502,6 +502,13 @@ WAVE40 = [
     "conover_squared_ranks",
 ]
 
+#: wave-41 family (round 14): robust estimation — yuen's collapse +
+#: two-pass cut-value machinery and huber's three fact scans.
+WAVE41 = [
+    "yuen_trimmed_t",
+    "huber_irls",
+]
+
 #: wave-36 family (round 14): the survival-regression set — the
 #: orders⋈lineitem cohort scan grows with data, everything after the
 #: (time,score) cell collapse is bounded by the quantized domains
@@ -650,6 +657,13 @@ if __name__ == "__main__":
             names=WAVE40,
             title="Wave-40 replication — energy_distance / conover_squared_ranks (auto-generated)",
             marker="\n## Wave-40 replication",
+        )
+    elif "--wave41" in sys.argv:
+        extended_main(
+            [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 8, 16],
+            names=WAVE41,
+            title="Wave-41 replication — yuen_trimmed_t / huber_irls (auto-generated)",
+            marker="\n## Wave-41 replication",
         )
     elif "--wave36" in sys.argv:
         extended_main(
