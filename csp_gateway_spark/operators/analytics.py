@@ -3832,12 +3832,12 @@ def ks_test(
 
     The column collapses to one row per DISTINCT value with both
     cohort counts (one hash aggregate); both empirical CDFs then need
-    one cumulative sum in value order — computed WITHOUT an
-    unpartitioned window by packing the two counts into a single
-    ``decimal(38,0)`` word (``ca·10¹⁵ + cb`` — addition distributes,
-    and each cumulative stays < 10¹⁵, so no carry crosses the fields)
-    and running ``plans.scale.global_row_number(cum_value=...)``'s
-    range-bucketed two-phase cumulative once.  D and its argmax value
+    one cumulative sum in value order — two plain LONG running totals
+    riding ONE ``plans.scale.global_row_number(cum_values=...)``
+    range-bucketed two-phase cumulative (round 14: the former single
+    packed-decimal word ``ca·10¹⁵ + cb`` paid BigDecimal pmod/divide
+    per row to unpack — long addition stays in whole-stage codegen
+    and has no 10¹⁵ per-cohort ceiling).  D and its argmax value
     are exact-integer ratios compared as identical doubles on both
     engines; ties on D resolve to the smallest value.  Output: one
     row (n_a, n_b, d_stat, at_value)."""
@@ -3853,26 +3853,15 @@ def ks_test(
             F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
         )
     )
-    packed = per_val.withColumn(
-        "_pk",
-        (
-            # (20,0)×(16,0) → (37,0): stays under the 38-digit cap
-            # with no precision adjustment on either engine
-            F.col("_ca").cast("decimal(20,0)")
-            * F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
-            + F.col("_cb").cast("decimal(20,0)")
-        ).cast("decimal(38,0)"),
-    )
     ranked = global_row_number(
-        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        per_val, "_v", [], rn_col="_rn",
+        cum_values=[("_ca", "_ma"), ("_cb", "_mb")],
         small_threshold=TARGET_ROWS_PER_BUCKET,
     )
-    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
-    # unpack without decimal-division rounding: modulo is exact, and
-    # the quotient (cum − cum_b)/shift is an exact integer, so the
-    # scale-6 division result represents it exactly
-    cum_b = F.pmod(F.col("_cum"), shift)
-    cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
+    # inclusive per-cohort cumulatives as exact longs (< 2⁵³, so the
+    # double casts below are value-identical to the decimal path)
+    cum_a = F.col("_ma")
+    cum_b = F.col("_mb")
     # totals from the RANKED frame (already checkpointed inside
     # global_row_number) — aggregating per_val again would re-run the
     # whole scan+collapse a second time (the r10 ks_test regression)
@@ -3975,8 +3964,10 @@ def mann_whitney_u(
     z — the non-parametric twin of :func:`welch_ttest`.
 
     Same machinery as :func:`ks_test`: one distinct-value collapse
-    with both cohort counts, ONE packed two-phase cumulative (no
-    unpartitioned window).  Doubled rank sums keep every intermediate
+    with both cohort counts, the two per-cohort running counts riding
+    ONE two-phase cumulative as plain LONG columns (round 14 — no
+    packed-decimal unpack, no unpartitioned window).  Doubled rank
+    sums keep every intermediate
     an exact integer (midranks are halves, so 2·R_a = Σ ca·(2·(#rows
     below v) + t_v + 1) is integer-exact in decimal), and the tie
     term Σ(t³−t) aggregates exactly too; only the final U/z are
@@ -3994,25 +3985,19 @@ def mann_whitney_u(
             F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
         )
     )
-    packed = per_val.withColumn(
-        "_pk",
-        (
-            F.col("_ca").cast("decimal(20,0)")
-            * F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
-            + F.col("_cb").cast("decimal(20,0)")
-        ).cast("decimal(38,0)"),
-    )
     ranked = global_row_number(
-        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        per_val, "_v", [], rn_col="_rn",
+        cum_values=[("_ca", "_ma"), ("_cb", "_mb")],
         small_threshold=TARGET_ROWS_PER_BUCKET,
     )
-    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
-    cum_b = F.pmod(F.col("_cum"), shift)
-    cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
-    cnt = (F.col("_ca") + F.col("_cb")).cast("decimal(20,0)")
-    below = (cum_a + cum_b.cast("decimal(38,0)")).cast("decimal(38,0)") - cnt  # rows strictly below v
+    # additive rank terms in plain longs (exact to 2⁶³; the packed
+    # path's own bound was 10¹⁵/cohort), ONE decimal product where
+    # Σ exceeds int64: cnt_l = tie multiplicity, below = rows strictly
+    # below v, 2R_a term = ca·(2·below + cnt + 1)
+    cnt_l = F.col("_ca") + F.col("_cb")
+    cnt = cnt_l.cast("decimal(20,0)")
     two_ra_term = F.col("_ca").cast("decimal(16,0)") * (
-        F.lit(2).cast("decimal(2,0)") * below + cnt + F.lit(1).cast("decimal(2,0)")
+        F.lit(2) * (F.col("_ma") + F.col("_mb")) - cnt_l + F.lit(1)
     ).cast("decimal(20,0)")
     # cube at (12,0): 12+12+1=25 then 25+12+1=38 — exactly the cap, no
     # precision adjustment on either engine (tie groups ≤ 1e12 rows)
@@ -4208,10 +4193,10 @@ def logrank_test(
 
     Durations collapse to one row per distinct value with per-group
     death/total counts (one hash aggregate); BOTH at-risk series come
-    from ONE two-phase cumulative by packing the two group totals into
-    a single decimal(38,0) word (n₁·10¹⁵ + n₂ — addition distributes,
-    no carry while each cumulative stays < 10¹⁵, the same packing
-    contract as ``ks_test``).  Per event time: E₁ = d·r₁/r and the
+    from ONE two-phase cumulative carrying the two group totals as
+    plain LONG running counts (round 14 — the former packed
+    decimal(38,0) word paid BigDecimal pmod/divide per row to
+    unpack).  Per event time: E₁ = d·r₁/r and the
     hypergeometric variance v = d·(r₁/r)·(r₂/r)·(r−d)/(r−1); the two
     double sums are order-sensitive, so they fold the duration-sorted
     packed step array (bounded: distinct durations) with pinned FP
@@ -4233,28 +4218,23 @@ def logrank_test(
         F.sum(F.col("_ga").cast("long")).alias("_n1"),
         F.sum((1 - F.col("_ga")).cast("long")).alias("_n2"),
     )
-    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
-    packed_steps = steps.withColumn(
-        "_pk",
-        (
-            F.col("_n1").cast("decimal(20,0)") * shift
-            + F.col("_n2").cast("decimal(20,0)")
-        ).cast("decimal(38,0)"),
-    )
     ranked = global_row_number(
-        packed_steps, "_t", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        steps, "_t", [], rn_col="_rn",
+        cum_values=[("_n1", "_m1"), ("_n2", "_m2")],
         small_threshold=TARGET_ROWS_PER_BUCKET,
     )
-    cum_b = F.pmod(F.col("_cum"), shift)
-    cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
-    totals = steps.agg(
+    # totals from the RANKED frame (checkpointed inside
+    # global_row_number) — aggregating ``steps`` again would re-run
+    # the whole scan+collapse a second time (the r10 ks_test
+    # regression, fixed here round 14)
+    totals = ranked.agg(
         F.sum("_n1").alias("_ta"),
         F.sum("_n2").alias("_tb"),
     )
     j = ranked.crossJoin(F.broadcast(totals))
     # at-risk INCLUDES the current time's subjects: N − (cum − n)
-    r1 = (F.col("_ta") - (cum_a.cast("long") - F.col("_n1"))).alias("_r1")
-    r2 = (F.col("_tb") - (cum_b.cast("long") - F.col("_n2"))).alias("_r2")
+    r1 = (F.col("_ta") - (F.col("_m1") - F.col("_n1"))).alias("_r1")
+    r2 = (F.col("_tb") - (F.col("_m2") - F.col("_n2"))).alias("_r2")
     with_risk = j.select("_t", "_d1", "_d2", "_ta", "_tb", r1, r2)
     d = (F.col("_d1") + F.col("_d2")).cast("double")
     r1d = F.col("_r1").cast("double")
@@ -4819,18 +4799,19 @@ def _spearman_try_fast(base: DataFrame, small_col: str, big_col: str):
         base.join(F.broadcast(m_small), on=small_col)
         .groupBy(F.col(big_col).alias("_v"))
         .agg(
-            F.count(F.lit(1)).cast("decimal(20,0)").alias("_cd"),
+            F.count(F.lit(1)).alias("_cd"),
             F.sum(F.col("_rs").cast("decimal(25,0)")).alias("_srs"),
         )
     )
+    # count cumulative as a plain LONG (round 14 — the decimal(20,0)
+    # cum paid BigDecimal addition per row in the window)
     ranked = global_row_number(
-        per_big, "_v", [], rn_col="_rn", cum_value="_cd", cum_col="_cum",
+        per_big, "_v", [], rn_col="_rn",
+        cum_values=[("_cd", "_cum")],
         small_threshold=TARGET_ROWS_PER_BUCKET,
     )
     rb = (
-        F.lit(2).cast("decimal(2,0)") * F.col("_cum")
-        - F.col("_cd")
-        + F.lit(1).cast("decimal(2,0)")
+        F.lit(2) * F.col("_cum") - F.col("_cd") + F.lit(1)
     ).cast("decimal(13,0)")
     c12 = F.col("_cd").cast("decimal(12,0)")
     fin = ranked.agg(
@@ -4879,31 +4860,24 @@ def _spearman_corr_generic(base: DataFrame) -> DataFrame:
             .select(F.lit(1).alias("_var"), "_v", "_c")
         )
     )
-    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
+    # two plain LONG running counts instead of one packed decimal word
+    # (round 14 — same values, no BigDecimal pmod/divide unpack)
     packed = per.withColumn(
-        "_pk",
-        (
-            F.when(F.col("_var") == 0, F.col("_c")).otherwise(0).cast("decimal(20,0)")
-            * shift
-            + F.when(F.col("_var") == 1, F.col("_c")).otherwise(0).cast("decimal(20,0)")
-        ).cast("decimal(38,0)"),
+        "_pa", F.when(F.col("_var") == 0, F.col("_c")).otherwise(F.lit(0)).cast("long")
+    ).withColumn(
+        "_pb", F.when(F.col("_var") == 1, F.col("_c")).otherwise(F.lit(0)).cast("long")
     )
     ranked = global_row_number(
-        packed, "_v", ["_var"], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        packed, "_v", ["_var"], rn_col="_rn",
+        cum_values=[("_pa", "_ma"), ("_pb", "_mb")],
         small_threshold=TARGET_ROWS_PER_BUCKET,
     )
-    cum_b = F.pmod(F.col("_cum"), shift)
-    cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
-    # at a var-a row the a-part of the packed cumulative is Σ c_a over
-    # values ≤ v (var-b rows contribute 0 to the high word, and the
-    # (value, variable) tiebreak puts the same-value var-b row after);
-    # symmetrically for var-b and the low word
-    part = F.when(F.col("_var") == 0, cum_a).otherwise(cum_b.cast("decimal(38,0)"))
-    two_mid = (
-        F.lit(2).cast("decimal(2,0)") * (part - F.col("_c").cast("decimal(20,0)"))
-        + F.col("_c").cast("decimal(20,0)")
-        + F.lit(1).cast("decimal(2,0)")
-    )
+    # at a var-a row the a-side cumulative is Σ c_a over values ≤ v
+    # (var-b rows contribute 0 to it, and the (value, variable)
+    # tiebreak puts the same-value var-b row after); symmetrically
+    # for var-b
+    part = F.when(F.col("_var") == 0, F.col("_ma")).otherwise(F.col("_mb"))
+    two_mid = F.lit(2) * (part - F.col("_c")) + F.col("_c") + F.lit(1)
     # the midrank table is distinct-value-bounded and consumed by BOTH
     # variable branches — one lazy bounded materialization instead of
     # re-running the rank pipeline per branch
@@ -5617,8 +5591,9 @@ def roc_auc(
     positive outscores a random negative).
 
     Same scale discipline: ONE distinct-score collapse carrying both
-    class counts, ONE packed two-phase cumulative
-    (``plans.scale.global_row_number`` — no unpartitioned window),
+    class counts as plain LONG running totals on one two-phase
+    cumulative (``plans.scale.global_row_number(cum_values=...)`` —
+    round 14, no packed-decimal unpack, no unpartitioned window),
     doubled rank sums so every intermediate is an exact integer;
     only the final ratio is a double, from identical expressions on
     both engines.  Output: one row (n_pos, n_neg, auc)."""
@@ -5630,25 +5605,14 @@ def roc_auc(
         F.sum(y.cast("int")).cast("long").alias("_cp"),
         F.sum(F.lit(1) - y.cast("int")).cast("long").alias("_cn"),
     )
-    packed = per_val.withColumn(
-        "_pk",
-        (
-            F.col("_cp").cast("decimal(20,0)")
-            * F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
-            + F.col("_cn").cast("decimal(20,0)")
-        ).cast("decimal(38,0)"),
-    )
     ranked = global_row_number(
-        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        per_val, "_v", [], rn_col="_rn",
+        cum_values=[("_cp", "_mp"), ("_cn", "_mn")],
         small_threshold=TARGET_ROWS_PER_BUCKET,
     )
-    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
-    cum_n = F.pmod(F.col("_cum"), shift)
-    cum_p = ((F.col("_cum") - cum_n) / shift).cast("decimal(38,0)")
-    cnt = (F.col("_cp") + F.col("_cn")).cast("decimal(20,0)")
-    below = (cum_p + cum_n.cast("decimal(38,0)")).cast("decimal(38,0)") - cnt
+    cnt_l = F.col("_cp") + F.col("_cn")
     two_rp_term = F.col("_cp").cast("decimal(16,0)") * (
-        F.lit(2).cast("decimal(2,0)") * below + cnt + F.lit(1).cast("decimal(2,0)")
+        F.lit(2) * (F.col("_mp") + F.col("_mn")) - cnt_l + F.lit(1)
     ).cast("decimal(20,0)")
     sums = ranked.agg(
         F.sum("_cp").cast("long").alias("_np"),
@@ -5835,8 +5799,9 @@ def sprt_monitor(
     the fixed-horizon ``ab_test``.
 
     Days collapse to one row each (bounded by the calendar domain);
-    the two cumulatives ride ONE packed-decimal two-phase cumulative
-    (``global_row_number(cum_value=...)`` — no unpartitioned window),
+    the two cumulatives ride ONE two-phase cumulative as plain LONG
+    columns (``global_row_number(cum_values=...)`` — round 14, no
+    packed-decimal unpack, no unpartitioned window),
     so t/k are exact integers and llr is a closed-form double per
     row.  Output: per day (day, t, k, llr, decision)."""
     import math
@@ -5849,21 +5814,13 @@ def sprt_monitor(
         F.count(F.lit(1)).cast("long").alias("_t"),
         F.sum(s.cast("int")).cast("long").alias("_k"),
     )
-    packed = per_day.withColumn(
-        "_pk",
-        (
-            F.col("_t").cast("decimal(20,0)")
-            * F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
-            + F.col("_k").cast("decimal(20,0)")
-        ).cast("decimal(38,0)"),
-    )
     ranked = global_row_number(
-        packed, "_d", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        per_day, "_d", [], rn_col="_rn",
+        cum_values=[("_t", "_mt"), ("_k", "_mk")],
         small_threshold=TARGET_ROWS_PER_BUCKET,
     )
-    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
-    cum_k = F.pmod(F.col("_cum"), shift)
-    cum_t = ((F.col("_cum") - cum_k) / shift).cast("decimal(38,0)")
+    cum_k = F.col("_mk")
+    cum_t = F.col("_mt")
     c1 = math.log(p1 / p0)
     c0 = math.log((1.0 - p1) / (1.0 - p0))
     lo = math.log(beta / (1.0 - alpha))
@@ -7579,8 +7536,9 @@ def cvm_test(
     small shifts KS misses).
 
     Same scale shape as ``ks_test``: ONE distinct-value collapse
-    carrying both cohort counts, ONE packed decimal(38,0) cumulative
-    via the range-bucketed two-phase rank.  The gap sum FACTORS
+    carrying both cohort counts, the two per-cohort running counts as
+    plain LONG columns on ONE range-bucketed two-phase cumulative
+    (round 14 — no packed-decimal unpack).  The gap sum FACTORS
     through three exact integer moments — Σh·c₁², Σh·c₁c₂, Σh·c₂²
     (order-free decimal(38,0) sums, bounded for cohorts ≤ 10¹¹ rows)
     — so Σh·(c₁n₂−c₂n₁)² = n₂²A − 2n₁n₂B + n₁²C is ONE double
@@ -7598,26 +7556,17 @@ def cvm_test(
             F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
         )
     )
-    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
-    packed = per_val.withColumn(
-        "_pk",
-        (
-            F.col("_ca").cast("decimal(20,0)") * shift
-            + F.col("_cb").cast("decimal(20,0)")
-        ).cast("decimal(38,0)"),
-    )
     ranked = global_row_number(
-        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        per_val, "_v", [], rn_col="_rn",
+        cum_values=[("_ca", "_ma"), ("_cb", "_mb")],
         small_threshold=TARGET_ROWS_PER_BUCKET,
     )
-    cum_b = F.pmod(F.col("_cum"), shift)
-    cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
     # exact typed products: c ≤ 10¹¹ as (12,0), c·c′ → (23,0) cast,
     # h ≤ 2·10¹¹ as (12,0), h·(c·c′) → (36,0) — every intermediate
     # stays under the 38-digit cap on BOTH engines with no precision
     # loss (the DuckDB mirror runs the same ladder in HUGEINT)
-    ca12 = cum_a.cast("decimal(12,0)")
-    cb12 = cum_b.cast("decimal(12,0)")
+    ca12 = F.col("_ma").cast("decimal(12,0)")
+    cb12 = F.col("_mb").cast("decimal(12,0)")
     h12 = (F.col("_ca") + F.col("_cb")).cast("decimal(12,0)")
     summed = ranked.agg(
         F.sum((h12 * (ca12 * ca12).cast("decimal(23,0)")).cast("decimal(38,0)")).alias("_A"),
@@ -9055,8 +9004,9 @@ def brunner_munzel(
     the Satterthwaite df — scipy.stats.brunnermunzel's formulas.
 
     Same machinery as :func:`mann_whitney_u`: ONE distinct-value
-    collapse carrying both cohort counts, ONE packed two-phase
-    cumulative (c_a·10¹⁵ + c_b — no unpartitioned window) yields the
+    collapse carrying both cohort counts, the two running counts as
+    plain LONG columns on one two-phase cumulative (round 14 — no
+    packed-decimal unpack, no unpartitioned window) yielding the
     combined AND the within-cohort midranks per cell, and every
     moment — Σ2R per cohort and the rank-variance terms
     Σc·d, Σc·d² with d = 2R − 2R^(within) — accumulates as an exact
@@ -9075,34 +9025,23 @@ def brunner_munzel(
             F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
         )
     )
-    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
-    packed = per_val.withColumn(
-        "_pk",
-        (
-            F.col("_ca").cast("decimal(20,0)") * shift
-            + F.col("_cb").cast("decimal(20,0)")
-        ).cast("decimal(38,0)"),
-    )
     ranked = global_row_number(
-        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        per_val, "_v", [], rn_col="_rn",
+        cum_values=[("_ca", "_ma"), ("_cb", "_mb")],
         small_threshold=TARGET_ROWS_PER_BUCKET,
     )
-    cum_b = F.pmod(F.col("_cum"), shift)
-    cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
-    ca = F.col("_ca").cast("decimal(20,0)")
-    cb = F.col("_cb").cast("decimal(20,0)")
-    two = F.lit(2).cast("decimal(2,0)")
-    one = F.lit(1).cast("decimal(2,0)")
-    cumc = (cum_a + cum_b.cast("decimal(38,0)")).cast("decimal(38,0)")
-    # doubled midranks: combined and within-cohort (the within rank of
-    # a cell is only meaningful where that cohort has rows there)
-    r2 = (two * (cumc - (ca + cb)) + (ca + cb) + one).cast("decimal(20,0)")
-    r2a = (two * (cum_a - ca) + ca + one).cast("decimal(20,0)")
-    r2b = (two * (cum_b.cast("decimal(38,0)") - cb) + cb + one).cast("decimal(20,0)")
+    # doubled midranks in plain longs: combined and within-cohort
+    # (the within rank of a cell is only meaningful where that cohort
+    # has rows there); the decimal(13,0) casts below bound the SAME
+    # exact integers the packed path produced
+    cnt_l = F.col("_ca") + F.col("_cb")
+    r2 = F.lit(2) * (F.col("_ma") + F.col("_mb")) - cnt_l + F.lit(1)
+    r2a = F.lit(2) * F.col("_ma") - F.col("_ca") + F.lit(1)
+    r2b = F.lit(2) * F.col("_mb") - F.col("_cb") + F.lit(1)
     da = (r2 - r2a).cast("decimal(13,0)")  # ≤ 2N: 13 digits at N ≤ 1e12
     db = (r2 - r2b).cast("decimal(13,0)")
-    ca13 = ca.cast("decimal(13,0)")
-    cb13 = cb.cast("decimal(13,0)")
+    ca13 = F.col("_ca").cast("decimal(13,0)")
+    cb13 = F.col("_cb").cast("decimal(13,0)")
     sums = ranked.agg(
         F.sum("_ca").cast("long").alias("_na"),
         F.sum("_cb").cast("long").alias("_nb"),
@@ -9626,7 +9565,8 @@ def ansari_bradley(
     special casing.
 
     Same machinery as :func:`mann_whitney_u`: one distinct-value
-    collapse with both cohort counts, ONE packed two-phase cumulative,
+    collapse with both cohort counts as plain LONG running totals on
+    one two-phase cumulative (round 14 — no packed-decimal unpack),
     and every moment an exact decimal integer on DOUBLED scores
     s₂(v) = min(2R, 2(N+1) − 2R) (midranks are halves, so doubling
     keeps scores integral).  Only the final A/z are doubles, identical
@@ -9644,38 +9584,28 @@ def ansari_bradley(
             F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
         )
     )
-    shift = F.lit(1_000_000_000_000_000).cast("decimal(16,0)")
-    packed = per_val.withColumn(
-        "_pk",
-        (
-            F.col("_ca").cast("decimal(20,0)") * shift
-            + F.col("_cb").cast("decimal(20,0)")
-        ).cast("decimal(38,0)"),
-    )
     ranked = global_row_number(
-        packed, "_v", [], rn_col="_rn", cum_value="_pk", cum_col="_cum",
+        per_val, "_v", [], rn_col="_rn",
+        cum_values=[("_ca", "_ma"), ("_cb", "_mb")],
         small_threshold=TARGET_ROWS_PER_BUCKET,
     )
-    cum_b = F.pmod(F.col("_cum"), shift)
-    cum_a = ((F.col("_cum") - cum_b) / shift).cast("decimal(38,0)")
-    ca = F.col("_ca").cast("decimal(20,0)")
-    cb = F.col("_cb").cast("decimal(20,0)")
-    two = F.lit(2).cast("decimal(2,0)")
-    one = F.lit(1).cast("decimal(2,0)")
-    cumc = (cum_a + cum_b.cast("decimal(38,0)")).cast("decimal(38,0)")
-    r2 = (two * (cumc - (ca + cb)) + (ca + cb) + one).cast("decimal(20,0)")
+    # doubled combined midrank in plain longs (same exact integers as
+    # the former packed-decimal path)
+    cnt_l = F.col("_ca") + F.col("_cb")
+    r2 = F.lit(2) * (F.col("_ma") + F.col("_mb")) - cnt_l + F.lit(1)
     # the score needs N before the aggregate: totals ride a 1-row
-    # broadcast (exact integer sums)
-    totals = per_val.agg(
+    # broadcast (exact integer sums) — from the RANKED frame, which
+    # global_row_number already checkpointed (aggregating per_val
+    # again would re-run the scan+collapse; round 14)
+    totals = ranked.agg(
         F.sum("_ca").cast("long").alias("_na"),
         F.sum("_cb").cast("long").alias("_nb"),
     )
     j = ranked.crossJoin(F.broadcast(totals))
-    n_dec = (F.col("_na") + F.col("_nb")).cast("decimal(20,0)")
-    s2 = F.least(r2, (two * (n_dec + one) - r2).cast("decimal(20,0)"))
-    ca13 = ca.cast("decimal(13,0)")
-    cb13 = cb.cast("decimal(13,0)")
-    cc13 = (ca + cb).cast("decimal(13,0)")
+    s2 = F.least(r2, F.lit(2) * (F.col("_na") + F.col("_nb") + F.lit(1)) - r2)
+    ca13 = F.col("_ca").cast("decimal(13,0)")
+    cb13 = F.col("_cb").cast("decimal(13,0)")
+    cc13 = cnt_l.cast("decimal(13,0)")
     s13 = s2.cast("decimal(13,0)")
     sums = j.groupBy("_na", "_nb").agg(
         F.sum((ca13 * s13).cast("decimal(38,0)")).alias("_a2"),
