@@ -7,6 +7,8 @@ oracle for each.  Column names are aliased identically on both sides.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -122,22 +124,59 @@ def _survival_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 from contextlib import contextmanager
 
 
+#: replay-harness state partitions (env-overridable): each gate
+#: trigger streams a tiny bounded slice, so partitions here size the
+#: STATE-STORE instance count, not parallelism.  Measured at sf0.1
+#: (round 14): the dual-watermark stream-stream join replay runs
+#: ~2.4× faster at 2 partitions than at the former 8 (the chained
+#: join+window gate shipped at n=2 from the start for the same
+#: reason).  Production state sizing is config-driven at the first
+#: checkpoint write (spark.sql.shuffle.partitions on the real
+#: session); this knob scopes ONLY the replay harness.
+_REPLAY_PARTITIONS = int(os.environ.get("SPARK_GRAFT_REPLAY_PARTITIONS", "2"))
+
+
 @contextmanager
-def _replay_shuffle(spark: SparkSession, n: int = 8):
+def _replay_shuffle(spark: SparkSession, n: int | None = None):
     """Replay-scoped shuffle-partition count for the streaming gate
     queries: each trigger streams a tiny slice, so the dominant cost
     is state-store open/commit per (trigger × partition × join side)
     — at 32 partitions the replays pay ~4× their useful work in
-    store bookkeeping.  Production state sizing stays config-driven
-    (spark.sql.shuffle.partitions at first checkpoint write); this
-    scopes ONLY the replay harness.  Values are partition-invariant,
-    so the oracle hash is unchanged."""
+    store bookkeeping, and the round-14 re-measure showed another
+    ~2.4× on the stream-stream join gates going 8 → 2 (state is a
+    few thousand keys; two stores hold it comfortably).  Production
+    state sizing stays config-driven (spark.sql.shuffle.partitions at
+    first checkpoint write); this scopes ONLY the replay harness.
+    Values are partition-invariant, so the oracle hash is
+    unchanged."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(n if n is not None else _REPLAY_PARTITIONS),
+    )
+    # The replay gates hold a few thousand state keys for ≤ 10
+    # triggers and then drop the checkpoint: the default in-memory
+    # provider is the right store for that shape (measured ~0.2 s per
+    # gate vs RocksDB's per-trigger native open/commit + changelog at
+    # sf0.1).  The SESSION default stays RocksDB (session.py) — the
+    # production choice for unbounded keyed state that outgrows the
+    # heap — and state values are provider-invariant, so the landed
+    # table hash is unchanged.
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    )
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_prov is not None:
+            spark.conf.set(prov_key, prev_prov)
+        else:
+            spark.conf.unset(prov_key)
 
 
 # ---------------------------------------------------------------------------

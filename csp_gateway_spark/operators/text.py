@@ -176,18 +176,76 @@ def quality_filter(
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass per-document stat sheet.  NULL text ≡ empty string."""
+    """One-pass per-document stat sheet.  NULL text ≡ empty string.
+
+    STAGED tokenize (round 14): the naive form re-derived the token
+    array inside seven independent expression trees (token_count,
+    stopword_ratio, quality_score's three sub-ratios, lang_id's four
+    marker filters) — higher-order-function lambdas run on the
+    interpreted path where common-subexpression elimination does not
+    reach (the mattr_diversity lesson, d1a88ee), so each tree paid
+    its own split+filter pass.  The raw and lowercased token arrays
+    are materialized ONCE in a prior projection and every stat reads
+    the shared arrays; the derived ratios (quality's len/punct/
+    stopword gates, lang argmax) are plain arithmetic over the same
+    intermediate columns, so every output value is bit-identical."""
     c = F.coalesce(F.col(text_col), F.lit(""))
-    return df.select(
-        *[x for x in df.columns if x != text_col],
-        F.length(c).alias("n_chars_calc"),
-        token_count(c).alias("n_tokens"),
-        bpe_ish_token_count(c).alias("n_subtokens"),
-        punct_ratio(c).alias("punct_ratio"),
-        stopword_ratio(c).alias("stopword_ratio"),
-        quality_score(c).alias("quality"),
-        lang_id(c).alias("lang_pred"),
-        fingerprint(c).alias("fingerprint"),
+    keep = [x for x in df.columns if x != text_col]
+    staged = df.select(
+        *keep,
+        c.alias("_c"),
+        F.filter(tokens(c), lambda t: t != F.lit("")).alias("_rt"),
+        F.filter(tokens(F.lower(c)), lambda t: t != F.lit("")).alias("_lt"),
+    )
+    n_tok = F.size("_rt")
+    n_lt = F.size("_lt")
+    # punct_ratio(c) inlined on the staged text column
+    p_len = F.length(F.regexp_replace(F.col("_c"), r"[^.,;:!?'\"()\[\]{}-]", ""))
+    n_chars = F.length(F.col("_c"))
+    punct = F.when(n_chars > 0, p_len / n_chars).otherwise(F.lit(0.0))
+    # stopword_ratio over the shared lowercase tokens
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    sw_hits = F.size(F.filter(F.col("_lt"), lambda t: F.array_contains(sw, t)))
+    swr = F.when(n_lt > 0, sw_hits / n_lt).otherwise(F.lit(0.0))
+    # quality_score from the already-computed pieces (same gates)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct <= 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
+    sw_ok = F.when(swr >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    quality = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        (len_ok + punct_ok + sw_ok) / 3.0
+    )
+    # lang_id over the shared lowercase tokens (same marker lists,
+    # same tie-break chain)
+    def _marker_hits(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(F.col("_lt"), lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: _marker_hits(words) for lang, words in LANG_MARKERS.items()}
+    has_cjk = F.length(F.regexp_replace(F.col("_c"), r"[^一-鿿]", "")) > 0
+    lang_pred = (
+        F.when(has_cjk, F.lit("zh"))
+        .when(
+            (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] > 0),
+            F.lit("en"),
+        )
+        .when((scores["fr"] >= scores["de"]) & (scores["fr"] >= scores["es"]) & (scores["fr"] > 0), F.lit("fr"))
+        .when((scores["de"] >= scores["es"]) & (scores["de"] > 0), F.lit("de"))
+        .when(scores["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    return staged.select(
+        *keep,
+        n_chars.alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        bpe_ish_token_count(F.col("_c")).alias("n_subtokens"),
+        punct.alias("punct_ratio"),
+        swr.alias("stopword_ratio"),
+        quality.alias("quality"),
+        lang_pred.alias("lang_pred"),
+        fingerprint(F.col("_c")).alias("fingerprint"),
     )
 
 
