@@ -422,26 +422,40 @@ def gopher_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     shuffle, no UDF; string-count tricks (length deltas) for the
     symbol counts keep it whole-stage-codegen.  The repetition rules
     of the same appendix live in ``curation.repetition_stats``.
-    """
+
+    STAGED (round 14): the word/line/lowered-word arrays and every
+    raw statistic are materialized ONCE in prior projections —
+    higher-order-function lambdas run interpreted where CSE does not
+    reach, and the combined ``keep`` predicate re-inlined every
+    statistic's whole tree (words split ~12×/row in the flat form).
+    Same expressions over the same arrays ⇒ bit-identical output."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(F.split(F.trim(t), TOKEN_SPLIT), lambda w: w != F.lit(""))
-    n_words = F.size(words)
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != F.lit(""))
+    staged = df.select(
+        F.col(id_col),
+        t.alias("_t"),
+        words.alias("_w"),
+        lines.alias("_l"),
+        F.transform(words, lambda w: F.lower(w)).alias("_lw"),
+    )
+    tt = F.col("_t")
+    n_words = F.size("_w")
     sum_len = F.aggregate(
-        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        F.transform(F.col("_w"), lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
     )
     mean_len = F.when(n_words > 0, sum_len.cast("double") / n_words).otherwise(F.lit(0.0))
-    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_hash = F.length(tt) - F.length(F.regexp_replace(tt, "#", ""))
     n_ell = (
-        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
-    ) / F.lit(3) + (F.length(t) - F.length(F.regexp_replace(t, "…", "")))
+        F.length(tt) - F.length(F.regexp_replace(tt, r"\.\.\.", ""))
+    ) / F.lit(3) + (F.length(tt) - F.length(F.regexp_replace(tt, "…", "")))
     symbol_ratio = F.when(
         n_words > 0, (n_hash + n_ell).cast("double") / n_words
     ).otherwise(F.lit(0.0))
-    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != F.lit(""))
-    n_lines = F.size(lines)
+    n_lines = F.size("_l")
     bullet_frac = F.when(
         n_lines > 0,
-        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•‣]"))).cast(
+        F.size(F.filter(F.col("_l"), lambda l: F.ltrim(l).rlike("^[-*•‣]"))).cast(
             "double"
         )
         / n_lines,
@@ -449,39 +463,49 @@ def gopher_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     ell_frac = F.when(
         n_lines > 0,
         F.size(
-            F.filter(lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$"))
+            F.filter(F.col("_l"), lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$"))
         ).cast("double")
         / n_lines,
     ).otherwise(F.lit(0.0))
     alpha_frac = F.when(
         n_words > 0,
-        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double") / n_words,
+        F.size(F.filter(F.col("_w"), lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n_words,
     ).otherwise(F.lit(0.0))
-    lower_words = F.transform(words, lambda w: F.lower(w))
     stop_hits = sum(
-        [F.array_contains(lower_words, s).cast("int") for s in GOPHER_STOPWORDS],
+        [F.array_contains(F.col("_lw"), s).cast("int") for s in GOPHER_STOPWORDS],
         F.lit(0),
     )
-    keep = (
-        (n_words >= 50)
-        & (n_words <= 100000)
-        & (mean_len >= 3.0)
-        & (mean_len <= 10.0)
-        & (symbol_ratio <= 0.1)
-        & (bullet_frac <= 0.9)
-        & (ell_frac <= 0.3)
-        & (alpha_frac >= 0.8)
-        & (stop_hits >= 2)
-    )
-    return df.select(
+    stats = staged.select(
         F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        F.round(mean_len, 6).alias("mean_word_len"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
-        F.round(bullet_frac, 6).alias("bullet_line_frac"),
-        F.round(ell_frac, 6).alias("ellipsis_line_frac"),
-        F.round(alpha_frac, 6).alias("alpha_word_frac"),
-        stop_hits.cast("long").alias("stopword_hits"),
+        n_words.cast("long").alias("_nw"),
+        mean_len.alias("_ml"),
+        symbol_ratio.alias("_sr"),
+        bullet_frac.alias("_bf"),
+        ell_frac.alias("_ef"),
+        alpha_frac.alias("_af"),
+        stop_hits.cast("long").alias("_sh"),
+    )
+    keep = (
+        (F.col("_nw") >= 50)
+        & (F.col("_nw") <= 100000)
+        & (F.col("_ml") >= 3.0)
+        & (F.col("_ml") <= 10.0)
+        & (F.col("_sr") <= 0.1)
+        & (F.col("_bf") <= 0.9)
+        & (F.col("_ef") <= 0.3)
+        & (F.col("_af") >= 0.8)
+        & (F.col("_sh") >= 2)
+    )
+    return stats.select(
+        F.col(id_col),
+        F.col("_nw").alias("n_words"),
+        F.round("_ml", 6).alias("mean_word_len"),
+        F.round("_sr", 6).alias("symbol_ratio"),
+        F.round("_bf", 6).alias("bullet_line_frac"),
+        F.round("_ef", 6).alias("ellipsis_line_frac"),
+        F.round("_af", 6).alias("alpha_word_frac"),
+        F.col("_sh").alias("stopword_hits"),
         keep.cast("int").alias("gopher_keep"),
     )
 
@@ -494,30 +518,35 @@ def c4_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     ipsum').  Line-level removals (non-terminal lines, javascript
     lines) are reported as fractions so the caller can apply them with
     one transform; the cross-document line dedup of the same paper is
-    ``curation.line_dedup``.  Scan-local native expressions only."""
+    ``curation.line_dedup``.  Scan-local native expressions only;
+    the line array is materialized once (round 14 — the three
+    line-filter HOFs run interpreted, so each inlined its own
+    split+trim pass in the flat form)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != F.lit(""))
-    n_lines = F.size(lines)
+    staged = df.select(F.col(id_col), t.alias("_t"), lines.alias("_l"))
+    tt = F.col("_t")
+    n_lines = F.size("_l")
     term_frac = F.when(
         n_lines > 0,
         F.size(
-            F.filter(lines, lambda l: F.rtrim(l).rlike("[.!?\"”]$"))
+            F.filter(F.col("_l"), lambda l: F.rtrim(l).rlike("[.!?\"”]$"))
         ).cast("double")
         / n_lines,
     ).otherwise(F.lit(0.0))
-    low = F.lower(t)
-    n_sent = F.length(F.regexp_replace(t, "[^.!?]", ""))
+    low = F.lower(tt)
+    n_sent = F.length(F.regexp_replace(tt, "[^.!?]", ""))
     has_lorem = low.contains("lorem ipsum").cast("int")
-    has_brace = t.contains("{").cast("int")
+    has_brace = tt.contains("{").cast("int")
     js_frac = F.when(
         n_lines > 0,
         F.size(
-            F.filter(lines, lambda l: F.lower(l).contains("javascript"))
+            F.filter(F.col("_l"), lambda l: F.lower(l).contains("javascript"))
         ).cast("double")
         / n_lines,
     ).otherwise(F.lit(0.0))
     keep = (n_sent >= 3) & (has_lorem == 0) & (has_brace == 0)
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n_lines.cast("long").alias("n_lines"),
         F.round(term_frac, 6).alias("terminal_line_frac"),
