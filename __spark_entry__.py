@@ -179,6 +179,84 @@ def _replay_shuffle(spark: SparkSession, n: int | None = None):
             spark.conf.unset(prov_key)
 
 
+def _staged_interval_source(
+    spark: SparkSession,
+    ev: DataFrame,
+    root: str,
+    n_buckets: int,
+    sentinel_offsets_ns: tuple[int, ...] = (),
+) -> str:
+    """Stage the time-ordered replay source for the stream-stream join
+    gates in TWO Spark jobs instead of ``n_buckets + len(sentinels)``
+    sequential ones (optimization r14, guide §2.4/§1):
+
+    - the n time-range buckets are written by ONE
+      ``repartitionByRange(n, "_b")`` job — range partition index ==
+      bucket index == output ``part-0000k`` index, so ascending part
+      order IS event-time order;
+    - each far-future sentinel pair (ids = −1, one click + one
+      purchase) is built JVM-side from ``spark.range(1)`` + explode.
+      The previous ``spark.createDataFrame([...]).coalesce(1)`` idiom
+      was pathological: the 2-row Python list parallelizes into 32
+      slices and ``coalesce(1)`` funnels all of them through ONE task
+      that cycles 32 Python workers sequentially — measured 4-5.5 s
+      PER SENTINEL vs 0.15-0.25 s for the JVM-built equivalent;
+    - the modification-time order the FileStreamSource sorts by
+      (previously implied by sequential write completion) is imposed
+      EXPLICITLY with ``os.utime`` at 2 s spacing — buckets first, then
+      sentinels in offset order.  Same file set, same per-trigger
+      arrival order, same landed table, so the oracle hash is
+      unchanged.
+    """
+    import os
+    import time as _time
+
+    src_dir = os.path.join(root, "src")
+    bounds = ev.agg(F.min("ts").alias("_mn"), F.max("ts").alias("_mx")).collect()[0]
+    lo, hi = int(bounds._mn), int(bounds._mx)
+    span = max(1, hi - lo + 1)
+    (
+        ev.withColumn(
+            "_b",
+            ((F.col("ts") - F.lit(lo)) * n_buckets / F.lit(span)).cast("int"),
+        )
+        .repartitionByRange(n_buckets, "_b")
+        .drop("_b")
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    files = sorted(f for f in os.listdir(src_dir) if f.startswith("part-"))
+    base = _time.time()
+    for i, f in enumerate(files):
+        t = base + 2.0 * i
+        os.utime(os.path.join(src_dir, f), (t, t))
+    for j, off in enumerate(sentinel_offsets_ns):
+        sent_dir = os.path.join(root, f"sent_{j}")
+        (
+            # numPartitions=1: exactly ONE part file holding both rows
+            # (default-parallelism range scatters the row into one of 32
+            # parts and the rename below must not pick an empty one)
+            spark.range(0, 1, 1, 1)
+            .select(
+                F.lit(-1).cast("long").alias("event_id"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.explode(F.array(F.lit("click"), F.lit("purchase"))).alias(
+                    "event_type"
+                ),
+                F.lit(0.0).cast("double").alias("value"),
+                F.lit(hi + off).cast("long").alias("ts"),
+            )
+            .write.mode("overwrite")
+            .parquet(sent_dir)
+        )
+        part = next(f for f in sorted(os.listdir(sent_dir)) if f.startswith("part-"))
+        dst = os.path.join(src_dir, f"sentinel-{j}-{part}")
+        os.rename(os.path.join(sent_dir, part), dst)
+        t = base + 2.0 * (len(files) + j)
+        os.utime(dst, (t, t))
+    return src_dir
+
+
 # ---------------------------------------------------------------------------
 # A1/A2/A3 — keyed last-value state (state.py:165-225, 228-490)
 # ---------------------------------------------------------------------------
@@ -8999,31 +9077,14 @@ def q_join_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's `// 1000`)."""
     import os
     import shutil
-    import tempfile
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "ts"
     ).filter(F.col("event_type").isin("click", "purchase"))
-    # the narrow click/purchase slice is consumed 7x below (bounds +
-    # six sequential bucket writes) — one bounded materialization
-    # beats seven parquet scans
-    ev = ev.localCheckpoint(eager=True)
     root = _gate_tmpdir(prefix=f"csp_gw_jstream_{os.getpid()}_")
-    src_dir = os.path.join(root, "src")
-    # time-range buckets written SEQUENTIALLY so file modification
-    # order == event-time order and the watermark only moves forward
-    bounds = ev.agg(
-        F.min("ts").alias("_mn"), F.max("ts").alias("_mx")
-    ).collect()[0]
-    span = max(1, int(bounds._mx) - int(bounds._mn) + 1)
-    bucketed = ev.withColumn(
-        "_b",
-        ((F.col("ts") - F.lit(int(bounds._mn))) * 6 / F.lit(span)).cast("int"),
-    )
-    for k in range(6):
-        bucketed.filter(F.col("_b") == k).drop("_b").coalesce(1).write.mode(
-            "append"
-        ).parquet(src_dir)
+    # time-range buckets with modification-time order == event-time
+    # order (one staging job; see _staged_interval_source)
+    src_dir = _staged_interval_source(spark, ev, root, n_buckets=6)
     schema = ev.schema
 
     def side(ty: str, ts_name: str):
@@ -9127,34 +9188,17 @@ def q_outer_join_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "ts"
     ).filter(F.col("event_type").isin("click", "purchase"))
-    ev = ev.localCheckpoint(eager=True)
     root = _gate_tmpdir(prefix=f"csp_gw_ojstream_{os.getpid()}_")
-    src_dir = os.path.join(root, "src")
-    bounds = ev.agg(
-        F.min("ts").alias("_mn"), F.max("ts").alias("_mx")
-    ).collect()[0]
-    span = max(1, int(bounds._mx) - int(bounds._mn) + 1)
-    bucketed = ev.withColumn(
-        "_b",
-        ((F.col("ts") - F.lit(int(bounds._mn))) * 6 / F.lit(span)).cast("int"),
-    )
-    for k in range(6):
-        bucketed.filter(F.col("_b") == k).drop("_b").coalesce(1).write.mode(
-            "append"
-        ).parquet(src_dir)
     # sentinel file LAST in modification order: one click + one
     # purchase 4 h past the real maximum, so after the final trigger
     # both sides' watermarks (2 h delay) sit 2 h past max_ts — beyond
     # every real click's window end (max_ts + 1 h) — and the no-data
-    # flush batch emits every remaining unmatched click
-    sentinel_ts = int(bounds._mx) + 4 * 3600 * 1_000_000_000
-    spark.createDataFrame(
-        [
-            (-1, -1, "click", 0.0, sentinel_ts),
-            (-1, -1, "purchase", 0.0, sentinel_ts),
-        ],
-        ev.schema,
-    ).coalesce(1).write.mode("append").parquet(src_dir)
+    # flush batch emits every remaining unmatched click.  Staged in
+    # two jobs (see _staged_interval_source).
+    src_dir = _staged_interval_source(
+        spark, ev, root, n_buckets=6,
+        sentinel_offsets_ns=(4 * 3600 * 1_000_000_000,),
+    )
     schema = ev.schema
 
     def side(ty: str, ts_name: str):
@@ -9253,26 +9297,12 @@ def q_join_window_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "ts"
     ).filter(F.col("event_type").isin("click", "purchase"))
-    ev = ev.localCheckpoint(eager=True)
     root = _gate_tmpdir(prefix=f"csp_gw_jwstream_{os.getpid()}_")
-    src_dir = os.path.join(root, "src")
-    bounds = ev.agg(
-        F.min("ts").alias("_mn"), F.max("ts").alias("_mx")
-    ).collect()[0]
     # 3 time-ordered buckets (not 6): per trigger this replay pays
     # FIVE state-store commits per partition (4 join stores + 1 agg
     # store), so batches are the dominant cost; three real triggers +
     # three sentinel batches exercise the same multi-batch watermark
-    # progression the gate exists to prove
-    span = max(1, int(bounds._mx) - int(bounds._mn) + 1)
-    bucketed = ev.withColumn(
-        "_b",
-        ((F.col("ts") - F.lit(int(bounds._mn))) * 3 / F.lit(span)).cast("int"),
-    )
-    for k in range(3):
-        bucketed.filter(F.col("_b") == k).drop("_b").coalesce(1).write.mode(
-            "append"
-        ).parquet(src_dir)
+    # progression the gate exists to prove.
     # THREE sentinel files, 3/6/9 days past max: the last real
     # click's day-window end can sit up to 24 h after max_ts, so the
     # watermark must clear it (sentinel − 2 h delay ≥ window end).
@@ -9288,15 +9318,12 @@ def q_join_window_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sentinel₃'s batch finally EXECUTES with watermark ≥ sentinel₁
     # − 2 h > every real window end.  Sentinel self-pairs land in
     # their own far-future windows and are filtered post-sink.
-    for days in (3, 6, 9):
-        sentinel_ts = int(bounds._mx) + days * 24 * 3600 * 1_000_000_000
-        spark.createDataFrame(
-            [
-                (-1, -1, "click", 0.0, sentinel_ts),
-                (-1, -1, "purchase", 0.0, sentinel_ts),
-            ],
-            ev.schema,
-        ).coalesce(1).write.mode("append").parquet(src_dir)
+    # Staged in two jobs (see _staged_interval_source).
+    _DAY_NS = 24 * 3600 * 1_000_000_000
+    src_dir = _staged_interval_source(
+        spark, ev, root, n_buckets=3,
+        sentinel_offsets_ns=(3 * _DAY_NS, 6 * _DAY_NS, 9 * _DAY_NS),
+    )
     schema = ev.schema
 
     def side(ty: str, ts_name: str):
