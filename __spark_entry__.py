@@ -83,6 +83,44 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan parallelization for per-row-HEAVY compute
+    (regex tokenize / per-position md5 / shingle+minhash expansion /
+    vector math that runs IN the scan stage, before any exchange).
+
+    The local testdata ships each table as ONE parquet file with ONE
+    row group, so the scan is a single task and all scan-stage compute
+    runs on 1 of the session's cores no matter what
+    spark.sql.files.maxPartitionBytes says — a parquet row group is
+    the split floor (measured: cdc_chunks' boundary pass 2.7 s on 1
+    task → 0.8 s spread at sf0.1/local[32]).  A keyless round-robin
+    repartition to the session default parallelism spreads the rows
+    once, for the price of shuffling the raw input bytes (trivial next
+    to the compute it parallelizes).  SCALE-ADAPTIVE: when the scan
+    already carries at least half the session parallelism — the
+    production/100 TB case of many files × many row groups — this
+    returns the frame UNCHANGED, so no exchange is added where the
+    layout is already right.  (Guide §2.5 input skew: "one huge
+    unsplittable file … repartition immediately after the read";
+    §1.2: fix the distributed shape before per-task work.)  Column
+    pruning and filter pushdown pass through a round-robin
+    Repartition node, so pruned scans stay pruned."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    cur = df.rdd.getNumPartitions()
+    if 2 * cur >= p:
+        return df
+    return df.repartition(p)
+
+
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` + ``_spread``, memoized per (session, sf_dir, table) so
+    the partition-count probe runs once per bench process."""
+    return _shared(
+        spark, sf_dir, f"spread:{name}", lambda: _spread(_t(spark, sf_dir, name))
+    )
+
+
 # -- shared bounded intermediates ------------------------------------------
 # Gate queries that share an expensive upstream stage (the survival
 # step table, winnowing fingerprints, LR training) memoize it per
@@ -119,6 +157,42 @@ def _survival_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         return survival_steps(base, "dur", "cens").localCheckpoint(eager=True)
 
     return _shared(spark, sf_dir, "survival_steps", build)
+
+
+def _ra_price_cells(spark: SparkSession, sf_dir: str):
+    """ONE checkpointed distinct-price collapse — (decimal(15,2)
+    price, R-count, A-count) over returned/acknowledged lineitem rows
+    — shared by the whole two-cohort R/A-price family (ks_test,
+    mann_whitney, cvm_test, brunner_munzel, ansari_bradley,
+    wasserstein, energy_distance, yuen_trimmed_t, conover), whose
+    operators build the IDENTICAL frame when not injected (same
+    filter; the decimal(15,2) cast is exact for 2-dp prices and
+    round-trips to the same double, so grouping keys and downstream
+    values are bit-identical; r14).  Returns (cells, n_cells, n_a,
+    n_b) — the totals come off the checkpointed blocks in one tiny
+    aggregate, collected once per process."""
+
+    def build():
+        li = _t(spark, sf_dir, "lineitem")
+        g = F.col("l_returnflag")
+        v = F.col("l_extendedprice").cast("decimal(15,2)")
+        cells = (
+            li.filter(g.isin(["R", "A"]) & v.isNotNull())
+            .groupBy(v.alias("_v"))
+            .agg(
+                F.sum(F.when(g == "R", 1).otherwise(0)).cast("long").alias("_ca"),
+                F.sum(F.when(g == "A", 1).otherwise(0)).cast("long").alias("_cb"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        head = cells.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_ca").cast("long").alias("_na"),
+            F.sum("_cb").cast("long").alias("_nb"),
+        ).collect()[0]
+        return cells, int(head["_n"]), int(head["_na"]), int(head["_nb"])
+
+    return _shared(spark, sf_dir, "ra_price_cells15", build)
 
 
 from contextlib import contextmanager
@@ -714,7 +788,7 @@ FROM events WHERE event_id = 1234
 def q_explode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.flatten import explode_lists
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _ts(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out = explode_lists(emb, with_position=True)
     return out.select(
         "vec_id",
@@ -737,7 +811,7 @@ FROM embeddings WHERE vec_id < 10
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.text import text_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = text_stats(docs)
     return out.select(
         "doc_id",
@@ -815,7 +889,7 @@ FROM stats
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import exact_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return exact_dedup(docs).orderBy("doc_id")
 
 
@@ -836,7 +910,7 @@ _SHINGLE_K = 3
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import minhash_signatures
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     sig = minhash_signatures(docs, num_hashes=_MH_SEEDS, k=_SHINGLE_K, oracle_safe=True)
     return sig.select("doc_id", F.posexplode("sig").alias("seed", "minhash"))
 
@@ -895,7 +969,7 @@ FROM sh, seeds
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     small = docs.filter(F.col("doc_id") < 20)
     pairs = (
         small.select(F.col("doc_id").alias("id_a"))
@@ -929,7 +1003,7 @@ _MH_PAIR_ROWS = _MH_PAIR_HASHES // _MH_PAIR_BANDS
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs,
         num_hashes=_MH_PAIR_HASHES,
@@ -968,7 +1042,7 @@ _SIMHASH_BITS = 60  # portable md5-based hash is 60 bits wide
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import simhash
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return simhash(docs, bits=_SIMHASH_BITS, oracle_safe=True).orderBy("doc_id")
 
 
@@ -1000,7 +1074,7 @@ ORACLE_DEDUP_SIMHASH = _sql_simhash_oracle(_SIMHASH_BITS)
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.similarity import cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     out = cosine_topk(emb.filter(F.col("vec_id") != 0), qv, k=10)
     return out.select("vec_id", F.round("cos", 6).alias("cos"))
@@ -1031,7 +1105,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from csp_gateway_spark.operators.dedup import embedding_neardup_blocked
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     # exact row count from the parquet footer — metadata only, no job
     n = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
     out = embedding_neardup_blocked(emb, threshold=0.4, n_rows=n)
@@ -1070,7 +1144,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import embedding_neardup_pairs
     from csp_gateway_spark.operators.similarity import lsh_bucket
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     b = lsh_bucket(emb, dim=64, bits=_NEARDUP_LSH_BITS, seed=7)
     out = embedding_neardup_pairs(b, threshold=0.4, bucket_col="bucket")
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
@@ -1094,7 +1168,7 @@ WHERE list_cosine_similarity(a.e, b2.e) >= 0.4
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.similarity import lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     out = lsh_topk(emb.filter(F.col("vec_id") != 0), qv, dim=64, k=10, bits=8)
     return out.select("vec_id", F.round("cos", 6).alias("cos"))
@@ -1398,7 +1472,7 @@ GROUP BY 1 ORDER BY 1
 def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.text import clean_text
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return docs.select("doc_id", F.md5(clean_text(F.col("text"))).alias("clean_md5"))
 
 
@@ -1427,7 +1501,7 @@ SELECT doc_id, md5(regexp_replace(c, '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g')) AS 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import vocab_topk
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return vocab_topk(docs, k=50)
 
 
@@ -1445,7 +1519,7 @@ SELECT token, COUNT(*) AS n FROM (
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import tf_idf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = tf_idf(docs)
     return out.filter(F.col("doc_id") < 20).select(
         "doc_id", "token", "tf", "df", F.round("tfidf", 6).alias("tfidf")
@@ -1473,7 +1547,7 @@ WHERE doc_id < 20
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     # deterministic chain edges: i — i+1 within each decade of doc ids
     # (the synthetic corpus has no natural near-dups; this exercises the
     # iterative min-label propagation against a closed-form oracle)
@@ -1497,7 +1571,7 @@ FROM documents WHERE doc_id < 50 ORDER BY node
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import winnow_fingerprints
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs = _ts(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return winnow_fingerprints(docs, k=4, window=4)
 
 
@@ -1528,7 +1602,7 @@ def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the containment/plagiarism signal set-Jaccard underweights."""
     from csp_gateway_spark.operators.dedup import fingerprint_overlap_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return fingerprint_overlap_pairs(docs, min_shared=2).orderBy("id_a", "id_b")
 
 
@@ -1660,7 +1734,7 @@ FROM events GROUP BY event_type
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.text import quality_filter
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return quality_filter(docs).select("doc_id", "keep", "reason")
 
 
@@ -1700,7 +1774,7 @@ _IVF_NPROBE = 8
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.similarity import ivf_topk, sample_centroids
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     centroids = sample_centroids(emb, _IVF_CELLS, oracle_safe=True)
     out = ivf_topk(emb.filter(F.col("vec_id") != 0), centroids, qv, k=10, nprobe=_IVF_NPROBE)
@@ -1751,7 +1825,7 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage k-gram decontamination misses."""
     from csp_gateway_spark.operators.similarity import semantic_decontaminate
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     out = semantic_decontaminate(
         emb.filter(F.col("vec_id") % 41 != 0),
         emb.filter(F.col("vec_id") % 41 == 0),
@@ -1788,7 +1862,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector is >= threshold (greedy keep-lowest-id)."""
     from csp_gateway_spark.operators.similarity import semantic_dedup
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     out = semantic_dedup(
         emb, n_clusters=_SEMDEDUP_CELLS, threshold=_SEMDEDUP_THR, oracle_safe=True
     )
@@ -1833,7 +1907,7 @@ _CHUNK_OVERLAP = 8
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import chunk_documents
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = chunk_documents(docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP)
     return out.select("doc_id", "chunk_id", "n_tokens", "chunk_text").orderBy(
         "doc_id", "chunk_id"
@@ -1874,7 +1948,7 @@ def q_tf_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     → one (doc, bucket) count.  Sparse (id, bucket, tf) rows."""
     from csp_gateway_spark.operators.corpus import tf_hash_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = tf_hash_features(docs, dim=_TFHASH_DIM)
     return out.select("doc_id", "bucket", "tf").orderBy("doc_id", "bucket")
 
@@ -1905,7 +1979,7 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference can never flip a keep decision."""
     from csp_gateway_spark.operators.curation import mix_fractions, temperature_mix
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     fr = mix_fractions(docs, "lang", alpha=0.5).withColumn("frac", F.round("frac", 12))
     out = temperature_mix(docs, "lang", id_col="doc_id", fractions=fr)
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
@@ -1938,7 +2012,7 @@ def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant and engine-reproducible."""
     from csp_gateway_spark.operators.similarity import pool_embeddings
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     out = pool_embeddings(emb, group_col="label", mode="mean", deterministic=True)
     return (
         out.select("label", "n_vectors", F.posexplode("pooled").alias("idx", "v"))
@@ -1973,7 +2047,7 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     share the (n-1)q interpolation convention so values hash-match."""
     from csp_gateway_spark.operators.text import length_quantiles
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return length_quantiles(docs).orderBy("source")
 
 
@@ -2039,7 +2113,7 @@ def _dsir_weight_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         from csp_gateway_spark.operators.curation import dsir_weights
 
-        docs = _t(spark, sf_dir, "documents")
+        docs = _ts(spark, sf_dir, "documents")
         target = docs.filter(F.col("source") == _DSIR_TARGET_SRC)
         return dsir_weights(docs, target, dim=_DSIR_DIM).localCheckpoint(
             eager=True
@@ -2073,7 +2147,7 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort)."""
     from csp_gateway_spark.operators.curation import dsir_sample
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     target = docs.filter(F.col("source") == _DSIR_TARGET_SRC)
     out = dsir_sample(
         docs, target, n_keep=_DSIR_KEEP, dim=_DSIR_DIM, seed=17,
@@ -2107,7 +2181,7 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     step before ANN/k-means.  Flattened to scalar rows for the gate."""
     from csp_gateway_spark.operators.similarity import embedding_standardize
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     out = embedding_standardize(emb, scale=_STD_SCALE)
     return out.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("pos", "_v")
@@ -2143,7 +2217,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered."""
     from csp_gateway_spark.operators.similarity import hard_negatives
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == 0).select("embedding", "label").collect()[0]
     out = hard_negatives(emb, row["embedding"], row["label"], k=10)
     return out.select("vec_id", F.round("cos", 6).alias("cos")).orderBy("vec_id")
@@ -2167,7 +2241,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-trained vocabulary — exact integer count ratios."""
     from csp_gateway_spark.operators.corpus import build_vocab, vocab_coverage
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     vocab = build_vocab(docs, size=_COV_VOCAB)
     out = vocab_coverage(docs, vocab)
     return out.select(
@@ -2209,7 +2283,7 @@ def q_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, no shuffle."""
     from csp_gateway_spark.operators.curation import blocklist_filter
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = blocklist_filter(docs, _BLOCK_TERMS, mode="flag")
     return out.select("doc_id", "blocked").orderBy("doc_id")
 
@@ -2231,7 +2305,7 @@ def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-by."""
     from csp_gateway_spark.operators.curation import deterministic_shuffle
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = deterministic_shuffle(docs, n_shards=_SHUF_SHARDS, seed=31)
     return out.select("doc_id", "shard", "pos").orderBy("doc_id")
 
@@ -2253,7 +2327,7 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batches, hash-matched against DuckDB's nfc_normalize."""
     from csp_gateway_spark.operators.text import unicode_normalize
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = unicode_normalize(docs, form="NFC")
     return out.select(
         "doc_id", F.md5(F.col("text")).alias("nfc_digest")
@@ -2271,7 +2345,7 @@ def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences — all-native regexp, single scan."""
     from csp_gateway_spark.operators.text import encoding_quality
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = encoding_quality(docs)
     return out.select(
         "doc_id",
@@ -2309,7 +2383,7 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection."""
     from csp_gateway_spark.operators.dedup import cdc_chunks
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = cdc_chunks(docs, window=_CDC_W, divisor=_CDC_D)
     return out.select("doc_id", "chunk_idx", "start", "length", "chash").orderBy(
         "doc_id", "chunk_idx"
@@ -2354,7 +2428,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     without rescanning the corpus (the daily-ingest shape)."""
     from csp_gateway_spark.operators.dedup import dedup_index, dedup_probe
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     existing = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     idx = dedup_index(existing, _IDX_HASHES, _IDX_BANDS, oracle_safe=True)
@@ -2387,7 +2461,7 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the (small) eval side joins it."""
     from csp_gateway_spark.operators.curation import contamination_report
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     out = contamination_report(corpus, eval_set, k=5)
@@ -2432,7 +2506,7 @@ def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds, pure projection plan (explode only)."""
     from csp_gateway_spark.operators.curation import epoch_upsample
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = epoch_upsample(docs, _EPOCHS, seed=23)
     return out.select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
 
@@ -2468,7 +2542,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer should keep whole.  Two count shuffles + TakeOrdered."""
     from csp_gateway_spark.operators.corpus import pmi_collocations
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = pmi_collocations(docs, min_count=_PMI_MIN, topk=_PMI_TOPK)
     return out.select(
         "w1", "w2", "c12", F.round("pmi", 6).alias("pmi")
@@ -2511,7 +2585,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort).  A corpus-health statistic: natural text ≈ 1."""
     from csp_gateway_spark.operators.corpus import zipf_fit
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = zipf_fit(docs, topk=_ZIPF_TOPK)
     return out.select(
         "n_fit",
@@ -2564,7 +2638,7 @@ def _snp_edges(spark: SparkSession, sf_dir: str) -> "DataFrame":
     def build():
         from csp_gateway_spark.operators.dedup import shared_ngram_pairs
 
-        docs = _t(spark, sf_dir, "documents")
+        docs = _ts(spark, sf_dir, "documents")
         return shared_ngram_pairs(docs, k=_SNP_K).localCheckpoint(eager=True)
 
     return _shared(spark, sf_dir, "snp_edges", build)
@@ -2602,7 +2676,7 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard cutoff — one verify pass, broadcast threshold cross."""
     from csp_gateway_spark.operators.dedup import dedup_threshold_sweep
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return dedup_threshold_sweep(
         docs, thresholds=(0.5, 0.7, 0.8, 0.9),
         blocking_pairs=_snp_edges(spark, sf_dir),
@@ -2644,7 +2718,7 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, never the corpus square)."""
     from csp_gateway_spark.operators.dedup import edit_verify, shared_ngram_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     pairs = _snp_edges(spark, sf_dir)
     out = edit_verify(pairs, docs, threshold=1.0)
     return out.select(
@@ -2674,7 +2748,7 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import pagerank
     from csp_gateway_spark.operators.dedup import shared_ngram_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     edges = _snp_edges(spark, sf_dir)
     out = pagerank(
         edges, iters=_PR_ITERS, damping=_PR_DAMP, fold_buckets=_PR_FOLD_BUCKETS
@@ -2737,7 +2811,7 @@ _LRQ_LABEL_CTE = (
 def _lrq_parts(spark: SparkSession, sf_dir: str):
     from csp_gateway_spark.operators.corpus import tf_hash_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     # the hashed-TF frame feeds training rounds AND scoring across two
     # gate queries — one bounded checkpoint (≤ docs·min(dim, tokens)
     # rows) instead of re-running tokenize+hash per consumer
@@ -2832,7 +2906,7 @@ def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     one reduces to ≤4k cells per group then walks them."""
     from csp_gateway_spark.operators.sketches import hdr_cells, hdr_quantiles
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     vals = docs.select("source", F.length("text").alias("v"))
     cells = hdr_cells(vals, "v", ["source"])
     out = hdr_quantiles(cells, (0.5, 0.9, 0.99), ["source"])
@@ -2879,7 +2953,7 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     bootstrap; codes flatten to a string for the gate (array rule)."""
     from csp_gateway_spark.operators.similarity import pq_encode, pq_train
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     cb = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=0)
     out = pq_encode(emb, cb)
     return out.select(
@@ -2903,7 +2977,7 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of dim·4, which is the whole point at 100 TB."""
     from csp_gateway_spark.operators.similarity import pq_encode, pq_search, pq_train
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     cb = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=0)
     codes = pq_encode(emb.filter(F.col("vec_id") != 0), cb)
@@ -2943,7 +3017,7 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge."""
     from csp_gateway_spark.operators.dedup import repeated_ngram_spans
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return repeated_ngram_spans(docs, k=_SPAN_K).orderBy("doc_id", "span_start")
 
 
@@ -2987,7 +3061,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds unrolled in SQL (argmax + greedy rewrite per round)."""
     from csp_gateway_spark.operators.corpus import bpe_train
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return bpe_train(docs, n_merges=_BPE_MERGES).orderBy("merge_rank")
 
 
@@ -3012,7 +3086,7 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``list_sum(list(... ORDER BY ...))``."""
     from csp_gateway_spark.operators.similarity import embedding_pca
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     out = embedding_pca(emb, iters=2, scale=_PCA_SCALE)
     return out.select(
         "idx", F.round("component", 6).alias("component")
@@ -3067,7 +3141,7 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     query."""
     from csp_gateway_spark.operators.corpus import build_vocab, encode_documents
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     vocab = build_vocab(docs, size=_VOCAB_SIZE)
     enc = encode_documents(docs, vocab)
     return enc.select(
@@ -3102,7 +3176,7 @@ GROUP BY doc_id ORDER BY doc_id
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import lm_score
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return lm_score(docs).select(
         "doc_id", F.round("avg_logp", 6).alias("avg_logp"), F.round("ppl", 6).alias("ppl")
     ).orderBy("doc_id")
@@ -3138,7 +3212,7 @@ ORDER BY d.doc_id
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.text import char_entropy
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     # round(6): the sorted fold makes the SUM order-identical on both
     # engines, but log2 itself may differ in the last ulp between libm
     # implementations — rounding absorbs that
@@ -3177,7 +3251,7 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative algorithm is hash-checked, not rows-only."""
     from csp_gateway_spark.operators.similarity import kmeans_refine, sample_centroids
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     init = sample_centroids(emb, _KM_K, oracle_safe=True)
     final = kmeans_refine(emb, init, iters=_KM_ITERS)
     return (
@@ -3327,7 +3401,7 @@ FROM orders WHERE EXISTS (
 def q_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import dedup_keep_representatives
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     # deterministic chain pairs (as in dedup_components): every decade of
     # doc ids < 50 is one duplicate cluster; survivors = decade heads +
     # all untouched docs — a closed-form oracle for the REAL pipeline
@@ -3394,7 +3468,7 @@ ORDER BY event_id
 # ---------------------------------------------------------------------------
 
 def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = _ts(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     l2 = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     return emb.select(
@@ -3456,7 +3530,7 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import token_rows
     from csp_gateway_spark.operators.sketches import cms_topk
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     rows = token_rows(docs).select("token")
     return cms_topk(rows, "token", k=25).select(
         "token", F.col("cms_count").cast("long").alias("cms_count")
@@ -3964,7 +4038,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     are all JVM-native over the binary column."""
     from csp_gateway_spark.operators.multimodal import with_content_meta
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("content")
     )
     meta = with_content_meta(docs, digest="sha256")
@@ -4005,7 +4079,7 @@ FROM meta GROUP BY size_bucket ORDER BY size_bucket
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.similarity import quantize_embeddings
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    emb = _ts(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     q = quantize_embeddings(emb)
     return q.select(
         "vec_id", "scale", F.posexplode("qvec").alias("idx", "q")
@@ -4040,7 +4114,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the semi-join so the shuffle moves fixed-width keys."""
     from csp_gateway_spark.operators.curation import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     out = decontaminate(corpus, eval_set, k=_DECON_K)
@@ -4074,7 +4148,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     of deterministic (oracle-reproduced) false positives."""
     from csp_gateway_spark.operators.curation import bloom_decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     out = bloom_decontaminate(
@@ -4120,7 +4194,7 @@ _SAMPLE_SEED = 17
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.curation import stratified_sample
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = stratified_sample(
         docs, _SAMPLE_FRACTIONS, strata_col="source", seed=_SAMPLE_SEED,
         default_fraction=_SAMPLE_DEFAULT,
@@ -4146,7 +4220,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten to a newline on both engines first)."""
     from csp_gateway_spark.operators.curation import dedup_lines
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents").select(
         "doc_id", F.replace(F.col("text"), F.lit(" value "), F.lit("\n")).alias("text")
     )
     out = dedup_lines(docs)
@@ -4188,7 +4262,7 @@ _PACK_BUDGET = 2048
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.curation import train_split
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = train_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=_SPLIT_SEED)
     return (
         out.groupBy("split")
@@ -4223,7 +4297,7 @@ SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs FROM s GROUP BY split ORDER BY 
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.curation import pack_sequences, pack_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     packed = pack_sequences(
         docs, budget_tokens=_PACK_BUDGET, shards=_PACK_SHARDS, seed=_PACK_SEED
     )
@@ -4252,7 +4326,7 @@ FROM s GROUP BY 1, 2 ORDER BY shard, bin
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.curation import repetition_stats
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents").select(
         "doc_id", F.replace(F.col("text"), F.lit(" value "), F.lit("\n")).alias("text")
     )
     return repetition_stats(docs).orderBy("doc_id")
@@ -4301,7 +4375,7 @@ ORDER BY dd.doc_id
 def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.multimodal import png_meta
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     w = (F.length("text") % 1024 + 1).cast("long")
     h = (F.col("doc_id") % 512 + 1).cast("long")
 
@@ -4339,7 +4413,7 @@ def q_multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads the marker stream correctly (incl. corrupt-input NULLs)."""
     from csp_gateway_spark.operators.multimodal import jpeg_meta
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     w = (F.length("text") % 2048 + 1).cast("long")
     h = (F.col("doc_id") % 1024 + 1).cast("long")
 
@@ -4491,7 +4565,7 @@ def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text", "source")
     root = _gate_tmpdir(prefix=f"csp_gw_dstream_{os.getpid()}_")
     src_dir = os.path.join(root, "src")
     docs.withColumn("_b", F.pmod(F.hash("doc_id"), F.lit(4))).repartition(
@@ -4630,7 +4704,7 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, all three double sums folded in key order (engine-exact)."""
     from csp_gateway_spark.operators.analytics import mutual_information
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = mutual_information(docs, "lang", "source")
     return out.select(
         "n",
@@ -4839,7 +4913,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-hash blocked, sizes joined on the doc key."""
     from csp_gateway_spark.operators.dedup import containment_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = containment_pairs(docs, k=_CONT_K, threshold=_CONT_THRESHOLD)
     return out.select(
         "id_a",
@@ -4883,7 +4957,7 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc per token makes cumulative-distinct a plain count."""
     from csp_gateway_spark.operators.corpus import vocab_growth
 
-    return vocab_growth(_t(spark, sf_dir, "documents"), checkpoints=4)
+    return vocab_growth(_ts(spark, sf_dir, "documents"), checkpoints=4)
 
 
 ORACLE_VOCAB_GROWTH = f"""
@@ -4916,7 +4990,7 @@ def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-8-token normalized prefix."""
     from csp_gateway_spark.operators.dedup import prefix_dup_groups
 
-    out = prefix_dup_groups(_t(spark, sf_dir, "documents"), k=_PREFIX_K)
+    out = prefix_dup_groups(_ts(spark, sf_dir, "documents"), k=_PREFIX_K)
     return out.select("prefix", "n_docs", "min_doc").orderBy("prefix")
 
 
@@ -4941,7 +5015,7 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.curation import boilerplate_ngrams
 
     out = boilerplate_ngrams(
-        _t(spark, sf_dir, "documents"), k=_BP_K, threshold=_BP_THRESHOLD
+        _ts(spark, sf_dir, "documents"), k=_BP_K, threshold=_BP_THRESHOLD
     )
     return out.select(
         "source",
@@ -5011,7 +5085,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold in term order, so the doubles are partitioning-invariant."""
     from csp_gateway_spark.operators.retrieval import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = bm25_topk(docs, _BM25_TERMS, k=20)
     return out.select(
         "doc_id",
@@ -5104,7 +5178,7 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     extract host + registered domain — pure scan-local projection."""
     from csp_gateway_spark.operators.web import canonical_url, registered_domain, url_host
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     u = _messy_url()
     return docs.select(
         "doc_id",
@@ -5130,7 +5204,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation keyed on the canonical URL."""
     from csp_gateway_spark.operators.web import url_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return url_dedup(docs.select("doc_id", _messy_url().alias("url")))
 
 
@@ -5153,7 +5227,7 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing; token-ordered fold for partitioning-invariant doubles."""
     from csp_gateway_spark.operators.corpus import source_drift
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = source_drift(docs, top_v=512)
     return out.select(
         "source",
@@ -5218,7 +5292,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     presence, combined keep.  Pure scan-local projection."""
     from csp_gateway_spark.operators.text import gopher_stats
 
-    return gopher_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return gopher_stats(_ts(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 ORACLE_GOPHER_QUALITY = r"""
@@ -5281,7 +5355,7 @@ def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags, combined doc keep.  Pure scan-local projection."""
     from csp_gateway_spark.operators.text import c4_stats
 
-    return c4_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return c4_stats(_ts(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 ORACLE_C4_QUALITY = r"""
@@ -5326,7 +5400,7 @@ def q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-doc sum is a position-ordered fold."""
     from csp_gateway_spark.operators.corpus import lm_score_backoff
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") == _BACKOFF_TRAIN_SRC)
     return (
         lm_score_backoff(docs, train)
@@ -5404,7 +5478,7 @@ def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the corpus, weights as a WHEN chain."""
     from csp_gateway_spark.operators.curation import budget_mix_plan
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = budget_mix_plan(docs, _BUDGET_WEIGHTS, _BUDGET_TOKENS)
     return out.select(
         "source",
@@ -5456,7 +5530,7 @@ def q_bag_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined aggregation on the sorted-token md5."""
     from csp_gateway_spark.operators.dedup import bag_dedup
 
-    return bag_dedup(_t(spark, sf_dir, "documents"))
+    return bag_dedup(_ts(spark, sf_dir, "documents"))
 
 
 ORACLE_BAG_DEDUP = f"""
@@ -5475,7 +5549,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     template/near-copy; also a memorization-risk signal)."""
     from csp_gateway_spark.operators.dedup import ngram_novelty
 
-    out = ngram_novelty(_t(spark, sf_dir, "documents"), k=_NOVELTY_K)
+    out = ngram_novelty(_ts(spark, sf_dir, "documents"), k=_NOVELTY_K)
     # no ORDER BY: the gate compare is order-insensitive and the final
     # global sort exchange was ~5% of the query's wall clock
     return out.select(
@@ -5529,7 +5603,7 @@ def q_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the padding-waste report a serving team tunes batch sizes with."""
     from csp_gateway_spark.operators.curation import pack_batches, padding_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = padding_stats(pack_batches(docs, batch_size=_BATCH_SIZE, n_shards=_BATCH_SHARDS))
     return out.orderBy("bucket", "shard", "batch_id")
 
@@ -5576,7 +5650,7 @@ def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask_pii regression gate."""
     from csp_gateway_spark.operators.text import pii_report
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     d = F.col("doc_id")
     spiked = docs.select(
         "source",
@@ -5720,7 +5794,7 @@ def q_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-hash; group-partitioned window, never corpus-global)."""
     from csp_gateway_spark.operators.curation import exemplars
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "source")
     return exemplars(docs, n=3).select("source", "rank", "doc_id").orderBy(
         "source", "rank"
     )
@@ -5911,8 +5985,8 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.retrieval import bm25_topk, rrf_fuse
     from csp_gateway_spark.operators.similarity import cosine_topk
 
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
+    docs = _ts(spark, sf_dir, "documents")
+    emb = _ts(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     lex = bm25_topk(docs, _BM25_TERMS, k=50).select("doc_id", "score")
     sem = cosine_topk(emb.filter(F.col("vec_id") != 0), qv, k=50).select(
@@ -6019,7 +6093,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     medians both engines."""
     from csp_gateway_spark.operators.analytics import mad_outliers
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return mad_outliers(docs, "n_chars", group_col="source").orderBy("source")
 
 
@@ -6242,7 +6316,7 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     detector — scan-local projection + one small groupBy."""
     from csp_gateway_spark.operators.text import lang_confusion
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return lang_confusion(docs).orderBy("lang", "lang_pred")
 
 
@@ -6280,7 +6354,7 @@ def q_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group vocabulary; group-frequency joins broadcast."""
     from csp_gateway_spark.operators.corpus import ctfidf_terms
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = ctfidf_terms(docs, topk=10)
     return out.select(
         "source", "rank", "token", "ctf", "gdf", F.round("score", 6).alias("score")
@@ -6322,7 +6396,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import triangle_count
     from csp_gateway_spark.operators.dedup import shared_ngram_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     edges = _snp_edges(spark, sf_dir)
     return triangle_count(edges, topk=10).orderBy(F.desc("n_tri"), F.asc("node"))
 
@@ -6415,7 +6489,7 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     added/removed/changed/unchanged counts from ONE full-outer join."""
     from csp_gateway_spark.operators.analytics import table_diff
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "n_chars")
     mutated = docs.filter(F.col("doc_id") % 7 != 0).select(
         "doc_id",
         F.when(F.col("doc_id") % 5 == 0, F.col("n_chars") + 1)
@@ -7472,7 +7546,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import kcore
     from csp_gateway_spark.operators.dedup import shared_ngram_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     edges = _snp_edges(spark, sf_dir)
     return kcore(edges, k=2, rounds=3).orderBy("node")
 
@@ -7562,7 +7636,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-row generalization of stratified sampling."""
     from csp_gateway_spark.operators.curation import weighted_sample
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
+    docs = _ts(spark, sf_dir, "documents").withColumn(
         "_w", F.col("n_chars").cast("double") / F.lit(2000.0)
     )
     out = weighted_sample(docs, "_w", base_fraction=0.8)
@@ -7665,7 +7739,7 @@ def q_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast boundary probe per coverage point."""
     from csp_gateway_spark.operators.corpus import token_coverage
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return token_coverage(docs, k=3, coverage=(0.5, 0.9, 0.99))
 
 
@@ -8061,7 +8135,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import label_propagation
     from csp_gateway_spark.operators.dedup import shared_ngram_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     edges = _snp_edges(spark, sf_dir)
     seeds = docs.select(F.col("doc_id").alias("node"), F.col("source").alias("label"))
     out = label_propagation(edges, seeds, iters=_LP_ITERS)
@@ -8256,7 +8330,7 @@ def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_centroids,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     cents = sample_centroids(emb, _CQ_CELLS, oracle_safe=True)
     out = cluster_quality(emb, cents)
     return out.select(
@@ -8481,7 +8555,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-coverage signal tokenizer evals track."""
     from csp_gateway_spark.operators.text import tokenizer_fertility
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = tokenizer_fertility(docs)
     return out.select(
         "lang",
@@ -8519,7 +8593,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-mixing diagnostic for redundant sources."""
     from csp_gateway_spark.operators.dedup import source_overlap
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = source_overlap(docs, k=_SO_K)
     return out.select(
         "src_a", "src_b", "shared", F.round("jaccard", 6).alias("jaccard")
@@ -8556,7 +8630,7 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.classifier import pr_curve
     from csp_gateway_spark.operators.text import stopword_ratio
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     scored = docs.select(
         stopword_ratio(F.col("text")).alias("score"),
         (F.col("lang") == "en").alias("label"),
@@ -8657,7 +8731,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import psi_drift
     from csp_gateway_spark.operators.text import norm_tokens
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     a = docs.filter(F.col("source") == "src1")
     b = docs.filter(F.col("source") == "src2")
     metric = F.size(norm_tokens(F.col("text")))
@@ -8796,7 +8870,7 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import connected_components
     from csp_gateway_spark.operators.dedup import shared_ngram_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     edges = _snp_edges(spark, sf_dir)
     cc = connected_components(edges)
     labeled = (
@@ -8889,7 +8963,7 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥0.5) — the (num_hashes, bands) tuning report."""
     from csp_gateway_spark.operators.dedup import lsh_recall_eval
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = lsh_recall_eval(
         docs,
         truth_threshold=0.5,
@@ -9646,7 +9720,11 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import ks_test
 
     li = _t(spark, sf_dir, "lineitem")
-    out = ks_test(li, "l_returnflag", "l_extendedprice", "R", "A")
+    cells, n_cells, _, _ = _ra_price_cells(spark, sf_dir)
+    out = ks_test(
+        li, "l_returnflag", "l_extendedprice", "R", "A",
+        cells=cells, cells_count=n_cells,
+    )
     return out.select(
         "n_a",
         "n_b",
@@ -9735,7 +9813,11 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import mann_whitney_u
 
     li = _t(spark, sf_dir, "lineitem")
-    out = mann_whitney_u(li, "l_returnflag", "l_extendedprice", "R", "A")
+    cells, n_cells, _, _ = _ra_price_cells(spark, sf_dir)
+    out = mann_whitney_u(
+        li, "l_returnflag", "l_extendedprice", "R", "A",
+        cells=cells, cells_count=n_cells,
+    )
     return out.select(
         "n_a",
         "n_b",
@@ -10949,7 +11031,7 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     U), the evaluation gate a quality-filter model ships through."""
     from csp_gateway_spark.operators.analytics import roc_auc
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = roc_auc(
         docs.select(
             F.col("n_chars").alias("score"),
@@ -10994,7 +11076,7 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import cohen_kappa
     from csp_gateway_spark.operators.text import tokens
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     # empty-filtered count — matches len(_SQL_TOKS) exactly (an
     # empty/whitespace-only doc is 0 tokens, not 1), same as
     # readability(); keeps the bucket edges engine-identical
@@ -11053,7 +11135,7 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement for labeling-pipeline QA."""
     from csp_gateway_spark.operators.analytics import fleiss_kappa
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     rated = docs.select(
         "doc_id",
         F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("_r"),
@@ -11430,7 +11512,7 @@ def q_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     training a quality classifier."""
     from csp_gateway_spark.operators.analytics import info_gain
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = info_gain(
         docs.withColumn("_lbl", (F.col("n_chars") > 300).cast("int")),
         ["lang", "source"],
@@ -11493,7 +11575,7 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     40 bins — packed-array nested folds, engine-exact."""
     from csp_gateway_spark.operators.analytics import isotonic_calibration
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     scored = docs.select(
         (F.col("n_chars") / F.lit(600.0)).alias("score"),
         (F.col("lang") == "en").cast("int").alias("label"),
@@ -11548,7 +11630,7 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     word/syllable/letter totals (macro ratios — no double averaging)."""
     from csp_gateway_spark.operators.text import readability
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = readability(docs, "text", "source")
     return out.select(
         "source",
@@ -11592,7 +11674,7 @@ def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, pure equi-join plan."""
     from csp_gateway_spark.operators.corpus import rouge_overlap
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = rouge_overlap(docs, pair_offset=_ROUGE_OFFSET)
     return out.select(
         "source",
@@ -11679,7 +11761,7 @@ def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval beside ``bm25_topk``."""
     from csp_gateway_spark.operators.retrieval import retrieval_eval
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = retrieval_eval(docs, _REVAL_TERMS, k=10, rel_tf=3)
     return out.select(
         "term",
@@ -11752,7 +11834,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform before thresholding heterogeneous quality scores."""
     from csp_gateway_spark.operators.analytics import quantile_normalize
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = quantile_normalize(docs, "n_chars", "source", grid=1000)
     return out.select(
         "source",
@@ -12058,7 +12140,7 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift across corpus slices."""
     from csp_gateway_spark.operators.corpus import burrows_delta
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = burrows_delta(docs, top_v=50)
     return out.select(
         "source_a",
@@ -12141,7 +12223,7 @@ def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language splits."""
     from csp_gateway_spark.operators.text import code_switch
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = code_switch(docs)
     return out.select(
         "source",
@@ -12462,7 +12544,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded array fold on ONE packed row per term."""
     from csp_gateway_spark.operators.retrieval import mmr_rerank
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = mmr_rerank(docs, _REVAL_TERMS, k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAM)
     return out.select(
         "term",
@@ -12631,7 +12713,7 @@ def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only."""
     from csp_gateway_spark.operators.similarity import kcenter_sample
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     return kcenter_sample(emb, k=_KC_K).orderBy("sel_round")
 
 
@@ -12685,7 +12767,7 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary beside ``calibration`` / ``isotonic_calibration``."""
     from csp_gateway_spark.operators.analytics import brier_decomposition
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     scored = docs.select(
         (F.col("n_chars") / F.lit(600.0)).alias("score"),
         (F.col("lang") == "en").cast("int").alias("label"),
@@ -13157,7 +13239,7 @@ def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics shared with the dedup family."""
     from csp_gateway_spark.operators.corpus import distinct_ngrams
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = distinct_ngrams(docs)
     return out.select(
         F.col("n").cast("long").alias("n"),
@@ -13522,7 +13604,7 @@ def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture weighting."""
     from csp_gateway_spark.operators.corpus import source_diversity
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = source_diversity(docs, "source")
     return out.select(
         "n_docs",
@@ -13782,7 +13864,11 @@ def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import wasserstein_distance
 
     li = _t(spark, sf_dir, "lineitem")
-    out = wasserstein_distance(li, "l_returnflag", "l_extendedprice", "R", "A")
+    cells, n_cells, n_a, n_b = _ra_price_cells(spark, sf_dir)
+    out = wasserstein_distance(
+        li, "l_returnflag", "l_extendedprice", "R", "A",
+        cells=cells, cells_count=n_cells, cells_totals=(n_a, n_b),
+    )
     return out.select(
         "n_a", "n_b", (F.round("w1", 6) + F.lit(0.0)).alias("w1")
     )
@@ -14041,7 +14127,7 @@ def q_kn_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold."""
     from csp_gateway_spark.operators.corpus import kn_bigram_entropy
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = kn_bigram_entropy(docs)
     return out.select(
         "n_bigrams",
@@ -14156,7 +14242,7 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     gradient updates — the domain-level counterpart of dsir_weights."""
     from csp_gateway_spark.operators.curation import doremi_weights
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = doremi_weights(docs, eta=_DRM_ETA, rounds=_DRM_ROUNDS)
     return out.select(
         "source",
@@ -14675,8 +14761,8 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point exact per-dimension sums, pos-sorted cosine folds."""
     from csp_gateway_spark.operators.similarity import embedding_drift
 
-    emb = _t(spark, sf_dir, "embeddings")
-    docs = _t(spark, sf_dir, "documents")
+    emb = _ts(spark, sf_dir, "embeddings")
+    docs = _ts(spark, sf_dir, "documents")
     out = embedding_drift(emb, docs)
     return out.select(
         "source",
@@ -14989,7 +15075,7 @@ def q_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(tokens), one (doc, token) lag shuffle, never O(tokens*window)."""
     from csp_gateway_spark.operators.corpus import mattr_diversity
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = mattr_diversity(docs, window=_MATTR_W)
     return out.select(
         "source", "n_docs", "n_windows",
@@ -15695,7 +15781,7 @@ def q_optimal_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer argmax key, TakeOrdered(1), never a global sort."""
     from csp_gateway_spark.operators.analytics import optimal_cutoff
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = optimal_cutoff(
         docs.select(
             F.col("n_chars").alias("score"),
@@ -15754,7 +15840,7 @@ def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows (k×k broadcast self-join for the cumulative gain)."""
     from csp_gateway_spark.operators.analytics import lift_table
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = lift_table(
         docs.select(
             F.col("n_chars").alias("score"),
@@ -16099,6 +16185,32 @@ def _cox_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cox_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE checkpointed (duration, score) cell collapse — (t, x, n,
+    n_events) over the order→ship latency cohort — shared by
+    `cox_ph` / `schoenfeld_trend` (via `_cox_fit`) and `harrell_c`,
+    whose operators build the IDENTICAL frame when not injected
+    (same filter, same groupBy, same aggregates; r14).  Saves the
+    lineitem⋈orders join + collapse per consumer."""
+
+    def build():
+        df = _cox_cohort(spark, sf_dir)
+        t = F.col("dur")
+        ev = F.col("event").cast("int")
+        x = F.col("x").cast("double")
+        return (
+            df.filter(t.isNotNull() & ev.isNotNull() & x.isNotNull())
+            .groupBy(t.cast("long").alias("_t"), x.alias("_x"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("_na"),
+                F.sum(ev).cast("long").alias("_ne"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return _shared(spark, sf_dir, "cox_cells", build)
+
+
 def _cox_fit(spark: SparkSession, sf_dir: str):
     """ONE Newton fit (eval frame + β, both eagerly checkpointed)
     shared by `cox_ph` / `schoenfeld_trend` — two gate queries that
@@ -16108,7 +16220,8 @@ def _cox_fit(spark: SparkSession, sf_dir: str):
         from csp_gateway_spark.operators.analytics import _cox_newton
 
         return _cox_newton(
-            _cox_cohort(spark, sf_dir), "dur", "event", "x", _COX_STEPS
+            _cox_cohort(spark, sf_dir), "dur", "event", "x", _COX_STEPS,
+            cells=_cox_cells(spark, sf_dir),
         )
 
     return _shared(spark, sf_dir, "cox_fit", build)
@@ -16247,7 +16360,10 @@ def q_harrell_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²) pair expansion."""
     from csp_gateway_spark.operators.analytics import harrell_c
 
-    out = harrell_c(_cox_cohort(spark, sf_dir), "dur", "event", "x")
+    out = harrell_c(
+        _cox_cohort(spark, sf_dir), "dur", "event", "x",
+        cells=_cox_cells(spark, sf_dir),
+    )
     return out.select(
         "n_comparable", "n_concordant", "n_tied",
         (F.round("c_index", 6) + F.lit(0.0)).alias("c_index"),
@@ -16679,7 +16795,7 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 6-dp rounded score (engine-portable tie handling)."""
     from csp_gateway_spark.operators.corpus import rake_keywords
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = rake_keywords(docs, topk=50)
     return out.select(
         "phrase",
@@ -16718,7 +16834,7 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded); 10-dp rounded ranking keys."""
     from csp_gateway_spark.operators.corpus import textrank_keywords
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = textrank_keywords(docs, topk=50, iters=2)
     return out.select(
         "w",
@@ -16781,7 +16897,11 @@ def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import energy_distance
 
     li = _t(spark, sf_dir, "lineitem")
-    out = energy_distance(li, "l_returnflag", "l_extendedprice", "R", "A")
+    cells, n_cells, _, _ = _ra_price_cells(spark, sf_dir)
+    out = energy_distance(
+        li, "l_returnflag", "l_extendedprice", "R", "A",
+        cells=cells, cells_count=n_cells,
+    )
     return out.select(
         "n_a", "n_b",
         (F.round("d2", 6) + F.lit(0.0)).alias("d2"),
@@ -16851,8 +16971,9 @@ def q_conover_squared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import conover_squared_ranks
 
     li = _t(spark, sf_dir, "lineitem")
+    cells, _, _, _ = _ra_price_cells(spark, sf_dir)
     out = conover_squared_ranks(
-        li, "l_returnflag", "l_extendedprice", "R", "A"
+        li, "l_returnflag", "l_extendedprice", "R", "A", cells=cells
     )
     return out.select(
         "n_a", "n_b",
@@ -16933,8 +17054,10 @@ def q_yuen_trimmed_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import yuen_trimmed_t
 
     li = _t(spark, sf_dir, "lineitem")
+    cells, n_cells, _, _ = _ra_price_cells(spark, sf_dir)
     out = yuen_trimmed_t(
-        li, "l_returnflag", "l_extendedprice", "R", "A", trim=_YUEN_TRIM
+        li, "l_returnflag", "l_extendedprice", "R", "A", trim=_YUEN_TRIM,
+        cells=cells, cells_count=n_cells,
     )
     return out.select(
         "h_a", "h_b",

@@ -1035,38 +1035,53 @@ def market_basket(
     """Frequent co-purchased item pairs with lift — market-basket
     affinity over the order fact table.
 
-    The pair generator is a self-join keyed on ``order_col`` — the
-    blow-up is bounded by per-order line count (≤7 in TPC-H-shaped
-    data), NOT corpus size, so candidate cost is Σ|order|² over
-    orders, embarrassingly parallel after one hash shuffle.  Item
-    popularity enters as a broadcast (item dim ≪ fact table), the
-    order total as a 1-row broadcast aggregate, and the top-k
-    compiles to TakeOrderedAndProject.  Lift is a single FP
-    expression over exact integer counts, so it is engine-exact."""
-    pairs_src = lineitem.select(
-        F.col(order_col).alias("_ord"), F.col(item_col).alias("_item")
-    ).distinct()
-    # materialize once: the distinct pair table feeds FOUR consumers
-    # (both self-join sides, item popularity, order total) and AQE's
-    # broadcast conversions defeat exchange reuse between them — same
-    # rationale as the LSH pair pipeline's checkpoint
-    pairs_src = pairs_src.localCheckpoint(eager=False)
-    a = pairs_src.alias("a")
-    b = pairs_src.alias("b")
-    pair_counts = (
-        a.join(b, on=[F.col("a._ord") == F.col("b._ord"), F.col("a._item") < F.col("b._item")])
-        .groupBy(
-            F.col("a._item").alias("item_a"), F.col("b._item").alias("item_b")
+    The pair generator is ONE hash shuffle on ``order_col`` into
+    per-order sorted item sets, expanded to ordered pairs SCAN-LOCALLY
+    with array higher-order functions — the blow-up is bounded by
+    per-order line count (≤7 in TPC-H-shaped data), NOT corpus size,
+    so candidate cost is Σ|order|² over orders with no self-join (the
+    r14 rewrite dropped the distinct + two-sided ``_ord`` self-join:
+    3 exchanges over the fact table → 1).  Item popularity enters as
+    a broadcast (item dim ≪ fact table), the order total as a 1-row
+    broadcast aggregate, and the top-k compiles to
+    TakeOrderedAndProject.  Lift is a single FP expression over exact
+    integer counts, so it is engine-exact."""
+    baskets = (
+        lineitem.select(
+            F.col(order_col).alias("_ord"), F.col(item_col).alias("_item")
         )
+        .groupBy("_ord")
+        .agg(F.sort_array(F.collect_set("_item")).alias("_items"))
+    )
+    # materialize once: the basket table feeds THREE consumers (pair
+    # expansion, item popularity, order total) and AQE's broadcast
+    # conversions defeat exchange reuse between them — same rationale
+    # as the LSH pair pipeline's checkpoint
+    baskets = baskets.localCheckpoint(eager=False)
+    # sorted distinct items ⇒ every (x, y) with x before y in the
+    # array is exactly the `a._item < b._item` pair of the self-join
+    # formulation, once per order containing both
+    pair_counts = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_items, (x, i) -> "
+                    "transform(slice(_items, i + 2, size(_items)), "
+                    "y -> struct(x AS item_a, y AS item_b))))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.item_a", "_p.item_b")
+        .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= min_support)
     )
-    item_counts = pairs_src.groupBy(F.col("_item")).agg(
-        F.count(F.lit(1)).alias("_n_item")
+    item_counts = (
+        baskets.select(F.explode("_items").alias("_item"))
+        .groupBy(F.col("_item"))
+        .agg(F.count(F.lit(1)).alias("_n_item"))
     )
-    n_orders = pairs_src.select("_ord").distinct().agg(
-        F.count(F.lit(1)).alias("_n_orders")
-    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("_n_orders"))
     out = (
         pair_counts.join(
             F.broadcast(item_counts.withColumnRenamed("_n_item", "_na")),
@@ -3824,6 +3839,8 @@ def ks_test(
     value_col: str,
     group_a,
     group_b,
+    cells: Optional[DataFrame] = None,
+    cells_count: Optional[int] = None,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic between two
     cohorts of a numeric column: D = max over values of
@@ -3840,23 +3857,32 @@ def ks_test(
     and has no 10¹⁵ per-cohort ceiling).  D and its argmax value
     are exact-integer ratios compared as identical doubles on both
     engines; ties on D resolve to the smallest value.  Output: one
-    row (n_a, n_b, d_stat, at_value)."""
+    row (n_a, n_b, d_stat, at_value).
+
+    ``cells``/``cells_count`` optionally inject a prebuilt
+    (_v, _ca, _cb) distinct-value collapse (checkpointed; the caller
+    vouches it equals this operator's own collapse of ``df``) so the
+    whole two-cohort rank family shares ONE collapse per process
+    (r14)."""
     from csp_gateway_spark.plans.scale import global_row_number
 
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     v = F.col(value_col)
-    per_val = (
-        df.filter(g.isin([group_a, group_b]))
-        .groupBy(v.alias("_v"))
-        .agg(
-            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
-            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+    if cells is None:
+        per_val = (
+            df.filter(g.isin([group_a, group_b]))
+            .groupBy(v.alias("_v"))
+            .agg(
+                F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+                F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+            )
         )
-    )
+    else:
+        per_val = cells.select("_v", "_ca", "_cb")
     ranked = global_row_number(
         per_val, "_v", [], rn_col="_rn",
         cum_values=[("_ca", "_ma"), ("_cb", "_mb")],
-        small_threshold=TARGET_ROWS_PER_BUCKET,
+        small_threshold=TARGET_ROWS_PER_BUCKET, known_count=cells_count,
     )
     # inclusive per-cohort cumulatives as exact longs (< 2⁵³, so the
     # double casts below are value-identical to the decimal path)
@@ -3958,6 +3984,8 @@ def mann_whitney_u(
     value_col: str,
     group_a,
     group_b,
+    cells: Optional[DataFrame] = None,
+    cells_count: Optional[int] = None,
 ) -> DataFrame:
     """Exact Mann-Whitney U (Wilcoxon rank-sum) between two cohorts
     with midrank ties and the normal approximation's tie-corrected
@@ -3972,23 +4000,29 @@ def mann_whitney_u(
     below v) + t_v + 1) is integer-exact in decimal), and the tie
     term Σ(t³−t) aggregates exactly too; only the final U/z are
     doubles, from identical expressions on both engines.  Output: one
-    row (n_a, n_b, u_stat, z)."""
+    row (n_a, n_b, u_stat, z).
+
+    ``cells``/``cells_count``: see :func:`ks_test` — the shared
+    two-cohort collapse injection (r14)."""
     from csp_gateway_spark.plans.scale import global_row_number
 
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     v = F.col(value_col)
-    per_val = (
-        df.filter(g.isin([group_a, group_b]))
-        .groupBy(v.alias("_v"))
-        .agg(
-            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
-            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+    if cells is None:
+        per_val = (
+            df.filter(g.isin([group_a, group_b]))
+            .groupBy(v.alias("_v"))
+            .agg(
+                F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+                F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+            )
         )
-    )
+    else:
+        per_val = cells.select("_v", "_ca", "_cb")
     ranked = global_row_number(
         per_val, "_v", [], rn_col="_rn",
         cum_values=[("_ca", "_ma"), ("_cb", "_mb")],
-        small_threshold=TARGET_ROWS_PER_BUCKET,
+        small_threshold=TARGET_ROWS_PER_BUCKET, known_count=cells_count,
     )
     # additive rank terms in plain longs (exact to 2⁶³; the packed
     # path's own bound was 10¹⁵/cohort), ONE decimal product where
@@ -7527,6 +7561,8 @@ def cvm_test(
     value_col: str,
     group_a,
     group_b,
+    cells: Optional[DataFrame] = None,
+    cells_count: Optional[int] = None,
 ) -> DataFrame:
     """Exact two-sample Cramér–von Mises statistic between two
     cohorts of a numeric column: T = n₁n₂/N² · Σ_z h(z)·(F̂₁(z)−F̂₂(z))²
@@ -7543,23 +7579,29 @@ def cvm_test(
     (order-free decimal(38,0) sums, bounded for cohorts ≤ 10¹¹ rows)
     — so Σh·(c₁n₂−c₂n₁)² = n₂²A − 2n₁n₂B + n₁²C is ONE double
     expression over exact sums and T divides once by n₁n₂N².
-    Output: one row (n_a, n_b, t_stat)."""
+    Output: one row (n_a, n_b, t_stat).
+
+    ``cells``/``cells_count``: see :func:`ks_test` — the shared
+    two-cohort collapse injection (r14)."""
     from csp_gateway_spark.plans.scale import global_row_number
 
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     v = F.col(value_col)
-    per_val = (
-        df.filter(g.isin([group_a, group_b]))
-        .groupBy(v.alias("_v"))
-        .agg(
-            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
-            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+    if cells is None:
+        per_val = (
+            df.filter(g.isin([group_a, group_b]))
+            .groupBy(v.alias("_v"))
+            .agg(
+                F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+                F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+            )
         )
-    )
+    else:
+        per_val = cells.select("_v", "_ca", "_cb")
     ranked = global_row_number(
         per_val, "_v", [], rn_col="_rn",
         cum_values=[("_ca", "_ma"), ("_cb", "_mb")],
-        small_threshold=TARGET_ROWS_PER_BUCKET,
+        small_threshold=TARGET_ROWS_PER_BUCKET, known_count=cells_count,
     )
     # exact typed products: c ≤ 10¹¹ as (12,0), c·c′ → (23,0) cast,
     # h ≤ 2·10¹¹ as (12,0), h·(c·c′) → (36,0) — every intermediate
@@ -8386,6 +8428,9 @@ def wasserstein_distance(
     value_col: str,
     group_a,
     group_b,
+    cells: Optional[DataFrame] = None,
+    cells_count: Optional[int] = None,
+    cells_totals: Optional[tuple] = None,
 ) -> DataFrame:
     """Exact 1-Wasserstein (earth-mover) distance between two cohorts
     of a numeric column: W₁ = ∫|F̂₁ − F̂₂| dx — the metric companion
@@ -8406,26 +8451,37 @@ def wasserstein_distance(
     finishes the job.  Every term is an exact decimal (per-cell
     bound: (ca·n₂ + cb·n₁)·v must fit decimal(38,2) — cohorts to
     ~10⁹ rows at 10⁹-unit values); divides once by n₁n₂.
-    Output: one row (n_a, n_b, w1)."""
+    Output: one row (n_a, n_b, w1).
+
+    ``cells``/``cells_count``/``cells_totals``: optionally inject the
+    prebuilt (_v, _ca, _cb) collapse plus its (n_a, n_b) totals (see
+    :func:`ks_test`) — skips both the collapse and the head-collect
+    job (r14)."""
     from csp_gateway_spark.plans.scale import global_row_number
 
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     v = F.col(value_col)
-    per_val = (
-        df.filter(g.isin([group_a, group_b]))
-        .groupBy(v.cast("decimal(18,2)").alias("_v"))
-        .agg(
-            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
-            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+    if cells is None:
+        per_val = (
+            df.filter(g.isin([group_a, group_b]))
+            .groupBy(v.cast("decimal(18,2)").alias("_v"))
+            .agg(
+                F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+                F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+            )
         )
-    )
-    per_val = per_val.localCheckpoint(eager=True)
-    head = per_val.agg(
-        F.count(F.lit(1)).cast("long").alias("_ncells"),
-        F.sum("_ca").cast("long").alias("_na"),
-        F.sum("_cb").cast("long").alias("_nb"),
-    ).collect()[0]
-    n_a, n_b = int(head["_na"]), int(head["_nb"])
+        per_val = per_val.localCheckpoint(eager=True)
+        head = per_val.agg(
+            F.count(F.lit(1)).cast("long").alias("_ncells"),
+            F.sum("_ca").cast("long").alias("_na"),
+            F.sum("_cb").cast("long").alias("_nb"),
+        ).collect()[0]
+        n_a, n_b = int(head["_na"]), int(head["_nb"])
+        n_cells = int(head["_ncells"])
+    else:
+        per_val = cells.select("_v", "_ca", "_cb")
+        n_a, n_b = int(cells_totals[0]), int(cells_totals[1])
+        n_cells = cells_count
     spark = df.sparkSession
     if n_a == 0 or n_b == 0:
         return spark.createDataFrame(
@@ -8439,7 +8495,7 @@ def wasserstein_distance(
         per_val, "_v", [], rn_col="_rn",
         cum_values=[("_ca", "_ma"), ("_cb", "_mb")],
         small_threshold=TARGET_ROWS_PER_BUCKET,
-        known_count=int(head["_ncells"]),
+        known_count=n_cells,
     )
     na12 = F.lit(n_a).cast("decimal(12,0)")
     nb12 = F.lit(n_b).cast("decimal(12,0)")
@@ -8995,6 +9051,8 @@ def brunner_munzel(
     value_col: str,
     group_a,
     group_b,
+    cells: Optional[DataFrame] = None,
+    cells_count: Optional[int] = None,
 ) -> DataFrame:
     """Brunner-Munzel test between two cohorts: the rank-based
     "stochastic superiority" test that, unlike Mann-Whitney, stays
@@ -9012,23 +9070,29 @@ def brunner_munzel(
     Σc·d, Σc·d² with d = 2R − 2R^(within) — accumulates as an exact
     decimal integer (doubled midranks stay integral).  Only the final
     p̂/W/df are doubles, identical expressions on both engines.
-    Output: one row (n_a, n_b, p_hat, w, df)."""
+    Output: one row (n_a, n_b, p_hat, w, df).
+
+    ``cells``/``cells_count``: see :func:`ks_test` — the shared
+    two-cohort collapse injection (r14)."""
     from csp_gateway_spark.plans.scale import global_row_number
 
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     v = F.col(value_col)
-    per_val = (
-        df.filter(g.isin([group_a, group_b]))
-        .groupBy(v.alias("_v"))
-        .agg(
-            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
-            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+    if cells is None:
+        per_val = (
+            df.filter(g.isin([group_a, group_b]))
+            .groupBy(v.alias("_v"))
+            .agg(
+                F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+                F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+            )
         )
-    )
+    else:
+        per_val = cells.select("_v", "_ca", "_cb")
     ranked = global_row_number(
         per_val, "_v", [], rn_col="_rn",
         cum_values=[("_ca", "_ma"), ("_cb", "_mb")],
-        small_threshold=TARGET_ROWS_PER_BUCKET,
+        small_threshold=TARGET_ROWS_PER_BUCKET, known_count=cells_count,
     )
     # doubled midranks in plain longs: combined and within-cohort
     # (the within rank of a cell is only meaningful where that cohort
@@ -9553,6 +9617,8 @@ def ansari_bradley(
     value_col: str,
     group_a,
     group_b,
+    cells: Optional[DataFrame] = None,
+    cells_count: Optional[int] = None,
 ) -> DataFrame:
     """Ansari-Bradley scale test between two cohorts: are the two
     samples equally DISPERSED around a common median?  The rank-based
@@ -9571,23 +9637,29 @@ def ansari_bradley(
     s₂(v) = min(2R, 2(N+1) − 2R) (midranks are halves, so doubling
     keeps scores integral).  Only the final A/z are doubles, identical
     expressions on both engines.  Output: one row (n_a, n_b, ab_stat,
-    z)."""
+    z).
+
+    ``cells``/``cells_count``: see :func:`ks_test` — the shared
+    two-cohort collapse injection (r14)."""
     from csp_gateway_spark.plans.scale import global_row_number
 
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     v = F.col(value_col)
-    per_val = (
-        df.filter(g.isin([group_a, group_b]))
-        .groupBy(v.alias("_v"))
-        .agg(
-            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
-            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+    if cells is None:
+        per_val = (
+            df.filter(g.isin([group_a, group_b]))
+            .groupBy(v.alias("_v"))
+            .agg(
+                F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+                F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+            )
         )
-    )
+    else:
+        per_val = cells.select("_v", "_ca", "_cb")
     ranked = global_row_number(
         per_val, "_v", [], rn_col="_rn",
         cum_values=[("_ca", "_ma"), ("_cb", "_mb")],
-        small_threshold=TARGET_ROWS_PER_BUCKET,
+        small_threshold=TARGET_ROWS_PER_BUCKET, known_count=cells_count,
     )
     # doubled combined midrank in plain longs (same exact integers as
     # the former packed-decimal path)
@@ -11306,6 +11378,7 @@ def _cox_newton(
     event_col: str,
     score_col: str,
     steps: int,
+    cells: Optional[DataFrame] = None,
 ):
     """Shared Cox machinery: ``steps`` Newton-Raphson updates of the
     single-covariate partial-likelihood score from β=0, then one
@@ -11330,17 +11403,18 @@ def _cox_newton(
     t = F.col(time_col) if isinstance(time_col, str) else F.col(time_col)
     ev = F.col(event_col).cast("int")
     x = F.col(score_col).cast("double")
-    cells = (
-        df.filter(
-            t.isNotNull() & ev.isNotNull() & x.isNotNull()
+    if cells is None:
+        cells = (
+            df.filter(
+                t.isNotNull() & ev.isNotNull() & x.isNotNull()
+            )
+            .groupBy(t.cast("long").alias("_t"), x.alias("_x"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("_na"),
+                F.sum(ev).cast("long").alias("_ne"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .groupBy(t.cast("long").alias("_t"), x.alias("_x"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("_na"),
-            F.sum(ev).cast("long").alias("_ne"),
-        )
-        .localCheckpoint(eager=True)
-    )
     beta = cells.sparkSession.range(1).select(F.lit(0.0).alias("_beta"))
 
     def by_time(beta_df):
@@ -11509,6 +11583,7 @@ def harrell_c(
     time_col: str,
     event_col: str,
     score_col: str,
+    cells: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Harrell's concordance index for a single risk score over
     right-censored outcomes: among comparable pairs (i experienced
@@ -11531,15 +11606,16 @@ def harrell_c(
     t = F.col(time_col)
     ev = F.col(event_col).cast("int")
     x = F.col(score_col).cast("double")
-    cells = (
-        df.filter(t.isNotNull() & ev.isNotNull() & x.isNotNull())
-        .groupBy(t.cast("long").alias("_t"), x.alias("_x"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("_na"),
-            F.sum(ev).cast("long").alias("_ne"),
+    if cells is None:
+        cells = (
+            df.filter(t.isNotNull() & ev.isNotNull() & x.isNotNull())
+            .groupBy(t.cast("long").alias("_t"), x.alias("_x"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("_na"),
+                F.sum(ev).cast("long").alias("_ne"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
     # the distinct sets are bounded collapses (the quantized-domain
     # contract) — coalesce to 1 partition each BEFORE the crossJoin,
     # else the cartesian inherits left×right partitioning (32×32 =
@@ -12028,6 +12104,8 @@ def energy_distance(
     value_col: str,
     group_a,
     group_b,
+    cells: Optional[DataFrame] = None,
+    cells_count: Optional[int] = None,
 ) -> DataFrame:
     """Two-sample 1-D energy distance and the Székely-Rizzo energy
     test statistic: D² = 2·E|X−Y| − E|X−X′| − E|Y−Y′| (V-statistic
@@ -12046,27 +12124,32 @@ def energy_distance(
 
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     v = F.col(value_col).cast("decimal(15,2)")
-    cells = (
-        df.filter(g.isin([group_a, group_b]) & v.isNotNull())
-        .groupBy(v.alias("_v"))
-        .agg(
-            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
-            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+    if cells is None:
+        # ONE materialization of the collapse: `ranked` and `tot` both
+        # consume it, and the count doubles as the small-path's
+        # known_count (without this the totals aggregate re-ran the
+        # full collapse shuffle — measured 5.4 s → ~3 s at sf0.1).
+        # The checkpointed frame is the same (value, count_a, count_b)
+        # collapse :func:`yuen_trimmed_t` uses, so callers may build
+        # it once and inject it into both.
+        cells = (
+            df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+            .groupBy(v.alias("_v"))
+            .agg(
+                F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+                F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .select(
-            "_v", "_ca", "_cb",
-            (F.col("_v") * F.col("_ca").cast("decimal(10,0)"))
-            .cast("decimal(38,2)").alias("_sa"),
-            (F.col("_v") * F.col("_cb").cast("decimal(10,0)"))
-            .cast("decimal(38,2)").alias("_sb"),
-        )
+        cells_count = cells.count()
+    n_cells = cells_count
+    cells = cells.select(
+        "_v", "_ca", "_cb",
+        (F.col("_v") * F.col("_ca").cast("decimal(10,0)"))
+        .cast("decimal(38,2)").alias("_sa"),
+        (F.col("_v") * F.col("_cb").cast("decimal(10,0)"))
+        .cast("decimal(38,2)").alias("_sb"),
     )
-    # ONE materialization of the collapse: `ranked` and `tot` both
-    # consume it, and the count doubles as the small-path's
-    # known_count (without this the totals aggregate re-ran the full
-    # collapse shuffle — measured 5.4 s → ~3 s at sf0.1)
-    cells = cells.localCheckpoint(eager=True)
-    n_cells = cells.count()
     ranked = global_row_number(
         cells, "_v", [], rn_col="_rn",
         cum_values=[("_ca", "_cca"), ("_cb", "_ccb"),
@@ -12139,6 +12222,7 @@ def conover_squared_ranks(
     value_col: str,
     group_a,
     group_b,
+    cells: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Conover's squared-ranks test for equality of VARIANCES between
     two cohorts: rank the absolute deviations u = |x − x̄_g| (each
@@ -12148,45 +12232,83 @@ def conover_squared_ranks(
     to :func:`bartlett_test` (normality-sensitive) and
     :func:`levene_test` (mean-based F).
 
-    Plan: per-group means from one exact-decimal aggregate as ONE
-    broadcast row; u is a per-row double (identical on both engines);
-    one distinct-u collapse + ONE two-column cumulative; DOUBLED
+    Plan (r14): EVERYTHING derives from the distinct-value collapse
+    (_v, count_a, count_b) — per-group means as exact Σ(v·c)/Σc off
+    the collapsed frame, then each cell emits its |v − mean_g|
+    deviation PER GROUP with its count (two stacked legs, not two
+    full fact scans), one distinct-u collapse over those
+    cells-bounded legs + ONE two-column cumulative.  DOUBLED
     midranks keep q = (2R)² and its first two moments exact decimals
     (order-free sums); the fourth moment feeds only the z
-    denominator and sums as double (see inline note).  Output: one
-    row (n_a, n_b, t_stat, z)."""
+    denominator and sums as double (see inline note).  The u values
+    are the same doubles as the former per-row path (v round-trips
+    decimal→double, mean is the same exact-decimal ratio).  Output:
+    one row (n_a, n_b, t_stat, z).
+
+    ``cells``: optionally inject the prebuilt (_v, _ca, _cb)
+    collapse shared with :func:`ks_test` et al."""
     from csp_gateway_spark.plans.scale import global_row_number
 
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     v = F.col(value_col).cast("decimal(19,2)")
-    base = df.filter(g.isin([group_a, group_b]) & v.isNotNull()).select(
-        (g == group_a).cast("int").alias("_ga"), v.alias("_v")
-    )
-    st1 = base.agg(
-        F.sum(F.when(F.col("_ga") == 1, 1).otherwise(0)).cast("long").alias("_na"),
-        F.sum(F.when(F.col("_ga") == 0, 1).otherwise(0)).cast("long").alias("_nb"),
-        F.sum(F.when(F.col("_ga") == 1, F.col("_v").cast("decimal(38,2)"))
-              .otherwise(F.lit(0).cast("decimal(38,2)"))).alias("_sa"),
-        F.sum(F.when(F.col("_ga") == 0, F.col("_v").cast("decimal(38,2)"))
-              .otherwise(F.lit(0).cast("decimal(38,2)"))).alias("_sb"),
+    if cells is None:
+        cells = (
+            df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+            .groupBy(v.alias("_v"))
+            .agg(
+                F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+                F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    st1 = cells.agg(
+        F.sum("_ca").cast("long").alias("_na"),
+        F.sum("_cb").cast("long").alias("_nb"),
+        F.sum(
+            (F.col("_v").cast("decimal(25,2)") * F.col("_ca").cast("decimal(12,0)"))
+            .cast("decimal(38,2)")
+        ).alias("_sa"),
+        F.sum(
+            (F.col("_v").cast("decimal(25,2)") * F.col("_cb").cast("decimal(12,0)"))
+            .cast("decimal(38,2)")
+        ).alias("_sb"),
     )
     means = st1.select(
         (F.col("_sa").cast("double") / F.col("_na").cast("double")).alias("_ma"),
         (F.col("_sb").cast("double") / F.col("_nb").cast("double")).alias("_mb"),
     )
-    withu = base.crossJoin(F.broadcast(means)).select(
-        "_ga",
-        F.abs(
-            F.col("_v").cast("double")
-            - F.when(F.col("_ga") == 1, F.col("_ma")).otherwise(F.col("_mb"))
-        ).alias("_u"),
+    vd = F.col("_v").cast("double")
+    stacked = (
+        cells.crossJoin(F.broadcast(means))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.abs(vd - F.col("_ma")).alias("_u"),
+                        F.col("_ca").alias("_c"),
+                        F.lit(1).alias("_isa"),
+                    ),
+                    F.struct(
+                        F.abs(vd - F.col("_mb")).alias("_u"),
+                        F.col("_cb").alias("_c"),
+                        F.lit(0).alias("_isa"),
+                    ),
+                )
+            ).alias("_s")
+        )
+        .select("_s.*")
+        # a cell whose cohort count is 0 contributed no row in the
+        # per-row formulation — drop it so the distinct-u set matches
+        .filter(F.col("_c") > 0)
     )
-    cells = withu.groupBy("_u").agg(
-        F.sum("_ga").cast("long").alias("_ca"),
-        F.sum(F.lit(1) - F.col("_ga")).cast("long").alias("_cb"),
+    cells_u = stacked.groupBy("_u").agg(
+        F.sum(F.when(F.col("_isa") == 1, F.col("_c")).otherwise(0))
+        .cast("long").alias("_ca"),
+        F.sum(F.when(F.col("_isa") == 0, F.col("_c")).otherwise(0))
+        .cast("long").alias("_cb"),
     )
     ranked = global_row_number(
-        cells, "_u", [], rn_col="_rn",
+        cells_u, "_u", [], rn_col="_rn",
         cum_values=[("_ca", "_cca"), ("_cb", "_ccb")],
         small_threshold=TARGET_ROWS_PER_BUCKET, checkpoint=True,
     )
@@ -12244,6 +12366,8 @@ def yuen_trimmed_t(
     group_a,
     group_b,
     trim: float = 0.2,
+    cells: Optional[DataFrame] = None,
+    cells_count: Optional[int] = None,
 ) -> DataFrame:
     """Yuen's t test on trimmed means: compare the central
     (1−2·trim) mass of two cohorts with winsorized variances —
@@ -12258,9 +12382,17 @@ def yuen_trimmed_t(
     per-cell rank-overlap arithmetic — Σv·overlap with
     overlap = clamp(min(cum, n−g) − max(cum−c, g)) — so the trimmed
     means are EXACT decimal ratios and only the final t divides as
-    doubles.  Two bounded aggregates (the second needs the cut
-    values as ONE broadcast row).  Output: one row
-    (h_a, h_b, mean_trim_a, mean_trim_b, t_stat)."""
+    doubles.  ONE bounded aggregate — the trimmed sums, the SQUARED
+    sums and the cut-value order statistics all come off the same
+    ranked pass (the r14 merge: the squared sums never actually
+    needed the cut values, only the final scalar winsorization does,
+    so the former second pass + its checkpoint/crossJoin are gone).
+    Output: one row (h_a, h_b, mean_trim_a, mean_trim_b, t_stat).
+
+    ``cells``/``cells_count`` optionally inject a prebuilt
+    (value, count_a, count_b) collapse (decimal(15,2) values,
+    checkpointed) shared with :func:`energy_distance` — same collapse,
+    computed once per process."""
     from csp_gateway_spark.plans.scale import global_row_number
 
     trim = float(trim)
@@ -12268,21 +12400,23 @@ def yuen_trimmed_t(
         raise ValueError("yuen_trimmed_t: trim must be in [0, 0.5)")
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     v = F.col(value_col).cast("decimal(15,2)")
-    cells = (
-        df.filter(g.isin([group_a, group_b]) & v.isNotNull())
-        .groupBy(v.alias("_v"))
-        .agg(
-            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
-            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+    if cells is None:
+        cells = (
+            df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+            .groupBy(v.alias("_v"))
+            .agg(
+                F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("_ca"),
+                F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("_cb"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    n_cells = cells.count()
+        cells_count = cells.count()
+    n_cells = cells_count
     ranked = global_row_number(
         cells, "_v", [], rn_col="_rn",
         cum_values=[("_ca", "_cca"), ("_cb", "_ccb")],
         small_threshold=TARGET_ROWS_PER_BUCKET, known_count=n_cells,
-    ).localCheckpoint(eager=False)
+    )
     tot = cells.agg(
         F.sum("_ca").cast("long").alias("_na"),
         F.sum("_cb").cast("long").alias("_nb"),
@@ -12298,24 +12432,20 @@ def yuen_trimmed_t(
 
     ov_a = overlap(F.col("_cca"), F.col("_ca"), F.col("_na"), ga)
     ov_b = overlap(F.col("_ccb"), F.col("_cb"), F.col("_nb"), gb)
-    st1 = w.agg(
+    v2 = (F.col("_v") * F.col("_v")).cast("decimal(31,4)")
+    out = w.agg(
         F.first("_na").alias("_n1"),
         F.first("_nb").alias("_n2"),
         F.sum((F.col("_v") * ov_a.cast("decimal(12,0)")).cast("decimal(38,2)")).alias("_tsa"),
         F.sum((F.col("_v") * ov_b.cast("decimal(12,0)")).cast("decimal(38,2)")).alias("_tsb"),
+        F.sum((v2 * ov_a.cast("decimal(12,0)")).cast("decimal(38,4)")).alias("_qa"),
+        F.sum((v2 * ov_b.cast("decimal(12,0)")).cast("decimal(38,4)")).alias("_qb"),
         # cut values: the order statistics at ranks g+1 and n−g
         F.min(F.when(F.col("_cca") >= ga + 1, F.col("_v"))).alias("_loa"),
         F.min(F.when(F.col("_cca") >= F.col("_na") - ga, F.col("_v"))).alias("_hia"),
         F.min(F.when(F.col("_ccb") >= gb + 1, F.col("_v"))).alias("_lob"),
         F.min(F.when(F.col("_ccb") >= F.col("_nb") - gb, F.col("_v"))).alias("_hib"),
     )
-    cuts = st1.localCheckpoint(eager=True)
-    w2 = w.crossJoin(F.broadcast(cuts))
-    v2 = (F.col("_v") * F.col("_v")).cast("decimal(31,4)")
-    sq_a = F.sum((v2 * ov_a.cast("decimal(12,0)")).cast("decimal(38,4)")).alias("_qa")
-    sq_b = F.sum((v2 * ov_b.cast("decimal(12,0)")).cast("decimal(38,4)")).alias("_qb")
-    st2 = w2.agg(sq_a, sq_b)
-    out = st2.crossJoin(F.broadcast(cuts))
     n1, n2 = F.col("_n1"), F.col("_n2")
     g1 = F.floor(F.lit(trim) * n1).cast("long")
     g2 = F.floor(F.lit(trim) * n2).cast("long")

@@ -458,40 +458,47 @@ def bloom_decontaminate(
 
     Why this exists next to the exact semi-join: at 100 TB the
     semi-join shuffles every corpus shingle hash; here the filter is a
-    broadcast table of ≤ m set bits (m=2^16 → at most 64Ki rows ≈ KBs),
-    so the corpus-side plan is scan → projection → broadcast-hash-join
-    → one map-side-combined groupBy — no shuffle of corpus shingles
-    against the eval side, and the filter size is INDEPENDENT of the
-    eval-set size.  The price is deterministic false positives at rate
-    ≈ fill_ratio^k_hashes, acceptable for decontamination (flagging an
-    extra clean doc is safe; missing a contaminated one never happens —
-    Bloom filters have no false negatives).
+    LITERAL BITMAP — the ≤ m set bits (m=2^16 → 8 KiB) collected once
+    from the eval side and inlined as an array<long> constant — so the
+    corpus-side plan is scan → projection → FILTER: each shingle tests
+    its ``k_hashes`` bit positions with codegen'd shift/mask
+    expressions, no join, no probe explode, no count-of-set-bits
+    aggregate, and (r14) no per-doc shingle distinct either — a
+    repeated shingle just re-passes the same filter and the final
+    per-doc ``distinct`` absorbs it.  The filter size is INDEPENDENT
+    of the eval-set size.  The price is deterministic false positives
+    at rate ≈ fill_ratio^k_hashes, acceptable for decontamination
+    (flagging an extra clean doc is safe; missing a contaminated one
+    never happens — Bloom filters have no false negatives).
 
     Every hash is portable md5, so the flags — false positives
     included — reproduce bit-identically in the DuckDB oracle.
     """
     if mode not in ("flag", "remove"):
         raise ValueError("mode must be 'flag' or 'remove'")
-    bits = bloom_bits(eval_set, text_col, id_col, k, m_bits, k_hashes)
-    # distinct (doc, shingle-hash): a shingle repeated within one doc
-    # would otherwise double its probe rows and break the ==k test
-    c_sh = (
+    # bounded driver collect: ≤ min(m_bits, k·|eval shingles|) ints
+    bit_rows = bloom_bits(eval_set, text_col, id_col, k, m_bits, k_hashes).collect()
+    n_words = (m_bits + 63) // 64
+    words = [0] * n_words
+    for r in bit_rows:
+        b = int(r["bit"])
+        words[b >> 6] |= 1 << (b & 63)
+    _signed = lambda w: w - (1 << 64) if w >= (1 << 63) else w  # noqa: E731
+    bitmap = F.array(*[F.lit(_signed(w)) for w in words])
+    mask_arr = F.array(*[F.lit(_signed(1 << i)) for i in range(64)])
+    pred = None
+    for i in range(k_hashes):
+        idx = _bloom_bit(F.col("_h"), i, m_bits)
+        word = F.element_at(bitmap, F.shiftright(idx, 6).cast("int") + F.lit(1))
+        mask = F.element_at(
+            mask_arr, idx.bitwiseAND(F.lit(63)).cast("int") + F.lit(1)
+        )
+        t = word.bitwiseAND(mask) != F.lit(0)
+        pred = t if pred is None else (pred & t)
+    hits = (
         shingle_rows(corpus, text_col, id_col, k)
         .select(F.col(id_col), _md5_base15(F.col("_s")).alias("_h"))
-        .distinct()
-    )
-    probes = c_sh.select(
-        id_col,
-        "_h",
-        F.explode(
-            F.array(*[_bloom_bit(F.col("_h"), i, m_bits) for i in range(k_hashes)])
-        ).alias("bit"),
-    )
-    hits = (
-        probes.join(F.broadcast(bits), "bit")
-        .groupBy(id_col, "_h")
-        .agg(F.count(F.lit(1)).alias("_nbits"))
-        .filter(F.col("_nbits") == k_hashes)
+        .filter(pred)
         .select(id_col)
         .distinct()
     )

@@ -1212,25 +1212,48 @@ def source_overlap(
     into a training mix.
 
     Shingles come from the incremental ``shingle_rows`` path (posexplode
-    + lead — each token materialized once), source labels join back on
-    the doc key (co-partitioned equi-join), and the distinct (source,
-    hash) rows are one shuffle; the pair join keys on the hash, so each
-    shingle expands to at most |sources|²/2 pairs (source-bounded,
-    never corpus-bounded); per-source set sizes broadcast back for the
-    Jaccard.  Output: (src_a, src_b, shared, jaccard)."""
+    + lead — each token materialized once) with the source label carried
+    through the per-doc window inside a struct id (no join back).  ONE
+    shuffle keyed on the shingle hash collapses each hash to its sorted
+    distinct source set (``collect_set`` — map-side partial aggregation,
+    and the (source, hash) dedup for free); source pairs then expand
+    SCAN-LOCALLY over that ≤|sources| array (the r14 rewrite dropped
+    the distinct + two-sided hash self-join: 3 full-shingle-set
+    exchanges → 1).  Per-source set sizes come off the same grouped
+    frame and broadcast back for the Jaccard.
+    Output: (src_a, src_b, shared, jaccard)."""
     id_col = "doc_id"
-    sh = (
-        shingle_rows(df, text_col, id_col, k)
-        .join(df.select(id_col, F.col(source_col).alias("_src")), id_col)
-        .select("_src", _md5_base15(F.col("_s")).alias("_h"))
-        .distinct()
+    tagged = df.select(
+        F.struct(F.col(id_col), F.col(source_col).alias("_src")).alias("_ds"),
+        F.col(text_col),
     )
-    sizes = sh.groupBy("_src").agg(F.count(F.lit(1)).alias("_sz"))
-    a = sh.select(F.col("_src").alias("src_a"), "_h")
-    b = sh.select(F.col("_src").alias("src_b"), "_h")
+    grouped = (
+        shingle_rows(tagged, text_col, "_ds", k)
+        .select(
+            F.col("_ds._src").alias("_src"),
+            _md5_base15(F.col("_s")).alias("_h"),
+        )
+        .groupBy("_h")
+        .agg(F.sort_array(F.collect_set("_src")).alias("_ss"))
+    )
+    # one materialization feeds both consumers (sizes + pair counts)
+    grouped = grouped.localCheckpoint(eager=False)
+    sizes = (
+        grouped.select(F.explode("_ss").alias("_src"))
+        .groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+    )
     shared = (
-        a.join(b, "_h")
-        .filter(F.col("src_a") < F.col("src_b"))
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ss, (x, i) -> "
+                    "transform(slice(_ss, i + 2, size(_ss)), "
+                    "y -> struct(x AS src_a, y AS src_b))))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.src_a", "_p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )

@@ -108,12 +108,23 @@ def get_spark(app_name: str = "csp-gateway-spark", cpus: str | None = None) -> S
         # --- optimizer / execution ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Size post-shuffle partitions by the advisory byte target
-        # rather than max parallelism: tiny shuffles coalesce to 1-2
-        # tasks; at 100 TB the same target yields thousands of
-        # right-sized partitions.  (Measured neutral at sf0.1 — local
-        # latency there is codegen/JIT warm-up, not task count.)
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Respect session parallelism when coalescing post-shuffle
+        # partitions (the Spark DEFAULT, restored in r14): with
+        # parallelismFirst=false the advisory byte target collapsed
+        # every small shuffle to 1-3 tasks and the compute-heavy
+        # post-shuffle stages (shingle window + md5, rank cumulative)
+        # ran serially — measured at sf0.1: bloom_decontaminate
+        # 5.2→3.4 s, dedup_minhash_pairs 2.6→1.9 s, containment_pairs
+        # 2.5→1.9 s, SQL-aggregate family neutral.  The floor below
+        # lets tiny shuffles still spread (64 KB × parallelism before
+        # byte-sizing wins); at 100 TB bytes/parallelism ≫ the floor,
+        # so both settings are inert at scale — advisory sizing
+        # dominates exactly as before.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64KB"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", cpus)

@@ -398,10 +398,11 @@ def test_bloom_small_example_and_remove_mode(corpus, eval_set):
         bloom_decontaminate(corpus, eval_set, mode="bogus")
 
 
-def test_bloom_bits_bounded_and_broadcast(corpus, eval_set):
-    """The filter is ≤ min(m, k_hashes·shingles) rows and the corpus
-    probe joins it with a BroadcastHashJoin (no shuffle of the eval
-    side at scale)."""
+def test_bloom_bits_bounded_and_literal_filter(corpus, eval_set):
+    """The filter is ≤ min(m, k_hashes·shingles) rows, and the corpus
+    probe is a pure codegen FILTER against the inlined bitmap — no
+    join of any kind on the corpus-shingle side (r14: the broadcast
+    probe join was replaced by a literal array<long> bitmap test)."""
     from csp_gateway_spark.operators.curation import bloom_bits, bloom_decontaminate
 
     bits = bloom_bits(eval_set, k_shingle=5, m_bits=1 << 10, k_hashes=3)
@@ -409,7 +410,11 @@ def test_bloom_bits_bounded_and_broadcast(corpus, eval_set):
     plan = bloom_decontaminate(
         corpus, eval_set, k=5
     )._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    # the only join left is the final flag join back onto the corpus
+    # doc table (doc-keyed); the shingle probe itself must be joinless
+    import re
+
+    assert len(re.findall(r"\w*Join", plan)) == 1
 
 
 def test_bloom_duplicate_shingle_doc(spark, eval_set):

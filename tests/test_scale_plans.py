@@ -104,8 +104,15 @@ def test_curation_plans_have_no_cartesian_or_python(spark, sf_dir):
         plan = explain_str(qs[name](spark, sf_dir), mode="simple")
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name  # no row-at-a-time Python
+        # round-robin exchanges are the `_spread` scan parallelizer —
+        # a no-op at production layout (many files × many row groups),
+        # deliberately added for the single-row-group local testdata;
+        # the scale budget counts only the key-hash/range exchanges
         n_exchange = sum(
-            1 for line in plan.splitlines() if line.lstrip("+- :").startswith("Exchange")
+            1
+            for line in plan.splitlines()
+            if line.lstrip("+- :").startswith("Exchange")
+            and "RoundRobinPartitioning" not in line
         )
         assert n_exchange <= max_exchanges, (name, n_exchange)
 
