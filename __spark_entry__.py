@@ -1010,6 +1010,7 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_MH_PAIR_BANDS,
         jaccard_threshold=0.5,
         oracle_safe=True,
+        candidates=_mh_candidates(spark, sf_dir),
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -2643,6 +2644,46 @@ def _snp_edges(spark: SparkSession, sf_dir: str) -> "DataFrame":
 
     return _shared(spark, sf_dir, "snp_edges", build)
 
+def _mh_candidates(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """ONE checkpointed raw banded-LSH candidate-pair table (the
+    `_MH_PAIR_HASHES`/`_MH_PAIR_BANDS` portable configuration) shared
+    by `dedup_minhash_pairs` and `lsh_eval` — both run the identical
+    signature scan → band explode → bucket join otherwise (r14)."""
+
+    def build():
+        from csp_gateway_spark.operators.dedup import minhash_candidate_pairs
+
+        docs = _ts(spark, sf_dir, "documents")
+        # minhash_candidate_pairs already localCheckpoints
+        return minhash_candidate_pairs(
+            docs,
+            num_hashes=_MH_PAIR_HASHES,
+            bands=_MH_PAIR_BANDS,
+            k=_SHINGLE_K,
+            oracle_safe=True,
+        )
+
+    return _shared(spark, sf_dir, "mh_candidates", build)
+
+
+def _snp_scored(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """ONE checkpointed (id_a, id_b, jaccard) verification of the
+    shared 12-gram blocking pairs at 3-shingle Jaccard — shared by
+    `lsh_eval` (truth side, filtered ≥0.5) and
+    `dedup_threshold_sweep` (the sweep's scored table); both ran the
+    identical semi-join + two-sided shingle join otherwise (r14)."""
+
+    def build():
+        from csp_gateway_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = _ts(spark, sf_dir, "documents")
+        return ngram_jaccard_pairs(
+            docs, _snp_edges(spark, sf_dir), k=_SHINGLE_K
+        ).select("id_a", "id_b", "jaccard").localCheckpoint(eager=True)
+
+    return _shared(spark, sf_dir, "snp_scored", build)
+
+
 _PR_DAMP = 0.85
 _PR_ITERS = 2
 _PR_FOLD_BUCKETS = 256
@@ -2680,6 +2721,7 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_threshold_sweep(
         docs, thresholds=(0.5, 0.7, 0.8, 0.9),
         blocking_pairs=_snp_edges(spark, sf_dir),
+        scored_pairs=_snp_scored(spark, sf_dir),
     )
 
 
@@ -5736,6 +5778,9 @@ def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many rows each clip touched."""
     from csp_gateway_spark.operators.analytics import winsorize
 
+    # NOT _ts (A/B r14): the percentile aggregate's map-side combine
+    # does not win back the cost of round-robin-shuffling the raw
+    # fact rows (3.28 -> 3.96 s measured same-phase)
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").cast("double").alias("price"),
@@ -8971,6 +9016,8 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_MH_PAIR_BANDS,
         oracle_safe=True,
         blocking_pairs=_snp_edges(spark, sf_dir),
+        candidates=_mh_candidates(spark, sf_dir),
+        scored_pairs=_snp_scored(spark, sf_dir),
     )
     return out.select(
         "n_truth",

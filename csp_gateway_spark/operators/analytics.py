@@ -4745,19 +4745,13 @@ def _spearman_corr_body(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     base = df.select(F.col(col_a).alias("_va"), F.col(col_b).alias("_vb")).filter(
         F.col("_va").isNotNull() & F.col("_vb").isNotNull()
     )
-    # one cheap pass sizes both sides; the fast path engages when one
-    # side is driver-small (typical: a bounded physical domain like
-    # quantity/priority against a near-unique measure)
-    approx = base.agg(
-        F.approx_count_distinct("_va").alias("_na"),
-        F.approx_count_distinct("_vb").alias("_nb"),
-    ).collect()[0]
-    order = ["_va", "_vb"] if approx["_na"] <= approx["_nb"] else ["_vb", "_va"]
-    for small_col in order:
-        # approx error is ~2-5%; probe only plausibly-small sides
-        if int(approx["_na" if small_col == "_va" else "_nb"]) > 2 * _SPEARMAN_SMALL_CELLS:
-            continue
-        big_col = "_vb" if small_col == "_va" else "_va"
+    # try each side's collapse directly (r14: the former
+    # approx_count_distinct sizing pass cost a full scan + collect
+    # before any real work; the probe collapse IS comparable work, so
+    # probing directly saves one job in the typical bounded-domain
+    # case and costs at most one extra collapse when both sides are
+    # large — the limit N+1 guard keeps every driver collect bounded)
+    for small_col, big_col in (("_va", "_vb"), ("_vb", "_va")):
         out = _spearman_try_fast(base, small_col, big_col)
         if out is not None:
             return out

@@ -255,33 +255,25 @@ def band_key(sig: Column, band: int, rows: int, oracle_safe: bool = False) -> Co
     return F.xxhash64(sl)
 
 
-def minhash_lsh_pairs(
+def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 3,
-    jaccard_threshold: Optional[float] = None,
     oracle_safe: bool = False,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash LSH, optionally
-    verified with exact shingle Jaccard.
-
-    Plan shape: signature scan (no shuffle) → explode bands (xB) →
-    self-join on (band, band_hash) = shuffle keyed on band hash →
-    distinct pairs → optional verify join back to shingle sets.
-    No O(n²) stage; bucket join size is bounded by collision groups.
-
-    ``oracle_safe`` switches both the signature hash and the band key
-    to engine-portable forms (md5-hex minhashes, concat band key) so an
-    external engine can replicate the candidate set exactly; default is
-    xxhash64 (faster, engine-specific).
-    """
+    """RAW banded-LSH candidate pairs (id_a, id_b) — the un-verified
+    candidate set of :func:`minhash_lsh_pairs`, factored out (r14) so
+    callers that need the same candidates twice (pair verification +
+    recall evaluation) build them once.  Returns the pairs already
+    ``localCheckpoint``ed (they are bounded by real near-dups and
+    every caller consumes them multiple times)."""
     rows = num_hashes // bands
-    # no manual materialization: both self-join sides share an identical
-    # shuffle, so Spark's ReusedExchange computes signatures once
-    # (verified: a localCheckpoint here was ~1.7× slower)
+    # no manual materialization before the join: both self-join sides
+    # share an identical shuffle, so Spark's ReusedExchange computes
+    # signatures once (verified: a localCheckpoint was ~1.7× slower)
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k, oracle_safe=oracle_safe)
 
     banded = sig.select(
@@ -316,8 +308,43 @@ def minhash_lsh_pairs(
     # semi-join + both sides of the pair join); without a cut the whole
     # signature+banding pipeline re-executes per reference.  Pairs are
     # tiny (bounded by real near-dups), so materializing them is free.
-    pairs = pairs.localCheckpoint()
-    out = ngram_jaccard_pairs(df, pairs, text_col=text_col, id_col=id_col, k=k)
+    return pairs.localCheckpoint()
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    jaccard_threshold: Optional[float] = None,
+    oracle_safe: bool = False,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, optionally
+    verified with exact shingle Jaccard.
+
+    Plan shape: signature scan (no shuffle) → explode bands (xB) →
+    self-join on (band, band_hash) = shuffle keyed on band hash →
+    distinct pairs → optional verify join back to shingle sets.
+    No O(n²) stage; bucket join size is bounded by collision groups.
+
+    ``candidates`` optionally injects a prebuilt
+    :func:`minhash_candidate_pairs` frame (same num_hashes/bands/k/
+    oracle_safe — the caller vouches) so the signature+banding
+    pipeline is skipped (r14).
+
+    ``oracle_safe`` switches both the signature hash and the band key
+    to engine-portable forms (md5-hex minhashes, concat band key) so an
+    external engine can replicate the candidate set exactly; default is
+    xxhash64 (faster, engine-specific).
+    """
+    if candidates is None:
+        candidates = minhash_candidate_pairs(
+            df, text_col, id_col, num_hashes, bands, k, oracle_safe
+        )
+    out = ngram_jaccard_pairs(df, candidates, text_col=text_col, id_col=id_col, k=k)
     if jaccard_threshold is not None:
         out = out.filter(F.col("jaccard") >= jaccard_threshold)
     return out
@@ -1364,12 +1391,23 @@ def lsh_recall_eval(
     id_col: str = "doc_id",
     oracle_safe: bool = False,
     blocking_pairs: Optional[DataFrame] = None,
+    candidates: Optional[DataFrame] = None,
+    scored_pairs: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Candidate-generator quality evaluation: precision/recall of the
     banded MinHash-LSH candidate set against an exact-Jaccard ground
     truth — the tuning report that tells you whether (num_hashes,
     bands) is catching the near-dups before you commit a corpus-scale
     run.
+
+    ``candidates`` optionally injects the prebuilt
+    :func:`minhash_candidate_pairs` frame — the raw candidate set IS
+    the evaluated set (the former path verified every candidate's
+    Jaccard only to drop the column, an entire semi-join + two-sided
+    shingle join the plan never needed; r14).  ``scored_pairs``
+    optionally injects the (id_a, id_b, jaccard)-scored blocking
+    pairs (shared with :func:`dedup_threshold_sweep`) so the truth
+    side skips its verify pass too.
 
     Ground truth = pairs sharing a ``block_k``-gram (exact blocking,
     collision-bounded) whose ``k``-shingle Jaccard ≥
@@ -1380,29 +1418,32 @@ def lsh_recall_eval(
     (a precomputed ``shared_ngram_pairs(df, k=block_k)`` table, e.g. a
     shared checkpoint) to skip re-running the blocking scan.  Output:
     one row (n_truth, n_candidates, n_tp, precision, recall)."""
-    if blocking_pairs is None:
-        blocking_pairs = shared_ngram_pairs(
-            df, k=block_k, text_col=text_col, id_col=id_col
-        )
-    truth = (
-        ngram_jaccard_pairs(
+    if scored_pairs is None:
+        if blocking_pairs is None:
+            blocking_pairs = shared_ngram_pairs(
+                df, k=block_k, text_col=text_col, id_col=id_col
+            )
+        scored_pairs = ngram_jaccard_pairs(
             df, blocking_pairs,
             text_col=text_col, id_col=id_col, k=k,
         )
+    truth = (
+        scored_pairs
         .filter(F.col("jaccard") >= truth_threshold)
         .select("id_a", "id_b")
         .localCheckpoint(eager=False)
     )
-    cand = minhash_lsh_pairs(
-        df,
-        text_col=text_col,
-        id_col=id_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        k=k,
-        jaccard_threshold=None,
-        oracle_safe=oracle_safe,
-    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    if candidates is None:
+        candidates = minhash_candidate_pairs(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            k=k,
+            oracle_safe=oracle_safe,
+        )
+    cand = candidates.select("id_a", "id_b")
     tp = cand.join(truth, ["id_a", "id_b"])
     nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
@@ -1432,6 +1473,7 @@ def dedup_threshold_sweep(
     text_col: str = "text",
     id_col: str = "doc_id",
     blocking_pairs: Optional[DataFrame] = None,
+    scored_pairs: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Dedup-threshold tuning report: for each candidate Jaccard
     cutoff, how many blocked candidate pairs verify at-or-above it and
@@ -1444,14 +1486,22 @@ def dedup_threshold_sweep(
     pair table bounded by real near-dups; the sweep itself is a tiny
     broadcast cross of that table with the threshold list — adding
     thresholds costs nothing.  Output per threshold: (threshold,
-    n_pairs, n_docs), zero-filled, ordered by threshold."""
-    if blocking_pairs is None:
-        blocking_pairs = shared_ngram_pairs(
-            df, k=block_k, text_col=text_col, id_col=id_col
+    n_pairs, n_docs), zero-filled, ordered by threshold.
+
+    ``scored_pairs`` optionally injects the (id_a, id_b, jaccard)
+    verify output (shared with :func:`lsh_recall_eval`'s truth side;
+    r14) so the verify join runs once per process."""
+    if scored_pairs is None:
+        if blocking_pairs is None:
+            blocking_pairs = shared_ngram_pairs(
+                df, k=block_k, text_col=text_col, id_col=id_col
+            )
+        scored_pairs = ngram_jaccard_pairs(
+            df, blocking_pairs, text_col=text_col, id_col=id_col, k=k
         )
-    scored = ngram_jaccard_pairs(
-        df, blocking_pairs, text_col=text_col, id_col=id_col, k=k
-    ).select("id_a", "id_b", "jaccard").localCheckpoint(eager=False)
+    scored = scored_pairs.select(
+        "id_a", "id_b", "jaccard"
+    ).localCheckpoint(eager=False)
     tf = df.sparkSession.createDataFrame(
         [(float(t),) for t in thresholds], "threshold double"
     )
