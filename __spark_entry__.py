@@ -2432,8 +2432,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _ts(spark, sf_dir, "documents")
     existing = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
-    idx = dedup_index(existing, _IDX_HASHES, _IDX_BANDS, oracle_safe=True)
-    out = dedup_probe(batch, idx, _IDX_HASHES, _IDX_BANDS, oracle_safe=True)
+    # signatures are per-doc deterministic: the shared 16-hash table
+    # filtered per subset is identical to recomputing per subset
+    sigs = _mh_signatures(spark, sf_dir)
+    idx = dedup_index(
+        existing, _IDX_HASHES, _IDX_BANDS, oracle_safe=True,
+        signatures=sigs.filter(F.col("doc_id") % 5 != 0),
+    )
+    out = dedup_probe(
+        batch, idx, _IDX_HASHES, _IDX_BANDS, oracle_safe=True,
+        signatures=sigs.filter(F.col("doc_id") % 5 == 0),
+    )
     return out.orderBy("new_id", "matched_id")
 
 
@@ -2640,9 +2649,52 @@ def _snp_edges(spark: SparkSession, sf_dir: str) -> "DataFrame":
         from csp_gateway_spark.operators.dedup import shared_ngram_pairs
 
         docs = _ts(spark, sf_dir, "documents")
-        return shared_ngram_pairs(docs, k=_SNP_K).localCheckpoint(eager=True)
+        return shared_ngram_pairs(
+            docs, k=_SNP_K, sh=_sh12(spark, sf_dir)
+        ).localCheckpoint(eager=True)
 
     return _shared(spark, sf_dir, "snp_edges", build)
+
+def _sh12(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """ONE checkpointed distinct (doc_id, 12-gram md5 hash) table —
+    the shingle-hash base both `shared_ngram_pairs` (via `_snp_edges`)
+    and `containment_pairs` rebuild identically otherwise (same k=12,
+    same md5-base15 hash; r14).  Fixed-width longs, corpus-linear."""
+
+    def build():
+        from csp_gateway_spark.operators.dedup import _md5_base15, shingle_rows
+
+        docs = _ts(spark, sf_dir, "documents")
+        return (
+            shingle_rows(docs, "text", "doc_id", _SNP_K)
+            .select(F.col("doc_id"), _md5_base15(F.col("_s")).alias("_h"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    return _shared(spark, sf_dir, "sh12", build)
+
+
+def _mh_signatures(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """ONE checkpointed 16-hash portable minhash signature table over
+    documents (k=3 shingles) — per-doc deterministic, so it serves
+    BOTH banding configurations built on it: the pair family
+    (`_MH_PAIR_HASHES`=16 × `_MH_PAIR_BANDS`=4 via `_mh_candidates`)
+    and the incremental index (`_IDX_HASHES`=16 × `_IDX_BANDS`=8,
+    filtered per doc subset in `dedup_incremental`).  The signature
+    scan (tokenize + shingle + 16 md5-affine minhashes per doc) is
+    the dominant upstream cost of all three queries (r14)."""
+
+    def build():
+        from csp_gateway_spark.operators.dedup import minhash_signatures
+
+        docs = _ts(spark, sf_dir, "documents")
+        return minhash_signatures(
+            docs, num_hashes=_MH_PAIR_HASHES, k=_SHINGLE_K, oracle_safe=True
+        ).localCheckpoint(eager=True)
+
+    return _shared(spark, sf_dir, "mh_signatures16", build)
+
 
 def _mh_candidates(spark: SparkSession, sf_dir: str) -> "DataFrame":
     """ONE checkpointed raw banded-LSH candidate-pair table (the
@@ -2661,6 +2713,7 @@ def _mh_candidates(spark: SparkSession, sf_dir: str) -> "DataFrame":
             bands=_MH_PAIR_BANDS,
             k=_SHINGLE_K,
             oracle_safe=True,
+            signatures=_mh_signatures(spark, sf_dir),
         )
 
     return _shared(spark, sf_dir, "mh_candidates", build)
@@ -4956,7 +5009,10 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import containment_pairs
 
     docs = _ts(spark, sf_dir, "documents")
-    out = containment_pairs(docs, k=_CONT_K, threshold=_CONT_THRESHOLD)
+    out = containment_pairs(
+        docs, k=_CONT_K, threshold=_CONT_THRESHOLD,
+        sh=_sh12(spark, sf_dir),
+    )
     return out.select(
         "id_a",
         "id_b",

@@ -263,18 +263,26 @@ def minhash_candidate_pairs(
     bands: int = 8,
     k: int = 3,
     oracle_safe: bool = False,
+    signatures: Optional[DataFrame] = None,
 ) -> DataFrame:
     """RAW banded-LSH candidate pairs (id_a, id_b) — the un-verified
     candidate set of :func:`minhash_lsh_pairs`, factored out (r14) so
     callers that need the same candidates twice (pair verification +
     recall evaluation) build them once.  Returns the pairs already
     ``localCheckpoint``ed (they are bounded by real near-dups and
-    every caller consumes them multiple times)."""
+    every caller consumes them multiple times).
+
+    ``signatures``: optionally inject a prebuilt
+    ``minhash_signatures`` frame (see :func:`dedup_index`; r14)."""
     rows = num_hashes // bands
     # no manual materialization before the join: both self-join sides
     # share an identical shuffle, so Spark's ReusedExchange computes
     # signatures once (verified: a localCheckpoint was ~1.7× slower)
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, oracle_safe=oracle_safe)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, num_hashes, k, oracle_safe=oracle_safe)
+    )
 
     banded = sig.select(
         id_col,
@@ -868,10 +876,15 @@ def shared_ngram_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_ngram_frequency: Optional[int] = 256,
+    sh: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) of documents sharing at least one
     token k-gram — the cheapest exact blocking generator (tight k ⇒
-    few collisions).  Plan: per-doc DISTINCT shingle hashes (one
+    few collisions).
+
+    ``sh`` optionally injects the prebuilt distinct (id, shingle-hash)
+    table (same k/text_col/id_col — shared with
+    :func:`containment_pairs`; r14) so the shingle scan runs once.  Plan: per-doc DISTINCT shingle hashes (one
     map-side-combined projection) self-joined ON the 60-bit hash —
     shuffle keyed on the shingle hash, candidate cost ∝ collisions,
     never O(n²).  Feed the pairs to a verifier (``edit_verify``,
@@ -890,11 +903,12 @@ def shared_ngram_pairs(
     grouped bucket).  ``None`` disables the cap (exact candidate
     semantics on a corpus known boilerplate-free)."""
     cap = _validated_df_cap(max_ngram_frequency, "shared_ngram_pairs")
-    sh = (
-        shingle_rows(df, text_col, id_col, k)
-        .select(F.col(id_col), _md5_base15(F.col("_s")).alias("_h"))
-        .distinct()
-    )
+    if sh is None:
+        sh = (
+            shingle_rows(df, text_col, id_col, k)
+            .select(F.col(id_col), _md5_base15(F.col("_s")).alias("_h"))
+            .distinct()
+        )
     # bucket-group instead of self-join: one shuffle on the shingle
     # hash, then in-bucket pair expansion over the (collision-bounded)
     # id array — the self-join form cost two extra exchanges because
@@ -967,6 +981,7 @@ def dedup_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     oracle_safe: bool = False,
+    signatures: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(id, band, bh): the LSH band-bucket index of a corpus — the
     PERSISTENT half of incremental near-dedup.  Build it once over the
@@ -975,9 +990,18 @@ def dedup_index(
     ``dedup_probe`` — no rescan of the old corpus, which is the only
     workable shape when the corpus is 100 TB and the daily delta is
     1 TB.  Same ``band_key`` as ``minhash_lsh_pairs``/streaming, so
-    all three faces agree on candidates by construction."""
+    all three faces agree on candidates by construction.
+
+    ``signatures`` optionally injects a prebuilt
+    ``minhash_signatures(df, ...)`` frame (same num_hashes/k/
+    oracle_safe — signatures are per-doc deterministic, so a shared
+    table filtered to ``df``'s ids is identical; r14)."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, oracle_safe=oracle_safe)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, num_hashes, k, oracle_safe=oracle_safe)
+    )
     return sig.select(
         F.col(id_col),
         F.explode(
@@ -1011,15 +1035,19 @@ def dedup_probe(
     text_col: str = "text",
     id_col: str = "doc_id",
     oracle_safe: bool = False,
+    signatures: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Probe a new batch against an existing corpus index: distinct
     (new_id, matched_id) candidate pairs where any LSH band collides.
     Cost ∝ batch size + collisions — the old corpus is touched only
     through its (much smaller) band index.  Feed survivors to
     ``ngram_jaccard_pairs``/``edit_verify`` for verification, or
-    left-anti the hit ids to admit only novel documents."""
+    left-anti the hit ids to admit only novel documents.
+
+    ``signatures``: see :func:`dedup_index` (r14)."""
     probe = dedup_index(
-        new_docs, num_hashes, bands, k, text_col, id_col, oracle_safe
+        new_docs, num_hashes, bands, k, text_col, id_col, oracle_safe,
+        signatures=signatures,
     ).select(F.col(id_col).alias("new_id"), "band", "bh")
     hits = probe.join(
         index.select(F.col(id_col).alias("matched_id"), "band", "bh"), ["band", "bh"]
@@ -1308,6 +1336,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_ngram_frequency: Optional[int] = 256,
+    sh: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over
     distinct token ``k``-gram sets — the quote/subset detector
@@ -1332,13 +1361,17 @@ def containment_pairs(
     the sub-boilerplate shingle sets on BOTH sides of the ratio —
     consistent, and the per-doc denominators keep their full size so
     capped scores are conservative (never inflated).  ``None``
-    disables the cap."""
+    disables the cap.
+
+    ``sh``: see :func:`shared_ngram_pairs` — the shared distinct
+    (id, shingle-hash) table injection (r14)."""
     cap = _validated_df_cap(max_ngram_frequency, "containment_pairs")
-    sh = (
-        shingle_rows(df, text_col, id_col, k)
-        .select(F.col(id_col), _md5_base15(F.col("_s")).alias("_h"))
-        .distinct()
-    )
+    if sh is None:
+        sh = (
+            shingle_rows(df, text_col, id_col, k)
+            .select(F.col(id_col), _md5_base15(F.col("_s")).alias("_h"))
+            .distinct()
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     buckets = (
         sh.groupBy("_h")
