@@ -2474,7 +2474,12 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _ts(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    out = contamination_report(corpus, eval_set, k=5)
+    sh = _sh5(spark, sf_dir)
+    out = contamination_report(
+        corpus, eval_set, k=5,
+        c_sh=sh.filter(F.col("doc_id") % 97 != 0),
+        e_sh=sh.filter(F.col("doc_id") % 97 == 0),
+    )
     return out.select(
         "eval_id",
         "n_shingles",
@@ -2673,6 +2678,52 @@ def _sh12(spark: SparkSession, sf_dir: str) -> "DataFrame":
         )
 
     return _shared(spark, sf_dir, "sh12", build)
+
+
+def _sh5(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """ONE checkpointed distinct (doc_id, 5-gram md5 hash) table over
+    ALL documents — the shingle-hash base `decontaminate`,
+    `bloom_decontaminate` and `contamination_report` each rebuilt
+    TWICE otherwise (corpus + eval side, same k=5, same md5-base15
+    hash; the corpus/eval splits are doc_id filters, and the hash is
+    per-(doc, shingle) deterministic, so filtering the shared table
+    per subset is identical to re-shingling the subset; r14).
+    Fixed-width longs, corpus-linear."""
+
+    def build():
+        from csp_gateway_spark.operators.dedup import _md5_base15, shingle_rows
+
+        docs = _ts(spark, sf_dir, "documents")
+        return (
+            shingle_rows(docs, "text", "doc_id", _DECON_K)
+            .select(F.col("doc_id"), _md5_base15(F.col("_s")).alias("_h"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    return _shared(spark, sf_dir, "sh5", build)
+
+
+def _bigram_cells(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """ONE checkpointed corpus bigram count table (w1, w2, c) —
+    `lm_perplexity` (model side) and `kn_bigram_entropy` each rebuilt
+    the identical tokenize + bigram explode + groupBy otherwise
+    (`bigram_rows` zip_with pairs == `shingle_rows(k=2)` pairs: same
+    `norm_tokens` stream, <2-token docs contribute nothing to either;
+    r14).  Vocabulary-squared-bounded, far smaller than the corpus."""
+
+    def build():
+        from csp_gateway_spark.operators.corpus import bigram_rows
+
+        docs = _ts(spark, sf_dir, "documents")
+        return (
+            bigram_rows(docs)
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+
+    return _shared(spark, sf_dir, "bigram_cells", build)
 
 
 def _mh_signatures(spark: SparkSession, sf_dir: str) -> "DataFrame":
@@ -3272,7 +3323,10 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import lm_score
 
     docs = _ts(spark, sf_dir, "documents")
-    return lm_score(docs).select(
+    bc = _bigram_cells(spark, sf_dir)
+    return lm_score(
+        docs, lm_big=bc.select("w1", "w2", F.col("c").alias("_c12"))
+    ).select(
         "doc_id", F.round("avg_logp", 6).alias("avg_logp"), F.round("ppl", 6).alias("ppl")
     ).orderBy("doc_id")
 
@@ -4212,7 +4266,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _ts(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
-    out = decontaminate(corpus, eval_set, k=_DECON_K)
+    sh = _sh5(spark, sf_dir)
+    out = decontaminate(
+        corpus, eval_set, k=_DECON_K,
+        c_sh=sh.filter(F.col("doc_id") % 20 != 0),
+        e_sh=sh.filter(F.col("doc_id") % 20 == 0),
+    )
     return out.select("doc_id", "contaminated").orderBy("doc_id")
 
 
@@ -4246,8 +4305,11 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _ts(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    sh = _sh5(spark, sf_dir)
     out = bloom_decontaminate(
-        corpus, eval_set, k=_DECON_K, m_bits=_BLOOM_M, k_hashes=_BLOOM_KH
+        corpus, eval_set, k=_DECON_K, m_bits=_BLOOM_M, k_hashes=_BLOOM_KH,
+        c_sh=sh.filter(F.col("doc_id") % 20 != 0),
+        e_sh=sh.filter(F.col("doc_id") % 20 == 0),
     )
     return out.select("doc_id", "contaminated").orderBy("doc_id")
 
@@ -14231,7 +14293,15 @@ def q_kn_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import kn_bigram_entropy
 
     docs = _ts(spark, sf_dir, "documents")
-    out = kn_bigram_entropy(docs)
+    bc = _bigram_cells(spark, sf_dir)
+    out = kn_bigram_entropy(
+        docs,
+        cells=bc.select(
+            F.col("w1").alias("_v"),
+            F.col("w2").alias("_w"),
+            F.col("c").alias("_c"),
+        ),
+    )
     return out.select(
         "n_bigrams",
         "n_cells",
@@ -14753,14 +14823,21 @@ FROM f
 
 
 def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy(
-        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("rev")
-    )
+    """ONE checkpointed (day_num, rev) daily-revenue series (~|days|
+    rows) — `theil_sen_daily` and `mase_backtest` each rebuilt the
+    identical orders scan + groupBy otherwise (r14)."""
+
+    def build():
+        orders = _t(spark, sf_dir, "orders")
+        return orders.groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
+        ).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        ).localCheckpoint(eager=True)
+
+    return _shared(spark, sf_dir, "daily_revenue", build)
 
 
 _SQL_DAILY_REV = f"""

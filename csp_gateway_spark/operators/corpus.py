@@ -16,6 +16,8 @@ Training-data pipeline additions (SURVEY §7.8 additive surface):
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -374,6 +376,7 @@ def lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: float = 0.5,
+    lm_big: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """Bigram language-model quality score (CCNet-style perplexity
     filtering): train add-k-smoothed bigram probabilities on the corpus
@@ -391,9 +394,14 @@ def lm_score(
     (shuffle on (w1,w2); at 100 TB the LM side is the reduced
     aggregate, orders smaller than the corpus), one per-doc rollup.
     Docs with <2 tokens get NULL scores.
+
+    ``lm_big`` optionally injects a prebuilt (w1, w2, ``_c12``)
+    corpus bigram count table (same tokenize — shared with
+    :func:`kn_bigram_entropy`; r14).
     """
     big = bigram_rows(df, text_col, id_col)
-    lm_big = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    if lm_big is None:
+        lm_big = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
     lm_uni = lm_big.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     # V as a 1-row aggregate cross-joined (broadcast) into the scoring
     # plan — a driver-side .count() here would be a second ACTION with
@@ -2061,6 +2069,7 @@ def kn_bigram_entropy(
     text_col: str = "text",
     id_col: str = "doc_id",
     discount: float = 0.75,
+    cells: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """Corpus cross-entropy under an interpolated Kneser-Ney bigram
     LM trained on the corpus itself — the smoothing-quality
@@ -2076,17 +2085,22 @@ def kn_bigram_entropy(
     left/right continuation counts) joined on the cell key; the
     per-cell log terms fold (v, w)-sorted in one cap-guarded packed
     row, so H and perplexity are engine-identical.  Output: one row
-    (n_bigrams, n_cells, cross_entropy, perplexity)."""
+    (n_bigrams, n_cells, cross_entropy, perplexity).
+
+    ``cells`` optionally injects a prebuilt corpus bigram count table
+    (``_v``, ``_w``, ``_c``) — the same (w1, w2, count) multiset
+    ``bigram_rows``/``lm_score`` build (shared upstream; r14)."""
     from csp_gateway_spark.operators.analytics import _capped_packed
     from csp_gateway_spark.operators.dedup import shingle_rows
 
     d = float(discount)
-    big = shingle_rows(docs, text_col=text_col, id_col=id_col, k=2).select(
-        F.split(F.col("_s"), " ").alias("_p")
-    ).filter(F.size("_p") == 2).select(
-        F.col("_p")[0].alias("_v"), F.col("_p")[1].alias("_w")
-    )
-    cells = big.groupBy("_v", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    if cells is None:
+        big = shingle_rows(docs, text_col=text_col, id_col=id_col, k=2).select(
+            F.split(F.col("_s"), " ").alias("_p")
+        ).filter(F.size("_p") == 2).select(
+            F.col("_p")[0].alias("_v"), F.col("_p")[1].alias("_w")
+        )
+        cells = big.groupBy("_v", "_w").agg(F.count(F.lit(1)).alias("_c"))
     left = cells.groupBy("_v").agg(
         F.sum("_c").alias("_cv"), F.count(F.lit(1)).alias("_n1v")
     )

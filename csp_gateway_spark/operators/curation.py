@@ -67,21 +67,34 @@ def decontaminate(
     id_col: str = "doc_id",
     k: int = 5,
     mode: str = "flag",
+    c_sh: "Optional[DataFrame]" = None,
+    e_sh: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """Mark (``mode="flag"``) or drop (``mode="remove"``) corpus docs
     sharing any k-token shingle with ``eval_set``.
 
     Shingles hash to 60-bit longs before the join so the exchanged
     keys are fixed-width (no long strings through the shuffle).
-    """
+
+    ``c_sh`` / ``e_sh`` optionally inject prebuilt (id, ``_h``)
+    shingle-hash tables for the corpus / eval side (same k/text_col/
+    id_col — distinct-ness per (id, hash) is immaterial: the corpus
+    side feeds a semi-join + per-id distinct, the eval side is
+    re-distincted on the hash; r14, shared with
+    :func:`contamination_report` / :func:`bloom_decontaminate`)."""
     if mode not in ("flag", "remove"):
         raise ValueError("mode must be 'flag' or 'remove'")
-    c_sh = shingle_rows(corpus, text_col, id_col, k).select(
-        F.col(id_col), _md5_base15(F.col("_s")).alias("_h")
-    )
+    if c_sh is None:
+        c_sh = shingle_rows(corpus, text_col, id_col, k).select(
+            F.col(id_col), _md5_base15(F.col("_s")).alias("_h")
+        )
     e_sh = (
-        shingle_rows(eval_set, text_col, id_col, k)
-        .select(_md5_base15(F.col("_s")).alias("_h"))
+        (
+            shingle_rows(eval_set, text_col, id_col, k)
+            .select(_md5_base15(F.col("_s")).alias("_h"))
+            if e_sh is None
+            else e_sh.select("_h")
+        )
         .distinct()
     )
     contaminated = c_sh.join(e_sh, "_h", "left_semi").select(id_col).distinct()
@@ -425,12 +438,18 @@ def bloom_bits(
     k_shingle: int = 5,
     m_bits: int = 1 << 16,
     k_hashes: int = 4,
+    sh: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """The Bloom filter of an eval set's shingles, as a DataFrame of
     distinct set-bit positions (``bit``) — ≤ min(m, k·|shingles|) rows,
-    broadcastable at any corpus scale."""
-    sh = shingle_rows(df, text_col, id_col, k_shingle).select(
-        _md5_base15(F.col("_s")).alias("_h")
+    broadcastable at any corpus scale.  ``sh`` optionally injects a
+    prebuilt (id, ``_h``) shingle-hash table (r14)."""
+    sh = (
+        shingle_rows(df, text_col, id_col, k_shingle).select(
+            _md5_base15(F.col("_s")).alias("_h")
+        )
+        if sh is None
+        else sh.select("_h")
     )
     return (
         sh.select(
@@ -451,6 +470,8 @@ def bloom_decontaminate(
     m_bits: int = 1 << 16,
     k_hashes: int = 4,
     mode: str = "flag",
+    c_sh: "Optional[DataFrame]" = None,
+    e_sh: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """``decontaminate`` via a Bloom filter instead of a semi-join:
     a corpus shingle "hits" iff all ``k_hashes`` of its bit positions
@@ -473,11 +494,16 @@ def bloom_decontaminate(
 
     Every hash is portable md5, so the flags — false positives
     included — reproduce bit-identically in the DuckDB oracle.
+
+    ``c_sh`` / ``e_sh``: see :func:`decontaminate` — prebuilt
+    (id, ``_h``) shingle-hash injection (r14).
     """
     if mode not in ("flag", "remove"):
         raise ValueError("mode must be 'flag' or 'remove'")
     # bounded driver collect: ≤ min(m_bits, k·|eval shingles|) ints
-    bit_rows = bloom_bits(eval_set, text_col, id_col, k, m_bits, k_hashes).collect()
+    bit_rows = bloom_bits(
+        eval_set, text_col, id_col, k, m_bits, k_hashes, sh=e_sh
+    ).collect()
     n_words = (m_bits + 63) // 64
     words = [0] * n_words
     for r in bit_rows:
@@ -496,8 +522,13 @@ def bloom_decontaminate(
         t = word.bitwiseAND(mask) != F.lit(0)
         pred = t if pred is None else (pred & t)
     hits = (
-        shingle_rows(corpus, text_col, id_col, k)
-        .select(F.col(id_col), _md5_base15(F.col("_s")).alias("_h"))
+        (
+            shingle_rows(corpus, text_col, id_col, k).select(
+                F.col(id_col), _md5_base15(F.col("_s")).alias("_h")
+            )
+            if c_sh is None
+            else c_sh
+        )
         .filter(pred)
         .select(id_col)
         .distinct()
@@ -719,6 +750,8 @@ def contamination_report(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    c_sh: "Optional[DataFrame]" = None,
+    e_sh: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """Per-EVAL-document contamination audit — the report a
     decontamination run ships with: for every eval doc, how many of
@@ -735,17 +768,31 @@ def contamination_report(
     orders smaller than the corpus), then the small eval shingle set
     joins against it on the 60-bit hash.  Cost is one corpus shingle
     pass regardless of eval size; no O(corpus × eval) stage.
+
+    ``c_sh`` / ``e_sh``: see :func:`decontaminate` — prebuilt
+    (id, ``_h``) shingle-hash injection (r14).
     """
     c_tab = (
-        shingle_rows(corpus, text_col, id_col, k)
-        .select(F.col(id_col), _md5_base15(F.col("_s")).alias("_h"))
+        (
+            shingle_rows(corpus, text_col, id_col, k).select(
+                F.col(id_col), _md5_base15(F.col("_s")).alias("_h")
+            )
+            if c_sh is None
+            else c_sh
+        )
         .distinct()
         .groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_ndocs"))
     )
     e_sh = (
-        shingle_rows(eval_set, text_col, id_col, k)
-        .select(F.col(id_col).alias("eval_id"), _md5_base15(F.col("_s")).alias("_h"))
+        (
+            shingle_rows(eval_set, text_col, id_col, k).select(
+                F.col(id_col), _md5_base15(F.col("_s")).alias("_h")
+            )
+            if e_sh is None
+            else e_sh
+        )
+        .select(F.col(id_col).alias("eval_id"), "_h")
         .distinct()
     )
     joined = e_sh.join(c_tab, "_h", "left")
