@@ -195,6 +195,49 @@ def _ra_price_cells(spark: SparkSession, sf_dir: str):
     return _shared(spark, sf_dir, "ra_price_cells15", build)
 
 
+def _li_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE exact-decimal moment scan over the four lineitem fact
+    columns — n, Σx, Σx², all six Σxy cross products, plus the
+    4-item-total ΣT/ΣT² — shared by `correlation_matrix`,
+    `partial_corr`, `cronbach_alpha` and `mahalanobis` (r14), whose
+    operators each aggregate a SUBSET of these moments when not
+    injected.  Decimal sums are associative/order-independent, so
+    computing the union in one aggregate yields bit-identical values
+    per consumer; only the declared precision of Σx differs
+    ((28,2) here vs (38,2) in partial/cronbach's own path) and every
+    consumer only ever casts these to double."""
+
+    def build():
+        li = _t(spark, sf_dir, "lineitem")
+        cols = list(_CORR_COLS)
+        q = {c: F.col(c).cast("decimal(18,2)") for c in cols}
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in cols:
+            aggs.append(F.sum(q[c]).alias(f"_s_{c}"))
+            aggs.append(F.sum((q[c] * q[c]).cast("decimal(38,4)")).alias(f"_ss_{c}"))
+        for i, a in enumerate(cols):
+            for b in cols[i + 1:]:
+                aggs.append(
+                    F.sum((q[a] * q[b]).cast("decimal(38,4)")).alias(f"_sp_{a}_{b}")
+                )
+        # cronbach's per-row item total, in its declared item order
+        items = [
+            F.col(c).cast("decimal(18,2)")
+            for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        ]
+        total = items[0].cast("decimal(25,2)")
+        for it in items[1:]:
+            total = (total + it).cast("decimal(25,2)")
+        tsq = (total.cast("decimal(19,2)") * total.cast("decimal(19,2)")).cast(
+            "decimal(38,4)"
+        )
+        aggs.append(F.sum(total.cast("decimal(38,2)")).alias("_st4"))
+        aggs.append(F.sum(tsq).alias("_qt4"))
+        return li.agg(*aggs).localCheckpoint(eager=True)
+
+    return _shared(spark, sf_dir, "li_moments4", build)
+
+
 from contextlib import contextmanager
 
 
@@ -2704,6 +2747,53 @@ def _sh5(spark: SparkSession, sf_dir: str) -> "DataFrame":
     return _shared(spark, sf_dir, "sh5", build)
 
 
+def _sh8(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """ONE checkpointed POSITIONED 8-gram hash table (doc_id, source,
+    _p, _h) — the gram base `substring_spans`, `ngram_novelty` and
+    `source_overlap` each rebuilt identically otherwise (same k=8,
+    same md5-base15 hash over the same `norm_tokens` stream; r14).
+    Long docs (len>=k) emit one row per position (_p 0-based); short
+    docs emit ONE whole-doc-hash row marked _p = -1 (novelty's and
+    source_overlap's short-doc arm; spans excludes them by filtering
+    _p >= 0, matching its window form which emits nothing below k).
+    Fixed-width longs, corpus-linear."""
+
+    def build():
+        from csp_gateway_spark.operators.dedup import _md5_base15
+
+        from csp_gateway_spark.operators.text import norm_tokens
+
+        k = 8
+        docs = _ts(spark, sf_dir, "documents")
+        grams = F.when(
+            F.size("_tk") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_tk") - F.lit(k - 1)),
+                lambda i: F.struct(
+                    (i - F.lit(1)).alias("_p"),
+                    _md5_base15(F.concat_ws(" ", F.slice("_tk", i, k))).alias("_h"),
+                ),
+            ),
+        ).otherwise(
+            F.array(
+                F.struct(
+                    F.lit(-1).alias("_p"),
+                    _md5_base15(F.concat_ws(" ", F.col("_tk"))).alias("_h"),
+                )
+            )
+        )
+        return (
+            docs.select(
+                "doc_id", "source", norm_tokens(F.col("text")).alias("_tk")
+            )
+            .select("doc_id", "source", F.explode(grams).alias("_g"))
+            .select("doc_id", "source", F.col("_g._p").alias("_p"), F.col("_g._h").alias("_h"))
+            .localCheckpoint(eager=True)
+        )
+
+    return _shared(spark, sf_dir, "sh8_positioned", build)
+
+
 def _bigram_cells(spark: SparkSession, sf_dir: str) -> "DataFrame":
     """ONE checkpointed corpus bigram count table (w1, w2, c) —
     `lm_perplexity` (model side) and `kn_bigram_entropy` each rebuilt
@@ -3164,7 +3254,10 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import repeated_ngram_spans
 
     docs = _ts(spark, sf_dir, "documents")
-    return repeated_ngram_spans(docs, k=_SPAN_K).orderBy("doc_id", "span_start")
+    grams = _sh8(spark, sf_dir).filter(F.col("_p") >= 0).select("doc_id", "_p", "_h")
+    return repeated_ngram_spans(docs, k=_SPAN_K, grams=grams).orderBy(
+        "doc_id", "span_start"
+    )
 
 
 ORACLE_SUBSTRING_SPANS = f"""
@@ -5709,7 +5802,8 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     template/near-copy; also a memorization-risk signal)."""
     from csp_gateway_spark.operators.dedup import ngram_novelty
 
-    out = ngram_novelty(_ts(spark, sf_dir, "documents"), k=_NOVELTY_K)
+    sh = _sh8(spark, sf_dir).select("doc_id", F.col("_h").alias("_s"))
+    out = ngram_novelty(_ts(spark, sf_dir, "documents"), k=_NOVELTY_K, sh=sh)
     # no ORDER BY: the gate compare is order-insensitive and the final
     # global sort exchange was ~5% of the query's wall clock
     return out.select(
@@ -7663,7 +7757,12 @@ def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
     )
-    out = mahalanobis_outliers(li, ["l_quantity", "l_extendedprice", "l_discount"], k=20)
+    out = mahalanobis_outliers(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        k=20,
+        sums=_li_moments(spark, sf_dir),
+    )
     return out.select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_discount", F.round("m2", 6).alias("m2"),
@@ -8757,7 +8856,8 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.dedup import source_overlap
 
     docs = _ts(spark, sf_dir, "documents")
-    out = source_overlap(docs, k=_SO_K)
+    sh = _sh8(spark, sf_dir).select(F.col("source").alias("_src"), "_h")
+    out = source_overlap(docs, k=_SO_K, sh=sh)
     return out.select(
         "src_a", "src_b", "shared", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("src_a", "src_b")
@@ -9250,7 +9350,9 @@ def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import correlation_matrix
 
     li = _t(spark, sf_dir, "lineitem")
-    out = correlation_matrix(li, list(_CORR_COLS), scale=2)
+    out = correlation_matrix(
+        li, list(_CORR_COLS), scale=2, sums=_li_moments(spark, sf_dir)
+    )
     return out.select(
         "var_a",
         "var_b",
@@ -12995,9 +13097,21 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import cronbach_alpha
 
     li = _t(spark, sf_dir, "lineitem")
-    out = cronbach_alpha(
-        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    item_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    sums = _li_moments(spark, sf_dir).select(
+        "_n",
+        *[
+            c
+            for i, col in enumerate(item_cols)
+            for c in (
+                F.col(f"_s_{col}").alias(f"_s{i}"),
+                F.col(f"_ss_{col}").alias(f"_q{i}"),
+            )
+        ],
+        F.col("_st4").alias("_st"),
+        F.col("_qt4").alias("_qt"),
     )
+    out = cronbach_alpha(li, item_cols, sums=sums)
     return out.select(
         "n",
         "k",
@@ -14072,7 +14186,19 @@ def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import partial_corr
 
     li = _t(spark, sf_dir, "lineitem")
-    out = partial_corr(li, "l_quantity", "l_extendedprice", "l_discount")
+    sums = _li_moments(spark, sf_dir).select(
+        "_n",
+        F.col("_s_l_quantity").alias("_sx"),
+        F.col("_s_l_extendedprice").alias("_sy"),
+        F.col("_s_l_discount").alias("_sz"),
+        F.col("_ss_l_quantity").alias("_sxx"),
+        F.col("_ss_l_extendedprice").alias("_syy"),
+        F.col("_ss_l_discount").alias("_szz"),
+        F.col("_sp_l_extendedprice_l_quantity").alias("_sxy"),
+        F.col("_sp_l_discount_l_quantity").alias("_sxz"),
+        F.col("_sp_l_discount_l_extendedprice").alias("_syz"),
+    )
+    out = partial_corr(li, "l_quantity", "l_extendedprice", "l_discount", sums=sums)
     return out.select(
         "n",
         (F.round("r_xy", 6) + F.lit(0.0)).alias("r_xy"),

@@ -1865,6 +1865,7 @@ def mahalanobis_outliers(
     df: DataFrame,
     cols: Sequence[str],
     k: int = 20,
+    sums: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k multivariate outliers by diagonal Mahalanobis distance:
     Σ_c ((x_c − μ_c)² / σ²_c) — the multi-column generalization of the
@@ -1875,15 +1876,25 @@ def mahalanobis_outliers(
     sum-of-squares are associative — map-side combined; decimal(38,4)
     holds squares of 2-decimal inputs exactly), broadcast back as a
     1-row join; the per-row score is a fixed-order sum of identical
-    FP expressions, so it is engine-exact.  Top-k is TakeOrdered."""
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
-        d18 = F.col(c).cast("decimal(18,2)")
-        aggs += [
-            F.sum(d18).alias(f"_s_{c}"),
-            F.sum((d18 * d18).cast("decimal(38,4)")).alias(f"_ss_{c}"),
-        ]
-    moments = df.agg(*aggs)
+    FP expressions, so it is engine-exact.  Top-k is TakeOrdered.
+
+    ``sums``: optional pre-built 1-row moments frame carrying
+    ``_n``/``_s_<col>``/``_ss_<col>`` with the EXACT values this
+    function would aggregate itself (decimal sums are associative, so
+    a shared wider aggregate over the same rows is bit-identical)."""
+    if sums is not None:
+        moments = sums.select(
+            "_n", *[x for c in cols for x in (f"_s_{c}", f"_ss_{c}")]
+        )
+    else:
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in cols:
+            d18 = F.col(c).cast("decimal(18,2)")
+            aggs += [
+                F.sum(d18).alias(f"_s_{c}"),
+                F.sum((d18 * d18).cast("decimal(38,4)")).alias(f"_ss_{c}"),
+            ]
+        moments = df.agg(*aggs)
     out = df.crossJoin(F.broadcast(moments))
     score = None
     for c in cols:
@@ -3547,6 +3558,7 @@ def correlation_matrix(
     df: DataFrame,
     cols: Sequence[str],
     scale: int = 2,
+    sums: DataFrame | None = None,
 ) -> DataFrame:
     """Pairwise Pearson correlations of numeric fact columns in ONE
     scan: every Σx, Σx², Σxy accumulates EXACTLY in decimal (inputs
@@ -3565,23 +3577,27 @@ def correlation_matrix(
             "product path requires 2*scale+1 integer headroom inside "
             "precision 38; pre-round the inputs instead"
         )
-    qcols = {c: F.col(c).cast(f"decimal(18,{scale})") for c in cols}
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
-        aggs.append(F.sum(qcols[c]).alias(f"_s_{c}"))
-        aggs.append(
-            F.sum((qcols[c] * qcols[c]).cast(f"decimal(38,{2 * scale})")).alias(
-                f"_ss_{c}"
-            )
-        )
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
-    for a, b in pairs:
-        aggs.append(
-            F.sum((qcols[a] * qcols[b]).cast(f"decimal(38,{2 * scale})")).alias(
-                f"_sp_{a}_{b}"
+    if sums is None:
+        qcols = {c: F.col(c).cast(f"decimal(18,{scale})") for c in cols}
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in cols:
+            aggs.append(F.sum(qcols[c]).alias(f"_s_{c}"))
+            aggs.append(
+                F.sum((qcols[c] * qcols[c]).cast(f"decimal(38,{2 * scale})")).alias(
+                    f"_ss_{c}"
+                )
             )
-        )
-    sums = df.agg(*aggs)
+        for a, b in pairs:
+            aggs.append(
+                F.sum((qcols[a] * qcols[b]).cast(f"decimal(38,{2 * scale})")).alias(
+                    f"_sp_{a}_{b}"
+                )
+            )
+        sums = df.agg(*aggs)
+    # else: caller supplies a pre-built 1-row frame with the same
+    # _n/_s/_ss/_sp column names and the exact values this aggregate
+    # would produce (decimal sums are order-independent).
     n = F.col("_n").cast("double")
 
     def corr(a: str, b: str):
@@ -7201,7 +7217,9 @@ def brier_decomposition(
 # ---------------------------------------------------------------------------
 
 
-def cronbach_alpha(df: DataFrame, item_cols: list) -> DataFrame:
+def cronbach_alpha(
+    df: DataFrame, item_cols: list, sums: DataFrame | None = None
+) -> DataFrame:
     """Cronbach's alpha internal-consistency coefficient over k
     numeric "item" columns: α = k/(k−1) · (1 − Σᵢσ²ᵢ/σ²_T) with T the
     per-row item total — the standard reliability gate before
@@ -7218,23 +7236,33 @@ def cronbach_alpha(df: DataFrame, item_cols: list) -> DataFrame:
     k = len(item_cols)
     if k < 2:
         raise ValueError("cronbach_alpha needs >= 2 item columns")
-    items = [F.col(c).cast("decimal(18,2)") for c in item_cols]
-    total = items[0].cast("decimal(25,2)")
-    for it in items[1:]:
-        total = (total + it).cast("decimal(25,2)")
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for i, it in enumerate(items):
-        sq = (it.cast("decimal(19,2)") * it.cast("decimal(19,2)")).cast(
+    if sums is not None:
+        # pre-built 1-row frame with _n/_s{i}/_q{i}/_st/_qt carrying
+        # the exact values the aggregate below would produce
+        one = sums.select(
+            "_n",
+            *[x for i in range(k) for x in (f"_s{i}", f"_q{i}")],
+            "_st",
+            "_qt",
+        )
+    else:
+        items = [F.col(c).cast("decimal(18,2)") for c in item_cols]
+        total = items[0].cast("decimal(25,2)")
+        for it in items[1:]:
+            total = (total + it).cast("decimal(25,2)")
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for i, it in enumerate(items):
+            sq = (it.cast("decimal(19,2)") * it.cast("decimal(19,2)")).cast(
+                "decimal(38,4)"
+            )
+            aggs.append(F.sum(it.cast("decimal(38,2)")).alias(f"_s{i}"))
+            aggs.append(F.sum(sq).alias(f"_q{i}"))
+        tsq = (total.cast("decimal(19,2)") * total.cast("decimal(19,2)")).cast(
             "decimal(38,4)"
         )
-        aggs.append(F.sum(it.cast("decimal(38,2)")).alias(f"_s{i}"))
-        aggs.append(F.sum(sq).alias(f"_q{i}"))
-    tsq = (total.cast("decimal(19,2)") * total.cast("decimal(19,2)")).cast(
-        "decimal(38,4)"
-    )
-    aggs.append(F.sum(total.cast("decimal(38,2)")).alias("_st"))
-    aggs.append(F.sum(tsq).alias("_qt"))
-    one = df.agg(*aggs)
+        aggs.append(F.sum(total.cast("decimal(38,2)")).alias("_st"))
+        aggs.append(F.sum(tsq).alias("_qt"))
+        one = df.agg(*aggs)
     n = F.col("_n").cast("double")
 
     def var_num(s, q):
@@ -8520,6 +8548,7 @@ def partial_corr(
     col_x: str,
     col_y: str,
     col_z: str,
+    sums: DataFrame | None = None,
 ) -> DataFrame:
     """First-order partial correlation r_xy·z — the association of x
     and y with z held fixed, from the classic recursion
@@ -8530,27 +8559,35 @@ def partial_corr(
     three squares, three cross products at (19,2)×(19,2)); each
     pairwise r and the partial are closed-form doubles over exact
     sums.  Output: one row (n, r_xy, r_xz, r_yz, partial_r)."""
-    x = F.col(col_x).cast("decimal(18,2)")
-    y = F.col(col_y).cast("decimal(18,2)")
-    z = F.col(col_z).cast("decimal(18,2)")
-
-    def sq(a, b):
-        return F.sum(
-            (a.cast("decimal(19,2)") * b.cast("decimal(19,2)")).cast("decimal(38,4)")
+    if sums is not None:
+        # pre-built 1-row frame with _n/_sx/_sy/_sz/_sxx/_syy/_szz/
+        # _sxy/_sxz/_syz carrying the exact values the aggregate below
+        # would produce (decimal sums are order-independent)
+        one = sums.select(
+            "_n", "_sx", "_sy", "_sz", "_sxx", "_syy", "_szz", "_sxy", "_sxz", "_syz"
         )
+    else:
+        x = F.col(col_x).cast("decimal(18,2)")
+        y = F.col(col_y).cast("decimal(18,2)")
+        z = F.col(col_z).cast("decimal(18,2)")
 
-    one = df.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(x.cast("decimal(38,2)")).alias("_sx"),
-        F.sum(y.cast("decimal(38,2)")).alias("_sy"),
-        F.sum(z.cast("decimal(38,2)")).alias("_sz"),
-        sq(x, x).alias("_sxx"),
-        sq(y, y).alias("_syy"),
-        sq(z, z).alias("_szz"),
-        sq(x, y).alias("_sxy"),
-        sq(x, z).alias("_sxz"),
-        sq(y, z).alias("_syz"),
-    )
+        def sq(a, b):
+            return F.sum(
+                (a.cast("decimal(19,2)") * b.cast("decimal(19,2)")).cast("decimal(38,4)")
+            )
+
+        one = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(x.cast("decimal(38,2)")).alias("_sx"),
+            F.sum(y.cast("decimal(38,2)")).alias("_sy"),
+            F.sum(z.cast("decimal(38,2)")).alias("_sz"),
+            sq(x, x).alias("_sxx"),
+            sq(y, y).alias("_syy"),
+            sq(z, z).alias("_szz"),
+            sq(x, y).alias("_sxy"),
+            sq(x, z).alias("_sxz"),
+            sq(y, z).alias("_syz"),
+        )
     n = F.col("_n").cast("double")
 
     def r(sab, sa, sb, saa, sbb):

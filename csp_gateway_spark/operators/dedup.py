@@ -748,6 +748,7 @@ def repeated_ngram_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    grams: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Token spans covered by k-grams that occur ≥ ``min_count`` times
     across the whole corpus — the exact-substring dedup signal: any
@@ -770,24 +771,27 @@ def repeated_ngram_spans(
     """
     from pyspark.sql.window import Window
 
-    toks = norm_tokens(F.col(text_col))
-    tok_rows = df.select(F.col(id_col), F.posexplode(toks).alias("_p", "_t"))
-    w = Window.partitionBy(id_col).orderBy("_p")
-    leads = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, k)]
-    grams = (
-        tok_rows.select(
-            F.col(id_col),
-            F.col("_p"),
-            _md5_base15(F.concat_ws(" ", *leads)).alias("_h"),
-            F.lead("_t", k - 1).over(w).alias("_ok"),
+    if grams is None:
+        toks = norm_tokens(F.col(text_col))
+        tok_rows = df.select(F.col(id_col), F.posexplode(toks).alias("_p", "_t"))
+        w = Window.partitionBy(id_col).orderBy("_p")
+        leads = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, k)]
+        grams = (
+            tok_rows.select(
+                F.col(id_col),
+                F.col("_p"),
+                _md5_base15(F.concat_ws(" ", *leads)).alias("_h"),
+                F.lead("_t", k - 1).over(w).alias("_ok"),
+            )
+            .filter(F.col("_ok").isNotNull())
+            .select(id_col, "_p", "_h")
         )
-        .filter(F.col("_ok").isNotNull())
-        .select(id_col, "_p", "_h")
-    )
-    # the positioned-gram table feeds BOTH the global hash count and
-    # the semi-join probe; without a checkpoint the posexplode + lead
-    # window + per-position md5 runs twice
-    grams = grams.localCheckpoint(eager=False)
+        # the positioned-gram table feeds BOTH the global hash count and
+        # the semi-join probe; without a checkpoint the posexplode + lead
+        # window + per-position md5 runs twice
+        grams = grams.localCheckpoint(eager=False)
+    # else: caller supplies a (id, _p, _h) positioned-gram table with
+    # identical positions (0-based) and hashes for len>=k docs only.
     repeated = (
         grams.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -1185,6 +1189,7 @@ def ngram_novelty(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sh: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Per-document novelty profile: the fraction of the doc's DISTINCT
     k-gram shingles that occur in no other document — low novelty ⇒
@@ -1212,19 +1217,23 @@ def ngram_novelty(
     doc-keyed frames.  No shingle-table self-join.  Cost ∝ corpus
     shingle count, same as the MinHash signature pass.
     """
-    toks = norm_tokens(F.col(text_col))
-    grams = F.when(
-        F.size("_tk") >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_tk") - F.lit(k - 1)),
-            lambda i: _md5_base15(F.concat_ws(" ", F.slice("_tk", i, k))),
-        ),
-    ).otherwise(F.array(_md5_base15(F.concat_ws(" ", F.col("_tk")))))
-    sh = (
-        df.select(F.col(id_col), toks.alias("_tk"))
-        .select(F.col(id_col), F.explode(grams).alias("_s"))
-        .localCheckpoint(eager=False)
-    )
+    if sh is None:
+        toks = norm_tokens(F.col(text_col))
+        grams = F.when(
+            F.size("_tk") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_tk") - F.lit(k - 1)),
+                lambda i: _md5_base15(F.concat_ws(" ", F.slice("_tk", i, k))),
+            ),
+        ).otherwise(F.array(_md5_base15(F.concat_ws(" ", F.col("_tk")))))
+        sh = (
+            df.select(F.col(id_col), toks.alias("_tk"))
+            .select(F.col(id_col), F.explode(grams).alias("_s"))
+            .localCheckpoint(eager=False)
+        )
+    # else: caller supplies (id, _s) gram-hash rows with identical
+    # semantics (all k-slices for len>=k docs, whole-doc hash below k;
+    # per-doc duplicates tolerated — both aggregates below dedup).
     counts = sh.groupBy(id_col).agg(F.count_distinct("_s").alias("n_grams"))
     novel = (
         sh.groupBy("_s")
@@ -1259,6 +1268,7 @@ def source_overlap(
     k: int = 8,
     source_col: str = "source",
     text_col: str = "text",
+    sh: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Cross-source n-gram overlap matrix: for every pair of sources,
     how many distinct token ``k``-grams they share and the Jaccard of
@@ -1278,19 +1288,18 @@ def source_overlap(
     frame and broadcast back for the Jaccard.
     Output: (src_a, src_b, shared, jaccard)."""
     id_col = "doc_id"
-    tagged = df.select(
-        F.struct(F.col(id_col), F.col(source_col).alias("_src")).alias("_ds"),
-        F.col(text_col),
-    )
-    grouped = (
-        shingle_rows(tagged, text_col, "_ds", k)
-        .select(
+    if sh is None:
+        tagged = df.select(
+            F.struct(F.col(id_col), F.col(source_col).alias("_src")).alias("_ds"),
+            F.col(text_col),
+        )
+        sh = shingle_rows(tagged, text_col, "_ds", k).select(
             F.col("_ds._src").alias("_src"),
             _md5_base15(F.col("_s")).alias("_h"),
         )
-        .groupBy("_h")
-        .agg(F.sort_array(F.collect_set("_src")).alias("_ss"))
-    )
+    # else: caller supplies (_src, _h) gram-hash rows with identical
+    # semantics (duplicates tolerated — collect_set dedups).
+    grouped = sh.groupBy("_h").agg(F.sort_array(F.collect_set("_src")).alias("_ss"))
     # one materialization feeds both consumers (sizes + pair counts)
     grouped = grouped.localCheckpoint(eager=False)
     sizes = (
