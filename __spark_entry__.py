@@ -1546,7 +1546,8 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import vocab_topk
 
     docs = _ts(spark, sf_dir, "documents")
-    return vocab_topk(docs, k=50)
+    counts = _tok_counts(spark, sf_dir).select("token", F.col("_c").alias("n"))
+    return vocab_topk(docs, k=50, counts=counts)
 
 
 ORACLE_VOCAB_TOPK = f"""
@@ -2601,7 +2602,13 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import pmi_collocations
 
     docs = _ts(spark, sf_dir, "documents")
-    out = pmi_collocations(docs, min_count=_PMI_MIN, topk=_PMI_TOPK)
+    out = pmi_collocations(
+        docs,
+        min_count=_PMI_MIN,
+        topk=_PMI_TOPK,
+        c12=_bigram_cells(spark, sf_dir).select("w1", "w2", F.col("c").alias("c12")),
+        c1=_tok_counts(spark, sf_dir).select("token", F.col("_c").alias("c")),
+    )
     return out.select(
         "w1", "w2", "c12", F.round("pmi", 6).alias("pmi")
     ).orderBy("w1", "w2")
@@ -2792,6 +2799,67 @@ def _sh8(spark: SparkSession, sf_dir: str) -> "DataFrame":
         )
 
     return _shared(spark, sf_dir, "sh8_positioned", build)
+
+
+def _src_tok_counts(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """ONE checkpointed (source, token, _c) token count table — the
+    `norm_tokens` occurrence collapse `source_drift` builds and the
+    corpus-wide unigram tables (`_tok_counts`) derive from by summing
+    over sources (exact integer sums; r14).  Vocabulary×sources
+    bounded, far smaller than the token stream."""
+
+    def build():
+        from csp_gateway_spark.operators.text import norm_tokens
+
+        docs = _ts(spark, sf_dir, "documents")
+        return (
+            docs.select(
+                "source", F.explode(norm_tokens(F.col("text"))).alias("token")
+            )
+            .groupBy("source", "token")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .localCheckpoint(eager=True)
+        )
+
+    return _shared(spark, sf_dir, "src_tok_counts", build)
+
+
+def _tok_counts(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """Corpus-wide (token, _c) unigram counts, derived from
+    `_src_tok_counts` (Σ over sources == the direct token_rows groupBy
+    — exact integers; the corpus has no zero-token docs, probed at all
+    three SFs, so the token stream IS the k=1 gram stream).  Serves
+    `vocab_topk`, `pmi_collocations`' unigram side and
+    `distinct_ngrams`' n=1 leg."""
+
+    def build():
+        return (
+            _src_tok_counts(spark, sf_dir)
+            .groupBy("token")
+            .agg(F.sum("_c").alias("_c"))
+            .localCheckpoint(eager=True)
+        )
+
+    return _shared(spark, sf_dir, "tok_counts", build)
+
+
+def _gram_counts3(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """ONE checkpointed (_s, _c) 3-gram shingle count table
+    (`shingle_rows` semantics, short-doc arm included) — shared by
+    `token_coverage` (k=3) and `distinct_ngrams`' n=3 leg (r14)."""
+
+    def build():
+        from csp_gateway_spark.operators.dedup import shingle_rows
+
+        docs = _ts(spark, sf_dir, "documents")
+        return (
+            shingle_rows(docs, "text", "doc_id", 3)
+            .groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .localCheckpoint(eager=True)
+        )
+
+    return _shared(spark, sf_dir, "gram_counts3", build)
 
 
 def _bigram_cells(spark: SparkSession, sf_dir: str) -> "DataFrame":
@@ -5481,7 +5549,7 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import source_drift
 
     docs = _ts(spark, sf_dir, "documents")
-    out = source_drift(docs, top_v=512)
+    out = source_drift(docs, top_v=512, counts=_src_tok_counts(spark, sf_dir))
     return out.select(
         "source",
         "n_tokens",
@@ -8002,7 +8070,9 @@ def q_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import token_coverage
 
     docs = _ts(spark, sf_dir, "documents")
-    return token_coverage(docs, k=3, coverage=(0.5, 0.9, 0.99))
+    return token_coverage(
+        docs, k=3, coverage=(0.5, 0.9, 0.99), counts=_gram_counts3(spark, sf_dir)
+    )
 
 
 ORACLE_TOKEN_COVERAGE = f"""
@@ -13519,7 +13589,18 @@ def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import distinct_ngrams
 
     docs = _ts(spark, sf_dir, "documents")
-    out = distinct_ngrams(docs)
+    out = distinct_ngrams(
+        docs,
+        gram_counts={
+            1: _tok_counts(spark, sf_dir).select(
+                F.col("token").alias("_s"), "_c"
+            ),
+            2: _bigram_cells(spark, sf_dir).select(
+                F.concat_ws(" ", "w1", "w2").alias("_s"), F.col("c").alias("_c")
+            ),
+            3: _gram_counts3(spark, sf_dir),
+        },
+    )
     return out.select(
         F.col("n").cast("long").alias("n"),
         "total_ngrams",

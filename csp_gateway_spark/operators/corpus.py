@@ -29,9 +29,20 @@ def token_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     return df.select(F.col(id_col), F.explode(toks).alias("token"))
 
 
-def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Top-k tokens by total count (ties broken alphabetically)."""
-    counts = token_rows(df, text_col, id_col).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    counts: "Optional[DataFrame]" = None,
+) -> DataFrame:
+    """Top-k tokens by total count (ties broken alphabetically).
+    ``counts``: optional pre-built (token, n) count table with the
+    exact values the groupBy below would produce."""
+    if counts is None:
+        counts = token_rows(df, text_col, id_col).groupBy("token").agg(
+            F.count(F.lit(1)).alias("n")
+        )
     return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
 
 
@@ -220,6 +231,7 @@ def token_coverage(
     coverage=(0.5, 0.9, 0.99),
     text_col: str = "text",
     id_col: str = "doc_id",
+    counts: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """Tokenizer-budget curve: for each requested coverage fraction p,
     the smallest frequency-ranked vocabulary of token ``k``-grams whose
@@ -241,15 +253,19 @@ def token_coverage(
         TARGET_ROWS_PER_BUCKET, global_row_number,
     )
 
-    if k > 1:
-        rows = shingle_rows(df, text_col, id_col, k)
-    else:
-        rows = df.select(
-            F.col(id_col), F.explode(norm_tokens(F.col(text_col))).alias("_s")
+    if counts is None:
+        if k > 1:
+            rows = shingle_rows(df, text_col, id_col, k)
+        else:
+            rows = df.select(
+                F.col(id_col), F.explode(norm_tokens(F.col(text_col))).alias("_s")
+            )
+        counts = rows.groupBy("_s").agg(
+            F.count(F.lit(1)).cast("decimal(18,0)").alias("_c")
         )
-    counts = rows.groupBy("_s").agg(
-        F.count(F.lit(1)).cast("decimal(18,0)").alias("_c")
-    )
+    else:
+        # pre-built (_s, _c) gram-count table with identical semantics
+        counts = counts.select("_s", F.col("_c").cast("decimal(18,0)").alias("_c"))
     ranked = global_row_number(
         counts, "_c", ["_s"], rn_col="_rn", ascending=False,
         cum_value="_c", cum_col="_cum",
@@ -879,6 +895,8 @@ def pmi_collocations(
     topk: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    c12: "Optional[DataFrame]" = None,
+    c1: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """Top-k collocations by pointwise mutual information:
     ``pmi(w1, w2) = ln(N·c12 / (c1·c2))`` over adjacent word pairs
@@ -894,14 +912,19 @@ def pmi_collocations(
     The PMI expression is a single double product/quotient — exact on
     any engine; ranking ties break on (w1, w2).
     """
-    big = bigram_rows(df, text_col, id_col)
-    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    if c12 is None:
+        c12 = bigram_rows(df, text_col, id_col).groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("c12")
+        )
     # unigram counts from the SAME bigram stream (left position) plus
     # each doc's final token: count token occurrences directly instead
-    c1 = token_rows(df, text_col, id_col).groupBy("token").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    ntot = big.agg(F.count(F.lit(1)).cast("double").alias("_N"))
+    if c1 is None:
+        c1 = token_rows(df, text_col, id_col).groupBy("token").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    # N (the bigram total) from the count table itself — Σc12 equals
+    # the stream count exactly, and saves a second bigram scan
+    ntot = c12.agg(F.sum("c12").cast("double").alias("_N"))
     head = c12.filter(F.col("c12") >= int(min_count))
     joined = (
         head.join(c1.select(F.col("token").alias("w1"), F.col("c").alias("c1")), "w1")
@@ -958,6 +981,7 @@ def source_drift(
     id_col: str = "doc_id",
     top_v: int = 512,
     k: float = 0.5,
+    counts: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """Per-group distribution-drift report: KL(group ‖ corpus) over
     unigram distributions — the monitoring statistic that catches a
@@ -982,20 +1006,28 @@ def source_drift(
 
     Output: (group_col, n_tokens, oov_rate, kl).
     """
-    toks = norm_tokens(F.col(text_col))
-    rows = df.select(F.col(group_col), F.explode(toks).alias("token"))
-    corpus_counts = rows.groupBy("token").agg(F.count(F.lit(1)).alias("c_corp"))
+    # r14: collapse the token stream ONCE into (group, token, count)
+    # cells — the four downstream consumers (corpus counts, corpus
+    # total, per-group totals, per-(group, vocab-token) counts) each
+    # re-ran the tokenize + explode otherwise.  Exact: every quantity
+    # below is a sum of the same integer counts.
+    if counts is None:
+        toks = norm_tokens(F.col(text_col))
+        rows = df.select(F.col(group_col), F.explode(toks).alias("token"))
+        counts = rows.groupBy(group_col, "token").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        counts = counts.localCheckpoint(eager=False)
+    corpus_counts = counts.groupBy("token").agg(F.sum("_c").alias("c_corp"))
     vocab = corpus_counts.orderBy(F.desc("c_corp"), F.asc("token")).limit(top_v)
     # 1-row corpus stats: total tokens, vocab size, vocab token total
     vstats = vocab.agg(
         F.count(F.lit(1)).alias("v"), F.sum("c_corp").alias("vocab_corp")
     )
-    cstats = rows.agg(F.count(F.lit(1)).alias("n_c")).crossJoin(F.broadcast(vstats))
-    src_tot = rows.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_s"))
-    src_vocab = (
-        rows.join(F.broadcast(vocab.select("token")), "token")
-        .groupBy(group_col, "token")
-        .agg(F.count(F.lit(1)).alias("c_s"))
+    cstats = counts.agg(F.sum("_c").alias("n_c")).crossJoin(F.broadcast(vstats))
+    src_tot = counts.groupBy(group_col).agg(F.sum("_c").alias("n_s"))
+    src_vocab = counts.join(F.broadcast(vocab.select("token")), "token").select(
+        group_col, "token", F.col("_c").alias("c_s")
     )
     # dense grid (every group × vocab token, zeros filled) + OOV bucket
     grid = (
@@ -1792,6 +1824,7 @@ def distinct_ngrams(
     text_col: str = "text",
     id_col: str = "doc_id",
     orders: tuple = (1, 2, 3),
+    gram_counts: "Optional[dict]" = None,
 ) -> DataFrame:
     """Corpus n-gram diversity (the "distinct-n" generation metric):
     for each n, the number of distinct token n-grams, the total
@@ -1808,17 +1841,26 @@ def distinct_ngrams(
     distinct_ratio)."""
     from csp_gateway_spark.operators.dedup import shingle_rows
 
-    tagged = None
+    # per-order gram-count frames: either injected ((_s, _c) tables
+    # with identical shingle semantics — grouping per order is
+    # independent, so per-leg aggregates union to the same totals as
+    # the original single union-then-groupBy) or built from
+    # shingle_rows as before
+    per_order = None
     for n in orders:
-        rows = shingle_rows(docs, text_col=text_col, id_col=id_col, k=int(n)).select(
-            F.lit(int(n)).alias("_n"), F.col("_s")
-        )
-        tagged = rows if tagged is None else tagged.unionByName(rows)
-    per_gram = tagged.groupBy("_n", "_s").agg(F.count(F.lit(1)).alias("_c"))
-    out = per_gram.groupBy("_n").agg(
-        F.sum("_c").cast("long").alias("total_ngrams"),
-        F.count(F.lit(1)).alias("distinct_ngrams"),
-    )
+        pre = (gram_counts or {}).get(int(n))
+        if pre is None:
+            pre = (
+                shingle_rows(docs, text_col=text_col, id_col=id_col, k=int(n))
+                .groupBy("_s")
+                .agg(F.count(F.lit(1)).alias("_c"))
+            )
+        leg = pre.agg(
+            F.sum("_c").cast("long").alias("total_ngrams"),
+            F.count(F.lit(1)).alias("distinct_ngrams"),
+        ).select(F.lit(int(n)).alias("_n"), "total_ngrams", "distinct_ngrams")
+        per_order = leg if per_order is None else per_order.unionByName(leg)
+    out = per_order
     return out.select(
         F.col("_n").alias("n"),
         "total_ngrams",
