@@ -7,6 +7,7 @@ oracle for each.  Column names are aliased identically on both sides.
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 
 from collections.abc import Callable
@@ -8049,10 +8050,7 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import mann_kendall
 
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.select(
-        F.unix_date(F.col("o_orderdate").cast("date")).alias("k"),
-        F.col("o_totalprice").alias("y"),
-    )
+    daily = _dr(spark, sf_dir, "k", "y", unix_key=True)
     out = mann_kendall(daily, "k", "y")
     return out.select(
         "n",
@@ -8165,10 +8163,7 @@ def q_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import pettitt_test
 
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.select(
-        F.unix_date(F.col("o_orderdate").cast("date")).alias("k"),
-        F.col("o_totalprice").alias("y"),
-    )
+    daily = _dr(spark, sf_dir, "k", "y", unix_key=True)
     out = pettitt_test(daily, "k", "y")
     return out.select(
         "n", "k_stat", "split_key",
@@ -8341,8 +8336,8 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     double expression over exact inputs."""
     from csp_gateway_spark.operators.analytics import cusum_scores
 
-    orders = _t(spark, sf_dir, "orders")
-    out = cusum_scores(orders, F.col("o_orderdate"), "o_totalprice")
+    daily = _dr(spark, sf_dir, "day", "o_totalprice", date_key=True)
+    out = cusum_scores(daily, F.col("day"), "o_totalprice")
     return out.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "t",
@@ -9912,13 +9907,7 @@ def q_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import lag_correlations
 
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("rev")
-    )
+    daily = _daily_revenue(spark, sf_dir)
     out = lag_correlations(daily, "day_num", "rev", max_lag=_LAG_CORR_MAX)
     return out.select(
         "lag",
@@ -10103,13 +10092,7 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import holt_forecast
 
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("rev")
-    )
+    daily = _dr(spark, sf_dir, "day_num", "rev", double_val=True)
     out = holt_forecast(daily, "day_num", "rev", alpha=0.5, beta=0.25, horizon=7)
     return out.select(
         "h", (F.round("forecast", 4) + F.lit(0.0)).alias("forecast")
@@ -10211,13 +10194,7 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import changepoint
 
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("rev")
-    )
+    daily = _daily_revenue(spark, sf_dir)
     out = changepoint(daily, "day_num", "rev")
     return out.select(
         "n",
@@ -10423,13 +10400,7 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import runs_test
 
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("rev")
-    )
+    daily = _daily_revenue(spark, sf_dir)
     out = runs_test(daily, "day_num", "rev")
     return out.select(
         "n_pos",
@@ -10480,13 +10451,7 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import max_drawdown
 
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("rev")
-    )
+    daily = _daily_revenue(spark, sf_dir)
     out = max_drawdown(daily, "day_num", "rev")
     return out.select("n", "trough_key", "peak", "trough", "drawdown")
 
@@ -10674,13 +10639,7 @@ def q_quadratic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import quadratic_trend
 
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("rev")
-    )
+    daily = _daily_revenue(spark, sf_dir)
     out = quadratic_trend(daily, "day_num", "rev")
     return out.select(
         "n",
@@ -10787,13 +10746,7 @@ def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import jarque_bera
 
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("rev")
-    )
+    daily = _daily_revenue(spark, sf_dir)
     out = jarque_bera(daily, "day_num", "rev")
     return out.select(
         "n",
@@ -10846,13 +10799,7 @@ def q_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import grubbs_test
 
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("rev")
-    )
+    daily = _daily_revenue(spark, sf_dir)
     out = grubbs_test(daily, "day_num", "rev")
     return out.select(
         "n",
@@ -10956,13 +10903,7 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import holt_winters
 
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("day_num")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("rev")
-    )
+    daily = _dr(spark, sf_dir, "day_num", "rev", double_val=True)
     out = holt_winters(daily, "day_num", "rev", period=7, horizon=7)
     return out.select(
         "h", (F.round("forecast", 4) + F.lit(0.0)).alias("forecast")
@@ -11633,9 +11574,7 @@ def q_bollinger_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import bollinger_bands
 
     orders = _t(spark, sf_dir, "orders")
-    base = orders.select(
-        F.to_date("o_orderdate").alias("day"), F.col("o_totalprice")
-    )
+    base = _dr(spark, sf_dir, "day", "o_totalprice", date_key=True)
     out = bollinger_bands(base, "day", "o_totalprice", n=20, k=2.0)
     # readout discipline (sf0.1 lesson): mid = Σ/20 TERMINATES in
     # decimal, so it lands exactly on .005 round boundaries where the
@@ -11699,9 +11638,7 @@ def q_rsi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import rsi
 
     orders = _t(spark, sf_dir, "orders")
-    base = orders.select(
-        F.to_date("o_orderdate").alias("day"), F.col("o_totalprice")
-    )
+    base = _dr(spark, sf_dir, "day", "o_totalprice", date_key=True)
     out = rsi(base, "day", "o_totalprice", n=14)
     return out.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -11752,9 +11689,7 @@ def q_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import realized_volatility
 
     orders = _t(spark, sf_dir, "orders")
-    base = orders.select(
-        F.to_date("o_orderdate").alias("day"), F.col("o_totalprice")
-    )
+    base = _dr(spark, sf_dir, "day", "o_totalprice", date_key=True)
     out = realized_volatility(base, "day", "o_totalprice")
     return out.select(
         F.date_format("month", "yyyy-MM").alias("month"),
@@ -12298,9 +12233,7 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import stl_decompose
 
     orders = _t(spark, sf_dir, "orders")
-    base = orders.select(
-        F.to_date("o_orderdate").alias("day"), F.col("o_totalprice")
-    )
+    base = _dr(spark, sf_dir, "day", "o_totalprice", date_key=True)
     out = stl_decompose(base, "day", "o_totalprice", period=7, ma=7)
     return out.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -12358,9 +12291,7 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import seasonal_anomaly
 
     orders = _t(spark, sf_dir, "orders")
-    base = orders.select(
-        F.to_date("o_orderdate").alias("day"), F.col("o_totalprice")
-    )
+    base = _dr(spark, sf_dir, "day", "o_totalprice", date_key=True)
     out = seasonal_anomaly(base, "day", "o_totalprice", threshold=2.5)
     return out.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -12403,9 +12334,7 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import pacf
 
     orders = _t(spark, sf_dir, "orders")
-    base = orders.select(
-        F.to_date("o_orderdate").alias("day"), F.col("o_totalprice")
-    )
+    base = _dr(spark, sf_dir, "day", "o_totalprice", date_key=True)
     out = pacf(base, "day", "o_totalprice", max_lag=7)
     return out.select(
         F.col("lag").cast("long").alias("lag"),
@@ -12724,9 +12653,7 @@ def q_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import ar_forecast
 
     orders = _t(spark, sf_dir, "orders")
-    base = orders.select(
-        F.to_date("o_orderdate").alias("day"), F.col("o_totalprice")
-    )
+    base = _dr(spark, sf_dir, "day", "o_totalprice", date_key=True)
     out = ar_forecast(base, "day", "o_totalprice", p=7, horizon=7)
     return out.select(
         "h", (F.round("forecast", 4) + F.lit(0.0)).alias("forecast")
@@ -13640,10 +13567,7 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import durbin_watson
 
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.select(
-        F.unix_date(F.col("o_orderdate").cast("date")).alias("k"),
-        F.col("o_totalprice").alias("y"),
-    )
+    daily = _dr(spark, sf_dir, "k", "y", unix_key=True)
     out = durbin_watson(daily, "k", "y")
     return out.select("n", (F.round("dw", 6) + F.lit(0.0)).alias("dw"))
 
@@ -15047,6 +14971,40 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared(spark, sf_dir, "daily_revenue", build)
 
 
+#: unix_date(day) == day_num + this offset (both are exact day counts)
+_DR_UNIX_OFFSET = (_dt.date(1992, 1, 1) - _dt.date(1970, 1, 1)).days
+
+
+def _dr(
+    spark: SparkSession,
+    sf_dir: str,
+    key: str,
+    val: str,
+    *,
+    date_key: bool = False,
+    unix_key: bool = False,
+    double_val: bool = False,
+) -> DataFrame:
+    """Renamed views over the ONE shared `_daily_revenue` collapse for
+    the whole daily-series family (r14).  Every consumer's own first
+    step is ``groupBy(day).agg(SUM(CAST(price AS DECIMAL(18,2))))`` —
+    re-aggregating the pre-collapsed (day, rev) series through that
+    step is the identity (one row per key; the (18,2) cast is a no-op
+    on rev), so results are bit-identical.  Key encodings map
+    exactly: ``date_key`` reconstructs the calendar date
+    (date_add(epoch, day_num) inverts datediff), ``unix_key`` shifts
+    to unix_date's 1970 epoch by the constant day offset."""
+    df = _daily_revenue(spark, sf_dir)
+    if date_key:
+        k = F.date_add(F.lit(_LAG_CORR_EPOCH).cast("date"), F.col("day_num"))
+    elif unix_key:
+        k = F.col("day_num") + F.lit(_DR_UNIX_OFFSET)
+    else:
+        k = F.col("day_num")
+    v = F.col("rev").cast("double") if double_val else F.col("rev")
+    return df.select(k.alias(key), v.alias(val))
+
+
 _SQL_DAILY_REV = f"""
   SELECT CAST(date_diff('day', DATE '{_LAG_CORR_EPOCH}', o_orderdate) AS BIGINT) AS x,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
@@ -15564,10 +15522,7 @@ def q_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import dickey_fuller
 
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.select(
-        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("k"),
-        F.col("o_totalprice").alias("v"),
-    )
+    daily = _dr(spark, sf_dir, "k", "v")
     out = dickey_fuller(daily, "k", "v")
     return out.select(
         "n_pairs",
@@ -15617,10 +15572,7 @@ def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import hurst_exponent
 
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.select(
-        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("k"),
-        F.col("o_totalprice").alias("v"),
-    )
+    daily = _dr(spark, sf_dir, "k", "v")
     out = hurst_exponent(daily, "k", "v", window_sizes=_HURST_WS)
     return out.select(
         "w",
@@ -15853,10 +15805,7 @@ def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import variance_ratio
 
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.select(
-        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("k"),
-        F.col("o_totalprice").alias("v"),
-    )
+    daily = _dr(spark, sf_dir, "k", "v")
     out = variance_ratio(daily, "k", "v", q=_VR_Q)
     return out.select(
         "n1", "nq",
@@ -16436,10 +16385,7 @@ def q_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import arch_lm
 
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.select(
-        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("k"),
-        F.col("o_totalprice").alias("v"),
-    )
+    daily = _dr(spark, sf_dir, "k", "v")
     out = arch_lm(daily, "k", "v")
     return out.select(
         "n_pairs",
@@ -16495,10 +16441,7 @@ def q_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.analytics import kpss_test
 
     orders = _t(spark, sf_dir, "orders")
-    daily = orders.select(
-        F.datediff(F.col("o_orderdate"), F.lit(_LAG_CORR_EPOCH)).alias("k"),
-        F.col("o_totalprice").alias("v"),
-    )
+    daily = _dr(spark, sf_dir, "k", "v")
     out = kpss_test(daily, "k", "v", lags=_KPSS_LAGS)
     return out.select(
         "n",
