@@ -196,6 +196,43 @@ def _ra_price_cells(spark: SparkSession, sf_dir: str):
     return _shared(spark, sf_dir, "ra_price_cells15", build)
 
 
+def _pctl_probe(df: DataFrame, col: str, probs: list) -> list:
+    """Exact `percentile(col, p)` values via the probe_order_stats
+    engine instead of the value→count-map aggregate (r14; the map
+    build over ~594k near-unique doubles measured 1.6 s vs ~0.5 s for
+    the log-depth probe).  Bit-identical reconstruction: Spark's
+    Percentile evaluates pos = p·(n−1) in doubles, takes the adjacent
+    order statistics, and interpolates (ceil(pos)−pos)·lo +
+    (pos−floor(pos))·hi — verified bitwise against the aggregate on
+    60/60 randomized trials; Python floats are the same IEEE doubles.
+    NOT memoized — the probe jobs run on every call, inside the timed
+    region, like the aggregate they replace."""
+    import math
+
+    from csp_gateway_spark.operators.analytics import probe_order_stats
+
+    vals = df.filter(F.col(col).isNotNull())
+    n = int(vals.agg(F.count(F.col(col)).alias("n")).collect()[0]["n"])
+    ranks: dict = {}
+    metas = []
+    for i, p in enumerate(probs):
+        pos = float(p) * (n - 1)
+        ranks[f"_lo{i}"] = int(math.floor(pos)) + 1
+        ranks[f"_hi{i}"] = int(math.ceil(pos)) + 1
+        metas.append((pos, f"_lo{i}", f"_hi{i}"))
+    got = probe_order_stats(vals, col, ranks)
+    out = []
+    for pos, lo_name, hi_name in metas:
+        lo_v, hi_v = got[lo_name], got[hi_name]
+        if math.floor(pos) == math.ceil(pos):
+            out.append(lo_v)
+        else:
+            out.append(
+                (math.ceil(pos) - pos) * lo_v + (pos - math.floor(pos)) * hi_v
+            )
+    return out
+
+
 def _li_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE exact-decimal moment scan over the four lineitem fact
     columns — n, Σx, Σx², all six Σxy cross products, plus the
@@ -6074,7 +6111,14 @@ def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price",
         "qty",
     )
-    w = winsorize(orig, ["price", "qty"], lower=0.05, upper=0.95)
+    lo_p, hi_p = _pctl_probe(li.select("price"), "price", [0.05, 0.95])
+    w = winsorize(
+        orig,
+        ["price", "qty"],
+        lower=0.05,
+        upper=0.95,
+        bounds={"price": (lo_p, hi_p)},
+    )
     return w.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("price"), 6).alias("min_price"),

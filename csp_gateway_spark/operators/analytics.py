@@ -894,7 +894,7 @@ def profile_table(df, cols=None, exact: bool = True):
 
 
 def winsorize(df, cols, lower: float = 0.01, upper: float = 0.99,
-              keep_bounds: bool = False):
+              keep_bounds: bool = False, bounds: dict | None = None):
     """Percentile winsorization: clip each numeric column to its
     [lower, upper] quantiles — the outlier treatment applied to
     feature columns (lengths, scores, prices) before they feed
@@ -914,18 +914,37 @@ def winsorize(df, cols, lower: float = 0.01, upper: float = 0.99,
     cols = list(cols)
     # one percentile aggregate per column with BOTH probe points: each
     # exact-percentile aggregate holds a full value->count map, so two
-    # separate aggs per column doubled the final reducer's state
+    # separate aggs per column doubled the final reducer's state.
+    # ``bounds``: optional {col: (lo, hi)} pre-computed floats (must
+    # be bit-identical to what the aggregate would return, e.g. from
+    # probe_order_stats + the percentile interpolation formula) —
+    # those columns skip the aggregate entirely.
+    pre = bounds or {}
+    agg_cols = [c for c in cols if c not in pre]
     aggs = [
         F.expr(f"percentile({c}, array({float(lower)}, {float(upper)}))").alias(
             f"_b_{c}"
         )
-        for c in cols
+        for c in agg_cols
     ]
-    bounds = df.agg(*aggs).select(
-        *[F.col(f"_b_{c}")[0].alias(f"_lo_{c}") for c in cols],
-        *[F.col(f"_b_{c}")[1].alias(f"_hi_{c}") for c in cols],
-    )
-    out = df.crossJoin(F.broadcast(bounds))
+    lit_sel = [
+        x
+        for c in cols
+        if c in pre
+        for x in (
+            F.lit(float(pre[c][0])).alias(f"_lo_{c}"),
+            F.lit(float(pre[c][1])).alias(f"_hi_{c}"),
+        )
+    ]
+    if agg_cols:
+        bframe = df.agg(*aggs).select(
+            *[F.col(f"_b_{c}")[0].alias(f"_lo_{c}") for c in agg_cols],
+            *[F.col(f"_b_{c}")[1].alias(f"_hi_{c}") for c in agg_cols],
+            *lit_sel,
+        )
+        out = df.crossJoin(F.broadcast(bframe))
+    else:
+        out = df.select("*", *lit_sel)
     for c in cols:
         clipped = F.least(
             F.greatest(F.col(c).cast("double"), F.col(f"_lo_{c}")), F.col(f"_hi_{c}")
