@@ -5761,8 +5761,13 @@ def q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _ts(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") == _BACKOFF_TRAIN_SRC)
+    c1 = (
+        _src_tok_counts(spark, sf_dir)
+        .filter(F.col("source") == _BACKOFF_TRAIN_SRC)
+        .select("token", F.col("_c").alias("_c1"))
+    )
     return (
-        lm_score_backoff(docs, train)
+        lm_score_backoff(docs, train, c1=c1)
         .select(
             "doc_id",
             F.round("avg_logs", 6).alias("avg_logs"),

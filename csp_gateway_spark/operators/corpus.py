@@ -1101,6 +1101,7 @@ def lm_score_backoff(
     id_col: str = "doc_id",
     alpha: float = 0.5,
     floor_k: float = 0.5,
+    c1: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """Trigram LM with STUPID BACKOFF (Brants et al. 2007, "Large
     Language Models in Machine Translation" §4) trained on a REFERENCE
@@ -1127,9 +1128,13 @@ def lm_score_backoff(
     c3g = tri_train.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("_c123"))
     big_train = bigram_rows(train, text_col, id_col)
     c2g = big_train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
-    uni_train = token_rows(train, text_col, id_col)
-    c1g = uni_train.groupBy("token").agg(F.count(F.lit(1)).alias("_c1"))
-    n1 = uni_train.agg(F.count(F.lit(1)).cast("double").alias("_N"))
+    if c1 is None:
+        uni_train = token_rows(train, text_col, id_col)
+        c1 = uni_train.groupBy("token").agg(F.count(F.lit(1)).alias("_c1"))
+    # N from the count table itself — Σ_c1 equals the token-stream
+    # count exactly, and saves one more tokenize of the train set
+    c1g = c1
+    n1 = c1g.agg(F.sum("_c1").cast("double").alias("_N"))
 
     tri = trigram_rows(df, text_col, id_col)
     j = (
