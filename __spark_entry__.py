@@ -1603,7 +1603,10 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import tf_idf
 
     docs = _ts(spark, sf_dir, "documents")
-    out = tf_idf(docs)
+    tf = _postings(spark, sf_dir).select(
+        F.col("doc_id"), F.col("token"), F.col("tf")
+    )
+    out = tf_idf(docs, tf=tf)
     return out.filter(F.col("doc_id") < 20).select(
         "doc_id", "token", "tf", "df", F.round("tfidf", 6).alias("tfidf")
     )
@@ -2879,6 +2882,36 @@ def _tok_counts(spark: SparkSession, sf_dir: str) -> "DataFrame":
         )
 
     return _shared(spark, sf_dir, "tok_counts", build)
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """ONE checkpointed (token, doc_id, tf) posting table — the
+    retrieval family's shared inverted index (`bm25_topk`,
+    `hybrid_search`'s lexical side, `retrieval_metrics`, `mmr_rerank`
+    and `tfidf` each rebuilt it; r14).  (doc, distinct-token)
+    bounded."""
+
+    def build():
+        from csp_gateway_spark.operators.retrieval import postings
+
+        docs = _ts(spark, sf_dir, "documents")
+        return postings(docs).localCheckpoint(eager=True)
+
+    return _shared(spark, sf_dir, "postings", build)
+
+
+def _doc_lengths(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """ONE checkpointed (doc_id, dl) token-length table (scan-local
+    semantics preserved — built from `doc_lengths` itself so docs
+    with zero tokens keep their dl=0 row; r14)."""
+
+    def build():
+        from csp_gateway_spark.operators.retrieval import doc_lengths
+
+        docs = _ts(spark, sf_dir, "documents")
+        return doc_lengths(docs).localCheckpoint(eager=True)
+
+    return _shared(spark, sf_dir, "doc_lengths", build)
 
 
 def _gram_counts3(spark: SparkSession, sf_dir: str) -> "DataFrame":
@@ -5445,7 +5478,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.retrieval import bm25_topk
 
     docs = _ts(spark, sf_dir, "documents")
-    out = bm25_topk(docs, _BM25_TERMS, k=20)
+    out = bm25_topk(
+        docs, _BM25_TERMS, k=20,
+        post=_postings(spark, sf_dir), lengths=_doc_lengths(spark, sf_dir),
+    )
     return out.select(
         "doc_id",
         F.col("n_terms").cast("long").alias("n_terms"),
@@ -6363,7 +6399,10 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _ts(spark, sf_dir, "documents")
     emb = _ts(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    lex = bm25_topk(docs, _BM25_TERMS, k=50).select("doc_id", "score")
+    lex = bm25_topk(
+        docs, _BM25_TERMS, k=50,
+        post=_postings(spark, sf_dir), lengths=_doc_lengths(spark, sf_dir),
+    ).select("doc_id", "score")
     sem = cosine_topk(emb.filter(F.col("vec_id") != 0), qv, k=50).select(
         F.col("vec_id").alias("doc_id"), F.col("cos").alias("score")
     )
@@ -12083,7 +12122,10 @@ def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.retrieval import retrieval_eval
 
     docs = _ts(spark, sf_dir, "documents")
-    out = retrieval_eval(docs, _REVAL_TERMS, k=10, rel_tf=3)
+    out = retrieval_eval(
+        docs, _REVAL_TERMS, k=10, rel_tf=3,
+        post=_postings(spark, sf_dir), lengths=_doc_lengths(spark, sf_dir),
+    )
     return out.select(
         "term",
         "n_cand",
@@ -12858,7 +12900,10 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.retrieval import mmr_rerank
 
     docs = _ts(spark, sf_dir, "documents")
-    out = mmr_rerank(docs, _REVAL_TERMS, k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAM)
+    out = mmr_rerank(
+        docs, _REVAL_TERMS, k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAM,
+        post=_postings(spark, sf_dir), lengths=_doc_lengths(spark, sf_dir),
+    )
     return out.select(
         "term",
         "rank",

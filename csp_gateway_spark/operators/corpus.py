@@ -46,15 +46,23 @@ def vocab_topk(
     return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
 
 
-def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tf: "Optional[DataFrame]" = None,
+) -> DataFrame:
     """Smooth TF-IDF: tf = count in doc; idf = ln((N+1)/(df+1)) + 1.
     One shuffle for (doc, token) counts, one for document frequency.
     N is fused into the plan as a 1-row broadcast aggregate (same
     pattern as ``lm_score``) — no separate ``.count()`` action, no
-    second scan of the corpus."""
+    second scan of the corpus.  ``tf``: optional pre-built (id, token,
+    tf) count table with identical values (the retrieval family's
+    postings table, reordered)."""
     nd = df.agg((F.count(F.lit(1)) + F.lit(1)).cast("double").alias("_n1"))
-    tok = token_rows(df, text_col, id_col)
-    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    if tf is None:
+        tok = token_rows(df, text_col, id_col)
+        tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     out = (
         tf.join(dfreq, "token")

@@ -119,6 +119,8 @@ def bm25_scores(
     id_col: str = "doc_id",
     k1: float = 1.5,
     b: float = 0.75,
+    post: DataFrame | None = None,
+    lengths: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 score of every document matching ≥1 query term.
 
@@ -130,9 +132,12 @@ def bm25_scores(
     terms are shuffled; dl/avgdl/N come from scan-local projections
     and a broadcast 1-row aggregate.
     """
-    lengths = doc_lengths(df, text_col, id_col)
+    if lengths is None:
+        lengths = doc_lengths(df, text_col, id_col)
+    if post is None:
+        post = postings(df, text_col, id_col)
     return _bm25_from_postings(
-        postings(df, text_col, id_col),
+        post,
         lengths,
         _corpus_stats(lengths),
         terms,
@@ -150,11 +155,13 @@ def bm25_topk(
     id_col: str = "doc_id",
     k1: float = 1.5,
     b: float = 0.75,
+    post: DataFrame | None = None,
+    lengths: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k by (score desc, id asc) — compiles to
     TakeOrderedAndProject, per-partition partial top-k."""
     return (
-        bm25_scores(df, terms, text_col, id_col, k1, b)
+        bm25_scores(df, terms, text_col, id_col, k1, b, post=post, lengths=lengths)
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
@@ -285,6 +292,8 @@ def retrieval_eval(
     id_col: str = "doc_id",
     k1: float = 1.5,
     b: float = 0.75,
+    post: DataFrame | None = None,
+    lengths: DataFrame | None = None,
 ) -> DataFrame:
     """Ranking-quality evaluation of single-term BM25 retrieval:
     NDCG@k, MRR@k and recall@k per query term, with binary relevance
@@ -300,11 +309,12 @@ def retrieval_eval(
     rel_at_k, ndcg, mrr, recall)."""
     from pyspark.sql import Window
 
-    lengths = doc_lengths(df, text_col, id_col)
+    if lengths is None:
+        lengths = doc_lengths(df, text_col, id_col)
     stats = _corpus_stats(lengths)
-    matched = postings(df, text_col, id_col).filter(
-        F.col("token").isin(list(terms))
-    )
+    if post is None:
+        post = postings(df, text_col, id_col)
+    matched = post.filter(F.col("token").isin(list(terms)))
     dfreq = matched.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         matched.join(F.broadcast(dfreq), "token")
@@ -391,6 +401,8 @@ def mmr_rerank(
     id_col: str = "doc_id",
     k1: float = 1.5,
     b: float = 0.75,
+    post: DataFrame | None = None,
+    lengths: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance re-ranking of the per-term BM25
     candidate pool: greedily select ``k`` of the top-``pool``
@@ -407,11 +419,12 @@ def mmr_rerank(
     postings-only BM25 shuffle.  Output: (term, rank, doc_id, mmr)."""
     from pyspark.sql import Window
 
-    lengths = doc_lengths(df, text_col, id_col)
+    if lengths is None:
+        lengths = doc_lengths(df, text_col, id_col)
     stats = _corpus_stats(lengths)
-    matched = postings(df, text_col, id_col).filter(
-        F.col("token").isin(list(terms))
-    )
+    if post is None:
+        post = postings(df, text_col, id_col)
+    matched = post.filter(F.col("token").isin(list(terms)))
     dfreq = matched.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         matched.join(F.broadcast(dfreq), "token")
