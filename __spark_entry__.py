@@ -12498,7 +12498,12 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import burrows_delta
 
     docs = _ts(spark, sf_dir, "documents")
-    out = burrows_delta(docs, top_v=50)
+    counts = _src_tok_counts(spark, sf_dir).select(
+        F.col("token").alias("_w"),
+        F.col("source").alias("_g"),
+        F.col("_c").cast("long").alias("_c"),
+    )
+    out = burrows_delta(docs, top_v=50, counts=counts)
     return out.select(
         "source_a",
         "source_b",

@@ -1661,6 +1661,7 @@ def burrows_delta(
     top_v: int = 50,
     text_col: str = "text",
     by: str = "source",
+    counts: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """Burrows' Delta stylometric distance between every pair of
     groups: z-score each of the ``top_v`` most frequent words'
@@ -1674,16 +1675,23 @@ def burrows_delta(
     relative frequencies are exact-integer ratios, everything after
     is identical closed-form doubles.  Output per unordered pair:
     (source_a, source_b, delta)."""
-    toks = (
-        df.select(F.col(by).alias("_g"), F.explode(norm_tokens(F.col(text_col))).alias("_w"))
-    )
-    totals = toks.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    counts = toks.groupBy("_w", "_g").agg(
-        F.count(F.lit(1)).cast("long").alias("_c")
-    )
+    # r14: all three token consumers (per-group totals, per-(word,
+    # group) counts, the top-V vocabulary head) derive from one
+    # (group, word, count) cell table — injected (``counts``) or built
+    # once here; sums of the same exact integers either way.
+    if counts is None:
+        toks = df.select(
+            F.col(by).alias("_g"),
+            F.explode(norm_tokens(F.col(text_col))).alias("_w"),
+        )
+        counts = toks.groupBy("_w", "_g").agg(
+            F.count(F.lit(1)).cast("long").alias("_c")
+        )
+        counts = counts.localCheckpoint(eager=False)
+    totals = counts.groupBy("_g").agg(F.sum("_c").cast("long").alias("_n"))
     vocab = (
-        toks.groupBy("_w")
-        .agg(F.count(F.lit(1)).cast("long").alias("_tc"))
+        counts.groupBy("_w")
+        .agg(F.sum("_c").cast("long").alias("_tc"))
         .orderBy(F.desc("_tc"), F.asc("_w"))
         .limit(top_v)
         .select("_w")
