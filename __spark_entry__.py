@@ -2884,6 +2884,21 @@ def _tok_counts(spark: SparkSession, sf_dir: str) -> "DataFrame":
     return _shared(spark, sf_dir, "tok_counts", build)
 
 
+def _rake_occ(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """ONE checkpointed UNCAPPED (doc_id, phrase, plen) RAKE phrase
+    table — `rake_keywords` (cap 4, a pure plen filter) and
+    `textrank_keywords` (uncapped) each rebuilt the identical
+    stopword-run split otherwise (r14)."""
+
+    def build():
+        from csp_gateway_spark.operators.corpus import rake_phrases
+
+        docs = _ts(spark, sf_dir, "documents")
+        return rake_phrases(docs, None, 10**9).localCheckpoint(eager=True)
+
+    return _shared(spark, sf_dir, "rake_occ", build)
+
+
 def _postings(spark: SparkSession, sf_dir: str) -> "DataFrame":
     """ONE checkpointed (token, doc_id, tf) posting table — the
     retrieval family's shared inverted index (`bm25_topk`,
@@ -17225,7 +17240,7 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import rake_keywords
 
     docs = _ts(spark, sf_dir, "documents")
-    out = rake_keywords(docs, topk=50)
+    out = rake_keywords(docs, topk=50, occ=_rake_occ(spark, sf_dir))
     return out.select(
         "phrase",
         "n",
@@ -17264,7 +17279,7 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csp_gateway_spark.operators.corpus import textrank_keywords
 
     docs = _ts(spark, sf_dir, "documents")
-    out = textrank_keywords(docs, topk=50, iters=2)
+    out = textrank_keywords(docs, topk=50, iters=2, occ=_rake_occ(spark, sf_dir))
     return out.select(
         "w",
         (F.round("rank", 10) + F.lit(0.0)).alias("rank"),

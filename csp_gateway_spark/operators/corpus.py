@@ -2396,6 +2396,7 @@ def rake_keywords(
     max_phrase_len: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    occ: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """RAKE (Rapid Automatic Keyword Extraction, Rose et al. 2010)
     over the corpus: candidate phrases are stopword-delimited token
@@ -2410,7 +2411,12 @@ def rake_keywords(
     phrase explode joined against the word table, TakeOrdered(topk)
     — never a global sort; the scores are exact-integer ratios
     summed per phrase (≤ max_phrase_len doubles)."""
-    occ = rake_phrases(df, stopwords, max_phrase_len, text_col, id_col)
+    if occ is None:
+        occ = rake_phrases(df, stopwords, max_phrase_len, text_col, id_col)
+    else:
+        # pre-built UNCAPPED (id, phrase, plen) table: the length cap
+        # is a pure filter over the same rows
+        occ = occ.filter(F.col("plen") <= int(max_phrase_len))
     words = occ.select(
         "phrase", "plen", F.explode(F.split(F.col("phrase"), " ")).alias("w")
     )
@@ -2455,6 +2461,7 @@ def textrank_keywords(
     stopwords: list[str] | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    occ: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """TextRank-lite (Mihalcea & Tarau 2004) keyword scores: a
     PageRank power iteration over the UNDIRECTED co-occurrence graph
@@ -2471,7 +2478,9 @@ def textrank_keywords(
     iters = int(iters)
     if iters < 1:
         raise ValueError("textrank_keywords: iters must be >= 1")
-    occ = rake_phrases(df, stopwords, 1_000_000, text_col, id_col)
+    if occ is None:
+        occ = rake_phrases(df, stopwords, 1_000_000, text_col, id_col)
+    # else: pre-built uncapped phrase table — the 1e6 cap is a no-op
     # adjacent pairs from the phrase array itself (scan-local — no
     # row ids, no self-join): transform positions 1..len−1 into
     # (a[i−1], a[i]) structs and explode
