@@ -989,10 +989,12 @@ _SHINGLE_K = 3
 
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from csp_gateway_spark.operators.dedup import minhash_signatures
-
-    docs = _ts(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs, num_hashes=_MH_SEEDS, k=_SHINGLE_K, oracle_safe=True)
+    # the 8-hash signature is the PREFIX of the shared 16-hash table:
+    # _affine_coeffs is a sequential LCG, so coeffs(8) == coeffs(16)[:8]
+    # and min-over-shingles applies per hash independently (r14)
+    sig = _mh_signatures(spark, sf_dir).select(
+        "doc_id", F.slice("sig", 1, _MH_SEEDS).alias("sig")
+    )
     return sig.select("doc_id", F.posexplode("sig").alias("seed", "minhash"))
 
 
