@@ -16108,18 +16108,27 @@ FROM s
 def _order_value_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two 'measurements' of order value: the stamped o_totalprice vs
     the gross line-item sum — the method-comparison pair the
-    deming/bland-altman gates fit."""
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    line_sum = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_ls")
-    )
-    return orders.join(
-        line_sum, orders["o_orderkey"] == line_sum["l_orderkey"]
-    ).select(
-        F.col("o_totalprice").alias("x"),
-        F.col("_ls").alias("y"),
-    )
+    deming/bland-altman gates fit.  ONE checkpointed build (r14):
+    both consumers re-ran the lineitem groupBy + join otherwise."""
+
+    def build():
+        orders = _t(spark, sf_dir, "orders")
+        li = _t(spark, sf_dir, "lineitem")
+        line_sum = li.groupBy("l_orderkey").agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_ls")
+        )
+        return (
+            orders.join(
+                line_sum, orders["o_orderkey"] == line_sum["l_orderkey"]
+            )
+            .select(
+                F.col("o_totalprice").alias("x"),
+                F.col("_ls").alias("y"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return _shared(spark, sf_dir, "order_value_pair", build)
 
 
 _ORDER_PAIR_SQL = """
