@@ -16895,13 +16895,43 @@ _PANEL_PG_SQL = """
 """
 
 
+def _panel_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE checkpointed per-customer moment table (_g, n, Σx, Σy,
+    Σx², Σxy, Σy²) over the order panel — `fe_within`, `between_reg`
+    (subset) and `cluster_se` each rebuilt the identical grouped
+    exact-decimal collapse otherwise (r14)."""
+
+    def build():
+        df = _order_panel(spark, sf_dir)
+        x19 = F.col("x").cast("decimal(19,2)")
+        y19 = F.col("y").cast("decimal(19,2)")
+        return (
+            df.filter(x19.isNotNull() & y19.isNotNull())
+            .groupBy(F.col("g").alias("_g"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("_n"),
+                F.sum(x19.cast("decimal(38,2)")).alias("_sx"),
+                F.sum(y19.cast("decimal(38,2)")).alias("_sy"),
+                F.sum((x19 * x19).cast("decimal(38,4)")).alias("_sxx"),
+                F.sum((x19 * y19).cast("decimal(38,4)")).alias("_sxy"),
+                F.sum((y19 * y19).cast("decimal(38,4)")).alias("_syy"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return _shared(spark, sf_dir, "panel_cells", build)
+
+
 def q_fe_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-effects (within) estimator of order value on order day
     with customer intercepts absorbed — one per-group exact-sum pass,
     algebraic demeaning, no join back to facts."""
     from csp_gateway_spark.operators.analytics import fe_within
 
-    out = fe_within(_order_panel(spark, sf_dir), "g", "y", "x")
+    out = fe_within(
+        _order_panel(spark, sf_dir), "g", "y", "x",
+        per_g=_panel_cells(spark, sf_dir),
+    )
     return out.select(
         "n", "n_groups",
         (F.round("beta", 6) + F.lit(0.0)).alias("beta"),
@@ -16932,7 +16962,10 @@ def q_between_reg(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-mean order day; fe_within's cross-sectional complement."""
     from csp_gateway_spark.operators.analytics import between_reg
 
-    out = between_reg(_order_panel(spark, sf_dir), "g", "y", "x")
+    out = between_reg(
+        _order_panel(spark, sf_dir), "g", "y", "x",
+        per_g=_panel_cells(spark, sf_dir),
+    )
     return out.select(
         "n_groups",
         (F.round("beta", 6) + F.lit(0.0)).alias("beta"),
@@ -16976,7 +17009,10 @@ def q_cluster_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     over exact sums, so no second fact pass."""
     from csp_gateway_spark.operators.analytics import cluster_se
 
-    out = cluster_se(_order_panel(spark, sf_dir), "g", "y", "x")
+    out = cluster_se(
+        _order_panel(spark, sf_dir), "g", "y", "x",
+        per_g=_panel_cells(spark, sf_dir),
+    )
     return out.select(
         "n", "n_groups",
         (F.round("beta", 6) + F.lit(0.0)).alias("beta"),

@@ -11736,6 +11736,7 @@ def fe_within(
     group_col,
     y_col,
     x_col,
+    per_g: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-effects (within) estimator of y on x with entity
     intercepts absorbed: β_FE = Σ_g C_xy,g / Σ_g C_xx,g over
@@ -11754,16 +11755,18 @@ def fe_within(
     x = F.col(x_col) if isinstance(x_col, str) else x_col
     x19 = x.cast("decimal(19,2)")
     y19 = y.cast("decimal(19,2)")
-    per_g = df.filter(x19.isNotNull() & y19.isNotNull()).groupBy(
-        g.alias("_g")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("_n"),
-        F.sum(x19.cast("decimal(38,2)")).alias("_sx"),
-        F.sum(y19.cast("decimal(38,2)")).alias("_sy"),
-        F.sum((x19 * x19).cast("decimal(38,4)")).alias("_sxx"),
-        F.sum((x19 * y19).cast("decimal(38,4)")).alias("_sxy"),
-        F.sum((y19 * y19).cast("decimal(38,4)")).alias("_syy"),
-    )
+    if per_g is None:
+        per_g = df.filter(x19.isNotNull() & y19.isNotNull()).groupBy(
+            g.alias("_g")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(x19.cast("decimal(38,2)")).alias("_sx"),
+            F.sum(y19.cast("decimal(38,2)")).alias("_sy"),
+            F.sum((x19 * x19).cast("decimal(38,4)")).alias("_sxx"),
+            F.sum((x19 * y19).cast("decimal(38,4)")).alias("_sxy"),
+            F.sum((y19 * y19).cast("decimal(38,4)")).alias("_syy"),
+        )
+    # else: caller supplies the identical per-group moment table
     n = F.col("_n").cast("double")
     sx = F.col("_sx").cast("double")
     sy = F.col("_sy").cast("double")
@@ -11794,6 +11797,7 @@ def between_reg(
     group_col,
     y_col,
     x_col,
+    per_g: DataFrame | None = None,
 ) -> DataFrame:
     """Between estimator: OLS of the GROUP MEANS ȳ_g on x̄_g — the
     cross-sectional complement of :func:`fe_within` (their divergence
@@ -11806,13 +11810,16 @@ def between_reg(
     x = F.col(x_col) if isinstance(x_col, str) else x_col
     x19 = x.cast("decimal(19,2)")
     y19 = y.cast("decimal(19,2)")
-    per_g = df.filter(x19.isNotNull() & y19.isNotNull()).groupBy(
-        g.alias("_g")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("_n"),
-        F.sum(x19.cast("decimal(38,2)")).alias("_sx"),
-        F.sum(y19.cast("decimal(38,2)")).alias("_sy"),
-    )
+    if per_g is None:
+        per_g = df.filter(x19.isNotNull() & y19.isNotNull()).groupBy(
+            g.alias("_g")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(x19.cast("decimal(38,2)")).alias("_sx"),
+            F.sum(y19.cast("decimal(38,2)")).alias("_sy"),
+        )
+    else:
+        per_g = per_g.select("_g", "_n", "_sx", "_sy")
     means = per_g.select(
         (F.col("_sx").cast("double") / F.col("_n").cast("double")).alias("_mx"),
         (F.col("_sy").cast("double") / F.col("_n").cast("double")).alias("_my"),
@@ -11852,6 +11859,7 @@ def cluster_se(
     group_col,
     y_col,
     x_col,
+    per_g: DataFrame | None = None,
 ) -> DataFrame:
     """Pooled OLS slope of y on x with the Liang-Zeger cluster-robust
     (CR0) standard error: SE²_cl = Σ_g (Σ_{i∈g} x̃_i e_i)² / C_xx² —
@@ -11870,16 +11878,18 @@ def cluster_se(
     x = F.col(x_col) if isinstance(x_col, str) else x_col
     x19 = x.cast("decimal(19,2)")
     y19 = y.cast("decimal(19,2)")
-    per_g = df.filter(x19.isNotNull() & y19.isNotNull()).groupBy(
-        g.alias("_g")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("_n"),
-        F.sum(x19.cast("decimal(38,2)")).alias("_sx"),
-        F.sum(y19.cast("decimal(38,2)")).alias("_sy"),
-        F.sum((x19 * x19).cast("decimal(38,4)")).alias("_sxx"),
-        F.sum((x19 * y19).cast("decimal(38,4)")).alias("_sxy"),
-        F.sum((y19 * y19).cast("decimal(38,4)")).alias("_syy"),
-    ).localCheckpoint(eager=False)
+    if per_g is None:
+        per_g = df.filter(x19.isNotNull() & y19.isNotNull()).groupBy(
+            g.alias("_g")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(x19.cast("decimal(38,2)")).alias("_sx"),
+            F.sum(y19.cast("decimal(38,2)")).alias("_sy"),
+            F.sum((x19 * x19).cast("decimal(38,4)")).alias("_sxx"),
+            F.sum((x19 * y19).cast("decimal(38,4)")).alias("_sxy"),
+            F.sum((y19 * y19).cast("decimal(38,4)")).alias("_syy"),
+        ).localCheckpoint(eager=False)
+    # else: caller supplies the identical per-group moment table
     tot = per_g.agg(
         F.sum("_n").cast("long").alias("_nt"),
         F.count(F.lit(1)).cast("long").alias("_ngr"),
