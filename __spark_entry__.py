@@ -1731,13 +1731,34 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b
 # aggregation surface the engine exposes beyond the reference, SURVEY §2.3)
 # ---------------------------------------------------------------------------
 
+def _rf_ls_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE checkpointed (l_returnflag, l_linestatus, n, sum_qty)
+    collapse of lineitem (6 cells) — `sales_cube` and `sales_rollup`
+    re-scanned the fact table for the same grouping otherwise (r14);
+    cube/rollup grouping sets expand over the cells (sums of the same
+    exact decimals/longs)."""
+
+    def build():
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return _shared(spark, sf_dir, "rf_ls_cells", build)
+
+
 def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    cells = _rf_ls_cells(spark, sf_dir)
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        cells.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.count(F.lit(1)).alias("n"),
+            F.sum("_sq").alias("sum_qty"),
+            F.sum("_n").alias("n"),
         )
         .select(
             F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
@@ -7447,12 +7468,12 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (returnflag → linestatus) with GROUPING() level flags —
     the hierarchy-subtotals complement of the full cube in
     `sales_cube`.  One shuffle; Spark expands grouping sets map-side."""
-    li = _t(spark, sf_dir, "lineitem")
+    cells = _rf_ls_cells(spark, sf_dir)
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        cells.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum("_n").alias("n"),
+            F.sum("_sq").alias("sum_qty"),
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
         )
