@@ -1302,11 +1302,13 @@ GROUP BY n_name ORDER BY n_name
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    # per-customer spend off the shared collapse; c_name is
+    # functionally dependent on c_custkey, so grouping post-join by
+    # (key, name) equals joining the per-key sums to the names
     out = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+        _cust_orders(spark, sf_dir)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select("c_custkey", "c_name", F.col("_spend").alias("spend"))
         .orderBy(F.desc("spend"), F.asc("c_custkey"))
         .limit(10)
     )
@@ -7541,13 +7543,34 @@ ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC LIMIT 20
 # ---------------------------------------------------------------------------
 
 
+def _cust_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE checkpointed per-customer order collapse (o_custkey,
+    _last, _freq, _spend decimal(18,2)-summed) — `rfm_segments`,
+    `gini` (spend subset) and `top_customers` (spend + name join)
+    each rebuilt the identical groupBy otherwise (r14)."""
+
+    def build():
+        orders = _t(spark, sf_dir, "orders")
+        return (
+            orders.groupBy("o_custkey")
+            .agg(
+                F.max(F.col("o_orderdate")).alias("_last"),
+                F.count(F.lit(1)).alias("_freq"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_spend"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return _shared(spark, sf_dir, "cust_orders", build)
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer RFM quartile grid with segment counts and average
     spend — ntile windows over the collapsed customer dimension."""
     from csp_gateway_spark.operators.analytics import rfm_segments
 
     orders = _t(spark, sf_dir, "orders")
-    out = rfm_segments(orders)
+    out = rfm_segments(orders, base=_cust_orders(spark, sf_dir))
     return out.select(
         "r_score", "f_score", "m_score", "n_customers",
         F.round("avg_spend", 6).alias("avg_spend"),
@@ -8373,9 +8396,8 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     task."""
     from csp_gateway_spark.plans.scale import global_row_number
 
-    orders = _t(spark, sf_dir, "orders")
-    spend = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_y")
+    spend = _cust_orders(spark, sf_dir).select(
+        "o_custkey", F.col("_spend").alias("_y")
     )
     ranked = global_row_number(
         spend, "_y", ["o_custkey"], rn_col="_i", ascending=True,

@@ -1599,6 +1599,7 @@ def rfm_segments(
     date_col: str = "o_orderdate",
     amount_col: str = "o_totalprice",
     buckets: int = 4,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """RFM segmentation: quartile scores for Recency (days since the
     customer's last order, lower = better), Frequency (order count)
@@ -1634,15 +1635,17 @@ def rfm_segments(
     # separate orders aggregate: max(o_orderdate) == max over
     # customers of _last, so it rides the same stats row (one fewer
     # fact-table scan + broadcast than the r4 shape).
-    base = (
-        orders.groupBy(cust_col)
-        .agg(
-            F.max(F.col(date_col)).alias("_last"),
-            F.count(F.lit(1)).alias("_freq"),
-            F.sum(dec(amount_col)).alias("_spend"),
+    if base is None:
+        base = (
+            orders.groupBy(cust_col)
+            .agg(
+                F.max(F.col(date_col)).alias("_last"),
+                F.count(F.lit(1)).alias("_freq"),
+                F.sum(dec(amount_col)).alias("_spend"),
+            )
+            .localCheckpoint(eager=False)
         )
-        .localCheckpoint(eager=False)
-    )
+    # else: caller supplies the identical per-customer collapse
     # ONE aggregate pass computes the cutoff stats for all 3 metrics;
     # recency derives exactly: _rec_days = datediff(max(_last), _last)
     # so min_rec = 0 and max_rec = datediff(max(_last), min(_last))
