@@ -7163,8 +7163,10 @@ def q_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs over post-aggregation month rows only."""
     from csp_gateway_spark.operators.analytics import period_over_period
 
-    orders = _t(spark, sf_dir, "orders")
-    return period_over_period(orders).orderBy("month")
+    monthly = _monthly_revenue(spark, sf_dir)
+    return period_over_period(monthly, date_col="_m", value_col="_rd").orderBy(
+        "month"
+    )
 
 
 ORACLE_REVENUE_MOM = """
@@ -8140,20 +8142,35 @@ SELECT doc_id, source FROM (
 # ---------------------------------------------------------------------------
 
 
+def _monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE checkpointed (month timestamp, rev decimal) collapse of
+    orders — theil_sen, revenue_mom, ewma_forecast, periodogram and
+    seasonal_index each rebuilt the identical month groupBy (r14);
+    re-aggregating the pre-collapsed series through each operator's
+    own first groupBy-sum step is the identity (date_trunc/year/month
+    of the truncated timestamp are unchanged; monthly sums fit the
+    (18,2) re-cast at these SFs)."""
+
+    def build():
+        orders = _t(spark, sf_dir, "orders")
+        return (
+            orders.groupBy(F.date_trunc("month", "o_orderdate").alias("_m"))
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rd"))
+            .localCheckpoint(eager=True)
+        )
+
+    return _shared(spark, sf_dir, "monthly_revenue", build)
+
+
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust monthly-revenue trend: slope = median of all pairwise
     month-to-month slopes, intercept = median(y − slope·x).  The
     pairwise self-join runs on the POST-AGGREGATION month table
     (~80 rows → ~3k pairs), so the O(m²) step is dim-bounded; the
     heavy work is one decimal aggregation."""
-    orders = _t(spark, sf_dir, "orders")
-    m = (
-        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("_m"))
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rd"))
-        .select(
-            ((F.year("_m") - 1995) * 12 + F.month("_m") - 1).cast("double").alias("x"),
-            F.col("_rd").cast("double").alias("y"),
-        )
+    m = _monthly_revenue(spark, sf_dir).select(
+        ((F.year("_m") - 1995) * 12 + F.month("_m") - 1).cast("double").alias("x"),
+        F.col("_rd").cast("double").alias("y"),
     )
     a, b = m.alias("a"), m.alias("b")
     slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
@@ -8451,9 +8468,9 @@ def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     double fold in both engines."""
     from csp_gateway_spark.operators.analytics import ewma_level
 
-    orders = _t(spark, sf_dir, "orders")
+    monthly = _monthly_revenue(spark, sf_dir)
     out = ewma_level(
-        orders, F.date_trunc("month", F.col("o_orderdate")), "o_totalprice"
+        monthly, F.date_trunc("month", F.col("_m")), "_rd"
     )
     return out.select(
         "n_buckets",
@@ -8725,8 +8742,8 @@ def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     two grouped aggregates over the calendar-bounded monthly series."""
     from csp_gateway_spark.operators.analytics import seasonal_index
 
-    orders = _t(spark, sf_dir, "orders")
-    out = seasonal_index(orders, "o_orderdate", "o_totalprice")
+    monthly = _monthly_revenue(spark, sf_dir)
+    out = seasonal_index(monthly, "_m", "_rd")
     return out.select(
         "moy",
         "n_months",
@@ -14528,14 +14545,13 @@ def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold per period over the packed series."""
     from csp_gateway_spark.operators.analytics import periodogram
 
-    orders = _t(spark, sf_dir, "orders")
-    monthly = orders.select(
+    monthly = _monthly_revenue(spark, sf_dir).select(
         (
-            (F.year("o_orderdate") - F.lit(1970)) * F.lit(12)
-            + F.month("o_orderdate")
+            (F.year("_m") - F.lit(1970)) * F.lit(12)
+            + F.month("_m")
             - F.lit(1)
         ).cast("long").alias("k"),
-        F.col("o_totalprice").alias("y"),
+        F.col("_rd").alias("y"),
     )
     out = periodogram(monthly, "k", "y", min_period=2, max_period=24)
     return out.select(
