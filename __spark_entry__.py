@@ -129,14 +129,59 @@ def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # only caches a DETERMINISTIC bounded intermediate (localCheckpointed
 # collapsed frame or a collected scalar list), so results are
 # hash-identical with or without a warm cache.
+#
+# BENCH ACCOUNTING (r15, VERDICT r14 #1): every build is timed and
+# logged to _SHARED_BUILD_LOG so the bench can (a) RESET the memo
+# between its warm and timed passes — the first timed consumer then
+# pays each build exactly once inside the timed region — and (b)
+# report the total as a `shared_build_sec` line item.  Nested builds
+# (e.g. _cox_fit → _cox_cells) log only the OUTERMOST wall time, so
+# the log total never double-counts a build.
 _SHARED_MEMO: dict = {}
+_SHARED_BUILD_LOG: list = []  # (name, seconds) per outermost build
+_SHARED_BUILD_DEPTH = 0
 
 
 def _shared(spark: SparkSession, sf_dir: str, name: str, build):
+    global _SHARED_BUILD_DEPTH
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _SHARED_MEMO:
-        _SHARED_MEMO[key] = build()
+        import time as _time
+
+        _SHARED_BUILD_DEPTH += 1
+        t0 = _time.perf_counter()
+        try:
+            val = build()
+        finally:
+            _SHARED_BUILD_DEPTH -= 1
+        _SHARED_MEMO[key] = val
+        if _SHARED_BUILD_DEPTH == 0:
+            _SHARED_BUILD_LOG.append((name, _time.perf_counter() - t0))
     return _SHARED_MEMO[key]
+
+
+def reset_shared(keep_plans: bool = True) -> None:
+    """Drop every MATERIALIZED shared intermediate (localCheckpointed
+    frames, collected scalars) and clear the build log, so the next
+    consumer rebuilds from the parquet inputs.  With ``keep_plans``
+    (default) the ``spread:*`` entries survive: they hold an
+    UNMATERIALIZED round-robin repartition plan over the analyzed
+    frame — the same class of object as the `_T_CACHE` plan cache,
+    no data — and re-probing partition counts is not query work."""
+    drop = [
+        k
+        for k in _SHARED_MEMO
+        if not (keep_plans and k[2].startswith("spread:"))
+    ]
+    for k in drop:
+        del _SHARED_MEMO[k]
+    del _SHARED_BUILD_LOG[:]
+
+
+def shared_build_sec() -> float:
+    """Total seconds spent in outermost shared builds since the last
+    ``reset_shared`` — the bench's `shared_build_sec` line item."""
+    return sum(s for _, s in _SHARED_BUILD_LOG)
 
 
 def _survival_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,12 +363,16 @@ def _replay_shuffle(spark: SparkSession, n: int | None = None):
     # sf0.1).  The SESSION default stays RocksDB (session.py) — the
     # production choice for unbounded keyed state that outgrows the
     # heap — and state values are provider-invariant, so the landed
-    # table hash is unchanged.
-    spark.conf.set(
-        prov_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "HDFSBackedStateStoreProvider",
-    )
+    # table hash is unchanged.  Env-overridable (r15) so the
+    # trigger-floor probe can produce RocksDB REFERENCE rows (VERDICT
+    # r14 #2): SPARK_GRAFT_REPLAY_STORE=rocksdb keeps the session
+    # default provider for the replay too.
+    if os.environ.get("SPARK_GRAFT_REPLAY_STORE", "memory") != "rocksdb":
+        spark.conf.set(
+            prov_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
     try:
         yield
     finally:
@@ -17499,10 +17548,18 @@ WITH cells AS (
     CAST(SUM(wb) AS DECIMAL(38,2)) AS swb
   FROM terms
 ), f AS (
+  -- decimal→double through VARCHAR (r15, VERDICT r14 #4): DuckDB's
+  -- direct DECIMAL(38,2)→DOUBLE cast divides the int128 payload by
+  -- 10^scale in double arithmetic (two roundings — 1 ulp off above
+  -- 2^53 hundredths, e.g. 694135745736485.56 → ...85.6), while
+  -- Spark's BigDecimal.doubleValue and DuckDB's string→double are
+  -- both correctly rounded.  Below 2^53 hundredths (all gate SFs)
+  -- every path is exact, so this changes nothing there; at sf0.1 it
+  -- closes the inherited 1e-6 e_stat flip.
   SELECT na, nb,
-    2.0 * CAST(scr AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
-    - 2.0 * CAST(swa AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE))
-    - 2.0 * CAST(swb AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)) AS d2
+    2.0 * CAST(CAST(scr AS VARCHAR) AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+    - 2.0 * CAST(CAST(swa AS VARCHAR) AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE))
+    - 2.0 * CAST(CAST(swb AS VARCHAR) AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)) AS d2
   FROM s
 )
 SELECT na AS n_a, nb AS n_b,

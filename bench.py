@@ -427,6 +427,16 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:  # noqa: BLE001 — the timed pass reports it
             pass
+    # HONEST ACCOUNTING (r15, VERDICT r14 #1): the warm pass above
+    # builds and localCheckpoints every `_shared(...)` intermediate,
+    # which would let the timed pass read warm caches without ever
+    # paying the shared upstream cost.  Reset them here so the FIRST
+    # TIMED CONSUMER pays each build exactly once inside the timed
+    # region; builds are timed separately (entry._SHARED_BUILD_LOG)
+    # and reported as `shared_build_sec`, INCLUDED in the headline
+    # total.  Plan-only caches (_T_CACHE, spread:* partition plans)
+    # are kept — they hold no data.
+    entry.reset_shared()
     _cleanup()
 
     # scheduler calibration: the median wall time of a bare
@@ -452,6 +462,13 @@ def main() -> None:
     # (noise there is bounded by the threshold itself).  The DuckDB
     # pair tool (tools/bench_oracle.py) applies the IDENTICAL rule, so
     # the Spark/oracle ratio stays like-for-like.
+    # Shared-build accounting (r15): each `_shared` build runs inside
+    # the timed region (first consumer triggers it) but is REPORTED as
+    # its own line item rather than inside that consumer's per-query
+    # number — per-query entries stay steady-state comparable across
+    # rounds and across the min-of-2 rerun (whose second run is
+    # memo-warm), while the headline `value` includes every build
+    # exactly once: value = Σ per-query + shared_build_sec.
     RERUN_ABOVE_SEC = 1.0
     times: dict[str, float] = {}
     for i, name in enumerate(HEADLINE):
@@ -460,10 +477,12 @@ def main() -> None:
             continue
         if i % 20 == 0:
             _cleanup()
+        b0 = entry.shared_build_sec()
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            took = round(time.time() - t0, 3)
+            built = entry.shared_build_sec() - b0
+            took = max(round(time.time() - t0 - built, 3), 0.0)
             if took > RERUN_ABOVE_SEC:
                 t1 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -472,7 +491,8 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench error {name}: {e}", file=sys.stderr)
             times[name] = -1.0
-    total = round(sum(t for t in times.values() if t > 0), 3)
+    build_sec = round(entry.shared_build_sec(), 3)
+    total = round(sum(t for t in times.values() if t > 0) + build_sec, 3)
     full = {
         "metric": "headline_total",
         "value": total,
@@ -480,6 +500,10 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "calibration_sec": calibration,
+        "shared_build_sec": build_sec,
+        "shared_builds": {
+            n: round(s, 3) for n, s in entry._SHARED_BUILD_LOG
+        },
         "n_timed": len([t for t in times.values() if t > 0]),
     }
     print(json.dumps(full))
@@ -494,7 +518,7 @@ def main() -> None:
     # line above now exceeds that (83 per-query entries), which left
     # BENCH_r03 with parsed:null.  Emit a compact summary LAST so the
     # tail always contains a parseable headline.
-    print(json.dumps({"metric": "headline_total", "value": total, "unit": "sec", "sf": sf, "calibration_sec": calibration, "n_timed": len([t for t in times.values() if t > 0])}))
+    print(json.dumps({"metric": "headline_total", "value": total, "unit": "sec", "sf": sf, "calibration_sec": calibration, "shared_build_sec": build_sec, "n_timed": len([t for t in times.values() if t > 0])}))
 
 
 if __name__ == "__main__":

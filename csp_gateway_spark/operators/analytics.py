@@ -1060,8 +1060,14 @@ def market_basket(
     per-order line count (≤7 in TPC-H-shaped data), NOT corpus size,
     so candidate cost is Σ|order|² over orders with no self-join (the
     r14 rewrite dropped the distinct + two-sided ``_ord`` self-join:
-    3 exchanges over the fact table → 1).  Item popularity enters as
-    a broadcast (item dim ≪ fact table), the order total as a 1-row
+    3 exchanges over the fact table → 1).  Item popularity joins are
+    left UN-hinted (r15, VERDICT r14 #3): item cardinality grows with
+    SF (TPC-H partkey ≈ 200k×SF — multi-GB at the 100 TB design
+    point), so a forced broadcast OOMs the build side exactly where
+    the broadcast_dim guard declines fact-scaling frames; AQE's
+    runtime conversion still broadcasts it from REAL sizes wherever
+    it fits (every local/sf run), and falls back to a shuffled join
+    above the threshold.  The order total stays a forced 1-row
     broadcast aggregate, and the top-k compiles to
     TakeOrderedAndProject.  Lift is a single FP expression over exact
     integer counts, so it is engine-exact."""
@@ -1103,12 +1109,12 @@ def market_basket(
     n_orders = baskets.agg(F.count(F.lit(1)).alias("_n_orders"))
     out = (
         pair_counts.join(
-            F.broadcast(item_counts.withColumnRenamed("_n_item", "_na")),
+            item_counts.withColumnRenamed("_n_item", "_na"),
             F.col("item_a") == F.col("_item"),
         )
         .drop("_item")
         .join(
-            F.broadcast(item_counts.withColumnRenamed("_n_item", "_nb")),
+            item_counts.withColumnRenamed("_n_item", "_nb"),
             F.col("item_b") == F.col("_item"),
         )
         .drop("_item")

@@ -656,3 +656,31 @@ def test_broadcast_dim_declines_fact_sized_inputs(spark, sf_dir):
         assert "BroadcastExchange" in plan2
     finally:
         bs.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_market_basket_item_joins_decline_forced_broadcast(spark, sf_dir):
+    """VERDICT r14 #3: item cardinality grows with SF (partkey ≈
+    200k×SF — multi-GB at 100 TB), so the lift joins must not FORCE a
+    broadcast of the item-count side.  With the auto threshold
+    disabled (the stand-in for "above the size bound") the planner
+    must fall back to a non-broadcast join for both item joins; only
+    the 1-row order-total aggregate may stay broadcast."""
+    from csp_gateway_spark.operators.analytics import market_basket
+    from csp_gateway_spark.session import bounded_session, rebind_session
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = market_basket(li, k=20)
+    bs = bounded_session(spark)
+    prev = bs.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    bs.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            rebind_session(out, bs)._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        bs.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan
+    # results identical under the default session (AQE converts from
+    # real sizes locally) — the strategy moved, not the values
+    rows = [tuple(r) for r in out.collect()]
+    assert len(rows) == 20

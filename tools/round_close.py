@@ -173,6 +173,32 @@ def window_staleness() -> None:
     print(f"longest-out-of-window entries (rotation-in candidates): {stale}")
 
 
+def snapshot_perquery() -> None:
+    """Persist the full per-query bench breakdown as an immutable
+    round artifact (VERDICT r14 #5/#9): the driver captures only the
+    2 KB output tail, so BENCH_rNN carries no per-query data; copying
+    BENCH_LOCAL.json → BENCH_rNN_perquery.json at close gives the next
+    judge driver-grade per-query comparisons.  NN = current round,
+    inferred as max(CORRECTNESS_r*) + 1 (the driver writes the current
+    round's file only after close)."""
+    import re
+    import shutil
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    nn = (max(rounds) + 1) if rounds else 0
+    src = os.path.join(ROOT, "BENCH_LOCAL.json")
+    if os.path.exists(src):
+        dst = os.path.join(ROOT, f"BENCH_r{nn:02d}_perquery.json")
+        shutil.copyfile(src, dst)
+        print(f"\n=== snapshot {os.path.basename(dst)} written")
+    else:
+        print("\n=== no BENCH_LOCAL.json to snapshot")
+
+
 def main() -> int:
     sf_dir = next(
         (a for a in sys.argv[1:] if os.path.isdir(a)), "/root/testdata/sf0.01"
@@ -187,6 +213,7 @@ def main() -> int:
         if run([sys.executable, "tools/audit_plans.py", sf_dir, "--write"]) != 0:
             failures += 1
     failures += readme_drift()
+    snapshot_perquery()
     window_staleness()
     print(f"\nround_close: {'FAIL' if failures else 'OK'} ({failures} stage failures)")
     return 1 if failures else 0
