@@ -288,10 +288,16 @@ def _li_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     computing the union in one aggregate yields bit-identical values
     per consumer; only the declared precision of Σx differs
     ((28,2) here vs (38,2) in partial/cronbach's own path) and every
-    consumer only ever casts these to double."""
+    consumer only ever casts these to double.
+
+    r15: the scan is SPREAD (`_ts`) — the single-row-group local file
+    otherwise runs all ~22 BigDecimal multiply-adds per row on ≤3 of
+    32 cores (guide §2.5; probe: 1.94 s → parallel partial
+    aggregation).  Every aggregate here is an exact decimal/count, so
+    the values are partitioning-invariant by construction."""
 
     def build():
-        li = _t(spark, sf_dir, "lineitem")
+        li = _ts(spark, sf_dir, "lineitem")
         cols = list(_CORR_COLS)
         q = {c: F.col(c).cast("decimal(18,2)") for c in cols}
         aggs = [F.count(F.lit(1)).alias("_n")]
@@ -16785,6 +16791,7 @@ def _cox_fit(spark: SparkSession, sf_dir: str):
         return _cox_newton(
             _cox_cohort(spark, sf_dir), "dur", "event", "x", _COX_STEPS,
             cells=_cox_cells(spark, sf_dir),
+            fused=True,
         )
 
     return _shared(spark, sf_dir, "cox_fit", build)

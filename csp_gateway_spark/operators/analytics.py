@@ -11438,6 +11438,7 @@ def _cox_newton(
     score_col: str,
     steps: int,
     cells: Optional[DataFrame] = None,
+    fused: bool = False,
 ):
     """Shared Cox machinery: ``steps`` Newton-Raphson updates of the
     single-covariate partial-likelihood score from β=0, then one
@@ -11446,13 +11447,26 @@ def _cox_newton(
     and the Breslow risk-set sums S₀/S₁/S₂ at the final β) plus the
     1-row β frame.
 
+    ``fused`` (r15, guide §1.3 fewer actions): chain every Newton
+    step LAZILY into the final evaluation — ONE action computes all
+    ``steps`` updates + the eval pass, instead of 2 eager actions per
+    step (the per-step β/by-time checkpoints).  The per-event-time
+    collapse count is invariant across steps (the grouping structure
+    never changes, only the aggregated values), so one cheap distinct
+    count on the checkpointed cells vouches ``known_count`` for every
+    step's rank call.  The arithmetic per stage — expressions, cell
+    partitioning, group orders — is IDENTICAL to the eager plan, so
+    values are unchanged (pinned by the fused-vs-eager equality
+    test).  Keep False for large ``steps``: lazy chaining nests the
+    plan ``steps`` deep.
+
     Scale plan: ONE fact-scan collapse to (time, score) cells — the
     quantized-score contract (ntile_histogram's numeric-domain rule):
     the cell table, not the cohort, is what every iteration touches.
     β lives in a 1-row broadcast frame (never the driver); risk-set
     sums are suffix cumulatives from :func:`global_row_number`
     descending (the rank-family two-phase shape — serial-order exact
-    on the collapsed-domain small path); each step eagerly
+    on the collapsed-domain small path); in eager mode each step
     checkpoints ONE row, so lineage stays flat across iterations."""
     from csp_gateway_spark.plans.scale import global_row_number
 
@@ -11474,6 +11488,10 @@ def _cox_newton(
             )
             .localCheckpoint(eager=True)
         )
+    # fused mode: the by-time collapse row count, counted ONCE on the
+    # checkpointed cells (invariant across steps — same groupBy keys)
+    n_t = cells.select("_t").distinct().count() if fused else None
+
     beta = cells.sparkSession.range(1).select(F.lit(0.0).alias("_beta"))
 
     def by_time(beta_df):
@@ -11494,6 +11512,7 @@ def _cox_newton(
             byt, "_t", [], rn_col="_rn", ascending=False,
             cum_values=[("_c0", "_s0"), ("_c1", "_s1"), ("_c2", "_s2")],
             small_threshold=TARGET_ROWS_PER_BUCKET,
+            known_count=n_t,
         )
 
     def score_info(ranked):
@@ -11509,16 +11528,20 @@ def _cox_newton(
 
     for _ in range(steps):
         ui = score_info(by_time(beta))
-        beta = (
-            ui.crossJoin(F.broadcast(beta))
-            .select(
-                F.when(
-                    F.col("_i") > 0,
-                    F.col("_beta") + F.col("_u") / F.col("_i"),
-                ).otherwise(F.col("_beta")).alias("_beta")
-            )
-            .localCheckpoint(eager=True)
+        beta = ui.crossJoin(F.broadcast(beta)).select(
+            F.when(
+                F.col("_i") > 0,
+                F.col("_beta") + F.col("_u") / F.col("_i"),
+            ).otherwise(F.col("_beta")).alias("_beta")
         )
+        if not fused:
+            beta = beta.localCheckpoint(eager=True)
+    if fused:
+        # ONE action replays the whole lazy step chain (broadcast
+        # reuse dedupes the repeated β subplans); the eval pass below
+        # is then a single by_time over the checkpointed β — 2 actions
+        # total instead of 2 per step
+        beta = beta.localCheckpoint(eager=True)
     final = by_time(beta).localCheckpoint(eager=True)
     return final, beta
 

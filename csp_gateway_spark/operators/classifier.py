@@ -32,7 +32,7 @@ rows-only.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -68,11 +68,12 @@ def lr_train(
     # (measured 2× on the gate queries).  Features are orders smaller
     # than the raw text, so caching them is the 100 TB play too.
     features = features.persist()
-    n_row = labels.agg(F.count(F.lit(1)).alias("_n")).collect()
-    n = int(n_row[0]["_n"])
-    if n == 0:
-        features.unpersist()
-        raise ValueError("lr_train: empty label set")
+    # n (the label count) is derived from round 1's gradient collect —
+    # the synthetic bias bucket −1 carries exactly one row per label,
+    # so its row count IS n and the standalone count job is saved
+    # (r15, guide §1.3 fewer actions).  Round 1 never needs n (w=0 ⇒
+    # p=0.5), and the weight update below runs after the collect.
+    n: Optional[int] = None
     w = [0.0] * dim
     bias = 0.0
     fscale = float(_SCALE)
@@ -126,11 +127,19 @@ def lr_train(
             .agg(
                 F.sum(
                     F.floor(F.col("_r") * F.col("_x") * F.lit(fscale)).cast("long")
-                ).alias("_g")
+                ).alias("_g"),
+                F.count(F.lit(1)).alias("_c"),
             )
             .collect()
         )
         grads = {r["bucket"]: r["_g"] for r in gint}
+        if n is None:
+            n = int(
+                next((r["_c"] for r in gint if r["bucket"] == -1), 0)
+            )
+            if n == 0:
+                features.unpersist()
+                raise ValueError("lr_train: empty label set")
         for b in range(dim):
             w[b] = w[b] - lr * (grads.get(b, 0) / (float(n) * fscale))
         bias = bias - lr * (grads.get(-1, 0) / (float(n) * fscale))

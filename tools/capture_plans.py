@@ -1,5 +1,5 @@
 """Capture .explain("formatted") output for named queries into
-plans/r14/<query>_<tag>.txt — the before/after evidence files the
+plans/<round>/<query>_<tag>.txt (round from $SPARK_GRAFT_PLANS_ROUND, default r15) — the before/after evidence files the
 optimization round commits alongside code changes.
 
 Usage: python tools/capture_plans.py <tag> <query> [query ...]
@@ -27,7 +27,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     load_tables(spark, sf_dir)
     qs = entry.queries()
-    out_dir = os.path.join(ROOT, "plans", "r14")
+    out_dir = os.path.join(
+        ROOT, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         fn = qs.get(name)
